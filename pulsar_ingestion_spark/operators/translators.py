@@ -1,0 +1,307 @@
+"""CMF translators — Geotab / CalAmp / Ford as declarative column transforms.
+
+The reference implements these as per-message JVM functions
+(``Function<String, String?>``): Jackson parse → field mapping → CMF object
+→ serialize (GeotabTranslator.kt:85-158, CalAmpTranslator.kt:77-141,
+FordTranslator.kt:93-156).  Here each translator is a pure
+DataFrame→DataFrame transform built ONLY from Spark built-ins
+(``from_json`` → column expressions → ``struct``), so the whole mapping
+runs inside whole-stage codegen — no Python in the hot path, and Catalyst
+can prune/push down around it.
+
+Semantics preserved from the reference (SURVEY.md §2.2):
+  * malformed / missing-required input → record dropped, never a crash
+    (GeotabTranslator.kt:154-157; GeotabTranslatorTest.kt:117-123) — here:
+    rows fail the validity predicate and land in the dead-letter branch;
+  * null payload → skipped (GeotabTranslator.kt:98-101);
+  * enum normalize, UNKNOWN default (GeotabTranslator.kt:120-124);
+  * epoch-unit codecs per source: Geotab ISO-8601 in, CalAmp epoch-seconds
+    ×1000 (CalAmpTranslator.kt:100), Ford epoch-millis (FordTranslator.kt:116);
+  * canonical ISO output ``2023-10-26T10:00:00Z`` (GeotabTranslatorTest.kt:60);
+  * residue capture: unmapped fields → ``sourceSpecificData`` with nulls
+    dropped (GeotabTranslator.kt:130-133; FordTranslator.kt:131);
+  * constants: sourceType, meta.additionalProperties.translator tag,
+    tenantId from the function context (GeotabTranslator.kt:141-147);
+  * partitionKey = vehicleId (GeotabTranslator.kt:143).
+
+Scale note: translators are narrow (no shuffle).  At 100 TB the plan is
+scan → project → sink with zero exchanges; parallelism comes entirely from
+source splits.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pulsar_ingestion_spark.functions.enums import normalize_enum
+from pulsar_ingestion_spark.functions.timeutil import (
+    epoch_millis_to_iso8601,
+    iso8601_to_epoch_millis,
+)
+from pulsar_ingestion_spark.schemas.cmf import (
+    COMMON_EVENTS_SCHEMA,
+    COMMON_TELEMETRY_SCHEMA,
+    TELEMETRY_DOUBLE_FIELDS,
+    TELEMETRY_ENUM_FIELDS,
+)
+from pulsar_ingestion_spark.schemas.raw import (
+    CALAMP_RAW_SCHEMA,
+    CALAMP_REQUIRED,
+    FORD_RAW_SCHEMA,
+    FORD_REQUIRED,
+    GEOTAB_RAW_SCHEMA,
+    GEOTAB_REQUIRED,
+)
+
+# ---------------------------------------------------------------------------
+# struct builders — full-width CMF structs with typed nulls for absent fields
+
+
+def build_location(timestamp: Column | None, lat: Column | None, lon: Column | None) -> Column:
+    null_s = F.lit(None).cast("string")
+    null_d = F.lit(None).cast("double")
+    return F.struct(
+        (timestamp if timestamp is not None else null_s).alias("timestamp"),
+        (lon if lon is not None else null_d).alias("lon"),
+        (lat if lat is not None else null_d).alias("lat"),
+    )
+
+
+def build_telemetry(location: Column | None = None, **signals: Column) -> Column:
+    """Full-width CommonTelemetry struct; unspecified signals are typed nulls.
+
+    Fixed width keeps the output schema identical across sources so the
+    three branches union cleanly into one canonical stream
+    (pipeline fan-in — deployment/pipeline.yaml:47,54,61).
+    """
+    unknown = set(signals) - set(TELEMETRY_DOUBLE_FIELDS) - set(TELEMETRY_ENUM_FIELDS)
+    if unknown:
+        raise ValueError(f"unknown telemetry fields: {sorted(unknown)}")
+    fields: list[Column] = []
+    if location is not None:
+        fields.append(location.alias("location"))
+    else:
+        fields.append(build_location(None, None, None).alias("location"))
+    for f in TELEMETRY_DOUBLE_FIELDS:
+        col = signals.get(f, F.lit(None).cast("double"))
+        fields.append(col.cast("double").alias(f))
+    for f in TELEMETRY_ENUM_FIELDS:
+        col = signals.get(f, F.lit(None).cast("string"))
+        fields.append(col.cast("string").alias(f))
+    fields.append(F.lit(None).cast(COMMON_TELEMETRY_SCHEMA["tirePressure"].dataType).alias("tirePressure"))
+    fields.append(F.lit(None).cast(COMMON_TELEMETRY_SCHEMA["windowStatus"].dataType).alias("windowStatus"))
+    fields.append(F.lit(None).cast(COMMON_TELEMETRY_SCHEMA["brakePadLife"].dataType).alias("brakePadLife"))
+    return F.struct(*fields)
+
+
+def build_cmf(
+    date_time: Column,
+    epoch_source: Column,
+    vehicle_id: Column,
+    device_id: Column,
+    tenant_id: Column,
+    source_type: str,
+    telemetry: Column,
+    source_specific_data: Column,
+    translator_tag: str,
+) -> Column:
+    """Assemble the CMF envelope struct (CommonMessageFormat.kt:467-479)."""
+    return F.struct(
+        date_time.alias("dateTime"),
+        epoch_source.cast("long").alias("epochSource"),
+        vehicle_id.alias("vehicleId"),
+        device_id.alias("deviceId"),
+        tenant_id.alias("tenantId"),
+        F.lit(source_type).alias("sourceType"),
+        vehicle_id.alias("partitionKey"),  # partitionKey = vehicleId (GeotabTranslator.kt:143)
+        telemetry.alias("telemetry"),
+        F.lit(None).cast(COMMON_EVENTS_SCHEMA).alias("events"),  # translators never populate events
+        source_specific_data.alias("sourceSpecificData"),
+        F.struct(
+            tenant_id.alias("tenantId"),
+            F.create_map(F.lit("translator"), F.lit(translator_tag)).alias("additionalProperties"),
+        ).alias("meta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# shared translate plumbing
+
+
+def _validity(parsed: Column, required: Iterable[str]) -> Column:
+    """Jackson-equivalent strictness: document parses AND every required
+    field is present.  from_json yields NULL struct on malformed JSON and
+    NULL fields on missing keys."""
+    cond = parsed.isNotNull()
+    for f in required:
+        cond = cond & parsed.getField(f).isNotNull()
+    return cond
+
+
+def _split(df: DataFrame, payload_col: str, schema, required, cmf_builder, dead_letter: bool):
+    return _split_with_extra(
+        df, payload_col, schema, required, lambda p: F.lit(True), cmf_builder, dead_letter
+    )
+
+
+def translate_geotab(
+    df: DataFrame, tenant: str = "acme", payload_col: str = "value", dead_letter: bool = False
+):
+    """Geotab raw JSON → CMF (GeotabTranslator.kt:85-158).
+
+    Input: DataFrame with a string JSON column ``payload_col``.
+    Output: original columns + typed ``cmf`` struct (use
+    :func:`cmf_to_json` for the wire form).  With ``dead_letter=True``
+    returns ``(good, dead)``.
+    """
+    def _build(p: Column) -> Column:
+        epoch_ms = iso8601_to_epoch_millis(p.getField("Record_DateTime"))
+        iso = epoch_millis_to_iso8601(epoch_ms)
+        telemetry = build_telemetry(
+            location=build_location(iso, p.getField("Latitude"), p.getField("Longitude")),
+            odometerCanMi=p.getField("Odometer_mi"),
+            engineRpm=p.getField("EngineSpeed_rpm"),
+            fuelLevelPct=p.getField("Fuel_Level_pct"),
+            ignitionStatus=normalize_enum(p.getField("Ignition_Status"), "ignitionStatus"),
+        )
+        # Residue: unmapped custom fields, nulls dropped (to_json omits null
+        # fields) — mirrors filterValues {it != null} at GeotabTranslator.kt:133.
+        residue = F.to_json(F.struct(
+            p.getField("customGeotabField1").alias("customGeotabField1"),
+            p.getField("customGeotabField2").alias("customGeotabField2"),
+        ))
+        return build_cmf(
+            date_time=iso,
+            epoch_source=epoch_ms,
+            vehicle_id=p.getField("Vehicle_ID"),
+            device_id=p.getField("Device_ID"),
+            tenant_id=F.lit(tenant),
+            source_type="Geotab",
+            telemetry=telemetry,
+            source_specific_data=residue,
+            translator_tag="GeotabTranslator_v1.0",
+        )
+
+    # Record_DateTime must also PARSE (Instant.parse throws → drop): enforce
+    # by requiring the decoded epoch to be non-null.
+    required = [f for f in GEOTAB_REQUIRED if f != "Record_DateTime"]
+
+    def _valid_extra(p: Column) -> Column:
+        return iso8601_to_epoch_millis(p.getField("Record_DateTime")).isNotNull()
+
+    return _split_with_extra(df, payload_col, GEOTAB_RAW_SCHEMA, required, _valid_extra, _build, dead_letter)
+
+
+def _split_with_extra(df, payload_col, schema, required, extra_pred, cmf_builder, dead_letter):
+    # Dead-letter discipline: the reference logs+drops malformed input
+    # (GeotabTranslator.kt:154-157); we keep the originals addressable.
+    raw = F.col(payload_col)
+    parsed = F.from_json(raw, schema)
+    with_parsed = df.withColumn("_parsed", parsed).withColumn(
+        "_valid",
+        raw.isNotNull() & _validity(F.col("_parsed"), required) & extra_pred(F.col("_parsed")),
+    )
+    good = (
+        with_parsed.filter(F.col("_valid"))
+        .withColumn("cmf", cmf_builder(F.col("_parsed")))
+        .drop("_parsed", "_valid")
+    )
+    if not dead_letter:
+        return good
+    dead = with_parsed.filter(~F.col("_valid") & raw.isNotNull()).drop("_parsed", "_valid")
+    return good, dead
+
+
+def translate_calamp(
+    df: DataFrame, tenant: str = "acme", payload_col: str = "value", dead_letter: bool = False
+):
+    """CalAmp raw JSON → CMF (CalAmpTranslator.kt:77-141); msg_ts is epoch
+    SECONDS, ×1000 on ingest (CalAmpTranslator.kt:100)."""
+    def _build(p: Column) -> Column:
+        epoch_ms = (p.getField("msg_ts") * F.lit(1000)).cast("long")
+        iso = epoch_millis_to_iso8601(epoch_ms)
+        telemetry = build_telemetry(
+            location=build_location(iso, p.getField("gps_lat"), p.getField("gps_lon")),
+            speedGpsMph=p.getField("speed_mph"),
+            fuelLevelPct=p.getField("fuel_percent"),
+            batteryVoltage=p.getField("voltage"),
+        )
+        residue = F.to_json(F.struct(
+            p.getField("calAmpSpecificValue").alias("calAmpSpecificValue"),
+        ))
+        return build_cmf(
+            date_time=iso,
+            epoch_source=epoch_ms,
+            vehicle_id=p.getField("vid"),
+            device_id=p.getField("unit_id"),
+            tenant_id=F.lit(tenant),
+            source_type="CalAmp",
+            telemetry=telemetry,
+            source_specific_data=residue,
+            translator_tag="CalAmpTranslator_v1.0",
+        )
+
+    return _split(df, payload_col, CALAMP_RAW_SCHEMA, CALAMP_REQUIRED, _build, dead_letter)
+
+
+def translate_ford(
+    df: DataFrame, tenant: str = "acme", payload_col: str = "value", dead_letter: bool = False
+):
+    """Ford raw JSON → CMF (FordTranslator.kt:93-156); captureTime/coords.ts
+    are epoch millis; rpm Int widened to Double (FordTranslator.kt:127);
+    fordExtraData passes through verbatim (FordTranslator.kt:131)."""
+    def _build(p: Column) -> Column:
+        epoch_ms = p.getField("captureTime")
+        iso = epoch_millis_to_iso8601(epoch_ms)
+        coords = p.getField("coords")
+        telemetry = build_telemetry(
+            location=build_location(
+                epoch_millis_to_iso8601(coords.getField("ts")),
+                coords.getField("latValue"),
+                coords.getField("lonValue"),
+            ),
+            speedGpsMph=p.getField("vehicleSpeed"),
+            fuelLevelGallon=p.getField("fuelRemainingGallons"),
+            engineRpm=p.getField("rpm").cast("double"),
+        )
+        return build_cmf(
+            date_time=iso,
+            epoch_source=epoch_ms,
+            vehicle_id=p.getField("vin"),
+            device_id=p.getField("esn"),
+            tenant_id=F.lit(tenant),
+            source_type="Ford",
+            telemetry=telemetry,
+            source_specific_data=F.coalesce(F.to_json(p.getField("fordExtraData")), F.lit("{}")),
+            translator_tag="FordTranslator_v1.0",
+        )
+
+    # coords' inner requireds: latValue/lonValue/ts all present.
+    def _valid_extra(p: Column) -> Column:
+        c = p.getField("coords")
+        return (
+            c.getField("latValue").isNotNull()
+            & c.getField("lonValue").isNotNull()
+            & c.getField("ts").isNotNull()
+        )
+
+    return _split_with_extra(df, payload_col, FORD_RAW_SCHEMA, FORD_REQUIRED, _valid_extra, _build, dead_letter)
+
+
+def cmf_to_json(df: DataFrame, cmf_col: str = "cmf", out_col: str = "value") -> DataFrame:
+    """Serialize the CMF struct to its JSON wire form (the translator's
+    return value, GeotabTranslator.kt:150).  Null fields omitted, like
+    Jackson with NON_NULL-ish output for residue maps."""
+    return df.withColumn(out_col, F.to_json(F.col(cmf_col)))
+
+
+def union_cmf(*dfs: DataFrame) -> DataFrame:
+    """Fan-in of per-source translated branches into the one canonical CMF
+    stream (the shared output topic, deployment/pipeline.yaml:47,54,61)."""
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d, allowMissingColumns=False)
+    return out
