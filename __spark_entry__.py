@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``: flagship query (per-source hourly fleet activity over the three
+translated CMF branches — SURVEY.md §7.1).
+``queries`` / ``oracle_sql``: the declared analytics surface from
+SURVEY.md §2.5, implemented in ``pulsar_ingestion_spark/queries_*.py``.
 """
 
 from __future__ import annotations
@@ -13,26 +12,55 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+# Importing the query modules populates the registry.
+import pulsar_ingestion_spark.queries_core  # noqa: F401
+import pulsar_ingestion_spark.queries_translate  # noqa: F401
+import pulsar_ingestion_spark.queries_llm  # noqa: F401
+from pulsar_ingestion_spark.registry import ORACLES, QUERIES
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: synthesize the three raw telemetry feeds from sf0.001
+    events, run all three CMF translators, union into the canonical stream,
+    and compute per-source hourly activity (count + distinct vehicles)."""
+    import pyspark.sql.functions as F
+
+    from pulsar_ingestion_spark.queries_translate import (
+        cmf_translate_calamp,
+        cmf_translate_ford,
+        cmf_translate_geotab,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    g = cmf_translate_geotab(spark, sf_dir).select(
+        "source_type", "vehicle_id", F.col("date_time").alias("iso")
+    )
+    c = cmf_translate_calamp(spark, sf_dir).select(
+        "source_type", "vehicle_id", F.col("date_time").alias("iso")
+    )
+    f = cmf_translate_ford(spark, sf_dir).select(
+        F.lit("Ford").alias("source_type"),
+        "vehicle_id",
+        F.date_format(F.timestamp_millis(F.col("epoch_source")), "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("iso"),
+    )
+    cmf = g.unionByName(c).unionByName(f)
+    return (
+        cmf.withColumn("hour", F.date_trunc("hour", F.to_timestamp("iso")))
+        .groupBy("source_type", "hour")
+        .agg(
+            F.count("*").alias("msg_cnt"),
+            F.approx_count_distinct("vehicle_id").alias("approx_vehicles"),
+        )
+        .orderBy("source_type", "hour")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2.5."""
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query (omitted for non-SQL-expressible
+    operators → driver records a rows-only check)."""
+    return dict(ORACLES)

@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"<name>": sec, ...}, "sf": <sf>}
+
+Each query is executed to completion (count() on the result — forces full
+plan execution without driver-side materialization of wide results).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: one per engine area — scan, filter, join (shuffle + broadcast),
+# agg, window fn, event-time window, translator pipeline, router, dedup,
+# text analysis, similarity search.
+HEADLINE = [
+    "scan_project",
+    "filter_pred",
+    "join_inner_equi",
+    "join_broadcast",
+    "join_asof",
+    "agg_group_sum_avg_min_max_count",
+    "agg_count_distinct",
+    "win_topk_per_group",
+    "win_lag_lead",
+    "stream_tumbling_agg",
+    "stream_session_window",
+    "cmf_translate_geotab",
+    "cmf_translate_calamp",
+    "cmf_translate_ford",
+    "route_tenant",
+    "dedup_exact",
+    "dedup_fingerprint",
+    "text_stats",
+    "text_token_count",
+    "sim_search_knn",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
+    except ValueError:
+        sf = -1.0
+
+    import __spark_entry__ as entrymod
+    from pulsar_ingestion_spark.session import get_spark
+
+    spark = get_spark("bench")
+    queries = entrymod.queries()
+
+    # Warm the JVM + parquet footers once so per-query numbers measure the
+    # engine, not first-touch costs.
+    queries["scan_project"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,73 @@
+"""Text-analysis column functions for the training-data pipeline surface.
+
+All pure built-ins (split/filter/aggregate/regexp) — vectorized JVM
+execution, no Python in the hot path.  At 100 TB these run as narrow maps
+over the documents scan with full column pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# A small closed English stopword set — enough for ratio features; a real
+# deployment would broadcast a fuller list.
+STOPWORDS = ["the", "a", "an", "of", "and", "or", "to", "in", "is", "it"]
+
+TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"  # BPE-ish word/number/punct split
+
+
+def words(col: Column) -> Column:
+    """Whitespace tokenization of trimmed text."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def word_count(col: Column) -> Column:
+    return F.size(words(col))
+
+
+def token_count(col: Column) -> Column:
+    """Regex token count (letters runs, digit runs, punct singletons)."""
+    return F.regexp_count(col, F.lit(TOKEN_PATTERN))
+
+
+def stopword_ratio(col: Column) -> Column:
+    """Fraction of words that are stopwords — a quality-score feature."""
+    w = words(col)
+    stop = F.size(F.filter(w, lambda x: F.lower(x).isin(STOPWORDS)))
+    return stop / F.size(w)
+
+
+def avg_word_len(col: Column) -> Column:
+    w = words(col)
+    total = F.aggregate(w, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x))
+    return total / F.size(w)
+
+
+def quality_score(col: Column) -> Column:
+    """Composite heuristic quality score in [0,1]: length band + stopword
+    presence + word-length sanity.  Deterministic, SQL-expressible."""
+    wc = word_count(col).cast("double")
+    len_band = F.when((wc >= 20) & (wc <= 1000), 1.0).when(wc >= 5, 0.5).otherwise(0.0)
+    stop_band = F.when(stopword_ratio(col) > 0.05, 1.0).otherwise(0.5)
+    awl = avg_word_len(col)
+    wl_band = F.when((awl >= 2.5) & (awl <= 10), 1.0).otherwise(0.5)
+    return F.round((len_band + stop_band + wl_band) / 3.0, 4)
+
+
+def doc_fingerprint(col: Column) -> Column:
+    """Canonical content fingerprint: md5 of the sorted distinct word set.
+    Portable across engines (unlike hash()/xxhash64) and robust to word
+    order — the cheap exact-near-dup key."""
+    canon = F.array_join(F.array_sort(F.array_distinct(words(F.lower(col)))), " ")
+    return F.md5(canon)
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingle set (distinct), for Jaccard/MinHash dedup."""
+    w = words(F.lower(col))
+    idx = F.sequence(F.lit(0), F.size(w) - n)
+    gram = lambda i: F.array_join(F.slice(w, i + 1, n), " ")  # noqa: E731
+    return F.when(F.size(w) >= n, F.array_distinct(F.transform(idx, gram))).otherwise(
+        F.array(F.array_join(w, " "))
+    )

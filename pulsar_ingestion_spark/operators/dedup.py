@@ -1,0 +1,166 @@
+"""Deduplication operators over the `documents` table — exact and near-dup.
+
+The scale story (100 TB of documents):
+  * exact / fingerprint dedup is one hash-shuffle on a 32-byte key —
+    group-by md5, keep the min doc_id per group;
+  * MinHash LSH reduces near-dup detection from O(n²) to
+    candidate-pairs-per-band: shingle → minhash signature → band buckets →
+    equi-join on (band, bucket) — only co-bucketed docs are compared;
+  * SimHash gives a 32/64-bit signature whose Hamming neighborhoods are
+    join keys — cheapest per-doc state;
+  * n-gram Jaccard (exact) is the verifier on LSH candidates, never run
+    all-pairs at scale.
+
+Everything below is built-ins (explode/join/groupBy) or MLlib; no Python
+row loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pulsar_ingestion_spark.functions.text import doc_fingerprint, shingles, words
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact-content dedup groups: md5(text) → canonical (min-id) doc +
+    duplicate count.  One shuffle on the digest."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(F.min(id_col).alias("canonical_id"), F.count("*").alias("dup_cnt"))
+    )
+
+
+def dedup_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Word-set fingerprint dedup: order-insensitive near-exact groups."""
+    return (
+        df.groupBy(doc_fingerprint(F.col(text_col)).alias("fingerprint"))
+        .agg(F.min(id_col).alias("canonical_id"), F.count("*").alias("dup_cnt"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs sharing ≥1 shingle.
+
+    Plan: explode distinct shingles → self equi-join on shingle (only
+    co-occurring docs meet) → |A∩B| per pair → Jaccard via set sizes.
+    The shingle join IS the candidate filter — all-pairs never materializes.
+    At 100 TB: add a band/bucket stage (MinHash) before this as candidates.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
+    ).withColumn("sh_size", F.size("sh"))
+    exploded = sh.select("id", "sh_size", F.explode("sh").alias("gram"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    inter = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh_size").alias("size_a"),
+            F.col("b.sh_size").alias("size_b"),
+        )
+        .agg(F.count("*").alias("inter_cnt"))
+    )
+    jac = F.round(
+        F.col("inter_cnt") / (F.col("size_a") + F.col("size_b") - F.col("inter_cnt")), 6
+    )
+    return (
+        inter.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def dedup_minhash_lsh(
+    df: DataFrame,
+    threshold: float = 0.6,
+    n: int = 3,
+    num_hash_tables: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash+LSH near-dup candidates (MLlib): shingle → hashed term
+    vector → MinHash signatures → approx similarity join on banded buckets.
+
+    Returns (id_a, id_b, jaccard_distance) pairs under the distance
+    threshold.  Deterministic for a fixed seed.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    sh = df.select(F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh"))
+    tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=1 << 18)
+    feats = tf.transform(sh).filter(F.expr("size(sh) > 0"))
+    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=seed)
+    model = mh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 1.0 - threshold, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.id") < F.col("datasetB.id"))
+        .select(
+            F.col("datasetA.id").alias("id_a"),
+            F.col("datasetB.id").alias("id_b"),
+            F.round(F.col("jaccard_dist"), 6).alias("jaccard_dist"),
+        )
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+    """SimHash signature: per-bit majority vote over xxhash64(word).
+
+    Pure column expressions (one filter+size per bit over the word array);
+    64-doc near-dups are then `WHERE hamming(sig_a, sig_b) <= r` joins.
+    """
+    w = F.array_distinct(words(F.lower(F.col(text_col))))
+    sig = F.lit(0).cast("long")
+    for k in range(bits):
+        ones = F.size(F.filter(w, lambda x: F.shiftright(F.xxhash64(x), k).bitwiseAND(F.lit(1)) == 1))
+        bit = (ones * 2 > F.size(w)).cast("long")
+        sig = sig + F.shiftleft(bit, k)
+    return df.select(F.col(id_col).alias("id"), sig.alias("simhash"))
+
+
+def simhash_near_dups(df: DataFrame, max_hamming: int = 3, **kwargs) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance.  Candidate generation at
+    scale would block on signature prefixes; here the verifier join."""
+    sigs = simhash(df, **kwargs)
+    a, b = sigs.alias("a"), sigs.alias("b")
+    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    hamming = F.bit_count(xor)
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "hamming")
+    )
+
+
+def embedding_near_dups(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (sim ≥ threshold, rounded).
+
+    Brute-force O(n²) self-join — correct baseline; the scale path buckets
+    by LSH/IVF first (see operators/similarity.py) so the join is per-bucket.
+    """
+    from pulsar_ingestion_spark.functions.vectors import cosine_rounded
+
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", cosine_rounded(F.col("va"), F.col("vb"), 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

@@ -1,0 +1,108 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+  * brute-force cosine top-k — the exact baseline; a broadcast of the query
+    set against a full scan of candidates (narrow, no shuffle of the
+    candidate side; per-partition top-k then global merge);
+  * LSH-bucketed ANN — random-hyperplane signatures restrict candidates to
+    same-bucket vectors: at 100 TB the candidate scan drops by the bucket
+    fan-out factor, trading recall for cost (standard sign-LSH).
+
+Both are deterministic (hyperplanes derived from a seeded hash, not RNG).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pulsar_ingestion_spark.functions.vectors import cosine_rounded, dot
+
+
+def knn_bruteforce(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    The query side should be small → broadcast; candidates stream through.
+    Ordering ties broken by candidate id (deterministic output set).
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = candidates.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("cand_id"))
+        .withColumn("cos_sim", cosine_rounded(F.col("qv"), F.col("cv"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cos_sim", "rank")
+    )
+
+
+def _hyperplane(dim: int, plane_idx: int, seed: int = 42) -> list[float]:
+    """Deterministic pseudo-random unit-ish hyperplane from a hash chain —
+    reproducible across runs/engines without RNG state."""
+    import hashlib
+    import struct
+
+    vals = []
+    for j in range(dim):
+        h = hashlib.md5(f"{seed}:{plane_idx}:{j}".encode()).digest()
+        (u,) = struct.unpack(">q", h[:8])
+        vals.append((u / float(1 << 63)))
+    return vals
+
+
+def signlsh_buckets(
+    df: DataFrame,
+    dim: int,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Random-hyperplane signature: bucket = bit-string of sign(v·h_i).
+    Cosine-similar vectors collide with high probability."""
+    sig = F.lit(0).cast("long")
+    for i in range(num_planes):
+        plane = F.array(*[F.lit(x) for x in _hyperplane(dim, i, seed)])
+        bit = (dot(F.col(vec_col), plane) > 0).cast("long")
+        sig = sig + F.shiftleft(bit, i)
+    return df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), sig.alias("bucket"))
+
+
+def knn_lsh(
+    queries: DataFrame,
+    candidates: DataFrame,
+    dim: int,
+    k: int = 5,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: exact rerank within the query's LSH bucket.
+
+    The bucket equi-join replaces the cross join — this is the 100 TB plan
+    (candidates partitioned by bucket; each query probes one partition).
+    Recall < 1.0 by design; verify against knn_bruteforce on samples.
+    """
+    qb = signlsh_buckets(queries, dim, num_planes, id_col, vec_col)
+    cb = signlsh_buckets(candidates, dim, num_planes, id_col, vec_col)
+    scored = (
+        qb.alias("q")
+        .join(cb.alias("c"), (F.col("q.bucket") == F.col("c.bucket")) & (F.col("q.id") != F.col("c.id")))
+        .withColumn("cos_sim", cosine_rounded(F.col("q.vec"), F.col("c.vec"), 6))
+    )
+    w = Window.partitionBy(F.col("q.id")).orderBy(F.desc("cos_sim"), F.asc(F.col("c.id")))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("q.id").alias("query_id"), F.col("c.id").alias("cand_id"), "cos_sim", "rank")
+    )

@@ -1,0 +1,264 @@
+"""LLM-training-data-pipeline queries over documents/embeddings —
+dedup, similarity search, text analysis (north star, SURVEY.md §2.5).
+
+Oracle-parity notes: dot products fold left in both engines
+(F.aggregate vs list_reduce after a 0.0-seeded start — IEEE-identical),
+similarities are rounded to 6 digits BEFORE ordering/filtering so top-k
+membership is stable cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pulsar_ingestion_spark.operators.dedup import (
+    dedup_exact,
+    dedup_fingerprint,
+    dedup_minhash_lsh,
+    embedding_near_dups,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+)
+from pulsar_ingestion_spark.operators.similarity import knn_bruteforce, knn_lsh
+from pulsar_ingestion_spark.functions.text import (
+    STOPWORDS,
+    TOKEN_PATTERN,
+    avg_word_len,
+    quality_score,
+    stopword_ratio,
+    token_count,
+    word_count,
+)
+from pulsar_ingestion_spark.registry import query
+from pulsar_ingestion_spark.session import load_tables
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id, count(*) AS dup_cnt
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def q_dedup_exact(spark, sf_dir):
+    return dedup_exact(load_tables(spark, sf_dir)["documents"])
+
+
+@query(
+    "dedup_fingerprint",
+    oracle="""
+    SELECT md5(array_to_string(list_sort(list_distinct(
+             regexp_split_to_array(trim(lower(text)), '\\s+'))), ' ')) AS fingerprint,
+           min(doc_id) AS canonical_id, count(*) AS dup_cnt
+    FROM documents GROUP BY 1
+    """,
+)
+def q_dedup_fingerprint(spark, sf_dir):
+    return dedup_fingerprint(load_tables(spark, sf_dir)["documents"])
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id AS id,
+             list_distinct(list_transform(
+               range(1, greatest(len(w) - 2, 1) + 1),
+               i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS grams
+      FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+            FROM documents)
+      WHERE len(w) >= 3
+    ), ex AS (
+      SELECT id, len(grams) AS sz, unnest(grams) AS gram FROM sh
+    ), inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, a.sz AS size_a, b.sz AS size_b,
+             count(*) AS inter_cnt
+      FROM ex a JOIN ex b ON a.gram = b.gram AND a.id < b.id
+      GROUP BY a.id, b.id, a.sz, b.sz
+    )
+    SELECT id_a, id_b,
+           round(inter_cnt / (size_a + size_b - inter_cnt), 6) AS jaccard
+    FROM inter
+    WHERE round(inter_cnt / (size_a + size_b - inter_cnt), 6) >= 0.35
+    """,
+)
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    # Exact word-3-gram Jaccard on shingle-sharing candidates; threshold 0.35.
+    docs = load_tables(spark, sf_dir)["documents"]
+    docs3 = docs.filter(F.size(F.split(F.trim(F.lower("text")), r"\s+")) >= 3)
+    return ngram_jaccard_pairs(docs3, threshold=0.35, n=3)
+
+
+@query("dedup_minhash")  # LSH banding uses engine-internal hashes → rows-only
+def q_dedup_minhash(spark, sf_dir):
+    return dedup_minhash_lsh(load_tables(spark, sf_dir)["documents"], threshold=0.5)
+
+
+@query("dedup_simhash")  # xxhash64 signatures are Spark-specific → rows-only
+def q_dedup_simhash(spark, sf_dir):
+    return simhash_near_dups(load_tables(spark, sf_dir)["documents"], max_hamming=6)
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(
+             list_reduce(list_prepend(0.0, list_transform(range(1, len(a.embedding)+1),
+               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), (x,y) -> x+y)
+             / (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(a.embedding)+1),
+                  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))), (x,y) -> x+y))
+              * sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(b.embedding)+1),
+                  i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), (x,y) -> x+y))),
+           6) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(
+             list_reduce(list_prepend(0.0, list_transform(range(1, len(a.embedding)+1),
+               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), (x,y) -> x+y)
+             / (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(a.embedding)+1),
+                  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))), (x,y) -> x+y))
+              * sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(b.embedding)+1),
+                  i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), (x,y) -> x+y))),
+           6) >= 0.6
+    """,
+)
+def q_dedup_embedding_cosine(spark, sf_dir):
+    return embedding_near_dups(load_tables(spark, sf_dir)["embeddings"], threshold=0.6)
+
+
+_KNN_DOT = """list_reduce(list_prepend(0.0, list_transform(range(1, len({a})+1),
+  i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), (x,y) -> x+y)"""
+
+_KNN_ORACLE = f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         round({_KNN_DOT.format(a='q.embedding', b='c.embedding')}
+           / (sqrt({_KNN_DOT.format(a='q.embedding', b='q.embedding')})
+            * sqrt({_KNN_DOT.format(a='c.embedding', b='c.embedding')})), 6) AS cos_sim
+  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < 20
+)
+SELECT query_id, cand_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, cand_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+@query("sim_search_knn", oracle=_KNN_ORACLE)
+def q_sim_search_knn(spark, sf_dir):
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return knn_bruteforce(emb.filter(F.col("vec_id") < 20), emb, k=5)
+
+
+@query("sim_search_lsh")  # recall<1 ANN variant — rows-only by design
+def q_sim_search_lsh(spark, sf_dir):
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return knn_lsh(emb.filter(F.col("vec_id") < 20), emb, dim=64, k=5, num_planes=6)
+
+
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+
+@query(
+    "text_stats",
+    oracle=f"""
+    SELECT lang,
+           count(*) AS doc_cnt,
+           CAST(SUM(CAST(n_chars AS DECIMAL(18,4))) AS DOUBLE) AS total_chars,
+           CAST(SUM(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DECIMAL(18,4))) AS DOUBLE)
+             / count(*) AS avg_words,
+           round(CAST(SUM(CAST(round(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                w -> list_contains({_STOP_SQL}, w)))
+                / len(regexp_split_to_array(trim(text), '\\s+')), 6) AS DECIMAL(18,6))) AS DOUBLE)
+             / count(*), 6) AS avg_stopword_ratio
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_text_stats(spark, sf_dir):
+    docs = load_tables(spark, sf_dir)["documents"]
+    swr = F.round(stopword_ratio(F.col("text")), 6)
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("doc_cnt"),
+        F.sum(F.col("n_chars").cast("decimal(18,4)")).cast("double").alias("total_chars"),
+        (F.sum(word_count(F.col("text")).cast("decimal(18,4)")).cast("double") / F.count("*")).alias(
+            "avg_words"
+        ),
+        F.round(
+            F.sum(swr.cast("decimal(18,6)")).cast("double") / F.count("*"), 6
+        ).alias("avg_stopword_ratio"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS wc,
+             len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                 w -> list_contains({_STOP_SQL}, w)))
+               * 1.0 / len(regexp_split_to_array(trim(text), '\\s+')) AS swr,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(regexp_split_to_array(trim(text), '\\s+'), w -> CAST(length(w) AS BIGINT))),
+               (x,y) -> x+y) * 1.0
+               / len(regexp_split_to_array(trim(text), '\\s+')) AS awl
+      FROM documents
+    )
+    SELECT doc_id,
+           round(((CASE WHEN wc BETWEEN 20 AND 1000 THEN 1.0 WHEN wc >= 5 THEN 0.5 ELSE 0.0 END)
+                + (CASE WHEN swr > 0.05 THEN 1.0 ELSE 0.5 END)
+                + (CASE WHEN awl BETWEEN 2.5 AND 10 THEN 1.0 ELSE 0.5 END)) / 3.0, 4) AS quality
+    FROM feat
+    """,
+)
+def q_text_quality_score(spark, sf_dir):
+    docs = load_tables(spark, sf_dir)["documents"]
+    return docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+@query(
+    "text_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS tokens,
+           len(regexp_split_to_array(trim(text), '\s+')) AS words,
+           round(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                 * 1.0 / len(regexp_split_to_array(trim(text), '\s+')), 4) AS tokens_per_word
+    FROM documents
+    """,
+)
+def q_text_token_count(spark, sf_dir):
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = token_count(F.col("text"))
+    wc = word_count(F.col("text"))
+    return docs.select(
+        "doc_id",
+        toks.alias("tokens"),
+        wc.alias("words"),
+        F.round(toks * 1.0 / wc, 4).alias("tokens_per_word"),
+    )
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                    w -> list_contains({_STOP_SQL}, w)))
+                    * 1.0 / len(regexp_split_to_array(trim(text), '\\s+')) > 0.08
+                THEN 'en' ELSE 'other' END AS guessed_lang
+    FROM documents
+    """,
+)
+def q_text_lang_id(spark, sf_dir):
+    # Heuristic language ID: English-stopword density.  (Real n-gram models
+    # would be a broadcast dictionary + the same expression shape.)
+    docs = load_tables(spark, sf_dir)["documents"]
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        F.when(stopword_ratio(F.col("text")) > 0.08, "en").otherwise("other").alias("guessed_lang"),
+    )

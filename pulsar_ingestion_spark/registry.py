@@ -1,0 +1,35 @@
+"""Query registry — the declared analytics surface (SURVEY.md §2.5).
+
+Each entry pairs a Spark callable ``(spark, sf_dir) -> DataFrame`` with an
+equivalent DuckDB oracle SQL string (or None for non-SQL-expressible
+operators, which the driver checks rows-only).
+
+Parity rules (so the driver's order-insensitive value-hash matches):
+  * every computed column is aliased identically on both sides;
+  * double SUM/AVG go through DECIMAL(18,4) partial sums then cast back to
+    double — exact decimal arithmetic on both engines, so no
+    summation-order ULP drift;
+  * timestamps in output are formatted to strings (second precision);
+  * LIMIT/top-k queries always order by a unique tie-break key;
+  * float similarity scores are computed with the same left-fold order and
+    rounded before use in ordering.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a query under ``name`` with an optional DuckDB oracle."""
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco

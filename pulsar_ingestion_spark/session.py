@@ -69,6 +69,27 @@ def tables_dir(sf_dir: str) -> dict[str, str]:
     return {n: os.path.join(sf_dir, f"{n}.parquet") for n in names}
 
 
+# Testdata timestamp columns stored as parquet TIMESTAMP(NANOS), which
+# Spark's vectorized reader rejects; read as long nanos and convert.
+_NANO_TS_COLUMNS = {"o_orderdate", "l_shipdate", "ts"}
+
+
+def read_parquet(spark: SparkSession, path: str):
+    """Parquet read tolerant of TIMESTAMP(NANOS) columns (driver testdata):
+    nanos come in as longs and are floor-converted to microsecond
+    timestamps (matches DuckDB's nanos→micros truncation)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    df = spark.read.parquet(path)
+    for field in df.schema.fields:
+        if field.name in _NANO_TS_COLUMNS and isinstance(field.dataType, LongType):
+            # integer div — float division loses precision at 1e18 nanos
+            df = df.withColumn(field.name, F.timestamp_micros(F.expr(f"{field.name} div 1000")))
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str):
     """Read all testdata tables; returns dict[str, DataFrame]."""
-    return {n: spark.read.parquet(p) for n, p in tables_dir(sf_dir).items()}
+    return {n: read_parquet(spark, p) for n, p in tables_dir(sf_dir).items()}

@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Driver-style correctness gate, run locally: every registered query's
+Spark result vs its DuckDB oracle at a given scale factor.
+
+Emulates the driver compare: sort columns by name, compare row multisets
+exactly (plus a float near-miss report so parity bugs are diagnosable).
+
+Usage: python tools/selfcheck.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import pandas as pd
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]").astype(str)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("Int64")  # width-insensitive (int32 vs int64)
+        elif pd.api.types.is_bool_dtype(df[c]):
+            df[c] = df[c].astype("boolean")
+        elif df[c].dtype == object:
+            df[c] = df[c].apply(lambda v: str(v) if v is not None else None)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> tuple[bool, str]:
+    if sorted(spark_pdf.columns) != sorted(duck_pdf.columns):
+        return False, f"columns differ: spark={sorted(spark_pdf.columns)} duck={sorted(duck_pdf.columns)}"
+    if len(spark_pdf) != len(duck_pdf):
+        return False, f"row counts differ: spark={len(spark_pdf)} duck={len(duck_pdf)}"
+    a, b = canon(spark_pdf), canon(duck_pdf)
+    issues = []
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
+            avf = pd.to_numeric(av, errors="coerce")
+            bvf = pd.to_numeric(bv, errors="coerce")
+            both_nan = avf.isna() & bvf.isna()
+            eq = (avf == bvf) | both_nan
+            if not eq.all():
+                bad = (~eq).sum()
+                maxdiff = (avf - bvf).abs().max()
+                issues.append(f"col {c}: {bad} rows differ (max abs diff {maxdiff:.3e})")
+        else:
+            av2 = av.where(pd.notna(av), None)
+            bv2 = bv.where(pd.notna(bv), None)
+            if not av2.equals(bv2):
+                bad = (av2 != bv2) & ~(av2.isna() & bv2.isna())
+                idx = bad[bad].index[:3].tolist()
+                examples = [(c, i, av2.get(i), bv2.get(i)) for i in idx]
+                issues.append(f"col {c}: {bad.sum()} rows differ, e.g. {examples}")
+    if issues:
+        return False, "; ".join(issues)
+    return True, "ok"
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:]) if len(sys.argv) > 2 else (
+        set(sys.argv[1:]) if len(sys.argv) > 1 and not os.path.isdir(sys.argv[1]) else None
+    )
+
+    import __spark_entry__ as entrymod
+    from pulsar_ingestion_spark.session import get_spark, tables_dir
+
+    spark = get_spark("selfcheck")
+    con = duckdb.connect()
+    for t, path in tables_dir(sf_dir).items():
+        con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    n_pass = n_fail = n_rows_only = 0
+    failures = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as ex:  # noqa: BLE001
+            n_fail += 1
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {ex}")
+            continue
+        if name not in oracles:
+            n_rows_only += 1
+            print(f"ROWS  {name}: {len(sdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            ddf = con.execute(oracles[name]).df()
+        except Exception as ex:  # noqa: BLE001
+            n_fail += 1
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error: {ex}")
+            continue
+        ok, msg = compare(name, sdf, ddf)
+        if ok:
+            n_pass += 1
+            print(f"PASS  {name}: {len(sdf)} rows [{time.time()-t0:.1f}s]")
+        else:
+            n_fail += 1
+            failures.append(name)
+            print(f"FAIL  {name}: {msg}")
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    if failures:
+        print("failed:", " ".join(failures))
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
