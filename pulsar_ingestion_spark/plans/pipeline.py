@@ -1,0 +1,92 @@
+"""Pipeline runner — the deployment/pipeline.yaml analog.
+
+The reference provisions: source connectors → raw-<source> topics →
+translator functions → one CMF topic → Filterer → per-tenant topics
+(deployment/pipeline.yaml:1-68, docs/architecture.md:105-118).  Here one
+spec instantiates the same topology as a single Structured Streaming
+query:
+
+    for each source: open_source → translate_<kind>
+    union all branches (unionByName — the shared CMF topic)
+    route: extract tenant → drop unroutable → partitioned sink
+
+One streaming query instead of N processes: the translate branches are
+narrow (no shuffle) and fuse into the scan; only the sink write fans out
+by tenant directory.  Micro-batch checkpointing replaces the reference's
+fire-and-forget async publish with at-least-once + idempotent appends.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pulsar_ingestion_spark.operators.filterer import extract_tenant, filter_routable
+from pulsar_ingestion_spark.operators.translators import (
+    cmf_to_json,
+    translate_calamp,
+    translate_ford,
+    translate_geotab,
+    union_cmf,
+)
+from pulsar_ingestion_spark.sources.registry import open_source
+
+TRANSLATORS = {
+    "geotab": translate_geotab,
+    "calamp": translate_calamp,
+    "ford": translate_ford,
+}
+
+
+@dataclass
+class SourceSpec:
+    kind: str                 # source connector kind (sources/registry.py)
+    translator: str           # geotab | calamp | ford
+    options: dict = field(default_factory=dict)
+    tenant: str = "acme"
+
+
+@dataclass
+class PipelineSpec:
+    sources: list[SourceSpec]
+    output_path: str          # base dir for per-tenant partitioned output
+    checkpoint: str | None = None
+    dead_letter_path: str | None = None
+
+
+def build_cmf_stream(spark: SparkSession, spec: PipelineSpec, streaming: bool = True) -> DataFrame:
+    """Wire sources → translators → canonical CMF stream (wire JSON in
+    `value`, tenant extracted for routing)."""
+    branches = []
+    for src in spec.sources:
+        raw = open_source(spark, src.kind, streaming=streaming, **src.options)
+        translate = TRANSLATORS[src.translator]
+        good = translate(raw.select("value"), tenant=src.tenant)
+        branches.append(good.select("cmf"))
+    cmf = union_cmf(*branches)
+    wire = cmf_to_json(cmf, out_col="value").select("value")
+    return wire
+
+
+def run_pipeline(spark: SparkSession, spec: PipelineSpec, streaming: bool = True):
+    """Execute the pipeline.  Streaming: returns the StreamingQuery
+    (trigger availableNow so tests drain and stop); batch: writes once."""
+    wire = build_cmf_stream(spark, spec, streaming=streaming)
+    routable = filter_routable(extract_tenant(wire))
+    out = routable.select("tenantId", "value")
+    if not streaming:
+        out.write.mode("append").partitionBy("tenantId").parquet(spec.output_path)
+        return None
+
+    def _write(batch: DataFrame, epoch_id: int) -> None:
+        batch.write.mode("append").partitionBy("tenantId").parquet(spec.output_path)
+
+    assert spec.checkpoint, "streaming pipeline needs a checkpoint dir"
+    return (
+        out.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", spec.checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -40,6 +40,9 @@ _LOCAL_DEFAULTS = {
     "spark.sql.autoBroadcastJoinThreshold": "10m",
     # Don't let tiny local parquet files fan out into thousands of tasks.
     "spark.sql.files.maxPartitionBytes": "128m",
+    # Driver testdata parquet carries TIMESTAMP(NANOS); read as long and
+    # convert at the edge (see read_parquet) instead of failing the scan.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }

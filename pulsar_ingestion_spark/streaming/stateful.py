@@ -1,0 +1,114 @@
+"""Custom stateful streaming operator: ignition ON→OFF/OFF→ON transition
+detection per vehicle (the gap/transition analytics the CMF model implies —
+SURVEY.md §2.5 stream_stateful_flatmap).
+
+Streaming path: ``applyInPandasWithState`` keeps one tiny state row per
+vehicle (last status + last event time), emitting a row per observed
+transition.  Arrow-batched per group — the sanctioned custom-state escape
+hatch when built-ins can't express the semantics.
+
+Batch path: identical semantics via lag() over a window — used by tests to
+cross-check the streaming output (same input ⇒ same transitions).
+
+Scale: state is O(#vehicles) (bytes each), partitioned by vehicle key;
+watermark-driven timeout (GroupStateTimeout.EventTimeTimeout) would evict
+retired vehicles in production.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+TRANSITION_SCHEMA = StructType([
+    StructField("vehicle_id", StringType()),
+    StructField("from_status", StringType()),
+    StructField("to_status", StringType()),
+    StructField("at_epoch_ms", LongType()),
+])
+
+_STATE_SCHEMA = StructType([
+    StructField("last_status", StringType()),
+    StructField("last_epoch_ms", LongType()),
+])
+
+
+def _detect_transitions(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (vehicle_id,) = key
+    if state.exists:
+        last_status, last_ms = state.get
+    else:
+        last_status, last_ms = None, None
+    rows: list[dict[str, Any]] = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values("epoch_ms")
+        for status, ms in zip(pdf["status"], pdf["epoch_ms"]):
+            if last_status is not None and status != last_status:
+                rows.append(
+                    {
+                        "vehicle_id": vehicle_id,
+                        "from_status": last_status,
+                        "to_status": status,
+                        "at_epoch_ms": int(ms),
+                    }
+                )
+            last_status, last_ms = status, int(ms)
+    state.update((last_status, last_ms))
+    yield pd.DataFrame(rows, columns=[f.name for f in TRANSITION_SCHEMA.fields])
+
+
+def ignition_transitions(
+    df: DataFrame,
+    key_col: str = "vehicle_id",
+    status_col: str = "status",
+    ts_col: str = "epoch_ms",
+) -> DataFrame:
+    """Emit one row per status transition per vehicle.
+
+    Input: any DataFrame with (vehicle key, status string, epoch-ms long).
+    Streaming input → applyInPandasWithState; batch input → lag() window
+    (same output, no state store needed).
+    """
+    normalized = df.select(
+        F.col(key_col).alias("vehicle_id"),
+        F.col(status_col).alias("status"),
+        F.col(ts_col).cast("long").alias("epoch_ms"),
+    )
+    if normalized.isStreaming:
+        return (
+            normalized.groupBy("vehicle_id")
+            .applyInPandasWithState(
+                _detect_transitions,
+                outputStructType=TRANSITION_SCHEMA,
+                stateStructType=_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+    w = Window.partitionBy("vehicle_id").orderBy("epoch_ms")
+    prev = F.lag("status").over(w)
+    return (
+        normalized.withColumn("from_status", prev)
+        .filter(F.col("from_status").isNotNull() & (F.col("from_status") != F.col("status")))
+        .select(
+            "vehicle_id",
+            "from_status",
+            F.col("status").alias("to_status"),
+            F.col("epoch_ms").alias("at_epoch_ms"),
+        )
+    )

@@ -1,0 +1,154 @@
+"""Streaming runtime tests: real readStream → availableNow → memory/file
+sinks.  Each checks the streaming output against the batch-computed
+equivalent on the same data (unified-API invariant)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from pulsar_ingestion_spark.plans.pipeline import PipelineSpec, SourceSpec, run_pipeline
+from pulsar_ingestion_spark.streaming.stateful import ignition_transitions
+from pulsar_ingestion_spark.streaming.windows import tumbling_agg, watermark_dedup
+
+
+def _write_jsonl(path, docs):
+    path.mkdir(parents=True, exist_ok=True)
+    with open(path / "part-0.jsonl", "w") as fh:
+        for d in docs:
+            fh.write((d if isinstance(d, str) else json.dumps(d)) + "\n")
+
+
+def _events_stream(spark, sf_dir):
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    schema = batch.schema
+    # streaming file source needs a directory: glob-filter to the one file
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return batch, stream
+
+
+def _run_to_memory(df, name):
+    q = df.writeStream.format("memory").queryName(name).outputMode("complete").trigger(
+        availableNow=True
+    ).start()
+    q.awaitTermination(120)
+    return q
+
+
+def test_tumbling_agg_stream_matches_batch(spark, sf_dir):
+    batch, stream = _events_stream(spark, sf_dir)
+    # nanos come in as long on the streaming read too → convert
+    to_ts = lambda df: df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))  # noqa: E731
+    expected = {
+        (r["window_start"], r["cnt"])
+        for r in tumbling_agg(to_ts(batch), "1 hour").collect()
+    }
+    _run_to_memory(tumbling_agg(to_ts(stream), "1 hour", watermark="1 hour"), "tumbling")
+    got = {
+        (r["window_start"], r["cnt"])
+        for r in spark.sql("SELECT * FROM tumbling").collect()
+    }
+    assert got == expected and len(got) > 0
+
+
+def test_watermark_dedup_stream(spark, tmp_path):
+    docs = [
+        {"k": "a", "ts": "2024-01-01T10:00:00", "v": 1},
+        {"k": "a", "ts": "2024-01-01T10:00:10", "v": 2},  # dup key within watermark
+        {"k": "b", "ts": "2024-01-01T10:01:00", "v": 3},
+    ]
+    _write_jsonl(tmp_path / "in", docs)
+    schema = "k string, ts timestamp, v long"
+    stream = spark.readStream.schema(schema).json(str(tmp_path / "in"))
+    deduped = watermark_dedup(stream, ["k"], ts_col="ts", watermark="1 hour")
+    q = (
+        deduped.writeStream.format("memory").queryName("dedup_t").outputMode("append")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT k FROM dedup_t").collect()
+    assert sorted(r["k"] for r in rows) == ["a", "b"]
+
+
+def test_stateful_transitions_stream_matches_batch(spark, tmp_path):
+    docs = [
+        {"vehicle_id": "v1", "status": "ON", "epoch_ms": 1000},
+        {"vehicle_id": "v1", "status": "ON", "epoch_ms": 2000},
+        {"vehicle_id": "v1", "status": "OFF", "epoch_ms": 3000},
+        {"vehicle_id": "v1", "status": "ON", "epoch_ms": 4000},
+        {"vehicle_id": "v2", "status": "OFF", "epoch_ms": 1500},
+        {"vehicle_id": "v2", "status": "ON", "epoch_ms": 2500},
+    ]
+    _write_jsonl(tmp_path / "in", docs)
+    schema = "vehicle_id string, status string, epoch_ms long"
+    batch = spark.read.schema(schema).json(str(tmp_path / "in"))
+    expected = {
+        (r["vehicle_id"], r["from_status"], r["to_status"], r["at_epoch_ms"])
+        for r in ignition_transitions(batch).collect()
+    }
+    assert expected == {
+        ("v1", "ON", "OFF", 3000),
+        ("v1", "OFF", "ON", 4000),
+        ("v2", "OFF", "ON", 2500),
+    }
+    stream = spark.readStream.schema(schema).json(str(tmp_path / "in"))
+    q = (
+        ignition_transitions(stream)
+        .writeStream.format("memory").queryName("transitions").outputMode("append")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["vehicle_id"], r["from_status"], r["to_status"], r["at_epoch_ms"])
+        for r in spark.sql("SELECT * FROM transitions").collect()
+    }
+    assert got == expected
+
+
+def test_pipeline_end_to_end_streaming(spark, tmp_path):
+    geotab_docs = [
+        {
+            "Device_ID": "d1", "Vehicle_ID": "v1",
+            "Record_DateTime": "2023-10-26T10:00:00.000Z",
+            "Latitude": 1.0, "Longitude": 2.0,
+        },
+        '{"broken json',  # must be dropped, not crash the stream
+    ]
+    calamp_docs = [
+        {"unit_id": "u1", "vid": "v2", "msg_ts": 1698827400, "gps_lat": 3.0, "gps_lon": 4.0},
+    ]
+    _write_jsonl(tmp_path / "geotab", geotab_docs)
+    _write_jsonl(tmp_path / "calamp", calamp_docs)
+    spec = PipelineSpec(
+        sources=[
+            SourceSpec(kind="jsonl", translator="geotab",
+                       options={"path": str(tmp_path / "geotab")}, tenant="tenant-g"),
+            SourceSpec(kind="jsonl", translator="calamp",
+                       options={"path": str(tmp_path / "calamp")}, tenant="tenant-c"),
+        ],
+        output_path=str(tmp_path / "out"),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q = run_pipeline(spark, spec, streaming=True)
+    q.awaitTermination(180)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    rows = out.collect()
+    assert {r["tenantId"] for r in rows} == {"tenant-g", "tenant-c"}
+    assert len(rows) == 2  # malformed geotab doc dropped
+    cmf = json.loads([r["value"] for r in rows if r["tenantId"] == "tenant-g"][0])
+    assert cmf["vehicleId"] == "v1"
+    assert cmf["dateTime"] == "2023-10-26T10:00:00Z"
+    assert cmf["sourceType"] == "Geotab"
+
+
+@pytest.mark.parametrize("late_sec,expect_kept", [(0, True)])
+def test_watermark_semantics_documented(spark, late_sec, expect_kept):
+    # Placeholder keeping the watermark contract visible; full late-drop
+    # needs multi-batch triggers (covered by stream_watermark_late oracle).
+    assert expect_kept
