@@ -1,0 +1,157 @@
+"""Multimodal columns — image/audio/video as opaque binary + typed metadata.
+
+The Spark-side plumbing is real and tested: schema, Arrow-batched
+``mapInPandas`` UDF signatures, partition-size control for large blobs.
+The codec step itself (JPEG decode, resample, frame extraction) is STUBBED
+behind ``_decode_image``: the container has no image/audio libraries, so
+decode raises ``NotImplementedError`` unless a PIL-compatible decoder is
+importable, and the deterministic fallback parses only our synthetic
+header — clearly marked, swap in a real decoder in production.
+
+Scale notes:
+  * blobs stay columnar (parquet binary) and are NEVER collect()ed;
+    `mapInPandas` streams Arrow batches through the Python worker;
+  * `spark.sql.files.maxPartitionBytes` bounds task input so a partition
+    of blobs fits executor memory; for 10MB+ media use
+    `maxRecordsPerBatch` to cap Arrow batch size;
+  * metadata lives in a sibling struct column so filters (mime, dims)
+    prune without touching bytes — filter pushdown on metadata, lazy IO
+    on payload.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct as _struct
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("payload", BinaryType(), True),
+    StructField("meta", StructType([
+        StructField("mime", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("n_bytes", LongType(), True),
+    ]), True),
+])
+
+_MAGIC = b"SYNM"  # synthetic media header: MAGIC + u16 width + u16 height
+
+
+def synthesize_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic fake media blobs from any id column — header carries
+    (width, height) derived from the id, body is a seeded byte pattern.
+    Gives the pipeline real binary columns to push around."""
+    idc = F.col(id_col).cast("long")
+    w = (idc % 64 + 16).cast("int")
+    h = (idc % 48 + 16).cast("int")
+    header = F.concat(
+        F.lit(_MAGIC),
+        F.expr(f"unhex(lpad(hex(CAST({id_col} % 64 + 16 AS INT)), 4, '0'))"),
+        F.expr(f"unhex(lpad(hex(CAST({id_col} % 48 + 16 AS INT)), 4, '0'))"),
+    )
+    body = F.sha2(idc.cast("string"), 256).cast("binary")
+    return df.select(
+        idc.alias("media_id"),
+        F.concat(header, body).alias("payload"),
+        F.struct(
+            F.lit("image/synthetic").alias("mime"),
+            w.alias("width"),
+            h.alias("height"),
+            (F.length(body) + 8).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def _decode_image(payload: bytes) -> tuple[int, int]:
+    """STUB decode.  Tries a real decoder (PIL) first; falls back to the
+    synthetic header; anything else raises NotImplementedError — the
+    production deployment injects a real codec here."""
+    try:  # pragma: no cover - PIL not present in this container
+        import io
+
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(payload))
+        return img.width, img.height
+    except ImportError:
+        pass
+    if payload[:4] == _MAGIC:
+        (w,) = _struct.unpack(">H", payload[4:6])
+        (h,) = _struct.unpack(">H", payload[6:8])
+        return w, h
+    raise NotImplementedError("no image decoder available in this environment")
+
+
+FEATURE_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("decoded_width", IntegerType()),
+    StructField("decoded_height", IntegerType()),
+    StructField("byte_len", LongType()),
+    StructField("content_sha", StringType()),
+])
+
+
+def extract_features(df: DataFrame, batch_size: int | None = None) -> DataFrame:
+    """Decode + feature-extract via mapInPandas (Arrow batches).
+
+    Output: per-media decoded dims (stub codec), byte length, content hash.
+    The UDF sees pandas batches — the real pipeline would emit embeddings
+    here; the batch shape/partitioning is exactly what production uses.
+    """
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": pdf["media_id"],
+                "decoded_width": [], "decoded_height": [],
+                "byte_len": [], "content_sha": [],
+            }
+            for payload in pdf["payload"]:
+                b = bytes(payload)
+                w, h = _decode_image(b)
+                out["decoded_width"].append(w)
+                out["decoded_height"].append(h)
+                out["byte_len"].append(len(b))
+                out["content_sha"].append(hashlib.sha256(b).hexdigest())
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "payload").mapInPandas(_extract, schema=FEATURE_SCHEMA)
+
+
+def resize_spec(df: DataFrame, max_dim: int = 32) -> DataFrame:
+    """Resize planning — pure metadata math (no decode): target dims
+    preserving aspect ratio.  Shows the metadata-only fast path: the
+    binary column is never read (column pruning drops it from the scan)."""
+    w, h = F.col("meta.width"), F.col("meta.height")
+    scale = F.least(F.lit(max_dim) / w, F.lit(max_dim) / h, F.lit(1.0))
+    return df.select(
+        "media_id",
+        w.alias("width"),
+        h.alias("height"),
+        F.ceil(w * scale).cast("int").alias("target_width"),
+        F.ceil(h * scale).cast("int").alias("target_height"),
+    )
+
+
+def media_dedup(df: DataFrame) -> DataFrame:
+    """Exact media dedup on content hash — sha2 runs JVM-side over the
+    binary column (no Python), one shuffle on the 32-byte digest."""
+    return (
+        df.groupBy(F.sha2(F.col("payload"), 256).alias("content_sha"))
+        .agg(F.min("media_id").alias("canonical_id"), F.count("*").alias("dup_cnt"))
+    )

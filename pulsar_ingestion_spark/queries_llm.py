@@ -242,6 +242,39 @@ def q_text_token_count(spark, sf_dir):
     )
 
 
+@query("multimodal_features")  # stub codec via mapInPandas → rows-only
+def q_multimodal_features(spark, sf_dir):
+    from pulsar_ingestion_spark.operators.multimodal import extract_features, synthesize_media
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    media = synthesize_media(docs.select("doc_id"))
+    return extract_features(media)
+
+
+@query(
+    "multimodal_resize",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(doc_id % 64 + 16 AS INTEGER) AS width,
+           CAST(doc_id % 48 + 16 AS INTEGER) AS height,
+           CAST(ceil((doc_id % 64 + 16) *
+                least(32.0 / (doc_id % 64 + 16), 32.0 / (doc_id % 48 + 16), 1.0)) AS INTEGER)
+             AS target_width,
+           CAST(ceil((doc_id % 48 + 16) *
+                least(32.0 / (doc_id % 64 + 16), 32.0 / (doc_id % 48 + 16), 1.0)) AS INTEGER)
+             AS target_height
+    FROM documents
+    """,
+)
+def q_multimodal_resize(spark, sf_dir):
+    # Metadata-only media op — the binary payload column must be pruned
+    # from the scan (no decode, no bytes moved).
+    from pulsar_ingestion_spark.operators.multimodal import resize_spec, synthesize_media
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return resize_spec(synthesize_media(docs.select("doc_id")), max_dim=32)
+
+
 @query(
     "text_lang_id",
     oracle=f"""

@@ -1,0 +1,99 @@
+"""LLM-pipeline operator tests: dedup behaviors on constructed near-dups,
+similarity sanity, multimodal plumbing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pulsar_ingestion_spark.operators.dedup import (
+    dedup_exact,
+    dedup_minhash_lsh,
+    embedding_near_dups,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+)
+from pulsar_ingestion_spark.operators.multimodal import (
+    extract_features,
+    media_dedup,
+    resize_spec,
+    synthesize_media,
+)
+from pulsar_ingestion_spark.operators.similarity import knn_bruteforce, knn_lsh
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),          # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),          # near dup of 1
+        (4, "completely different content about spark engines here"),
+        (5, "the quick brown fox leaps over the lazy dog"),          # near dup of 1
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_exact_groups(spark):
+    out = dedup_exact(_docs(spark)).collect()
+    by_canonical = {r["canonical_id"]: r["dup_cnt"] for r in out}
+    assert by_canonical[1] == 2  # docs 1+2 collapse
+    assert len(out) == 4
+
+
+def test_ngram_jaccard_finds_near_dups(spark):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             ngram_jaccard_pairs(_docs(spark), threshold=0.3).collect()}
+    assert pairs[(1, 2)] == 1.0            # identical
+    assert (1, 3) in pairs and pairs[(1, 3)] > 0.5
+    assert all(4 not in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_minhash_lsh_candidates(spark):
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             dedup_minhash_lsh(_docs(spark), threshold=0.5).collect()}
+    assert (1, 2) in pairs
+    assert all(4 not in p for p in pairs)
+
+
+def test_simhash_near_dups(spark):
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             simhash_near_dups(_docs(spark), max_hamming=6).collect()}
+    assert (1, 2) in pairs  # identical text → identical signature
+
+
+def test_embedding_near_dups_and_knn(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),   # near dup of 1
+        (3, [0.0, 1.0, 0.0]),      # orthogonal
+        (4, [0.0, 0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    dups = {(r["id_a"], r["id_b"]) for r in embedding_near_dups(emb, threshold=0.99).collect()}
+    assert dups == {(1, 2)}
+    knn = knn_bruteforce(emb.filter(F.col("vec_id") == 1), emb, k=2).collect()
+    assert [r["cand_id"] for r in sorted(knn, key=lambda r: r["rank"])] == [2, 3]
+
+
+def test_knn_lsh_recovers_close_neighbor(spark):
+    rows = [(i, [float(i == j) for j in range(8)]) for i in range(8)]
+    rows.append((100, [1.0, 0.001, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]))  # near vec 0
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = knn_lsh(emb.filter(F.col("vec_id") == 100), emb, dim=8, k=1, num_planes=4).collect()
+    # same bucket with high probability for near-identical vectors
+    assert out and out[0]["cand_id"] == 0
+
+
+def test_multimodal_pipeline(spark):
+    base = spark.range(0, 20).select(F.col("id").alias("doc_id"))
+    media = synthesize_media(base)
+    feats = extract_features(media).collect()
+    assert len(feats) == 20
+    for r in feats:
+        assert r["decoded_width"] == r["media_id"] % 64 + 16  # stub decode reads header
+        assert r["byte_len"] > 8
+    rs = resize_spec(media, max_dim=20).collect()
+    for r in rs:
+        assert max(r["target_width"], r["target_height"]) <= 20
+        assert r["target_width"] <= r["width"] and r["target_height"] <= r["height"]
+    dd = media_dedup(media)
+    assert dd.count() == 20  # all distinct payloads
