@@ -47,7 +47,9 @@ def translate_legacy(
     schema = LEGACY_RAW_SCHEMAS[kind]
 
     raw = F.col(payload_col)
-    parsed = F.from_json(raw, schema)
+    # Generate barrier → single parse per row (see translators.py note).
+    df = df.withColumn("_p", F.explode(F.array(F.from_json(raw, schema))))
+    parsed = F.col("_p")
     ts_in = parsed.getField(ts_field)
     if codec == "epoch_s":
         ts = epoch_seconds_to_iso8601(ts_in.cast("long"))
@@ -60,17 +62,13 @@ def translate_legacy(
     valid = raw.isNotNull() & parsed.isNotNull()
     for f in required:
         valid = valid & parsed.getField(f).isNotNull()
-    return (
-        df.withColumn("_p", parsed)
-        .filter(valid)
-        .select(
-            *df.columns,
-            event_id.alias("eventId"),
-            F.lit(source).alias("source"),
-            F.lit(event_type).alias("eventType"),
-            ts.alias("timestamp"),
-            raw.alias("data"),
-        )
+    return df.filter(valid).select(
+        *[c for c in df.columns if c != "_p"],
+        event_id.alias("eventId"),
+        F.lit(source).alias("source"),
+        F.lit(event_type).alias("eventType"),
+        ts.alias("timestamp"),
+        raw.alias("data"),
     )
 
 

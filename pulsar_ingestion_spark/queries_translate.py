@@ -24,7 +24,7 @@ from pulsar_ingestion_spark.operators.translators import (
     translate_geotab,
 )
 from pulsar_ingestion_spark.registry import query
-from pulsar_ingestion_spark.session import load_tables
+from pulsar_ingestion_spark.session import fan_out, load_tables
 
 MALFORMED_MOD = 37  # rows with user_id % 37 == 0 get unparseable payloads
 
@@ -70,7 +70,7 @@ def _geotab_payloads(ev):
 
 @query("cmf_translate_geotab", oracle=_GEOTAB_ORACLE)
 def cmf_translate_geotab(spark, sf_dir):
-    ev = load_tables(spark, sf_dir)["events"]
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
     translated = translate_geotab(_geotab_payloads(ev), tenant="acme", payload_col="value_json")
     c = F.col
     return translated.select(
@@ -104,7 +104,7 @@ WHERE user_id % {MALFORMED_MOD} <> 0
 def cmf_translate_calamp(spark, sf_dir):
     # msg_ts carried as epoch SECONDS — the ×1000 codec (CalAmpTranslator.kt:100)
     # is what the oracle's floor(epoch(ts))*1000 checks.
-    ev = load_tables(spark, sf_dir)["events"]
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
     doc = F.to_json(
         F.struct(
             F.concat(F.lit("unit-"), F.col("event_id").cast("string")).alias("unit_id"),
@@ -145,7 +145,7 @@ WHERE user_id % {MALFORMED_MOD} <> 0
 def cmf_translate_ford(spark, sf_dir):
     # captureTime at full millisecond precision; coords.ts second-truncated;
     # rpm int → double widening is the checked behavior (FordTranslator.kt:127).
-    ev = load_tables(spark, sf_dir)["events"]
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
     doc = F.to_json(
         F.struct(
             F.concat(F.lit("vin-"), F.col("user_id").cast("string")).alias("vin"),
@@ -187,7 +187,7 @@ WHERE value IS NOT NULL
 def event_translate_payment(spark, sf_dir):
     # PaymentNotice contract: ISO pass-through timestamp, constants, data
     # verbatim (TranslatorsIntegrationTest.kt:327-347).
-    ev = load_tables(spark, sf_dir)["events"]
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
     doc = F.to_json(
         F.struct(
             F.concat(F.lit("txn-"), F.col("event_id").cast("string")).alias("txnId"),
@@ -220,7 +220,7 @@ FROM events
 def event_translate_user(spark, sf_dir):
     # UserProfile contract: epoch-seconds → ISO codec
     # (TranslatorsIntegrationTest.kt:259-280).
-    ev = load_tables(spark, sf_dir)["events"]
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
     doc = F.to_json(
         F.struct(
             F.col("user_id").alias("uid"),
@@ -252,7 +252,7 @@ GROUP BY 1
 def route_tenant(spark, sf_dir):
     # Filterer end-to-end: synthesize CMF JSON where ~1/11 of records carry a
     # blank tenant (must be dropped), route the rest, count per destination.
-    ev = load_tables(spark, sf_dir)["events"]
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
     tenant = F.when(F.col("user_id") % 11 == 0, F.lit("  ")).otherwise(
         F.concat(F.lit("tenant-"), (F.col("user_id") % 7).cast("string"))
     )
@@ -290,7 +290,7 @@ GROUP BY 1, 2
 @query("route_event_type_split", oracle=_SPLIT_ORACLE)
 def route_event_type_split(spark, sf_dir):
     # EventTypeSplitter: sanitize key → fn-split-<key> (filterer/README.md:31-35).
-    ev = load_tables(spark, sf_dir)["events"]
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
     etype = (
         F.when(F.col("event_type") == "click", "USER_PROFILE_EVENT")
         .when(F.col("event_type") == "view", "ORDER_EVENT")

@@ -93,6 +93,31 @@ def read_parquet(spark: SparkSession, path: str):
     return df
 
 
+def fan_out(df, spark: SparkSession):
+    """Round-robin repartition up to the session's core count when the
+    source provides fewer splits than cores.
+
+    Small single-row-group parquet files scan as ONE task; any CPU-heavy
+    narrow op chained on top (JSON translate, text shingling) then runs
+    single-threaded.  A cheap shuffle of the raw bytes buys full-core
+    parallelism.  At 100 TB inputs arrive with thousands of splits and
+    this is a no-op (guard: only repartition when under-partitioned)."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+_TABLE_CACHE: dict[tuple[int, str], dict] = {}
+
+
 def load_tables(spark: SparkSession, sf_dir: str):
-    """Read all testdata tables; returns dict[str, DataFrame]."""
-    return {n: read_parquet(spark, p) for n, p in tables_dir(sf_dir).items()}
+    """Read all testdata tables; returns dict[str, DataFrame].
+
+    Memoized per (session, dir): DataFrames are immutable logical plans, so
+    reuse skips repeated parquet footer/schema reads when many queries run
+    in one session (bench/selfcheck)."""
+    key = (id(spark), sf_dir)
+    if key not in _TABLE_CACHE:
+        _TABLE_CACHE[key] = {n: read_parquet(spark, p) for n, p in tables_dir(sf_dir).items()}
+    return dict(_TABLE_CACHE[key])
