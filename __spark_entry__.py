@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 import pulsar_ingestion_spark.queries_core  # noqa: F401
 import pulsar_ingestion_spark.queries_translate  # noqa: F401
 import pulsar_ingestion_spark.queries_llm  # noqa: F401
+import pulsar_ingestion_spark.queries_extra  # noqa: F401
 from pulsar_ingestion_spark.registry import ORACLES, QUERIES
 
 

@@ -1,0 +1,300 @@
+"""Coverage completion for SURVEY.md §2.5: remaining joins, legacy
+translators, distribution window functions, pivot, deterministic sampling,
+stopword filtering, and the stateful-transition operator's batch form."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from pulsar_ingestion_spark.functions.text import STOPWORDS
+from pulsar_ingestion_spark.operators.legacy import translate_legacy
+from pulsar_ingestion_spark.registry import query
+from pulsar_ingestion_spark.session import fan_out, load_tables
+
+
+@query(
+    "join_right",
+    oracle="""
+    SELECT n.n_name AS nation, count(s.s_suppkey) AS supp_cnt
+    FROM supplier s RIGHT JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def join_right(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    s, n = t["supplier"], t["nation"]
+    return (
+        s.join(n, s.s_nationkey == n.n_nationkey, "right")
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count("s_suppkey").alias("supp_cnt"))
+    )
+
+
+def _legacy_entry(kind: str, doc_builder, parse_schema: str, extract: list[str]):
+    """Shared shape for the remaining legacy-translator query entries."""
+
+    def fn(spark, sf_dir):
+        ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+        out = translate_legacy(ev.withColumn("value_json", doc_builder()), kind, payload_col="value_json")
+        parsed = F.from_json(F.col("data"), parse_schema)
+        return out.select(
+            F.col("source"),
+            F.col("eventType").alias("event_type_out"),
+            F.col("timestamp").alias("event_ts"),
+            *[parsed.getField(e).alias(e.lower()) for e in extract],
+        )
+
+    return fn
+
+
+_ORDER_ORACLE = """
+SELECT 'order-service' AS source,
+       'ORDER_EVENT' AS event_type_out,
+       strftime(date_trunc('second', ts), '%Y-%m-%dT%H:%M:%SZ') AS event_ts,
+       concat('ord-', CAST(event_id AS VARCHAR)) AS orderid,
+       CAST(user_id % 5 + 1 AS BIGINT) AS n_items
+FROM events
+"""
+
+
+@query("event_translate_order", oracle=_ORDER_ORACLE)
+def event_translate_order(spark, sf_dir):
+    # items array length derived deterministically; ISO pass-through codec.
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    items = F.transform(
+        F.sequence(F.lit(1), (F.col("user_id") % 5 + 1).cast("int")),
+        lambda i: F.concat(F.lit("sku-"), i.cast("string")),
+    )
+    doc = F.to_json(
+        F.struct(
+            F.concat(F.lit("ord-"), F.col("event_id").cast("string")).alias("orderId"),
+            items.alias("items"),
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("placedAt"),
+        )
+    )
+    out = translate_legacy(ev.withColumn("value_json", doc), "order_record", payload_col="value_json")
+    parsed = F.from_json(F.col("data"), "orderId string, items array<string>, placedAt string")
+    return out.select(
+        F.col("source"),
+        F.col("eventType").alias("event_type_out"),
+        F.col("timestamp").alias("event_ts"),
+        parsed.getField("orderId").alias("orderid"),
+        F.size(parsed.getField("items")).cast("bigint").alias("n_items"),
+    )
+
+
+_INVENTORY_ORACLE = """
+SELECT 'inventory-service' AS source,
+       'INVENTORY_EVENT' AS event_type_out,
+       strftime(date_trunc('second', ts), '%Y-%m-%dT%H:%M:%SZ') AS event_ts,
+       concat('sku-', CAST(user_id AS VARCHAR)) AS sku,
+       CAST(event_id % 100 AS BIGINT) AS qty
+FROM events
+"""
+
+
+@query("event_translate_inventory", oracle=_INVENTORY_ORACLE)
+def event_translate_inventory(spark, sf_dir):
+    # epoch-seconds → ISO codec (TranslatorsIntegrationTest.kt:304-325).
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    doc = F.to_json(
+        F.struct(
+            F.concat(F.lit("sku-"), F.col("user_id").cast("string")).alias("sku"),
+            (F.col("event_id") % 100).alias("qty"),
+            F.unix_timestamp(F.col("ts")).alias("updateTime"),
+        )
+    )
+    out = translate_legacy(ev.withColumn("value_json", doc), "inventory_update", payload_col="value_json")
+    parsed = F.from_json(F.col("data"), "sku string, qty bigint, updateTime bigint")
+    return out.select(
+        F.col("source"),
+        F.col("eventType").alias("event_type_out"),
+        F.col("timestamp").alias("event_ts"),
+        parsed.getField("sku").alias("sku"),
+        parsed.getField("qty").alias("qty"),
+    )
+
+
+_SHIPMENT_ORACLE = """
+SELECT 'shipping-service' AS source,
+       'SHIPMENT_EVENT' AS event_type_out,
+       strftime(date_trunc('second', ts), '%Y-%m-%dT%H:%M:%SZ') AS event_ts,
+       concat('ship-', CAST(event_id AS VARCHAR)) AS shipid,
+       upper(event_type) AS status
+FROM events
+"""
+
+
+@query("event_translate_shipment", oracle=_SHIPMENT_ORACLE)
+def event_translate_shipment(spark, sf_dir):
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    doc = F.to_json(
+        F.struct(
+            F.concat(F.lit("ship-"), F.col("event_id").cast("string")).alias("shipId"),
+            F.upper("event_type").alias("status"),
+            F.unix_timestamp(F.col("ts")).alias("deliveredAt"),
+        )
+    )
+    out = translate_legacy(ev.withColumn("value_json", doc), "shipment_status", payload_col="value_json")
+    parsed = F.from_json(F.col("data"), "shipId string, status string, deliveredAt bigint")
+    return out.select(
+        F.col("source"),
+        F.col("eventType").alias("event_type_out"),
+        F.col("timestamp").alias("event_ts"),
+        parsed.getField("shipId").alias("shipid"),
+        parsed.getField("status").alias("status"),
+    )
+
+
+@query(
+    "stateful_transitions",
+    oracle="""
+    WITH status_stream AS (
+      SELECT concat('veh-', CAST(user_id AS VARCHAR)) AS vehicle_id,
+             CASE WHEN event_type IN ('click','purchase') THEN 'ON' ELSE 'OFF' END AS status,
+             epoch_ms(ts) AS epoch_ms
+      FROM events
+    )
+    SELECT vehicle_id, from_status, to_status, at_epoch_ms FROM (
+      SELECT vehicle_id,
+             lag(status) OVER w AS from_status,
+             status AS to_status,
+             epoch_ms AS at_epoch_ms
+      FROM status_stream
+      WINDOW w AS (PARTITION BY vehicle_id ORDER BY epoch_ms)
+    ) WHERE from_status IS NOT NULL AND from_status <> to_status
+    """,
+)
+def stateful_transitions(spark, sf_dir):
+    # The stream_stateful_flatmap operator's batch-checkable form; the
+    # streaming path (applyInPandasWithState) is equivalence-tested in
+    # tests/test_streaming.py on the same semantics.
+    from pulsar_ingestion_spark.streaming.stateful import ignition_transitions
+
+    ev = load_tables(spark, sf_dir)["events"]
+    status = ev.select(
+        F.concat(F.lit("veh-"), F.col("user_id").cast("string")).alias("vehicle_id"),
+        F.when(F.col("event_type").isin("click", "purchase"), "ON").otherwise("OFF").alias("status"),
+        F.unix_millis(F.col("ts")).alias("epoch_ms"),
+    )
+    return ignition_transitions(status)
+
+
+@query(
+    "win_distribution",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority,
+           ntile(4)       OVER w AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist()    OVER w AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def win_distribution(spark, sf_dir):
+    # ntile/percent_rank/cume_dist — rank-derived ratios are exact
+    # (int arithmetic in double), so cross-engine safe.
+    (o,) = [load_tables(spark, sf_dir)["orders"]]
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@query(
+    "win_first_last",
+    oracle="""
+    SELECT user_id, event_id,
+           first_value(event_id) OVER w AS first_event,
+           last_value(event_id)  OVER w AS latest_event
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_first_last(spark, sf_dir):
+    ev = load_tables(spark, sf_dir)["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.first("event_id").over(w).alias("first_event"),
+        F.last("event_id").over(w).alias("latest_event"),
+    )
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click')    AS click,
+           count(*) FILTER (WHERE event_type = 'view')     AS view,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           count(*) FILTER (WHERE event_type = 'error')    AS error
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def agg_pivot(spark, sf_dir):
+    # Pivot with an EXPLICIT value list: at scale, never let pivot infer
+    # distinct values (extra job + unbounded width).
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
+@query(
+    "sample_deterministic",
+    oracle="""
+    SELECT event_id, user_id, event_type
+    FROM events
+    WHERE CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 20 = 0
+    """,
+)
+def sample_deterministic(spark, sf_dir):
+    # Content-hash sampling — the reproducible, engine-portable way to
+    # sample a training corpus (df.sample() depends on partition layout).
+    ev = load_tables(spark, sf_dir)["events"]
+    bucket = F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10).cast("bigint")
+    return ev.filter(bucket % 20 == 0).select("event_id", "user_id", "event_type")
+
+
+@query(
+    "text_tokenize_filter",
+    oracle=f"""
+    SELECT doc_id,
+           array_to_string(
+             list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                         w -> NOT list_contains([{', '.join(repr(w) for w in STOPWORDS)}], w)),
+             ' ') AS filtered_text,
+           len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                           w -> NOT list_contains([{', '.join(repr(w) for w in STOPWORDS)}], w)))
+             AS kept_tokens
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def text_tokenize_filter(spark, sf_dir):
+    # Tokenize + stopword removal — the corpus-cleaning primitive.
+    d = load_tables(spark, sf_dir)["documents"]
+    words = F.split(F.trim(F.lower("text")), r"\s+")
+    kept = F.filter(words, lambda w: ~w.isin(STOPWORDS))
+    return d.filter(F.col("doc_id") < 100).select(
+        "doc_id",
+        F.array_join(kept, " ").alias("filtered_text"),
+        F.size(kept).cast("bigint").alias("kept_tokens"),
+    )

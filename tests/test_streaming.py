@@ -6,7 +6,6 @@ from __future__ import annotations
 
 import json
 
-import pytest
 from pyspark.sql import functions as F
 
 from pulsar_ingestion_spark.plans.pipeline import PipelineSpec, SourceSpec, run_pipeline
@@ -147,8 +146,41 @@ def test_pipeline_end_to_end_streaming(spark, tmp_path):
     assert cmf["sourceType"] == "Geotab"
 
 
-@pytest.mark.parametrize("late_sec,expect_kept", [(0, True)])
-def test_watermark_semantics_documented(spark, late_sec, expect_kept):
-    # Placeholder keeping the watermark contract visible; full late-drop
-    # needs multi-batch triggers (covered by stream_watermark_late oracle).
-    assert expect_kept
+def test_stream_stream_join(spark, tmp_path):
+    """Telemetry ⋈ events by key + event-time window (SURVEY.md §2.5
+    join_stream_stream): two watermarked streams, range-join condition."""
+    telemetry = [
+        {"vehicle_id": "v1", "speed": 50.0, "t_ts": "2024-01-01T10:00:00"},
+        {"vehicle_id": "v1", "speed": 70.0, "t_ts": "2024-01-01T10:20:00"},
+        {"vehicle_id": "v2", "speed": 30.0, "t_ts": "2024-01-01T10:00:00"},
+    ]
+    alerts = [
+        {"vehicle_id": "v1", "alert": "HARD_BRAKE", "a_ts": "2024-01-01T10:05:00"},
+        {"vehicle_id": "v2", "alert": "DTC", "a_ts": "2024-01-01T11:30:00"},  # outside window of v2 telemetry
+    ]
+    _write_jsonl(tmp_path / "tel", telemetry)
+    _write_jsonl(tmp_path / "al", alerts)
+    tel = (
+        spark.readStream.schema("vehicle_id string, speed double, t_ts timestamp")
+        .json(str(tmp_path / "tel"))
+        .withWatermark("t_ts", "1 hour")
+    )
+    al = (
+        spark.readStream.schema("vehicle_id string, alert string, a_ts timestamp")
+        .json(str(tmp_path / "al"))
+        .withWatermark("a_ts", "1 hour")
+    )
+    joined = tel.alias("t").join(
+        al.alias("a"),
+        F.expr(
+            "t.vehicle_id = a.vehicle_id AND a_ts BETWEEN t_ts AND t_ts + INTERVAL 10 MINUTES"
+        ),
+    )
+    q = (
+        joined.writeStream.format("memory").queryName("ss_join").outputMode("append")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT alert, speed FROM ss_join").collect()
+    # only v1's 10:00 telemetry row is within 10min before the HARD_BRAKE alert
+    assert [(r["alert"], r["speed"]) for r in rows] == [("HARD_BRAKE", 50.0)]
