@@ -1,0 +1,103 @@
+"""Physical-plan quality gates — the 100 TB design assertions.
+
+These tests pin the plan shapes that matter at scale: column pruning
+reaching the parquet scan, predicate pushdown, broadcast joins for small
+dims, and shuffle-free narrow translate pipelines.  A regression here is
+a performance bug even when results stay correct.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_scan_project_prunes_columns(spark):
+    from pulsar_ingestion_spark.queries_core import scan_project
+
+    plan = _plan(scan_project(spark, SF))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"}
+
+
+def test_filter_pred_pushes_down(spark):
+    from pulsar_ingestion_spark.queries_core import filter_pred
+
+    plan = _plan(filter_pred(spark, SF))
+    assert "PushedFilters: [" in plan
+    # the quantity bound must reach the scan, not sit in a post-filter only
+    assert re.search(r"PushedFilters: \[[^\]]*LessThan\(l_quantity,30.0\)", plan), plan
+
+
+def test_join_broadcast_is_broadcast(spark):
+    from pulsar_ingestion_spark.queries_core import join_broadcast
+
+    plan = _plan(join_broadcast(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_theta_range_join_is_bnlj_broadcast(spark):
+    from pulsar_ingestion_spark.queries_core import join_theta_range
+
+    plan = _plan(join_theta_range(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan  # 5-row bounds side broadcast
+
+
+def test_translator_is_narrow(spark):
+    """The translate pipeline itself must be shuffle-free: scan → project →
+    filter → project.  (queries_translate adds an explicit fan_out
+    repartition for under-split local files; the OPERATOR adds none.)"""
+    from pulsar_ingestion_spark.operators.translators import translate_geotab
+    from pulsar_ingestion_spark.session import load_tables
+
+    ev = load_tables(spark, SF)["events"]
+    payload = F.to_json(F.struct(F.col("event_id").cast("string").alias("Device_ID")))
+    df = translate_geotab(ev.withColumn("value", payload))
+    plan = _plan(df.select("cmf.vehicleId"))
+    assert "Exchange" not in plan, plan
+
+
+def test_single_parse_per_row(spark):
+    """The Generate barrier keeps exactly one from_json evaluation in the
+    plan (the translate perf guarantee)."""
+    from pulsar_ingestion_spark.operators.translators import translate_geotab
+    from pulsar_ingestion_spark.session import load_tables
+
+    ev = load_tables(spark, SF)["events"].withColumn("value", F.col("props"))
+    df = translate_geotab(ev)
+    plan = _plan(df.select("cmf.vehicleId", "cmf.deviceId", "cmf.epochSource"))
+    assert plan.count("from_json") == 1, plan
+
+
+def test_agg_has_partial_aggregation(spark):
+    from pulsar_ingestion_spark.queries_core import agg_group_sum_avg_min_max_count
+
+    plan = _plan(agg_group_sum_avg_min_max_count(spark, SF))
+    # partial (map-side) + final HashAggregate pair around the exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "hashpartitioning" in plan
+
+
+def test_topk_uses_take_ordered(spark):
+    from pulsar_ingestion_spark.queries_core import sort_limit_topk
+
+    plan = _plan(sort_limit_topk(spark, SF))
+    assert "TakeOrderedAndProject" in plan  # never a global sort for LIMIT k
+
+
+def test_multimodal_resize_prunes_payload(spark):
+    """Metadata-only media op must not read the binary payload column."""
+    from pulsar_ingestion_spark.queries_llm import q_multimodal_resize
+
+    plan = _plan(q_multimodal_resize(spark, SF))
+    assert "payload" not in plan.split("ReadSchema")[-1][:400]
