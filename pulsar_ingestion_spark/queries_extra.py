@@ -275,6 +275,69 @@ def sample_deterministic(spark, sf_dir):
 
 
 @query(
+    "datetime_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS order_month,
+           CAST(year(o_orderdate) AS INTEGER) AS yr,
+           CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+           CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow, -- duckdb 0=Sun, spark 1=Sun
+           CAST(date_diff('day', o_orderdate, TIMESTAMP '2002-01-01') AS BIGINT) AS days_to_2002,
+           strftime(o_orderdate + INTERVAL 90 DAY, '%Y-%m-%d') AS due_date
+    FROM orders WHERE o_orderkey < 2000
+    """,
+)
+def datetime_funcs(spark, sf_dir):
+    # date_trunc / extract / diff / add — the date-time scalar family
+    # (SURVEY.md §2.5).  dayofweek: Spark and DuckDB both 1=Sunday.
+    o = load_tables(spark, sf_dir)["orders"]
+    return o.filter(F.col("o_orderkey") < 2000).select(
+        "o_orderkey",
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("order_month"),
+        F.year("o_orderdate").alias("yr"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("bigint")
+        .alias("days_to_2002"),
+        F.date_format(F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"), "yyyy-MM-dd").alias("due_date"),
+    )
+
+
+@query(
+    "agg_salted_skew",
+    oracle="""
+    SELECT event_type,
+           count(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_salted_skew(spark, sf_dir):
+    """Two-phase salted aggregation — the hot-key pattern from SCALE.md §2.
+
+    Phase 1 groups on (key, salt) spreading a skewed key over 16 reducers;
+    phase 2 merges partials.  Result must equal the plain groupBy (the
+    oracle): same sums because decimal partials re-aggregate exactly.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    salt = F.pmod(F.col("event_id"), F.lit(16)).alias("salt")
+    partial = (
+        ev.withColumn("salt", salt)
+        .groupBy("event_type", "salt")
+        .agg(
+            F.count("*").alias("p_cnt"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("p_sum"),
+        )
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("p_cnt").alias("cnt"),
+        F.sum("p_sum").cast("double").alias("sum_value"),
+    )
+
+
+@query(
     "text_tokenize_filter",
     oracle=f"""
     SELECT doc_id,
