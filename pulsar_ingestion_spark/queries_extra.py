@@ -4,6 +4,8 @@ stopword filtering, and the stateful-transition operator's batch form."""
 
 from __future__ import annotations
 
+import pandas as pd  # module-level so pandas_udf type hints resolve
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -334,6 +336,130 @@ def agg_salted_skew(spark, sf_dir):
     return partial.groupBy("event_type").agg(
         F.sum("p_cnt").alias("cnt"),
         F.sum("p_sum").cast("double").alias("sum_value"),
+    )
+
+
+_TRIP_ORACLE = """
+WITH pings AS (
+  SELECT user_id AS vehicle,
+         value / 10 AS lat,
+         -value / 7 AS lon,
+         ts, event_id
+  FROM events
+), segs AS (
+  SELECT vehicle,
+         round(2 * 6371.0 * asin(sqrt(
+           pow(sin(radians(lat - lag(lat) OVER w) / 2), 2)
+           + cos(radians(lag(lat) OVER w)) * cos(radians(lat))
+             * pow(sin(radians(lon - lag(lon) OVER w) / 2), 2)
+         )), 6) AS seg_km
+  FROM pings
+  WINDOW w AS (PARTITION BY vehicle ORDER BY ts, event_id)
+)
+SELECT vehicle,
+       count(seg_km) AS n_segments,
+       CAST(SUM(CAST(seg_km AS DECIMAL(18,6))) AS DOUBLE) AS total_km
+FROM segs
+GROUP BY vehicle
+"""
+
+
+@query("telemetry_trip_distance", oracle=_TRIP_ORACLE)
+def telemetry_trip_distance(spark, sf_dir):
+    # Fleet km per vehicle: lag window over ordered pings + haversine —
+    # one shuffle on the vehicle key; per-segment rounding (6dp) before the
+    # decimal sum keeps cross-engine trig ulp differences out of the hash.
+    from pulsar_ingestion_spark.functions.geo import haversine_km
+
+    ev = load_tables(spark, sf_dir)["events"]
+    pings = ev.select(
+        F.col("user_id").alias("vehicle"),
+        (F.col("value") / 10).alias("lat"),
+        (-F.col("value") / 7).alias("lon"),
+        "ts",
+        "event_id",
+    )
+    w = Window.partitionBy("vehicle").orderBy("ts", "event_id")
+    seg = F.round(
+        haversine_km(F.lag("lat").over(w), F.lag("lon").over(w), F.col("lat"), F.col("lon")), 6
+    )
+    return (
+        pings.withColumn("seg_km", seg)
+        .groupBy("vehicle")
+        .agg(
+            F.count("seg_km").alias("n_segments"),
+            F.sum(F.col("seg_km").cast("decimal(18,6)")).cast("double").alias("total_km"),
+        )
+    )
+
+
+@query("udf_pandas_haversine")  # Arrow-batched Python path — rows-only by design
+def udf_pandas_haversine(spark, sf_dir):
+    """The same trip-distance computed through a vectorized @pandas_udf —
+    demonstrates the sanctioned Python escape hatch (Arrow batches, numpy
+    vectorized).  Policy stays built-ins-first: this exists to prove the
+    UDF surface, not to replace telemetry_trip_distance."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def hav_np(lat1: pd.Series, lon1: pd.Series, lat2: pd.Series, lon2: pd.Series) -> pd.Series:
+        import numpy as np
+
+        rl1, rl2 = np.radians(lat1), np.radians(lat2)
+        dlat = np.radians(lat2 - lat1)
+        dlon = np.radians(lon2 - lon1)
+        a = np.sin(dlat / 2) ** 2 + np.cos(rl1) * np.cos(rl2) * np.sin(dlon / 2) ** 2
+        return pd.Series(2 * 6371.0 * np.arcsin(np.sqrt(a)))
+
+    ev = load_tables(spark, sf_dir)["events"]
+    pings = ev.select(
+        F.col("user_id").alias("vehicle"),
+        (F.col("value") / 10).alias("lat"),
+        (-F.col("value") / 7).alias("lon"),
+        "ts",
+        "event_id",
+    )
+    w = Window.partitionBy("vehicle").orderBy("ts", "event_id")
+    seg = F.round(hav_np(F.lag("lat").over(w), F.lag("lon").over(w), F.col("lat"), F.col("lon")), 6)
+    return (
+        pings.withColumn("seg_km", seg)
+        .groupBy("vehicle")
+        .agg(F.sum(F.col("seg_km").cast("decimal(18,6)")).cast("double").alias("total_km"))
+    )
+
+
+@query(
+    "json_multi_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(j, '$.a.b') AS BIGINT) AS ab,
+           json_extract_string(j, '$.tags[0]') AS first_tag,
+           CAST(json_array_length(j, '$.tags') AS INTEGER) AS n_tags
+    FROM (
+      SELECT event_id,
+             concat('{"a": {"b": ', CAST(event_id % 50 AS VARCHAR),
+                    '}, "tags": ["', event_type, '", "x"]}') AS j
+      FROM events WHERE event_id < 2000
+    )
+    """,
+)
+def json_multi_extract(spark, sf_dir):
+    # Nested-path + array-index JSON access (deep sourceSpecificData
+    # queries); json_tuple/get_json_object both prune to one column.
+    ev = load_tables(spark, sf_dir)["events"]
+    j = F.concat(
+        F.lit('{"a": {"b": '),
+        (F.col("event_id") % 50).cast("string"),
+        F.lit('}, "tags": ["'),
+        F.col("event_type"),
+        F.lit('", "x"]}'),
+    )
+    jc = ev.filter(F.col("event_id") < 2000).withColumn("j", j)
+    return jc.select(
+        "event_id",
+        F.get_json_object("j", "$.a.b").cast("bigint").alias("ab"),
+        F.get_json_object("j", "$.tags[0]").alias("first_tag"),
+        F.json_array_length(F.get_json_object("j", "$.tags")).alias("n_tags"),
     )
 
 
