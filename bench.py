@@ -40,9 +40,15 @@ HEADLINE = [
     "route_tenant",
     "dedup_exact",
     "dedup_fingerprint",
+    "dedup_embedding_cosine",
     "text_stats",
     "text_token_count",
     "sim_search_knn",
+    "stateful_transitions",
+    "telemetry_trip_distance",
+    "agg_rollup",
+    "win_distribution",
+    "agg_pivot",
 ]
 
 

@@ -154,13 +154,20 @@ def embedding_near_dups(
     Brute-force O(n²) self-join — correct baseline; the scale path buckets
     by LSH/IVF first (see operators/similarity.py) so the join is per-bucket.
     """
-    from pulsar_ingestion_spark.functions.vectors import cosine_rounded
+    from pulsar_ingestion_spark.functions.vectors import dot, norm
 
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # Precompute per-vector norms ONCE (O(n) dots) so each of the O(n²)
+    # pairs costs a single dot product — 3x less fold work than the naive
+    # cosine(a,b) per pair.  Same IEEE expression values, same oracle.
+    sides = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).withColumn(
+        "n", norm(F.col("v"))
+    )
+    a = sides.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na"))
+    b = sides.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb"))
+    cos = F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_sim", cosine_rounded(F.col("va"), F.col("vb"), 6))
+        .withColumn("cos_sim", cos)
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )

@@ -31,12 +31,19 @@ def knn_bruteforce(
     The query side should be small → broadcast; candidates stream through.
     Ordering ties broken by candidate id (deterministic output set).
     """
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = candidates.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"))
+    from pulsar_ingestion_spark.functions.vectors import dot, norm
+
+    # Norms precomputed per side → one dot per (query, candidate) pair.
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).withColumn("qn", norm(F.col("qv")))
+    c = candidates.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv")
+    ).withColumn("cn", norm(F.col("cv")))
     scored = (
         F.broadcast(q)
         .join(c, F.col("query_id") != F.col("cand_id"))
-        .withColumn("cos_sim", cosine_rounded(F.col("qv"), F.col("cv"), 6))
+        .withColumn("cos_sim", F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
     return (

@@ -54,6 +54,10 @@ class PipelineSpec:
     output_path: str          # base dir for per-tenant partitioned output
     checkpoint: str | None = None
     dead_letter_path: str | None = None
+    # "foreachBatch": idempotent-append dynamic sink (flexible, at-least-once
+    #   within a failed epoch); "native": Spark's transactional file sink
+    #   (_spark_metadata commit log -> exactly-once file visibility).
+    sink_mode: str = "foreachBatch"
 
 
 def build_cmf_stream(spark: SparkSession, spec: PipelineSpec, streaming: bool = True) -> DataFrame:
@@ -80,10 +84,23 @@ def run_pipeline(spark: SparkSession, spec: PipelineSpec, streaming: bool = True
         out.write.mode("append").partitionBy("tenantId").parquet(spec.output_path)
         return None
 
+    assert spec.checkpoint, "streaming pipeline needs a checkpoint dir"
+    if spec.sink_mode == "native":
+        # Transactional file sink: files become visible only via the
+        # _spark_metadata commit log — exactly-once even across mid-batch
+        # crashes.  partitionBy still gives the per-tenant layout.
+        return (
+            out.writeStream.format("parquet")
+            .partitionBy("tenantId")
+            .option("path", spec.output_path)
+            .option("checkpointLocation", spec.checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+
     def _write(batch: DataFrame, epoch_id: int) -> None:
         batch.write.mode("append").partitionBy("tenantId").parquet(spec.output_path)
 
-    assert spec.checkpoint, "streaming pipeline needs a checkpoint dir"
     return (
         out.writeStream.foreachBatch(_write)
         .option("checkpointLocation", spec.checkpoint)

@@ -30,7 +30,7 @@ from pulsar_ingestion_spark.functions.text import (
     word_count,
 )
 from pulsar_ingestion_spark.registry import query
-from pulsar_ingestion_spark.session import load_tables
+from pulsar_ingestion_spark.session import fan_out, load_tables
 
 
 @query(
@@ -85,7 +85,7 @@ def q_dedup_fingerprint(spark, sf_dir):
 def q_dedup_ngram_jaccard(spark, sf_dir):
     # Exact word-3-gram Jaccard on shingle-sharing candidates; threshold 0.35.
     docs = load_tables(spark, sf_dir)["documents"]
-    docs3 = docs.filter(F.size(F.split(F.trim(F.lower("text")), r"\s+")) >= 3)
+    docs3 = fan_out(docs.filter(F.size(F.split(F.trim(F.lower("text")), r"\s+")) >= 3), spark)
     return ngram_jaccard_pairs(docs3, threshold=0.35, n=3)
 
 
@@ -123,7 +123,7 @@ def q_dedup_simhash(spark, sf_dir):
     """,
 )
 def q_dedup_embedding_cosine(spark, sf_dir):
-    return embedding_near_dups(load_tables(spark, sf_dir)["embeddings"], threshold=0.6)
+    return embedding_near_dups(fan_out(load_tables(spark, sf_dir)["embeddings"], spark), threshold=0.6)
 
 
 _KNN_DOT = """list_reduce(list_prepend(0.0, list_transform(range(1, len({a})+1),
@@ -148,7 +148,7 @@ SELECT query_id, cand_id, cos_sim, rank FROM (
 
 @query("sim_search_knn", oracle=_KNN_ORACLE)
 def q_sim_search_knn(spark, sf_dir):
-    emb = load_tables(spark, sf_dir)["embeddings"]
+    emb = fan_out(load_tables(spark, sf_dir)["embeddings"], spark)
     return knn_bruteforce(emb.filter(F.col("vec_id") < 20), emb, k=5)
 
 

@@ -23,7 +23,10 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-SOURCE_KINDS = ("jsonl", "rate", "kafka", "eventhub", "kinesis", "rabbitmq", "http", "grpc", "parquet")
+SOURCE_KINDS = (
+    "jsonl", "rate", "kafka", "eventhub", "kinesis", "rabbitmq", "http", "grpc",
+    "parquet", "csv", "json",
+)
 
 
 def open_source(
@@ -63,6 +66,23 @@ def open_source(
         else:
             df = spark.read.parquet(path)
         if value_col != "value":
+            df = df.withColumn("value", F.col(value_col))
+        return df
+    if kind in ("csv", "json"):
+        # Structured file sources: typed columns (schema required for
+        # streaming); optional value_col names the payload column.
+        path = options.pop("path")
+        schema = options.pop("schema", None)
+        value_col = options.pop("value_col", None)
+        reader = spark.readStream if streaming else spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        elif streaming:
+            raise ValueError(f"{kind} streaming source requires schema=")
+        for k, v in options.items():
+            reader = reader.option(k, v)
+        df = reader.csv(path) if kind == "csv" else reader.json(path)
+        if value_col:
             df = df.withColumn("value", F.col(value_col))
         return df
     if kind == "rate":
