@@ -72,6 +72,23 @@ def translate_legacy(
     )
 
 
+def route_by_event_type(
+    df: DataFrame,
+    base_path: str,
+    event_type_col: str = "eventType",
+    payload_col: str = "data",
+    mode: str = "append",
+) -> None:
+    """EventTypeSplitter sink: partitioned write by the sanitized routing
+    key — each dir is the `fn-split-<event-type>` topic analog
+    (filterer/README.md:16-37).  Same one-shuffle-free partitioned-write
+    shape as the tenant router."""
+    keyed = event_type_routing_key(df, event_type_col)
+    keyed.select("routing_key", F.col(payload_col)).write.mode(mode).partitionBy(
+        "routing_key"
+    ).parquet(base_path)
+
+
 def event_type_routing_key(df: DataFrame, event_type_col: str = "eventType") -> DataFrame:
     """EventTypeSplitter routing key: lowercase, non-[a-z0-9-] runs → '-'
     (filterer/README.md:31-35).  Destination topic is

@@ -62,27 +62,63 @@ class PipelineSpec:
 
 def build_cmf_stream(spark: SparkSession, spec: PipelineSpec, streaming: bool = True) -> DataFrame:
     """Wire sources → translators → canonical CMF stream (wire JSON in
-    `value`, tenant extracted for routing)."""
+    `value`, tenant extracted for routing).
+
+    With ``spec.dead_letter_path`` set, malformed originals from every
+    source are unioned and appended there (tagged by source kind/translator)
+    — the observable upgrade of the reference's log-and-vaporize policy
+    (GeotabTranslator.kt:154-157).
+    """
     branches = []
+    dead_branches = []
     for src in spec.sources:
         raw = open_source(spark, src.kind, streaming=streaming, **src.options)
         translate = TRANSLATORS[src.translator]
-        good = translate(raw.select("value"), tenant=src.tenant)
+        if spec.dead_letter_path:
+            good, dead = translate(raw.select("value"), tenant=src.tenant, dead_letter=True)
+            dead_branches.append(
+                dead.select(
+                    F.lit(src.kind).alias("source_kind"),
+                    F.lit(src.translator).alias("translator"),
+                    F.col("value"),
+                )
+            )
+        else:
+            good = translate(raw.select("value"), tenant=src.tenant)
         branches.append(good.select("cmf"))
     cmf = union_cmf(*branches)
     wire = cmf_to_json(cmf, out_col="value").select("value")
+    if dead_branches:
+        dead_all = dead_branches[0]
+        for d in dead_branches[1:]:
+            dead_all = dead_all.unionByName(d)
+        return wire, dead_all
     return wire
 
 
 def run_pipeline(spark: SparkSession, spec: PipelineSpec, streaming: bool = True):
-    """Execute the pipeline.  Streaming: returns the StreamingQuery
-    (trigger availableNow so tests drain and stop); batch: writes once."""
-    wire = build_cmf_stream(spark, spec, streaming=streaming)
+    """Execute the pipeline.  Streaming: returns the StreamingQuery for the
+    main sink (trigger availableNow so tests drain and stop; the dead-letter
+    sink, when configured, runs as a second query on the same sources);
+    batch: writes once."""
+    built = build_cmf_stream(spark, spec, streaming=streaming)
+    wire, dead = built if isinstance(built, tuple) else (built, None)
     routable = filter_routable(extract_tenant(wire))
     out = routable.select("tenantId", "value")
     if not streaming:
         out.write.mode("append").partitionBy("tenantId").parquet(spec.output_path)
+        if dead is not None:
+            dead.write.mode("append").parquet(spec.dead_letter_path)
         return None
+    if dead is not None:
+        assert spec.checkpoint, "streaming pipeline needs a checkpoint dir"
+        (
+            dead.writeStream.format("parquet")
+            .option("path", spec.dead_letter_path)
+            .option("checkpointLocation", spec.checkpoint + "-dead")
+            .trigger(availableNow=True)
+            .start()
+        )
 
     assert spec.checkpoint, "streaming pipeline needs a checkpoint dir"
     if spec.sink_mode == "native":

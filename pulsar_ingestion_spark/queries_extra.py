@@ -464,6 +464,40 @@ def json_multi_extract(spark, sf_dir):
 
 
 @query(
+    "json_variant",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(j, '$.a.b') AS BIGINT) AS ab,
+           CAST(json_extract_string(j, '$.tags[1]') AS VARCHAR) AS tag1
+    FROM (
+      SELECT event_id,
+             concat('{"a": {"b": ', CAST(event_id % 50 AS VARCHAR),
+                    '}, "tags": ["', event_type, '", "x"]}') AS j
+      FROM events WHERE event_id < 3000
+    )
+    """,
+)
+def json_variant(spark, sf_dir):
+    # Spark 4 VARIANT: parse once into the binary variant encoding, then
+    # typed path extraction — the modern engine-native replacement for
+    # repeated get_json_object string parses on sourceSpecificData.
+    ev = load_tables(spark, sf_dir)["events"]
+    j = F.concat(
+        F.lit('{"a": {"b": '),
+        (F.col("event_id") % 50).cast("string"),
+        F.lit('}, "tags": ["'),
+        F.col("event_type"),
+        F.lit('", "x"]}'),
+    )
+    v = ev.filter(F.col("event_id") < 3000).withColumn("v", F.parse_json(j))
+    return v.select(
+        "event_id",
+        F.variant_get("v", "$.a.b", "bigint").alias("ab"),
+        F.variant_get("v", "$.tags[1]", "string").alias("tag1"),
+    )
+
+
+@query(
     "text_tokenize_filter",
     oracle=f"""
     SELECT doc_id,

@@ -33,6 +33,48 @@ def test_json_streaming_source(spark, tmp_path):
     assert spark.sql("SELECT count(*) c FROM jsrc").collect()[0]["c"] == 2
 
 
+def test_dead_letter_stream(spark, tmp_path):
+    (tmp_path / "geo").mkdir()
+    (tmp_path / "geo" / "a.jsonl").write_text(
+        json.dumps({
+            "Device_ID": "ok", "Vehicle_ID": "v1",
+            "Record_DateTime": "2024-02-02T08:00:00.000Z",
+            "Latitude": 5.0, "Longitude": 6.0,
+        }) + "\n" + '{"Device_ID": "missing everything"}' + "\n" + "{garbage\n"
+    )
+    spec = PipelineSpec(
+        sources=[SourceSpec(kind="jsonl", translator="geotab",
+                            options={"path": str(tmp_path / "geo")}, tenant="t-dl")],
+        output_path=str(tmp_path / "out"),
+        checkpoint=str(tmp_path / "ckpt"),
+        dead_letter_path=str(tmp_path / "dead"),
+    )
+    q = run_pipeline(spark, spec, streaming=True)
+    q.awaitTermination(120)
+    for sq in spark.streams.active:
+        sq.awaitTermination(120)
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 1
+    dead = spark.read.parquet(str(tmp_path / "dead")).collect()
+    assert len(dead) == 2
+    assert {r["translator"] for r in dead} == {"geotab"}
+    assert {r["value"] for r in dead} == {'{"Device_ID": "missing everything"}', "{garbage"}
+
+
+def test_event_type_split_sink(spark, tmp_path):
+    from pulsar_ingestion_spark.operators.legacy import route_by_event_type
+
+    df = spark.createDataFrame(
+        [("USER_PROFILE_EVENT", "p1"), ("ORDER_EVENT", "p2"), ("USER_PROFILE_EVENT", "p3")],
+        "eventType string, data string",
+    )
+    base = str(tmp_path / "split")
+    route_by_event_type(df, base)
+    back = spark.read.parquet(base)
+    assert back.count() == 3
+    keys = {r["routing_key"] for r in back.select("routing_key").distinct().collect()}
+    assert keys == {"user-profile-event", "order-event"}
+
+
 def test_native_sink_exactly_once(spark, tmp_path):
     (tmp_path / "geo").mkdir()
     (tmp_path / "geo" / "a.jsonl").write_text(
