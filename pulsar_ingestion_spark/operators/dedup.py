@@ -57,11 +57,17 @@ def ngram_jaccard_pairs(
     sh = df.select(
         F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
     ).withColumn("sh_size", F.size("sh"))
-    exploded = sh.select("id", "sh_size", F.explode("sh").alias("gram"))
+    # Join on a 64-bit hash of the shingle, not the string: ~8 bytes vs
+    # ~(3 words) per shuffle key.  xxhash64 collisions (~1e-11 at millions
+    # of distinct shingles) could at worst inflate one intersection count
+    # by 1 — acceptable for a near-dup *detector*.
+    exploded = sh.select(
+        "id", "sh_size", F.explode(F.transform("sh", lambda g: F.xxhash64(g))).alias("gram_h")
+    )
     a = exploded.alias("a")
     b = exploded.alias("b")
     inter = (
-        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.id") < F.col("b.id")))
+        a.join(b, (F.col("a.gram_h") == F.col("b.gram_h")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
