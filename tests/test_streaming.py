@@ -146,6 +146,65 @@ def test_pipeline_end_to_end_streaming(spark, tmp_path):
     assert cmf["sourceType"] == "Geotab"
 
 
+def test_stream_asof_join(spark, tmp_path):
+    """Streaming as-of (SURVEY.md §2.5 join_asof_stream): stream-stream
+    range join + max_by aggregation — chained stateful operators.  Append
+    mode emits a group once the watermark passes it, so the test runs two
+    availableNow passes sharing a checkpoint: pass 2's later data advances
+    the watermark and flushes pass 1's group."""
+    (tmp_path / "ev").mkdir()
+    (tmp_path / "dim").mkdir()
+    _write_jsonl(tmp_path / "ev", [{"k": "v1", "e_ts": "2024-01-01T10:30:00"}])
+    _write_jsonl(
+        tmp_path / "dim",
+        [
+            {"k": "v1", "d_ts": "2024-01-01T09:00:00", "val": "old"},
+            {"k": "v1", "d_ts": "2024-01-01T10:00:00", "val": "current"},
+            {"k": "v1", "d_ts": "2024-01-01T11:00:00", "val": "future"},
+        ],
+    )
+
+    def run_once():
+        ev = (
+            spark.readStream.schema("k string, e_ts timestamp").json(str(tmp_path / "ev"))
+            .withWatermark("e_ts", "10 minutes")
+        )
+        dim = (
+            spark.readStream.schema("k string, d_ts timestamp, val string")
+            .json(str(tmp_path / "dim"))
+            .withWatermark("d_ts", "10 minutes")
+        )
+        j = ev.alias("e").join(
+            dim.alias("m"),
+            F.expr("e.k = m.k AND d_ts <= e_ts AND d_ts >= e_ts - INTERVAL 2 HOURS"),
+        )
+        asof = j.groupBy("e.k", "e_ts").agg(F.max_by("val", "d_ts").alias("asof_val"))
+        q = (
+            asof.writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    # later data on both streams pushes the watermark past the first event
+    # (new FILES — the file source tracks processed files by name)
+    (tmp_path / "ev" / "part-1.jsonl").write_text(
+        json.dumps({"k": "zz", "e_ts": "2024-01-02T00:00:00"}) + "\n"
+    )
+    (tmp_path / "dim" / "part-1.jsonl").write_text(
+        json.dumps({"k": "zz", "d_ts": "2024-01-02T00:00:00", "val": "x"}) + "\n"
+    )
+    run_once()
+    run_once()  # one more pass lets the chained agg see the advanced watermark
+    out = spark.read.parquet(str(tmp_path / "out")).collect()
+    flushed = {(r["k"], r["asof_val"]) for r in out}
+    # the as-of value at 10:30 is the 10:00 dim state — not 9:00, not 11:00
+    assert ("v1", "current") in flushed
+
+
 def test_stream_stream_join(spark, tmp_path):
     """Telemetry ⋈ events by key + event-time window (SURVEY.md §2.5
     join_stream_stream): two watermarked streams, range-join condition."""
