@@ -85,6 +85,75 @@ def signlsh_buckets(
     return df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), sig.alias("bucket"))
 
 
+def knn_ivf(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    n_clusters: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: k-means coarse quantizer → probe the
+    nprobe nearest cells → exact cosine rerank within them.
+
+    The 100 TB plan: candidates live partitioned by cell id; each query
+    touches nprobe/n_clusters of the data.  Centroids are a tiny model
+    (n_clusters × dim floats) — driver-side math, broadcast join back.
+    Deterministic for a fixed seed; recall grows with nprobe.
+    """
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = candidates.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(feats)
+    assigned = model.transform(feats).select("id", "vec", F.col("prediction").alias("cell"))
+
+    centroids = np.vstack([np.asarray(c) for c in model.clusterCenters()])
+
+    spark = candidates.sparkSession
+    cent_rows = [(int(i), [float(x) for x in centroids[i]]) for i in range(len(centroids))]
+    cent_df = spark.createDataFrame(cent_rows, "cell int, cvec array<double>")
+
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+    # nprobe nearest cells per query: tiny cross join against the centroid
+    # table (n_clusters rows, broadcast), top-nprobe by L2 distance.
+    qc = (
+        F.broadcast(cent_df)
+        .crossJoin(q)
+        .withColumn(
+            "dist2",
+            F.aggregate(
+                F.zip_with(F.col("qv"), F.col("cvec"), lambda a, b: (a.cast("double") - b) ** 2),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+    )
+    wq = Window.partitionBy("qid").orderBy(F.asc("dist2"), F.asc("cell"))
+    probes = qc.withColumn("pr", F.row_number().over(wq)).filter(F.col("pr") <= nprobe).select(
+        "qid", "qv", "cell"
+    )
+
+    scored = (
+        probes.join(assigned, "cell")
+        .filter(F.col("qid") != F.col("id"))
+        .withColumn("cos_sim", cosine_rounded(F.col("qv"), F.col("vec"), 6))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("qid").alias("query_id"), F.col("id").alias("cand_id"), "cos_sim", "rank")
+    )
+
+
 def knn_lsh(
     queries: DataFrame,
     candidates: DataFrame,

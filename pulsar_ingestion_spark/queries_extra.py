@@ -463,6 +463,78 @@ def json_multi_extract(spark, sf_dir):
     )
 
 
+_TRIP_SUMMARY_ORACLE = """
+WITH pings AS (
+  SELECT user_id AS vehicle, value / 10 AS lat, -value / 7 AS lon, ts, event_id
+  FROM events
+), seq AS (
+  SELECT vehicle, lat, lon, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_trip,
+         round(CASE WHEN lag(ts) OVER w IS NULL THEN NULL ELSE
+           2 * 6371.0 * asin(sqrt(
+             pow(sin(radians(lat - lag(lat) OVER w) / 2), 2)
+             + cos(radians(lag(lat) OVER w)) * cos(radians(lat))
+               * pow(sin(radians(lon - lag(lon) OVER w) / 2), 2))) END, 6) AS seg_km
+  FROM pings
+  WINDOW w AS (PARTITION BY vehicle ORDER BY ts, event_id)
+), trips AS (
+  SELECT *, SUM(new_trip) OVER (PARTITION BY vehicle ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS trip_id
+  FROM seq
+)
+SELECT vehicle, trip_id,
+       count(*) AS pings,
+       strftime(date_trunc('second', min(ts)), '%Y-%m-%d %H:%M:%S') AS trip_start,
+       CAST(SUM(CAST(CASE WHEN new_trip = 1 THEN NULL ELSE seg_km END AS DECIMAL(18,6))) AS DOUBLE)
+         AS trip_km
+FROM trips
+GROUP BY vehicle, trip_id
+"""
+
+
+@query("telemetry_trip_summary", oracle=_TRIP_SUMMARY_ORACLE)
+def telemetry_trip_summary(spark, sf_dir):
+    # Trips = activity islands (gap > 30 min starts a new trip) with
+    # per-trip distance — sessionization × haversine, two window passes
+    # then one agg, all on the vehicle-key shuffle.  Distance resets at
+    # trip boundaries (first segment of a trip doesn't count the gap jump).
+    from pulsar_ingestion_spark.functions.geo import haversine_km
+
+    ev = load_tables(spark, sf_dir)["events"]
+    pings = ev.select(
+        F.col("user_id").alias("vehicle"),
+        (F.col("value") / 10).alias("lat"),
+        (-F.col("value") / 7).alias("lon"),
+        "ts",
+        "event_id",
+    )
+    w = Window.partitionBy("vehicle").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_trip = F.when(
+        prev_ts.isNull() | (F.col("ts").cast("long") - prev_ts.cast("long") > 1800), 1
+    ).otherwise(0)
+    seg = F.round(
+        haversine_km(F.lag("lat").over(w), F.lag("lon").over(w), F.col("lat"), F.col("lon")), 6
+    )
+    seq = pings.withColumn("new_trip", new_trip).withColumn(
+        "seg_km", F.when(prev_ts.isNull(), None).otherwise(seg)
+    )
+    wtrip = Window.partitionBy("vehicle").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    trips = seq.withColumn("trip_id", F.sum("new_trip").over(wtrip))
+    return trips.groupBy("vehicle", "trip_id").agg(
+        F.count("*").alias("pings"),
+        F.date_format(F.date_trunc("second", F.min("ts")), "yyyy-MM-dd HH:mm:ss").alias("trip_start"),
+        F.sum(
+            F.when(F.col("new_trip") == 1, None).otherwise(F.col("seg_km")).cast("decimal(18,6)")
+        )
+        .cast("double")
+        .alias("trip_km"),
+    )
+
+
 @query(
     "json_variant",
     oracle="""

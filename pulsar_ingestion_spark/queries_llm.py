@@ -158,6 +158,14 @@ def q_sim_search_lsh(spark, sf_dir):
     return knn_lsh(emb.filter(F.col("vec_id") < 20), emb, dim=64, k=5, num_planes=6)
 
 
+@query("sim_search_ivf")  # k-means cells are engine-specific → rows-only
+def q_sim_search_ivf(spark, sf_dir):
+    from pulsar_ingestion_spark.operators.similarity import knn_ivf
+
+    emb = fan_out(load_tables(spark, sf_dir)["embeddings"], spark)
+    return knn_ivf(emb.filter(F.col("vec_id") < 20), emb, k=5, n_clusters=16, nprobe=3)
+
+
 _STOP_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
 
 

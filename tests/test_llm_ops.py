@@ -83,6 +83,25 @@ def test_knn_lsh_recovers_close_neighbor(spark):
     assert out and out[0]["cand_id"] == 0
 
 
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    """IVF with nprobe=3 of 16 cells must recover most brute-force
+    neighbors on the test embeddings (recall sanity, not exactness)."""
+    from pulsar_ingestion_spark.operators.similarity import knn_ivf
+    from pulsar_ingestion_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["cand_id"]) for r in knn_bruteforce(q, emb, k=3).collect()
+    }
+    approx = {
+        (r["query_id"], r["cand_id"])
+        for r in knn_ivf(q, emb, k=3, n_clusters=8, nprobe=3).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
 def test_multimodal_pipeline(spark):
     base = spark.range(0, 20).select(F.col("id").alias("doc_id"))
     media = synthesize_media(base)
