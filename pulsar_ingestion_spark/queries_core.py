@@ -302,7 +302,7 @@ def join_theta_range(spark, sf_dir):
     oracle="""
     SELECT e.event_id,
            e.user_id,
-           max(o.o_orderdate) AS last_order_date
+           strftime(max(o.o_orderdate), '%Y-%m-%d') AS last_order_date
     FROM events e JOIN orders o
       ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
     GROUP BY e.event_id, e.user_id
@@ -316,7 +316,8 @@ def join_asof(spark, sf_dir):
     return (
         ev.join(orders, (orders.o_custkey == ev.user_id) & (orders.o_orderdate <= ev.ts))
         .groupBy("event_id", "user_id")
-        .agg(F.max("o_orderdate").alias("last_order_date"))
+        # string output — raw timestamps hash differently across engines
+        .agg(F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("last_order_date"))
     )
 
 
