@@ -82,6 +82,10 @@ def read_parquet(spark: SparkSession, path: str):
     nanos come in as longs and are floor-converted to microsecond
     timestamps (matches DuckDB's nanos→micros truncation)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Engine invariant regardless of the caller's session defaults: all
+    # ISO-8601 output carries the trailing-Z UTC form (reference golden
+    # strings + oracle SQL both assume UTC rendering).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
 
