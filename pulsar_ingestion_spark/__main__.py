@@ -1,0 +1,68 @@
+"""CLI: run a pipeline spec (reference pipeline.yaml format) on Spark.
+
+    python -m pulsar_ingestion_spark run \
+        --pipeline deployment/pipeline.yaml \
+        --output /data/routed --checkpoint /data/ckpt \
+        --override geotab-translator path=/data/raw/geotab \
+        [--batch] [--dead-letter /data/dead]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="pulsar_ingestion_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    run = sub.add_parser("run", help="run an ingest pipeline")
+    run.add_argument("--pipeline", required=True, help="pipeline.yaml (reference format)")
+    run.add_argument("--output", required=True, help="routed-output base dir")
+    run.add_argument("--checkpoint", help="streaming checkpoint dir")
+    run.add_argument("--dead-letter", help="dead-letter dir for malformed input")
+    run.add_argument("--batch", action="store_true", help="one-shot batch instead of streaming")
+    run.add_argument(
+        "--override",
+        nargs=2,
+        action="append",
+        default=[],
+        metavar=("NAME", "K=V"),
+        help="per-connector/function source options (repeatable)",
+    )
+    args = ap.parse_args(argv)
+
+    from pulsar_ingestion_spark.plans.from_yaml import load_pipeline_yaml
+    from pulsar_ingestion_spark.plans.pipeline import run_pipeline
+    from pulsar_ingestion_spark.session import get_spark
+
+    overrides: dict[str, dict] = {}
+    for name, kv in args.override:
+        k, _, v = kv.partition("=")
+        overrides.setdefault(name, {})[k] = v
+
+    spec = load_pipeline_yaml(
+        args.pipeline,
+        output_path=args.output,
+        checkpoint=args.checkpoint,
+        overrides=overrides,
+        dead_letter_path=args.dead_letter,
+    )
+    for s in getattr(spec, "skipped", []):
+        print(f"skipped (no local source options): {s}", file=sys.stderr)
+    if not spec.sources:
+        print("no runnable sources — supply --override NAME path=...", file=sys.stderr)
+        return 2
+
+    spark = get_spark("pulsar-ingestion-pipeline")
+    q = run_pipeline(spark, spec, streaming=not args.batch)
+    if q is not None:
+        q.awaitTermination()
+        for sq in spark.streams.active:
+            sq.awaitTermination()
+    print(f"pipeline complete → {args.output}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
