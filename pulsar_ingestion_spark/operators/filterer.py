@@ -38,7 +38,12 @@ def extract_tenant(df: DataFrame, payload_col: str = "value") -> DataFrame:
     dropped by :func:`filter_routable`, matching the reference's
     catch-log-drop on unparseable input (FiltererTest.kt:155-163).
     """
-    return df.withColumn("tenantId", F.get_json_object(F.col(payload_col), TENANT_PATH))
+    # explode(array(...)) Generate barrier: downstream filter + topic
+    # expressions reference the extracted attribute instead of re-running
+    # get_json_object per consumer (see operators/translators.py note).
+    return df.withColumn(
+        "tenantId", F.explode(F.array(F.get_json_object(F.col(payload_col), TENANT_PATH)))
+    )
 
 
 def filter_routable(df: DataFrame, tenant_col: str = "tenantId") -> DataFrame:
