@@ -1,0 +1,42 @@
+"""Storage-layout operators: bucketing for shuffle-free co-located joins.
+
+At 100 TB the same fact-fact equi-join runs daily; paying its shuffle
+every run is the single largest recurring cost.  Bucketing both tables on
+the join key at write time (`bucketBy(n, key).sortBy(key)`) lets every
+subsequent join/aggregation on that key run with ZERO exchange — Spark
+reads bucket i of A and bucket i of B into the same task.
+
+Local demo writes to the session's spark-warehouse; production would use
+the lake catalog.  Bucket count: ~(table size / 128 MB), same for both
+sides (Spark requires equal or multiple bucket counts to avoid shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int = 8,
+    sort: bool = True,
+) -> None:
+    """Persist as a bucketed (+sorted) managed table, replacing any prior."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    w = df.write.bucketBy(num_buckets, bucket_col)
+    if sort:
+        w = w.sortBy(bucket_col)
+    w.mode("overwrite").format("parquet").saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, on: str, how: str = "inner"
+) -> DataFrame:
+    """Join two same-bucketed tables on the bucket key — plans with no
+    Exchange on either side (asserted in tests/test_plans.py)."""
+    left = spark.table(left_table)
+    right = spark.table(right_table)
+    return left.join(right, on=on, how=how)
