@@ -17,7 +17,7 @@ row loops.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pulsar_ingestion_spark.functions.text import doc_fingerprint, shingles, words

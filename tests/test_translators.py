@@ -171,6 +171,37 @@ def test_ford_valid_golden(spark):
     assert ssd == {"doorStatus": "all_closed", "tirePressureStatus": "normal"}
 
 
+def test_calamp_missing_optionals_and_malformed(spark):
+    # CalAmpTranslatorTest.kt:80-115 — optionals null, empty residue;
+    # missing requireds → dropped.
+    ok = json.dumps({
+        "unit_id": "calamp-unit-002", "vid": "calamp-vehicle-888",
+        "msg_ts": 1698919200, "gps_lat": 37.0, "gps_lon": -116.0,
+    })
+    good, dead = translate_calamp(_df(spark, ok, '{"unit_id": "test"}'), dead_letter=True)
+    rows = good.collect()
+    assert len(rows) == 1 and dead.count() == 1
+    t = rows[0]["cmf"]["telemetry"]
+    assert t["speedGpsMph"] is None and t["fuelLevelPct"] is None and t["batteryVoltage"] is None
+    assert json.loads(rows[0]["cmf"]["sourceSpecificData"]) == {}
+
+
+def test_ford_missing_optionals_and_malformed(spark):
+    # FordTranslatorTest.kt:86-127 — optionals null, empty residue;
+    # missing esn/captureTime/coords → dropped.
+    ok = json.dumps({
+        "vin": "ford-vin-333", "esn": "ford-esn-444",
+        "captureTime": 1701527400000,
+        "coords": {"latValue": 41.0, "lonValue": -75.0, "ts": 1701527395000},
+    })
+    good, dead = translate_ford(_df(spark, ok, '{"vin": "test"}'), dead_letter=True)
+    rows = good.collect()
+    assert len(rows) == 1 and dead.count() == 1
+    t = rows[0]["cmf"]["telemetry"]
+    assert t["speedGpsMph"] is None and t["fuelLevelGallon"] is None and t["engineRpm"] is None
+    assert json.loads(rows[0]["cmf"]["sourceSpecificData"]) == {}
+
+
 def test_union_cmf_schema_stable(spark):
     g = translate_geotab(_df(spark, GEOTAB_VALID))
     c = translate_calamp(_df(spark, json.dumps({
