@@ -105,6 +105,14 @@ def run_pipeline(spark: SparkSession, spec: PipelineSpec, streaming: bool = True
     wire, dead = built if isinstance(built, tuple) else (built, None)
     routable = filter_routable(extract_tenant(wire))
     out = routable.select("tenantId", "value")
+    # Per-batch observability (the reference only log-lines these —
+    # GeotabTranslator.kt:154-157): routed count + distinct-tenant count
+    # land in StreamingQueryProgress.observedMetrics / Observation.get.
+    out = out.observe(
+        "route_metrics",
+        F.count(F.lit(1)).alias("routed"),
+        F.approx_count_distinct("tenantId").alias("tenants"),
+    )
     if not streaming:
         out.write.mode("append").partitionBy("tenantId").parquet(spec.output_path)
         if dead is not None:

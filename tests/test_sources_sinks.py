@@ -60,6 +60,31 @@ def test_dead_letter_stream(spark, tmp_path):
     assert {r["value"] for r in dead} == {'{"Device_ID": "missing everything"}', "{garbage"}
 
 
+def test_pipeline_observed_metrics(spark, tmp_path):
+    (tmp_path / "geo").mkdir()
+    (tmp_path / "geo" / "a.jsonl").write_text(
+        "\n".join(
+            json.dumps({
+                "Device_ID": f"d{i}", "Vehicle_ID": f"v{i}",
+                "Record_DateTime": "2024-02-02T08:00:00.000Z",
+                "Latitude": 1.0, "Longitude": 2.0,
+            }) for i in range(5)
+        ) + "\n"
+    )
+    spec = PipelineSpec(
+        sources=[SourceSpec(kind="jsonl", translator="geotab",
+                            options={"path": str(tmp_path / "geo")}, tenant="t-obs")],
+        output_path=str(tmp_path / "out"),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q = run_pipeline(spark, spec, streaming=True)
+    q.awaitTermination(120)
+    progress = q.lastProgress
+    observed = progress["observedMetrics"]["route_metrics"]
+    assert observed["routed"] == 5
+    assert observed["tenants"] == 1
+
+
 def test_event_type_split_sink(spark, tmp_path):
     from pulsar_ingestion_spark.operators.legacy import route_by_event_type
 
