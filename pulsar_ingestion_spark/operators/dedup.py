@@ -149,6 +149,55 @@ def simhash_near_dups(df: DataFrame, max_hamming: int = 3, **kwargs) -> DataFram
     )
 
 
+def embedding_near_dups_blas(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """BLAS-accelerated embedding near-dup: Arrow batches × numpy matmul.
+
+    The candidate matrix is broadcast once per executor; each Arrow batch
+    of rows computes a (batch × n) similarity block in one `np.dot` —
+    orders of magnitude fewer interpreter ops than per-pair folds.  At
+    100 TB the broadcast side becomes IVF/LSH cells (block per bucket);
+    the batch-matmul shape is identical.
+
+    Results match :func:`embedding_near_dups` up to summation-order ULPs
+    (this is the rows-only fast path; the fold-based op is the
+    oracle-checked baseline).
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    spark = emb.sparkSession
+    mat_rows = rows.collect()  # the *broadcast side* — small (model-sized)
+    ids = np.array([r["id"] for r in mat_rows], dtype=np.int64)
+    mat = np.array([r["v"] for r in mat_rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+    b_norms = spark.sparkContext.broadcast(norms)
+
+    def _block(batches):
+        cand_ids, cand, cand_norms = b_ids.value, b_mat.value, b_norms.value
+        for pdf in batches:
+            q = np.array(list(pdf["v"]), dtype=np.float64)
+            qn = np.linalg.norm(q, axis=1)
+            sims = np.round((q @ cand.T) / np.outer(qn, cand_norms), 6)
+            qi = pdf["id"].to_numpy()
+            out_a, out_b, out_s = [], [], []
+            for i in range(sims.shape[0]):
+                hits = np.where((sims[i] >= threshold) & (cand_ids > qi[i]))[0]
+                out_a.extend([qi[i]] * len(hits))
+                out_b.extend(cand_ids[hits])
+                out_s.extend(sims[i][hits])
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "cos_sim": out_s})
+
+    return rows.mapInPandas(_block, schema="id_a long, id_b long, cos_sim double")
+
+
 def embedding_near_dups(
     emb: DataFrame,
     threshold: float = 0.95,

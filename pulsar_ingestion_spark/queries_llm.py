@@ -126,6 +126,15 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     return embedding_near_dups(fan_out(load_tables(spark, sf_dir)["embeddings"], spark), threshold=0.6)
 
 
+@query("dedup_embedding_blas")  # summation-order ULPs vs oracle → rows-only
+def q_dedup_embedding_blas(spark, sf_dir):
+    from pulsar_ingestion_spark.operators.dedup import embedding_near_dups_blas
+
+    return embedding_near_dups_blas(
+        fan_out(load_tables(spark, sf_dir)["embeddings"], spark), threshold=0.6
+    )
+
+
 _KNN_DOT = """list_reduce(list_prepend(0.0, list_transform(range(1, len({a})+1),
   i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), (x,y) -> x+y)"""
 

@@ -83,6 +83,19 @@ def test_knn_lsh_recovers_close_neighbor(spark):
     assert out and out[0]["cand_id"] == 0
 
 
+def test_blas_near_dups_match_fold_path(spark, sf_dir):
+    """The BLAS matmul path and the fold-based oracle path must find the
+    same near-dup pairs (away from threshold-boundary ULPs)."""
+    from pulsar_ingestion_spark.operators.dedup import embedding_near_dups_blas
+    from pulsar_ingestion_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    fold = {(r["id_a"], r["id_b"]) for r in embedding_near_dups(emb, threshold=0.3).collect()}
+    blas = {(r["id_a"], r["id_b"]) for r in embedding_near_dups_blas(emb, threshold=0.3).collect()}
+    assert fold, "threshold too high — test found no pairs at all"
+    assert fold == blas
+
+
 def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     """IVF with nprobe=3 of 16 cells must recover most brute-force
     neighbors on the test embeddings (recall sanity, not exactness)."""
