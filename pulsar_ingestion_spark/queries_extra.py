@@ -463,6 +463,42 @@ def json_multi_extract(spark, sf_dir):
     )
 
 
+@query(
+    "agg_variance_stddev",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             count(value) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sxx
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type,
+           round((sxx - sx * sx / n) / (n - 1), 4) AS var_samp,
+           round(sqrt((sxx - sx * sx / n) / (n - 1)), 4) AS stddev_samp
+    FROM s
+    """,
+)
+def agg_variance_stddev(spark, sf_dir):
+    # Built-in stddev/var use float running accumulation (summation-order
+    # dependent) — for cross-engine-exact results compute from DECIMAL
+    # sum / sum-of-squares, the same trick as dsum (map-side combinable,
+    # single shuffle, numerically safe for value ranges like these).
+    ev = load_tables(spark, sf_dir)["events"]
+    vdec = F.col("value").cast("decimal(18,6)")
+    s = ev.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        F.sum(vdec).cast("double").alias("sx"),
+        F.sum(vdec * vdec).cast("double").alias("sxx"),
+    )
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)
+    return s.select(
+        "event_type",
+        F.round(var, 4).alias("var_samp"),
+        F.round(F.sqrt(var), 4).alias("stddev_samp"),
+    )
+
+
 _TRIP_SUMMARY_ORACLE = """
 WITH pings AS (
   SELECT user_id AS vehicle, value / 10 AS lat, -value / 7 AS lon, ts, event_id
