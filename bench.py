@@ -33,7 +33,9 @@ HEADLINE = [
     "win_topk_per_group",
     "win_lag_lead",
     "stream_tumbling_agg",
+    "stream_sliding_agg",
     "stream_session_window",
+    "stream_dedup",
     "cmf_translate_geotab",
     "cmf_translate_calamp",
     "cmf_translate_ford",

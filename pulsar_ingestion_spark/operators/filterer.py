@@ -77,6 +77,25 @@ def route_to_tenant_dirs(
     ).parquet(base_path)
 
 
+def prepare_kafka_routing(df: DataFrame, payload_col: str = "value") -> DataFrame:
+    """Shape a routable stream for Spark's Kafka sink with PER-ROW topics:
+    the sink reads the ``topic`` column, so the computed destination
+    (Filterer.kt:36) needs no foreachBatch at all.  Kafka topic names
+    forbid '/', so the Pulsar-style URI is sanitized to
+    ``<tenantId>.integration.telemetry``.
+
+    Start with:
+        prepare_kafka_routing(extract_tenant(df)).writeStream
+            .format("kafka").option("kafka.bootstrap.servers", ...).start()
+    """
+    routable = filter_routable(df)
+    topic = F.concat(F.col("tenantId"), F.lit(".integration.telemetry"))
+    return routable.select(
+        topic.alias("topic"),
+        F.col(payload_col).cast("string").alias("value"),
+    )
+
+
 def route_stream_to_tenant_dirs(stream_df: DataFrame, base_path: str, checkpoint: str, payload_col: str = "value"):
     """Streaming form: readStream → foreachBatch(partitioned write).
     Micro-batch epoch commits + checkpointing replace the reference's
