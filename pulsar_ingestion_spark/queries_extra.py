@@ -464,6 +464,68 @@ def json_multi_extract(spark, sf_dir):
 
 
 @query(
+    "text_levenshtein_pairs",
+    oracle="""
+    WITH prefixes AS (
+      SELECT doc_id, substring(text, 1, 30) AS p, lang FROM documents WHERE doc_id < 60
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           levenshtein(a.p, b.p) AS edit_dist
+    FROM prefixes a JOIN prefixes b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.p, b.p) <= 12
+    """,
+)
+def text_levenshtein_pairs(spark, sf_dir):
+    # Fuzzy near-dup by edit distance on 30-char prefixes, blocked by lang
+    # (the blocking key stands in for an LSH bucket at scale — never
+    # all-pairs).  Integer edit distance: exact cross-engine parity.
+    d = load_tables(spark, sf_dir)["documents"]
+    pref = d.filter(F.col("doc_id") < 60).select(
+        "doc_id", F.substring("text", 1, 30).alias("p"), "lang"
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    dist = F.levenshtein(F.col("a.p"), F.col("b.p"))
+    return (
+        a.join(b, (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            dist.alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 12)
+    )
+
+
+@query(
+    "error_safe_funcs",
+    oracle="""
+    SELECT event_id,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_ok,
+           TRY_CAST(event_type AS BIGINT) AS never_int,
+           CASE WHEN (CAST(event_id % 5 AS BIGINT)) = 0 THEN NULL
+                ELSE value / (event_id % 5) END AS safe_div,
+           coalesce(TRY_CAST(event_type AS BIGINT), -1) AS with_default
+    FROM events WHERE event_id < 2000
+    """,
+)
+def error_safe_funcs(spark, sf_dir):
+    # The drop-don't-fail policy as scalar functions: try_cast / try_divide
+    # return NULL instead of raising — malformed values degrade gracefully
+    # (ANSI mode stays on for everything else).
+    ev = load_tables(spark, sf_dir)["events"]
+    k_ok = F.expr("TRY_CAST(get_json_object(props, '$.k') AS BIGINT)")
+    never_int = F.expr("TRY_CAST(event_type AS BIGINT)")
+    return ev.filter(F.col("event_id") < 2000).select(
+        "event_id",
+        k_ok.alias("k_ok"),
+        never_int.alias("never_int"),
+        F.try_divide(F.col("value"), F.col("event_id") % 5).alias("safe_div"),
+        F.coalesce(never_int, F.lit(-1)).alias("with_default"),
+    )
+
+
+@query(
     "agg_variance_stddev",
     oracle="""
     WITH s AS (
