@@ -463,6 +463,127 @@ def json_multi_extract(spark, sf_dir):
     )
 
 
+_DTC_ORACLE = """
+WITH exploded AS (
+  SELECT concat('veh-', CAST(user_id AS VARCHAR)) AS vehicle_id,
+         unnest([
+           concat('P0', CAST(user_id % 300 AS VARCHAR)),
+           concat('B1', CAST(event_id % 50 AS VARCHAR))
+         ]) AS code,
+         event_type = 'error' AS is_active
+  FROM events
+)
+SELECT code, count(*) AS occurrences,
+       count(*) FILTER (WHERE is_active) AS active_cnt,
+       count(DISTINCT vehicle_id) AS vehicles
+FROM exploded
+GROUP BY code
+"""
+
+
+@query("cmf_events_explode", oracle=_DTC_ORACLE)
+def cmf_events_explode(spark, sf_dir):
+    # The CommonEvents arrays surface (CommonMessageFormat.kt:425-440):
+    # no translator populates events (GeotabTranslator.kt:145), so the
+    # fixture synthesizes dtcEvents arrays, then explode → per-code fleet
+    # stats — the §1.4 "downstream analytics over it (explode/flatten)".
+    ev = load_tables(spark, sf_dir)["events"]
+    dtc = F.array(
+        F.struct(
+            F.concat(F.lit("P0"), (F.col("user_id") % 300).cast("string")).alias("code"),
+            (F.col("event_type") == "error").alias("isActive"),
+        ),
+        F.struct(
+            F.concat(F.lit("B1"), (F.col("event_id") % 50).cast("string")).alias("code"),
+            (F.col("event_type") == "error").alias("isActive"),
+        ),
+    )
+    exploded = ev.select(
+        F.concat(F.lit("veh-"), F.col("user_id").cast("string")).alias("vehicle_id"),
+        F.explode(dtc).alias("e"),
+    )
+    return exploded.groupBy(F.col("e.code").alias("code")).agg(
+        F.count("*").alias("occurrences"),
+        F.count_if(F.col("e.isActive")).alias("active_cnt"),
+        F.countDistinct("vehicle_id").alias("vehicles"),
+    )
+
+
+@query(
+    "agg_max_min_by",
+    oracle="""
+    SELECT user_id,
+           (max({'v': value, 'i': event_id})).i AS top_event,
+           (min({'v': value, 'i': event_id})).i AS bottom_event,
+           max(value) AS max_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def agg_max_min_by(spark, sf_dir):
+    # argmax/argmin via lexicographic struct extremes — max_by alone is
+    # tie-UNSTABLE across engines (events.value repeats within groups);
+    # (value, event_id) struct ordering makes the winning row unique.
+    ev = load_tables(spark, sf_dir)["events"]
+    key = F.struct(F.col("value").alias("v"), F.col("event_id").alias("i"))
+    return ev.groupBy("user_id").agg(
+        F.max(key).getField("i").alias("top_event"),
+        F.min(key).getField("i").alias("bottom_event"),
+        F.max("value").alias("max_value"),
+    )
+
+
+_FLEET_DASHBOARD_ORACLE = """
+WITH cmf AS (
+  SELECT concat('veh-', CAST(user_id AS VARCHAR)) AS vehicle_id,
+         user_id,
+         date_trunc('day', ts) AS day,
+         value / 10 AS speed
+  FROM events
+  WHERE user_id % 37 <> 0
+), enriched AS (
+  SELECT c.*, cu.c_mktsegment AS fleet_segment
+  FROM cmf c JOIN customer cu ON c.user_id = cu.c_custkey
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       fleet_segment,
+       count(*) AS msgs,
+       count(DISTINCT vehicle_id) AS active_vehicles,
+       CAST(SUM(CAST(speed AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_speed
+FROM enriched
+GROUP BY 1, 2
+"""
+
+
+@query("fleet_dashboard", oracle=_FLEET_DASHBOARD_ORACLE)
+def fleet_dashboard(spark, sf_dir):
+    # Composite flagship: translate (Geotab branch) → enrich with the
+    # fleet dimension (broadcast) → daily per-segment activity rollup.
+    # The translate branch reuses the REAL operator, so this exercises
+    # parse → validate → map → join → agg end-to-end in one plan.
+    from pulsar_ingestion_spark.operators.translators import translate_geotab
+    from pulsar_ingestion_spark.queries_translate import _geotab_payloads
+
+    t = load_tables(spark, sf_dir)
+    ev = fan_out(t["events"], spark)
+    translated = translate_geotab(_geotab_payloads(ev), payload_col="value_json")
+    cmf = translated.select(
+        F.col("cmf.vehicleId").alias("vehicle_id"),
+        F.col("user_id"),
+        F.date_trunc("day", F.to_timestamp(F.col("cmf.dateTime"))).alias("day"),
+        (F.col("value") / 10).alias("speed"),
+    )
+    enriched = cmf.join(F.broadcast(t["customer"]), cmf.user_id == F.col("c_custkey"))
+    return enriched.groupBy(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("c_mktsegment").alias("fleet_segment"),
+    ).agg(
+        F.count("*").alias("msgs"),
+        F.countDistinct("vehicle_id").alias("active_vehicles"),
+        (F.sum(F.col("speed").cast("decimal(18,6)")).cast("double") / F.count("*")).alias("avg_speed"),
+    )
+
+
 @query(
     "text_levenshtein_pairs",
     oracle="""
