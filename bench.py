@@ -48,6 +48,8 @@ HEADLINE = [
     "sim_search_knn",
     "stateful_transitions",
     "telemetry_trip_distance",
+    "fleet_dashboard",
+    "cmf_events_explode",
     "agg_rollup",
     "win_distribution",
     "agg_pivot",
