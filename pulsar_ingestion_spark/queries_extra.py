@@ -647,6 +647,34 @@ def error_safe_funcs(spark, sf_dir):
 
 
 @query(
+    "explode_variants",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+      FROM documents WHERE doc_id < 15
+    )
+    SELECT doc_id, pos, word FROM (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(words) + 1),
+                                   i -> {'pos': i - 1, 'word': words[i]})) AS e
+      FROM w
+    ) t, LATERAL (SELECT t.e.pos AS pos, t.e.word AS word)
+    WHERE pos < 5
+    """,
+)
+def explode_variants(spark, sf_dir):
+    # posexplode: position-preserving explode (ordinal matters for
+    # sequence features like n-gram positions).
+    d = load_tables(spark, sf_dir)["documents"]
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    return (
+        d.filter(F.col("doc_id") < 15)
+        .select("doc_id", F.posexplode(words).alias("pos", "word"))
+        .filter(F.col("pos") < 5)
+    )
+
+
+@query(
     "agg_variance_stddev",
     oracle="""
     WITH s AS (

@@ -205,6 +205,28 @@ def test_stream_asof_join(spark, tmp_path):
     assert ("v1", "current") in flushed
 
 
+def test_stream_static_enrichment_join(spark, tmp_path):
+    """Streaming fact ⋈ static dimension (broadcast) — the tenant/fleet
+    enrichment pattern: no state store involved, dim re-read per batch."""
+    _write_jsonl(tmp_path / "ev", [
+        {"vehicle_id": "v1", "speed": 42.0},
+        {"vehicle_id": "v2", "speed": 13.0},
+        {"vehicle_id": "v404", "speed": 99.0},  # no dim row
+    ])
+    dim = spark.createDataFrame(
+        [("v1", "fleet-a"), ("v2", "fleet-b")], "vehicle_id string, fleet string"
+    )
+    stream = spark.readStream.schema("vehicle_id string, speed double").json(str(tmp_path / "ev"))
+    enriched = stream.join(F.broadcast(dim), "vehicle_id", "left")
+    q = (
+        enriched.writeStream.format("memory").queryName("enriched").outputMode("append")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = {(r["vehicle_id"], r["fleet"]) for r in spark.sql("SELECT * FROM enriched").collect()}
+    assert rows == {("v1", "fleet-a"), ("v2", "fleet-b"), ("v404", None)}
+
+
 def test_stream_stream_join(spark, tmp_path):
     """Telemetry ⋈ events by key + event-time window (SURVEY.md §2.5
     join_stream_stream): two watermarked streams, range-join condition."""
