@@ -79,7 +79,7 @@ def main() -> None:
     # expressions); steady-state is what a long-running cluster job sees.
     dfs = {name: queries[name](spark, sf_dir) for name in HEADLINE}
     timings: dict[str, float] = {}
-    for _ in range(2):
+    for _ in range(3):
         for name in HEADLINE:
             t0 = time.perf_counter()
             dfs[name].count()
