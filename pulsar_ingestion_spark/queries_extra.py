@@ -647,6 +647,29 @@ def error_safe_funcs(spark, sf_dir):
 
 
 @query(
+    "string_regexp_groups",
+    oracle="""
+    SELECT o_orderkey,
+           regexp_extract(o_orderpriority, '^([0-9]+)-([A-Z]+)$', 1) AS prio_num,
+           regexp_extract(o_orderpriority, '^([0-9]+)-([A-Z]+)$', 2) AS prio_word,
+           CAST(regexp_matches(o_orderpriority, '^[0-9]+-') AS BOOLEAN) AS well_formed
+    FROM orders WHERE o_orderkey < 3000
+    """,
+)
+def string_regexp_groups(spark, sf_dir):
+    # Capture-group extraction — the source-field parsing primitive for
+    # semi-structured string columns (ids, codes, priorities).
+    o = load_tables(spark, sf_dir)["orders"]
+    pat = r"^([0-9]+)-([A-Z]+)$"
+    return o.filter(F.col("o_orderkey") < 3000).select(
+        "o_orderkey",
+        F.regexp_extract("o_orderpriority", pat, 1).alias("prio_num"),
+        F.regexp_extract("o_orderpriority", pat, 2).alias("prio_word"),
+        F.col("o_orderpriority").rlike("^[0-9]+-").alias("well_formed"),
+    )
+
+
+@query(
     "explode_variants",
     oracle="""
     WITH w AS (
