@@ -292,6 +292,44 @@ def q_multimodal_resize(spark, sf_dir):
     return resize_spec(synthesize_media(docs.select("doc_id")), max_dim=32)
 
 
+_CHUNK_ORACLE = """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+  FROM documents
+), chunks AS (
+  SELECT doc_id,
+         unnest(range(0, CAST(ceil(greatest(len(words) - 10, 1) / 40.0) AS BIGINT))) AS chunk_idx,
+         words
+  FROM w
+)
+SELECT doc_id,
+       chunk_idx,
+       array_to_string(words[chunk_idx * 40 + 1 : chunk_idx * 40 + 50], ' ') AS chunk_text,
+       least(len(words) - chunk_idx * 40, 50) AS chunk_words
+FROM chunks
+"""
+
+
+@query("text_chunk_documents", oracle=_CHUNK_ORACLE)
+def text_chunk_documents(spark, sf_dir):
+    # LLM-corpus chunking: 50-word windows, stride 40 (10-word overlap).
+    # sequence → transform(slice) → posexplode keeps it all JVM-side; at
+    # 100 TB this is a narrow map (no shuffle), output ~1.25x input words.
+    d = load_tables(spark, sf_dir)["documents"]
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    n_chunks = F.ceil(F.greatest(F.size(words) - 10, F.lit(1)) / 40.0).cast("int")
+    idx = F.sequence(F.lit(0), n_chunks - 1)
+    return (
+        d.select("doc_id", words.alias("w"), F.explode(idx).alias("chunk_idx"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            F.array_join(F.slice("w", F.col("chunk_idx") * 40 + 1, 50), " ").alias("chunk_text"),
+            F.least(F.size("w") - F.col("chunk_idx") * 40, F.lit(50)).cast("bigint").alias("chunk_words"),
+        )
+    )
+
+
 @query(
     "text_lang_id",
     oracle=f"""
