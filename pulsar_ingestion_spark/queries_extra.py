@@ -647,6 +647,54 @@ def error_safe_funcs(spark, sf_dir):
 
 
 @query(
+    "agg_bool",
+    oracle="""
+    SELECT user_id,
+           bool_and(value > 0)    AS all_positive,
+           bool_or(value > 400)   AS any_high,
+           count(*) FILTER (WHERE event_type = 'error') = 0 AS error_free
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def agg_bool(spark, sf_dir):
+    ev = load_tables(spark, sf_dir)["events"]
+    return ev.groupBy("user_id").agg(
+        F.bool_and(F.col("value") > 0).alias("all_positive"),
+        F.bool_or(F.col("value") > 400).alias("any_high"),
+        (F.count_if(F.col("event_type") == "error") == 0).alias("error_free"),
+    )
+
+
+@query(
+    "bitwise_funcs",
+    oracle="""
+    SELECT event_id,
+           event_id & 255 AS low_byte,
+           event_id | 4096 AS with_flag,
+           xor(event_id, user_id) AS mixed,
+           event_id << 2 AS shifted_l,
+           event_id >> 3 AS shifted_r,
+           bit_count(event_id) AS popcount
+    FROM events WHERE event_id < 2000
+    """,
+)
+def bitwise_funcs(spark, sf_dir):
+    # Bit manipulation — flag fields, hash mixing, simhash-style signatures.
+    ev = load_tables(spark, sf_dir)["events"]
+    e = F.col("event_id")
+    return ev.filter(e < 2000).select(
+        "event_id",
+        e.bitwiseAND(F.lit(255)).alias("low_byte"),
+        e.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        e.bitwiseXOR(F.col("user_id")).alias("mixed"),
+        F.shiftleft(e, 2).alias("shifted_l"),
+        F.shiftright(e, 3).alias("shifted_r"),
+        F.bit_count(e).alias("popcount"),
+    )
+
+
+@query(
     "string_regexp_groups",
     oracle="""
     SELECT o_orderkey,
