@@ -13,6 +13,12 @@ cross-check the streaming output (same input ⇒ same transitions).
 Scale: state is O(#vehicles) (bytes each), partitioned by vehicle key;
 watermark-driven timeout (GroupStateTimeout.EventTimeTimeout) would evict
 retired vehicles in production.
+
+API note: Spark 4's successor API (transformWithStateInPandas /
+StatefulProcessor) requires a working protobuf runtime, which this
+environment lacks (`ImportError: cannot import name 'descriptor' from
+google.protobuf` at query start) — applyInPandasWithState is the
+supported path here and remains fully supported upstream.
 """
 
 from __future__ import annotations
