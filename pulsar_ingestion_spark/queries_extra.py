@@ -647,6 +647,29 @@ def error_safe_funcs(spark, sf_dir):
 
 
 @query(
+    "agg_histogram",
+    oracle="""
+    SELECT CAST(floor(value / 50) AS BIGINT) AS bucket,
+           CAST(floor(value / 50) AS BIGINT) * 50 AS bucket_lo,
+           count(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS bucket_avg
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def agg_histogram(spark, sf_dir):
+    # Fixed-width histogram by arithmetic bucketing — dashboard primitive;
+    # one shuffle on ~10 bucket keys, partial-agg does nearly all the work
+    # map-side (ideal reduction shape at 100 TB).
+    ev = load_tables(spark, sf_dir)["events"]
+    bucket = F.floor(F.col("value") / 50).cast("bigint")
+    return ev.groupBy(bucket.alias("bucket"), (bucket * 50).alias("bucket_lo")).agg(
+        F.count("*").alias("cnt"),
+        (F.sum(F.col("value").cast("decimal(18,6)")).cast("double") / F.count("*")).alias("bucket_avg"),
+    )
+
+
+@query(
     "agg_bool",
     oracle="""
     SELECT user_id,
