@@ -32,6 +32,36 @@ def write_bucketed(
     w.mode("overwrite").format("parquet").saveAsTable(table)
 
 
+def write_cmf_warehouse(
+    cmf_flat: DataFrame,
+    table: str,
+    date_col: str = "event_date",
+    key_col: str = "partitionKey",
+    sort_cols: tuple[str, ...] | None = None,
+    num_buckets: int = 8,
+) -> None:
+    """CMF-at-rest layout (SCALE.md §1): date partitions × vehicle-key
+    buckets, sorted within bucket by (key, epoch).
+
+    Date partition dirs give partition pruning for time-range queries;
+    bucketing by partitionKey (= vehicleId, GeotabTranslator.kt:143) means
+    per-vehicle analytics (lag/session/window) read pre-clustered data —
+    the window's hash-distribution requirement is satisfied by the scan,
+    no exchange (asserted in tests/test_plans.py).
+    """
+    spark = cmf_flat.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    sort_cols = sort_cols or (key_col,)
+    (
+        cmf_flat.write.partitionBy(date_col)
+        .bucketBy(num_buckets, key_col)
+        .sortBy(*sort_cols)
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
 def bucketed_join(
     spark: SparkSession, left_table: str, right_table: str, on: str, how: str = "inner"
 ) -> DataFrame:

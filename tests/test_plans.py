@@ -117,6 +117,37 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS customer_b")
 
 
+def test_cmf_warehouse_window_without_exchange(spark):
+    """Per-vehicle window over the bucketed CMF store: scan satisfies the
+    window's hash distribution — no Exchange in the plan; date partition
+    pruning shows in the scan's partition filters."""
+    from pyspark.sql import Window
+
+    from pulsar_ingestion_spark.operators.storage import write_cmf_warehouse
+    from pulsar_ingestion_spark.queries_translate import cmf_translate_geotab
+
+    cmf = cmf_translate_geotab(spark, SF).withColumn(
+        "event_date", F.to_date(F.to_timestamp(F.col("date_time")))
+    )
+    try:
+        write_cmf_warehouse(
+            cmf, "cmf_store", key_col="partition_key",
+            sort_cols=("partition_key", "epoch_source"),
+        )
+        stored = spark.table("cmf_store")
+        w = Window.partitionBy("partition_key").orderBy("epoch_source")
+        q = stored.filter(F.col("event_date") >= "2024-01-10").select(
+            "partition_key",
+            "epoch_source",
+            (F.col("epoch_source") - F.lag("epoch_source").over(w)).alias("gap_ms"),
+        )
+        plan = _plan(q)
+        assert "Exchange" not in plan, plan
+        assert q.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cmf_store")
+
+
 def test_multimodal_resize_prunes_payload(spark):
     """Metadata-only media op must not read the binary payload column."""
     from pulsar_ingestion_spark.queries_llm import q_multimodal_resize
