@@ -205,6 +205,41 @@ def test_stream_asof_join(spark, tmp_path):
     assert ("v1", "current") in flushed
 
 
+def test_dedup_state_bounded_by_watermark(spark, tmp_path):
+    """Soak: dropDuplicatesWithinWatermark state must NOT grow with total
+    history — only with keys inside the watermark horizon.  Three passes,
+    each a day later with 50 fresh keys; final state ≈ one day's keys,
+    not 150."""
+    (tmp_path / "in").mkdir()
+
+    def drop_files(day: int):
+        lines = [
+            json.dumps({"k": f"d{day}-k{i}", "ts": f"2024-01-{10+day:02d}T10:00:{i % 60:02d}", "v": i})
+            for i in range(50)
+        ]
+        (tmp_path / "in" / f"part-{day}.jsonl").write_text("\n".join(lines) + "\n")
+
+    state_rows = []
+    for day in range(3):
+        drop_files(day)
+        stream = spark.readStream.schema("k string, ts timestamp, v long").json(str(tmp_path / "in"))
+        deduped = watermark_dedup(stream, ["k"], ts_col="ts", watermark="1 hour")
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        progress = [p for p in q.recentProgress if p.get("stateOperators")]
+        if progress:
+            state_rows.append(progress[-1]["stateOperators"][0]["numRowsTotal"])
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 150  # every key emitted once
+    # bounded: final state holds ~the last day's keys, not all 150
+    assert state_rows[-1] <= 60, state_rows
+
+
 def test_stream_static_enrichment_join(spark, tmp_path):
     """Streaming fact ⋈ static dimension (broadcast) — the tenant/fleet
     enrichment pattern: no state store involved, dim re-read per batch."""
