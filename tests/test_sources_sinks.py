@@ -100,6 +100,30 @@ def test_event_type_split_sink(spark, tmp_path):
     assert keys == {"user-profile-event", "order-event"}
 
 
+def test_compact_partitioned_output(spark, tmp_path):
+    import glob
+
+    from pulsar_ingestion_spark.operators.storage import compact_partitioned_output
+
+    base = str(tmp_path / "routed")
+    # simulate many micro-batches: 6 small appends -> many files per tenant
+    for batch in range(6):
+        df = spark.createDataFrame(
+            [(f"t{i % 2}", f"payload-{batch}-{i}") for i in range(10)],
+            "tenantId string, value string",
+        ).repartition(4)
+        df.write.mode("append").partitionBy("tenantId").parquet(base)
+    files_before = len(glob.glob(f"{base}/tenantId=*/*.parquet"))
+    assert files_before > 10
+    n = compact_partitioned_output(spark, base, "tenantId", target_files_per_partition=1)
+    assert n == 60
+    files_after = len(glob.glob(f"{base}/tenantId=*/*.parquet"))
+    assert files_after <= 4  # ~1 per tenant (+hash-partition remainder)
+    back = spark.read.parquet(base)
+    assert back.count() == 60
+    assert back.select("tenantId").distinct().count() == 2
+
+
 def test_native_sink_exactly_once(spark, tmp_path):
     (tmp_path / "geo").mkdir()
     (tmp_path / "geo" / "a.jsonl").write_text(
