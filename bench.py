@@ -86,6 +86,29 @@ def main() -> None:
             dt = round(time.perf_counter() - t0, 4)
             timings[name] = min(timings.get(name, float("inf")), dt)
 
+    # End-to-end pipeline throughput: loadgen 50k Geotab docs → batch
+    # pipeline (translate → route → partitioned parquet) — the flagship
+    # ingest path as one timed unit.
+    import shutil
+    import tempfile
+
+    from pulsar_ingestion_spark.plans.pipeline import PipelineSpec, SourceSpec, run_pipeline
+    from tools.loadgen import generate
+
+    tmp = tempfile.mkdtemp(prefix="bench-pipeline-")
+    try:
+        generate(os.path.join(tmp, "in"), "geotab", rows=50_000, files=32)
+        spec = PipelineSpec(
+            sources=[SourceSpec(kind="jsonl", translator="geotab",
+                                options={"path": os.path.join(tmp, "in")})],
+            output_path=os.path.join(tmp, "out"),
+        )
+        t0 = time.perf_counter()
+        run_pipeline(spark, spec, streaming=False)
+        timings["pipeline_e2e_50k"] = round(time.perf_counter() - t0, 4)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
