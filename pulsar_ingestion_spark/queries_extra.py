@@ -647,6 +647,64 @@ def error_safe_funcs(spark, sf_dir):
 
 
 @query(
+    "array_set_ops",
+    oracle="""
+    WITH pair AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             list_distinct(regexp_split_to_array(trim(lower(a.text)), '\\s+')) AS wa,
+             list_distinct(regexp_split_to_array(trim(lower(b.text)), '\\s+')) AS wb
+      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      WHERE a.doc_id < 30
+    )
+    SELECT id_a, id_b,
+           array_to_string(list_sort(list_intersect(wa, wb)), ',') AS common_words,
+           coalesce(array_to_string(list_sort(list_filter(wa, w -> NOT list_contains(wb, w))), ','), '')
+             AS only_a,
+           len(list_distinct(list_concat(wa, wb))) AS union_size
+    FROM pair
+    """,
+)
+def array_set_ops(spark, sf_dir):
+    # Array set algebra (intersect/except/union) — vocabulary-overlap
+    # features between adjacent documents; canonicalized (sorted, joined)
+    # for the hash check.
+    d = load_tables(spark, sf_dir)["documents"]
+    words = F.array_distinct(F.split(F.trim(F.lower("text")), r"\s+"))
+    a = d.filter(F.col("doc_id") < 30).select(F.col("doc_id").alias("id_a"), words.alias("wa"))
+    b = d.select((F.col("doc_id")).alias("id_bj"), words.alias("wb"))
+    j = a.join(b, F.col("id_bj") == F.col("id_a") + 1)
+    return j.select(
+        "id_a",
+        F.col("id_bj").alias("id_b"),
+        F.array_join(F.array_sort(F.array_intersect("wa", "wb")), ",").alias("common_words"),
+        F.array_join(F.array_sort(F.array_except("wa", "wb")), ",").alias("only_a"),
+        F.size(F.array_union("wa", "wb")).cast("bigint").alias("union_size"),
+    )
+
+
+@query(
+    "string_split_part",
+    oracle="""
+    SELECT event_id,
+           split_part(concat(event_type, ':', CAST(user_id AS VARCHAR), ':', CAST(event_id AS VARCHAR)),
+                      ':', 2) AS middle_field,
+           split_part(concat(event_type, ':', CAST(user_id AS VARCHAR), ':', CAST(event_id AS VARCHAR)),
+                      ':', 1) AS first_field
+    FROM events WHERE event_id < 1500
+    """,
+)
+def string_split_part(spark, sf_dir):
+    # Delimited-field extraction — the id/topic-string parsing primitive.
+    ev = load_tables(spark, sf_dir)["events"]
+    composite = F.concat_ws(":", "event_type", F.col("user_id").cast("string"), F.col("event_id").cast("string"))
+    return ev.filter(F.col("event_id") < 1500).select(
+        "event_id",
+        F.split_part(composite, F.lit(":"), F.lit(2)).alias("middle_field"),
+        F.split_part(composite, F.lit(":"), F.lit(1)).alias("first_field"),
+    )
+
+
+@query(
     "agg_histogram",
     oracle="""
     SELECT CAST(floor(value / 50) AS BIGINT) AS bucket,
