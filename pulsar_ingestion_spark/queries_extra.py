@@ -647,6 +647,67 @@ def error_safe_funcs(spark, sf_dir):
 
 
 @query(
+    "join_cross",
+    oracle="""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           r.r_regionkey = n.n_regionkey AS is_home
+    FROM region r CROSS JOIN nation n
+    """,
+)
+def join_cross(spark, sf_dir):
+    # Explicit cartesian (grid expansion) — only ever small × small;
+    # Spark requires crossJoin() so accidental products fail loudly.
+    t = load_tables(spark, sf_dir)
+    r, n = t["region"], t["nation"]
+    return r.crossJoin(n).select(
+        F.col("r_name").alias("region"),
+        F.col("n_name").alias("nation"),
+        (F.col("r_regionkey") == F.col("n_regionkey")).alias("is_home"),
+    )
+
+
+_BIGRAM_ORACLE = """
+WITH grams AS (
+  SELECT lang,
+         unnest(list_transform(range(1, len(w)), i -> concat(w[i], ' ', w[i+1]))) AS bigram
+  FROM (SELECT lang, regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents)
+  WHERE len(w) >= 2
+), counted AS (
+  SELECT lang, bigram, count(*) AS cnt FROM grams GROUP BY lang, bigram
+)
+SELECT lang, bigram, cnt FROM (
+  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, bigram) AS rn
+  FROM counted
+) WHERE rn <= 5
+"""
+
+
+@query("text_ngram_freq", oracle=_BIGRAM_ORACLE)
+def text_ngram_freq(spark, sf_dir):
+    # Top-5 bigrams per language — n-gram language modeling / corpus-stat
+    # primitive: explode bigrams → count → windowed top-k (ties broken
+    # lexicographically for determinism).
+    d = load_tables(spark, sf_dir)["documents"]
+    w = F.split(F.trim(F.lower("text")), r"\s+")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - 1),
+        lambda i: F.concat(F.element_at(w, i), F.lit(" "), F.element_at(w, i + 1)),
+    )
+    counted = (
+        d.filter(F.size(w) >= 2)
+        .select("lang", F.explode(bigrams).alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    win = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("bigram"))
+    return (
+        counted.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )
+
+
+@query(
     "array_set_ops",
     oracle="""
     WITH pair AS (
