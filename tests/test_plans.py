@@ -117,6 +117,25 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS customer_b")
 
 
+def test_fleet_dashboard_broadcasts_dim(spark):
+    """The composite translate→enrich→rollup plan must broadcast the
+    customer dim (never shuffle the fact side for the join)."""
+    from pulsar_ingestion_spark.queries_extra import fleet_dashboard
+
+    plan = _plan(fleet_dashboard(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_chunking_is_narrow(spark):
+    """Document chunking must be a narrow map — no shuffle for a per-doc
+    explode."""
+    from pulsar_ingestion_spark.queries_llm import text_chunk_documents
+
+    plan = _plan(text_chunk_documents(spark, SF))
+    assert "Exchange" not in plan, plan
+
+
 def test_cmf_warehouse_window_without_exchange(spark):
     """Per-vehicle window over the bucketed CMF store: scan satisfies the
     window's hash distribution — no Exchange in the plan; date partition
