@@ -23,6 +23,11 @@ def main(argv: list[str] | None = None) -> int:
     run.add_argument("--dead-letter", help="dead-letter dir for malformed input")
     run.add_argument("--batch", action="store_true", help="one-shot batch instead of streaming")
     run.add_argument(
+        "--trigger-interval",
+        help="run continuously with this micro-batch interval (e.g. '30 seconds'); "
+        "default drains available data and exits",
+    )
+    run.add_argument(
         "--override",
         nargs=2,
         action="append",
@@ -48,6 +53,8 @@ def main(argv: list[str] | None = None) -> int:
         overrides=overrides,
         dead_letter_path=args.dead_letter,
     )
+    if args.trigger_interval:
+        spec.trigger_interval = args.trigger_interval
     for s in getattr(spec, "skipped", []):
         print(f"skipped (no local source options): {s}", file=sys.stderr)
     if not spec.sources:

@@ -78,9 +78,14 @@ def synthesize_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def _decode_image(payload: bytes) -> tuple[int, int]:
-    """STUB decode.  Tries a real decoder (PIL) first; falls back to the
-    synthetic header; anything else raises NotImplementedError — the
-    production deployment injects a real codec here."""
+    """STUB decode.  Synthetic blobs decode via their SYNM header (checked
+    FIRST — they are not valid images, so a real decoder must not see
+    them); real payloads go to PIL when importable; anything else raises
+    NotImplementedError — the production deployment injects a real codec."""
+    if payload[:4] == _MAGIC:
+        (w,) = _struct.unpack(">H", payload[4:6])
+        (h,) = _struct.unpack(">H", payload[6:8])
+        return w, h
     try:  # pragma: no cover - PIL not present in this container
         import io
 
@@ -90,10 +95,8 @@ def _decode_image(payload: bytes) -> tuple[int, int]:
         return img.width, img.height
     except ImportError:
         pass
-    if payload[:4] == _MAGIC:
-        (w,) = _struct.unpack(">H", payload[4:6])
-        (h,) = _struct.unpack(">H", payload[6:8])
-        return w, h
+    except Exception as exc:  # decoder present but payload unreadable
+        raise NotImplementedError(f"image decode failed: {exc}") from exc
     raise NotImplementedError("no image decoder available in this environment")
 
 

@@ -54,11 +54,19 @@ def compact_partitioned_output(
     import shutil
     import uuid
 
+    from pyspark.sql import functions as F
+
     df = spark.read.parquet(base_path)
     n = df.count()
     tmp = f"{base_path}__compact_{uuid.uuid4().hex[:8]}"
+    # Salt the repartition key: hashing by partition_col alone sends ALL of
+    # a partition's rows to one task (one file, one straggler); the salt
+    # spreads each partition over exactly target_files_per_partition tasks.
+    salt = F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(target_files_per_partition))
     (
-        df.repartition(target_files_per_partition, partition_col)
+        df.withColumn("_salt", salt)
+        .repartition(F.col(partition_col), F.col("_salt"))
+        .drop("_salt")
         .write.mode("overwrite")
         .partitionBy(partition_col)
         .parquet(tmp)

@@ -66,12 +66,14 @@ def load_pipeline_yaml(
 
     tenant = doc.get("tenant", "acme")
     topic_to_kind: dict[str, str] = {}
+    topic_to_connector: dict[str, str] = {}
     for cname, cfg in (doc.get("connectors") or {}).items():
         if not cfg.get("source"):
             continue
         out_topic = cfg.get("output")
         if out_topic:
             topic_to_kind[out_topic] = _infer_kind(cname.lower(), str(cfg.get("image", "")).lower())
+            topic_to_connector[out_topic] = cname
 
     sources: list[SourceSpec] = []
     skipped: list[str] = []
@@ -83,8 +85,14 @@ def load_pipeline_yaml(
         inputs = cfg.get("inputs") or ([cfg["input"]] if "input" in cfg else [])
         for topic in inputs:
             kind = topic_to_kind.get(topic, "jsonl")
-            # connector-level override wins; else topic-level
-            opts = overrides.get(fname) or overrides.get(topic) or {}
+            # override lookup order: function name, topic, CONNECTOR name
+            # (the docstring's primary contract)
+            opts = (
+                overrides.get(fname)
+                or overrides.get(topic)
+                or overrides.get(topic_to_connector.get(topic, ""))
+                or {}
+            )
             if not opts and kind not in ("rate",):
                 skipped.append(f"{fname}:{topic} (kind={kind}, no local options)")
                 continue

@@ -58,7 +58,18 @@ class PipelineSpec:
     #   within a failed epoch); "native": Spark's transactional file sink
     #   (_spark_metadata commit log -> exactly-once file visibility).
     sink_mode: str = "foreachBatch"
+    # None -> availableNow (drain-and-stop: backfills, tests, cron runs);
+    # an interval string like "30 seconds" -> continuous micro-batching.
+    trigger_interval: str | None = None
 
+
+
+def _with_trigger(writer, spec: "PipelineSpec"):
+    """availableNow (drain-and-stop) by default; processingTime interval
+    when spec.trigger_interval is set (continuous service mode)."""
+    if spec.trigger_interval:
+        return writer.trigger(processingTime=spec.trigger_interval)
+    return writer.trigger(availableNow=True)
 
 def build_cmf_stream(spark: SparkSession, spec: PipelineSpec, streaming: bool = True) -> DataFrame:
     """Wire sources → translators → canonical CMF stream (wire JSON in
@@ -98,9 +109,10 @@ def build_cmf_stream(spark: SparkSession, spec: PipelineSpec, streaming: bool = 
 
 def run_pipeline(spark: SparkSession, spec: PipelineSpec, streaming: bool = True):
     """Execute the pipeline.  Streaming: returns the StreamingQuery for the
-    main sink (trigger availableNow so tests drain and stop; the dead-letter
-    sink, when configured, runs as a second query on the same sources);
-    batch: writes once."""
+    main sink (availableNow drain-and-stop by default; set
+    spec.trigger_interval for a continuously-running service — the
+    dead-letter sink, when configured, runs as a second query on the same
+    sources); batch: writes once."""
     built = build_cmf_stream(spark, spec, streaming=streaming)
     wire, dead = built if isinstance(built, tuple) else (built, None)
     routable = filter_routable(extract_tenant(wire))
@@ -121,11 +133,12 @@ def run_pipeline(spark: SparkSession, spec: PipelineSpec, streaming: bool = True
     if dead is not None:
         assert spec.checkpoint, "streaming pipeline needs a checkpoint dir"
         (
-            dead.writeStream.format("parquet")
-            .option("path", spec.dead_letter_path)
-            .option("checkpointLocation", spec.checkpoint + "-dead")
-            .trigger(availableNow=True)
-            .start()
+            _with_trigger(
+                dead.writeStream.format("parquet")
+                .option("path", spec.dead_letter_path)
+                .option("checkpointLocation", spec.checkpoint + "-dead"),
+                spec,
+            ).start()
         )
 
     assert spec.checkpoint, "streaming pipeline needs a checkpoint dir"
@@ -134,20 +147,21 @@ def run_pipeline(spark: SparkSession, spec: PipelineSpec, streaming: bool = True
         # _spark_metadata commit log — exactly-once even across mid-batch
         # crashes.  partitionBy still gives the per-tenant layout.
         return (
-            out.writeStream.format("parquet")
-            .partitionBy("tenantId")
-            .option("path", spec.output_path)
-            .option("checkpointLocation", spec.checkpoint)
-            .trigger(availableNow=True)
-            .start()
+            _with_trigger(
+                out.writeStream.format("parquet")
+                .partitionBy("tenantId")
+                .option("path", spec.output_path)
+                .option("checkpointLocation", spec.checkpoint),
+                spec,
+            ).start()
         )
 
     def _write(batch: DataFrame, epoch_id: int) -> None:
         batch.write.mode("append").partitionBy("tenantId").parquet(spec.output_path)
 
     return (
-        out.writeStream.foreachBatch(_write)
-        .option("checkpointLocation", spec.checkpoint)
-        .trigger(availableNow=True)
-        .start()
+        _with_trigger(
+            out.writeStream.foreachBatch(_write).option("checkpointLocation", spec.checkpoint),
+            spec,
+        ).start()
     )

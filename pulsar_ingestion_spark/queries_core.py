@@ -718,10 +718,12 @@ def set_intersect(spark, sf_dir):
     """,
 )
 def set_except(spark, sf_dir):
+    # subtract() = EXCEPT DISTINCT — exceptAll().distinct() would KEEP a
+    # row whose left multiplicity exceeds its right multiplicity.
     c, ev = _t(spark, sf_dir, "customer", "events")
-    return c.filter(F.col("c_custkey") < 200).select(F.col("c_custkey").alias("custkey")).exceptAll(
+    return c.filter(F.col("c_custkey") < 200).select(F.col("c_custkey").alias("custkey")).subtract(
         ev.select(F.col("user_id").alias("custkey"))
-    ).distinct()
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -33,23 +33,6 @@ def join_right(spark, sf_dir):
     )
 
 
-def _legacy_entry(kind: str, doc_builder, parse_schema: str, extract: list[str]):
-    """Shared shape for the remaining legacy-translator query entries."""
-
-    def fn(spark, sf_dir):
-        ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
-        out = translate_legacy(ev.withColumn("value_json", doc_builder()), kind, payload_col="value_json")
-        parsed = F.from_json(F.col("data"), parse_schema)
-        return out.select(
-            F.col("source"),
-            F.col("eventType").alias("event_type_out"),
-            F.col("timestamp").alias("event_ts"),
-            *[parsed.getField(e).alias(e.lower()) for e in extract],
-        )
-
-    return fn
-
-
 _ORDER_ORACLE = """
 SELECT 'order-service' AS source,
        'ORDER_EVENT' AS event_type_out,
@@ -155,7 +138,8 @@ def event_translate_shipment(spark, sf_dir):
     WITH status_stream AS (
       SELECT concat('veh-', CAST(user_id AS VARCHAR)) AS vehicle_id,
              CASE WHEN event_type IN ('click','purchase') THEN 'ON' ELSE 'OFF' END AS status,
-             epoch_ms(ts) AS epoch_ms
+             epoch_ms(ts) AS epoch_ms,
+             event_id
       FROM events
     )
     SELECT vehicle_id, from_status, to_status, at_epoch_ms FROM (
@@ -164,7 +148,7 @@ def event_translate_shipment(spark, sf_dir):
              status AS to_status,
              epoch_ms AS at_epoch_ms
       FROM status_stream
-      WINDOW w AS (PARTITION BY vehicle_id ORDER BY epoch_ms)
+      WINDOW w AS (PARTITION BY vehicle_id ORDER BY epoch_ms, event_id)
     ) WHERE from_status IS NOT NULL AND from_status <> to_status
     """,
 )
@@ -179,8 +163,9 @@ def stateful_transitions(spark, sf_dir):
         F.concat(F.lit("veh-"), F.col("user_id").cast("string")).alias("vehicle_id"),
         F.when(F.col("event_type").isin("click", "purchase"), "ON").otherwise("OFF").alias("status"),
         F.unix_millis(F.col("ts")).alias("epoch_ms"),
+        "event_id",
     )
-    return ignition_transitions(status)
+    return ignition_transitions(status, tiebreak_col="event_id")
 
 
 @query(
@@ -930,7 +915,7 @@ WITH pings AS (
 ), seq AS (
   SELECT vehicle, lat, lon, ts, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
-                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_trip,
+                   OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000 THEN 1 ELSE 0 END AS new_trip,
          round(CASE WHEN lag(ts) OVER w IS NULL THEN NULL ELSE
            2 * 6371.0 * asin(sqrt(
              pow(sin(radians(lat - lag(lat) OVER w) / 2), 2)
@@ -971,8 +956,10 @@ def telemetry_trip_summary(spark, sf_dir):
     )
     w = Window.partitionBy("vehicle").orderBy("ts", "event_id")
     prev_ts = F.lag("ts").over(w)
+    # gap compare in MILLIS on both sides — second-truncated longs diverge
+    # from the oracle for gaps within 1s of the 30-minute boundary
     new_trip = F.when(
-        prev_ts.isNull() | (F.col("ts").cast("long") - prev_ts.cast("long") > 1800), 1
+        prev_ts.isNull() | (F.unix_millis(F.col("ts")) - F.unix_millis(prev_ts) > 1_800_000), 1
     ).otherwise(0)
     seg = F.round(
         haversine_km(F.lag("lat").over(w), F.lag("lon").over(w), F.col("lat"), F.col("lon")), 6

@@ -112,7 +112,7 @@ def fan_out(df, spark: SparkSession):
     return df
 
 
-_TABLE_CACHE: dict[tuple[int, str], dict] = {}
+_TABLE_CACHE: dict[tuple[str, str], dict] = {}
 
 
 def load_tables(spark: SparkSession, sf_dir: str):
@@ -121,7 +121,9 @@ def load_tables(spark: SparkSession, sf_dir: str):
     Memoized per (session, dir): DataFrames are immutable logical plans, so
     reuse skips repeated parquet footer/schema reads when many queries run
     in one session (bench/selfcheck)."""
-    key = (id(spark), sf_dir)
+    # applicationId is unique per SparkContext — id(spark) could be reused
+    # by a new session after the old one is stopped and collected.
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _TABLE_CACHE:
         _TABLE_CACHE[key] = {n: read_parquet(spark, p) for n, p in tables_dir(sf_dir).items()}
     return dict(_TABLE_CACHE[key])

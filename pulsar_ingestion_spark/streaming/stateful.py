@@ -60,20 +60,25 @@ def _detect_transitions(
         last_status, last_ms = state.get
     else:
         last_status, last_ms = None, None
+    # Arrow may deliver one group as MULTIPLE chunks: concat + sort ONCE
+    # globally — sorting per chunk would interleave event time across
+    # chunks and emit phantom transitions.
+    chunks = [pdf for pdf in pdfs]
+    merged = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+    sort_cols = ["epoch_ms"] + (["tiebreak"] if "tiebreak" in merged.columns else [])
+    merged = merged.sort_values(sort_cols)
     rows: list[dict[str, Any]] = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values("epoch_ms")
-        for status, ms in zip(pdf["status"], pdf["epoch_ms"]):
-            if last_status is not None and status != last_status:
-                rows.append(
-                    {
-                        "vehicle_id": vehicle_id,
-                        "from_status": last_status,
-                        "to_status": status,
-                        "at_epoch_ms": int(ms),
-                    }
-                )
-            last_status, last_ms = status, int(ms)
+    for status, ms in zip(merged["status"], merged["epoch_ms"]):
+        if last_status is not None and status != last_status:
+            rows.append(
+                {
+                    "vehicle_id": vehicle_id,
+                    "from_status": last_status,
+                    "to_status": status,
+                    "at_epoch_ms": int(ms),
+                }
+            )
+        last_status, last_ms = status, int(ms)
     state.update((last_status, last_ms))
     yield pd.DataFrame(rows, columns=[f.name for f in TRANSITION_SCHEMA.fields])
 
@@ -83,18 +88,28 @@ def ignition_transitions(
     key_col: str = "vehicle_id",
     status_col: str = "status",
     ts_col: str = "epoch_ms",
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Emit one row per status transition per vehicle.
 
     Input: any DataFrame with (vehicle key, status string, epoch-ms long).
     Streaming input → applyInPandasWithState; batch input → lag() window
     (same output, no state store needed).
+
+    ``tiebreak_col``: optional unique secondary ordering column — REQUIRED
+    for deterministic output when two events of one vehicle can share an
+    epoch_ms (ordering ties are otherwise engine/run-dependent).
     """
-    normalized = df.select(
+    cols = [
         F.col(key_col).alias("vehicle_id"),
         F.col(status_col).alias("status"),
         F.col(ts_col).cast("long").alias("epoch_ms"),
-    )
+    ]
+    order_cols = ["epoch_ms"]
+    if tiebreak_col is not None:
+        cols.append(F.col(tiebreak_col).alias("tiebreak"))
+        order_cols.append("tiebreak")
+    normalized = df.select(*cols)
     if normalized.isStreaming:
         return (
             normalized.groupBy("vehicle_id")
@@ -106,7 +121,7 @@ def ignition_transitions(
                 timeoutConf=GroupStateTimeout.NoTimeout,
             )
         )
-    w = Window.partitionBy("vehicle_id").orderBy("epoch_ms")
+    w = Window.partitionBy("vehicle_id").orderBy(*order_cols)
     prev = F.lag("status").over(w)
     return (
         normalized.withColumn("from_status", prev)

@@ -30,6 +30,16 @@ def test_load_reference_pipeline_yaml(tmp_path):
     assert spec.skipped == []  # all three translator inputs had overrides
 
 
+def test_override_by_connector_name(tmp_path):
+    # the documented primary contract: overrides[connector_name]
+    spec = load_pipeline_yaml(
+        REFERENCE_YAML,
+        output_path=str(tmp_path / "out"),
+        overrides={"kinesis-input": {"path": str(tmp_path / "k")}},
+    )
+    assert [(s.kind, s.translator) for s in spec.sources] == [("jsonl", "geotab")]
+
+
 def test_yaml_pipeline_batch_run(spark, tmp_path):
     (tmp_path / "g").mkdir()
     (tmp_path / "g" / "a.jsonl").write_text(
