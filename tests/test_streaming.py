@@ -110,6 +110,40 @@ def test_stateful_transitions_stream_matches_batch(spark, tmp_path):
     assert got == expected
 
 
+def test_stateful_transitions_across_batches(spark, tmp_path):
+    """A transition spanning two micro-batch runs (last ON in run 1,
+    first OFF in run 2) must be emitted exactly once — state persists
+    through the checkpoint between runs."""
+    (tmp_path / "in").mkdir()
+    schema = "vehicle_id string, status string, epoch_ms long"
+
+    def run_once():
+        stream = spark.readStream.schema(schema).json(str(tmp_path / "in"))
+        q = (
+            ignition_transitions(stream)
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    (tmp_path / "in" / "b1.jsonl").write_text(
+        json.dumps({"vehicle_id": "v1", "status": "ON", "epoch_ms": 1000}) + "\n"
+    )
+    run_once()
+    (tmp_path / "in" / "b2.jsonl").write_text(
+        json.dumps({"vehicle_id": "v1", "status": "OFF", "epoch_ms": 2000}) + "\n"
+    )
+    run_once()
+    rows = [
+        (r["vehicle_id"], r["from_status"], r["to_status"], r["at_epoch_ms"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    ]
+    assert rows == [("v1", "ON", "OFF", 2000)]  # once, not zero, not twice
+
+
 def test_pipeline_end_to_end_streaming(spark, tmp_path):
     geotab_docs = [
         {
