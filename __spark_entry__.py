@@ -33,20 +33,21 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
     sf_dir = "/root/testdata/sf0.001"
+    # union on a timestamp column directly — one conversion per branch
     g = cmf_translate_geotab(spark, sf_dir).select(
-        "source_type", "vehicle_id", F.col("date_time").alias("iso")
+        "source_type", "vehicle_id", F.to_timestamp(F.col("date_time")).alias("event_time")
     )
     c = cmf_translate_calamp(spark, sf_dir).select(
-        "source_type", "vehicle_id", F.col("date_time").alias("iso")
+        "source_type", "vehicle_id", F.to_timestamp(F.col("date_time")).alias("event_time")
     )
     f = cmf_translate_ford(spark, sf_dir).select(
         F.lit("Ford").alias("source_type"),
         "vehicle_id",
-        F.date_format(F.timestamp_millis(F.col("epoch_source")), "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("iso"),
+        F.timestamp_millis(F.col("epoch_source")).alias("event_time"),
     )
     cmf = g.unionByName(c).unionByName(f)
     return (
-        cmf.withColumn("hour", F.date_trunc("hour", F.to_timestamp("iso")))
+        cmf.withColumn("hour", F.date_trunc("hour", F.col("event_time")))
         .groupBy("source_type", "hour")
         .agg(
             F.count("*").alias("msg_cnt"),

@@ -74,7 +74,7 @@ def main() -> None:
     queries["scan_project"](spark, sf_dir).count()
 
     # Build each plan once (plan construction is one-time in a deployed
-    # streaming/batch job), execute twice, report the min: the first
+    # streaming/batch job), execute three times, report the min: the first
     # execution pays JIT/codegen compile (seconds for the large fold
     # expressions); steady-state is what a long-running cluster job sees.
     dfs = {name: queries[name](spark, sf_dir) for name in HEADLINE}

@@ -82,9 +82,12 @@ def generate(outdir: str, kind: str, rows: int, seed: int = 42,
              malformed_pct: float = 1.0, files: int = 4) -> int:
     rng = random.Random(seed)
     os.makedirs(outdir, exist_ok=True)
-    per_file = max(rows // files, 1)
+    # ceil-divide so the row remainder is written, not dropped
+    per_file = -(-rows // files)
     written = 0
     for f in range(files):
+        if f * per_file >= rows:
+            break
         with open(os.path.join(outdir, f"part-{f:03d}.jsonl"), "w") as fh:
             for i in range(f * per_file, min((f + 1) * per_file, rows)):
                 if rng.random() * 100 < malformed_pct:

@@ -67,10 +67,12 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> tuple
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:]) if len(sys.argv) > 2 else (
-        set(sys.argv[1:]) if len(sys.argv) > 1 and not os.path.isdir(sys.argv[1]) else None
-    )
+    args = sys.argv[1:]
+    if args and os.path.isdir(args[0]):
+        sf_dir, names = args[0], args[1:]
+    else:
+        sf_dir, names = "/root/testdata/sf0.01", args
+    only = set(names) or None
 
     import __spark_entry__ as entrymod
     from pulsar_ingestion_spark.session import get_spark, tables_dir
@@ -82,6 +84,11 @@ def main() -> int:
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if only:
+        unknown = only - set(queries)
+        if unknown:
+            print(f"unknown query names (or nonexistent sf_dir?): {sorted(unknown)}")
+            return 1
     n_pass = n_fail = n_rows_only = 0
     failures = []
     for name, fn in queries.items():
