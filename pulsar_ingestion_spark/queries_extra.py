@@ -221,6 +221,32 @@ def win_first_last(spark, sf_dir):
 
 
 @query(
+    "win_nth_value",
+    oracle="""
+    SELECT user_id, event_id,
+           nth_value(event_id, 2) OVER w AS second_event,
+           nth_value(event_id, 3) OVER w AS third_event
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_nth_value(spark, sf_dir):
+    ev = load_tables(spark, sf_dir)["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.nth_value("event_id", 2).over(w).alias("second_event"),
+        F.nth_value("event_id", 3).over(w).alias("third_event"),
+    )
+
+
+@query(
     "agg_pivot",
     oracle="""
     SELECT user_id,
