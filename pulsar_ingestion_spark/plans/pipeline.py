@@ -61,6 +61,9 @@ class PipelineSpec:
     # None -> availableNow (drain-and-stop: backfills, tests, cron runs);
     # an interval string like "30 seconds" -> continuous micro-batching.
     trigger_interval: str | None = None
+    # cap rows per output file (parquet writer splits beyond this) — the
+    # per-tenant file-sizing knob; None = Spark default (no cap)
+    max_records_per_file: int | None = None
 
 
 
@@ -157,7 +160,10 @@ def run_pipeline(spark: SparkSession, spec: PipelineSpec, streaming: bool = True
         )
 
     def _write(batch: DataFrame, epoch_id: int) -> None:
-        batch.write.mode("append").partitionBy("tenantId").parquet(spec.output_path)
+        w = batch.write.mode("append")
+        if spec.max_records_per_file:
+            w = w.option("maxRecordsPerFile", spec.max_records_per_file)
+        w.partitionBy("tenantId").parquet(spec.output_path)
 
     return (
         _with_trigger(

@@ -474,6 +474,41 @@ def json_multi_extract(spark, sf_dir):
     )
 
 
+_TIRE_ORACLE = """
+SELECT concat('veh-', CAST(user_id AS VARCHAR)) AS vehicle_id,
+       round((value + 30 + value + 31 + value + 32 + value + 33) / 4, 6) AS avg_pressure,
+       CASE WHEN value + 30 < 230 THEN 1 ELSE 0 END
+         + CASE WHEN value + 31 < 230 THEN 1 ELSE 0 END
+         + CASE WHEN value + 32 < 230 THEN 1 ELSE 0 END
+         + CASE WHEN value + 33 < 230 THEN 1 ELSE 0 END AS low_tires,
+       value + 33 AS max_pressure
+FROM events WHERE event_id < 4000
+"""
+
+
+@query("cmf_tire_pressure_map", oracle=_TIRE_ORACLE)
+def cmf_tire_pressure_map(spark, sf_dir):
+    # The CMF map-typed telemetry (tirePressure.pressures map<string,double>,
+    # CommonMessageFormat.kt:190-192): build per-wheel maps, then
+    # map_values/map_filter analytics — low-pressure wheel counts, fleet avg.
+    ev = load_tables(spark, sf_dir)["events"]
+    pressures = F.create_map(
+        F.lit("FL"), F.col("value") + 30,
+        F.lit("FR"), F.col("value") + 31,
+        F.lit("RL"), F.col("value") + 32,
+        F.lit("RR"), F.col("value") + 33,
+    )
+    vals = F.map_values(pressures)
+    avg_p = F.aggregate(vals, F.lit(0.0), lambda a, x: a + x) / F.size(vals)
+    low = F.size(F.map_filter(pressures, lambda k, v: v < 230))
+    return ev.filter(F.col("event_id") < 4000).select(
+        F.concat(F.lit("veh-"), F.col("user_id").cast("string")).alias("vehicle_id"),
+        F.round(avg_p, 6).alias("avg_pressure"),
+        low.alias("low_tires"),
+        F.array_max(vals).alias("max_pressure"),
+    )
+
+
 _DTC_ORACLE = """
 WITH exploded AS (
   SELECT concat('veh-', CAST(user_id AS VARCHAR)) AS vehicle_id,
