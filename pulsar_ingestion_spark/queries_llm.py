@@ -58,6 +58,70 @@ def q_dedup_fingerprint(spark, sf_dir):
 
 
 @query(
+    "dedup_keep_best",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, md5(text) AS content_hash,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS wc
+      FROM documents
+    )
+    SELECT content_hash,
+           (max({'wc': wc, 'id': -doc_id})).id * -1 AS kept_id,
+           count(*) AS dup_cnt
+    FROM scored
+    GROUP BY content_hash
+    """,
+)
+def q_dedup_keep_best(spark, sf_dir):
+    # Corpus-dedup policy: within an exact-duplicate group keep the
+    # highest-quality copy (here: most words; real pipelines use the
+    # quality score), tie-broken to the LOWEST doc_id via negated-id
+    # struct max — same lexicographic-extreme trick both engines share.
+    docs = load_tables(spark, sf_dir)["documents"]
+    wc = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    scored = docs.select(
+        "doc_id", F.md5("text").alias("content_hash"), wc.alias("wc")
+    )
+    key = F.struct(F.col("wc").alias("wc"), (-F.col("doc_id")).alias("id"))
+    return scored.groupBy("content_hash").agg(
+        (F.max(key).getField("id") * -1).alias("kept_id"),
+        F.count("*").alias("dup_cnt"),
+    )
+
+
+@query(
+    "text_pii_scrub",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               concat(text, ' contact: user', CAST(doc_id AS VARCHAR),
+                      '@example.com or +1-555-', CAST(1000 + doc_id % 9000 AS VARCHAR)),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\+?[0-9][0-9()\-\s]{7,}[0-9]', '<PHONE>', 'g') AS scrubbed
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def q_text_pii_scrub(spark, sf_dir):
+    # PII scrubbing — email/phone masking before training; pure
+    # regexp_replace chain (JVM, narrow map).  The fixture plants
+    # deterministic PII so the scrub is observable.
+    docs = load_tables(spark, sf_dir)["documents"]
+    with_pii = F.concat(
+        F.col("text"),
+        F.lit(" contact: user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(with_pii, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+        r"\+?[0-9][0-9()\-\s]{7,}[0-9]",
+        "<PHONE>",
+    )
+    return docs.filter(F.col("doc_id") < 200).select("doc_id", scrubbed.alias("scrubbed"))
+
+
+@query(
     "dedup_ngram_jaccard",
     oracle="""
     WITH sh AS (
