@@ -693,6 +693,60 @@ def error_safe_funcs(spark, sf_dir):
 
 
 @query(
+    "join_broadcast_left",
+    oracle="""
+    SELECT e.user_id,
+           count(*) AS ev_cnt,
+           coalesce(any_value(c.c_mktsegment), 'UNKNOWN-FLEET') AS fleet_segment
+    FROM events e LEFT JOIN (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey < 50) c
+      ON e.user_id = c.c_custkey
+    GROUP BY e.user_id
+    """,
+)
+def join_broadcast_left(spark, sf_dir):
+    # Broadcast LEFT join with dim-miss default: events whose user has no
+    # dimension row keep flowing, tagged UNKNOWN-FLEET — the
+    # never-drop-on-missing-dim enrichment policy.
+    t = load_tables(spark, sf_dir)
+    dim = t["customer"].filter(F.col("c_custkey") < 50).select("c_custkey", "c_mktsegment")
+    return (
+        t["events"]
+        .join(F.broadcast(dim), t["events"].user_id == dim.c_custkey, "left")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("ev_cnt"),
+            F.coalesce(F.first("c_mktsegment", ignorenulls=False), F.lit("UNKNOWN-FLEET")).alias(
+                "fleet_segment"
+            ),
+        )
+    )
+
+
+@query(
+    "agg_first_per_day",
+    oracle="""
+    SELECT user_id,
+           strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           (min({'ms': epoch_ms(ts), 'id': event_id})).id AS first_event_id,
+           count(*) AS day_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def agg_first_per_day(spark, sf_dir):
+    # Deterministic "first event per user per day" via struct-min argmin —
+    # daily-activity anchor rows without a window pass (one agg shuffle).
+    ev = load_tables(spark, sf_dir)["events"]
+    key = F.struct(F.unix_millis("ts").alias("ms"), F.col("event_id").alias("id"))
+    return ev.groupBy(
+        "user_id", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.min(key).getField("id").alias("first_event_id"),
+        F.count("*").alias("day_events"),
+    )
+
+
+@query(
     "join_cross",
     oracle="""
     SELECT r.r_name AS region, n.n_name AS nation,
