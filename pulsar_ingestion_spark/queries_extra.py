@@ -747,6 +747,29 @@ def agg_first_per_day(spark, sf_dir):
 
 
 @query(
+    "union_schema_evolution",
+    oracle="""
+    SELECT * FROM (
+      SELECT event_id, event_type, NULL AS value FROM events WHERE event_id < 100
+      UNION ALL BY NAME
+      SELECT event_id, event_type, value FROM events
+      WHERE event_id >= 100 AND event_id < 200
+    )
+    """,
+)
+def union_schema_evolution(spark, sf_dir):
+    # Schema-evolution fan-in: an old branch lacking a column unions with
+    # the new branch — allowMissingColumns fills typed nulls (the CMF
+    # envelope's additive-evolution story).
+    ev = load_tables(spark, sf_dir)["events"]
+    old = ev.filter(F.col("event_id") < 100).select("event_id", "event_type")
+    new = ev.filter((F.col("event_id") >= 100) & (F.col("event_id") < 200)).select(
+        "event_id", "event_type", "value"
+    )
+    return old.unionByName(new, allowMissingColumns=True)
+
+
+@query(
     "join_cross",
     oracle="""
     SELECT r.r_name AS region, n.n_name AS nation,

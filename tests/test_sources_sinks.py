@@ -100,6 +100,19 @@ def test_event_type_split_sink(spark, tmp_path):
     assert keys == {"user-profile-event", "order-event"}
 
 
+def test_parquet_merge_schema_evolution(spark, tmp_path):
+    """Additive schema evolution at rest: old files without a column and
+    new files with it read together under mergeSchema."""
+    base = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.mode("append").parquet(base)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.mode("append").parquet(base)
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    rows = {(r["id"], r["name"], r["score"]) for r in merged.collect()}
+    assert rows == {(1, "a", None), (2, "b", 9.5)}
+
+
 def test_compact_partitioned_output(spark, tmp_path):
     import glob
 
