@@ -747,6 +747,34 @@ def agg_first_per_day(spark, sf_dir):
 
 
 @query(
+    "filter_null_safe_eq",
+    oracle="""
+    WITH t AS (
+      SELECT event_id,
+             CASE WHEN event_id % 3 = 0 THEN NULL ELSE event_type END AS a,
+             CASE WHEN event_id % 5 = 0 THEN NULL ELSE event_type END AS b
+      FROM events WHERE event_id < 3000
+    )
+    SELECT event_id,
+           a IS NOT DISTINCT FROM b AS ns_eq,
+           a IS DISTINCT FROM b AS ns_neq
+    FROM t
+    """,
+)
+def filter_null_safe_eq(spark, sf_dir):
+    # Null-safe equality (<=>): NULL <=> NULL is TRUE — the three-valued-
+    # logic edge every dedup/compare pipeline eventually hits.
+    ev = load_tables(spark, sf_dir)["events"]
+    a = F.when(F.col("event_id") % 3 == 0, None).otherwise(F.col("event_type"))
+    b = F.when(F.col("event_id") % 5 == 0, None).otherwise(F.col("event_type"))
+    return ev.filter(F.col("event_id") < 3000).select(
+        "event_id",
+        a.eqNullSafe(b).alias("ns_eq"),
+        (~a.eqNullSafe(b)).alias("ns_neq"),
+    )
+
+
+@query(
     "union_schema_evolution",
     oracle="""
     SELECT * FROM (
