@@ -1,0 +1,53 @@
+"""Driver-contract robustness: __spark_entry__ must work under a VANILLA
+SparkSession (the driver builds its own — none of our session defaults)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import SparkSession
+
+
+@pytest.fixture(scope="module")
+def vanilla_spark(spark):
+    # A second session from the same JVM with driver-like defaults:
+    # non-UTC timezone, default shuffle partitions, no nanos conf.
+    s = (
+        spark.newSession()
+    )
+    s.conf.set("spark.sql.session.timeZone", "America/Chicago")
+    s.conf.unset("spark.sql.legacy.parquet.nanosAsLong") if s.conf.get(
+        "spark.sql.legacy.parquet.nanosAsLong", None
+    ) else None
+    return s
+
+
+def test_entry_on_vanilla_session(vanilla_spark):
+    import __spark_entry__ as e
+
+    df = e.entry(vanilla_spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.schema.simpleString().startswith("struct<source_type:string,hour:timestamp")
+
+
+def test_queries_oracle_keys_subset(vanilla_spark):
+    import __spark_entry__ as e
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    assert set(oracles) <= set(qs)  # every oracle belongs to a query
+    assert len(qs) >= 100
+
+
+def test_iso_output_utc_under_foreign_tz(vanilla_spark):
+    """The ISO-8601 Z invariant must hold even when the driver session
+    runs in another timezone."""
+    import __spark_entry__ as e
+    from pyspark.sql import functions as F
+
+    row = (
+        e.queries()["ts_normalize"](vanilla_spark, "/root/testdata/sf0.001")
+        .orderBy("event_id")
+        .first()
+    )
+    # epoch 1704067207... → 2024-01-01T00:00:xxZ in UTC (not Chicago -6h)
+    assert row["iso_utc"].startswith("2024-01-01T00:")
