@@ -42,7 +42,7 @@ HEADLINE = [
     "route_tenant",
     "dedup_exact",
     "dedup_fingerprint",
-    "dedup_embedding_cosine",
+    "dedup_embedding_blas",
     "text_stats",
     "text_token_count",
     "sim_search_knn",

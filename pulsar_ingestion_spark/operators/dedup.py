@@ -119,11 +119,12 @@ def dedup_minhash_lsh(
     )
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
     """SimHash signature: per-bit majority vote over xxhash64(word).
 
     Pure column expressions (one filter+size per bit over the word array);
-    64-doc near-dups are then `WHERE hamming(sig_a, sig_b) <= r` joins.
+    near-dups are found by the banded equi-join in
+    :func:`simhash_near_dups` — never a signature cross join.
     """
     w = F.array_distinct(words(F.lower(F.col(text_col))))
     sig = F.lit(0).cast("long")
@@ -134,18 +135,55 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     return df.select(F.col(id_col).alias("id"), sig.alias("simhash"))
 
 
-def simhash_near_dups(df: DataFrame, max_hamming: int = 3, **kwargs) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance.  Candidate generation at
-    scale would block on signature prefixes; here the verifier join."""
-    sigs = simhash(df, **kwargs)
-    a, b = sigs.alias("a"), sigs.alias("b")
-    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-    hamming = F.bit_count(xor)
+def simhash_near_dups(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance — banded, never all-pairs.
+
+    Pigeonhole blocking: the ``bits``-bit signature is split into
+    ``max_hamming + 1`` contiguous bands; two signatures within Hamming
+    distance ``max_hamming`` must agree EXACTLY on at least one band, so an
+    equi-join on ``(band_idx, band_value)`` generates every qualifying pair
+    (no recall loss) while only co-bucketed docs are ever compared.  The
+    Hamming filter afterwards removes band-collision false positives and
+    ``distinct`` collapses pairs that collide in several bands.
+
+    At 100 TB this is ``max_hamming + 1`` shuffle keys per doc and a
+    hash-partitioned equi-join — the same plan shape as the MinHash band
+    join; bucket width = ``bits / (max_hamming + 1)`` bits (keep ≥ 8 by
+    raising ``bits`` when loosening ``max_hamming``).
+    """
+    sigs = simhash(df, text_col, id_col, bits)
+    nbands = max_hamming + 1
+    base, rem = divmod(bits, nbands)
+    bands, off = [], 0
+    for i in range(nbands):
+        width = base + (1 if i < rem else 0)
+        bands.append(
+            F.shiftrightunsigned(F.col("simhash"), off).bitwiseAND(F.lit((1 << width) - 1))
+        )
+        off += width
+    ex = sigs.select("id", "simhash", F.posexplode(F.array(*bands)).alias("band", "bval"))
+    a, b = ex.alias("a"), ex.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
-        a.join(b, F.col("a.id") < F.col("b.id"))
-        .withColumn("hamming", hamming)
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming.alias("hamming"),
+        )
         .filter(F.col("hamming") <= max_hamming)
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "hamming")
+        .distinct()
     )
 
 
@@ -154,48 +192,74 @@ def embedding_near_dups_blas(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = 64,
+    num_planes: int = 8,
+    num_tables: int = 4,
+    seed: int = 42,
 ) -> DataFrame:
-    """BLAS-accelerated embedding near-dup: Arrow batches × numpy matmul.
+    """Bucketed block-matmul near-dup — no driver collect, no all-pairs join.
 
-    The candidate matrix is broadcast once per executor; each Arrow batch
-    of rows computes a (batch × n) similarity block in one `np.dot` —
-    orders of magnitude fewer interpreter ops than per-pair folds.  At
-    100 TB the broadcast side becomes IVF/LSH cells (block per bucket);
-    the batch-matmul shape is identical.
+    ``num_tables`` independent sign-LSH signatures (random hyperplanes,
+    deterministic — operators/similarity.py) each assign every vector to
+    one of ``2^num_planes`` buckets; ``applyInPandas`` over
+    ``(table, bucket)`` groups computes the full intra-block cosine matrix
+    with a single ``np.dot`` per block (Arrow transfer, BLAS matmul).
+    Pairs discovered in several tables collapse via ``dropDuplicates``.
 
-    Results match :func:`embedding_near_dups` up to summation-order ULPs
-    (this is the rows-only fast path; the fold-based op is the
-    oracle-checked baseline).
+    Scale shape at 100 TB: cost ≈ num_tables × Σ block², block ≈
+    n / 2^num_planes — raise ``num_planes`` with data size so one block
+    (block × dim × 8 bytes) fits an executor's Arrow group; the shuffle is
+    a plain hash partition on (table, bucket).  Expected recall for a pair
+    at cosine s is ``1 - (1 - p^num_planes)^num_tables`` with
+    ``p = 1 - acos(s)/π`` — recall < 1 by design; the exact fold path
+    :func:`embedding_near_dups` is the oracle-checked baseline and the
+    recall fixture (tests/test_llm_ops.py).
     """
     import numpy as np
     import pandas as pd
 
-    rows = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    spark = emb.sparkSession
-    mat_rows = rows.collect()  # the *broadcast side* — small (model-sized)
-    ids = np.array([r["id"] for r in mat_rows], dtype=np.int64)
-    mat = np.array([r["v"] for r in mat_rows], dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1)
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat)
-    b_norms = spark.sparkContext.broadcast(norms)
+    from pulsar_ingestion_spark.operators.similarity import signlsh_buckets
 
-    def _block(batches):
-        cand_ids, cand, cand_norms = b_ids.value, b_mat.value, b_norms.value
-        for pdf in batches:
-            q = np.array(list(pdf["v"]), dtype=np.float64)
-            qn = np.linalg.norm(q, axis=1)
-            sims = np.round((q @ cand.T) / np.outer(qn, cand_norms), 6)
-            qi = pdf["id"].to_numpy()
-            out_a, out_b, out_s = [], [], []
-            for i in range(sims.shape[0]):
-                hits = np.where((sims[i] >= threshold) & (cand_ids > qi[i]))[0]
-                out_a.extend([qi[i]] * len(hits))
-                out_b.extend(cand_ids[hits])
-                out_s.extend(sims[i][hits])
-            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "cos_sim": out_s})
+    rows = emb.select(F.col(id_col).alias("rid"), F.col(vec_col).alias("rvec"))
+    tables = None
+    for t in range(num_tables):
+        bt = signlsh_buckets(
+            rows, dim, num_planes, id_col="rid", vec_col="rvec", seed=seed + 7919 * t
+        ).select(F.lit(t).alias("tbl"), "bucket", "id", "vec")
+        tables = bt if tables is None else tables.unionByName(bt)
 
-    return rows.mapInPandas(_block, schema="id_a long, id_b long, cos_sim double")
+    def _block(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": np.array([], dtype=np.int64),
+                "id_b": np.array([], dtype=np.int64),
+                "cos_sim": np.array([], dtype=np.float64),
+            }
+        )
+        if len(pdf) < 2:
+            return empty
+        ids = pdf["id"].to_numpy()
+        mat = np.array(list(pdf["vec"]), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        sims = np.round((mat @ mat.T) / np.outer(norms, norms), 6)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        s = sims[iu, ju]
+        keep = s >= threshold
+        if not keep.any():
+            return empty
+        ia, jb, s = ids[iu[keep]], ids[ju[keep]], s[keep]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(ia, jb),
+                "id_b": np.maximum(ia, jb),
+                "cos_sim": s,
+            }
+        )
+
+    out = tables.groupBy("tbl", "bucket").applyInPandas(
+        _block, schema="id_a long, id_b long, cos_sim double"
+    )
+    return out.dropDuplicates(["id_a", "id_b"])
 
 
 def embedding_near_dups(

@@ -60,6 +60,30 @@ def test_simhash_near_dups(spark):
     assert (1, 2) in pairs  # identical text → identical signature
 
 
+def test_simhash_banding_is_exact(spark, sf_dir):
+    """The banded equi-join must return EXACTLY the pairs an all-pairs
+    Hamming join would (pigeonhole: r+1 bands lose no pair within r)."""
+    import numpy as np
+
+    from pulsar_ingestion_spark.operators.dedup import simhash
+    from pulsar_ingestion_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"].filter(F.col("doc_id") < 300)
+    r = 8
+    banded = {(x["id_a"], x["id_b"], x["hamming"])
+              for x in simhash_near_dups(docs, max_hamming=r).collect()}
+    sigs = simhash(docs).collect()
+    ids = np.array([x["id"] for x in sigs], dtype=np.int64)
+    vals = np.array([np.uint64(x["simhash"] & (2**64 - 1)) for x in sigs], dtype=np.uint64)
+    brute = set()
+    for i in range(len(ids)):
+        ham = np.array([bin(int(vals[i]) ^ int(v)).count("1") for v in vals])
+        for j in np.where(ham <= r)[0]:
+            if ids[i] < ids[j]:
+                brute.add((int(ids[i]), int(ids[j]), int(ham[j])))
+    assert banded == brute
+
+
 def test_embedding_near_dups_and_knn(spark):
     rows = [
         (1, [1.0, 0.0, 0.0]),
@@ -83,17 +107,45 @@ def test_knn_lsh_recovers_close_neighbor(spark):
     assert out and out[0]["cand_id"] == 0
 
 
-def test_blas_near_dups_match_fold_path(spark, sf_dir):
-    """The BLAS matmul path and the fold-based oracle path must find the
-    same near-dup pairs (away from threshold-boundary ULPs)."""
+def test_blas_bucketed_no_false_positives(spark, sf_dir):
+    """Every pair the bucketed matmul path reports must be a real pair of
+    the exact fold path (within-block verification is exact; only recall,
+    never precision, is traded)."""
     from pulsar_ingestion_spark.operators.dedup import embedding_near_dups_blas
     from pulsar_ingestion_spark.session import load_tables
 
     emb = load_tables(spark, sf_dir)["embeddings"]
     fold = {(r["id_a"], r["id_b"]) for r in embedding_near_dups(emb, threshold=0.3).collect()}
-    blas = {(r["id_a"], r["id_b"]) for r in embedding_near_dups_blas(emb, threshold=0.3).collect()}
+    blas = {(r["id_a"], r["id_b"]) for r in
+            embedding_near_dups_blas(emb, threshold=0.3, num_planes=2, num_tables=8).collect()}
     assert fold, "threshold too high — test found no pairs at all"
-    assert fold == blas
+    assert blas <= fold
+    assert len(blas) / len(fold) >= 0.5  # loose floor at this low threshold
+
+
+def test_blas_bucketed_recall_on_planted_dups(spark, sf_dir):
+    """VERDICT r1 gate: the bucketed (collect-free) near-dup path must
+    recover >= 0.9 of the exact baseline's pairs on planted near-dups."""
+    from pulsar_ingestion_spark.operators.dedup import embedding_near_dups_blas
+    from pulsar_ingestion_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir)["embeddings"].select("vec_id", "embedding")
+    # Plant a jittered copy of each of the first 50 vectors (cos ≈ 0.9999).
+    jitter = F.transform(
+        "embedding", lambda x, i: x + F.when(i == 0, F.lit(0.01)).otherwise(F.lit(0.0))
+    ).cast("array<float>")
+    planted = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), jitter.alias("embedding")
+    )
+    aug = emb.unionByName(planted)
+    exact = {(r["id_a"], r["id_b"]) for r in
+             embedding_near_dups(aug, threshold=0.98).collect()}
+    assert len(exact) >= 50
+    bucketed = {(r["id_a"], r["id_b"]) for r in
+                embedding_near_dups_blas(aug, threshold=0.98, num_planes=8, num_tables=4).collect()}
+    assert bucketed <= exact
+    recall = len(bucketed & exact) / len(exact)
+    assert recall >= 0.9, f"bucketed near-dup recall too low: {recall}"
 
 
 def test_ivf_recall_vs_bruteforce(spark, sf_dir):
