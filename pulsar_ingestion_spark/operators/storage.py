@@ -48,9 +48,17 @@ def compact_partitioned_output(
     the row count rewritten (sanity check for the atomic swap).
 
     At scale this runs per-partition-predicate (one day / one tenant at a
-    time) so the rewrite unit stays bounded; the swap uses a temp dir +
-    rename for readers-see-old-or-new semantics.
+    time) so the rewrite unit stays bounded.  The swap is two renames
+    (base→old, tmp→base): readers see old data until the first rename and
+    new data after the second; the not-found window in between is two
+    syscalls wide (a true atomic dir swap needs RENAME_EXCHANGE or a
+    catalog pointer — metastore/Iceberg — in production).  Crash-safe in
+    the sense that no state loses data: before the first rename the
+    original is untouched; between renames the data lives intact in the
+    ``__old_*`` dir and the swap can be finished by hand; after the second
+    the new data is in place and only the ``__old_*`` cleanup remains.
     """
+    import os
     import shutil
     import uuid
 
@@ -71,8 +79,10 @@ def compact_partitioned_output(
         .partitionBy(partition_col)
         .parquet(tmp)
     )
-    shutil.rmtree(base_path)
-    shutil.move(tmp, base_path)
+    old = f"{base_path}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(base_path, old)  # atomic: readers now miss, data intact in `old`
+    os.rename(tmp, base_path)  # atomic: readers see the compacted layout
+    shutil.rmtree(old)
     return n
 
 

@@ -1,1 +1,1 @@
-from pulsar_ingestion_spark.plans.pipeline import PipelineSpec, run_pipeline  # noqa: F401
+from pulsar_ingestion_spark.plans.pipeline import PipelineRun, PipelineSpec, run_pipeline  # noqa: F401

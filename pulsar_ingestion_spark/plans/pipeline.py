@@ -49,6 +49,41 @@ class SourceSpec:
 
 
 @dataclass
+class PipelineRun:
+    """Handles for a running streaming pipeline: the main routed sink plus
+    the dead-letter sink when configured (ADVICE r1: the dead-letter
+    StreamingQuery was previously discarded, so callers could neither
+    await nor observe it — with availableNow it can outlive the main
+    query).  Delegates the common StreamingQuery surface so existing
+    ``run_pipeline(...).awaitTermination()`` call sites keep working and
+    now wait on BOTH queries."""
+
+    main: "object"                      # pyspark StreamingQuery
+    dead_letter: "object | None" = None
+
+    def awaitTermination(self, timeout: float | None = None):  # noqa: N802 (Spark API name)
+        res = self.main.awaitTermination(timeout)
+        if self.dead_letter is not None:
+            self.dead_letter.awaitTermination(timeout)
+        return res
+
+    def stop(self) -> None:
+        for q in (self.main, self.dead_letter):
+            if q is not None:
+                q.stop()
+
+    @property
+    def lastProgress(self):  # noqa: N802
+        return self.main.lastProgress
+
+    @property
+    def isActive(self):  # noqa: N802
+        return self.main.isActive or (
+            self.dead_letter is not None and self.dead_letter.isActive
+        )
+
+
+@dataclass
 class PipelineSpec:
     sources: list[SourceSpec]
     output_path: str          # base dir for per-tenant partitioned output
@@ -83,6 +118,8 @@ def build_cmf_stream(spark: SparkSession, spec: PipelineSpec, streaming: bool = 
     — the observable upgrade of the reference's log-and-vaporize policy
     (GeotabTranslator.kt:154-157).
     """
+    if not spec.sources:
+        raise ValueError("PipelineSpec.sources is empty — nothing to ingest")
     branches = []
     dead_branches = []
     for src in spec.sources:
@@ -111,11 +148,11 @@ def build_cmf_stream(spark: SparkSession, spec: PipelineSpec, streaming: bool = 
 
 
 def run_pipeline(spark: SparkSession, spec: PipelineSpec, streaming: bool = True):
-    """Execute the pipeline.  Streaming: returns the StreamingQuery for the
-    main sink (availableNow drain-and-stop by default; set
-    spec.trigger_interval for a continuously-running service — the
-    dead-letter sink, when configured, runs as a second query on the same
-    sources); batch: writes once."""
+    """Execute the pipeline.  Streaming: returns a :class:`PipelineRun`
+    holding the main sink's StreamingQuery and, when configured, the
+    dead-letter sink's (availableNow drain-and-stop by default; set
+    spec.trigger_interval for a continuously-running service); batch:
+    writes once and returns None."""
     built = build_cmf_stream(spark, spec, streaming=streaming)
     wire, dead = built if isinstance(built, tuple) else (built, None)
     routable = filter_routable(extract_tenant(wire))
@@ -133,9 +170,10 @@ def run_pipeline(spark: SparkSession, spec: PipelineSpec, streaming: bool = True
         if dead is not None:
             dead.write.mode("append").parquet(spec.dead_letter_path)
         return None
+    dead_query = None
     if dead is not None:
         assert spec.checkpoint, "streaming pipeline needs a checkpoint dir"
-        (
+        dead_query = (
             _with_trigger(
                 dead.writeStream.format("parquet")
                 .option("path", spec.dead_letter_path)
@@ -149,7 +187,7 @@ def run_pipeline(spark: SparkSession, spec: PipelineSpec, streaming: bool = True
         # Transactional file sink: files become visible only via the
         # _spark_metadata commit log — exactly-once even across mid-batch
         # crashes.  partitionBy still gives the per-tenant layout.
-        return (
+        main = (
             _with_trigger(
                 out.writeStream.format("parquet")
                 .partitionBy("tenantId")
@@ -158,6 +196,7 @@ def run_pipeline(spark: SparkSession, spec: PipelineSpec, streaming: bool = True
                 spec,
             ).start()
         )
+        return PipelineRun(main=main, dead_letter=dead_query)
 
     def _write(batch: DataFrame, epoch_id: int) -> None:
         w = batch.write.mode("append")
@@ -165,9 +204,10 @@ def run_pipeline(spark: SparkSession, spec: PipelineSpec, streaming: bool = True
             w = w.option("maxRecordsPerFile", spec.max_records_per_file)
         w.partitionBy("tenantId").parquet(spec.output_path)
 
-    return (
+    main = (
         _with_trigger(
             out.writeStream.foreachBatch(_write).option("checkpointLocation", spec.checkpoint),
             spec,
         ).start()
     )
+    return PipelineRun(main=main, dead_letter=dead_query)

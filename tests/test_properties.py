@@ -62,3 +62,49 @@ def test_dedup_exact_partition_invariant(spark, docs):
     out = dedup_exact(df).collect()
     assert len(out) == len(set(docs))
     assert sum(r["dup_cnt"] for r in out) == len(docs)
+
+
+@settings(max_examples=20, deadline=None)
+@given(ms=st.integers(min_value=631_152_000_000, max_value=4_102_444_800_000))
+def test_iso_roundtrip_fractional_ms(spark, ms):
+    """Non-whole-second instants render .SSS (ISO_OFFSET_DATE_TIME
+    behavior) and roundtrip exactly — ADVICE r1: millis must not be
+    silently truncated."""
+    import datetime as dt
+
+    from pulsar_ingestion_spark.functions.timeutil import (
+        epoch_millis_to_iso8601,
+        iso8601_to_epoch_millis,
+    )
+
+    df = spark.createDataFrame([(ms,)], "ms long")
+    row = df.select(epoch_millis_to_iso8601(F.col("ms")).alias("iso")).select(
+        "iso", iso8601_to_epoch_millis(F.col("iso")).alias("back")
+    ).collect()[0]
+    assert row["back"] == ms
+    u = dt.datetime.fromtimestamp(ms / 1000, dt.timezone.utc)
+    if ms % 1000 == 0:
+        assert row["iso"] == u.strftime("%Y-%m-%dT%H:%M:%SZ")
+    else:
+        assert row["iso"] == u.strftime("%Y-%m-%dT%H:%M:%S.") + f"{ms % 1000:03d}Z"
+
+
+def test_strict_iso_parse_rejects_lenient_forms(spark):
+    """Instant.parse parity: offset-less / space-separated / date-only
+    strings must NOT translate (the reference dead-letters them)."""
+    from pulsar_ingestion_spark.functions.timeutil import iso8601_to_epoch_millis
+
+    cases = [
+        ("2023-10-26T10:00:00Z", True),
+        ("2023-10-26T10:00:00.123Z", True),
+        ("2023-10-26T10:00:00+02:00", True),
+        ("2023-10-26 10:00:00", False),   # space separator, no offset
+        ("2023-10-26T10:00:00", False),   # no offset
+        ("2023-10-26", False),            # date only
+        ("not a time", False),
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in cases], "iso string")
+    got = {r["iso"]: r["ms"] for r in df.select(
+        "iso", iso8601_to_epoch_millis(F.col("iso")).alias("ms")).collect()}
+    for s, ok in cases:
+        assert (got[s] is not None) == ok, s

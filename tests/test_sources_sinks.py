@@ -50,9 +50,10 @@ def test_dead_letter_stream(spark, tmp_path):
         dead_letter_path=str(tmp_path / "dead"),
     )
     q = run_pipeline(spark, spec, streaming=True)
+    # ADVICE r1: both query handles must be returned and awaitable.
+    assert q.dead_letter is not None
     q.awaitTermination(120)
-    for sq in spark.streams.active:
-        sq.awaitTermination(120)
+    assert not q.isActive
     assert spark.read.parquet(str(tmp_path / "out")).count() == 1
     dead = spark.read.parquet(str(tmp_path / "dead")).collect()
     assert len(dead) == 2
@@ -162,3 +163,14 @@ def test_native_sink_exactly_once(spark, tmp_path):
     q2 = run_pipeline(spark, spec, streaming=True)
     q2.awaitTermination(120)
     assert spark.read.parquet(str(tmp_path / "out")).count() == 1
+
+
+def test_empty_pipeline_spec_raises(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError, match="sources is empty"):
+        run_pipeline(
+            spark,
+            PipelineSpec(sources=[], output_path=str(tmp_path / "out")),
+            streaming=False,
+        )
