@@ -57,12 +57,41 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+# Query ids the round-1 driver run already hash-checked (CORRECTNESS_r01.json
+# green).  The driver checks a bounded prefix of the declared set, so ids it
+# has NOT yet covered are emitted first — rotating coverage across rounds
+# until every query has a driver CORRECTNESS row (VERDICT r1 item 2).
+_CHECKED_IN_R1 = {
+    "scan_project", "filter_pred", "filter_not_blank", "json_extract",
+    "ts_normalize", "enum_normalize", "join_inner_equi", "join_left",
+    "join_full", "join_broadcast", "join_semi", "join_anti",
+    "join_theta_range", "join_asof", "agg_group_sum_avg_min_max_count",
+    "agg_count_distinct", "agg_approx_count_distinct", "agg_percentile",
+    "agg_rollup", "agg_cube", "agg_grouping_sets", "agg_filtered",
+    "agg_collect", "win_rank_rownum_denserank", "win_lag_lead",
+    "win_frame_rows", "win_frame_range", "win_topk_per_group",
+    "sort_limit_topk", "union_all", "union_distinct", "set_intersect",
+    "set_except", "string_funcs", "math_funcs", "array_funcs",
+    "explode_arrays", "map_funcs", "misc_funcs", "stream_tumbling_agg",
+    "stream_sliding_agg", "stream_session_window", "stream_dedup",
+    "stream_watermark_late", "cmf_translate_geotab", "cmf_translate_calamp",
+    "cmf_translate_ford", "event_translate_payment", "event_translate_user",
+    "route_tenant",
+}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.5."""
-    return dict(QUERIES)
+    """One entry per implemented operator from SURVEY.md §2.5 — ids without
+    a round-1 driver CORRECTNESS row first (coverage rotation)."""
+    fresh = {k: v for k, v in QUERIES.items() if k not in _CHECKED_IN_R1}
+    seen = {k: v for k, v in QUERIES.items() if k in _CHECKED_IN_R1}
+    return {**fresh, **seen}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (omitted for non-SQL-expressible
-    operators → driver records a rows-only check)."""
-    return dict(ORACLES)
+    operators → driver records a rows-only check).  Same rotation order
+    as :func:`queries`."""
+    fresh = {k: v for k, v in ORACLES.items() if k not in _CHECKED_IN_R1}
+    seen = {k: v for k, v in ORACLES.items() if k in _CHECKED_IN_R1}
+    return {**fresh, **seen}
