@@ -32,6 +32,7 @@ HEADLINE = [
     "agg_count_distinct",
     "win_topk_per_group",
     "win_lag_lead",
+    "warehouse_vehicle_gaps",
     "stream_tumbling_agg",
     "stream_sliding_agg",
     "stream_session_window",
