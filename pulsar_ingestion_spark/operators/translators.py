@@ -298,6 +298,16 @@ def translate_ford(
     return _split_with_extra(df, payload_col, FORD_RAW_SCHEMA, FORD_REQUIRED, _valid_extra, _build, dead_letter)
 
 
+def with_variant_residue(df: DataFrame, cmf_col: str = "cmf", out_col: str = "ssd_variant") -> DataFrame:
+    """Typed query-time access to the lossless residue: parse
+    ``sourceSpecificData`` (the only schema-dynamic CMF field —
+    GeotabTranslator.kt:130-133, architecture.md:87) ONCE into Spark 4's
+    VARIANT binary encoding.  Downstream ``variant_get`` path extractions
+    are typed and avoid re-parsing the JSON string per access — the
+    at-rest/query-time losslessness story of SURVEY.md §1.2."""
+    return df.withColumn(out_col, F.parse_json(F.col(f"{cmf_col}.sourceSpecificData")))
+
+
 def cmf_to_json(df: DataFrame, cmf_col: str = "cmf", out_col: str = "value") -> DataFrame:
     """Serialize the CMF struct to its JSON wire form (the translator's
     return value, GeotabTranslator.kt:150).  Null fields omitted, like

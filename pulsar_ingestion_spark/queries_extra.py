@@ -1213,6 +1213,46 @@ def telemetry_trip_summary(spark, sf_dir):
     )
 
 
+_CMF_VARIANT_ORACLE = """
+SELECT concat('dev-', CAST(event_id AS VARCHAR)) AS device_id,
+       event_type AS custom1,
+       CAST(floor(value * 1000) AS BIGINT) AS custom2
+FROM events
+WHERE user_id % 37 <> 0
+"""
+
+
+@query("cmf_variant_residue", oracle=_CMF_VARIANT_ORACLE)
+def cmf_variant_residue(spark, sf_dir):
+    # VERDICT r1 item 4: variant-typed sourceSpecificData end-to-end — raw
+    # payloads with unmapped custom fields → REAL translator (residue JSON
+    # carries them losslessly) → parse_json into VARIANT → typed
+    # variant_get extraction.  One parse, typed paths, no per-access
+    # get_json_object string re-parse.
+    from pulsar_ingestion_spark.operators.translators import translate_geotab, with_variant_residue
+
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    doc = F.to_json(
+        F.struct(
+            F.concat(F.lit("dev-"), F.col("event_id").cast("string")).alias("Device_ID"),
+            F.concat(F.lit("veh-"), F.col("user_id").cast("string")).alias("Vehicle_ID"),
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("Record_DateTime"),
+            F.round(F.col("value"), 6).alias("Latitude"),
+            F.round(-F.col("value"), 6).alias("Longitude"),
+            F.col("event_type").alias("customGeotabField1"),
+            F.floor(F.col("value") * 1000).cast("long").alias("customGeotabField2"),
+        )
+    )
+    payload = F.when(F.col("user_id") % 37 == 0, F.lit("{broken")).otherwise(doc)
+    translated = translate_geotab(ev.withColumn("value_json", payload), payload_col="value_json")
+    v = with_variant_residue(translated)
+    return v.select(
+        F.col("cmf.deviceId").alias("device_id"),
+        F.variant_get("ssd_variant", "$.customGeotabField1", "string").alias("custom1"),
+        F.variant_get("ssd_variant", "$.customGeotabField2", "bigint").alias("custom2"),
+    )
+
+
 @query(
     "json_variant",
     oracle="""
