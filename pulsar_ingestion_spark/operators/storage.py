@@ -16,6 +16,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _drop_table_and_location(spark: SparkSession, table: str) -> None:
+    """DROP IF EXISTS plus leftover-location cleanup: the default catalog
+    is in-memory, so a table written by a PREVIOUS process is unknown to
+    DROP yet its directory still occupies the warehouse path — saveAsTable
+    would fail on the non-empty location."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    parsed = urlparse(wh)
+    wh_path = parsed.path if parsed.scheme in ("file", "") else None
+    if wh_path:
+        loc = os.path.join(wh_path, table.split(".")[-1].lower())
+        if os.path.exists(loc):
+            shutil.rmtree(loc)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
@@ -25,7 +44,7 @@ def write_bucketed(
 ) -> None:
     """Persist as a bucketed (+sorted) managed table, replacing any prior."""
     spark = df.sparkSession
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    _drop_table_and_location(spark, table)
     w = df.write.bucketBy(num_buckets, bucket_col)
     if sort:
         w = w.sortBy(bucket_col)
@@ -104,7 +123,7 @@ def write_cmf_warehouse(
     no exchange (asserted in tests/test_plans.py).
     """
     spark = cmf_flat.sparkSession
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    _drop_table_and_location(spark, table)
     sort_cols = sort_cols or (key_col,)
     (
         cmf_flat.write.partitionBy(date_col)

@@ -27,7 +27,13 @@ def _cmf_warehouse(spark, sf_dir):
     """Materialize (memoized) the bucketed CMF warehouse for ``sf_dir`` and
     return it as a DataFrame.  The write is a one-time layout cost — the
     point is that every subsequent per-vehicle query reads pre-clustered
-    buckets with zero Exchange."""
+    buckets with zero Exchange.
+
+    Partition granularity scales with volume: files should land ~100 MB+,
+    so the fixture (60k rows) partitions by MONTH — day dirs here would
+    mean ~720 files of ~80 rows, a 15x slower scan measured at sf0.1.  At
+    100 TB the same layout uses day dirs (write_cmf_warehouse(date_col=
+    "event_date")) because a day of data IS hundreds of full-size files."""
     import os
     import re
 
@@ -36,12 +42,19 @@ def _cmf_warehouse(spark, sf_dir):
 
     tag = re.sub(r"[^a-z0-9]+", "_", os.path.basename(sf_dir.rstrip("/")).lower())
     table = f"cmf_warehouse_{tag}"
-    if table not in _WAREHOUSE_BUILT or not spark.catalog.tableExists(table):
+    # Rebuild on first touch per process (1-2 s at sf0.1): an on-disk table
+    # left by an older code version may carry a stale layout/schema.
+    if table not in _WAREHOUSE_BUILT:
         cmf = cmf_translate_geotab(spark, sf_dir).withColumn(
-            "event_date", F.to_date(F.to_timestamp(F.col("date_time")))
+            "event_month", F.trunc(F.to_timestamp(F.col("date_time")).cast("date"), "month")
         )
         write_cmf_warehouse(
-            cmf, table, key_col="partition_key", sort_cols=("partition_key", "epoch_source")
+            cmf,
+            table,
+            date_col="event_month",
+            key_col="partition_key",
+            sort_cols=("partition_key", "epoch_source"),
+            num_buckets=16,
         )
         _WAREHOUSE_BUILT.add(table)
     return spark.table(table)
