@@ -290,3 +290,45 @@ def embedding_near_dups(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+def near_dup_clusters(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph: every doc gets
+    ``cluster_id`` = the minimum doc id reachable through pairs (its own id
+    for singletons) — the "keep one per cluster" step of corpus dedup.
+
+    Iterative min-label propagation: each round unions own labels with
+    neighbor labels and takes the per-node min — one equi-join shuffle +
+    one partial-agg shuffle per round.  Near-dup graphs are clique-dense
+    (duplicate groups), so convergence is typically 3-5 rounds; the loop
+    stops as soon as the label sum is stable (sum is strictly decreasing
+    while anything changes).  ``localCheckpoint`` truncates lineage so the
+    plan stays bounded across iterations.  At 100 TB this is the standard
+    Spark CC shape (cf. GraphFrames/large-star small-star); the pair graph
+    is orders of magnitude smaller than the corpus.
+    """
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
+    prev_sum = None
+    for _ in range(max_iters):
+        neigh = edges.join(labels, edges["dst"] == labels["id"]).select(
+            F.col("src").alias("id"), F.col("label")
+        )
+        labels = (
+            labels.unionByName(neigh)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        s = labels.agg(F.sum("label").alias("s")).collect()[0]["s"]
+        if s == prev_sum:
+            break
+        prev_sum = s
+    return labels.select("id", F.col("label").alias("cluster_id"))

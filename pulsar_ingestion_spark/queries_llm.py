@@ -422,3 +422,185 @@ def q_text_lang_id(spark, sf_dir):
         F.col("lang").alias("labeled_lang"),
         F.when(stopword_ratio(F.col("text")) > 0.08, "en").otherwise("other").alias("guessed_lang"),
     )
+
+
+_DECONTAM_ORACLE = r"""
+WITH sh AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 7 + 1),
+           i -> array_to_string(w[i:i+7], ' '))) AS grams
+  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        FROM documents)
+  WHERE len(w) >= 8
+), ev AS (
+  SELECT DISTINCT unnest(grams) AS g FROM sh WHERE doc_id % 97 = 0
+), tr AS (
+  SELECT doc_id, unnest(grams) AS g FROM sh WHERE doc_id % 97 <> 0
+)
+SELECT tr.doc_id, count(*) AS matched_ngrams
+FROM tr JOIN ev USING (g)
+GROUP BY tr.doc_id
+"""
+
+
+@query("text_decontaminate", oracle=_DECONTAM_ORACLE)
+def q_text_decontaminate(spark, sf_dir):
+    # Benchmark decontamination — the standard pre-training hygiene pass:
+    # flag training docs sharing any 8-word gram with the (small) eval set.
+    # Plan: eval grams DISTINCT + broadcast; training grams stream through
+    # a broadcast hash join — at 100 TB the training side never shuffles
+    # (eval sets are KBs-MBs).  Here grams join as strings for oracle
+    # parity; at scale the join key is xxhash64(gram) (8-byte keys).
+    from pulsar_ingestion_spark.functions.text import shingles, word_count
+
+    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    docs8 = docs.filter(word_count(F.col("text")) >= 8)
+    ev = (
+        docs8.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode(shingles(F.col("text"), 8)).alias("g"))
+        .distinct()
+    )
+    tr = docs8.filter(F.col("doc_id") % 97 != 0).select(
+        "doc_id", F.explode(shingles(F.col("text"), 8)).alias("g")
+    )
+    return tr.join(F.broadcast(ev), "g").groupBy("doc_id").agg(
+        F.count("*").alias("matched_ngrams")
+    )
+
+
+_MINHASH_SEEDS = ["s0", "s1", "s2", "s3", "s4", "s5", "s6", "s7"]
+
+_MINHASH_SIG_ORACLE = r"""
+SELECT doc_id,
+       {cols}
+FROM (SELECT doc_id,
+             list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+      FROM documents)
+""".format(cols=",\n       ".join(
+    f"list_aggregate(list_transform(w, x -> md5(concat('{s}:', x))), 'min') AS sig_{i}"
+    for i, s in enumerate(_MINHASH_SEEDS)
+))
+
+
+@query("text_minhash_signature", oracle=_MINHASH_SIG_ORACLE)
+def q_text_minhash_signature(spark, sf_dir):
+    # Engine-portable MinHash: per-seed signature = min over the word set
+    # of md5(seed || word).  Unlike MLlib's MinHashLSH (engine-internal
+    # hash families -> rows-only), md5 is identical across engines, so the
+    # full signature matrix is oracle-HASH-checked.  Narrow map, no
+    # shuffle; banding these signatures gives the LSH bucket keys.
+    from pulsar_ingestion_spark.functions.text import words
+
+    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    w = F.array_distinct(words(F.lower(F.col("text"))))
+
+    # NB: a `lambda x, s=s:` default would be introspected by PySpark as a
+    # TWO-arg (element, index) lambda — the seed silently becomes the index
+    # column.  A closure factory keeps the arity at one.
+    def _hasher(seed: str):
+        return lambda x: F.md5(F.concat(F.lit(f"{seed}:"), x))
+
+    cols = [
+        F.array_min(F.transform(w, _hasher(s))).alias(f"sig_{i}")
+        for i, s in enumerate(_MINHASH_SEEDS)
+    ]
+    return docs.select("doc_id", *cols)
+
+
+_CENTROID_ORACLE = """
+SELECT label,
+       CAST(i - 1 AS INTEGER) AS pos,
+       round(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
+             / count(*), 6) AS centroid_val
+FROM embeddings, range(1, 65) r(i)
+GROUP BY label, i
+"""
+
+
+@query("emb_centroid_by_label", oracle=_CENTROID_ORACLE)
+def q_emb_centroid_by_label(spark, sf_dir):
+    # Per-class embedding centroid (exploded form): posexplode -> one
+    # partial-agg shuffle on (label, pos) — the classwise mean every
+    # clustering/IVF/probing step needs.  Decimal-accumulated sums keep
+    # the mean identical across engines (registry parity rules).
+    emb = fan_out(load_tables(spark, sf_dir)["embeddings"], spark)
+    ex = emb.select("label", F.posexplode("embedding").alias("pos", "e"))
+    return ex.groupBy("label", "pos").agg(
+        F.round(
+            F.sum(F.col("e").cast("double").cast("decimal(18,9)")).cast("double") / F.count("*"), 6
+        ).alias("centroid_val")
+    )
+
+
+_QUANT_ORACLE = """
+SELECT vec_id,
+       round(127.0 / list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max'), 6)
+         AS scale,
+       list_transform(embedding,
+         x -> CAST(floor(CAST(x AS DOUBLE)
+              * round(127.0 / list_aggregate(list_transform(embedding, x2 -> abs(CAST(x2 AS DOUBLE))), 'max'), 6))
+              AS INTEGER)) AS q8
+FROM embeddings
+"""
+
+
+@query("emb_quantize_int8", oracle=_QUANT_ORACLE)
+def q_emb_quantize_int8(spark, sf_dir):
+    # Symmetric int8 quantization (the storage/ANN compression step):
+    # per-vector scale = 127/max|x| (rounded so both engines use the SAME
+    # scale), q = floor(x*scale) — floor, not round, to avoid cross-engine
+    # half-way rounding divergence.  Pure array expressions, narrow map.
+    emb = fan_out(load_tables(spark, sf_dir)["embeddings"], spark)
+    xd = F.transform("embedding", lambda x: F.abs(x.cast("double")))
+    scale = F.round(F.lit(127.0) / F.array_max(xd), 6)
+    q8 = F.transform("embedding", lambda x: F.floor(x.cast("double") * scale).cast("int"))
+    return emb.select("vec_id", scale.alias("scale"), q8.alias("q8"))
+
+
+_CLUSTER_ORACLE = r"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id AS id,
+         list_distinct(list_transform(
+           range(1, greatest(len(w) - 2, 1) + 1),
+           i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS grams
+  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        FROM documents)
+  WHERE len(w) >= 3
+), ex AS (
+  SELECT id, len(grams) AS sz, unnest(grams) AS gram FROM sh
+), inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.sz AS size_a, b.sz AS size_b,
+         count(*) AS inter_cnt
+  FROM ex a JOIN ex b ON a.gram = b.gram AND a.id < b.id
+  GROUP BY a.id, b.id, a.sz, b.sz
+), pairs AS (
+  SELECT id_a, id_b FROM inter
+  WHERE round(inter_cnt / (size_a + size_b - inter_cnt), 6) >= 0.35
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT d.doc_id AS id,
+       least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS cluster_id
+FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+GROUP BY d.doc_id
+"""
+
+
+@query("dedup_cluster_components", oracle=_CLUSTER_ORACLE)
+def q_dedup_cluster_components(spark, sf_dir):
+    # Corpus-dedup clustering: 3-gram Jaccard pairs (threshold 0.35) ->
+    # connected components by iterative min-label propagation (the Spark
+    # CC idiom); the DuckDB oracle computes the same fixpoint via a
+    # recursive transitive-closure CTE — an iterative distributed
+    # algorithm hash-checked against a declarative one.
+    from pulsar_ingestion_spark.operators.dedup import near_dup_clusters
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    docs3 = fan_out(docs.filter(F.size(F.split(F.trim(F.lower("text")), r"\s+")) >= 3), spark)
+    pairs = ngram_jaccard_pairs(docs3, threshold=0.35, n=3).select("id_a", "id_b")
+    return near_dup_clusters(pairs, docs)
