@@ -604,3 +604,64 @@ def q_dedup_cluster_components(spark, sf_dir):
     docs3 = fan_out(docs.filter(F.size(F.split(F.trim(F.lower("text")), r"\s+")) >= 3), spark)
     pairs = ngram_jaccard_pairs(docs3, threshold=0.35, n=3).select("id_a", "id_b")
     return near_dup_clusters(pairs, docs)
+
+
+_CURATE_ORACLE = f"""
+WITH feat AS (
+  SELECT doc_id, lang, text, md5(text) AS h,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS wc,
+         len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+             w -> list_contains({_STOP_SQL}, w)))
+           * 1.0 / len(regexp_split_to_array(trim(text), '\\s+')) AS swr,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                          w -> CAST(length(w) AS BIGINT))),
+           (x,y) -> x+y) * 1.0
+           / len(regexp_split_to_array(trim(text), '\\s+')) AS awl
+  FROM documents
+), scored AS (
+  SELECT doc_id, lang, text, h, wc,
+         round(((CASE WHEN wc BETWEEN 20 AND 1000 THEN 1.0 WHEN wc >= 5 THEN 0.5 ELSE 0.0 END)
+              + (CASE WHEN swr > 0.05 THEN 1.0 ELSE 0.5 END)
+              + (CASE WHEN awl BETWEEN 2.5 AND 10 THEN 1.0 ELSE 0.5 END)) / 3.0, 4) AS quality
+  FROM feat
+), filtered AS (
+  SELECT * FROM scored WHERE quality >= 0.5
+), kept AS (
+  SELECT h, (max({{'wc': wc, 'id': -doc_id}})).id * -1 AS kept_id
+  FROM filtered GROUP BY h
+)
+SELECT f.doc_id, f.lang, f.wc AS words,
+       len(regexp_extract_all(f.text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS tokens,
+       f.quality
+FROM filtered f JOIN kept k ON f.h = k.h AND f.doc_id = k.kept_id
+"""
+
+
+@query("corpus_curate", oracle=_CURATE_ORACLE)
+def q_corpus_curate(spark, sf_dir):
+    # The end-to-end curation pass a training pipeline actually ships:
+    # quality gate -> exact-dup keep-best -> per-doc token accounting.
+    # Plan: narrow feature map, one shuffle on the content hash for the
+    # keep-best group, hash-join back — at 100 TB the only wide ops are
+    # on the 32-byte digest.
+    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    feat = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.md5("text").alias("h"),
+        word_count(F.col("text")).alias("words"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+    filtered = feat.filter(F.col("quality") >= 0.5)
+    key = F.struct(F.col("words").alias("wc"), (-F.col("doc_id")).alias("id"))
+    kept = filtered.groupBy(F.col("h").alias("kh")).agg(
+        (F.max(key).getField("id") * -1).alias("kept_id")
+    )
+    out = filtered.join(
+        kept, (filtered["h"] == kept["kh"]) & (filtered["doc_id"] == kept["kept_id"])
+    )
+    return out.select(
+        "doc_id", "lang", "words", token_count(F.col("text")).alias("tokens"), "quality"
+    )
