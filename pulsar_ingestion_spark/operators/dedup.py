@@ -332,3 +332,80 @@ def near_dup_clusters(
             break
         prev_sum = s
     return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def near_dup_clusters_lss(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components by large-star / small-star alternation
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    same contract as :func:`near_dup_clusters` (every node labelled with
+    the minimum reachable id), different convergence behavior.
+
+    Min-label propagation needs O(diameter) rounds: fine for clique-dense
+    duplicate clusters (diameter ~2), quadratic pain on chain-shaped
+    graphs (e.g. templated boilerplate where A~B~C but not A~C).  The
+    star operations contract paths doubly-exponentially — O(log^2 n)
+    rounds worst-case — so this is the scale path when cluster shapes are
+    unknown.
+
+    Per round: two groupBy-min shuffles over the (shrinking) edge list +
+    a distinct; edges only ever point to smaller labels, so the edge set
+    is bounded by the input.  Convergence = edge multiset stable (checked
+    by a sum aggregate, strictly decreasing while anything changes).
+    ``localCheckpoint`` truncates lineage per round.
+    """
+    e = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    # undirected edge list, both orientations
+    edges = (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev = None
+    for _ in range(max_iters):
+        # large-star: every neighbor v > u links to m(u) = min(N(u) + {u})
+        m = edges.groupBy("u").agg(F.min("v").alias("minv"))
+        m = m.select("u", F.least("minv", "u").alias("m"))
+        large = (
+            edges.filter(F.col("v") > F.col("u"))
+            .join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: every neighbor v <= u (plus u itself) links to m(u)
+        small_src = edges.filter(F.col("v") < F.col("u"))
+        ms = small_src.groupBy("u").agg(F.min("v").alias("minv"))
+        ms = ms.select("u", F.least("minv", "u").alias("m"))
+        small = (
+            small_src.join(ms, "u")
+            .select(F.col("v").alias("vv"), F.col("m"))
+            .unionByName(ms.select(F.col("u").alias("vv"), F.col("m")))
+            .filter(F.col("vv") != F.col("m"))
+            .select(F.col("vv").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        new_edges = (
+            large.unionByName(small)
+            .unionByName(large.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .unionByName(small.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        s = new_edges.agg(F.sum(F.col("u") + F.col("v")).alias("s"), F.count(F.lit(1)).alias("c")).collect()[0]
+        sig = (s["s"], s["c"])
+        edges = new_edges
+        if sig == prev:
+            break
+        prev = sig
+    roots = edges.groupBy("u").agg(F.min("v").alias("minv"))
+    labels = nodes.select(F.col(id_col).alias("id")).join(
+        roots.select(F.col("u").alias("id"), "minv"), "id", "left"
+    )
+    return labels.select(
+        "id", F.least(F.col("id"), F.coalesce(F.col("minv"), F.col("id"))).alias("cluster_id")
+    )

@@ -665,3 +665,18 @@ def q_corpus_curate(spark, sf_dir):
     return out.select(
         "doc_id", "lang", "words", token_count(F.col("text")).alias("tokens"), "quality"
     )
+
+
+@query("dedup_cluster_lss", oracle=_CLUSTER_ORACLE)
+def q_dedup_cluster_lss(spark, sf_dir):
+    # Same clustering contract as dedup_cluster_components, computed by
+    # large-star/small-star alternation (O(log^2 n) rounds) instead of
+    # min-label propagation (O(diameter) rounds) — the variant to reach
+    # for when dup-cluster shapes are chain-like rather than clique-like.
+    # Checked against the same recursive-CTE oracle.
+    from pulsar_ingestion_spark.operators.dedup import near_dup_clusters_lss
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    docs3 = fan_out(docs.filter(F.size(F.split(F.trim(F.lower("text")), r"\s+")) >= 3), spark)
+    pairs = ngram_jaccard_pairs(docs3, threshold=0.35, n=3).select("id_a", "id_b")
+    return near_dup_clusters_lss(pairs, docs)

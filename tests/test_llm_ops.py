@@ -181,3 +181,27 @@ def test_multimodal_pipeline(spark):
         assert r["target_width"] <= r["width"] and r["target_height"] <= r["height"]
     dd = media_dedup(media)
     assert dd.count() == 20  # all distinct payloads
+
+
+def test_lss_clusters_match_min_label_on_chain(spark):
+    """Large-star/small-star must produce the same labelling as min-label
+    propagation on a chain graph (the adversarial shape for min-label:
+    diameter = n) and on a clique + singleton mix."""
+    from pulsar_ingestion_spark.operators.dedup import (
+        near_dup_clusters,
+        near_dup_clusters_lss,
+    )
+
+    # chain 0-1-2-...-9, clique {20,21,22}, singleton 30
+    chain = [(i, i + 1) for i in range(9)]
+    clique = [(20, 21), (20, 22), (21, 22)]
+    pairs = spark.createDataFrame(chain + clique, "id_a long, id_b long")
+    nodes = spark.createDataFrame(
+        [(i,) for i in list(range(10)) + [20, 21, 22, 30]], "doc_id long"
+    )
+    base = {(r["id"], r["cluster_id"]) for r in near_dup_clusters(pairs, nodes).collect()}
+    lss = {(r["id"], r["cluster_id"]) for r in near_dup_clusters_lss(pairs, nodes).collect()}
+    assert lss == base
+    assert (30, 30) in lss                      # singleton keeps its own id
+    assert all(c == 0 for i, c in lss if i < 10)   # chain collapses to min
+    assert all(c == 20 for i, c in lss if 20 <= i <= 22)
