@@ -193,7 +193,7 @@ def embedding_near_dups_blas(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    num_planes: int = 8,
+    num_planes: int | None = 8,
     num_tables: int = 4,
     seed: int = 42,
 ) -> DataFrame:
@@ -221,6 +221,12 @@ def embedding_near_dups_blas(
     from pulsar_ingestion_spark.operators.similarity import signlsh_buckets
 
     rows = emb.select(F.col(id_col).alias("rid"), F.col(vec_col).alias("rvec"))
+    if num_planes is None:
+        from pulsar_ingestion_spark.operators.similarity import auto_num_planes
+
+        # one count() against the scan: sizes 2^planes so the expected
+        # block fits an executor's Arrow group (similarity.auto_num_planes)
+        num_planes = auto_num_planes(rows.count())
     tables = None
     for t in range(num_tables):
         bt = signlsh_buckets(

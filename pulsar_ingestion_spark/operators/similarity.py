@@ -67,6 +67,27 @@ def _hyperplane(dim: int, plane_idx: int, seed: int = 42) -> list[float]:
     return vals
 
 
+def auto_num_planes(n_rows: int, target_block: int = 4096, lo: int = 4, hi: int = 20) -> int:
+    """Pick the sign-LSH plane count so the EXPECTED bucket holds about
+    ``target_block`` vectors: ``2^planes ≈ n / target_block``.
+
+    The two costs both scale with bucket size: the intra-block matmul is
+    block²·dim flops and the Arrow group transfer is block·dim·8 bytes —
+    4096×1024 doubles ≈ 32 MB/block, well inside an executor task.  Fewer
+    planes → bigger blocks but HIGHER recall (a pair at cosine s collides
+    with probability p^planes, p = 1 - acos(s)/π), so the tuner picks the
+    smallest plane count whose blocks still fit: recall is maximized
+    subject to the memory/compute envelope.  Clamped to [lo, hi]; at
+    n = 10^10 (100 TB of 1 KB docs) this lands at ~21 planes → 2M buckets,
+    which a 1000-executor cluster hash-partitions evenly.
+    """
+    import math
+
+    if n_rows <= target_block:
+        return lo
+    return max(lo, min(hi, math.ceil(math.log2(n_rows / target_block))))
+
+
 def signlsh_buckets(
     df: DataFrame,
     dim: int,
@@ -159,7 +180,7 @@ def knn_lsh(
     candidates: DataFrame,
     dim: int,
     k: int = 5,
-    num_planes: int = 8,
+    num_planes: int | None = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -168,7 +189,11 @@ def knn_lsh(
     The bucket equi-join replaces the cross join — this is the 100 TB plan
     (candidates partitioned by bucket; each query probes one partition).
     Recall < 1.0 by design; verify against knn_bruteforce on samples.
+    ``num_planes=None`` → :func:`auto_num_planes` from the candidate count
+    (one count() job against the scan, then sized buckets).
     """
+    if num_planes is None:
+        num_planes = auto_num_planes(candidates.count())
     qb = signlsh_buckets(queries, dim, num_planes, id_col, vec_col)
     cb = signlsh_buckets(candidates, dim, num_planes, id_col, vec_col)
     scored = (

@@ -143,3 +143,27 @@ def bucketed_join(
     left = spark.table(left_table)
     right = spark.table(right_table)
     return left.join(right, on=on, how=how)
+
+
+def overwrite_tenant_partitions(
+    df: DataFrame,
+    base_path: str,
+    partition_col: str = "tenantId",
+    max_records_per_file: int | None = None,
+) -> None:
+    """Reprocess SOME tenants in a partitioned layout without touching the
+    rest: dynamic partition overwrite replaces exactly the partition dirs
+    present in ``df`` and leaves every other ``tenantId=`` dir intact
+    (static overwrite — the default — would truncate the whole table).
+
+    The multi-tenant repair/backfill primitive: re-run one tenant's
+    translate+route and land it atomically per-partition while neighbors
+    keep serving.  Session-config free: the mode is set per-write via the
+    DataFrameWriter option, so concurrent appends elsewhere keep their
+    semantics.  At scale the write shuffles nothing — each task writes the
+    partitions its rows own, same as the append path.
+    """
+    w = df.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", str(max_records_per_file))
+    w.partitionBy(partition_col).parquet(base_path)

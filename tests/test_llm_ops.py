@@ -205,3 +205,29 @@ def test_lss_clusters_match_min_label_on_chain(spark):
     assert (30, 30) in lss                      # singleton keeps its own id
     assert all(c == 0 for i, c in lss if i < 10)   # chain collapses to min
     assert all(c == 20 for i, c in lss if 20 <= i <= 22)
+
+
+def test_auto_num_planes_curve():
+    """Tuner: small inputs floor at 4 planes; blocks stay ~target size as
+    n grows; the 100 TB point clamps at the ceiling."""
+    from pulsar_ingestion_spark.operators.similarity import auto_num_planes
+
+    assert auto_num_planes(100) == 4
+    assert auto_num_planes(4096) == 4
+    assert auto_num_planes(4096 * 32) == 5
+    assert auto_num_planes(4096 * 1024) == 10
+    assert auto_num_planes(10_000_000_000) == 20  # hi clamp
+    # expected block size n/2^planes stays <= target for mid-range n
+    for n in (10**5, 10**6, 10**7):
+        p = auto_num_planes(n)
+        assert n / 2**p <= 4096 * 2  # within 2x of target
+
+
+def test_blas_auto_planes_end_to_end(spark, sf_dir):
+    from pulsar_ingestion_spark.operators.dedup import embedding_near_dups_blas
+    from pulsar_ingestion_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    out = embedding_near_dups_blas(emb, threshold=0.5, num_planes=None)
+    assert out.columns == ["id_a", "id_b", "cos_sim"]
+    out.count()  # executes with the auto-sized buckets

@@ -174,3 +174,24 @@ def test_empty_pipeline_spec_raises(spark, tmp_path):
             PipelineSpec(sources=[], output_path=str(tmp_path / "out")),
             streaming=False,
         )
+
+
+def test_overwrite_tenant_partitions_leaves_neighbors(spark, tmp_path):
+    """Dynamic partition overwrite must replace ONLY the tenants present
+    in the reprocessed frame; other tenant dirs keep their rows."""
+    from pulsar_ingestion_spark.operators.storage import overwrite_tenant_partitions
+
+    base = str(tmp_path / "tenants")
+    first = spark.createDataFrame(
+        [("acme", "a1"), ("acme", "a2"), ("beta", "b1")], "tenantId string, value string"
+    )
+    first.write.mode("append").partitionBy("tenantId").parquet(base)
+
+    fixed = spark.createDataFrame([("acme", "a1-fixed")], "tenantId string, value string")
+    overwrite_tenant_partitions(fixed, base)
+
+    back = spark.read.parquet(base)
+    acme = sorted(r["value"] for r in back.filter("tenantId = 'acme'").collect())
+    beta = sorted(r["value"] for r in back.filter("tenantId = 'beta'").collect())
+    assert acme == ["a1-fixed"]          # replaced wholesale
+    assert beta == ["b1"]                # untouched by the overwrite
