@@ -71,3 +71,39 @@ def shingles(col: Column, n: int = 3) -> Column:
     return F.when(F.size(w) >= n, F.array_distinct(F.transform(idx, gram))).otherwise(
         F.array(F.array_join(w, " "))
     )
+
+
+def lines(col: Column) -> Column:
+    """Line split (no trim — leading whitespace matters for bullet rules)."""
+    return F.split(col, "\n")
+
+
+def dup_word_frac(col: Column) -> Column:
+    """Fraction of word occurrences that repeat an earlier word — the
+    cheap intra-document repetition signal (Gopher-style rep filters)."""
+    w = words(col)
+    return 1.0 - F.size(F.array_distinct(w)) / F.size(w)
+
+
+def alpha_word_frac(col: Column) -> Column:
+    """Fraction of words containing at least one alphabetic character."""
+    w = words(col)
+    return F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]"))) / F.size(w)
+
+
+def bullet_line_frac(col: Column) -> Column:
+    """Fraction of lines that start with a bullet marker."""
+    ls = lines(col)
+    return F.size(F.filter(ls, lambda x: x.rlike(r"^\s*[-*•]"))) / F.size(ls)
+
+
+def ellipsis_line_frac(col: Column) -> Column:
+    """Fraction of lines that trail off in an ellipsis."""
+    ls = lines(col)
+    return F.size(F.filter(ls, lambda x: x.rlike(r"(\.\.\.|…)\s*$"))) / F.size(ls)
+
+
+def dup_line_frac(col: Column) -> Column:
+    """Fraction of lines that are exact repeats of an earlier line."""
+    ls = lines(col)
+    return 1.0 - F.size(F.array_distinct(ls)) / F.size(ls)

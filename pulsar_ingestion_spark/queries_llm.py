@@ -680,3 +680,67 @@ def q_dedup_cluster_lss(spark, sf_dir):
     docs3 = fan_out(docs.filter(F.size(F.split(F.trim(F.lower("text")), r"\s+")) >= 3), spark)
     pairs = ngram_jaccard_pairs(docs3, threshold=0.35, n=3).select("id_a", "id_b")
     return near_dup_clusters_lss(pairs, docs)
+
+
+@query(
+    "text_gopher_quality",
+    oracle=r"""
+    WITH f AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(text), '\s+') AS w,
+             string_split(text, chr(10)) AS lines
+      FROM documents
+    )
+    SELECT doc_id,
+           len(w) AS wc,
+           round(1.0 - len(list_distinct(w)) * 1.0 / len(w), 6) AS dup_word_frac,
+           round(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / len(w), 6)
+             AS alpha_word_frac,
+           round(len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]'))) * 1.0 / len(lines), 6)
+             AS bullet_line_frac,
+           round(len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) * 1.0 / len(lines), 6)
+             AS ellipsis_line_frac,
+           round(1.0 - len(list_distinct(lines)) * 1.0 / len(lines), 6) AS dup_line_frac,
+           (len(w) BETWEEN 10 AND 100000
+            AND 1.0 - len(list_distinct(w)) * 1.0 / len(w) <= 0.6
+            AND len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / len(w) >= 0.7
+            AND len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]'))) * 1.0 / len(lines) <= 0.9
+            AND 1.0 - len(list_distinct(lines)) * 1.0 / len(lines) <= 0.3) AS keep
+    FROM f
+    """,
+)
+def q_text_gopher_quality(spark, sf_dir):
+    # Gopher-style repetition/format filters (Rae et al. 2021 §A1.1 rules,
+    # re-expressed as portable column algebra): per-doc repetition
+    # (dup word/line fractions), format signals (bullet/ellipsis lines,
+    # alphabetic-word ratio) and the combined keep decision.  All
+    # higher-order array built-ins over one narrow scan — zero shuffles,
+    # zero Python; at 100 TB this is a pure map stage that fuses into
+    # whatever filter/sink follows it.
+    from pulsar_ingestion_spark.functions.text import (
+        alpha_word_frac,
+        bullet_line_frac,
+        dup_line_frac,
+        dup_word_frac,
+        ellipsis_line_frac,
+        word_count,
+    )
+
+    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    t = F.col("text")
+    wc = word_count(t)
+    dw, aw = dup_word_frac(t), alpha_word_frac(t)
+    bl, dl = bullet_line_frac(t), dup_line_frac(t)
+    keep = (
+        wc.between(10, 100000) & (dw <= 0.6) & (aw >= 0.7) & (bl <= 0.9) & (dl <= 0.3)
+    )
+    return docs.select(
+        "doc_id",
+        wc.alias("wc"),
+        F.round(dw, 6).alias("dup_word_frac"),
+        F.round(aw, 6).alias("alpha_word_frac"),
+        F.round(bl, 6).alias("bullet_line_frac"),
+        F.round(ellipsis_line_frac(t), 6).alias("ellipsis_line_frac"),
+        F.round(dl, 6).alias("dup_line_frac"),
+        keep.alias("keep"),
+    )

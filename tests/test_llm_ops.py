@@ -231,3 +231,36 @@ def test_blas_auto_planes_end_to_end(spark, sf_dir):
     out = embedding_near_dups_blas(emb, threshold=0.5, num_planes=None)
     assert out.columns == ["id_a", "id_b", "cos_sim"]
     out.count()  # executes with the auto-sized buckets
+
+
+def test_gopher_signals_fire_on_constructed_docs(spark):
+    from pulsar_ingestion_spark.functions.text import (
+        bullet_line_frac,
+        dup_line_frac,
+        dup_word_frac,
+        ellipsis_line_frac,
+    )
+
+    rows = [
+        (1, "- one\n- two\n- three"),                     # all bullet lines
+        (2, "same line\nsame line\nsame line"),           # duplicate lines
+        (3, "spam spam spam spam"),                        # repeated words
+        (4, "first thought...\nand another…"),            # ellipsis endings
+        (5, "a perfectly normal plain sentence here"),     # clean
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    t = F.col("text")
+    got = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            bullet_line_frac(t).alias("b"),
+            dup_line_frac(t).alias("dl"),
+            dup_word_frac(t).alias("dw"),
+            ellipsis_line_frac(t).alias("e"),
+        ).collect()
+    }
+    assert got[1]["b"] == 1.0 and got[5]["b"] == 0.0
+    assert abs(got[2]["dl"] - 2 / 3) < 1e-9 and got[5]["dl"] == 0.0
+    assert got[3]["dw"] == 0.75 and got[5]["dw"] == 0.0
+    assert got[4]["e"] == 1.0 and got[5]["e"] == 0.0
