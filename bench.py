@@ -46,6 +46,9 @@ HEADLINE = [
     "dedup_embedding_blas",
     "text_stats",
     "text_token_count",
+    "text_gopher_quality",
+    "corpus_pack_sequences",
+    "corpus_curate",
     "sim_search_knn",
     "stateful_transitions",
     "telemetry_trip_distance",
