@@ -1,0 +1,176 @@
+"""Event-journey analytics over the `events` table — funnel conversion,
+cohort retention, gap-based sessionization.  The composite queries a
+product-analytics user runs daily, expressed as portable column algebra
+(conditional aggregation + window functions; no UDFs, no iteration).
+
+Oracle-parity notes: timestamps leave as epoch MICROSECONDS bigints
+(`unix_micros` / `epoch_us` — events.ts carries microseconds, string
+formats differ between engines), session/funnel ordering tie-breaks on
+event_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from pulsar_ingestion_spark.registry import query
+from pulsar_ingestion_spark.session import fan_out, load_tables
+
+
+@query(
+    "events_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'click' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'view' AND e.ts > s1.t1
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id
+    )
+    SELECT CAST(1 AS BIGINT) AS stage, 'click' AS event_type, (SELECT count(*) FROM s1) AS users
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'view', (SELECT count(*) FROM s2)
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), 'purchase', (SELECT count(*) FROM s3)
+    """,
+)
+def q_events_funnel(spark, sf_dir):
+    # Ordered funnel: click -> view (after the click) -> purchase (after
+    # that view).  Each stage is one filtered agg + one equi-join against
+    # the (small) prior-stage user set — joins shuffle on user_id only,
+    # and every stage's frame shrinks monotonically, so at 100 TB the
+    # wide side is scanned once per stage with the stage predicate pushed
+    # down; no self-join of the full event log against itself.
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    s1 = ev.filter(F.col("event_type") == "click").groupBy("user_id").agg(F.min("ts").alias("t1"))
+    s2 = (
+        ev.filter(F.col("event_type") == "view")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    spark_counts = [
+        (1, "click", s1),
+        (2, "view", s2),
+        (3, "purchase", s3),
+    ]
+    out = None
+    for stage, name, df in spark_counts:
+        row = df.agg(F.count(F.lit(1)).alias("users")).select(
+            F.lit(stage).cast("bigint").alias("stage"), F.lit(name).alias("event_type"), "users"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+@query(
+    "events_cohort_retention",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             date_diff('day', f.cohort_week, date_trunc('week', e.ts)) // 7 AS week_offset
+      FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    )
+    SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(week_offset AS BIGINT) AS week_offset,
+           count(*) AS active_users
+    FROM activity GROUP BY cohort_week, week_offset
+    """,
+)
+def q_events_cohort_retention(spark, sf_dir):
+    # Cohort retention triangle: users grouped by first-seen week, counted
+    # in each later week they were active.  Two shuffles total (first-seen
+    # agg on user_id; the distinct+count on (cohort, offset)); the join is
+    # user_id-keyed so it co-partitions with the first agg — at 100 TB the
+    # event log is read once and everything downstream is
+    # cardinality-of-users sized.
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    first_seen = ev.groupBy("user_id").agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    activity = (
+        ev.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week")) / 7
+            ).alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("active_users")
+    ).select(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+        F.col("week_offset").cast("bigint").alias("week_offset"),
+        "active_users",
+    )
+
+
+@query(
+    "events_sessionize",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, ts, value,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), flagged AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN prev_ts IS NULL
+                       OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS is_new
+      FROM ordered
+    ), numbered AS (
+      SELECT user_id, ts, value,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM flagged
+    )
+    SELECT user_id, session_idx,
+           epoch_us(min(ts)) AS session_start_us,
+           epoch_us(max(ts)) AS session_end_us,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM numbered GROUP BY user_id, session_idx
+    """,
+)
+def q_events_sessionize(spark, sf_dir):
+    # Batch sessionization: a >30 min silence starts a new session
+    # (the batch analog of stream_session_window's event-time gap
+    # sessions).  lag + running-sum over the per-user ordered window,
+    # then one agg per (user, session) — two window passes and one
+    # shuffle, all partitioned by user_id, so session state never
+    # crosses executors.  Tie-break on event_id keeps the running sum
+    # deterministic under equal timestamps.
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    is_new = F.when(
+        prev.isNull() | (F.unix_timestamp("ts") - F.unix_timestamp(prev) > 1800), 1
+    ).otherwise(0)
+    numbered = ev.select(
+        "user_id", "ts", "value",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_idx"),
+    )
+    return numbered.groupBy("user_id", "session_idx").agg(
+        F.unix_micros(F.min("ts")).alias("session_start_us"),
+        F.unix_micros(F.max("ts")).alias("session_end_us"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+    )
