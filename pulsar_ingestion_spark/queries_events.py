@@ -174,3 +174,46 @@ def q_events_sessionize(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
     )
+
+
+@query(
+    "join_range_banded",
+    oracle="""
+    SELECT a.event_id AS error_id, b.event_id AS purchase_id,
+           epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+    FROM events a JOIN events b
+      ON a.event_type = 'error' AND b.event_type = 'purchase'
+     AND abs(epoch_us(b.ts) - epoch_us(a.ts)) <= 30000000
+    """,
+)
+def q_join_range_banded(spark, sf_dir):
+    # Big x big temporal-proximity join (errors x purchases within 30 s)
+    # WITHOUT a cartesian/BNLJ: discretize time into 30 s bands, explode
+    # the left side into its band and both neighbors, equi-join on the
+    # band id, then apply the exact |gap| <= 30 s residual.  Each true
+    # pair meets in exactly one band (the right row's own), so no
+    # dedup pass is needed.  The plan is a plain hash shuffle on the
+    # band key — at 100 TB both sides stay distributed and the shuffle
+    # volume is O(3n), vs the unbounded n x m of the theta formulation
+    # (join_theta_range keeps the broadcast-BNLJ shape for the
+    # tiny-bounds case; this is the sibling for two fact tables).
+    band_us = 30_000_000
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    us = F.unix_micros(F.col("ts"))
+    a = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), us.alias("a_us"),
+        F.floor(us / band_us).alias("band0"),
+    )
+    a = a.select(
+        "error_id", "a_us",
+        F.explode(F.array(F.col("band0") - 1, F.col("band0"), F.col("band0") + 1)).alias("band"),
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), us.alias("b_us"),
+        F.floor(us / band_us).alias("band"),
+    )
+    return (
+        a.join(b, "band")
+        .filter(F.abs(F.col("b_us") - F.col("a_us")) <= band_us)
+        .select("error_id", "purchase_id", (F.col("b_us") - F.col("a_us")).alias("gap_us"))
+    )

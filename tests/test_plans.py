@@ -205,3 +205,13 @@ def test_bucketed_near_dup_plans_never_all_pairs(spark):
         plan = _plan(fn(spark, SF))
         assert "CartesianProduct" not in plan, plan
         assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_banded_range_join_is_equi_shuffle(spark):
+    """join_range_banded exists to avoid the O(n*m) plans: it must plan
+    as a hash equi-join on the band key, never cartesian/BNLJ."""
+    from pulsar_ingestion_spark.queries_events import q_join_range_banded
+
+    plan = _plan(q_join_range_banded(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
