@@ -417,3 +417,38 @@ def test_kafka_source_smoke_if_broker():
     )
     q.awaitTermination(60)
     assert spark.sql("SELECT count(*) c FROM kafka_smoke").collect()[0]["c"] >= 0
+
+
+def test_streaming_corpus_curation(spark, tmp_path):
+    """Streaming document ingestion: jsonl doc stream → quality gate →
+    exact-dup drop (dropDuplicates on content hash) → parquet sink.
+    The streaming output must equal the batch curation of the same docs
+    (unified-API invariant for the corpus path)."""
+    docs = [
+        {"doc_id": 1, "text": "a perfectly reasonable document about spark engines and scale"},
+        {"doc_id": 2, "text": "a perfectly reasonable document about spark engines and scale"},  # dup of 1
+        {"doc_id": 3, "text": "x"},                                    # fails the length gate
+        {"doc_id": 4, "text": "another decent piece of text with enough distinct words to pass the gate"},
+    ]
+    src = tmp_path / "docs-in"
+    _write_jsonl(src, docs)
+    schema = "doc_id long, text string"
+    stream = spark.readStream.schema(schema).json(str(src))
+    curated = (
+        stream.filter(F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 5)
+        .withColumn("h", F.md5("text"))
+        .dropDuplicates(["h"])
+    )
+    out = tmp_path / "docs-out"
+    q = (
+        curated.writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.read.parquet(str(out)).collect()}
+    # one of {1,2} survives (stream order decides which), 3 gated, 4 kept
+    assert 4 in got and 3 not in got
+    assert len(got & {1, 2}) == 1 and len(got) == 2
