@@ -158,3 +158,76 @@ def media_dedup(df: DataFrame) -> DataFrame:
         df.groupBy(F.sha2(F.col("payload"), 256).alias("content_sha"))
         .agg(F.min("media_id").alias("canonical_id"), F.count("*").alias("dup_cnt"))
     )
+
+
+VIDEO_MAGIC = b"SYNV"  # synthetic video header: MAGIC + u16 n_frames
+
+FRAME_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("n_frames", IntegerType()),
+    StructField("frame_idx", LongType()),
+    StructField("frame_sha", StringType()),
+])
+
+
+def synthesize_video(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic fake video blobs: header carries the frame count
+    (id % 240 + 12 — always ≥ 12), body is a seeded byte pattern.  Same
+    role as :func:`synthesize_media` for the frame-sampling path."""
+    idc = F.col(id_col).cast("long")
+    n_frames = (idc % 240 + 12).cast("int")
+    header = F.concat(
+        F.lit(VIDEO_MAGIC),
+        F.expr(f"unhex(lpad(hex(CAST({id_col} % 240 + 12 AS INT)), 4, '0'))"),
+    )
+    body = F.sha2(F.concat(F.lit("video:"), idc.cast("string")), 256).cast("binary")
+    return df.select(
+        idc.alias("media_id"),
+        F.concat(header, body).alias("payload"),
+        F.struct(
+            F.lit("video/synthetic").alias("mime"),
+            n_frames.alias("n_frames"),
+            (F.length(body) + 6).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def sample_frames(df: DataFrame, target: int = 8) -> DataFrame:
+    """Uniform-stride frame sampling + per-frame feature stub.
+
+    The sampling itself is pure JVM column algebra: for each video pick
+    ``target`` indices ``floor(j·n/target)`` (strictly increasing while
+    n ≥ target, so no dedup pass), explode — a narrow row generator, no
+    shuffle.  The per-frame decode/feature step is the Python boundary:
+    ``mapInPandas`` over Arrow batches computes a deterministic frame
+    fingerprint (a real deployment swaps in the codec there; the batch
+    shape, schema, and partitioning are the production ones).  At 100 TB
+    the explode multiplies rows at the scan and the Arrow stage stays
+    embarrassingly parallel — no state, no skew beyond frame-count
+    variance.
+    """
+    import hashlib
+
+    n = F.col("meta.n_frames").cast("long")
+    idx = F.transform(
+        F.sequence(F.lit(0), F.lit(target - 1)),
+        lambda j: F.floor(j * n / target),
+    )
+    frames = df.select(
+        "media_id",
+        F.col("meta.n_frames").alias("n_frames"),
+        F.explode(F.array_distinct(idx)).alias("frame_idx"),
+    )
+
+    def _features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.copy()
+            pdf["frame_sha"] = [
+                hashlib.md5(f"{m}:{i}".encode()).hexdigest()
+                for m, i in zip(pdf["media_id"], pdf["frame_idx"])
+            ]
+            yield pdf[["media_id", "n_frames", "frame_idx", "frame_sha"]]
+
+    return frames.mapInPandas(_features, schema=FRAME_SCHEMA)

@@ -744,3 +744,34 @@ def q_text_gopher_quality(spark, sf_dir):
         F.round(dl, 6).alias("dup_line_frac"),
         keep.alias("keep"),
     )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH v AS (
+      SELECT doc_id AS media_id,
+             CAST(doc_id % 240 + 12 AS INTEGER) AS n_frames
+      FROM documents
+    ), j AS (
+      SELECT media_id, n_frames, t.jj
+      FROM v, unnest(range(8)) AS t(jj)
+    )
+    SELECT media_id, n_frames,
+           CAST(FLOOR(jj * n_frames / 8.0) AS BIGINT) AS frame_idx,
+           md5(CAST(media_id AS VARCHAR) || ':' ||
+               CAST(CAST(FLOOR(jj * n_frames / 8.0) AS BIGINT) AS VARCHAR)) AS frame_sha
+    FROM j
+    """,
+)
+def q_multimodal_frame_sample(spark, sf_dir):
+    # Video frame sampling: synthetic blobs (no codec in this container)
+    # -> uniform-stride index selection (JVM column algebra, narrow) ->
+    # per-frame fingerprint via mapInPandas Arrow batches (the codec
+    # injection point).  The oracle reproduces the stride math and the
+    # md5 fingerprint in SQL, so the whole Python boundary is
+    # hash-checked — schema, batch shape, AND values.
+    from pulsar_ingestion_spark.operators.multimodal import sample_frames, synthesize_video
+
+    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    return sample_frames(synthesize_video(docs), target=8)

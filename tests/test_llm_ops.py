@@ -264,3 +264,19 @@ def test_gopher_signals_fire_on_constructed_docs(spark):
     assert abs(got[2]["dl"] - 2 / 3) < 1e-9 and got[5]["dl"] == 0.0
     assert got[3]["dw"] == 0.75 and got[5]["dw"] == 0.0
     assert got[4]["e"] == 1.0 and got[5]["e"] == 0.0
+
+
+def test_frame_sampling_stride_and_fingerprints(spark):
+    from pulsar_ingestion_spark.operators.multimodal import sample_frames, synthesize_video
+
+    docs = spark.createDataFrame([(0,), (5,), (239,)], "doc_id long")
+    out = sample_frames(synthesize_video(docs), target=8).collect()
+    by_media = {}
+    for r in out:
+        by_media.setdefault(r["media_id"], []).append(r)
+    for mid, rows in by_media.items():
+        n = mid % 240 + 12
+        idxs = sorted(r["frame_idx"] for r in rows)
+        assert idxs == [j * n // 8 for j in range(8)]       # uniform stride
+        assert all(0 <= i < n for i in idxs)                 # in range
+        assert len({r["frame_sha"] for r in rows}) == 8      # distinct per frame
