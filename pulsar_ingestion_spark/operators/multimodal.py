@@ -231,3 +231,76 @@ def sample_frames(df: DataFrame, target: int = 8) -> DataFrame:
             yield pdf[["media_id", "n_frames", "frame_idx", "frame_sha"]]
 
     return frames.mapInPandas(_features, schema=FRAME_SCHEMA)
+
+
+AUDIO_MAGIC = b"SYNA"  # synthetic audio header: MAGIC + u32 n_samples + u16 rate
+
+CHUNK_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("n_samples", LongType()),
+    StructField("chunk_idx", LongType()),
+    StructField("chunk_start", LongType()),
+    StructField("chunk_len", LongType()),
+    StructField("chunk_sha", StringType()),
+])
+
+
+def synthesize_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic fake audio: 16 kHz, 1–30 s of samples derived from
+    the id; body is a seeded byte pattern."""
+    idc = F.col(id_col).cast("long")
+    n_samples = ((idc % 30 + 1) * 16_000).cast("long")
+    body = F.sha2(F.concat(F.lit("audio:"), idc.cast("string")), 256).cast("binary")
+    return df.select(
+        idc.alias("media_id"),
+        F.concat(F.lit(AUDIO_MAGIC), body).alias("payload"),
+        F.struct(
+            F.lit("audio/synthetic").alias("mime"),
+            F.lit(16_000).alias("sample_rate"),
+            n_samples.alias("n_samples"),
+        ).alias("meta"),
+    )
+
+
+def chunk_audio(df: DataFrame, window_samples: int = 160_000) -> DataFrame:
+    """Fixed-window audio chunking (10 s windows at 16 kHz by default) —
+    the audio analog of :func:`sample_frames`: chunk boundaries are pure
+    column algebra (`sequence` over ceil(n/window) → explode, narrow, no
+    shuffle); the per-chunk resample/feature stub is the `mapInPandas`
+    Arrow stage where a real deployment injects the DSP codec.  The last
+    chunk is short (n - start), never padded — padding policy belongs to
+    the model-side collator, not the lake."""
+    import hashlib
+
+    n = F.col("meta.n_samples").cast("long")
+    n_chunks = F.ceil(n / window_samples).cast("long")
+    chunks = df.select(
+        "media_id",
+        F.col("meta.sample_rate").alias("sample_rate"),
+        n.alias("n_samples"),
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("chunk_idx"),
+    ).select(
+        "media_id", "sample_rate", "n_samples", "chunk_idx",
+        (F.col("chunk_idx") * window_samples).alias("chunk_start"),
+        F.least(
+            F.lit(window_samples).cast("long"),
+            F.col("n_samples") - F.col("chunk_idx") * window_samples,
+        ).alias("chunk_len"),
+    )
+
+    def _features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.copy()
+            pdf["chunk_sha"] = [
+                hashlib.md5(f"{m}:{s}:{ln}".encode()).hexdigest()
+                for m, s, ln in zip(pdf["media_id"], pdf["chunk_start"], pdf["chunk_len"])
+            ]
+            yield pdf[[
+                "media_id", "sample_rate", "n_samples", "chunk_idx",
+                "chunk_start", "chunk_len", "chunk_sha",
+            ]]
+
+    return chunks.mapInPandas(_features, schema=CHUNK_SCHEMA)

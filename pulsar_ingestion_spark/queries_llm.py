@@ -775,3 +775,36 @@ def q_multimodal_frame_sample(spark, sf_dir):
 
     docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
     return sample_frames(synthesize_video(docs), target=8)
+
+
+@query(
+    "multimodal_audio_chunks",
+    oracle="""
+    WITH a AS (
+      SELECT doc_id AS media_id,
+             16000 AS sample_rate,
+             CAST((doc_id % 30 + 1) * 16000 AS BIGINT) AS n_samples
+      FROM documents
+    ), c AS (
+      SELECT media_id, sample_rate, n_samples, t.chunk_idx
+      FROM a, unnest(range(CAST(CEIL(n_samples / 160000.0) AS BIGINT))) AS t(chunk_idx)
+    )
+    SELECT media_id, sample_rate, n_samples, chunk_idx,
+           chunk_idx * 160000 AS chunk_start,
+           least(160000, n_samples - chunk_idx * 160000) AS chunk_len,
+           md5(CAST(media_id AS VARCHAR) || ':' ||
+               CAST(chunk_idx * 160000 AS VARCHAR) || ':' ||
+               CAST(least(160000, n_samples - chunk_idx * 160000) AS VARCHAR)) AS chunk_sha
+    FROM c
+    """,
+)
+def q_multimodal_audio_chunks(spark, sf_dir):
+    # Audio chunking for training pipelines: synthetic 16 kHz blobs ->
+    # 10 s fixed windows (JVM sequence+explode, narrow) -> per-chunk
+    # fingerprint via mapInPandas Arrow batches (the DSP injection
+    # point).  Oracle reproduces boundaries and fingerprints in SQL, so
+    # the Python stage is value-checked end-to-end.
+    from pulsar_ingestion_spark.operators.multimodal import chunk_audio, synthesize_audio
+
+    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    return chunk_audio(synthesize_audio(docs))

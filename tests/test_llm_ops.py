@@ -280,3 +280,19 @@ def test_frame_sampling_stride_and_fingerprints(spark):
         assert idxs == [j * n // 8 for j in range(8)]       # uniform stride
         assert all(0 <= i < n for i in idxs)                 # in range
         assert len({r["frame_sha"] for r in rows}) == 8      # distinct per frame
+
+
+def test_audio_chunk_boundaries(spark):
+    from pulsar_ingestion_spark.operators.multimodal import chunk_audio, synthesize_audio
+
+    docs = spark.createDataFrame([(0,), (9,), (29,)], "doc_id long")  # 1s, 10s, 30s
+    out = chunk_audio(synthesize_audio(docs)).collect()
+    by_media = {}
+    for r in out:
+        by_media.setdefault(r["media_id"], []).append(r)
+    assert len(by_media[0]) == 1 and by_media[0][0]["chunk_len"] == 16_000
+    assert len(by_media[9]) == 1 and by_media[9][0]["chunk_len"] == 160_000
+    rows29 = sorted(by_media[29], key=lambda r: r["chunk_idx"])
+    assert len(rows29) == 3
+    assert [r["chunk_len"] for r in rows29] == [160_000, 160_000, 160_000]
+    assert rows29[-1]["chunk_start"] + rows29[-1]["chunk_len"] == 30 * 16_000
