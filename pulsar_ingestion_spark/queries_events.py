@@ -217,3 +217,101 @@ def q_join_range_banded(spark, sf_dir):
         .filter(F.abs(F.col("b_us") - F.col("a_us")) <= band_us)
         .select("error_id", "purchase_id", (F.col("b_us") - F.col("a_us")).alias("gap_us"))
     )
+
+
+@query(
+    "ts_ewma",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(vals) AS BIGINT) AS n_events,
+           list_reduce(vals, (acc, x) -> 0.3 * x + 0.7 * acc) AS ewma_value
+    FROM ordered
+    """,
+)
+def q_ts_ewma(spark, sf_dir):
+    # Exponentially-weighted moving average per user — the recursive
+    # smoother window frames can't express (state depends on EVERY prior
+    # row, not a fixed frame).  Encoded as an ordered left fold:
+    # collect the per-user value sequence (deterministic (ts, event_id)
+    # order), seed with the first element, fold 0.3·x + 0.7·acc with
+    # F.aggregate — identical IEEE operation order to the oracle's
+    # list_reduce, so values hash-match exactly.
+    #
+    # Scale shape: one shuffle (groupBy user_id); per-user sequences are
+    # session-sized.  For corpus-length sequences the same fold runs as
+    # applyInPandasWithState over time-ordered micro-batches (the
+    # streaming sibling, streaming/stateful.py) — this is the batch
+    # contract for it.
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    seq = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("ts", "event_id", "value"))).alias("seq")
+    )
+    vals = F.col("seq").getField("value")
+    ewma = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: F.lit(0.3) * x + F.lit(0.7) * acc,
+    )
+    return seq.select(
+        "user_id",
+        F.size("seq").cast("bigint").alias("n_events"),
+        ewma.alias("ewma_value"),
+    )
+
+
+@query(
+    "table_profile",
+    oracle="""
+    SELECT 'l_quantity' AS col_name,
+           count(*) AS n_rows,
+           count(*) - count(l_quantity) AS n_nulls,
+           count(DISTINCT l_quantity) AS n_distinct,
+           CAST(min(l_quantity) AS VARCHAR) AS min_val,
+           CAST(max(l_quantity) AS VARCHAR) AS max_val
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag),
+           count(DISTINCT l_returnflag),
+           CAST(min(l_returnflag) AS VARCHAR), CAST(max(l_returnflag) AS VARCHAR)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_linestatus', count(*), count(*) - count(l_linestatus),
+           count(DISTINCT l_linestatus),
+           CAST(min(l_linestatus) AS VARCHAR), CAST(max(l_linestatus) AS VARCHAR)
+    FROM lineitem
+    """,
+)
+def q_table_profile(spark, sf_dir):
+    # Data-quality profiling: per-column row/null/distinct/min/max in ONE
+    # scan — the health check a lake team schedules nightly.  All three
+    # column profiles aggregate in a single pass (one Aggregate over the
+    # scan, no shuffle of raw rows — partial aggs combine map-side), then
+    # unpivot to the long (col_name, metrics) form.  At 100 TB this reads
+    # each column chunk once; column pruning keeps it to the profiled set.
+    li = fan_out(load_tables(spark, sf_dir)["lineitem"], spark)
+    cols = ["l_quantity", "l_returnflag", "l_linestatus"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.count_distinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = li.agg(*aggs)
+    out = None
+    for c in cols:
+        row = wide.select(
+            F.lit(c).alias("col_name"),
+            F.col("n_rows"),
+            F.col(f"{c}__nulls").alias("n_nulls"),
+            F.col(f"{c}__distinct").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_val"),
+            F.col(f"{c}__max").alias("max_val"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -808,3 +808,60 @@ def q_multimodal_audio_chunks(spark, sf_dir):
 
     docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
     return chunk_audio(synthesize_audio(docs))
+
+
+@query(
+    "text_df_prune",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS words FROM documents
+    ), df AS (
+      SELECT word, count(DISTINCT doc_id) AS docs
+      FROM (SELECT doc_id, unnest(words) AS word FROM w)
+      GROUP BY word
+    ), bad AS (
+      SELECT word FROM df WHERE docs > (SELECT count(*) FROM documents) * 0.5
+    ), badlist AS (
+      SELECT coalesce(list(word), []) AS bw FROM bad
+    )
+    SELECT doc_id,
+           len(words) AS words_in,
+           len(list_filter(words, x -> NOT list_contains(bw, x))) AS words_kept,
+           coalesce(array_to_string(list_filter(words, x -> NOT list_contains(bw, x)), ' '), '')
+             AS cleaned_text
+    FROM w, badlist
+    """,
+)
+def q_text_df_prune(spark, sf_dir):
+    # Corpus-boilerplate vocabulary pruning: words whose document
+    # frequency exceeds 50% of the corpus are navigation/template noise
+    # (the IDF-zero band) — strip them from every document, preserving
+    # order and multiplicity of what remains.
+    #
+    # Plan: one explode+distinct-count to build the high-DF vocabulary
+    # (cardinality = vocab, tiny vs corpus), broadcast it as a one-row
+    # array, then a narrow higher-order filter over each doc's word
+    # array.  At 100 TB the wide side never shuffles — the only wide op
+    # is on (word, doc_id) pairs, and that agg combines map-side.
+    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    w = docs.select("doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("words"))
+    total = docs.count()
+    dfreq = (
+        w.select("doc_id", F.explode("words").alias("word"))
+        .groupBy("word")
+        .agg(F.count_distinct("doc_id").alias("docs"))
+    )
+    bad = dfreq.filter(F.col("docs") > total * 0.5).agg(
+        F.collect_list("word").alias("bad_words")
+    )
+    pruned = w.crossJoin(F.broadcast(bad)).select(
+        "doc_id",
+        F.size("words").alias("words_in"),
+        F.filter("words", lambda x: ~F.array_contains(F.col("bad_words"), x)).alias("kept"),
+    )
+    return pruned.select(
+        "doc_id",
+        "words_in",
+        F.size("kept").alias("words_kept"),
+        F.array_join("kept", " ").alias("cleaned_text"),
+    )

@@ -47,6 +47,7 @@ SECTIONS = [
     ("Composite / events-array analytics", [
         "fleet_dashboard", "cmf_events_explode", "cmf_tire_pressure_map",
         "events_funnel", "events_cohort_retention", "events_sessionize",
+        "ts_ewma", "table_profile",
     ]),
     ("Geo / telemetry analytics", [
         "telemetry_trip_distance", "telemetry_trip_summary", "udf_pandas_haversine",
@@ -61,7 +62,7 @@ SECTIONS = [
     ("LLM data pipeline: text analysis", [
         "text_stats", "text_quality_score", "text_token_count", "text_lang_id",
         "text_tokenize_filter", "text_levenshtein_pairs", "text_chunk_documents", "text_ngram_freq", "text_pii_scrub",
-        "text_decontaminate", "text_gopher_quality", "corpus_curate",
+        "text_decontaminate", "text_gopher_quality", "text_df_prune", "corpus_curate",
     ]),
     ("LLM data pipeline: corpus assembly", [
         "corpus_split_train", "corpus_pack_sequences", "corpus_mix_domains",
