@@ -187,3 +187,26 @@ def test_split_assignment_is_stable_under_corpus_changes(spark, ids):
     all_map = {r["doc_id"]: r["s"] for r in df_all.select("doc_id", split_expr.alias("s")).collect()}
     half_map = {r["doc_id"]: r["s"] for r in df_half.select("doc_id", split_expr.alias("s")).collect()}
     assert all(all_map[k] == v for k, v in half_map.items())
+
+
+@settings(max_examples=10, deadline=None)
+@given(vals=st.lists(st.floats(min_value=-1e6, max_value=1e6, allow_nan=False), min_size=1, max_size=30))
+def test_ewma_fold_matches_pandas(spark, vals):
+    """The F.aggregate EWMA fold must equal pandas' ewm(alpha, adjust=False)
+    seeded at the first observation — the reference semantics."""
+    import pandas as pd
+
+    rows = [(0, i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "user_id long, seq long, value double")
+    seq = df.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("seq", "value"))).alias("s")
+    )
+    v = F.col("s").getField("value")
+    ewma = F.aggregate(
+        F.slice(v, 2, F.greatest(F.size(v) - 1, F.lit(0))),
+        F.element_at(v, 1),
+        lambda acc, x: F.lit(0.3) * x + F.lit(0.7) * acc,
+    )
+    got = seq.select(ewma.alias("e")).collect()[0]["e"]
+    want = pd.Series(vals).ewm(alpha=0.3, adjust=False).mean().iloc[-1]
+    assert abs(got - want) <= 1e-9 * max(1.0, abs(want))
