@@ -49,6 +49,7 @@ HEADLINE = [
     "text_gopher_quality",
     "corpus_pack_sequences",
     "corpus_curate",
+    "corpus_assemble",
     "sim_search_knn",
     "stateful_transitions",
     "telemetry_trip_distance",

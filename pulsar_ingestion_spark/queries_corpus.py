@@ -139,3 +139,92 @@ def q_corpus_mix_domains(spark, sf_dir):
         F.explode(F.sequence(F.lit(0).cast("bigint"), F.col("rep") - 1)).alias("epoch"),
         F.col("rep").alias("repeats"),
     )
+
+
+_ASSEMBLE_ORACLE = r"""
+WITH f AS (
+  SELECT doc_id, lang, text, md5(text) AS h,
+         regexp_split_to_array(trim(text), '\s+') AS w,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS wl
+  FROM documents
+), gated AS (
+  SELECT doc_id, lang, h,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS tokens
+  FROM f
+  WHERE len(w) BETWEEN 10 AND 100000
+    AND 1.0 - len(list_distinct(wl)) * 1.0 / len(wl) <= 0.6
+    AND len(list_filter(wl, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / len(wl) >= 0.7
+), kept AS (
+  SELECT h, (max({'tk': tokens, 'id': -doc_id})).id * -1 AS kept_id
+  FROM gated GROUP BY h
+), canon AS (
+  SELECT g.doc_id, g.lang, g.tokens
+  FROM gated g JOIN kept k ON g.h = k.h AND g.doc_id = k.kept_id
+), split AS (
+  SELECT doc_id, lang, tokens,
+         CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80
+              THEN 'train'
+              WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90
+              THEN 'validation'
+              ELSE 'test' END AS split
+  FROM canon
+)
+SELECT doc_id, lang, split, tokens,
+       doc_id % 8 AS shard,
+       CAST(FLOOR((SUM(tokens) OVER (PARTITION BY split, lang, doc_id % 8 ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) - tokens) / 2048.0)
+            AS BIGINT) AS pack_id
+FROM split
+"""
+
+
+@query("corpus_assemble", oracle=_ASSEMBLE_ORACLE)
+def q_corpus_assemble(spark, sf_dir):
+    # The END-TO-END corpus assembly a pretraining pipeline ships:
+    #   Gopher-style quality gate  ->  exact-dup keep-best (most tokens,
+    #   lowest id tie-break)  ->  hash train/val/test split  ->
+    #   token-budget sequence packing within (split, lang, shard).
+    # One DAG, hash-checked end to end against the composed SQL oracle.
+    #
+    # Plan shape at 100 TB: the gate is a narrow map fused into the scan;
+    # the ONLY wide ops are the keep-best group + join on the 32-byte
+    # content digest and the final pack window, which is sharded
+    # (split × lang × doc_id mod 8) so no partition exceeds
+    # corpus/(3·langs·8).  Split assignment is a pure hash map — free.
+    from pulsar_ingestion_spark.functions.text import (
+        alpha_word_frac,
+        dup_word_frac,
+        token_count,
+        word_count,
+    )
+
+    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    t = F.col("text")
+    gated = docs.filter(
+        word_count(t).between(10, 100000)
+        & (dup_word_frac(t) <= 0.6)
+        & (alpha_word_frac(t) >= 0.7)
+    ).select("doc_id", "lang", F.md5("text").alias("h"), token_count(t).alias("tokens"))
+    key = F.struct(F.col("tokens").alias("tk"), (-F.col("doc_id")).alias("id"))
+    kept = gated.groupBy(F.col("h").alias("kh")).agg(
+        (F.max(key).getField("id") * -1).alias("kept_id")
+    )
+    canon = gated.join(
+        kept, (gated["h"] == kept["kh"]) & (gated["doc_id"] == kept["kept_id"])
+    ).select("doc_id", "lang", "tokens")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("bigint")
+        % 100
+    )
+    split = canon.withColumn(
+        "split",
+        F.when(bucket < 80, "train").when(bucket < 90, "validation").otherwise("test"),
+    ).withColumn("shard", F.pmod(F.col("doc_id"), F.lit(8)))
+    w = Window.partitionBy("split", "lang", "shard").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    start = F.sum("tokens").over(w) - F.col("tokens")
+    return split.select(
+        "doc_id", "lang", "split", "tokens", "shard",
+        F.floor(start / F.lit(2048.0)).cast("bigint").alias("pack_id"),
+    )

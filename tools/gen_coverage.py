@@ -66,6 +66,7 @@ SECTIONS = [
     ]),
     ("LLM data pipeline: corpus assembly", [
         "corpus_split_train", "corpus_pack_sequences", "corpus_mix_domains",
+        "corpus_assemble",
     ]),
     ("LLM data pipeline: multimodal", ["multimodal_features", "multimodal_resize", "multimodal_frame_sample", "multimodal_audio_chunks"]),
 ]
