@@ -315,3 +315,32 @@ def q_table_profile(spark, sf_dir):
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@query(
+    "unpivot_melt",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, metric, CAST(val AS DOUBLE) AS val
+    FROM (
+      SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+      FROM lineitem WHERE l_orderkey < 1000
+    )
+    UNPIVOT (val FOR metric IN (l_quantity, l_extendedprice, l_discount))
+    """,
+)
+def q_unpivot_melt(spark, sf_dir):
+    # Wide->long unpivot (melt) with Spark's native unpivot operator —
+    # the inverse of agg_pivot.  A pure Expand node: no shuffle, row
+    # count multiplies by the measure count at the scan, column pruning
+    # still reaches the parquet reader.
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return (
+        li.filter(F.col("l_orderkey") < 1000)
+        .unpivot(
+            ids=["l_orderkey", "l_linenumber"],
+            values=["l_quantity", "l_extendedprice", "l_discount"],
+            variableColumnName="metric",
+            valueColumnName="val",
+        )
+        .withColumn("val", F.col("val").cast("double"))
+    )

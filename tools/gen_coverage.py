@@ -28,6 +28,7 @@ SECTIONS = [
         "agg_approx_count_distinct", "agg_percentile", "agg_rollup", "agg_cube",
         "agg_grouping_sets", "agg_filtered", "agg_collect", "agg_pivot",
         "agg_salted_skew", "agg_variance_stddev", "agg_max_min_by", "agg_bool", "agg_histogram", "agg_first_per_day",
+        "unpivot_melt",
     ]),
     ("Window functions", [
         "win_rank_rownum_denserank", "win_lag_lead", "win_frame_rows",
