@@ -167,3 +167,68 @@ def overwrite_tenant_partitions(
     if max_records_per_file:
         w = w.option("maxRecordsPerFile", str(max_records_per_file))
     w.partitionBy(partition_col).parquet(base_path)
+
+
+def upsert_latest(
+    spark: SparkSession,
+    updates: DataFrame,
+    base_path: str,
+    key_col: str,
+    version_col: str,
+    num_buckets: int = 16,
+) -> None:
+    """Latest-wins merge (CDC upsert) into a plain-parquet layout, without
+    a table format: rows live in ``bucket=<pmod(hash(key))>`` partition
+    dirs; a batch of updates touches ONLY the buckets its keys hash to —
+    read those buckets back, union, keep max-``version_col`` per key
+    (ties: incoming row wins), and dynamically overwrite just those
+    partition dirs (:func:`overwrite_tenant_partitions` semantics).
+
+    Scale shape: per batch the work is proportional to the touched
+    buckets, not the table — with uniformly-hashed keys and B buckets, a
+    batch touching k distinct keys rewrites ≤ min(k, B) dirs.  Raise
+    ``num_buckets`` with table size so a bucket stays ~file-sized; the
+    merge itself is one shuffle on the key.  Readers always see a
+    consistent latest-per-key view per bucket dir (partition swap is the
+    atomic unit, same caveats as dynamic partition overwrite).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    bucket = F.pmod(F.xxhash64(F.col(key_col)), F.lit(num_buckets))
+    incoming = updates.withColumn("bucket", bucket).withColumn(
+        "_src", F.lit(1)  # incoming beats existing on version ties
+    )
+    touched = [r["bucket"] for r in incoming.select("bucket").distinct().collect()]
+    # Existence check through Hadoop FS (works for file://, s3a://, ...):
+    # reading a touched-bucket list with ONE missing dir would raise and —
+    # if swallowed — silently drop the existing rows of the present
+    # buckets on the overwrite.  Only read dirs that exist.
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+
+    def _exists(p: str) -> bool:
+        hp = jvm.org.apache.hadoop.fs.Path(p)
+        return hp.getFileSystem(hconf).exists(hp)
+
+    present = [b for b in touched if _exists(f"{base_path}/bucket={b}")]
+    if present:
+        existing = (
+            spark.read.option("basePath", base_path)
+            .parquet(*[f"{base_path}/bucket={b}" for b in present])
+            .withColumn("_src", F.lit(0))
+        )
+        merged = existing.unionByName(incoming)
+    else:  # first write for every touched bucket
+        merged = incoming
+    w = Window.partitionBy(key_col).orderBy(
+        F.desc(version_col), F.desc("_src")
+    )
+    latest = (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_src")
+    )
+    latest.write.mode("overwrite").option("partitionOverwriteMode", "dynamic").partitionBy(
+        "bucket"
+    ).parquet(base_path)

@@ -195,3 +195,92 @@ def test_overwrite_tenant_partitions_leaves_neighbors(spark, tmp_path):
     beta = sorted(r["value"] for r in back.filter("tenantId = 'beta'").collect())
     assert acme == ["a1-fixed"]          # replaced wholesale
     assert beta == ["b1"]                # untouched by the overwrite
+
+
+def test_upsert_latest_merges_by_version(spark, tmp_path):
+    """CDC upsert: later versions win, untouched buckets keep their rows,
+    version ties resolve to the incoming batch."""
+    from pulsar_ingestion_spark.operators.storage import upsert_latest
+
+    base = str(tmp_path / "upsert")
+    b1 = spark.createDataFrame(
+        [("k1", 1, "v1-old"), ("k2", 1, "v2"), ("k3", 1, "v3")],
+        "k string, ver long, payload string",
+    )
+    upsert_latest(spark, b1, base, key_col="k", version_col="ver")
+    # batch 2: update k1 (newer), tie on k2 (incoming wins), new k4
+    b2 = spark.createDataFrame(
+        [("k1", 2, "v1-new"), ("k2", 1, "v2-tie"), ("k4", 1, "v4")],
+        "k string, ver long, payload string",
+    )
+    upsert_latest(spark, b2, base, key_col="k", version_col="ver")
+    got = {r["k"]: (r["ver"], r["payload"]) for r in spark.read.parquet(base).collect()}
+    assert got == {
+        "k1": (2, "v1-new"),
+        "k2": (1, "v2-tie"),
+        "k3": (1, "v3"),
+        "k4": (1, "v4"),
+    }
+
+
+def test_upsert_latest_streaming_foreachbatch(spark, tmp_path):
+    """The upsert composes as a foreachBatch sink: a two-batch stream
+    materializes to the latest-per-key view."""
+    import json as _json
+
+    from pulsar_ingestion_spark.operators.storage import upsert_latest
+
+    src = tmp_path / "in"
+    src.mkdir()
+    rows = [
+        {"k": "a", "ver": 1, "payload": "a1"},
+        {"k": "a", "ver": 2, "payload": "a2"},
+        {"k": "b", "ver": 1, "payload": "b1"},
+    ]
+    with open(src / "part-0.jsonl", "w") as fh:
+        for r in rows:
+            fh.write(_json.dumps(r) + "\n")
+    base = str(tmp_path / "out")
+    stream = spark.readStream.schema("k string, ver long, payload string").json(str(src))
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda batch, epoch: upsert_latest(spark, batch, base, key_col="k", version_col="ver")
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["k"]: r["payload"] for r in spark.read.parquet(base).collect()}
+    assert got == {"a": "a2", "b": "b1"}
+
+
+def test_upsert_latest_mixed_new_and_existing_buckets(spark, tmp_path):
+    """Regression: a batch touching one EXISTING bucket and one BRAND-NEW
+    bucket must not lose the existing bucket's unrelated keys."""
+    from pyspark.sql import functions as F
+
+    from pulsar_ingestion_spark.operators.storage import upsert_latest
+
+    base = str(tmp_path / "upsert")
+    # find two keys in the same bucket and one in a different bucket
+    probe = spark.createDataFrame(
+        [(f"k{i}",) for i in range(40)], "k string"
+    ).withColumn("bucket", F.pmod(F.xxhash64("k"), F.lit(16)))
+    bk = {r["k"]: r["bucket"] for r in probe.collect()}
+    by_bucket: dict[int, list[str]] = {}
+    for k, b in bk.items():
+        by_bucket.setdefault(b, []).append(k)
+    same = next(ks for ks in by_bucket.values() if len(ks) >= 2)
+    other = next(ks for b, ks in by_bucket.items() if ks[0] not in same)
+    k_a, k_b, k_new = same[0], same[1], other[0]
+
+    b1 = spark.createDataFrame([(k_a, 1, "keep-me")], "k string, ver long, payload string")
+    upsert_latest(spark, b1, base, key_col="k", version_col="ver")
+    b2 = spark.createDataFrame(
+        [(k_b, 1, "same-bucket-new-key"), (k_new, 1, "new-bucket")],
+        "k string, ver long, payload string",
+    )
+    upsert_latest(spark, b2, base, key_col="k", version_col="ver")
+    got = {r["k"]: r["payload"] for r in spark.read.parquet(base).collect()}
+    assert got == {k_a: "keep-me", k_b: "same-bucket-new-key", k_new: "new-bucket"}
