@@ -344,3 +344,49 @@ def q_unpivot_melt(spark, sf_dir):
         )
         .withColumn("val", F.col("val").cast("double"))
     )
+
+
+@query(
+    "events_rfm_segments",
+    oracle="""
+    WITH base AS (
+      SELECT user_id,
+             epoch_us(max(ts)) AS recency_us,
+             count(*) AS frequency,
+             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS monetary
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, recency_us, frequency, monetary,
+           ntile(5) OVER (ORDER BY recency_us DESC, user_id) AS r_score,
+           ntile(5) OVER (ORDER BY frequency DESC, user_id) AS f_score,
+           ntile(5) OVER (ORDER BY monetary DESC, user_id) AS m_score
+    FROM base
+    """,
+)
+def q_events_rfm_segments(spark, sf_dir):
+    # RFM segmentation: per-user recency/frequency/monetary rollup, then
+    # quintile scores (1 = best) — the classic CRM/product segmentation.
+    # Tie-break on user_id makes the ntile boundaries deterministic and
+    # oracle-checkable.
+    #
+    # Scale note: ntile needs a GLOBAL ordering — fine here because the
+    # windowed relation is user-cardinality (already aggregated), orders
+    # of magnitude smaller than the event log; the log itself only pays
+    # one groupBy shuffle.  If even the user table outgrows one task,
+    # swap ntile for percent_rank over range-partitioned sort or an
+    # approx-quantile cut — same contract, no global window.
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    base = ev.groupBy("user_id").agg(
+        F.unix_micros(F.max("ts")).alias("recency_us"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("monetary"),
+    )
+    wr = Window.orderBy(F.desc("recency_us"), F.asc("user_id"))
+    wf = Window.orderBy(F.desc("frequency"), F.asc("user_id"))
+    wm = Window.orderBy(F.desc("monetary"), F.asc("user_id"))
+    return base.select(
+        "user_id", "recency_us", "frequency", "monetary",
+        F.ntile(5).over(wr).alias("r_score"),
+        F.ntile(5).over(wf).alias("f_score"),
+        F.ntile(5).over(wm).alias("m_score"),
+    )

@@ -48,7 +48,7 @@ SECTIONS = [
     ("Composite / events-array analytics", [
         "fleet_dashboard", "cmf_events_explode", "cmf_tire_pressure_map",
         "events_funnel", "events_cohort_retention", "events_sessionize",
-        "ts_ewma", "table_profile",
+        "ts_ewma", "table_profile", "events_rfm_segments",
     ]),
     ("Geo / telemetry analytics", [
         "telemetry_trip_distance", "telemetry_trip_summary", "udf_pandas_haversine",
