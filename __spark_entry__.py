@@ -59,11 +59,34 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-# Query ids the round-1 driver run already hash-checked (CORRECTNESS_r01.json
-# green).  The driver checks a bounded prefix of the declared set, so ids it
-# has NOT yet covered are emitted first — rotating coverage across rounds
-# until every query has a driver CORRECTNESS row (VERDICT r1 item 2).
-_CHECKED_IN_R1 = {
+# Query ids prior driver rounds already checked (CORRECTNESS_r01.json +
+# CORRECTNESS_r02.json rows).  The driver checks a bounded prefix of the
+# declared set, so ids it has NOT yet covered are emitted first — rotating
+# coverage across rounds until every query has a driver CORRECTNESS row
+# (VERDICT r1 item 2, refreshed each round per VERDICT r2 item 2).
+_CHECKED_PRIOR = {
+    # round 2 (CORRECTNESS_r02.json)
+    "route_event_type_split", "dedup_exact", "dedup_fingerprint",
+    "dedup_keep_best", "text_pii_scrub", "dedup_ngram_jaccard",
+    "dedup_minhash", "dedup_simhash", "dedup_embedding_cosine",
+    "dedup_embedding_blas", "sim_search_knn", "sim_search_lsh",
+    "sim_search_ivf", "text_stats", "text_quality_score",
+    "text_token_count", "multimodal_features", "multimodal_resize",
+    "text_chunk_documents", "text_lang_id", "text_decontaminate",
+    "text_minhash_signature", "emb_centroid_by_label",
+    # emb_quantize_int8 deliberately NOT listed: its r2 row FAILED
+    # (array-hash serialization, now fixed) — rotate it to the front so
+    # round 3 records a fresh green row.
+    "dedup_cluster_components", "corpus_curate", "dedup_cluster_lss",
+    "text_gopher_quality", "multimodal_frame_sample",
+    "multimodal_audio_chunks", "text_df_prune", "warehouse_vehicle_gaps",
+    "join_right", "event_translate_order", "event_translate_inventory",
+    "event_translate_shipment", "stateful_transitions", "win_distribution",
+    "win_first_last", "win_nth_value", "agg_pivot", "sample_deterministic",
+    "datetime_funcs", "agg_salted_skew", "telemetry_trip_distance",
+    "udf_pandas_haversine", "json_multi_extract", "cmf_tire_pressure_map",
+    "cmf_events_explode", "agg_max_min_by",
+    # round 1 (CORRECTNESS_r01.json)
     "scan_project", "filter_pred", "filter_not_blank", "json_extract",
     "ts_normalize", "enum_normalize", "join_inner_equi", "join_left",
     "join_full", "join_broadcast", "join_semi", "join_anti",
@@ -85,8 +108,8 @@ _CHECKED_IN_R1 = {
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.5 — ids without
     a round-1 driver CORRECTNESS row first (coverage rotation)."""
-    fresh = {k: v for k, v in QUERIES.items() if k not in _CHECKED_IN_R1}
-    seen = {k: v for k, v in QUERIES.items() if k in _CHECKED_IN_R1}
+    fresh = {k: v for k, v in QUERIES.items() if k not in _CHECKED_PRIOR}
+    seen = {k: v for k, v in QUERIES.items() if k in _CHECKED_PRIOR}
     return {**fresh, **seen}
 
 
@@ -94,6 +117,6 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (omitted for non-SQL-expressible
     operators → driver records a rows-only check).  Same rotation order
     as :func:`queries`."""
-    fresh = {k: v for k, v in ORACLES.items() if k not in _CHECKED_IN_R1}
-    seen = {k: v for k, v in ORACLES.items() if k in _CHECKED_IN_R1}
+    fresh = {k: v for k, v in ORACLES.items() if k not in _CHECKED_PRIOR}
+    seen = {k: v for k, v in ORACLES.items() if k in _CHECKED_PRIOR}
     return {**fresh, **seen}

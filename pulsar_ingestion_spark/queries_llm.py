@@ -535,10 +535,10 @@ _QUANT_ORACLE = """
 SELECT vec_id,
        round(127.0 / list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max'), 6)
          AS scale,
-       list_transform(embedding,
+       coalesce(array_to_string(list_transform(embedding,
          x -> CAST(floor(CAST(x AS DOUBLE)
               * round(127.0 / list_aggregate(list_transform(embedding, x2 -> abs(CAST(x2 AS DOUBLE))), 'max'), 6))
-              AS INTEGER)) AS q8
+              AS INTEGER)), ','), '') AS q8
 FROM embeddings
 """
 
@@ -549,11 +549,17 @@ def q_emb_quantize_int8(spark, sf_dir):
     # per-vector scale = 127/max|x| (rounded so both engines use the SAME
     # scale), q = floor(x*scale) — floor, not round, to avoid cross-engine
     # half-way rounding divergence.  Pure array expressions, narrow map.
+    # q8 serialized to a CSV string: the driver hash cannot digest
+    # array-typed columns (registry parity rule / VERDICT r2 item 1).
     emb = fan_out(load_tables(spark, sf_dir)["embeddings"], spark)
     xd = F.transform("embedding", lambda x: F.abs(x.cast("double")))
     scale = F.round(F.lit(127.0) / F.array_max(xd), 6)
     q8 = F.transform("embedding", lambda x: F.floor(x.cast("double") * scale).cast("int"))
-    return emb.select("vec_id", scale.alias("scale"), q8.alias("q8"))
+    return emb.select(
+        "vec_id",
+        scale.alias("scale"),
+        F.array_join(q8.cast("array<string>"), ",").alias("q8"),
+    )
 
 
 _CLUSTER_ORACLE = r"""

@@ -35,9 +35,29 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+def unhashable_cols(pdf: pd.DataFrame) -> list[str]:
+    """Columns the driver's hasher cannot digest (array/map/struct values
+    arrive in pandas as list/ndarray/dict objects → "unhashable type").
+    VERDICT r2: emb_quantize_int8 slipped through because selfcheck compared
+    via str() — mirror the driver's stricter contract here."""
+    bad = []
+    for c in pdf.columns:
+        if pdf[c].dtype == object:
+            probe = pdf[c].dropna().head(5)
+            if any(isinstance(v, (list, tuple, dict, set)) or hasattr(v, "__array__")
+                   for v in probe):
+                bad.append(c)
+    return bad
+
+
 def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> tuple[bool, str]:
     if sorted(spark_pdf.columns) != sorted(duck_pdf.columns):
         return False, f"columns differ: spark={sorted(spark_pdf.columns)} duck={sorted(duck_pdf.columns)}"
+    bad = unhashable_cols(spark_pdf) + [c for c in unhashable_cols(duck_pdf)
+                                        if c not in unhashable_cols(spark_pdf)]
+    if bad:
+        return False, (f"driver-unhashable (array/map-typed) output cols {bad}: "
+                       "serialize via array_join/array_to_string on both sides")
     if len(spark_pdf) != len(duck_pdf):
         return False, f"row counts differ: spark={len(spark_pdf)} duck={len(duck_pdf)}"
     a, b = canon(spark_pdf), canon(duck_pdf)
