@@ -119,19 +119,62 @@ def dedup_minhash_lsh(
     )
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
-    """SimHash signature: per-bit majority vote over xxhash64(word).
+def _md5_nibble_bit(i: int, j: int):
+    """Closure factory (HOF arity trap: default-arg lambdas are introspected
+    as (element, index)): predicate "bit ``j`` of hex nibble ``i`` of an
+    md5-hex string is set".  The nibble value is recovered from the char
+    code (`'0'..'9'` → 48-57, `'a'..'f'` → 97-102) — ascii/substring are
+    engine-portable, so a DuckDB oracle can recompute the identical bit via
+    ``instr('0123456789abcdef', substr(h, i+1, 1)) - 1``.
+    """
+
+    def pred(h):
+        a = F.ascii(F.substring(h, i + 1, 1))
+        nib = F.when(a >= 97, a - 87).otherwise(a - 48)
+        return F.shiftright(nib, j).bitwiseAND(F.lit(1)) == 1
+
+    return pred
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    portable: bool = False,
+) -> DataFrame:
+    """SimHash signature: per-bit majority vote over per-word hashes.
 
     Pure column expressions (one filter+size per bit over the word array);
     near-dups are found by the banded equi-join in
     :func:`simhash_near_dups` — never a signature cross join.
+
+    ``portable=False`` (default engine path): bit ``k`` of ``xxhash64(word)``
+    — one cheap JVM hash per word.  ``portable=True``: bit ``k`` = bit
+    ``k%4`` of hex nibble ``k//4`` of ``md5(word)`` — one md5 per word
+    (computed once, bits unpacked from the hex string), reproducible in any
+    engine with md5, so the result is DuckDB-oracle-checkable the same way
+    the md5 minhash signature is (VERDICT r2 item 2).  ``portable`` caps
+    ``bits`` at 64 (16 nibbles × 4); use 32 to keep band values positive
+    in engines without unsigned shifts.
     """
     w = F.array_distinct(words(F.lower(F.col(text_col))))
     sig = F.lit(0).cast("long")
-    for k in range(bits):
-        ones = F.size(F.filter(w, lambda x: F.shiftright(F.xxhash64(x), k).bitwiseAND(F.lit(1)) == 1))
-        bit = (ones * 2 > F.size(w)).cast("long")
-        sig = sig + F.shiftleft(bit, k)
+    if portable:
+        if bits > 64:
+            raise ValueError("portable simhash supports at most 64 bits")
+        hs = F.transform(w, lambda x: F.md5(x))
+        for k in range(bits):
+            ones = F.size(F.filter(hs, _md5_nibble_bit(k // 4, k % 4)))
+            bit = (ones * 2 > F.size(w)).cast("long")
+            sig = sig + F.shiftleft(bit, k)
+    else:
+        for k in range(bits):
+            ones = F.size(
+                F.filter(w, lambda x: F.shiftright(F.xxhash64(x), k).bitwiseAND(F.lit(1)) == 1)
+            )
+            bit = (ones * 2 > F.size(w)).cast("long")
+            sig = sig + F.shiftleft(bit, k)
     return df.select(F.col(id_col).alias("id"), sig.alias("simhash"))
 
 
@@ -141,6 +184,7 @@ def simhash_near_dups(
     text_col: str = "text",
     id_col: str = "doc_id",
     bits: int = 64,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance — banded, never all-pairs.
 
@@ -157,7 +201,7 @@ def simhash_near_dups(
     join; bucket width = ``bits / (max_hamming + 1)`` bits (keep ≥ 8 by
     raising ``bits`` when loosening ``max_hamming``).
     """
-    sigs = simhash(df, text_col, id_col, bits)
+    sigs = simhash(df, text_col, id_col, bits, portable=portable)
     nbands = max_hamming + 1
     base, rem = divmod(bits, nbands)
     bands, off = [], 0
@@ -196,6 +240,7 @@ def embedding_near_dups_blas(
     num_planes: int | None = 8,
     num_tables: int = 4,
     seed: int = 42,
+    exact_rescore: bool = False,
 ) -> DataFrame:
     """Bucketed block-matmul near-dup — no driver collect, no all-pairs join.
 
@@ -214,12 +259,22 @@ def embedding_near_dups_blas(
     ``p = 1 - acos(s)/π`` — recall < 1 by design; the exact fold path
     :func:`embedding_near_dups` is the oracle-checked baseline and the
     recall fixture (tests/test_llm_ops.py).
+
+    ``exact_rescore=True`` makes the OUTPUT engine-portable (VERDICT r2
+    item 2): the matmul stays the candidate filter (with a 1e-6 threshold
+    margin so borderline pairs survive), but each surviving pair's
+    ``cos_sim`` is recomputed with the ordered-fold column expression
+    (functions/vectors.py) and re-filtered — bit-identical to a DuckDB
+    ``list_reduce`` fold, so the pair set + values hash-match an oracle
+    that joins same-bucket pairs and applies the same fold.  Cost: two
+    hash equi-joins on the (small) surviving pair set.
     """
     import numpy as np
     import pandas as pd
 
     from pulsar_ingestion_spark.operators.similarity import signlsh_buckets
 
+    block_threshold = threshold - 1e-6 if exact_rescore else threshold
     rows = emb.select(F.col(id_col).alias("rid"), F.col(vec_col).alias("rvec"))
     if num_planes is None:
         from pulsar_ingestion_spark.operators.similarity import auto_num_planes
@@ -250,7 +305,7 @@ def embedding_near_dups_blas(
         sims = np.round((mat @ mat.T) / np.outer(norms, norms), 6)
         iu, ju = np.triu_indices(len(ids), k=1)
         s = sims[iu, ju]
-        keep = s >= threshold
+        keep = s >= block_threshold
         if not keep.any():
             return empty
         ia, jb, s = ids[iu[keep]], ids[ju[keep]], s[keep]
@@ -265,7 +320,21 @@ def embedding_near_dups_blas(
     out = tables.groupBy("tbl", "bucket").applyInPandas(
         _block, schema="id_a long, id_b long, cos_sim double"
     )
-    return out.dropDuplicates(["id_a", "id_b"])
+    pairs = out.dropDuplicates(["id_a", "id_b"])
+    if not exact_rescore:
+        return pairs
+    from pulsar_ingestion_spark.functions.vectors import cosine_rounded
+
+    ea = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    eb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        pairs.drop("cos_sim")
+        .join(ea, "id_a")
+        .join(eb, "id_b")
+        .withColumn("cos_sim", cosine_rounded(F.col("va"), F.col("vb")))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
 
 
 def embedding_near_dups(

@@ -84,6 +84,70 @@ def test_simhash_banding_is_exact(spark, sf_dir):
     assert banded == brute
 
 
+def test_simhash_portable_banding_is_exact(spark, sf_dir):
+    """Portable (md5-nibble, 32-bit) simhash: banded join == brute force."""
+    import numpy as np
+
+    from pulsar_ingestion_spark.operators.dedup import simhash
+    from pulsar_ingestion_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"].filter(F.col("doc_id") < 300)
+    r = 3
+    banded = {(x["id_a"], x["id_b"], x["hamming"])
+              for x in simhash_near_dups(docs, max_hamming=r, bits=32, portable=True).collect()}
+    sigs = simhash(docs, bits=32, portable=True).collect()
+    ids = np.array([x["id"] for x in sigs], dtype=np.int64)
+    vals = [int(x["simhash"]) for x in sigs]
+    brute = set()
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            ham = bin(vals[i] ^ vals[j]).count("1")
+            if ham <= r and ids[i] < ids[j]:
+                brute.add((int(ids[i]), int(ids[j]), ham))
+    assert banded == brute
+
+
+def test_simhash_portable_matches_python_md5(spark):
+    """The md5-nibble word-hash bits match a pure-Python recomputation."""
+    import hashlib
+
+    from pulsar_ingestion_spark.operators.dedup import simhash
+
+    rows = [(1, "alpha beta gamma"), (2, "alpha beta delta epsilon")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r["simhash"] for r in simhash(docs, bits=32, portable=True).collect()}
+
+    def py_sig(text):
+        ws = sorted(set(text.lower().split()))
+        hs = [hashlib.md5(w.encode()).hexdigest() for w in ws]
+        sig = 0
+        for k in range(32):
+            i, j = divmod(k, 4)
+            ones = sum(1 for h in hs if (int(h[i], 16) >> j) & 1)
+            if 2 * ones > len(ws):
+                sig |= 1 << k
+        return sig
+
+    for did, text in rows:
+        assert got[did] == py_sig(text)
+
+
+def test_knn_ivf_seeded_matches_bruteforce_in_probed_cells(spark, sf_dir):
+    """Seeded IVF: deterministic output, rank contract, and full recall
+    whenever the true neighbor lands in a probed cell (nprobe=16 == exact)."""
+    from pulsar_ingestion_spark.operators.similarity import knn_ivf_seeded
+    from pulsar_ingestion_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {(r["query_id"], r["rank"]): r["cand_id"]
+             for r in knn_bruteforce(q, emb, k=3).collect()}
+    # probing every cell makes IVF exhaustive → must equal brute force
+    full = {(r["query_id"], r["rank"]): r["cand_id"]
+            for r in knn_ivf_seeded(q, emb, k=3, n_cells=16, nprobe=16).collect()}
+    assert full == exact
+
+
 def test_embedding_near_dups_and_knn(spark):
     rows = [
         (1, [1.0, 0.0, 0.0]),
