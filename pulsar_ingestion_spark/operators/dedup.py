@@ -367,11 +367,18 @@ def embedding_near_dups(
     )
 
 
+class ConvergenceError(RuntimeError):
+    """An iterative clustering loop exhausted ``max_iters`` before its
+    stability check fired — labels would be WRONG (partially propagated).
+    Raise rather than return wrong clusters (ADVICE r2)."""
+
+
 def near_dup_clusters(
     pairs: DataFrame,
     nodes: DataFrame,
     id_col: str = "doc_id",
     max_iters: int = 25,
+    strict: bool = True,
 ) -> DataFrame:
     """Connected components over a near-dup pair graph: every doc gets
     ``cluster_id`` = the minimum doc id reachable through pairs (its own id
@@ -381,31 +388,51 @@ def near_dup_clusters(
     neighbor labels and takes the per-node min — one equi-join shuffle +
     one partial-agg shuffle per round.  Near-dup graphs are clique-dense
     (duplicate groups), so convergence is typically 3-5 rounds; the loop
-    stops as soon as the label sum is stable (sum is strictly decreasing
-    while anything changes).  ``localCheckpoint`` truncates lineage so the
-    plan stays bounded across iterations.  At 100 TB this is the standard
-    Spark CC shape (cf. GraphFrames/large-star small-star); the pair graph
-    is orders of magnitude smaller than the corpus.
+    stops when NO node's label changed this round — an exact change-count
+    (``limit(1).count()`` over the changed-row join, a 0/1-row aggregate),
+    not a label-sum signature, which wraps mod 2^64 on large id spaces and
+    can false-converge (ADVICE r2).  ``localCheckpoint`` truncates lineage
+    so the plan stays bounded across iterations.  At 100 TB this is the
+    standard Spark CC shape (cf. GraphFrames/large-star small-star); the
+    pair graph is orders of magnitude smaller than the corpus.
+
+    ``strict=True`` raises :class:`ConvergenceError` if ``max_iters`` is
+    exhausted while labels are still moving (the result would be wrong);
+    ``strict=False`` downgrades that to a warning log.
     """
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).unionByName(
         pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     ).localCheckpoint(eager=True)
     labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
-    prev_sum = None
+    converged = False
     for _ in range(max_iters):
         neigh = edges.join(labels, edges["dst"] == labels["id"]).select(
             F.col("src").alias("id"), F.col("label")
         )
-        labels = (
+        new_labels = (
             labels.unionByName(neigh)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        s = labels.agg(F.sum("label").alias("s")).collect()[0]["s"]
-        if s == prev_sum:
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            converged = True
             break
-        prev_sum = s
+    if not converged:
+        msg = f"near_dup_clusters: labels still changing after {max_iters} iterations"
+        if strict:
+            raise ConvergenceError(msg)
+        import warnings
+
+        warnings.warn(msg, stacklevel=2)
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 
@@ -414,6 +441,7 @@ def near_dup_clusters_lss(
     nodes: DataFrame,
     id_col: str = "doc_id",
     max_iters: int = 20,
+    strict: bool = True,
 ) -> DataFrame:
     """Connected components by large-star / small-star alternation
     (Kiveris et al., "Connected Components in MapReduce and Beyond") —
@@ -429,9 +457,14 @@ def near_dup_clusters_lss(
 
     Per round: two groupBy-min shuffles over the (shrinking) edge list +
     a distinct; edges only ever point to smaller labels, so the edge set
-    is bounded by the input.  Convergence = edge multiset stable (checked
-    by a sum aggregate, strictly decreasing while anything changes).
-    ``localCheckpoint`` truncates lineage per round.
+    is bounded by the input.  Convergence = edge SET stable, checked
+    exactly: same count AND an empty one-direction set difference
+    (``exceptAll …limit(1)`` — both sides are distinct edge sets, so
+    count-equality plus one empty difference implies equality).  No
+    hash/sum signature — a wrapped-mod-2^64 sum can false-converge on
+    large id spaces (ADVICE r2).  ``localCheckpoint`` truncates lineage
+    per round.  ``strict=True`` raises :class:`ConvergenceError` when
+    ``max_iters`` is exhausted before stability.
     """
     e = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
     # undirected edge list, both orientations
@@ -440,7 +473,8 @@ def near_dup_clusters_lss(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    prev = None
+    prev_cnt = edges.count()
+    converged = False
     for _ in range(max_iters):
         # large-star: every neighbor v > u links to m(u) = min(N(u) + {u})
         m = edges.groupBy("u").agg(F.min("v").alias("minv"))
@@ -471,12 +505,20 @@ def near_dup_clusters_lss(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        s = new_edges.agg(F.sum(F.col("u") + F.col("v")).alias("s"), F.count(F.lit(1)).alias("c")).collect()[0]
-        sig = (s["s"], s["c"])
+        new_cnt = new_edges.count()
+        stable = new_cnt == prev_cnt and new_edges.exceptAll(edges).limit(1).count() == 0
         edges = new_edges
-        if sig == prev:
+        prev_cnt = new_cnt
+        if stable:
+            converged = True
             break
-        prev = sig
+    if not converged:
+        msg = f"near_dup_clusters_lss: edge set still changing after {max_iters} iterations"
+        if strict:
+            raise ConvergenceError(msg)
+        import warnings
+
+        warnings.warn(msg, stacklevel=2)
     roots = edges.groupBy("u").agg(F.min("v").alias("minv"))
     labels = nodes.select(F.col(id_col).alias("id")).join(
         roots.select(F.col("u").alias("id"), "minv"), "id", "left"

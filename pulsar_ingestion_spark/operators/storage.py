@@ -25,14 +25,37 @@ def _drop_table_and_location(spark: SparkSession, table: str) -> None:
     import shutil
     from urllib.parse import urlparse
 
+    # Resolve the true location BEFORE dropping, via the catalog when the
+    # table is known to this session; otherwise derive it from the
+    # qualified name: <warehouse>/<db>.db/<tbl> for non-default databases,
+    # <warehouse>/<tbl> for the default — NOT the bare trailing name,
+    # which would point a db.tbl drop at an unrelated default-db table
+    # (ADVICE r2).
+    loc = None
+    try:
+        detail = spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+        for r in detail:
+            if r["col_name"] == "Location":
+                loc = urlparse(r["data_type"]).path
+                break
+    except Exception:  # table unknown to this (in-memory) catalog
+        pass
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    parsed = urlparse(wh)
-    wh_path = parsed.path if parsed.scheme in ("file", "") else None
-    if wh_path:
-        loc = os.path.join(wh_path, table.split(".")[-1].lower())
-        if os.path.exists(loc):
-            shutil.rmtree(loc)
+    if loc is None:
+        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        parsed = urlparse(wh)
+        wh_path = parsed.path if parsed.scheme in ("file", "") else None
+        if wh_path is None:
+            return
+        parts = table.lower().split(".")
+        if len(parts) == 2:
+            db, tbl = parts
+        else:
+            db, tbl = spark.catalog.currentDatabase().lower(), parts[-1]
+        rel = tbl if db == "default" else os.path.join(f"{db}.db", tbl)
+        loc = os.path.join(wh_path, rel)
+    if loc and os.path.exists(loc):
+        shutil.rmtree(loc)
 
 
 def write_bucketed(
@@ -188,9 +211,20 @@ def upsert_latest(
     buckets, not the table — with uniformly-hashed keys and B buckets, a
     batch touching k distinct keys rewrites ≤ min(k, B) dirs.  Raise
     ``num_buckets`` with table size so a bucket stays ~file-sized; the
-    merge itself is one shuffle on the key.  Readers always see a
-    consistent latest-per-key view per bucket dir (partition swap is the
-    atomic unit, same caveats as dynamic partition overwrite).
+    merge itself is one shuffle on the key.
+
+    Durability/concurrency contract (ADVICE r2): the merge FULLY
+    MATERIALIZES to a staging path first, then swaps each touched bucket
+    dir with the two-rename discipline of
+    :func:`compact_partitioned_output` — existing data is never modified
+    until the replacement bucket is complete on disk, so a crash at any
+    point leaves every bucket either old or new (never empty, never
+    partial).  SINGLE WRITER REQUIRED: two concurrent batches touching
+    the same bucket still race at the rename (last swap wins, the losing
+    batch's merge is lost) — serialize upserts per table, or use a real
+    table format (Iceberg/Delta) when multi-writer is needed.  The swap
+    uses local renames (bench/test harness); object stores need the
+    copy+delete equivalent or, again, a table format.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -229,6 +263,23 @@ def upsert_latest(
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_src")
     )
-    latest.write.mode("overwrite").option("partitionOverwriteMode", "dynamic").partitionBy(
-        "bucket"
-    ).parquet(base_path)
+    # Stage the full merge, then swap per bucket (see docstring contract).
+    import os
+    import shutil
+    import uuid
+
+    tmp = f"{base_path}__upsert_{uuid.uuid4().hex[:8]}"
+    latest.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    os.makedirs(base_path, exist_ok=True)
+    for b in touched:
+        src = os.path.join(tmp, f"bucket={b}")
+        if not os.path.isdir(src):
+            continue  # defensive: no surviving rows for this bucket
+        dst = os.path.join(base_path, f"bucket={b}")
+        old = f"{dst}__old_{uuid.uuid4().hex[:8]}"
+        if os.path.isdir(dst):
+            os.rename(dst, old)  # atomic: old data intact under __old_*
+        os.rename(src, dst)  # atomic: readers see the merged bucket
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+    shutil.rmtree(tmp, ignore_errors=True)  # _SUCCESS marker etc.

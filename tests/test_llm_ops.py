@@ -360,3 +360,23 @@ def test_audio_chunk_boundaries(spark):
     assert len(rows29) == 3
     assert [r["chunk_len"] for r in rows29] == [160_000, 160_000, 160_000]
     assert rows29[-1]["chunk_start"] + rows29[-1]["chunk_len"] == 30 * 16_000
+
+
+def test_cluster_loops_raise_on_non_convergence(spark):
+    """strict loops must raise ConvergenceError instead of silently
+    returning partially-propagated (wrong) labels (ADVICE r2)."""
+    import pytest
+
+    from pulsar_ingestion_spark.operators.dedup import (
+        ConvergenceError,
+        near_dup_clusters,
+    )
+
+    # a 9-edge chain needs ~5 min-label rounds; 1 is not enough
+    chain = [(i, i + 1) for i in range(9)]
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    nodes = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    with pytest.raises(ConvergenceError):
+        near_dup_clusters(pairs, nodes, max_iters=1).collect()
+    lax = near_dup_clusters(pairs, nodes, max_iters=1, strict=False)
+    assert lax.count() == 10  # non-strict: warns, still returns

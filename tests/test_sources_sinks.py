@@ -284,3 +284,25 @@ def test_upsert_latest_mixed_new_and_existing_buckets(spark, tmp_path):
     upsert_latest(spark, b2, base, key_col="k", version_col="ver")
     got = {r["k"]: r["payload"] for r in spark.read.parquet(base).collect()}
     assert got == {k_a: "keep-me", k_b: "same-bucket-new-key", k_new: "new-bucket"}
+
+
+def test_drop_table_location_is_database_aware(spark, tmp_path):
+    """Dropping db.tbl must clean <warehouse>/db.db/tbl and must NOT
+    delete an unrelated default-database table of the same name
+    (ADVICE r2)."""
+    import os
+
+    from pulsar_ingestion_spark.operators.storage import write_bucketed
+
+    df = spark.range(5).withColumnRenamed("id", "k")
+    spark.sql("CREATE DATABASE IF NOT EXISTS auxdb")
+    write_bucketed(df, "auxdb.samename", "k", num_buckets=2)
+    write_bucketed(df, "samename", "k", num_buckets=2)
+    # re-writing the db-qualified table must leave the default-db twin alive
+    write_bucketed(df.withColumn("k", df["k"] + 10), "auxdb.samename", "k", num_buckets=2)
+    assert spark.table("samename").count() == 5
+    assert {r["k"] for r in spark.table("auxdb.samename").collect()} == set(range(10, 15))
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    assert os.path.isdir(os.path.join(wh, "auxdb.db", "samename"))
