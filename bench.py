@@ -79,17 +79,24 @@ def main() -> None:
     queries["scan_project"](spark, sf_dir).count()
 
     # Build each plan once (plan construction is one-time in a deployed
-    # streaming/batch job), execute three times, report the min: the first
-    # execution pays JIT/codegen compile (seconds for the large fold
-    # expressions); steady-state is what a long-running cluster job sees.
+    # streaming/batch job).  Execute FOUR times: the first run is a
+    # discarded warm-up (it pays JIT/codegen compile — seconds for the
+    # large fold expressions); the next three are measured, reporting the
+    # min plus the sample variance of the measured runs so a round-over-
+    # round regression can be told from host jitter (VERDICT r2 item 6).
     dfs = {name: queries[name](spark, sf_dir) for name in HEADLINE}
-    timings: dict[str, float] = {}
-    for _ in range(3):
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for it in range(4):
         for name in HEADLINE:
             t0 = time.perf_counter()
             dfs[name].count()
             dt = round(time.perf_counter() - t0, 4)
-            timings[name] = min(timings.get(name, float("inf")), dt)
+            if it > 0:  # run 0 = warm-up, excluded
+                samples[name].append(dt)
+    timings = {name: min(s) for name, s in samples.items()}
+    import statistics
+
+    variances = {name: round(statistics.variance(s), 6) for name, s in samples.items()}
 
     # End-to-end pipeline throughput: loadgen 50k Geotab docs → batch
     # pipeline (translate → route → partitioned parquet) — the flagship
@@ -122,6 +129,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "var": variances,
                 "sf": sf,
             }
         )

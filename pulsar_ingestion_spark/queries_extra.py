@@ -45,7 +45,9 @@ def _cmf_warehouse(spark, sf_dir):
     # Rebuild on first touch per process (1-2 s at sf0.1): an on-disk table
     # left by an older code version may carry a stale layout/schema.
     if table not in _WAREHOUSE_BUILT:
-        cmf = cmf_translate_geotab(spark, sf_dir).withColumn(
+        # user_id/value ride along so warehouse readers (fleet_dashboard)
+        # can join dimensions / derive metrics without re-translating.
+        cmf = cmf_translate_geotab(spark, sf_dir, _passthrough=("user_id", "value")).withColumn(
             "event_month", F.trunc(F.to_timestamp(F.col("date_time")).cast("date"), "month")
         )
         write_cmf_warehouse(
@@ -681,20 +683,18 @@ GROUP BY 1, 2
 
 @query("fleet_dashboard", oracle=_FLEET_DASHBOARD_ORACLE)
 def fleet_dashboard(spark, sf_dir):
-    # Composite flagship: translate (Geotab branch) → enrich with the
-    # fleet dimension (broadcast) → daily per-segment activity rollup.
-    # The translate branch reuses the REAL operator, so this exercises
-    # parse → validate → map → join → agg end-to-end in one plan.
-    from pulsar_ingestion_spark.operators.translators import translate_geotab
-    from pulsar_ingestion_spark.queries_translate import _geotab_payloads
-
+    # Composite flagship: the translated CMF comes from the BUCKETED
+    # warehouse (translate runs once in the warehouse build, amortized
+    # with warehouse_vehicle_gaps) → enrich with the fleet dimension
+    # (broadcast) → daily per-segment activity rollup.  At 100 TB the
+    # dashboard reads the pre-clustered at-rest layout with month-dir
+    # partition pruning available; only the final rollup shuffles.
     t = load_tables(spark, sf_dir)
-    ev = fan_out(t["events"], spark)
-    translated = translate_geotab(_geotab_payloads(ev), payload_col="value_json")
-    cmf = translated.select(
-        F.col("cmf.vehicleId").alias("vehicle_id"),
-        F.col("user_id"),
-        F.date_trunc("day", F.to_timestamp(F.col("cmf.dateTime"))).alias("day"),
+    stored = _cmf_warehouse(spark, sf_dir)
+    cmf = stored.select(
+        "vehicle_id",
+        "user_id",
+        F.date_trunc("day", F.to_timestamp(F.col("date_time"))).alias("day"),
         (F.col("value") / 10).alias("speed"),
     )
     enriched = cmf.join(F.broadcast(t["customer"]), cmf.user_id == F.col("c_custkey"))

@@ -69,11 +69,15 @@ def _geotab_payloads(ev):
 
 
 @query("cmf_translate_geotab", oracle=_GEOTAB_ORACLE)
-def cmf_translate_geotab(spark, sf_dir):
+def cmf_translate_geotab(spark, sf_dir, _passthrough=()):
+    # _passthrough: source-row columns to retain alongside the CMF fields
+    # (used by the warehouse build so downstream composites can join on
+    # source keys without re-running the translator).
     ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
     translated = translate_geotab(_geotab_payloads(ev), tenant="acme", payload_col="value_json")
     c = F.col
     return translated.select(
+        *[c(x) for x in _passthrough],
         c("cmf.vehicleId").alias("vehicle_id"),
         c("cmf.deviceId").alias("device_id"),
         c("cmf.dateTime").alias("date_time"),
