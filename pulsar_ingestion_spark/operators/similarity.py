@@ -175,6 +175,51 @@ def knn_ivf(
     )
 
 
+def knn_lsh_multiprobe(
+    queries: DataFrame,
+    candidates: DataFrame,
+    dim: int,
+    k: int = 5,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Multiprobe sign-LSH ANN: each query probes its own bucket PLUS the
+    ``num_planes`` buckets at Hamming distance 1 (one plane bit flipped) —
+    the standard recall boost that costs probe-count, not extra hash
+    tables (no duplicate signatures/storage like multi-table LSH).
+
+    Scale shape: the candidate side is bucketed ONCE; the query side
+    explodes ×(num_planes+1) (queries are the small side), then the same
+    hash equi-join as :func:`knn_lsh`.  A candidate lives in exactly one
+    bucket and probe buckets are distinct, so no pair dedup is needed.
+    Deterministic md5 hyperplanes → DuckDB-oracle-checkable.
+    """
+    qb = signlsh_buckets(queries, dim, num_planes, id_col, vec_col, seed)
+    cb = signlsh_buckets(candidates, dim, num_planes, id_col, vec_col, seed)
+    probe_buckets = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long")) for i in range(num_planes)],
+    )
+    probes = qb.select(
+        F.col("id").alias("qid"),
+        F.col("vec").alias("qv"),
+        F.explode(probe_buckets).alias("bucket"),
+    )
+    scored = (
+        probes.join(cb, "bucket")
+        .filter(F.col("qid") != F.col("id"))
+        .withColumn("cos_sim", cosine_rounded(F.col("qv"), F.col("vec"), 6))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("qid").alias("query_id"), F.col("id").alias("cand_id"), "cos_sim", "rank")
+    )
+
+
 def _dist2(a, b):
     """Ordered-fold squared L2 distance (deterministic summation order —
     DuckDB list_reduce over the same zip order is bit-identical)."""

@@ -401,3 +401,47 @@ def q_events_rfm_segments(spark, sf_dir):
         "user_id", "recency_us", "frequency", "monetary",
         "r_score", "f_score", "m_score",
     )
+
+
+_ANOMALY_ORACLE = """
+WITH s AS (
+  SELECT user_id,
+         count(value) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sxx
+  FROM events GROUP BY user_id
+), z AS (
+  SELECT e.event_id, e.user_id, e.value,
+         round((e.value - s.sx / s.n)
+               / sqrt((s.sxx - s.sx * s.sx / s.n) / (s.n - 1)), 6) AS zscore
+  FROM events e JOIN s ON e.user_id = s.user_id
+  WHERE s.n >= 2 AND (s.sxx - s.sx * s.sx / s.n) / (s.n - 1) > 0
+)
+SELECT event_id, user_id, value, zscore FROM z WHERE abs(zscore) >= 2
+"""
+
+
+@query("events_anomaly_zscore", oracle=_ANOMALY_ORACLE)
+def q_events_anomaly_zscore(spark, sf_dir):
+    # Per-user z-score outliers (|z| >= 2): the metric-anomaly primitive.
+    # Mean/std from DECIMAL sum / sum-of-squares (the agg_variance_stddev
+    # parity trick — float running accumulators are summation-order
+    # dependent); z rounded to 6 BEFORE thresholding so membership is
+    # cross-engine stable.  Scale shape: one partial-agg shuffle for the
+    # per-user stats + one hash equi-join back to the stream.
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    vdec = F.col("value").cast("decimal(18,6)")
+    s = ev.groupBy("user_id").agg(
+        F.count("value").alias("n"),
+        F.sum(vdec).cast("double").alias("sx"),
+        F.sum(vdec * vdec).cast("double").alias("sxx"),
+    )
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)
+    z = F.round((F.col("value") - F.col("sx") / F.col("n")) / F.sqrt(var), 6)
+    return (
+        ev.join(s, "user_id")
+        .filter((F.col("n") >= 2) & (var > 0))
+        .withColumn("zscore", z)
+        .filter(F.abs(F.col("zscore")) >= 2)
+        .select("event_id", "user_id", "value", "zscore")
+    )

@@ -363,6 +363,88 @@ def q_sim_search_lsh(spark, sf_dir):
     return knn_lsh(emb.filter(F.col("vec_id") < 20), emb, dim=64, k=5, num_planes=6)
 
 
+def _lsh_multiprobe_oracle(dim: int, num_planes: int, seed: int, k: int) -> str:
+    cos = f"""round({_KNN_DOT.format(a='p.qv', b='c.embedding')}
+      / (sqrt({_KNN_DOT.format(a='p.qv', b='p.qv')})
+       * sqrt({_KNN_DOT.format(a='c.embedding', b='c.embedding')})), 6)"""
+    return f"""
+    WITH {_signlsh_bucket_cte(dim, num_planes, [seed])},
+    probes AS (
+      SELECT q.vec_id AS qid, q.embedding AS qv,
+             CASE WHEN t.i = {num_planes} THEN q.bucket
+                  ELSE xor(q.bucket, (CAST(1 AS BIGINT) << t.i)) END AS bucket
+      FROM buckets q, unnest(range({num_planes + 1})) AS t(i)
+      WHERE q.vec_id < 20
+    ),
+    scored AS (
+      SELECT p.qid AS query_id, c.vec_id AS cand_id, {cos} AS cos_sim
+      FROM probes p JOIN buckets c
+        ON p.bucket = c.bucket AND p.qid <> c.vec_id
+    )
+    SELECT query_id, cand_id, cos_sim, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, cand_id) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@query("sim_search_lsh_multiprobe", oracle=_lsh_multiprobe_oracle(64, 6, 42, 5))
+def q_sim_search_lsh_multiprobe(spark, sf_dir):
+    # Hamming-1 multiprobe over the same 6-plane signature: the standard
+    # recall boost at probe-count (not table-count) cost; candidates stay
+    # bucketed once.  Fully oracle-recomputable like sim_search_lsh.
+    from pulsar_ingestion_spark.operators.similarity import knn_lsh_multiprobe
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return knn_lsh_multiprobe(
+        emb.filter(F.col("vec_id") < 20), emb, dim=64, k=5, num_planes=6
+    )
+
+
+_REPETITION_ORACLE = r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+  FROM documents
+), ex AS (
+  SELECT doc_id, len(ws) AS n_words, unnest(ws) AS word FROM w
+), wc AS (
+  SELECT doc_id, n_words, word, count(*) AS cnt
+  FROM ex GROUP BY doc_id, n_words, word
+), pd AS (
+  SELECT doc_id, n_words, max(cnt) AS top_cnt, count(*) AS n_distinct
+  FROM wc GROUP BY doc_id, n_words
+)
+SELECT doc_id, n_words,
+       round(top_cnt / n_words, 6) AS top_word_frac,
+       round(1.0 - n_distinct / n_words, 6) AS dup_word_frac
+FROM pd
+"""
+
+
+@query("text_repetition_ratios", oracle=_REPETITION_ORACLE)
+def q_text_repetition_ratios(spark, sf_dir):
+    # Gopher-style repetition signals (cf. Rae et al. 2021 §A1.1): the
+    # most-frequent-word fraction and the duplicate-word fraction — the
+    # filters that catch boilerplate/keyword-stuffed documents.
+    # Scale shape: explode → (doc_id, word) partial-agg shuffle →
+    # per-doc agg — never an O(len²) in-array count; both groupBys are
+    # map-side combinable.
+    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    w = F.split(F.trim(F.lower("text")), r"\s+")
+    ex = docs.select("doc_id", F.size(w).alias("n_words"), F.explode(w).alias("word"))
+    wc = ex.groupBy("doc_id", "n_words", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    pd = wc.groupBy("doc_id", "n_words").agg(
+        F.max("cnt").alias("top_cnt"), F.count(F.lit(1)).alias("n_distinct")
+    )
+    return pd.select(
+        "doc_id",
+        "n_words",
+        F.round(F.col("top_cnt") / F.col("n_words"), 6).alias("top_word_frac"),
+        F.round(F.lit(1.0) - F.col("n_distinct") / F.col("n_words"), 6).alias("dup_word_frac"),
+    )
+
+
 def _ivf_seeded_oracle(n_cells: int, nprobe: int, k: int) -> str:
     d2 = """list_reduce(list_prepend(0.0, list_transform(range(1, len({a})+1),
       i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))

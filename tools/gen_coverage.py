@@ -48,7 +48,7 @@ SECTIONS = [
     ("Composite / events-array analytics", [
         "fleet_dashboard", "cmf_events_explode", "cmf_tire_pressure_map",
         "events_funnel", "events_cohort_retention", "events_sessionize",
-        "ts_ewma", "table_profile", "events_rfm_segments",
+        "ts_ewma", "table_profile", "events_rfm_segments", "events_anomaly_zscore",
     ]),
     ("Geo / telemetry analytics", [
         "telemetry_trip_distance", "telemetry_trip_summary", "udf_pandas_haversine",
@@ -58,12 +58,12 @@ SECTIONS = [
         "dedup_cluster_components", "dedup_cluster_lss", "text_minhash_signature",
         "dedup_simhash", "dedup_embedding_cosine", "dedup_embedding_blas",
     ]),
-    ("LLM data pipeline: similarity search", ["sim_search_knn", "sim_search_lsh", "sim_search_ivf",
-        "emb_centroid_by_label", "emb_quantize_int8"]),
+    ("LLM data pipeline: similarity search", ["sim_search_knn", "sim_search_lsh", "sim_search_lsh_multiprobe",
+        "sim_search_ivf", "emb_centroid_by_label", "emb_quantize_int8"]),
     ("LLM data pipeline: text analysis", [
         "text_stats", "text_quality_score", "text_token_count", "text_lang_id",
         "text_tokenize_filter", "text_levenshtein_pairs", "text_chunk_documents", "text_ngram_freq", "text_pii_scrub",
-        "text_decontaminate", "text_gopher_quality", "text_df_prune", "corpus_curate",
+        "text_decontaminate", "text_gopher_quality", "text_repetition_ratios", "text_df_prune", "corpus_curate",
     ]),
     ("LLM data pipeline: corpus assembly", [
         "corpus_split_train", "corpus_pack_sequences", "corpus_mix_domains",
