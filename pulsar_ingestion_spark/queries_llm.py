@@ -754,6 +754,155 @@ def q_text_minhash_signature(spark, sf_dir):
     return docs.select("doc_id", *cols)
 
 
+_MINHASH_BANDED_ORACLE = r"""
+WITH raw AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS rw
+  FROM documents
+), wd AS (
+  SELECT doc_id,
+         CASE WHEN len(rw) >= 3 THEN
+           list_distinct(list_transform(range(1, len(rw) - 2 + 1),
+             i -> concat(rw[i], ' ', rw[i+1], ' ', rw[i+2])))
+         ELSE [array_to_string(rw, ' ')] END AS w
+  FROM raw
+), sigs AS (
+  SELECT doc_id, w,
+         {sigcols}
+  FROM wd
+), bands AS (
+  {bandrows}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+), j AS (
+  SELECT c.id_a, c.id_b,
+         round(len(list_intersect(x.w, y.w))
+               / (len(x.w) + len(y.w) - len(list_intersect(x.w, y.w))), 6) AS jaccard
+  FROM cand c JOIN wd x ON x.doc_id = c.id_a JOIN wd y ON y.doc_id = c.id_b
+)
+SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.35
+""".format(
+    sigcols=",\n         ".join(
+        f"list_aggregate(list_transform(w, x -> md5(concat('{s}:', x))), 'min') AS sig_{i}"
+        for i, s in enumerate(_MINHASH_SEEDS)
+    ),
+    bandrows="\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, concat(sig_{2 * b}, sig_{2 * b + 1}) AS bval FROM sigs"
+        for b in range(4)
+    ),
+)
+
+
+@query("dedup_minhash_banded", oracle=_MINHASH_BANDED_ORACLE)
+def q_dedup_minhash_banded(spark, sf_dir):
+    # END-TO-END oracle-checked MinHash LSH (the portable sibling of the
+    # MLlib dedup_minhash): 8 md5 minhash signatures over 3-gram SHINGLES
+    # (word sets are too coarse on near-template corpora) -> 4 bands of
+    # 2 -> candidates share >= 1 band -> exact shingle-Jaccard verify
+    # (0.35; recall < 1 at the band stage by LSH design, the oracle
+    # recomputes the identical pipeline).  Scale shape identical to the
+    # MLlib path: the band equi-join IS the candidate filter (4 shuffle
+    # keys per doc), the verify joins touch only surviving pairs — never
+    # all-pairs.
+    from pulsar_ingestion_spark.functions.text import shingles
+
+    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    w = shingles(F.col("text"), n=3)
+
+    def _hasher(seed: str):
+        return lambda x: F.md5(F.concat(F.lit(f"{seed}:"), x))
+
+    sigs = docs.select(
+        "doc_id",
+        w.alias("w"),
+        *[
+            F.array_min(F.transform(w, _hasher(s))).alias(f"sig_{i}")
+            for i, s in enumerate(_MINHASH_SEEDS)
+        ],
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[
+                F.concat(F.col(f"sig_{2 * b}"), F.col(f"sig_{2 * b + 1}")) for b in range(4)
+            ])
+        ).alias("band", "bval"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    wx = sigs.select(F.col("doc_id").alias("id_a"), F.col("w").alias("wa"))
+    wy = sigs.select(F.col("doc_id").alias("id_b"), F.col("w").alias("wb"))
+    inter = F.size(F.array_intersect(F.col("wa"), F.col("wb")))
+    jac = F.round(inter / (F.size("wa") + F.size("wb") - inter), 6)
+    return (
+        cand.join(wx, "id_a")
+        .join(wy, "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.35)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+_UNIGRAM_LOGPROB_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+  FROM documents
+), wc AS (
+  SELECT word, count(*) AS cnt FROM tok GROUP BY word
+), tot AS (
+  SELECT count(*) AS n FROM tok
+), scored AS (
+  SELECT t.doc_id, round(-log2(wc.cnt / tot.n), 6) AS neg_log2p
+  FROM tok t JOIN wc ON t.word = wc.word, tot
+)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       CAST(SUM(CAST(neg_log2p AS DECIMAL(18,6))) AS DOUBLE) AS total_neg_log2p
+FROM scored GROUP BY doc_id
+"""
+
+
+@query("text_unigram_logprob", oracle=_UNIGRAM_LOGPROB_ORACLE)
+def q_text_unigram_logprob(spark, sf_dir):
+    # Unigram cross-entropy proxy (the cheap perplexity stand-in for
+    # quality scoring): per-token -log2 p(word) under the corpus unigram
+    # distribution, totalled per doc — high/n_tokens = rare-word docs.
+    # Per-token terms are rounded to 6 then DECIMAL-summed; the output is
+    # the exact decimal total (parity rule: never round a raw double
+    # quotient — engine half-up vs binary rounding diverge at half-way
+    # points).  Scale: explode -> word-count shuffle -> join back (the
+    # word table is vocabulary-sized; broadcast when it fits) -> per-doc
+    # agg.
+    from pulsar_ingestion_spark.functions.text import words
+
+    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    tok = docs.select("doc_id", F.explode(words(F.lower(F.col("text")))).alias("word"))
+    wc = tok.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = tok.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tok.join(wc, "word")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.round(-F.log2(F.col("cnt") / F.col("n")), 6).alias("neg_log2p"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.col("neg_log2p").cast("decimal(18,6)")).cast("double").alias("total_neg_log2p"),
+    )
+
+
 _CENTROID_ORACLE = """
 SELECT label,
        CAST(i - 1 AS INTEGER) AS pos,

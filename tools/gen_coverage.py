@@ -55,7 +55,7 @@ SECTIONS = [
     ]),
     ("LLM data pipeline: dedup", [
         "dedup_exact", "dedup_keep_best", "dedup_fingerprint", "dedup_ngram_jaccard", "dedup_minhash",
-        "dedup_cluster_components", "dedup_cluster_lss", "text_minhash_signature",
+        "dedup_minhash_banded", "dedup_cluster_components", "dedup_cluster_lss", "text_minhash_signature",
         "dedup_simhash", "dedup_embedding_cosine", "dedup_embedding_blas",
     ]),
     ("LLM data pipeline: similarity search", ["sim_search_knn", "sim_search_lsh", "sim_search_lsh_multiprobe",
@@ -63,7 +63,7 @@ SECTIONS = [
     ("LLM data pipeline: text analysis", [
         "text_stats", "text_quality_score", "text_token_count", "text_lang_id",
         "text_tokenize_filter", "text_levenshtein_pairs", "text_chunk_documents", "text_ngram_freq", "text_pii_scrub",
-        "text_decontaminate", "text_gopher_quality", "text_repetition_ratios", "text_df_prune", "corpus_curate",
+        "text_decontaminate", "text_gopher_quality", "text_repetition_ratios", "text_unigram_logprob", "text_df_prune", "corpus_curate",
     ]),
     ("LLM data pipeline: corpus assembly", [
         "corpus_split_train", "corpus_pack_sequences", "corpus_mix_domains",
