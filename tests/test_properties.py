@@ -210,3 +210,33 @@ def test_ewma_fold_matches_pandas(spark, vals):
     got = seq.select(ewma.alias("e")).collect()[0]["e"]
     want = pd.Series(vals).ewm(alpha=0.3, adjust=False).mean().iloc[-1]
     assert abs(got - want) <= 1e-9 * max(1.0, abs(want))
+
+
+def test_global_row_number_matches_unpartitioned_window(spark):
+    """operators/ranking.py must reproduce the single-task window's exact
+    row numbers (and therefore exact ntile) on arbitrary data."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from pulsar_ingestion_spark.operators.ranking import (
+        global_row_number,
+        ntile_from_row_number,
+    )
+
+    df = spark.range(0, 937).select(
+        F.col("id"),
+        (F.xxhash64(F.col("id")) % 97).alias("metric"),  # heavy ties
+    )
+    order = [F.desc("metric"), F.asc("id")]
+    ranked, n = global_row_number(df, order, num_partitions=7)
+    assert n == 937
+    got = {r["id"]: (r["_rn"], ) for r in ranked.collect()}
+    w = Window.orderBy(*order)
+    want = {r["id"]: (r["rn"], ) for r in
+            df.withColumn("rn", F.row_number().over(w).cast("long")).collect()}
+    assert got == want
+    tiles = {r["id"]: r["t"] for r in ranked.select(
+        "id", ntile_from_row_number(F.col("_rn"), n, 5).alias("t")).collect()}
+    wt = {r["id"]: r["t"] for r in df.withColumn(
+        "t", F.ntile(5).over(w).cast("long")).collect()}
+    assert tiles == wt
