@@ -199,9 +199,15 @@ def test_bucketed_near_dup_plans_never_all_pairs(spark):
     """Regression guard on VERDICT r1's scale-killers: the bucketed
     near-dup paths must plan as equi-joins/grouped maps — a cartesian or
     broadcast-nested-loop join here means an O(n^2) plan came back."""
-    from pulsar_ingestion_spark.queries_llm import q_dedup_embedding_blas, q_dedup_simhash
+    from pulsar_ingestion_spark.queries_llm import (
+        q_dedup_embedding_blas,
+        q_dedup_minhash_banded,
+        q_dedup_simhash,
+        q_sim_search_lsh_multiprobe,
+    )
 
-    for fn in (q_dedup_embedding_blas, q_dedup_simhash):
+    for fn in (q_dedup_embedding_blas, q_dedup_simhash,
+               q_dedup_minhash_banded, q_sim_search_lsh_multiprobe):
         plan = _plan(fn(spark, SF))
         assert "CartesianProduct" not in plan, plan
         assert "BroadcastNestedLoopJoin" not in plan, plan
