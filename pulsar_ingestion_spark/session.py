@@ -43,6 +43,11 @@ _LOCAL_DEFAULTS = {
     # Driver testdata parquet carries TIMESTAMP(NANOS); read as long and
     # convert at the edge (see read_parquet) instead of failing the scan.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Driver testdata timestamps are unannotated micros-since-epoch
+    # (isAdjustedToUTC=false). Spark 4 infers TIMESTAMP_NTZ for those,
+    # which breaks instant functions (unix_millis) and diverges from
+    # DuckDB's epoch interpretation; read them as instants instead.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }
@@ -86,14 +91,23 @@ def read_parquet(spark: SparkSession, path: str):
     # ISO-8601 output carries the trailing-Z UTC form (reference golden
     # strings + oracle SQL both assume UTC rendering).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Unannotated parquet timestamps (isAdjustedToUTC=false micros) must
+    # read as instants, not TIMESTAMP_NTZ: instant functions reject NTZ
+    # and the DuckDB oracle treats the stored micros as epoch UTC.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     df = spark.read.parquet(path)
     for field in df.schema.fields:
         if field.name in _NANO_TS_COLUMNS and isinstance(field.dataType, LongType):
             # integer div — float division loses precision at 1e18 nanos
             df = df.withColumn(field.name, F.timestamp_micros(F.expr(f"{field.name} div 1000")))
+        elif isinstance(field.dataType, TimestampNTZType):
+            # Defensive: if a scan still surfaces NTZ (pre-planned frame,
+            # foreign reader), reinterpret the naive value as UTC — the
+            # session tz is pinned to UTC above so the cast is deterministic.
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 

@@ -42,8 +42,14 @@ def _run_to_memory(df, name):
 
 def test_tumbling_agg_stream_matches_batch(spark, sf_dir):
     batch, stream = _events_stream(spark, sf_dir)
-    # nanos come in as long on the streaming read too → convert
-    to_ts = lambda df: df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))  # noqa: E731
+    # Older testdata stored ts as TIMESTAMP(NANOS) (reads as long on the
+    # streaming path too) — convert only when the scan surfaces a long.
+    from pyspark.sql.types import LongType
+
+    def to_ts(df):
+        if isinstance(df.schema["ts"].dataType, LongType):
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     expected = {
         (r["window_start"], r["cnt"])
         for r in tumbling_agg(to_ts(batch), "1 hour").collect()
