@@ -1,0 +1,459 @@
+"""Statistical / time-series / corpus-statistics queries.
+
+Extends the analytics surface (SURVEY.md §2.5) with the second-order
+statistics a telemetry warehouse and a pretraining-data pipeline both
+need: correlation/regression/higher moments, fixed-interval resampling
+with gap fill, stratified sampling, passage-level dedup, embedding-norm
+profiles, and a Zipf power-law fit over the token distribution.
+
+Parity strategy for every double-valued statistic (registry.py rules):
+per-row products are computed in DOUBLE (deterministic IEEE, no
+order-dependence), cast to DECIMAL for the order-independent SUM, and
+the closed-form moment formula is evaluated on the exact decimal sums
+cast back to double, rounded before output.  Both engines therefore
+fold identical inputs through an identical expression tree.
+
+Scale notes are on each query; none of these shapes is worse than one
+shuffle + (for the grid/gap-fill) an equi-join on the group key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pulsar_ingestion_spark.registry import query
+from pulsar_ingestion_spark.session import fan_out, load_tables
+
+
+def _t(spark, sf_dir, *names):
+    tables = load_tables(spark, sf_dir)
+    return [tables[n] for n in names]
+
+
+# ---------------------------------------------------------------------------
+# Correlation / covariance (exact decimal moments)
+#
+# corr()/covar_samp() built-ins accumulate doubles in partition order —
+# non-deterministic across engines AND across runs at scale.  The moment
+# sums below are exact decimals, so the final double formula is
+# reproducible bit-for-bit on both engines.
+
+_CORR_ORACLE = """
+WITH m AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         -- DECIMAL(19,4): DuckDB multiplies int64-backed DECIMAL(18)
+         -- in int64 and overflows on price*price; width 19 forces
+         -- hugeint arithmetic.  Values are identical either way.
+         CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       round((n * sxy - sx * sy) / (n - 1) / n, 4) AS covar_samp,
+       round((n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr
+FROM m
+"""
+
+
+@query("agg_stats_corr", oracle=_CORR_ORACLE)
+def q_agg_stats_corr(spark, sf_dir):
+    """Pearson correlation + sample covariance of quantity vs price per
+    returnflag.  One shuffle (partial agg map-side); the five moment sums
+    travel as a single combiner row per group — at 100 TB this is the
+    textbook one-pass parallel moments plan."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    xd = F.col("l_quantity").cast("decimal(18,4)")
+    yd = F.col("l_extendedprice").cast("decimal(18,4)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(xd).cast("double").alias("sx"),
+        F.sum(yd).cast("double").alias("sy"),
+        F.sum(xd * yd).cast("double").alias("sxy"),
+        F.sum(xd * xd).cast("double").alias("sxx"),
+        F.sum(yd * yd).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round((n * sxy - sx * sy) / (n - 1) / n, 4).alias("covar_samp"),
+        F.round(
+            (n * sxy - sx * sy) / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)), 6
+        ).alias("corr"),
+    )
+
+
+_REGR_ORACLE = """
+WITH m AS (
+  SELECT l_linestatus,
+         count(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sxx
+  FROM lineitem GROUP BY l_linestatus
+)
+SELECT l_linestatus, n,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4) AS intercept
+FROM m
+"""
+
+
+@query("agg_regr_slope", oracle=_REGR_ORACLE)
+def q_agg_regr_slope(spark, sf_dir):
+    """Least-squares regression (price ~ quantity) per linestatus from the
+    same one-pass exact moments — the distributed equivalent of ANSI
+    regr_slope/regr_intercept without their partition-order drift."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    xd = F.col("l_quantity").cast("decimal(18,4)")
+    yd = F.col("l_extendedprice").cast("decimal(18,4)")
+    m = li.groupBy("l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.sum(xd).cast("double").alias("sx"),
+        F.sum(yd).cast("double").alias("sy"),
+        F.sum(xd * yd).cast("double").alias("sxy"),
+        F.sum(xd * xd).cast("double").alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx"))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        "l_linestatus",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 4).alias("intercept"),
+    )
+
+
+# Higher moments: per-row powers in double (deterministic products), each
+# cast to decimal for the order-independent sum.  value ∈ [0, 500] so
+# value^4 ≤ 6.3e10 — DECIMAL(38,6) holds sums through ~1e27 rows.
+_SKEW_ORACLE = """
+WITH m AS (
+  SELECT event_type,
+         count(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS s2,
+         CAST(SUM(CAST((value * value) * value AS DECIMAL(38,6))) AS DOUBLE) AS s3,
+         CAST(SUM(CAST(((value * value) * value) * value AS DECIMAL(38,6))) AS DOUBLE) AS s4
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n,
+       round(s1 / n, 4) AS mean,
+       round((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+             / pow(s2 / n - (s1 / n) * (s1 / n), 1.5), 6) AS skewness,
+       round((s4 / n - 4 * (s1 / n) * (s3 / n) + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+              - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+             / ((s2 / n - (s1 / n) * (s1 / n)) * (s2 / n - (s1 / n) * (s1 / n))) - 3, 6)
+         AS kurtosis
+FROM m
+"""
+
+
+@query("agg_skew_kurtosis", oracle=_SKEW_ORACLE)
+def q_agg_skew_kurtosis(spark, sf_dir):
+    """Population skewness + excess kurtosis of event value per type via
+    one-pass raw moments — same single-shuffle shape as agg_stats_corr."""
+    (ev,) = _t(spark, sf_dir, "events")
+    v = F.col("value")
+    m = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(v.cast("decimal(38,6)")).cast("double").alias("s1"),
+        F.sum((v * v).cast("decimal(38,6)")).cast("double").alias("s2"),
+        F.sum(((v * v) * v).cast("decimal(38,6)")).cast("double").alias("s3"),
+        F.sum((((v * v) * v) * v).cast("decimal(38,6)")).cast("double").alias("s4"),
+    )
+    n = F.col("n")
+    mu = F.col("s1") / n
+    m2 = F.col("s2") / n - mu * mu
+    m3 = F.col("s3") / n - 3 * mu * (F.col("s2") / n) + 2 * mu * mu * mu
+    m4 = (
+        F.col("s4") / n
+        - 4 * mu * (F.col("s3") / n)
+        + 6 * mu * mu * (F.col("s2") / n)
+        - 3 * mu * mu * mu * mu
+    )
+    return m.select(
+        "event_type",
+        "n",
+        F.round(mu, 4).alias("mean"),
+        F.round(m3 / F.pow(m2, 1.5), 6).alias("skewness"),
+        F.round(m4 / (m2 * m2) - 3, 6).alias("kurtosis"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-series resample + gap fill
+
+_RESAMPLE_ORACLE = """
+SELECT event_type,
+       (CAST(floor(epoch(ts)) AS BIGINT) // 900) * 900 AS bucket_s,
+       count(*) AS cnt,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(value) AS avg_value,
+       max(value) AS max_value
+FROM events
+GROUP BY event_type, bucket_s
+"""
+
+
+@query("ts_resample_15m", oracle=_RESAMPLE_ORACLE)
+def q_ts_resample_15m(spark, sf_dir):
+    """Downsample the event stream to 15-minute buckets per type — the
+    batch mirror of stream_tumbling_agg.  Bucket arithmetic is integer
+    epoch division (no window function), one shuffle on (type, bucket):
+    at 100 TB the partial agg collapses each map task to ~buckets rows."""
+    (ev,) = _t(spark, sf_dir, "events")
+    bucket = (F.unix_seconds(F.col("ts")) / 900).cast("bigint") * 900
+    return ev.groupBy(
+        "event_type", bucket.alias("bucket_s")
+    ).agg(
+        F.count("*").alias("cnt"),
+        (F.sum(F.col("value").cast("decimal(18,4)")).cast("double") / F.count("value")).alias(
+            "avg_value"
+        ),
+        F.max("value").alias("max_value"),
+    )
+
+
+_GAPFILL_ORACLE = """
+WITH b AS (
+  SELECT event_type, (CAST(floor(epoch(ts)) AS BIGINT) // 900) * 900 AS bucket_s
+  FROM events
+), counts AS (
+  SELECT event_type, bucket_s, count(*) AS cnt FROM b GROUP BY event_type, bucket_s
+), spans AS (
+  SELECT event_type, min(bucket_s) AS lo, max(bucket_s) AS hi FROM b GROUP BY event_type
+), grid AS (
+  SELECT event_type, unnest(range(lo, hi + 900, 900)) AS bucket_s FROM spans
+)
+SELECT g.event_type, g.bucket_s, coalesce(c.cnt, 0) AS cnt
+FROM grid g LEFT JOIN counts c
+  ON g.event_type = c.event_type AND g.bucket_s = c.bucket_s
+"""
+
+
+@query("ts_gapfill_15m", oracle=_GAPFILL_ORACLE)
+def q_ts_gapfill_15m(spark, sf_dir):
+    """Dense 15-minute grid per event type with zero-filled empty buckets
+    (monitoring/ML feature series want a value for EVERY interval).
+    Plan: two partial aggs over one scan + an equi-join back on
+    (type, bucket).  The grid size is bounded by wall-clock span / 900 —
+    independent of row count, so the explode side stays tiny at 100 TB."""
+    (ev,) = _t(spark, sf_dir, "events")
+    bucket = (F.unix_seconds(F.col("ts")) / 900).cast("bigint") * 900
+    b = ev.select("event_type", bucket.alias("bucket_s"))
+    counts = b.groupBy("event_type", "bucket_s").agg(F.count("*").alias("cnt"))
+    spans = b.groupBy("event_type").agg(
+        F.min("bucket_s").alias("lo"), F.max("bucket_s").alias("hi")
+    )
+    grid = spans.select(
+        "event_type",
+        F.explode(F.sequence(F.col("lo"), F.col("hi"), F.lit(900))).alias("bucket_s"),
+    )
+    return grid.join(counts, ["event_type", "bucket_s"], "left").select(
+        "event_type", "bucket_s", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampling
+
+_STRAT_ORACLE = """
+SELECT doc_id, lang,
+       CAST(('0x' || substring(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+         AS bucket
+FROM documents
+WHERE CAST(('0x' || substring(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 20
+"""
+
+
+@query("sample_stratified", oracle=_STRAT_ORACLE)
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic 20% per-language sample by salted content-key hash.
+    Unlike df.sampleBy, membership is a pure function of doc_id: stable
+    across runs/engines/cluster layouts, and the per-stratum rate is
+    exact in expectation with no driver-side fraction map.  Pure narrow
+    map — a filter fused into the scan at any scale."""
+    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    return docs.select("doc_id", "lang", bucket.alias("bucket")).filter(F.col("bucket") < 20)
+
+
+# ---------------------------------------------------------------------------
+# Passage-level dedup (CCNet/Dolma-style, between doc-level and shingle-level)
+
+_PASSAGE_W = 15
+
+_PASSAGE_ORACLE = f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), chunks AS (
+  SELECT doc_id,
+         md5(array_to_string(w[(i-1)*{_PASSAGE_W}+1:i*{_PASSAGE_W}], ' ')) AS passage_hash
+  FROM words, unnest(range(1, CAST(len(w) // {_PASSAGE_W} AS BIGINT) + 1)) AS t(i)
+)
+SELECT passage_hash,
+       count(*) AS occurrences,
+       count(DISTINCT doc_id) AS docs,
+       min(doc_id) AS first_doc
+FROM chunks
+GROUP BY passage_hash
+HAVING count(*) > 1
+"""
+
+
+@query("text_passage_dedup", oracle=_PASSAGE_ORACLE)
+def q_text_passage_dedup(spark, sf_dir):
+    """Duplicated 15-word passages across the corpus — the middle
+    granularity between exact doc dedup and shingle near-dup (boilerplate
+    headers/footers repeat at passage level while documents differ).
+    Plan: one narrow explode (bounded: len/15 passages per doc) + one
+    groupBy on the 32-hex hash — hashes, not passages, shuffle, so the
+    exchange carries ~32 bytes/passage at 100 TB."""
+    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    # Single parse per row; docs shorter than one passage yield no chunks
+    # (guard needed: sequence(0, -1) would count DOWN and emit bogus
+    # negative slice indices — the oracle's range(1, 1) is just empty).
+    words = docs.select("doc_id", F.split(F.col("text"), " ").alias("w")).filter(
+        F.size("w") >= _PASSAGE_W
+    )
+    w = F.col("w")
+    passages = words.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), (F.size(w) / _PASSAGE_W).cast("int") - 1),
+                lambda i: F.md5(F.array_join(F.slice(w, i * _PASSAGE_W + 1, _PASSAGE_W), " ")),
+            )
+        ).alias("passage_hash"),
+    )
+    return (
+        passages.groupBy("passage_hash")
+        .agg(
+            F.count("*").alias("occurrences"),
+            F.countDistinct("doc_id").alias("docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("occurrences") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding norm profile
+
+_NORM_SQL = """sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(embedding)+1),
+  i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))), (x,y) -> x+y))"""
+
+_NORM_ORACLE = f"""
+WITH n AS (
+  SELECT label, round({_NORM_SQL}, 6) AS nrm FROM embeddings
+)
+SELECT label, count(*) AS n,
+       CAST(SUM(CAST(nrm AS DECIMAL(18,6))) AS DOUBLE) / count(nrm) AS avg_norm,
+       min(nrm) AS min_norm, max(nrm) AS max_norm
+FROM n GROUP BY label
+"""
+
+
+@query("emb_norm_stats", oracle=_NORM_ORACLE)
+def q_emb_norm_stats(spark, sf_dir):
+    """Per-label L2-norm profile — the standard embedding-health check
+    before cosine ops (un-normalized or collapsed vectors show up here).
+    Ordered-fold norm (functions/vectors.py) keeps IEEE parity with the
+    oracle; one shuffle on label."""
+    from pulsar_ingestion_spark.functions.vectors import norm
+
+    emb = fan_out(load_tables(spark, sf_dir)["embeddings"], spark)
+    nrm = F.round(norm(F.col("embedding")), 6)
+    return (
+        emb.select("label", nrm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(F.col("nrm").cast("decimal(18,6)")).cast("double") / F.count("nrm")).alias(
+                "avg_norm"
+            ),
+            F.min("nrm").alias("min_norm"),
+            F.max("nrm").alias("max_norm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zipf fit over the token distribution
+
+_ZIPF_TOP = 200
+
+_ZIPF_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+), cnts AS (
+  SELECT token, count(*) AS cnt FROM tok GROUP BY token
+), top AS (
+  SELECT token, cnt, row_number() OVER (ORDER BY cnt DESC, token ASC) AS rnk
+  FROM cnts ORDER BY cnt DESC, token ASC LIMIT {_ZIPF_TOP}
+), pts AS (
+  SELECT round(ln(rnk), 8) AS x, round(ln(cnt), 8) AS y FROM top
+), m AS (
+  SELECT count(*) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(20,8))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(20,8))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * y AS DECIMAL(20,8))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x * x AS DECIMAL(20,8))) AS DOUBLE) AS sxx
+  FROM pts
+)
+SELECT n AS n_tokens,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope
+FROM m
+"""
+
+
+@query("text_zipf_slope", oracle=_ZIPF_ORACLE)
+def q_text_zipf_slope(spark, sf_dir):
+    """Zipf power-law exponent of the corpus token distribution: slope of
+    ln(freq) ~ ln(rank) over the top-200 tokens.  Natural text sits near
+    -1; a far-off slope flags synthetic/templated/boilerplate corpora.
+    Plan: token count (one shuffle) → TakeOrderedAndProject top-200 →
+    distributed exact ranking (operators/ranking.py — no unpartitioned
+    window) → one-row moment agg.  Every stage after the token count
+    operates on ≤200 rows regardless of corpus size."""
+    from pulsar_ingestion_spark.operators.ranking import global_row_number
+
+    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    cnts = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    top = cnts.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(_ZIPF_TOP)
+    ranked, _total = global_row_number(
+        top, [F.col("cnt").desc(), F.col("token").asc()], rn_col="rnk"
+    )
+    x = F.round(F.log(F.col("rnk")), 8)
+    y = F.round(F.log(F.col("cnt")), 8)
+    pts = ranked.select(x.alias("x"), y.alias("y"))
+    m = pts.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast("decimal(20,8)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(20,8)")).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(20,8)")).cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(20,8)")).cast("double").alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx"))
+    return m.select(
+        n.alias("n_tokens"),
+        F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6).alias("zipf_slope"),
+    )
