@@ -58,6 +58,11 @@ HEADLINE = [
     "agg_rollup",
     "win_distribution",
     "agg_pivot",
+    # round 3: statistical / time-series family
+    "agg_stats_corr",
+    "ts_gapfill_15m",
+    "text_passage_dedup",
+    "text_zipf_slope",
 ]
 
 
