@@ -457,3 +457,144 @@ def q_text_zipf_slope(spark, sf_dir):
         n.alias("n_tokens"),
         F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6).alias("zipf_slope"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension embedding statistics
+
+_DIM_ORACLE = """
+WITH x AS (
+  SELECT i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+), m AS (
+  SELECT dim, count(*) AS n,
+         CAST(SUM(CAST(v AS DECIMAL(18,8))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(v * v AS DECIMAL(18,8))) AS DOUBLE) AS s2
+  FROM x GROUP BY dim
+)
+SELECT dim, n,
+       round(s1 / n, 6) AS mean,
+       round(s2 / n - (s1 / n) * (s1 / n), 6) AS variance
+FROM m
+"""
+
+
+@query("emb_dim_stats", oracle=_DIM_ORACLE)
+def q_emb_dim_stats(spark, sf_dir):
+    """Per-dimension mean/variance across the embedding corpus — the
+    collapsed-dimension / dead-unit check run before any ANN build.
+    posexplode multiplies rows by dim (64), then the partial agg folds
+    each map task to 64 combiner rows: one shuffle of O(dim) rows."""
+    emb = fan_out(load_tables(spark, sf_dir)["embeddings"], spark)
+    x = emb.select(F.posexplode("embedding").alias("dim", "vf")).select(
+        "dim", F.col("vf").cast("double").alias("v")
+    )
+    m = x.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("v").cast("decimal(18,8)")).cast("double").alias("s1"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(18,8)")).cast("double").alias("s2"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    return m.select(
+        "dim",
+        "n",
+        F.round(s1 / n, 6).alias("mean"),
+        F.round(s2 / n - (s1 / n) * (s1 / n), 6).alias("variance"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Group mode (most frequent value)
+
+_MODE_ORACLE = """
+WITH c AS (
+  SELECT l_returnflag, l_quantity, count(*) AS cnt
+  FROM lineitem GROUP BY l_returnflag, l_quantity
+), r AS (
+  SELECT l_returnflag, l_quantity, cnt,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY cnt DESC, l_quantity ASC) AS rn
+  FROM c
+)
+SELECT l_returnflag, l_quantity AS mode_qty, cnt AS mode_cnt
+FROM r WHERE rn = 1
+"""
+
+
+@query("agg_mode", oracle=_MODE_ORACLE)
+def q_agg_mode(spark, sf_dir):
+    """Deterministic per-group mode (ties broken by smallest value).
+    Two-level agg: (group, value) counts collapse map-side first, so the
+    window only ranks distinct values per group — cardinality-bounded,
+    partitioned by group key."""
+    from pyspark.sql import Window
+
+    (li,) = _t(spark, sf_dir, "lineitem")
+    c = li.groupBy("l_returnflag", "l_quantity").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("cnt").desc(), F.col("l_quantity").asc()
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").alias("mode_qty"),
+            F.col("cnt").alias("mode_cnt"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout key (multi-dimensional clustering)
+
+_Z_BITS = 16
+
+
+def _zorder_sql(a: str, b: str, engine: str) -> str:
+    """Bit-interleave expression for two 16-bit fields, generated as the
+    SAME arithmetic for both engines (only shift syntax differs)."""
+    terms = []
+    for k in range(_Z_BITS):
+        if engine == "spark":
+            terms.append(f"(shiftleft(shiftright({a}, {k}) & 1, {2 * k + 1}))")
+            terms.append(f"(shiftleft(shiftright({b}, {k}) & 1, {2 * k}))")
+        else:
+            terms.append(f"((({a} >> {k}) & 1) << {2 * k + 1})")
+            terms.append(f"((({b} >> {k}) & 1) << {2 * k})")
+    return " | ".join(terms)
+
+
+_ZORDER_ORACLE = f"""
+WITH k AS (
+  SELECT event_id,
+         CAST(user_id & 65535 AS BIGINT) AS ua,
+         CAST((CAST(floor(epoch(ts)) AS BIGINT) // 60) & 65535 AS BIGINT) AS tb
+  FROM events
+)
+SELECT event_id, ua, tb,
+       {_zorder_sql('ua', 'tb', 'duckdb')} AS zval
+FROM k
+"""
+
+
+@query("layout_zorder_key", oracle=_ZORDER_ORACLE)
+def q_layout_zorder_key(spark, sf_dir):
+    """Z-order (Morton) key over (user_id, minute-bucket) — the lakehouse
+    layout trick that keeps range queries on EITHER dimension clustered
+    after a single repartitionByRange(zval) + sortWithinPartitions write.
+    The key itself is a pure narrow bit-interleave; this query emits it
+    so the oracle pins the exact bit layout both engines compute."""
+    (ev,) = _t(spark, sf_dir, "events")
+    k = ev.select(
+        "event_id",
+        F.col("user_id").bitwiseAND(F.lit(65535)).cast("bigint").alias("ua"),
+        (F.unix_seconds(F.col("ts")) / 60)
+        .cast("bigint")
+        .bitwiseAND(F.lit(65535))
+        .cast("bigint")
+        .alias("tb"),
+    )
+    return k.select(
+        "event_id", "ua", "tb", F.expr(_zorder_sql("ua", "tb", "spark")).alias("zval")
+    )

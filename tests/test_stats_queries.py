@@ -137,3 +137,44 @@ def test_resample_no_window_no_udf(spark):
     plan = _plan(q_ts_resample_15m(spark, SF))
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_agg_mode_deterministic_tiebreak(spark):
+    from pulsar_ingestion_spark.queries_stats import q_agg_mode
+
+    rows = q_agg_mode(spark, SF).collect()
+    assert len(rows) == 3  # one mode per returnflag
+    # the mode count must be the max over per-value counts
+    from pulsar_ingestion_spark.session import load_tables
+
+    li = load_tables(spark, SF)["lineitem"]
+    for r in rows:
+        best = (
+            li.filter(F.col("l_returnflag") == r["l_returnflag"])
+            .groupBy("l_quantity").count()
+            .agg(F.max("count")).collect()[0][0]
+        )
+        assert r["mode_cnt"] == best
+
+
+def test_zorder_key_interleaves_bits(spark):
+    """zval must interleave: low bit of tb at position 0, low bit of ua
+    at position 1."""
+    from pulsar_ingestion_spark.queries_stats import q_layout_zorder_key
+
+    rows = q_layout_zorder_key(spark, SF).limit(200).collect()
+    assert rows
+    for r in rows:
+        assert (r["zval"] >> 0) & 1 == r["tb"] & 1
+        assert (r["zval"] >> 1) & 1 == r["ua"] & 1
+        assert (r["zval"] >> 2) & 1 == (r["tb"] >> 1) & 1
+        # locality: close (ua, tb) pairs share high bits — structural sanity
+        assert r["zval"] < (1 << 32)
+
+
+def test_emb_dim_stats_finds_all_dims(spark):
+    from pulsar_ingestion_spark.queries_stats import q_emb_dim_stats
+
+    rows = q_emb_dim_stats(spark, SF).collect()
+    assert len(rows) == 64
+    assert all(r["variance"] >= 0 for r in rows)
