@@ -598,3 +598,102 @@ def q_layout_zorder_key(spark, sf_dir):
     return k.select(
         "event_id", "ua", "tb", F.expr(_zorder_sql("ua", "tb", "spark")).alias("zval")
     )
+
+
+# ---------------------------------------------------------------------------
+# Salted replicate join (skewed fact × small-but-not-broadcastable dim)
+
+_SALTED_JOIN_ORACLE = """
+WITH dim AS (
+  SELECT event_type,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(value) AS type_avg
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       round(e.value - d.type_avg, 4) AS deviation
+FROM events e JOIN dim d ON e.event_type = d.event_type
+"""
+
+_JOIN_SALTS = 16
+
+
+@query("join_salted_skew", oracle=_SALTED_JOIN_ORACLE)
+def q_join_salted_skew(spark, sf_dir):
+    """Join a per-key aggregate back to a HEAVILY skewed fact (5 distinct
+    event types over every row) without broadcast: replicate the dim side
+    across 16 salts (explode) and salt the fact side deterministically,
+    so the join key becomes (event_type, salt) and each hot key spreads
+    over 16 reducers.  Results are identical to the plain join (the
+    oracle).  When the dim fits in memory broadcast is still preferred —
+    this is the fallback plan for dim tables in the GB range; AQE's
+    skew-join split handles moderate skew, salting handles the
+    single-hot-key worst case it can't."""
+    (ev,) = _t(spark, sf_dir, "events")
+    dim = ev.groupBy("event_type").agg(
+        (F.sum(F.col("value").cast("decimal(18,4)")).cast("double") / F.count("value")).alias(
+            "type_avg"
+        )
+    )
+    dim_rep = dim.select(
+        "event_type",
+        "type_avg",
+        F.explode(F.sequence(F.lit(0), F.lit(_JOIN_SALTS - 1))).alias("salt"),
+    )
+    fact = ev.withColumn("salt", F.pmod(F.col("event_id"), F.lit(_JOIN_SALTS)))
+    return fact.join(dim_rep, ["event_type", "salt"]).select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") - F.col("type_avg"), 4).alias("deviation"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-resolution time rollup (continuous-aggregate ladder)
+
+_MULTIRES_ORACLE = """
+WITH b AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day_b,
+         CAST(floor(epoch(ts)) AS BIGINT) // 3600  AS hour_b,
+         CAST(floor(epoch(ts)) AS BIGINT) // 900   AS q_b,
+         value
+  FROM events
+)
+SELECT coalesce(day_b, -1) AS day_b,
+       coalesce(hour_b, -1) AS hour_b,
+       coalesce(q_b, -1) AS q_b,
+       count(*) AS cnt,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM b
+GROUP BY ROLLUP (day_b, hour_b, q_b)
+"""
+
+
+@query("ts_rollup_multires", oracle=_MULTIRES_ORACLE)
+def q_ts_rollup_multires(spark, sf_dir):
+    """Day → hour → 15-minute rollup ladder in ONE pass (the batch form
+    of a continuous-aggregate/hypertable rollup).  GROUP BY ROLLUP costs
+    a single shuffle — Spark expands grouping sets map-side, and each
+    finer level's partials feed the coarser ones.  Buckets are integer
+    epoch divisions so every engine agrees without timezone coupling."""
+    (ev,) = _t(spark, sf_dir, "events")
+    es = F.unix_seconds(F.col("ts"))
+    b = ev.select(
+        (es / 86400).cast("bigint").alias("day_b"),
+        (es / 3600).cast("bigint").alias("hour_b"),
+        (es / 900).cast("bigint").alias("q_b"),
+        "value",
+    )
+    return (
+        b.rollup("day_b", "hour_b", "q_b")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.coalesce(F.col("day_b"), F.lit(-1)).alias("day_b"),
+            F.coalesce(F.col("hour_b"), F.lit(-1)).alias("hour_b"),
+            F.coalesce(F.col("q_b"), F.lit(-1)).alias("q_b"),
+            "cnt",
+            "sum_value",
+        )
+    )

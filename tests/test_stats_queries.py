@@ -178,3 +178,36 @@ def test_emb_dim_stats_finds_all_dims(spark):
     rows = q_emb_dim_stats(spark, SF).collect()
     assert len(rows) == 64
     assert all(r["variance"] >= 0 for r in rows)
+
+
+def test_salted_join_matches_plain_join(spark):
+    from pulsar_ingestion_spark.queries_stats import q_join_salted_skew
+
+    out = q_join_salted_skew(spark, SF)
+    assert out.count() == 1000  # every fact row exactly once (no dup, no loss)
+    # spot-check one type against the straightforward computation
+    from pulsar_ingestion_spark.session import load_tables
+
+    ev = load_tables(spark, SF)["events"]
+    et = ev.select("event_type").first()["event_type"]
+    avg = (
+        ev.filter(F.col("event_type") == et)
+        .agg((F.sum(F.col("value").cast("decimal(18,4)")).cast("double") / F.count("value")))
+        .collect()[0][0]
+    )
+    row = out.filter(F.col("event_type") == et).first()
+    raw = ev.filter(F.col("event_id") == row["event_id"]).first()["value"]
+    assert abs(row["deviation"] - round(raw - avg, 4)) < 1e-9
+
+
+def test_multires_rollup_levels_are_consistent(spark):
+    """Each coarser level's total must equal the sum of its finer rows."""
+    from pulsar_ingestion_spark.queries_stats import q_ts_rollup_multires
+
+    rows = q_ts_rollup_multires(spark, SF).collect()
+    total = [r for r in rows if r["day_b"] == -1]
+    assert len(total) == 1
+    day_rows = [r for r in rows if r["day_b"] != -1 and r["hour_b"] == -1]
+    assert sum(r["cnt"] for r in day_rows) == total[0]["cnt"]
+    hour_rows = [r for r in rows if r["hour_b"] != -1 and r["q_b"] == -1]
+    assert sum(r["cnt"] for r in hour_rows) == total[0]["cnt"]
