@@ -50,6 +50,16 @@ SECTIONS = [
         "events_funnel", "events_cohort_retention", "events_sessionize",
         "ts_ewma", "table_profile", "events_rfm_segments", "events_anomaly_zscore",
     ]),
+    ("Statistical / time-series analytics", [
+        "agg_stats_corr", "agg_regr_slope", "agg_skew_kurtosis", "agg_mode",
+        "ts_resample_15m", "ts_gapfill_15m", "ts_rollup_multires",
+        "sample_stratified", "join_salted_skew", "layout_zorder_key",
+    ]),
+    ("Information retrieval / sequence mining", [
+        "text_inverted_index", "text_tfidf_topk", "text_zipf_slope",
+        "text_passage_dedup", "emb_norm_stats", "emb_dim_stats",
+        "events_path_topk",
+    ]),
     ("Geo / telemetry analytics", [
         "telemetry_trip_distance", "telemetry_trip_summary", "udf_pandas_haversine",
     ]),
