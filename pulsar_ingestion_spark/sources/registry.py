@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 SOURCE_KINDS = (
     "jsonl", "rate", "kafka", "eventhub", "kinesis", "rabbitmq", "http", "grpc",
-    "parquet", "csv", "json",
+    "parquet", "orc", "csv", "json",
 )
 
 
@@ -41,6 +41,7 @@ def open_source(
     kinds:
       jsonl    — options: path (dir of *.jsonl / *.json text files)
       parquet  — options: path, value_col (batch or stream over parquet)
+      orc      — options: path, value_col (batch or stream over ORC)
       rate     — options: rows_per_second; value is a synthetic JSON doc
       kafka / eventhub — options passed through to Spark's kafka source
                  (eventhub = Kafka-compatible endpoint, connector.yaml:
@@ -56,15 +57,17 @@ def open_source(
         # text() preserves the original byte-identical line — the Filterer
         # passthrough invariant needs the raw string, never a re-serialize.
         return reader.text(path).withColumnRenamed("value", "value")
-    if kind == "parquet":
+    if kind in ("parquet", "orc"):
+        # Columnar file sources (both built into Spark — no extra jars).
         path = options["path"]
         value_col = options.get("value_col", "value")
+        batch_reader = getattr(spark.read, kind)
         if streaming:
-            # streaming parquet needs an explicit schema
-            schema = spark.read.parquet(path).schema
-            df = spark.readStream.schema(schema).parquet(path)
+            # streaming file sources need an explicit schema
+            schema = batch_reader(path).schema
+            df = getattr(spark.readStream.schema(schema), kind)(path)
         else:
-            df = spark.read.parquet(path)
+            df = batch_reader(path)
         if value_col != "value":
             df = df.withColumn("value", F.col(value_col))
         return df

@@ -306,3 +306,33 @@ def test_drop_table_location_is_database_aware(spark, tmp_path):
 
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
     assert os.path.isdir(os.path.join(wh, "auxdb.db", "samename"))
+
+
+def test_orc_source_roundtrip_batch_and_stream(spark, tmp_path):
+    """ORC is a first-class columnar source (built into Spark): batch and
+    streaming reads must surface the same typed rows parquet would."""
+    from pyspark.sql import functions as F
+
+    from pulsar_ingestion_spark.sources.registry import open_source
+
+    src = spark.range(0, 100).select(
+        F.col("id"), F.concat(F.lit("v"), F.col("id").cast("string")).alias("payload")
+    )
+    src.write.mode("overwrite").orc(str(tmp_path / "o"))
+
+    batch = open_source(spark, "orc", streaming=False, path=str(tmp_path / "o"),
+                        value_col="payload")
+    rows = batch.orderBy("id").collect()
+    assert len(rows) == 100 and rows[7]["value"] == "v7"
+
+    stream = open_source(spark, "orc", streaming=True, path=str(tmp_path / "o"),
+                         value_col="payload")
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory").queryName("orc_t")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT count(*) AS n FROM orc_t").collect()[0]["n"]
+    assert got == 100
