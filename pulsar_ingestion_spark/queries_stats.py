@@ -697,3 +697,138 @@ def q_ts_rollup_multires(spark, sf_dir):
             "sum_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution metrics: entropy + train/val drift
+
+_ENTROPY_ORACLE = """
+WITH c AS (
+  SELECT event_type, user_id % 8 AS cohort, count(*) AS cnt
+  FROM events GROUP BY event_type, user_id % 8
+), t AS (
+  SELECT cohort, SUM(cnt) AS tot FROM c GROUP BY cohort
+), p AS (
+  SELECT c.cohort, round(ln(CAST(c.cnt AS DOUBLE) / t.tot)
+                         * (CAST(c.cnt AS DOUBLE) / t.tot), 8) AS term
+  FROM c JOIN t ON c.cohort = t.cohort
+)
+SELECT cohort,
+       round(-CAST(SUM(CAST(term AS DECIMAL(18,8))) AS DOUBLE), 6) AS entropy_nats
+FROM p GROUP BY cohort
+"""
+
+
+@query("agg_entropy", oracle=_ENTROPY_ORACLE)
+def q_agg_entropy(spark, sf_dir):
+    """Shannon entropy of the event-type distribution per cohort — the
+    standard diversity/imbalance signal for a label or source column.
+    Two chained aggs on the same key prefix (the second reuses the
+    first's partitioning); per-term doubles are rounded then decimal-
+    summed so the entropy is order-independent."""
+    (ev,) = _t(spark, sf_dir, "events")
+    c = ev.groupBy("event_type", (F.col("user_id") % 8).alias("cohort")).agg(
+        F.count("*").alias("cnt")
+    )
+    t = c.groupBy("cohort").agg(F.sum("cnt").alias("tot"))
+    p = c.join(t, "cohort").select(
+        "cohort",
+        F.round(
+            F.log(F.col("cnt").cast("double") / F.col("tot"))
+            * (F.col("cnt").cast("double") / F.col("tot")),
+            8,
+        ).alias("term"),
+    )
+    return p.groupBy("cohort").agg(
+        F.round(-F.sum(F.col("term").cast("decimal(18,8)")).cast("double"), 6).alias(
+            "entropy_nats"
+        )
+    )
+
+
+# Jensen-Shannon divergence between the train and validation token
+# distributions — the drift check run between corpus versions before a
+# mixture decision.  Splits reuse corpus_split_train's hash assignment.
+_JS_ORACLE = """
+WITH split AS (
+  SELECT CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80
+              THEN 'train' ELSE 'heldout' END AS split,
+         text
+  FROM documents
+), tok AS (
+  SELECT split, unnest(string_split(text, ' ')) AS token FROM split
+), c AS (
+  SELECT split, token, count(*) AS cnt FROM tok GROUP BY split, token
+), tot AS (
+  SELECT split, SUM(cnt) AS tot FROM c GROUP BY split
+), p AS (
+  SELECT c.token,
+         CAST(SUM(CASE WHEN c.split = 'train' THEN CAST(c.cnt AS DOUBLE) / tot.tot ELSE 0 END) AS DOUBLE) AS pa,
+         CAST(SUM(CASE WHEN c.split = 'heldout' THEN CAST(c.cnt AS DOUBLE) / tot.tot ELSE 0 END) AS DOUBLE) AS pb
+  FROM c JOIN tot ON c.split = tot.split
+  GROUP BY c.token
+), terms AS (
+  SELECT round(
+           CASE WHEN pa > 0 THEN 0.5 * pa * ln(pa / ((pa + pb) / 2)) ELSE 0 END
+           + CASE WHEN pb > 0 THEN 0.5 * pb * ln(pb / ((pa + pb) / 2)) ELSE 0 END,
+         10) AS term
+  FROM p
+)
+SELECT round(CAST(SUM(CAST(term AS DECIMAL(18,10))) AS DOUBLE), 6) AS js_divergence,
+       count(*) AS vocab
+FROM terms
+"""
+
+
+@query("text_js_divergence", oracle=_JS_ORACLE)
+def q_text_js_divergence(spark, sf_dir):
+    """Jensen-Shannon divergence between train and held-out token
+    distributions (drift/decontamination sanity between corpus slices).
+    Plan: token counts per split (one shuffle), totals broadcast back,
+    full token-wise merge via groupBy token (vocabulary-sized), one-row
+    decimal-summed result.  Deterministic: per-token terms are rounded
+    before the order-independent sum."""
+    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("bigint")
+        % 100
+    )
+    split = docs.select(
+        F.when(bucket < 80, "train").otherwise("heldout").alias("split"), "text"
+    )
+    tok = split.select("split", F.explode(F.split(F.col("text"), " ")).alias("token"))
+    c = tok.groupBy("split", "token").agg(F.count("*").alias("cnt"))
+    tot = c.groupBy("split").agg(F.sum("cnt").alias("tot"))
+    p = (
+        c.join(F.broadcast(tot), "split")
+        .groupBy("token")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("split") == "train", F.col("cnt").cast("double") / F.col("tot")
+                ).otherwise(F.lit(0.0))
+            )
+            .cast("double")
+            .alias("pa"),
+            F.sum(
+                F.when(
+                    F.col("split") == "heldout", F.col("cnt").cast("double") / F.col("tot")
+                ).otherwise(F.lit(0.0))
+            )
+            .cast("double")
+            .alias("pb"),
+        )
+    )
+    pa, pb = F.col("pa"), F.col("pb")
+    mid = (pa + pb) / 2
+    term = F.round(
+        F.when(pa > 0, 0.5 * pa * F.log(pa / mid)).otherwise(F.lit(0.0))
+        + F.when(pb > 0, 0.5 * pb * F.log(pb / mid)).otherwise(F.lit(0.0)),
+        10,
+    )
+    return p.select(term.alias("term")).agg(
+        F.round(F.sum(F.col("term").cast("decimal(18,10)")).cast("double"), 6).alias(
+            "js_divergence"
+        ),
+        F.count("*").alias("vocab"),
+    )

@@ -211,3 +211,26 @@ def test_multires_rollup_levels_are_consistent(spark):
     assert sum(r["cnt"] for r in day_rows) == total[0]["cnt"]
     hour_rows = [r for r in rows if r["hour_b"] != -1 and r["q_b"] == -1]
     assert sum(r["cnt"] for r in hour_rows) == total[0]["cnt"]
+
+
+def test_entropy_bounds(spark):
+    """Entropy of a K-way categorical is in [0, ln K]."""
+    import math
+
+    from pulsar_ingestion_spark.queries_stats import q_agg_entropy
+
+    rows = q_agg_entropy(spark, SF).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert 0 <= r["entropy_nats"] <= math.log(5) + 1e-9  # 5 event types
+
+
+def test_js_divergence_bounds_and_self_zero(spark):
+    """JS divergence is within [0, ln 2]; identical distributions give 0."""
+    import math
+
+    from pulsar_ingestion_spark.queries_stats import q_text_js_divergence
+
+    r = q_text_js_divergence(spark, SF).collect()[0]
+    assert 0 <= r["js_divergence"] <= math.log(2) + 1e-9
+    assert r["vocab"] > 10

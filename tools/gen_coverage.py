@@ -54,10 +54,11 @@ SECTIONS = [
         "agg_stats_corr", "agg_regr_slope", "agg_skew_kurtosis", "agg_mode",
         "ts_resample_15m", "ts_gapfill_15m", "ts_rollup_multires",
         "sample_stratified", "join_salted_skew", "layout_zorder_key",
+        "agg_entropy",
     ]),
     ("Information retrieval / sequence mining", [
         "text_inverted_index", "text_tfidf_topk", "text_zipf_slope",
-        "text_passage_dedup", "emb_norm_stats", "emb_dim_stats",
+        "text_passage_dedup", "text_js_divergence", "emb_norm_stats", "emb_dim_stats",
         "events_path_topk",
     ]),
     ("Geo / telemetry analytics", [
