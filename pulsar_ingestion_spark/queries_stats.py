@@ -832,3 +832,109 @@ def q_text_js_divergence(spark, sf_dir):
         ),
         F.count("*").alias("vocab"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Top principal component via power iteration (2 unrolled steps)
+
+_PCA_ITERS = 2
+
+_PCA_ORACLE = """
+WITH x AS (
+  SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS xv
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+), v0 AS (
+  SELECT i - 1 AS dim, 0.125 AS val FROM unnest(range(1, 65)) AS t(i)
+), v0arr AS (
+  SELECT list(val ORDER BY dim) AS v FROM v0
+), u1 AS (
+  SELECT e.vec_id,
+         round(list_reduce(list_prepend(0.0, list_transform(range(1, len(e.embedding)+1),
+           i -> CAST(e.embedding[i] AS DOUBLE) * a.v[i])), (p,q) -> p+q), 10) AS u
+  FROM embeddings e CROSS JOIN v0arr a
+), w1 AS (
+  SELECT x.dim, CAST(SUM(CAST(x.xv * u1.u AS DECIMAL(28,12))) AS DOUBLE) AS w
+  FROM x JOIN u1 ON x.vec_id = u1.vec_id GROUP BY x.dim
+), n1 AS (
+  SELECT sqrt(CAST(SUM(CAST(w * w AS DECIMAL(38,12))) AS DOUBLE)) AS nrm FROM w1
+), v1 AS (
+  SELECT dim, round(w / nrm, 10) AS val FROM w1 CROSS JOIN n1
+), v1arr AS (
+  SELECT list(val ORDER BY dim) AS v FROM v1
+), u2 AS (
+  SELECT e.vec_id,
+         round(list_reduce(list_prepend(0.0, list_transform(range(1, len(e.embedding)+1),
+           i -> CAST(e.embedding[i] AS DOUBLE) * a.v[i])), (p,q) -> p+q), 10) AS u
+  FROM embeddings e CROSS JOIN v1arr a
+), w2 AS (
+  SELECT x.dim, CAST(SUM(CAST(x.xv * u2.u AS DECIMAL(28,12))) AS DOUBLE) AS w
+  FROM x JOIN u2 ON x.vec_id = u2.vec_id GROUP BY x.dim
+), n2 AS (
+  SELECT sqrt(CAST(SUM(CAST(w * w AS DECIMAL(38,12))) AS DOUBLE)) AS nrm FROM w2
+)
+SELECT dim, round(w / nrm, 8) AS component, round(nrm, 4) AS eigenvalue_est
+FROM w2 CROSS JOIN n2
+"""
+
+
+def _pca_step(emb, varr):
+    """One power-iteration step entirely in-plan: u = X·v (ordered double
+    fold, narrow), w = Xᵀu (posexplode feeding a map-side-collapsing
+    decimal agg over 64 dims), then normalize via a one-row agg cross
+    join.  Returns the 64-row (dim, w) frame and the one-row norm."""
+    x2 = emb.crossJoin(F.broadcast(varr))
+    u = F.round(
+        F.aggregate(
+            F.zip_with(F.col("embedding"), F.col("v"), lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        ),
+        10,
+    )
+    exploded = x2.select(u.alias("u"), F.posexplode("embedding").alias("dim", "xf"))
+    w = exploded.groupBy("dim").agg(
+        F.sum((F.col("xf").cast("double") * F.col("u")).cast("decimal(28,12)"))
+        .cast("double")
+        .alias("w")
+    )
+    nrm = w.agg(
+        F.sqrt(F.sum((F.col("w") * F.col("w")).cast("decimal(38,12)")).cast("double")).alias(
+            "nrm"
+        )
+    )
+    return w, nrm
+
+
+@query("emb_pca_power", oracle=_PCA_ORACLE)
+def q_emb_pca_power(spark, sf_dir):
+    """Top principal component of the (uncentered) embedding matrix via
+    two unrolled power-iteration steps — iterative linear algebra as a
+    pure DataFrame plan, no driver collect, bit-identical to the oracle's
+    unrolled CTE chain (ordered folds + exact decimal reductions, values
+    rounded after every step).
+
+    Scale shape per step: the X·v pass is NARROW (v rides along as a
+    broadcast array); the Xᵀu pass posexplodes to (dim, x·u) and the
+    partial agg collapses every map task to 64 rows before the shuffle.
+    Total exchanged per step ≈ 64 × #tasks rows — independent of corpus
+    size.  More steps = chain the same plan; for production PCA with
+    centering, subtract the emb_dim_stats means in the same pass."""
+    emb = fan_out(load_tables(spark, sf_dir)["embeddings"], spark)
+    dim = 64
+    varr = spark.range(1).select(
+        F.array([F.lit(0.125)] * dim).alias("v")
+    )
+    for it in range(_PCA_ITERS):
+        w, nrm = _pca_step(emb, varr)
+        if it < _PCA_ITERS - 1:
+            vnext = w.crossJoin(F.broadcast(nrm)).select(
+                "dim", F.round(F.col("w") / F.col("nrm"), 10).alias("val")
+            )
+            varr = vnext.agg(
+                F.array_sort(F.collect_list(F.struct("dim", "val"))).alias("s")
+            ).select(F.transform(F.col("s"), lambda t: t.getField("val")).alias("v"))
+    return w.crossJoin(F.broadcast(nrm)).select(
+        "dim",
+        F.round(F.col("w") / F.col("nrm"), 8).alias("component"),
+        F.round(F.col("nrm"), 4).alias("eigenvalue_est"),
+    )

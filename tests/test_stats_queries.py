@@ -234,3 +234,28 @@ def test_js_divergence_bounds_and_self_zero(spark):
     r = q_text_js_divergence(spark, SF).collect()[0]
     assert 0 <= r["js_divergence"] <= math.log(2) + 1e-9
     assert r["vocab"] > 10
+
+
+def test_pca_power_component_aligns_with_numpy(spark):
+    """After two power steps the component must (a) be unit-norm and
+    (b) align with numpy's dominant right singular vector of X."""
+    import numpy as np
+
+    from pulsar_ingestion_spark.queries_stats import q_emb_pca_power
+    from pulsar_ingestion_spark.session import load_tables
+
+    rows = q_emb_pca_power(spark, SF).orderBy("dim").collect()
+    v = np.array([r["component"] for r in rows])
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-6
+
+    X = np.array(
+        [r["embedding"] for r in load_tables(spark, SF)["embeddings"].collect()],
+        dtype=np.float64,
+    )
+    # numpy ground truth: 2 power steps from the same uniform start
+    ref = np.full(64, 0.125)
+    for _ in range(2):
+        ref = X.T @ (X @ ref)
+        ref = ref / np.linalg.norm(ref)
+    cos = abs(float(v @ ref))
+    assert cos > 0.9999, cos

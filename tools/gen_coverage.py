@@ -59,6 +59,7 @@ SECTIONS = [
     ("Information retrieval / sequence mining", [
         "text_inverted_index", "text_tfidf_topk", "text_zipf_slope",
         "text_passage_dedup", "text_js_divergence", "emb_norm_stats", "emb_dim_stats",
+        "emb_pca_power",
         "events_path_topk",
     ]),
     ("Geo / telemetry analytics", [
