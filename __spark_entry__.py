@@ -68,12 +68,35 @@ def entry(spark: SparkSession) -> DataFrame:
 # coverage across rounds until every query has a driver CORRECTNESS row
 # (VERDICT r1 item 2, refreshed each round per VERDICT r2 item 2).
 _CHECKED_PRIOR = {
-    # round 2 (CORRECTNESS_r02.json)
+    # round 3 (CORRECTNESS_r03.json — 48 green; the two hash failures
+    # events_sessionize / telemetry_trip_summary are deliberately NOT
+    # listed: their oracles are fixed (CAST … AS BIGINT) and they rotate
+    # to the front for fresh green rows, per VERDICT r3 item 2)
+    "agg_bool", "agg_first_per_day", "agg_histogram", "agg_mode",
+    "agg_regr_slope", "agg_skew_kurtosis", "agg_stats_corr",
+    "agg_variance_stddev", "array_set_ops", "bitwise_funcs",
+    "cmf_variant_residue", "corpus_assemble", "corpus_mix_domains",
+    "corpus_pack_sequences", "corpus_split_train", "dedup_minhash_banded",
+    "emb_dim_stats", "emb_norm_stats", "emb_quantize_int8",
+    "error_safe_funcs", "events_anomaly_zscore", "events_cohort_retention",
+    "events_funnel", "events_rfm_segments", "explode_variants",
+    "filter_null_safe_eq", "fleet_dashboard", "join_broadcast_left",
+    "join_cross", "join_range_banded", "json_variant", "sample_stratified",
+    "sim_search_lsh_multiprobe", "string_regexp_groups",
+    "string_split_part", "table_profile", "text_levenshtein_pairs",
+    "text_ngram_freq", "text_passage_dedup", "text_repetition_ratios",
+    "text_tokenize_filter", "text_unigram_logprob", "text_zipf_slope",
+    "ts_ewma", "ts_gapfill_15m", "ts_resample_15m",
+    "union_schema_evolution", "unpivot_melt",
+    # round 2 (CORRECTNESS_r02.json).  sim_search_lsh / sim_search_ivf /
+    # dedup_simhash / dedup_embedding_blas are deliberately NOT listed:
+    # their r2 rows were `no_oracle` errors recorded before the r3 oracles
+    # existed — rotate them forward for first-ever green rows (VERDICT r3
+    # item 3).
     "route_event_type_split", "dedup_exact", "dedup_fingerprint",
     "dedup_keep_best", "text_pii_scrub", "dedup_ngram_jaccard",
-    "dedup_minhash", "dedup_simhash", "dedup_embedding_cosine",
-    "dedup_embedding_blas", "sim_search_knn", "sim_search_lsh",
-    "sim_search_ivf", "text_stats", "text_quality_score",
+    "dedup_minhash", "dedup_embedding_cosine",
+    "sim_search_knn", "text_stats", "text_quality_score",
     "text_token_count", "multimodal_features", "multimodal_resize",
     "text_chunk_documents", "text_lang_id", "text_decontaminate",
     "text_minhash_signature", "emb_centroid_by_label",

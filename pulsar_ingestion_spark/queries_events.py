@@ -141,7 +141,7 @@ def q_events_cohort_retention(spark, sf_dir):
                                ROWS UNBOUNDED PRECEDING) AS session_idx
       FROM flagged
     )
-    SELECT user_id, session_idx,
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
            epoch_us(min(ts)) AS session_start_us,
            epoch_us(max(ts)) AS session_end_us,
            count(*) AS n_events,

@@ -1172,7 +1172,7 @@ WITH pings AS (
                                 ROWS UNBOUNDED PRECEDING) AS trip_id
   FROM seq
 )
-SELECT vehicle, trip_id,
+SELECT vehicle, CAST(trip_id AS BIGINT) AS trip_id,
        count(*) AS pings,
        strftime(date_trunc('second', min(ts)), '%Y-%m-%d %H:%M:%S') AS trip_start,
        CAST(SUM(CAST(CASE WHEN new_trip = 1 THEN NULL ELSE seg_km END AS DECIMAL(18,6))) AS DOUBLE)

@@ -124,20 +124,23 @@ WITH pos AS (
   SELECT DISTINCT {_bloom_pos_sql('h.i', 'CAST(e.user_id AS VARCHAR)')} AS pos
   FROM events e, (SELECT unnest(range(0, {_BLOOM_K})) AS i) h
 )
-SELECT pos // 64 AS word_idx,
-       bit_or(1::BIGINT << CAST(pos % 64 AS INTEGER)) AS word_bits,
+SELECT pos // 32 AS word_idx,
+       bit_or(1::BIGINT << CAST(pos % 32 AS INTEGER)) AS word_bits,
        count(*) AS bits_set
-FROM pos GROUP BY pos // 64
+FROM pos GROUP BY pos // 32
 """
 
 
 @query("sketch_bloom_build", oracle=_BLOOM_ORACLE)
 def q_sketch_bloom_build(spark, sf_dir):
     """Bloom filter build (2048 bits, k=3) over the distinct user set,
-    materialized as 64-bit words — the structure broadcast to prune a
-    fact scan before an expensive join (Spark's own runtime bloom
+    materialized as 32-bit half-words — the structure broadcast to prune
+    a fact scan before an expensive join (Spark's own runtime bloom
     pushdown does the same thing; this one is portable and mergeable by
-    word-wise OR).  One shuffle; per-task state ≤ 32 words."""
+    word-wise OR).  32-bit words keep every shift amount ≤ 31, so the
+    packed value is identical in any signed-64-bit engine (a shift of 63
+    would overflow DuckDB's BIGINT and flip sign in Spark's).  One
+    shuffle; per-task state ≤ 64 words."""
     (ev,) = (load_tables(spark, sf_dir)[n] for n in ("events",))
     hashes = F.array([F.lit(i) for i in range(_BLOOM_K)])
     pos = (
@@ -154,9 +157,9 @@ def q_sketch_bloom_build(spark, sf_dir):
         .distinct()
     )
     return (
-        pos.groupBy((F.col("pos") / 64).cast("bigint").alias("word_idx"))
+        pos.groupBy(F.expr("pos div 32").alias("word_idx"))
         .agg(
-            F.bit_or(F.shiftleft(F.lit(1).cast("bigint"), (F.col("pos") % 64).cast("int")))
+            F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT)))")
             .alias("word_bits"),
             F.count("*").alias("bits_set"),
         )

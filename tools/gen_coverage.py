@@ -82,6 +82,7 @@ SECTIONS = [
         "corpus_assemble",
     ]),
     ("LLM data pipeline: multimodal", ["multimodal_features", "multimodal_resize", "multimodal_frame_sample", "multimodal_audio_chunks"]),
+    ("Sketches (mergeable, deterministic-hash)", ["sketch_countmin", "sketch_bloom_build"]),
 ]
 
 STREAMING_ONLY = [
