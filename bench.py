@@ -77,6 +77,10 @@ def main() -> None:
     from pulsar_ingestion_spark.session import get_spark
 
     spark = get_spark("bench")
+    # Quiet stderr so the ONE JSON line survives the driver's tail capture
+    # (BENCH_r03 lost its parsed field to log/progress noise — VERDICT r3
+    # item 4; showConsoleProgress is already off in session defaults).
+    spark.sparkContext.setLogLevel("ERROR")
     queries = entrymod.queries()
 
     # Warm the JVM + parquet footers once so per-query numbers measure the
@@ -127,18 +131,21 @@ def main() -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "var": variances,
-                "sf": sf,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "var": variances,
+            "sf": sf,
+        }
     )
+    # Belt and braces for the driver's parse: the JSON goes to stdout AND
+    # to a file, so a truncated tail capture can't lose the round's number.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"), "w") as fh:
+        fh.write(line + "\n")
+    print(line)
 
 
 if __name__ == "__main__":

@@ -44,15 +44,25 @@ def avg_word_len(col: Column) -> Column:
     return total / F.size(w)
 
 
+def quality_score_from_words(w: Column) -> Column:
+    """:func:`quality_score` over a pre-split word array.  Splitting once
+    and reusing the array matters: the higher-order-function lambdas
+    (filter/aggregate) block Catalyst's common-subexpression elimination,
+    so the naive form re-runs the regex split per feature — measurable on
+    a 100 TB text scan where the split dominates the narrow stage."""
+    wc = F.size(w).cast("double")
+    len_band = F.when((wc >= 20) & (wc <= 1000), 1.0).when(wc >= 5, 0.5).otherwise(0.0)
+    stop = F.size(F.filter(w, lambda x: F.lower(x).isin(STOPWORDS)))
+    stop_band = F.when(stop / F.size(w) > 0.05, 1.0).otherwise(0.5)
+    awl = F.aggregate(w, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)) / F.size(w)
+    wl_band = F.when((awl >= 2.5) & (awl <= 10), 1.0).otherwise(0.5)
+    return F.round((len_band + stop_band + wl_band) / 3.0, 4)
+
+
 def quality_score(col: Column) -> Column:
     """Composite heuristic quality score in [0,1]: length band + stopword
     presence + word-length sanity.  Deterministic, SQL-expressible."""
-    wc = word_count(col).cast("double")
-    len_band = F.when((wc >= 20) & (wc <= 1000), 1.0).when(wc >= 5, 0.5).otherwise(0.0)
-    stop_band = F.when(stopword_ratio(col) > 0.05, 1.0).otherwise(0.5)
-    awl = avg_word_len(col)
-    wl_band = F.when((awl >= 2.5) & (awl <= 10), 1.0).otherwise(0.5)
-    return F.round((len_band + stop_band + wl_band) / 3.0, 4)
+    return quality_score_from_words(words(col))
 
 
 def doc_fingerprint(col: Column) -> Column:

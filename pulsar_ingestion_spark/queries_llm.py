@@ -9,6 +9,7 @@ membership is stable cross-engine.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from pulsar_ingestion_spark.operators.dedup import (
@@ -1058,13 +1059,11 @@ def q_corpus_curate(spark, sf_dir):
         quality_score(F.col("text")).alias("quality"),
     )
     filtered = feat.filter(F.col("quality") >= 0.5)
-    key = F.struct(F.col("words").alias("wc"), (-F.col("doc_id")).alias("id"))
-    kept = filtered.groupBy(F.col("h").alias("kh")).agg(
-        (F.max(key).getField("id") * -1).alias("kept_id")
-    )
-    out = filtered.join(
-        kept, (filtered["h"] == kept["kh"]) & (filtered["doc_id"] == kept["kept_id"])
-    )
+    # keep-best as ONE window pass on the digest shuffle (r3 used
+    # groupBy(h) + join-back = the same data shuffled twice; row_number
+    # over (h | wc desc, id asc) selects the identical winner in one)
+    w = Window.partitionBy("h").orderBy(F.col("words").desc(), F.col("doc_id").asc())
+    out = filtered.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
     return out.select(
         "doc_id", "lang", "words", token_count(F.col("text")).alias("tokens"), "quality"
     )

@@ -207,9 +207,11 @@ def q_ts_resample_15m(spark, sf_dir):
     """Downsample the event stream to 15-minute buckets per type — the
     batch mirror of stream_tumbling_agg.  Bucket arithmetic is integer
     epoch division (no window function), one shuffle on (type, bucket):
-    at 100 TB the partial agg collapses each map task to ~buckets rows."""
+    at 100 TB the partial agg collapses each map task to ~buckets rows.
+    Bucketing is pure integer arithmetic (`div`, truncating like DuckDB's
+    integer `//`) — no double round-trip, exact at any epoch magnitude."""
     (ev,) = _t(spark, sf_dir, "events")
-    bucket = (F.unix_seconds(F.col("ts")) / 900).cast("bigint") * 900
+    bucket = F.expr("(unix_seconds(ts) div 900) * 900")
     return ev.groupBy(
         "event_type", bucket.alias("bucket_s")
     ).agg(
@@ -246,7 +248,7 @@ def q_ts_gapfill_15m(spark, sf_dir):
     (type, bucket).  The grid size is bounded by wall-clock span / 900 —
     independent of row count, so the explode side stays tiny at 100 TB."""
     (ev,) = _t(spark, sf_dir, "events")
-    bucket = (F.unix_seconds(F.col("ts")) / 900).cast("bigint") * 900
+    bucket = F.expr("(unix_seconds(ts) div 900) * 900")
     b = ev.select("event_type", bucket.alias("bucket_s"))
     counts = b.groupBy("event_type", "bucket_s").agg(F.count("*").alias("cnt"))
     spans = b.groupBy("event_type").agg(
@@ -676,11 +678,10 @@ def q_ts_rollup_multires(spark, sf_dir):
     finer level's partials feed the coarser ones.  Buckets are integer
     epoch divisions so every engine agrees without timezone coupling."""
     (ev,) = _t(spark, sf_dir, "events")
-    es = F.unix_seconds(F.col("ts"))
     b = ev.select(
-        (es / 86400).cast("bigint").alias("day_b"),
-        (es / 3600).cast("bigint").alias("hour_b"),
-        (es / 900).cast("bigint").alias("q_b"),
+        F.expr("unix_seconds(ts) div 86400").alias("day_b"),
+        F.expr("unix_seconds(ts) div 3600").alias("hour_b"),
+        F.expr("unix_seconds(ts) div 900").alias("q_b"),
         "value",
     )
     return (

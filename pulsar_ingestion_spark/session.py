@@ -49,6 +49,9 @@ _LOCAL_DEFAULTS = {
     # DuckDB's epoch interpretation; read them as instants instead.
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.ui.enabled": "false",
+    # No stderr progress bars: they corrupt line-oriented tool output
+    # (the driver's bench tail-capture lost BENCH_r03's JSON to them).
+    "spark.ui.showConsoleProgress": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }
 
