@@ -445,3 +445,130 @@ def q_events_anomaly_zscore(spark, sf_dir):
         .filter(F.abs(F.col("zscore")) >= 2)
         .select("event_id", "user_id", "value", "zscore")
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov transitions, attribution, dwell-time distribution
+
+_MARKOV_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type AS cur,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), pairs AS (
+  SELECT prev, cur, count(*) AS cnt FROM seq WHERE prev IS NOT NULL
+  GROUP BY prev, cur
+), tot AS (
+  SELECT prev, CAST(SUM(cnt) AS BIGINT) AS row_total FROM pairs GROUP BY prev
+)
+SELECT p.prev, p.cur, p.cnt,
+       round(CAST(p.cnt AS DOUBLE) / t.row_total, 6) AS prob
+FROM pairs p JOIN tot t ON p.prev = t.prev
+"""
+
+
+@query("events_markov_transitions", oracle=_MARKOV_ORACLE)
+def q_events_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix of the event stream: count of
+    (prev_type → cur_type) steps per user journey, normalized to row
+    probabilities.  One user-key window for lag, one shuffle on the
+    25-cell pair key (partial aggs collapse map-side); the normalizer
+    join is over the ≤|types| row-total table — broadcast.  The output
+    is model-sized regardless of input scale."""
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"), F.lag("event_type").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    pairs = seq.groupBy("prev", "cur").agg(F.count("*").alias("cnt"))
+    tot = pairs.groupBy("prev").agg(F.sum("cnt").cast("bigint").alias("row_total"))
+    return pairs.join(F.broadcast(tot), "prev").select(
+        "prev", "cur", "cnt",
+        F.round(F.col("cnt").cast("double") / F.col("row_total"), 6).alias("prob"),
+    )
+
+
+_ATTRIBUTION_ORACLE = """
+WITH touched AS (
+  SELECT user_id, event_id, ts, event_type,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+           OVER w AS touch_type,
+         last_value(CASE WHEN event_type <> 'purchase' THEN ts END IGNORE NULLS)
+           OVER w AS touch_ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, event_id, epoch_us(ts) AS purchase_us, touch_type,
+       CASE WHEN touch_ts IS NULL THEN NULL
+            ELSE epoch_ms(ts) - epoch_ms(touch_ts) END AS ms_since_touch
+FROM touched WHERE event_type = 'purchase'
+"""
+
+
+@query("events_attribution_last_touch", oracle=_ATTRIBUTION_ORACLE)
+def q_events_attribution_last_touch(spark, sf_dir):
+    """Last-touch attribution: for every purchase, the most recent prior
+    non-purchase event of the same user (type + recency).  One window
+    pass with an IGNORE-NULLS last_value over the preceding frame — no
+    self-join, no per-row scan-back; state per user is one value, so the
+    shape holds on unbounded journey lengths."""
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    not_purchase = F.col("event_type") != "purchase"
+    touched = ev.select(
+        "user_id", "event_id", "ts", "event_type",
+        F.last(F.when(not_purchase, F.col("event_type")), ignorenulls=True)
+        .over(w).alias("touch_type"),
+        F.last(F.when(not_purchase, F.col("ts")), ignorenulls=True)
+        .over(w).alias("touch_ts"),
+    )
+    return touched.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id",
+        F.unix_micros("ts").alias("purchase_us"),
+        "touch_type",
+        F.when(
+            F.col("touch_ts").isNull(), None
+        ).otherwise(F.unix_millis("ts") - F.unix_millis("touch_ts")).alias("ms_since_touch"),
+    )
+
+
+_DWELL_ORACLE = """
+WITH gaps AS (
+  SELECT event_type,
+         epoch_ms(ts) - lag(epoch_ms(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms
+  FROM events
+)
+SELECT event_type, count(*) AS n_gaps,
+       round(CAST(quantile_cont(gap_ms, 0.5) AS DOUBLE), 4) AS p50_ms,
+       round(CAST(quantile_cont(gap_ms, 0.9) AS DOUBLE), 4) AS p90_ms,
+       CAST(max(gap_ms) AS BIGINT) AS max_ms
+FROM gaps WHERE gap_ms IS NOT NULL
+GROUP BY event_type
+"""
+
+
+@query("events_dwell_percentiles", oracle=_DWELL_ORACLE)
+def q_events_dwell_percentiles(spark, sf_dir):
+    """Inter-event dwell-time distribution per landing event type —
+    median/p90/max of the gap to the previous user event.  The gap is a
+    user-key window lag; percentiles are exact interpolated (matching
+    quantile_cont, rounded to dodge interpolation ULPs — the scale path
+    swaps in approx_percentile, same plan shape)."""
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        (F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(w))).alias("gap_ms"),
+    ).filter(F.col("gap_ms").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count("*").alias("n_gaps"),
+        F.round(F.expr("percentile(gap_ms, 0.5)"), 4).alias("p50_ms"),
+        F.round(F.expr("percentile(gap_ms, 0.9)"), 4).alias("p90_ms"),
+        F.max("gap_ms").cast("bigint").alias("max_ms"),
+    )

@@ -19,6 +19,7 @@ shuffle + (for the grid/gap-fill) an equi-join on the group key.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from pulsar_ingestion_spark.registry import query
@@ -938,4 +939,156 @@ def q_emb_pca_power(spark, sf_dir):
         "dim",
         F.round(F.col("w") / F.col("nrm"), 8).alias("component"),
         F.round(F.col("nrm"), 4).alias("eigenvalue_est"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ML feature engineering + robust outliers + drift detection on the series
+
+_LAG_FEATURES_ORACLE = """
+WITH buckets AS (
+  SELECT event_type,
+         (CAST(floor(epoch(ts)) AS BIGINT) // 900) * 900 AS bucket_s,
+         count(*) AS cnt
+  FROM events GROUP BY event_type, bucket_s
+)
+SELECT event_type, bucket_s, cnt,
+       lag(cnt, 1) OVER w AS lag_1,
+       lag(cnt, 4) OVER w AS lag_4,
+       round(CAST(SUM(CAST(cnt AS DECIMAL(18,4))) OVER (PARTITION BY event_type
+             ORDER BY bucket_s ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / least(CAST(row_number() OVER w AS BIGINT), 4), 4) AS roll_mean_4
+FROM buckets
+WINDOW w AS (PARTITION BY event_type ORDER BY bucket_s)
+"""
+
+
+@query("ts_lag_features", oracle=_LAG_FEATURES_ORACLE)
+def q_ts_lag_features(spark, sf_dir):
+    """Supervised-learning feature frame from the event series: per-type
+    15-minute counts with lag-1, lag-4, and a trailing 4-bucket mean —
+    the standard forecasting feature block.  One shuffle builds the
+    buckets; one type-key window pass derives every feature (the rolling
+    mean sums DECIMAL so both engines agree bit-for-bit)."""
+    (ev,) = _t(spark, sf_dir, "events")
+    bucket = F.expr("(unix_seconds(ts) div 900) * 900")
+    buckets = ev.groupBy(
+        "event_type", bucket.alias("bucket_s")
+    ).agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("bucket_s")
+    w4 = w.rowsBetween(-3, Window.currentRow)
+    return buckets.select(
+        "event_type", "bucket_s", "cnt",
+        F.lag("cnt", 1).over(w).alias("lag_1"),
+        F.lag("cnt", 4).over(w).alias("lag_4"),
+        F.round(
+            F.sum(F.col("cnt").cast("decimal(18,4)")).over(w4).cast("double")
+            / F.least(F.row_number().over(w).cast("bigint"), F.lit(4)),
+            4,
+        ).alias("roll_mean_4"),
+    )
+
+
+_MAD_ORACLE = """
+WITH med AS (
+  SELECT event_type, CAST(quantile_cont(value, 0.5) AS DOUBLE) AS med
+  FROM events GROUP BY event_type
+), dev AS (
+  SELECT e.event_type, e.event_id, e.value, m.med,
+         round(abs(e.value - m.med), 6) AS abs_dev
+  FROM events e JOIN med m ON e.event_type = m.event_type
+), mad AS (
+  SELECT event_type, CAST(quantile_cont(abs_dev, 0.5) AS DOUBLE) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       round(any_value(d.med), 4) AS median_value,
+       round(any_value(m.mad), 4) AS mad_value,
+       CAST(count(CASE WHEN round(abs(d.value - d.med), 6) > round(3 * 1.4826 * m.mad, 6)
+                       THEN 1 END) AS BIGINT) AS n_outliers,
+       count(*) AS n
+FROM dev d JOIN mad m ON d.event_type = m.event_type
+GROUP BY d.event_type
+"""
+
+
+@query("ts_outlier_mad", oracle=_MAD_ORACLE)
+def q_ts_outlier_mad(spark, sf_dir):
+    """Robust (median/MAD) outlier detection per event type — the
+    z-score variant that survives heavy tails.  Two percentile aggs
+    chained through a broadcast-sized per-type stats table; the full
+    stream is scanned twice but never reshuffled on a data-sized key
+    (both joins replicate the ≤|types| stats side).  Deviations are
+    rounded before thresholding so membership is engine-stable."""
+    (ev,) = _t(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("CAST(percentile(value, 0.5) AS DOUBLE)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "event_id", "value", "med",
+        F.round(F.abs(F.col("value") - F.col("med")), 6).alias("abs_dev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("CAST(percentile(abs_dev, 0.5) AS DOUBLE)").alias("mad")
+    )
+    flagged = dev.join(F.broadcast(mad), "event_type")
+    return flagged.groupBy("event_type").agg(
+        F.round(F.any_value("med"), 4).alias("median_value"),
+        F.round(F.any_value("mad"), 4).alias("mad_value"),
+        F.count(
+            F.when(
+                F.round(F.abs(F.col("value") - F.col("med")), 6)
+                > F.round(3 * 1.4826 * F.col("mad"), 6),
+                1,
+            )
+        ).cast("bigint").alias("n_outliers"),
+        F.count("*").alias("n"),
+    )
+
+
+_CUSUM_ORACLE = """
+WITH stats AS (
+  SELECT event_type,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mu
+  FROM events GROUP BY event_type
+), walk AS (
+  SELECT e.event_type,
+         SUM(CAST(round(e.value - s.mu, 6) AS DECIMAL(18,6)))
+           OVER (PARTITION BY e.event_type ORDER BY e.ts, e.event_id
+                 ROWS UNBOUNDED PRECEDING) AS cusum
+  FROM events e JOIN stats s ON e.event_type = s.event_type
+)
+SELECT event_type,
+       round(CAST(max(abs(cusum)) AS DOUBLE), 4) AS max_abs_cusum,
+       CAST(count(CASE WHEN abs(cusum) > 500 THEN 1 END) AS BIGINT) AS n_over_500,
+       count(*) AS n
+FROM walk GROUP BY event_type
+"""
+
+
+@query("ts_cusum_drift", oracle=_CUSUM_ORACLE)
+def q_ts_cusum_drift(spark, sf_dir):
+    """CUSUM drift detector: running sum of mean-centered values per
+    type; a large |cusum| excursion marks a level shift long before a
+    windowed mean notices.  The running sum accumulates DECIMAL on both
+    engines (float running sums are order-sensitive), mean joins in via
+    a broadcast-sized stats table, and the walk is one type-key window
+    pass."""
+    (ev,) = _t(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        (F.sum(F.col("value").cast("decimal(18,6)")).cast("double") / F.count("*")).alias("mu")
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    walk = ev.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        F.sum(
+            F.round(F.col("value") - F.col("mu"), 6).cast("decimal(18,6)")
+        ).over(w).alias("cusum"),
+    )
+    return walk.groupBy("event_type").agg(
+        F.round(F.max(F.abs("cusum")).cast("double"), 4).alias("max_abs_cusum"),
+        F.count(F.when(F.abs("cusum") > 500, 1)).cast("bigint").alias("n_over_500"),
+        F.count("*").alias("n"),
     )

@@ -1,0 +1,214 @@
+"""Relational warehouse analytics over the TPC-H-shaped tables.
+
+The reference's analytics surface is event/stream-centric; a user who
+switches to this engine also gets the classic warehouse shapes on the
+same testdata (pricing summary, star-schema revenue, top-k orders) —
+the queries every Spark deployment runs against fact/dim parquet.
+
+Scale notes (100 TB): lineitem is the fact table — every query here
+aggregates it with ONE shuffle on the group key (partial aggs collapse
+map-side), dims join via broadcast (region/nation are KB-sized at any
+SF; customer joins shuffle on the key and AQE upgrades to broadcast
+when a filter makes the side small).  Parity per registry.py: decimal
+partial sums, identical aliases, unique tie-breaks on top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from pulsar_ingestion_spark.registry import query
+from pulsar_ingestion_spark.session import load_tables
+
+
+def _t(spark, sf_dir, *names):
+    tabs = load_tables(spark, sf_dir)
+    return tuple(tabs[n] for n in names)
+
+
+_PRICING_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+            AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
+       CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("tpch_pricing_summary", oracle=_PRICING_ORACLE)
+def q_tpch_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: full-fact pricing summary.  One scan, one shuffle
+    on a 6-value group key; every sum is a decimal partial agg so the
+    map-side combine collapses each task to a handful of rows before the
+    exchange — the canonical 100 TB aggregation plan."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    disc_price = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= "2000-09-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            (F.sum(dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(dec("l_discount")).cast("double") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+_REGION_REVENUE_ORACLE = """
+SELECT r.r_name AS region, n.n_name AS nation,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4))))
+            AS DOUBLE) AS revenue,
+       count(DISTINCT o.o_orderkey) AS n_orders
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+"""
+
+
+@query("tpch_revenue_by_region", oracle=_REGION_REVENUE_ORACLE)
+def q_tpch_revenue_by_region(spark, sf_dir):
+    """Star-schema revenue rollup (TPC-H Q5 shape): fact → orders →
+    customer by key shuffle, then nation/region via explicit broadcast
+    (dims are KB at any SF — replicating them beats shuffling the fact
+    side by orders of magnitude).  The reference has no relational dim
+    model; this is the warehouse query its users would add first."""
+    li, od, cu, na, re = _t(spark, sf_dir, "lineitem", "orders", "customer", "nation", "region")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    rev = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))
+    return (
+        li.join(od, li["l_orderkey"] == od["o_orderkey"])
+        .join(cu, od["o_custkey"] == cu["c_custkey"])
+        .join(F.broadcast(na), cu["c_nationkey"] == na["n_nationkey"])
+        .join(F.broadcast(re), na["n_regionkey"] == re["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+_TOP_ORDERS_ORACLE = """
+SELECT o.o_orderkey, strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4))))
+            AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY o.o_orderkey, o.o_orderdate
+ORDER BY revenue DESC, o.o_orderkey
+LIMIT 10
+"""
+
+
+@query("tpch_top_orders", oracle=_TOP_ORDERS_ORACLE)
+def q_tpch_top_orders(spark, sf_dir):
+    """Top-10 revenue orders for one market segment (TPC-H Q3 shape).
+    The segment filter reaches the customer scan (predicate pushdown),
+    the filtered customer side is small → AQE converts the join to
+    broadcast at runtime; the top-k is a TakeOrdered (no global sort
+    materialization).  Decimal revenue + orderkey tie-break keep the
+    limit deterministic."""
+    li, od, cu = _t(spark, sf_dir, "lineitem", "orders", "customer")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    rev = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))
+    return (
+        li.join(od, li["l_orderkey"] == od["o_orderkey"])
+        .join(cu.filter(F.col("c_mktsegment") == "BUILDING"),
+              od["o_custkey"] == cu["c_custkey"])
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+_WEIGHTED_AVG_ORACLE = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4)))
+            AS DOUBLE)
+         / CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS vwap,
+       CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_disc,
+       count(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("agg_weighted_avg", oracle=_WEIGHTED_AVG_ORACLE)
+def q_agg_weighted_avg(spark, sf_dir):
+    """Quantity-weighted average price (VWAP shape) — weighted means as
+    ratios of two decimal partial sums, the numerically-stable form that
+    map-side-combines perfectly (a naive avg(price*qty/total) would need
+    the total up front = two passes)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    return li.groupBy("l_returnflag").agg(
+        (F.sum(dec("l_extendedprice") * dec("l_quantity")).cast("double")
+         / F.sum(dec("l_quantity")).cast("double")).alias("vwap"),
+        (F.sum(dec("l_discount")).cast("double") / F.count("*")).alias("avg_disc"),
+        F.count("*").alias("n"),
+    )
+
+
+_RUNNING_DISTINCT_ORACLE = """
+WITH firsts AS (
+  SELECT event_type, user_id,
+         strftime(min(ts), '%Y-%m-%d') AS first_day
+  FROM events GROUP BY event_type, user_id
+), daily AS (
+  SELECT event_type, first_day AS day, count(*) AS new_users
+  FROM firsts GROUP BY event_type, first_day
+)
+SELECT event_type, day, new_users,
+       CAST(sum(new_users) OVER (PARTITION BY event_type ORDER BY day
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+FROM daily
+"""
+
+
+@query("win_running_distinct", oracle=_RUNNING_DISTINCT_ORACLE)
+def q_win_running_distinct(spark, sf_dir):
+    """Running DISTINCT user count per event type by day — the composition
+    that avoids per-row distinct-state: reduce to (type, user) firsts
+    (one shuffle, map-side combine), roll up to daily new-user counts,
+    then a running sum over the DAYS (window state = #days, not #users —
+    the only form that survives 100 TB).  Window SUM cast to BIGINT for
+    engine-portable typing (DuckDB HUGEINT otherwise)."""
+    (ev,) = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("event_type", "user_id").agg(
+        F.date_format(F.min("ts"), "yyyy-MM-dd").alias("first_day")
+    )
+    daily = firsts.groupBy("event_type", F.col("first_day").alias("day")).agg(
+        F.count("*").alias("new_users")
+    )
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.select(
+        "event_type", "day", "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("cum_users"),
+    )
