@@ -230,3 +230,134 @@ def q_corpus_assemble(spark, sf_dir):
         "doc_id", "lang", "split", "tokens", "shard",
         F.floor(start / F.lit(2048.0)).cast("bigint").alias("pack_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget selection, dedup-rate reporting, shard balance
+
+_BUDGET = 20_000  # tokens per source domain
+
+_TOKEN_BUDGET_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, source, {_TOKENS_SQL} AS toks,
+         SUM({_TOKENS_SQL}) OVER (PARTITION BY source
+                                  ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS cum_toks
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS kept_docs,
+       CAST(SUM(toks) AS BIGINT) AS used_tokens
+FROM scored
+WHERE cum_toks <= {_BUDGET}
+GROUP BY source
+"""
+
+
+@query("corpus_token_budget", oracle=_TOKEN_BUDGET_ORACLE)
+def q_corpus_token_budget(spark, sf_dir):
+    """Per-domain token-budget selection: walk each source's documents in
+    a deterministic order and keep rows while the running token total
+    stays under budget — how a mixture spec ('20B tokens of web, 5B of
+    code') becomes a concrete document set.  One window pass per source
+    key; cumulative state is a single counter, so the shape is
+    partition-parallel across domains at any scale."""
+    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    scored = docs.select(
+        "doc_id", "source", token_count(F.col("text")).alias("toks")
+    ).withColumn("cum_toks", F.sum("toks").over(w))
+    return (
+        scored.filter(F.col("cum_toks") <= _BUDGET)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("kept_docs"),
+            F.sum("toks").cast("bigint").alias("used_tokens"),
+        )
+    )
+
+
+_DEDUP_REPORT_ORACLE = """
+WITH fp AS (
+  SELECT source, doc_id,
+         md5(array_to_string(list_sort(list_distinct(
+           regexp_split_to_array(trim(lower(text)), '\\s+'))), ' ')) AS fingerprint,
+         md5(text) AS exact_h
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(count(DISTINCT exact_h) AS BIGINT) AS distinct_exact,
+       CAST(count(DISTINCT fingerprint) AS BIGINT) AS distinct_fp,
+       round(1.0 - count(DISTINCT exact_h) * 1.0 / count(*), 6) AS exact_dup_rate,
+       round(1.0 - count(DISTINCT fingerprint) * 1.0 / count(*), 6) AS fp_dup_rate
+FROM fp GROUP BY source
+"""
+
+
+@query("corpus_dedup_report", oracle=_DEDUP_REPORT_ORACLE)
+def q_corpus_dedup_report(spark, sf_dir):
+    """Per-source duplication audit — the report a curation run publishes
+    before anyone trains on the corpus: exact-hash and word-set
+    fingerprint dup rates side by side (fingerprint > exact gap = the
+    near-dup mass).  One shuffle; distinct counts run on 16-byte
+    digests, never on document bytes."""
+    from pulsar_ingestion_spark.functions.text import doc_fingerprint
+
+    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    fp = docs.select(
+        "source",
+        F.md5("text").alias("exact_h"),
+        doc_fingerprint(F.col("text")).alias("fingerprint"),
+    )
+    return fp.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("exact_h").cast("bigint").alias("distinct_exact"),
+        F.countDistinct("fingerprint").cast("bigint").alias("distinct_fp"),
+        F.round(1.0 - F.countDistinct("exact_h") * 1.0 / F.count("*"), 6).alias("exact_dup_rate"),
+        F.round(1.0 - F.countDistinct("fingerprint") * 1.0 / F.count("*"), 6).alias("fp_dup_rate"),
+    )
+
+
+_N_SHARDS = 16
+
+_SHARD_ORACLE = f"""
+WITH assigned AS (
+  SELECT doc_id, {_TOKENS_SQL} AS toks,
+         CAST(('0x' || substring(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % {_N_SHARDS} AS shard
+  FROM documents
+)
+SELECT shard,
+       count(*) AS n_docs,
+       CAST(SUM(toks) AS BIGINT) AS shard_tokens,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM assigned GROUP BY shard
+"""
+
+
+@query("corpus_shard_assign", oracle=_SHARD_ORACLE)
+def q_corpus_shard_assign(spark, sf_dir):
+    """Deterministic shard assignment + balance report: every doc hashes
+    to one of 16 shards by content-independent key hash (stable across
+    clusters and reruns — rand()/partition-id assignment is neither),
+    with per-shard doc and token totals to verify the hash balances.
+    The same expression is the DataFrameWriter's partitionBy column in
+    the write path; here it feeds one partial-agg shuffle."""
+    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    shard = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("bigint") % _N_SHARDS
+    )
+    return (
+        docs.select("doc_id", token_count(F.col("text")).alias("toks"), shard.alias("shard"))
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("toks").cast("bigint").alias("shard_tokens"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )

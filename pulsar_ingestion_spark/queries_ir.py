@@ -157,3 +157,225 @@ def q_events_path_topk(spark, sf_dir):
         F.concat_ws(">", "event_type", "e2", "e3").alias("path")
     ).groupBy("path").agg(F.count("*").alias("cnt"))
     return paths.orderBy(F.col("cnt").desc(), F.col("path").asc()).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# Corpus-hygiene text mining: line-level boilerplate dedup, winnowing
+# fingerprints, BPE-merge statistics, vocabulary coverage
+
+_LINE_DEDUP_ORACLE = """
+WITH lines AS (
+  SELECT d.doc_id, trim(l.line) AS line
+  FROM documents d, unnest(string_split(d.text, chr(10))) AS l(line)
+  WHERE trim(l.line) <> ''
+), df AS (
+  SELECT md5(line) AS h, count(DISTINCT doc_id) AS line_df
+  FROM lines GROUP BY md5(line)
+)
+SELECT l.doc_id,
+       count(*) AS n_lines,
+       CAST(count(CASE WHEN f.line_df < 3 THEN 1 END) AS BIGINT) AS kept_lines,
+       CAST(count(CASE WHEN f.line_df >= 3 THEN 1 END) AS BIGINT) AS removed_lines
+FROM lines l JOIN df f ON md5(l.line) = f.h
+GROUP BY l.doc_id
+"""
+
+
+@query("text_line_dedup", oracle=_LINE_DEDUP_ORACLE)
+def q_text_line_dedup(spark, sf_dir):
+    """C4-style line-level boilerplate removal accounting: a line that
+    appears in ≥3 distinct documents (nav bars, cookie banners, license
+    headers) is boilerplate; report kept/removed line counts per doc.
+    Plan: explode lines once, df-count on the 32-byte line digest (one
+    shuffle, map-side combine), hash-join the digest table back — the
+    join key is the digest, never the line text, so shuffle volume is
+    bounded by line COUNT not line bytes."""
+    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    lines = (
+        docs.select("doc_id", F.explode(F.split("text", "\n")).alias("raw"))
+        .select("doc_id", F.trim("raw").alias("line"))
+        .filter(F.col("line") != "")
+        .select("doc_id", F.md5("line").alias("h"))
+    )
+    df = lines.distinct().groupBy("h").agg(F.count("*").alias("line_df"))
+    return lines.join(df, "h").groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        F.count(F.when(F.col("line_df") < 3, 1)).cast("bigint").alias("kept_lines"),
+        F.count(F.when(F.col("line_df") >= 3, 1)).cast("bigint").alias("removed_lines"),
+    )
+
+
+_WINNOW_K = 7   # char k-gram length
+_WINNOW_W = 4   # winnowing window (min-hash per window of w consecutive grams)
+
+_WINNOW_ORACLE = f"""
+WITH g AS (
+  SELECT doc_id, lower(text) AS t,
+         len(lower(text)) - {_WINNOW_K} + 1 AS n_grams
+  FROM documents WHERE len(text) >= {_WINNOW_K + _WINNOW_W - 1}
+), hashes AS (
+  SELECT doc_id,
+         list_transform(range(1, n_grams + 1),
+           i -> CAST(('0x' || substring(md5(substring(t, CAST(i AS INTEGER), {_WINNOW_K})), 1, 8))
+                     AS BIGINT)) AS hs,
+         n_grams
+  FROM g
+), fps AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, n_grams - {_WINNOW_W} + 2),
+           i -> list_min(hs[CAST(i AS INTEGER):CAST(i + {_WINNOW_W} - 1 AS INTEGER)]))) AS fp
+  FROM hashes
+)
+SELECT doc_id, len(fp) AS n_fingerprints,
+       list_min(fp) AS min_fp, list_max(fp) AS max_fp
+FROM fps
+"""
+
+
+@query("text_winnowing", oracle=_WINNOW_ORACLE)
+def q_text_winnowing(spark, sf_dir):
+    """Winnowing document fingerprints (the MOSS local-similarity scheme):
+    hash every char 7-gram, keep the minimum hash of each sliding window
+    of 4 — guarantees any shared substring ≥ k+w-1 chars shares a
+    fingerprint, at ~1/w the storage of full shingling.  Entirely narrow
+    array expressions (no shuffle at all until a consumer groups by
+    fingerprint); reported here as per-doc fingerprint-set stats so the
+    output is hashable."""
+    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    k, w = _WINNOW_K, _WINNOW_W
+    prepared = docs.filter(F.length("text") >= k + w - 1).select(
+        "doc_id", F.lower("text").alias("t")
+    )
+    hashed = prepared.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(1, length(t) - {k} + 1), "
+            f"i -> CAST(conv(substring(md5(substring(t, i, {k})), 1, 8), 16, 10) AS BIGINT))"
+        ).alias("hs"),
+    )
+    fps = hashed.select(
+        "doc_id",
+        F.expr(
+            f"array_distinct(transform(sequence(1, size(hs) - {w} + 1), "
+            f"i -> array_min(slice(hs, i, {w}))))"
+        ).alias("fp"),
+    )
+    return fps.select(
+        "doc_id",
+        F.size("fp").alias("n_fingerprints"),
+        F.array_min("fp").alias("min_fp"),
+        F.array_max("fp").alias("max_fp"),
+    )
+
+
+_BPE_TOP = 20
+
+_BPE_ORACLE = f"""
+WITH wf AS (
+  SELECT w.word AS word, count(*) AS freq
+  FROM documents d,
+       unnest(regexp_split_to_array(trim(lower(d.text)), '\\s+')) AS w(word)
+  WHERE w.word <> ''
+  GROUP BY w.word
+), pairs AS (
+  SELECT p.pair AS pair, CAST(SUM(freq) AS BIGINT) AS pair_count
+  FROM wf,
+       unnest(list_append(
+         list_transform(range(1, CAST(len(word) AS INTEGER) - 1 + 1),
+           i -> substring(word, CAST(i AS INTEGER), 1) || ' ' || substring(word, CAST(i AS INTEGER) + 1, 1)),
+         substring(word, CAST(len(word) AS INTEGER), 1) || ' </w>')) AS p(pair)
+  WHERE len(word) >= 1
+  GROUP BY p.pair
+)
+SELECT pair, pair_count FROM pairs
+ORDER BY pair_count DESC, pair
+LIMIT {_BPE_TOP}
+"""
+
+
+@query("text_bpe_corpus_prep", oracle=_BPE_ORACLE)
+def q_text_bpe_corpus_prep(spark, sf_dir):
+    """The first BPE training step at corpus scale: adjacent-symbol pair
+    frequencies (chars + end-of-word marker) weighted by word frequency.
+    The key scale move: pair statistics are computed over the DISTINCT
+    word table (vocabulary-sized, Zipf ⇒ millions of rows at 100 TB, not
+    trillions) with each word's corpus frequency as the weight — the
+    explode runs on vocab rows, never on raw tokens."""
+    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    wf = (
+        docs.select(F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    pairs_expr = (
+        "array_append("
+        "  transform(sequence(1, length(word) - 1), "
+        "            i -> concat(substring(word, i, 1), ' ', substring(word, i + 1, 1))), "
+        "  concat(substring(word, length(word), 1), ' </w>'))"
+    )
+    return (
+        wf.select(F.explode(F.expr(pairs_expr)).alias("pair"), "freq")
+        .groupBy("pair")
+        .agg(F.sum("freq").cast("bigint").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), F.col("pair"))
+        .limit(_BPE_TOP)
+    )
+
+
+_VOCAB_SIZE = 256
+
+_VOCAB_ORACLE = f"""
+WITH wf AS (
+  SELECT w.word AS word, count(*) AS freq
+  FROM documents d,
+       unnest(regexp_split_to_array(trim(lower(d.text)), '\\s+')) AS w(word)
+  WHERE w.word <> ''
+  GROUP BY w.word
+), vocab AS (
+  SELECT word FROM wf ORDER BY freq DESC, word LIMIT {_VOCAB_SIZE}
+), toks AS (
+  SELECT d.doc_id, t.word AS word
+  FROM documents d,
+       unnest(regexp_split_to_array(trim(lower(d.text)), '\\s+')) AS t(word)
+  WHERE t.word <> ''
+)
+SELECT t.doc_id,
+       count(*) AS n_tokens,
+       CAST(count(CASE WHEN v.word IS NOT NULL THEN 1 END) AS BIGINT) AS in_vocab,
+       round(count(CASE WHEN v.word IS NOT NULL THEN 1 END) * 1.0 / count(*), 6) AS coverage
+FROM toks t LEFT JOIN vocab v ON t.word = v.word
+GROUP BY t.doc_id
+"""
+
+
+@query("text_vocab_coverage", oracle=_VOCAB_ORACLE)
+def q_text_vocab_coverage(spark, sf_dir):
+    """Per-document coverage by the corpus top-256 vocabulary — the
+    fast OOV-rate proxy used to spot non-linguistic or wrong-domain
+    documents before tokenizer training.  The vocabulary is a top-k of
+    the word-frequency agg (deterministic tie-break) and joins BROADCAST
+    against the exploded token stream; one shuffle for the word counts,
+    one for the per-doc rollup."""
+    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    toks = (
+        docs.select("doc_id", F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    wf = toks.groupBy("word").agg(F.count("*").alias("freq"))
+    vocab = (
+        wf.orderBy(F.col("freq").desc(), F.col("word"))
+        .limit(_VOCAB_SIZE)
+        .select("word", F.lit(1).alias("in_v"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.count(F.when(F.col("in_v").isNotNull(), 1)).cast("bigint").alias("in_vocab"),
+            F.round(
+                F.count(F.when(F.col("in_v").isNotNull(), 1)) * 1.0 / F.count("*"), 6
+            ).alias("coverage"),
+        )
+    )
