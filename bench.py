@@ -63,6 +63,13 @@ HEADLINE = [
     "ts_gapfill_15m",
     "text_passage_dedup",
     "text_zipf_slope",
+    # round 4: relational warehouse, corpus hygiene, sketches, in-plan ML
+    "tpch_pricing_summary",
+    "tpch_revenue_by_region",
+    "text_line_dedup",
+    "sketch_hll_portable",
+    "join_bloom_pruned",
+    "emb_pq_encode",
 ]
 
 

@@ -1,0 +1,173 @@
+"""In-plan ML primitives over the embedding corpus: a k-means Lloyd
+iteration and product-quantization encoding.
+
+Both use the engine-portable seeded initialization the LSH/IVF family
+established (`operators/similarity.py` knn_ivf_seeded): centroids are
+the vectors whose md5(vec_id) sorts first — deterministic, data-derived,
+recomputable by the DuckDB oracle — so the whole iteration, not just
+row counts, is hash-checked.
+
+Scale shapes:
+  * Lloyd assign = broadcast k centroids × narrow per-row argmin (no
+    shuffle of the corpus); recompute = posexplode then (cluster, dim)
+    partial agg that collapses each map task to k×d combiner rows —
+    exchanged bytes are model-sized, corpus-size-independent.  A full
+    k-means is this plan iterated; one step is the checkable unit.
+  * PQ encode = the same broadcast argmin run once per subspace on
+    array slices; output is one code row per vector (narrow map), the
+    exact plan an IVF-PQ index build runs at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pulsar_ingestion_spark.registry import query
+from pulsar_ingestion_spark.session import fan_out, load_tables
+
+_K = 8  # clusters / PQ codebook size
+
+# left-fold squared-L2 between two DuckDB lists (identical fold order to
+# Spark's F.aggregate -> identical IEEE doubles)
+_D2 = """list_reduce(list_prepend(0.0, list_transform(range(1, len({a})+1),
+  i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))
+     * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)))), (x,y) -> x+y)"""
+
+
+def _spark_d2(a, b):
+    diff = F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+                      * (x.cast("double") - y.cast("double")))
+    return F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v)
+
+
+_KMEANS_ORACLE = f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {_K}
+), assigned AS (
+  SELECT vec_id, vec, cid FROM (
+    SELECT e.vec_id, e.embedding AS vec, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_D2.format(a='e.embedding', b='c.cvec')}, c.cid) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+), comp AS (
+  SELECT a.cid, t.i - 1 AS dim, CAST(a.vec[t.i] AS DOUBLE) AS v
+  FROM assigned a, unnest(range(1, len(a.vec) + 1)) AS t(i)
+)
+SELECT cid AS cluster_id, dim,
+       count(*) AS n_members,
+       round(CAST(SUM(CAST(v AS DECIMAL(18,8))) AS DOUBLE) / count(*), 6) AS centroid
+FROM comp GROUP BY cid, dim
+"""
+
+
+@query("emb_kmeans_lloyd", oracle=_KMEANS_ORACLE)
+def q_emb_kmeans_lloyd(spark, sf_dir):
+    """One Lloyd iteration of k-means (k=8) over the embedding corpus:
+    assign every vector to its nearest seeded centroid (broadcast argmin,
+    unrounded d2 with cid tie-break — both engines fold identical
+    doubles), then recompute the per-(cluster, dim) means as decimal
+    partial sums.  Iterating this plan IS distributed k-means; the
+    exchanged state per step is k×d rows."""
+    emb = fan_out(load_tables(spark, sf_dir)["embeddings"], spark)
+    cents = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")))
+        .limit(_K)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "cid",
+        _spark_d2(F.col("embedding"), F.col("cvec")).alias("d2"),
+    )
+    # per-vector argmin over k candidates: min(struct(d2, cid)) folds
+    # map-side inside the broadcast-join stage — no window, no shuffle
+    # of the corpus
+    assigned = scored.groupBy("vec_id").agg(
+        F.min(F.struct("d2", "cid", "embedding")).alias("b")
+    ).select(F.col("b.cid").alias("cid"), F.col("b.embedding").alias("vec"))
+    comp = assigned.select("cid", F.posexplode("vec").alias("dim", "vf")).select(
+        "cid", "dim", F.col("vf").cast("double").alias("v")
+    )
+    return comp.groupBy(F.col("cid").alias("cluster_id"), F.col("dim")).agg(
+        F.count("*").alias("n_members"),
+        F.round(
+            F.sum(F.col("v").cast("decimal(18,8)")).cast("double") / F.count("*"), 6
+        ).alias("centroid"),
+    )
+
+
+_SUBSPACES = 4
+_SUBDIM = 16  # 64 dims / 4 subspaces
+
+
+def _pq_oracle() -> str:
+    # per-subspace slice fold: d2 over dims [off+1 .. off+16]
+    d2s = """list_reduce(list_prepend(0.0, list_transform(range(1, {sd} + 1),
+      i -> (CAST({a}[{off} + i] AS DOUBLE) - CAST({b}[{off} + i] AS DOUBLE))
+         * (CAST({a}[{off} + i] AS DOUBLE) - CAST({b}[{off} + i] AS DOUBLE)))), (x,y) -> x+y)"""
+    subcodes = []
+    for j in range(_SUBSPACES):
+        off = j * _SUBDIM
+        d2 = d2s.format(a="e.embedding", b="c.cvec", off=off, sd=_SUBDIM)
+        subcodes.append(
+            f"""sub{j} AS (
+  SELECT vec_id, cid AS code{j}, d2 AS d2_{j} FROM (
+    SELECT e.vec_id, c.cid, {d2} AS d2,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {d2}, c.cid) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+)"""
+        )
+    joins = " ".join(f"JOIN sub{j} USING (vec_id)" for j in range(1, _SUBSPACES))
+    code_concat = " || '-' || ".join(f"CAST(code{j} AS VARCHAR)" for j in range(_SUBSPACES))
+    dist_sum = " + ".join(f"d2_{j}" for j in range(_SUBSPACES))
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {_K}
+), {", ".join(subcodes)}
+SELECT vec_id, {code_concat} AS pq_code,
+       round({dist_sum}, 6) AS distortion
+FROM sub0 {joins}
+"""
+
+
+@query("emb_pq_encode", oracle=_pq_oracle())
+def q_emb_pq_encode(spark, sf_dir):
+    """Product-quantization encoding: split each 64-dim vector into 4
+    subspaces of 16 dims, assign each slice to the nearest of 8 seeded
+    codebook entries, emit the 4-part code + total distortion — the
+    compressed representation an IVF-PQ ANN index stores (64 floats →
+    4 small ints).  One broadcast of the codebook, one narrow pass, one
+    map-side argmin agg per vector; no corpus shuffle."""
+    emb = fan_out(load_tables(spark, sf_dir)["embeddings"], spark)
+    cents = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")))
+        .limit(_K)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    )
+    scored = emb.crossJoin(F.broadcast(cents))
+    cols = ["vec_id"]
+    aggs = []
+    for j in range(_SUBSPACES):
+        off = j * _SUBDIM
+        d2 = _spark_d2(
+            F.slice("embedding", off + 1, _SUBDIM), F.slice("cvec", off + 1, _SUBDIM)
+        )
+        scored = scored.withColumn(f"d2_{j}", d2)
+        aggs.append(F.min(F.struct(F.col(f"d2_{j}"), F.col("cid"))).alias(f"b{j}"))
+    best = scored.select(*cols, "cid", *[f"d2_{j}" for j in range(_SUBSPACES)]).groupBy(
+        "vec_id"
+    ).agg(*aggs)
+    code = F.concat_ws(
+        "-", *[F.col(f"b{j}.cid").cast("string") for j in range(_SUBSPACES)]
+    )
+    dist = sum(F.col(f"b{j}.d2_{j}") for j in range(1, _SUBSPACES)) + F.col("b0.d2_0")
+    return best.select(
+        "vec_id",
+        code.alias("pq_code"),
+        F.round(dist, 6).alias("distortion"),
+    )

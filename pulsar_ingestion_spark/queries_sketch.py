@@ -164,3 +164,152 @@ def q_sketch_bloom_build(spark, sf_dir):
             F.count("*").alias("bits_set"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable HyperLogLog + bloom-pruned semi-join
+
+_HLL_M = 64          # registers
+_HLL_WBITS = 26      # hash bits left after the bucket index (32 - log2(64))
+
+# rho = leading-zero count of the 26-bit suffix + 1 (0 suffix -> 27),
+# expressed as a pure comparison ladder — log2() is NOT exact at powers
+# of two in either engine, so no floating log anywhere.
+_RHO_CASE = "CASE " + " ".join(
+    f"WHEN w >= {1 << (_HLL_WBITS - i)} THEN {i}" for i in range(1, _HLL_WBITS + 1)
+) + f" ELSE {_HLL_WBITS + 1} END"
+
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)
+
+_HLL_ORACLE = f"""
+WITH h AS (
+  SELECT CAST(('0x' || substring(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
+  FROM events
+), parts AS (
+  SELECT hv % {_HLL_M} AS bucket, hv // {_HLL_M} AS w FROM h
+), regs AS (
+  SELECT bucket, max({_RHO_CASE}) AS register
+  FROM parts GROUP BY bucket
+), s AS (
+  SELECT count(*) AS used,
+         CAST(SUM(CAST(2 AS BIGINT) ** ({_HLL_WBITS + 1} - register)) AS BIGINT) AS sum_scaled
+  FROM regs
+)
+SELECT {_HLL_M} AS m, CAST(used AS BIGINT) AS buckets_used,
+       CAST(sum_scaled + ({_HLL_M} - used) * (CAST(2 AS BIGINT) ** {_HLL_WBITS + 1}) AS BIGINT)
+         AS sum_scaled_full,
+       round(CAST({_HLL_ALPHA} AS DOUBLE) * {_HLL_M * _HLL_M} * (CAST(2 AS BIGINT) ** {_HLL_WBITS + 1})
+             / (sum_scaled + ({_HLL_M} - used) * (CAST(2 AS BIGINT) ** {_HLL_WBITS + 1})), 4)
+         AS hll_estimate,
+       (SELECT count(DISTINCT user_id) FROM events) AS exact_distinct
+FROM s
+"""
+
+
+@query("sketch_hll_portable", oracle=_HLL_ORACLE)
+def q_sketch_hll_portable(spark, sf_dir):
+    """Engine-portable HyperLogLog (m=64) over the user set —
+    approx_count_distinct's HLL state is engine-internal bytes
+    (rows-only checkable); this one derives registers from md5 so the
+    DuckDB oracle reconstructs the identical sketch and estimate.
+    rho comes from a comparison ladder, NOT floating log2 (log2(2^k)
+    lands below k in libm and floors wrong), and the harmonic sum is
+    kept in scaled INTEGER arithmetic (sum of 2^(27-rho)) so no
+    float-summation order exists at all.  One shuffle; per-task state
+    ≤ 64 registers; day-partition sketches merge by register max."""
+    (ev,) = (load_tables(spark, sf_dir)[n] for n in ("events",))
+    h = ev.select(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("hll:"), F.col("user_id").cast("string"))), 1, 8),
+            16, 10,
+        ).cast("bigint").alias("hv")
+    )
+    parts = h.select(
+        (F.col("hv") % _HLL_M).alias("bucket"),
+        F.expr(f"hv div {_HLL_M}").alias("w"),
+    )
+    regs = parts.groupBy("bucket").agg(F.expr(f"max({_RHO_CASE})").alias("register"))
+    two = F.lit(2).cast("bigint")
+    s = regs.agg(
+        F.count("*").alias("used"),
+        F.sum(F.pow(two, F.lit(_HLL_WBITS + 1) - F.col("register")).cast("bigint"))
+        .cast("bigint").alias("sum_scaled"),
+    )
+    full_scale = float(2 ** (_HLL_WBITS + 1))
+    sum_full = (F.col("sum_scaled") + (_HLL_M - F.col("used")) * F.lit(int(full_scale))).cast("bigint")
+    exact = ev.agg(F.countDistinct("user_id").alias("exact_distinct"))
+    return s.crossJoin(F.broadcast(exact)).select(
+        F.lit(_HLL_M).alias("m"),
+        F.col("used").cast("bigint").alias("buckets_used"),
+        sum_full.alias("sum_scaled_full"),
+        F.round(
+            F.lit(_HLL_ALPHA * _HLL_M * _HLL_M * full_scale) / sum_full.cast("double"), 4
+        ).alias("hll_estimate"),
+        "exact_distinct",
+    )
+
+
+_BLOOM_JOIN_ORACLE = """
+SELECT c.c_mktsegment,
+       count(*) AS n_customers,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_acctbal
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c.c_mktsegment
+"""
+
+
+@query("join_bloom_pruned", oracle=_BLOOM_JOIN_ORACLE)
+def q_join_bloom_pruned(spark, sf_dir):
+    """Semi-join with an explicit bloom-filter prune: build the 2048-bit
+    bloom over DISTINCT order custkeys (one sketch-sized agg), broadcast
+    its ≤64 words, pre-filter customers whose k=3 probe bits are all set,
+    and only THEN run the exact semi-join.  The result is exactly the
+    plain semi-join (bloom has no false negatives; false positives die
+    in the exact join) — but at 100 TB the shuffle only carries the
+    ~|matching|+ε customers instead of the whole dimension.  Spark's own
+    runtime row-filter does this invisibly; this form is explicit,
+    portable, and works across engine boundaries (e.g. pruning a scan
+    fed to a different system)."""
+    tabs = load_tables(spark, sf_dir)
+    cu, od = tabs["customer"], tabs["orders"]
+    k_range = F.array([F.lit(i) for i in range(_BLOOM_K)])
+
+    def positions(key_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("bfj"), F.col("i").cast("string"),
+                                   F.lit(":"), key_col.cast("string"))), 1, 8
+                ), 16, 10,
+            ).cast("bigint").__mod__(_BLOOM_BITS)
+        )
+
+    words = (
+        od.select(F.col("o_custkey").alias("k")).distinct()
+        .select("k", F.explode(k_range).alias("i"))
+        .select(positions(F.col("k")).alias("pos"))
+        .distinct()
+        .groupBy(F.expr("pos div 32").alias("word_idx"))
+        .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT)))")
+             .alias("word_bits"))
+    )
+    probes = (
+        cu.select("c_custkey", "c_mktsegment", "c_acctbal")
+        .select("*", F.explode(k_range).alias("i"))
+        .select("c_custkey", "c_mktsegment", "c_acctbal",
+                positions(F.col("c_custkey")).alias("pos"))
+        .withColumn("word_idx", F.expr("pos div 32"))
+    )
+    hit = probes.join(F.broadcast(words), "word_idx").filter(
+        F.expr("(word_bits & shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))) != 0")
+    )
+    passed = hit.groupBy("c_custkey", "c_mktsegment", "c_acctbal").agg(
+        F.count("*").alias("hits")
+    ).filter(F.col("hits") == _BLOOM_K)
+    exact = passed.join(od.select("o_custkey").distinct(),
+                        passed["c_custkey"] == F.col("o_custkey"), "left_semi")
+    return exact.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double").alias("sum_acctbal"),
+    )

@@ -139,7 +139,11 @@ def fan_out(df, spark: SparkSession):
     return df
 
 
-_TABLE_CACHE: dict[tuple[str, str], dict] = {}
+import weakref
+
+_TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, dict]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def load_tables(spark: SparkSession, sf_dir: str):
@@ -147,10 +151,15 @@ def load_tables(spark: SparkSession, sf_dir: str):
 
     Memoized per (session, dir): DataFrames are immutable logical plans, so
     reuse skips repeated parquet footer/schema reads when many queries run
-    in one session (bench/selfcheck)."""
-    # applicationId is unique per SparkContext — id(spark) could be reused
-    # by a new session after the old one is stopped and collected.
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _TABLE_CACHE:
-        _TABLE_CACHE[key] = {n: read_parquet(spark, p) for n, p in tables_dir(sf_dir).items()}
-    return dict(_TABLE_CACHE[key])
+    in one session (bench/selfcheck).
+
+    The cache keys on the SESSION OBJECT (weakly — entries die with the
+    session), not applicationId: ``spark.newSession()`` shares the
+    applicationId but has its own catalog and conf, so an id-keyed cache
+    would hand session A DataFrames built on session B — temp views then
+    register in the wrong catalog and timezone-sensitive expressions pick
+    up the wrong session conf."""
+    per_session = _TABLE_CACHE.setdefault(spark, {})
+    if sf_dir not in per_session:
+        per_session[sf_dir] = {n: read_parquet(spark, p) for n, p in tables_dir(sf_dir).items()}
+    return dict(per_session[sf_dir])

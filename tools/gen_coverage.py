@@ -82,7 +82,29 @@ SECTIONS = [
         "corpus_assemble",
     ]),
     ("LLM data pipeline: multimodal", ["multimodal_features", "multimodal_resize", "multimodal_frame_sample", "multimodal_audio_chunks"]),
-    ("Sketches (mergeable, deterministic-hash)", ["sketch_countmin", "sketch_bloom_build"]),
+    ("Sketches (mergeable, deterministic-hash)", [
+        "sketch_countmin", "sketch_bloom_build", "sketch_hll_portable", "join_bloom_pruned",
+    ]),
+    ("Relational warehouse (TPC-H shapes)", [
+        "tpch_pricing_summary", "tpch_revenue_by_region", "tpch_top_orders",
+        "agg_weighted_avg", "win_running_distinct",
+    ]),
+    ("Event-journey mining II", [
+        "events_markov_transitions", "events_attribution_last_touch",
+        "events_dwell_percentiles",
+    ]),
+    ("Time-series ML features", [
+        "ts_lag_features", "ts_outlier_mad", "ts_cusum_drift",
+    ]),
+    ("Corpus hygiene text mining", [
+        "text_line_dedup", "text_winnowing", "text_bpe_corpus_prep",
+        "text_vocab_coverage",
+    ]),
+    ("Corpus assembly II", [
+        "corpus_token_budget", "corpus_dedup_report", "corpus_shard_assign",
+    ]),
+    ("Geospatial analytics", ["geo_grid_density", "geo_nearest_poi"]),
+    ("In-plan ML primitives", ["emb_kmeans_lloyd", "emb_pq_encode"]),
 ]
 
 STREAMING_ONLY = [
