@@ -32,7 +32,7 @@ WITH pings AS (
 SELECT CAST(floor(lat) AS BIGINT) AS cell_lat,
        CAST(floor(lon) AS BIGINT) AS cell_lon,
        count(*) AS n_pings,
-       round(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_value
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_value
 FROM pings
 GROUP BY cell_lat, cell_lon
 """
@@ -55,9 +55,13 @@ def q_geo_grid_density(spark, sf_dir):
         F.floor("lon").cast("bigint").alias("cell_lon"),
     ).agg(
         F.count("*").alias("n_pings"),
-        F.round(
-            F.sum(F.col("value").cast("decimal(18,4)")).cast("double") / F.count("*"), 4
-        ).alias("avg_value"),
+        # UNROUNDED on purpose: both engines divide bit-identical doubles
+        # (exact decimal sum, exact count) → identical IEEE quotient.
+        # round-after-divide is what breaks parity here: 2-decimal sums over
+        # counts like 80 land EXACTLY on .00005 boundaries, where Spark's
+        # BigDecimal HALF_UP and DuckDB's scaled-multiply round disagree.
+        (F.sum(F.col("value").cast("decimal(18,4)")).cast("double") / F.count("*"))
+        .alias("avg_value"),
     )
 
 

@@ -1059,7 +1059,7 @@ WITH stats AS (
   FROM events e JOIN stats s ON e.event_type = s.event_type
 )
 SELECT event_type,
-       round(CAST(max(abs(cusum)) AS DOUBLE), 4) AS max_abs_cusum,
+       CAST(max(abs(cusum)) AS DOUBLE) AS max_abs_cusum,
        CAST(count(CASE WHEN abs(cusum) > 500 THEN 1 END) AS BIGINT) AS n_over_500,
        count(*) AS n
 FROM walk GROUP BY event_type
@@ -1087,8 +1087,12 @@ def q_ts_cusum_drift(spark, sf_dir):
             F.round(F.col("value") - F.col("mu"), 6).cast("decimal(18,6)")
         ).over(w).alias("cusum"),
     )
+    # UNROUNDED: cusum is an exact DECIMAL(18,6) on both engines, and a
+    # 6-decimal value rounded to 4 lands on an exact half-way point ~1% of
+    # the time, where the engines' round() implementations disagree — the
+    # exact decimal cast to double is already bit-identical.
     return walk.groupBy("event_type").agg(
-        F.round(F.max(F.abs("cusum")).cast("double"), 4).alias("max_abs_cusum"),
+        F.max(F.abs("cusum")).cast("double").alias("max_abs_cusum"),
         F.count(F.when(F.abs("cusum") > 500, 1)).cast("bigint").alias("n_over_500"),
         F.count("*").alias("n"),
     )

@@ -31,9 +31,9 @@ _PRICING_ORACLE = """
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+       round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
                 * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
-            AS DOUBLE) AS sum_disc_price,
+            AS DOUBLE), 4) AS sum_disc_price,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
        CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_disc,
        count(*) AS count_order
@@ -58,7 +58,14 @@ def q_tpch_pricing_summary(spark, sf_dir):
         .agg(
             F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
             F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            # the scaled int128 behind a DECIMAL(38,8) product-sum exceeds
+            # 2^53 at sf>=0.1, where DuckDB's two-step decimal->double cast
+            # can land 1 ulp off Spark's — round every such cast (and every
+            # division of two big doubles) before output
+            F.round(F.sum(disc_price).cast("double"), 4).alias("sum_disc_price"),
+            # avg_qty/avg_disc stay UNROUNDED: their sums' scaled ints are
+            # far under 2^53 (exact casts), so both engines divide identical
+            # doubles — rounding would only add half-way-boundary risk
             (F.sum(dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
             (F.sum(dec("l_discount")).cast("double") / F.count("*")).alias("avg_disc"),
             F.count("*").alias("count_order"),
@@ -68,9 +75,9 @@ def q_tpch_pricing_summary(spark, sf_dir):
 
 _REGION_REVENUE_ORACLE = """
 SELECT r.r_name AS region, n.n_name AS nation,
-       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+       round(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
                 * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4))))
-            AS DOUBLE) AS revenue,
+            AS DOUBLE), 4) AS revenue,
        count(DISTINCT o.o_orderkey) AS n_orders
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -98,7 +105,7 @@ def q_tpch_revenue_by_region(spark, sf_dir):
         .join(F.broadcast(re), na["n_regionkey"] == re["r_regionkey"])
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
         .agg(
-            F.sum(rev).cast("double").alias("revenue"),
+            F.round(F.sum(rev).cast("double"), 4).alias("revenue"),
             F.countDistinct("o_orderkey").alias("n_orders"),
         )
     )
@@ -148,10 +155,10 @@ def q_tpch_top_orders(spark, sf_dir):
 
 _WEIGHTED_AVG_ORACLE = """
 SELECT l_returnflag,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4)))
-            AS DOUBLE)
-         / CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS vwap,
-       CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_disc,
+       round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4)))
+             AS DOUBLE)
+         / CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 6) AS vwap,
+       round(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_disc,
        count(*) AS n
 FROM lineitem
 GROUP BY l_returnflag
@@ -167,9 +174,11 @@ def q_agg_weighted_avg(spark, sf_dir):
     (li,) = _t(spark, sf_dir, "lineitem")
     dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
     return li.groupBy("l_returnflag").agg(
-        (F.sum(dec("l_extendedprice") * dec("l_quantity")).cast("double")
-         / F.sum(dec("l_quantity")).cast("double")).alias("vwap"),
-        (F.sum(dec("l_discount")).cast("double") / F.count("*")).alias("avg_disc"),
+        F.round(
+            F.sum(dec("l_extendedprice") * dec("l_quantity")).cast("double")
+            / F.sum(dec("l_quantity")).cast("double"), 6
+        ).alias("vwap"),
+        F.round(F.sum(dec("l_discount")).cast("double") / F.count("*"), 6).alias("avg_disc"),
         F.count("*").alias("n"),
     )
 
