@@ -197,11 +197,18 @@ def q_text_line_dedup(spark, sf_dir):
         .filter(F.col("line") != "")
         .select("doc_id", F.md5("line").alias("h"))
     )
-    df = lines.distinct().groupBy("h").agg(F.count("*").alias("line_df"))
-    return lines.join(df, "h").groupBy("doc_id").agg(
-        F.count("*").alias("n_lines"),
-        F.count(F.when(F.col("line_df") < 3, 1)).cast("bigint").alias("kept_lines"),
-        F.count(F.when(F.col("line_df") >= 3, 1)).cast("bigint").alias("removed_lines"),
+    # ONE exploded pass: collapse to (doc, line) occurrence counts first
+    # (the text is scanned and split exactly once), derive the line df
+    # from that digest-sized table, and aggregate weighted counts back —
+    # a naive distinct+join-back would scan and explode the corpus twice.
+    per_doc = lines.groupBy("doc_id", "h").agg(F.count("*").alias("occ"))
+    df = per_doc.groupBy("h").agg(F.count("*").alias("line_df"))
+    return per_doc.join(df, "h").groupBy("doc_id").agg(
+        F.sum("occ").cast("bigint").alias("n_lines"),
+        F.sum(F.when(F.col("line_df") < 3, F.col("occ")).otherwise(0))
+        .cast("bigint").alias("kept_lines"),
+        F.sum(F.when(F.col("line_df") >= 3, F.col("occ")).otherwise(0))
+        .cast("bigint").alias("removed_lines"),
     )
 
 

@@ -234,3 +234,65 @@ def test_rfm_windows_are_all_partitioned(spark):
     for line in plan.splitlines():
         if "windowspecdefinition" in line:
             assert ", [], [" not in line, line
+
+
+def test_star_schema_broadcasts_dims(spark):
+    """tpch_revenue_by_region: nation + region (and at this SF orders/
+    customer via AQE) must broadcast — the fact side is never shuffled
+    for a dim join; column pruning must reach the lineitem scan."""
+    from pulsar_ingestion_spark.queries_tpch import q_tpch_revenue_by_region
+
+    plan = _plan(q_tpch_revenue_by_region(spark, SF))
+    assert plan.count("BroadcastExchange") >= 2, plan  # nation + region at least
+    m = re.search(r"ReadSchema: struct<l_orderkey[^>]*>", plan)
+    assert m and "l_quantity" not in m.group(0), "lineitem scan must prune to 3 cols"
+
+
+def test_nearest_poi_has_no_pre_agg_shuffle(spark):
+    """geo_nearest_poi: the argmin folds into the scan stage map-side —
+    the only exchange is the final per-ping partial-agg hash."""
+    from pulsar_ingestion_spark.queries_geo import q_geo_nearest_poi
+
+    plan = _plan(q_geo_nearest_poi(spark, SF))
+    # one exchange for the groupBy(event_id) agg; nothing else wide
+    assert plan.count("Exchange") <= 2, plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_min" in plan, "argmin must have a map-side partial"
+
+
+def test_bloom_pruned_join_broadcasts_words(spark):
+    """join_bloom_pruned: the ≤64-row word table joins broadcast; the
+    customer side is never shuffled for the probe."""
+    from pulsar_ingestion_spark.queries_sketch import q_join_bloom_pruned
+
+    plan = _plan(q_join_bloom_pruned(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    # probe-side customer scan reads only the three needed columns
+    m = re.search(r"ReadSchema: struct<c_custkey[^>]*>", plan)
+    assert m and "c_name" not in m.group(0), plan
+
+
+def test_kmeans_assign_is_broadcast_argmin(spark):
+    """emb_kmeans_lloyd: centroids broadcast; the corpus is never
+    shuffled for assignment (only the k×d recompute agg exchanges)."""
+    from pulsar_ingestion_spark.queries_ml import q_emb_kmeans_lloyd
+
+    plan = _plan(q_emb_kmeans_lloyd(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "partial_min" in plan, "per-vector argmin needs a map-side partial"
+
+
+def test_vocab_coverage_broadcasts_vocab(spark):
+    from pulsar_ingestion_spark.queries_ir import q_text_vocab_coverage
+
+    plan = _plan(q_text_vocab_coverage(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_markov_normalizer_is_broadcast(spark):
+    """events_markov_transitions: the row-total join replicates the
+    ≤|types| side, never reshuffling the pair counts."""
+    from pulsar_ingestion_spark.queries_events import q_events_markov_transitions
+
+    plan = _plan(q_events_markov_transitions(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
