@@ -273,42 +273,42 @@ def q_join_bloom_pruned(spark, sf_dir):
     fed to a different system)."""
     tabs = load_tables(spark, sf_dir)
     cu, od = tabs["customer"], tabs["orders"]
-    k_range = F.array([F.lit(i) for i in range(_BLOOM_K)])
 
-    def positions(key_col):
-        return (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit("bfj"), F.col("i").cast("string"),
-                                   F.lit(":"), key_col.cast("string"))), 1, 8
-                ), 16, 10,
-            ).cast("bigint").__mod__(_BLOOM_BITS)
+    def position(i: int, key_col):
+        # xxhash64, not md5: this query's oracle is the plain semi-join
+        # (bloom internals are engine-local here, unlike
+        # sketch_bloom_build whose WORDS are the checked output), so the
+        # build can use the cheap native hash — ~3x less CPU than
+        # md5+hex-parse per probe.
+        return F.pmod(F.xxhash64(F.lit(i), key_col), F.lit(_BLOOM_BITS))
+
+    # Build: no distinct anywhere — bit_or is idempotent, so duplicate
+    # custkeys/positions OR into the same bits and the partial agg still
+    # collapses every map task to ≤64 word rows.
+    pos_cols = [position(i, F.col("o_custkey")).alias(f"p{i}") for i in range(_BLOOM_K)]
+    pos_union = od.select(F.explode(F.array(*pos_cols)).alias("pos"))
+    words = pos_union.groupBy(F.expr("pos div 32").alias("word_idx")).agg(
+        F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT)))")
+        .alias("word_bits")
+    )
+
+    # Probe: all k bits tested IN ONE ROW via k broadcast word lookups —
+    # the customer side is never exploded, never shuffled, and drops
+    # non-members inside its scan stage.
+    probed = cu.select("c_custkey", "c_mktsegment", "c_acctbal")
+    for i in range(_BLOOM_K):
+        wi = words.select(
+            F.col("word_idx").alias(f"wi{i}"), F.col("word_bits").alias(f"wb{i}")
         )
-
-    words = (
-        od.select(F.col("o_custkey").alias("k")).distinct()
-        .select("k", F.explode(k_range).alias("i"))
-        .select(positions(F.col("k")).alias("pos"))
-        .distinct()
-        .groupBy(F.expr("pos div 32").alias("word_idx"))
-        .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT)))")
-             .alias("word_bits"))
-    )
-    probes = (
-        cu.select("c_custkey", "c_mktsegment", "c_acctbal")
-        .select("*", F.explode(k_range).alias("i"))
-        .select("c_custkey", "c_mktsegment", "c_acctbal",
-                positions(F.col("c_custkey")).alias("pos"))
-        .withColumn("word_idx", F.expr("pos div 32"))
-    )
-    hit = probes.join(F.broadcast(words), "word_idx").filter(
-        F.expr("(word_bits & shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))) != 0")
-    )
-    passed = hit.groupBy("c_custkey", "c_mktsegment", "c_acctbal").agg(
-        F.count("*").alias("hits")
-    ).filter(F.col("hits") == _BLOOM_K)
-    exact = passed.join(od.select("o_custkey").distinct(),
-                        passed["c_custkey"] == F.col("o_custkey"), "left_semi")
+        probed = probed.withColumn(f"pos{i}", position(i, F.col("c_custkey"))).join(
+            F.broadcast(wi), F.expr(f"pos{i} div 32") == F.col(f"wi{i}"), "left"
+        ).filter(
+            F.expr(
+                f"(coalesce(wb{i}, CAST(0 AS BIGINT))"
+                f" & shiftleft(CAST(1 AS BIGINT), CAST(pos{i} % 32 AS INT))) != 0"
+            )
+        )
+    exact = probed.join(od, probed["c_custkey"] == od["o_custkey"], "left_semi")
     return exact.groupBy("c_mktsegment").agg(
         F.count("*").alias("n_customers"),
         F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double").alias("sum_acctbal"),
