@@ -572,3 +572,42 @@ def q_events_dwell_percentiles(spark, sf_dir):
         F.round(F.expr("percentile(gap_ms, 0.9)"), 4).alias("p90_ms"),
         F.max("gap_ms").cast("bigint").alias("max_ms"),
     )
+
+
+_LTV_ORACLE = """
+WITH ltv AS (
+  SELECT user_id,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS user_ltv
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id
+)
+SELECT count(*) AS n_buyers,
+       round(CAST(quantile_cont(user_ltv, 0.5) AS DOUBLE), 4) AS p50_ltv,
+       round(CAST(quantile_cont(user_ltv, 0.9) AS DOUBLE), 4) AS p90_ltv,
+       round(CAST(quantile_cont(user_ltv, 0.99) AS DOUBLE), 4) AS p99_ltv,
+       round(CAST(SUM(CAST(user_ltv AS DECIMAL(18,4))) AS DOUBLE), 4) AS total_ltv
+FROM ltv
+"""
+
+
+@query("events_ltv_percentiles", oracle=_LTV_ORACLE)
+def q_events_ltv_percentiles(spark, sf_dir):
+    """Lifetime-value distribution of the buyer population: per-user
+    purchase totals (decimal partial agg, one shuffle on user_id), then
+    exact interpolated percentiles over the user-sized LTV table.  At
+    100 TB the percentile input is |users| rows, not |events| — and the
+    scale path swaps percentile → approx_percentile on the same plan."""
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ltv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("user_ltv"))
+    )
+    return ltv.agg(
+        F.count("*").alias("n_buyers"),
+        F.round(F.expr("percentile(user_ltv, 0.5)"), 4).alias("p50_ltv"),
+        F.round(F.expr("percentile(user_ltv, 0.9)"), 4).alias("p90_ltv"),
+        F.round(F.expr("percentile(user_ltv, 0.99)"), 4).alias("p99_ltv"),
+        F.round(F.sum(F.col("user_ltv").cast("decimal(18,4)")).cast("double"), 4)
+        .alias("total_ltv"),
+    )

@@ -171,3 +171,61 @@ def q_emb_pq_encode(spark, sf_dir):
         code.alias("pq_code"),
         F.round(dist, 6).alias("distortion"),
     )
+
+
+_RESIDUAL_ORACLE = """
+WITH q AS (
+  SELECT vec_id,
+         round(127.0 / list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max'), 6)
+           AS scale,
+         embedding
+  FROM embeddings
+), err AS (
+  SELECT vec_id, scale,
+         list_transform(embedding,
+           x -> abs(CAST(x AS DOUBLE)
+                    - CAST(floor(CAST(x AS DOUBLE) * scale) AS DOUBLE) / scale)) AS abs_err
+  FROM q
+)
+SELECT vec_id, scale,
+       round(list_aggregate(abs_err, 'max'), 6) AS max_abs_err,
+       round(list_reduce(list_prepend(0.0, list_transform(abs_err, e -> e * e)),
+             (a, b) -> a + b) / len(abs_err), 10) AS mse
+FROM err
+"""
+
+
+@query("emb_residual_quantize", oracle=_RESIDUAL_ORACLE)
+def q_emb_residual_quantize(spark, sf_dir):
+    """Reconstruction-error audit of the int8 quantizer
+    (emb_quantize_int8's exact math): per-vector max |x - dequant(x)|
+    and MSE — the check that decides whether int8 storage is safe for a
+    given embedding space before an index build commits to it.  Pure
+    narrow array expressions (same left-fold order on both engines);
+    zero shuffle."""
+    emb = fan_out(load_tables(spark, sf_dir)["embeddings"], spark)
+    q = emb.select(
+        "vec_id",
+        F.round(
+            F.lit(127.0)
+            / F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double")))), 6
+        ).alias("scale"),
+        "embedding",
+    )
+    abs_err = F.transform(
+        "embedding",
+        lambda x: F.abs(
+            x.cast("double")
+            - F.floor(x.cast("double") * F.col("scale")).cast("double") / F.col("scale")
+        ),
+    )
+    err = q.select("vec_id", "scale", abs_err.alias("abs_err"))
+    mse = F.aggregate(
+        F.transform("abs_err", lambda e: e * e), F.lit(0.0), lambda a, b: a + b
+    ) / F.size("abs_err")
+    return err.select(
+        "vec_id",
+        "scale",
+        F.round(F.array_max("abs_err"), 6).alias("max_abs_err"),
+        F.round(mse, 10).alias("mse"),
+    )

@@ -1096,3 +1096,29 @@ def q_ts_cusum_drift(spark, sf_dir):
         F.count(F.when(F.abs("cusum") > 500, 1)).cast("bigint").alias("n_over_500"),
         F.count("*").alias("n"),
     )
+
+
+_SEASONAL_ORACLE = """
+SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
+       count(*) AS cnt,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_value
+FROM events
+GROUP BY event_type, hod
+"""
+
+
+@query("ts_seasonal_profile", oracle=_SEASONAL_ORACLE)
+def q_ts_seasonal_profile(spark, sf_dir):
+    """Hour-of-day seasonality profile per event type — the baseline an
+    anomaly detector subtracts before looking at residuals.  One
+    partial-agg shuffle on the (type, hour) key (≤ 24×|types| rows);
+    avg left UNROUNDED: exact decimal sum over exact count divides to
+    the identical IEEE double on both engines (SCALE.md §6d)."""
+    (ev,) = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.hour("ts").cast("bigint").alias("hod")
+    ).agg(
+        F.count("*").alias("cnt"),
+        (F.sum(F.col("value").cast("decimal(18,4)")).cast("double") / F.count("*"))
+        .alias("avg_value"),
+    )

@@ -221,3 +221,52 @@ def q_win_running_distinct(spark, sf_dir):
         "event_type", "day", "new_users",
         F.sum("new_users").over(w).cast("bigint").alias("cum_users"),
     )
+
+
+_MARKET_SHARE_ORACLE = """
+SELECT CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
+       round(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4))))
+             AS DOUBLE), 4) AS total_revenue,
+       round(CAST(SUM(CASE WHEN r.r_name = 'ASIA'
+                THEN CAST(l.l_extendedprice AS DECIMAL(18,4))
+                     * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))
+                ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4))))
+             AS DOUBLE), 6) AS asia_share
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY order_year
+"""
+
+
+@query("tpch_market_share", oracle=_MARKET_SHARE_ORACLE)
+def q_tpch_market_share(spark, sf_dir):
+    """Supplier-region market share per order year (TPC-H Q8 shape): the
+    conditional-revenue-ratio pattern — numerator and denominator as two
+    decimal partial sums in ONE agg pass, never two scans.  Supplier/
+    nation/region join broadcast; the only fact shuffle is the orders
+    key join, and the year rollup rides a partial agg.  Share rounded
+    (its DECIMAL(38,8) casts pass 2^53 at scale — SCALE.md §6d)."""
+    li, od, su, na, re = _t(spark, sf_dir, "lineitem", "orders", "supplier", "nation", "region")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    rev = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))
+    zero = F.lit(0).cast("decimal(18,4)")
+    joined = (
+        li.join(od, li["l_orderkey"] == od["o_orderkey"])
+        .join(F.broadcast(su), li["l_suppkey"] == su["s_suppkey"])
+        .join(F.broadcast(na), su["s_nationkey"] == na["n_nationkey"])
+        .join(F.broadcast(re), na["n_regionkey"] == re["r_regionkey"])
+    )
+    total = F.sum(rev).cast("double")
+    asia = F.sum(F.when(F.col("r_name") == "ASIA", rev).otherwise(zero)).cast("double")
+    return joined.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("order_year")
+    ).agg(
+        F.round(total, 4).alias("total_revenue"),
+        F.round(asia / total, 6).alias("asia_share"),
+    )

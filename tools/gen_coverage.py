@@ -87,14 +87,15 @@ SECTIONS = [
     ]),
     ("Relational warehouse (TPC-H shapes)", [
         "tpch_pricing_summary", "tpch_revenue_by_region", "tpch_top_orders",
-        "agg_weighted_avg", "win_running_distinct",
+        "tpch_market_share", "agg_weighted_avg", "win_running_distinct",
     ]),
     ("Event-journey mining II", [
         "events_markov_transitions", "events_attribution_last_touch",
-        "events_dwell_percentiles",
+        "events_dwell_percentiles", "events_ltv_percentiles",
     ]),
     ("Time-series ML features", [
         "ts_lag_features", "ts_outlier_mad", "ts_cusum_drift",
+        "ts_seasonal_profile",
     ]),
     ("Corpus hygiene text mining", [
         "text_line_dedup", "text_winnowing", "text_bpe_corpus_prep",
@@ -104,7 +105,7 @@ SECTIONS = [
         "corpus_token_budget", "corpus_dedup_report", "corpus_shard_assign",
     ]),
     ("Geospatial analytics", ["geo_grid_density", "geo_nearest_poi"]),
-    ("In-plan ML primitives", ["emb_kmeans_lloyd", "emb_pq_encode"]),
+    ("In-plan ML primitives", ["emb_kmeans_lloyd", "emb_pq_encode", "emb_residual_quantize"]),
 ]
 
 STREAMING_ONLY = [
