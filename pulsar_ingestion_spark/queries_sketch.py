@@ -198,11 +198,16 @@ WITH h AS (
 SELECT {_HLL_M} AS m, CAST(used AS BIGINT) AS buckets_used,
        CAST(sum_scaled + ({_HLL_M} - used) * (CAST(2 AS BIGINT) ** {_HLL_WBITS + 1}) AS BIGINT)
          AS sum_scaled_full,
-       round(CAST({_HLL_ALPHA} AS DOUBLE) * {_HLL_M * _HLL_M} * (CAST(2 AS BIGINT) ** {_HLL_WBITS + 1})
-             / (sum_scaled + ({_HLL_M} - used) * (CAST(2 AS BIGINT) ** {_HLL_WBITS + 1})), 4)
-         AS hll_estimate,
+       round(CASE WHEN raw_est <= 2.5 * {_HLL_M} AND used < {_HLL_M}
+                  THEN {_HLL_M} * ln(CAST({_HLL_M} AS DOUBLE) / ({_HLL_M} - used))
+                  ELSE raw_est END, 4) AS hll_estimate,
        (SELECT count(DISTINCT user_id) FROM events) AS exact_distinct
-FROM s
+FROM (
+  SELECT used, sum_scaled,
+         CAST({_HLL_ALPHA} AS DOUBLE) * {_HLL_M * _HLL_M} * (CAST(2 AS BIGINT) ** {_HLL_WBITS + 1})
+           / (sum_scaled + ({_HLL_M} - used) * (CAST(2 AS BIGINT) ** {_HLL_WBITS + 1})) AS raw_est
+  FROM s
+) t
 """
 
 
@@ -215,8 +220,12 @@ def q_sketch_hll_portable(spark, sf_dir):
     rho comes from a comparison ladder, NOT floating log2 (log2(2^k)
     lands below k in libm and floors wrong), and the harmonic sum is
     kept in scaled INTEGER arithmetic (sum of 2^(27-rho)) so no
-    float-summation order exists at all.  One shuffle; per-task state
-    ≤ 64 registers; day-partition sketches merge by register max."""
+    float-summation order exists at all.  The small-range regime
+    (raw estimate ≤ 2.5m with empty registers) applies the standard
+    linear-counting correction m·ln(m/zeros) — raw HLL overestimates
+    badly when n ≲ m (tests/test_sketches.py pins the 3σ envelope).
+    One shuffle; per-task state ≤ 64 registers; day-partition sketches
+    merge by register max."""
     (ev,) = (load_tables(spark, sf_dir)[n] for n in ("events",))
     h = ev.select(
         F.conv(
@@ -237,14 +246,16 @@ def q_sketch_hll_portable(spark, sf_dir):
     )
     full_scale = float(2 ** (_HLL_WBITS + 1))
     sum_full = (F.col("sum_scaled") + (_HLL_M - F.col("used")) * F.lit(int(full_scale))).cast("bigint")
+    raw_est = F.lit(_HLL_ALPHA * _HLL_M * _HLL_M * full_scale) / sum_full.cast("double")
+    zeros = F.lit(_HLL_M) - F.col("used")
+    linear = F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / zeros.cast("double"))
+    corrected = F.when((raw_est <= 2.5 * _HLL_M) & (zeros > 0), linear).otherwise(raw_est)
     exact = ev.agg(F.countDistinct("user_id").alias("exact_distinct"))
     return s.crossJoin(F.broadcast(exact)).select(
         F.lit(_HLL_M).alias("m"),
         F.col("used").cast("bigint").alias("buckets_used"),
         sum_full.alias("sum_scaled_full"),
-        F.round(
-            F.lit(_HLL_ALPHA * _HLL_M * _HLL_M * full_scale) / sum_full.cast("double"), 4
-        ).alias("hll_estimate"),
+        F.round(corrected, 4).alias("hll_estimate"),
         "exact_distinct",
     )
 
