@@ -98,16 +98,23 @@ def q_tpch_revenue_by_region(spark, sf_dir):
     li, od, cu, na, re = _t(spark, sf_dir, "lineitem", "orders", "customer", "nation", "region")
     dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
     rev = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))
-    return (
+    joined = (
         li.join(od, li["l_orderkey"] == od["o_orderkey"])
         .join(cu, od["o_custkey"] == cu["c_custkey"])
         .join(F.broadcast(na), cu["c_nationkey"] == na["n_nationkey"])
         .join(F.broadcast(re), na["n_regionkey"] == re["r_regionkey"])
-        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
-        .agg(
-            F.round(F.sum(rev).cast("double"), 4).alias("revenue"),
-            F.countDistinct("o_orderkey").alias("n_orders"),
-        )
+    )
+    # manual two-level agg instead of countDistinct: Spark plans a mixed
+    # distinct+sum agg via Expand (2x the fact rows through the first
+    # shuffle); pre-aggregating per order key gets the same answer with
+    # the rows shuffled once at 1x width
+    per_order = joined.groupBy(
+        F.col("r_name").alias("region"), F.col("n_name").alias("nation"),
+        F.col("o_orderkey"),
+    ).agg(F.sum(rev).alias("order_rev"))
+    return per_order.groupBy("region", "nation").agg(
+        F.round(F.sum("order_rev").cast("double"), 4).alias("revenue"),
+        F.count("*").alias("n_orders"),
     )
 
 
