@@ -611,3 +611,92 @@ def q_events_ltv_percentiles(spark, sf_dir):
         F.round(F.sum(F.col("user_ltv").cast("decimal(18,4)")).cast("double"), 4)
         .alias("total_ltv"),
     )
+
+
+_STREAKS_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events
+), anchored AS (
+  SELECT user_id, day,
+         day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INTEGER)
+           AS anchor
+  FROM days
+), islands AS (
+  SELECT user_id, anchor, count(*) AS len
+  FROM anchored GROUP BY user_id, anchor
+)
+SELECT user_id,
+       CAST(SUM(len) AS BIGINT) AS active_days,
+       CAST(max(len) AS BIGINT) AS longest_streak,
+       count(*) AS n_streaks
+FROM islands GROUP BY user_id
+"""
+
+
+@query("win_streaks", oracle=_STREAKS_ORACLE)
+def q_win_streaks(spark, sf_dir):
+    """Consecutive-day activity streaks per user (gaps-and-islands):
+    distinct active days, anchor = day − row_number (constant within a
+    consecutive run), island length per anchor — the classic streak
+    metric ("longest run of active days").  Everything after the
+    distinct-days reduce is user-partitioned: one window pass + two
+    user-key aggs, state bounded by active days per user."""
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    anchored = days.withColumn(
+        "anchor", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    islands = anchored.groupBy("user_id", "anchor").agg(F.count("*").alias("len"))
+    return islands.groupBy("user_id").agg(
+        F.sum("len").cast("bigint").alias("active_days"),
+        F.max("len").cast("bigint").alias("longest_streak"),
+        F.count("*").alias("n_streaks"),
+    )
+
+
+_PARETO_ORACLE = """
+WITH per_user AS (
+  SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+), ranked AS (
+  SELECT user_id, cnt,
+         CAST(ntile(10) OVER (ORDER BY cnt DESC, user_id) AS BIGINT) AS decile
+  FROM per_user
+)
+SELECT decile,
+       count(*) AS users,
+       CAST(SUM(cnt) AS BIGINT) AS events,
+       round(CAST(SUM(cnt) AS DOUBLE) / (SELECT SUM(cnt) FROM per_user), 6) AS share
+FROM ranked GROUP BY decile
+"""
+
+
+@query("events_pareto_share", oracle=_PARETO_ORACLE)
+def q_events_pareto_share(spark, sf_dir):
+    """Activity concentration (Pareto/Lorenz) by user decile: what share
+    of all events the top 10%, 20%, … of users generate.  The decile
+    comes from the distributed exact-ranking operator
+    (`operators/ranking.py` — range repartition + partitioned window +
+    offset arithmetic; NO unpartitioned window), matching the ANSI
+    ntile(10) oracle exactly; share is integer sums divided once."""
+    from pulsar_ingestion_spark.operators.ranking import (
+        global_row_number,
+        ntile_from_row_number,
+    )
+
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    per_user = ev.groupBy("user_id").agg(F.count("*").alias("cnt")).persist()
+    ranked, n = global_row_number(per_user, [F.desc("cnt"), F.asc("user_id")])
+    total = per_user.agg(F.sum("cnt").cast("bigint").alias("tot"))
+    deciled = ranked.select(
+        "cnt", ntile_from_row_number(F.col("_rn"), n, 10).alias("decile")
+    )
+    return (
+        deciled.groupBy("decile")
+        .agg(F.count("*").alias("users"), F.sum("cnt").cast("bigint").alias("events"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "decile", "users", "events",
+            F.round(F.col("events").cast("double") / F.col("tot"), 6).alias("share"),
+        )
+    )

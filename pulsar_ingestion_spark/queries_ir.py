@@ -386,3 +386,56 @@ def q_text_vocab_coverage(spark, sf_dir):
             ).alias("coverage"),
         )
     )
+
+
+_CODE_KEYWORDS = ["def", "return", "import", "class", "function", "const", "var", "lambda"]
+_KW_SQL = "[" + ", ".join(f"'{w}'" for w in _CODE_KEYWORDS) + "]"
+
+_CODE_DETECT_ORACLE = f"""
+WITH f AS (
+  SELECT doc_id,
+         round(len(regexp_extract_all(text, '[{{}}();=<>]')) * 1.0 / len(text), 6) AS sym_ratio,
+         round(len(list_filter(string_split(text, chr(10)),
+               l -> regexp_matches(l, '^(  |\t)'))) * 1.0
+               / len(string_split(text, chr(10))), 6) AS indent_frac,
+         CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+              w -> list_contains({_KW_SQL}, w))) AS BIGINT) AS kw_hits
+  FROM documents WHERE len(text) > 0
+)
+SELECT doc_id, sym_ratio, indent_frac, kw_hits,
+       (sym_ratio > 0.02 AND (indent_frac >= 0.1 OR kw_hits >= 2)) AS is_code
+FROM f
+"""
+
+
+@query("text_code_detect", oracle=_CODE_DETECT_ORACLE)
+def q_text_code_detect(spark, sf_dir):
+    """Heuristic code-vs-prose classifier — the filter a pretraining mix
+    uses to route documents into the code pipeline: symbol density,
+    indented-line fraction, and programming-keyword hits, thresholded on
+    ROUNDED features so the verdict is engine-stable.  Pure narrow
+    column expressions; at 100 TB this is a free rider on the documents
+    scan."""
+    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    d = docs.filter(F.length("text") > 0)
+    sym_ratio = F.round(
+        F.regexp_count("text", F.lit(r"[{}();=<>]")) * 1.0 / F.length("text"), 6
+    )
+    lines_arr = F.split("text", "\n")
+    indent_frac = F.round(
+        F.size(F.filter(lines_arr, lambda l: l.rlike(r"^(  |\t)"))) * 1.0
+        / F.size(lines_arr), 6,
+    )
+    words_arr = F.split(F.trim(F.lower("text")), r"\s+")
+    kw_hits = F.size(F.filter(words_arr, lambda w: w.isin(_CODE_KEYWORDS))).cast("bigint")
+    f = d.select(
+        "doc_id",
+        sym_ratio.alias("sym_ratio"),
+        indent_frac.alias("indent_frac"),
+        kw_hits.alias("kw_hits"),
+    )
+    return f.withColumn(
+        "is_code",
+        (F.col("sym_ratio") > 0.02)
+        & ((F.col("indent_frac") >= 0.1) | (F.col("kw_hits") >= 2)),
+    )

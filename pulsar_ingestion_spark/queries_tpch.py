@@ -277,3 +277,28 @@ def q_tpch_market_share(spark, sf_dir):
         F.round(total, 4).alias("total_revenue"),
         F.round(asia / total, 6).alias("asia_share"),
     )
+
+
+_ORDER_PRIORITY_ORACLE = """
+SELECT o.o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+GROUP BY o.o_orderpriority
+"""
+
+
+@query("tpch_order_priority", oracle=_ORDER_PRIORITY_ORACLE)
+def q_tpch_order_priority(spark, sf_dir):
+    """Order-priority checking (TPC-H Q4 shape): orders with at least one
+    lineitem shipped after the order date, counted per priority — the
+    canonical EXISTS/semi-join aggregate.  The semi-join shuffles on the
+    order key and short-circuits per match (never materializes the
+    multiplicity); the rollup is a 5-value partial agg."""
+    li, od = _t(spark, sf_dir, "lineitem", "orders")
+    late = od.join(
+        li,
+        (od["o_orderkey"] == li["l_orderkey"]) & (li["l_shipdate"] > od["o_orderdate"]),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))

@@ -87,11 +87,13 @@ SECTIONS = [
     ]),
     ("Relational warehouse (TPC-H shapes)", [
         "tpch_pricing_summary", "tpch_revenue_by_region", "tpch_top_orders",
-        "tpch_market_share", "agg_weighted_avg", "win_running_distinct",
+        "tpch_market_share", "tpch_order_priority", "agg_weighted_avg",
+        "win_running_distinct",
     ]),
     ("Event-journey mining II", [
         "events_markov_transitions", "events_attribution_last_touch",
         "events_dwell_percentiles", "events_ltv_percentiles",
+        "win_streaks", "events_pareto_share",
     ]),
     ("Time-series ML features", [
         "ts_lag_features", "ts_outlier_mad", "ts_cusum_drift",
@@ -99,7 +101,7 @@ SECTIONS = [
     ]),
     ("Corpus hygiene text mining", [
         "text_line_dedup", "text_winnowing", "text_bpe_corpus_prep",
-        "text_vocab_coverage",
+        "text_vocab_coverage", "text_code_detect",
     ]),
     ("Corpus assembly II", [
         "corpus_token_budget", "corpus_dedup_report", "corpus_shard_assign",
