@@ -191,11 +191,14 @@ def q_text_line_dedup(spark, sf_dir):
     join key is the digest, never the line text, so shuffle volume is
     bounded by line COUNT not line bytes."""
     docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    # xxhash64, not md5: the digest never leaves the plan (outputs are
+    # counts), so any collision-free hash yields identical df counts and
+    # the native hash saves a full md5+hex pass over every line
     lines = (
         docs.select("doc_id", F.explode(F.split("text", "\n")).alias("raw"))
         .select("doc_id", F.trim("raw").alias("line"))
         .filter(F.col("line") != "")
-        .select("doc_id", F.md5("line").alias("h"))
+        .select("doc_id", F.xxhash64("line").alias("h"))
     )
     # ONE exploded pass: collapse to (doc, line) occurrence counts first
     # (the text is scanned and split exactly once), derive the line df
