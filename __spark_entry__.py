@@ -71,6 +71,25 @@ def entry(spark: SparkSession) -> DataFrame:
 # coverage across rounds until every query has a driver CORRECTNESS row
 # (VERDICT r1 item 2, refreshed each round per VERDICT r2 item 2).
 _CHECKED_PRIOR = {
+    # round 4 (CORRECTNESS_r04.json — 50/50 hash-green, incl. the two
+    # fixed round-3 failures and the four formerly-stranded LSH ids)
+    "agg_entropy", "agg_weighted_avg", "corpus_dedup_report",
+    "corpus_shard_assign", "corpus_token_budget", "dedup_embedding_blas",
+    "dedup_simhash", "emb_kmeans_lloyd", "emb_pca_power", "emb_pq_encode",
+    "emb_residual_quantize", "events_attribution_last_touch",
+    "events_dwell_percentiles", "events_ltv_percentiles",
+    "events_markov_transitions", "events_pareto_share", "events_path_topk",
+    "events_sessionize", "geo_grid_density", "geo_nearest_poi",
+    "join_bloom_pruned", "join_salted_skew", "layout_zorder_key",
+    "sim_search_ivf", "sim_search_lsh", "sketch_bloom_build",
+    "sketch_countmin", "sketch_hll_portable", "telemetry_trip_summary",
+    "text_bpe_corpus_prep", "text_code_detect", "text_inverted_index",
+    "text_js_divergence", "text_line_dedup", "text_tfidf_topk",
+    "text_vocab_coverage", "text_winnowing", "tpch_market_share",
+    "tpch_order_priority", "tpch_pricing_summary", "tpch_revenue_by_region",
+    "tpch_top_orders", "ts_cusum_drift", "ts_lag_features",
+    "ts_outlier_mad", "ts_rollup_multires", "ts_seasonal_profile",
+    "win_running_distinct", "win_streaks",
     # round 3 (CORRECTNESS_r03.json — 48 green; the two hash failures
     # events_sessionize / telemetry_trip_summary are deliberately NOT
     # listed: their oracles are fixed (CAST … AS BIGINT) and they rotate
