@@ -110,6 +110,10 @@ def main() -> None:
             if it > 0:  # run 0 = warm-up, excluded
                 samples[name].append(dt)
     timings = {name: min(s) for name, s in samples.items()}
+    # Release any persist()ed intermediates (ranking-based queries) before
+    # the pipeline-e2e phase — 47 plans' cached blocks otherwise linger for
+    # the rest of the session (ADVICE r4).
+    spark.catalog.clearCache()
     import statistics
 
     variances = {name: round(statistics.variance(s), 6) for name, s in samples.items()}
@@ -150,7 +154,16 @@ def main() -> None:
     )
     # Belt and braces for the driver's parse: the JSON goes to stdout AND
     # to a file, so a truncated tail capture can't lose the round's number.
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"), "w") as fh:
+    # Only the canonical config (default SF dir, no CPU override) may
+    # overwrite the committed headline file — an ad-hoc smoke run at
+    # sf0.01/4-cpus must not silently clobber it (ADVICE r4).
+    canonical = (
+        "SPARK_GRAFT_SF_DIR" not in os.environ
+        and "SPARK_GRAFT_CPUS" not in os.environ
+        and "SPARK_GRAFT_SHUFFLE" not in os.environ
+    )
+    sidecar = "BENCH_LOCAL.json" if canonical else "BENCH_LOCAL_adhoc.json"
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), sidecar), "w") as fh:
         fh.write(line + "\n")
     print(line)
 

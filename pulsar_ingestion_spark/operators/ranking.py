@@ -43,6 +43,12 @@ def global_row_number(
     The input should usually be persisted by the caller: the partition
     count job and the downstream consumer both read the repartitioned
     relation.
+
+    NOTE: the repartitioned relation is ``persist()``ed here (it is read
+    by both the count job and the returned plan).  Harnesses running many
+    queries in one session should ``spark.catalog.clearCache()`` between
+    queries (selfcheck/bench do) — the cached blocks are otherwise only
+    reclaimed by LRU eviction.
     """
     spark = df.sparkSession
     nparts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))

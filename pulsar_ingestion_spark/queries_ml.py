@@ -165,7 +165,13 @@ def q_emb_pq_encode(spark, sf_dir):
     code = F.concat_ws(
         "-", *[F.col(f"b{j}.cid").cast("string") for j in range(_SUBSPACES)]
     )
-    dist = sum(F.col(f"b{j}.d2_{j}") for j in range(1, _SUBSPACES)) + F.col("b0.d2_0")
+    # Fold the subspace distortions in the SAME order the oracle does
+    # (d2_0 + d2_1 + ... left-to-right): float addition is non-associative,
+    # so a different fold order can differ by an ulp and flip round(…, 6)
+    # at a half-way boundary (same parity class as ts_cusum_drift).
+    dist = F.col("b0.d2_0")
+    for j in range(1, _SUBSPACES):
+        dist = dist + F.col(f"b{j}.d2_{j}")
     return best.select(
         "vec_id",
         code.alias("pq_code"),

@@ -122,6 +122,11 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL  {name}: spark error: {ex}")
             continue
+        finally:
+            # A few queries persist() intermediates (ranking-based ones);
+            # drop them so 192 sequential queries don't accumulate cached
+            # blocks until LRU pressure (ADVICE r4).
+            spark.catalog.clearCache()
         if name not in oracles:
             n_rows_only += 1
             print(f"ROWS  {name}: {len(sdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
