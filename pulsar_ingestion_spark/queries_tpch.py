@@ -302,3 +302,322 @@ def q_tpch_order_priority(spark, sf_dir):
         "left_semi",
     )
     return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+# ---------------------------------------------------------------------------
+# Correlated / scalar-subquery family (round 5).  TPC-H Q2/Q17/Q20/Q22 are
+# the shapes a warehouse user writes as correlated subqueries; the engine
+# form is DECORRELATED: compute the per-group (or global) aggregate once as
+# its own relation and join it back — never a per-row subquery.  Because the
+# correlation domain is pre-filtered (brand / name-prefix / size filters cut
+# the part side first), every scalar side here is small enough to broadcast,
+# which `tests/test_plans.py::test_decorrelated_scalar_sides_broadcast` pins.
+# The testdata has no partsupp table, so part-supplier cost facts derive
+# from lineitem (unit price = l_extendedprice / l_quantity) — same shape,
+# same decorrelation.
+# ---------------------------------------------------------------------------
+
+_MIN_COST_SUPPLIER_ORACLE = """
+WITH pf AS (
+  SELECT p_partkey, p_name FROM part
+  WHERE p_size BETWEEN 10 AND 20 AND p_type = 'PROMO'
+), eu AS (
+  SELECT s_suppkey, s_name, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+), cost AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         min(l.l_extendedprice / l.l_quantity) AS supply_cost
+  FROM lineitem l
+  JOIN pf ON l.l_partkey = pf.p_partkey
+  JOIN eu ON l.l_suppkey = eu.s_suppkey
+  WHERE l.l_quantity > 0
+  GROUP BY l.l_partkey, l.l_suppkey
+), best AS (
+  SELECT l_partkey, min(supply_cost) AS min_cost FROM cost GROUP BY l_partkey
+)
+SELECT pf.p_partkey, pf.p_name, eu.s_name, eu.n_name, c.supply_cost
+FROM cost c
+JOIN best b ON c.l_partkey = b.l_partkey AND c.supply_cost = b.min_cost
+JOIN pf ON c.l_partkey = pf.p_partkey
+JOIN eu ON c.l_suppkey = eu.s_suppkey
+"""
+
+
+@query("tpch_min_cost_supplier", oracle=_MIN_COST_SUPPLIER_ORACLE)
+def q_tpch_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: for each qualifying part, the European supplier(s)
+    offering the minimum unit cost.  The user-facing form is a correlated
+    subquery (``cost = (SELECT min(cost) ... WHERE partkey = outer)``);
+    the engine form is decorrelated: one (part, supplier) cost aggregate,
+    a per-part min over it, and an equi-join back on (partkey, cost).
+    The part filter and the EUROPE supplier dim are broadcast INTO the
+    fact scan first, so the cost relation — and therefore the scalar
+    side — is bounded by the filtered part count, not the corpus.  Ties
+    at the min cost all survive (deterministic set, as in Q2 itself).
+    Reference basis: the per-tenant dimension-model queries of
+    docs/architecture.md:113-118."""
+    li, pa, su, na, re = _t(spark, sf_dir, "lineitem", "part", "supplier", "nation", "region")
+    pf = pa.filter(
+        F.col("p_size").between(10, 20) & (F.col("p_type") == "PROMO")
+    ).select("p_partkey", "p_name")
+    eu = (
+        su.join(F.broadcast(na), su["s_nationkey"] == na["n_nationkey"])
+        .join(F.broadcast(re), na["n_regionkey"] == re["r_regionkey"])
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    cost = (
+        li.filter(F.col("l_quantity") > 0)
+        .join(F.broadcast(pf), li["l_partkey"] == pf["p_partkey"])
+        .join(F.broadcast(eu), li["l_suppkey"] == eu["s_suppkey"])
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supply_cost"))
+    )
+    # self-join of an aggregate over `cost` back onto `cost`: alias the
+    # grouped side's columns so lineage is unambiguous
+    best = cost.groupBy(F.col("l_partkey").alias("best_partkey")).agg(
+        F.min("supply_cost").alias("min_cost")
+    )
+    return (
+        cost.join(
+            F.broadcast(best),
+            (cost["l_partkey"] == F.col("best_partkey"))
+            & (cost["supply_cost"] == F.col("min_cost")),
+        )
+        .drop("best_partkey", "min_cost")
+        .join(F.broadcast(pf), cost["l_partkey"] == pf["p_partkey"])
+        .join(F.broadcast(eu), cost["l_suppkey"] == eu["s_suppkey"])
+        .select("p_partkey", "p_name", "s_name", "n_name", "supply_cost")
+    )
+
+
+_SMALL_QTY_REVENUE_ORACLE = """
+WITH pf AS (
+  SELECT p_partkey FROM part WHERE p_brand = 'Brand#11'
+), aq AS (
+  SELECT l.l_partkey,
+         CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty
+  FROM lineitem l JOIN pf ON l.l_partkey = pf.p_partkey
+  GROUP BY l.l_partkey
+)
+SELECT count(*) AS small_lines,
+       round(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0, 4)
+         AS avg_yearly
+FROM lineitem l
+JOIN pf ON l.l_partkey = pf.p_partkey
+JOIN aq ON l.l_partkey = aq.l_partkey
+WHERE l.l_quantity < 0.2 * aq.avg_qty
+"""
+
+
+@query("tpch_small_qty_revenue", oracle=_SMALL_QTY_REVENUE_ORACLE)
+def q_tpch_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: revenue that would be lost by refusing
+    small-quantity orders of one brand's parts.  The correlated scalar
+    (``l_quantity < 0.2 * (SELECT avg(l_quantity) WHERE partkey =
+    outer)``) decorrelates into a per-part average computed ONCE over the
+    brand-filtered fact slice and broadcast back onto the same slice —
+    two broadcast hash joins, one fact shuffle for the per-part agg.
+    The average uses a decimal partial sum divided by the count so both
+    engines divide bit-identical doubles (registry parity rules)."""
+    li, pa = _t(spark, sf_dir, "lineitem", "part")
+    pf = pa.filter(F.col("p_brand") == "Brand#11").select("p_partkey")
+    li_pf = li.join(F.broadcast(pf), li["l_partkey"] == pf["p_partkey"])
+    aq = li_pf.groupBy(li["l_partkey"].alias("aq_partkey")).agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double")
+            / F.count("*")
+        ).alias("avg_qty")
+    )
+    return (
+        li_pf.join(F.broadcast(aq), li["l_partkey"] == F.col("aq_partkey"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.count("*").alias("small_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+                / 7.0,
+                4,
+            ).alias("avg_yearly"),
+        )
+    )
+
+
+_PARTS_PROMO_ORACLE = """
+WITH pp AS (
+  SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+), pair AS (
+  SELECT l.l_suppkey, l.l_partkey,
+         SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS qty
+  FROM lineitem l JOIN pp ON l.l_partkey = pp.p_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+    AND l.l_shipdate < TIMESTAMP '2000-01-01 00:00:00'
+  GROUP BY l.l_suppkey, l.l_partkey
+), pavg AS (
+  SELECT l_partkey, CAST(SUM(qty) AS DOUBLE) / count(*) AS avg_pair_qty
+  FROM pair GROUP BY l_partkey
+), excess AS (
+  SELECT pair.l_suppkey, count(*) AS excess_parts
+  FROM pair JOIN pavg ON pair.l_partkey = pavg.l_partkey
+  WHERE CAST(pair.qty AS DOUBLE) > 1.5 * pavg.avg_pair_qty
+  GROUP BY pair.l_suppkey
+)
+SELECT s.s_name, n.n_name, e.excess_parts
+FROM excess e
+JOIN supplier s ON e.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+"""
+
+
+@query("tpch_parts_promo", oracle=_PARTS_PROMO_ORACLE)
+def q_tpch_parts_promo(spark, sf_dir):
+    """TPC-H Q20 shape (nested IN): suppliers who moved a
+    disproportionate share of any 'small…' part in 1998-99.  The nested
+    form is ``s_suppkey IN (SELECT ... WHERE qty > (SELECT scalar per
+    part))``; decorrelated: the name-filtered part list broadcasts into
+    the fact, pair totals aggregate once (exact decimals), the per-part
+    mean pair total broadcasts back, and the surviving supplier keys are
+    a broadcast-sized set joined to the supplier dim.  One fact shuffle
+    on (suppkey, partkey); everything else is broadcast."""
+    li, pa, su, na = _t(spark, sf_dir, "lineitem", "part", "supplier", "nation")
+    pp = pa.filter(F.col("p_name").like("small%")).select("p_partkey")
+    pair = (
+        li.filter(
+            (F.col("l_shipdate") >= "1998-01-01") & (F.col("l_shipdate") < "2000-01-01")
+        )
+        .join(F.broadcast(pp), li["l_partkey"] == pp["p_partkey"])
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("qty"))
+    )
+    pavg = pair.groupBy(F.col("l_partkey").alias("pavg_partkey")).agg(
+        (F.sum("qty").cast("double") / F.count("*")).alias("avg_pair_qty")
+    )
+    excess = (
+        pair.join(F.broadcast(pavg), pair["l_partkey"] == F.col("pavg_partkey"))
+        .filter(F.col("qty").cast("double") > 1.5 * F.col("avg_pair_qty"))
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("excess_parts"))
+    )
+    return (
+        excess.join(F.broadcast(su), excess["l_suppkey"] == su["s_suppkey"])
+        .join(F.broadcast(na), su["s_nationkey"] == na["n_nationkey"])
+        .select("s_name", "n_name", "excess_parts")
+    )
+
+
+_GLOBAL_SALES_OPPORTUNITY_ORACLE = """
+WITH ab AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_bal
+  FROM customer WHERE c_acctbal > 0.0
+), recent AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+)
+SELECT n.n_name,
+       count(*) AS numcust,
+       round(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 4) AS totacctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+CROSS JOIN ab
+WHERE c.c_acctbal > ab.avg_bal
+  AND c.c_custkey NOT IN (SELECT o_custkey FROM recent)
+GROUP BY n.n_name
+"""
+
+
+@query("tpch_global_sales_opportunity", oracle=_GLOBAL_SALES_OPPORTUNITY_ORACLE)
+def q_tpch_global_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22 shape: rich-but-dormant customers per nation — balance
+    above the GLOBAL positive-balance average (scalar subquery) with no
+    order since 2001 (NOT EXISTS).  The global average is a one-row
+    aggregate broadcast via crossJoin (the canonical scalar-subquery
+    decorrelation); the NOT EXISTS is a left-anti join on the customer
+    key against the date-pruned distinct order keys.  At 100 TB the anti
+    join shuffles both sides on custkey once; the scalar side stays one
+    broadcast row at any scale."""
+    cu, od, na = _t(spark, sf_dir, "customer", "orders", "nation")
+    avg_bal = cu.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double") / F.count("*")
+        ).alias("avg_bal")
+    )
+    recent = (
+        od.filter(F.col("o_orderdate") >= "2001-01-01").select("o_custkey").distinct()
+    )
+    return (
+        cu.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, cu["c_custkey"] == recent["o_custkey"], "left_anti")
+        .join(F.broadcast(na), cu["c_nationkey"] == na["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double"), 4
+            ).alias("totacctbal"),
+        )
+    )
+
+
+_CUSTOMER_DISTRIBUTION_ORACLE = """
+WITH co AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM co GROUP BY c_count
+"""
+
+
+@query("tpch_customer_distribution", oracle=_CUSTOMER_DISTRIBUTION_ORACLE)
+def q_tpch_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: the customer order-count histogram INCLUDING
+    zero-order customers — the everyday outer-join-then-distribution
+    idiom.  The left join carries the filter in the join condition (not
+    a WHERE, which would turn it inner); count(o_orderkey) counts only
+    matches so unmatched customers land in the 0 bucket.  Two shuffles:
+    custkey join+agg, then the tiny histogram rollup."""
+    cu, od = _t(spark, sf_dir, "customer", "orders")
+    of = od.filter(F.col("o_orderpriority") != "1-URGENT")
+    co = (
+        cu.join(of, cu["c_custkey"] == of["o_custkey"], "left")
+        .groupBy(cu["c_custkey"])
+        .agg(F.count(of["o_orderkey"]).alias("c_count"))
+    )
+    return co.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+_TOPK_TIES_QUALIFY_ORACLE = """
+SELECT o_orderpriority, o_orderkey, o_totalprice,
+       CAST(rank() OVER (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice DESC) AS BIGINT) AS rnk
+FROM orders
+QUALIFY rnk <= 5
+"""
+
+
+@query("win_topk_ties_qualify", oracle=_TOPK_TIES_QUALIFY_ORACLE)
+def q_win_topk_ties_qualify(spark, sf_dir):
+    """QUALIFY shape: top-5 orders by value per priority WITH ties —
+    ``rank()`` (not row_number) so equal prices share a rank and all
+    tied rows survive, exactly what SQL's QUALIFY rank() <= k returns
+    (the oracle uses DuckDB's QUALIFY literally).  The window is
+    PARTITIONED on the 5-value priority key; with heavy per-partition
+    volume the pre-rank shuffle is the only wide stage and top-k
+    per partition never materializes beyond the frame."""
+    (od,) = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"))
+    return (
+        od.select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.rank().over(w).cast("bigint").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 5)
+    )

@@ -296,3 +296,38 @@ def test_markov_normalizer_is_broadcast(spark):
 
     plan = _plan(q_events_markov_transitions(spark, SF))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_decorrelated_scalar_sides_broadcast(spark):
+    """The correlated-subquery family (TPC-H Q2/Q17/Q20/Q22 shapes) must
+    decorrelate into BROADCAST joins of per-group aggregates — never a
+    per-row subquery (no BroadcastNestedLoopJoin except Q22's 1-row
+    scalar crossJoin) and never an unpartitioned window."""
+    from pulsar_ingestion_spark.queries_tpch import (
+        q_tpch_global_sales_opportunity,
+        q_tpch_min_cost_supplier,
+        q_tpch_parts_promo,
+        q_tpch_small_qty_revenue,
+    )
+
+    for fn in (q_tpch_min_cost_supplier, q_tpch_small_qty_revenue, q_tpch_parts_promo):
+        plan = _plan(fn(spark, SF))
+        assert "BroadcastHashJoin" in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "Window" not in plan, plan
+    # Q22: the global scalar is a one-row aggregate broadcast via
+    # crossJoin (BNLJ of a 1-row side), plus an anti join on custkey.
+    plan = _plan(q_tpch_global_sales_opportunity(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert re.search(r"Join.*LeftAnti", plan), plan
+
+
+def test_qualify_topk_window_is_partitioned(spark):
+    """win_topk_ties_qualify's rank window must be PARTITIONED (on the
+    priority key) — an empty partition spec would funnel all orders
+    through one task."""
+    from pulsar_ingestion_spark.queries_tpch import q_win_topk_ties_qualify
+
+    plan = _plan(q_win_topk_ties_qualify(spark, SF))
+    assert "Window" in plan, plan
+    assert re.search(r"partitionBy.*o_orderpriority|\[o_orderpriority[^\]]*\], \[o_totalprice", plan), plan
