@@ -54,6 +54,12 @@ def open_source(
     if kind in ("jsonl", "rabbitmq", "http", "grpc"):
         path = options["path"]
         reader = spark.readStream if streaming else spark.read
+        # micro-batch granularity knob (streaming only): bounds each
+        # epoch's file intake, so checkpoint recovery is exercised over
+        # MANY commits instead of one availableNow mega-batch.
+        mfpt = options.get("maxFilesPerTrigger")
+        if streaming and mfpt:
+            reader = reader.option("maxFilesPerTrigger", int(mfpt))
         # text() preserves the original byte-identical line — the Filterer
         # passthrough invariant needs the raw string, never a re-serialize.
         return reader.text(path).withColumnRenamed("value", "value")

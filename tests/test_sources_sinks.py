@@ -336,3 +336,62 @@ def test_orc_source_roundtrip_batch_and_stream(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.sql("SELECT count(*) AS n FROM orc_t").collect()[0]["n"]
     assert got == 100
+
+
+def test_native_sink_crash_recovery_exactly_once(spark, tmp_path):
+    """Checkpoint kill-and-restart (SURVEY §4.4 consistency claim): feed
+    12 single-file micro-batches through the native (transactional file)
+    sink, kill the query mid-stream after at least one commit, restart
+    from the same checkpoint, and assert every record appears EXACTLY
+    once — the _spark_metadata commit log must hide any files from the
+    interrupted epoch and the restart must not re-emit committed epochs."""
+    import time
+
+    n_files, rows_per_file = 12, 25
+    src = tmp_path / "geo"
+    src.mkdir()
+    for i in range(n_files):
+        lines = [
+            json.dumps({
+                "Device_ID": f"d{i}-{j}", "Vehicle_ID": f"v{i}-{j}",
+                "Record_DateTime": "2024-02-02T08:00:00.000Z",
+                "Latitude": 5.0, "Longitude": 6.0,
+            })
+            for j in range(rows_per_file)
+        ]
+        (src / f"{i:02d}.jsonl").write_text("\n".join(lines) + "\n")
+
+    spec = PipelineSpec(
+        sources=[SourceSpec(kind="jsonl", translator="geotab",
+                            options={"path": str(src), "maxFilesPerTrigger": 1},
+                            tenant="t-crash")],
+        output_path=str(tmp_path / "out"),
+        checkpoint=str(tmp_path / "ckpt"),
+        sink_mode="native",
+    )
+    q = run_pipeline(spark, spec, streaming=True)
+    # kill mid-stream: wait for >=1 committed micro-batch, then stop —
+    # any in-flight epoch is interrupted before its commit-log entry
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        progress = q.main.recentProgress
+        if sum(p["numInputRows"] for p in progress) >= rows_per_file:
+            break
+        time.sleep(0.05)
+    q.stop()
+    pre_kill = spark.read.parquet(str(tmp_path / "out")).count()
+    assert pre_kill < n_files * rows_per_file, "kill happened after full drain"
+
+    # restart from the same checkpoint: drain the rest
+    q2 = run_pipeline(spark, spec, streaming=True)
+    q2.awaitTermination(120)
+
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.count() == n_files * rows_per_file
+    # no record lost, none duplicated
+    per_key = (
+        out.select(F.get_json_object("value", "$.deviceId").alias("k"))
+        .groupBy("k").count().collect()
+    )
+    assert len(per_key) == n_files * rows_per_file
+    assert max(r["count"] for r in per_key) == 1
