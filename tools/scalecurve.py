@@ -1,0 +1,176 @@
+"""Scaling-curve evidence for the nonlinear-risk queries (VERDICT r4 #4).
+
+The LSH/dedup family's 100 TB claim rests on plan shape (bucketed
+shuffles, no all-pairs). This tool MEASURES it: it synthesizes an
+sf1-equivalent documents/embeddings set (10x sf0.1 rows, same value
+distributions — per-lang unigram frequencies, doc-length profile,
+natural exact-dup rate, per-label Gaussian embeddings), runs the four
+riskiest queries at both scale points, and reports wall-clock ratios.
+A bucketed-linear plan should scale ~rows (ratio/10 near 1.0); an
+accidental all-pairs plan would blow up ~quadratically (ratio/10 near
+10).
+
+Usage:  python tools/scalecurve.py [--mult 10] [--runs 3]
+Writes SCALE_CURVE.json next to the repo root and prints a markdown
+table ready for SCALE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE_SF = "/root/testdata/sf0.1"
+QUERIES = [
+    "text_line_dedup",
+    "dedup_minhash_banded",
+    "dedup_embedding_blas",
+    "sim_search_lsh",
+]
+
+
+def synthesize(out_dir: str, mult: int, seed: int = 7) -> tuple[int, int]:
+    """Write documents.parquet / embeddings.parquet at ``mult`` x sf0.1
+    cardinality into ``out_dir``, matching the base tables' value
+    distributions; symlink the other eight tables to the sf0.1 files
+    (load_tables opens all ten eagerly)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(seed)
+
+    # --- documents: per-lang unigram model fit on the base table -------
+    base_docs = pq.read_table(os.path.join(BASE_SF, "documents.parquet")).to_pandas()
+    by_lang: dict[str, tuple[list[str], np.ndarray]] = {}
+    lang_counts = base_docs["lang"].value_counts()
+    for lang, sub in base_docs.groupby("lang"):
+        words: dict[str, int] = {}
+        for t in sub["text"]:
+            for w in t.split(" "):
+                if w:
+                    words[w] = words.get(w, 0) + 1
+        vocab = sorted(words)
+        freq = np.array([words[w] for w in vocab], dtype=float)
+        by_lang[lang] = (vocab, freq / freq.sum())
+    word_lens = base_docs["text"].str.split(" ").str.len().to_numpy()
+    langs = lang_counts.index.to_numpy()
+    lang_p = (lang_counts / lang_counts.sum()).to_numpy()
+    n_sources = base_docs["source"].nunique()
+
+    n_docs = len(base_docs) * mult
+    dup_rate = 1.0 - base_docs["text"].nunique() / len(base_docs)
+    texts: list[str] = []
+    doc_lang: list[str] = []
+    for i in range(n_docs):
+        if texts and rng.random() < dup_rate:
+            j = int(rng.integers(0, len(texts)))
+            texts.append(texts[j])
+            doc_lang.append(doc_lang[j])
+            continue
+        lang = str(rng.choice(langs, p=lang_p))
+        vocab, p = by_lang[lang]
+        n_words = int(rng.choice(word_lens))
+        idx = rng.choice(len(vocab), size=n_words, p=p)
+        texts.append(" ".join(vocab[k] for k in idx))
+        doc_lang.append(lang)
+    docs = pa.table({
+        "doc_id": pa.array(range(n_docs), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(doc_lang, pa.string()),
+        "source": pa.array([f"src{int(i)}" for i in rng.integers(0, n_sources, n_docs)]),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(docs, os.path.join(out_dir, "documents.parquet"))
+
+    # --- embeddings: per-label Gaussian fit on the base table ----------
+    base_emb = pq.read_table(os.path.join(BASE_SF, "embeddings.parquet")).to_pandas()
+    mats = {
+        int(lab): np.stack(sub["embedding"].to_numpy())
+        for lab, sub in base_emb.groupby("label")
+    }
+    n_emb = len(base_emb) * mult
+    labels = rng.integers(0, len(mats), n_emb)
+    dim = next(iter(mats.values())).shape[1]
+    out = np.empty((n_emb, dim), dtype=np.float32)
+    for lab, m in mats.items():
+        mask = labels == lab
+        out[mask] = rng.normal(
+            m.mean(axis=0), m.std(axis=0) + 1e-9, size=(int(mask.sum()), dim)
+        ).astype(np.float32)
+    emb = pa.table({
+        "vec_id": pa.array(range(n_emb), pa.int64()),
+        "embedding": pa.array([v for v in out.tolist()], pa.list_(pa.float32())),
+        "label": pa.array(labels.astype(np.int32), pa.int32()),
+    })
+    pq.write_table(emb, os.path.join(out_dir, "embeddings.parquet"))
+
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events"]:
+        os.symlink(os.path.join(BASE_SF, f"{t}.parquet"),
+                   os.path.join(out_dir, f"{t}.parquet"))
+    return n_docs, n_emb
+
+
+def time_queries(spark, registry, sf_dir: str, runs: int) -> dict[str, float]:
+    timings = {}
+    for name in QUERIES:
+        df = registry[name](spark, sf_dir)
+        df.count()  # warm-up (codegen compile, footer reads)
+        samples = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            df.count()
+            samples.append(time.perf_counter() - t0)
+        spark.catalog.clearCache()
+        timings[name] = round(min(samples), 4)
+    return timings
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mult", type=int, default=10)
+    ap.add_argument("--runs", type=int, default=3)
+    a = ap.parse_args()
+
+    import __spark_entry__ as entrymod
+    from pulsar_ingestion_spark.session import get_spark
+
+    spark = get_spark("scalecurve")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = entrymod.queries()
+
+    tmp = tempfile.mkdtemp(prefix="scalecurve-")
+    n_docs, n_emb = synthesize(tmp, a.mult)
+    print(f"synthesized {n_docs} docs / {n_emb} embeddings at {tmp}", file=sys.stderr)
+
+    base = time_queries(spark, registry, BASE_SF, a.runs)
+    big = time_queries(spark, registry, tmp, a.runs)
+
+    rows = []
+    for name in QUERIES:
+        ratio = big[name] / base[name] if base[name] else float("nan")
+        rows.append({
+            "query": name, "sf0.1_sec": base[name], f"x{a.mult}_sec": big[name],
+            "ratio": round(ratio, 2), "ratio_per_x": round(ratio / a.mult, 2),
+        })
+    print(json.dumps({"mult": a.mult, "rows": rows}))
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                           "SCALE_CURVE.json"), "w") as fh:
+        json.dump({"mult": a.mult, "n_docs": n_docs, "n_emb": n_emb, "rows": rows}, fh, indent=1)
+    hdr = f"| query | sf0.1 (s) | {a.mult}x (s) | ratio | ratio/{a.mult} |"
+    print(hdr + "\n|---|---|---|---|---|", file=sys.stderr)
+    for r in rows:
+        print(f"| `{r['query']}` | {r['sf0.1_sec']} | {r[f'x{a.mult}_sec']} | "
+              f"{r['ratio']} | {r['ratio_per_x']} |", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
