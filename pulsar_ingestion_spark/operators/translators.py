@@ -334,14 +334,50 @@ def translate_ford(
     )
 
 
-def with_variant_residue(df: DataFrame, cmf_col: str = "cmf", out_col: str = "ssd_variant") -> DataFrame:
+def variant_supported(spark) -> bool:
+    """True when the session's engine has the VARIANT type + functions
+    (Spark >= 4).  The residue path degrades to plain JSON strings on
+    older engines — same semantics, per-access string parse cost."""
+    try:
+        major = int(spark.version.split(".")[0])
+    except (ValueError, AttributeError):
+        return False
+    return major >= 4 and hasattr(F, "parse_json") and hasattr(F, "variant_get")
+
+
+def with_variant_residue(
+    df: DataFrame,
+    cmf_col: str = "cmf",
+    out_col: str = "ssd_variant",
+    force_json: bool = False,
+) -> DataFrame:
     """Typed query-time access to the lossless residue: parse
     ``sourceSpecificData`` (the only schema-dynamic CMF field —
     GeotabTranslator.kt:130-133, architecture.md:87) ONCE into Spark 4's
-    VARIANT binary encoding.  Downstream ``variant_get`` path extractions
-    are typed and avoid re-parsing the JSON string per access — the
-    at-rest/query-time losslessness story of SURVEY.md §1.2."""
-    return df.withColumn(out_col, F.parse_json(F.col(f"{cmf_col}.sourceSpecificData")))
+    VARIANT binary encoding.  Downstream :func:`residue_get` path
+    extractions are typed and avoid re-parsing the JSON string per
+    access — the at-rest/query-time losslessness story of SURVEY.md §1.2.
+
+    Version gate (VERDICT r4 #6): on engines without VARIANT (or with
+    ``force_json=True``) the column stays the raw JSON string and
+    :func:`residue_get` falls back to ``get_json_object`` — identical
+    values, string-parse cost per access instead of one parse."""
+    ssd = F.col(f"{cmf_col}.sourceSpecificData")
+    if force_json or not variant_supported(df.sparkSession):
+        return df.withColumn(out_col, ssd)
+    return df.withColumn(out_col, F.parse_json(ssd))
+
+
+def residue_get(df: DataFrame, col: str, path: str, dtype: str):
+    """Extract a typed value from a residue column produced by
+    :func:`with_variant_residue`, on EITHER encoding: ``variant_get``
+    when the column is VARIANT, ``get_json_object`` + cast when it is a
+    JSON string (pre-Spark-4 fallback).  The encoding is read off the
+    schema, so call sites are path-agnostic."""
+    dt = df.schema[col].dataType
+    if type(dt).__name__ == "VariantType":
+        return F.variant_get(col, path, dtype)
+    return F.get_json_object(F.col(col), path).cast(dtype)
 
 
 def cmf_to_json(df: DataFrame, cmf_col: str = "cmf", out_col: str = "value") -> DataFrame:

@@ -1242,7 +1242,11 @@ def cmf_variant_residue(spark, sf_dir):
     # carries them losslessly) → parse_json into VARIANT → typed
     # variant_get extraction.  One parse, typed paths, no per-access
     # get_json_object string re-parse.
-    from pulsar_ingestion_spark.operators.translators import translate_geotab, with_variant_residue
+    from pulsar_ingestion_spark.operators.translators import (
+        residue_get,
+        translate_geotab,
+        with_variant_residue,
+    )
 
     ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
     doc = F.to_json(
@@ -1261,8 +1265,8 @@ def cmf_variant_residue(spark, sf_dir):
     v = with_variant_residue(translated)
     return v.select(
         F.col("cmf.deviceId").alias("device_id"),
-        F.variant_get("ssd_variant", "$.customGeotabField1", "string").alias("custom1"),
-        F.variant_get("ssd_variant", "$.customGeotabField2", "bigint").alias("custom2"),
+        residue_get(v, "ssd_variant", "$.customGeotabField1", "string").alias("custom1"),
+        residue_get(v, "ssd_variant", "$.customGeotabField2", "bigint").alias("custom2"),
     )
 
 
@@ -1292,11 +1296,19 @@ def json_variant(spark, sf_dir):
         F.col("event_type"),
         F.lit('", "x"]}'),
     )
-    v = ev.filter(F.col("event_id") < 3000).withColumn("v", F.parse_json(j))
+    # Version gate (VERDICT r4 #6): VARIANT on Spark 4+, JSON-string
+    # fallback (get_json_object per access) elsewhere — same values.
+    from pulsar_ingestion_spark.operators.translators import residue_get, variant_supported
+
+    base = ev.filter(F.col("event_id") < 3000)
+    if variant_supported(spark):
+        v = base.withColumn("v", F.parse_json(j))
+    else:
+        v = base.withColumn("v", j)
     return v.select(
         "event_id",
-        F.variant_get("v", "$.a.b", "bigint").alias("ab"),
-        F.variant_get("v", "$.tags[1]", "string").alias("tag1"),
+        residue_get(v, "v", "$.a.b", "bigint").alias("ab"),
+        residue_get(v, "v", "$.tags[1]", "string").alias("tag1"),
     )
 
 
