@@ -621,3 +621,406 @@ def q_win_topk_ties_qualify(spark, sf_dir):
         )
         .filter(F.col("rnk") <= 5)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 completion of the everyday TPC-H shapes (Q7/Q9/Q10/Q11/Q14/Q15/
+# Q18/Q19/Q21 adapted to the available columns: no partsupp table, so
+# supply-cost facts derive from lineitem/p_retailprice; no receipt/commit
+# dates, so "late" = shipped >60 days after order date).
+# ---------------------------------------------------------------------------
+
+_DEC1 = "CAST(1 AS DECIMAL(18,4))"
+_REV_SQL = (
+    "CAST(l.l_extendedprice AS DECIMAL(18,4)) * "
+    f"({_DEC1} - CAST(l.l_discount AS DECIMAL(18,4)))"
+)
+
+
+def _rev_col():
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    return dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))
+
+
+_RETURNED_ITEMS_ORACLE = f"""
+SELECT c.c_custkey, c.c_name, n.n_name,
+       round(CAST(SUM({_REV_SQL}) AS DOUBLE), 4) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@query("tpch_returned_items", oracle=_RETURNED_ITEMS_ORACLE)
+def q_tpch_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: revenue lost to returns per customer in one year,
+    top 20.  Fact joins shuffle on the order/customer keys (AQE upgrades
+    to broadcast when the date filter shrinks orders enough); nation is
+    broadcast; top-20 plans as TakeOrderedAndProject over the rounded
+    revenue with the unique custkey tie-break."""
+    li, od, cu, na = _t(spark, sf_dir, "lineitem", "orders", "customer", "nation")
+    odf = od.filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(odf, li["l_orderkey"] == odf["o_orderkey"])
+        .join(cu, odf["o_custkey"] == cu["c_custkey"])
+        .join(F.broadcast(na), cu["c_nationkey"] == na["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(_rev_col()).cast("double"), 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+_PROMO_REVENUE_ORACLE = f"""
+SELECT round(100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN {_REV_SQL}
+                                   ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(SUM({_REV_SQL}) AS DOUBLE), 6) AS promo_share_pct
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1998-07-01 00:00:00'
+"""
+
+
+@query("tpch_promo_revenue", oracle=_PROMO_REVENUE_ORACLE)
+def q_tpch_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: promo revenue share over a window — the
+    conditional-ratio-in-one-pass pattern (numerator and denominator as
+    two decimal partial sums, ONE scan, part broadcast).  Ratio rounded
+    (quotient of two >2^53-scaled casts — SCALE.md §6d)."""
+    li, pa = _t(spark, sf_dir, "lineitem", "part")
+    rev = _rev_col()
+    zero = F.lit(0).cast("decimal(18,4)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1998-01-01") & (F.col("l_shipdate") < "1998-07-01")
+        )
+        .join(F.broadcast(pa), li["l_partkey"] == pa["p_partkey"])
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)).cast("double")
+                / F.sum(rev).cast("double"),
+                6,
+            ).alias("promo_share_pct")
+        )
+    )
+
+
+_TOP_SUPPLIER_ORACLE = f"""
+WITH srev AS (
+  SELECT l.l_suppkey, SUM({_REV_SQL}) AS rev
+  FROM lineitem l
+  WHERE l.l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+    AND l.l_shipdate < TIMESTAMP '1998-04-01 00:00:00'
+  GROUP BY l.l_suppkey
+), mx AS (SELECT max(rev) AS max_rev FROM srev)
+SELECT s.s_suppkey, s.s_name, round(CAST(srev.rev AS DOUBLE), 4) AS total_revenue
+FROM srev JOIN mx ON srev.rev = mx.max_rev
+JOIN supplier s ON srev.l_suppkey = s.s_suppkey
+"""
+
+
+@query("tpch_top_supplier", oracle=_TOP_SUPPLIER_ORACLE)
+def q_tpch_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: the supplier(s) with maximum quarterly revenue —
+    the scalar-subquery-on-an-aggregate-view pattern.  Decorrelated: the
+    per-supplier revenue aggregates once (decimal partial sums), the max
+    is a ONE-ROW aggregate broadcast back via crossJoin, and equality on
+    the exact decimal keeps ties (as Q15 requires).  Supplier dim
+    broadcast."""
+    li, su = _t(spark, sf_dir, "lineitem", "supplier")
+    srev = (
+        li.filter(
+            (F.col("l_shipdate") >= "1998-01-01") & (F.col("l_shipdate") < "1998-04-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(_rev_col()).alias("rev"))
+    )
+    mx = srev.agg(F.max("rev").alias("max_rev"))
+    return (
+        srev.crossJoin(F.broadcast(mx))
+        .filter(F.col("rev") == F.col("max_rev"))
+        .join(F.broadcast(su), F.col("l_suppkey") == su["s_suppkey"])
+        .select(
+            "s_suppkey", "s_name", F.round(F.col("rev").cast("double"), 4).alias("total_revenue")
+        )
+    )
+
+
+_LARGE_ORDERS_ORACLE = """
+WITH big AS (
+  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 240
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+       o.o_totalprice, big.sum_qty
+FROM big
+JOIN orders o ON big.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+@query("tpch_large_orders", oracle=_LARGE_ORDERS_ORACLE)
+def q_tpch_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: large-volume orders (HAVING SUM > threshold in a
+    subquery, joined back) — the group-filter-then-enrich idiom.  The
+    fact aggregates once on the order key; the surviving keys are a tiny
+    relation joined to orders/customer (AQE broadcasts it).  Exact
+    decimal sum both engines; the HAVING compares decimals, the output
+    casts once."""
+    li, od, cu = _t(spark, sf_dir, "lineitem", "orders", "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("qty_dec"))
+        .filter(F.col("qty_dec") > 240)
+        .select("l_orderkey", F.col("qty_dec").cast("double").alias("sum_qty"))
+    )
+    return (
+        big.join(od, big["l_orderkey"] == od["o_orderkey"])
+        .join(cu, od["o_custkey"] == cu["c_custkey"])
+        .select(
+            "c_name", "c_custkey", "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_totalprice", "sum_qty",
+        )
+    )
+
+
+_DISJUNCTIVE_ORACLE = f"""
+SELECT count(*) AS matched_lines,
+       round(CAST(SUM({_REV_SQL}) AS DOUBLE), 4) AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 20)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 10 AND 30 AND l.l_quantity BETWEEN 10 AND 35)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 20 AND 50 AND l.l_quantity BETWEEN 20 AND 50)
+"""
+
+
+@query("tpch_disjunctive_pred", oracle=_DISJUNCTIVE_ORACLE)
+def q_tpch_disjunctive_pred(spark, sf_dir):
+    """TPC-H Q19 shape: OR-of-ANDs across both join sides.  Catalyst
+    cannot push the full disjunction below the join, but it DOES derive
+    and push the per-side residuals (l_quantity between the union of
+    bounds; brand/size on the part scan), keeping the scan pruned — the
+    plan gate asserts a quantity filter reaches the lineitem scan.  Part
+    is broadcast; one agg, no shuffle beyond it."""
+    li, pa = _t(spark, sf_dir, "lineitem", "part")
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((b == "Brand#12") & s.between(1, 15) & q.between(1, 20))
+        | ((b == "Brand#23") & s.between(10, 30) & q.between(10, 35))
+        | ((b == "Brand#34") & s.between(20, 50) & q.between(20, 50))
+    )
+    return (
+        li.join(F.broadcast(pa), li["l_partkey"] == pa["p_partkey"])
+        .filter(cond)
+        .agg(
+            F.count("*").alias("matched_lines"),
+            F.round(F.sum(_rev_col()).cast("double"), 4).alias("revenue"),
+        )
+    )
+
+
+_WAITING_SUPPLIERS_ORACLE = """
+WITH flags AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                  THEN 1 ELSE 0 END) AS is_late
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY l.l_orderkey, l.l_suppkey
+), stats AS (
+  SELECT l_orderkey, count(*) AS n_supps, SUM(is_late) AS n_late,
+         max(CASE WHEN is_late = 1 THEN l_suppkey END) AS waiter
+  FROM flags GROUP BY l_orderkey
+)
+SELECT s.s_name, n.n_name, count(*) AS numwait
+FROM stats
+JOIN supplier s ON stats.waiter = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE stats.n_supps > 1 AND stats.n_late = 1
+GROUP BY s.s_name, n.n_name
+ORDER BY numwait DESC, s_name
+LIMIT 10
+"""
+
+
+@query("tpch_waiting_suppliers", oracle=_WAITING_SUPPLIERS_ORACLE)
+def q_tpch_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on a
+    multi-supplier order ("late" = shipped >60 days after order date —
+    no receipt/commit dates in this schema).  The textbook form is a
+    double correlation (EXISTS other-supplier line AND NOT EXISTS
+    other-supplier LATE line); decorrelated here into ONE per-(order,
+    supplier) flag agg then ONE per-order agg — supplier count, late
+    count, and the single late suppkey via max(CASE) — so the whole
+    double-EXISTS costs two partial-agg shuffles and zero self-joins.
+    Two-level agg instead of two countDistincts avoids the Expand
+    blow-up (queries_tpch.py:107-118 precedent)."""
+    li, od, su, na = _t(spark, sf_dir, "lineitem", "orders", "supplier", "nation")
+    late = F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL '60' DAY")
+    flags = (
+        li.join(od, li["l_orderkey"] == od["o_orderkey"])
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(F.when(late, 1).otherwise(0)).alias("is_late"))
+    )
+    stats = flags.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supps"),
+        F.sum("is_late").alias("n_late"),
+        F.max(F.when(F.col("is_late") == 1, F.col("l_suppkey"))).alias("waiter"),
+    )
+    return (
+        stats.filter((F.col("n_supps") > 1) & (F.col("n_late") == 1))
+        .join(F.broadcast(su), F.col("waiter") == su["s_suppkey"])
+        .join(F.broadcast(na), su["s_nationkey"] == na["n_nationkey"])
+        .groupBy("s_name", "n_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(10)
+    )
+
+
+_NATION_VOLUME_ORACLE = f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
+       round(CAST(SUM({_REV_SQL}) AS DOUBLE), 4) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+WHERE (sn.n_name = 'NATION_9' AND cn.n_name = 'NATION_19')
+   OR (sn.n_name = 'NATION_19' AND cn.n_name = 'NATION_9')
+GROUP BY sn.n_name, cn.n_name, ship_year
+"""
+
+
+@query("tpch_nation_volume", oracle=_NATION_VOLUME_ORACLE)
+def q_tpch_nation_volume(spark, sf_dir):
+    """TPC-H Q7 shape: bilateral trade volume between two nations by
+    ship year.  Both nation sides broadcast (the same dim table joined
+    twice under different aliases); the disjunctive pair filter applies
+    after both joins; facts shuffle once on the order key."""
+    li, od, cu, su, na = _t(spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation")
+    cn = na.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    sn = na.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    pair = (
+        (F.col("supp_nation") == "NATION_9") & (F.col("cust_nation") == "NATION_19")
+    ) | ((F.col("supp_nation") == "NATION_19") & (F.col("cust_nation") == "NATION_9"))
+    return (
+        li.join(od, li["l_orderkey"] == od["o_orderkey"])
+        .join(cu, od["o_custkey"] == cu["c_custkey"])
+        .join(F.broadcast(cn), cu["c_nationkey"] == F.col("cn_key"))
+        .join(F.broadcast(su), li["l_suppkey"] == su["s_suppkey"])
+        .join(F.broadcast(sn), su["s_nationkey"] == F.col("sn_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").cast("bigint").alias("ship_year")
+        )
+        .agg(F.round(F.sum(_rev_col()).cast("double"), 4).alias("revenue"))
+    )
+
+
+_PRODUCT_PROFIT_ORACLE = f"""
+SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
+       round(CAST(SUM({_REV_SQL}) AS DOUBLE)
+             - 0.6 * CAST(SUM(CAST(p.p_retailprice AS DECIMAL(18,4))
+                              * CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE),
+             4) AS profit
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE p.p_name LIKE '%bolt%'
+GROUP BY n.n_name, order_year
+"""
+
+
+@query("tpch_product_profit", oracle=_PRODUCT_PROFIT_ORACLE)
+def q_tpch_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape: product-line profit by supplier nation and year
+    (cost proxy = 60% of retail price × quantity — no partsupp table).
+    Revenue and cost accumulate as SEPARATE exact decimal sums in one
+    agg pass; the 0.6 factor applies to the final double (a decimal
+    0.6 literal would overflow DuckDB's 38-digit product — SCALE.md
+    §6d rule 4).  Part filter broadcasts into the fact scan; one
+    shuffle on the order key, one on the rollup."""
+    li, pa, od, su, na = _t(spark, sf_dir, "lineitem", "part", "orders", "supplier", "nation")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    pf = pa.filter(F.col("p_name").like("%bolt%"))
+    return (
+        li.join(F.broadcast(pf), li["l_partkey"] == pf["p_partkey"])
+        .join(od, li["l_orderkey"] == od["o_orderkey"])
+        .join(F.broadcast(su), li["l_suppkey"] == su["s_suppkey"])
+        .join(F.broadcast(na), su["s_nationkey"] == na["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("order_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(_rev_col()).cast("double")
+                - 0.6 * F.sum(dec("p_retailprice") * dec("l_quantity")).cast("double"),
+                4,
+            ).alias("profit")
+        )
+    )
+
+
+_IMPORTANT_STOCK_ORACLE = f"""
+WITH flow AS (
+  SELECT l.l_partkey, SUM({_REV_SQL}) AS value_dec
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE n.n_name IN ('NATION_3', 'NATION_7')
+  GROUP BY l.l_partkey
+), tot AS (SELECT CAST(SUM(value_dec) AS DOUBLE) AS total, count(*) AS n FROM flow)
+SELECT f.l_partkey AS p_partkey, round(CAST(f.value_dec AS DOUBLE), 4) AS part_value
+FROM flow f CROSS JOIN tot
+WHERE CAST(f.value_dec AS DOUBLE) > 2.0 * tot.total / tot.n
+"""
+
+
+@query("tpch_important_stock", oracle=_IMPORTANT_STOCK_ORACLE)
+def q_tpch_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape: parts whose flow value from two nations' suppliers
+    exceeds twice the average per-part value — the global-scalar-threshold
+    pattern (the threshold is relative to the MEAN, not a fixed fraction
+    of the total, so it is scale-free: Q11's fixed fraction divides by
+    SF in the spec for the same reason).  The per-part aggregate computes once; the total is a
+    one-row aggregate OF THE AGGREGATE (no second fact scan) broadcast
+    via crossJoin.  Both sides of the threshold comparison are doubles
+    cast from exact decimal sums, so membership is engine-stable."""
+    li, su, na = _t(spark, sf_dir, "lineitem", "supplier", "nation")
+    nf = na.filter(F.col("n_name").isin("NATION_3", "NATION_7"))
+    flow = (
+        li.join(F.broadcast(su), li["l_suppkey"] == su["s_suppkey"])
+        .join(F.broadcast(nf), su["s_nationkey"] == nf["n_nationkey"])
+        .groupBy("l_partkey")
+        .agg(F.sum(_rev_col()).alias("value_dec"))
+    )
+    tot = flow.agg(
+        F.sum("value_dec").cast("double").alias("total"), F.count("*").alias("n")
+    )
+    return (
+        flow.crossJoin(F.broadcast(tot))
+        .filter(F.col("value_dec").cast("double") > 2.0 * F.col("total") / F.col("n"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round(F.col("value_dec").cast("double"), 4).alias("part_value"),
+        )
+    )

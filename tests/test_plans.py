@@ -331,3 +331,28 @@ def test_qualify_topk_window_is_partitioned(spark):
     plan = _plan(q_win_topk_ties_qualify(spark, SF))
     assert "Window" in plan, plan
     assert re.search(r"partitionBy.*o_orderpriority|\[o_orderpriority[^\]]*\], \[o_totalprice", plan), plan
+
+
+def test_disjunctive_pred_pushes_residuals(spark):
+    """Q19's OR-of-ANDs: Catalyst can't push the cross-side disjunction,
+    but the derived per-side residual (quantity bounds on the fact scan)
+    must reach the lineitem reader, and part must broadcast."""
+    from pulsar_ingestion_spark.queries_tpch import q_tpch_disjunctive_pred
+
+    plan = _plan(q_tpch_disjunctive_pred(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    m = re.search(r"PushedFilters: \[([^\]]*l_quantity[^\]]*)\]", plan)
+    assert m, plan  # quantity residual pushed to the lineitem scan
+
+
+def test_top_supplier_scalar_is_broadcast_one_row(spark):
+    """Q15's max-revenue scalar must broadcast.  Catalyst even upgrades
+    the crossJoin + equality filter into a broadcast HASH join keyed on
+    the revenue value — all joins broadcast, no sort-merge, and no
+    unpartitioned window anywhere."""
+    from pulsar_ingestion_spark.queries_tpch import q_tpch_top_supplier
+
+    plan = _plan(q_tpch_top_supplier(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2, plan  # scalar + supplier dim
+    assert "SortMergeJoin" not in plan, plan
+    assert "Window" not in plan, plan
