@@ -1024,3 +1024,122 @@ def q_tpch_important_stock(spark, sf_dir):
             F.round(F.col("value_dec").cast("double"), 4).alias("part_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Warehouse window idioms (round 5): period-over-period growth and running
+# share — the BI queries layered on every revenue rollup.  All windows here
+# run over POST-AGGREGATE relations bounded by the calendar (months/years),
+# so even the ordered-by-month window with no partition key holds O(100)
+# rows at any corpus scale — the fact scan never passes through a window.
+# ---------------------------------------------------------------------------
+
+_MOM_GROWTH_ORACLE = """
+WITH m AS (
+  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+  FROM orders GROUP BY 1
+)
+SELECT month, round(rev, 4) AS revenue,
+       round(100.0 * (rev - lag(rev) OVER (ORDER BY month))
+             / lag(rev) OVER (ORDER BY month), 6) AS mom_pct
+FROM m
+"""
+
+
+@query("win_mom_growth", oracle=_MOM_GROWTH_ORACLE)
+def q_win_mom_growth(spark, sf_dir):
+    """Month-over-month revenue growth: one fact shuffle for the monthly
+    rollup (decimal partial sums), then a lag window over the ~80-row
+    month relation (bounded by the calendar, not the corpus — the one
+    acceptable home for an unpartitioned ordered window).  First month's
+    growth is NULL by definition."""
+    (od,) = _t(spark, sf_dir, "orders")
+    m = od.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("rev"))
+    w = Window.orderBy("month")
+    prev = F.lag("rev").over(w)
+    return m.select(
+        "month",
+        F.round(F.col("rev"), 4).alias("revenue"),
+        F.round(100.0 * (F.col("rev") - prev) / prev, 6).alias("mom_pct"),
+    )
+
+
+_YOY_GROWTH_ORACLE = """
+WITH m AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+         CAST(month(o_orderdate) AS BIGINT) AS mon,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+  FROM orders GROUP BY 1, 2
+)
+SELECT yr, mon, round(rev, 4) AS revenue,
+       round(100.0 * (rev - lag(rev) OVER (PARTITION BY mon ORDER BY yr))
+             / lag(rev) OVER (PARTITION BY mon ORDER BY yr), 6) AS yoy_pct
+FROM m
+"""
+
+
+@query("win_yoy_growth", oracle=_YOY_GROWTH_ORACLE)
+def q_win_yoy_growth(spark, sf_dir):
+    """Year-over-year growth for the same calendar month — lag over a
+    window PARTITIONED by month-of-year (12 partitions) ordered by year,
+    on the post-aggregate month relation.  The seasonal comparison every
+    revenue dashboard ships."""
+    (od,) = _t(spark, sf_dir, "orders")
+    m = od.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.month("o_orderdate").cast("bigint").alias("mon"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("rev"))
+    w = Window.partitionBy("mon").orderBy("yr")
+    prev = F.lag("rev").over(w)
+    return m.select(
+        "yr", "mon",
+        F.round(F.col("rev"), 4).alias("revenue"),
+        F.round(100.0 * (F.col("rev") - prev) / prev, 6).alias("yoy_pct"),
+    )
+
+
+_CUM_SHARE_ORACLE = """
+WITH m AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+         CAST(month(o_orderdate) AS BIGINT) AS mon,
+         SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev_dec
+  FROM orders GROUP BY 1, 2
+)
+SELECT yr, mon,
+       round(CAST(rev_dec AS DOUBLE), 4) AS revenue,
+       round(CAST(SUM(rev_dec) OVER (PARTITION BY yr ORDER BY mon
+                                     ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             / CAST(SUM(rev_dec) OVER (PARTITION BY yr) AS DOUBLE), 6) AS cum_share
+FROM m
+"""
+
+
+@query("win_cumulative_share", oracle=_CUM_SHARE_ORACLE)
+def q_win_cumulative_share(spark, sf_dir):
+    """Running share of the year's revenue by month — cumulative frame
+    over the year partition divided by the full-partition total.  Both
+    window sums stay DECIMAL (exact, order-independent) and cast to
+    double only for the final division, so the share is engine-stable
+    regardless of window evaluation order."""
+    (od,) = _t(spark, sf_dir, "orders")
+    m = od.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.month("o_orderdate").cast("bigint").alias("mon"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev_dec"))
+    w_run = (
+        Window.partitionBy("yr").orderBy("mon")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("yr")
+    return m.select(
+        "yr", "mon",
+        F.round(F.col("rev_dec").cast("double"), 4).alias("revenue"),
+        F.round(
+            F.sum("rev_dec").over(w_run).cast("double")
+            / F.sum("rev_dec").over(w_all).cast("double"),
+            6,
+        ).alias("cum_share"),
+    )
