@@ -1267,3 +1267,226 @@ def q_text_df_prune(spark, sf_dir):
         F.size("kept").alias("words_kept"),
         F.array_join("kept", " ").alias("cleaned_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 additions: ANN quality measurement, centroid geometry, dedup
+# survivorship reporting, and language rebalancing — the evaluation/report
+# layer a training-data pipeline runs on top of its dedup + search stages.
+# ---------------------------------------------------------------------------
+
+_RECALL_EVAL_ORACLE = f"""
+WITH {{cte}},
+lsh_scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         round({_KNN_DOT.format(a='q.embedding', b='c.embedding')}
+           / (sqrt({_KNN_DOT.format(a='q.embedding', b='q.embedding')})
+            * sqrt({_KNN_DOT.format(a='c.embedding', b='c.embedding')})), 6) AS cos_sim
+  FROM buckets q JOIN buckets c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < 20
+),
+lsh AS (
+  SELECT query_id, cand_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, cand_id) AS rnk
+    FROM lsh_scored) WHERE rnk <= 5
+),
+bf_scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         round({_KNN_DOT.format(a='q.embedding', b='c.embedding')}
+           / (sqrt({_KNN_DOT.format(a='q.embedding', b='q.embedding')})
+            * sqrt({_KNN_DOT.format(a='c.embedding', b='c.embedding')})), 6) AS cos_sim
+  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < 20
+),
+bf AS (
+  SELECT query_id, cand_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, cand_id) AS rnk
+    FROM bf_scored) WHERE rnk <= 5
+),
+hits AS (
+  SELECT bf.query_id, count(*) AS c
+  FROM bf JOIN lsh ON bf.query_id = lsh.query_id AND bf.cand_id = lsh.cand_id
+  GROUP BY bf.query_id
+)
+SELECT q.query_id, round(CAST(coalesce(h.c, 0) AS DOUBLE) / 5.0, 6) AS recall_at_5
+FROM (SELECT DISTINCT query_id FROM bf) q
+LEFT JOIN hits h ON q.query_id = h.query_id
+""".format(cte=_signlsh_bucket_cte(64, 6, [42]))
+
+
+@query("sim_search_recall_eval", oracle=_RECALL_EVAL_ORACLE)
+def q_sim_search_recall_eval(spark, sf_dir):
+    """Per-query recall@5 of the sign-LSH index against exact brute
+    force — the eval loop every ANN deployment runs before trusting an
+    index.  Both arms are the registry's own operators (same seeded
+    portable planes), so the whole evaluation is oracle-recomputable;
+    the overlap join is on (query, candidate) ids of two 5-row-per-query
+    relations (tiny), and the expensive arms reuse the bucketed /
+    broadcast-query plans already gated for scale."""
+    from pulsar_ingestion_spark.operators.similarity import knn_bruteforce, knn_lsh
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    q = emb.filter(F.col("vec_id") < 20)
+    lsh = knn_lsh(q, emb, dim=64, k=5, num_planes=6).select("query_id", "cand_id")
+    bf = knn_bruteforce(q, emb, k=5).select("query_id", "cand_id")
+    hits = bf.join(lsh, ["query_id", "cand_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        bf.select("query_id").distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.round(F.coalesce(F.col("c"), F.lit(0)).cast("double") / 5.0, 6).alias(
+                "recall_at_5"
+            ),
+        )
+    )
+
+
+_LABEL_AFFINITY_ORACLE = """
+WITH cent AS (
+  SELECT label, CAST(i - 1 AS INTEGER) AS pos,
+         round(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
+               / count(*), 6) AS v
+  FROM embeddings, range(1, 65) r(i)
+  GROUP BY label, i
+), pairs AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         CAST(SUM(CAST(a.v * b.v AS DECIMAL(20,12))) AS DOUBLE) AS dot_ab,
+         CAST(SUM(CAST(a.v * a.v AS DECIMAL(20,12))) AS DOUBLE) AS dot_aa,
+         CAST(SUM(CAST(b.v * b.v AS DECIMAL(20,12))) AS DOUBLE) AS dot_bb
+  FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+  GROUP BY a.label, b.label
+)
+SELECT label_a, label_b,
+       round(dot_ab / sqrt(dot_aa) / sqrt(dot_bb), 6) AS cos_sim
+FROM pairs
+"""
+
+
+@query("emb_label_affinity", oracle=_LABEL_AFFINITY_ORACLE)
+def q_emb_label_affinity(spark, sf_dir):
+    """Pairwise cosine between class centroids — the label-confusion
+    geometry check before using labels for stratified sampling or
+    distillation.  Centroids reduce the corpus to labels x dims rows in
+    one partial-agg shuffle; the pairwise stage is a self-join of that
+    tiny relation on dim position (decimal dot products, engine-exact).
+    Corpus never sees a cross join."""
+    emb = fan_out(load_tables(spark, sf_dir)["embeddings"], spark)
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "e"))
+        .groupBy("label", "pos")
+        .agg(
+            F.round(
+                F.sum(F.col("e").cast("double").cast("decimal(18,9)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("v")
+        )
+    )
+    a = cent.select(F.col("label").alias("label_a"), "pos", F.col("v").alias("av"))
+    b = cent.select(F.col("label").alias("label_b"), F.col("pos").alias("pos_b"), F.col("v").alias("bv"))
+    dec = lambda c: c.cast("decimal(20,12)")  # noqa: E731
+    pairs = (
+        a.join(b, (a["pos"] == b["pos_b"]) & (a["label_a"] < b["label_b"]))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(dec(F.col("av") * F.col("bv"))).cast("double").alias("dot_ab"),
+            F.sum(dec(F.col("av") * F.col("av"))).cast("double").alias("dot_aa"),
+            F.sum(dec(F.col("bv") * F.col("bv"))).cast("double").alias("dot_bb"),
+        )
+    )
+    return pairs.select(
+        "label_a", "label_b",
+        F.round(
+            F.col("dot_ab") / F.sqrt(F.col("dot_aa")) / F.sqrt(F.col("dot_bb")), 6
+        ).alias("cos_sim"),
+    )
+
+
+_SURVIVORSHIP_ORACLE = """
+WITH ranked AS (
+  SELECT source,
+         row_number() OVER (PARTITION BY md5(text)
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents
+)
+SELECT source,
+       count(*) AS total_docs,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+       round(CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+         AS retention
+FROM ranked GROUP BY source
+"""
+
+
+@query("text_dedup_survivorship", oracle=_SURVIVORSHIP_ORACLE)
+def q_text_dedup_survivorship(spark, sf_dir):
+    """Per-source survivorship report of exact keep-best dedup — the
+    accountability table (who lost how much to dedup?) every corpus
+    release ships.  Same digest-shuffle row_number plan as
+    dedup_keep_best (one shuffle on the digest), then a 20-row source
+    rollup; integer sums cast BIGINT for the oracle hash (HUGEINT
+    rule)."""
+    from pyspark.sql import Window as W
+
+    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    w = W.partitionBy(F.md5("text")).orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    ranked = docs.select("source", F.row_number().over(w).alias("rn"))
+    kept = F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("total_docs"),
+        kept.cast("bigint").alias("kept_docs"),
+        F.round(kept.cast("double") / F.count(F.lit(1)), 6).alias("retention"),
+    )
+
+
+_LANG_BALANCE_ORACLE = r"""
+WITH t AS (
+  SELECT lang,
+         CAST(SUM(len(regexp_split_to_array(trim(lower(text)), '\s+'))) AS BIGINT)
+           AS tokens
+  FROM documents GROUP BY lang
+), tot AS (SELECT CAST(SUM(tokens) AS DOUBLE) AS total FROM t),
+w(lang, target) AS (
+  VALUES ('en', 0.40), ('es', 0.15), ('fr', 0.15), ('de', 0.15), ('zh', 0.15)
+)
+SELECT t.lang, t.tokens,
+       round(t.tokens / tot.total, 6) AS actual_share,
+       CAST(w.target AS DOUBLE) AS target_share,
+       round(least(1.0, CAST(w.target AS DOUBLE) / (t.tokens / tot.total)), 6)
+         AS sample_rate
+FROM t JOIN w ON t.lang = w.lang CROSS JOIN tot
+"""
+
+
+@query("corpus_lang_balance", oracle=_LANG_BALANCE_ORACLE)
+def q_corpus_lang_balance(spark, sf_dir):
+    """Language rebalancing plan: per-language token share vs target mix
+    and the downsampling rate that achieves it (rate = min(1,
+    target/actual)) — the step between corpus stats and corpus_assemble.
+    One token-count shuffle on the 5-value lang key; the target mix and
+    the 1-row total both broadcast."""
+    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    t = docs.groupBy("lang").agg(
+        F.sum(F.size(F.split(F.trim(F.lower("text")), r"\s+"))).cast("bigint").alias("tokens")
+    )
+    tot = t.agg(F.sum("tokens").cast("double").alias("total"))
+    targets = docs.sparkSession.createDataFrame(
+        [("en", 0.40), ("es", 0.15), ("fr", 0.15), ("de", 0.15), ("zh", 0.15)],
+        "lang string, target_share double",
+    )
+    share = F.col("tokens") / F.col("total")
+    return (
+        t.join(F.broadcast(targets), "lang")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang", "tokens",
+            F.round(share, 6).alias("actual_share"),
+            "target_share",
+            F.round(F.least(F.lit(1.0), F.col("target_share") / share), 6).alias("sample_rate"),
+        )
+    )
