@@ -1143,3 +1143,134 @@ def q_win_cumulative_share(spark, sf_dir):
             6,
         ).alias("cum_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 5b: the final three TPC-H shapes (Q6/Q12/Q16) — with these the full
+# 22-query dash is represented (Q6 straight filter-agg, Q12 fact-fact join
+# with conditional aggregation, Q16 distinct-count with an anti-joined
+# exclusion list).  The testdata has no l_shipmode/l_commitdate or partsupp,
+# so Q12 groups by l_returnflag (the lineitem categorical that survives) and
+# Q16 derives part-supplier pairs from lineitem, per the Q2/Q17/Q20 precedent
+# above.
+# ---------------------------------------------------------------------------
+
+_FORECAST_REVENUE_ORACLE = """
+SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.04 AND 0.06
+  AND l_quantity < 24
+"""
+
+
+@query("tpch_forecast_revenue", oracle=_FORECAST_REVENUE_ORACLE)
+def q_tpch_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: revenue increase from eliminating a discount band.
+    The simplest fact query in the dash and the purest pushdown test: all
+    three predicates and both referenced columns must reach the parquet
+    scan (PushedFilters + 4-column ReadSchema), then a single partial-agg
+    collapse — no shuffle of row data at all, only the one-row partials.
+    The sum stays DECIMAL until the final double cast (parity rules)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & F.col("l_discount").between(0.04, 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(dec("l_extendedprice") * dec("l_discount")).cast("double"), 4
+            ).alias("revenue")
+        )
+    )
+
+
+_SHIPMODE_PRIORITY_ORACLE = """
+SELECT l.l_returnflag AS ship_group,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l.l_returnflag
+"""
+
+
+@query("tpch_shipmode_priority", oracle=_SHIPMODE_PRIORITY_ORACLE)
+def q_tpch_shipmode_priority(spark, sf_dir):
+    """TPC-H Q12 shape: did critical-priority orders ship through each
+    channel?  (The testdata carries no l_shipmode, so l_returnflag is the
+    shipping-channel categorical.)  A fact-fact equi-join on l_orderkey —
+    the year filter prunes lineitem FIRST so the shuffle carries one year,
+    and the priority flag folds into two conditional SUMs (one pass, no
+    pivot).  At 100 TB both sides shuffle on orderkey; AQE coalesces the
+    post-filter side.  Conditional aggregation beats a pivot here because
+    the category set is fixed at plan time."""
+    li, od = _t(spark, sf_dir, "lineitem", "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .join(od, li["l_orderkey"] == od["o_orderkey"])
+        .groupBy(F.col("l_returnflag").alias("ship_group"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+_SUPPLIER_PART_COUNT_ORACLE = """
+WITH excl AS (
+  SELECT s_suppkey FROM supplier WHERE s_acctbal < 2000
+), pairs AS (
+  SELECT DISTINCT l.l_partkey, l.l_suppkey
+  FROM lineitem l
+  WHERE l.l_suppkey NOT IN (SELECT s_suppkey FROM excl)
+)
+SELECT p.p_brand, p.p_type, p.p_size,
+       count(*) AS supplier_cnt
+FROM (SELECT l_partkey, l_suppkey FROM pairs) pr
+JOIN part p ON pr.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#11' AND p.p_type <> 'PROMO'
+GROUP BY p.p_brand, p.p_type, p.p_size
+"""
+
+
+@query("tpch_supplier_part_count", oracle=_SUPPLIER_PART_COUNT_ORACLE)
+def q_tpch_supplier_part_count(spark, sf_dir):
+    """TPC-H Q16 shape: how many suppliers can furnish each surviving
+    (brand, type, size) bucket, excluding flagged suppliers.  Part-
+    supplier pairs derive from lineitem (no partsupp table): distinct
+    (partkey, suppkey) FIRST — that groupBy collapses the fact to the
+    pair universe before any dim work — then a broadcast anti-join drops
+    the excluded suppliers and a broadcast join brings the part
+    attributes.  Each pair is distinct already, so the per-bucket
+    supplier count is a plain count(*), not a second countDistinct —
+    one Expand-free aggregation cascade (the same two-level-star trick
+    as win_running_distinct above)."""
+    li, pa, su = _t(spark, sf_dir, "lineitem", "part", "supplier")
+    excl = su.filter(F.col("s_acctbal") < 2000).select("s_suppkey")
+    pairs = (
+        li.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(excl), li["l_suppkey"] == excl["s_suppkey"], "left_anti")
+        .distinct()
+    )
+    pf = pa.filter(
+        (F.col("p_brand") != "Brand#11") & (F.col("p_type") != "PROMO")
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        pairs.join(F.broadcast(pf), pairs["l_partkey"] == pf["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count("*").alias("supplier_cnt"))
+    )

@@ -356,3 +356,42 @@ def test_top_supplier_scalar_is_broadcast_one_row(spark):
     assert plan.count("BroadcastHashJoin") >= 2, plan  # scalar + supplier dim
     assert "SortMergeJoin" not in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_forecast_revenue_full_pushdown(spark):
+    """Q6 is the purest pushdown probe: every predicate column reaches the
+    scan as a pushed filter, and ReadSchema carries only the four columns
+    the query touches — no full-width fact read."""
+    from pulsar_ingestion_spark.queries_tpch import q_tpch_forecast_revenue
+
+    plan = _plan(q_tpch_forecast_revenue(spark, SF))
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m, plan
+    pushed = m.group(1)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, (col, pushed)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}, cols
+
+
+def test_shipmode_priority_filters_before_join(spark):
+    """Q12's year filter must prune lineitem at the scan (pushed), so the
+    orderkey shuffle carries one year of the fact, not all of it."""
+    from pulsar_ingestion_spark.queries_tpch import q_tpch_shipmode_priority
+
+    plan = _plan(q_tpch_shipmode_priority(spark, SF))
+    assert re.search(r"PushedFilters: \[[^\]]*l_shipdate", plan), plan
+    # conditional aggregation, not a pivot: exactly one Expand-free agg pair
+    assert "Expand" not in plan
+
+
+def test_supplier_part_count_anti_join_is_broadcast(spark):
+    """Q16: the exclusion list and the part dim are broadcast; the distinct
+    pair collapse is the only fact shuffle."""
+    from pulsar_ingestion_spark.queries_tpch import q_tpch_supplier_part_count
+
+    plan = _plan(q_tpch_supplier_part_count(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert re.search(r"BroadcastHashJoin[^\n]*LeftAnti", plan), plan
+    assert "SortMergeJoin" not in plan

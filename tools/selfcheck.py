@@ -64,6 +64,17 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> tuple
     issues = []
     for c in a.columns:
         av, bv = a[c], b[c]
+        # Driver mirror (round-5 hardening): the driver hashes raw values, so
+        # an integer Spark column vs a float oracle column (DuckDB HUGEINT →
+        # pandas float64, e.g. an uncast SUM(CASE…)) hash-mismatches even
+        # when every value is numerically equal.  Reject the dtype-class
+        # skew itself — the fix is a CAST(... AS BIGINT) in the oracle.
+        if pd.api.types.is_float_dtype(av) != pd.api.types.is_float_dtype(bv):
+            issues.append(
+                f"col {c}: dtype class differs (spark={av.dtype} vs duck={bv.dtype}) "
+                "— driver hash would mismatch; CAST the oracle column"
+            )
+            continue
         if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
             avf = pd.to_numeric(av, errors="coerce")
             bvf = pd.to_numeric(bv, errors="coerce")
