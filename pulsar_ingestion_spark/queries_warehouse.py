@@ -1,0 +1,290 @@
+"""Warehouse data-management idioms: slowly-changing dimensions, snapshot
+diffing, and data-quality audits.
+
+Round-5 family.  The reference's ingestion pipeline lands telemetry into
+per-tenant warehouse directories (processors/filterer — see
+docs/architecture.md:113-118 for the downstream dimension model); the
+queries its consumers run next are not only rollups but the *management*
+of those tables: point-in-time dimension lookups (SCD2), day-over-day
+snapshot diffs, and the referential / constraint audits every landing
+zone schedules.  Each query here is the Spark-first form of one of those
+idioms, with the deterministic synthesis of versions/snapshots spelled
+out arithmetically so the DuckDB oracle reproduces it bit-for-bit.
+
+Scale notes (100 TB): SCD2 lookup is an equi-join on the natural key with
+a residual date-range predicate — the join shuffles on the key alone, so
+it behaves exactly like the plain dim join (broadcast when the dim side
+is small).  Snapshot diff is one full-outer join on the primary key —
+the unavoidable shuffle — with change classification as a narrow
+projection on top.  Both audits are single-scan: the constraint audit
+folds every rule into one aggregate pass (no per-rule scans), and the
+orphan checks are broadcast anti-joins against filtered parents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pulsar_ingestion_spark.registry import query
+from pulsar_ingestion_spark.session import load_tables
+
+
+def _t(spark, sf_dir, *names):
+    tabs = load_tables(spark, sf_dir)
+    return tuple(tabs[n] for n in names)
+
+
+# ---------------------------------------------------------------------------
+# SCD2 point-in-time join
+# ---------------------------------------------------------------------------
+
+# Deterministic version split: every customer has two SCD2 versions with the
+# boundary at 1995-01-01 + (c_custkey * 2654435761 mod 2147483647) mod 2000
+# days (Knuth multiplicative hash — exact in BIGINT on both engines).
+# Version 1 carries segment 'LEGACY'; version 2 the real c_mktsegment.
+_SCD2_ORACLE = """
+WITH dim AS (
+  SELECT c_custkey,
+         DATE '1995-01-01' + CAST((c_custkey * 2654435761) % 2147483647 % 2000 AS INTEGER)
+           AS split_date
+  FROM customer
+), v AS (
+  SELECT c_custkey, DATE '1992-01-01' AS valid_from, split_date AS valid_to,
+         'LEGACY' AS segment
+  FROM dim
+  UNION ALL
+  SELECT d.c_custkey, d.split_date, DATE '9999-12-31', c.c_mktsegment
+  FROM dim d JOIN customer c ON d.c_custkey = c.c_custkey
+)
+SELECT v.segment,
+       count(*) AS order_cnt,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM orders o
+JOIN v ON o.o_custkey = v.c_custkey
+      AND CAST(o.o_orderdate AS DATE) >= v.valid_from
+      AND CAST(o.o_orderdate AS DATE) < v.valid_to
+GROUP BY v.segment
+"""
+
+
+@query("scd2_point_in_time", oracle=_SCD2_ORACLE)
+def q_scd2_point_in_time(spark, sf_dir):
+    """Point-in-time (SCD type 2) dimension lookup: each order joins the
+    customer version that was valid ON ITS ORDER DATE.  The join is an
+    equi-join on the natural key with the validity interval as a residual
+    range predicate — Spark shuffles (or broadcasts) on c_custkey exactly
+    as it would for the plain dim join; the interval check never becomes
+    a cross product.  Revenue per dimension attribute then proves each
+    fact row matched exactly one version.  Versions are synthesized
+    deterministically (Knuth hash split date) so the oracle reproduces
+    the dim table."""
+    od, cu = _t(spark, sf_dir, "orders", "customer")
+    dim = cu.select(
+        "c_custkey",
+        F.date_add(
+            F.lit("1995-01-01").cast("date"),
+            ((F.col("c_custkey") * F.lit(2654435761)) % 2147483647 % 2000).cast("int"),
+        ).alias("split_date"),
+        "c_mktsegment",
+    )
+    v1 = dim.select(
+        "c_custkey",
+        F.lit("1992-01-01").cast("date").alias("valid_from"),
+        F.col("split_date").alias("valid_to"),
+        F.lit("LEGACY").alias("segment"),
+    )
+    v2 = dim.select(
+        "c_custkey",
+        F.col("split_date").alias("valid_from"),
+        F.lit("9999-12-31").cast("date").alias("valid_to"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    versions = v1.unionByName(v2)
+    odate = F.col("o_orderdate").cast("date")
+    return (
+        od.join(
+            F.broadcast(versions),
+            (od["o_custkey"] == versions["c_custkey"])
+            & (odate >= versions["valid_from"])
+            & (odate < versions["valid_to"]),
+        )
+        .groupBy("segment")
+        .agg(
+            F.count("*").alias("order_cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff
+# ---------------------------------------------------------------------------
+
+# Snapshot A = orders with o_orderkey % 5 <> 0; snapshot B = orders with
+# o_orderkey % 7 <> 0, with totalprice restated (+10%, exact decimal) where
+# o_orderkey % 11 = 0.  Deterministic, so both engines build identical
+# snapshots; the diff classifies every key.
+_SNAPSHOT_DIFF_ORACLE = """
+WITH a AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(o_totalprice AS DECIMAL(18,4)) AS price
+  FROM orders WHERE o_orderkey % 5 <> 0
+), b AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 11 = 0
+              THEN CAST(CAST(o_totalprice AS DECIMAL(18,4))
+                        * CAST(1.1 AS DECIMAL(18,4)) AS DECIMAL(18,4))
+              ELSE CAST(o_totalprice AS DECIMAL(18,4)) END AS price
+  FROM orders WHERE o_orderkey % 7 <> 0
+)
+SELECT change_type, count(*) AS key_cnt FROM (
+  SELECT CASE
+           WHEN a.o_orderkey IS NULL THEN 'inserted'
+           WHEN b.o_orderkey IS NULL THEN 'deleted'
+           WHEN a.price <> b.price OR a.o_orderstatus <> b.o_orderstatus
+             THEN 'updated'
+           ELSE 'unchanged'
+         END AS change_type
+  FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+) d
+GROUP BY change_type
+"""
+
+
+@query("table_snapshot_diff", oracle=_SNAPSHOT_DIFF_ORACLE)
+def q_table_snapshot_diff(spark, sf_dir):
+    """Day-over-day snapshot diff: classify every primary key across two
+    table versions as inserted / deleted / updated / unchanged.  ONE
+    full-outer join on the key (the only shuffle — both sides hash on
+    o_orderkey, so at 100 TB this is the canonical co-partitioned
+    merge), then change classification as a narrow CASE projection;
+    column comparison is explicit per-column (portable — no
+    engine-specific row hashes).  The CDC primitive behind every
+    incremental-load validator."""
+    (od,) = _t(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,4)")
+    a = od.filter(F.col("o_orderkey") % 5 != 0).select(
+        F.col("o_orderkey").alias("a_key"),
+        F.col("o_orderstatus").alias("a_status"),
+        price.alias("a_price"),
+    )
+    b = od.filter(F.col("o_orderkey") % 7 != 0).select(
+        F.col("o_orderkey").alias("b_key"),
+        F.col("o_orderstatus").alias("b_status"),
+        F.when(F.col("o_orderkey") % 11 == 0, (price * F.lit(1.1).cast("decimal(18,4)")).cast("decimal(18,4)"))
+        .otherwise(price)
+        .alias("b_price"),
+    )
+    diff = a.join(b, a["a_key"] == b["b_key"], "full_outer").select(
+        F.when(F.col("a_key").isNull(), "inserted")
+        .when(F.col("b_key").isNull(), "deleted")
+        .when(
+            (F.col("a_price") != F.col("b_price"))
+            | (F.col("a_status") != F.col("b_status")),
+            "updated",
+        )
+        .otherwise("unchanged")
+        .alias("change_type")
+    )
+    return diff.groupBy("change_type").agg(F.count("*").alias("key_cnt"))
+
+
+# ---------------------------------------------------------------------------
+# Data-quality audits
+# ---------------------------------------------------------------------------
+
+_ORPHAN_ORACLE = """
+SELECT 'lineitem->orders' AS fk, count(*) AS orphans
+FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'lineitem->part_active', count(*)
+FROM lineitem l WHERE NOT EXISTS (
+  SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey AND p.p_size <= 25)
+UNION ALL
+SELECT 'lineitem->supplier', count(*)
+FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+UNION ALL
+SELECT 'orders->customer', count(*)
+FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+"""
+
+
+@query("dq_orphan_check", oracle=_ORPHAN_ORACLE)
+def q_dq_orphan_check(spark, sf_dir):
+    """Referential-integrity audit: orphan counts for each foreign key in
+    the star, including one against a FILTERED parent ('active' parts,
+    p_size <= 25) so drift shows up as a nonzero row.  Each check is a
+    broadcast anti-join (the parent key set is the small side — at 100 TB
+    parents that outgrow broadcast fall back to a shuffled anti-join on
+    the key, still one pass per edge); the four counts union into a
+    single audit report."""
+    li, od, pa, su, cu = _t(spark, sf_dir, "lineitem", "orders", "part", "supplier", "customer")
+
+    def orphans(child, child_key, parent, parent_key, label):
+        p = parent.select(parent_key)
+        return (
+            child.join(F.broadcast(p), child[child_key] == p[parent_key], "left_anti")
+            .agg(F.count("*").alias("orphans"))
+            .select(F.lit(label).alias("fk"), "orphans")
+        )
+
+    checks = [
+        orphans(li, "l_orderkey", od, "o_orderkey", "lineitem->orders"),
+        orphans(li, "l_partkey", pa.filter(F.col("p_size") <= 25), "p_partkey",
+                "lineitem->part_active"),
+        orphans(li, "l_suppkey", su, "s_suppkey", "lineitem->supplier"),
+        orphans(od, "o_custkey", cu, "c_custkey", "orders->customer"),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+_CONSTRAINT_ORACLE = """
+WITH agg AS (
+  SELECT
+    count(*) AS checked,
+    CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS qty_range,
+    CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.08 THEN 1 ELSE 0 END) AS BIGINT) AS discount_cap,
+    CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS shipdate_null,
+    CAST(SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS price_positive,
+    CAST(SUM(CASE WHEN l_tax < 0 OR l_tax > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS tax_cap
+  FROM lineitem
+)
+SELECT rule, violations, checked FROM (
+  SELECT 'qty_range' AS rule, qty_range AS violations, checked FROM agg
+  UNION ALL SELECT 'discount_cap', discount_cap, checked FROM agg
+  UNION ALL SELECT 'shipdate_null', shipdate_null, checked FROM agg
+  UNION ALL SELECT 'price_positive', price_positive, checked FROM agg
+  UNION ALL SELECT 'tax_cap', tax_cap, checked FROM agg
+) u
+"""
+
+
+@query("dq_constraint_audit", oracle=_CONSTRAINT_ORACLE)
+def q_dq_constraint_audit(spark, sf_dir):
+    """Constraint audit, single-pass: five range/null rules over the fact
+    evaluated as conditional SUMs in ONE aggregation (one scan of 100 TB,
+    not five), then unpivoted to a rule-per-row report with the checked
+    denominator.  Two rules are deliberately tighter than the data
+    (discount <= 0.08, tax <= 0.05) so the report carries nonzero
+    violation counts."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+
+    def viol(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+
+    agg = li.agg(
+        F.count("*").alias("checked"),
+        viol((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).alias("qty_range"),
+        viol((F.col("l_discount") < 0) | (F.col("l_discount") > 0.08)).alias("discount_cap"),
+        viol(F.col("l_shipdate").isNull()).alias("shipdate_null"),
+        viol(F.col("l_extendedprice") <= 0).alias("price_positive"),
+        viol((F.col("l_tax") < 0) | (F.col("l_tax") > 0.05)).alias("tax_cap"),
+    )
+    rules = ["qty_range", "discount_cap", "shipdate_null", "price_positive", "tax_cap"]
+    stack_expr = "stack({n}, {args}) as (rule, violations)".format(
+        n=len(rules), args=", ".join(f"'{r}', {r}" for r in rules)
+    )
+    return agg.select(F.expr(stack_expr), "checked")
