@@ -700,3 +700,135 @@ def q_events_pareto_share(spark, sf_dir):
             F.round(F.col("events").cast("double") / F.col("tot"), 6).alias("share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 5b: attribution II + conversion latency — the remaining everyday
+# journey questions (position-based credit splitting and signup→purchase
+# latency) on the same one-window-pass discipline as the family above.
+# ---------------------------------------------------------------------------
+
+_ATTRIB_POSITION_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), fp AS (
+  SELECT user_id, min(rn) AS fp_rn FROM seq
+  WHERE event_type = 'purchase' GROUP BY user_id
+), touches AS (
+  SELECT s.user_id, s.event_type,
+         row_number() OVER (PARTITION BY s.user_id ORDER BY s.rn) AS pos,
+         count(*)     OVER (PARTITION BY s.user_id) AS n
+  FROM seq s JOIN fp ON s.user_id = fp.user_id
+  WHERE s.rn < fp.fp_rn AND s.event_type <> 'purchase'
+)
+SELECT event_type AS channel,
+       count(*) AS touch_cnt,
+       round(SUM(CASE WHEN n = 1 THEN 1.0
+                      WHEN pos = 1 OR pos = n THEN (CASE WHEN n = 2 THEN 0.5 ELSE 0.4 END)
+                      ELSE 0.2 / (n - 2) END), 6) AS credit
+FROM touches
+GROUP BY event_type
+"""
+
+
+@query("events_attribution_position", oracle=_ATTRIB_POSITION_ORACLE)
+def q_events_attribution_position(spark, sf_dir):
+    """Position-based (U-shaped) attribution: the touches preceding each
+    user's FIRST purchase share the conversion credit 40/20/40 — first
+    touch 0.4, last touch 0.4, the middle splits 0.2 evenly (degenerate
+    journeys: one touch takes 1.0, two touches 0.5 each).  Two user-key
+    window passes (journey sequencing, then touch position/count) and one
+    broadcast-joinable first-purchase marker — no self-join of the fact
+    against itself, so state per user stays O(1) at any journey length.
+    Credit sums are simple dyadic rationals plus 0.2/(n-2) computed with
+    the identical division on both engines, rounded at 6."""
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select("user_id", "event_type", F.row_number().over(w).alias("rn"))
+    fp = (
+        seq.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("user_id").alias("fp_user"))
+        .agg(F.min("rn").alias("fp_rn"))
+    )
+    touches = (
+        seq.join(fp, (seq["user_id"] == fp["fp_user"]) & (seq["rn"] < fp["fp_rn"]))
+        .filter(F.col("event_type") != "purchase")
+        .select(
+            "user_id", "event_type",
+            F.row_number().over(Window.partitionBy("user_id").orderBy("rn")).alias("pos"),
+            F.count("*").over(Window.partitionBy("user_id")).alias("n"),
+        )
+    )
+    credit = (
+        F.when(F.col("n") == 1, F.lit(1.0))
+        .when(
+            (F.col("pos") == 1) | (F.col("pos") == F.col("n")),
+            F.when(F.col("n") == 2, 0.5).otherwise(0.4),
+        )
+        .otherwise(F.lit(0.2) / (F.col("n") - 2))
+    )
+    return touches.groupBy(F.col("event_type").alias("channel")).agg(
+        F.count("*").alias("touch_cnt"),
+        F.round(F.sum(credit), 6).alias("credit"),
+    )
+
+
+_TIME_TO_CONVERT_ORACLE = """
+WITH su AS (
+  SELECT user_id, min(epoch_ms(ts)) AS signup_ms
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+), conv AS (
+  SELECT su.user_id, su.signup_ms, min(epoch_ms(e.ts)) AS purchase_ms
+  FROM su JOIN events e ON e.user_id = su.user_id
+  WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) >= su.signup_ms
+  GROUP BY su.user_id, su.signup_ms
+)
+SELECT (SELECT count(*) FROM su) AS n_signups,
+       count(*) AS n_converted,
+       round(CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM su), 6) AS conv_rate,
+       round(CAST(quantile_cont(purchase_ms - signup_ms, 0.5) AS DOUBLE), 4) AS p50_ms,
+       round(CAST(quantile_cont(purchase_ms - signup_ms, 0.9) AS DOUBLE), 4) AS p90_ms
+FROM conv
+"""
+
+
+@query("events_time_to_convert", oracle=_TIME_TO_CONVERT_ORACLE)
+def q_events_time_to_convert(spark, sf_dir):
+    """Signup→purchase conversion latency: per signed-up user, the gap
+    from first signup to the first purchase at-or-after it, summarized as
+    conversion rate + exact interpolated latency percentiles.  Both
+    'firsts' are min-aggregations on the user key (one shuffle each,
+    map-side combined), the conversion join is user-keyed, and the
+    percentile input is |converted users| rows — the funnel-latency
+    report at corpus scale.  The scalar signup count joins back as a
+    broadcast literal relation (decorrelated, like the TPC-H Q22 shape)."""
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_millis("ts")).alias("signup_ms"))
+    )
+    pu = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.unix_millis("ts").alias("p_ms")
+    )
+    conv = (
+        su.join(pu, (su["user_id"] == pu["p_user"]) & (pu["p_ms"] >= su["signup_ms"]))
+        .groupBy("user_id", "signup_ms")
+        .agg(F.min("p_ms").alias("purchase_ms"))
+    )
+    n_signups = su.agg(F.count("*").alias("n_signups"))
+    return (
+        conv.agg(
+            F.count("*").alias("n_converted"),
+            F.round(F.expr("percentile(purchase_ms - signup_ms, 0.5)"), 4).alias("p50_ms"),
+            F.round(F.expr("percentile(purchase_ms - signup_ms, 0.9)"), 4).alias("p90_ms"),
+        )
+        .crossJoin(F.broadcast(n_signups))
+        .select(
+            "n_signups", "n_converted",
+            F.round(F.col("n_converted").cast("double") / F.col("n_signups"), 6).alias("conv_rate"),
+            "p50_ms", "p90_ms",
+        )
+    )

@@ -1122,3 +1122,97 @@ def q_ts_seasonal_profile(spark, sf_dir):
         (F.sum(F.col("value").cast("decimal(18,4)")).cast("double") / F.count("*"))
         .alias("avg_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 5b: lag-k autocorrelation — the seasonality/persistence diagnostic
+# that rounds out the TS ML feature family (lag features, MAD outliers,
+# CUSUM, seasonal profile are round 4 above).
+# ---------------------------------------------------------------------------
+
+_TS_AUTOCORR_ORACLE = """
+WITH hourly AS (
+  SELECT event_type,
+         CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS h,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2
+), ks AS (
+  SELECT unnest([1, 2, 3]) AS k
+), pairs AS (
+  SELECT cur.event_type, ks.k,
+         CAST(prev.cnt AS BIGINT) AS x, CAST(cur.cnt AS BIGINT) AS y
+  FROM hourly cur
+  CROSS JOIN ks
+  JOIN hourly prev ON prev.event_type = cur.event_type AND prev.h = cur.h - ks.k
+), sums AS (
+  SELECT event_type, k,
+         count(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sx2, CAST(SUM(y * y) AS BIGINT) AS sy2
+  FROM pairs GROUP BY event_type, k
+)
+SELECT event_type, k, n,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+             6) AS acf
+FROM sums
+"""
+
+
+@query("ts_autocorr", oracle=_TS_AUTOCORR_ORACLE)
+def q_ts_autocorr(spark, sf_dir):
+    """Lag-k autocorrelation (k = 1..3) of each event type's hourly
+    volume.  The series is the post-aggregate (type, hour) rollup — one
+    fact shuffle — and lag alignment is an equi-join on (type, h-k)
+    rather than a window, so calendar gaps pair nothing instead of
+    silently pairing non-adjacent hours.  The correlation is computed
+    from integer-exact moment sums (counts are BIGINT, so every partial
+    sum is exact and order-independent) with the Pearson formula applied
+    once in double on both engines — no float accumulation drift, no
+    corr() implementation skew.  Series and output are model-sized at
+    any corpus scale."""
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    hourly = (
+        ev.groupBy(
+            "event_type",
+            (F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / F.lit(3600))
+            .cast("bigint")
+            .alias("h"),
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    ks = spark.range(1, 4).select(F.col("id").cast("bigint").alias("k"))
+    cur = hourly.select(
+        F.col("event_type").alias("c_type"), F.col("h").alias("c_h"),
+        F.col("cnt").cast("bigint").alias("y"),
+    ).crossJoin(F.broadcast(ks))
+    prev = hourly.select(
+        F.col("event_type").alias("p_type"), F.col("h").alias("p_h"),
+        F.col("cnt").cast("bigint").alias("x"),
+    )
+    pairs = cur.join(
+        prev,
+        (F.col("p_type") == F.col("c_type")) & (F.col("p_h") == F.col("c_h") - F.col("k")),
+    )
+    sums = pairs.groupBy(F.col("c_type").alias("event_type"), "k").agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sx2"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("sy2"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return sums.select(
+        "event_type", "k", "n",
+        F.round(
+            (d("n") * d("sxy") - d("sx") * d("sy"))
+            / (
+                F.sqrt(d("n") * d("sx2") - d("sx") * d("sx"))
+                * F.sqrt(d("n") * d("sy2") - d("sy") * d("sy"))
+            ),
+            6,
+        ).alias("acf"),
+    )
