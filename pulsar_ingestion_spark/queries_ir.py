@@ -442,3 +442,168 @@ def q_text_code_detect(spark, sf_dir):
         (F.col("sym_ratio") > 0.02)
         & ((F.col("indent_frac") >= 0.1) | (F.col("kw_hits") >= 2)),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 5b: ranked retrieval (BM25) and corpus-contrast keyness — the two
+# IR scores a curation pipeline reaches for right after TF-IDF.
+# ---------------------------------------------------------------------------
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TERMS = ("spark", "hash", "stream")
+_BM25_TOPK = 15
+
+_BM25_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM dl
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM tok
+  WHERE token IN ('spark', 'hash', 'stream')
+  GROUP BY doc_id, token
+), df AS (
+  SELECT token, count(*) AS df FROM tf GROUP BY token
+), scored AS (
+  SELECT tf.doc_id,
+         SUM(ln(1.0 + (CAST(s.n_docs AS DOUBLE) - df.df + 0.5) / (df.df + 0.5))
+             * (tf.tf * ({_BM25_K1} + 1.0))
+             / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / s.avgdl)))
+           AS score
+  FROM tf
+  JOIN df ON tf.token = df.token
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 6) AS bm25
+FROM scored
+ORDER BY round(score, 6) DESC, doc_id ASC
+LIMIT {_BM25_TOPK}
+"""
+
+
+@query("text_bm25_topk", oracle=_BM25_ORACLE)
+def q_text_bm25_topk(spark, sf_dir):
+    """BM25 ranked retrieval for a fixed conjunctive query
+    ({terms}): top-{k} documents by Okapi score (k1={k1}, b={b}).
+    Token stats follow the TF-IDF plan above — tf is filtered to the
+    query terms BEFORE aggregation (the scan prunes to a |terms|·|docs|
+    relation, not the full token stream), (token, df) and the scalar
+    (N, avgdl) sides broadcast, and the final top-k orders by the
+    ROUNDED score with a doc_id tie-break so ranking is engine-stable.
+    The doc-length side is the only second corpus aggregation, shared
+    with the average via one shuffle on doc_id.""".format(
+        terms="/".join(_BM25_TERMS), k=_BM25_TOPK, k1=_BM25_K1, b=_BM25_B
+    )
+    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    tok = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        tok.filter(F.col("token").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    idf = F.log(
+        1.0 + (F.col("n_docs").cast("double") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .join(dl.withColumnRenamed("doc_id", "dl_doc"), F.col("doc_id") == F.col("dl_doc"))
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * (F.col("tf") * (_BM25_K1 + 1.0)) / denom).alias("score"))
+    )
+    return (
+        scored.select("doc_id", F.round("score", 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(_BM25_TOPK)
+    )
+
+
+_KEYNESS_TOPK = 20
+
+_KEYNESS_ORACLE = f"""
+WITH tok AS (
+  SELECT CASE WHEN lang = 'en' THEN 'A' ELSE 'B' END AS corpus,
+         unnest(string_split(text, ' ')) AS token
+  FROM documents
+), freq AS (
+  SELECT token,
+         CAST(SUM(CASE WHEN corpus = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN corpus = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS b
+  FROM tok GROUP BY token
+), tot AS (
+  SELECT CAST(SUM(a) AS BIGINT) AS c, CAST(SUM(b) AS BIGINT) AS d FROM freq
+), g2 AS (
+  SELECT f.token, f.a, f.b,
+         2.0 * (f.a * ln(CAST(f.a AS DOUBLE) * (t.c + t.d) / (CAST(t.c AS DOUBLE) * (f.a + f.b)))
+              + f.b * ln(CAST(f.b AS DOUBLE) * (t.c + t.d) / (CAST(t.d AS DOUBLE) * (f.a + f.b))))
+           AS g2,
+         CASE WHEN CAST(f.a AS DOUBLE) / t.c >= CAST(f.b AS DOUBLE) / t.d
+              THEN 'A' ELSE 'B' END AS leans
+  FROM freq f CROSS JOIN tot t
+  WHERE f.a > 0 AND f.b > 0
+)
+SELECT token, a, b, round(g2, 6) AS keyness, leans
+FROM g2
+ORDER BY round(g2, 6) DESC, token ASC
+LIMIT {_KEYNESS_TOPK}
+"""
+
+
+@query("text_keyness_loglik", oracle=_KEYNESS_ORACLE)
+def q_text_keyness_loglik(spark, sf_dir):
+    """Log-likelihood (G2) keyness between two corpus slices (lang='en'
+    vs the rest): which tokens are over-represented in one slice.  One
+    token-stream aggregation produces both slice frequencies as
+    conditional sums (single shuffle on token — never one pass per
+    slice); the grand totals are a broadcast scalar; G2 is the standard
+    Dunning statistic computed once in double with identical association
+    on both engines, ranked by the rounded score with a token tie-break.
+    Tokens absent from either slice are excluded (their one-sided G2
+    term is degenerate) — the report targets CONTRASTS, not exclusives,
+    which corpus-mixture tuning reads separately."""
+    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    tok = docs.select(
+        F.when(F.col("lang") == "en", "A").otherwise("B").alias("corpus"),
+        F.explode(F.split(F.col("text"), " ")).alias("token"),
+    )
+    freq = tok.groupBy("token").agg(
+        F.sum(F.when(F.col("corpus") == "A", 1).otherwise(0)).cast("bigint").alias("a"),
+        F.sum(F.when(F.col("corpus") == "B", 1).otherwise(0)).cast("bigint").alias("b"),
+    )
+    tot = freq.agg(
+        F.sum("a").cast("bigint").alias("c"), F.sum("b").cast("bigint").alias("d")
+    )
+    ad = F.col("a").cast("double")
+    bd = F.col("b").cast("double")
+    cd = F.col("c").cast("double")
+    dd = F.col("d").cast("double")
+    nd = F.col("c") + F.col("d")
+    g2 = 2.0 * (
+        F.col("a") * F.log(ad * nd / (cd * (F.col("a") + F.col("b"))))
+        + F.col("b") * F.log(bd * nd / (dd * (F.col("a") + F.col("b"))))
+    )
+    return (
+        freq.filter((F.col("a") > 0) & (F.col("b") > 0))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "token", "a", "b",
+            F.round(g2, 6).alias("keyness"),
+            F.when(ad / F.col("c") >= bd / F.col("d"), "A").otherwise("B").alias("leans"),
+        )
+        .orderBy(F.col("keyness").desc(), F.col("token").asc())
+        .limit(_KEYNESS_TOPK)
+    )
