@@ -15,6 +15,7 @@ cell-wise add / word-wise OR, which is exactly what the final agg does.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from pulsar_ingestion_spark.registry import query
@@ -323,4 +324,143 @@ def q_join_bloom_pruned(spark, sf_dir):
     return exact.groupBy("c_mktsegment").agg(
         F.count("*").alias("n_customers"),
         F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double").alias("sum_acctbal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 5b: sketch MERGEABILITY proof + deterministic per-group reservoir.
+# Mergeability is the property that matters at 100 TB — per-partition /
+# per-day sketches must union by register max without rescanning the data.
+# ---------------------------------------------------------------------------
+
+_HLL_MERGE_SCOPES_SQL = f"""
+WITH h AS (
+  SELECT event_type,
+         CAST(('0x' || substring(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
+  FROM events
+), parts AS (
+  SELECT event_type, hv % {_HLL_M} AS bucket, hv // {_HLL_M} AS w FROM h
+), regs_g AS (
+  SELECT event_type, bucket, max({_RHO_CASE}) AS register
+  FROM parts GROUP BY event_type, bucket
+), regs_all AS (
+  SELECT event_type AS scope, bucket, register FROM regs_g
+  UNION ALL
+  SELECT 'MERGED', bucket, max(register) FROM regs_g GROUP BY bucket
+)
+SELECT scope,
+       CAST(count(*) AS BIGINT) AS buckets_used,
+       CAST(SUM(CAST(2 AS BIGINT) ** ({_HLL_WBITS + 1} - register)) AS BIGINT) AS sum_scaled
+FROM regs_all GROUP BY scope
+"""
+
+_HLL_MERGE_ORACLE = f"""
+WITH s AS ({_HLL_MERGE_SCOPES_SQL})
+SELECT scope, buckets_used,
+       round(CASE WHEN raw_est <= 2.5 * {_HLL_M} AND buckets_used < {_HLL_M}
+                  THEN {_HLL_M} * ln(CAST({_HLL_M} AS DOUBLE) / ({_HLL_M} - buckets_used))
+                  ELSE raw_est END, 4) AS hll_estimate
+FROM (
+  SELECT scope, buckets_used,
+         CAST({_HLL_ALPHA} AS DOUBLE) * {_HLL_M * _HLL_M} * (CAST(2 AS BIGINT) ** {_HLL_WBITS + 1})
+           / (sum_scaled + ({_HLL_M} - buckets_used) * (CAST(2 AS BIGINT) ** {_HLL_WBITS + 1}))
+           AS raw_est
+  FROM s
+) t
+"""
+
+
+@query("sketch_hll_merge", oracle=_HLL_MERGE_ORACLE)
+def q_sketch_hll_merge(spark, sf_dir):
+    """HLL mergeability: per-event-type register sets union into one
+    global sketch by register-wise MAX — the exact operation that lets
+    per-day / per-partition sketches at 100 TB combine without touching
+    the raw data again.  Output: each scope's (buckets_used, estimate)
+    plus the 'MERGED' row whose registers are max-merged from the five
+    group sketches, never rebuilt from events.  Same portable md5
+    register derivation, comparison-ladder rho, and integer-exact scaled
+    harmonic sum as sketch_hll_portable; linear-counting small-range
+    correction applied per scope."""
+    (ev,) = (load_tables(spark, sf_dir)[n] for n in ("events",))
+    h = ev.select(
+        "event_type",
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("hll:"), F.col("user_id").cast("string"))), 1, 8),
+            16, 10,
+        ).cast("bigint").alias("hv"),
+    )
+    parts = h.select(
+        "event_type",
+        (F.col("hv") % _HLL_M).alias("bucket"),
+        F.expr(f"hv div {_HLL_M}").alias("w"),
+    )
+    regs_g = parts.groupBy("event_type", "bucket").agg(
+        F.expr(f"max({_RHO_CASE})").alias("register")
+    )
+    merged = regs_g.groupBy("bucket").agg(F.max("register").alias("register")).select(
+        F.lit("MERGED").alias("scope"), "bucket", "register"
+    )
+    regs_all = regs_g.select(
+        F.col("event_type").alias("scope"), "bucket", "register"
+    ).unionByName(merged)
+    two = F.lit(2).cast("bigint")
+    s = regs_all.groupBy("scope").agg(
+        F.count("*").cast("bigint").alias("buckets_used"),
+        F.sum(F.pow(two, F.lit(_HLL_WBITS + 1) - F.col("register")).cast("bigint"))
+        .cast("bigint").alias("sum_scaled"),
+    )
+    full_scale = int(2 ** (_HLL_WBITS + 1))
+    sum_full = (
+        F.col("sum_scaled") + (_HLL_M - F.col("buckets_used")) * F.lit(full_scale)
+    ).cast("bigint")
+    raw_est = F.lit(_HLL_ALPHA * _HLL_M * _HLL_M * float(full_scale)) / sum_full.cast("double")
+    zeros = F.lit(_HLL_M) - F.col("buckets_used")
+    linear = F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / zeros.cast("double"))
+    corrected = F.when((raw_est <= 2.5 * _HLL_M) & (zeros > 0), linear).otherwise(raw_est)
+    return s.select(
+        "scope", "buckets_used", F.round(corrected, 4).alias("hll_estimate")
+    )
+
+
+_RESERVOIR_K = 5
+
+_RESERVOIR_ORACLE = f"""
+WITH hashed AS (
+  SELECT event_type, event_id,
+         CAST(('0x' || substring(md5('rs:' || CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
+  FROM events
+), ranked AS (
+  SELECT event_type, event_id, hv,
+         row_number() OVER (PARTITION BY event_type ORDER BY hv, event_id) AS rn
+  FROM hashed
+)
+SELECT event_type, rn, event_id, hv FROM ranked WHERE rn <= {_RESERVOIR_K}
+"""
+
+
+@query("sample_reservoir_hash", oracle=_RESERVOIR_ORACLE)
+def q_sample_reservoir_hash(spark, sf_dir):
+    """Deterministic per-group reservoir: an exact-k uniform sample per
+    event type, selected as the k smallest portable hashes of the row
+    key (bottom-k sampling — the distributed equivalent of reservoir
+    sampling, and unlike Bernoulli sampling it guarantees EXACTLY k per
+    group).  Each executor keeps its local bottom-k, the shuffle carries
+    only candidates, and re-running on the same data reproduces the
+    identical sample — the reproducibility every training-data split
+    demands.  Complements sample_deterministic (Bernoulli by hash
+    threshold, fraction-sized) and sample_stratified (per-stratum
+    fractions)."""
+    (ev,) = (load_tables(spark, sf_dir)[n] for n in ("events",))
+    hashed = ev.select(
+        "event_type", "event_id",
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("rs:"), F.col("event_id").cast("string"))), 1, 8),
+            16, 10,
+        ).cast("bigint").alias("hv"),
+    )
+    w = Window.partitionBy("event_type").orderBy("hv", "event_id")
+    return (
+        hashed.select("event_type", "event_id", "hv", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= _RESERVOIR_K)
+        .select("event_type", "rn", "event_id", "hv")
     )
