@@ -235,3 +235,153 @@ def q_emb_residual_quantize(spark, sf_dir):
         F.round(F.array_max("abs_err"), 6).alias("max_abs_err"),
         F.round(mse, 10).alias("mse"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 5b: embedding-space evaluation — matryoshka-style prefix-dimension
+# recall and a per-dimension whitening/outlier audit.  These are the checks
+# a pipeline runs before committing to a cheaper representation.
+# ---------------------------------------------------------------------------
+
+_PREFIX_DIMS = 32
+_PREFIX_K = 5
+
+_KNN_DOT_ML = """list_reduce(list_prepend(0.0, list_transform(range(1, len({a})+1),
+  i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), (x,y) -> x+y)"""
+
+
+def _bf_cte(src: str, name: str) -> str:
+    return f"""{name}_scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         round({_KNN_DOT_ML.format(a='q.embedding', b='c.embedding')}
+           / (sqrt({_KNN_DOT_ML.format(a='q.embedding', b='q.embedding')})
+            * sqrt({_KNN_DOT_ML.format(a='c.embedding', b='c.embedding')})), 6) AS cos_sim
+  FROM {src} q JOIN {src} c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < 20
+),
+{name} AS (
+  SELECT query_id, cand_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, cand_id) AS rnk
+    FROM {name}_scored) WHERE rnk <= {_PREFIX_K}
+)"""
+
+
+_PREFIX_RECALL_ORACLE = f"""
+WITH pre AS (
+  SELECT vec_id, embedding[1:{_PREFIX_DIMS}] AS embedding FROM embeddings
+),
+{_bf_cte('embeddings', 'bf_full')},
+{_bf_cte('pre', 'bf_pre')},
+hits AS (
+  SELECT f.query_id, count(*) AS c
+  FROM bf_full f JOIN bf_pre p
+    ON f.query_id = p.query_id AND f.cand_id = p.cand_id
+  GROUP BY f.query_id
+)
+SELECT q.query_id,
+       round(CAST(coalesce(h.c, 0) AS DOUBLE) / {_PREFIX_K}.0, 6) AS recall_at_{_PREFIX_K}
+FROM (SELECT DISTINCT query_id FROM bf_full) q
+LEFT JOIN hits h ON q.query_id = h.query_id
+"""
+
+
+@query("emb_prefix_recall", oracle=_PREFIX_RECALL_ORACLE)
+def q_emb_prefix_recall(spark, sf_dir):
+    """Matryoshka-style truncation eval: recall@{k} of exact cosine
+    search on the FIRST {d} dimensions against exact search on the full
+    vector — the measurement that decides whether a pipeline can store /
+    shuffle half the bytes.  Both arms are the same broadcast-query
+    brute-force operator (query side is 20 rows; candidates stream), the
+    prefix arm truncates with a narrow slice() projection before any
+    join, and the overlap/report joins are on two 5-row-per-query
+    relations.  At 100 TB the candidate scan dominates and is one pass
+    per arm.""".format(k=_PREFIX_K, d=_PREFIX_DIMS)
+    from pulsar_ingestion_spark.operators.similarity import knn_bruteforce
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    pre = emb.select("vec_id", F.slice("embedding", 1, _PREFIX_DIMS).alias("embedding"))
+    q_full = emb.filter(F.col("vec_id") < 20)
+    q_pre = pre.filter(F.col("vec_id") < 20)
+    bf_full = knn_bruteforce(q_full, emb, k=_PREFIX_K).select("query_id", "cand_id")
+    bf_pre = knn_bruteforce(q_pre, pre, k=_PREFIX_K).select("query_id", "cand_id")
+    hits = bf_full.join(bf_pre, ["query_id", "cand_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        bf_full.select("query_id").distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.round(
+                F.coalesce(F.col("c"), F.lit(0)).cast("double") / float(_PREFIX_K), 6
+            ).alias(f"recall_at_{_PREFIX_K}"),
+        )
+    )
+
+
+_WHITEN_ORACLE = """
+WITH vals AS (
+  SELECT CAST(i - 1 AS INTEGER) AS pos, CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings, range(1, 65) r(i)
+), stats AS (
+  SELECT pos, count(*) AS n,
+         CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(v * v AS DECIMAL(28,12))) AS DOUBLE) AS sx2
+  FROM vals GROUP BY pos
+), derived AS (
+  SELECT pos, n, sx / n AS mean,
+         sqrt((sx2 - sx * sx / n) / (n - 1)) AS std
+  FROM stats
+)
+SELECT d.pos, d.n,
+       round(d.mean, 6) AS mean,
+       round(d.std, 6) AS std,
+       CAST(SUM(CASE WHEN abs(v.v - d.mean) > 3.0 * d.std THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM vals v JOIN derived d ON v.pos = d.pos
+GROUP BY d.pos, d.n, d.mean, d.std
+"""
+
+
+@query("emb_whiten_stats", oracle=_WHITEN_ORACLE)
+def q_emb_whiten_stats(spark, sf_dir):
+    """Per-dimension whitening audit: mean, sample std, and the |z| > 3
+    outlier count for each of the 64 embedding dimensions — the health
+    report run before standardizing a space (dead dims show std≈0,
+    corrupt batches show outlier spikes).  Pass 1 is a posexplode +
+    (dim)-keyed aggregation with DECIMAL-exact moment sums (order-
+    independent, so mean/std are bit-identical across engines); pass 2
+    re-streams the values against the broadcast 64-row stats relation to
+    count outliers.  Shuffle volume is dim-keyed both times — 64 keys
+    regardless of corpus size."""
+    emb = fan_out(load_tables(spark, sf_dir)["embeddings"], spark)
+    vals = emb.select(
+        F.posexplode("embedding").alias("pos", "v_raw")
+    ).select("pos", F.col("v_raw").cast("double").alias("v"))
+    dec = lambda c: c.cast("decimal(28,12)")  # noqa: E731
+    stats = vals.groupBy("pos").agg(
+        F.count("*").alias("n"),
+        F.sum(dec(F.col("v"))).cast("double").alias("sx"),
+        F.sum(dec(F.col("v") * F.col("v"))).cast("double").alias("sx2"),
+    )
+    derived = stats.select(
+        "pos", "n",
+        (F.col("sx") / F.col("n")).alias("mean"),
+        F.sqrt((F.col("sx2") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)).alias("std"),
+    )
+    return (
+        vals.join(F.broadcast(derived), "pos")
+        .groupBy("pos", "n", "mean", "std")
+        .agg(
+            F.sum(
+                F.when(F.abs(F.col("v") - F.col("mean")) > 3.0 * F.col("std"), 1).otherwise(0)
+            ).cast("bigint").alias("n_outliers")
+        )
+        .select(
+            "pos", "n",
+            F.round("mean", 6).alias("mean"),
+            F.round("std", 6).alias("std"),
+            "n_outliers",
+        )
+    )
