@@ -832,3 +832,58 @@ def q_events_time_to_convert(spark, sf_dir):
             "p50_ms", "p90_ms",
         )
     )
+
+
+_USER_OVERLAP_ORACLE = """
+WITH pres AS (
+  SELECT DISTINCT user_id, event_type FROM events
+), sizes AS (
+  SELECT event_type, count(*) AS n FROM pres GROUP BY event_type
+), inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS inter_cnt
+  FROM pres a JOIN pres b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type
+)
+SELECT i.type_a, i.type_b, sa.n AS n_a, sb.n AS n_b, i.inter_cnt,
+       round(CAST(i.inter_cnt AS DOUBLE) / (sa.n + sb.n - i.inter_cnt), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.type_a = sa.event_type
+JOIN sizes sb ON i.type_b = sb.event_type
+"""
+
+
+@query("events_user_overlap_jaccard", oracle=_USER_OVERLAP_ORACLE)
+def q_events_user_overlap_jaccard(spark, sf_dir):
+    """Audience overlap between event types: exact pairwise Jaccard of
+    the user sets behind each type.  The fact collapses FIRST to the
+    distinct (user, type) presence relation (one shuffle, ≤ |users| ×
+    |types| rows), the pair join is user-keyed with a type_a < type_b
+    residual (each user contributes at most C(|types|, 2) = 10 pairs —
+    bounded fan-out, never user × user), and the per-type sizes join
+    back broadcast.  The exact counterpart of MinHash set similarity:
+    at 100 TB you run this on the presence relation, or swap in the
+    registry's minhash operators when even that is too wide."""
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    pres = ev.select("user_id", "event_type").distinct()
+    sizes = pres.groupBy("event_type").agg(F.count("*").alias("n"))
+    a = pres.select("user_id", F.col("event_type").alias("type_a"))
+    b = pres.select(F.col("user_id").alias("user_b"), F.col("event_type").alias("type_b"))
+    inter = (
+        a.join(b, (a["user_id"] == b["user_b"]) & (F.col("type_a") < F.col("type_b")))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("inter_cnt"))
+    )
+    sa = sizes.select(F.col("event_type").alias("sa_type"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("sb_type"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), F.col("type_a") == F.col("sa_type"))
+        .join(F.broadcast(sb), F.col("type_b") == F.col("sb_type"))
+        .select(
+            "type_a", "type_b", "n_a", "n_b", "inter_cnt",
+            F.round(
+                F.col("inter_cnt").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter_cnt")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

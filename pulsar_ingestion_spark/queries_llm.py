@@ -1490,3 +1490,65 @@ def q_corpus_lang_balance(spark, sf_dir):
             F.round(F.least(F.lit(1.0), F.col("target_share") / share), 6).alias("sample_rate"),
         )
     )
+
+
+_URL_CANON_ORACLE = """
+WITH urls AS (
+  SELECT doc_id, source,
+         (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'http://' END)
+         || (CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END)
+         || '.example.com/page/' || CAST(doc_id // 4 AS VARCHAR)
+         || (CASE WHEN doc_id % 3 = 1 THEN '/' ELSE '' END)
+         || (CASE WHEN doc_id % 2 = 1 THEN '?utm_source=feed&id=' || CAST(doc_id // 4 AS VARCHAR)
+                  ELSE '' END)
+         || (CASE WHEN doc_id % 5 = 0 THEN '#section' ELSE '' END) AS url
+  FROM documents
+), canon AS (
+  SELECT doc_id, source, url,
+         rtrim(lower(string_split(string_split(url, '#')[1], '?')[1]), '/') AS canonical_url
+  FROM urls
+)
+SELECT source,
+       count(*) AS n_urls,
+       count(DISTINCT url) AS n_distinct_raw,
+       count(DISTINCT canonical_url) AS n_canonical
+FROM canon GROUP BY source
+"""
+
+
+@query("dedup_url_canonical", oracle=_URL_CANON_ORACLE)
+def q_dedup_url_canonical(spark, sf_dir):
+    """URL canonicalization dedup — the first pass of every web-crawl
+    pipeline: scheme/host case-folding, tracking-query stripping,
+    fragment removal, and trailing-slash normalization collapse the
+    superficially-distinct raw URLs onto canonical keys.  URLs are
+    synthesized deterministically from (doc_id, source) with four
+    injected variation classes, so the oracle rebuilds the same crawl
+    frontier; canonicalization itself is a narrow string projection
+    (split on '#', split on '?', lower, rtrim '/') — zero shuffle until
+    the per-source distinct counts, which at 100 TB are the standard
+    two-level distinct aggregation."""
+    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    half = F.expr("doc_id div 4").cast("string")
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, "HTTP://").otherwise("http://"),
+        F.when(F.col("doc_id") % 3 == 0, F.upper("source")).otherwise(F.col("source")),
+        F.lit(".example.com/page/"), half,
+        F.when(F.col("doc_id") % 3 == 1, "/").otherwise(""),
+        F.when(
+            F.col("doc_id") % 2 == 1, F.concat(F.lit("?utm_source=feed&id="), half)
+        ).otherwise(""),
+        F.when(F.col("doc_id") % 5 == 0, "#section").otherwise(""),
+    )
+    urls = docs.select("doc_id", "source", url.alias("url"))
+    canonical = F.regexp_replace(
+        F.lower(F.split_part(F.split_part(F.col("url"), F.lit("#"), F.lit(1)),
+                             F.lit("?"), F.lit(1))),
+        "/+$", "",
+    )
+    canon = urls.select("source", "url", canonical.alias("canonical_url"))
+    return canon.groupBy("source").agg(
+        F.count("*").alias("n_urls"),
+        F.countDistinct("url").alias("n_distinct_raw"),
+        F.countDistinct("canonical_url").alias("n_canonical"),
+    )

@@ -1274,3 +1274,44 @@ def q_tpch_supplier_part_count(spark, sf_dir):
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count("*").alias("supplier_cnt"))
     )
+
+
+_FULFILLMENT_ORACLE = """
+SELECT o.o_orderpriority,
+       count(*) AS n_lines,
+       round(CAST(quantile_cont(date_diff('day', CAST(o.o_orderdate AS DATE),
+                                          CAST(l.l_shipdate AS DATE)), 0.5) AS DOUBLE), 4)
+         AS p50_days,
+       round(CAST(quantile_cont(date_diff('day', CAST(o.o_orderdate AS DATE),
+                                          CAST(l.l_shipdate AS DATE)), 0.9) AS DOUBLE), 4)
+         AS p90_days,
+       CAST(max(date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)))
+            AS BIGINT) AS max_days
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
+@query("tpch_fulfillment_latency", oracle=_FULFILLMENT_ORACLE)
+def q_tpch_fulfillment_latency(spark, sf_dir):
+    """Order-to-ship fulfillment latency by order priority: exact
+    interpolated p50/p90/max of the day gap between order date and each
+    line's ship date.  One fact-fact equi-join on l_orderkey (both sides
+    shuffle on the key; at 100 TB this is the co-partitioned merge, and
+    bucketed storage on orderkey removes it entirely), then a 5-key
+    aggregation whose percentile input is the full line population —
+    the scale path swaps percentile → approx_percentile on the same
+    plan.  The operations-dashboard query of every order system."""
+    li, od = _t(spark, sf_dir, "lineitem", "orders")
+    gap = F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date"))
+    return (
+        li.join(od, li["l_orderkey"] == od["o_orderkey"])
+        .select("o_orderpriority", gap.alias("gap_days"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.expr("percentile(gap_days, 0.5)"), 4).alias("p50_days"),
+            F.round(F.expr("percentile(gap_days, 0.9)"), 4).alias("p90_days"),
+            F.max("gap_days").cast("bigint").alias("max_days"),
+        )
+    )

@@ -288,3 +288,90 @@ def q_dq_constraint_audit(spark, sf_dir):
         n=len(rules), args=", ".join(f"'{r}', {r}" for r in rules)
     )
     return agg.select(F.expr(stack_expr), "checked")
+
+
+# ---------------------------------------------------------------------------
+# CDC MERGE (upsert) application
+# ---------------------------------------------------------------------------
+
+# Base = orders with o_orderkey % 5 <> 0.  CDC batch (deterministic):
+#   INSERT rows: o_orderkey % 5 = 0  (keys absent from base)
+#   UPDATE rows: o_orderkey % 5 <> 0 AND o_orderkey % 7 = 0 (price restated +5%)
+#   DELETE rows: o_orderkey % 5 <> 0 AND o_orderkey % 7 <> 0 AND o_orderkey % 11 = 0
+_MERGE_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,4)) AS price
+  FROM orders WHERE o_orderkey % 5 <> 0
+), cdc AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 5 = 0 THEN 'I'
+              WHEN o_orderkey % 7 = 0 THEN 'U'
+              ELSE 'D' END AS op,
+         CASE WHEN o_orderkey % 7 = 0 AND o_orderkey % 5 <> 0
+              THEN CAST(CAST(o_totalprice AS DECIMAL(18,4))
+                        * CAST(1.05 AS DECIMAL(18,4)) AS DECIMAL(18,4))
+              ELSE CAST(o_totalprice AS DECIMAL(18,4)) END AS price
+  FROM orders
+  WHERE o_orderkey % 5 = 0
+     OR o_orderkey % 7 = 0
+     OR o_orderkey % 11 = 0
+), merged AS (
+  SELECT coalesce(b.o_orderkey, c.o_orderkey) AS key,
+         CASE WHEN c.o_orderkey IS NULL THEN 'kept'
+              WHEN c.op = 'D' THEN 'deleted'
+              WHEN b.o_orderkey IS NULL THEN 'inserted'
+              ELSE 'updated' END AS action,
+         CASE WHEN c.o_orderkey IS NULL THEN b.price
+              WHEN c.op = 'D' THEN NULL
+              ELSE c.price END AS price
+  FROM base b FULL OUTER JOIN cdc c ON b.o_orderkey = c.o_orderkey
+)
+SELECT action, count(*) AS key_cnt,
+       CAST(SUM(price) AS DOUBLE) AS sum_price
+FROM merged GROUP BY action
+"""
+
+
+@query("warehouse_merge_upsert", oracle=_MERGE_ORACLE)
+def q_warehouse_merge_upsert(spark, sf_dir):
+    """MERGE INTO semantics applied as a batch plan: a deterministic CDC
+    batch (inserts / +5%-price updates / deletes) merges into the base
+    snapshot via ONE full-outer join on the primary key, with the action
+    resolved per key by a narrow CASE — exactly how Delta/Iceberg MERGE
+    executes its join phase at scale (the shuffle is key-hashed on both
+    sides; file rewrite is the sink's concern, not the plan's).  Output
+    is the merge audit: per-action key counts and surviving-price sums
+    (deleted rows carry NULL, so their sum drops out)."""
+    (od,) = _t(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,4)")
+    base = od.filter(F.col("o_orderkey") % 5 != 0).select(
+        F.col("o_orderkey").alias("b_key"), price.alias("b_price")
+    )
+    is_ins = F.col("o_orderkey") % 5 == 0
+    is_upd = (F.col("o_orderkey") % 7 == 0) & ~is_ins
+    cdc = od.filter(
+        (F.col("o_orderkey") % 5 == 0)
+        | (F.col("o_orderkey") % 7 == 0)
+        | (F.col("o_orderkey") % 11 == 0)
+    ).select(
+        F.col("o_orderkey").alias("c_key"),
+        F.when(is_ins, "I").when(F.col("o_orderkey") % 7 == 0, "U").otherwise("D").alias("op"),
+        F.when(is_upd, (price * F.lit(1.05).cast("decimal(18,4)")).cast("decimal(18,4)"))
+        .otherwise(price)
+        .alias("c_price"),
+    )
+    merged = base.join(cdc, base["b_key"] == cdc["c_key"], "full_outer").select(
+        F.when(F.col("c_key").isNull(), "kept")
+        .when(F.col("op") == "D", "deleted")
+        .when(F.col("b_key").isNull(), "inserted")
+        .otherwise("updated")
+        .alias("action"),
+        F.when(F.col("c_key").isNull(), F.col("b_price"))
+        .when(F.col("op") == "D", F.lit(None).cast("decimal(18,4)"))
+        .otherwise(F.col("c_price"))
+        .alias("price"),
+    )
+    return merged.groupBy("action").agg(
+        F.count("*").alias("key_cnt"),
+        F.sum("price").cast("double").alias("sum_price"),
+    )
