@@ -361,3 +361,151 @@ def q_corpus_shard_assign(spark, sf_dir):
             F.max("doc_id").alias("max_doc"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 5b: mixture CAPPING (the down-sampling dual of corpus_mix_domains'
+# upsampling) and CCNet-style perplexity bucketing.
+# ---------------------------------------------------------------------------
+
+_CAP_SHARE = 0.10
+
+_DOMAIN_CAPS_ORACLE = f"""
+WITH tot AS (
+  SELECT CAST(SUM(n_chars) AS BIGINT) AS total_chars FROM documents
+), ordered AS (
+  SELECT source, doc_id, n_chars,
+         SUM(n_chars) OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum_chars
+  FROM documents
+), kept AS (
+  SELECT o.source, o.n_chars,
+         CASE WHEN o.cum_chars <= CAST(FLOOR({_CAP_SHARE} * t.total_chars) AS BIGINT)
+              THEN 1 ELSE 0 END AS keep
+  FROM ordered o CROSS JOIN tot t
+)
+SELECT source,
+       count(*) AS docs_before,
+       CAST(SUM(keep) AS BIGINT) AS docs_after,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_before,
+       CAST(SUM(CASE WHEN keep = 1 THEN n_chars ELSE 0 END) AS BIGINT) AS chars_after
+FROM kept GROUP BY source
+"""
+
+
+@query("corpus_domain_caps", oracle=_DOMAIN_CAPS_ORACLE)
+def q_corpus_domain_caps(spark, sf_dir):
+    """Mixture capping: no source may exceed {pct}% of the corpus char
+    budget — over-cap sources are truncated by keeping documents in
+    deterministic md5(doc_id) order until the running total hits the
+    cap (a reproducible uniform down-sample, the dual of
+    corpus_mix_domains' upsampling).  One source-partitioned cumsum
+    window (the same per-domain exchange the share report needs anyway)
+    against a broadcast scalar budget; the audit reports docs/chars
+    before vs after per source.""".format(pct=int(_CAP_SHARE * 100))
+    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    tot = docs.agg(F.sum("n_chars").cast("bigint").alias("total_chars"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ordered = docs.select(
+        "source", "n_chars", F.sum("n_chars").over(w).alias("cum_chars")
+    )
+    kept = ordered.crossJoin(F.broadcast(tot)).select(
+        "source", "n_chars",
+        F.when(
+            F.col("cum_chars")
+            <= F.floor(F.lit(_CAP_SHARE) * F.col("total_chars")).cast("bigint"),
+            1,
+        ).otherwise(0).alias("keep"),
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("docs_before"),
+        F.sum("keep").cast("bigint").alias("docs_after"),
+        F.sum("n_chars").cast("bigint").alias("chars_before"),
+        F.sum(F.when(F.col("keep") == 1, F.col("n_chars")).otherwise(0))
+        .cast("bigint").alias("chars_after"),
+    )
+
+
+_PPL_BUCKETS_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+  FROM documents
+), wc AS (
+  SELECT word, count(*) AS cnt FROM tok GROUP BY word
+), tot AS (
+  SELECT count(*) AS n FROM tok
+), perdoc AS (
+  SELECT t.doc_id,
+         CAST(SUM(CAST(round(-log2(wc.cnt / tot.n), 6) AS DECIMAL(18,6))) AS DOUBLE)
+           / count(*) AS bpt
+  FROM tok t JOIN wc ON t.word = wc.word, tot
+  GROUP BY t.doc_id
+), th AS (
+  SELECT round(CAST(quantile_cont(bpt, 1.0/3.0) AS DOUBLE), 6) AS t1,
+         round(CAST(quantile_cont(bpt, 2.0/3.0) AS DOUBLE), 6) AS t2
+  FROM perdoc
+)
+SELECT CASE WHEN round(p.bpt, 6) <= th.t1 THEN 'head'
+            WHEN round(p.bpt, 6) <= th.t2 THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       count(*) AS n_docs,
+       round(CAST(SUM(CAST(p.bpt AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_bpt
+FROM perdoc p CROSS JOIN th
+GROUP BY 1
+"""
+
+
+@query("text_ppl_buckets", oracle=_PPL_BUCKETS_ORACLE)
+def q_text_ppl_buckets(spark, sf_dir):
+    """CCNet-style perplexity bucketing: every document's unigram
+    bits-per-token (the text_unigram_logprob statistic, normalized)
+    places it in the head / middle / tail tercile of the corpus —
+    the split CCNet uses to keep fluent text and route the tail to
+    review.  Tercile thresholds are ONE exact-percentile aggregate over
+    the |docs|-row bpt relation, broadcast back; rounding both the
+    thresholds and the compared statistic at 6dp makes the boundary
+    comparisons engine-stable.  The token→wordcount→join-back pipeline
+    reuses the unigram plan (vocabulary side broadcastable)."""
+    from pulsar_ingestion_spark.functions.text import words
+
+    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    tok = docs.select("doc_id", F.explode(words(F.lower(F.col("text")))).alias("word"))
+    wc = tok.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = tok.agg(F.count(F.lit(1)).alias("n"))
+    perdoc = (
+        tok.join(wc, "word")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.round(-F.log2(F.col("cnt") / F.col("n")), 6).alias("neg_log2p"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.sum(F.col("neg_log2p").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("bpt")
+        )
+    )
+    th = perdoc.agg(
+        F.round(F.expr("percentile(bpt, 1.0/3.0)"), 6).alias("t1"),
+        F.round(F.expr("percentile(bpt, 2.0/3.0)"), 6).alias("t2"),
+    )
+    bucketed = perdoc.crossJoin(F.broadcast(th)).select(
+        "bpt",
+        F.when(F.round("bpt", 6) <= F.col("t1"), "head")
+        .when(F.round("bpt", 6) <= F.col("t2"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.round(
+            F.sum(F.col("bpt").cast("decimal(18,6)")).cast("double") / F.count("*"), 6
+        ).alias("avg_bpt"),
+    )
