@@ -395,3 +395,71 @@ def test_supplier_part_count_anti_join_is_broadcast(spark):
     assert "BroadcastHashJoin" in plan
     assert re.search(r"BroadcastHashJoin[^\n]*LeftAnti", plan), plan
     assert "SortMergeJoin" not in plan
+
+
+def test_scd2_join_is_single_key_join(spark):
+    """SCD2 lookup must remain ONE join on the natural key (broadcast
+    here) — the validity interval is a residual predicate, never a
+    nested-loop cross product."""
+    from pulsar_ingestion_spark.queries_warehouse import q_scd2_point_in_time
+
+    plan = _plan(q_scd2_point_in_time(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_constraint_audit_is_single_scan(spark):
+    """Five DQ rules must fold into ONE scan of the fact — a per-rule
+    scan would read 100 TB five times."""
+    from pulsar_ingestion_spark.queries_warehouse import q_dq_constraint_audit
+
+    plan = _plan(q_dq_constraint_audit(spark, SF))
+    # count node-detail entries (the formatted plan prints each node in
+    # both the tree and the detail section)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def test_merge_upsert_is_one_outer_join(spark):
+    """MERGE apply = exactly one full-outer join on the primary key."""
+    from pulsar_ingestion_spark.queries_warehouse import q_warehouse_merge_upsert
+
+    plan = _plan(q_warehouse_merge_upsert(spark, SF))
+    assert re.search(r"SortMergeJoin[^\n]*FullOuter", plan) or re.search(
+        r"ShuffledHashJoin[^\n]*FullOuter", plan
+    ), plan
+    joins = re.findall(
+        r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"
+        r"|BroadcastNestedLoopJoin|CartesianProduct)",
+        plan,
+    )
+    assert len(joins) == 1, joins
+
+
+def test_bm25_broadcasts_stats_sides(spark):
+    """BM25's df and (N, avgdl) sides must broadcast — only the token
+    stream itself may shuffle."""
+    from pulsar_ingestion_spark.queries_ir import q_text_bm25_topk
+
+    plan = _plan(q_text_bm25_topk(spark, SF))
+    assert plan.count("BroadcastExchange") >= 2, plan
+
+
+def test_reservoir_window_is_partitioned(spark):
+    """Bottom-k reservoir must rank within event_type partitions — an
+    unpartitioned window would serialize the corpus through one task."""
+    from pulsar_ingestion_spark.queries_sketch import q_sample_reservoir_hash
+
+    plan = _plan(q_sample_reservoir_hash(spark, SF))
+    assert "WindowGroupLimit" in plan or "Window" in plan
+    assert re.search(r"hashpartitioning\(event_type", plan), plan
+
+
+def test_whiten_stats_side_is_broadcast(spark):
+    """The 64-row per-dim stats relation joins back broadcast; the values
+    relation shuffles on the 64-key dim only."""
+    from pulsar_ingestion_spark.queries_ml import q_emb_whiten_stats
+
+    plan = _plan(q_emb_whiten_stats(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
