@@ -70,6 +70,13 @@ HEADLINE = [
     "sketch_hll_portable",
     "join_bloom_pruned",
     "emb_pq_encode",
+    # round 5: warehouse management, fact-fact joins, IR ranking, overlap
+    "tpch_shipmode_priority",
+    "warehouse_merge_upsert",
+    "dq_constraint_audit",
+    "text_bm25_topk",
+    "events_user_overlap_jaccard",
+    "text_ppl_buckets",
 ]
 
 

@@ -108,6 +108,37 @@ SECTIONS = [
     ]),
     ("Geospatial analytics", ["geo_grid_density", "geo_nearest_poi"]),
     ("In-plan ML primitives", ["emb_kmeans_lloyd", "emb_pq_encode", "emb_residual_quantize"]),
+    ("Relational warehouse II: the full TPC-H dash (round 5)", [
+        "tpch_min_cost_supplier", "tpch_small_qty_revenue", "tpch_parts_promo",
+        "tpch_global_sales_opportunity", "tpch_customer_distribution",
+        "tpch_returned_items", "tpch_promo_revenue", "tpch_top_supplier",
+        "tpch_large_orders", "tpch_disjunctive_pred", "tpch_waiting_suppliers",
+        "tpch_nation_volume", "tpch_product_profit", "tpch_important_stock",
+        "tpch_forecast_revenue", "tpch_shipmode_priority",
+        "tpch_supplier_part_count", "tpch_fulfillment_latency",
+        "win_topk_ties_qualify", "win_mom_growth", "win_yoy_growth",
+        "win_cumulative_share",
+    ]),
+    ("Warehouse data management (round 5)", [
+        "scd2_point_in_time", "table_snapshot_diff", "warehouse_merge_upsert",
+        "dq_orphan_check", "dq_constraint_audit",
+    ]),
+    ("Event-journey mining III (round 5)", [
+        "events_attribution_position", "events_time_to_convert",
+        "events_user_overlap_jaccard", "ts_autocorr",
+    ]),
+    ("IR ranking & corpus contrast (round 5)", [
+        "text_bm25_topk", "text_keyness_loglik", "text_ppl_buckets",
+        "dedup_url_canonical", "text_dedup_survivorship", "corpus_lang_balance",
+        "corpus_domain_caps",
+    ]),
+    ("Sketches & sampling II (round 5)", [
+        "sketch_hll_merge", "sample_reservoir_hash",
+    ]),
+    ("Embedding evaluation (round 5)", [
+        "sim_search_recall_eval", "emb_label_affinity", "emb_prefix_recall",
+        "emb_whiten_stats",
+    ]),
 ]
 
 STREAMING_ONLY = [
