@@ -476,7 +476,9 @@ def q_text_ppl_buckets(spark, sf_dir):
     docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
     tok = docs.select("doc_id", F.explode(words(F.lower(F.col("text")))).alias("word"))
     wc = tok.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
-    tot = tok.agg(F.count(F.lit(1)).alias("n"))
+    # corpus token total from the vocabulary-sized wc relation (sum of
+    # counts == count of tokens) — avoids a second full token-stream pass
+    tot = wc.agg(F.sum("cnt").alias("n"))
     perdoc = (
         tok.join(wc, "word")
         .crossJoin(F.broadcast(tot))

@@ -887,3 +887,37 @@ def q_events_user_overlap_jaccard(spark, sf_dir):
             ).alias("jaccard"),
         )
     )
+
+
+_RANGE_INTERVAL_ORACLE = """
+SELECT user_id, event_id,
+       count(*) OVER w AS cnt_1h,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS value_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+             RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+"""
+
+
+@query("win_range_interval_1h", oracle=_RANGE_INTERVAL_ORACLE)
+def q_win_range_interval_1h(spark, sf_dir):
+    """Time-interval RANGE frame: per user, the rolling count and value
+    sum over the trailing HOUR of event time (not the trailing N rows) —
+    the rate-limit / rolling-exposure window row frames can't express.
+    Ordering is integer epoch MILLISECONDS on both engines (DuckDB's
+    epoch() is fractional seconds while Spark's unix_timestamp truncates
+    — second-precision keys made different RANGE peer sets), so the
+    frame bound (3600000) and tie-peers agree exactly; the sum stays
+    DECIMAL inside the frame (exact, order-free).  One user-partitioned window pass — the same exchange the
+    sessionize family pays, state bounded by the hour's event count."""
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_millis("ts"))
+        .rangeBetween(-3600000, Window.currentRow)
+    )
+    return ev.select(
+        "user_id", "event_id",
+        F.count("*").over(w).alias("cnt_1h"),
+        F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double").alias("value_1h"),
+    )

@@ -497,31 +497,51 @@ def q_text_bm25_topk(spark, sf_dir):
     relation, not the full token stream), (token, df) and the scalar
     (N, avgdl) sides broadcast, and the final top-k orders by the
     ROUNDED score with a doc_id tie-break so ranking is engine-stable.
-    The doc-length side is the only second corpus aggregation, shared
-    with the average via one shuffle on doc_id.""".format(
+    Spark plan: NO explode anywhere — per-doc length is size(split())
+    and per-term tf is a size(filter()) higher-order expression, both
+    narrow projections over one scan; the (n_docs, avgdl, per-term df)
+    statistics collapse to a single 1-row aggregate broadcast back, so
+    the only data shuffle is the per-doc score aggregation over the
+    SPARSE (doc, matching-term) rows and the final TakeOrdered.  At
+    100 TB this scans the corpus once and shuffles only matches —
+    the token-stream explode the oracle uses would shuffle every word.""".format(
         terms="/".join(_BM25_TERMS), k=_BM25_TOPK, k1=_BM25_K1, b=_BM25_B
     )
     docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
-    tok = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
-    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    stats = dl.agg(
+
+    def tf_of(term):
+        # native array_remove instead of a higher-order filter: whole-stage
+        # codegen handles it, a lambda HOF is interpreter-evaluated per word
+        return F.size("words") - F.size(F.array_remove(F.col("words"), term))
+
+    narrow = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("words")
+    ).select(
+        "doc_id",
+        F.size("words").alias("dl"),
+        *[tf_of(t).alias(f"tf_{t}") for t in _BM25_TERMS],
+    )
+    stats = narrow.agg(
         F.count("*").cast("bigint").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0)).alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
     )
-    tf = (
-        tok.filter(F.col("token").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "token")
-        .agg(F.count("*").alias("tf"))
+    stack_expr = "stack({n}, {args}) as (token, tf)".format(
+        n=len(_BM25_TERMS), args=", ".join(f"'{t}', tf_{t}" for t in _BM25_TERMS)
     )
-    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    long = narrow.select("doc_id", "dl", F.expr(stack_expr)).filter(F.col("tf") > 0)
+    df_col = F.col(f"df_{_BM25_TERMS[0]}")
+    for t in _BM25_TERMS[1:]:
+        df_col = F.when(F.col("token") == t, F.col(f"df_{t}")).otherwise(df_col)
     idf = F.log(
-        1.0 + (F.col("n_docs").cast("double") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        1.0 + (F.col("n_docs").cast("double") - df_col + 0.5) / (df_col + 0.5)
     )
     denom = F.col("tf") + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
     scored = (
-        tf.join(F.broadcast(df), "token")
-        .join(dl.withColumnRenamed("doc_id", "dl_doc"), F.col("doc_id") == F.col("dl_doc"))
-        .crossJoin(F.broadcast(stats))
+        long.crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(F.sum(idf * (F.col("tf") * (_BM25_K1 + 1.0)) / denom).alias("score"))
     )

@@ -889,7 +889,9 @@ def q_text_unigram_logprob(spark, sf_dir):
     docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
     tok = docs.select("doc_id", F.explode(words(F.lower(F.col("text")))).alias("word"))
     wc = tok.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
-    tot = tok.agg(F.count(F.lit(1)).alias("n"))
+    # token total from the vocabulary-sized wc relation — one less full
+    # token-stream aggregation (r5 perf pass)
+    tot = wc.agg(F.sum("cnt").alias("n"))
     scored = (
         tok.join(wc, "word")
         .crossJoin(F.broadcast(tot))

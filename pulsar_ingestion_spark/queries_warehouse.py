@@ -375,3 +375,66 @@ def q_warehouse_merge_upsert(spark, sf_dir):
         F.count("*").alias("key_cnt"),
         F.sum("price").cast("double").alias("sum_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hierarchy closure (recursive-CTE workload)
+# ---------------------------------------------------------------------------
+
+# Deterministic forest over customers: parent(k) = k div 10, roots are
+# k < 10.  Depth is bounded by log10(max key), so the Spark loop unrolls a
+# known-small number of levels while the oracle uses a genuine recursive CTE.
+_HIERARCHY_ORACLE = """
+WITH RECURSIVE anc AS (
+  SELECT c_custkey AS node, c_custkey // 10 AS ancestor, CAST(1 AS BIGINT) AS depth
+  FROM customer WHERE c_custkey >= 10
+  UNION ALL
+  SELECT a.node, a.ancestor // 10, a.depth + 1
+  FROM anc a WHERE a.ancestor >= 10
+)
+SELECT depth, count(*) AS n_paths,
+       CAST(min(node) AS BIGINT) AS min_node,
+       CAST(max(ancestor) AS BIGINT) AS max_ancestor
+FROM anc GROUP BY depth
+"""
+
+
+@query("graph_hierarchy_closure", oracle=_HIERARCHY_ORACLE)
+def q_graph_hierarchy_closure(spark, sf_dir):
+    """Transitive-closure of a hierarchy (the WITH RECURSIVE workload —
+    org charts, bill-of-materials, category trees): every (node,
+    ancestor, depth) path of a deterministic forest over the customer
+    keys (parent = key div 10).  Spark has no recursive CTE, so the
+    closure is the standard ITERATIVE frontier expansion: each level is
+    one narrow projection of the previous frontier (parent arithmetic
+    here; a real edge table makes it one key-shuffle join per level),
+    unioned level-by-level with the depth bound known from the key
+    domain — the same bounded-iteration pattern as the registry's
+    connected-components operators, with their ConvergenceError
+    discipline.  Output is the per-depth path census (closure tables are
+    |V|·avg-depth sized; the report keeps the driver result bounded)."""
+    (cu,) = _t(spark, sf_dir, "customer")
+    # max key bounds the depth: parent = key div 10 ⇒ ≤ ceil(log10(max)) levels
+    frontier = cu.filter(F.col("c_custkey") >= 10).select(
+        F.col("c_custkey").alias("node"),
+        F.expr("c_custkey div 10").alias("ancestor"),
+        F.lit(1).cast("bigint").alias("depth"),
+    )
+    levels = [frontier]
+    # 12 unrolled levels covers keys < 10^13 — far beyond any SF here; each
+    # iteration is a narrow filter+project on the shrinking frontier
+    for _ in range(12):
+        frontier = frontier.filter(F.col("ancestor") >= 10).select(
+            "node",
+            F.expr("ancestor div 10").alias("ancestor"),
+            (F.col("depth") + 1).alias("depth"),
+        )
+        levels.append(frontier)
+    closure = levels[0]
+    for lv in levels[1:]:
+        closure = closure.unionByName(lv)
+    return closure.groupBy("depth").agg(
+        F.count("*").alias("n_paths"),
+        F.min("node").cast("bigint").alias("min_node"),
+        F.max("ancestor").cast("bigint").alias("max_ancestor"),
+    )
