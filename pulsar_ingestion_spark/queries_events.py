@@ -864,12 +864,26 @@ def q_events_user_overlap_jaccard(spark, sf_dir):
     at 100 TB you run this on the presence relation, or swap in the
     registry's minhash operators when even that is too wide."""
     ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
-    pres = ev.select("user_id", "event_type").distinct()
-    sizes = pres.groupBy("event_type").agg(F.count("*").alias("n"))
-    a = pres.select("user_id", F.col("event_type").alias("type_a"))
-    b = pres.select(F.col("user_id").alias("user_b"), F.col("event_type").alias("type_b"))
+    # ONE user-keyed shuffle: per-user sorted type set (collect_set partials
+    # combine map-side), then pairs and per-type sizes are narrow explodes
+    # of that |users|-row relation — no second shuffle of the presence
+    # relation against itself.
+    sets = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("types")
+    )
+    sizes = (
+        sets.select(F.explode("types").alias("event_type"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    pair_expr = (
+        "flatten(transform(types, (x, i) -> "
+        "transform(slice(types, i + 2, size(types)), "
+        "y -> struct(x AS type_a, y AS type_b))))"
+    )
     inter = (
-        a.join(b, (a["user_id"] == b["user_b"]) & (F.col("type_a") < F.col("type_b")))
+        sets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.type_a", "p.type_b")
         .groupBy("type_a", "type_b")
         .agg(F.count("*").alias("inter_cnt"))
     )

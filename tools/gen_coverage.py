@@ -121,11 +121,11 @@ SECTIONS = [
     ]),
     ("Warehouse data management (round 5)", [
         "scd2_point_in_time", "table_snapshot_diff", "warehouse_merge_upsert",
-        "dq_orphan_check", "dq_constraint_audit",
+        "dq_orphan_check", "dq_constraint_audit", "graph_hierarchy_closure",
     ]),
     ("Event-journey mining III (round 5)", [
         "events_attribution_position", "events_time_to_convert",
-        "events_user_overlap_jaccard", "ts_autocorr",
+        "events_user_overlap_jaccard", "ts_autocorr", "win_range_interval_1h",
     ]),
     ("IR ranking & corpus contrast (round 5)", [
         "text_bm25_topk", "text_keyness_loglik", "text_ppl_buckets",
