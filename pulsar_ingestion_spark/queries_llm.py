@@ -1554,3 +1554,93 @@ def q_dedup_url_canonical(spark, sf_dir):
         F.countDistinct("url").alias("n_distinct_raw"),
         F.countDistinct("canonical_url").alias("n_canonical"),
     )
+
+
+_LANGID_CONFUSION_ORACLE = f"""
+WITH pred AS (
+  SELECT lang AS labeled_lang,
+         CASE WHEN len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                  w -> list_contains({{stop}}, w)))
+                  * 1.0 / len(regexp_split_to_array(trim(text), '\\s+')) > 0.08
+              THEN 'en' ELSE 'other' END AS guessed_lang
+  FROM documents
+)
+SELECT labeled_lang, guessed_lang, count(*) AS n_docs
+FROM pred GROUP BY labeled_lang, guessed_lang
+"""
+
+
+@query(
+    "text_langid_confusion",
+    oracle=_LANGID_CONFUSION_ORACLE.format(stop="{stop}").replace("{stop}", _STOP_SQL),
+)
+def q_text_langid_confusion(spark, sf_dir):
+    """Language-ID evaluation: the confusion matrix of the stopword-
+    density classifier (text_lang_id) against the corpus's declared
+    labels — the accept/review decision every lang-filter deployment
+    makes before trusting the classifier at scale.  Classification is
+    the same narrow expression as text_lang_id (zero shuffle); the
+    matrix is one |langs|×2-key aggregation, model-sized output at any
+    corpus size."""
+    from pulsar_ingestion_spark.functions.text import stopword_ratio
+
+    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    pred = docs.select(
+        F.col("lang").alias("labeled_lang"),
+        F.when(stopword_ratio(F.col("text")) > 0.08, "en").otherwise("other").alias("guessed_lang"),
+    )
+    return pred.groupBy("labeled_lang", "guessed_lang").agg(F.count("*").alias("n_docs"))
+
+
+_CROSS_SOURCE_DUP_ORACLE = """
+WITH digests AS (
+  SELECT md5(array_to_string((regexp_split_to_array(trim(lower(text)), '\s+'))[1:5], ' ')) AS h,
+         source
+  FROM documents
+), per_digest AS (
+  SELECT h, list_sort(list_distinct(list(source))) AS sources
+  FROM digests GROUP BY h
+), pairs AS (
+  SELECT u1.s AS source_a, u2.s AS source_b
+  FROM per_digest p,
+       unnest(p.sources) AS u1(s),
+       unnest(p.sources) AS u2(s)
+  WHERE u1.s < u2.s
+)
+SELECT source_a, source_b, count(*) AS shared_digests
+FROM pairs GROUP BY source_a, source_b
+"""
+
+
+@query("dedup_cross_source", oracle=_CROSS_SOURCE_DUP_ORACLE)
+def q_dedup_cross_source(spark, sf_dir):
+    """Cross-source duplication matrix: for every source pair, how many
+    duplicate content fingerprints they share — the report that tells a
+    crawl pipeline WHICH feeds are mirroring each other (the per-source
+    survivor counts in corpus_dedup_report can't say that).  The
+    fingerprint is the md5 of the 5-word lowercased prefix (prefix
+    fingerprinting — the cheap first-pass key syndication dedup uses;
+    swap in the full-text digest or a minhash for stricter equality
+    without changing the plan).  One digest
+    shuffle builds per-digest sorted source sets (collect_set partials
+    combine map-side, set size bounded by |sources|), pair generation is
+    the same narrow array expansion as events_user_overlap_jaccard, and
+    the output is |sources|² rows at any corpus scale."""
+    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    prefix = F.array_join(F.slice(F.split(F.trim(F.lower("text")), r"\s+"), 1, 5), " ")
+    per_digest = (
+        docs.select(F.md5(prefix).alias("h"), "source")
+        .groupBy("h")
+        .agg(F.array_sort(F.collect_set("source")).alias("sources"))
+    )
+    pair_expr = (
+        "flatten(transform(sources, (x, i) -> "
+        "transform(slice(sources, i + 2, size(sources)), "
+        "y -> struct(x AS source_a, y AS source_b))))"
+    )
+    return (
+        per_digest.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.source_a", "p.source_b")
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("shared_digests"))
+    )

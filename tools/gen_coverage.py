@@ -130,7 +130,7 @@ SECTIONS = [
     ("IR ranking & corpus contrast (round 5)", [
         "text_bm25_topk", "text_keyness_loglik", "text_ppl_buckets",
         "dedup_url_canonical", "text_dedup_survivorship", "corpus_lang_balance",
-        "corpus_domain_caps",
+        "corpus_domain_caps", "text_langid_confusion", "dedup_cross_source",
     ]),
     ("Sketches & sampling II (round 5)", [
         "sketch_hll_merge", "sample_reservoir_hash",
