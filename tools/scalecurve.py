@@ -34,6 +34,10 @@ QUERIES = [
     "dedup_minhash_banded",
     "dedup_embedding_blas",
     "sim_search_lsh",
+    # round 5: the new document-heavy queries (token-stream / fingerprint)
+    "text_bm25_topk",
+    "text_ppl_buckets",
+    "dedup_cross_source",
 ]
 
 
