@@ -473,24 +473,30 @@ def q_text_ppl_buckets(spark, sf_dir):
     reuses the unigram plan (vocabulary side broadcastable)."""
     from pulsar_ingestion_spark.functions.text import words
 
+    # Same (doc, word, tf)-first shape as text_unigram_logprob (r5 perf
+    # pass): one token-stream collapse, every later stage pair-bounded.
     docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
-    tok = docs.select("doc_id", F.explode(words(F.lower(F.col("text")))).alias("word"))
-    wc = tok.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
-    # corpus token total from the vocabulary-sized wc relation (sum of
-    # counts == count of tokens) — avoids a second full token-stream pass
+    tfd = (
+        docs.select("doc_id", F.explode(words(F.lower(F.col("text")))).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    wc = tfd.groupBy("word").agg(F.sum("tf").alias("cnt"))
     tot = wc.agg(F.sum("cnt").alias("n"))
     perdoc = (
-        tok.join(wc, "word")
+        tfd.join(wc, "word")
         .crossJoin(F.broadcast(tot))
         .select(
             "doc_id",
+            "tf",
             F.round(-F.log2(F.col("cnt") / F.col("n")), 6).alias("neg_log2p"),
         )
         .groupBy("doc_id")
         .agg(
             (
-                F.sum(F.col("neg_log2p").cast("decimal(18,6)")).cast("double")
-                / F.count(F.lit(1))
+                F.sum(F.col("tf") * F.col("neg_log2p").cast("decimal(18,6)"))
+                .cast("double")
+                / F.sum("tf")
             ).alias("bpt")
         )
     )

@@ -886,23 +886,33 @@ def q_text_unigram_logprob(spark, sf_dir):
     # agg.
     from pulsar_ingestion_spark.functions.text import words
 
+    # r5 perf shape: collapse the token stream ONCE to (doc, word, tf) —
+    # every later stage is bounded by distinct pairs, not raw tokens.
+    # wc and the corpus total both derive from that relation, and the
+    # per-doc total becomes Σ tf·round6(term) (each occurrence of a word
+    # contributes the identical rounded value, so the decimal sum equals
+    # the oracle's per-token sum exactly).
     docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
-    tok = docs.select("doc_id", F.explode(words(F.lower(F.col("text")))).alias("word"))
-    wc = tok.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
-    # token total from the vocabulary-sized wc relation — one less full
-    # token-stream aggregation (r5 perf pass)
+    tfd = (
+        docs.select("doc_id", F.explode(words(F.lower(F.col("text")))).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    wc = tfd.groupBy("word").agg(F.sum("tf").alias("cnt"))
     tot = wc.agg(F.sum("cnt").alias("n"))
     scored = (
-        tok.join(wc, "word")
+        tfd.join(wc, "word")
         .crossJoin(F.broadcast(tot))
         .select(
             "doc_id",
+            "tf",
             F.round(-F.log2(F.col("cnt") / F.col("n")), 6).alias("neg_log2p"),
         )
     )
     return scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.sum(F.col("neg_log2p").cast("decimal(18,6)")).cast("double").alias("total_neg_log2p"),
+        F.sum("tf").alias("n_tokens"),
+        F.sum(F.col("tf") * F.col("neg_log2p").cast("decimal(18,6)"))
+        .cast("double").alias("total_neg_log2p"),
     )
 
 
