@@ -499,6 +499,10 @@ def q_text_ppl_buckets(spark, sf_dir):
                 / F.sum("tf")
             ).alias("bpt")
         )
+        # the |docs|-row bpt relation feeds BOTH the tercile aggregate and
+        # the bucketed classification — persist so the token pipeline runs
+        # once, not once per branch (harnesses clearCache() between queries)
+        .persist()
     )
     th = perdoc.agg(
         F.round(F.expr("percentile(bpt, 1.0/3.0)"), 6).alias("t1"),

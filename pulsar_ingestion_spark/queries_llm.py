@@ -23,8 +23,6 @@ from pulsar_ingestion_spark.operators.dedup import (
 from pulsar_ingestion_spark.operators.similarity import knn_bruteforce, knn_lsh
 from pulsar_ingestion_spark.functions.text import (
     STOPWORDS,
-    TOKEN_PATTERN,
-    avg_word_len,
     quality_score,
     stopword_ratio,
     token_count,
