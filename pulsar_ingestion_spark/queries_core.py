@@ -1038,3 +1038,61 @@ def stream_watermark_late(spark, sf_dir):
     return ev.join(F.broadcast(max_ts)).filter(
         F.col("ts") >= F.col("m") - F.expr("INTERVAL 7 DAYS")
     ).agg(F.count("*").alias("kept_cnt"))
+
+
+@query(
+    "join_asof_tolerance",
+    oracle="""
+    WITH pur AS (
+      SELECT event_id, user_id, epoch_ms(ts) AS p_ms
+      FROM events WHERE event_type = 'purchase'
+    ), v AS (
+      SELECT user_id, epoch_ms(ts) AS v_ms FROM events WHERE event_type = 'view'
+    ), m AS (
+      SELECT p.event_id, p.user_id, p.p_ms, max(v.v_ms) AS v_ms
+      FROM pur p LEFT JOIN v ON v.user_id = p.user_id AND v.v_ms <= p.p_ms
+      GROUP BY p.event_id, p.user_id, p.p_ms
+    )
+    SELECT event_id, user_id,
+           CASE WHEN v_ms IS NOT NULL AND p_ms - v_ms <= 600000
+                THEN p_ms - v_ms END AS view_gap_ms
+    FROM m
+    """,
+)
+def join_asof_tolerance(spark, sf_dir):
+    # As-of join WITH STALENESS TOLERANCE (the pandas merge_asof
+    # `tolerance=` / feature-store "max age" semantics): each purchase
+    # joins the latest prior view of the same user only if it is at most
+    # 10 minutes old, else NULL.  Same union-sort-timeline plan as
+    # join_asof — one shuffle+sort of |purchases|+|views| rows, last-seen
+    # carried forward with IGNORE NULLS, tolerance applied as a narrow
+    # post-filter on the carried value — so staleness never turns into a
+    # range join or a per-probe scan-back.  The oracle states the naive
+    # join+max form; the plans agree on every probe.
+    from pyspark.sql import Window
+
+    (ev,) = _t(spark, sf_dir, "events")
+    probes = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("k"), F.unix_millis("ts").alias("t"),
+        F.lit(1).alias("is_probe"), "event_id",
+        F.lit(None).cast("bigint").alias("carry"),
+    )
+    carriers = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("k"), F.unix_millis("ts").alias("t"),
+        F.lit(0).alias("is_probe"), F.lit(None).cast("bigint").alias("event_id"),
+        F.unix_millis("ts").alias("carry"),
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "is_probe")  # carriers first at equal ms (inclusive <=)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    timeline = probes.unionByName(carriers).withColumn(
+        "last_v", F.last("carry", ignorenulls=True).over(w)
+    )
+    gap = F.col("t") - F.col("last_v")
+    return timeline.filter(F.col("is_probe") == 1).select(
+        "event_id",
+        F.col("k").alias("user_id"),
+        F.when(F.col("last_v").isNotNull() & (gap <= 600000), gap).alias("view_gap_ms"),
+    )

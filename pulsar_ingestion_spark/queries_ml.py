@@ -385,3 +385,70 @@ def q_emb_whiten_stats(spark, sf_dir):
             "n_outliers",
         )
     )
+
+
+_PROTOTYPES_ORACLE = """
+WITH vals AS (
+  SELECT vec_id, label, CAST(i - 1 AS INTEGER) AS pos,
+         CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings, range(1, 65) r(i)
+), cent AS (
+  SELECT label, pos,
+         round(CAST(SUM(CAST(v AS DECIMAL(18,9))) AS DOUBLE) / count(*), 6) AS c
+  FROM vals GROUP BY label, pos
+), dist AS (
+  SELECT va.vec_id, va.label,
+         round(CAST(SUM(CAST((va.v - ce.c) * (va.v - ce.c) AS DECIMAL(25,12)))
+                    AS DOUBLE), 6) AS d2
+  FROM vals va JOIN cent ce ON va.label = ce.label AND va.pos = ce.pos
+  GROUP BY va.vec_id, va.label
+)
+SELECT label, rnk, vec_id, d2 FROM (
+  SELECT label, vec_id, d2,
+         row_number() OVER (PARTITION BY label ORDER BY d2 ASC, vec_id ASC) AS rnk
+  FROM dist
+) WHERE rnk <= 3
+"""
+
+
+@query("emb_prototypes_per_label", oracle=_PROTOTYPES_ORACLE)
+def q_emb_prototypes_per_label(spark, sf_dir):
+    """Prototype (coreset) selection: for every label, the 3 vectors
+    closest to that label's centroid — the representative-example pick
+    behind dataset distillation, few-shot exemplar choice, and outlier
+    triage.  Centroids are the label_affinity-style decimal-exact
+    per-dim means (rounded at 6 so both engines fold the same
+    constants); distances accumulate as DECIMAL per-dim terms, so the
+    squared-L2 sum is order-independent and engine-identical; the final
+    pick is a label-partitioned top-k window.  Shuffles: one (label,
+    dim) rollup, one (vec, label) distance agg keyed like the corpus,
+    one |labels|-partition window — centroid side broadcasts."""
+    emb = fan_out(load_tables(spark, sf_dir)["embeddings"], spark)
+    vals = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "v_raw")
+    ).select("vec_id", "label", "pos", F.col("v_raw").cast("double").alias("v"))
+    cent = vals.groupBy("label", "pos").agg(
+        F.round(
+            F.sum(F.col("v").cast("decimal(18,9)")).cast("double") / F.count("*"), 6
+        ).alias("c")
+    )
+    ce = cent.select(
+        F.col("label").alias("c_label"), F.col("pos").alias("c_pos"), "c"
+    )
+    term = (F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))
+    dist = (
+        vals.join(
+            F.broadcast(ce),
+            (F.col("label") == F.col("c_label")) & (F.col("pos") == F.col("c_pos")),
+        )
+        .groupBy("vec_id", "label")
+        .agg(F.round(F.sum(term.cast("decimal(25,12)")).cast("double"), 6).alias("d2"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("label").orderBy(F.col("d2").asc(), F.col("vec_id").asc())
+    return (
+        dist.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("label", "rnk", "vec_id", "d2")
+    )

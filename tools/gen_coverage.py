@@ -126,6 +126,7 @@ SECTIONS = [
     ("Event-journey mining III (round 5)", [
         "events_attribution_position", "events_time_to_convert",
         "events_user_overlap_jaccard", "ts_autocorr", "win_range_interval_1h",
+        "join_asof_tolerance",
     ]),
     ("IR ranking & corpus contrast (round 5)", [
         "text_bm25_topk", "text_keyness_loglik", "text_ppl_buckets",
@@ -137,7 +138,7 @@ SECTIONS = [
     ]),
     ("Embedding evaluation (round 5)", [
         "sim_search_recall_eval", "emb_label_affinity", "emb_prefix_recall",
-        "emb_whiten_stats",
+        "emb_whiten_stats", "emb_prototypes_per_label",
     ]),
 ]
 
