@@ -23,6 +23,37 @@ from pulsar_ingestion_spark.session import fan_out, load_tables
 _WAREHOUSE_BUILT: set[str] = set()
 
 
+def _reap_stale_warehouses(spark, prefix):
+    """Best-effort cleanup of per-process warehouse dirs left by DEAD
+    processes (``<prefix><pid>``): pid-tagged tables are never shared, so
+    a dir whose pid no longer exists is garbage.  Live pids (including our
+    own) are left alone."""
+    import os
+    import re
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
+    if wh.scheme not in ("file", ""):
+        return
+    base = wh.path or "spark-warehouse"
+    if not os.path.isdir(base):
+        return
+    for name in os.listdir(base):
+        m = re.fullmatch(re.escape(prefix) + r"(\d+)", name)
+        if not m:
+            continue
+        pid = int(m.group(1))
+        try:
+            os.kill(pid, 0)
+            continue  # owner still alive
+        except ProcessLookupError:
+            pass
+        except PermissionError:
+            continue
+        shutil.rmtree(os.path.join(base, name), ignore_errors=True)
+
+
 def _cmf_warehouse(spark, sf_dir):
     """Materialize (memoized) the bucketed CMF warehouse for ``sf_dir`` and
     return it as a DataFrame.  The write is a one-time layout cost — the
@@ -41,10 +72,15 @@ def _cmf_warehouse(spark, sf_dir):
     from pulsar_ingestion_spark.queries_translate import cmf_translate_geotab
 
     tag = re.sub(r"[^a-z0-9]+", "_", os.path.basename(sf_dir.rstrip("/")).lower())
-    table = f"cmf_warehouse_{tag}"
+    # Process-unique table name: the layout is rebuilt once per process
+    # anyway (stale-schema guard below), so a shared name buys nothing —
+    # and two processes (e.g. pytest + selfcheck) racing drop/rewrite on
+    # the same warehouse dir produced a spurious failure in round 5.
+    table = f"cmf_warehouse_{tag}_p{os.getpid()}"
     # Rebuild on first touch per process (1-2 s at sf0.1): an on-disk table
     # left by an older code version may carry a stale layout/schema.
     if table not in _WAREHOUSE_BUILT:
+        _reap_stale_warehouses(spark, f"cmf_warehouse_{tag}_p")
         # user_id/value ride along so warehouse readers (fleet_dashboard)
         # can join dimensions / derive metrics without re-translating.
         cmf = cmf_translate_geotab(spark, sf_dir, _passthrough=("user_id", "value")).withColumn(
