@@ -32,14 +32,17 @@ def _drop_table_and_location(spark: SparkSession, table: str) -> None:
     # which would point a db.tbl drop at an unrelated default-db table
     # (ADVICE r2).
     loc = None
-    try:
-        detail = spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
-        for r in detail:
-            if r["col_name"] == "Location":
-                loc = urlparse(r["data_type"]).path
-                break
-    except Exception:  # table unknown to this (in-memory) catalog
-        pass
+    # tableExists first: DESCRIBE on an unknown table logs a full analyzer
+    # stack trace at ERROR before raising — pure noise in multi-query runs.
+    if spark.catalog.tableExists(table):
+        try:
+            detail = spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+            for r in detail:
+                if r["col_name"] == "Location":
+                    loc = urlparse(r["data_type"]).path
+                    break
+        except Exception:  # dropped concurrently between the two calls
+            pass
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     if loc is None:
         wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
