@@ -464,3 +464,247 @@ def q_sample_reservoir_hash(spark, sf_dir):
         .filter(F.col("rn") <= _RESERVOIR_K)
         .select("event_type", "rn", "event_id", "hv")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5b sketches: KMV (bottom-k) set intersection, a decimal log-bin
+# quantile sketch, and weighted priority sampling.
+
+_KMV_K = 8
+_KMV_M = float(1 << 32)  # hash range: 32-bit md5 prefix
+
+_KMV_ORACLE = f"""
+WITH pa AS (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+), pb AS (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+), ha AS (
+  SELECT CAST(('0x' || substring(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
+  FROM pa
+), hb AS (
+  SELECT CAST(('0x' || substring(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
+  FROM pb
+), ska AS (
+  SELECT hv FROM ha ORDER BY hv LIMIT {_KMV_K}
+), skb AS (
+  SELECT hv FROM hb ORDER BY hv LIMIT {_KMV_K}
+), sku AS (
+  SELECT DISTINCT hv FROM (SELECT hv FROM ska UNION ALL SELECT hv FROM skb) t
+  ORDER BY hv LIMIT {_KMV_K}
+), stats AS (
+  SELECT count(*) AS used, max(hv) AS hk,
+         count(*) FILTER (WHERE hv IN (SELECT hv FROM ska)
+                            AND hv IN (SELECT hv FROM skb)) AS both_cnt
+  FROM sku
+), exact AS (
+  SELECT (SELECT count(*) FROM (SELECT user_id FROM pa UNION SELECT user_id FROM pb) u)
+           AS exact_union,
+         (SELECT count(*) FROM pa WHERE user_id IN (SELECT user_id FROM pb))
+           AS exact_inter
+)
+SELECT {_KMV_K} AS k, used AS sketch_size, hk AS kth_hash,
+       round((used - 1) * {_KMV_M} / hk, 4) AS union_est,
+       round(CAST(both_cnt AS DOUBLE) / used, 6) AS jaccard_est,
+       round(((used - 1) * {_KMV_M} / hk) * (CAST(both_cnt AS DOUBLE) / used), 4)
+         AS inter_est,
+       exact_union, exact_inter
+FROM stats CROSS JOIN exact
+"""
+
+
+@query("sketch_kmv_intersect", oracle=_KMV_ORACLE)
+def q_sketch_kmv_intersect(spark, sf_dir):
+    """KMV (k-minimum-values / bottom-k) sketches for the purchaser and
+    viewer user sets, merged to estimate |A∪B|, Jaccard, and |A∩B| —
+    the distinct-set-overlap question (audience intersection) answered
+    from two O(k) sketches instead of a full distinct join.  Key
+    property used: an element of the UNION's bottom-k that belongs to A
+    is necessarily in A's bottom-k too, so membership tests run against
+    the sketches — exactly how merged KMV sketches compose in practice
+    (sketch once per day/partition, merge by re-bottom-k).  Estimators:
+    D̂ = (k'-1)·M/h_k (k' = sketch size, M = hash range), Ĵ = |S∩A∩B|/k',
+    |A∩B| ≈ Ĵ·D̂.  Every per-set pass is a distinct + distributed top-k
+    (TakeOrdered — no global sort); the final arithmetic is single IEEE
+    ops on sketch-sized inputs."""
+    ev = load_tables(spark, sf_dir)["events"]
+
+    def sketch(event_type: str):
+        users = ev.filter(F.col("event_type") == event_type).select("user_id").distinct()
+        return (
+            users.select(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))), 1, 8
+                    ),
+                    16, 10,
+                ).cast("bigint").alias("hv")
+            )
+            .orderBy("hv")
+            .limit(_KMV_K)
+        )
+
+    ska = sketch("purchase").persist()
+    skb = sketch("view").persist()
+    sku = (
+        ska.unionAll(skb).distinct().orderBy("hv").limit(_KMV_K)
+    )
+    in_both = (
+        sku.join(ska.withColumnRenamed("hv", "ha"), F.col("hv") == F.col("ha"), "left_semi")
+        .join(skb.withColumnRenamed("hv", "hb"), F.col("hv") == F.col("hb"), "left_semi")
+        .agg(F.count("*").alias("both_cnt"))
+    )
+    stats = sku.agg(F.count("*").alias("used"), F.max("hv").alias("hk")).crossJoin(
+        F.broadcast(in_both)
+    )
+    pa = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    pb = ev.filter(F.col("event_type") == "view").select("user_id").distinct()
+    exact = (
+        pa.unionAll(pb).distinct().agg(F.count("*").alias("exact_union"))
+        .crossJoin(pa.join(pb, "user_id", "left_semi").agg(F.count("*").alias("exact_inter")))
+    )
+    union_est = (F.col("used") - 1) * F.lit(_KMV_M) / F.col("hk")
+    jacc = F.col("both_cnt").cast("double") / F.col("used")
+    return stats.crossJoin(F.broadcast(exact)).select(
+        F.lit(_KMV_K).alias("k"),
+        F.col("used").alias("sketch_size"),
+        F.col("hk").alias("kth_hash"),
+        F.round(union_est, 4).alias("union_est"),
+        F.round(jacc, 6).alias("jaccard_est"),
+        F.round(union_est * jacc, 4).alias("inter_est"),
+        "exact_union",
+        "exact_inter",
+    )
+
+
+# Decimal log-bins: bin key = (decimal digit count, first two digits) of
+# the integer cent amount — pure string/integer ops, so both engines bin
+# identically (a log2()/ln() bin edge would be an ulp hazard).  Two
+# significant digits ≈ ≤5% relative error on the bin lower bound.
+_QSK_QS = (0.5, 0.9, 0.99)
+
+_QSKETCH_ORACLE = f"""
+WITH cents AS (
+  SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS c FROM orders
+), binned AS (
+  SELECT length(CAST(c AS VARCHAR)) AS ndig,
+         CAST(substring(CAST(c AS VARCHAR), 1, 2) AS BIGINT) AS lead2,
+         count(*) AS cnt
+  FROM cents GROUP BY 1, 2
+), cum AS (
+  SELECT ndig, lead2, cnt,
+         SUM(cnt) OVER (ORDER BY ndig, lead2) AS cum_cnt,
+         SUM(cnt) OVER () AS n
+  FROM binned
+), targets AS (
+  SELECT q, CAST(ceil(q * (SELECT max(n) FROM cum)) AS BIGINT) AS target
+  FROM (VALUES (0.5), (0.9), (0.99)) t(q)
+), hits AS (
+  SELECT t.q, t.target, c.ndig, c.lead2,
+         row_number() OVER (PARTITION BY t.q ORDER BY c.ndig, c.lead2) AS rn
+  FROM targets t JOIN cum c ON c.cum_cnt >= t.target
+)
+SELECT CAST(q AS DOUBLE) AS q, target,
+       CAST(lead2 * power_of_ten AS DOUBLE) / 100 AS est_lo
+FROM (
+  SELECT q, target, lead2,
+         CAST(10 AS BIGINT) ** (ndig - 2) AS power_of_ten
+  FROM hits WHERE rn = 1
+) s
+"""
+
+
+@query("sketch_quantile_logbins", oracle=_QSKETCH_ORACLE)
+def q_sketch_quantile_logbins(spark, sf_dir):
+    """Mergeable quantile sketch over order totals using decimal log-bins:
+    each value lands in the (digit-count, two-leading-digits) bin of its
+    integer cent amount, counts accumulate per bin (map-side combine →
+    one sketch-sized shuffle), and a quantile is answered as the lower
+    bound of the first bin whose cumulative count reaches ceil(q·n) —
+    ≤5% relative error by construction, and day-partition sketches merge
+    by adding bin counts (the t-digest/KLL role, in a form two engines
+    reproduce bit-for-bit because binning is pure integer/string math,
+    never a float log).  State is O(bins) ≈ 90·digits, independent of
+    data size."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    cents = orders.select(
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("c")
+    )
+    s = F.col("c").cast("string")
+    binned = (
+        cents.select(
+            F.length(s).alias("ndig"),
+            F.substring(s, 1, 2).cast("bigint").alias("lead2"),
+        )
+        .groupBy("ndig", "lead2")
+        .agg(F.count("*").alias("cnt"))
+    )
+    wcum = Window.orderBy("ndig", "lead2").rowsBetween(Window.unboundedPreceding, 0)
+    cum = binned.select(
+        "ndig", "lead2", F.sum("cnt").over(wcum).alias("cum_cnt")
+    ).persist()
+    n = binned.agg(F.sum("cnt").cast("bigint").alias("n"))
+    targets = (
+        spark.createDataFrame([(q,) for q in _QSK_QS], "q double")
+        .crossJoin(F.broadcast(n))
+        .select("q", F.ceil(F.col("q") * F.col("n")).cast("bigint").alias("target"))
+    )
+    hits = targets.join(cum, F.col("cum_cnt") >= F.col("target"))
+    wq = Window.partitionBy("q").orderBy("ndig", "lead2")
+    return (
+        hits.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") == 1)
+        .select(
+            "q", "target",
+            (
+                (F.col("lead2") * F.pow(F.lit(10.0), F.col("ndig") - 2)).cast("double")
+                / 100
+            ).alias("est_lo"),
+        )
+    )
+
+
+_WKMV_K = 5
+
+_WEIGHTED_ORACLE = f"""
+WITH pri AS (
+  SELECT event_type, event_id, value,
+         CAST(('0x' || substring(md5('ws:' || CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           / value AS priority
+  FROM events WHERE value > 0
+), ranked AS (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY priority, event_id) AS rn
+  FROM pri
+)
+SELECT event_type, rn, event_id, value FROM ranked WHERE rn <= {_WKMV_K}
+"""
+
+
+@query("sample_weighted_kmv", oracle=_WEIGHTED_ORACLE)
+def q_sample_weighted_kmv(spark, sf_dir):
+    """Weighted priority sample: per event type, keep the k rows with the
+    smallest hash/weight priority — heavier rows get proportionally
+    smaller priorities, so selection probability grows with weight while
+    staying fully deterministic and re-runnable (same data → same
+    sample).  The priority is ONE IEEE division of exactly-representable
+    inputs (32-bit integer hash, parquet double weight), so both engines
+    order identically with no rounding step.  Distributed shape = bottom-k
+    per group: executors keep local candidates, the shuffle carries only
+    potential winners (same as sample_reservoir_hash, which this
+    generalizes from uniform to weighted)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    pri = ev.filter(F.col("value") > 0).select(
+        "event_type", "event_id", "value",
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("ws:"), F.col("event_id").cast("string"))), 1, 8),
+                16, 10,
+            ).cast("bigint") / F.col("value")
+        ).alias("priority"),
+    )
+    w = Window.partitionBy("event_type").orderBy("priority", "event_id")
+    return (
+        pri.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _WKMV_K)
+        .select("event_type", "rn", "event_id", "value")
+    )
