@@ -23,6 +23,7 @@ orphan checks are broadcast anti-joins against filtered parents.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from pulsar_ingestion_spark.registry import query
@@ -437,4 +438,170 @@ def q_graph_hierarchy_closure(spark, sf_dir):
         F.count("*").alias("n_paths"),
         F.min("node").cast("bigint").alias("min_node"),
         F.max("ancestor").cast("bigint").alias("max_ancestor"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-5c: incremental aggregate maintenance, changelog compaction, and
+# zone-map (partition-stats) pruning — the three mechanisms that keep a
+# landing zone's rollups, CDC mirrors, and scan costs bounded as history
+# grows.
+# ---------------------------------------------------------------------------
+
+_INCR_CUTOFF = "1997-01-01"
+
+# The oracle aggregates DIRECTLY; the Spark side computes base partials
+# (history before the cutoff) and delta partials (the new batch) and
+# MERGES them — hash-equality with the direct answer is the incremental-
+# view-maintenance correctness proof (partials carry decimal sums, so
+# merge == recompute exactly, not approximately).
+_INCR_AGG_ORACLE = """
+SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+       count(*) AS order_cnt,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_price
+FROM orders
+GROUP BY 1
+"""
+
+
+@query("warehouse_incremental_agg", oracle=_INCR_AGG_ORACLE)
+def q_warehouse_incremental_agg(spark, sf_dir):
+    """Incremental view maintenance for a monthly rollup: the standing
+    aggregate is kept as MERGEABLE partials (count + decimal sum per
+    month); a new day's batch aggregates only its own rows and merges by
+    adding partials — history is never rescanned.  Non-mergeable outputs
+    (avg) are derived from partials at read time.  The oracle recomputes
+    from scratch; hash equality proves merge == recompute.  At 100 TB
+    this is the difference between a per-batch cost of O(batch) and
+    O(history): base partials live in the rollup table, the merge
+    shuffles only 2×|months| rows."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    month = F.date_trunc("month", F.col("o_orderdate").cast("date")).alias("month")
+
+    def partials(df):
+        return df.groupBy(month).agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev"),
+        )
+
+    base = partials(orders.filter(F.col("o_orderdate") < F.lit(_INCR_CUTOFF)))
+    delta = partials(orders.filter(F.col("o_orderdate") >= F.lit(_INCR_CUTOFF)))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("month")
+        .agg(F.sum("cnt").alias("order_cnt"), F.sum("rev").alias("rev"))
+    )
+    return merged.select(
+        "month",
+        F.col("order_cnt").cast("bigint").alias("order_cnt"),
+        F.col("rev").cast("double").alias("revenue"),
+        # raw quotient, NOT rounded: identical decimal-sum and count on
+        # both engines make the single IEEE division bitwise equal, while
+        # round()ing it reopens the half-way divergence (parity rules)
+        (F.col("rev").cast("double") / F.col("order_cnt")).alias("avg_price"),
+    )
+
+
+# Deterministic changelog synthesis over lineitem: key = l_orderkey,
+# version = l_linenumber, op D when (l_orderkey + l_linenumber) % 11 = 0.
+_CHANGELOG_ORACLE = """
+WITH log AS (
+  SELECT l_orderkey AS key, l_linenumber AS version,
+         CASE WHEN (l_orderkey + l_linenumber) % 11 = 0 THEN 'D'
+              WHEN l_linenumber = 1 THEN 'I' ELSE 'U' END AS op,
+         l_quantity AS quantity, l_extendedprice AS price
+  FROM lineitem
+), latest AS (
+  SELECT key, version, op, quantity, price,
+         row_number() OVER (PARTITION BY key
+                            ORDER BY version DESC, price DESC, quantity DESC) AS rn
+  FROM log
+)
+SELECT key, version AS last_version, op AS last_op, quantity, price
+FROM latest WHERE rn = 1 AND op <> 'D'
+"""
+
+
+@query("warehouse_changelog_compact", oracle=_CHANGELOG_ORACLE)
+def q_warehouse_changelog_compact(spark, sf_dir):
+    """Changelog compaction (the CDC-mirror materializer): from an
+    insert/update/delete log, keep each key's highest-version row and
+    drop keys whose final op is a delete — the read-side state a Kafka
+    compacted topic or Debezium stream converges to.  One row_number
+    window on the key shuffle — identical cost to dedup_keep_best, and
+    at scale it runs per bucket of the upsert layout
+    (operators/storage.py:upsert_latest) so a batch only compacts the
+    buckets it touched."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    log = li.select(
+        F.col("l_orderkey").alias("key"),
+        F.col("l_linenumber").alias("version"),
+        F.when((F.col("l_orderkey") + F.col("l_linenumber")) % 11 == 0, F.lit("D"))
+        .when(F.col("l_linenumber") == 1, F.lit("I"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col("l_quantity").alias("quantity"),
+        F.col("l_extendedprice").alias("price"),
+    )
+    # version ties exist in the synthetic log (duplicate (key, version)
+    # rows); extend the ordering over every output column so the winner
+    # is unique up to full-row equality — either copy hashes the same.
+    w = Window.partitionBy("key").orderBy(
+        F.desc("version"), F.desc("price"), F.desc("quantity")
+    )
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(
+            "key", F.col("version").alias("last_version"),
+            F.col("op").alias("last_op"), "quantity", "price",
+        )
+    )
+
+
+_PRUNE_THRESHOLD = 450_000.0
+
+_PRUNE_ORACLE = f"""
+WITH stats AS (
+  SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+         count(*) AS n_rows,
+         round(min(o_totalprice), 2) AS min_tp,
+         round(max(o_totalprice), 2) AS max_tp,
+         count(*) FILTER (WHERE o_totalprice > {_PRUNE_THRESHOLD}) AS n_match
+  FROM orders GROUP BY 1
+)
+SELECT month, n_rows, min_tp, max_tp,
+       (max_tp <= {_PRUNE_THRESHOLD}) AS can_prune, n_match
+FROM stats
+"""
+
+
+@query("warehouse_partition_prune_stats", oracle=_PRUNE_ORACLE)
+def q_warehouse_partition_prune_stats(spark, sf_dir):
+    """Zone-map / partition-stats audit: per month partition, the min/max
+    of the filter column and whether the predicate `o_totalprice >
+    {threshold}` can skip the partition entirely (max ≤ threshold ⇒ zero
+    matches, scan avoided).  This is the bookkeeping behind data
+    skipping — parquet row-group stats, Delta/Iceberg file stats, and
+    the layout_zorder_key query all exist to make `can_prune` true for
+    most partitions.  One aggregate pass builds the stats table
+    (O(partitions) output); n_match double-checks the zone map tells the
+    truth (can_prune ⇒ n_match = 0)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.date_trunc("month", F.col("o_orderdate").cast("date")).alias("month")
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.min("o_totalprice"), 2).alias("min_tp"),
+            F.round(F.max("o_totalprice"), 2).alias("max_tp"),
+            F.count(F.when(F.col("o_totalprice") > _PRUNE_THRESHOLD, 1)).alias("n_match"),
+        )
+        .select(
+            "month", "n_rows", "min_tp", "max_tp",
+            (F.col("max_tp") <= _PRUNE_THRESHOLD).alias("can_prune"),
+            "n_match",
+        )
     )
