@@ -1652,3 +1652,84 @@ def q_dedup_cross_source(spark, sf_dir):
         .groupBy("source_a", "source_b")
         .agg(F.count("*").alias("shared_digests"))
     )
+
+
+_BIGRAM_LOGPROB_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents
+), big AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)),
+                               i -> t[i] || ' ' || t[i + 1])) AS bigram
+  FROM toks
+), tfd AS (
+  SELECT doc_id, bigram, count(*) AS tf FROM big GROUP BY doc_id, bigram
+), bc AS (
+  SELECT bigram, SUM(tf) AS cntb FROM tfd GROUP BY bigram
+), pc AS (
+  SELECT split_part(bigram, ' ', 1) AS prefix, SUM(cntb) AS cntp FROM bc GROUP BY 1
+), scored AS (
+  SELECT t.doc_id, t.tf,
+         round(-log2(CAST(bc.cntb AS DOUBLE) / pc.cntp), 6) AS neg_log2p
+  FROM tfd t
+  JOIN bc ON bc.bigram = t.bigram
+  JOIN pc ON pc.prefix = split_part(t.bigram, ' ', 1)
+)
+SELECT doc_id,
+       CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+       CAST(SUM(tf * CAST(neg_log2p AS DECIMAL(18,6))) AS DOUBLE) AS total_neg_log2p
+FROM scored GROUP BY doc_id
+"""
+
+
+@query("text_bigram_logprob", oracle=_BIGRAM_LOGPROB_ORACLE)
+def q_text_bigram_logprob(spark, sf_dir):
+    """Bigram conditional cross-entropy per document: Σ -log2 p(w₂|w₁)
+    over the doc's bigrams, with p(w₂|w₁) = corpus bigram count /
+    prefix-word count — one LM order above text_unigram_logprob, the
+    next-cheapest perplexity proxy for corpus quality bucketing (and the
+    same plan family KenLM-style scoring would use).  Bigrams come from
+    a NARROW array zip of adjacent tokens (no positional self-join);
+    the stream collapses once to (doc, bigram, tf), so every join is
+    bounded by distinct pairs, the bigram/prefix count tables are
+    vocabulary-sized (broadcast candidates), and the per-term
+    round6+decimal-sum discipline keeps Σ order-free (registry parity
+    rules)."""
+    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("t")
+    )
+    big = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("t") >= 2,
+                F.expr(
+                    "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),"
+                    " (a, b) -> concat(a, ' ', b))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram"),
+    )
+    tfd = big.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("tf"))
+    bc = tfd.groupBy("bigram").agg(F.sum("tf").alias("cntb"))
+    pc = (
+        bc.groupBy(F.substring_index("bigram", " ", 1).alias("prefix"))
+        .agg(F.sum("cntb").alias("cntp"))
+    )
+    scored = (
+        tfd.join(bc, "bigram")
+        .withColumn("prefix", F.substring_index("bigram", " ", 1))
+        .join(pc, "prefix")
+        .select(
+            "doc_id", "tf",
+            F.round(-F.log2(F.col("cntb").cast("double") / F.col("cntp")), 6)
+            .alias("neg_log2p"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("tf").cast("bigint").alias("n_bigrams"),
+        F.sum(F.col("tf") * F.col("neg_log2p").cast("decimal(18,6)"))
+        .cast("double").alias("total_neg_log2p"),
+    )

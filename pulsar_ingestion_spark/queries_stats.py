@@ -1216,3 +1216,181 @@ def q_ts_autocorr(spark, sf_dir):
             6,
         ).alias("acf"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5c time-series II: linear gap interpolation and the Theil–Sen
+# robust trend estimator.
+# ---------------------------------------------------------------------------
+
+_INTERP_ORACLE = """
+WITH obs AS (
+  SELECT event_type, epoch_us(ts) // 900000000 AS bucket_s,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS val
+  FROM events GROUP BY 1, 2
+), spans AS (
+  SELECT event_type, min(bucket_s) AS lo, max(bucket_s) AS hi FROM obs GROUP BY 1
+), grid AS (
+  SELECT s.event_type, g.b AS bucket_s
+  FROM spans s, LATERAL (SELECT unnest(range(s.lo, s.hi + 1)) AS b) g
+), joined AS (
+  SELECT g.event_type, g.bucket_s, o.val,
+         last_value(o.val IGNORE NULLS) OVER wp AS prev_val,
+         last_value(CASE WHEN o.val IS NOT NULL THEN g.bucket_s END IGNORE NULLS)
+           OVER wp AS prev_t,
+         first_value(o.val IGNORE NULLS) OVER wf AS next_val,
+         first_value(CASE WHEN o.val IS NOT NULL THEN g.bucket_s END IGNORE NULLS)
+           OVER wf AS next_t
+  FROM grid g LEFT JOIN obs o
+    ON o.event_type = g.event_type AND o.bucket_s = g.bucket_s
+  WINDOW wp AS (PARTITION BY g.event_type ORDER BY g.bucket_s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY g.event_type ORDER BY g.bucket_s
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, bucket_s,
+       CASE WHEN val IS NOT NULL THEN val
+            ELSE prev_val + (next_val - prev_val)
+                 * (CAST(bucket_s - prev_t AS DOUBLE) / (next_t - prev_t))
+       END AS val,
+       (val IS NULL) AS interpolated
+FROM joined
+"""
+
+
+@query("ts_interp_linear", oracle=_INTERP_ORACLE)
+def q_ts_interp_linear(spark, sf_dir):
+    """Linear interpolation of missing 15-minute buckets: each empty grid
+    cell gets prev + (next-prev)·(t-t1)/(t2-t1) between its nearest
+    observed neighbors — the reconstruction monitoring dashboards and
+    feature pipelines want when zero-fill (ts_gapfill_15m) would bias
+    the series.  Grid endpoints are observed by construction (span =
+    min..max observed), so every gap has both neighbors.  Two ordered
+    windows per type (forward + backward IGNORE NULLS) on the
+    grid-sized relation; the arithmetic is the same single-IEEE-op
+    expression on both engines, so no rounding is needed anywhere."""
+    (ev,) = _t(spark, sf_dir, "events")
+    obs = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(ts) div 900000000").alias("bucket_s"),
+            "value",
+        )
+        .groupBy("event_type", "bucket_s")
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(18,4)")).cast("double") / F.count("*")
+            ).alias("val")
+        )
+    )
+    spans = obs.groupBy("event_type").agg(
+        F.min("bucket_s").alias("lo"), F.max("bucket_s").alias("hi")
+    )
+    grid = spans.select(
+        "event_type",
+        F.explode(F.sequence(F.col("lo"), F.col("hi"), F.lit(1))).alias("bucket_s"),
+    )
+    j = grid.join(obs, ["event_type", "bucket_s"], "left")
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_s")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    t_if_obs = F.when(F.col("val").isNotNull(), F.col("bucket_s"))
+    withn = j.select(
+        "event_type", "bucket_s", "val",
+        F.last("val", ignorenulls=True).over(wp).alias("prev_val"),
+        F.last(t_if_obs, ignorenulls=True).over(wp).alias("prev_t"),
+        F.first("val", ignorenulls=True).over(wf).alias("next_val"),
+        F.first(t_if_obs, ignorenulls=True).over(wf).alias("next_t"),
+    )
+    interp = F.col("prev_val") + (F.col("next_val") - F.col("prev_val")) * (
+        (F.col("bucket_s") - F.col("prev_t")).cast("double")
+        / (F.col("next_t") - F.col("prev_t"))
+    )
+    return withn.select(
+        "event_type", "bucket_s",
+        F.when(F.col("val").isNotNull(), F.col("val")).otherwise(interp).alias("val"),
+        F.col("val").isNull().alias("interpolated"),
+    )
+
+
+_THEILSEN_ORACLE = """
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day_x,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS day_y
+  FROM events GROUP BY 1, 2
+), pairs AS (
+  SELECT a.event_type,
+         (b.day_y - a.day_y) / (b.day_x - a.day_x) AS slope
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.day_x < b.day_x
+), ranked AS (
+  SELECT event_type, slope,
+         row_number() OVER (PARTITION BY event_type ORDER BY slope) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM pairs
+)
+SELECT event_type,
+       CAST(max(n) AS BIGINT) AS n_pairs,
+       CAST(SUM(CAST(slope AS DECIMAL(28,15))) FILTER (
+              WHERE rn IN ((n + 1) // 2, (n + 2) // 2)) AS DOUBLE)
+         / count(*) FILTER (WHERE rn IN ((n + 1) // 2, (n + 2) // 2))
+         AS theil_sen_slope
+FROM ranked GROUP BY event_type
+"""
+
+
+@query("ts_theil_sen", oracle=_THEILSEN_ORACLE)
+def q_ts_theil_sen(spark, sf_dir):
+    """Theil–Sen robust trend per event type: the MEDIAN of all pairwise
+    slopes of the daily-average series — insensitive to outliers where
+    least-squares (agg_regr_slope) is not.  The median is computed
+    explicitly (middle one or two ranks, decimal-averaged) instead of a
+    percentile builtin, so both engines pick identical elements.  Pair
+    generation is per-type over the DAILY rollup — O(days²) per group,
+    never O(rows²); for year-scale series the standard fix is slopes
+    over a bounded random pair sample, same plan shape.  One shuffle to
+    daily, one type-local self-join, one window."""
+    (ev,) = _t(spark, sf_dir, "events")
+    daily = ev.select(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("day_x"),
+        "value",
+    ).groupBy("event_type", "day_x").agg(
+        (F.sum(F.col("value").cast("decimal(18,4)")).cast("double") / F.count("*"))
+        .alias("day_y")
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.day_x") < F.col("b.day_x")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        ((F.col("b.day_y") - F.col("a.day_y")) / (F.col("b.day_x") - F.col("a.day_x")))
+        .alias("slope"),
+    )
+    w = Window.partitionBy("event_type").orderBy("slope")
+    wn = Window.partitionBy("event_type")
+    ranked = pairs.select(
+        "event_type", "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    mid = (F.col("rn") == F.expr("(n + 1) div 2")) | (
+        F.col("rn") == F.expr("(n + 2) div 2")
+    )
+    return ranked.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n_pairs"),
+        (
+            F.sum(F.when(mid, F.col("slope").cast("decimal(28,15)"))).cast("double")
+            / F.count(F.when(mid, F.lit(1)))
+        ).alias("theil_sen_slope"),
+    )
