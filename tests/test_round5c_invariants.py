@@ -1,0 +1,244 @@
+"""Semantic invariants of the round-5c families (graph, sketches III,
+warehouse II, time-series II, bigram LM) — properties the oracle hash
+can't see failing for the RIGHT reason, checked at sf0.001 on the
+shared session."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pagerank_mass_conserved(spark):
+    """Without dangling redistribution, total rank = Σ teleport + d·(mass
+    that flowed through edges) ≤ 1 and ≥ (1-d); with every node having
+    out-edges it stays close to 1.  Also: every rank ≥ (1-d)/N."""
+    from pulsar_ingestion_spark.queries_graph import q_graph_pagerank
+
+    rows = q_graph_pagerank(spark, SF).collect()
+    n = len(rows)
+    total = sum(r["pagerank"] for r in rows)
+    assert all(r["pagerank"] >= (1 - 0.85) / n - 1e-9 for r in rows)
+    assert 0.15 - 1e-6 <= total <= 1.0 + 1e-6
+    # all five event types participate
+    assert n == 5
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    """Degree-oriented counting equals the naive u<v<w enumeration."""
+    from pulsar_ingestion_spark.queries_graph import _cooc_edges, q_graph_triangle_count
+    from pulsar_ingestion_spark.session import load_tables
+
+    got = q_graph_triangle_count(spark, SF).collect()[0]
+    ev = load_tables(spark, SF)["events"]
+    edges = {(r["u"], r["v"]) for r in _cooc_edges(ev).collect()}
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    nodes = sorted(adj)
+    brute = sum(
+        1
+        for i, u in enumerate(nodes)
+        for v in sorted(adj[u])
+        if v > u
+        for w in sorted(adj[u] & adj[v])
+        if w > v
+    )
+    assert got["n_triangles"] == brute
+    assert got["n_edges"] == len(edges)
+    assert got["n_nodes"] == len(nodes)
+
+
+def test_degree_stats_handshake_lemma(spark):
+    """Σ degree·n_nodes = 2·|edges| (every edge contributes two degree
+    endpoints)."""
+    from pulsar_ingestion_spark.queries_graph import _cooc_edges, q_graph_degree_stats
+    from pulsar_ingestion_spark.session import load_tables
+
+    dist = q_graph_degree_stats(spark, SF).collect()
+    ev = load_tables(spark, SF)["events"]
+    n_edges = _cooc_edges(ev).count()
+    assert sum(r["degree"] * r["n_nodes"] for r in dist) == 2 * n_edges
+
+
+def test_kmv_membership_and_bounds(spark):
+    """Sketch size ≤ k; estimates are positive; Jaccard ∈ [0,1]; and on
+    this tiny fixture (15 users < plausible k regimes) the union
+    estimate lands within a loose 3x band of the exact count."""
+    from pulsar_ingestion_spark.queries_sketch import q_sketch_kmv_intersect
+
+    r = q_sketch_kmv_intersect(spark, SF).collect()[0]
+    assert r["sketch_size"] <= r["k"]
+    assert 0.0 <= r["jaccard_est"] <= 1.0
+    assert r["union_est"] > 0
+    assert r["union_est"] <= 3 * r["exact_union"] + 1
+    assert r["inter_est"] <= r["union_est"] + 1e-9
+
+
+def test_quantile_logbins_within_relative_error(spark):
+    """The bin lower bound is ≤ the true quantile and within the two-
+    significant-digit relative error of it (est_lo ≤ q_true < est_lo·1.1
+    + one bin step)."""
+    from pulsar_ingestion_spark.queries_sketch import q_sketch_quantile_logbins
+    from pulsar_ingestion_spark.session import load_tables
+
+    rows = {r["q"]: r for r in q_sketch_quantile_logbins(spark, SF).collect()}
+    orders = load_tables(spark, SF)["orders"]
+    vals = sorted(v["o_totalprice"] for v in orders.select("o_totalprice").collect())
+    n = len(vals)
+    for q, r in rows.items():
+        true_q = vals[math.ceil(q * n) - 1]
+        assert r["est_lo"] <= true_q + 1e-9
+        # next bin boundary: bump the two leading digits by one
+        assert true_q < r["est_lo"] * 1.1 + 1e-6 or true_q - r["est_lo"] < r["est_lo"] * 0.1 + 1
+
+def test_weighted_sample_favors_heavy_rows(spark):
+    """Selected rows' mean weight exceeds the population mean weight —
+    the point of weighting the priorities (hash/w shrinks as w grows)."""
+    from pulsar_ingestion_spark.queries_sketch import q_sample_weighted_kmv
+    from pulsar_ingestion_spark.session import load_tables
+
+    sample = q_sample_weighted_kmv(spark, SF).agg(F.avg("value")).collect()[0][0]
+    pop = (
+        load_tables(spark, SF)["events"]
+        .filter(F.col("value") > 0)
+        .agg(F.avg("value"))
+        .collect()[0][0]
+    )
+    assert sample > pop
+
+
+def test_incremental_agg_equals_direct(spark):
+    """Partial-merge == direct recompute, month by month."""
+    from pulsar_ingestion_spark.queries_warehouse import q_warehouse_incremental_agg
+    from pulsar_ingestion_spark.session import load_tables
+
+    merged = {
+        r["month"]: (r["order_cnt"], r["revenue"])
+        for r in q_warehouse_incremental_agg(spark, SF).collect()
+    }
+    direct = {
+        r["month"]: (r["cnt"], float(r["rev"]))
+        for r in load_tables(spark, SF)["orders"]
+        .groupBy(F.date_trunc("month", F.col("o_orderdate").cast("date")).alias("month"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev"),
+        )
+        .collect()
+    }
+    assert merged.keys() == direct.keys()
+    for m, (cnt, rev) in direct.items():
+        assert merged[m][0] == cnt
+        assert abs(merged[m][1] - rev) < 1e-6
+
+
+def test_changelog_compact_drops_deletes_keeps_latest(spark):
+    """No compacted key's final op is D, and every surviving key carries
+    its maximum version."""
+    from pulsar_ingestion_spark.queries_warehouse import q_warehouse_changelog_compact
+    from pulsar_ingestion_spark.session import load_tables
+
+    out = q_warehouse_changelog_compact(spark, SF)
+    assert out.filter(F.col("last_op") == "D").count() == 0
+    li = load_tables(spark, SF)["lineitem"]
+    maxv = {
+        r["key"]: r["mv"]
+        for r in li.groupBy(F.col("l_orderkey").alias("key"))
+        .agg(F.max("l_linenumber").alias("mv"))
+        .collect()
+    }
+    for r in out.collect():
+        assert r["last_version"] == maxv[r["key"]]
+
+
+def test_prune_stats_zone_map_is_truthful(spark):
+    """can_prune ⇒ n_match = 0 (a zone map must never skip a partition
+    that contains matches)."""
+    from pulsar_ingestion_spark.queries_warehouse import q_warehouse_partition_prune_stats
+
+    for r in q_warehouse_partition_prune_stats(spark, SF).collect():
+        if r["can_prune"]:
+            assert r["n_match"] == 0
+        assert r["min_tp"] <= r["max_tp"]
+
+
+def test_interp_linear_bounded_and_exact_on_observed(spark):
+    """Observed buckets keep their exact value; interpolated buckets lie
+    between their neighbors' values (monotone segment bound)."""
+    from pulsar_ingestion_spark.queries_stats import q_ts_interp_linear
+
+    rows = q_ts_interp_linear(spark, SF).orderBy("event_type", "bucket_s").collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for series in by_type.values():
+        obs = [(i, r["val"]) for i, r in enumerate(series) if not r["interpolated"]]
+        assert obs, "grid endpoints must be observed"
+        assert not series[0]["interpolated"] and not series[-1]["interpolated"]
+        # every interpolated point is within [min, max] of surrounding obs
+        for (i1, v1), (i2, v2) in zip(obs, obs[1:]):
+            lo, hi = min(v1, v2), max(v1, v2)
+            for k in range(i1 + 1, i2):
+                assert lo - 1e-9 <= series[k]["val"] <= hi + 1e-9
+
+
+def test_theil_sen_matches_numpy_median(spark):
+    """The explicit-rank median equals the python median of the same
+    slope multiset."""
+    from pulsar_ingestion_spark.queries_stats import q_ts_theil_sen
+    from pulsar_ingestion_spark.session import load_tables
+
+    got = {r["event_type"]: r for r in q_ts_theil_sen(spark, SF).collect()}
+    ev = load_tables(spark, SF)["events"]
+    daily = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(ts) div 86400000000").alias("x"),
+            "value",
+        )
+        .groupBy("event_type", "x")
+        .agg(
+            (F.sum(F.col("value").cast("decimal(18,4)")).cast("double") / F.count("*"))
+            .alias("y")
+        )
+        .collect()
+    )
+    series: dict[str, list] = {}
+    for r in daily:
+        series.setdefault(r["event_type"], []).append((r["x"], r["y"]))
+    for t, pts in series.items():
+        pts.sort()
+        slopes = sorted(
+            (y2 - y1) / (x2 - x1)
+            for i, (x1, y1) in enumerate(pts)
+            for (x2, y2) in pts[i + 1 :]
+        )
+        n = len(slopes)
+        med = (
+            slopes[n // 2]
+            if n % 2
+            else (slopes[n // 2 - 1] + slopes[n // 2]) / 2
+        )
+        assert got[t]["n_pairs"] == n
+        assert abs(got[t]["theil_sen_slope"] - med) < 1e-9
+
+
+def test_bigram_logprob_perplexity_sane(spark):
+    """Per-bigram mean -log2 p is positive and bounded by log2(corpus
+    bigram total): p(w₂|w₁) = cntb/cntp ≥ 1/N since cntp ≤ N and
+    cntb ≥ 1; docs with <2 tokens are absent."""
+    from pulsar_ingestion_spark.queries_llm import q_text_bigram_logprob
+
+    out = q_text_bigram_logprob(spark, SF)
+    rows = out.collect()
+    assert all(r["n_bigrams"] >= 1 for r in rows)
+    assert all(r["total_neg_log2p"] >= 0 for r in rows)
+    corpus_bigrams = sum(r["n_bigrams"] for r in rows)
+    for r in rows:
+        mean_bits = r["total_neg_log2p"] / r["n_bigrams"]
+        assert 0 <= mean_bits <= math.log2(corpus_bigrams) + 1e-6

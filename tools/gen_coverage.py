@@ -140,6 +140,19 @@ SECTIONS = [
         "sim_search_recall_eval", "emb_label_affinity", "emb_prefix_recall",
         "emb_whiten_stats", "emb_prototypes_per_label",
     ]),
+    ("Graph analytics (round 5)", [
+        "graph_pagerank", "graph_degree_stats", "graph_triangle_count",
+    ]),
+    ("Sketches & sampling III (round 5)", [
+        "sketch_kmv_intersect", "sketch_quantile_logbins", "sample_weighted_kmv",
+    ]),
+    ("Warehouse data management II (round 5)", [
+        "warehouse_incremental_agg", "warehouse_changelog_compact",
+        "warehouse_partition_prune_stats",
+    ]),
+    ("Time-series II + bigram LM (round 5)", [
+        "ts_interp_linear", "ts_theil_sen", "text_bigram_logprob",
+    ]),
 ]
 
 STREAMING_ONLY = [
