@@ -77,6 +77,11 @@ HEADLINE = [
     "text_bm25_topk",
     "events_user_overlap_jaccard",
     "text_ppl_buckets",
+    # round 5c: graph analytics, mergeable sketches, CDC compaction, bigram LM
+    "graph_triangle_count",
+    "sketch_kmv_intersect",
+    "warehouse_changelog_compact",
+    "text_bigram_logprob",
 ]
 
 

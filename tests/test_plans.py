@@ -463,3 +463,69 @@ def test_whiten_stats_side_is_broadcast(spark):
     plan = _plan(q_emb_whiten_stats(spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_pagerank_iterations_reuse_cached_edges(spark):
+    """The event stream must be scanned/aggregated ONCE: every unrolled
+    iteration reads the persisted transition relation (InMemoryRelation
+    in the plan), and rank-side joins broadcast — no data-scale shuffle
+    per iteration."""
+    from pulsar_ingestion_spark.queries_graph import q_graph_pagerank
+
+    plan = _plan(q_graph_pagerank(spark, SF))
+    # every iteration consumes the persisted edge/node relations (the
+    # formatted plan re-prints the cached build under each InMemoryTableScan,
+    # so parquet-scan string counts overstate actual executions)
+    assert plan.count("InMemoryTableScan") >= 2 * 3, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_kmv_sketch_uses_distributed_topk(spark):
+    """Bottom-k selection must plan as TakeOrderedAndProject (local
+    top-k + merge), never a global Sort followed by Limit on one task."""
+    from pulsar_ingestion_spark.queries_sketch import q_sketch_kmv_intersect
+
+    plan = _plan(q_sketch_kmv_intersect(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_weighted_sample_window_is_partitioned(spark):
+    from pulsar_ingestion_spark.queries_sketch import q_sample_weighted_kmv
+
+    plan = _plan(q_sample_weighted_kmv(spark, SF))
+    assert re.search(r"hashpartitioning\(event_type", plan), plan
+
+
+def test_incremental_agg_has_partial_aggregation(spark):
+    """Partials must combine map-side (HashAggregate before and after the
+    exchange) — the mergeability that makes the IVM pattern O(batch)."""
+    from pulsar_ingestion_spark.queries_warehouse import q_warehouse_incremental_agg
+
+    plan = _plan(q_warehouse_incremental_agg(spark, SF))
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_changelog_compact_single_key_shuffle(spark):
+    """Latest-wins compaction is ONE window over the key shuffle — no
+    join back, no second exchange on the same data."""
+    from pulsar_ingestion_spark.queries_warehouse import q_warehouse_changelog_compact
+
+    plan = _plan(q_warehouse_changelog_compact(spark, SF))
+    assert re.search(r"hashpartitioning\(key", plan), plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan, plan
+
+
+def test_interp_linear_windows_are_partitioned(spark):
+    from pulsar_ingestion_spark.queries_stats import q_ts_interp_linear
+
+    plan = _plan(q_ts_interp_linear(spark, SF))
+    assert re.search(r"hashpartitioning\(event_type", plan), plan
+
+
+def test_bigram_counts_broadcast_back(spark):
+    """The bigram/prefix count tables are vocabulary-sized — they must
+    join back broadcast so only the (doc, bigram, tf) stream shuffles."""
+    from pulsar_ingestion_spark.queries_llm import q_text_bigram_logprob
+
+    plan = _plan(q_text_bigram_logprob(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
