@@ -155,18 +155,56 @@ _CHECKED_PRIOR = {
 }
 
 
+# The 50 ids built across the earlier round-5 sessions form this round's
+# driver-check prefix (the driver checks a bounded prefix ≈50).  Later
+# round-5 additions register in module order, which would INTERLEAVE them
+# into the middle of the fresh set and push curated ids past the bound —
+# pin the intended prefix explicitly; everything else fresh follows and
+# rotates into round 6.
+_ROUND5_PREFIX = [
+    "join_asof_tolerance", "sim_search_recall_eval", "emb_label_affinity",
+    "text_dedup_survivorship", "corpus_lang_balance", "dedup_url_canonical",
+    "text_langid_confusion", "dedup_cross_source", "corpus_domain_caps",
+    "text_ppl_buckets", "events_attribution_position", "events_time_to_convert",
+    "events_user_overlap_jaccard", "win_range_interval_1h", "ts_autocorr",
+    "text_bm25_topk", "text_keyness_loglik", "sketch_hll_merge",
+    "sample_reservoir_hash", "tpch_min_cost_supplier", "tpch_small_qty_revenue",
+    "tpch_parts_promo", "tpch_global_sales_opportunity",
+    "tpch_customer_distribution", "win_topk_ties_qualify", "tpch_returned_items",
+    "tpch_promo_revenue", "tpch_top_supplier", "tpch_large_orders",
+    "tpch_disjunctive_pred", "tpch_waiting_suppliers", "tpch_nation_volume",
+    "tpch_product_profit", "tpch_important_stock", "win_mom_growth",
+    "win_yoy_growth", "win_cumulative_share", "tpch_forecast_revenue",
+    "tpch_shipmode_priority", "tpch_supplier_part_count",
+    "tpch_fulfillment_latency", "emb_prefix_recall", "emb_whiten_stats",
+    "emb_prototypes_per_label", "scd2_point_in_time", "table_snapshot_diff",
+    "dq_orphan_check", "dq_constraint_audit", "warehouse_merge_upsert",
+    "graph_hierarchy_closure",
+]
+
+
+def _rotated(mapping: dict) -> dict:
+    prefix = {k: mapping[k] for k in _ROUND5_PREFIX if k in mapping}
+    fresh = {
+        k: v for k, v in mapping.items()
+        if k not in _CHECKED_PRIOR and k not in prefix
+    }
+    seen = {
+        k: v for k, v in mapping.items()
+        if k in _CHECKED_PRIOR and k not in prefix
+    }
+    return {**prefix, **fresh, **seen}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.5 — ids without
-    a round-1 driver CORRECTNESS row first (coverage rotation)."""
-    fresh = {k: v for k, v in QUERIES.items() if k not in _CHECKED_PRIOR}
-    seen = {k: v for k, v in QUERIES.items() if k in _CHECKED_PRIOR}
-    return {**fresh, **seen}
+    a prior driver CORRECTNESS row first (coverage rotation), this round's
+    curated prefix ahead of later additions."""
+    return _rotated(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (omitted for non-SQL-expressible
     operators → driver records a rows-only check).  Same rotation order
     as :func:`queries`."""
-    fresh = {k: v for k, v in ORACLES.items() if k not in _CHECKED_PRIOR}
-    seen = {k: v for k, v in ORACLES.items() if k in _CHECKED_PRIOR}
-    return {**fresh, **seen}
+    return _rotated(ORACLES)

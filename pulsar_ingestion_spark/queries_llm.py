@@ -1600,7 +1600,7 @@ def q_text_langid_confusion(spark, sf_dir):
     return pred.groupBy("labeled_lang", "guessed_lang").agg(F.count("*").alias("n_docs"))
 
 
-_CROSS_SOURCE_DUP_ORACLE = """
+_CROSS_SOURCE_DUP_ORACLE = r"""
 WITH digests AS (
   SELECT md5(array_to_string((regexp_split_to_array(trim(lower(text)), '\s+'))[1:5], ' ')) AS h,
          source
