@@ -1,0 +1,285 @@
+"""Data-quality monitoring: distribution drift (PSI, two-sample KS,
+chi-squared mix shift) and a privacy (k-anonymity) audit.
+
+Round-5 family.  A pipeline that lands telemetry continuously (the
+reference's ingestion role) needs drift monitors comparing today's data
+against a reference window — the alarms that catch a mis-mapped source
+field or a fleet-wide behavior change before models consume the data —
+and a re-identification audit before any per-tenant extract leaves the
+platform.  Windows here are the two halves of the fixture's January;
+in production the same plans run day-vs-trailing-28d.
+
+Scale notes (100 TB): every monitor reduces the stream ONCE to a
+histogram/contingency relation keyed by (group, bin) — the shuffle
+carries O(groups × bins) partial aggregates, never rows.  KS needs the
+per-distinct-value CDF, so its shuffle is bounded by distinct values per
+group (quantize the metric to bound it further at scale).  The
+k-anonymity audit is one groupBy on the quasi-identifier tuple plus a
+group-size histogram — the second agg input is already group-sized.
+
+Float parity: bin ids and contingency counts are integers; probabilities
+are single IEEE divisions; ln/log terms are rounded to 6 then
+decimal-summed (registry parity rules — same discipline as
+text_unigram_logprob).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from pulsar_ingestion_spark.registry import query
+from pulsar_ingestion_spark.session import fan_out, load_tables
+
+# Window split: first vs second half of the fixture month.
+_SPLIT = "2024-01-16"
+_PSI_BINS = 10
+_PSI_BIN_WIDTH = 40.0  # value spans ~[0, 340); floor(v/40) capped to 9
+
+
+_PSI_ORACLE = f"""
+WITH binned AS (
+  SELECT event_type,
+         CASE WHEN ts < TIMESTAMP '{_SPLIT}' THEN 'a' ELSE 'b' END AS win,
+         least(CAST(floor(value / {_PSI_BIN_WIDTH}) AS BIGINT), {_PSI_BINS - 1}) AS bin,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2, 3
+), grid AS (
+  SELECT DISTINCT event_type, b.bin
+  FROM binned, (SELECT unnest(range(0, {_PSI_BINS})) AS bin) b
+), filled AS (
+  SELECT g.event_type, g.bin,
+         coalesce(a.cnt, 0) AS ca, coalesce(b.cnt, 0) AS cb
+  FROM grid g
+  LEFT JOIN binned a ON a.event_type = g.event_type AND a.bin = g.bin AND a.win = 'a'
+  LEFT JOIN binned b ON b.event_type = g.event_type AND b.bin = g.bin AND b.win = 'b'
+), tot AS (
+  SELECT event_type, SUM(ca) AS na, SUM(cb) AS nb FROM filled GROUP BY 1
+), terms AS (
+  SELECT f.event_type,
+         round((CAST(f.ca + 1 AS DOUBLE) / (t.na + {_PSI_BINS})
+              - CAST(f.cb + 1 AS DOUBLE) / (t.nb + {_PSI_BINS}))
+              * ln((CAST(f.ca + 1 AS DOUBLE) / (t.na + {_PSI_BINS}))
+                 / (CAST(f.cb + 1 AS DOUBLE) / (t.nb + {_PSI_BINS}))), 6) AS term
+  FROM filled f JOIN tot t ON t.event_type = f.event_type
+)
+SELECT event_type,
+       CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DOUBLE) AS psi
+FROM terms GROUP BY event_type
+"""
+
+
+@query("drift_psi", oracle=_PSI_ORACLE)
+def q_drift_psi(spark, sf_dir):
+    """Population stability index of the `value` distribution, first half
+    of the month vs second, per event type: Σ (p_a−p_b)·ln(p_a/p_b)
+    over 10 fixed-width bins with Laplace (+1) smoothing so empty bins
+    stay finite.  PSI < 0.1 ⇒ stable, > 0.25 ⇒ investigate — the
+    standard scorecard-monitoring thresholds.  One scan → (type, window,
+    bin) counts (map-side combine); the dense bin grid, totals, and the
+    PSI fold are all O(types×bins)."""
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    binned = (
+        ev.select(
+            "event_type",
+            F.when(F.col("ts") < F.lit(_SPLIT), "a").otherwise("b").alias("win"),
+            F.least(
+                F.floor(F.col("value") / _PSI_BIN_WIDTH), F.lit(_PSI_BINS - 1)
+            ).cast("bigint").alias("bin"),
+        )
+        .groupBy("event_type", "win", "bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+    grid = (
+        binned.select("event_type")
+        .distinct()
+        .crossJoin(spark.range(_PSI_BINS).select(F.col("id").alias("bin")))
+    )
+    a = binned.filter(F.col("win") == "a").select("event_type", "bin", F.col("cnt").alias("ca"))
+    b = binned.filter(F.col("win") == "b").select("event_type", "bin", F.col("cnt").alias("cb"))
+    filled = (
+        grid.join(a, ["event_type", "bin"], "left")
+        .join(b, ["event_type", "bin"], "left")
+        .select(
+            "event_type", "bin",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+    )
+    tot = filled.groupBy("event_type").agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    pa = (F.col("ca") + 1).cast("double") / (F.col("na") + _PSI_BINS)
+    pb = (F.col("cb") + 1).cast("double") / (F.col("nb") + _PSI_BINS)
+    terms = filled.join(F.broadcast(tot), "event_type").select(
+        "event_type", F.round((pa - pb) * F.log(pa / pb), 6).alias("term")
+    )
+    return terms.groupBy("event_type").agg(
+        F.sum(F.col("term").cast("decimal(18,6)")).cast("double").alias("psi")
+    )
+
+
+_KS_ORACLE = f"""
+WITH tagged AS (
+  SELECT event_type, value,
+         CASE WHEN ts < TIMESTAMP '{_SPLIT}' THEN 1 ELSE 0 END AS is_a
+  FROM events
+), pervalue AS (
+  SELECT event_type, value,
+         SUM(is_a) AS ca, SUM(1 - is_a) AS cb
+  FROM tagged GROUP BY event_type, value
+), cum AS (
+  SELECT event_type, value,
+         SUM(ca) OVER w AS cum_a, SUM(cb) OVER w AS cum_b,
+         SUM(ca) OVER wt AS na, SUM(cb) OVER wt AS nb
+  FROM pervalue
+  WINDOW w AS (PARTITION BY event_type ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wt AS (PARTITION BY event_type)
+)
+SELECT event_type, CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+       round(max(abs(CAST(cum_a AS DOUBLE) / na - CAST(cum_b AS DOUBLE) / nb)), 6)
+         AS ks_d
+FROM cum GROUP BY event_type
+"""
+
+
+@query("drift_ks", oracle=_KS_ORACLE)
+def q_drift_ks(spark, sf_dir):
+    """Exact two-sample Kolmogorov–Smirnov statistic per event type
+    between the two half-month windows: D = max |F̂_a − F̂_b| evaluated
+    after each distinct value (ties collapse first, so the CDF step is
+    well-defined).  The shuffle is bounded by distinct values per type;
+    at scale, quantize the metric (e.g. cents) to bound the support.
+    CDF fractions are single IEEE divisions of identical integers, so
+    the max compares bitwise-equal doubles on both engines."""
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    tagged = ev.select(
+        "event_type", "value",
+        F.when(F.col("ts") < F.lit(_SPLIT), 1).otherwise(0).alias("is_a"),
+    )
+    pervalue = tagged.groupBy("event_type", "value").agg(
+        F.sum("is_a").alias("ca"), F.sum(1 - F.col("is_a")).alias("cb")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("event_type")
+    cum = pervalue.select(
+        "event_type",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+        F.sum("ca").over(wt).alias("na"),
+        F.sum("cb").over(wt).alias("nb"),
+    )
+    gap = F.abs(
+        F.col("cum_a").cast("double") / F.col("na")
+        - F.col("cum_b").cast("double") / F.col("nb")
+    )
+    return cum.groupBy("event_type").agg(
+        F.max("na").cast("bigint").alias("n_a"),
+        F.max("nb").cast("bigint").alias("n_b"),
+        F.round(F.max(gap), 6).alias("ks_d"),
+    )
+
+
+_CHI2_ORACLE = f"""
+WITH obs AS (
+  SELECT event_type,
+         CASE WHEN ts < TIMESTAMP '{_SPLIT}' THEN 'a' ELSE 'b' END AS win,
+         count(*) AS o
+  FROM events GROUP BY 1, 2
+), margins AS (
+  SELECT o.event_type, o.win, o.o,
+         SUM(o.o) OVER (PARTITION BY o.event_type) AS row_tot,
+         SUM(o.o) OVER (PARTITION BY o.win) AS col_tot,
+         SUM(o.o) OVER () AS n
+  FROM obs o
+), terms AS (
+  SELECT round(power(o - CAST(row_tot AS DOUBLE) * col_tot / n, 2)
+               / (CAST(row_tot AS DOUBLE) * col_tot / n), 6) AS term,
+         n
+  FROM margins
+)
+SELECT CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DOUBLE) AS chi2,
+       CAST((count(*) / 2 - 1) AS BIGINT) AS dof,
+       CAST(max(n) AS BIGINT) AS n
+FROM terms
+"""
+
+
+@query("drift_chi2", oracle=_CHI2_ORACLE)
+def q_drift_chi2(spark, sf_dir):
+    """Chi-squared test of event-type mix shift between the two windows:
+    Σ (O−E)²/E over the types×2 contingency table with E from the
+    margins — the categorical counterpart to drift_psi.  The table is
+    built in ONE aggregate pass; margins come from windows over the
+    O(types×2) relation; dof = (types−1)·(2−1).  Terms are
+    round6+decimal-summed (parity rules)."""
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    obs = (
+        ev.select(
+            "event_type",
+            F.when(F.col("ts") < F.lit(_SPLIT), "a").otherwise("b").alias("win"),
+        )
+        .groupBy("event_type", "win")
+        .agg(F.count("*").alias("o"))
+    )
+    wr = Window.partitionBy("event_type")
+    wc = Window.partitionBy("win")
+    wn = Window.partitionBy()
+    m = obs.select(
+        "o",
+        F.sum("o").over(wr).alias("row_tot"),
+        F.sum("o").over(wc).alias("col_tot"),
+        F.sum("o").over(wn).alias("n"),
+    )
+    e = F.col("row_tot").cast("double") * F.col("col_tot") / F.col("n")
+    terms = m.select(
+        F.round(F.pow(F.col("o") - e, 2) / e, 6).alias("term"), "n"
+    )
+    return terms.agg(
+        F.sum(F.col("term").cast("decimal(18,6)")).cast("double").alias("chi2"),
+        (F.count("*") / 2 - 1).cast("bigint").alias("dof"),
+        F.max("n").cast("bigint").alias("n"),
+    )
+
+
+_KANON_ORACLE = """
+WITH qi AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+         count(*) AS group_size
+  FROM customer GROUP BY 1, 2, 3
+)
+SELECT group_size,
+       count(*) AS n_groups,
+       CAST(SUM(group_size) AS BIGINT) AS n_rows,
+       (group_size < 5) AS violates_k5
+FROM qi GROUP BY group_size
+"""
+
+
+@query("privacy_k_anonymity", oracle=_KANON_ORACLE)
+def q_privacy_k_anonymity(spark, sf_dir):
+    """k-anonymity audit of the customer table under the quasi-identifier
+    (nation, market segment, $1000 balance bucket): the equivalence-class
+    size histogram, with classes below k=5 flagged — rows in those
+    classes are re-identifiable and must be generalized or suppressed
+    before an extract ships.  Two aggregations: QI groupBy (one shuffle
+    over the data), then a histogram over the group-sized relation."""
+    cu = load_tables(spark, sf_dir)["customer"]
+    qi = (
+        cu.groupBy(
+            "c_nationkey", "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_bucket"),
+        )
+        .agg(F.count("*").alias("group_size"))
+    )
+    return qi.groupBy("group_size").agg(
+        F.count("*").alias("n_groups"),
+        F.sum("group_size").cast("bigint").alias("n_rows"),
+        F.max(F.col("group_size") < 5).alias("violates_k5"),
+    )

@@ -242,3 +242,54 @@ def test_bigram_logprob_perplexity_sane(spark):
     for r in rows:
         mean_bits = r["total_neg_log2p"] / r["n_bigrams"]
         assert 0 <= mean_bits <= math.log2(corpus_bigrams) + 1e-6
+
+
+def test_drift_psi_nonnegative(spark):
+    """Each PSI term (p-q)·ln(p/q) is ≥ 0, so the sum is (up to term
+    rounding) non-negative for every event type."""
+    from pulsar_ingestion_spark.queries_quality import q_drift_psi
+
+    rows = q_drift_psi(spark, SF).collect()
+    assert len(rows) == 5
+    assert all(r["psi"] >= -1e-4 for r in rows)
+
+
+def test_drift_ks_bounds_and_counts(spark):
+    """D ∈ [0,1]; window counts partition each type's rows."""
+    from pulsar_ingestion_spark.queries_quality import q_drift_ks
+    from pulsar_ingestion_spark.session import load_tables
+
+    rows = q_drift_ks(spark, SF).collect()
+    per_type = {
+        r["event_type"]: r["cnt"]
+        for r in load_tables(spark, SF)["events"]
+        .groupBy("event_type")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    for r in rows:
+        assert 0.0 <= r["ks_d"] <= 1.0
+        assert r["n_a"] + r["n_b"] == per_type[r["event_type"]]
+
+
+def test_drift_chi2_dof_and_sign(spark):
+    from pulsar_ingestion_spark.queries_quality import q_drift_chi2
+
+    r = q_drift_chi2(spark, SF).collect()[0]
+    assert r["chi2"] >= 0
+    assert r["dof"] == 4  # 5 event types × 2 windows
+    assert r["n"] > 0
+
+
+def test_k_anonymity_partitions_table(spark):
+    """Group-size histogram covers every customer row exactly once, and
+    the violates flag matches the size."""
+    from pulsar_ingestion_spark.queries_quality import q_privacy_k_anonymity
+    from pulsar_ingestion_spark.session import load_tables
+
+    rows = q_privacy_k_anonymity(spark, SF).collect()
+    n_customers = load_tables(spark, SF)["customer"].count()
+    assert sum(r["n_rows"] for r in rows) == n_customers
+    for r in rows:
+        assert r["n_rows"] == r["group_size"] * r["n_groups"]
+        assert r["violates_k5"] == (r["group_size"] < 5)

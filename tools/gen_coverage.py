@@ -153,6 +153,9 @@ SECTIONS = [
     ("Time-series II + bigram LM (round 5)", [
         "ts_interp_linear", "ts_theil_sen", "text_bigram_logprob",
     ]),
+    ("Drift monitoring & privacy audit (round 5)", [
+        "drift_psi", "drift_ks", "drift_chi2", "privacy_k_anonymity",
+    ]),
 ]
 
 STREAMING_ONLY = [
