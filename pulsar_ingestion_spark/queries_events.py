@@ -935,3 +935,61 @@ def q_win_range_interval_1h(spark, sf_dir):
         F.count("*").over(w).alias("cnt_1h"),
         F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double").alias("value_1h"),
     )
+
+
+_INTERVAL_OVERLAP_ORACLE = """
+WITH browse AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+         min(epoch_us(ts)) AS a_start, max(epoch_us(ts)) AS a_end
+  FROM events WHERE event_type IN ('view', 'click')
+  GROUP BY 1, 2
+), errors AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+         min(epoch_us(ts)) AS b_start, max(epoch_us(ts)) AS b_end
+  FROM events WHERE event_type = 'error'
+  GROUP BY 1, 2
+)
+SELECT a.user_id, a.day, a.a_start, a.a_end, e.b_start, e.b_end,
+       (least(a.a_end, e.b_end) - greatest(a.a_start, e.b_start)) // 1000
+         AS overlap_ms
+FROM browse a JOIN errors e
+  ON e.user_id = a.user_id AND e.day = a.day
+ AND a.a_start <= e.b_end AND e.b_start <= a.a_end
+"""
+
+
+@query("join_interval_overlap", oracle=_INTERVAL_OVERLAP_ORACLE)
+def q_join_interval_overlap(spark, sf_dir):
+    """Interval×interval overlap join: per-user daily browsing sessions
+    (view/click span) against error-burst intervals — which outage
+    windows intersected which active sessions, and for how long.  Both
+    interval relations derive from ONE scan each (min/max aggregates);
+    the join is an equi-join on the (user, day) band with the overlap
+    condition as a residual predicate, so it shuffles on the band key
+    exactly like a plain dim join — never a cross product.  Intervals
+    here are day-bounded by construction; unbounded intervals use the
+    multi-band explode of join_range_banded (each interval replicated to
+    the bands it covers, pairs deduped)."""
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    day = F.expr("unix_micros(ts) div 86400000000").alias("day")
+    us = F.expr("unix_micros(ts)")
+
+    def spans(pred, s, e):
+        return (
+            ev.filter(pred)
+            .select("user_id", day, us.alias("u"))
+            .groupBy("user_id", "day")
+            .agg(F.min("u").alias(s), F.max("u").alias(e))
+        )
+
+    browse = spans(F.col("event_type").isin("view", "click"), "a_start", "a_end")
+    errors = spans(F.col("event_type") == "error", "b_start", "b_end")
+    return (
+        browse.join(errors, ["user_id", "day"])
+        .filter((F.col("a_start") <= F.col("b_end")) & (F.col("b_start") <= F.col("a_end")))
+        .select(
+            "user_id", "day", "a_start", "a_end", "b_start", "b_end",
+            F.expr("(least(a_end, b_end) - greatest(a_start, b_start)) div 1000")
+            .alias("overlap_ms"),
+        )
+    )

@@ -452,3 +452,71 @@ def q_emb_prototypes_per_label(spark, sf_dir):
         .filter(F.col("rnk") <= 3)
         .select("label", "rnk", "vec_id", "d2")
     )
+
+
+_COS_HIST_DOT = """list_reduce(list_prepend(0.0, list_transform(range(1, len({a})+1),
+  i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), (x,y) -> x+y)"""
+
+_COS_HIST_ORACLE = f"""
+WITH n AS (
+  SELECT count(*) AS nv FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS ia,
+         ((a.vec_id * 2654435761) % 2147483647) % (SELECT nv FROM n) AS ib
+  FROM embeddings a
+), joined AS (
+  SELECT p.ia, p.ib,
+         round({_COS_HIST_DOT.format(a="x.embedding", b="y.embedding")}
+               / (sqrt({_COS_HIST_DOT.format(a="x.embedding", b="x.embedding")})
+                * sqrt({_COS_HIST_DOT.format(a="y.embedding", b="y.embedding")})), 6)
+           AS cos_sim
+  FROM pairs p
+  JOIN embeddings x ON x.vec_id = p.ia
+  JOIN embeddings y ON y.vec_id = p.ib
+  WHERE p.ia <> p.ib
+)
+SELECT least(CAST(floor((cos_sim + 1) * 10) AS BIGINT), 19) AS bin,
+       round(least(CAST(floor((cos_sim + 1) * 10) AS BIGINT), 19) / 10.0 - 1.0, 1)
+         AS bin_lo,
+       count(*) AS n_pairs
+FROM joined GROUP BY 1, 2
+"""
+
+
+@query("emb_cosine_histogram", oracle=_COS_HIST_ORACLE)
+def q_emb_cosine_histogram(spark, sf_dir):
+    """Pairwise-cosine distribution over a LINEAR deterministic pair
+    sample (each vector paired with its Knuth-hash partner): 20 bins of
+    width 0.1 on [-1, 1].  This is the calibration every ANN deployment
+    runs first — where do same-corpus cosines concentrate, and hence
+    what threshold separates near-dups from background similarity
+    (feeds dedup_embedding_cosine's threshold and sim_search_lsh's band
+    count).  Exactly n pairs (never n²), one equi-join on vec_id each
+    side, ordered-fold dot products (array-order summation on both
+    engines), histogram = sketch-sized agg."""
+    emb = fan_out(load_tables(spark, sf_dir)["embeddings"], spark)
+    from pulsar_ingestion_spark.functions.vectors import cosine_rounded
+
+    n = emb.agg(F.count("*").alias("nv"))
+    pairs = emb.select("vec_id").crossJoin(F.broadcast(n)).select(
+        F.col("vec_id").alias("ia"),
+        (((F.col("vec_id") * 2654435761) % 2147483647) % F.col("nv")).alias("ib"),
+    ).filter(F.col("ia") != F.col("ib"))
+    x = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"))
+    y = emb.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("eb"))
+    joined = pairs.join(x, "ia").join(y, "ib").select(
+        cosine_rounded(F.col("ea"), F.col("eb")).alias("cos_sim")
+    )
+    bin_col = F.least(
+        F.floor((F.col("cos_sim") + 1) * 10).cast("bigint"), F.lit(19)
+    )
+    return (
+        joined.select(bin_col.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("n_pairs"))
+        .select(
+            "bin",
+            F.round(F.col("bin") / 10.0 - 1.0, 1).alias("bin_lo"),
+            "n_pairs",
+        )
+    )

@@ -156,6 +156,9 @@ SECTIONS = [
     ("Drift monitoring & privacy audit (round 5)", [
         "drift_psi", "drift_ks", "drift_chi2", "privacy_k_anonymity",
     ]),
+    ("Interval join + embedding calibration (round 5)", [
+        "join_interval_overlap", "emb_cosine_histogram",
+    ]),
 ]
 
 STREAMING_ONLY = [

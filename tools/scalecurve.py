@@ -38,6 +38,10 @@ QUERIES = [
     "text_bm25_topk",
     "text_ppl_buckets",
     "dedup_cross_source",
+    # round 5c: bigram token stream, blocked co-occurrence graph, drift CDF
+    "text_bigram_logprob",
+    "graph_triangle_count",
+    "drift_ks",
 ]
 
 
@@ -116,8 +120,31 @@ def synthesize(out_dir: str, mult: int, seed: int = 7) -> tuple[int, int]:
     })
     pq.write_table(emb, os.path.join(out_dir, "embeddings.parquet"))
 
+    # --- events: tile the base table ``mult`` times with DISJOINT user
+    # communities (user_id offset per tile) — models fleet growth: more
+    # users over the same wall-clock span, so per-(type, time-bucket)
+    # density stays constant and a blocked plan should scale ~linearly.
+    base_ev = pq.read_table(os.path.join(BASE_SF, "events.parquet"))
+    n_ev = base_ev.num_rows
+    uid_span = 1 + int(pa.compute.max(base_ev["user_id"]).as_py())
+    tiles = []
+    for k in range(mult):
+        t = base_ev
+        t = t.set_column(
+            t.schema.get_field_index("event_id"),
+            "event_id",
+            pa.compute.add(t["event_id"], k * n_ev),
+        )
+        t = t.set_column(
+            t.schema.get_field_index("user_id"),
+            "user_id",
+            pa.compute.add(t["user_id"], k * uid_span),
+        )
+        tiles.append(t)
+    pq.write_table(pa.concat_tables(tiles), os.path.join(out_dir, "events.parquet"))
+
     for t in ["region", "nation", "customer", "supplier", "part",
-              "orders", "lineitem", "events"]:
+              "orders", "lineitem"]:
         os.symlink(os.path.join(BASE_SF, f"{t}.parquet"),
                    os.path.join(out_dir, f"{t}.parquet"))
     return n_docs, n_emb
