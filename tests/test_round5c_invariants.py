@@ -293,3 +293,34 @@ def test_k_anonymity_partitions_table(spark):
     for r in rows:
         assert r["n_rows"] == r["group_size"] * r["n_groups"]
         assert r["violates_k5"] == (r["group_size"] < 5)
+
+
+def test_cosine_histogram_is_linear_pair_sample(spark):
+    """Bin counts sum to the number of sampled pairs (≤ n, never n²) and
+    bins stay inside [-1, 1]."""
+    from pulsar_ingestion_spark.queries_ml import q_emb_cosine_histogram
+    from pulsar_ingestion_spark.session import load_tables
+
+    rows = q_emb_cosine_histogram(spark, SF).collect()
+    n = load_tables(spark, SF)["embeddings"].count()
+    total_pairs = sum(r["n_pairs"] for r in rows)
+    assert total_pairs <= n
+    assert total_pairs >= n - n // 10  # only self-pairs are dropped
+    for r in rows:
+        assert 0 <= r["bin"] <= 19
+        assert -1.0 <= r["bin_lo"] <= 0.9 + 1e-9
+
+
+def test_interval_overlap_is_genuine(spark):
+    """Every emitted pair genuinely overlaps (overlap_ms ≥ 0) and both
+    intervals are well-formed."""
+    from pulsar_ingestion_spark.queries_events import q_join_interval_overlap
+
+    rows = q_join_interval_overlap(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["a_start"] <= r["a_end"] and r["b_start"] <= r["b_end"]
+        assert r["overlap_ms"] >= 0
+        lo = max(r["a_start"], r["b_start"])
+        hi = min(r["a_end"], r["b_end"])
+        assert r["overlap_ms"] == (hi - lo) // 1000
