@@ -1372,3 +1372,64 @@ def text_tokenize_filter(spark, sf_dir):
         F.array_join(kept, " ").alias("filtered_text"),
         F.size(kept).cast("bigint").alias("kept_tokens"),
     )
+
+
+_LINKAGE_ORACLE = """
+WITH golden AS (
+  SELECT c_custkey AS key_a, c_nationkey, c_mktsegment,
+         concat('cust-', CAST(c_custkey AS VARCHAR)) AS name_a
+  FROM customer
+), dirty AS (
+  SELECT c_custkey AS key_b, c_nationkey, c_mktsegment,
+         CASE WHEN c_custkey % 5 = 0
+              THEN substring(concat('cust-', CAST(c_custkey AS VARCHAR)), 1,
+                             length(concat('cust-', CAST(c_custkey AS VARCHAR))) - 1)
+              ELSE concat('cust-', CAST(c_custkey AS VARCHAR)) END AS name_b
+  FROM customer
+), pairs AS (
+  SELECT g.key_a, d.key_b,
+         CAST(levenshtein(g.name_a, d.name_b) AS BIGINT) AS dist
+  FROM golden g JOIN dirty d
+    ON d.c_nationkey = g.c_nationkey AND d.c_mktsegment = g.c_mktsegment
+  WHERE levenshtein(g.name_a, d.name_b) <= 1
+)
+SELECT key_a, key_b, dist,
+       CASE WHEN dist = 0 THEN 'exact' ELSE 'fuzzy' END AS match_type
+FROM pairs
+"""
+
+
+@query("linkage_blocked_match", oracle=_LINKAGE_ORACLE)
+def q_linkage_blocked_match(spark, sf_dir):
+    """Record linkage with blocking: a golden customer registry matched
+    against a deterministically-dirtied CRM import (every 5th name
+    truncated by one char) — candidate pairs are generated ONLY inside
+    (nation, segment) blocks, then scored with edit distance ≤ 1.  The
+    entity-resolution shape every master-data pipeline runs: blocking
+    turns O(n²) comparison into O(Σ b²), identical discipline to the
+    LSH dedup family but with a domain block key instead of a hash
+    band; the expensive levenshtein runs only on within-block pairs.
+    At fleet scale, blocks come from phonetic/sorted-neighborhood keys
+    and a second pass unions multiple blockings."""
+    cu = load_tables(spark, sf_dir)["customer"]
+    name = F.concat(F.lit("cust-"), F.col("c_custkey").cast("string"))
+    golden = cu.select(
+        F.col("c_custkey").alias("key_a"), "c_nationkey", "c_mktsegment",
+        name.alias("name_a"),
+    )
+    dirty = cu.select(
+        F.col("c_custkey").alias("key_b"), "c_nationkey", "c_mktsegment",
+        F.when(
+            F.col("c_custkey") % 5 == 0,
+            F.expr("substring(concat('cust-', CAST(c_custkey AS STRING)), 1,"
+                   " length(concat('cust-', CAST(c_custkey AS STRING))) - 1)"),
+        ).otherwise(name).alias("name_b"),
+    )
+    pairs = golden.join(dirty, ["c_nationkey", "c_mktsegment"]).select(
+        "key_a", "key_b",
+        F.levenshtein("name_a", "name_b").cast("bigint").alias("dist"),
+    )
+    return pairs.filter(F.col("dist") <= 1).select(
+        "key_a", "key_b", "dist",
+        F.when(F.col("dist") == 0, "exact").otherwise("fuzzy").alias("match_type"),
+    )

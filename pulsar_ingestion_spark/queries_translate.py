@@ -308,3 +308,58 @@ def route_event_type_split(spark, sf_dir):
         .groupBy(F.col("eventType").alias("event_type_out"), "dest_topic")
         .agg(F.count("*").alias("cnt"))
     )
+
+
+_TENANT_USAGE_ORACLE = """
+WITH cmf AS (
+  SELECT concat('tenant-', CAST(user_id % 7 AS VARCHAR)) AS tenant_id,
+         concat('veh-', CAST(user_id AS VARCHAR)) AS vehicle_id,
+         length(concat('{"dateTime":"', strftime(ts AT TIME ZONE 'UTC', '%Y-%m-%dT%H:%M:%SZ'),
+                       '","vehicleId":"veh-', CAST(user_id AS VARCHAR), '"}')) AS n_bytes,
+         CAST(event_id % 997 AS DOUBLE) AS latency_ms
+  FROM events WHERE user_id % 11 <> 0
+)
+SELECT tenant_id,
+       count(*) AS msg_cnt,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       count(DISTINCT vehicle_id) AS n_vehicles,
+       round(quantile_cont(latency_ms, 0.5), 4) AS p50_latency_ms,
+       round(quantile_cont(latency_ms, 0.95), 4) AS p95_latency_ms
+FROM cmf GROUP BY tenant_id
+"""
+
+
+@query("tenant_usage_report", oracle=_TENANT_USAGE_ORACLE)
+def q_tenant_usage_report(spark, sf_dir):
+    """Per-tenant usage/billing rollup over the routed CMF stream — the
+    ops report the reference's multi-tenant landing (Filterer → tenant
+    topics) feeds every day: message count, payload bytes, distinct
+    vehicles, and ingest-latency percentiles per tenant (latency
+    synthesized deterministically from event_id; in production it's
+    sink_ts - source_ts).  Routing semantics mirror route_tenant: blank
+    tenants (user_id % 11 = 0) are dropped before accounting.  One
+    shuffle on tenant_id with map-side partials; distinct vehicles uses
+    the exact count here (per-tenant cardinality is bounded), switching
+    to approx_count_distinct at fleet scale."""
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    routable = ev.filter(F.col("user_id") % 11 != 0)
+    payload = F.concat(
+        F.lit('{"dateTime":"'),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+        F.lit('","vehicleId":"veh-'),
+        F.col("user_id").cast("string"),
+        F.lit('"}'),
+    )
+    cmf = routable.select(
+        F.concat(F.lit("tenant-"), (F.col("user_id") % 7).cast("string")).alias("tenant_id"),
+        F.concat(F.lit("veh-"), F.col("user_id").cast("string")).alias("vehicle_id"),
+        F.length(payload).alias("n_bytes"),
+        (F.col("event_id") % 997).cast("double").alias("latency_ms"),
+    )
+    return cmf.groupBy("tenant_id").agg(
+        F.count("*").alias("msg_cnt"),
+        F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+        F.countDistinct("vehicle_id").alias("n_vehicles"),
+        F.round(F.expr("percentile(latency_ms, 0.5)"), 4).alias("p50_latency_ms"),
+        F.round(F.expr("percentile(latency_ms, 0.95)"), 4).alias("p95_latency_ms"),
+    )

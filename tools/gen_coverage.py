@@ -159,6 +159,9 @@ SECTIONS = [
     ("Interval join + embedding calibration (round 5)", [
         "join_interval_overlap", "emb_cosine_histogram",
     ]),
+    ("Record linkage + tenant ops (round 5)", [
+        "linkage_blocked_match", "tenant_usage_report",
+    ]),
 ]
 
 STREAMING_ONLY = [
