@@ -529,3 +529,34 @@ def test_bigram_counts_broadcast_back(spark):
 
     plan = _plan(q_text_bigram_logprob(spark, SF))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """Partition-pruning at runtime: a join against a filtered dim must
+    plan a dynamicpruning subquery on the fact's partition column, so at
+    100 TB only the surviving month directories are read."""
+    from pulsar_ingestion_spark.session import load_tables
+
+    orders = load_tables(spark, "/root/testdata/sf0.001")["orders"]
+    fact_path = str(tmp_path / "orders_by_month")
+    (
+        orders.withColumn(
+            "o_month", F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM")
+        )
+        .write.partitionBy("o_month")
+        .parquet(fact_path)
+    )
+    fact = spark.read.parquet(fact_path)
+    dim = (
+        fact.select("o_month").distinct()
+        .filter(F.col("o_month") >= "1997-06")
+        .withColumnRenamed("o_month", "d_month")
+    )
+    prev = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    try:
+        joined = fact.join(dim.hint("no_broadcast"), fact["o_month"] == dim["d_month"])
+        plan = _plan(joined)
+        assert "dynamicpruning" in plan.lower(), plan
+    finally:
+        spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", prev)
