@@ -121,12 +121,18 @@ def synthesize(out_dir: str, mult: int, seed: int = 7) -> tuple[int, int]:
     pq.write_table(emb, os.path.join(out_dir, "embeddings.parquet"))
 
     # --- events: tile the base table ``mult`` times with DISJOINT user
-    # communities (user_id offset per tile) — models fleet growth: more
-    # users over the same wall-clock span, so per-(type, time-bucket)
-    # density stays constant and a blocked plan should scale ~linearly.
+    # communities (user_id offset per tile) AND disjoint months (ts
+    # offset per tile) — models fleet growth + accumulating history.
+    # Both offsets matter: overlaying tiles on the SAME month would
+    # multiply per-(type, time-bucket) user density by ``mult`` and blow
+    # the co-occurrence pair count up quadratically — a property of the
+    # synthesized graph, not of the blocked plan under test.
     base_ev = pq.read_table(os.path.join(BASE_SF, "events.parquet"))
     n_ev = base_ev.num_rows
     uid_span = 1 + int(pa.compute.max(base_ev["user_id"]).as_py())
+    ts_type = base_ev.schema.field("ts").type
+    ts_unit_per_s = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[ts_type.unit]
+    month = 31 * 86400 * ts_unit_per_s
     tiles = []
     for k in range(mult):
         t = base_ev
@@ -140,6 +146,8 @@ def synthesize(out_dir: str, mult: int, seed: int = 7) -> tuple[int, int]:
             "user_id",
             pa.compute.add(t["user_id"], k * uid_span),
         )
+        shifted = pa.compute.add(t["ts"].cast(pa.int64()), k * month).cast(ts_type)
+        t = t.set_column(t.schema.get_field_index("ts"), "ts", shifted)
         tiles.append(t)
     pq.write_table(pa.concat_tables(tiles), os.path.join(out_dir, "events.parquet"))
 
