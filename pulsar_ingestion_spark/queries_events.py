@@ -993,3 +993,72 @@ def q_join_interval_overlap(spark, sf_dir):
             .alias("overlap_ms"),
         )
     )
+
+
+_CONVERSION_ORACLE = """
+WITH first_signup AS (
+  SELECT user_id, min(epoch_us(ts)) AS s_us
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+), converted AS (
+  SELECT f.user_id, f.s_us,
+         min(epoch_us(e.ts)) AS p_us
+  FROM first_signup f
+  JOIN events e ON e.user_id = f.user_id
+   AND e.event_type = 'purchase'
+   AND epoch_us(e.ts) > f.s_us
+   AND epoch_us(e.ts) <= f.s_us + CAST(72 AS BIGINT) * 3600 * 1000000
+  GROUP BY f.user_id, f.s_us
+)
+SELECT s.day, count(*) AS n_signups,
+       count(c.user_id) AS n_converted_72h,
+       round(CAST(count(c.user_id) AS DOUBLE) / count(*), 6) AS conversion_rate
+FROM (SELECT user_id, s_us, s_us // 86400000000 AS day FROM first_signup) s
+LEFT JOIN converted c ON c.user_id = s.user_id
+GROUP BY s.day
+"""
+
+
+@query("events_conversion_rate_daily", oracle=_CONVERSION_ORACLE)
+def q_events_conversion_rate_daily(spark, sf_dir):
+    """Windowed funnel conversion: per first-signup day, the fraction of
+    users whose first subsequent purchase lands within 72 hours — the
+    bounded-window form of events_time_to_convert (open-ended latency)
+    and the metric growth dashboards actually plot.  Two aggregates and
+    one user-key join: first-signup per user, earliest qualifying
+    purchase per user (the time bound applied as a join residual so
+    non-qualifying purchases never aggregate), then a day rollup.  All
+    timestamps compare as integer microseconds."""
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    us = F.expr("unix_micros(ts)")
+    first_signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .select("user_id", us.alias("u"))
+        .groupBy("user_id")
+        .agg(F.min("u").alias("s_us"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", us.alias("p_raw")
+    )
+    converted = (
+        first_signup.join(purchases, "user_id")
+        .filter(
+            (F.col("p_raw") > F.col("s_us"))
+            & (F.col("p_raw") <= F.col("s_us") + 72 * 3600 * 1_000_000)
+        )
+        .groupBy("user_id", "s_us")
+        .agg(F.min("p_raw").alias("p_us"))
+    )
+    s = first_signup.select(
+        "user_id", F.expr("s_us div 86400000000").alias("day")
+    )
+    return (
+        s.join(converted.select("user_id", "p_us"), "user_id", "left")
+        .groupBy("day")
+        .agg(
+            F.count("*").alias("n_signups"),
+            F.count("p_us").alias("n_converted_72h"),
+            F.round(
+                F.count("p_us").cast("double") / F.count("*"), 6
+            ).alias("conversion_rate"),
+        )
+    )

@@ -605,3 +605,42 @@ def q_warehouse_partition_prune_stats(spark, sf_dir):
             "n_match",
         )
     )
+
+
+_RECON_ORACLE = """
+WITH li AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS li_total,
+         count(*) AS n_lines
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT o.o_orderkey, o.o_totalprice, li.li_total, li.n_lines,
+       round(abs(o.o_totalprice - li.li_total), 4) AS abs_gap
+FROM orders o JOIN li ON li.l_orderkey = o.o_orderkey
+WHERE abs(o.o_totalprice - li.li_total) > o.o_totalprice * 0.5
+"""
+
+
+@query("dq_reconciliation", oracle=_RECON_ORACLE)
+def q_dq_reconciliation(spark, sf_dir):
+    """Fact-to-fact reconciliation: order headers whose lineitem revenue
+    disagrees with the stored total by more than 50% — the daily
+    finance-vs-detail tie-out every warehouse schedules (this synthetic
+    data has no enforced identity, so the report is the interesting
+    part).  One decimal partial-agg over lineitem + ONE key join; the
+    gap predicate applies after the join so legitimate rows never
+    shuffle twice.  At scale both sides co-partition on the order key
+    (bucketed layout), making the join exchange-free."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    li = load_tables(spark, sf_dir)["lineitem"]
+    li_agg = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+        .alias("li_total"),
+        F.count("*").alias("n_lines"),
+    )
+    j = orders.join(li_agg, orders["o_orderkey"] == li_agg["l_orderkey"])
+    gap = F.abs(F.col("o_totalprice") - F.col("li_total"))
+    return j.filter(gap > F.col("o_totalprice") * 0.5).select(
+        "o_orderkey", "o_totalprice", "li_total", "n_lines",
+        F.round(gap, 4).alias("abs_gap"),
+    )

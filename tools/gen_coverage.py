@@ -162,6 +162,9 @@ SECTIONS = [
     ("Record linkage + tenant ops (round 5)", [
         "linkage_blocked_match", "tenant_usage_report",
     ]),
+    ("Reconciliation + windowed funnel (round 5)", [
+        "dq_reconciliation", "events_conversion_rate_daily",
+    ]),
 ]
 
 STREAMING_ONLY = [
