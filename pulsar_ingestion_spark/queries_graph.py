@@ -2,8 +2,10 @@
 transition graph, and degree / triangle statistics of the user
 co-occurrence graph.
 
-Round-5 family.  The reference's event stream (PulsarRelay →
-EventTypeSplitter) is a journey log; once journeys are modelled as a
+Round-5 family.  Reference basis: the event stream its splitter fans
+out (EventTypeSplitter — connectors/…/event-type-splitter; journey
+semantics recovered from docs/architecture.md:113-118's per-tenant
+consumer model) is a journey log; once journeys are modelled as a
 graph — states as nodes with transition edges (events_markov_transitions
 built exactly that edge relation), or users as nodes linked by
 co-occurrence — the questions its consumers ask next are the classic

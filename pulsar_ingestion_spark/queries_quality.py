@@ -1,8 +1,9 @@
 """Data-quality monitoring: distribution drift (PSI, two-sample KS,
 chi-squared mix shift) and a privacy (k-anonymity) audit.
 
-Round-5 family.  A pipeline that lands telemetry continuously (the
-reference's ingestion role) needs drift monitors comparing today's data
+Round-5 family.  Reference basis: a pipeline that lands telemetry
+continuously (docs/architecture.md:113-118 — per-tenant landing the
+filterer feeds) needs drift monitors comparing today's data
 against a reference window — the alarms that catch a mis-mapped source
 field or a fleet-wide behavior change before models consume the data —
 and a re-identification audit before any per-tenant extract leaves the
