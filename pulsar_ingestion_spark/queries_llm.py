@@ -1712,16 +1712,22 @@ def q_text_bigram_logprob(spark, sf_dir):
             ).otherwise(F.array().cast("array<string>"))
         ).alias("bigram"),
     )
-    tfd = big.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("tf"))
-    bc = tfd.groupBy("bigram").agg(F.sum("tf").alias("cntb"))
-    pc = (
-        bc.groupBy(F.substring_index("bigram", " ", 1).alias("prefix"))
-        .agg(F.sum("cntb").alias("cntp"))
+    # Shuffle 8-byte xxhash64 digests of the bigram/prefix, not the
+    # strings: counts-by-digest == counts-by-string (same precedent as
+    # text_line_dedup — the oracle stays in plain strings; a 64-bit
+    # collision over a vocabulary-sized key set is ~1e-9), and the
+    # (doc, key) shuffle width drops by the full text payload.
+    keyed = big.select(
+        "doc_id",
+        F.xxhash64("bigram").alias("bk"),
+        F.xxhash64(F.substring_index("bigram", " ", 1)).alias("pk"),
     )
+    tfd = keyed.groupBy("doc_id", "bk", "pk").agg(F.count(F.lit(1)).alias("tf"))
+    bc = tfd.groupBy("bk").agg(F.sum("tf").alias("cntb"))
+    pc = tfd.groupBy("pk").agg(F.sum("tf").alias("cntp"))
     scored = (
-        tfd.join(bc, "bigram")
-        .withColumn("prefix", F.substring_index("bigram", " ", 1))
-        .join(pc, "prefix")
+        tfd.join(bc, "bk")
+        .join(pc, "pk")
         .select(
             "doc_id", "tf",
             F.round(-F.log2(F.col("cntb").cast("double") / F.col("cntp")), 6)
