@@ -176,6 +176,7 @@ STREAMING_ONLY = [
     ("pipeline end-to-end (sources→translate→union→route)", "tests/test_streaming.py::test_pipeline_end_to_end_streaming"),
     ("dead-letter branch", "tests/test_sources_sinks.py::test_dead_letter_stream"),
     ("native exactly-once sink", "tests/test_sources_sinks.py::test_native_sink_exactly_once"),
+    ("versioned table layer (snapshot isolation / time travel / CAS commit / vacuum)", "tests/test_versioned.py"),
 ]
 
 
