@@ -90,7 +90,13 @@ class VersionedTable:
             version=version, op=m["op"], files=m["files"], parent=m.get("parent")
         )
 
-    def _commit(self, op: str, files: list[str], max_retries: int = 10) -> int:
+    def _commit(
+        self,
+        op: str,
+        files: list[str],
+        max_retries: int = 10,
+        meta: dict | None = None,
+    ) -> int:
         """CAS loop: stage the manifest, then atomically link it as the
         next version.  os.link fails with EEXIST if a racer won — re-read
         the current version and retry the NEXT slot."""
@@ -99,7 +105,11 @@ class VersionedTable:
             cur = self.current_version()
             target = 0 if cur is None else cur + 1
             with open(staged, "w") as fh:
-                json.dump({"op": op, "files": sorted(files), "parent": cur}, fh)
+                json.dump(
+                    {"op": op, "files": sorted(files), "parent": cur,
+                     "meta": meta or {}},
+                    fh,
+                )
             try:
                 os.link(staged, self._manifest_path(target))  # atomic claim
                 os.unlink(staged)
@@ -152,6 +162,54 @@ class VersionedTable:
         if not m.files:
             raise FileNotFoundError(f"version {m.version} of {self.root} is empty")
         return spark.read.parquet(*[os.path.join(self.root, f) for f in m.files])
+
+    # -- streaming ----------------------------------------------------------
+
+    def _meta(self, version: int) -> dict:
+        with open(self._manifest_path(version)) as fh:
+            return json.load(fh).get("meta", {})
+
+    def committed_batch_ids(self) -> set[int]:
+        """Batch ids already landed by the streaming sink (scanning the
+        retained manifests — vacuum keeps enough history for the
+        checkpoint's replayable window)."""
+        out = set()
+        for v in self.versions():
+            b = self._meta(v).get("batch_id")
+            if b is not None:
+                out.add(int(b))
+        return out
+
+    def stream_batch_committer(self):
+        """foreachBatch target giving EXACTLY-ONCE appends on top of the
+        at-least-once replay Structured Streaming guarantees: the batch
+        id rides in the manifest meta, so a replayed batch (post-crash,
+        after data landed but before the checkpoint advanced) is
+        recognized and skipped — same idempotence discipline as the
+        native exactly-once sink (plans/pipeline.py), but with the
+        version history (time travel / rollback) on top.
+
+        Usage: ``df.writeStream.foreachBatch(t.stream_batch_committer())``
+        """
+
+        def commit(batch_df: DataFrame, batch_id: int) -> None:
+            if batch_id in self.committed_batch_ids():
+                return  # replayed batch — already committed
+            new_files = self._write_files(batch_df)
+            for _ in range(10):
+                cur = self.current_version()
+                base = self.describe(cur).files if cur is not None else []
+                try:
+                    self._commit(
+                        "stream-append", base + new_files,
+                        max_retries=1, meta={"batch_id": int(batch_id)},
+                    )
+                    return
+                except CommitConflict:
+                    continue
+            raise CommitConflict(f"stream batch {batch_id} lost 10 commit races")
+
+        return commit
 
     # -- maintenance --------------------------------------------------------
 

@@ -177,6 +177,7 @@ STREAMING_ONLY = [
     ("dead-letter branch", "tests/test_sources_sinks.py::test_dead_letter_stream"),
     ("native exactly-once sink", "tests/test_sources_sinks.py::test_native_sink_exactly_once"),
     ("versioned table layer (snapshot isolation / time travel / CAS commit / vacuum)", "tests/test_versioned.py"),
+    ("versioned streaming sink (exactly-once batch-id commits)", "tests/test_versioned.py::test_stream_committer_end_to_end_with_restart"),
 ]
 
 
