@@ -160,3 +160,45 @@ def test_stream_committer_end_to_end_with_restart(spark, tmp_path):
     )
     q3.awaitTermination(120)
     assert t.read(spark).count() == 25
+
+
+def test_versioned_model_based_random_ops(spark, tmp_path):
+    """Model-based check: a random (seeded, deterministic) sequence of
+    append/overwrite/rollback ops against an in-memory model — after
+    every op, every retained version's row multiset matches the model."""
+    import random
+
+    rng = random.Random(42)
+    t = VersionedTable(str(tmp_path / "t"))
+    model: list[set[int]] = []  # model[v] = expected row ids of version v
+    next_id = 0
+
+    def fresh_rows(n):
+        nonlocal next_id
+        rows = set(range(next_id, next_id + n))
+        next_id += n
+        return rows
+
+    for _ in range(12):
+        op = rng.choice(["append", "append", "overwrite", "rollback"])
+        if op == "rollback" and not model:
+            op = "append"
+        if op == "append":
+            rows = fresh_rows(rng.randint(1, 5))
+            df = spark.createDataFrame([(i,) for i in sorted(rows)], "id long")
+            t.append(df)
+            model.append((model[-1] if model else set()) | rows)
+        elif op == "overwrite":
+            rows = fresh_rows(rng.randint(1, 5))
+            df = spark.createDataFrame([(i,) for i in sorted(rows)], "id long")
+            t.overwrite(df)
+            model.append(rows)
+        else:
+            target = rng.randrange(len(model))
+            t.rollback(target)
+            model.append(model[target])
+        # invariant: every retained version matches the model exactly
+        for v in t.versions():
+            got = {r["id"] for r in t.read(spark, v).collect()}
+            assert got == model[v], (v, got, model[v])
+    assert t.current_version() == len(model) - 1
