@@ -1062,3 +1062,67 @@ def q_events_conversion_rate_daily(spark, sf_dir):
             ).alias("conversion_rate"),
         )
     )
+
+
+_SURVIVAL_ORACLE = """
+WITH signup AS (
+  SELECT user_id, min(epoch_us(ts) // 86400000000) AS s_day
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT e.user_id,
+         (epoch_us(e.ts) // 86400000000) - s.s_day AS offset_days
+  FROM events e JOIN signup s ON s.user_id = e.user_id
+  WHERE (epoch_us(e.ts) // 86400000000) >= s.s_day
+), horizon AS (
+  SELECT k FROM (SELECT unnest(range(0, 8)) AS k) t
+), surv AS (
+  SELECT h.k,
+         count(DISTINCT a.user_id) AS n_alive
+  FROM horizon h
+  LEFT JOIN activity a ON a.offset_days >= h.k
+  GROUP BY h.k
+)
+SELECT k AS day_offset, n_alive,
+       round(CAST(n_alive AS DOUBLE)
+             / (SELECT count(*) FROM signup), 6) AS survival_rate
+FROM surv
+"""
+
+
+@query("events_survival_curve", oracle=_SURVIVAL_ORACLE)
+def q_events_survival_curve(spark, sf_dir):
+    """Survival/retention curve: for each day offset k (0..7), the
+    fraction of signed-up users still active at or beyond k days after
+    their first signup — the Kaplan-Meier-flavoured summary product
+    dashboards plot next to the weekly cohort matrix
+    (events_cohort_retention).  The heavy relation collapses to one row
+    per (user, max offset) before the tiny horizon join: survival at k
+    is COUNT(users whose MAX activity offset ≥ k), so the range join
+    touches |users| × 8 rows, never events × 8."""
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    day = F.expr("unix_micros(ts) div 86400000000")
+    signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .select("user_id", day.alias("d"))
+        .groupBy("user_id")
+        .agg(F.min("d").alias("s_day"))
+    )
+    max_offset = (
+        ev.select("user_id", day.alias("d"))
+        .join(signup, "user_id")
+        .filter(F.col("d") >= F.col("s_day"))
+        .groupBy("user_id")
+        .agg(F.max(F.col("d") - F.col("s_day")).alias("mo"))
+    )
+    n_signup = signup.agg(F.count("*").alias("ns"))
+    horizon = spark.range(8).select(F.col("id").alias("k"))
+    surv = (
+        horizon.join(max_offset, F.col("mo") >= F.col("k"), "left")
+        .groupBy("k")
+        .agg(F.countDistinct("user_id").alias("n_alive"))
+    )
+    return surv.crossJoin(F.broadcast(n_signup)).select(
+        F.col("k").alias("day_offset"),
+        "n_alive",
+        F.round(F.col("n_alive").cast("double") / F.col("ns"), 6).alias("survival_rate"),
+    )

@@ -1394,3 +1394,141 @@ def q_ts_theil_sen(spark, sf_dir):
             / F.count(F.when(mid, F.lit(1)))
         ).alias("theil_sen_slope"),
     )
+
+
+_DRAWDOWN_ORACLE = """
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS day_sum
+  FROM events GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, day,
+         SUM(CAST(day_sum AS DECIMAL(18,4))) OVER w AS cum_v
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), dd AS (
+  SELECT event_type, day,
+         CAST(max(cum_v) OVER w2 - cum_v AS DOUBLE) AS drawdown
+  FROM cum
+  WINDOW w2 AS (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_type,
+       CAST(max(drawdown) AS DOUBLE) AS max_drawdown,
+       CAST(count(*) AS BIGINT) AS n_days
+FROM dd GROUP BY event_type
+"""
+
+
+@query("win_drawdown", oracle=_DRAWDOWN_ORACLE)
+def q_win_drawdown(spark, sf_dir):
+    """Maximum drawdown of each type's cumulative daily value series:
+    max over t of (running-peak − cumulative) — the risk metric every
+    monitoring/finance dashboard wants next to the cumsum.  Cumulative
+    sums stay in DECIMAL so the running peak is exact on both engines;
+    the drawdown itself is one decimal subtraction cast to double.  Two
+    ordered windows over the day-rollup relation (O(days) per type,
+    independent of event count)."""
+    (ev,) = _t(spark, sf_dir, "events")
+    daily = ev.select(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        "value",
+    ).groupBy("event_type", "day").agg(
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("day_sum")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = daily.select(
+        "event_type", "day",
+        F.sum(F.col("day_sum").cast("decimal(18,4)")).over(w).alias("cum_v"),
+    )
+    dd = cum.select(
+        "event_type",
+        (F.max("cum_v").over(w) - F.col("cum_v")).cast("double").alias("drawdown"),
+    )
+    return dd.groupBy("event_type").agg(
+        F.max("drawdown").cast("double").alias("max_drawdown"),
+        F.count("*").cast("bigint").alias("n_days"),
+    )
+
+
+_CHANGEPOINT_ORACLE = """
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS y
+  FROM events GROUP BY 1, 2
+), pre AS (
+  SELECT event_type, day, y,
+         row_number() OVER w AS i,
+         count(*) OVER (PARTITION BY event_type) AS n,
+         CAST(SUM(CAST(y AS DECIMAL(18,4))) OVER w AS DOUBLE) AS cum_y,
+         CAST(SUM(CAST(y AS DECIMAL(18,4))) OVER (PARTITION BY event_type) AS DOUBLE)
+           AS tot_y
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), scored AS (
+  SELECT event_type, day, i, n,
+         abs(cum_y / i - (tot_y - cum_y) / (n - i)) AS shift
+  FROM pre WHERE i < n
+), best AS (
+  SELECT event_type, day, shift,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY shift DESC, day) AS rnk
+  FROM scored
+)
+SELECT event_type, day AS split_day, CAST(shift AS DOUBLE) AS mean_shift
+FROM best WHERE rnk = 1
+"""
+
+
+@query("ts_changepoint_mean_shift", oracle=_CHANGEPOINT_ORACLE)
+def q_ts_changepoint_mean_shift(spark, sf_dir):
+    """Single change-point detection per series (binary-segmentation
+    step 1): the split day maximizing |mean(left) − mean(right)| of the
+    daily totals.  Prefix sums make every candidate split O(1) — one
+    ordered window computes all n−1 scores in one pass, no per-split
+    rescan (the same trick CUSUM uses; full binary segmentation recurses
+    on the winning halves).  Means are quotients of decimal-exact sums,
+    so the argmax compares bitwise-identical doubles; ties break on the
+    earlier day."""
+    (ev,) = _t(spark, sf_dir, "events")
+    daily = ev.select(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        "value",
+    ).groupBy("event_type", "day").agg(
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("y")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("event_type")
+    pre = daily.select(
+        "event_type", "day",
+        F.row_number().over(Window.partitionBy("event_type").orderBy("day")).alias("i"),
+        F.count("*").over(wt).alias("n"),
+        F.sum(F.col("y").cast("decimal(18,4)")).over(w).cast("double").alias("cum_y"),
+        F.sum(F.col("y").cast("decimal(18,4)")).over(wt).cast("double").alias("tot_y"),
+    )
+    scored = pre.filter(F.col("i") < F.col("n")).select(
+        "event_type", "day",
+        F.abs(
+            F.col("cum_y") / F.col("i")
+            - (F.col("tot_y") - F.col("cum_y")) / (F.col("n") - F.col("i"))
+        ).alias("shift"),
+    )
+    wr = Window.partitionBy("event_type").orderBy(F.desc("shift"), F.asc("day"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") == 1)
+        .select("event_type", F.col("day").alias("split_day"),
+                F.col("shift").cast("double").alias("mean_shift"))
+    )

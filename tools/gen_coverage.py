@@ -165,6 +165,9 @@ SECTIONS = [
     ("Reconciliation + windowed funnel (round 5)", [
         "dq_reconciliation", "events_conversion_rate_daily",
     ]),
+    ("Risk & changepoint analytics (round 5)", [
+        "win_drawdown", "ts_changepoint_mean_shift", "events_survival_curve",
+    ]),
 ]
 
 STREAMING_ONLY = [
