@@ -28,6 +28,7 @@ import pulsar_ingestion_spark.queries_ml  # noqa: F401
 import pulsar_ingestion_spark.queries_warehouse  # noqa: F401
 import pulsar_ingestion_spark.queries_graph  # noqa: F401
 import pulsar_ingestion_spark.queries_quality  # noqa: F401
+import pulsar_ingestion_spark.queries_experiment  # noqa: F401
 from pulsar_ingestion_spark.registry import ORACLES, QUERIES
 
 
