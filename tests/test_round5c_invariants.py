@@ -324,3 +324,93 @@ def test_interval_overlap_is_genuine(spark):
         lo = max(r["a_start"], r["b_start"])
         hi = min(r["a_end"], r["b_end"])
         assert r["overlap_ms"] == (hi - lo) // 1000
+
+
+def test_drawdown_nonnegative_and_bounded(spark):
+    """Drawdown ≥ 0 by construction (peak ≥ current) and can't exceed
+    the total positive mass of the series."""
+    from pulsar_ingestion_spark.queries_stats import q_win_drawdown
+
+    rows = q_win_drawdown(spark, SF).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["max_drawdown"] >= 0
+        assert r["n_days"] >= 1
+
+
+def test_changepoint_split_is_interior_and_maximal(spark):
+    """The winning split is strictly inside the series, and its score
+    matches a python recomputation of the argmax."""
+    from pulsar_ingestion_spark.queries_stats import q_ts_changepoint_mean_shift
+    from pulsar_ingestion_spark.session import load_tables
+
+    got = {r["event_type"]: r for r in q_ts_changepoint_mean_shift(spark, SF).collect()}
+    ev = load_tables(spark, SF)["events"]
+    daily = (
+        ev.groupBy("event_type", F.expr("unix_micros(ts) div 86400000000").alias("day"))
+        .agg(F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("y"))
+        .collect()
+    )
+    series: dict[str, list] = {}
+    for r in daily:
+        series.setdefault(r["event_type"], []).append((r["day"], r["y"]))
+    for t, pts in series.items():
+        pts.sort()
+        days = [d for d, _ in pts]
+        ys = [y for _, y in pts]
+        n = len(ys)
+        best = None
+        for i in range(1, n):
+            left = sum(ys[:i]) / i
+            right = sum(ys[i:]) / (n - i)
+            score = abs(left - right)
+            if best is None or score > best[1] + 1e-12:
+                best = (days[i - 1], score)
+        assert got[t]["split_day"] == best[0]
+        assert abs(got[t]["mean_shift"] - best[1]) < 1e-6
+        assert days[0] <= got[t]["split_day"] < days[-1]
+
+
+def test_survival_curve_monotone_nonincreasing(spark):
+    from pulsar_ingestion_spark.queries_events import q_events_survival_curve
+
+    rows = sorted(
+        q_events_survival_curve(spark, SF).collect(), key=lambda r: r["day_offset"]
+    )
+    assert rows[0]["day_offset"] == 0
+    assert rows[0]["survival_rate"] <= 1.0 + 1e-9
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_alive"] <= a["n_alive"]
+
+
+def test_ab_arms_partition_users(spark):
+    """Arm sizes sum to the distinct-user count; proportions ∈ [0,1]."""
+    from pulsar_ingestion_spark.queries_experiment import q_exp_ab_lift
+    from pulsar_ingestion_spark.session import load_tables
+
+    r = q_exp_ab_lift(spark, SF).collect()[0]
+    n_users = (
+        load_tables(spark, SF)["events"].select("user_id").distinct().count()
+    )
+    assert r["n_control"] + r["n_treatment"] == n_users
+    assert 0 <= r["p_control"] <= 1 and 0 <= r["p_treatment"] <= 1
+
+
+def test_srm_terms_consistent(spark):
+    from pulsar_ingestion_spark.queries_experiment import q_exp_srm_check
+
+    rows = q_exp_srm_check(spark, SF).collect()
+    assert len(rows) == 2
+    total = sum(r["n_units"] for r in rows)
+    for r in rows:
+        assert abs(r["expected"] - total / 2) < 1e-9
+        assert r["chi2_term"] >= 0
+
+
+def test_cuped_never_increases_variance(spark):
+    """var_y_cuped = var_y − θ²·var_x ≤ var_y always."""
+    from pulsar_ingestion_spark.queries_experiment import q_exp_cuped_adjust
+
+    r = q_exp_cuped_adjust(spark, SF).collect()[0]
+    assert r["var_y_cuped"] <= r["var_y"] + 1e-9
+    assert r["var_y"] >= 0 and r["var_y_cuped"] >= 0
