@@ -1,0 +1,94 @@
+"""Streaming drift monitor: per-micro-batch PSI against a frozen
+reference histogram, with an alert log the operator can tail.
+
+The batch-side analysis (queries_quality.q_drift_psi) compares two fixed
+windows; in operation the comparison runs CONTINUOUSLY — every incoming
+micro-batch is binned the same way and scored against the reference
+distribution, and batches whose PSI crosses the threshold are flagged.
+`foreachBatch` is the right host: the reference histogram is a tiny
+broadcast-able local dict (bins × counts), the per-batch work is one
+groupBy over the batch, and the verdict appends to a JSONL alert log
+(in production: a metrics sink / alerting topic).
+
+Scale notes: the reference histogram is O(bins); each micro-batch
+reduces to O(bins) partials before any driver-side math.  Nothing here
+grows with history — the monitor is stateless across batches by design
+(state lives in the frozen reference), so checkpoint recovery is
+trivial.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_BINS = 10
+
+
+def histogram(df: DataFrame, value_col: str, bin_width: float) -> dict[int, int]:
+    """Collect the (bounded) bin→count reference histogram."""
+    rows = (
+        df.select(
+            F.least(
+                F.floor(F.col(value_col) / bin_width), F.lit(_BINS - 1)
+            ).cast("int").alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    )
+    return {r["bin"]: r["cnt"] for r in rows}
+
+
+def psi(ref: dict[int, int], obs: dict[int, int]) -> float:
+    """Laplace-smoothed PSI between two bin-count dicts."""
+    n_ref = sum(ref.values())
+    n_obs = sum(obs.values())
+    total = 0.0
+    for b in range(_BINS):
+        p = (ref.get(b, 0) + 1) / (n_ref + _BINS)
+        q = (obs.get(b, 0) + 1) / (n_obs + _BINS)
+        total += (q - p) * math.log(q / p)
+    return total
+
+
+def drift_monitor(
+    ref: dict[int, int],
+    value_col: str,
+    bin_width: float,
+    alert_log: str,
+    threshold: float = 0.25,
+):
+    """foreachBatch target: score each micro-batch's PSI vs ``ref`` and
+    append a JSONL verdict per batch to ``alert_log``."""
+
+    def check(batch_df: DataFrame, batch_id: int) -> None:
+        obs = histogram(batch_df, value_col, bin_width)
+        if not obs:
+            return
+        score = psi(ref, obs)
+        with open(alert_log, "a") as fh:
+            fh.write(
+                json.dumps(
+                    {
+                        "batch_id": int(batch_id),
+                        "n": sum(obs.values()),
+                        "psi": round(score, 6),
+                        "alert": score > threshold,
+                    }
+                )
+                + "\n"
+            )
+
+    return check
+
+
+def read_alerts(alert_log: str) -> list[dict]:
+    if not os.path.exists(alert_log):
+        return []
+    with open(alert_log) as fh:
+        return [json.loads(line) for line in fh if line.strip()]

@@ -458,3 +458,51 @@ def test_streaming_corpus_curation(spark, tmp_path):
     # one of {1,2} survives (stream order decides which), 3 gated, 4 kept
     assert 4 in got and 3 not in got
     assert len(got & {1, 2}) == 1 and len(got) == 2
+
+
+def test_streaming_drift_monitor_alerts_on_shift(spark, tmp_path):
+    """Per-micro-batch PSI vs a frozen reference: a batch drawn from the
+    reference distribution stays quiet; a shifted batch alerts."""
+    import json as _json
+
+    from pulsar_ingestion_spark.streaming.monitor import (
+        drift_monitor,
+        histogram,
+        read_alerts,
+    )
+
+    ref_df = spark.range(1000).select((F.col("id") % 400).cast("double").alias("v"))
+    ref = histogram(ref_df, "v", bin_width=40.0)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # batch 1: same distribution as the reference
+    (src / "same.jsonl").write_text(
+        "\n".join(_json.dumps({"v": float(i % 400)}) for i in range(500)) + "\n"
+    )
+    log = str(tmp_path / "alerts.jsonl")
+    stream = spark.readStream.schema("v double").json(str(src))
+    q = (
+        stream.writeStream.foreachBatch(drift_monitor(ref, "v", 40.0, log))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    alerts = read_alerts(log)
+    assert len(alerts) == 1 and not alerts[0]["alert"], alerts
+
+    # batch 2: mass concentrated in one bin — must alert
+    (src / "shifted.jsonl").write_text(
+        "\n".join(_json.dumps({"v": 5.0}) for _ in range(500)) + "\n"
+    )
+    q2 = (
+        stream.writeStream.foreachBatch(drift_monitor(ref, "v", 40.0, log))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    alerts = read_alerts(log)
+    assert len(alerts) == 2 and alerts[1]["alert"], alerts
+    assert alerts[1]["psi"] > alerts[0]["psi"]
