@@ -135,3 +135,154 @@ def q_geo_nearest_poi(spark, sf_dir):
         F.col("b.poi_id").alias("nearest_poi"),
         F.col("b.dist_km").alias("dist_km"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Grid DBSCAN: density clustering of occupied 1-degree cells.
+
+_DBSCAN_MINPTS = 5
+_DBSCAN_ITERS = 8
+
+# Cell node id: positive-offset composite so min-label comparisons are
+# plain BIGINT comparisons on both engines.
+_DBSCAN_BASE_SQL = f"""
+  cells AS (
+    SELECT CAST(floor(value / 10) AS BIGINT) AS cl,
+           CAST(floor(-value / 7) AS BIGINT) AS cn,
+           count(*) AS n_pings
+    FROM events
+    GROUP BY 1, 2
+  ), core AS (
+    SELECT (cl + 1000) * 100000 + (cn + 1000) AS node, cl, cn, n_pings
+    FROM cells WHERE n_pings >= {_DBSCAN_MINPTS}
+  ), edges AS (
+    SELECT a.node AS na, b.node AS nb
+    FROM core a JOIN core b
+      ON abs(a.cl - b.cl) <= 1 AND abs(a.cn - b.cn) <= 1
+     AND a.node <> b.node
+  ), l0 AS (
+    SELECT node, node AS label FROM core
+  )"""
+
+
+def _dbscan_iter_sql(k: int) -> str:
+    # one neighbor-min step PLUS pointer jumping (label-of-label): the
+    # shortcut halves remaining chain lengths, so convergence needs
+    # O(log diameter) rounds, not O(diameter)
+    prev = f"l{k - 1}"
+    return f""", l{k} AS MATERIALIZED (
+    SELECT p.node,
+           least(least(p.label, coalesce(min(q.label), p.label)),
+                 coalesce(min(r.label), p.label)) AS label
+    FROM {prev} p
+    LEFT JOIN edges e ON e.na = p.node
+    LEFT JOIN {prev} q ON q.node = e.nb
+    LEFT JOIN {prev} r ON r.node = p.label
+    GROUP BY p.node, p.label
+  )"""
+
+
+_DBSCAN_ORACLE = (
+    "WITH "
+    + _DBSCAN_BASE_SQL
+    + "".join(_dbscan_iter_sql(k) for k in range(1, _DBSCAN_ITERS + 1))
+    + f"""
+SELECT l.label AS cluster_id,
+       count(*) AS n_cells,
+       CAST(SUM(c.n_pings) AS BIGINT) AS n_pings,
+       CAST(min(c.cl) AS BIGINT) AS min_lat,
+       CAST(max(c.cl) AS BIGINT) AS max_lat
+FROM l{_DBSCAN_ITERS} l JOIN core c ON c.node = l.node
+GROUP BY l.label
+"""
+)
+
+
+@query("geo_dbscan_grid", oracle=_DBSCAN_ORACLE)
+def q_geo_dbscan_grid(spark, sf_dir):
+    """Grid DBSCAN: occupied 1° cells with ≥ minPts pings are core cells;
+    8-neighborhood-adjacent core cells merge into clusters via min-label propagation
+    WITH pointer jumping (each round a node adopts the min of its own
+    label, its neighbors' labels, and its label's label) — the
+    shortcutting makes convergence O(log diameter), so 8 rounds cover
+    components up to 2^8 cells across; both engines run the identical
+    round count, and the invariant test verifies labels equal exact
+    connected components.
+    This is density clustering at tile granularity — the spatial
+    counterpart of dedup_cluster_components, with the cell grid as the
+    blocking structure: pings collapse to O(cells) FIRST, so the
+    propagation relation is model-sized regardless of ping volume."""
+    ev = load_tables(spark, sf_dir)["events"]
+    cells = (
+        ev.select(
+            F.floor(F.col("value") / 10).cast("bigint").alias("cl"),
+            F.floor(-F.col("value") / 7).cast("bigint").alias("cn"),
+        )
+        .groupBy("cl", "cn")
+        .agg(F.count("*").alias("n_pings"))
+    )
+    core = cells.filter(F.col("n_pings") >= _DBSCAN_MINPTS).select(
+        ((F.col("cl") + 1000) * 100000 + (F.col("cn") + 1000)).alias("node"),
+        "cl", "cn", "n_pings",
+    ).persist()
+    a = core.alias("a")
+    b = core.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.abs(F.col("a.cl") - F.col("b.cl")) <= 1)
+            & (F.abs(F.col("a.cn") - F.col("b.cn")) <= 1)
+            & (F.col("a.node") != F.col("b.node")),
+        )
+        .select(F.col("a.node").alias("na"), F.col("b.node").alias("nb"))
+        .persist()
+    )
+    labels = core.select("node", F.col("node").alias("label"))
+    for _ in range(_DBSCAN_ITERS):
+        nb_min = (
+            labels.join(edges, labels["node"] == edges["na"])
+            .join(
+                labels.select(
+                    F.col("node").alias("qnode"), F.col("label").alias("qlabel")
+                ),
+                F.col("nb") == F.col("qnode"),
+            )
+            .groupBy("na")
+            .agg(F.min("qlabel").alias("nb_label"))
+        )
+        # pointer jumping: each node also adopts its label's label —
+        # the shortcut that turns O(diameter) rounds into O(log diameter)
+        shortcut = labels.select(
+            F.col("node").alias("snode"), F.col("label").alias("slabel")
+        )
+        labels = (
+            labels.join(nb_min, labels["node"] == nb_min["na"], "left")
+            .join(shortcut, F.col("label") == F.col("snode"), "left")
+            .select(
+                "node",
+                F.least(
+                    F.least(
+                        F.col("label"),
+                        F.coalesce(F.col("nb_label"), F.col("label")),
+                    ),
+                    F.coalesce(F.col("slabel"), F.col("label")),
+                ).alias("label"),
+            )
+        )
+        # Materialize per round: each round references `labels` three
+        # times, so lazy lineage would TRIPLE in depth every iteration
+        # (3^8 leaves by round 8 — unanalyzable).  The relation is
+        # O(occupied cells) — bounded by the 1-degree grid universe, not
+        # by ping volume — so driver materialization is the same bounded
+        # model-collect the IVF centroids use (operators/similarity.py).
+        labels = spark.createDataFrame(labels.collect(), "node long, label long")
+    return (
+        labels.join(core, "node")
+        .groupBy(F.col("label").alias("cluster_id"))
+        .agg(
+            F.count("*").alias("n_cells"),
+            F.sum("n_pings").cast("bigint").alias("n_pings"),
+            F.min("cl").cast("bigint").alias("min_lat"),
+            F.max("cl").cast("bigint").alias("max_lat"),
+        )
+    )

@@ -414,3 +414,45 @@ def test_cuped_never_increases_variance(spark):
     r = q_exp_cuped_adjust(spark, SF).collect()[0]
     assert r["var_y_cuped"] <= r["var_y"] + 1e-9
     assert r["var_y"] >= 0 and r["var_y_cuped"] >= 0
+
+
+def test_dbscan_labels_are_true_components(spark):
+    """The 8-iteration bound suffices on the fixture: cluster labels
+    equal the exact connected components computed in python over the
+    same core-cell adjacency."""
+    from pulsar_ingestion_spark.queries_geo import q_geo_dbscan_grid
+    from pulsar_ingestion_spark.session import load_tables
+
+    got = q_geo_dbscan_grid(spark, SF).collect()
+    ev = load_tables(spark, SF)["events"]
+    cells = (
+        ev.selectExpr(
+            "CAST(floor(value / 10) AS BIGINT) AS cl",
+            "CAST(floor(-value / 7) AS BIGINT) AS cn",
+        )
+        .groupBy("cl", "cn")
+        .count()
+        .filter(F.col("count") >= 5)
+        .collect()
+    )
+    nodes = {(r["cl"], r["cn"]) for r in cells}
+    # exact components via BFS over the 8-neighborhood
+    seen, comps = set(), []
+    for start in sorted(nodes):
+        if start in seen:
+            continue
+        comp, stack = set(), [start]
+        while stack:
+            c = stack.pop()
+            if c in comp:
+                continue
+            comp.add(c)
+            for dl in (-1, 0, 1):
+                for dn in (-1, 0, 1):
+                    nb = (c[0] + dl, c[1] + dn)
+                    if nb != c and nb in nodes and nb not in comp:
+                        stack.append(nb)
+        seen |= comp
+        comps.append(comp)
+    assert sorted(r["n_cells"] for r in got) == sorted(len(c) for c in comps)
+    assert sum(r["n_cells"] for r in got) == len(nodes)

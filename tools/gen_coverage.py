@@ -171,6 +171,9 @@ SECTIONS = [
     ("A/B experimentation analytics (round 5)", [
         "exp_ab_lift", "exp_srm_check", "exp_cuped_adjust",
     ]),
+    ("Spatial clustering (round 5)", [
+        "geo_dbscan_grid",
+    ]),
 ]
 
 STREAMING_ONLY = [
