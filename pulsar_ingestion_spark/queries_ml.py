@@ -520,3 +520,168 @@ def q_emb_cosine_histogram(spark, sf_dir):
             "n_pairs",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Model evaluation in-plan: AUC, calibration, threshold confusion.
+# "Score" = a deterministic proxy (normalized event value); "label" =
+# purchase events — the evaluation SHAPES are what matter: they run
+# unchanged on real model-score columns.
+
+_AUC_ORACLE = """
+WITH scored AS (
+  SELECT value AS score,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+  FROM events
+), ranked AS (
+  SELECT label,
+         -- average rank over score ties: (min_rank + max_rank) / 2
+         (CAST(min(rnk) OVER (PARTITION BY score) AS DOUBLE)
+          + max(rnk) OVER (PARTITION BY score)) / 2 AS avg_rank
+  FROM (SELECT score, label, row_number() OVER (ORDER BY score, label) AS rnk
+        FROM scored) t
+), agg AS (
+  SELECT CAST(SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         CAST(SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+         CAST(SUM(CASE WHEN label = 1
+                  THEN CAST(avg_rank AS DECIMAL(18,1)) ELSE 0 END) AS DOUBLE)
+           AS pos_rank_sum
+  FROM ranked
+)
+SELECT n_pos, n_neg,
+       (pos_rank_sum - CAST(n_pos AS DOUBLE) * (n_pos + 1) / 2)
+         / (CAST(n_pos AS DOUBLE) * n_neg) AS auc
+FROM agg
+"""
+
+
+@query("ml_auc_roc", oracle=_AUC_ORACLE)
+def q_ml_auc_roc(spark, sf_dir):
+    """ROC AUC via the Mann-Whitney rank-sum identity: AUC =
+    (Σ ranks of positives − n₊(n₊+1)/2) / (n₊·n₋), with tied scores
+    taking their average rank ((min+max)/2 over the tie group) — exactly
+    what sklearn computes, but as TWO window passes + one aggregate,
+    never a positives×negatives pair join.  The global rank is the one
+    data-scale sort; at cluster scale it runs as a range-partitioned
+    rank (operators/ranking.py:global_row_number discipline).  Rank sums
+    accumulate in DECIMAL (.5 ties are exact), divisions are single
+    IEEE ops."""
+    from pyspark.sql import Window
+
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    scored = ev.select(
+        F.col("value").alias("score"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("label"),
+    )
+    w = Window.orderBy("score", "label")
+    wt = Window.partitionBy("score")
+    ranked = scored.select(
+        "score", "label", F.row_number().over(w).alias("rnk")
+    ).select(
+        "label",
+        (
+            (F.min("rnk").over(wt).cast("double") + F.max("rnk").over(wt)) / 2
+        ).alias("avg_rank"),
+    )
+    agg = ranked.agg(
+        F.sum(F.when(F.col("label") == 1, 1).otherwise(0)).cast("bigint").alias("n_pos"),
+        F.sum(F.when(F.col("label") == 0, 1).otherwise(0)).cast("bigint").alias("n_neg"),
+        F.sum(
+            F.when(F.col("label") == 1, F.col("avg_rank").cast("decimal(18,1)"))
+            .otherwise(F.lit(0).cast("decimal(18,1)"))
+        ).cast("double").alias("pos_rank_sum"),
+    )
+    return agg.select(
+        "n_pos", "n_neg",
+        (
+            (F.col("pos_rank_sum") - F.col("n_pos").cast("double") * (F.col("n_pos") + 1) / 2)
+            / (F.col("n_pos").cast("double") * F.col("n_neg"))
+        ).alias("auc"),
+    )
+
+
+_CALIB_ORACLE = """
+WITH scored AS (
+  SELECT least(CAST(floor(value / 34) AS BIGINT), 9) AS bin,
+         value / 340 AS pred,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+  FROM events
+)
+SELECT bin,
+       count(*) AS n,
+       CAST(SUM(CAST(pred AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS mean_pred,
+       CAST(SUM(label) AS DOUBLE) / count(*) AS obs_rate
+FROM scored GROUP BY bin
+"""
+
+
+@query("ml_calibration_bins", oracle=_CALIB_ORACLE)
+def q_ml_calibration_bins(spark, sf_dir):
+    """Reliability diagram: decile-binned mean predicted probability vs
+    observed positive rate — the standard calibration audit before a
+    score feeds a decision threshold.  One aggregate pass; bins are
+    integer arithmetic; the means divide decimal-exact sums."""
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    scored = ev.select(
+        F.least(F.floor(F.col("value") / 34), F.lit(9)).cast("bigint").alias("bin"),
+        (F.col("value") / 340).alias("pred"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("label"),
+    )
+    return scored.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        (F.sum(F.col("pred").cast("decimal(18,9)")).cast("double") / F.count("*"))
+        .alias("mean_pred"),
+        (F.sum("label").cast("double") / F.count("*")).alias("obs_rate"),
+    )
+
+
+_CONFUSION_ORACLE = """
+WITH scored AS (
+  SELECT CASE WHEN value > 170 THEN 1 ELSE 0 END AS pred,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+  FROM events
+), cm AS (
+  SELECT CAST(SUM(CASE WHEN pred = 1 AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN pred = 1 AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(SUM(CASE WHEN pred = 0 AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         CAST(SUM(CASE WHEN pred = 0 AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+  FROM scored
+)
+SELECT tp, fp, fn, tn,
+       CAST(tp AS DOUBLE) / (tp + fp) AS precision_,
+       CAST(tp AS DOUBLE) / (tp + fn) AS recall_,
+       2 * CAST(tp AS DOUBLE) / (2 * CAST(tp AS DOUBLE) + fp + fn) AS f1
+FROM cm
+"""
+
+
+@query("ml_confusion_threshold", oracle=_CONFUSION_ORACLE)
+def q_ml_confusion_threshold(spark, sf_dir):
+    """Confusion matrix + precision/recall/F1 at a fixed score threshold
+    — the operating-point summary downstream of the AUC/calibration
+    audits.  One aggregate pass, four conditional counts, three
+    single-division metrics."""
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    scored = ev.select(
+        F.when(F.col("value") > 170, 1).otherwise(0).alias("pred"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("label"),
+    )
+    cm = scored.agg(
+        F.sum(F.when((F.col("pred") == 1) & (F.col("label") == 1), 1).otherwise(0))
+        .cast("bigint").alias("tp"),
+        F.sum(F.when((F.col("pred") == 1) & (F.col("label") == 0), 1).otherwise(0))
+        .cast("bigint").alias("fp"),
+        F.sum(F.when((F.col("pred") == 0) & (F.col("label") == 1), 1).otherwise(0))
+        .cast("bigint").alias("fn"),
+        F.sum(F.when((F.col("pred") == 0) & (F.col("label") == 0), 1).otherwise(0))
+        .cast("bigint").alias("tn"),
+    )
+    return cm.select(
+        "tp", "fp", "fn", "tn",
+        (F.col("tp").cast("double") / (F.col("tp") + F.col("fp"))).alias("precision_"),
+        (F.col("tp").cast("double") / (F.col("tp") + F.col("fn"))).alias("recall_"),
+        (
+            2 * F.col("tp").cast("double")
+            / (2 * F.col("tp").cast("double") + F.col("fp") + F.col("fn"))
+        ).alias("f1"),
+    )

@@ -174,6 +174,9 @@ SECTIONS = [
     ("Spatial clustering (round 5)", [
         "geo_dbscan_grid",
     ]),
+    ("Model evaluation in-plan (round 5)", [
+        "ml_auc_roc", "ml_calibration_bins", "ml_confusion_threshold",
+    ]),
 ]
 
 STREAMING_ONLY = [
