@@ -456,3 +456,45 @@ def test_dbscan_labels_are_true_components(spark):
         comps.append(comp)
     assert sorted(r["n_cells"] for r in got) == sorted(len(c) for c in comps)
     assert sum(r["n_cells"] for r in got) == len(nodes)
+
+
+def test_auc_matches_python_recompute(spark):
+    """AUC equals a direct pairwise-comparison computation (ties = 0.5)
+    on the collected fixture."""
+    from pulsar_ingestion_spark.queries_ml import q_ml_auc_roc
+    from pulsar_ingestion_spark.session import load_tables
+
+    r = q_ml_auc_roc(spark, SF).collect()[0]
+    ev = load_tables(spark, SF)["events"].select("value", "event_type").collect()
+    pos = sorted(e["value"] for e in ev if e["event_type"] == "purchase")
+    neg = sorted(e["value"] for e in ev if e["event_type"] != "purchase")
+    import bisect
+
+    wins = 0.0
+    for p in pos:
+        lo = bisect.bisect_left(neg, p)
+        hi = bisect.bisect_right(neg, p)
+        wins += lo + 0.5 * (hi - lo)
+    auc = wins / (len(pos) * len(neg))
+    assert r["n_pos"] == len(pos) and r["n_neg"] == len(neg)
+    assert abs(r["auc"] - auc) < 1e-9
+    assert 0.0 <= r["auc"] <= 1.0
+
+
+def test_calibration_and_confusion_identities(spark):
+    from pulsar_ingestion_spark.queries_ml import (
+        q_ml_calibration_bins,
+        q_ml_confusion_threshold,
+    )
+    from pulsar_ingestion_spark.session import load_tables
+
+    n_events = load_tables(spark, SF)["events"].count()
+    bins = q_ml_calibration_bins(spark, SF).collect()
+    assert sum(b["n"] for b in bins) == n_events
+    for b in bins:
+        assert 0.0 <= b["obs_rate"] <= 1.0
+        assert 0.0 <= b["mean_pred"] <= 1.0 + 1e-9
+    cm = q_ml_confusion_threshold(spark, SF).collect()[0]
+    assert cm["tp"] + cm["fp"] + cm["fn"] + cm["tn"] == n_events
+    p, r, f1 = cm["precision_"], cm["recall_"], cm["f1"]
+    assert abs(f1 - 2 * p * r / (p + r)) < 1e-9
