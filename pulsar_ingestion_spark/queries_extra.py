@@ -520,12 +520,39 @@ def telemetry_trip_distance(spark, sf_dir):
     )
 
 
-@query("udf_pandas_haversine")  # Arrow-batched Python path — rows-only by design
+_PANDAS_HAV_ORACLE = """
+WITH pings AS (
+  SELECT user_id AS vehicle,
+         value / 10 AS lat,
+         -value / 7 AS lon,
+         ts, event_id
+  FROM events
+), segs AS (
+  SELECT vehicle,
+         round(2 * 6371.0 * asin(sqrt(
+           pow(sin(radians(lat - lag(lat) OVER w) / 2), 2)
+           + cos(radians(lag(lat) OVER w)) * cos(radians(lat))
+             * pow(sin(radians(lon - lag(lon) OVER w) / 2), 2)
+         )), 6) AS seg_km
+  FROM pings
+  WINDOW w AS (PARTITION BY vehicle ORDER BY ts, event_id)
+)
+SELECT vehicle,
+       CAST(SUM(CAST(seg_km AS DECIMAL(18,6))) AS DOUBLE) AS total_km
+FROM segs
+GROUP BY vehicle
+"""
+
+
+@query("udf_pandas_haversine", oracle=_PANDAS_HAV_ORACLE)
 def udf_pandas_haversine(spark, sf_dir):
     """The same trip-distance computed through a vectorized @pandas_udf —
     demonstrates the sanctioned Python escape hatch (Arrow batches, numpy
     vectorized).  Policy stays built-ins-first: this exists to prove the
-    UDF surface, not to replace telemetry_trip_distance."""
+    UDF surface, not to replace telemetry_trip_distance.  Oracle-checked
+    since round 5: numpy trig and DuckDB libm agree after the 6-dp
+    per-segment rounding, the same discipline that makes the JVM-trig
+    twin hash-green."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
