@@ -1739,3 +1739,102 @@ def q_text_bigram_logprob(spark, sf_dir):
         F.sum(F.col("tf") * F.col("neg_log2p").cast("decimal(18,6)"))
         .cast("double").alias("total_neg_log2p"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered set-similarity self-join (the PPJoin/AllPairs family).
+
+_PPJ_T = 0.6  # Jaccard threshold
+
+_PREFIX_JACCARD_ORACLE = rf"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+), df AS (
+  SELECT tok, count(*) AS dfreq FROM toks GROUP BY tok
+), sized AS (
+  SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id
+), ordered AS (
+  SELECT t.doc_id, t.tok, s.sz,
+         row_number() OVER (PARTITION BY t.doc_id
+                            ORDER BY d.dfreq, t.tok) AS pos
+  FROM toks t JOIN df d ON d.tok = t.tok JOIN sized s ON s.doc_id = t.doc_id
+), prefix AS (
+  SELECT doc_id, tok, sz FROM ordered
+  WHERE pos <= sz - CAST(ceil(sz * {_PPJ_T}) AS BIGINT) + 1
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM prefix a JOIN prefix b
+    ON a.tok = b.tok AND a.doc_id < b.doc_id
+), inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_common
+  FROM cand c
+  JOIN toks ta ON ta.doc_id = c.id_a
+  JOIN toks tb ON tb.doc_id = c.id_b AND tb.tok = ta.tok
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b, i.n_common,
+       CAST(i.n_common AS DOUBLE) / (sa.sz + sb.sz - i.n_common) AS jaccard
+FROM inter i
+JOIN sized sa ON sa.doc_id = i.id_a
+JOIN sized sb ON sb.doc_id = i.id_b
+WHERE CAST(i.n_common AS DOUBLE) / (sa.sz + sb.sz - i.n_common) >= {_PPJ_T}
+"""
+
+
+@query("dedup_jaccard_prefix_filter", oracle=_PREFIX_JACCARD_ORACLE)
+def q_dedup_jaccard_prefix_filter(spark, sf_dir):
+    """Set-similarity self-join with PREFIX FILTERING (the AllPairs/
+    PPJoin principle): two token sets can only reach Jaccard ≥ t if they
+    share a token among each set's (sz − ⌈t·sz⌉ + 1) RAREST tokens —
+    so candidate pairs are generated from that short, low-df prefix
+    only, then verified exactly.  Versus plain banding
+    (dedup_minhash_banded) this is exact (no hash collisions / missed
+    bands) while still never enumerating all pairs: candidate volume is
+    driven by rare-token co-occurrence, which df-ordering makes small.
+    Shuffles: token df (vocab-sized), per-doc rank window, prefix-token
+    equi-join, verification join on the candidate pairs."""
+    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+        )
+        .distinct()
+        .persist()
+    )
+    dfreq = toks.groupBy("tok").agg(F.count("*").alias("dfreq"))
+    sized = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    w = Window.partitionBy("doc_id").orderBy("dfreq", "tok")
+    ordered = (
+        toks.join(dfreq, "tok")
+        .join(sized, "doc_id")
+        .select("doc_id", "tok", "sz", F.row_number().over(w).alias("pos"))
+    )
+    prefix = ordered.filter(
+        F.col("pos") <= F.col("sz") - F.ceil(F.col("sz") * _PPJ_T) + 1
+    ).select("doc_id", "tok")
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cand = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    ta = toks.select(F.col("doc_id").alias("id_a"), "tok")
+    tb = toks.select(F.col("doc_id").alias("id_b"), "tok")
+    inter = (
+        cand.join(ta, "id_a").join(tb, ["id_b", "tok"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sized.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sza"))
+    sb = sized.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("szb"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("sza") + F.col("szb") - F.col("n_common")
+    )
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .filter(jac >= _PPJ_T)
+        .select("id_a", "id_b", "n_common", jac.alias("jaccard"))
+    )

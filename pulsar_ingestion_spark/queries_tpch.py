@@ -1315,3 +1315,72 @@ def q_tpch_fulfillment_latency(spark, sf_dir):
             F.max("gap_days").cast("bigint").alias("max_days"),
         )
     )
+
+
+_BASKET_MINSUP = 3
+
+_BASKET_ORACLE = f"""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+), freq AS (
+  SELECT item, count(*) AS support FROM baskets GROUP BY item
+  HAVING count(*) >= {_BASKET_MINSUP}
+), pruned AS (
+  SELECT b.basket, b.item FROM baskets b JOIN freq f ON f.item = b.item
+), pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b, count(*) AS pair_support
+  FROM pruned a JOIN pruned b
+    ON a.basket = b.basket AND a.item < b.item
+  GROUP BY a.item, b.item
+  HAVING count(*) >= {_BASKET_MINSUP}
+)
+SELECT p.item_a, p.item_b, p.pair_support,
+       CAST(p.pair_support AS DOUBLE) / fa.support AS conf_a_to_b,
+       CAST(p.pair_support AS DOUBLE) / fb.support AS conf_b_to_a
+FROM pairs p
+JOIN freq fa ON fa.item = p.item_a
+JOIN freq fb ON fb.item = p.item_b
+"""
+
+
+@query("basket_frequent_pairs", oracle=_BASKET_ORACLE)
+def q_basket_frequent_pairs(spark, sf_dir):
+    """Market-basket frequent item pairs with a-priori pruning: items
+    below min-support are dropped BEFORE pair generation (downward
+    closure — an infrequent item cannot appear in a frequent pair), so
+    the within-basket self-join runs over pruned baskets only; surviving
+    pairs get support and both directional confidences.  The
+    association-rule mining shape at scale: basket-key shuffle for the
+    pair join, item-support tables broadcast back.  Basket width bounds
+    the per-basket pair fan-out (here ≤ 11 items → ≤ 55 pairs)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    baskets = li.select(
+        F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
+    ).distinct()
+    freq = (
+        baskets.groupBy("item")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= _BASKET_MINSUP)
+    )
+    pruned = baskets.join(F.broadcast(freq.select("item")), "item").select(
+        "basket", "item"
+    )
+    a = pruned.alias("a")
+    b = pruned.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.basket") == F.col("b.basket")) & (F.col("a.item") < F.col("b.item")))
+        .groupBy(F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b"))
+        .agg(F.count("*").alias("pair_support"))
+        .filter(F.col("pair_support") >= _BASKET_MINSUP)
+    )
+    fa = freq.select(F.col("item").alias("item_a"), F.col("support").alias("sup_a"))
+    fb = freq.select(F.col("item").alias("item_b"), F.col("support").alias("sup_b"))
+    return (
+        pairs.join(F.broadcast(fa), "item_a")
+        .join(F.broadcast(fb), "item_b")
+        .select(
+            "item_a", "item_b", "pair_support",
+            (F.col("pair_support").cast("double") / F.col("sup_a")).alias("conf_a_to_b"),
+            (F.col("pair_support").cast("double") / F.col("sup_b")).alias("conf_b_to_a"),
+        )
+    )

@@ -177,6 +177,9 @@ SECTIONS = [
     ("Model evaluation in-plan (round 5)", [
         "ml_auc_roc", "ml_calibration_bins", "ml_confusion_threshold",
     ]),
+    ("Exact similarity join + association mining (round 5)", [
+        "dedup_jaccard_prefix_filter", "basket_frequent_pairs",
+    ]),
 ]
 
 STREAMING_ONLY = [
