@@ -498,3 +498,55 @@ def test_calibration_and_confusion_identities(spark):
     assert cm["tp"] + cm["fp"] + cm["fn"] + cm["tn"] == n_events
     p, r, f1 = cm["precision_"], cm["recall_"], cm["f1"]
     assert abs(f1 - 2 * p * r / (p + r)) < 1e-9
+
+
+def test_prefix_filter_join_equals_bruteforce_jaccard(spark):
+    """Prefix filtering is EXACT: the result equals the all-pairs
+    Jaccard ≥ t computation done in python on the collected fixture."""
+    from pulsar_ingestion_spark.queries_llm import q_dedup_jaccard_prefix_filter
+    from pulsar_ingestion_spark.session import load_tables
+
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in q_dedup_jaccard_prefix_filter(spark, SF).collect()
+    }
+    docs = load_tables(spark, SF)["documents"].select("doc_id", "text").collect()
+    sets = {r["doc_id"]: set(r["text"].strip().lower().split()) for r in docs}
+    ids = sorted(sets)
+    brute = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            if inter == 0:
+                continue
+            j = inter / len(sets[a] | sets[b])
+            if j >= 0.6:
+                brute[(a, b)] = j
+    assert set(got) == set(brute)
+    for k, j in brute.items():
+        assert abs(got[k] - j) < 1e-9
+
+
+def test_frequent_pairs_match_bruteforce(spark):
+    """A-priori pruning loses nothing: pair supports equal the direct
+    per-basket enumeration."""
+    from collections import Counter
+    from itertools import combinations
+
+    from pulsar_ingestion_spark.queries_tpch import q_basket_frequent_pairs
+    from pulsar_ingestion_spark.session import load_tables
+
+    got = {
+        (r["item_a"], r["item_b"]): r["pair_support"]
+        for r in q_basket_frequent_pairs(spark, SF).collect()
+    }
+    li = load_tables(spark, SF)["lineitem"].select("l_orderkey", "l_partkey").collect()
+    baskets: dict[int, set[int]] = {}
+    for r in li:
+        baskets.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    counts: Counter = Counter()
+    for items in baskets.values():
+        for a, b in combinations(sorted(items), 2):
+            counts[(a, b)] += 1
+    brute = {k: v for k, v in counts.items() if v >= 3}
+    assert got == brute
