@@ -1793,7 +1793,12 @@ def q_dedup_jaccard_prefix_filter(spark, sf_dir):
     bands) while still never enumerating all pairs: candidate volume is
     driven by rare-token co-occurrence, which df-ordering makes small.
     Shuffles: token df (vocab-sized), per-doc rank window, prefix-token
-    equi-join, verification join on the candidate pairs."""
+    equi-join, verification join on the candidate pairs.  Scale
+    assumption: candidate volume is Σ df_prefix(t)², near-linear only
+    while vocabulary grows with the corpus (Heaps' law keeps rare-token
+    dfs stationary); on fixed-vocab corpora cap the prefix df (skip
+    prefix tokens above a df ceiling — making the join approximate) or
+    fall back to dedup_minhash_banded."""
     docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
     toks = (
         docs.select(

@@ -44,6 +44,16 @@ QUERIES = [
     "drift_ks",
 ]
 
+# NOT measured here: dedup_jaccard_prefix_filter.  Its candidate volume
+# is sum_t df_prefix(t)^2 — governed by VOCABULARY GROWTH.  This
+# synthesizer reuses the base vocabulary verbatim, so at 10x every
+# token's df grows 10x and candidates grow ~100x: that measures the
+# synthesizer's missing Heaps'-law growth, not the operator.  On real
+# corpora the rare-token df distribution is near-stationary as the
+# corpus grows (new vocabulary absorbs the tail) and candidates grow
+# ~linearly; the production knobs when they don't are a prefix-df cap
+# or hybrid banding (see the query docstring and SCALE.md §6e note).
+
 
 def synthesize(out_dir: str, mult: int, seed: int = 7) -> tuple[int, int]:
     """Write documents.parquet / embeddings.parquet at ``mult`` x sf0.1
