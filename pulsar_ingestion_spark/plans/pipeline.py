@@ -91,7 +91,10 @@ class PipelineSpec:
     dead_letter_path: str | None = None
     # "foreachBatch": idempotent-append dynamic sink (flexible, at-least-once
     #   within a failed epoch); "native": Spark's transactional file sink
-    #   (_spark_metadata commit log -> exactly-once file visibility).
+    #   (_spark_metadata commit log -> exactly-once file visibility);
+    #   "versioned": manifest-per-version table (operators/versioned.py) —
+    #   exactly-once via batch-id-in-manifest, plus snapshot isolation,
+    #   time travel, and rollback over the landed data.
     sink_mode: str = "foreachBatch"
     # None -> availableNow (drain-and-stop: backfills, tests, cron runs);
     # an interval string like "30 seconds" -> continuous micro-batching.
@@ -192,6 +195,25 @@ def run_pipeline(spark: SparkSession, spec: PipelineSpec, streaming: bool = True
                 out.writeStream.format("parquet")
                 .partitionBy("tenantId")
                 .option("path", spec.output_path)
+                .option("checkpointLocation", spec.checkpoint),
+                spec,
+            ).start()
+        )
+        return PipelineRun(main=main, dead_letter=dead_query)
+
+    if spec.sink_mode == "versioned":
+        # Manifest-committed sink: replayed batches are no-ops (batch id
+        # rides in the manifest), readers get snapshot isolation and time
+        # travel over the landed history.  Note: the versioned layout is
+        # file-list based, not tenant-partition-dir based — downstream
+        # readers filter on the tenantId COLUMN (still pruned via parquet
+        # row-group stats).
+        from pulsar_ingestion_spark.operators.versioned import VersionedTable
+
+        table = VersionedTable(spec.output_path)
+        main = (
+            _with_trigger(
+                out.writeStream.foreachBatch(table.stream_batch_committer())
                 .option("checkpointLocation", spec.checkpoint),
                 spec,
             ).start()

@@ -194,6 +194,7 @@ STREAMING_ONLY = [
     ("versioned table layer (snapshot isolation / time travel / CAS commit / vacuum)", "tests/test_versioned.py"),
     ("versioned streaming sink (exactly-once batch-id commits)", "tests/test_versioned.py::test_stream_committer_end_to_end_with_restart"),
     ("streaming drift monitor (per-batch PSI vs frozen reference)", "tests/test_streaming.py::test_streaming_drift_monitor_alerts_on_shift"),
+    ("pipeline versioned sink mode (manifest-committed CMF landing)", "tests/test_versioned.py::test_pipeline_versioned_sink_end_to_end"),
 ]
 
 
