@@ -550,3 +550,59 @@ def test_frequent_pairs_match_bruteforce(spark):
             counts[(a, b)] += 1
     brute = {k: v for k, v in counts.items() if v >= 3}
     assert got == brute
+
+
+def test_drift_ks_matches_python_recompute(spark):
+    """The windowed two-sample KS equals a direct python computation of
+    sup |F_a - F_b| over the pooled support."""
+    from pulsar_ingestion_spark.queries_quality import q_drift_ks
+    from pulsar_ingestion_spark.session import load_tables
+
+    got = {r["event_type"]: r for r in q_drift_ks(spark, SF).collect()}
+    ev = load_tables(spark, SF)["events"].select("event_type", "value", "ts").collect()
+    import datetime
+
+    split = datetime.datetime(2024, 1, 16)
+    series: dict[str, tuple[list, list]] = {}
+    for r in ev:
+        a, b = series.setdefault(r["event_type"], ([], []))
+        (a if r["ts"] < split else b).append(r["value"])
+    for t, (a, b) in series.items():
+        a.sort()
+        b.sort()
+        import bisect
+
+        d = 0.0
+        for v in sorted(set(a) | set(b)):
+            fa = bisect.bisect_right(a, v) / len(a)
+            fb = bisect.bisect_right(b, v) / len(b)
+            d = max(d, abs(fa - fb))
+        assert got[t]["n_a"] == len(a) and got[t]["n_b"] == len(b)
+        assert abs(got[t]["ks_d"] - round(d, 6)) < 2e-6
+
+
+def test_drift_psi_matches_python_recompute(spark):
+    from pulsar_ingestion_spark.queries_quality import q_drift_psi
+    from pulsar_ingestion_spark.session import load_tables
+    import datetime
+    import math
+
+    got = {r["event_type"]: r["psi"] for r in q_drift_psi(spark, SF).collect()}
+    ev = load_tables(spark, SF)["events"].select("event_type", "value", "ts").collect()
+    split = datetime.datetime(2024, 1, 16)
+    counts: dict[str, tuple[list, list]] = {}
+    for r in ev:
+        ca, cb = counts.setdefault(r["event_type"], ([0] * 10, [0] * 10))
+        b = min(int(r["value"] // 40), 9)
+        (ca if r["ts"] < split else cb)[b] += 1
+    for t, (ca, cb) in counts.items():
+        na, nb = sum(ca), sum(cb)
+        psi = sum(
+            round(
+                ((ca[i] + 1) / (na + 10) - (cb[i] + 1) / (nb + 10))
+                * math.log(((ca[i] + 1) / (na + 10)) / ((cb[i] + 1) / (nb + 10))),
+                6,
+            )
+            for i in range(10)
+        )
+        assert abs(got[t] - psi) < 1e-9
