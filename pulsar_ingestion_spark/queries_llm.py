@@ -1747,9 +1747,17 @@ def q_text_bigram_logprob(spark, sf_dir):
 _PPJ_T = 0.6  # Jaccard threshold
 
 _PREFIX_JACCARD_ORACLE = rf"""
-WITH toks AS (
-  SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
-  FROM documents
+WITH reps AS (
+  SELECT min(doc_id) AS doc_id, count(*) AS cluster_sz
+  FROM documents GROUP BY md5(text)
+), words_ AS (
+  SELECT d.doc_id, regexp_split_to_array(trim(lower(d.text)), '\s+') AS t
+  FROM documents d JOIN reps r ON r.doc_id = d.doc_id
+), toks AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS tok
+  FROM words_ WHERE len(t) >= 3
 ), df AS (
   SELECT tok, count(*) AS dfreq FROM toks GROUP BY tok
 ), sized AS (
@@ -1774,19 +1782,23 @@ WITH toks AS (
   GROUP BY c.id_a, c.id_b
 )
 SELECT i.id_a, i.id_b, i.n_common,
-       CAST(i.n_common AS DOUBLE) / (sa.sz + sb.sz - i.n_common) AS jaccard
+       CAST(i.n_common AS DOUBLE) / (sa.sz + sb.sz - i.n_common) AS jaccard,
+       CAST(ra.cluster_sz * rb.cluster_sz AS BIGINT) AS pair_weight
 FROM inter i
 JOIN sized sa ON sa.doc_id = i.id_a
 JOIN sized sb ON sb.doc_id = i.id_b
+JOIN reps ra ON ra.doc_id = i.id_a
+JOIN reps rb ON rb.doc_id = i.id_b
 WHERE CAST(i.n_common AS DOUBLE) / (sa.sz + sb.sz - i.n_common) >= {_PPJ_T}
 """
 
 
 @query("dedup_jaccard_prefix_filter", oracle=_PREFIX_JACCARD_ORACLE)
 def q_dedup_jaccard_prefix_filter(spark, sf_dir):
-    """Set-similarity self-join with PREFIX FILTERING (the AllPairs/
-    PPJoin principle): two token sets can only reach Jaccard ≥ t if they
-    share a token among each set's (sz − ⌈t·sz⌉ + 1) RAREST tokens —
+    """Set-similarity self-join over 3-gram SHINGLE sets with PREFIX
+    FILTERING (the AllPairs/PPJoin principle): two shingle sets can only
+    reach Jaccard ≥ t if they share a shingle among each set's
+    (sz − ⌈t·sz⌉ + 1) RAREST shingles —
     so candidate pairs are generated from that short, low-df prefix
     only, then verified exactly.  Versus plain banding
     (dedup_minhash_banded) this is exact (no hash collisions / missed
@@ -1800,11 +1812,30 @@ def q_dedup_jaccard_prefix_filter(spark, sf_dir):
     prefix tokens above a df ceiling — making the join approximate) or
     fall back to dedup_minhash_banded."""
     docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    # EXACT-dedup first (production order): every text cluster is reduced
+    # to its min-doc_id representative, so near-dup pairs are pairs of
+    # DISTINCT texts — without this, an m-copy exact-dup cluster emits
+    # m²/2 identical pairs (7M rows at sf0.1 on this corpus), an output
+    # explosion no pipeline wants.  Cluster sizes ride along as the pair
+    # weight.
+    reps = docs.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id"), F.count("*").alias("cluster_sz")
+    ).drop("h").persist()
+    # 3-gram SHINGLE sets, not unigram token sets: on template-heavy
+    # corpora unigram sets of same-domain docs overlap almost totally
+    # (this fixture: ~7M unigram pairs ≥ 0.6 vs 241 shingle pairs at
+    # sf0.1) — shingles carry word order, which is what near-duplicate
+    # means.  Docs under 3 tokens have no shingles and drop out.
+    words_ = docs.join(reps.select("doc_id"), "doc_id").select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("t")
+    )
+    shingle = F.expr(
+        "transform(sequence(1, size(t) - 2),"
+        " i -> concat(t[i-1], ' ', t[i], ' ', t[i+1]))"
+    )
     toks = (
-        docs.select(
-            "doc_id",
-            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
-        )
+        words_.filter(F.size("t") >= 3)
+        .select("doc_id", F.explode(shingle).alias("tok"))
         .distinct()
         .persist()
     )
@@ -1835,11 +1866,17 @@ def q_dedup_jaccard_prefix_filter(spark, sf_dir):
     )
     sa = sized.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sza"))
     sb = sized.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("szb"))
+    ra = reps.select(F.col("doc_id").alias("id_a"), F.col("cluster_sz").alias("cza"))
+    rb = reps.select(F.col("doc_id").alias("id_b"), F.col("cluster_sz").alias("czb"))
     jac = F.col("n_common").cast("double") / (
         F.col("sza") + F.col("szb") - F.col("n_common")
     )
     return (
         inter.join(sa, "id_a").join(sb, "id_b")
+        .join(F.broadcast(ra), "id_a").join(F.broadcast(rb), "id_b")
         .filter(jac >= _PPJ_T)
-        .select("id_a", "id_b", "n_common", jac.alias("jaccard"))
+        .select(
+            "id_a", "id_b", "n_common", jac.alias("jaccard"),
+            (F.col("cza") * F.col("czb")).cast("bigint").alias("pair_weight"),
+        )
     )

@@ -507,11 +507,22 @@ def test_prefix_filter_join_equals_bruteforce_jaccard(spark):
     from pulsar_ingestion_spark.session import load_tables
 
     got = {
-        (r["id_a"], r["id_b"]): r["jaccard"]
+        (r["id_a"], r["id_b"]): (r["jaccard"], r["pair_weight"])
         for r in q_dedup_jaccard_prefix_filter(spark, SF).collect()
     }
     docs = load_tables(spark, SF)["documents"].select("doc_id", "text").collect()
-    sets = {r["doc_id"]: set(r["text"].strip().lower().split()) for r in docs}
+    # exact-dedup to min-doc_id representatives, then 3-gram shingle sets
+    clusters: dict[str, list[int]] = {}
+    texts: dict[int, str] = {}
+    for r in docs:
+        clusters.setdefault(r["text"], []).append(r["doc_id"])
+        texts[r["doc_id"]] = r["text"]
+    reps = {min(ids): len(ids) for ids in clusters.values()}
+    sets = {}
+    for rid in reps:
+        t = texts[rid].strip().lower().split()
+        if len(t) >= 3:
+            sets[rid] = {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
     ids = sorted(sets)
     brute = {}
     for i, a in enumerate(ids):
@@ -521,10 +532,11 @@ def test_prefix_filter_join_equals_bruteforce_jaccard(spark):
                 continue
             j = inter / len(sets[a] | sets[b])
             if j >= 0.6:
-                brute[(a, b)] = j
+                brute[(a, b)] = (j, reps[a] * reps[b])
     assert set(got) == set(brute)
-    for k, j in brute.items():
-        assert abs(got[k] - j) < 1e-9
+    for k, (j, w) in brute.items():
+        assert abs(got[k][0] - j) < 1e-9
+        assert got[k][1] == w
 
 
 def test_frequent_pairs_match_bruteforce(spark):
