@@ -1532,3 +1532,47 @@ def q_ts_changepoint_mean_shift(spark, sf_dir):
         .select("event_type", F.col("day").alias("split_day"),
                 F.col("shift").cast("double").alias("mean_shift"))
     )
+
+
+_ROLLMED_ORACLE = """
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS y
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day,
+       round(quantile_cont(y, 0.5) OVER w, 4) AS med7,
+       CAST(count(*) OVER w AS BIGINT) AS n_window
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+@query("ts_rolling_median", oracle=_ROLLMED_ORACLE)
+def q_ts_rolling_median(spark, sf_dir):
+    """Trailing-7-day rolling MEDIAN of the daily totals — the robust
+    smoother monitoring dashboards overlay when means are outlier-driven
+    (complements ts_ewma's mean smoothing and ts_outlier_mad's robust
+    residuals).  One ordered window per type over the day rollup;
+    percentile-in-window keeps the per-frame state O(frame), and the
+    4-dp rounding absorbs the engines' interpolation ULPs
+    (agg_percentile precedent)."""
+    (ev,) = _t(spark, sf_dir, "events")
+    daily = ev.select(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        "value",
+    ).groupBy("event_type", "day").agg(
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("y")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, 0)
+    )
+    return daily.select(
+        "event_type", "day",
+        F.round(F.expr("percentile(y, 0.5)").over(w), 4).alias("med7"),
+        F.count("*").over(w).cast("bigint").alias("n_window"),
+    )

@@ -167,6 +167,7 @@ SECTIONS = [
     ]),
     ("Risk & changepoint analytics (round 5)", [
         "win_drawdown", "ts_changepoint_mean_shift", "events_survival_curve",
+        "ts_rolling_median",
     ]),
     ("A/B experimentation analytics (round 5)", [
         "exp_ab_lift", "exp_srm_check", "exp_cuped_adjust",
