@@ -75,6 +75,28 @@ def entry(spark: SparkSession) -> DataFrame:
 # coverage across rounds until every query has a driver CORRECTNESS row
 # (VERDICT r1 item 2, refreshed each round per VERDICT r2 item 2).
 _CHECKED_PRIOR = {
+    # round 5 (CORRECTNESS_r05.json — 50/50 hash-green: the curated
+    # round-5 prefix incl. TPC-H completion, warehouse management, IR
+    # ranking, embedding evaluation, event-journey III)
+    "join_asof_tolerance", "sim_search_recall_eval", "emb_label_affinity",
+    "text_dedup_survivorship", "corpus_lang_balance", "dedup_url_canonical",
+    "text_langid_confusion", "dedup_cross_source", "corpus_domain_caps",
+    "text_ppl_buckets", "events_attribution_position",
+    "events_time_to_convert", "events_user_overlap_jaccard",
+    "win_range_interval_1h", "ts_autocorr", "text_bm25_topk",
+    "text_keyness_loglik", "sketch_hll_merge", "sample_reservoir_hash",
+    "tpch_min_cost_supplier", "tpch_small_qty_revenue", "tpch_parts_promo",
+    "tpch_global_sales_opportunity", "tpch_customer_distribution",
+    "win_topk_ties_qualify", "tpch_returned_items", "tpch_promo_revenue",
+    "tpch_top_supplier", "tpch_large_orders", "tpch_disjunctive_pred",
+    "tpch_waiting_suppliers", "tpch_nation_volume", "tpch_product_profit",
+    "tpch_important_stock", "win_mom_growth", "win_yoy_growth",
+    "win_cumulative_share", "tpch_forecast_revenue", "tpch_shipmode_priority",
+    "tpch_supplier_part_count", "tpch_fulfillment_latency",
+    "emb_prefix_recall", "emb_whiten_stats", "emb_prototypes_per_label",
+    "scd2_point_in_time", "table_snapshot_diff", "dq_orphan_check",
+    "dq_constraint_audit", "warehouse_merge_upsert",
+    "graph_hierarchy_closure",
     # round 4 (CORRECTNESS_r04.json — 50/50 hash-green, incl. the two
     # fixed round-3 failures and the four formerly-stranded LSH ids)
     "agg_entropy", "agg_weighted_avg", "corpus_dedup_report",
@@ -157,36 +179,31 @@ _CHECKED_PRIOR = {
 }
 
 
-# The 50 ids built across the earlier round-5 sessions form this round's
-# driver-check prefix (the driver checks a bounded prefix ≈50).  Later
-# round-5 additions register in module order, which would INTERLEAVE them
-# into the middle of the fresh set and push curated ids past the bound —
-# pin the intended prefix explicitly; everything else fresh follows and
-# rotates into round 6.
-_ROUND5_PREFIX = [
-    "join_asof_tolerance", "sim_search_recall_eval", "emb_label_affinity",
-    "text_dedup_survivorship", "corpus_lang_balance", "dedup_url_canonical",
-    "text_langid_confusion", "dedup_cross_source", "corpus_domain_caps",
-    "text_ppl_buckets", "events_attribution_position", "events_time_to_convert",
-    "events_user_overlap_jaccard", "win_range_interval_1h", "ts_autocorr",
-    "text_bm25_topk", "text_keyness_loglik", "sketch_hll_merge",
-    "sample_reservoir_hash", "tpch_min_cost_supplier", "tpch_small_qty_revenue",
-    "tpch_parts_promo", "tpch_global_sales_opportunity",
-    "tpch_customer_distribution", "win_topk_ties_qualify", "tpch_returned_items",
-    "tpch_promo_revenue", "tpch_top_supplier", "tpch_large_orders",
-    "tpch_disjunctive_pred", "tpch_waiting_suppliers", "tpch_nation_volume",
-    "tpch_product_profit", "tpch_important_stock", "win_mom_growth",
-    "win_yoy_growth", "win_cumulative_share", "tpch_forecast_revenue",
-    "tpch_shipmode_priority", "tpch_supplier_part_count",
-    "tpch_fulfillment_latency", "emb_prefix_recall", "emb_whiten_stats",
-    "emb_prototypes_per_label", "scd2_point_in_time", "table_snapshot_diff",
-    "dq_orphan_check", "dq_constraint_audit", "warehouse_merge_upsert",
-    "graph_hierarchy_closure",
+# Round-6 driver-check prefix (the driver checks a bounded prefix ≈50):
+# the 35 round-5 session-3 additions that have no driver CORRECTNESS row
+# yet (VERDICT r5 item 1), plus udf_pandas_haversine whose only driver
+# row predates its oracle (r2 `no_oracle` — the oracle landed in r5
+# session 3, so it rotates forward for a first hash-green row).
+_ROUND6_PREFIX = [
+    "ml_auc_roc", "graph_triangle_count", "geo_dbscan_grid",
+    "graph_pagerank", "graph_degree_stats",
+    "sketch_kmv_intersect", "sketch_quantile_logbins", "sample_weighted_kmv",
+    "warehouse_incremental_agg", "warehouse_changelog_compact",
+    "warehouse_partition_prune_stats", "dq_reconciliation",
+    "drift_psi", "drift_ks", "drift_chi2", "privacy_k_anonymity",
+    "exp_ab_lift", "exp_srm_check", "exp_cuped_adjust",
+    "ml_calibration_bins", "ml_confusion_threshold",
+    "ts_interp_linear", "ts_theil_sen", "ts_changepoint_mean_shift",
+    "ts_rolling_median", "linkage_blocked_match", "tenant_usage_report",
+    "dedup_jaccard_prefix_filter", "basket_frequent_pairs",
+    "win_drawdown", "events_survival_curve", "events_conversion_rate_daily",
+    "join_interval_overlap", "emb_cosine_histogram", "text_bigram_logprob",
+    "udf_pandas_haversine",
 ]
 
 
 def _rotated(mapping: dict) -> dict:
-    prefix = {k: mapping[k] for k in _ROUND5_PREFIX if k in mapping}
+    prefix = {k: mapping[k] for k in _ROUND6_PREFIX if k in mapping}
     fresh = {
         k: v for k, v in mapping.items()
         if k not in _CHECKED_PRIOR and k not in prefix

@@ -94,29 +94,54 @@ class VersionedTable:
         self,
         op: str,
         files: list[str],
-        max_retries: int = 10,
+        base: int | None,
         meta: dict | None = None,
     ) -> int:
-        """CAS loop: stage the manifest, then atomically link it as the
-        next version.  os.link fails with EEXIST if a racer won — re-read
-        the current version and retry the NEXT slot."""
+        """ONE CAS attempt: atomically link the staged manifest at
+        ``base + 1``, where ``base`` is the version whose file list the
+        caller READ.  Never re-reads the current version internally —
+        committing against a version newer than the one the file list
+        was derived from would land a manifest that silently omits the
+        racer's files (the classic lost-update/TOCTOU).  If a racer
+        already took the slot, raises :class:`CommitConflict`; the
+        caller must re-read table state before retrying."""
+        target = 0 if base is None else base + 1
         staged = os.path.join(self.manifest_dir, f".tmp-{uuid.uuid4().hex}.json")
+        with open(staged, "w") as fh:
+            json.dump(
+                {"op": op, "files": sorted(files), "parent": base,
+                 "meta": meta or {}},
+                fh,
+            )
+        try:
+            os.link(staged, self._manifest_path(target))  # atomic claim
+            return target
+        except FileExistsError:
+            raise CommitConflict(
+                f"version {target} of {self.root} was committed by a racer"
+            ) from None
+        finally:
+            os.unlink(staged)
+
+    def _commit_with_retries(
+        self,
+        op: str,
+        files_for_base,
+        meta: dict | None = None,
+        max_retries: int = 10,
+    ) -> int:
+        """Optimistic-concurrency loop: (re-)read the current version,
+        derive the new file list FROM THAT base via ``files_for_base(
+        base_files)``, and CAS at base+1.  An interleaved commit makes
+        the CAS fail deterministically, so the loser always rebuilds its
+        file list against the winner's state — no lost updates."""
         for _ in range(max_retries):
-            cur = self.current_version()
-            target = 0 if cur is None else cur + 1
-            with open(staged, "w") as fh:
-                json.dump(
-                    {"op": op, "files": sorted(files), "parent": cur,
-                     "meta": meta or {}},
-                    fh,
-                )
+            base = self.current_version()
+            base_files = self.describe(base).files if base is not None else []
             try:
-                os.link(staged, self._manifest_path(target))  # atomic claim
-                os.unlink(staged)
-                return target
-            except FileExistsError:
-                continue  # racer won this slot; retry against the next
-        os.unlink(staged)
+                return self._commit(op, files_for_base(base_files), base, meta=meta)
+            except CommitConflict:
+                continue
         raise CommitConflict(f"lost {max_retries} commit races in {self.root}")
 
     # -- write paths --------------------------------------------------------
@@ -136,24 +161,21 @@ class VersionedTable:
 
     def append(self, df: DataFrame) -> int:
         new_files = self._write_files(df)
-        for _ in range(10):
-            cur = self.current_version()
-            base = self.describe(cur).files if cur is not None else []
-            try:
-                return self._commit("append", base + new_files, max_retries=1)
-            except CommitConflict:
-                continue  # re-read the new base and retry
-        raise CommitConflict(f"append lost 10 commit races in {self.root}")
+        return self._commit_with_retries(
+            "append", lambda base_files: base_files + new_files
+        )
 
     def overwrite(self, df: DataFrame) -> int:
         """Replace table contents; old versions stay readable (time
         travel) until vacuumed."""
-        return self._commit("overwrite", self._write_files(df))
+        new_files = self._write_files(df)
+        return self._commit_with_retries("overwrite", lambda _base: new_files)
 
     def rollback(self, to_version: int) -> int:
         """Re-commit an old file list as the NEW current version —
         history stays append-only, nothing is deleted."""
-        return self._commit("rollback", self.describe(to_version).files)
+        files = self.describe(to_version).files
+        return self._commit_with_retries("rollback", lambda _base: files)
 
     # -- read paths ---------------------------------------------------------
 
@@ -180,6 +202,44 @@ class VersionedTable:
                 out.add(int(b))
         return out
 
+    # Batch-id high-watermark: Structured Streaming batch ids are
+    # monotonically increasing per checkpoint, so "batch_id <= watermark"
+    # means "already committed" even after vacuum expired the manifest
+    # that carried it — without this, a sufficiently delayed replay of a
+    # vacuumed batch would pass the manifest-scan check and land twice.
+
+    @property
+    def _watermark_file(self) -> str:
+        return os.path.join(self.manifest_dir, "_batch_watermark.json")
+
+    def batch_watermark(self) -> int:
+        """Highest stream batch id known committed; survives manifest
+        expiry (vacuum raises it before dropping manifests).  -1 if no
+        stream batch ever committed."""
+        try:
+            with open(self._watermark_file) as fh:
+                return int(json.load(fh)["max_batch_id"])
+        except FileNotFoundError:
+            return -1
+
+    def _raise_batch_watermark(self, batch_id: int) -> None:
+        # Monotone max via write-tmp + atomic rename (file is always
+        # valid JSON).  Racing writers could briefly publish a smaller
+        # max, but vacuum — the only point where the watermark is
+        # load-bearing — recomputes it from the FULL manifest set before
+        # expiring anything.
+        if batch_id <= self.batch_watermark():
+            return
+        tmp = os.path.join(self.manifest_dir, f".wm-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as fh:
+            json.dump({"max_batch_id": int(batch_id)}, fh)
+        os.replace(tmp, self._watermark_file)
+
+    def _batch_already_committed(self, batch_id: int) -> bool:
+        return int(batch_id) <= self.batch_watermark() or (
+            int(batch_id) in self.committed_batch_ids()
+        )
+
     def stream_batch_committer(self):
         """foreachBatch target giving EXACTLY-ONCE appends on top of the
         at-least-once replay Structured Streaming guarantees: the batch
@@ -193,17 +253,20 @@ class VersionedTable:
         """
 
         def commit(batch_df: DataFrame, batch_id: int) -> None:
-            if batch_id in self.committed_batch_ids():
+            if self._batch_already_committed(batch_id):
                 return  # replayed batch — already committed
             new_files = self._write_files(batch_df)
             for _ in range(10):
-                cur = self.current_version()
-                base = self.describe(cur).files if cur is not None else []
+                base = self.current_version()
+                if self._batch_already_committed(batch_id):
+                    return  # a racing replay of this same batch landed it
+                base_files = self.describe(base).files if base is not None else []
                 try:
                     self._commit(
-                        "stream-append", base + new_files,
-                        max_retries=1, meta={"batch_id": int(batch_id)},
+                        "stream-append", base_files + new_files, base,
+                        meta={"batch_id": int(batch_id)},
                     )
+                    self._raise_batch_watermark(int(batch_id))
                     return
                 except CommitConflict:
                     continue
@@ -213,22 +276,48 @@ class VersionedTable:
 
     # -- maintenance --------------------------------------------------------
 
-    def vacuum(self, keep_last: int = 2) -> list[str]:
+    def vacuum(
+        self, keep_last: int = 2, grace_seconds: float = 24 * 3600.0
+    ) -> list[str]:
         """Delete data files unreachable from the ``keep_last`` most
         recent manifests (and drop the older manifests).  Safe order:
         compute the retained file set FIRST, delete unreferenced data,
         then the expired manifests — a crash mid-vacuum leaves only
-        extra files, never a manifest pointing at deleted data."""
+        extra files, never a manifest pointing at deleted data.
+
+        Two extra safety rails (ADVICE r5):
+
+        * data subdirectories younger than ``grace_seconds`` are SKIPPED
+          — they may be a concurrent writer's staged-but-uncommitted
+          files (``_write_files`` ran, manifest not linked yet);
+          deleting them would let that commit succeed pointing at dead
+          data.  Same idea as Delta's retention check.
+        * before any manifest expires, the batch-id high-watermark is
+          raised over ALL current manifests, so a delayed streaming
+          replay of a vacuumed batch still no-ops (see
+          :meth:`batch_watermark`).
+        """
+        import time
+
         vs = self.versions()
         if len(vs) <= keep_last:
             return []
+        batch_ids = [
+            b for v in vs
+            if (b := self._meta(v).get("batch_id")) is not None
+        ]
+        if batch_ids:
+            self._raise_batch_watermark(max(int(b) for b in batch_ids))
         keep_vs = vs[-keep_last:]
         keep_files = set()
         for v in keep_vs:
             keep_files.update(self.describe(v).files)
+        now = time.time()
         removed = []
         for sub in os.listdir(self.data_dir):
             subdir = os.path.join(self.data_dir, sub)
+            if now - os.path.getmtime(subdir) < grace_seconds:
+                continue  # possibly an in-flight writer's staged files
             for name in os.listdir(subdir):
                 rel = os.path.join("data", sub, name)
                 if name.endswith(".parquet") and rel not in keep_files:

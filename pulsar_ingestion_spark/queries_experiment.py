@@ -48,14 +48,17 @@ WITH peruser AS (
   SELECT user_id, {_ASSIGN_SQL} AS arm,
          max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
   FROM events GROUP BY user_id
-), arms AS (
-  SELECT arm, count(*) AS n, SUM(converted) AS conv FROM peruser GROUP BY arm
 ), wide AS (
+  -- conditional aggregation (no ELSE → SUM over an absent arm is NULL):
+  -- a missing arm yields NULL columns identically in both engines
+  -- (ADVICE r5: the per-arm scalar-subquery form diverged from a
+  -- per-arm-filter crossJoin on degenerate input)
   SELECT
-    (SELECT n FROM arms WHERE arm = 0) AS n_c,
-    (SELECT conv FROM arms WHERE arm = 0) AS x_c,
-    (SELECT n FROM arms WHERE arm = 1) AS n_t,
-    (SELECT conv FROM arms WHERE arm = 1) AS x_t
+    SUM(CASE WHEN arm = 0 THEN 1 END) AS n_c,
+    SUM(CASE WHEN arm = 0 THEN converted END) AS x_c,
+    SUM(CASE WHEN arm = 1 THEN 1 END) AS n_t,
+    SUM(CASE WHEN arm = 1 THEN converted END) AS x_t
+  FROM peruser
 )
 SELECT CAST(n_c AS BIGINT) AS n_control, CAST(n_t AS BIGINT) AS n_treatment,
        CAST(x_c AS DOUBLE) / n_c AS p_control,
@@ -74,10 +77,12 @@ def q_exp_ab_lift(spark, sf_dir):
     """Two-proportion experiment scorecard: per-user conversion (any
     purchase) under a deterministic 50/50 hash assignment, absolute lift
     treatment−control, and the pooled two-proportion z-statistic.  The
-    stream collapses to one row per user (map-side max), then to TWO arm
-    rows; the z arithmetic runs on a broadcast 1-row relation.  Exactly
-    the analysis shape at any scale — the expensive part is the per-user
-    collapse, everything after is model-sized."""
+    stream collapses to one row per user (map-side max), then ONE global
+    conditional aggregate builds the 1-row scorecard — no ELSE branch,
+    so an absent arm surfaces as NULL columns (identical to the oracle)
+    instead of an empty result (ADVICE r5).  Exactly the analysis shape
+    at any scale — the expensive part is the per-user collapse,
+    everything after is model-sized."""
     ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
     peruser = (
         ev.select(
@@ -88,16 +93,12 @@ def q_exp_ab_lift(spark, sf_dir):
         .groupBy("user_id", "arm")
         .agg(F.max("c").alias("converted"))
     )
-    arms = peruser.groupBy("arm").agg(
-        F.count("*").alias("n"), F.sum("converted").alias("conv")
+    wide = peruser.agg(
+        F.sum(F.when(F.col("arm") == 0, 1)).alias("n_c"),
+        F.sum(F.when(F.col("arm") == 0, F.col("converted"))).alias("x_c"),
+        F.sum(F.when(F.col("arm") == 1, 1)).alias("n_t"),
+        F.sum(F.when(F.col("arm") == 1, F.col("converted"))).alias("x_t"),
     )
-    c = arms.filter(F.col("arm") == 0).select(
-        F.col("n").alias("n_c"), F.col("conv").alias("x_c")
-    )
-    t = arms.filter(F.col("arm") == 1).select(
-        F.col("n").alias("n_t"), F.col("conv").alias("x_t")
-    )
-    wide = c.crossJoin(F.broadcast(t))
     p_c = F.col("x_c").cast("double") / F.col("n_c")
     p_t = F.col("x_t").cast("double") / F.col("n_t")
     p_pool = (F.col("x_c") + F.col("x_t")).cast("double") / (F.col("n_c") + F.col("n_t"))

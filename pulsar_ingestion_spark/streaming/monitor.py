@@ -31,10 +31,14 @@ _BINS = 10
 
 def histogram(df: DataFrame, value_col: str, bin_width: float) -> dict[int, int]:
     """Collect the (bounded) bin→count reference histogram."""
+    # clamp BOTH ends: values below 0 would otherwise land in negative
+    # bin ids that inflate the totals but fall outside psi()'s bin loop,
+    # silently dropping probability mass (ADVICE r5)
     rows = (
         df.select(
-            F.least(
-                F.floor(F.col(value_col) / bin_width), F.lit(_BINS - 1)
+            F.greatest(
+                F.lit(0),
+                F.least(F.floor(F.col(value_col) / bin_width), F.lit(_BINS - 1)),
             ).cast("int").alias("bin")
         )
         .groupBy("bin")

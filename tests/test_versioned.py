@@ -51,28 +51,55 @@ def test_snapshot_isolation_while_writing(spark, tmp_path):
     staged = t._write_files(_df(spark, 10, 20))  # staged, NOT committed
     assert staged
     assert t.read(spark).count() == 10  # reader still sees v0 only
-    t._commit("append", t.describe().files + staged)
+    t._commit("append", t.describe().files + staged, base=t.current_version())
     assert t.read(spark).count() == 20
 
 
 def test_commit_race_cas(spark, tmp_path):
-    """A racer claiming the next slot forces the retry path; with
-    retries exhausted a CommitConflict surfaces."""
+    """A racer claiming the next slot forces the retry path; a commit
+    against a stale base deterministically conflicts."""
     t = VersionedTable(str(tmp_path / "t"))
     t.append(_df(spark, 0, 5))
     # racer steals slot 1 directly
     racer_files = t._write_files(_df(spark, 5, 8))
-    t._commit("append", t.describe().files + racer_files)
+    t._commit("append", t.describe().files + racer_files, base=t.current_version())
     # append still succeeds by retrying into slot 2
     t.append(_df(spark, 8, 10))
     assert t.current_version() == 2
     assert t.read(spark).count() == 10
-    # simulate a stale snapshot of current_version (the racer committed
-    # between our read and our link): with one retry, conflict surfaces
-    stale = t.current_version() - 1
-    t.current_version = lambda: stale  # type: ignore[method-assign]
+    # a commit built against a stale base (racer committed between our
+    # read and our link) must CONFLICT, never silently land
     with pytest.raises(CommitConflict):
-        t._commit("append", [], max_retries=1)
+        t._commit("append", [], base=t.current_version() - 1)
+
+
+def test_commit_race_never_loses_racer_files(spark, tmp_path):
+    """ADVICE r5 (high): if a racer commits between append()'s base-file
+    read and the CAS, the retry must rebuild its file list against the
+    racer's version — the final table contains BOTH writers' rows."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append(_df(spark, 0, 5))  # v0
+
+    # interpose on current_version: the first call (our append's base
+    # read) is allowed, then a racer lands v1 before our CAS fires.
+    real_current = t.current_version
+    state = {"racer_done": False}
+
+    def racing_current():
+        v = real_current()
+        if not state["racer_done"]:
+            state["racer_done"] = True
+            racer_files = t._write_files(_df(spark, 100, 110))
+            t._commit("append", t.describe().files + racer_files, base=v)
+        return v
+
+    t.current_version = racing_current  # type: ignore[method-assign]
+    t.append(_df(spark, 5, 8))
+    t.current_version = real_current  # type: ignore[method-assign]
+    # both the racer's 10 rows and our 3 rows survive
+    assert t.read(spark).count() == 18
+    ids = {r["id"] for r in t.read(spark).collect()}
+    assert set(range(100, 110)) <= ids and set(range(5, 8)) <= ids
 
 
 def test_vacuum_keeps_reachable_only(spark, tmp_path):
@@ -80,7 +107,7 @@ def test_vacuum_keeps_reachable_only(spark, tmp_path):
     t.append(_df(spark, 0, 10))      # v0
     t.overwrite(_df(spark, 0, 5))    # v1 — v0's files now unreachable from v1+
     t.append(_df(spark, 5, 9))       # v2
-    removed = t.vacuum(keep_last=2)
+    removed = t.vacuum(keep_last=2, grace_seconds=0.0)
     assert removed  # v0's exclusive files were deleted
     assert t.versions() == [1, 2]
     assert t.read(spark, 2).count() == 9
@@ -95,9 +122,42 @@ def test_vacuum_never_breaks_retained_versions(spark, tmp_path):
     t.append(_df(spark, 0, 10))      # v0
     t.append(_df(spark, 10, 12))     # v1 shares v0's files
     t.append(_df(spark, 12, 15))     # v2 shares v0+v1's files
-    t.vacuum(keep_last=2)            # drops manifest v0 only
+    t.vacuum(keep_last=2, grace_seconds=0.0)  # drops manifest v0 only
     assert t.read(spark, 1).count() == 12
     assert t.read(spark, 2).count() == 15
+
+
+def test_vacuum_grace_protects_inflight_writer(spark, tmp_path):
+    """ADVICE r5 (medium): files staged by a concurrent writer whose
+    manifest has not committed yet must survive a default-grace vacuum —
+    the writer's commit then succeeds with all its data intact."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append(_df(spark, 0, 10))      # v0
+    t.overwrite(_df(spark, 0, 5))    # v1
+    t.append(_df(spark, 5, 9))       # v2
+    staged = t._write_files(_df(spark, 50, 60))  # in-flight writer
+    removed = t.vacuum(keep_last=2)  # default grace: every subdir is young
+    assert removed == []             # nothing deleted, manifests still expire
+    assert t.versions() == [1, 2]
+    t._commit("append", t.describe().files + staged, base=t.current_version())
+    assert t.read(spark).count() == 19  # 9 + the in-flight writer's 10
+
+
+def test_vacuum_watermark_blocks_replay_of_expired_batch(spark, tmp_path):
+    """ADVICE r5 (medium): vacuum persists a batch-id high-watermark
+    before expiring manifests, so a delayed streaming replay of a
+    vacuumed batch is still recognized and skipped."""
+    t = VersionedTable(str(tmp_path / "t"))
+    commit = t.stream_batch_committer()
+    commit(_df(spark, 0, 10), 0)
+    commit(_df(spark, 10, 15), 1)
+    commit(_df(spark, 15, 18), 2)
+    t.vacuum(keep_last=1, grace_seconds=0.0)  # batch-0/1 manifests expire
+    assert t.committed_batch_ids() == {2}     # manifest scan forgot 0 and 1
+    assert t.batch_watermark() == 2
+    commit(_df(spark, 0, 10), 0)              # delayed replay of batch 0
+    commit(_df(spark, 10, 15), 1)
+    assert t.read(spark).count() == 18        # no duplicates
 
 
 def test_stream_committer_idempotent_per_batch(spark, tmp_path):
