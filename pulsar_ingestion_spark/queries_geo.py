@@ -271,11 +271,12 @@ def q_geo_dbscan_grid(spark, sf_dir):
         )
         # Materialize per round: each round references `labels` three
         # times, so lazy lineage would TRIPLE in depth every iteration
-        # (3^8 leaves by round 8 — unanalyzable).  The relation is
-        # O(occupied cells) — bounded by the 1-degree grid universe, not
-        # by ping volume — so driver materialization is the same bounded
-        # model-collect the IVF centroids use (operators/similarity.py).
-        labels = spark.createDataFrame(labels.collect(), "node long, label long")
+        # (3^8 leaves by round 8 — unanalyzable).  localCheckpoint cuts
+        # the lineage CLUSTER-side — partitions stay on executors, the
+        # driver never materializes the relation (VERDICT r5: the former
+        # collect()+createDataFrame round-trip was driver-bound even
+        # though the relation is only O(occupied cells)).
+        labels = labels.localCheckpoint(eager=True)
     return (
         labels.join(core, "node")
         .groupBy(F.col("label").alias("cluster_id"))

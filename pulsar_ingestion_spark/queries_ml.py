@@ -561,23 +561,28 @@ def q_ml_auc_roc(spark, sf_dir):
     (Σ ranks of positives − n₊(n₊+1)/2) / (n₊·n₋), with tied scores
     taking their average rank ((min+max)/2 over the tie group) — exactly
     what sklearn computes, but as TWO window passes + one aggregate,
-    never a positives×negatives pair join.  The global rank is the one
-    data-scale sort; at cluster scale it runs as a range-partitioned
-    rank (operators/ranking.py:global_row_number discipline).  Rank sums
-    accumulate in DECIMAL (.5 ties are exact), divisions are single
-    IEEE ops."""
+    never a positives×negatives pair join.  The global rank runs as a
+    range-partitioned rank + per-partition offsets
+    (operators/ranking.py:global_row_number) — NO unpartitioned window
+    funnels the data through one task (VERDICT r5).  The rank values
+    within a (score,label) tie group are an arbitrary permutation of a
+    contiguous range, and the per-score min/max below depends only on
+    that range, so the output is deterministic.  Rank sums accumulate
+    in DECIMAL (.5 ties are exact), divisions are single IEEE ops."""
     from pyspark.sql import Window
+
+    from pulsar_ingestion_spark.operators.ranking import global_row_number
 
     ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
     scored = ev.select(
         F.col("value").alias("score"),
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("label"),
     )
-    w = Window.orderBy("score", "label")
     wt = Window.partitionBy("score")
-    ranked = scored.select(
-        "score", "label", F.row_number().over(w).alias("rnk")
-    ).select(
+    ranked_rn, _total = global_row_number(
+        scored, [F.col("score"), F.col("label")], rn_col="rnk"
+    )
+    ranked = ranked_rn.select(
         "label",
         (
             (F.min("rnk").over(wt).cast("double") + F.max("rnk").over(wt)) / 2

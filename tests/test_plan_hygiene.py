@@ -23,6 +23,56 @@ CARTESIAN_OK = {
 }
 
 
+# Queries with an INTENTIONAL unpartitioned window (Window.orderBy with
+# no partition key — funnels its input through ONE task).  Legal only
+# when the window's input is a bounded AGGREGATE relation, never the
+# data-scale stream.  Every entry must stay justified.
+GLOBAL_WINDOW_OK = {
+    "sketch_quantile_logbins",  # window over the O(bins)≈90-row sketch table
+    "drift_chi2",               # margins over the |event_type|×2 contingency table
+    "win_mom_growth",           # lag over the per-month rollup (~24 rows)
+}
+
+
+def _split_top(s):
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            if ch in "([":
+                depth += 1
+            elif ch in ")]":
+                depth -= 1
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur).strip())
+    return out
+
+
+def _n_unpartitioned_windows(plan: str) -> int:
+    """Count windowspecdefinitions with NO partition expressions: the
+    first top-level argument is either the frame itself or an ordering
+    expression (carries ASC/DESC); partition expressions never do."""
+    import re
+
+    n = 0
+    for m in re.finditer(r"windowspecdefinition\(", plan):
+        start = m.end()
+        depth, i = 1, start
+        while depth and i < len(plan):
+            if plan[i] in "([":
+                depth += 1
+            elif plan[i] in ")]":
+                depth -= 1
+            i += 1
+        first = _split_top(plan[start : i - 1])[0]
+        if first.startswith("specifiedwindowframe") or " ASC" in first or " DESC" in first:
+            n += 1
+    return n
+
+
 def _all_plans(spark):
     out = {}
     for name, fn in entrymod.queries().items():
@@ -51,6 +101,17 @@ def test_no_unjustified_cartesian_products(plans):
     offenders = [
         n for n, p in plans.items()
         if "CartesianProduct" in p and n not in CARTESIAN_OK
+    ]
+    assert not offenders, offenders
+
+
+def test_no_unpartitioned_windows_on_data_paths(plans):
+    """An unpartitioned Window.orderBy sorts its whole input in one task
+    (VERDICT r5: ml_auc_roc shipped one over the event stream).  Only
+    bounded aggregate-sized inputs are exempt, via GLOBAL_WINDOW_OK."""
+    offenders = [
+        n for n, p in plans.items()
+        if _n_unpartitioned_windows(p) > 0 and n not in GLOBAL_WINDOW_OK
     ]
     assert not offenders, offenders
 

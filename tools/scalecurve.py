@@ -42,6 +42,8 @@ QUERIES = [
     "text_bigram_logprob",
     "graph_triangle_count",
     "drift_ks",
+    # round 6: the audience-overlap self-join (VERDICT r5 item 7)
+    "events_user_overlap_jaccard",
 ]
 
 # NOT measured here: dedup_jaccard_prefix_filter.  Its candidate volume
@@ -168,9 +170,9 @@ def synthesize(out_dir: str, mult: int, seed: int = 7) -> tuple[int, int]:
     return n_docs, n_emb
 
 
-def time_queries(spark, registry, sf_dir: str, runs: int) -> dict[str, float]:
+def time_queries(spark, registry, sf_dir: str, runs: int, names=None) -> dict[str, float]:
     timings = {}
-    for name in QUERIES:
+    for name in names or QUERIES:
         df = registry[name](spark, sf_dir)
         df.count()  # warm-up (codegen compile, footer reads)
         samples = []
@@ -187,7 +189,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=int, default=10)
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--only", help="comma-separated query subset; results "
+                    "MERGE into existing SCALE_CURVE.json rows by name")
+    ap.add_argument("--data-dir", help="reuse an already-synthesized x-mult "
+                    "dataset dir instead of synthesizing a fresh one")
     a = ap.parse_args()
+    names = a.only.split(",") if a.only else list(QUERIES)
 
     import __spark_entry__ as entrymod
     from pulsar_ingestion_spark.session import get_spark
@@ -196,24 +203,39 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     registry = entrymod.queries()
 
-    tmp = tempfile.mkdtemp(prefix="scalecurve-")
-    n_docs, n_emb = synthesize(tmp, a.mult)
-    print(f"synthesized {n_docs} docs / {n_emb} embeddings at {tmp}", file=sys.stderr)
+    if a.data_dir:
+        tmp, n_docs, n_emb = a.data_dir, None, None
+    else:
+        tmp = tempfile.mkdtemp(prefix="scalecurve-")
+        n_docs, n_emb = synthesize(tmp, a.mult)
+        print(f"synthesized {n_docs} docs / {n_emb} embeddings at {tmp}", file=sys.stderr)
 
-    base = time_queries(spark, registry, BASE_SF, a.runs)
-    big = time_queries(spark, registry, tmp, a.runs)
+    base = time_queries(spark, registry, BASE_SF, a.runs, names)
+    big = time_queries(spark, registry, tmp, a.runs, names)
 
     rows = []
-    for name in QUERIES:
+    for name in names:
         ratio = big[name] / base[name] if base[name] else float("nan")
         rows.append({
             "query": name, "sf0.1_sec": base[name], f"x{a.mult}_sec": big[name],
             "ratio": round(ratio, 2), "ratio_per_x": round(ratio / a.mult, 2),
         })
     print(json.dumps({"mult": a.mult, "rows": rows}))
-    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                           "SCALE_CURVE.json"), "w") as fh:
-        json.dump({"mult": a.mult, "n_docs": n_docs, "n_emb": n_emb, "rows": rows}, fh, indent=1)
+    out_path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                            "SCALE_CURVE.json")
+    doc = {"mult": a.mult, "n_docs": n_docs, "n_emb": n_emb, "rows": []}
+    if os.path.exists(out_path):
+        with open(out_path) as fh:
+            prev = json.load(fh)
+        if prev.get("mult") == a.mult:
+            doc = prev
+    merged = {r["query"]: r for r in doc.get("rows", [])}
+    merged.update({r["query"]: r for r in rows})
+    doc["rows"] = [merged[q] for q in QUERIES if q in merged] + [
+        r for q, r in merged.items() if q not in QUERIES
+    ]
+    with open(out_path, "w") as fh:
+        json.dump(doc, fh, indent=1)
     hdr = f"| query | sf0.1 (s) | {a.mult}x (s) | ratio | ratio/{a.mult} |"
     print(hdr + "\n|---|---|---|---|---|", file=sys.stderr)
     for r in rows:
