@@ -199,6 +199,8 @@ _ROUND6_PREFIX = [
     "win_drawdown", "events_survival_curve", "events_conversion_rate_daily",
     "join_interval_overlap", "emb_cosine_histogram", "text_bigram_logprob",
     "udf_pandas_haversine",
+    # round-6 additions (selfchecked green at 3 SFs; VERDICT r5 item 6)
+    "warehouse_bom_rollup", "warehouse_merge_resolve_conflicts",
 ]
 
 

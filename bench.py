@@ -82,6 +82,9 @@ HEADLINE = [
     "sketch_kmv_intersect",
     "warehouse_changelog_compact",
     "text_bigram_logprob",
+    # round 6: BOM closure + windowed-MERGE conflict resolution
+    "warehouse_bom_rollup",
+    "warehouse_merge_resolve_conflicts",
 ]
 
 

@@ -644,3 +644,202 @@ def q_dq_reconciliation(spark, sf_dir):
         "o_orderkey", "o_totalprice", "li_total", "n_lines",
         F.round(gap, 4).alias("abs_gap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 6: multi-level BOM explosion over an EDGE TABLE, and MERGE with
+# windowed conflict resolution — the two depth items from VERDICT r5/ROADMAP 3.
+# ---------------------------------------------------------------------------
+
+# Deterministic BOM forest over parts: component p_partkey >= 10 goes into
+# assembly p_partkey div 10 with qty-per = p_partkey % 3 + 1; roots are
+# keys < 10.  Unlike graph_hierarchy_closure (parent ARITHMETIC per level),
+# the closure here walks a materialized edge relation — one key-shuffle
+# join per level, the shape a real BOM table forces.
+_BOM_ORACLE = """
+WITH RECURSIVE edges AS (
+  SELECT p_partkey AS child, p_partkey // 10 AS parent,
+         CAST(p_partkey % 3 + 1 AS BIGINT) AS qty
+  FROM part WHERE p_partkey >= 10
+), bom AS (
+  SELECT child AS component, parent AS assembly, qty AS ext_qty,
+         CAST(1 AS BIGINT) AS depth
+  FROM edges
+  UNION ALL
+  SELECT b.component, e.parent, b.ext_qty * e.qty, b.depth + 1
+  FROM bom b JOIN edges e ON e.child = b.assembly
+)
+SELECT assembly AS root_key,
+       count(*) AS n_paths,
+       CAST(count(DISTINCT component) AS BIGINT) AS n_components,
+       CAST(SUM(ext_qty) AS BIGINT) AS total_qty,
+       CAST(max(depth) AS BIGINT) AS max_depth
+FROM bom WHERE assembly < 10
+GROUP BY assembly
+"""
+
+
+@query("warehouse_bom_rollup", oracle=_BOM_ORACLE)
+def q_warehouse_bom_rollup(spark, sf_dir):
+    """Multi-level bill-of-materials explosion: every (component → root
+    assembly) path of a deterministic part forest, with the EXTENDED
+    QUANTITY multiplied down the path (qty-per of each edge), rolled up
+    per root — total component demand for one unit of each top-level
+    assembly, the MRP planning query.  Spark has no recursive CTE, so
+    the closure is the bounded frontier expansion over the EDGE TABLE:
+    each level joins the shrinking frontier to the edges on the assembly
+    key (one key-shuffle join per level — at scale both sides bucket on
+    the part key and the join is exchange-free), 10 unrolled levels
+    covering part keys < 10^11.  Quantities multiply in BIGINT (qty-per
+    <= 3, depth <= 10 ⇒ exact, no float drift); the per-root report is
+    O(roots).  Oracle: genuine WITH RECURSIVE.
+    Reference basis: the hierarchy workloads of the warehouse family
+    (docs/architecture.md:113-118 consumer model), extending
+    graph_hierarchy_closure from reachability to quantity-weighted paths.
+    """
+    (pt,) = _t(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    edges = pt.filter(pk >= 10).select(
+        pk.alias("child"),
+        F.expr("p_partkey div 10").alias("parent"),
+        (pk % 3 + 1).cast("bigint").alias("qty"),
+    )
+    frontier = edges.select(
+        F.col("child").alias("component"),
+        F.col("parent").alias("assembly"),
+        F.col("qty").alias("ext_qty"),
+        F.lit(1).cast("bigint").alias("depth"),
+    )
+    levels = [frontier]
+    e = edges.select(
+        F.col("child").alias("e_child"),
+        F.col("parent").alias("e_parent"),
+        F.col("qty").alias("e_qty"),
+    )
+    for _ in range(9):
+        frontier = frontier.join(
+            e, frontier["assembly"] == e["e_child"]
+        ).select(
+            "component",
+            F.col("e_parent").alias("assembly"),
+            (F.col("ext_qty") * F.col("e_qty")).alias("ext_qty"),
+            (F.col("depth") + 1).alias("depth"),
+        )
+        levels.append(frontier)
+    bom = levels[0]
+    for lv in levels[1:]:
+        bom = bom.unionByName(lv)
+    return (
+        bom.filter(F.col("assembly") < 10)
+        .groupBy(F.col("assembly").alias("root_key"))
+        .agg(
+            F.count("*").alias("n_paths"),
+            F.countDistinct("component").cast("bigint").alias("n_components"),
+            F.sum("ext_qty").cast("bigint").alias("total_qty"),
+            F.max("depth").cast("bigint").alias("max_depth"),
+        )
+    )
+
+
+# MERGE with WINDOWED conflict resolution: the CDC source (lineitem) has
+# MANY rows per order key — a real MERGE rejects duplicate source keys, so
+# the standard discipline is a latest-wins window over the batch first
+# (Delta's "resolve by row_number" recipe), then the single-key merge.
+# The ORDER BY is a total order over every column the resolution reads
+# (the synthetic lineitem has duplicate (orderkey, linenumber) pairs), so
+# both engines pick the same winner.
+_MERGE_WIN_ORACLE = """
+WITH ranked AS (
+  SELECT l_orderkey, l_quantity, l_extendedprice,
+         row_number() OVER (
+           PARTITION BY l_orderkey
+           ORDER BY l_shipdate DESC, l_linenumber DESC, l_extendedprice DESC,
+                    l_quantity DESC, l_discount DESC
+         ) AS rn,
+         count(*) OVER (PARTITION BY l_orderkey) AS n_versions
+  FROM lineitem
+), resolved AS (
+  SELECT l_orderkey AS key,
+         CASE WHEN l_quantity > 45 THEN 'D' ELSE 'U' END AS op,
+         CAST(l_extendedprice AS DECIMAL(18,4)) AS new_price,
+         n_versions
+  FROM ranked WHERE rn = 1
+), base AS (
+  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,4)) AS price
+  FROM orders WHERE o_orderkey % 3 <> 0
+), merged AS (
+  SELECT CASE WHEN r.key IS NULL THEN 'kept'
+              WHEN b.o_orderkey IS NULL AND r.op = 'D' THEN 'no_op_delete'
+              WHEN b.o_orderkey IS NULL THEN 'inserted'
+              WHEN r.op = 'D' THEN 'deleted'
+              ELSE 'updated' END AS action,
+         CASE WHEN r.key IS NULL THEN b.price
+              WHEN r.op = 'D' THEN NULL
+              ELSE r.new_price END AS price,
+         r.n_versions
+  FROM base b FULL OUTER JOIN resolved r ON b.o_orderkey = r.key
+)
+SELECT action, count(*) AS key_cnt,
+       CAST(SUM(n_versions) AS BIGINT) AS src_rows,
+       CAST(SUM(price) AS DOUBLE) AS sum_price
+FROM merged GROUP BY action
+"""
+
+
+@query("warehouse_merge_resolve_conflicts", oracle=_MERGE_WIN_ORACLE)
+def q_warehouse_merge_resolve_conflicts(spark, sf_dir):
+    """MERGE INTO with windowed conflict resolution: the CDC batch
+    (lineitem — several rows per order key) first collapses to ONE row
+    per key by a latest-wins window (shipdate-desc with a TOTAL-order
+    tie-break, so both engines pick the same winner), then merges into
+    the base snapshot with one full-outer key join — the two-stage
+    discipline every Delta/Iceberg MERGE pipeline uses when sources can
+    carry conflicting updates (a raw MERGE would reject the duplicate
+    source keys).  The window partitions by the SAME key the merge join
+    shuffles on, so at scale the exchange is reused; src_rows in the
+    audit proves the resolution collapsed real conflicts (src_rows >>
+    key_cnt).  Deletes win by quantity rule; unmatched deletes are
+    explicit no-ops, as MERGE semantics demand."""
+    (od,) = _t(spark, sf_dir, "orders")
+    li = load_tables(spark, sf_dir)["lineitem"]
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.col("l_shipdate").desc(), F.col("l_linenumber").desc(),
+        F.col("l_extendedprice").desc(), F.col("l_quantity").desc(),
+        F.col("l_discount").desc(),
+    )
+    wk = Window.partitionBy("l_orderkey")
+    resolved = (
+        li.select(
+            "l_orderkey", "l_quantity", "l_extendedprice",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(wk).alias("n_versions"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("l_orderkey").alias("key"),
+            F.when(F.col("l_quantity") > 45, "D").otherwise("U").alias("op"),
+            F.col("l_extendedprice").cast("decimal(18,4)").alias("new_price"),
+            "n_versions",
+        )
+    )
+    base = od.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", F.col("o_totalprice").cast("decimal(18,4)").alias("price")
+    )
+    merged = base.join(resolved, base["o_orderkey"] == resolved["key"], "full_outer").select(
+        F.when(F.col("key").isNull(), "kept")
+        .when(F.col("o_orderkey").isNull() & (F.col("op") == "D"), "no_op_delete")
+        .when(F.col("o_orderkey").isNull(), "inserted")
+        .when(F.col("op") == "D", "deleted")
+        .otherwise("updated")
+        .alias("action"),
+        F.when(F.col("key").isNull(), F.col("price"))
+        .when(F.col("op") == "D", F.lit(None).cast("decimal(18,4)"))
+        .otherwise(F.col("new_price"))
+        .alias("out_price"),
+        "n_versions",
+    )
+    return merged.groupBy("action").agg(
+        F.count("*").alias("key_cnt"),
+        F.sum("n_versions").cast("bigint").alias("src_rows"),
+        F.sum("out_price").cast("double").alias("sum_price"),
+    )

@@ -150,6 +150,9 @@ SECTIONS = [
         "warehouse_incremental_agg", "warehouse_changelog_compact",
         "warehouse_partition_prune_stats",
     ]),
+    ("Warehouse depth III: BOM explosion + windowed MERGE (round 6)", [
+        "warehouse_bom_rollup", "warehouse_merge_resolve_conflicts",
+    ]),
     ("Time-series II + bigram LM (round 5)", [
         "ts_interp_linear", "ts_theil_sen", "text_bigram_logprob",
     ]),
