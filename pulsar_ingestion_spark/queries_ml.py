@@ -690,3 +690,278 @@ def q_ml_confusion_threshold(spark, sf_dir):
             / (2 * F.col("tp").cast("double") + F.col("fp") + F.col("fn"))
         ).alias("f1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup via cluster blocking (Abbas et al. 2023,
+# arXiv:2303.09540 — public method).  Cluster the corpus with k-means,
+# then remove, WITHIN each cluster only, every point that has a near-
+# duplicate (cosine >= tau) strictly closer to the centroid (tie on id)
+# — keeping the most-central representative of each semantic
+# neighborhood.  The cluster id is the blocking key: pairs never cross
+# clusters, and in production k grows with the corpus (k ≈ N / target
+# cluster size) so per-cluster population — and the per-block pair join
+# — stays bounded, the same discipline as the LSH-plane blocks of
+# dedup_embedding_blas.
+
+_SEMDEDUP_TAU = 0.4
+
+_SEM_DOT = """list_reduce(list_prepend(0.0, list_transform(range(1, len({a})+1),
+  i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), (x,y) -> x+y)"""
+
+
+def _semdedup_oracle() -> str:
+    d2 = _D2.format(a="e.embedding", b="c.cvec")
+    cos = f"""round({_SEM_DOT.format(a='a.vec', b='b.vec')}
+      / (sqrt({_SEM_DOT.format(a='a.vec', b='a.vec')})
+       * sqrt({_SEM_DOT.format(a='b.vec', b='b.vec')})), 6)"""
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {_K}
+), assigned AS (
+  SELECT vec_id, vec, cid, d2 FROM (
+    SELECT e.vec_id, e.embedding AS vec, c.cid, {d2} AS d2,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {d2}, c.cid) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+), removed AS (
+  SELECT DISTINCT a.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.cid = b.cid AND a.vec_id <> b.vec_id
+   AND (b.d2 < a.d2 OR (b.d2 = a.d2 AND b.vec_id < a.vec_id))
+  WHERE {cos} >= {_SEMDEDUP_TAU}
+)
+SELECT a.cid AS cluster_id,
+       count(*) AS n_members,
+       count(r.vec_id) AS n_removed,
+       count(*) - count(r.vec_id) AS n_kept
+FROM assigned a LEFT JOIN removed r ON r.vec_id = a.vec_id
+GROUP BY a.cid
+"""
+
+
+@query("dedup_semantic_cluster", oracle=_semdedup_oracle())
+def q_dedup_semantic_cluster(spark, sf_dir):
+    """SemDeDup over the embedding corpus: one k-means assignment pass
+    (broadcast argmin against the k seeded centroids — the
+    emb_kmeans_lloyd machinery), then a WITHIN-CLUSTER near-dup pair
+    join (cosine >= tau, rounded identically on both engines) where a
+    point is removed iff some neighbor is strictly closer to the
+    centroid (tie on id) — so each semantic neighborhood keeps exactly
+    its most-central member and survivorship is deterministic, no
+    iteration.  The pair join shuffles ON the cluster id (the blocking
+    key): at 100 TB, k scales with the corpus so block population stays
+    bounded and the join never degenerates to all-pairs; oversized
+    clusters would switch to the per-block GEMM of dedup_embedding_blas.
+    Output is the per-cluster dedup scorecard."""
+    emb = fan_out(load_tables(spark, sf_dir)["embeddings"], spark)
+    cents = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")))
+        .limit(_K)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "embedding", "cid",
+        _spark_d2(F.col("embedding"), F.col("cvec")).alias("d2"),
+    )
+    assigned = (
+        scored.groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cid", "embedding")).alias("b"))
+        .select(
+            "vec_id",
+            F.col("b.cid").alias("cid"),
+            F.col("b.d2").alias("d2"),
+            F.col("b.embedding").alias("vec"),
+        )
+    )
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+            F.lit(0.0), lambda acc, v: acc + v,
+        )
+
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    cos = F.round(
+        dot(F.col("a.vec"), F.col("b.vec"))
+        / (F.sqrt(dot(F.col("a.vec"), F.col("a.vec")))
+           * F.sqrt(dot(F.col("b.vec"), F.col("b.vec")))),
+        6,
+    )
+    removed = (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.vec_id") != F.col("b.vec_id"))
+            & (
+                (F.col("b.d2") < F.col("a.d2"))
+                | ((F.col("b.d2") == F.col("a.d2"))
+                   & (F.col("b.vec_id") < F.col("a.vec_id")))
+            ),
+        )
+        .filter(cos >= _SEMDEDUP_TAU)
+        .select(F.col("a.vec_id").alias("rm_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(removed, assigned["vec_id"] == removed["rm_id"], "left")
+        .groupBy(F.col("cid").alias("cluster_id"))
+        .agg(
+            F.count("*").alias("n_members"),
+            F.count("rm_id").alias("n_removed"),
+            (F.count("*") - F.count("rm_id")).alias("n_kept"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PQ asymmetric-distance search (ADC): the query side of the IVF-PQ ANN
+# stack (Jégou et al. 2011, "Product Quantization for Nearest Neighbor
+# Search" — public method).  The corpus is stored as 4-byte PQ codes
+# (emb_pq_encode); a query never decodes them — it builds a tiny
+# per-subspace lookup table of d2(query-slice, codeword-slice) and the
+# approximate distance of ANY stored vector is 4 table lookups + 3 adds.
+
+_ADC_K = 5
+_ADC_NQUERIES = 5  # query vectors: vec_id < 5 (sim_search_knn convention)
+
+
+def _adc_oracle() -> str:
+    d2s = """list_reduce(list_prepend(0.0, list_transform(range(1, {sd} + 1),
+      i -> (CAST({a}[{off} + i] AS DOUBLE) - CAST({b}[{off} + i] AS DOUBLE))
+         * (CAST({a}[{off} + i] AS DOUBLE) - CAST({b}[{off} + i] AS DOUBLE)))), (x,y) -> x+y)"""
+    subcodes = []
+    luts = []
+    for j in range(_SUBSPACES):
+        off = j * _SUBDIM
+        d2 = d2s.format(a="e.embedding", b="c.cvec", off=off, sd=_SUBDIM)
+        subcodes.append(
+            f"""sub{j} AS (
+  SELECT vec_id, cid AS code{j} FROM (
+    SELECT e.vec_id, c.cid, {d2} AS d2,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {d2}, c.cid) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+)"""
+        )
+        qd2 = d2s.format(a="q.qvec", b="c.cvec", off=off, sd=_SUBDIM)
+        luts.append(
+            f"""lut{j} AS (
+  SELECT q.qid, c.cid, {qd2} AS ld{j} FROM queries q CROSS JOIN cents c
+)"""
+        )
+    code_joins = " ".join(f"JOIN sub{j} USING (vec_id)" for j in range(1, _SUBSPACES))
+    lut_joins = " ".join(
+        f"JOIN lut{j} l{j} ON l{j}.qid = q.qid AND l{j}.cid = s.code{j}"
+        for j in range(_SUBSPACES)
+    )
+    adc = " + ".join(f"l{j}.ld{j}" for j in range(_SUBSPACES))
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {_K}
+), queries AS (
+  SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+  WHERE vec_id < {_ADC_NQUERIES}
+), {", ".join(subcodes)},
+codes AS (
+  SELECT vec_id, code0{"".join(f", code{j}" for j in range(1, _SUBSPACES))}
+  FROM sub0 {code_joins}
+), {", ".join(luts)},
+scored AS (
+  SELECT q.qid, s.vec_id, {adc} AS adc
+  FROM codes s CROSS JOIN queries q
+  {lut_joins}
+  WHERE s.vec_id <> q.qid
+)
+SELECT qid AS query_id, vec_id AS cand_id, round(adc, 6) AS adc_dist, rank
+FROM (
+  SELECT qid, vec_id, adc,
+         row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rank
+  FROM scored
+) WHERE rank <= {_ADC_K}
+"""
+
+
+@query("sim_search_pq_adc", oracle=_adc_oracle())
+def q_sim_search_pq_adc(spark, sf_dir):
+    """ADC top-k over PQ codes: encode the corpus once (the
+    emb_pq_encode plan — one broadcast argmin per subspace, codes are 4
+    small ints per vector), build each query's per-subspace lookup
+    table (queries × codebook = model-sized, broadcast), and score
+    every (query, vector) pair as ld0+ld1+ld2+ld3 — four broadcast-hash
+    lookups and three adds per candidate, never touching the original
+    floats.  Top-k per query is a PARTITIONED window over the
+    query-id.  This is exactly the scan an IVF-PQ index runs inside
+    each probed cell at 100 TB: compute stays linear in candidates with
+    a ~64x smaller memory footprint than exact rescoring, and the fold
+    order of the ADC sum matches the oracle term-for-term so ranks are
+    bit-stable across engines."""
+    from pyspark.sql import Window
+
+    emb = fan_out(load_tables(spark, sf_dir)["embeddings"], spark)
+    cents = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")))
+        .limit(_K)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    )
+    scored = emb.crossJoin(F.broadcast(cents))
+    aggs = []
+    for j in range(_SUBSPACES):
+        off = j * _SUBDIM
+        scored = scored.withColumn(
+            f"d2_{j}",
+            _spark_d2(
+                F.slice("embedding", off + 1, _SUBDIM),
+                F.slice("cvec", off + 1, _SUBDIM),
+            ),
+        )
+        aggs.append(F.min(F.struct(F.col(f"d2_{j}"), F.col("cid"))).alias(f"b{j}"))
+    codes = (
+        scored.groupBy("vec_id")
+        .agg(*aggs)
+        .select(
+            "vec_id",
+            *[F.col(f"b{j}.cid").alias(f"code{j}") for j in range(_SUBSPACES)],
+        )
+    )
+    queries = emb.filter(F.col("vec_id") < _ADC_NQUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    r = codes.crossJoin(F.broadcast(queries.select("qid")))
+    luts = []
+    for j in range(_SUBSPACES):
+        off = j * _SUBDIM
+        luts.append(
+            queries.crossJoin(F.broadcast(cents)).select(
+                F.col("qid").alias(f"l{j}_qid"),
+                F.col("cid").alias(f"l{j}_cid"),
+                _spark_d2(
+                    F.slice("qvec", off + 1, _SUBDIM),
+                    F.slice("cvec", off + 1, _SUBDIM),
+                ).alias(f"ld{j}"),
+            )
+        )
+        r = r.join(
+            F.broadcast(luts[j]),
+            (F.col("qid") == F.col(f"l{j}_qid"))
+            & (F.col(f"code{j}") == F.col(f"l{j}_cid")),
+        )
+    adc = F.col("ld0")
+    for j in range(1, _SUBSPACES):
+        adc = adc + F.col(f"ld{j}")
+    w = Window.partitionBy("qid").orderBy("adc", "vec_id")
+    return (
+        r.filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", adc.alias("adc"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _ADC_K)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("vec_id").alias("cand_id"),
+            F.round("adc", 6).alias("adc_dist"),
+            "rank",
+        )
+    )

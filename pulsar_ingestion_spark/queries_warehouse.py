@@ -843,3 +843,81 @@ def q_warehouse_merge_resolve_conflicts(spark, sf_dir):
         F.sum("n_versions").cast("bigint").alias("src_rows"),
         F.sum("out_price").cast("double").alias("sum_price"),
     )
+
+
+# OPTIMIZE-style compaction planning: "files" = per-(ship-month, day)
+# lineitem slices with row-count as the size proxy.  Files are binned in
+# day order by their exclusive cumulative size div the target — exactly
+# how Delta's OPTIMIZE groups ordered small files into rewrite jobs (a
+# file joins the bin its starting offset falls in, so bins can overrun
+# the target by at most one file — the classic bound).
+_COMPACT_TARGET = 1000
+
+_COMPACT_ORACLE = f"""
+WITH files AS (
+  SELECT date_trunc('month', CAST(l_shipdate AS DATE)) AS month,
+         CAST(l_shipdate AS DATE) AS file_day,
+         count(*) AS size_rows
+  FROM lineitem GROUP BY 1, 2
+), planned AS (
+  SELECT month, file_day, size_rows,
+         COALESCE(SUM(size_rows) OVER (
+           PARTITION BY month ORDER BY file_day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM files
+)
+SELECT month,
+       CAST(cum_before // {_COMPACT_TARGET} AS BIGINT) AS merge_group,
+       count(*) AS n_files,
+       CAST(SUM(size_rows) AS BIGINT) AS total_rows,
+       min(file_day) AS first_day, max(file_day) AS last_day,
+       (count(*) = 1 AND CAST(SUM(size_rows) AS BIGINT) >= {_COMPACT_TARGET})
+         AS already_compact
+FROM planned
+GROUP BY month, CAST(cum_before // {_COMPACT_TARGET} AS BIGINT)
+"""
+
+
+@query("layout_compaction_plan", oracle=_COMPACT_ORACLE)
+def q_layout_compaction_plan(spark, sf_dir):
+    """Small-file compaction planning (the OPTIMIZE bin-packer): per
+    month partition, day-ordered file slices are assigned to merge
+    groups by exclusive-cumulative-size div target — each group is one
+    rewrite job whose inputs are contiguous in the sort order, groups
+    overrun the target by at most one file, and single-file groups
+    already at target size are flagged to skip rewriting.  One
+    aggregate builds the file-stats table (O(partitions) rows), one
+    PARTITIONED window computes the running offsets, one aggregate
+    emits the plan — the whole planner is metadata-scale, never
+    data-scale, exactly like Delta/Iceberg maintenance planning."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    files = li.groupBy(
+        F.date_trunc("month", F.col("l_shipdate").cast("date")).alias("month"),
+        F.col("l_shipdate").cast("date").alias("file_day"),
+    ).agg(F.count("*").alias("size_rows"))
+    w = (
+        Window.partitionBy("month")
+        .orderBy("file_day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    planned = files.withColumn(
+        "cum_before", F.coalesce(F.sum("size_rows").over(w), F.lit(0))
+    )
+    grp = F.expr(f"cum_before div {_COMPACT_TARGET}").cast("bigint")
+    return (
+        planned.groupBy("month", grp.alias("merge_group"))
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum("size_rows").cast("bigint").alias("total_rows"),
+            F.min("file_day").alias("first_day"),
+            F.max("file_day").alias("last_day"),
+        )
+        .select(
+            "month", "merge_group", "n_files", "total_rows",
+            "first_day", "last_day",
+            (
+                (F.col("n_files") == 1)
+                & (F.col("total_rows") >= _COMPACT_TARGET)
+            ).alias("already_compact"),
+        )
+    )

@@ -152,6 +152,10 @@ SECTIONS = [
     ]),
     ("Warehouse depth III: BOM explosion + windowed MERGE (round 6)", [
         "warehouse_bom_rollup", "warehouse_merge_resolve_conflicts",
+        "layout_compaction_plan",
+    ]),
+    ("Semantic dedup + PQ search (round 6)", [
+        "dedup_semantic_cluster", "sim_search_pq_adc",
     ]),
     ("Time-series II + bigram LM (round 5)", [
         "ts_interp_linear", "ts_theil_sen", "text_bigram_logprob",
