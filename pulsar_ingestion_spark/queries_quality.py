@@ -284,3 +284,133 @@ def q_privacy_k_anonymity(spark, sf_dir):
         F.sum("group_size").cast("bigint").alias("n_rows"),
         F.max(F.col("group_size") < 5).alias("violates_k5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 6: 1-D Wasserstein drift + l-diversity — completing the drift and
+# privacy families.
+
+_W1_ORACLE = f"""
+WITH tagged AS (
+  SELECT event_type, value,
+         CASE WHEN ts < TIMESTAMP '{_SPLIT}' THEN 1 ELSE 0 END AS is_a
+  FROM events
+), pervalue AS (
+  SELECT event_type, value,
+         SUM(is_a) AS ca, SUM(1 - is_a) AS cb
+  FROM tagged GROUP BY event_type, value
+), cum AS (
+  SELECT event_type, value,
+         SUM(ca) OVER w AS cum_a, SUM(cb) OVER w AS cum_b,
+         SUM(ca) OVER wt AS na, SUM(cb) OVER wt AS nb,
+         lead(value) OVER (PARTITION BY event_type ORDER BY value) AS next_value
+  FROM pervalue
+  WINDOW w AS (PARTITION BY event_type ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wt AS (PARTITION BY event_type)
+), terms AS (
+  SELECT event_type, na, nb,
+         round(abs(CAST(cum_a AS DOUBLE) / na - CAST(cum_b AS DOUBLE) / nb)
+               * (next_value - value), 6) AS term
+  FROM cum WHERE next_value IS NOT NULL
+)
+SELECT event_type, CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+       CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DOUBLE) AS w1
+FROM terms GROUP BY event_type
+"""
+
+
+@query("drift_wasserstein", oracle=_W1_ORACLE)
+def q_drift_wasserstein(spark, sf_dir):
+    """Exact 1-D Wasserstein-1 (earth-mover) distance per event type
+    between the two half-month windows: W1 = ∫|F̂_a − F̂_b| dv, evaluated
+    as the CDF-gap × support-gap sum over consecutive distinct values —
+    the drift metric that, unlike KS's max, weighs HOW FAR mass moved
+    (a tail shift and a median shift of equal CDF gap score very
+    differently).  Shares drift_ks's exact machinery: one (type, value)
+    collapse bounds the shuffle by distinct support, cumulative windows
+    are partitioned by type, and per-term rounding + DECIMAL summation
+    makes the fold order-independent across engines.  At scale,
+    quantize the support (cents) to bound the distinct-value relation."""
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    tagged = ev.select(
+        "event_type", "value",
+        F.when(F.col("ts") < F.lit(_SPLIT), 1).otherwise(0).alias("is_a"),
+    )
+    pervalue = tagged.groupBy("event_type", "value").agg(
+        F.sum("is_a").alias("ca"), F.sum(1 - F.col("is_a")).alias("cb")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wl = Window.partitionBy("event_type").orderBy("value")
+    wt = Window.partitionBy("event_type")
+    cum = pervalue.select(
+        "event_type", "value",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+        F.sum("ca").over(wt).alias("na"),
+        F.sum("cb").over(wt).alias("nb"),
+        F.lead("value").over(wl).alias("next_value"),
+    )
+    term = F.round(
+        F.abs(
+            F.col("cum_a").cast("double") / F.col("na")
+            - F.col("cum_b").cast("double") / F.col("nb")
+        )
+        * (F.col("next_value") - F.col("value")),
+        6,
+    )
+    return (
+        cum.filter(F.col("next_value").isNotNull())
+        .select("event_type", "na", "nb", term.alias("term"))
+        .groupBy("event_type")
+        .agg(
+            F.max("na").cast("bigint").alias("n_a"),
+            F.max("nb").cast("bigint").alias("n_b"),
+            F.sum(F.col("term").cast("decimal(18,6)")).cast("double").alias("w1"),
+        )
+    )
+
+
+_LDIV_ORACLE = """
+WITH qi AS (
+  SELECT c_nationkey,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+         count(*) AS group_size,
+         count(DISTINCT c_mktsegment) AS l_value
+  FROM customer GROUP BY 1, 2
+)
+SELECT l_value,
+       count(*) AS n_groups,
+       CAST(SUM(group_size) AS BIGINT) AS n_rows,
+       (l_value < 3) AS violates_l3
+FROM qi GROUP BY l_value
+"""
+
+
+@query("privacy_l_diversity", oracle=_LDIV_ORACLE)
+def q_privacy_l_diversity(spark, sf_dir):
+    """l-diversity audit: k-anonymity's necessary complement — an
+    equivalence class under the quasi-identifier (nation, $1000 balance
+    bucket) can be large yet still leak the SENSITIVE attribute (market
+    segment) if every member shares it.  Per class, l = distinct
+    sensitive values; classes with l < 3 are homogeneity-attack targets
+    even when k is satisfied.  Same two-aggregation shape as
+    privacy_k_anonymity: one QI shuffle with a distinct-count, then a
+    histogram over the class-sized relation."""
+    cu = load_tables(spark, sf_dir)["customer"]
+    qi = cu.groupBy(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_bucket"),
+    ).agg(
+        F.count("*").alias("group_size"),
+        F.countDistinct("c_mktsegment").alias("l_value"),
+    )
+    return qi.groupBy("l_value").agg(
+        F.count("*").alias("n_groups"),
+        F.sum("group_size").cast("bigint").alias("n_rows"),
+        (F.col("l_value") < 3).alias("violates_l3"),
+    )

@@ -157,6 +157,9 @@ SECTIONS = [
     ("Semantic dedup + PQ search (round 6)", [
         "dedup_semantic_cluster", "sim_search_pq_adc",
     ]),
+    ("Drift & privacy II (round 6)", [
+        "drift_wasserstein", "privacy_l_diversity",
+    ]),
     ("Time-series II + bigram LM (round 5)", [
         "ts_interp_linear", "ts_theil_sen", "text_bigram_logprob",
     ]),

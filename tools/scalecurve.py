@@ -42,8 +42,12 @@ QUERIES = [
     "text_bigram_logprob",
     "graph_triangle_count",
     "drift_ks",
-    # round 6: the audience-overlap self-join (VERDICT r5 item 7)
+    # round 6: the audience-overlap self-join (VERDICT r5 item 7), the
+    # range-partitioned global rank (fixed from an unpartitioned window),
+    # and the cluster-blocked semantic dedup
     "events_user_overlap_jaccard",
+    "ml_auc_roc",
+    "dedup_semantic_cluster",
 ]
 
 # NOT measured here: dedup_jaccard_prefix_filter.  Its candidate volume
