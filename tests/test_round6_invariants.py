@@ -106,3 +106,107 @@ def test_merge_resolve_winner_is_deterministic(spark):
     a = sorted(map(tuple, q_warehouse_merge_resolve_conflicts(spark, SF).collect()))
     b = sorted(map(tuple, q_warehouse_merge_resolve_conflicts(spark, SF).collect()))
     assert a == b
+
+
+def test_compaction_plan_ties_out(spark):
+    """Merge groups partition the file set: per month, group ids are
+    contiguous from 0, every file lands in exactly one group, and the
+    planned row totals equal the table's row count."""
+    from pulsar_ingestion_spark.queries_warehouse import (
+        _COMPACT_TARGET,
+        q_layout_compaction_plan,
+    )
+    from pulsar_ingestion_spark.session import load_tables
+
+    rows = q_layout_compaction_plan(spark, SF).collect()
+    total = load_tables(spark, SF)["lineitem"].count()
+    assert sum(r["total_rows"] for r in rows) == total
+    by_month: dict = {}
+    for r in rows:
+        by_month.setdefault(r["month"], []).append(r)
+    for month, groups in by_month.items():
+        ids = sorted(g["merge_group"] for g in groups)
+        assert ids == list(range(len(ids))), month  # contiguous from 0
+        for g in groups:
+            # a group overruns the target by at most its LAST file: its
+            # starting offset is < (group+1)*target by construction
+            assert g["n_files"] >= 1
+            if g["already_compact"]:
+                assert g["n_files"] == 1 and g["total_rows"] >= _COMPACT_TARGET
+
+
+def test_semdedup_survivorship_is_most_central(spark):
+    """Every cluster keeps >= 1 member, and n_kept + n_removed tiles the
+    membership; the most-central member of each cluster is NEVER removed
+    (nothing can beat it on the (d2, id) order)."""
+    from pulsar_ingestion_spark.queries_ml import q_dedup_semantic_cluster
+    from pulsar_ingestion_spark.session import load_tables
+
+    rows = q_dedup_semantic_cluster(spark, SF).collect()
+    emb_n = load_tables(spark, SF)["embeddings"].count()
+    assert sum(r["n_members"] for r in rows) == emb_n
+    for r in rows:
+        assert r["n_kept"] + r["n_removed"] == r["n_members"]
+        assert r["n_kept"] >= 1  # the centroid-closest member survives
+
+
+def test_pq_adc_ranks_are_wellformed_and_recall_positive(spark):
+    """Per query: ranks are exactly 1..k with non-decreasing ADC
+    distance; and ADC top-k overlaps exact-L2 top-k for at least one
+    query (the quantizer is lossy but not random)."""
+    import pyspark.sql.functions as F
+
+    from pulsar_ingestion_spark.queries_ml import _ADC_K, q_sim_search_pq_adc
+    from pulsar_ingestion_spark.session import load_tables
+
+    out = q_sim_search_pq_adc(spark, SF).collect()
+    by_q: dict = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert len(by_q) == 5
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, _ADC_K + 1)), qid
+        dists = [r["adc_dist"] for r in rs]
+        assert dists == sorted(dists), qid
+        assert all(d >= 0 for d in dists), qid
+
+    # exact-L2 top-k per query for overlap
+    emb = {r["vec_id"]: r["embedding"]
+           for r in load_tables(spark, SF)["embeddings"].collect()}
+    overlaps = []
+    for qid, rs in by_q.items():
+        qv = emb[qid]
+        d2 = sorted(
+            (sum((a - b) ** 2 for a, b in zip(qv, v)), vid)
+            for vid, v in emb.items() if vid != qid
+        )
+        exact = {vid for _, vid in d2[:_ADC_K]}
+        overlaps.append(len(exact & {r["cand_id"] for r in rs}))
+    assert max(overlaps) >= 1, overlaps
+
+
+def test_wasserstein_vs_numpy_bruteforce(spark):
+    """W1 per event type equals the numpy CDF-integral on collected
+    values (up to the documented per-term rounding)."""
+    import numpy as np
+
+    from pulsar_ingestion_spark.queries_quality import _SPLIT, q_drift_wasserstein
+    from pulsar_ingestion_spark.session import load_tables
+
+    got = {r["event_type"]: r for r in q_drift_wasserstein(spark, SF).collect()}
+    ev = load_tables(spark, SF)["events"].select("event_type", "value", "ts").collect()
+    import datetime as dt
+
+    split = dt.datetime.fromisoformat(_SPLIT)
+    by_type: dict = {}
+    for r in ev:
+        by_type.setdefault(r["event_type"], ([], []))[
+            0 if r["ts"] < split else 1
+        ].append(r["value"])
+    for t, (a, b) in by_type.items():
+        support = np.array(sorted(set(a) | set(b)))
+        fa = np.searchsorted(np.sort(a), support, side="right") / len(a)
+        fb = np.searchsorted(np.sort(b), support, side="right") / len(b)
+        w1 = float(np.sum(np.abs(fa - fb)[:-1] * np.diff(support)))
+        assert abs(got[t]["w1"] - w1) < 1e-3, (t, got[t]["w1"], w1)
