@@ -82,9 +82,12 @@ HEADLINE = [
     "sketch_kmv_intersect",
     "warehouse_changelog_compact",
     "text_bigram_logprob",
-    # round 6: BOM closure + windowed-MERGE conflict resolution
+    # round 6: BOM closure + windowed-MERGE conflict resolution, semantic
+    # dedup, PQ ADC search
     "warehouse_bom_rollup",
     "warehouse_merge_resolve_conflicts",
+    "dedup_semantic_cluster",
+    "sim_search_pq_adc",
 ]
 
 
