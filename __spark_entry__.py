@@ -202,7 +202,7 @@ _ROUND6_PREFIX = [
     # round-6 additions (selfchecked green at 3 SFs; VERDICT r5 item 6)
     "warehouse_bom_rollup", "warehouse_merge_resolve_conflicts",
     "layout_compaction_plan", "dedup_semantic_cluster", "sim_search_pq_adc",
-    "drift_wasserstein", "privacy_l_diversity",
+    "drift_wasserstein", "privacy_l_diversity", "text_dedup_cascade",
 ]
 
 

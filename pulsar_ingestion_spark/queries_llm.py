@@ -1880,3 +1880,164 @@ def q_dedup_jaccard_prefix_filter(spark, sf_dir):
             (F.col("cza") * F.col("czb")).cast("bigint").alias("pair_weight"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 6: the production dedup CASCADE — exact first (cheap, exact),
+# then MinHash-banded near-dup over the exact survivors — reported as a
+# per-source funnel.  This is the stage ordering every corpus pipeline
+# runs (exact dedup shrinks the candidate space before the LSH pass);
+# survivorship at both stages is min-doc-id, so the whole funnel is
+# deterministic and oracle-hash-checkable.
+
+_CASCADE_ORACLE = r"""
+WITH ex AS (
+  SELECT doc_id, source, text, md5(text) AS h FROM documents
+), keep AS (
+  SELECT h, min(doc_id) AS keep_id FROM ex GROUP BY h
+), s1 AS (
+  SELECT e.doc_id, e.source, e.text
+  FROM ex e JOIN keep k ON k.h = e.h AND k.keep_id = e.doc_id
+), raw AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS rw
+  FROM s1
+), wd AS (
+  SELECT doc_id,
+         CASE WHEN len(rw) >= 3 THEN
+           list_distinct(list_transform(range(1, len(rw) - 2 + 1),
+             i -> concat(rw[i], ' ', rw[i+1], ' ', rw[i+2])))
+         ELSE [array_to_string(rw, ' ')] END AS w
+  FROM raw
+), sigs AS (
+  SELECT doc_id, w,
+         {sigcols}
+  FROM wd
+), bands AS (
+  {bandrows}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+), removed AS (
+  SELECT DISTINCT c.id_b AS doc_id
+  FROM cand c JOIN wd x ON x.doc_id = c.id_a JOIN wd y ON y.doc_id = c.id_b
+  WHERE round(len(list_intersect(x.w, y.w))
+        / (len(x.w) + len(y.w) - len(list_intersect(x.w, y.w))), 6) >= 0.35
+), a1 AS (
+  SELECT source, count(*) AS c FROM documents GROUP BY source
+), a2 AS (
+  SELECT source, count(*) AS c FROM s1 GROUP BY source
+), a3 AS (
+  SELECT s1.source, count(*) AS c
+  FROM s1 LEFT JOIN removed r ON r.doc_id = s1.doc_id
+  WHERE r.doc_id IS NULL GROUP BY s1.source
+)
+SELECT a1.source,
+       CAST(a1.c AS BIGINT) AS n_docs,
+       CAST(a1.c - a2.c AS BIGINT) AS exact_removed,
+       CAST(a2.c - COALESCE(a3.c, 0) AS BIGINT) AS near_removed,
+       CAST(COALESCE(a3.c, 0) AS BIGINT) AS n_final
+FROM a1 JOIN a2 ON a2.source = a1.source
+LEFT JOIN a3 ON a3.source = a1.source
+""".format(
+    sigcols=",\n         ".join(
+        f"list_aggregate(list_transform(w, x -> md5(concat('{s}:', x))), 'min') AS sig_{i}"
+        for i, s in enumerate(_MINHASH_SEEDS)
+    ),
+    bandrows="\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, concat(sig_{2 * b}, sig_{2 * b + 1}) AS bval FROM sigs"
+        for b in range(4)
+    ),
+)
+
+
+@query("text_dedup_cascade", oracle=_CASCADE_ORACLE)
+def q_text_dedup_cascade(spark, sf_dir):
+    """Two-stage dedup cascade, per-source funnel report: (1) exact —
+    md5(text) groups keep their min doc_id (one 16-byte-digest shuffle,
+    removes the bulk for free); (2) near — the portable MinHash-banded
+    LSH of dedup_minhash_banded runs over the EXACT SURVIVORS ONLY
+    (8 md5 minhashes over 3-gram shingles → 4 bands → candidate pairs →
+    exact shingle-Jaccard ≥ 0.35 verify), and a doc is removed iff some
+    verified partner has a smaller id.  Stage ordering is the point at
+    100 TB: the cheap exact pass shrinks the LSH candidate space before
+    any signature is computed, and both stages' survivorship is
+    min-id-deterministic so the funnel (n_docs → exact_removed →
+    near_removed → n_final) hash-matches the oracle."""
+    from pulsar_ingestion_spark.functions.text import shingles
+
+    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    ex = docs.select("doc_id", "source", "text", F.md5("text").alias("h"))
+    keep = ex.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    s1 = (
+        ex.join(keep, (ex["h"] == keep["h"]) & (ex["doc_id"] == keep["keep_id"]))
+        .select("doc_id", "source", "text")
+        .persist()
+    )
+    w = shingles(F.col("text"), n=3)
+
+    def _hasher(seed: str):
+        return lambda x: F.md5(F.concat(F.lit(f"{seed}:"), x))
+
+    sigs = s1.select(
+        "doc_id",
+        w.alias("w"),
+        *[
+            F.array_min(F.transform(w, _hasher(s))).alias(f"sig_{i}")
+            for i, s in enumerate(_MINHASH_SEEDS)
+        ],
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[
+                F.concat(F.col(f"sig_{2 * b}"), F.col(f"sig_{2 * b + 1}"))
+                for b in range(4)
+            ])
+        ).alias("band", "bval"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    shg = sigs.select("doc_id", "w")
+    x = shg.select(F.col("doc_id").alias("x_id"), F.col("w").alias("xw"))
+    y = shg.select(F.col("doc_id").alias("y_id"), F.col("w").alias("yw"))
+    inter = F.size(F.array_intersect("xw", "yw"))
+    jac = F.round(
+        inter / (F.size("xw") + F.size("yw") - inter), 6
+    )
+    removed = (
+        cand.join(x, F.col("id_a") == F.col("x_id"))
+        .join(y, F.col("id_b") == F.col("y_id"))
+        .filter(jac >= 0.35)
+        .select(F.col("id_b").alias("rm_id"))
+        .distinct()
+    )
+    a1 = docs.groupBy("source").agg(F.count("*").alias("c1"))
+    a2 = s1.groupBy("source").agg(F.count("*").alias("c2"))
+    a3 = (
+        s1.join(removed, s1["doc_id"] == removed["rm_id"], "left_anti")
+        .groupBy("source")
+        .agg(F.count("*").alias("c3"))
+    )
+    return (
+        a1.join(a2, "source")
+        .join(a3, "source", "left")
+        .select(
+            "source",
+            F.col("c1").cast("bigint").alias("n_docs"),
+            (F.col("c1") - F.col("c2")).cast("bigint").alias("exact_removed"),
+            (F.col("c2") - F.coalesce(F.col("c3"), F.lit(0)))
+            .cast("bigint").alias("near_removed"),
+            F.coalesce(F.col("c3"), F.lit(0)).cast("bigint").alias("n_final"),
+        )
+    )

@@ -210,3 +210,24 @@ def test_wasserstein_vs_numpy_bruteforce(spark):
         fb = np.searchsorted(np.sort(b), support, side="right") / len(b)
         w1 = float(np.sum(np.abs(fa - fb)[:-1] * np.diff(support)))
         assert abs(got[t]["w1"] - w1) < 1e-3, (t, got[t]["w1"], w1)
+
+
+def test_dedup_cascade_funnel_ties_out(spark):
+    """The funnel telescopes (n_docs = exact_removed + near_removed +
+    n_final), and the exact stage equals an independent per-source
+    distinct-md5 count."""
+    from pulsar_ingestion_spark.queries_llm import q_text_dedup_cascade
+    from pulsar_ingestion_spark.session import load_tables
+
+    rows = {r["source"]: r for r in q_text_dedup_cascade(spark, SF).collect()}
+    docs = load_tables(spark, SF)["documents"]
+    distinct_exact = {
+        r["source"]: r["d"]
+        for r in docs.groupBy("source")
+        .agg(F.countDistinct(F.md5("text")).alias("d"))
+        .collect()
+    }
+    for src, r in rows.items():
+        assert r["exact_removed"] + r["near_removed"] + r["n_final"] == r["n_docs"], src
+        assert r["n_docs"] - r["exact_removed"] == distinct_exact[src], src
+        assert r["n_final"] >= 1, src

@@ -160,6 +160,9 @@ SECTIONS = [
     ("Drift & privacy II (round 6)", [
         "drift_wasserstein", "privacy_l_diversity",
     ]),
+    ("Dedup cascade (round 6)", [
+        "text_dedup_cascade",
+    ]),
     ("Time-series II + bigram LM (round 5)", [
         "ts_interp_linear", "ts_theil_sen", "text_bigram_logprob",
     ]),
