@@ -60,33 +60,57 @@ def psi(ref: dict[int, int], obs: dict[int, int]) -> float:
     return total
 
 
+def wasserstein1(ref: dict[int, int], obs: dict[int, int], bin_width: float) -> float:
+    """Binned 1-D Wasserstein-1 between two bin-count dicts: Σ over bin
+    edges of |F_ref − F_obs| · bin_width — the batch-side
+    drift_wasserstein metric at histogram resolution.  Unlike PSI, W1
+    weighs HOW FAR mass moved, so a tail excursion and a neighboring-bin
+    wobble of equal probability score very differently.  No smoothing
+    needed (CDF differences are well-defined on empty bins)."""
+    n_ref = sum(ref.values()) or 1
+    n_obs = sum(obs.values()) or 1
+    total, cum_r, cum_o = 0.0, 0, 0
+    for b in range(_BINS - 1):  # last edge: both CDFs are 1, gap 0
+        cum_r += ref.get(b, 0)
+        cum_o += obs.get(b, 0)
+        total += abs(cum_r / n_ref - cum_o / n_obs) * bin_width
+    return total
+
+
 def drift_monitor(
     ref: dict[int, int],
     value_col: str,
     bin_width: float,
     alert_log: str,
     threshold: float = 0.25,
+    metric: str = "psi",
+    w1_threshold: float | None = None,
 ):
-    """foreachBatch target: score each micro-batch's PSI vs ``ref`` and
-    append a JSONL verdict per batch to ``alert_log``."""
+    """foreachBatch target: score each micro-batch vs ``ref`` and append
+    a JSONL verdict per batch to ``alert_log``.  ``metric`` selects
+    "psi" (default), "w1", or "both" — both scores come from the SAME
+    per-batch O(bins) histogram, so adding the second metric costs
+    nothing at data scale."""
+    if metric not in ("psi", "w1", "both"):
+        raise ValueError(f"unknown drift metric {metric!r}")
 
     def check(batch_df: DataFrame, batch_id: int) -> None:
         obs = histogram(batch_df, value_col, bin_width)
         if not obs:
             return
-        score = psi(ref, obs)
+        rec: dict = {"batch_id": int(batch_id), "n": sum(obs.values())}
+        alert = False
+        if metric in ("psi", "both"):
+            score = psi(ref, obs)
+            rec["psi"] = round(score, 6)
+            alert = alert or score > threshold
+        if metric in ("w1", "both"):
+            w1 = wasserstein1(ref, obs, bin_width)
+            rec["w1"] = round(w1, 6)
+            alert = alert or (w1_threshold is not None and w1 > w1_threshold)
+        rec["alert"] = alert
         with open(alert_log, "a") as fh:
-            fh.write(
-                json.dumps(
-                    {
-                        "batch_id": int(batch_id),
-                        "n": sum(obs.values()),
-                        "psi": round(score, 6),
-                        "alert": score > threshold,
-                    }
-                )
-                + "\n"
-            )
+            fh.write(json.dumps(rec) + "\n")
 
     return check
 

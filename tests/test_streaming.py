@@ -506,3 +506,50 @@ def test_streaming_drift_monitor_alerts_on_shift(spark, tmp_path):
     alerts = read_alerts(log)
     assert len(alerts) == 2 and alerts[1]["alert"], alerts
     assert alerts[1]["psi"] > alerts[0]["psi"]
+
+
+def test_streaming_drift_monitor_w1_metric(spark, tmp_path):
+    """metric="both": the same per-batch histogram yields PSI and W1;
+    a far-tail shift scores a larger W1 than a near-bin shift of the
+    same mass (the property PSI cannot see), and the W1 threshold
+    drives the alert."""
+    import json as _json
+
+    from pulsar_ingestion_spark.streaming.monitor import (
+        drift_monitor,
+        histogram,
+        read_alerts,
+        wasserstein1,
+    )
+
+    ref_df = spark.range(1000).select((F.col("id") % 400).cast("double").alias("v"))
+    ref = histogram(ref_df, "v", bin_width=40.0)
+
+    # pure-function property first: moving mass FAR costs more W1 than
+    # moving it NEAR, for identical per-bin displacement counts
+    near = dict(ref)
+    near[0], near[1] = near.get(0, 0) - 20, near.get(1, 0) + 20
+    far = dict(ref)
+    far[0], far[9] = far.get(0, 0) - 20, far.get(9, 0) + 20
+    assert wasserstein1(ref, far, 40.0) > wasserstein1(ref, near, 40.0)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "tail.jsonl").write_text(
+        "\n".join(_json.dumps({"v": 399.0}) for _ in range(500)) + "\n"
+    )
+    log = str(tmp_path / "alerts.jsonl")
+    stream = spark.readStream.schema("v double").json(str(src))
+    q = (
+        stream.writeStream.foreachBatch(
+            drift_monitor(ref, "v", 40.0, log, metric="both", w1_threshold=50.0)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    alerts = read_alerts(log)
+    assert len(alerts) == 1
+    assert "psi" in alerts[0] and "w1" in alerts[0]
+    assert alerts[0]["w1"] > 50.0 and alerts[0]["alert"], alerts
