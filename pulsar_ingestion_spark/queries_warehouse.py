@@ -921,3 +921,75 @@ def q_layout_compaction_plan(spark, sf_dir):
             ).alias("already_compact"),
         )
     )
+
+
+# SCD2 BUILD from a raw changelog: the ETL that PRODUCES the versioned
+# dimension scd2_point_in_time consumes.  Change events (lineitem rows
+# as price-change events at l_shipdate, keyed by order) first collapse
+# latest-wins per (key, effective date) — same total-order tie-break
+# discipline as warehouse_merge_resolve_conflicts — then each key's
+# dated changes become [valid_from, valid_to) intervals via ONE lead()
+# window, the open version closing at the sentinel date.
+_SCD2_BUILD_ORACLE = """
+WITH ranked AS (
+  SELECT l_orderkey, CAST(l_shipdate AS DATE) AS eff_date,
+         l_extendedprice AS price,
+         row_number() OVER (
+           PARTITION BY l_orderkey, CAST(l_shipdate AS DATE)
+           ORDER BY l_linenumber DESC, l_extendedprice DESC,
+                    l_quantity DESC, l_discount DESC
+         ) AS rn
+  FROM lineitem WHERE l_orderkey % 50 = 0
+), changes AS (
+  SELECT l_orderkey, eff_date, price FROM ranked WHERE rn = 1
+)
+SELECT l_orderkey AS entity_key,
+       CAST(row_number() OVER w AS BIGINT) AS version,
+       eff_date AS valid_from,
+       COALESCE(lead(eff_date) OVER w, DATE '9999-12-31') AS valid_to,
+       price,
+       (lead(eff_date) OVER w IS NULL) AS is_current
+FROM changes
+WINDOW w AS (PARTITION BY l_orderkey ORDER BY eff_date)
+"""
+
+
+@query("warehouse_scd2_from_changelog", oracle=_SCD2_BUILD_ORACLE)
+def q_warehouse_scd2_from_changelog(spark, sf_dir):
+    """Build an SCD2 dimension from a raw changelog: collapse the change
+    stream latest-wins per (entity, effective date) — total-order
+    tie-break so both engines pick the same winner on the synthetic
+    duplicates — then derive each version's [valid_from, valid_to)
+    interval with one lead() window per entity and flag the open
+    version.  Two partitioned windows, both keyed on the entity the
+    downstream dimension joins on — at scale this is one shuffle reused,
+    and the output IS the table scd2_point_in_time's interval-residual
+    join consumes.  Keyed subset (orderkey % 50) keeps the checked
+    output bounded; the plan is key-count independent."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    wd = Window.partitionBy("l_orderkey", "eff_date").orderBy(
+        F.col("l_linenumber").desc(), F.col("price").desc(),
+        F.col("l_quantity").desc(), F.col("l_discount").desc(),
+    )
+    changes = (
+        li.filter(F.col("l_orderkey") % 50 == 0)
+        .select(
+            "l_orderkey",
+            F.col("l_shipdate").cast("date").alias("eff_date"),
+            F.col("l_extendedprice").alias("price"),
+            "l_linenumber", "l_quantity", "l_discount",
+        )
+        .withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") == 1)
+        .select("l_orderkey", "eff_date", "price")
+    )
+    w = Window.partitionBy("l_orderkey").orderBy("eff_date")
+    nxt = F.lead("eff_date").over(w)
+    return changes.select(
+        F.col("l_orderkey").alias("entity_key"),
+        F.row_number().over(w).cast("bigint").alias("version"),
+        F.col("eff_date").alias("valid_from"),
+        F.coalesce(nxt, F.lit("9999-12-31").cast("date")).alias("valid_to"),
+        "price",
+        nxt.isNull().alias("is_current"),
+    )

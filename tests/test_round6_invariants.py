@@ -231,3 +231,28 @@ def test_dedup_cascade_funnel_ties_out(spark):
         assert r["exact_removed"] + r["near_removed"] + r["n_final"] == r["n_docs"], src
         assert r["n_docs"] - r["exact_removed"] == distinct_exact[src], src
         assert r["n_final"] >= 1, src
+
+
+def test_scd2_build_intervals_tile(spark):
+    """Per entity: versions are contiguous from 1, valid_from strictly
+    increases, each valid_to equals the next version's valid_from, and
+    exactly ONE open (is_current) version exists."""
+    import datetime as dt
+
+    from pulsar_ingestion_spark.queries_warehouse import (
+        q_warehouse_scd2_from_changelog,
+    )
+
+    rows = q_warehouse_scd2_from_changelog(spark, SF).collect()
+    by_key: dict = {}
+    for r in rows:
+        by_key.setdefault(r["entity_key"], []).append(r)
+    sentinel = dt.date(9999, 12, 31)
+    for key, vs in by_key.items():
+        vs.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in vs] == list(range(1, len(vs) + 1)), key
+        for a, b in zip(vs, vs[1:]):
+            assert a["valid_from"] < b["valid_from"], key
+            assert a["valid_to"] == b["valid_from"], key
+            assert not a["is_current"], key
+        assert vs[-1].is_current and vs[-1].valid_to == sentinel, key

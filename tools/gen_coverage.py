@@ -152,7 +152,7 @@ SECTIONS = [
     ]),
     ("Warehouse depth III: BOM explosion + windowed MERGE (round 6)", [
         "warehouse_bom_rollup", "warehouse_merge_resolve_conflicts",
-        "layout_compaction_plan",
+        "layout_compaction_plan", "warehouse_scd2_from_changelog",
     ]),
     ("Semantic dedup + PQ search (round 6)", [
         "dedup_semantic_cluster", "sim_search_pq_adc",
