@@ -2041,3 +2041,117 @@ def q_text_dedup_cascade(spark, sf_dir):
             F.coalesce(F.col("c3"), F.lit(0)).cast("bigint").alias("n_final"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 6: RAKE keyphrase extraction (Rose et al. 2010, "Automatic
+# Keyword Extraction from Individual Documents" — public method).
+# Candidate phrases are maximal stopword-free word runs; each word earns
+# freq (occurrences) and degree (Σ length of phrases containing it);
+# phrase score = Σ_w degree(w)/freq(w).
+
+_RAKE_STOPS = "the|a|is|of|and|to|in"
+_RAKE_MAX_WORDS = 4
+_RAKE_TOPK = 20
+
+_RAKE_ORACLE = rf"""
+WITH marked AS (
+  SELECT doc_id,
+         regexp_replace(lower(trim(text)), '\b({_RAKE_STOPS})\b', '|', 'g') AS m
+  FROM documents
+), occ AS (
+  SELECT doc_id,
+         trim(regexp_replace(p, '\s+', ' ', 'g')) AS phrase
+  FROM marked, unnest(string_split(m, '|')) AS t(p)
+), occ2 AS (
+  SELECT doc_id, phrase, string_split(phrase, ' ') AS pw
+  FROM occ WHERE phrase <> '' AND len(string_split(phrase, ' ')) <= {_RAKE_MAX_WORDS}
+), wordstats AS (
+  SELECT w, count(*) AS freq, CAST(SUM(plen) AS BIGINT) AS degree
+  FROM (SELECT t.w, len(pw) AS plen FROM occ2, unnest(pw) AS t(w)) s
+  GROUP BY w
+), phrases AS (
+  SELECT DISTINCT phrase, pw FROM occ2
+), scored AS (
+  SELECT p.phrase,
+         CAST(SUM(CAST(round(CAST(ws.degree AS DOUBLE) / ws.freq, 6)
+                       AS DECIMAL(18,6))) AS DOUBLE) AS score
+  FROM phrases p, unnest(p.pw) AS t(w)
+  JOIN wordstats ws ON ws.w = t.w
+  GROUP BY p.phrase
+), counted AS (
+  SELECT o.phrase, count(*) AS n_occurrences
+  FROM occ2 o GROUP BY o.phrase
+)
+SELECT s.phrase, c.n_occurrences, s.score,
+       CAST(row_number() OVER (ORDER BY s.score DESC, s.phrase) AS BIGINT) AS rank
+FROM scored s JOIN counted c ON c.phrase = s.phrase
+ORDER BY s.score DESC, s.phrase
+LIMIT {_RAKE_TOPK}
+"""
+
+
+@query("text_keyphrase_rake", oracle=_RAKE_ORACLE)
+def q_text_keyphrase_rake(spark, sf_dir):
+    """RAKE keyphrase extraction over the corpus: stopword boundaries
+    split each document into candidate phrases (≤ 4 words); word
+    statistics (freq = occurrences, degree = Σ phrase length over
+    occurrences) come from ONE exploded aggregation; each distinct
+    phrase scores Σ degree(w)/freq(w) over its words — rounded per-term
+    and DECIMAL-summed so the fold is order-independent across engines —
+    and the global top-20 lands via TakeOrdered.  Everything is narrow
+    maps + two word-keyed shuffles; the phrase relation is
+    corpus-sized, the word-stats relation vocabulary-sized, and the
+    driver only ever sees K rows."""
+    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    marked = docs.select(
+        "doc_id",
+        F.regexp_replace(
+            F.lower(F.trim(F.col("text"))), rf"\b({_RAKE_STOPS})\b", "|"
+        ).alias("m"),
+    )
+    occ = marked.select(
+        "doc_id", F.explode(F.split(F.col("m"), r"\|")).alias("p")
+    ).select(
+        "doc_id",
+        F.trim(F.regexp_replace(F.col("p"), r"\s+", " ")).alias("phrase"),
+    )
+    occ2 = occ.filter(F.col("phrase") != "").withColumn(
+        "pw", F.split(F.col("phrase"), " ")
+    ).filter(F.size("pw") <= _RAKE_MAX_WORDS)
+    wordstats = (
+        occ2.select(F.explode("pw").alias("w"), F.size("pw").alias("plen"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"), F.sum("plen").cast("bigint").alias("degree"))
+    )
+    phrases = occ2.select("phrase", "pw").distinct()
+    scored = (
+        phrases.select("phrase", F.explode("pw").alias("w"))
+        .join(wordstats, "w")
+        .groupBy("phrase")
+        .agg(
+            F.sum(
+                F.round(F.col("degree").cast("double") / F.col("freq"), 6)
+                .cast("decimal(18,6)")
+            )
+            .cast("double")
+            .alias("score")
+        )
+    )
+    counted = occ2.groupBy("phrase").agg(F.count("*").alias("n_occurrences"))
+    from pyspark.sql import Window
+
+    # TakeOrdered K first (distributed top-k, no global sort of the
+    # phrase relation); the unpartitioned row_number then runs over the
+    # K-row result only (GLOBAL_WINDOW_OK-class bounded input)
+    top = (
+        scored.join(counted, "phrase")
+        .orderBy(F.col("score").desc(), F.col("phrase"))
+        .limit(_RAKE_TOPK)
+    )
+    return top.withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), F.col("phrase")))
+        .cast("bigint"),
+    ).select("phrase", "n_occurrences", "score", "rank")

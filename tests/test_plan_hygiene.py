@@ -31,6 +31,7 @@ GLOBAL_WINDOW_OK = {
     "sketch_quantile_logbins",  # window over the O(bins)≈90-row sketch table
     "drift_chi2",               # margins over the |event_type|×2 contingency table
     "win_mom_growth",           # lag over the per-month rollup (~24 rows)
+    "text_keyphrase_rake",      # row_number over the TakeOrdered K=20 relation
 }
 
 

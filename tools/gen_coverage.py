@@ -160,8 +160,8 @@ SECTIONS = [
     ("Drift & privacy II (round 6)", [
         "drift_wasserstein", "privacy_l_diversity",
     ]),
-    ("Dedup cascade (round 6)", [
-        "text_dedup_cascade",
+    ("Dedup cascade + keyphrases (round 6)", [
+        "text_dedup_cascade", "text_keyphrase_rake",
     ]),
     ("Time-series II + bigram LM (round 5)", [
         "ts_interp_linear", "ts_theil_sen", "text_bigram_logprob",
