@@ -2155,3 +2155,93 @@ def q_text_keyphrase_rake(spark, sf_dir):
         .over(Window.orderBy(F.col("score").desc(), F.col("phrase")))
         .cast("bigint"),
     ).select("phrase", "n_occurrences", "score", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Round 6: measured recall of the banded-LSH dedup vs EXACT ground truth
+# — the dedup twin of sim_search_recall_eval.  Ground truth = every pair
+# with exact 3-gram-shingle Jaccard >= 0.35 (complete: any pair above
+# the threshold shares >= 1 shingle, so the shingle-cooccurrence join
+# misses nothing).  The LSH pairs verify the same exact Jaccard on the
+# same shingle sets, so they are a SUBSET of the truth by construction
+# and recall = n_lsh / n_exact.
+
+_LSH_RECALL_ORACLE = r"""
+WITH raw AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS rw
+  FROM documents
+), wd AS (
+  SELECT doc_id,
+         CASE WHEN len(rw) >= 3 THEN
+           list_distinct(list_transform(range(1, len(rw) - 2 + 1),
+             i -> concat(rw[i], ' ', rw[i+1], ' ', rw[i+2])))
+         ELSE [array_to_string(rw, ' ')] END AS w
+  FROM raw
+), sigs AS (
+  SELECT doc_id, w,
+         {sigcols}
+  FROM wd
+), bands AS (
+  {bandrows}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+), lshpairs AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c JOIN wd x ON x.doc_id = c.id_a JOIN wd y ON y.doc_id = c.id_b
+  WHERE round(len(list_intersect(x.w, y.w))
+        / (len(x.w) + len(y.w) - len(list_intersect(x.w, y.w))), 6) >= 0.35
+), expl AS (
+  SELECT doc_id, len(w) AS sz, t.g FROM wd, unnest(w) AS t(g)
+), pairinter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         max(a.sz) AS size_a, max(b.sz) AS size_b, count(*) AS inter_cnt
+  FROM expl a JOIN expl b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), exact AS (
+  SELECT id_a, id_b FROM pairinter
+  WHERE round(inter_cnt / (size_a + size_b - inter_cnt), 6) >= 0.35
+)
+SELECT CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+       CAST((SELECT count(*) FROM lshpairs) AS BIGINT) AS n_lsh,
+       round(CAST((SELECT count(*) FROM lshpairs) AS DOUBLE)
+             / (SELECT count(*) FROM exact), 6) AS recall
+""".format(
+    sigcols=",\n         ".join(
+        f"list_aggregate(list_transform(w, x -> md5(concat('{s}:', x))), 'min') AS sig_{i}"
+        for i, s in enumerate(_MINHASH_SEEDS)
+    ),
+    bandrows="\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, concat(sig_{2 * b}, sig_{2 * b + 1}) AS bval FROM sigs"
+        for b in range(4)
+    ),
+)
+
+
+@query("dedup_lsh_recall_eval", oracle=_LSH_RECALL_ORACLE)
+def q_dedup_lsh_recall_eval(spark, sf_dir):
+    """Dedup recall scorecard: exact ground truth (shingle-cooccurrence
+    join — complete above any positive threshold, never all-pairs) vs
+    the MinHash-banded pipeline's verified pairs, as one measured-recall
+    row.  This is the number that justifies the LSH parameters (8
+    hashes × 4 bands ⇒ ~expected recall at J=0.35) IN-PLAN, the same
+    discipline as sim_search_recall_eval for ANN: the candidate
+    generator is probabilistic, so the engine measures what it loses.
+    Both legs bound pair generation by co-occurrence (shared shingle /
+    shared band) — the truth leg's shuffle is the posting-list join of
+    dedup_ngram_jaccard, the LSH leg's is 4 band keys per doc."""
+    from pulsar_ingestion_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    exact = ngram_jaccard_pairs(docs, threshold=0.35, n=3).select("id_a", "id_b")
+    lsh = q_dedup_minhash_banded(spark, sf_dir).select("id_a", "id_b")
+    n_exact = exact.agg(F.count("*").alias("n_exact"))
+    n_lsh = lsh.agg(F.count("*").alias("n_lsh"))
+    return n_exact.crossJoin(F.broadcast(n_lsh)).select(
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        F.col("n_lsh").cast("bigint").alias("n_lsh"),
+        F.round(
+            F.col("n_lsh").cast("double") / F.col("n_exact"), 6
+        ).alias("recall"),
+    )

@@ -161,7 +161,7 @@ SECTIONS = [
         "drift_wasserstein", "privacy_l_diversity",
     ]),
     ("Dedup cascade + keyphrases (round 6)", [
-        "text_dedup_cascade", "text_keyphrase_rake",
+        "text_dedup_cascade", "text_keyphrase_rake", "dedup_lsh_recall_eval",
     ]),
     ("Time-series II + bigram LM (round 5)", [
         "ts_interp_linear", "ts_theil_sen", "text_bigram_logprob",
