@@ -204,7 +204,7 @@ _ROUND6_PREFIX = [
     "layout_compaction_plan", "dedup_semantic_cluster", "sim_search_pq_adc",
     "drift_wasserstein", "privacy_l_diversity", "text_dedup_cascade",
     "warehouse_scd2_from_changelog", "text_keyphrase_rake",
-    "dedup_lsh_recall_eval",
+    "dedup_lsh_recall_eval", "join_asof_nearest",
 ]
 
 

@@ -1096,3 +1096,89 @@ def join_asof_tolerance(spark, sf_dir):
         F.col("k").alias("user_id"),
         F.when(F.col("last_v").isNotNull() & (gap <= 600000), gap).alias("view_gap_ms"),
     )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH pur AS (
+      SELECT event_id, user_id, epoch_ms(ts) AS p_ms
+      FROM events WHERE event_type = 'purchase'
+    ), v AS (
+      SELECT user_id, epoch_ms(ts) AS v_ms FROM events WHERE event_type = 'view'
+    ), m AS (
+      SELECT p.event_id, p.user_id, p.p_ms,
+             max(CASE WHEN v.v_ms <= p.p_ms THEN v.v_ms END) AS back_ms,
+             min(CASE WHEN v.v_ms >= p.p_ms THEN v.v_ms END) AS fwd_ms
+      FROM pur p LEFT JOIN v ON v.user_id = p.user_id
+      GROUP BY p.event_id, p.user_id, p.p_ms
+    )
+    SELECT event_id, user_id,
+           CASE WHEN back_ms IS NULL AND fwd_ms IS NULL THEN NULL
+                WHEN fwd_ms IS NULL THEN p_ms - back_ms
+                WHEN back_ms IS NULL THEN fwd_ms - p_ms
+                ELSE least(p_ms - back_ms, fwd_ms - p_ms) END AS nearest_gap_ms,
+           CASE WHEN back_ms IS NULL AND fwd_ms IS NULL THEN NULL
+                WHEN fwd_ms IS NULL THEN 'backward'
+                WHEN back_ms IS NULL THEN 'forward'
+                WHEN p_ms - back_ms <= fwd_ms - p_ms THEN 'backward'
+                ELSE 'forward' END AS direction
+    FROM m
+    """,
+)
+def join_asof_nearest(spark, sf_dir):
+    # As-of join with NEAREST direction (pandas merge_asof
+    # direction='nearest'): each purchase pairs with the closest view of
+    # the same user in EITHER direction, ties to the earlier (backward)
+    # view.  Same union-sort-timeline plan as join_asof run with TWO
+    # window frames over ONE key shuffle: last-prior-carry
+    # (unbounded-preceding frame, carriers-first tie order for inclusive
+    # <=) and first-following-carry (unbounded-following frame,
+    # probes-first tie order for inclusive >=) — the second frame costs
+    # one extra in-partition sort, never a second exchange and never a
+    # range join.  The oracle states the naive per-probe min/max form.
+    from pyspark.sql import Window
+
+    (ev,) = _t(spark, sf_dir, "events")
+    probes = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("k"), F.unix_millis("ts").alias("t"),
+        F.lit(1).alias("is_probe"), "event_id",
+        F.lit(None).cast("bigint").alias("carry"),
+    )
+    carriers = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("k"), F.unix_millis("ts").alias("t"),
+        F.lit(0).alias("is_probe"), F.lit(None).cast("bigint").alias("event_id"),
+        F.unix_millis("ts").alias("carry"),
+    )
+    w_back = (
+        Window.partitionBy("k")
+        .orderBy("t", "is_probe")  # carriers first at equal ms → inclusive <=
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("k")
+        .orderBy("t", F.desc("is_probe"))  # probes first at equal ms → inclusive >=
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    timeline = (
+        probes.unionByName(carriers)
+        .withColumn("back_ms", F.last("carry", ignorenulls=True).over(w_back))
+        .withColumn("fwd_ms", F.first("carry", ignorenulls=True).over(w_fwd))
+    )
+    back_gap = F.col("t") - F.col("back_ms")
+    fwd_gap = F.col("fwd_ms") - F.col("t")
+    return timeline.filter(F.col("is_probe") == 1).select(
+        "event_id",
+        F.col("k").alias("user_id"),
+        F.when(F.col("back_ms").isNull() & F.col("fwd_ms").isNull(), F.lit(None).cast("bigint"))
+        .when(F.col("fwd_ms").isNull(), back_gap)
+        .when(F.col("back_ms").isNull(), fwd_gap)
+        .otherwise(F.least(back_gap, fwd_gap))
+        .alias("nearest_gap_ms"),
+        F.when(F.col("back_ms").isNull() & F.col("fwd_ms").isNull(), F.lit(None).cast("string"))
+        .when(F.col("fwd_ms").isNull(), F.lit("backward"))
+        .when(F.col("back_ms").isNull(), F.lit("forward"))
+        .when(back_gap <= fwd_gap, F.lit("backward"))
+        .otherwise(F.lit("forward"))
+        .alias("direction"),
+    )

@@ -126,7 +126,7 @@ SECTIONS = [
     ("Event-journey mining III (round 5)", [
         "events_attribution_position", "events_time_to_convert",
         "events_user_overlap_jaccard", "ts_autocorr", "win_range_interval_1h",
-        "join_asof_tolerance",
+        "join_asof_tolerance", "join_asof_nearest",
     ]),
     ("IR ranking & corpus contrast (round 5)", [
         "text_bm25_topk", "text_keyness_loglik", "text_ppl_buckets",
