@@ -48,7 +48,21 @@ QUERIES = [
     "events_user_overlap_jaccard",
     "ml_auc_roc",
     "dedup_semantic_cluster",
+    # round 6b: warehouse heavies over the newly-tiled orders/lineitem,
+    # plus the docs-based cascade funnel
+    "warehouse_merge_resolve_conflicts",
+    "warehouse_scd2_from_changelog",
+    "layout_compaction_plan",
+    "text_dedup_cascade",
 ]
+
+# NOT measured here (same class as dedup_jaccard_prefix_filter below):
+# dedup_lsh_recall_eval.  Its exact-truth leg's candidate volume is
+# Σ_g df(g)² over shared shingles; this synthesizer reuses the base
+# vocabulary verbatim, so at 10x every shingle's df grows 10x and truth
+# candidates grow ~100x (measured 9.2x wall = the synthesizer's missing
+# Heaps'-law vocabulary growth, not the operator).  The production
+# operator it evaluates — dedup_minhash_banded — IS measured (2.21).
 
 # NOT measured here: dedup_jaccard_prefix_filter.  Its candidate volume
 # is sum_t df_prefix(t)^2 — governed by VOCABULARY GROWTH.  This
@@ -167,8 +181,28 @@ def synthesize(out_dir: str, mult: int, seed: int = 7) -> tuple[int, int]:
         tiles.append(t)
     pq.write_table(pa.concat_tables(tiles), os.path.join(out_dir, "events.parquet"))
 
-    for t in ["region", "nation", "customer", "supplier", "part",
-              "orders", "lineitem"]:
+    # --- orders + lineitem: tile with DISJOINT order keys (offset per
+    # tile) — the warehouse CDC/SCD2/compaction queries window and join
+    # on the order key, so disjoint tiles model key-space growth the way
+    # disjoint users model fleet growth above.  Dates are left as-is:
+    # per-key window population is what the plans are sensitive to.
+    base_ord = pq.read_table(os.path.join(BASE_SF, "orders.parquet"))
+    base_li = pq.read_table(os.path.join(BASE_SF, "lineitem.parquet"))
+    okey_span = 1 + int(pa.compute.max(base_ord["o_orderkey"]).as_py())
+    for name, tbl, keycol in (("orders", base_ord, "o_orderkey"),
+                              ("lineitem", base_li, "l_orderkey")):
+        parts = []
+        for k in range(mult):
+            t = tbl.set_column(
+                tbl.schema.get_field_index(keycol),
+                keycol,
+                pa.compute.add(tbl[keycol], k * okey_span),
+            )
+            parts.append(t)
+        pq.write_table(pa.concat_tables(parts),
+                       os.path.join(out_dir, f"{name}.parquet"))
+
+    for t in ["region", "nation", "customer", "supplier", "part"]:
         os.symlink(os.path.join(BASE_SF, f"{t}.parquet"),
                    os.path.join(out_dir, f"{t}.parquet"))
     return n_docs, n_emb
