@@ -2230,7 +2230,12 @@ def q_dedup_lsh_recall_eval(spark, sf_dir):
     generator is probabilistic, so the engine measures what it loses.
     Both legs bound pair generation by co-occurrence (shared shingle /
     shared band) — the truth leg's shuffle is the posting-list join of
-    dedup_ngram_jaccard, the LSH leg's is 4 band keys per doc."""
+    dedup_ngram_jaccard, the LSH leg's is 4 band keys per doc.  Scale
+    note: the truth leg is Σ df(shingle)² work, affordable only at
+    audit scale; at 100 TB the evaluation runs on a deterministic
+    hash-sample of doc ids with BOTH legs restricted identically —
+    recall estimates don't need the full corpus, the dedup itself
+    (dedup_minhash_banded / text_dedup_cascade) does and stays banded."""
     from pulsar_ingestion_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
