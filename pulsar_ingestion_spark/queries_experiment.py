@@ -238,3 +238,80 @@ def q_exp_cuped_adjust(spark, sf_dir):
         F.round(var_y, 4).alias("var_y"),
         F.round(var_cuped, 4).alias("var_y_cuped"),
     )
+
+
+# Ratio-metric scorecard via the delta method: purchases-per-event is a
+# ratio of SUMS over users, so the naive per-user-mean variance is wrong
+# (users contribute unequal denominators).  The delta-method variance
+# var(R) ≈ (var_x + R²·var_y − 2R·cov_xy) / (n·ȳ²) needs only the six
+# integer-exact moments (n, Σx, Σy, Σx², Σy², Σxy) per arm — one
+# per-user collapse then one arm aggregate, every input to the float
+# arithmetic a BIGINT, so both engines compute identical doubles.
+_DELTA_ORACLE = f"""
+WITH peruser AS (
+  SELECT user_id, {_ASSIGN_SQL} AS arm,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY user_id
+), m AS (
+  SELECT arm, count(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM peruser GROUP BY arm
+)
+SELECT arm, CAST(n AS BIGINT) AS n_users,
+       CAST(sx AS DOUBLE) / sy AS ratio,
+       ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) / (n - 1)
+        + (CAST(sx AS DOUBLE) / sy) * (CAST(sx AS DOUBLE) / sy)
+          * ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n) / (n - 1))
+        - 2 * (CAST(sx AS DOUBLE) / sy)
+          * ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n) / (n - 1)))
+       / (n * (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)) AS var_delta
+FROM m
+"""
+
+
+@query("exp_delta_method_ratio", oracle=_DELTA_ORACLE)
+def q_exp_delta_method_ratio(spark, sf_dir):
+    """Delta-method variance for a RATIO metric (purchases per event)
+    per experiment arm: the analysis every platform needs once the
+    metric's denominator varies by user — a per-user-mean z-test is
+    biased there, the delta method is the standard fix (Deng et al.,
+    KDD 2018 'Applying the Delta Method in Metric Analytics' — public
+    method).  One per-user collapse (map-side combinable), one arm
+    aggregate of six INTEGER moments, then pure arithmetic — the float
+    expression consumes only BIGINT sums in the same structure on both
+    engines, so the doubles match bitwise.  Output is arm-sized."""
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    peruser = (
+        ev.select(
+            "user_id",
+            _assign_col().alias("arm"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("c"),
+        )
+        .groupBy("user_id", "arm")
+        .agg(
+            F.sum("c").cast("bigint").alias("x"),
+            F.count("*").cast("bigint").alias("y"),
+        )
+    )
+    m = peruser.groupBy("arm").agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    r = F.col("sx").cast("double") / F.col("sy")
+    var_x = (F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx") / F.col("n")) / (F.col("n") - 1)
+    var_y = (F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy") / F.col("n")) / (F.col("n") - 1)
+    cov = (F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy") / F.col("n")) / (F.col("n") - 1)
+    ybar = F.col("sy").cast("double") / F.col("n")
+    return m.select(
+        "arm",
+        F.col("n").cast("bigint").alias("n_users"),
+        r.alias("ratio"),
+        ((var_x + r * r * var_y - 2 * r * cov) / (F.col("n") * ybar * ybar)).alias("var_delta"),
+    )

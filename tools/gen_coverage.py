@@ -183,7 +183,7 @@ SECTIONS = [
         "ts_rolling_median",
     ]),
     ("A/B experimentation analytics (round 5)", [
-        "exp_ab_lift", "exp_srm_check", "exp_cuped_adjust",
+        "exp_ab_lift", "exp_srm_check", "exp_cuped_adjust", "exp_delta_method_ratio",
     ]),
     ("Spatial clustering (round 5)", [
         "geo_dbscan_grid",
