@@ -205,7 +205,7 @@ _ROUND6_PREFIX = [
     "drift_wasserstein", "privacy_l_diversity", "text_dedup_cascade",
     "warehouse_scd2_from_changelog", "text_keyphrase_rake",
     "dedup_lsh_recall_eval", "join_asof_nearest",
-    "exp_delta_method_ratio",
+    "exp_delta_method_ratio", "agg_winsorized_mean",
 ]
 
 

@@ -1576,3 +1576,65 @@ def q_ts_rolling_median(spark, sf_dir):
         F.round(F.expr("percentile(y, 0.5)").over(w), 4).alias("med7"),
         F.count("*").over(w).cast("bigint").alias("n_window"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 6: winsorized mean — the robust-location twin of ts_outlier_mad's
+# robust-scale.  Bounds are exact interpolated percentiles rounded to 4dp
+# on BOTH engines before clamping (agg_percentile's ULP discipline), so
+# the clamp and the DECIMAL mean are bit-identical.
+
+_WINSOR_ORACLE = """
+WITH b AS (
+  SELECT o_orderpriority,
+         round(CAST(quantile_cont(o_totalprice, 0.05) AS DOUBLE), 4) AS lo,
+         round(CAST(quantile_cont(o_totalprice, 0.95) AS DOUBLE), 4) AS hi
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o.o_orderpriority,
+       count(*) AS n,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+         AS mean_raw,
+       CAST(SUM(CAST(least(greatest(o.o_totalprice, b.lo), b.hi)
+                     AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+         AS mean_winsorized,
+       CAST(SUM(CASE WHEN o.o_totalprice < b.lo OR o.o_totalprice > b.hi
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped
+FROM orders o JOIN b ON b.o_orderpriority = o.o_orderpriority
+GROUP BY o.o_orderpriority
+"""
+
+
+@query("agg_winsorized_mean", oracle=_WINSOR_ORACLE)
+def q_agg_winsorized_mean(spark, sf_dir):
+    """Winsorized mean per order priority: clamp each value into its
+    group's [p05, p95] band, then take the decimal-exact mean — the
+    robust location estimate a metrics platform reports when a handful
+    of whales would otherwise dominate (trimming drops information;
+    winsorizing keeps the row with a bounded contribution).  Plan: one
+    percentile aggregate builds the GROUP-sized bounds table (broadcast
+    join back), one clamped decimal aggregate — two passes, both
+    map-side combining.  At 100 TB the bounds pass switches to
+    approx_percentile with the same clamp (documented trade, same
+    shape); parity holds because bounds round to 4dp on both engines
+    before clamping."""
+    (o,) = _t(spark, sf_dir, "orders")
+    b = o.groupBy(F.col("o_orderpriority").alias("bp")).agg(
+        F.round(F.expr("percentile(o_totalprice, 0.05)"), 4).alias("lo"),
+        F.round(F.expr("percentile(o_totalprice, 0.95)"), 4).alias("hi"),
+    )
+    j = o.join(F.broadcast(b), o["o_orderpriority"] == b["bp"])
+    clamped = F.least(F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi"))
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        (F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double")
+         / F.count("*")).alias("mean_raw"),
+        (F.sum(clamped.cast("decimal(18,4)")).cast("double")
+         / F.count("*")).alias("mean_winsorized"),
+        F.sum(
+            F.when(
+                (F.col("o_totalprice") < F.col("lo"))
+                | (F.col("o_totalprice") > F.col("hi")), 1
+            ).otherwise(0)
+        ).cast("bigint").alias("n_clamped"),
+    )

@@ -54,7 +54,7 @@ SECTIONS = [
         "agg_stats_corr", "agg_regr_slope", "agg_skew_kurtosis", "agg_mode",
         "ts_resample_15m", "ts_gapfill_15m", "ts_rollup_multires",
         "sample_stratified", "join_salted_skew", "layout_zorder_key",
-        "agg_entropy",
+        "agg_entropy", "agg_winsorized_mean",
     ]),
     ("Information retrieval / sequence mining", [
         "text_inverted_index", "text_tfidf_topk", "text_zipf_slope",
