@@ -75,6 +75,29 @@ def entry(spark: SparkSession) -> DataFrame:
 # coverage across rounds until every query has a driver CORRECTNESS row
 # (VERDICT r1 item 2, refreshed each round per VERDICT r2 item 2).
 _CHECKED_PRIOR = {
+    # round 6 (CORRECTNESS_r06.json — 50/50 hash-green: the 36 rotation
+    # ids stranded from round-5 session 3 + udf_pandas_haversine's first
+    # post-oracle row + the 14 round-6 additions; VERDICT r6 item 1)
+    "ml_auc_roc", "graph_triangle_count", "geo_dbscan_grid",
+    "graph_pagerank", "graph_degree_stats",
+    "sketch_kmv_intersect", "sketch_quantile_logbins", "sample_weighted_kmv",
+    "warehouse_incremental_agg", "warehouse_changelog_compact",
+    "warehouse_partition_prune_stats", "dq_reconciliation",
+    "drift_psi", "drift_ks", "drift_chi2", "privacy_k_anonymity",
+    "exp_ab_lift", "exp_srm_check", "exp_cuped_adjust",
+    "ml_calibration_bins", "ml_confusion_threshold",
+    "ts_interp_linear", "ts_theil_sen", "ts_changepoint_mean_shift",
+    "ts_rolling_median", "linkage_blocked_match", "tenant_usage_report",
+    "dedup_jaccard_prefix_filter", "basket_frequent_pairs",
+    "win_drawdown", "events_survival_curve", "events_conversion_rate_daily",
+    "join_interval_overlap", "emb_cosine_histogram", "text_bigram_logprob",
+    "udf_pandas_haversine",
+    "warehouse_bom_rollup", "warehouse_merge_resolve_conflicts",
+    "layout_compaction_plan", "dedup_semantic_cluster", "sim_search_pq_adc",
+    "drift_wasserstein", "privacy_l_diversity", "text_dedup_cascade",
+    "warehouse_scd2_from_changelog", "text_keyphrase_rake",
+    "dedup_lsh_recall_eval", "join_asof_nearest",
+    "exp_delta_method_ratio", "agg_winsorized_mean",
     # round 5 (CORRECTNESS_r05.json — 50/50 hash-green: the curated
     # round-5 prefix incl. TPC-H completion, warehouse management, IR
     # ranking, embedding evaluation, event-journey III)
@@ -179,38 +202,16 @@ _CHECKED_PRIOR = {
 }
 
 
-# Round-6 driver-check prefix (the driver checks a bounded prefix ≈50):
-# the 35 round-5 session-3 additions that have no driver CORRECTNESS row
-# yet (VERDICT r5 item 1), plus udf_pandas_haversine whose only driver
-# row predates its oracle (r2 `no_oracle` — the oracle landed in r5
-# session 3, so it rotates forward for a first hash-green row).
-_ROUND6_PREFIX = [
-    "ml_auc_roc", "graph_triangle_count", "geo_dbscan_grid",
-    "graph_pagerank", "graph_degree_stats",
-    "sketch_kmv_intersect", "sketch_quantile_logbins", "sample_weighted_kmv",
-    "warehouse_incremental_agg", "warehouse_changelog_compact",
-    "warehouse_partition_prune_stats", "dq_reconciliation",
-    "drift_psi", "drift_ks", "drift_chi2", "privacy_k_anonymity",
-    "exp_ab_lift", "exp_srm_check", "exp_cuped_adjust",
-    "ml_calibration_bins", "ml_confusion_threshold",
-    "ts_interp_linear", "ts_theil_sen", "ts_changepoint_mean_shift",
-    "ts_rolling_median", "linkage_blocked_match", "tenant_usage_report",
-    "dedup_jaccard_prefix_filter", "basket_frequent_pairs",
-    "win_drawdown", "events_survival_curve", "events_conversion_rate_daily",
-    "join_interval_overlap", "emb_cosine_histogram", "text_bigram_logprob",
-    "udf_pandas_haversine",
-    # round-6 additions (selfchecked green at 3 SFs; VERDICT r5 item 6)
-    "warehouse_bom_rollup", "warehouse_merge_resolve_conflicts",
-    "layout_compaction_plan", "dedup_semantic_cluster", "sim_search_pq_adc",
-    "drift_wasserstein", "privacy_l_diversity", "text_dedup_cascade",
-    "warehouse_scd2_from_changelog", "text_keyphrase_rake",
-    "dedup_lsh_recall_eval", "join_asof_nearest",
-    "exp_delta_method_ratio", "agg_winsorized_mean",
+# Round-7 driver-check prefix (the driver checks a bounded prefix ≈50):
+# after round 6 every registered id has a driver CORRECTNESS row (VERDICT
+# r6 item 1), so this round's prefix is only the round-7 additions —
+# each selfchecked at 3 SFs before registration.
+_ROUND7_PREFIX = [
 ]
 
 
 def _rotated(mapping: dict) -> dict:
-    prefix = {k: mapping[k] for k in _ROUND6_PREFIX if k in mapping}
+    prefix = {k: mapping[k] for k in _ROUND7_PREFIX if k in mapping}
     fresh = {
         k: v for k, v in mapping.items()
         if k not in _CHECKED_PRIOR and k not in prefix
