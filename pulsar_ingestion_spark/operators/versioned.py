@@ -41,6 +41,11 @@ class CommitConflict(RuntimeError):
     """Another writer committed this version first (after max retries)."""
 
 
+# Watermark entries for stream batches committed without an explicit
+# app id (single-stream tables, and all pre-r7 history).
+_DEFAULT_APP = "__default__"
+
+
 @dataclass
 class Version:
     version: int
@@ -191,56 +196,126 @@ class VersionedTable:
         with open(self._manifest_path(version)) as fh:
             return json.load(fh).get("meta", {})
 
-    def committed_batch_ids(self) -> set[int]:
-        """Batch ids already landed by the streaming sink (scanning the
-        retained manifests — vacuum keeps enough history for the
-        checkpoint's replayable window)."""
+    def committed_batch_ids(self, app_id: str = _DEFAULT_APP) -> set[int]:
+        """Batch ids already landed by the streaming sink FOR THIS STREAM
+        (scanning the retained manifests — vacuum keeps enough history
+        for the checkpoint's replayable window).  Batch ids from other
+        app ids never collide: Structured Streaming numbers batches per
+        checkpoint, so id 3 of stream A and id 3 of stream B are
+        unrelated batches."""
         out = set()
         for v in self.versions():
-            b = self._meta(v).get("batch_id")
-            if b is not None:
+            m = self._meta(v)
+            b = m.get("batch_id")
+            if b is not None and m.get("app_id", _DEFAULT_APP) == app_id:
                 out.add(int(b))
         return out
 
     # Batch-id high-watermark: Structured Streaming batch ids are
-    # monotonically increasing per checkpoint, so "batch_id <= watermark"
+    # monotonically increasing PER CHECKPOINT, so "batch_id <= watermark"
     # means "already committed" even after vacuum expired the manifest
     # that carried it — without this, a sufficiently delayed replay of a
     # vacuumed batch would pass the manifest-scan check and land twice.
+    # The watermark is keyed by a stream identity (``app_id`` — Delta's
+    # txn appId→version pattern, ADVICE r6): after a checkpoint reset, or
+    # with a second stream writing the same table, the new stream's small
+    # batch ids must NOT be swallowed by another stream's high watermark.
 
     @property
     def _watermark_file(self) -> str:
         return os.path.join(self.manifest_dir, "_batch_watermark.json")
 
-    def batch_watermark(self) -> int:
-        """Highest stream batch id known committed; survives manifest
-        expiry (vacuum raises it before dropping manifests).  -1 if no
-        stream batch ever committed."""
+    @staticmethod
+    def _load_watermark_map(path: str) -> dict[str, int]:
+        """Parse the watermark file; accepts the legacy single-stream
+        format ``{"max_batch_id": N}`` as ``{_DEFAULT_APP: N}``."""
         try:
-            with open(self._watermark_file) as fh:
-                return int(json.load(fh)["max_batch_id"])
+            with open(path) as fh:
+                data = json.load(fh)
         except FileNotFoundError:
-            return -1
+            return {}
+        if "apps" in data:
+            return {str(k): int(v) for k, v in data["apps"].items()}
+        if "max_batch_id" in data:
+            return {_DEFAULT_APP: int(data["max_batch_id"])}
+        return {}
 
-    def _raise_batch_watermark(self, batch_id: int) -> None:
-        # Monotone max via write-tmp + atomic rename (file is always
-        # valid JSON).  Racing writers could briefly publish a smaller
-        # max, but vacuum — the only point where the watermark is
-        # load-bearing — recomputes it from the FULL manifest set before
-        # expiring anything.
-        if batch_id <= self.batch_watermark():
-            return
-        tmp = os.path.join(self.manifest_dir, f".wm-{uuid.uuid4().hex}.json")
-        with open(tmp, "w") as fh:
-            json.dump({"max_batch_id": int(batch_id)}, fh)
-        os.replace(tmp, self._watermark_file)
+    def batch_watermarks(self) -> dict[str, int]:
+        """Effective per-app high-watermarks: the watermark file
+        max-merged with the (app_id, batch_id) metas of every RETAINED
+        manifest.  The merge means a stale/regressed watermark file can
+        never lower the effective value while the manifests that prove a
+        higher commit still exist (ADVICE r6: a slow writer's os.replace
+        landing after vacuum raised the file cannot re-open the
+        double-commit window — vacuum's own raise happens before any
+        manifest expires, and until then the manifests out-vote the file)."""
+        out = self._load_watermark_map(self._watermark_file)
+        for v in self.versions():
+            m = self._meta(v)
+            b = m.get("batch_id")
+            if b is not None:
+                app = m.get("app_id", _DEFAULT_APP)
+                out[app] = max(out.get(app, -1), int(b))
+        return out
 
-    def _batch_already_committed(self, batch_id: int) -> bool:
-        return int(batch_id) <= self.batch_watermark() or (
-            int(batch_id) in self.committed_batch_ids()
+    def batch_watermark(self, app_id: str = _DEFAULT_APP) -> int:
+        """Highest stream batch id known committed by ``app_id``;
+        survives manifest expiry (vacuum raises it before dropping
+        manifests).  -1 if this stream never committed a batch."""
+        return self.batch_watermarks().get(app_id, -1)
+
+    def _raise_batch_watermark(self, batch_id: int, app_id: str = _DEFAULT_APP) -> None:
+        # Monotone max under contention: an O_EXCL lock file serializes
+        # read+merge+replace, so a slow writer can never clobber the file
+        # with a stale smaller map (ADVICE r6).  A crashed holder's lock
+        # is stolen after a bounded wait; batch_watermarks()'s
+        # manifest-merge covers the (tiny) steal race window.
+        import time
+
+        lock = self._watermark_file + ".lock"
+        deadline = time.time() + 10.0
+        fd = None
+        while fd is None:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                if time.time() > deadline:
+                    try:  # stale lock from a crashed holder — steal it
+                        os.unlink(lock)
+                    except FileNotFoundError:
+                        pass
+                    deadline = time.time() + 10.0
+                    continue
+                time.sleep(0.01)
+        try:
+            current = self._load_watermark_map(self._watermark_file)
+            if int(batch_id) > current.get(app_id, -1):
+                current[app_id] = int(batch_id)
+                tmp = os.path.join(
+                    self.manifest_dir, f".wm-{uuid.uuid4().hex}.json"
+                )
+                with open(tmp, "w") as fh:
+                    json.dump({"apps": current}, fh)
+                os.replace(tmp, self._watermark_file)
+        finally:
+            os.close(fd)
+            try:
+                os.unlink(lock)
+            except FileNotFoundError:
+                pass
+
+    def _batch_already_committed(
+        self, batch_id: int, app_id: str = _DEFAULT_APP
+    ) -> bool:
+        # batch_watermarks() already max-merges the retained manifests,
+        # so the watermark comparison subsumes the manifest-scan check;
+        # the explicit set membership stays as belt-and-braces for
+        # hand-written manifests with gaps.
+        return int(batch_id) <= self.batch_watermark(app_id) or (
+            int(batch_id) in self.committed_batch_ids(app_id)
         )
 
-    def stream_batch_committer(self):
+    def stream_batch_committer(self, app_id: str = _DEFAULT_APP):
         """foreachBatch target giving EXACTLY-ONCE appends on top of the
         at-least-once replay Structured Streaming guarantees: the batch
         id rides in the manifest meta, so a replayed batch (post-crash,
@@ -249,24 +324,32 @@ class VersionedTable:
         native exactly-once sink (plans/pipeline.py), but with the
         version history (time travel / rollback) on top.
 
-        Usage: ``df.writeStream.foreachBatch(t.stream_batch_committer())``
+        ``app_id`` is the STREAM identity (pass the checkpoint location
+        or query name — Delta's txn appId pattern): batch ids are only
+        monotonic per checkpoint, so dedup state must be scoped to it.
+        Two streams writing one table, or a stream restarted with a fresh
+        checkpoint under a NEW app_id, interleave safely; reusing an old
+        app_id after a checkpoint reset would wrongly skip the restarted
+        stream's small batch ids.
+
+        Usage: ``df.writeStream.foreachBatch(t.stream_batch_committer("q1"))``
         """
 
         def commit(batch_df: DataFrame, batch_id: int) -> None:
-            if self._batch_already_committed(batch_id):
+            if self._batch_already_committed(batch_id, app_id):
                 return  # replayed batch — already committed
             new_files = self._write_files(batch_df)
             for _ in range(10):
                 base = self.current_version()
-                if self._batch_already_committed(batch_id):
+                if self._batch_already_committed(batch_id, app_id):
                     return  # a racing replay of this same batch landed it
                 base_files = self.describe(base).files if base is not None else []
                 try:
                     self._commit(
                         "stream-append", base_files + new_files, base,
-                        meta={"batch_id": int(batch_id)},
+                        meta={"batch_id": int(batch_id), "app_id": app_id},
                     )
-                    self._raise_batch_watermark(int(batch_id))
+                    self._raise_batch_watermark(int(batch_id), app_id)
                     return
                 except CommitConflict:
                     continue
@@ -302,12 +385,15 @@ class VersionedTable:
         vs = self.versions()
         if len(vs) <= keep_last:
             return []
-        batch_ids = [
-            b for v in vs
-            if (b := self._meta(v).get("batch_id")) is not None
-        ]
-        if batch_ids:
-            self._raise_batch_watermark(max(int(b) for b in batch_ids))
+        per_app: dict[str, int] = {}
+        for v in vs:
+            m = self._meta(v)
+            b = m.get("batch_id")
+            if b is not None:
+                app = m.get("app_id", _DEFAULT_APP)
+                per_app[app] = max(per_app.get(app, -1), int(b))
+        for app, b in per_app.items():
+            self._raise_batch_watermark(b, app)
         keep_vs = vs[-keep_last:]
         keep_files = set()
         for v in keep_vs:

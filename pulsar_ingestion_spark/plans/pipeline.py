@@ -211,9 +211,14 @@ def run_pipeline(spark: SparkSession, spec: PipelineSpec, streaming: bool = True
         from pulsar_ingestion_spark.operators.versioned import VersionedTable
 
         table = VersionedTable(spec.output_path)
+        # the checkpoint location IS the stream identity: batch ids are
+        # monotonic per checkpoint, so replay-dedup state must be scoped
+        # to it (a reset checkpoint = a new app_id = fresh batch ids)
         main = (
             _with_trigger(
-                out.writeStream.foreachBatch(table.stream_batch_committer())
+                out.writeStream.foreachBatch(
+                    table.stream_batch_committer(app_id=spec.checkpoint)
+                )
                 .option("checkpointLocation", spec.checkpoint),
                 spec,
             ).start()

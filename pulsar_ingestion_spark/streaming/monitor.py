@@ -33,9 +33,13 @@ def histogram(df: DataFrame, value_col: str, bin_width: float) -> dict[int, int]
     """Collect the (bounded) bin→count reference histogram."""
     # clamp BOTH ends: values below 0 would otherwise land in negative
     # bin ids that inflate the totals but fall outside psi()'s bin loop,
-    # silently dropping probability mass (ADVICE r5)
+    # silently dropping probability mass (ADVICE r5).  NULLs are dropped
+    # BEFORE binning: greatest/least skip NULLs, so a NULL value would
+    # otherwise evaluate greatest(0, least(NULL, 9)) = 9 and count in the
+    # top bin, inflating the tail on null-heavy batches (ADVICE r6).
     rows = (
-        df.select(
+        df.filter(F.col(value_col).isNotNull())
+        .select(
             F.greatest(
                 F.lit(0),
                 F.least(F.floor(F.col(value_col) / bin_width), F.lit(_BINS - 1)),
@@ -93,6 +97,14 @@ def drift_monitor(
     nothing at data scale."""
     if metric not in ("psi", "w1", "both"):
         raise ValueError(f"unknown drift metric {metric!r}")
+    if metric in ("w1", "both") and w1_threshold is None:
+        # PSI has a default threshold; W1's scale depends on bin_width, so
+        # there is no sane universal default — selecting the metric
+        # without a threshold would silently disable alerting (ADVICE r6).
+        raise ValueError(
+            "w1_threshold is required when metric is 'w1' or 'both' — "
+            "without it the W1 score could never raise an alert"
+        )
 
     def check(batch_df: DataFrame, batch_id: int) -> None:
         obs = histogram(batch_df, value_col, bin_width)

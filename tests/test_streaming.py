@@ -553,3 +553,31 @@ def test_streaming_drift_monitor_w1_metric(spark, tmp_path):
     assert len(alerts) == 1
     assert "psi" in alerts[0] and "w1" in alerts[0]
     assert alerts[0]["w1"] > 50.0 and alerts[0]["alert"], alerts
+
+
+def test_drift_histogram_drops_nulls(spark):
+    """ADVICE r6: NULL values must not count in the top bin (greatest/
+    least skip NULLs, so an unfiltered NULL binned to 9)."""
+    from pulsar_ingestion_spark.streaming.monitor import histogram
+
+    df = spark.createDataFrame(
+        [(1.0,), (None,), (399.0,), (None,), (50.0,)], "v double"
+    )
+    h = histogram(df, "v", bin_width=40.0)
+    assert sum(h.values()) == 3          # the two NULLs are gone
+    assert h == {0: 1, 1: 1, 9: 1}       # 399 is a real top-bin value
+
+
+def test_drift_monitor_w1_requires_threshold():
+    """ADVICE r6: selecting the W1 metric without a threshold must fail
+    loudly instead of silently never alerting."""
+    import pytest as _pytest
+
+    from pulsar_ingestion_spark.streaming.monitor import drift_monitor
+
+    for metric in ("w1", "both"):
+        with _pytest.raises(ValueError, match="w1_threshold"):
+            drift_monitor({0: 1}, "v", 40.0, "/tmp/unused.jsonl", metric=metric)
+    # explicit threshold is fine
+    drift_monitor({0: 1}, "v", 40.0, "/tmp/unused.jsonl", metric="w1",
+                  w1_threshold=10.0)

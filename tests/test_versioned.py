@@ -308,3 +308,84 @@ def test_pipeline_versioned_sink_end_to_end(spark, tmp_path):
     q2.awaitTermination(120)
     assert t.read(spark).count() == 10
     assert t.current_version() in (v_before, v_before + 1)  # empty replay may commit nothing
+
+
+def test_watermark_is_scoped_per_app_id(spark, tmp_path):
+    """ADVICE r6 (medium): batch ids are only monotonic PER CHECKPOINT.
+    A second stream (or a checkpoint-reset restart under a new app_id)
+    starting over at batch 0 must NOT be swallowed by another stream's
+    high watermark."""
+    t = VersionedTable(str(tmp_path / "t"))
+    commit_a = t.stream_batch_committer("app-a")
+    commit_a(_df(spark, 0, 10), 0)
+    commit_a(_df(spark, 10, 15), 1)
+    commit_a(_df(spark, 15, 18), 2)
+    assert t.batch_watermark("app-a") == 2
+    # stream B starts at batch 0 — would be skipped by a global watermark
+    commit_b = t.stream_batch_committer("app-b")
+    commit_b(_df(spark, 100, 105), 0)
+    assert t.read(spark).count() == 23  # B's 5 rows landed
+    # replay dedup still works within each app
+    commit_b(_df(spark, 100, 105), 0)
+    commit_a(_df(spark, 0, 10), 0)
+    assert t.read(spark).count() == 23
+    assert t.committed_batch_ids("app-a") == {0, 1, 2}
+    assert t.committed_batch_ids("app-b") == {0}
+
+
+def test_watermark_per_app_survives_vacuum(spark, tmp_path):
+    """vacuum raises each app's watermark independently before expiring
+    manifests, so a delayed replay of either stream's vacuumed batch
+    no-ops while the other stream's small ids stay committable."""
+    t = VersionedTable(str(tmp_path / "t"))
+    commit_a = t.stream_batch_committer("app-a")
+    commit_b = t.stream_batch_committer("app-b")
+    commit_a(_df(spark, 0, 10), 0)
+    commit_a(_df(spark, 10, 15), 1)
+    commit_b(_df(spark, 50, 52), 0)
+    commit_a(_df(spark, 15, 18), 2)
+    t.vacuum(keep_last=1, grace_seconds=0.0)
+    assert t.batch_watermark("app-a") == 2
+    assert t.batch_watermark("app-b") == 0
+    n = t.read(spark).count()
+    commit_a(_df(spark, 0, 10), 0)   # delayed replays of expired batches
+    commit_b(_df(spark, 50, 52), 0)
+    assert t.read(spark).count() == n
+    # app-b's NEXT batch still lands
+    commit_b(_df(spark, 52, 55), 1)
+    assert t.read(spark).count() == n + 3
+
+
+def test_watermark_legacy_file_format_still_read(spark, tmp_path):
+    """Pre-r7 watermark files ({"max_batch_id": N}) map to the default
+    app so existing tables keep their replay protection."""
+    import json as _json
+    import os as _os
+
+    t = VersionedTable(str(tmp_path / "t"))
+    commit = t.stream_batch_committer()
+    commit(_df(spark, 0, 10), 0)
+    with open(t._watermark_file, "w") as fh:
+        _json.dump({"max_batch_id": 5}, fh)
+    assert t.batch_watermark() == 5
+    commit(_df(spark, 10, 20), 3)  # <= 5 for the default app: replay no-op
+    assert t.read(spark).count() == 10
+
+
+def test_watermark_file_regression_outvoted_by_manifests(spark, tmp_path):
+    """ADVICE r6 (low): a stale writer clobbering the watermark file with
+    a smaller value cannot lower the EFFECTIVE watermark while manifests
+    proving the higher commit are retained — batch_watermarks() max-merges
+    the manifest metas over the file."""
+    import json as _json
+
+    t = VersionedTable(str(tmp_path / "t"))
+    commit = t.stream_batch_committer("app-a")
+    commit(_df(spark, 0, 10), 0)
+    commit(_df(spark, 10, 15), 7)
+    # simulate the lost-update: stale writer replaces the file with 0
+    with open(t._watermark_file, "w") as fh:
+        _json.dump({"apps": {"app-a": 0}}, fh)
+    assert t.batch_watermark("app-a") == 7  # manifests out-vote the file
+    commit(_df(spark, 10, 15), 7)           # replay still no-ops
+    assert t.read(spark).count() == 15
