@@ -207,6 +207,7 @@ _CHECKED_PRIOR = {
 # r6 item 1), so this round's prefix is only the round-7 additions —
 # each selfchecked at 3 SFs before registration.
 _ROUND7_PREFIX = [
+    "graph_kcore",
 ]
 
 

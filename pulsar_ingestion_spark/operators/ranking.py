@@ -88,3 +88,81 @@ def ntile_from_row_number(rn: Column, total_rows: int, tiles: int) -> Column:
         return first.cast("long")
     rest = F.lit(rem) + F.floor((rn - F.lit(cutoff) - F.lit(1)) / F.lit(q)) + 1
     return F.when(rn <= cutoff, first).otherwise(rest).cast("long")
+
+
+def keyed_running_sums(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[Column],
+    sum_cols: list[str],
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Exact per-key running sums over ``order_cols`` without per-key
+    single-partition windows — the keyed generalization of
+    :func:`global_row_number` (round 7, drift_ks re-plan).
+
+    A ``Window.partitionBy(key)`` running sum caps parallelism at the
+    number of keys (25 event types ⇒ 25 tasks no matter how many
+    executors).  Here instead:
+
+      1. ``repartitionByRange`` on (key, order) — contiguous sorted
+         ranges, any partition count;
+      2. a PARTITIONED window computes running sums inside each range in
+         parallel;
+      3. per-(partition, key) totals — a (#partitions × #keys)-row
+         aggregate, model-sized for bounded key cardinality — become
+         per-key offsets added back via a broadcast join.
+
+    Rows must be unique on (key, order) so the order is total (callers
+    pass pre-aggregated relations).  Returns ``(df_out, totals)`` where
+    ``df_out`` carries ``cum_<c>`` for each sum column and ``totals`` is
+    the per-key grand-total relation (``total_<c>``) — broadcast-sized,
+    callers join it rather than re-aggregating.  The repartitioned
+    relation is persisted (read by the totals job and the output plan);
+    harnesses clear the cache between queries (registry policy).
+    """
+    from collections import defaultdict
+
+    spark = df.sparkSession
+    nparts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    keys = [F.col(k) for k in key_cols]
+    ranged = df.repartitionByRange(nparts, *keys, *order_cols).withColumn(
+        "_gpid", F.spark_partition_id()
+    ).persist()
+    part_totals = (
+        ranged.groupBy("_gpid", *key_cols)
+        .agg(*[F.sum(c).alias(c) for c in sum_cols])
+        .collect()
+    )
+    by_key: dict[tuple, list] = defaultdict(list)
+    for r in part_totals:
+        by_key[tuple(r[k] for k in key_cols)].append(
+            (r["_gpid"], [r[c] for c in sum_cols])
+        )
+    off_rows, tot_rows = [], []
+    for key, lst in by_key.items():
+        acc = [0] * len(sum_cols)
+        for pid, vals in sorted(lst):
+            off_rows.append((pid, *key, *acc))
+            acc = [a + (v or 0) for a, v in zip(acc, vals)]
+        tot_rows.append((*key, *acc))
+    off_schema = ["_gpid", *key_cols, *[f"_off_{c}" for c in sum_cols]]
+    tot_schema = [*key_cols, *[f"total_{c}" for c in sum_cols]]
+    if not off_rows:  # empty input: zero cums, empty totals
+        out = ranged
+        for c in sum_cols:
+            out = out.withColumn(f"cum_{c}", F.lit(0).cast("long"))
+        return out.drop("_gpid"), spark.createDataFrame([], ", ".join(
+            f"{c} string" for c in tot_schema))
+    offsets = spark.createDataFrame(off_rows, off_schema)
+    totals = spark.createDataFrame(tot_rows, tot_schema)
+    w = (
+        Window.partitionBy("_gpid", *key_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = ranged.join(F.broadcast(offsets), ["_gpid", *key_cols])
+    for c in sum_cols:
+        out = out.withColumn(f"cum_{c}", F.sum(c).over(w) + F.col(f"_off_{c}"))
+    out = out.drop("_gpid", *[f"_off_{c}" for c in sum_cols])
+    return out, totals

@@ -354,3 +354,147 @@ def q_graph_triangle_count(spark, sf_dir):
         n_nodes.crossJoin(n_edges).crossJoin(tri)
         .select("n_nodes", "n_edges", "n_triangles")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (round 7, VERDICT r6 item 6): peel the
+# co-occurrence graph to its 2-, 3-, and 4-cores.
+
+def _kcore_peel_cte(name: str, src: str, k: int) -> str:
+    """One recursive peel CTE: working set = last iteration's edge rows
+    plus a NULL heartbeat row.  Each step recomputes degrees over the
+    surviving edges and keeps edges whose BOTH endpoints have degree
+    >= k; it recurses ONLY while the edge set strictly shrank, so the
+    recursion terminates at the fixpoint in <= |E| steps with no row
+    blow-up (converged sets are not re-emitted).  The heartbeat row
+    makes the empty-core case land correctly: when the last peel empties
+    the set, the final iteration holds only the heartbeat, and the
+    max-iter selection yields zero edges."""
+    return f"""{name} AS (
+    SELECT 0 AS iter, u, v FROM {src}
+  UNION ALL
+    (
+    WITH cur AS (SELECT * FROM {name}),
+    e AS (SELECT u, v FROM cur WHERE u IS NOT NULL),
+    deg AS (
+      SELECT node, count(*) AS d FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
+      ) t GROUP BY node
+    ),
+    kept AS (
+      SELECT e.u, e.v FROM e
+      JOIN deg du ON du.node = e.u AND du.d >= {k}
+      JOIN deg dv ON dv.node = e.v AND dv.d >= {k}
+    ),
+    sizes AS (SELECT (SELECT count(*) FROM e) AS ne,
+                     (SELECT count(*) FROM kept) AS nk)
+    SELECT (SELECT max(iter) FROM cur) + 1 AS iter, kk.u, kk.v
+    FROM (SELECT u, v FROM kept
+          UNION ALL SELECT CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)) kk
+    CROSS JOIN sizes WHERE sizes.nk < sizes.ne
+    )
+),
+core{k} AS (
+  SELECT u, v FROM {name}
+  WHERE iter = (SELECT max(iter) FROM {name}) AND u IS NOT NULL
+)"""
+
+
+def _kcore_summary_sql(k: int) -> str:
+    return f"""
+  SELECT {k} AS k,
+         (SELECT count(DISTINCT node) FROM (
+            SELECT u AS node FROM core{k} UNION ALL SELECT v FROM core{k}
+          ) t) AS n_nodes,
+         (SELECT count(*) FROM core{k}) AS n_edges"""
+
+
+# Incremental peel: the k-core is contained in the (k-1)-core, so each
+# peel starts from the previous core, not the full graph — same fixpoint,
+# strictly less work (the decomposition identity the Spark side uses too).
+_KCORE_ORACLE = f"""
+WITH RECURSIVE {_COOC_EDGES_SQL},
+{_kcore_peel_cte("peel2", "edges", 2)},
+{_kcore_peel_cte("peel3", "core2", 3)},
+{_kcore_peel_cte("peel4", "core3", 4)}
+SELECT k, n_nodes, n_edges FROM (
+{_kcore_summary_sql(2)}
+  UNION ALL
+{_kcore_summary_sql(3)}
+  UNION ALL
+{_kcore_summary_sql(4)}
+) ORDER BY k
+"""
+
+
+def _peel_to_kcore(edges, k: int):
+    """Distributed k-core peel: repeatedly drop edges with an endpoint of
+    degree < k until the edge count stops changing.  Each round is one
+    map-side-combining degree aggregation plus two LEFT SEMI joins keyed
+    on the node — at cluster scale both shuffle on the node key and every
+    round's input strictly shrinks, the standard Pregel-style peel.
+    ``localCheckpoint(eager=True)`` cuts the lineage per round (the
+    geo_dbscan_grid discipline — no driver materialization, only a
+    metadata-sized count crosses to the driver for the convergence
+    check).  Termination is guaranteed in <= |E| rounds because the
+    count strictly decreases; the k-core fixpoint is unique regardless
+    of peel order, which is what makes the result oracle-checkable."""
+    cur = edges.select("u", "v").localCheckpoint(eager=True)
+    n_cur = cur.count()
+    while n_cur > 0:
+        deg = (
+            cur.select(F.col("u").alias("node"))
+            .unionAll(cur.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("d"))
+        )
+        ok = deg.filter(F.col("d") >= k).select("node")
+        nxt = (
+            cur.join(ok.withColumnRenamed("node", "uu"),
+                     F.col("u") == F.col("uu"), "left_semi")
+            .join(ok.withColumnRenamed("node", "vv"),
+                  F.col("v") == F.col("vv"), "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        n_nxt = nxt.count()
+        if n_nxt == n_cur:
+            break
+        cur, n_cur = nxt, n_nxt
+    return cur
+
+
+@query("graph_kcore", oracle=_KCORE_ORACLE)
+def q_graph_kcore(spark, sf_dir):
+    """k-core decomposition of the user co-occurrence graph: the sizes
+    (nodes, edges) of the 2-, 3-, and 4-cores — the standard cohesion
+    ladder (which part of the graph survives requiring every member to
+    have k in-core neighbors).  Peeling is the bounded-iteration
+    frontier loop in the graph_hierarchy_closure / geo_dbscan style:
+    degree agg + two semi-joins per round, lineage cut per round, and
+    the k-cores are computed INCREMENTALLY (3-core peels the 2-core,
+    4-core peels the 3-core) because cores are nested — at 100 TB the
+    expensive first peel happens once, and later cores work on the
+    already-shrunk survivor set.  The fixpoint is order-independent, so
+    the result matches the oracle's genuine recursive-CTE peel exactly.
+    Reference basis: consumer-graph cohesion over the splitter's event
+    stream (docs/architecture.md:113-118), extending graph_degree_stats
+    from degree distribution to degeneracy structure."""
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    cur = _cooc_edges(ev)
+    reports = []
+    for k in (2, 3, 4):
+        cur = _peel_to_kcore(cur, k)
+        nodes_cnt = (
+            cur.select(F.col("u").alias("node"))
+            .unionAll(cur.select(F.col("v").alias("node")))
+            .agg(F.count_distinct("node").alias("n_nodes"))
+        )
+        edges_cnt = cur.agg(F.count("*").cast("bigint").alias("n_edges"))
+        reports.append(
+            nodes_cnt.crossJoin(F.broadcast(edges_cnt))
+            .select(F.lit(k).alias("k"), "n_nodes", "n_edges")
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionAll(r)
+    return out

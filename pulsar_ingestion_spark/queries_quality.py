@@ -153,7 +153,17 @@ def q_drift_ks(spark, sf_dir):
     well-defined).  The shuffle is bounded by distinct values per type;
     at scale, quantize the metric (e.g. cents) to bound the support.
     CDF fractions are single IEEE divisions of identical integers, so
-    the max compares bitwise-equal doubles on both engines."""
+    the max compares bitwise-equal doubles on both engines.
+
+    Plan (round 7 re-plan): the running CDF counts come from
+    ``ranking.keyed_running_sums`` — range-partitioned on (type, value)
+    with per-partition windows plus broadcast offsets — instead of a
+    ``Window.partitionBy(event_type)`` running sum, whose parallelism is
+    capped at the number of types (25) no matter the cluster size.  The
+    output values are identical (exact integer cumsums either way), so
+    the oracle is unchanged."""
+    from pulsar_ingestion_spark.operators.ranking import keyed_running_sums
+
     ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
     tagged = ev.select(
         "event_type", "value",
@@ -162,26 +172,17 @@ def q_drift_ks(spark, sf_dir):
     pervalue = tagged.groupBy("event_type", "value").agg(
         F.sum("is_a").alias("ca"), F.sum(1 - F.col("is_a")).alias("cb")
     )
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("value")
-        .rowsBetween(Window.unboundedPreceding, 0)
+    cum, totals = keyed_running_sums(
+        pervalue, ["event_type"], [F.col("value")], ["ca", "cb"]
     )
-    wt = Window.partitionBy("event_type")
-    cum = pervalue.select(
-        "event_type",
-        F.sum("ca").over(w).alias("cum_a"),
-        F.sum("cb").over(w).alias("cum_b"),
-        F.sum("ca").over(wt).alias("na"),
-        F.sum("cb").over(wt).alias("nb"),
-    )
+    cum = cum.join(F.broadcast(totals), "event_type")
     gap = F.abs(
-        F.col("cum_a").cast("double") / F.col("na")
-        - F.col("cum_b").cast("double") / F.col("nb")
+        F.col("cum_ca").cast("double") / F.col("total_ca")
+        - F.col("cum_cb").cast("double") / F.col("total_cb")
     )
     return cum.groupBy("event_type").agg(
-        F.max("na").cast("bigint").alias("n_a"),
-        F.max("nb").cast("bigint").alias("n_b"),
+        F.max("total_ca").cast("bigint").alias("n_a"),
+        F.max("total_cb").cast("bigint").alias("n_b"),
         F.round(F.max(gap), 6).alias("ks_d"),
     )
 

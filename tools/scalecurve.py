@@ -54,6 +54,13 @@ QUERIES = [
     "warehouse_scd2_from_changelog",
     "layout_compaction_plan",
     "text_dedup_cascade",
+    # round 7: the two ≥0.6 s round-6 headliners whose scale behavior was
+    # asserted but unmeasured (VERDICT r6 item 2).  bom_rollup's part
+    # table is tiled with disjoint p_partkey per tile (forest growth in
+    # BREADTH — more roots, same bounded depth — the way a parts catalog
+    # actually grows); pq_adc rides the synthesized 10x embeddings.
+    "sim_search_pq_adc",
+    "warehouse_bom_rollup",
 ]
 
 # NOT measured here (same class as dedup_jaccard_prefix_filter below):
@@ -202,7 +209,22 @@ def synthesize(out_dir: str, mult: int, seed: int = 7) -> tuple[int, int]:
         pq.write_table(pa.concat_tables(parts),
                        os.path.join(out_dir, f"{name}.parquet"))
 
-    for t in ["region", "nation", "customer", "supplier", "part"]:
+    # --- part: tile with DISJOINT p_partkey — the BOM closure builds its
+    # forest deterministically from the key space, so disjoint tiles grow
+    # the forest in breadth (10x roots, same bounded depth), which is how
+    # a real parts catalog scales.
+    base_part = pq.read_table(os.path.join(BASE_SF, "part.parquet"))
+    pkey_span = 1 + int(pa.compute.max(base_part["p_partkey"]).as_py())
+    parts = []
+    for k in range(mult):
+        parts.append(base_part.set_column(
+            base_part.schema.get_field_index("p_partkey"),
+            "p_partkey",
+            pa.compute.add(base_part["p_partkey"], k * pkey_span),
+        ))
+    pq.write_table(pa.concat_tables(parts), os.path.join(out_dir, "part.parquet"))
+
+    for t in ["region", "nation", "customer", "supplier"]:
         os.symlink(os.path.join(BASE_SF, f"{t}.parquet"),
                    os.path.join(out_dir, f"{t}.parquet"))
     return n_docs, n_emb
