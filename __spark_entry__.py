@@ -75,6 +75,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # coverage across rounds until every query has a driver CORRECTNESS row
 # (VERDICT r1 item 2, refreshed each round per VERDICT r2 item 2).
 _CHECKED_PRIOR = {
+    # round 7 (CORRECTNESS_r07.json — 49 hash-green + 1 rows-only by
+    # design: graph_kcore's first row plus a fresh re-verification of the
+    # round-1-era prefix; VERDICT r7 item 2)
+    "graph_kcore",
     # round 6 (CORRECTNESS_r06.json — 50/50 hash-green: the 36 rotation
     # ids stranded from round-5 session 3 + udf_pandas_haversine's first
     # post-oracle row + the 14 round-6 additions; VERDICT r6 item 1)
@@ -202,17 +206,15 @@ _CHECKED_PRIOR = {
 }
 
 
-# Round-7 driver-check prefix (the driver checks a bounded prefix ≈50):
-# after round 6 every registered id has a driver CORRECTNESS row (VERDICT
-# r6 item 1), so this round's prefix is only the round-7 additions —
+# Round-8 driver-check prefix (the driver checks a bounded prefix ≈50):
+# every id registered through round 7 has a driver CORRECTNESS row
+# (VERDICT r7), so this round's prefix is only the round-8 additions —
 # each selfchecked at 3 SFs before registration.
-_ROUND7_PREFIX = [
-    "graph_kcore",
-]
+_ROUND8_PREFIX: list[str] = []
 
 
 def _rotated(mapping: dict) -> dict:
-    prefix = {k: mapping[k] for k in _ROUND7_PREFIX if k in mapping}
+    prefix = {k: mapping[k] for k in _ROUND8_PREFIX if k in mapping}
     fresh = {
         k: v for k, v in mapping.items()
         if k not in _CHECKED_PRIOR and k not in prefix

@@ -140,8 +140,9 @@ SECTIONS = [
         "sim_search_recall_eval", "emb_label_affinity", "emb_prefix_recall",
         "emb_whiten_stats", "emb_prototypes_per_label",
     ]),
-    ("Graph analytics (round 5)", [
+    ("Graph analytics (round 5+)", [
         "graph_pagerank", "graph_degree_stats", "graph_triangle_count",
+        "graph_kcore",
     ]),
     ("Sketches & sampling III (round 5)", [
         "sketch_kmv_intersect", "sketch_quantile_logbins", "sample_weighted_kmv",
@@ -209,6 +210,7 @@ STREAMING_ONLY = [
     ("versioned streaming sink (exactly-once batch-id commits)", "tests/test_versioned.py::test_stream_committer_end_to_end_with_restart"),
     ("streaming drift monitor (per-batch PSI vs frozen reference)", "tests/test_streaming.py::test_streaming_drift_monitor_alerts_on_shift"),
     ("pipeline versioned sink mode (manifest-committed CMF landing)", "tests/test_versioned.py::test_pipeline_versioned_sink_end_to_end"),
+    ("streaming dedup cascade (incremental exact→LSH, batch-cut invariant, exactly-once)", "tests/test_streaming_dedup_cascade.py"),
 ]
 
 
