@@ -114,7 +114,8 @@ def keyed_running_sums(
          per-key offsets added back via a broadcast join.
 
     Rows must be unique on (key, order) so the order is total (callers
-    pass pre-aggregated relations).  Returns ``(df_out, totals)`` where
+    pass pre-aggregated relations).  NULL key values form an ordinary
+    group (the offset join is null-safe), matching Window.partitionBy.  Returns ``(df_out, totals)`` where
     ``df_out`` carries ``cum_<c>`` for each sum column and ``totals`` is
     the per-key grand-total relation (``total_<c>``) — broadcast-sized,
     callers join it rather than re-aggregating.  The repartitioned
@@ -146,23 +147,68 @@ def keyed_running_sums(
             off_rows.append((pid, *key, *acc))
             acc = [a + (v or 0) for a, v in zip(acc, vals)]
         tot_rows.append((*key, *acc))
-    off_schema = ["_gpid", *key_cols, *[f"_off_{c}" for c in sum_cols]]
-    tot_schema = [*key_cols, *[f"total_{c}" for c in sum_cols]]
+    # Explicit schemas (ADVICE r7): the empty path must emit the SAME
+    # long/double-typed totals as the inferred non-empty path, and an
+    # all-NULL key column must not break type inference.
+    from pyspark.sql.types import (
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    def _sum_type(c: str):
+        dt = df.schema[c].dataType
+        return DoubleType() if isinstance(dt, (DoubleType, FloatType)) else LongType()
+
+    key_fields = [StructField(k, df.schema[k].dataType) for k in key_cols]
+    off_schema = StructType(
+        [StructField("_gpid", IntegerType()), *key_fields]
+        + [StructField(f"_off_{c}", _sum_type(c)) for c in sum_cols]
+    )
+    tot_schema = StructType(
+        key_fields + [StructField(f"total_{c}", _sum_type(c)) for c in sum_cols]
+    )
     if not off_rows:  # empty input: zero cums, empty totals
         out = ranged
         for c in sum_cols:
             out = out.withColumn(f"cum_{c}", F.lit(0).cast("long"))
-        return out.drop("_gpid"), spark.createDataFrame([], ", ".join(
-            f"{c} string" for c in tot_schema))
-    offsets = spark.createDataFrame(off_rows, off_schema)
-    totals = spark.createDataFrame(tot_rows, tot_schema)
+        return out.drop("_gpid"), spark.createDataFrame([], tot_schema)
+
+    def _cast(rows, schema):
+        return [
+            tuple(
+                float(v) if v is not None and isinstance(f.dataType, DoubleType)
+                else v
+                for v, f in zip(r, schema.fields)
+            )
+            for r in rows
+        ]
+
+    offsets = spark.createDataFrame(_cast(off_rows, off_schema), off_schema)
+    totals = spark.createDataFrame(_cast(tot_rows, tot_schema), tot_schema)
     w = (
         Window.partitionBy("_gpid", *key_cols)
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    out = ranged.join(F.broadcast(offsets), ["_gpid", *key_cols])
+    # null-safe key equality (ADVICE r7): Window.partitionBy treats NULL
+    # as an ordinary group, so the offset join must too — a plain equi-
+    # join would silently drop NULL-keyed rows
+    off = offsets.withColumnRenamed("_gpid", "_o_gpid")
+    for k in key_cols:
+        off = off.withColumnRenamed(k, f"_o_{k}")
+    cond = F.col("_gpid") == F.col("_o_gpid")
+    for k in key_cols:
+        cond = cond & F.col(k).eqNullSafe(F.col(f"_o_{k}"))
+    out = ranged.join(F.broadcast(off), cond)
     for c in sum_cols:
         out = out.withColumn(f"cum_{c}", F.sum(c).over(w) + F.col(f"_off_{c}"))
-    out = out.drop("_gpid", *[f"_off_{c}" for c in sum_cols])
+    out = out.drop(
+        "_gpid", "_o_gpid",
+        *[f"_o_{k}" for k in key_cols],
+        *[f"_off_{c}" for c in sum_cols],
+    )
     return out, totals

@@ -264,20 +264,37 @@ class VersionedTable:
         manifests).  -1 if this stream never committed a batch."""
         return self.batch_watermarks().get(app_id, -1)
 
+    @staticmethod
+    def _lock_token(lock: str) -> str | None:
+        try:
+            with open(lock) as fh:
+                return fh.read()
+        except (FileNotFoundError, OSError):
+            return None
+
     def _raise_batch_watermark(self, batch_id: int, app_id: str = _DEFAULT_APP) -> None:
         # Monotone max under contention: an O_EXCL lock file serializes
         # read+merge+replace, so a slow writer can never clobber the file
         # with a stale smaller map (ADVICE r6).  A crashed holder's lock
-        # is stolen after a bounded wait; batch_watermarks()'s
-        # manifest-merge covers the (tiny) steal race window.
+        # is stolen after a bounded wait.  The lock carries its holder's
+        # uuid (ADVICE r7): a stalled writer whose lock was stolen must
+        # neither publish its stale map (re-validate ownership before
+        # os.replace) nor unlink the NEW holder's lock on the way out
+        # (ownership-checked unlink) — otherwise a third writer is
+        # admitted concurrently and, post-vacuum, the stale map could
+        # land with no manifests left to out-vote it.
         import time
 
         lock = self._watermark_file + ".lock"
+        token = uuid.uuid4().hex
         deadline = time.time() + 10.0
-        fd = None
-        while fd is None:
+        acquired = False
+        while not acquired:
             try:
                 fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, token.encode())
+                os.close(fd)
+                acquired = True
             except FileExistsError:
                 if time.time() > deadline:
                     try:  # stale lock from a crashed holder — steal it
@@ -296,13 +313,43 @@ class VersionedTable:
                 )
                 with open(tmp, "w") as fh:
                     json.dump({"apps": current}, fh)
-                os.replace(tmp, self._watermark_file)
+                # re-validate right before publishing: if we stalled and
+                # the lock was stolen, a newer holder's map may already
+                # be current — dropping our update is safe (the thief
+                # re-read the file after stealing, and the manifest
+                # max-merge covers the remaining instruction-level window)
+                if self._lock_token(lock) == token:
+                    os.replace(tmp, self._watermark_file)
+                else:
+                    os.unlink(tmp)
         finally:
-            os.close(fd)
-            try:
-                os.unlink(lock)
-            except FileNotFoundError:
-                pass
+            if self._lock_token(lock) == token:
+                try:
+                    os.unlink(lock)
+                except FileNotFoundError:
+                    pass
+
+    def migrate_default_app(self, app_id: str) -> None:
+        """One-time upgrade alias (ADVICE r7): pre-r7 stream commits
+        carry no app_id and land under ``__default__``; a pipeline
+        upgraded to app-scoped watermarks starts with watermark(-1) for
+        its new app_id, so a Structured Streaming replay of an
+        already-committed batch (same checkpoint, data landed, offsets
+        not yet advanced) would append it a SECOND time.  Calling this
+        when resuming an EXISTING checkpoint under a new app_id raises
+        the app's watermark to the legacy ``__default__`` one, so the
+        replayed old batch ids no-op exactly as they did pre-upgrade.
+
+        Must NOT be called for a fresh checkpoint (new stream = fresh
+        small batch ids that the legacy watermark would wrongly swallow)
+        — the caller gates on checkpoint-directory existence
+        (plans/pipeline.py versioned sink)."""
+        if app_id == _DEFAULT_APP:
+            return
+        wms = self.batch_watermarks()
+        legacy = wms.get(_DEFAULT_APP, -1)
+        if legacy > wms.get(app_id, -1):
+            self._raise_batch_watermark(legacy, app_id)
 
     def _batch_already_committed(
         self, batch_id: int, app_id: str = _DEFAULT_APP

@@ -213,7 +213,15 @@ def run_pipeline(spark: SparkSession, spec: PipelineSpec, streaming: bool = True
         table = VersionedTable(spec.output_path)
         # the checkpoint location IS the stream identity: batch ids are
         # monotonic per checkpoint, so replay-dedup state must be scoped
-        # to it (a reset checkpoint = a new app_id = fresh batch ids)
+        # to it (a reset checkpoint = a new app_id = fresh batch ids).
+        # Resuming a PRE-EXISTING checkpoint whose history committed
+        # app-unscoped (pre-r7 __default__) batches: alias the legacy
+        # watermark onto this app_id so replayed old batches still no-op
+        # (ADVICE r7 — fresh checkpoints skip this, their batch ids are new)
+        import os as _os
+
+        if _os.path.isdir(spec.checkpoint):
+            table.migrate_default_app(spec.checkpoint)
         main = (
             _with_trigger(
                 out.writeStream.foreachBatch(

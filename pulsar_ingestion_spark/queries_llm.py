@@ -254,32 +254,66 @@ _PLANE_DOT = """list_reduce(list_prepend(0.0, list_transform(range(1, {dim}+1),
   i -> CAST({vec}[i] AS DOUBLE) * {pvec}[i])), (x,y) -> x+y)"""
 
 
-def _signlsh_bucket_cte(dim: int, num_planes: int, seeds: list[int]) -> str:
+def _signlsh_bucket_cte(
+    dim: int, num_planes: int, seeds: list[int], planes_filter: str | None = None
+) -> str:
     """CTEs `planes(tbl, p, pvec)` + `buckets(vec_id, embedding, tbl,
     bucket)` — the DuckDB recomputation of signlsh_buckets for one LSH
-    table per seed (bucket = Σ (v·h_p > 0) << p, same left fold)."""
+    table per seed (bucket = Σ (v·h_p > 0) << p, same left fold).
+
+    ``planes_filter``: optional scalar-subquery SQL expression bounding
+    the ACTIVE plane count at query time (``pl.p < (expr)``) — the
+    enumerated ``num_planes`` then acts as the literal pool the filter
+    selects from (auto-scaling oracles, ADVICE r7)."""
     rows = []
     for t, seed in enumerate(seeds):
         for p in range(num_planes):
             rows.append(f"({t}, {p}, {_plane_literal(dim, p, seed)})")
     dot = _PLANE_DOT.format(dim=dim, vec="e.embedding", pvec="pl.pvec")
+    where = f"WHERE pl.p < ({planes_filter})" if planes_filter else ""
     return f"""
     planes(tbl, p, pvec) AS (FROM (VALUES {", ".join(rows)}) v(tbl, p, pvec)),
     buckets AS (
       SELECT e.vec_id, e.embedding, pl.tbl,
              SUM(CASE WHEN {dot} > 0 THEN (CAST(1 AS BIGINT) << pl.p) ELSE 0 END) AS bucket
-      FROM embeddings e CROSS JOIN planes pl
+      FROM embeddings e CROSS JOIN planes pl {where}
       GROUP BY e.vec_id, e.embedding, pl.tbl
     )"""
 
 
-def _blas_oracle(dim: int, num_planes: int, num_tables: int, seed: int, threshold: float) -> str:
+def _blas_oracle(
+    dim: int,
+    num_planes: int | None,
+    num_tables: int,
+    seed: int,
+    threshold: float,
+    target_block: int = 512,
+    lo: int = 3,
+    max_planes: int = 8,
+) -> str:
+    """``num_planes=None`` → AUTO mode (ADVICE r7): the oracle derives
+    its active plane count from COUNT(*) with the SAME formula as
+    operators.similarity.auto_num_planes (identical IEEE double ops:
+    ceil(log2(n / target)) clamped to [lo, 20]), so a fixture-size bump
+    past the lo-clamp region changes both sides' LSH blocking in
+    lockstep instead of silently diverging.  ``max_planes`` bounds the
+    enumerated hyperplane-literal pool — 8 covers fixtures up to
+    target_block·2^8 ≈ 131k vectors (test SFs carry ≤ 2k)."""
     cos = f"""round({_KNN_DOT.format(a='x.embedding', b='y.embedding')}
       / (sqrt({_KNN_DOT.format(a='x.embedding', b='x.embedding')})
        * sqrt({_KNN_DOT.format(a='y.embedding', b='y.embedding')})), 6)"""
     seeds = [seed + 7919 * t for t in range(num_tables)]
+    if num_planes is None:
+        planes_filter = (
+            f"SELECT CASE WHEN count(*) <= {target_block} THEN {lo} "
+            f"ELSE GREATEST({lo}, LEAST(20, CAST(ceil(log2(count(*) / {target_block}.0)) AS BIGINT))) END "
+            f"FROM embeddings"
+        )
+        cte = _signlsh_bucket_cte(dim, max_planes, seeds, planes_filter=planes_filter)
+    else:
+        cte = _signlsh_bucket_cte(dim, num_planes, seeds)
     return f"""
-    WITH {_signlsh_bucket_cte(dim, num_planes, seeds)},
+    WITH {cte},
     cand AS (
       SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
       FROM buckets a JOIN buckets b
@@ -292,7 +326,7 @@ def _blas_oracle(dim: int, num_planes: int, num_tables: int, seed: int, threshol
     """
 
 
-@query("dedup_embedding_blas", oracle=_blas_oracle(64, 3, 8, 42, 0.4))
+@query("dedup_embedding_blas", oracle=_blas_oracle(64, None, 8, 42, 0.4))
 def q_dedup_embedding_blas(spark, sf_dir):
     # The 100 TB near-dup plan: sign-LSH blocks × per-block numpy matmul
     # (applyInPandas) — no collect, no all-pairs join.  The plane count
