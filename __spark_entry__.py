@@ -210,7 +210,9 @@ _CHECKED_PRIOR = {
 # every id registered through round 7 has a driver CORRECTNESS row
 # (VERDICT r7), so this round's prefix is only the round-8 additions —
 # each selfchecked at 3 SFs before registration.
-_ROUND8_PREFIX: list[str] = []
+_ROUND8_PREFIX: list[str] = [
+    "dedup_minhash_fast",
+]
 
 
 def _rotated(mapping: dict) -> dict:

@@ -86,6 +86,119 @@ def ngram_jaccard_pairs(
     )
 
 
+# Canonical portable minhash seed set (also used by the queries_llm
+# oracles, which re-derive the same md5 signatures in DuckDB).
+MINHASH_SEEDS = ["s0", "s1", "s2", "s3", "s4", "s5", "s6", "s7"]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    hash: str = "md5",
+    seeds: list[str] | None = None,
+) -> DataFrame:
+    """Per-doc MinHash signatures over ``n``-gram shingles:
+    ``(doc_id, w, sig_0..sig_{k-1})`` for k = len(seeds).
+
+    ``hash`` picks the minhash family (VERDICT r7 item 4):
+
+    * ``"md5"`` — engine-portable hex digests, recomputable in DuckDB;
+      the oracle-checked path (dedup_minhash_banded, text_dedup_cascade).
+      Cost: k MessageDigest calls + hex materialization PER SHINGLE —
+      measured ~800 md5/doc on the banded pipeline, the dominant CPU at
+      the 10× scale point (SCALE.md §6f).
+    * ``"xxhash64"`` — Spark's codegen'd 64-bit hash, seeded per signature
+      via a literal prefix column: one JVM-native long op per shingle, no
+      string round-trip.  Use for engine-side blocking when the oracle
+      compares plain values or rows-only (precedent: text_line_dedup,
+      text_bigram_logprob's xxhash64 shuffle keys).
+
+    Both families produce exchange-identical plan shapes — only the
+    signature expression differs — so the cheap path inherits the
+    md5 path's scale behavior with ~an order less hash CPU.
+    """
+    if hash not in ("md5", "xxhash64"):
+        raise ValueError(f"unknown minhash hash family {hash!r}")
+    seeds = MINHASH_SEEDS if seeds is None else seeds
+    w = shingles(F.col(text_col), n)
+
+    def _sig(seed: str):
+        if hash == "md5":
+            return F.array_min(
+                F.transform(w, lambda x: F.md5(F.concat(F.lit(f"{seed}:"), x)))
+            )
+        return F.array_min(F.transform(w, lambda x: F.xxhash64(F.lit(seed), x)))
+
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        w.alias("w"),
+        *[_sig(s).alias(f"sig_{i}") for i, s in enumerate(seeds)],
+    )
+
+
+def minhash_banded_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_bands: int = 4,
+    threshold: float = 0.35,
+    hash: str = "md5",
+) -> DataFrame:
+    """Banded MinHash LSH near-dup pairs, exact-Jaccard verified:
+    signatures → ``num_bands`` bands of 2 → candidates share ≥1 band →
+    shingle-Jaccard ≥ ``threshold`` → ``(id_a, id_b, jaccard)``.
+
+    The band equi-join IS the candidate filter (``num_bands`` shuffle
+    keys per doc); the verify join touches only surviving pairs — never
+    all-pairs.  With ``hash="md5"`` this is exactly the
+    dedup_minhash_banded pipeline (hex-concat band values); with
+    ``hash="xxhash64"`` band values fold the two member signatures into
+    one long (8-byte shuffle keys instead of 64-char strings), trading
+    oracle portability for hash CPU — the output is still PRECISE
+    (every emitted pair is exact-verified); only recall is
+    family-dependent.
+    """
+    sigs = minhash_signatures(df, id_col, text_col, n=n, hash=hash)
+    if hash == "md5":
+        bvals = [
+            F.concat(F.col(f"sig_{2 * b}"), F.col(f"sig_{2 * b + 1}"))
+            for b in range(num_bands)
+        ]
+    else:
+        bvals = [
+            F.xxhash64(F.col(f"sig_{2 * b}"), F.col(f"sig_{2 * b + 1}"))
+            for b in range(num_bands)
+        ]
+    bands = sigs.select(
+        "doc_id", F.posexplode(F.array(*bvals)).alias("band", "bval")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    wx = sigs.select(F.col("doc_id").alias("id_a"), F.col("w").alias("wa"))
+    wy = sigs.select(F.col("doc_id").alias("id_b"), F.col("w").alias("wb"))
+    inter = F.size(F.array_intersect(F.col("wa"), F.col("wb")))
+    jac = F.round(inter / (F.size("wa") + F.size("wb") - inter), 6)
+    return (
+        cand.join(wx, "id_a")
+        .join(wy, "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def dedup_minhash_lsh(
     df: DataFrame,
     threshold: float = 0.6,

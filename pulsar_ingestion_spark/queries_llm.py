@@ -13,10 +13,12 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from pulsar_ingestion_spark.operators.dedup import (
+    MINHASH_SEEDS,
     dedup_exact,
     dedup_fingerprint,
     dedup_minhash_lsh,
     embedding_near_dups,
+    minhash_banded_pairs,
     ngram_jaccard_pairs,
     simhash_near_dups,
 )
@@ -760,7 +762,7 @@ def q_text_decontaminate(spark, sf_dir):
     )
 
 
-_MINHASH_SEEDS = ["s0", "s1", "s2", "s3", "s4", "s5", "s6", "s7"]
+_MINHASH_SEEDS = MINHASH_SEEDS  # canonical list lives in operators.dedup
 
 _MINHASH_SIG_ORACLE = r"""
 SELECT doc_id,
@@ -895,6 +897,26 @@ def q_dedup_minhash_banded(spark, sf_dir):
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= 0.35)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+@query("dedup_minhash_fast")  # xxhash64 signatures → not DuckDB-recomputable → rows-only
+def q_dedup_minhash_fast(spark, sf_dir):
+    # The PRODUCTION form of dedup_minhash_banded (VERDICT r7 item 4):
+    # identical plan shape (8 minhashes → 4 bands → band equi-join →
+    # exact shingle-Jaccard ≥ 0.35 verify) but the signatures are
+    # engine-side xxhash64 longs instead of portable md5 hex — one
+    # codegen'd hash op per shingle instead of a MessageDigest + hex
+    # string, and 8-byte band shuffle keys instead of 64-char strings.
+    # dedup_minhash_banded's 10× curve is CPU-bound on its ~800 portable
+    # md5 calls/doc (SCALE.md §6f); this variant removes that term while
+    # keeping the verify stage exact, so every emitted pair is still a
+    # true ≥-threshold pair (precision 1; only LSH recall is
+    # hash-family-dependent).  Keep the md5 id for oracle parity; use
+    # this one at scale.
+    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    return minhash_banded_pairs(
+        docs, n=3, num_bands=4, threshold=0.35, hash="xxhash64"
     )
 
 

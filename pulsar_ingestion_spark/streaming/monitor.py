@@ -81,6 +81,22 @@ def wasserstein1(ref: dict[int, int], obs: dict[int, int], bin_width: float) -> 
     return total
 
 
+def kolmogorov_smirnov(ref: dict[int, int], obs: dict[int, int]) -> float:
+    """Binned two-sample KS statistic: max over bin edges of
+    |F_ref − F_obs| — the batch-side drift_ks metric at histogram
+    resolution.  Scale-free ([0, 1] regardless of bin_width), so unlike
+    W1 its threshold is portable across monitored columns; like W1 it
+    needs no smoothing."""
+    n_ref = sum(ref.values()) or 1
+    n_obs = sum(obs.values()) or 1
+    gap, cum_r, cum_o = 0.0, 0, 0
+    for b in range(_BINS - 1):  # last edge: both CDFs are 1, gap 0
+        cum_r += ref.get(b, 0)
+        cum_o += obs.get(b, 0)
+        gap = max(gap, abs(cum_r / n_ref - cum_o / n_obs))
+    return gap
+
+
 def drift_monitor(
     ref: dict[int, int],
     value_col: str,
@@ -89,21 +105,30 @@ def drift_monitor(
     threshold: float = 0.25,
     metric: str = "psi",
     w1_threshold: float | None = None,
+    ks_threshold: float | None = None,
 ):
     """foreachBatch target: score each micro-batch vs ``ref`` and append
     a JSONL verdict per batch to ``alert_log``.  ``metric`` selects
-    "psi" (default), "w1", or "both" — both scores come from the SAME
-    per-batch O(bins) histogram, so adding the second metric costs
-    nothing at data scale."""
-    if metric not in ("psi", "w1", "both"):
+    "psi" (default), "w1", "ks", "both" (psi+w1), or "all" — every score
+    comes from the SAME per-batch O(bins) histogram, so adding metrics
+    costs nothing at data scale."""
+    if metric not in ("psi", "w1", "ks", "both", "all"):
         raise ValueError(f"unknown drift metric {metric!r}")
-    if metric in ("w1", "both") and w1_threshold is None:
+    if metric in ("w1", "both", "all") and w1_threshold is None:
         # PSI has a default threshold; W1's scale depends on bin_width, so
         # there is no sane universal default — selecting the metric
         # without a threshold would silently disable alerting (ADVICE r6).
         raise ValueError(
-            "w1_threshold is required when metric is 'w1' or 'both' — "
+            "w1_threshold is required when metric is 'w1', 'both', or 'all' — "
             "without it the W1 score could never raise an alert"
+        )
+    if metric in ("ks", "all") and ks_threshold is None:
+        # same discipline as W1: an unset threshold must fail loudly, not
+        # silently disable alerting (KS is in [0,1] but the right cut
+        # still depends on batch size and the column's natural wobble)
+        raise ValueError(
+            "ks_threshold is required when metric is 'ks' or 'all' — "
+            "without it the KS score could never raise an alert"
         )
 
     def check(batch_df: DataFrame, batch_id: int) -> None:
@@ -112,14 +137,18 @@ def drift_monitor(
             return
         rec: dict = {"batch_id": int(batch_id), "n": sum(obs.values())}
         alert = False
-        if metric in ("psi", "both"):
+        if metric in ("psi", "both", "all"):
             score = psi(ref, obs)
             rec["psi"] = round(score, 6)
             alert = alert or score > threshold
-        if metric in ("w1", "both"):
+        if metric in ("w1", "both", "all"):
             w1 = wasserstein1(ref, obs, bin_width)
             rec["w1"] = round(w1, 6)
             alert = alert or (w1_threshold is not None and w1 > w1_threshold)
+        if metric in ("ks", "all"):
+            ks = kolmogorov_smirnov(ref, obs)
+            rec["ks"] = round(ks, 6)
+            alert = alert or (ks_threshold is not None and ks > ks_threshold)
         rec["alert"] = alert
         with open(alert_log, "a") as fh:
             fh.write(json.dumps(rec) + "\n")

@@ -166,3 +166,49 @@ def test_blas_oracle_auto_matches_fixed_in_clamp_region(spark):
         map(tuple, auto[key].values.tolist())
     )
     assert len(auto) > 0
+
+
+def test_minhash_banded_helper_matches_checked_query(spark):
+    """minhash_banded_pairs(hash='md5') must reproduce the hash-checked
+    dedup_minhash_banded query exactly (same signatures, bands, verify)."""
+    from pulsar_ingestion_spark.operators.dedup import minhash_banded_pairs
+    from pulsar_ingestion_spark.queries_llm import q_dedup_minhash_banded
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    got = {tuple(r) for r in minhash_banded_pairs(docs).collect()}
+    want = {tuple(r) for r in q_dedup_minhash_banded(spark, sf).collect()}
+    assert got == want and got
+
+
+def test_minhash_fast_is_precise_and_recalls_md5_pairs(spark):
+    """The xxhash64 variant (VERDICT r7 item 4): every emitted pair is a
+    true exact-Jaccard ≥ threshold pair (precision 1 by construction —
+    re-verify independently), and on the test corpus it finds the same
+    near-dup pairs as the md5 family (recall parity at this scale)."""
+    from pulsar_ingestion_spark.operators.dedup import (
+        minhash_banded_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    fast = {tuple(r) for r in
+            minhash_banded_pairs(docs, hash="xxhash64").collect()}
+    md5 = {tuple(r) for r in minhash_banded_pairs(docs, hash="md5").collect()}
+    # precision: the exact all-candidate jaccard relation must contain
+    # every fast pair at the same score
+    exact = {tuple(r) for r in
+             ngram_jaccard_pairs(docs, threshold=0.35, n=3).collect()}
+    assert fast <= exact
+    assert fast == md5 and fast
+
+
+def test_minhash_fast_rejects_unknown_hash(spark):
+    import pytest as _pytest
+
+    from pulsar_ingestion_spark.operators.dedup import minhash_signatures
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="hash family"):
+        minhash_signatures(df, hash="sha1")

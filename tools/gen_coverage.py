@@ -67,7 +67,7 @@ SECTIONS = [
     ]),
     ("LLM data pipeline: dedup", [
         "dedup_exact", "dedup_keep_best", "dedup_fingerprint", "dedup_ngram_jaccard", "dedup_minhash",
-        "dedup_minhash_banded", "dedup_cluster_components", "dedup_cluster_lss", "text_minhash_signature",
+        "dedup_minhash_banded", "dedup_minhash_fast", "dedup_cluster_components", "dedup_cluster_lss", "text_minhash_signature",
         "dedup_simhash", "dedup_embedding_cosine", "dedup_embedding_blas",
     ]),
     ("LLM data pipeline: similarity search", ["sim_search_knn", "sim_search_lsh", "sim_search_lsh_multiprobe",
