@@ -88,6 +88,11 @@ HEADLINE = [
     "warehouse_merge_resolve_conflicts",
     "dedup_semantic_cluster",
     "sim_search_pq_adc",
+    # round 8: the distributed k-core peel (the round-7 heavy) and the
+    # xxhash64 minhash variant (the production-cost sibling of
+    # dedup_minhash_banded)
+    "graph_kcore",
+    "dedup_minhash_fast",
 ]
 
 

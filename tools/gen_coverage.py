@@ -211,6 +211,8 @@ STREAMING_ONLY = [
     ("streaming drift monitor (per-batch PSI vs frozen reference)", "tests/test_streaming.py::test_streaming_drift_monitor_alerts_on_shift"),
     ("pipeline versioned sink mode (manifest-committed CMF landing)", "tests/test_versioned.py::test_pipeline_versioned_sink_end_to_end"),
     ("streaming dedup cascade (incremental exact→LSH, batch-cut invariant, exactly-once)", "tests/test_streaming_dedup_cascade.py"),
+    ("streaming drift monitor KS metric (max CDF gap per batch)", "tests/test_streaming.py::test_streaming_drift_monitor_ks_metric"),
+    ("metrics export (StreamingQueryListener → JSONL progress/state/observed records)", "tests/test_streaming_metrics.py"),
 ]
 
 
