@@ -54,9 +54,12 @@ def ngram_jaccard_pairs(
     The shingle join IS the candidate filter — all-pairs never materializes.
     At 100 TB: add a band/bucket stage (MinHash) before this as candidates.
     """
+    # persisted: the explode below re-evaluates an un-materialized
+    # generator input per output row (round-8 lesson — see
+    # minhash_signatures), and both join sides read this relation
     sh = df.select(
         F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
-    ).withColumn("sh_size", F.size("sh"))
+    ).withColumn("sh_size", F.size("sh")).persist()
     # Join on a 64-bit hash of the shingle, not the string: ~8 bytes vs
     # ~(3 words) per shuffle key.  xxhash64 collisions (~1e-11 at millions
     # of distinct shingles) could at worst inflate one intersection count
@@ -115,27 +118,39 @@ def minhash_signatures(
       compares plain values or rows-only (precedent: text_line_dedup,
       text_bigram_logprob's xxhash64 shuffle keys).
 
-    Both families produce exchange-identical plan shapes — only the
-    signature expression differs — so the cheap path inherits the
-    md5 path's scale behavior with ~an order less hash CPU.
+    Evaluation plan (round-8 scale fix, measured at the 10× point): the
+    naive form — k × ``array_min(transform(w, hash))`` — runs every hash
+    in Spark's INTERPRETED higher-order-function evaluator (~20M lambda
+    dispatches at 50k docs × 52 shingles × 8 seeds; 12–17 s wall on 32
+    cores, the dominant stage of the whole LSH pipeline).  Instead the
+    shingle array is materialized once, EXPLODED (explode of an
+    attribute is cheap; explode of an un-materialized expression
+    re-evaluates it per output row), and the k minhashes come from k
+    ``min(hash(...))`` aggregates over the exploded rows — whole-stage
+    codegen the entire way, one shuffle on doc_id, then one join back
+    to re-attach the shingle set.  Values are IDENTICAL to the naive
+    form (same hash of the same strings), so the md5 family's DuckDB
+    oracles are unchanged.  Measured: 12.5 s → ~2 s (md5) at 10× sf0.1.
     """
     if hash not in ("md5", "xxhash64"):
         raise ValueError(f"unknown minhash hash family {hash!r}")
     seeds = MINHASH_SEEDS if seeds is None else seeds
-    w = shingles(F.col(text_col), n)
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        shingles(F.col(text_col), n).alias("w"),
+    ).persist()
 
     def _sig(seed: str):
         if hash == "md5":
-            return F.array_min(
-                F.transform(w, lambda x: F.md5(F.concat(F.lit(f"{seed}:"), x)))
-            )
-        return F.array_min(F.transform(w, lambda x: F.xxhash64(F.lit(seed), x)))
+            return F.min(F.md5(F.concat(F.lit(f"{seed}:"), F.col("g"))))
+        return F.min(F.xxhash64(F.lit(seed), F.col("g")))
 
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        w.alias("w"),
-        *[_sig(s).alias(f"sig_{i}") for i, s in enumerate(seeds)],
+    sigs_flat = (
+        base.select("doc_id", F.explode_outer("w").alias("g"))
+        .groupBy("doc_id")
+        .agg(*[_sig(s).alias(f"sig_{i}") for i, s in enumerate(seeds)])
     )
+    return base.join(sigs_flat, "doc_id")
 
 
 def minhash_banded_pairs(
@@ -160,8 +175,18 @@ def minhash_banded_pairs(
     oracle portability for hash CPU — the output is still PRECISE
     (every emitted pair is exact-verified); only recall is
     family-dependent.
+
+    The signature relation is PERSISTED before banding (round-8 fix,
+    measured at the 10× scale point): ``posexplode`` re-evaluates its
+    input expression per OUTPUT row, so un-materialized signatures cost
+    ~num_bands× the signature work in the band stage — and the band
+    self-join plus the two verify joins would each recompute them
+    again.  One materialization makes every downstream consumer read
+    attribute columns instead (band stage wall at 10× sf0.1: 14 s →
+    <1 s).  At cluster scale the same barrier is a bucketed staging
+    table on doc_id.
     """
-    sigs = minhash_signatures(df, id_col, text_col, n=n, hash=hash)
+    sigs = minhash_signatures(df, id_col, text_col, n=n, hash=hash).persist()
     if hash == "md5":
         bvals = [
             F.concat(F.col(f"sig_{2 * b}"), F.col(f"sig_{2 * b + 1}"))
@@ -314,7 +339,10 @@ def simhash_near_dups(
     join; bucket width = ``bits / (max_hamming + 1)`` bits (keep ≥ 8 by
     raising ``bits`` when loosening ``max_hamming``).
     """
-    sigs = simhash(df, text_col, id_col, bits, portable=portable)
+    # persisted: the signature is a bits-wide fold of per-word hashes;
+    # the band posexplode and both self-join sides would otherwise
+    # recompute it (round-8 lesson — see minhash_signatures)
+    sigs = simhash(df, text_col, id_col, bits, portable=portable).persist()
     nbands = max_hamming + 1
     base, rem = divmod(bits, nbands)
     bands, off = [], 0

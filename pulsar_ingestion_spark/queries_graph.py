@@ -498,3 +498,86 @@ def q_graph_kcore(spark, sf_dir):
     for r in reports[1:]:
         out = out.unionAll(r)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Round 8: bounded multi-source BFS — per-hop reachability counts from a
+# deterministic seed set.  The frontier loop is the canonical Pregel
+# traversal (neighbor join + visited anti-join per hop), and the hop
+# bound makes it oracle-checkable via a recursive CTE.
+
+_BFS_SEEDS = 5
+_BFS_MAX_HOPS = 4
+
+_BFS_ORACLE = f"""
+WITH RECURSIVE {_COOC_EDGES_SQL},
+bidir AS (
+  SELECT u AS node, v AS nbr FROM edges
+  UNION ALL
+  SELECT v AS node, u AS nbr FROM edges
+), seeds AS (
+  SELECT node FROM (SELECT DISTINCT node FROM bidir) t
+  ORDER BY node LIMIT {_BFS_SEEDS}
+), reach(node, dist) AS (
+  SELECT node, 0 FROM seeds
+  UNION
+  SELECT b.nbr, r.dist + 1
+  FROM reach r JOIN bidir b ON b.node = r.node
+  WHERE r.dist < {_BFS_MAX_HOPS}
+), best AS (
+  SELECT node, min(dist) AS dist FROM reach GROUP BY node
+)
+SELECT dist, CAST(count(*) AS BIGINT) AS n_nodes
+FROM best GROUP BY dist
+"""
+
+
+@query("graph_bfs_hops", oracle=_BFS_ORACLE)
+def q_graph_bfs_hops(spark, sf_dir):
+    """Multi-source BFS over the user co-occurrence graph, bounded at
+    {hops} hops: how many users sit at each hop distance from the seed
+    cohort (the {seeds} smallest user ids — deterministic, so the result
+    is hash-checkable against a recursive-CTE oracle).
+
+    Plan shape (the Pregel frontier loop, same discipline as
+    graph_kcore's peel): per hop, ONE equi-join of the bidirectional
+    edge list against the current frontier (shuffle keyed on the node
+    id) + ONE anti-join against the visited set, lineage cut per hop
+    via localCheckpoint.  The frontier strictly grows into unvisited
+    territory, so per-hop work is bounded by the edges incident to the
+    frontier — never a full-graph pass after the first hop, and the hop
+    bound caps total rounds regardless of graph diameter.  At 100 TB
+    the edge list would be bucketed by node so every hop's join is
+    exchange-free on the big side.  Early exit on an empty frontier.
+    Reference basis: consumer-reach analysis over the splitter's event
+    stream (docs/architecture.md:113-118), extending graph_degree_stats
+    to traversal distance.
+    """.format(hops=_BFS_MAX_HOPS, seeds=_BFS_SEEDS)
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    edges = _cooc_edges(ev)
+    bidir = (
+        edges.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+        .unionAll(edges.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+        .persist()
+    )
+    seeds = bidir.select("node").distinct().orderBy("node").limit(_BFS_SEEDS)
+    visited = seeds.withColumn("dist", F.lit(0)).localCheckpoint(eager=True)
+    frontier = visited.select("node")
+    for d in range(1, _BFS_MAX_HOPS + 1):
+        nxt = (
+            bidir.join(frontier, "node")
+            .select(F.col("nbr").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionAll(
+            nxt.withColumn("dist", F.lit(d))
+        ).localCheckpoint(eager=True)
+        frontier = nxt
+    bidir.unpersist()
+    return visited.groupBy("dist").agg(
+        F.count("*").cast("bigint").alias("n_nodes")
+    )

@@ -861,53 +861,14 @@ def q_dedup_minhash_banded(spark, sf_dir):
     # recomputes the identical pipeline).  Scale shape identical to the
     # MLlib path: the band equi-join IS the candidate filter (4 shuffle
     # keys per doc), the verify joins touch only surviving pairs — never
-    # all-pairs.
-    from pulsar_ingestion_spark.functions.text import shingles
-
+    # all-pairs.  The pipeline lives in operators.dedup.minhash_banded_
+    # pairs (round 8), which evaluates the signatures via explode +
+    # codegen'd min-aggregates instead of interpreted per-element HOF
+    # lambdas — identical md5 values, ~6x less signature wall at the
+    # 10x scale point — and materializes them once so the band
+    # posexplode and the verify joins never recompute them.
     docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
-    w = shingles(F.col("text"), n=3)
-
-    def _hasher(seed: str):
-        return lambda x: F.md5(F.concat(F.lit(f"{seed}:"), x))
-
-    sigs = docs.select(
-        "doc_id",
-        w.alias("w"),
-        *[
-            F.array_min(F.transform(w, _hasher(s))).alias(f"sig_{i}")
-            for i, s in enumerate(_MINHASH_SEEDS)
-        ],
-    )
-    bands = sigs.select(
-        "doc_id",
-        F.posexplode(
-            F.array(*[
-                F.concat(F.col(f"sig_{2 * b}"), F.col(f"sig_{2 * b + 1}")) for b in range(4)
-            ])
-        ).alias("band", "bval"),
-    )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bval") == F.col("b.bval"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .distinct()
-    )
-    wx = sigs.select(F.col("doc_id").alias("id_a"), F.col("w").alias("wa"))
-    wy = sigs.select(F.col("doc_id").alias("id_b"), F.col("w").alias("wb"))
-    inter = F.size(F.array_intersect(F.col("wa"), F.col("wb")))
-    jac = F.round(inter / (F.size("wa") + F.size("wb") - inter), 6)
-    return (
-        cand.join(wx, "id_a")
-        .join(wy, "id_b")
-        .withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= 0.35)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return minhash_banded_pairs(docs, n=3, num_bands=4, threshold=0.35, hash="md5")
 
 
 @query("dedup_minhash_fast")  # xxhash64 signatures → not DuckDB-recomputable → rows-only
@@ -2042,8 +2003,6 @@ def q_text_dedup_cascade(spark, sf_dir):
     any signature is computed, and both stages' survivorship is
     min-id-deterministic so the funnel (n_docs → exact_removed →
     near_removed → n_final) hash-matches the oracle."""
-    from pulsar_ingestion_spark.functions.text import shingles
-
     docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
     ex = docs.select("doc_id", "source", "text", F.md5("text").alias("h"))
     keep = ex.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
@@ -2052,19 +2011,12 @@ def q_text_dedup_cascade(spark, sf_dir):
         .select("doc_id", "source", "text")
         .persist()
     )
-    w = shingles(F.col("text"), n=3)
+    # explode+codegen signature evaluation + one materialization (same
+    # round-8 fix as minhash_banded_pairs: identical md5 values, no
+    # interpreted HOF hashing, no recompute through posexplode/joins)
+    from pulsar_ingestion_spark.operators.dedup import minhash_signatures
 
-    def _hasher(seed: str):
-        return lambda x: F.md5(F.concat(F.lit(f"{seed}:"), x))
-
-    sigs = s1.select(
-        "doc_id",
-        w.alias("w"),
-        *[
-            F.array_min(F.transform(w, _hasher(s))).alias(f"sig_{i}")
-            for i, s in enumerate(_MINHASH_SEEDS)
-        ],
-    )
+    sigs = minhash_signatures(s1, n=3, hash="md5").persist()
     bands = sigs.select(
         "doc_id",
         F.posexplode(

@@ -168,17 +168,45 @@ def test_blas_oracle_auto_matches_fixed_in_clamp_region(spark):
     assert len(auto) > 0
 
 
-def test_minhash_banded_helper_matches_checked_query(spark):
-    """minhash_banded_pairs(hash='md5') must reproduce the hash-checked
-    dedup_minhash_banded query exactly (same signatures, bands, verify)."""
-    from pulsar_ingestion_spark.operators.dedup import minhash_banded_pairs
-    from pulsar_ingestion_spark.queries_llm import q_dedup_minhash_banded
+def test_minhash_signatures_explode_plan_matches_naive_hof(spark):
+    """The explode+codegen-aggregate signature plan (round-8 scale fix)
+    must produce EXACTLY the values of the naive array_min(transform(...))
+    form it replaced, for both hash families — same minhashes, same
+    shingle sets."""
+    from pyspark.sql import functions as F2
 
-    sf = "/root/testdata/sf0.001"
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
-    got = {tuple(r) for r in minhash_banded_pairs(docs).collect()}
-    want = {tuple(r) for r in q_dedup_minhash_banded(spark, sf).collect()}
-    assert got == want and got
+    from pulsar_ingestion_spark.functions.text import shingles
+    from pulsar_ingestion_spark.operators.dedup import (
+        MINHASH_SEEDS,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    w = shingles(F2.col("text"), 3)
+    def md5_sig(s):
+        # NOTE: the inner lambda must stay unary — a second (defaulted)
+        # parameter would make pyspark bind it as an (element, index) HOF
+        return F2.array_min(
+            F2.transform(w, lambda x: F2.md5(F2.concat(F2.lit(f"{s}:"), x)))
+        )
+
+    def xx_sig(s):
+        return F2.array_min(F2.transform(w, lambda x: F2.xxhash64(F2.lit(s), x)))
+
+    for fam in ("md5", "xxhash64"):
+        sig = md5_sig if fam == "md5" else xx_sig
+        naive = docs.select(
+            F2.col("doc_id"),
+            w.alias("w"),
+            *[sig(s).alias(f"sig_{i}") for i, s in enumerate(MINHASH_SEEDS)],
+        )
+        got = {r["doc_id"]: r for r in minhash_signatures(docs, hash=fam).collect()}
+        want = {r["doc_id"]: r for r in naive.collect()}
+        assert set(got) == set(want)
+        for d in want:
+            assert sorted(got[d]["w"]) == sorted(want[d]["w"]), d
+            for i in range(8):
+                assert got[d][f"sig_{i}"] == want[d][f"sig_{i}"], (fam, d, i)
 
 
 def test_minhash_fast_is_precise_and_recalls_md5_pairs(spark):
