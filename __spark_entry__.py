@@ -212,6 +212,7 @@ _CHECKED_PRIOR = {
 # each selfchecked at 3 SFs before registration.
 _ROUND8_PREFIX: list[str] = [
     "dedup_minhash_fast",
+    "graph_bfs_hops",
 ]
 
 

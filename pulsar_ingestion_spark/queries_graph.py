@@ -561,9 +561,24 @@ def q_graph_bfs_hops(spark, sf_dir):
         .persist()
     )
     seeds = bidir.select("node").distinct().orderBy("node").limit(_BFS_SEEDS)
-    visited = seeds.withColumn("dist", F.lit(0)).localCheckpoint(eager=True)
+    visited = bfs_hops(bidir, seeds, _BFS_MAX_HOPS)
+    bidir.unpersist()
+    return visited.groupBy("dist").agg(
+        F.count("*").cast("bigint").alias("n_nodes")
+    )
+
+
+def bfs_hops(bidir, seeds, max_hops: int):
+    """Frontier-loop BFS: ``bidir`` is a (node, nbr) bidirectional edge
+    relation (persist it — every hop joins against it), ``seeds`` a
+    (node) relation at distance 0.  Returns (node, dist) with the MIN
+    hop distance per reachable node, dist <= max_hops.  Per hop: one
+    node-keyed equi-join + one anti-join, lineage cut per hop."""
+    visited = seeds.select("node").withColumn("dist", F.lit(0)).localCheckpoint(
+        eager=True
+    )
     frontier = visited.select("node")
-    for d in range(1, _BFS_MAX_HOPS + 1):
+    for d in range(1, max_hops + 1):
         nxt = (
             bidir.join(frontier, "node")
             .select(F.col("nbr").alias("node"))
@@ -577,7 +592,4 @@ def q_graph_bfs_hops(spark, sf_dir):
             nxt.withColumn("dist", F.lit(d))
         ).localCheckpoint(eager=True)
         frontier = nxt
-    bidir.unpersist()
-    return visited.groupBy("dist").agg(
-        F.count("*").cast("bigint").alias("n_nodes")
-    )
+    return visited

@@ -240,3 +240,24 @@ def test_minhash_fast_rejects_unknown_hash(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with _pytest.raises(ValueError, match="hash family"):
         minhash_signatures(df, hash="sha1")
+
+
+def test_bfs_hops_known_graph(spark):
+    """bfs_hops on a hand-built graph: path 1-2-3-4-5 plus isolated
+    component 8-9; seeds {1, 8}; max_hops 2 → distances are exact BFS
+    hops, nodes beyond the bound are absent."""
+    from pulsar_ingestion_spark.queries_graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (8, 9)], "u long, v long"
+    )
+    bidir = edges.selectExpr("u as node", "v as nbr").unionAll(
+        edges.selectExpr("v as node", "u as nbr")
+    ).persist()
+    seeds = spark.createDataFrame([(1,), (8,)], "node long")
+    got = {r["node"]: r["dist"] for r in bfs_hops(bidir, seeds, 2).collect()}
+    assert got == {1: 0, 8: 0, 2: 1, 9: 1, 3: 2}
+    # hop bound respected: 4 (dist 3) and 5 (dist 4) not reached
+    full = {r["node"]: r["dist"] for r in bfs_hops(bidir, seeds, 10).collect()}
+    assert full == {1: 0, 8: 0, 2: 1, 9: 1, 3: 2, 4: 3, 5: 4}
+    bidir.unpersist()

@@ -142,7 +142,7 @@ SECTIONS = [
     ]),
     ("Graph analytics (round 5+)", [
         "graph_pagerank", "graph_degree_stats", "graph_triangle_count",
-        "graph_kcore",
+        "graph_kcore", "graph_bfs_hops",
     ]),
     ("Sketches & sampling III (round 5)", [
         "sketch_kmv_intersect", "sketch_quantile_logbins", "sample_weighted_kmv",

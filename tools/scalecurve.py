@@ -65,6 +65,7 @@ QUERIES = [
     # the xxhash64 minhash variant (VERDICT r7 item 4)
     "graph_kcore",
     "dedup_minhash_fast",
+    "graph_bfs_hops",
 ]
 
 # NOT measured here (same class as dedup_jaccard_prefix_filter below):
