@@ -29,6 +29,7 @@ import pulsar_ingestion_spark.queries_warehouse  # noqa: F401
 import pulsar_ingestion_spark.queries_graph  # noqa: F401
 import pulsar_ingestion_spark.queries_quality  # noqa: F401
 import pulsar_ingestion_spark.queries_experiment  # noqa: F401
+import pulsar_ingestion_spark.queries_rank  # noqa: F401
 from pulsar_ingestion_spark.registry import ORACLES, QUERIES
 
 
@@ -213,6 +214,17 @@ _CHECKED_PRIOR = {
 _ROUND8_PREFIX: list[str] = [
     "dedup_minhash_fast",
     "graph_bfs_hops",
+    "stats_mann_whitney",
+    "stats_spearman",
+    "agg_gini",
+    "ml_ndcg_at_k",
+    "ml_mrr",
+    "ml_log_loss",
+    "sketch_ams_f2",
+    "text_pmi_collocations",
+    "ts_holt_smooth",
+    "warehouse_zone_map_prune",
+    "corpus_importance_weights",
 ]
 
 

@@ -521,3 +521,71 @@ def q_text_ppl_buckets(spark, sf_dir):
             F.sum(F.col("bpt").cast("decimal(18,6)")).cast("double") / F.count("*"), 6
         ).alias("avg_bpt"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled domain importance weights (round 8).
+
+_IW_TAU = 0.7
+
+_IMPORTANCE_ORACLE = rf"""
+WITH perdoc AS (
+  SELECT source, len(regexp_split_to_array(trim(text), '\s+')) AS words
+  FROM documents
+), bysrc AS (
+  SELECT source, SUM(words) AS tokens FROM perdoc GROUP BY source
+), tot AS (
+  SELECT SUM(tokens) AS total FROM bysrc
+), w AS (
+  SELECT b.source, b.tokens,
+         CAST(b.tokens AS DOUBLE) / t.total AS p,
+         CAST(round(power(CAST(b.tokens AS DOUBLE) / t.total, {_IW_TAU}), 6)
+              AS DECIMAL(18,6)) AS wgt
+  FROM bysrc b CROSS JOIN tot t
+), z AS (
+  SELECT SUM(wgt) AS zsum FROM w
+)
+SELECT w.source, CAST(w.tokens AS BIGINT) AS tokens,
+       round(w.p, 6) AS nat_share,
+       round(CAST(w.wgt AS DOUBLE) / CAST(z.zsum AS DOUBLE), 6) AS adj_share,
+       round(CAST(w.wgt AS DOUBLE) / CAST(z.zsum AS DOUBLE) / w.p, 6)
+         AS sample_multiplier
+FROM w CROSS JOIN z
+"""
+
+
+@query("corpus_importance_weights", oracle=_IMPORTANCE_ORACLE)
+def q_corpus_importance_weights(spark, sf_dir):
+    """Temperature-scaled domain sampling weights (the multinomial
+    α-smoothing used to flatten source distributions when assembling
+    multilingual/multi-domain training mixes): adjusted share ∝
+    (natural token share)^0.7, reported with the per-source resampling
+    multiplier the corpus assembler would apply.
+
+    Plan: per-doc token counts collapse to one row per source (grouped
+    sum, map-side combined), the normalizers are broadcast scalars, and
+    the α-power weights are rounded-to-6 then DECIMAL-summed so the
+    normalizing constant is order-free; every output ratio divides
+    bitwise-identical doubles."""
+    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    perdoc = docs.select(
+        "source", F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("words")
+    )
+    bysrc = perdoc.groupBy("source").agg(F.sum("words").alias("tokens"))
+    tot = bysrc.agg(F.sum("tokens").alias("total"))
+    w = bysrc.crossJoin(F.broadcast(tot)).select(
+        "source", "tokens",
+        (F.col("tokens").cast("double") / F.col("total")).alias("p"),
+        F.round(
+            F.pow(F.col("tokens").cast("double") / F.col("total"), _IW_TAU), 6
+        ).cast("decimal(18,6)").alias("wgt"),
+    )
+    z = w.agg(F.sum("wgt").alias("zsum"))
+    adj = F.col("wgt").cast("double") / F.col("zsum").cast("double")
+    return w.crossJoin(F.broadcast(z)).select(
+        "source",
+        F.col("tokens").cast("bigint").alias("tokens"),
+        F.round("p", 6).alias("nat_share"),
+        F.round(adj, 6).alias("adj_share"),
+        F.round(adj / F.col("p"), 6).alias("sample_multiplier"),
+    )

@@ -627,3 +627,91 @@ def q_text_keyness_loglik(spark, sf_dir):
         .orderBy(F.col("keyness").desc(), F.col("token").asc())
         .limit(_KEYNESS_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Pointwise-mutual-information collocations (round 8).
+
+_PMI_MIN_COUNT = 5
+_PMI_TOPK = 25
+
+_PMI_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents
+), big AS (
+  SELECT unnest(list_transform(range(1, len(t)),
+                               i -> t[i] || ' ' || t[i + 1])) AS bigram
+  FROM toks
+), bc AS (
+  SELECT bigram, count(*) AS cnt FROM big GROUP BY bigram
+), tot AS (
+  SELECT SUM(cnt) AS n FROM bc
+), m1 AS (
+  SELECT split_part(bigram, ' ', 1) AS w, SUM(cnt) AS c1 FROM bc GROUP BY 1
+), m2 AS (
+  SELECT split_part(bigram, ' ', 2) AS w, SUM(cnt) AS c2 FROM bc GROUP BY 1
+)
+SELECT b.bigram, CAST(b.cnt AS BIGINT) AS cnt,
+       round(log2((CAST(b.cnt AS DOUBLE) * t.n) / (CAST(m1.c1 AS DOUBLE) * m2.c2)), 6)
+         AS pmi
+FROM bc b
+JOIN m1 ON m1.w = split_part(b.bigram, ' ', 1)
+JOIN m2 ON m2.w = split_part(b.bigram, ' ', 2)
+CROSS JOIN tot t
+WHERE b.cnt >= {_PMI_MIN_COUNT}
+ORDER BY pmi DESC, b.bigram
+LIMIT {_PMI_TOPK}
+"""
+
+
+@query("text_pmi_collocations", oracle=_PMI_ORACLE)
+def q_text_pmi_collocations(spark, sf_dir):
+    """Top-25 collocations by pointwise mutual information over
+    whitespace bigrams (min corpus count 5): PMI = log₂(c(ab)·N /
+    (c₁(a)·c₂(b))) with first/second-position marginals taken from the
+    bigram count table itself.
+
+    Plan: one narrow zip for bigrams (text_bigram_logprob's shape), one
+    grouped count, two vocabulary-sized marginal aggregates joined back
+    (broadcast candidates), a scalar-N broadcast cross join, then a
+    global top-k — `ORDER BY ... LIMIT` compiles to TakeOrderedAndProject
+    (per-partition heaps + driver merge of 25 rows), never a full sort.
+    PMI divides/multiplies exact integer counts as doubles, so ordering
+    compares bitwise-identical values on both engines (tie-break:
+    bigram text)."""
+    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    toks = docs.select(F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("t"))
+    big = toks.select(
+        F.explode(
+            F.when(
+                F.size("t") >= 2,
+                F.expr(
+                    "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),"
+                    " (a, b) -> concat(a, ' ', b))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram")
+    )
+    bc = big.groupBy("bigram").agg(F.count(F.lit(1)).alias("cnt"))
+    bc = bc.withColumn("w1", F.substring_index("bigram", " ", 1)).withColumn(
+        "w2", F.substring_index("bigram", " ", -1)
+    )
+    m1 = bc.groupBy("w1").agg(F.sum("cnt").alias("c1"))
+    m2 = bc.groupBy("w2").agg(F.sum("cnt").alias("c2"))
+    tot = bc.agg(F.sum("cnt").alias("n"))
+    pmi = F.round(
+        F.log2(
+            (F.col("cnt").cast("double") * F.col("n"))
+            / (F.col("c1").cast("double") * F.col("c2"))
+        ), 6
+    )
+    return (
+        bc.filter(F.col("cnt") >= _PMI_MIN_COUNT)
+        .join(m1, "w1")
+        .join(m2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("bigram", F.col("cnt").cast("bigint").alias("cnt"), pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("bigram"))
+        .limit(_PMI_TOPK)
+    )

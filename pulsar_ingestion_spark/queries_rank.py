@@ -1,0 +1,479 @@
+"""Rank statistics & ranking-quality metrics (round 8).
+
+Nonparametric two-sample tests, rank correlation, inequality measures,
+and IR ranking metrics — the evaluation layer a training-data pipeline
+runs on top of the corpus/retrieval operators (SURVEY.md §2.5 extension
+families; same role as the model-eval family ``queries_ml.py`` round 5).
+
+Scale discipline: every rank here is computed from per-value grouped
+counts plus ``operators.ranking.keyed_running_sums`` (range-partitioned
+running sums + broadcast offsets — the drift_ks round-7 re-plan), NOT a
+``Window.partitionBy(few_keys)`` whose parallelism caps at the key
+count.  Ranks over ties use the exact average-rank convention encoded in
+integers (2·avg_rank = 2·cum − c + 1), so every test statistic is a
+single IEEE expression over exact integers — bit-identical to the ANSI
+window oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from pulsar_ingestion_spark.operators.ranking import keyed_running_sums
+from pulsar_ingestion_spark.registry import query
+from pulsar_ingestion_spark.session import fan_out, load_tables
+
+
+def _t(spark, sf_dir, *names):
+    tabs = load_tables(spark, sf_dir)
+    return [fan_out(tabs[n], spark) for n in names]
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U (Wilcoxon rank-sum) — each event_type vs the 'view'
+# baseline.
+
+_MW_BASE = "view"
+
+_MANN_WHITNEY_ORACLE = f"""
+WITH treat AS (
+  SELECT event_type AS cmp, value, 1 AS is_t
+  FROM events WHERE event_type <> '{_MW_BASE}'
+), base AS (
+  SELECT c.cmp, e.value, 0 AS is_t
+  FROM events e
+  CROSS JOIN (SELECT DISTINCT event_type AS cmp FROM events
+              WHERE event_type <> '{_MW_BASE}') c
+  WHERE e.event_type = '{_MW_BASE}'
+), pervalue AS (
+  SELECT cmp, value, SUM(is_t) AS ct, SUM(1 - is_t) AS cb
+  FROM (SELECT * FROM treat UNION ALL SELECT * FROM base)
+  GROUP BY cmp, value
+), cum AS (
+  SELECT cmp, ct, cb, ct + cb AS c,
+         SUM(ct + cb) OVER (PARTITION BY cmp ORDER BY value
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cc
+  FROM pervalue
+), agg AS (
+  SELECT cmp,
+         SUM(ct) AS n1, SUM(cb) AS n2,
+         SUM(ct * (2 * cc - c + 1)) AS r1_twice,
+         SUM(c * c * c - c) AS tie_term
+  FROM cum GROUP BY cmp
+)
+SELECT cmp AS event_type,
+       CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       CAST(r1_twice - n1 * (n1 + 1) AS DOUBLE) / 2 AS u1,
+       round(
+         (CAST(r1_twice - n1 * (n1 + 1) AS DOUBLE) / 2
+          - CAST(n1 AS DOUBLE) * n2 / 2)
+         / sqrt(CAST(n1 AS DOUBLE) * n2 / 12
+                * ((n1 + n2 + 1)
+                   - CAST(tie_term AS DOUBLE)
+                     / ((n1 + n2) * (n1 + n2 - 1.0)))), 6) AS z
+FROM agg
+"""
+
+
+@query("stats_mann_whitney", oracle=_MANN_WHITNEY_ORACLE)
+def q_stats_mann_whitney(spark, sf_dir):
+    """Mann-Whitney U test of each event type's value distribution
+    against the 'view' baseline: exact average-rank rank-sum with the
+    tie-corrected normal approximation (no continuity correction).
+
+    The baseline sample is fanned out once per comparison (bounded by
+    event-type cardinality — a handful), then everything collapses to
+    per-(comparison, value) counts, so the rank pass is bounded by
+    distinct values, not rows.  Running counts come from
+    ``keyed_running_sums`` (range-partitioned, any parallelism); the
+    rank-sum is carried as the exact integer 2·R₁ so U and z are single
+    IEEE expressions over exact integers on both engines."""
+    (ev,) = _t(spark, sf_dir, "events")
+    treat = ev.filter(F.col("event_type") != _MW_BASE).select(
+        F.col("event_type").alias("cmp"), "value", F.lit(1).alias("is_t")
+    )
+    cmps = treat.select("cmp").distinct()
+    base = (
+        ev.filter(F.col("event_type") == _MW_BASE)
+        .crossJoin(F.broadcast(cmps))
+        .select("cmp", "value", F.lit(0).alias("is_t"))
+    )
+    pervalue = treat.unionAll(base).groupBy("cmp", "value").agg(
+        F.sum("is_t").alias("ct"), F.sum(1 - F.col("is_t")).alias("cb")
+    ).withColumn("c", F.col("ct") + F.col("cb"))
+    cum, _tot = keyed_running_sums(pervalue, ["cmp"], [F.col("value")], ["c"])
+    c, cc, ct = F.col("c"), F.col("cum_c"), F.col("ct")
+    agg = cum.groupBy("cmp").agg(
+        F.sum("ct").alias("n1"),
+        F.sum("cb").alias("n2"),
+        F.sum(ct * (2 * cc - c + 1)).alias("r1_twice"),
+        F.sum(c * c * c - c).alias("tie_term"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    u1 = (F.col("r1_twice") - n1 * (n1 + 1)).cast("double") / 2
+    mu = n1.cast("double") * n2 / 2
+    sigma = F.sqrt(
+        n1.cast("double") * n2 / 12
+        * ((n1 + n2 + 1)
+           - F.col("tie_term").cast("double") / ((n1 + n2) * (n1 + n2 - 1.0)))
+    )
+    return agg.select(
+        F.col("cmp").alias("event_type"),
+        n1.cast("bigint").alias("n1"),
+        n2.cast("bigint").alias("n2"),
+        u1.alias("u1"),
+        F.round((u1 - mu) / sigma, 6).alias("z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation — quantity vs extendedprice per returnflag.
+
+_SPEARMAN_ORACLE = """
+WITH rq AS (
+  SELECT l_returnflag, l_quantity AS v,
+         count(*) AS c,
+         SUM(count(*)) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cc
+  FROM lineitem GROUP BY l_returnflag, l_quantity
+), rp AS (
+  SELECT l_returnflag, l_extendedprice AS v,
+         count(*) AS c,
+         SUM(count(*)) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cc
+  FROM lineitem GROUP BY l_returnflag, l_extendedprice
+), ranked AS (
+  SELECT li.l_returnflag,
+         CAST((2 * rq.cc - rq.c + 1) AS DECIMAL(18,1)) / 2 AS qrank,
+         CAST((2 * rp.cc - rp.c + 1) AS DECIMAL(18,1)) / 2 AS prank
+  FROM lineitem li
+  JOIN rq ON rq.l_returnflag = li.l_returnflag AND rq.v = li.l_quantity
+  JOIN rp ON rp.l_returnflag = li.l_returnflag AND rp.v = li.l_extendedprice
+), m AS (
+  SELECT l_returnflag, count(*) AS n,
+         CAST(SUM(qrank) AS DOUBLE) AS sx,
+         CAST(SUM(prank) AS DOUBLE) AS sy,
+         CAST(SUM(qrank * prank) AS DOUBLE) AS sxy,
+         CAST(SUM(qrank * qrank) AS DOUBLE) AS sxx,
+         CAST(SUM(prank * prank) AS DOUBLE) AS syy
+  FROM ranked GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       round((n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+         AS spearman_rho
+FROM m
+"""
+
+
+@query("stats_spearman", oracle=_SPEARMAN_ORACLE)
+def q_stats_spearman(spark, sf_dir):
+    """Spearman rank correlation (average-rank ties) between quantity
+    and extended price per return flag: rank both columns, then Pearson
+    on the ranks via one-pass parallel moments (agg_stats_corr plan).
+
+    Ranks come from per-value grouped counts + ``keyed_running_sums``
+    (bounded by distinct values; any parallelism) and are carried as
+    exact DECIMAL half-integers, so the moment sums are exact on both
+    engines and rho is a single IEEE expression."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+
+    def ranks(col: str, vout: str, out: str):
+        pv = li.groupBy(
+            F.col("l_returnflag").alias("rf"), F.col(col).alias(vout)
+        ).agg(F.count(F.lit(1)).alias("c"))
+        cum, _ = keyed_running_sums(pv, ["rf"], [F.col(vout)], ["c"])
+        avg_rank = (2 * F.col("cum_c") - F.col("c") + 1).cast("decimal(18,1)") / 2
+        return cum.select("rf", vout, avg_rank.alias(out))
+
+    rq = ranks("l_quantity", "qv", "qrank")
+    rp = ranks("l_extendedprice", "pv", "prank")
+    ranked = (
+        li.select("l_returnflag", "l_quantity", "l_extendedprice")
+        .join(rq, (F.col("l_returnflag") == F.col("rf"))
+              & (F.col("l_quantity") == F.col("qv")), "inner")
+        .drop("rf", "qv")
+        .join(rp, (F.col("l_returnflag") == F.col("rf"))
+              & (F.col("l_extendedprice") == F.col("pv")), "inner")
+        .drop("rf", "pv")
+    )
+    qr, pr = F.col("qrank"), F.col("prank")
+    m = ranked.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(qr).cast("double").alias("sx"),
+        F.sum(pr).cast("double").alias("sy"),
+        F.sum(qr * pr).cast("double").alias("sxy"),
+        F.sum(qr * qr).cast("double").alias("sxx"),
+        F.sum(pr * pr).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return m.select(
+        "l_returnflag", "n",
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)), 6
+        ).alias("spearman_rho"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient of positive customer balances per region.
+
+_GINI_ORACLE = """
+WITH cust AS (
+  SELECT r.r_name, CAST(c.c_acctbal AS DECIMAL(18,2)) AS x
+  FROM customer c
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE c.c_acctbal > 0
+), pervalue AS (
+  SELECT r_name, x, count(*) AS c,
+         SUM(count(*)) OVER (PARTITION BY r_name ORDER BY x
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cc
+  FROM cust GROUP BY r_name, x
+), agg AS (
+  SELECT r_name,
+         SUM(c) AS n,
+         SUM(x * c) AS t,
+         SUM(x * (2 * c * cc - c * (c - 1))) AS s2
+  FROM pervalue GROUP BY r_name
+)
+SELECT r_name, CAST(n AS BIGINT) AS n,
+       CAST(t AS DOUBLE) AS total_bal,
+       round((CAST(s2 AS DOUBLE) - (n + 1) * CAST(t AS DOUBLE))
+             / (n * CAST(t AS DOUBLE)), 6) AS gini
+FROM agg
+"""
+
+
+@query("agg_gini", oracle=_GINI_ORACLE)
+def q_agg_gini(spark, sf_dir):
+    """Gini coefficient of positive account balances per region via the
+    rank formula G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) with ascending ranks
+    i.  Σi·xᵢ is computed from per-value grouped counts + cumulative
+    counts (sum of an arithmetic rank range per tie group), so the plan
+    is two broadcast dim joins + one grouped shuffle + keyed running
+    sums — no per-region single-task sort.  All sums are exact
+    DECIMAL×integer products; gini is one IEEE expression at the end."""
+    cu, na, re = _t(spark, sf_dir, "customer", "nation", "region")
+    cust = (
+        cu.filter(F.col("c_acctbal") > 0)
+        .join(F.broadcast(na), cu["c_nationkey"] == na["n_nationkey"])
+        .join(F.broadcast(re), na["n_regionkey"] == re["r_regionkey"])
+        .select("r_name", F.col("c_acctbal").cast("decimal(18,2)").alias("x"))
+    )
+    pv = cust.groupBy("r_name", "x").agg(F.count(F.lit(1)).alias("c"))
+    cum, _ = keyed_running_sums(pv, ["r_name"], [F.col("x")], ["c"])
+    c, cc, x = F.col("c"), F.col("cum_c"), F.col("x")
+    agg = cum.groupBy("r_name").agg(
+        F.sum("c").alias("n"),
+        F.sum(x * c).alias("t"),
+        F.sum(x * (2 * c * cc - c * (c - 1))).alias("s2"),
+    )
+    n, t, s2 = F.col("n"), F.col("t").cast("double"), F.col("s2").cast("double")
+    return agg.select(
+        "r_name",
+        n.cast("bigint").alias("n"),
+        t.alias("total_bal"),
+        F.round((s2 - (n + 1) * t) / (n * t), 6).alias("gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# NDCG@5 per user — ranking quality of the value-ordered event feed
+# against deterministic relevance grades.
+
+_NDCG_K = 5
+
+_NDCG_ORACLE = f"""
+WITH items AS (
+  SELECT user_id, event_id, value, event_id % 4 AS rel
+  FROM events
+), pos AS (
+  SELECT user_id, rel,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id) AS pos,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY rel DESC, value DESC, event_id) AS ipos
+  FROM items
+), terms AS (
+  SELECT user_id,
+         CASE WHEN pos <= {_NDCG_K} THEN
+           CAST(round((power(2, rel) - 1) / log2(pos + 1.0), 6)
+                AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END AS dterm,
+         CASE WHEN ipos <= {_NDCG_K} THEN
+           CAST(round((power(2, rel) - 1) / log2(ipos + 1.0), 6)
+                AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END AS iterm
+  FROM pos
+), agg AS (
+  SELECT user_id, count(*) AS n_items,
+         CAST(SUM(dterm) AS DOUBLE) AS dcg,
+         CAST(SUM(iterm) AS DOUBLE) AS idcg
+  FROM terms GROUP BY user_id
+)
+SELECT user_id, CAST(n_items AS BIGINT) AS n_items, dcg, idcg,
+       CASE WHEN idcg = 0 THEN CAST(0 AS DOUBLE) ELSE dcg / idcg END AS ndcg
+FROM agg
+"""
+
+
+@query("ml_ndcg_at_k", oracle=_NDCG_ORACLE)
+def q_ml_ndcg_at_k(spark, sf_dir):
+    """NDCG@5 per user: treat each user's events as a ranked feed
+    (model score = value, ties broken by event_id) against relevance
+    grades rel = event_id % 4; ideal ranking sorts by grade.  DCG terms
+    are rounded-to-6 then DECIMAL-summed (order-free); the final
+    DCG/IDCG quotient divides identical doubles so it is bitwise equal
+    on both engines.
+
+    Windows are partitioned by user_id — millions of natural partitions
+    at scale, no re-plan needed (contrast the few-key rank tests above,
+    which route through keyed_running_sums)."""
+    (ev,) = _t(spark, sf_dir, "events")
+    items = ev.select(
+        "user_id", "event_id", "value", (F.col("event_id") % 4).alias("rel")
+    )
+    w_pos = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    w_ipos = Window.partitionBy("user_id").orderBy(
+        F.desc("rel"), F.desc("value"), F.asc("event_id")
+    )
+    pos = items.select(
+        "user_id", "rel",
+        F.row_number().over(w_pos).alias("pos"),
+        F.row_number().over(w_ipos).alias("ipos"),
+    )
+    gain = F.pow(F.lit(2), F.col("rel")) - 1
+
+    def term(pcol: str):
+        return F.when(
+            F.col(pcol) <= _NDCG_K,
+            F.round(gain / F.log2(F.col(pcol) + 1.0), 6).cast("decimal(18,6)"),
+        ).otherwise(F.lit(0).cast("decimal(18,6)"))
+
+    agg = pos.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(term("pos")).cast("double").alias("dcg"),
+        F.sum(term("ipos")).cast("double").alias("idcg"),
+    )
+    return agg.select(
+        "user_id",
+        F.col("n_items").cast("bigint").alias("n_items"),
+        "dcg", "idcg",
+        F.when(F.col("idcg") == 0, F.lit(0.0))
+        .otherwise(F.col("dcg") / F.col("idcg")).alias("ndcg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mean reciprocal rank over user feeds.
+
+_MRR_ORACLE = """
+WITH pos AS (
+  SELECT user_id, event_id % 4 AS rel,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id) AS pos
+  FROM events
+), firsts AS (
+  SELECT user_id, min(CASE WHEN rel = 3 THEN pos END) AS first_rel
+  FROM pos GROUP BY user_id
+), rr AS (
+  SELECT user_id,
+         CASE WHEN first_rel IS NULL THEN CAST(0 AS DECIMAL(18,6))
+              ELSE CAST(round(1.0 / first_rel, 6) AS DECIMAL(18,6)) END AS rr
+  FROM firsts
+)
+SELECT count(*) AS n_queries,
+       CAST(SUM(CASE WHEN rr > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_with_relevant,
+       CAST(SUM(rr) AS DOUBLE) / count(*) AS mrr
+FROM rr
+"""
+
+
+@query("ml_mrr", oracle=_MRR_ORACLE)
+def q_ml_mrr(spark, sf_dir):
+    """Mean reciprocal rank: position of the first grade-3 item in each
+    user's value-ordered feed; users with no relevant item contribute 0.
+    Per-user reciprocal ranks are rounded-to-6 and DECIMAL-summed so the
+    global mean is order-free; one row out."""
+    (ev,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    pos = ev.select(
+        "user_id", (F.col("event_id") % 4).alias("rel"),
+        F.row_number().over(w).alias("pos"),
+    )
+    firsts = pos.groupBy("user_id").agg(
+        F.min(F.when(F.col("rel") == 3, F.col("pos"))).alias("first_rel")
+    )
+    rr = firsts.select(
+        F.when(F.col("first_rel").isNull(), F.lit(0).cast("decimal(18,6)"))
+        .otherwise(F.round(1.0 / F.col("first_rel"), 6).cast("decimal(18,6)"))
+        .alias("rr")
+    )
+    return rr.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum(F.when(F.col("rr") > 0, 1).otherwise(0)).cast("bigint")
+        .alias("n_with_relevant"),
+        (F.sum("rr").cast("double") / F.count(F.lit(1))).alias("mrr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Log-loss + Brier score per event type from a deterministic logistic
+# score proxy.
+
+_LOGLOSS_ORACLE = """
+WITH scored AS (
+  SELECT event_type,
+         least(greatest(1.0 / (1.0 + exp(-(value - 50.0) / 25.0)), 1e-12),
+               1.0 - 1e-12) AS p,
+         CAST(event_id % 2 AS DOUBLE) AS y
+  FROM events
+), terms AS (
+  SELECT event_type,
+         CAST(round(-(y * ln(p) + (1 - y) * ln(1 - p)), 6)
+              AS DECIMAL(18,6)) AS ll_term,
+         CAST(round((p - y) * (p - y), 6) AS DECIMAL(18,6)) AS br_term
+  FROM scored
+)
+SELECT event_type, count(*) AS n,
+       CAST(SUM(ll_term) AS DOUBLE) / count(*) AS log_loss,
+       CAST(SUM(br_term) AS DOUBLE) / count(*) AS brier
+FROM terms GROUP BY event_type
+"""
+
+
+@query("ml_log_loss", oracle=_LOGLOSS_ORACLE)
+def q_ml_log_loss(spark, sf_dir):
+    """Log-loss and Brier score per event type for a deterministic
+    logistic score proxy p = σ((value−50)/25) against labels
+    y = event_id % 2 — the in-plan classifier-eval companion to
+    ml_auc_roc/ml_calibration_bins.  Per-row terms are rounded-to-6 and
+    DECIMAL-summed (order-free); one narrow groupBy, map-side combined."""
+    (ev,) = _t(spark, sf_dir, "events")
+    p = F.least(
+        F.greatest(
+            1.0 / (1.0 + F.exp(-(F.col("value") - 50.0) / 25.0)), F.lit(1e-12)
+        ),
+        F.lit(1.0 - 1e-12),
+    )
+    y = (F.col("event_id") % 2).cast("double")
+    scored = ev.select("event_type", p.alias("p"), y.alias("y"))
+    pp, yy = F.col("p"), F.col("y")
+    terms = scored.select(
+        "event_type",
+        F.round(-(yy * F.log(pp) + (1 - yy) * F.log(1 - pp)), 6)
+        .cast("decimal(18,6)").alias("ll_term"),
+        F.round((pp - yy) * (pp - yy), 6).cast("decimal(18,6)").alias("br_term"),
+    )
+    return terms.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("ll_term").cast("double") / F.count(F.lit(1))).alias("log_loss"),
+        (F.sum("br_term").cast("double") / F.count(F.lit(1))).alias("brier"),
+    )

@@ -708,3 +708,85 @@ def q_sample_weighted_kmv(spark, sf_dir):
         .filter(F.col("rn") <= _WKMV_K)
         .select("event_type", "rn", "event_id", "value")
     )
+
+
+# ---------------------------------------------------------------------------
+# AMS (Alon–Matias–Szegedy) second-frequency-moment sketch (round 8).
+
+_AMS_J = 16
+
+
+def _ams_sign_sql(seed: str, key: str) -> str:
+    return (
+        f"CASE WHEN CAST(('0x' || substring(md5(concat('ams', {seed}, ':', {key})), 1, 8))"
+        f" AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END"
+    )
+
+
+_AMS_ORACLE = f"""
+WITH keys AS (
+  SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY l_partkey
+), signed AS (
+  SELECT s.seed, SUM({_ams_sign_sql('s.seed', 'k.l_partkey')} * k.cnt) AS sj
+  FROM keys k, (SELECT unnest(range(0, {_AMS_J})) AS seed) s
+  GROUP BY s.seed
+), ests AS (
+  SELECT CAST(SUM(sj * sj) AS DOUBLE) / {_AMS_J} AS est_f2_mean,
+         quantile_cont(CAST(sj * sj AS DOUBLE), 0.5) AS est_f2_median
+  FROM signed
+), exact AS (
+  SELECT count(*) AS n_keys, SUM(cnt * cnt) AS exact_f2 FROM keys
+)
+SELECT CAST(x.n_keys AS BIGINT) AS n_keys,
+       CAST(x.exact_f2 AS BIGINT) AS exact_f2,
+       e.est_f2_mean, e.est_f2_median,
+       round(abs(e.est_f2_mean - x.exact_f2) / x.exact_f2, 6) AS rel_err_mean
+FROM ests e, exact x
+"""
+
+
+@query("sketch_ams_f2", oracle=_AMS_ORACLE)
+def q_sketch_ams_f2(spark, sf_dir):
+    """AMS second-frequency-moment (F₂ = Σ count²) sketch over part
+    keys: 16 deterministic ±1 hash projections; each estimator is
+    (Σ sign·count)² and the sketch reports their mean and median
+    against the exact value.
+
+    Scale shape: frequencies collapse first (one key-grouped shuffle —
+    needed for the exact comparison anyway), then the sketch pass is 16
+    signed partial sums — map-side combined to ≤16 rows per task, the
+    same mergeable-state argument as count-min/Bloom.  On a stream the
+    same signs make the sketch additively mergeable across windows.
+    Median via exact interpolated percentile over the 16 estimators
+    (identical lower+d·(upper−lower) arithmetic on both engines)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    keys = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    seeds = spark.range(_AMS_J).select(F.col("id").cast("int").alias("seed"))
+    sign = F.when(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ams"), F.col("seed"), F.lit(":"), F.col("l_partkey"))),
+                1, 8,
+            ), 16, 10
+        ).cast("bigint") % 2 == 0,
+        1,
+    ).otherwise(-1)
+    signed = (
+        keys.crossJoin(F.broadcast(seeds))
+        .groupBy("seed")
+        .agg(F.sum(sign * F.col("cnt")).alias("sj"))
+    )
+    ests = signed.agg(
+        (F.sum(F.col("sj") * F.col("sj")).cast("double") / _AMS_J).alias("est_f2_mean"),
+        F.expr("percentile(CAST(sj * sj AS DOUBLE), 0.5)").alias("est_f2_median"),
+    )
+    exact = keys.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("exact_f2"),
+    )
+    return ests.crossJoin(exact).select(
+        "n_keys", "exact_f2", "est_f2_mean", "est_f2_median",
+        F.round(
+            F.abs(F.col("est_f2_mean") - F.col("exact_f2")) / F.col("exact_f2"), 6
+        ).alias("rel_err_mean"),
+    )

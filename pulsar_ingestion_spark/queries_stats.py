@@ -1638,3 +1638,84 @@ def q_agg_winsorized_mean(spark, sf_dir):
             ).otherwise(0)
         ).cast("bigint").alias("n_clamped"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt's linear (double-exponential) smoothing per user (round 8).
+
+_HOLT_ALPHA = 0.5
+_HOLT_BETA = 0.3
+
+_HOLT_ORACLE = f"""
+WITH RECURSIVE seq AS (
+  SELECT user_id, CAST(value AS DOUBLE) AS value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+), rec AS (
+  SELECT user_id, pos, n, value AS l, CAST(0 AS DOUBLE) AS b
+  FROM seq WHERE pos = 1
+  UNION ALL
+  SELECT s.user_id, s.pos, s.n,
+         {_HOLT_ALPHA} * s.value + {1 - _HOLT_ALPHA} * (r.l + r.b) AS l,
+         {_HOLT_BETA} * (({_HOLT_ALPHA} * s.value
+                          + {1 - _HOLT_ALPHA} * (r.l + r.b)) - r.l)
+           + {1 - _HOLT_BETA} * r.b AS b
+  FROM rec r JOIN seq s ON s.user_id = r.user_id AND s.pos = r.pos + 1
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_events,
+       round(l, 6) AS level, round(b, 6) AS trend,
+       round(l + 3 * b, 6) AS forecast_3
+FROM rec WHERE pos = n
+"""
+
+
+@query("ts_holt_smooth", oracle=_HOLT_ORACLE)
+def q_ts_holt_smooth(spark, sf_dir):
+    """Holt's linear (level+trend double-exponential) smoother per user
+    — the trend-aware sibling of ts_ewma: lₜ = αxₜ + (1−α)(lₜ₋₁+bₜ₋₁),
+    bₜ = β(lₜ−lₜ₋₁) + (1−β)bₜ₋₁, seeded l₁=x₁, b₁=0; reports the final
+    state and a 3-step forecast l+3b.
+
+    The coupled recursion folds a 2-field struct accumulator through
+    the time-ordered value sequence with F.aggregate; the oracle is a
+    per-user recursive CTE stepping the same two equations (DuckDB's
+    list_reduce is unusable for coupled struct folds: it updates the
+    accumulator struct FIELD-BY-FIELD in place, so the second field's
+    expression observes the already-updated first field — measured, not
+    assumed).  Identical IEEE operation order either way, so doubles
+    match bitwise.  One
+    shuffle (groupBy user); sequences are user-session-sized.  The
+    streaming twin is the same fold as applyInPandasWithState
+    (streaming/stateful.py), exactly like ts_ewma's contract."""
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    seq = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("ts", "event_id", "value"))).alias("seq")
+    )
+    vals = F.col("seq").getField("value")
+    a, b1 = _HOLT_ALPHA, _HOLT_BETA
+
+    def merge(acc, x):
+        new_l = a * x + (1 - a) * (acc.getField("l") + acc.getField("b"))
+        new_b = (
+            b1 * ((a * x + (1 - a) * (acc.getField("l") + acc.getField("b")))
+                  - acc.getField("l"))
+            + (1 - b1) * acc.getField("b")
+        )
+        return F.struct(new_l.alias("l"), new_b.alias("b"))
+
+    st = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.struct(
+            F.element_at(vals, 1).cast("double").alias("l"),
+            F.lit(0.0).alias("b"),
+        ),
+        merge,
+    )
+    return seq.select(
+        "user_id",
+        F.size("seq").cast("bigint").alias("n_events"),
+        F.round(st.getField("l"), 6).alias("level"),
+        F.round(st.getField("b"), 6).alias("trend"),
+        F.round(st.getField("l") + 3 * st.getField("b"), 6).alias("forecast_3"),
+    )

@@ -993,3 +993,110 @@ def q_warehouse_scd2_from_changelog(spark, sf_dir):
         "price",
         nxt.isNull().alias("is_current"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Zone-map (row-group min/max) pruning simulation (round 8).
+
+_ZM_BUCKET_US = 90 * 86_400 * 1_000_000  # ~quarterly ingest files
+_ZM_LO = "1997-01-01 00:00:00"
+_ZM_HI = "1998-06-30 00:00:00"
+_ZM_PRICE = 200_000.0
+
+_ZONE_MAP_ORACLE = f"""
+WITH filed AS (
+  SELECT epoch_us(o_orderdate) // {_ZM_BUCKET_US} AS file_id,
+         o_orderdate, o_totalprice
+  FROM orders
+), zones AS (
+  SELECT file_id, count(*) AS cnt,
+         min(o_orderdate) AS min_d, max(o_orderdate) AS max_d,
+         min(o_totalprice) AS min_p, max(o_totalprice) AS max_p,
+         SUM(CASE WHEN o_orderdate >= TIMESTAMP '{_ZM_LO}'
+                   AND o_orderdate <= TIMESTAMP '{_ZM_HI}'
+                   AND o_totalprice > {_ZM_PRICE} THEN 1 ELSE 0 END) AS matched
+  FROM filed GROUP BY file_id
+), classed AS (
+  SELECT *,
+         CASE
+           WHEN max_d < TIMESTAMP '{_ZM_LO}' OR min_d > TIMESTAMP '{_ZM_HI}'
+                OR max_p <= {_ZM_PRICE} THEN 'pruned'
+           WHEN min_d >= TIMESTAMP '{_ZM_LO}' AND max_d <= TIMESTAMP '{_ZM_HI}'
+                AND min_p > {_ZM_PRICE} THEN 'full'
+           ELSE 'partial'
+         END AS cls
+  FROM zones
+)
+SELECT count(*) AS n_files,
+       CAST(SUM(CASE WHEN cls = 'pruned' THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned,
+       CAST(SUM(CASE WHEN cls = 'full' THEN 1 ELSE 0 END) AS BIGINT) AS n_full,
+       CAST(SUM(CASE WHEN cls = 'partial' THEN 1 ELSE 0 END) AS BIGINT) AS n_partial,
+       CAST(SUM(cnt) AS BIGINT) AS rows_total,
+       CAST(SUM(CASE WHEN cls <> 'pruned' THEN cnt ELSE 0 END) AS BIGINT)
+         AS rows_scanned,
+       CAST(SUM(matched) AS BIGINT) AS rows_matched,
+       CAST(SUM(matched) AS DOUBLE)
+         / SUM(CASE WHEN cls <> 'pruned' THEN cnt ELSE 0 END) AS scan_selectivity
+FROM classed
+"""
+
+
+@query("warehouse_zone_map_prune", oracle=_ZONE_MAP_ORACLE)
+def q_warehouse_zone_map_prune(spark, sf_dir):
+    """Zone-map file-skipping planner: bucket orders into quarterly
+    ingest 'files', build per-file min/max zone maps for (orderdate,
+    totalprice), then classify each file against a conjunctive predicate
+    as pruned / fully-matching / partial and report the scan plan's
+    row economics (rows scanned vs rows matched).
+
+    This is the metadata pass a 100 TB lakehouse scan does against
+    parquet row-group stats before touching data: the zone relation is
+    one grouped aggregate (#files rows — metadata-sized), the verdict a
+    second tiny aggregate.  Date-clustered layout means the date
+    predicate prunes whole files; the price bound only prunes a file
+    when its max falls below the threshold — exactly how min/max stats
+    behave on unclustered columns (the motivation for
+    layout_zorder_key)."""
+    od = _t(spark, sf_dir, "orders")[0]
+    filed = od.select(
+        F.expr(f"unix_micros(o_orderdate) div {_ZM_BUCKET_US}").alias("file_id"),
+        "o_orderdate", "o_totalprice",
+    )
+    lo, hi = F.lit(_ZM_LO).cast("timestamp"), F.lit(_ZM_HI).cast("timestamp")
+    zones = filed.groupBy("file_id").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("o_orderdate").alias("min_d"), F.max("o_orderdate").alias("max_d"),
+        F.min("o_totalprice").alias("min_p"), F.max("o_totalprice").alias("max_p"),
+        F.sum(
+            F.when(
+                (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") <= hi)
+                & (F.col("o_totalprice") > _ZM_PRICE), 1
+            ).otherwise(0)
+        ).alias("matched"),
+    )
+    cls = (
+        F.when(
+            (F.col("max_d") < lo) | (F.col("min_d") > hi)
+            | (F.col("max_p") <= _ZM_PRICE), "pruned"
+        )
+        .when(
+            (F.col("min_d") >= lo) & (F.col("max_d") <= hi)
+            & (F.col("min_p") > _ZM_PRICE), "full"
+        )
+        .otherwise("partial")
+    )
+    classed = zones.withColumn("cls", cls)
+    scanned = F.sum(F.when(F.col("cls") != "pruned", F.col("cnt")).otherwise(0))
+    return classed.agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum(F.when(F.col("cls") == "pruned", 1).otherwise(0)).cast("bigint")
+        .alias("n_pruned"),
+        F.sum(F.when(F.col("cls") == "full", 1).otherwise(0)).cast("bigint")
+        .alias("n_full"),
+        F.sum(F.when(F.col("cls") == "partial", 1).otherwise(0)).cast("bigint")
+        .alias("n_partial"),
+        F.sum("cnt").cast("bigint").alias("rows_total"),
+        scanned.cast("bigint").alias("rows_scanned"),
+        F.sum("matched").cast("bigint").alias("rows_matched"),
+        (F.sum("matched").cast("double") / scanned).alias("scan_selectivity"),
+    )

@@ -1,0 +1,238 @@
+"""Round-8 query tests: independent pure-Python references for the rank
+statistics / ranking metrics / sketch / smoothing family (the selfcheck
+oracle is DuckDB SQL; these re-derive the math a third way)."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _pdf(table: str) -> pd.DataFrame:
+    return pd.read_parquet(f"{SF}/{table}.parquet")
+
+
+def test_mann_whitney_matches_pandas_rank_reference(spark):
+    from pulsar_ingestion_spark.queries_rank import q_stats_mann_whitney
+
+    out = {r["event_type"]: r for r in q_stats_mann_whitney(spark, SF).collect()}
+    ev = _pdf("events")
+    base = ev[ev.event_type == "view"]["value"]
+    for etype, row in out.items():
+        treat = ev[ev.event_type == etype]["value"]
+        combined = pd.concat([treat, base]).rank(method="average")
+        r1 = combined.iloc[: len(treat)].sum()
+        n1, n2 = len(treat), len(base)
+        u1 = r1 - n1 * (n1 + 1) / 2
+        assert row["n1"] == n1 and row["n2"] == n2
+        assert abs(row["u1"] - u1) < 1e-6
+        # tie-corrected z
+        counts = pd.concat([treat, base]).value_counts()
+        tie = float((counts**3 - counts).sum())
+        n = n1 + n2
+        sigma = math.sqrt(n1 * n2 / 12 * ((n + 1) - tie / (n * (n - 1))))
+        z = (u1 - n1 * n2 / 2) / sigma
+        assert abs(row["z"] - z) < 1e-5
+
+
+def test_spearman_matches_pandas_reference(spark):
+    from pulsar_ingestion_spark.queries_rank import q_stats_spearman
+
+    out = {r["l_returnflag"]: r for r in q_stats_spearman(spark, SF).collect()}
+    li = _pdf("lineitem")
+    for flag, grp in li.groupby("l_returnflag"):
+        rho = grp["l_quantity"].rank(method="average").corr(
+            grp["l_extendedprice"].rank(method="average")
+        )
+        assert abs(out[flag]["spearman_rho"] - rho) < 1e-5
+        assert out[flag]["n"] == len(grp)
+
+
+def test_gini_matches_sorted_reference(spark):
+    from pulsar_ingestion_spark.queries_rank import q_agg_gini
+
+    out = {r["r_name"]: r for r in q_agg_gini(spark, SF).collect()}
+    cu, na, re = _pdf("customer"), _pdf("nation"), _pdf("region")
+    j = cu.merge(na, left_on="c_nationkey", right_on="n_nationkey").merge(
+        re, left_on="n_regionkey", right_on="r_regionkey"
+    )
+    j = j[j.c_acctbal > 0]
+    for name, grp in j.groupby("r_name"):
+        x = grp["c_acctbal"].sort_values().to_numpy()
+        n = len(x)
+        ranks = pd.Series(range(1, n + 1)).to_numpy()
+        s = (2 * float((ranks * x).sum()) - (n + 1) * x.sum()) / (n * x.sum())
+        assert out[name]["n"] == n
+        assert abs(out[name]["gini"] - s) < 1e-5
+        assert 0 <= out[name]["gini"] <= 1
+
+
+def test_ndcg_bounds_and_single_user_reference(spark):
+    from pulsar_ingestion_spark.queries_rank import q_ml_ndcg_at_k
+
+    rows = q_ml_ndcg_at_k(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert -1e-9 <= r["ndcg"] <= 1 + 1e-9
+        assert r["dcg"] <= r["idcg"] + 1e-9
+    ev = _pdf("events")
+    uid = rows[0]["user_id"]
+    grp = ev[ev.user_id == uid].copy()
+    grp["rel"] = grp.event_id % 4
+    ranked = grp.sort_values(["value", "event_id"], ascending=[False, True])
+    ideal = grp.sort_values(["rel", "value", "event_id"],
+                            ascending=[False, False, True])
+
+    def dcg(df):
+        return sum(
+            round((2 ** rel - 1) / math.log2(pos + 2), 6)
+            for pos, rel in enumerate(df["rel"].head(5))
+        )
+
+    want = dcg(ranked) / dcg(ideal) if dcg(ideal) else 0.0
+    got = next(r for r in rows if r["user_id"] == uid)
+    assert abs(got["ndcg"] - want) < 1e-9
+
+
+def test_mrr_matches_python_reference(spark):
+    from pulsar_ingestion_spark.queries_rank import q_ml_mrr
+
+    row = q_ml_mrr(spark, SF).collect()[0]
+    ev = _pdf("events")
+    total, with_rel = 0, 0
+    ssum = 0.0
+    for _, grp in ev.groupby("user_id"):
+        total += 1
+        ranked = grp.sort_values(["value", "event_id"],
+                                 ascending=[False, True]).reset_index()
+        hit = ranked.index[ranked.event_id % 4 == 3]
+        if len(hit):
+            with_rel += 1
+            ssum += round(1.0 / (hit[0] + 1), 6)
+    assert row["n_queries"] == total
+    assert row["n_with_relevant"] == with_rel
+    assert abs(row["mrr"] - ssum / total) < 1e-9
+
+
+def test_log_loss_matches_python_reference(spark):
+    from pulsar_ingestion_spark.queries_rank import q_ml_log_loss
+
+    out = {r["event_type"]: r for r in q_ml_log_loss(spark, SF).collect()}
+    ev = _pdf("events")
+    for etype, grp in ev.groupby("event_type"):
+        ll = br = 0.0
+        for _, r in grp.iterrows():
+            p = 1.0 / (1.0 + math.exp(-(r.value - 50.0) / 25.0))
+            p = min(max(p, 1e-12), 1 - 1e-12)
+            y = float(r.event_id % 2)
+            ll += round(-(y * math.log(p) + (1 - y) * math.log(1 - p)), 6)
+            br += round((p - y) ** 2, 6)
+        n = len(grp)
+        assert out[etype]["n"] == n
+        assert abs(out[etype]["log_loss"] - ll / n) < 1e-9
+        assert abs(out[etype]["brier"] - br / n) < 1e-9
+
+
+def test_ams_f2_exact_and_estimator_quality(spark):
+    from pulsar_ingestion_spark.queries_sketch import q_sketch_ams_f2
+
+    row = q_sketch_ams_f2(spark, SF).collect()[0]
+    li = _pdf("lineitem")
+    counts = li.groupby("l_partkey").size()
+    assert row["n_keys"] == len(counts)
+    assert row["exact_f2"] == int((counts**2).sum())
+    # 16 independent ±1 estimators: mean is unbiased with relative
+    # std ≤ sqrt(2/16) ≈ 0.35 — allow a generous 3-sigma band.
+    assert row["rel_err_mean"] < 1.1
+    assert row["est_f2_mean"] > 0
+    assert row["est_f2_median"] >= 0
+
+
+def test_pmi_collocations_reference(spark):
+    from pulsar_ingestion_spark.queries_ir import q_text_pmi_collocations
+
+    rows = q_text_pmi_collocations(spark, SF).collect()
+    assert 0 < len(rows) <= 25
+    docs = _pdf("documents")
+    from collections import Counter
+
+    bc: Counter = Counter()
+    for text in docs.text:
+        toks = text.strip().lower().split()
+        bc.update(" ".join(p) for p in zip(toks, toks[1:]))
+    n = sum(bc.values())
+    m1: Counter = Counter()
+    m2: Counter = Counter()
+    for bg, c in bc.items():
+        w1, w2 = bg.split(" ")
+        m1[w1] += c
+        m2[w2] += c
+    scored = [
+        (round(math.log2((c * float(n)) / (float(m1[bg.split(' ')[0]]) * m2[bg.split(' ')[1]])), 6), bg, c)
+        for bg, c in bc.items() if c >= 5
+    ]
+    want = sorted(scored, key=lambda t: (-t[0], t[1]))[: len(rows)]
+    got = [(r["pmi"], r["bigram"], r["cnt"]) for r in rows]
+    assert got == [(p, bg, c) for p, bg, c in want]
+
+
+def test_holt_matches_python_fold(spark):
+    from pulsar_ingestion_spark.queries_stats import q_ts_holt_smooth
+
+    out = {r["user_id"]: r for r in q_ts_holt_smooth(spark, SF).collect()}
+    ev = _pdf("events")
+    for uid, grp in ev.groupby("user_id"):
+        vals = grp.sort_values(["ts", "event_id"])["value"].tolist()
+        l, b = vals[0], 0.0
+        for x in vals[1:]:
+            nl = 0.5 * x + 0.5 * (l + b)
+            nb = 0.3 * (nl - l) + 0.7 * b
+            l, b = nl, nb
+        assert out[uid]["n_events"] == len(vals)
+        assert abs(out[uid]["level"] - l) < 1e-6
+        assert abs(out[uid]["trend"] - b) < 1e-6
+        assert abs(out[uid]["forecast_3"] - (l + 3 * b)) < 1e-6
+
+
+def test_zone_map_prune_conservation(spark):
+    from pulsar_ingestion_spark.queries_warehouse import (
+        q_warehouse_zone_map_prune,
+    )
+
+    row = q_warehouse_zone_map_prune(spark, SF).collect()[0]
+    assert row["n_files"] == row["n_pruned"] + row["n_full"] + row["n_partial"]
+    assert row["rows_scanned"] <= row["rows_total"]
+    assert row["rows_matched"] <= row["rows_scanned"]
+    od = _pdf("orders")
+    matched = od[
+        (od.o_orderdate >= pd.Timestamp("1997-01-01"))
+        & (od.o_orderdate <= pd.Timestamp("1998-06-30"))
+        & (od.o_totalprice > 200_000.0)
+    ]
+    # zone-map pruning must be lossless: every matching row is scanned
+    assert row["rows_matched"] == len(matched)
+    assert row["rows_total"] == len(od)
+
+
+def test_importance_weights_normalized(spark):
+    from pulsar_ingestion_spark.queries_corpus import (
+        q_corpus_importance_weights,
+    )
+
+    rows = q_corpus_importance_weights(spark, SF).collect()
+    docs = _pdf("documents")
+    assert len(rows) == docs.source.nunique()
+    nat = sum(r["nat_share"] for r in rows)
+    adj = sum(r["adj_share"] for r in rows)
+    assert abs(nat - 1) < 1e-3
+    assert abs(adj - 1) < 1e-3
+    for r in rows:
+        assert abs(r["sample_multiplier"] - r["adj_share"] / r["nat_share"]) < 1e-3
+    # temperature < 1 flattens: rare sources get multiplier > 1
+    small = min(rows, key=lambda r: r["tokens"])
+    big = max(rows, key=lambda r: r["tokens"])
+    assert small["sample_multiplier"] >= big["sample_multiplier"]
