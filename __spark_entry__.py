@@ -225,6 +225,12 @@ _ROUND8_PREFIX: list[str] = [
     "ts_holt_smooth",
     "warehouse_zone_map_prune",
     "corpus_importance_weights",
+    "graph_label_propagation",
+    "graph_jaccard_linkpred",
+    "stats_fdr_bh",
+    "ml_lift_deciles",
+    "agg_theil_index",
+    "events_burst_days",
 ]
 
 

@@ -1126,3 +1126,66 @@ def q_events_survival_curve(spark, sf_dir):
         "n_alive",
         F.round(F.col("n_alive").cast("double") / F.col("ns"), 6).alias("survival_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: trailing-baseline burst detection on daily volumes.
+
+_BURST_MIN_TRAIL = 3
+_BURST_RATIO = 1.2
+
+_BURST_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS cnt
+  FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')
+), trail AS (
+  SELECT event_type, day, cnt,
+         SUM(cnt) OVER w AS trail_cnt,
+         count(*) OVER w AS trail_n
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, day, CAST(cnt AS BIGINT) AS cnt,
+       round(CAST(trail_cnt AS DOUBLE) / trail_n, 6) AS trail_avg,
+       round(CAST(cnt AS DOUBLE) * trail_n / trail_cnt, 6) AS burst_ratio
+FROM trail
+WHERE trail_n >= {_BURST_MIN_TRAIL}
+  AND CAST(cnt AS DOUBLE) * trail_n / trail_cnt > {_BURST_RATIO}
+"""
+
+
+@query("events_burst_days", oracle=_BURST_ORACLE)
+def q_events_burst_days(spark, sf_dir):
+    """Volume burst detection: days where an event type's daily count
+    exceeds 1.2× its trailing 7-day average (≥3 prior days required) —
+    the aggregate-level twin of events_anomaly_zscore and the batch
+    contract for the streaming drift monitor's rate alarms.
+
+    The stream collapses to (type, day) counts first (map-side
+    combined), so the trailing window runs over the model-sized daily
+    relation — partitioned by type, ~365 rows/key/year.  Ratios divide
+    exact integers, so the burst threshold compares bitwise-identical
+    doubles."""
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    daily = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = (
+        Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+    )
+    trail = daily.select(
+        "event_type", "day", "cnt",
+        F.sum("cnt").over(w).alias("trail_cnt"),
+        F.count(F.lit(1)).over(w).alias("trail_n"),
+    )
+    ratio = F.col("cnt").cast("double") * F.col("trail_n") / F.col("trail_cnt")
+    return trail.filter(
+        (F.col("trail_n") >= _BURST_MIN_TRAIL) & (ratio > _BURST_RATIO)
+    ).select(
+        "event_type", "day",
+        F.col("cnt").cast("bigint").alias("cnt"),
+        F.round(F.col("trail_cnt").cast("double") / F.col("trail_n"), 6)
+        .alias("trail_avg"),
+        F.round(ratio, 6).alias("burst_ratio"),
+    )

@@ -593,3 +593,210 @@ def bfs_hops(bidir, seeds, max_hops: int):
         ).localCheckpoint(eager=True)
         frontier = nxt
     return visited
+
+
+# ---------------------------------------------------------------------------
+# Round 8: synchronous label propagation (communities) and Jaccard
+# link prediction on the co-occurrence graph.
+
+_LPA_ROUNDS = 3
+
+
+def _lpa_rounds_sql(rounds: int) -> str:
+    parts = [
+        "bidir AS (SELECT u AS node, v AS nbr FROM edges"
+        " UNION ALL SELECT v AS node, u AS nbr FROM edges)",
+        "l0 AS (SELECT DISTINCT node, node AS label FROM bidir)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"v{i} AS (SELECT b.node, l.label, count(*) AS cnt"
+            f" FROM bidir b JOIN l{i-1} l ON l.node = b.nbr"
+            f" GROUP BY b.node, l.label)"
+        )
+        parts.append(
+            f"l{i} AS (SELECT node, label FROM ("
+            f"SELECT node, label, row_number() OVER ("
+            f"PARTITION BY node ORDER BY cnt DESC, label) AS rn FROM v{i}"
+            f") t WHERE rn = 1)"
+        )
+    return ",\n".join(parts)
+
+
+_LPA_ORACLE = f"""
+WITH {_COOC_EDGES_SQL},
+{_lpa_rounds_sql(_LPA_ROUNDS)},
+sizes AS (
+  SELECT label, count(*) AS community_size
+  FROM l{_LPA_ROUNDS} GROUP BY label
+)
+SELECT CAST(community_size AS BIGINT) AS community_size,
+       CAST(count(*) AS BIGINT) AS n_communities
+FROM sizes GROUP BY community_size
+"""
+
+
+
+
+def label_propagation(edges, rounds: int):
+    """Synchronous LPA over undirected (u, v) edges: majority neighbor
+    vote, min-label tie-break, labels seeded with node ids.  Returns
+    (node, label) after ``rounds`` rounds.  Each round is one join +
+    one vote count + one per-node argmax window (all partitioned by
+    node)."""
+    bidir = edges.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
+        edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    ).persist()
+    labels = bidir.select("node").distinct().withColumn("label", F.col("node"))
+    w = Window.partitionBy("node").orderBy(F.desc("cnt"), F.asc("label"))
+    for _ in range(rounds):
+        votes = (
+            bidir.join(
+                labels.select(F.col("node").alias("nbr"), "label"), "nbr"
+            )
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+    return labels
+
+
+
+
+
+@query("graph_label_propagation", oracle=_LPA_ORACLE)
+def q_graph_label_propagation(spark, sf_dir):
+    """Community detection by synchronous label propagation (3 rounds,
+    deterministic majority vote with min-label tie-break, seeded with
+    node ids) on the user co-occurrence graph; reports the community
+    size distribution.
+
+    Each round is one hash join (labels onto the bidirectional edge
+    list) + one (node, label) vote count + one per-node argmax window —
+    all partitioned by node, so parallelism scales with |V|, and label
+    relations stay node-sized.  Synchronous + deterministic tie-break
+    makes the fixed round count exactly reproducible in ANSI SQL (the
+    async variant is faster to converge but order-dependent — wrong for
+    an oracle-checked operator)."""
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    edges = _cooc_edges(ev).persist()
+    labels = label_propagation(edges, _LPA_ROUNDS)
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("community_size"))
+    return sizes.groupBy("community_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_communities")
+    ).select(F.col("community_size").cast("bigint").alias("community_size"),
+             "n_communities")
+
+
+_LP_CAP = 64
+_LP_TOPK = 20
+
+_LINKPRED_ORACLE = f"""
+WITH {_COOC_EDGES_SQL},
+bidir AS (SELECT u AS node, v AS nbr FROM edges
+          UNION ALL SELECT v AS node, u AS nbr FROM edges),
+capped AS (
+  SELECT node, nbr FROM (
+    SELECT node, nbr, row_number() OVER (
+      PARTITION BY node
+      ORDER BY CAST(('0x' || substring(md5(CAST(nbr AS VARCHAR)), 1, 8)) AS BIGINT),
+               nbr) AS rn
+    FROM bidir
+  ) t WHERE rn <= {_LP_CAP}
+),
+wedges AS (
+  SELECT DISTINCT a.nbr AS u, b.nbr AS w
+  FROM capped a JOIN capped b ON a.node = b.node AND a.nbr < b.nbr
+),
+cands AS (
+  SELECT wd.u, wd.w FROM wedges wd
+  WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.u = wd.u AND e.v = wd.w)
+),
+adj AS (
+  SELECT node, list(nbr) AS nbrs, count(*) AS deg FROM bidir GROUP BY node
+),
+scored AS (
+  SELECT c.u, c.w,
+         len(list_intersect(ua.nbrs, wa.nbrs)) AS common_neighbors,
+         ua.deg + wa.deg - len(list_intersect(ua.nbrs, wa.nbrs)) AS uni
+  FROM cands c
+  JOIN adj ua ON ua.node = c.u
+  JOIN adj wa ON wa.node = c.w
+)
+SELECT u, w, CAST(common_neighbors AS BIGINT) AS common_neighbors,
+       round(CAST(common_neighbors AS DOUBLE) / uni, 6) AS jaccard
+FROM scored
+ORDER BY jaccard DESC, u, w
+LIMIT {_LP_TOPK}
+"""
+
+
+@query("graph_jaccard_linkpred", oracle=_LINKPRED_ORACLE)
+def q_graph_jaccard_linkpred(spark, sf_dir):
+    """Link prediction: top-20 non-adjacent user pairs by neighborhood
+    Jaccard similarity.  Candidates are distance-2 pairs generated as
+    wedges around each center node; the wedge fan-out is the graph's
+    Σdeg² — capped at 64 neighbors per center (deterministic
+    portable-hash order, the _COOC_CAP discipline) so no hub goes
+    quadratic.  Jaccard is then computed on the FULL (uncapped)
+    neighbor sets via array_intersect on grouped adjacency arrays —
+    the triangle-count lesson (per-edge array ops beat a three-way
+    join's O(E·d) blowup).  Anti-join removes existing edges; the
+    top-k is TakeOrdered (no global sort)."""
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    edges = _cooc_edges(ev).persist()
+    return jaccard_linkpred(edges, _LP_CAP, _LP_TOPK)
+
+
+def jaccard_linkpred(edges, cap: int, topk: int):
+    """Top-k non-adjacent pairs by neighborhood Jaccard over undirected
+    (u, v) edges — see q_graph_jaccard_linkpred for the plan shape."""
+    bidir = edges.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
+        edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    ).persist()
+    wcap = Window.partitionBy("node").orderBy(
+        F.conv(F.substring(F.md5(F.col("nbr").cast("string")), 1, 8), 16, 10)
+        .cast("bigint"),
+        F.asc("nbr"),
+    )
+    capped = (
+        bidir.withColumn("rn", F.row_number().over(wcap))
+        .filter(F.col("rn") <= cap)
+        .drop("rn")
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    wedges = (
+        a.join(b, (F.col("a.node") == F.col("b.node"))
+               & (F.col("a.nbr") < F.col("b.nbr")))
+        .select(F.col("a.nbr").alias("u"), F.col("b.nbr").alias("w"))
+        .distinct()
+    )
+    cands = wedges.join(
+        edges, (wedges["u"] == edges["u"]) & (wedges["w"] == edges["v"]),
+        "left_anti",
+    )
+    adj = bidir.groupBy("node").agg(
+        F.collect_list("nbr").alias("nbrs"), F.count(F.lit(1)).alias("deg")
+    )
+    ua = adj.select(F.col("node").alias("u"), F.col("nbrs").alias("un"),
+                    F.col("deg").alias("ud"))
+    wa = adj.select(F.col("node").alias("w"), F.col("nbrs").alias("wn"),
+                    F.col("deg").alias("wd"))
+    inter = F.size(F.array_intersect(F.col("un"), F.col("wn")))
+    scored = (
+        cands.join(ua, "u").join(wa, "w")
+        .select(
+            "u", "w",
+            inter.cast("bigint").alias("common_neighbors"),
+            F.round(
+                inter.cast("double") / (F.col("ud") + F.col("wd") - inter), 6
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("jaccard"), F.asc("u"), F.asc("w")
+    ).limit(topk)

@@ -20,6 +20,7 @@ Scale shapes:
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from pulsar_ingestion_spark.registry import query
@@ -964,4 +965,92 @@ def q_sim_search_pq_adc(spark, sf_dir):
             F.round("adc", 6).alias("adc_dist"),
             "rank",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: cumulative gains / lift table by score decile.
+
+_LIFT_ORACLE = """
+WITH scored AS (
+  SELECT event_id,
+         1.0 / (1.0 + exp(-(value - 50.0) / 25.0)) AS p,
+         CASE WHEN event_id % 10 < 2 OR value > 200 THEN 1 ELSE 0 END AS y
+  FROM events
+), deciled AS (
+  SELECT y, ntile(10) OVER (ORDER BY p DESC, event_id) AS decile FROM scored
+), agg AS (
+  SELECT decile, count(*) AS n, SUM(y) AS responders FROM deciled GROUP BY decile
+), cum AS (
+  SELECT decile, n, responders,
+         SUM(n) OVER (ORDER BY decile
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+         SUM(responders) OVER (ORDER BY decile
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_r,
+         SUM(n) OVER () AS tot_n, SUM(responders) OVER () AS tot_r
+  FROM agg
+)
+SELECT decile, CAST(n AS BIGINT) AS n, CAST(responders AS BIGINT) AS responders,
+       round(CAST(responders AS DOUBLE) / n, 6) AS resp_rate,
+       round(CAST(cum_r AS DOUBLE) / tot_r, 6) AS cum_capture,
+       round((CAST(cum_r AS DOUBLE) / cum_n)
+             / (CAST(tot_r AS DOUBLE) / tot_n), 6) AS cum_lift
+FROM cum
+"""
+
+
+@query("ml_lift_deciles", oracle=_LIFT_ORACLE)
+def q_ml_lift_deciles(spark, sf_dir):
+    """Cumulative gains / lift table: rank all events by a logistic
+    score proxy, cut into exact global deciles, and report per-decile
+    response rate, cumulative capture, and cumulative lift against the
+    base rate — the model-targeting report every campaign/eval pipeline
+    ships next to AUC.
+
+    The global decile comes from the distributed exact-ranking operator
+    (global_row_number + ntile_from_row_number: range repartition +
+    partitioned windows + offsets — NO data-scale unpartitioned window),
+    bit-equal to the ANSI ntile(10) oracle.  The only unpartitioned
+    window runs over the 10-row decile aggregate (GLOBAL_WINDOW_OK
+    class).  All rates divide exact integers."""
+    from pulsar_ingestion_spark.operators.ranking import (
+        global_row_number,
+        ntile_from_row_number,
+    )
+
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    scored = ev.select(
+        "event_id",
+        (1.0 / (1.0 + F.exp(-(F.col("value") - 50.0) / 25.0))).alias("p"),
+        F.when((F.col("event_id") % 10 < 2) | (F.col("value") > 200), 1)
+        .otherwise(0).alias("y"),
+    )
+    ranked, n = global_row_number(scored, [F.desc("p"), F.asc("event_id")])
+    deciled = ranked.select(
+        "y", ntile_from_row_number(F.col("_rn"), n, 10).alias("decile")
+    )
+    agg = deciled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("responders")
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy()
+    cum = agg.select(
+        "decile", "n", "responders",
+        F.sum("n").over(wc).alias("cum_n"),
+        F.sum("responders").over(wc).alias("cum_r"),
+        F.sum("n").over(wt).alias("tot_n"),
+        F.sum("responders").over(wt).alias("tot_r"),
+    )
+    return cum.select(
+        "decile",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("responders").cast("bigint").alias("responders"),
+        F.round(F.col("responders").cast("double") / F.col("n"), 6)
+        .alias("resp_rate"),
+        F.round(F.col("cum_r").cast("double") / F.col("tot_r"), 6)
+        .alias("cum_capture"),
+        F.round(
+            (F.col("cum_r").cast("double") / F.col("cum_n"))
+            / (F.col("tot_r").cast("double") / F.col("tot_n")), 6
+        ).alias("cum_lift"),
     )

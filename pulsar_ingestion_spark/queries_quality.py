@@ -415,3 +415,113 @@ def q_privacy_l_diversity(spark, sf_dir):
         F.sum("group_size").cast("bigint").alias("n_rows"),
         (F.col("l_value") < 3).alias("violates_l3"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: Benjamini-Hochberg FDR step-up over per-cell Welch tests.
+
+_BH_Q = 0.1
+
+_BH_ORACLE = f"""
+WITH cells AS (
+  SELECT event_type, CAST(hour(ts) AS INTEGER) AS hr,
+         count(*) AS n,
+         SUM(CAST(value AS DECIMAL(18,4))) AS s,
+         SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS ss
+  FROM events GROUP BY event_type, hour(ts)
+), tots AS (
+  SELECT event_type, SUM(n) AS tn, SUM(s) AS ts_, SUM(ss) AS tss,
+         count(*) AS m
+  FROM cells GROUP BY event_type
+), z AS (
+  SELECT c.event_type, c.hr, t.m,
+         (CAST(c.s AS DOUBLE) / c.n
+          - CAST(t.ts_ - c.s AS DOUBLE) / (t.tn - c.n))
+         / sqrt(
+             (CAST(c.ss AS DOUBLE) - CAST(c.s AS DOUBLE) * CAST(c.s AS DOUBLE) / c.n)
+               / (c.n - 1) / c.n
+             + (CAST(t.tss - c.ss AS DOUBLE)
+                - CAST(t.ts_ - c.s AS DOUBLE) * CAST(t.ts_ - c.s AS DOUBLE)
+                  / (t.tn - c.n))
+               / (t.tn - c.n - 1) / (t.tn - c.n)
+           ) AS zval
+  FROM cells c JOIN tots t ON t.event_type = c.event_type
+), ranked AS (
+  SELECT event_type, hr, m, zval,
+         exp(-abs(zval)) AS p,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY exp(-abs(zval)), hr) AS p_rank
+  FROM z
+), k AS (
+  SELECT event_type,
+         max(CASE WHEN p <= p_rank * {_BH_Q} / m THEN p_rank ELSE 0 END)
+           AS k_rejected
+  FROM ranked GROUP BY event_type
+)
+SELECT r.event_type, r.hr,
+       round(r.zval, 6) AS z, round(r.p, 6) AS p_proxy,
+       CAST(r.p_rank AS BIGINT) AS p_rank,
+       CAST(k.k_rejected AS BIGINT) AS k_rejected,
+       CASE WHEN r.p_rank <= k.k_rejected THEN 1 ELSE 0 END AS rejected
+FROM ranked r JOIN k ON k.event_type = r.event_type
+"""
+
+
+@query("stats_fdr_bh", oracle=_BH_ORACLE)
+def q_stats_fdr_bh(spark, sf_dir):
+    """Benjamini-Hochberg step-up FDR control (q = 0.1) over a family
+    of per-hour-of-day Welch mean tests within each event type: is hour
+    h's value level different from the rest of that type?  p values use
+    the monotone tail proxy exp(−|z|) (no erf in either engine; BH only
+    consumes the ORDER of p values plus the i·q/m thresholds, so the
+    step-up machinery — the operator under test — is exact).
+
+    Plan: one grouped moment pass (24·|types| cells, map-side combined),
+    per-family totals by re-aggregating the cell relation (no second
+    data pass), rank windows partitioned by family, and the step-up
+    cutoff as a per-family max.  Everything after the first aggregate
+    is model-sized."""
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    vd = F.col("value").cast("decimal(18,4)")
+    cells = ev.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("hr")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(vd).alias("s"),
+        F.sum(vd * vd).alias("ss"),
+    )
+    tots = cells.groupBy("event_type").agg(
+        F.sum("n").alias("tn"), F.sum("s").alias("ts_"),
+        F.sum("ss").alias("tss"), F.count(F.lit(1)).alias("m"),
+    )
+    c = cells.join(F.broadcast(tots), "event_type")
+    n, s, ss = F.col("n"), F.col("s"), F.col("ss")
+    tn, ts_, tss = F.col("tn"), F.col("ts_"), F.col("tss")
+    mean_h = s.cast("double") / n
+    mean_r = (ts_ - s).cast("double") / (tn - n)
+    var_h = (ss.cast("double") - s.cast("double") * s.cast("double") / n) / (n - 1) / n
+    var_r = (
+        (tss - ss).cast("double")
+        - (ts_ - s).cast("double") * (ts_ - s).cast("double") / (tn - n)
+    ) / (tn - n - 1) / (tn - n)
+    zval = (mean_h - mean_r) / F.sqrt(var_h + var_r)
+    z = c.select("event_type", "hr", "m", zval.alias("zval"),
+                 F.exp(-F.abs(zval)).alias("p"))
+    wrank = Window.partitionBy("event_type").orderBy(F.asc("p"), F.asc("hr"))
+    ranked = z.withColumn("p_rank", F.row_number().over(wrank))
+    k = ranked.groupBy("event_type").agg(
+        F.max(
+            F.when(
+                F.col("p") <= F.col("p_rank") * _BH_Q / F.col("m"), F.col("p_rank")
+            ).otherwise(0)
+        ).alias("k_rejected")
+    )
+    return ranked.join(F.broadcast(k), "event_type").select(
+        "event_type", "hr",
+        F.round("zval", 6).alias("z"),
+        F.round("p", 6).alias("p_proxy"),
+        F.col("p_rank").cast("bigint").alias("p_rank"),
+        F.col("k_rejected").cast("bigint").alias("k_rejected"),
+        F.when(F.col("p_rank") <= F.col("k_rejected"), 1).otherwise(0)
+        .alias("rejected"),
+    )

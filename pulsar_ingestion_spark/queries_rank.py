@@ -477,3 +477,59 @@ def q_ml_log_loss(spark, sf_dir):
         (F.sum("ll_term").cast("double") / F.count(F.lit(1))).alias("log_loss"),
         (F.sum("br_term").cast("double") / F.count(F.lit(1))).alias("brier"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil T inequality index (companion to agg_gini).
+
+_THEIL_ORACLE = """
+WITH cust AS (
+  SELECT r.r_name, CAST(c.c_acctbal AS DECIMAL(18,2)) AS x
+  FROM customer c
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE c.c_acctbal > 0
+), mu AS (
+  SELECT r_name, count(*) AS n, SUM(x) AS t FROM cust GROUP BY r_name
+), terms AS (
+  SELECT c.r_name, m.n,
+         CAST(round(
+           (CAST(c.x AS DOUBLE) / (CAST(m.t AS DOUBLE) / m.n))
+           * ln(CAST(c.x AS DOUBLE) / (CAST(m.t AS DOUBLE) / m.n)), 6)
+           AS DECIMAL(18,6)) AS term
+  FROM cust c JOIN mu m ON m.r_name = c.r_name
+)
+SELECT r_name, CAST(max(n) AS BIGINT) AS n,
+       CAST(SUM(term) AS DOUBLE) / max(n) AS theil_t
+FROM terms GROUP BY r_name
+"""
+
+
+@query("agg_theil_index", oracle=_THEIL_ORACLE)
+def q_agg_theil_index(spark, sf_dir):
+    """Theil T inequality index of positive balances per region:
+    T = (1/n)·Σ (x/μ)·ln(x/μ) — the decomposable (between+within)
+    companion to agg_gini.  Two grouped passes (moments, then terms
+    against the broadcast per-region mean); per-row terms are
+    rounded-to-6 and DECIMAL-summed so the Σ is order-free; μ and the
+    final mean divide exact quantities."""
+    cu, na, re = _t(spark, sf_dir, "customer", "nation", "region")
+    cust = (
+        cu.filter(F.col("c_acctbal") > 0)
+        .join(F.broadcast(na), cu["c_nationkey"] == na["n_nationkey"])
+        .join(F.broadcast(re), na["n_regionkey"] == re["r_regionkey"])
+        .select("r_name", F.col("c_acctbal").cast("decimal(18,2)").alias("x"))
+    )
+    mu = cust.groupBy("r_name").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("t")
+    )
+    j = cust.join(F.broadcast(mu), "r_name")
+    ratio = F.col("x").cast("double") / (F.col("t").cast("double") / F.col("n"))
+    terms = j.select(
+        "r_name", "n",
+        F.round(ratio * F.log(ratio), 6).cast("decimal(18,6)").alias("term"),
+    )
+    return terms.groupBy("r_name").agg(
+        F.max("n").cast("bigint").alias("n"),
+        (F.sum("term").cast("double") / F.max("n")).alias("theil_t"),
+    )

@@ -32,6 +32,7 @@ GLOBAL_WINDOW_OK = {
     "drift_chi2",               # margins over the |event_type|×2 contingency table
     "win_mom_growth",           # lag over the per-month rollup (~24 rows)
     "text_keyphrase_rake",      # row_number over the TakeOrdered K=20 relation
+    "ml_lift_deciles",          # cumsum over the 10-row decile aggregate
 }
 
 

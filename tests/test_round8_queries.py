@@ -236,3 +236,141 @@ def test_importance_weights_normalized(spark):
     small = min(rows, key=lambda r: r["tokens"])
     big = max(rows, key=lambda r: r["tokens"])
     assert small["sample_multiplier"] >= big["sample_multiplier"]
+
+
+# ---------------------------------------------------------------------------
+# Batch 3: graph LPA / link prediction, BH FDR, lift deciles, Theil,
+# burst days.
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two triangles joined by nothing: each converges to its own
+    min-label community."""
+    from pulsar_ingestion_spark.queries_graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)],
+        "u long, v long",
+    )
+    out = {r["node"]: r["label"] for r in label_propagation(edges, 3).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_label_propagation_star_absorbs_leaves(spark):
+    """Star: every leaf's only neighbor is the hub, so leaves take the
+    hub's label after round 1; the hub takes the min leaf label."""
+    from pulsar_ingestion_spark.queries_graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(5, 1), (5, 2), (5, 3), (5, 4)], "u long, v long"
+    )
+    one = {r["node"]: r["label"] for r in label_propagation(edges, 1).collect()}
+    assert one == {1: 5, 2: 5, 3: 5, 4: 5, 5: 1}
+
+
+def test_jaccard_linkpred_known_graph(spark):
+    """Path 1-2-3 plus 2-4: the non-adjacent pairs through hub 2 are
+    (1,3), (1,4), (3,4), each with intersection {2} and union of the
+    two 1-degree neighborhoods = 1 → jaccard 1.0."""
+    from pulsar_ingestion_spark.queries_graph import jaccard_linkpred
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (2, 4)], "u long, v long"
+    )
+    rows = jaccard_linkpred(edges, cap=64, topk=20).collect()
+    got = {(r["u"], r["w"]): (r["common_neighbors"], r["jaccard"]) for r in rows}
+    assert got == {(1, 3): (1, 1.0), (1, 4): (1, 1.0), (3, 4): (1, 1.0)}
+
+
+def test_fdr_bh_stepup_property(spark):
+    """Within each family: rejected == (p_rank <= k) and k is exactly
+    the BH step-up cutoff recomputed from the emitted p values."""
+    from pulsar_ingestion_spark.queries_quality import q_stats_fdr_bh
+
+    rows = q_stats_fdr_bh(spark, SF).collect()
+    assert rows
+    from collections import defaultdict
+
+    fam = defaultdict(list)
+    for r in rows:
+        fam[r["event_type"]].append(r)
+    for etype, rs in fam.items():
+        m = len(rs)
+        ks = {r["k_rejected"] for r in rs}
+        assert len(ks) == 1
+        k = ks.pop()
+        want_k = max(
+            (r["p_rank"] for r in rs if r["p_proxy"] <= r["p_rank"] * 0.1 / m),
+            default=0,
+        )
+        # p_proxy is rounded to 6dp in the output; recompute can differ
+        # only if a p sits within 5e-7 of its threshold — regenerate
+        # guard rather than exactness:
+        assert abs(k - want_k) <= 1 if want_k else k >= 0
+        for r in rs:
+            assert (r["rejected"] == 1) == (r["p_rank"] <= k)
+        assert sorted(r["p_rank"] for r in rs) == list(range(1, m + 1))
+
+
+def test_lift_deciles_shape_and_totals(spark):
+    from pulsar_ingestion_spark.queries_ml import q_ml_lift_deciles
+
+    rows = sorted(q_ml_lift_deciles(spark, SF).collect(),
+                  key=lambda r: r["decile"])
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    ev = _pdf("events")
+    assert sum(r["n"] for r in rows) == len(ev)
+    # exact decile sizes: first n%10 deciles get the extra row
+    n = len(ev)
+    base, extra = divmod(n, 10)
+    assert [r["n"] for r in rows] == [base + (1 if d <= extra else 0)
+                                      for d in range(1, 11)]
+    resp = ((ev.event_id % 10 < 2) | (ev.value > 200)).sum()
+    assert sum(r["responders"] for r in rows) == resp
+    assert abs(rows[-1]["cum_capture"] - 1.0) < 1e-9
+    assert abs(rows[-1]["cum_lift"] - 1.0) < 1e-9
+    caps = [r["cum_capture"] for r in rows]
+    assert caps == sorted(caps)
+
+
+def test_theil_matches_python_reference(spark):
+    from pulsar_ingestion_spark.queries_rank import q_agg_theil_index
+
+    out = {r["r_name"]: r for r in q_agg_theil_index(spark, SF).collect()}
+    cu, na, re = _pdf("customer"), _pdf("nation"), _pdf("region")
+    j = cu.merge(na, left_on="c_nationkey", right_on="n_nationkey").merge(
+        re, left_on="n_regionkey", right_on="r_regionkey"
+    )
+    j = j[j.c_acctbal > 0]
+    for name, grp in j.groupby("r_name"):
+        x = grp["c_acctbal"].to_numpy()
+        mu = x.sum() / len(x)
+        t = sum(round((v / mu) * math.log(v / mu), 6) for v in x) / len(x)
+        assert abs(out[name]["theil_t"] - t) < 1e-9
+        assert out[name]["theil_t"] >= 0
+
+
+def test_burst_days_matches_python_reference(spark):
+    from pulsar_ingestion_spark.queries_events import q_events_burst_days
+
+    rows = {(r["event_type"], r["day"]): r
+            for r in q_events_burst_days(spark, SF).collect()}
+    ev = _pdf("events")
+    daily = (
+        ev.assign(day=ev.ts.dt.strftime("%Y-%m-%d"))
+        .groupby(["event_type", "day"]).size().reset_index(name="cnt")
+        .sort_values(["event_type", "day"])
+    )
+    want = {}
+    for etype, grp in daily.groupby("event_type"):
+        cnts = grp["cnt"].tolist()
+        days = grp["day"].tolist()
+        for i in range(len(cnts)):
+            tr = cnts[max(0, i - 7): i]
+            if len(tr) >= 3:
+                ratio = cnts[i] * len(tr) / sum(tr)
+                if ratio > 1.2:
+                    want[(etype, days[i])] = ratio
+    assert set(rows) == set(want)
+    for key, r in rows.items():
+        assert abs(r["burst_ratio"] - round(want[key], 6)) < 1e-9
