@@ -231,6 +231,10 @@ _ROUND8_PREFIX: list[str] = [
     "ml_lift_deciles",
     "agg_theil_index",
     "events_burst_days",
+    "text_token_entropy",
+    "text_hashed_features",
+    "warehouse_clustering_depth",
+    "events_anomaly_ewma_band",
 ]
 
 

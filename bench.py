@@ -93,6 +93,14 @@ HEADLINE = [
     # dedup_minhash_banded)
     "graph_kcore",
     "dedup_minhash_fast",
+    # round 8b: rank statistics (keyed-running-sums ranks), ranking
+    # metrics (distributed global deciles), LPA communities, Holt fold
+    "stats_mann_whitney",
+    "agg_gini",
+    "ml_lift_deciles",
+    "graph_label_propagation",
+    "ts_holt_smooth",
+    "text_pmi_collocations",
 ]
 
 

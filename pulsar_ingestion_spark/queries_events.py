@@ -1189,3 +1189,95 @@ def q_events_burst_days(spark, sf_dir):
         .alias("trail_avg"),
         F.round(ratio, 6).alias("burst_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: EWMA control-band breach detection on daily volumes.
+
+_EWB_ALPHA = 0.3
+_EWB_BETA = 0.3
+_EWB_K = 3.0
+
+_EWMA_BAND_ORACLE = f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         CAST(count(*) AS DOUBLE) AS cnt
+  FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')
+), seq AS (
+  SELECT event_type, day, cnt,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS pos,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM daily
+), rec AS (
+  SELECT event_type, pos, n, cnt AS l, CAST(0 AS DOUBLE) AS d,
+         0 AS breaches
+  FROM seq WHERE pos = 1
+  UNION ALL
+  SELECT s.event_type, s.pos, s.n,
+         {_EWB_ALPHA} * s.cnt + {1 - _EWB_ALPHA} * r.l AS l,
+         {_EWB_BETA} * abs(s.cnt - r.l) + {1 - _EWB_BETA} * r.d AS d,
+         r.breaches
+           + (CASE WHEN r.d > 0
+                    AND abs(s.cnt - r.l) > {_EWB_K} * r.d THEN 1 ELSE 0 END)
+           AS breaches
+  FROM rec r JOIN seq s ON s.event_type = r.event_type AND s.pos = r.pos + 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_days,
+       round(l, 6) AS ewma_level, round(d, 6) AS ewma_dev,
+       CAST(breaches AS BIGINT) AS n_breaches
+FROM rec WHERE pos = n
+"""
+
+
+@query("events_anomaly_ewma_band", oracle=_EWMA_BAND_ORACLE)
+def q_events_anomaly_ewma_band(spark, sf_dir):
+    """EWMA control chart on daily volumes per event type: level and
+    mean-absolute-deviation both exponentially smoothed; a day breaches
+    when its count sits more than 3 smoothed deviations from the prior
+    level (prior — the day must not defend itself).  The sequential
+    sibling of events_burst_days' fixed trailing window.
+
+    The stream collapses to (type, day) counts, then the coupled
+    (level, dev, breaches) recursion folds a 3-field struct through the
+    day-ordered series per type (F.aggregate ↔ recursive-CTE oracle,
+    identical IEEE order — the ts_holt_smooth contract; DuckDB
+    list_reduce is unusable for struct folds, see that docstring).
+    Series are years-of-days sized; the fold is per-key narrow work."""
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    daily = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    seq = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "cnt"))).alias("seq")
+    )
+    vals = F.col("seq").getField("cnt")
+    a, b, k = _EWB_ALPHA, _EWB_BETA, _EWB_K
+
+    def merge(acc, x):
+        l0, d0 = acc.getField("l"), acc.getField("d")
+        breach = F.when(
+            (d0 > 0) & (F.abs(x - l0) > k * d0),
+            acc.getField("breaches") + 1,
+        ).otherwise(acc.getField("breaches"))
+        return F.struct(
+            (a * x + (1 - a) * l0).alias("l"),
+            (b * F.abs(x - l0) + (1 - b) * d0).alias("d"),
+            breach.alias("breaches"),
+        )
+
+    st = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.struct(
+            F.element_at(vals, 1).alias("l"),
+            F.lit(0.0).alias("d"),
+            F.lit(0).alias("breaches"),
+        ),
+        merge,
+    )
+    return seq.select(
+        "event_type",
+        F.size("seq").cast("bigint").alias("n_days"),
+        F.round(st.getField("l"), 6).alias("ewma_level"),
+        F.round(st.getField("d"), 6).alias("ewma_dev"),
+        st.getField("breaches").cast("bigint").alias("n_breaches"),
+    )

@@ -715,3 +715,114 @@ def q_text_pmi_collocations(spark, sf_dir):
         .orderBy(F.desc("pmi"), F.asc("bigram"))
         .limit(_PMI_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: per-document token entropy (lexical diversity).
+
+_TOKEN_ENTROPY_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+), tf AS (
+  SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok
+), n AS (
+  SELECT doc_id, SUM(c) AS n, count(*) AS n_distinct FROM tf GROUP BY doc_id
+), terms AS (
+  SELECT t.doc_id,
+         CAST(round(-(CAST(t.c AS DOUBLE) / n.n)
+                    * log2(CAST(t.c AS DOUBLE) / n.n), 6)
+              AS DECIMAL(18,6)) AS term
+  FROM tf t JOIN n ON n.doc_id = t.doc_id
+)
+SELECT n.doc_id, CAST(n.n AS BIGINT) AS n_tokens,
+       CAST(n.n_distinct AS BIGINT) AS n_distinct,
+       CAST(SUM(term) AS DOUBLE) AS entropy,
+       round(CAST(n.n_distinct AS DOUBLE) / n.n, 6) AS ttr
+FROM terms JOIN n ON n.doc_id = terms.doc_id
+GROUP BY n.doc_id, n.n, n.n_distinct
+"""
+
+
+@query("text_token_entropy", oracle=_TOKEN_ENTROPY_ORACLE)
+def q_text_token_entropy(spark, sf_dir):
+    """Per-document unigram entropy + type-token ratio — the lexical
+    diversity pair used to flag template/boilerplate docs (low entropy
+    at high length) before they flood a training mix; complements
+    text_repetition_ratios' n-gram view.
+
+    One explode → (doc, token-digest) count → per-doc aggregate;
+    tokens shuffle as xxhash64 digests, not strings (counts-by-digest ==
+    counts-by-string, text_line_dedup precedent), and entropy terms are
+    rounded-to-6 then DECIMAL-summed so the Σ is order-free."""
+    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+    ).select("doc_id", F.xxhash64("tok").alias("tk"))
+    tf = toks.groupBy("doc_id", "tk").agg(F.count(F.lit(1)).alias("c"))
+    n = tf.groupBy("doc_id").agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("n_distinct")
+    )
+    p = F.col("c").cast("double") / F.col("n")
+    terms = tf.join(n, "doc_id").select(
+        "doc_id", F.round(-p * F.log2(p), 6).cast("decimal(18,6)").alias("term")
+    )
+    return terms.groupBy("doc_id").agg(F.sum("term").alias("tsum")).join(
+        n, "doc_id"
+    ).select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_tokens"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        F.col("tsum").cast("double").alias("entropy"),
+        F.round(F.col("n_distinct").cast("double") / F.col("n"), 6).alias("ttr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: feature hashing (hashing trick) bucket audit.
+
+_FH_BUCKETS = 64
+
+_HASHED_FEATURES_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+), vocab AS (
+  SELECT tok, count(*) AS freq FROM toks GROUP BY tok
+), bucketed AS (
+  SELECT CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) % {_FH_BUCKETS}
+           AS bucket,
+         freq
+  FROM vocab
+)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_features,
+       CAST(SUM(freq) AS BIGINT) AS total_count
+FROM bucketed GROUP BY bucket
+"""
+
+
+@query("text_hashed_features", oracle=_HASHED_FEATURES_ORACLE)
+def q_text_hashed_features(spark, sf_dir):
+    """Feature-hashing bucket audit: map the corpus vocabulary into 64
+    hash buckets (the hashing trick a streaming featurizer uses instead
+    of a vocabulary dictionary) and report per-bucket feature counts and
+    occurrence mass — the collision-load report that sizes the bucket
+    count before training.
+
+    Vocabulary collapses first (one token-grouped count — the only
+    data-scale shuffle); bucketing is then a vocabulary-sized projection
+    through the portable md5 hash with a 64-row aggregate on top."""
+    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("bigint")
+        % _FH_BUCKETS
+    )
+    return vocab.select(bucket.alias("bucket"), "freq").groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_features"),
+        F.sum("freq").cast("bigint").alias("total_count"),
+    )

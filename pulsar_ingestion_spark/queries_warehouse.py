@@ -1100,3 +1100,80 @@ def q_warehouse_zone_map_prune(spark, sf_dir):
         F.sum("matched").cast("bigint").alias("rows_matched"),
         (F.sum("matched").cast("double") / scanned).alias("scan_selectivity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: clustering depth (file-overlap sweep) on an unclustered
+# sort key.
+
+_CD_BUCKET_US = 90 * 86_400 * 1_000_000
+
+_CLUSTER_DEPTH_ORACLE = f"""
+WITH filed AS (
+  SELECT epoch_us(o_orderdate) // {_CD_BUCKET_US} AS file_id, o_totalprice
+  FROM orders
+), zones AS (
+  SELECT file_id, min(o_totalprice) AS lo, max(o_totalprice) AS hi
+  FROM filed GROUP BY file_id
+), bounds AS (
+  SELECT file_id, lo AS v, 1 AS delta FROM zones
+  UNION ALL
+  SELECT file_id, hi AS v, -1 AS delta FROM zones
+), swept AS (
+  SELECT v, delta,
+         SUM(delta) OVER (ORDER BY v, delta DESC, file_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS depth
+  FROM bounds
+)
+SELECT CAST((SELECT count(*) FROM zones) AS BIGINT) AS n_files,
+       CAST(max(depth) AS BIGINT) AS max_depth,
+       round(CAST(SUM(CASE WHEN delta = 1 THEN depth ELSE 0 END) AS DOUBLE)
+             / SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END), 6) AS avg_start_depth
+FROM swept
+"""
+
+
+@query("warehouse_clustering_depth", oracle=_CLUSTER_DEPTH_ORACLE)
+def q_warehouse_clustering_depth(spark, sf_dir):
+    """Clustering-depth audit: how many files' [min, max] zone ranges on
+    o_totalprice overlap — i.e. how many files a point lookup on the
+    UNclustered column must read.  A perfectly clustered layout sweeps
+    at depth 1; the date-bucketed files here each span nearly the full
+    price domain, so depth ≈ #files — exactly the signal that triggers
+    a re-cluster/Z-order compaction (layout_zorder_key,
+    layout_compaction_plan are the remediation twins).
+
+    Plan: zone maps are a #files-row aggregate; the boundary sweep is a
+    running sum over 2·#files rows ordered by (value, starts-first) —
+    metadata-sized, computed via ``keyed_running_sums`` so even a
+    million-file manifest sweeps in parallel."""
+    from pulsar_ingestion_spark.operators.ranking import keyed_running_sums
+
+    od = _t(spark, sf_dir, "orders")[0]
+    filed = od.select(
+        F.expr(f"unix_micros(o_orderdate) div {_CD_BUCKET_US}").alias("file_id"),
+        "o_totalprice",
+    )
+    zones = filed.groupBy("file_id").agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    bounds = zones.select(
+        "file_id", F.col("lo").alias("v"), F.lit(1).alias("delta")
+    ).unionAll(
+        zones.select("file_id", F.col("hi").alias("v"), F.lit(-1).alias("delta"))
+    ).withColumn("k", F.lit(1))
+    swept, _ = keyed_running_sums(
+        bounds, ["k"], [F.col("v"), (-F.col("delta")).asc(), F.col("file_id")],
+        ["delta"],
+    )
+    nf = zones.agg(F.count(F.lit(1)).cast("bigint").alias("n_files"))
+    agg = swept.agg(
+        F.max("cum_delta").cast("bigint").alias("max_depth"),
+        F.round(
+            F.sum(F.when(F.col("delta") == 1, F.col("cum_delta")).otherwise(0))
+            .cast("double")
+            / F.sum(F.when(F.col("delta") == 1, 1).otherwise(0)), 6
+        ).alias("avg_start_depth"),
+    )
+    return nf.crossJoin(agg)

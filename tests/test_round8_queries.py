@@ -374,3 +374,107 @@ def test_burst_days_matches_python_reference(spark):
     assert set(rows) == set(want)
     for key, r in rows.items():
         assert abs(r["burst_ratio"] - round(want[key], 6)) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Batch 4: token entropy, feature hashing, clustering depth, EWMA band.
+
+
+def test_token_entropy_matches_python_reference(spark):
+    from pulsar_ingestion_spark.queries_ir import q_text_token_entropy
+
+    out = {r["doc_id"]: r for r in q_text_token_entropy(spark, SF).collect()}
+    docs = _pdf("documents")
+    from collections import Counter
+
+    assert len(out) == len(docs)
+    for _, d in docs.head(50).iterrows():
+        toks = d.text.strip().lower().split()
+        c = Counter(toks)
+        n = len(toks)
+        h = sum(round(-(v / n) * math.log2(v / n), 6) for v in c.values())
+        r = out[d.doc_id]
+        assert r["n_tokens"] == n
+        assert r["n_distinct"] == len(c)
+        assert abs(r["entropy"] - h) < 1e-9
+        assert abs(r["ttr"] - round(len(c) / n, 6)) < 1e-9
+
+
+def test_hashed_features_matches_python_reference(spark):
+    import hashlib
+
+    from pulsar_ingestion_spark.queries_ir import q_text_hashed_features
+
+    out = {r["bucket"]: (r["n_features"], r["total_count"])
+           for r in q_text_hashed_features(spark, SF).collect()}
+    docs = _pdf("documents")
+    from collections import Counter
+
+    vocab: Counter = Counter()
+    for text in docs.text:
+        vocab.update(text.strip().lower().split())
+    want: dict[int, list[int]] = {}
+    for tok, freq in vocab.items():
+        b = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 64
+        want.setdefault(b, [0, 0])
+        want[b][0] += 1
+        want[b][1] += freq
+    assert out == {b: tuple(v) for b, v in want.items()}
+    assert sum(v[0] for v in out.values()) == len(vocab)
+
+
+def test_clustering_depth_matches_python_sweep(spark):
+    from pulsar_ingestion_spark.queries_warehouse import (
+        q_warehouse_clustering_depth,
+    )
+
+    row = q_warehouse_clustering_depth(spark, SF).collect()[0]
+    od = _pdf("orders")
+    bucket_us = 90 * 86_400 * 1_000_000
+    od = od.assign(
+        file_id=(od.o_orderdate.astype("int64") // 1000) // bucket_us
+    )
+    zones = od.groupby("file_id")["o_totalprice"].agg(["min", "max"])
+    bounds = []
+    for fid, r in zones.iterrows():
+        bounds.append((r["min"], -1, fid, 1))   # starts first: -delta asc
+        bounds.append((r["max"], 1, fid, -1))
+    bounds.sort(key=lambda t: (t[0], t[1], t[2]))
+    depth = 0
+    max_depth = 0
+    start_depths = []
+    for _, _, _, delta in bounds:
+        depth += delta
+        max_depth = max(max_depth, depth)
+        if delta == 1:
+            start_depths.append(depth)
+    assert row["n_files"] == len(zones)
+    assert row["max_depth"] == max_depth
+    assert abs(row["avg_start_depth"]
+               - round(sum(start_depths) / len(start_depths), 6)) < 1e-9
+    # date-bucketed files are unclustered on price: expect deep overlap
+    assert row["max_depth"] >= max(1, len(zones) - 1)
+
+
+def test_ewma_band_matches_python_fold(spark):
+    from pulsar_ingestion_spark.queries_events import q_events_anomaly_ewma_band
+
+    out = {r["event_type"]: r
+           for r in q_events_anomaly_ewma_band(spark, SF).collect()}
+    ev = _pdf("events")
+    daily = (
+        ev.assign(day=ev.ts.dt.strftime("%Y-%m-%d"))
+        .groupby(["event_type", "day"]).size().reset_index(name="cnt")
+        .sort_values(["event_type", "day"])
+    )
+    for etype, grp in daily.groupby("event_type"):
+        cnts = [float(c) for c in grp["cnt"]]
+        l, d, breaches = cnts[0], 0.0, 0
+        for x in cnts[1:]:
+            if d > 0 and abs(x - l) > 3.0 * d:
+                breaches += 1
+            l, d = 0.3 * x + 0.7 * l, 0.3 * abs(x - l) + 0.7 * d
+        r = out[etype]
+        assert r["n_days"] == len(cnts)
+        assert abs(r["ewma_level"] - l) < 1e-6
+        assert r["n_breaches"] == breaches
