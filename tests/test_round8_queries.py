@@ -431,9 +431,8 @@ def test_clustering_depth_matches_python_sweep(spark):
     row = q_warehouse_clustering_depth(spark, SF).collect()[0]
     od = _pdf("orders")
     bucket_us = 90 * 86_400 * 1_000_000
-    od = od.assign(
-        file_id=(od.o_orderdate.astype("int64") // 1000) // bucket_us
-    )
+    micros = od.o_orderdate.astype("datetime64[us]").astype("int64")
+    od = od.assign(file_id=micros // bucket_us)
     zones = od.groupby("file_id")["o_totalprice"].agg(["min", "max"])
     bounds = []
     for fid, r in zones.iterrows():
