@@ -235,6 +235,10 @@ _ROUND8_PREFIX: list[str] = [
     "text_hashed_features",
     "warehouse_clustering_depth",
     "events_anomaly_ewma_band",
+    "sim_search_mmr",
+    "emb_triplet_margin",
+    "agg_bootstrap_ci",
+    "ts_periodogram_bin",
 ]
 
 

@@ -1054,3 +1054,288 @@ def q_ml_lift_deciles(spark, sf_dir):
             / (F.col("tot_r").cast("double") / F.col("tot_n")), 6
         ).alias("cum_lift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: MMR (maximal marginal relevance) diversity re-rank.
+
+_MMR_LAMBDA = 0.7
+_MMR_NQ = 16
+_MMR_CANDS = 8
+
+_MMR_DOT = """list_reduce(list_prepend(0.0, list_transform(range(1, len({a})+1),
+  i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), (x,y) -> x+y)"""
+
+
+def _mmr_cos(a: str, b: str) -> str:
+    return (f"round({_MMR_DOT.format(a=a, b=b)}"
+            f" / (sqrt({_MMR_DOT.format(a=a, b=a)})"
+            f" * sqrt({_MMR_DOT.format(a=b, b=b)})), 6)")
+
+
+_MMR_ORACLE = f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS cand_id,
+         q.embedding AS qv, e.embedding AS cv,
+         {_mmr_cos('q.embedding', 'e.embedding')} AS rel
+  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+  WHERE q.vec_id < {_MMR_NQ}
+), cands AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rel DESC, cand_id) AS rnk
+    FROM scored
+  ) WHERE rnk <= {_MMR_CANDS}
+), pair AS (
+  SELECT a.query_id, a.cand_id AS i, b.cand_id AS j,
+         {_mmr_cos('a.cv', 'b.cv')} AS sim
+  FROM cands a JOIN cands b
+    ON a.query_id = b.query_id AND a.cand_id <> b.cand_id
+), s1 AS (
+  SELECT query_id, cand_id AS sel, rel AS score FROM cands WHERE rnk = 1
+), m2 AS (
+  SELECT c.query_id, c.cand_id,
+         round({_MMR_LAMBDA} * c.rel - {round(1 - _MMR_LAMBDA, 10)} * p.sim, 6)
+           AS mmr
+  FROM cands c
+  JOIN s1 ON s1.query_id = c.query_id AND c.cand_id <> s1.sel
+  JOIN pair p ON p.query_id = c.query_id AND p.i = c.cand_id AND p.j = s1.sel
+), s2 AS (
+  SELECT query_id, cand_id AS sel, mmr AS score FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY mmr DESC, cand_id) AS rn
+    FROM m2
+  ) WHERE rn = 1
+), m3 AS (
+  SELECT c.query_id, c.cand_id,
+         round({_MMR_LAMBDA} * c.rel
+               - {round(1 - _MMR_LAMBDA, 10)} * greatest(p1.sim, p2.sim), 6)
+           AS mmr
+  FROM cands c
+  JOIN s1 ON s1.query_id = c.query_id AND c.cand_id <> s1.sel
+  JOIN s2 ON s2.query_id = c.query_id AND c.cand_id <> s2.sel
+  JOIN pair p1 ON p1.query_id = c.query_id AND p1.i = c.cand_id
+              AND p1.j = s1.sel
+  JOIN pair p2 ON p2.query_id = c.query_id AND p2.i = c.cand_id
+              AND p2.j = s2.sel
+), s3 AS (
+  SELECT query_id, cand_id AS sel, mmr AS score FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY mmr DESC, cand_id) AS rn
+    FROM m3
+  ) WHERE rn = 1
+)
+SELECT query_id, 1 AS pos, sel AS vec_id, score FROM s1
+UNION ALL
+SELECT query_id, 2 AS pos, sel AS vec_id, score FROM s2
+UNION ALL
+SELECT query_id, 3 AS pos, sel AS vec_id, score FROM s3
+"""
+
+
+@query("sim_search_mmr", oracle=_MMR_ORACLE)
+def q_sim_search_mmr(spark, sf_dir):
+    """MMR diversity re-rank: for each of 16 seed queries, take the
+    top-8 cosine candidates, then greedily select 3 with the maximal-
+    marginal-relevance objective λ·rel − (1−λ)·max-sim-to-selected
+    (λ=0.7) — the standard dedup-aware re-rank between retrieval and a
+    context window.
+
+    The greedy loop is unrolled (k=3) into joins over the per-query
+    candidate set, so the whole operator is relational: one brute-force
+    scoring pass (the sim_search_knn plan — at scale, any ANN variant
+    substitutes), one 8×8 per-query pairwise-sim table, then model-sized
+    argmax windows per step.  Cosines are rounded-to-6 before every
+    ordering (registry parity rules)."""
+    from pulsar_ingestion_spark.functions.vectors import cosine_rounded
+
+    emb = fan_out(load_tables(spark, sf_dir)["embeddings"], spark)
+    lam, mu = _MMR_LAMBDA, round(1 - _MMR_LAMBDA, 10)
+    q = emb.filter(F.col("vec_id") < _MMR_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    e = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv"))
+    scored = (
+        F.broadcast(q).crossJoin(e)
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id", "cand_id", "cv",
+            cosine_rounded(F.col("qv"), F.col("cv")).alias("rel"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("cand_id"))
+    cands = (
+        scored.withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") <= _MMR_CANDS)
+        .persist()
+    )
+    a = cands.select("query_id", F.col("cand_id").alias("i"),
+                     F.col("cv").alias("iv"))
+    b = cands.select(F.col("query_id").alias("qid2"),
+                     F.col("cand_id").alias("j"), F.col("cv").alias("jv"))
+    pair = (
+        a.join(b, (a["query_id"] == b["qid2"]) & (a["i"] != b["j"]))
+        .select("query_id", "i", "j",
+                cosine_rounded(F.col("iv"), F.col("jv")).alias("sim"))
+        .persist()
+    )
+    s1 = cands.filter(F.col("rnk") == 1).select(
+        "query_id", F.col("cand_id").alias("sel"), F.col("rel").alias("score")
+    )
+    wmmr = Window.partitionBy("query_id").orderBy(F.desc("mmr"), F.asc("cand_id"))
+
+    def argmax(m):
+        return (
+            m.withColumn("rn", F.row_number().over(wmmr))
+            .filter(F.col("rn") == 1)
+            .select("query_id", F.col("cand_id").alias("sel"),
+                    F.col("mmr").alias("score"))
+        )
+
+    p1 = pair.select(F.col("query_id").alias("pq1"), F.col("i").alias("i1"),
+                     F.col("j").alias("j1"), F.col("sim").alias("sim1"))
+    p2 = pair.select(F.col("query_id").alias("pq2"), F.col("i").alias("i2"),
+                     F.col("j").alias("j2"), F.col("sim").alias("sim2"))
+    m2 = (
+        cands.join(F.broadcast(s1.select("query_id", F.col("sel").alias("sel1"))),
+                   "query_id")
+        .filter(F.col("cand_id") != F.col("sel1"))
+        .join(p1, (F.col("query_id") == F.col("pq1"))
+              & (F.col("i1") == F.col("cand_id")) & (F.col("j1") == F.col("sel1")))
+        .select("query_id", "cand_id",
+                F.round(lam * F.col("rel") - mu * F.col("sim1"), 6).alias("mmr"))
+    )
+    s2 = argmax(m2)
+    m3 = (
+        cands.join(F.broadcast(s1.select("query_id", F.col("sel").alias("sel1"))),
+                   "query_id")
+        .join(F.broadcast(s2.select("query_id", F.col("sel").alias("sel2"))),
+              "query_id")
+        .filter((F.col("cand_id") != F.col("sel1"))
+                & (F.col("cand_id") != F.col("sel2")))
+        .join(p1, (F.col("query_id") == F.col("pq1"))
+              & (F.col("i1") == F.col("cand_id")) & (F.col("j1") == F.col("sel1")))
+        .join(p2, (F.col("query_id") == F.col("pq2"))
+              & (F.col("i2") == F.col("cand_id")) & (F.col("j2") == F.col("sel2")))
+        .select(
+            "query_id", "cand_id",
+            F.round(
+                lam * F.col("rel") - mu * F.greatest("sim1", "sim2"), 6
+            ).alias("mmr"),
+        )
+    )
+    s3 = argmax(m3)
+    out = (
+        s1.select("query_id", F.lit(1).alias("pos"),
+                  F.col("sel").alias("vec_id"), "score")
+        .unionAll(s2.select("query_id", F.lit(2).alias("pos"),
+                            F.col("sel").alias("vec_id"), "score"))
+        .unionAll(s3.select("query_id", F.lit(3).alias("pos"),
+                            F.col("sel").alias("vec_id"), "score"))
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Round 8: triplet-margin audit in closed form (no pair enumeration).
+
+_TRIPLET_ORACLE = """
+WITH pernorm AS (
+  SELECT label, vec_id,
+         CAST(round(list_reduce(list_prepend(0.0,
+                list_transform(range(1, len(embedding)+1),
+                  i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
+              (x,y) -> x+y), 6) AS DECIMAL(18,6)) AS nsq
+  FROM embeddings
+), lab AS (
+  SELECT label, count(*) AS n, SUM(nsq) AS q FROM pernorm GROUP BY label
+), dims AS (
+  SELECT label, dim, SUM(CAST(v AS DECIMAL(18,8))) AS sd
+  FROM (
+    SELECT label, unnest(range(1, len(embedding)+1)) AS dim,
+           unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+    FROM embeddings
+  ) GROUP BY label, dim
+), gdims AS (
+  SELECT dim, SUM(sd) AS gd FROM dims GROUP BY dim
+), dots AS (
+  SELECT d.label,
+         SUM(CAST(round(CAST(d.sd AS DOUBLE) * CAST(d.sd AS DOUBLE), 6)
+                  AS DECIMAL(28,6))) AS ss,
+         SUM(CAST(round(CAST(d.sd AS DOUBLE) * CAST(g.gd AS DOUBLE), 6)
+                  AS DECIMAL(28,6))) AS sg
+  FROM dims d JOIN gdims g ON g.dim = d.dim
+  GROUP BY d.label
+), tot AS (
+  SELECT SUM(n) AS nn, SUM(q) AS qq FROM lab
+)
+SELECT l.label, CAST(l.n AS BIGINT) AS n,
+       round((2 * l.n * CAST(l.q AS DOUBLE) - 2 * CAST(d.ss AS DOUBLE))
+             / (l.n * (l.n - 1)), 6) AS mean_pos_d2,
+       round(((t.nn - l.n) * CAST(l.q AS DOUBLE)
+              + l.n * CAST(t.qq - l.q AS DOUBLE)
+              - 2 * (CAST(d.sg AS DOUBLE) - CAST(d.ss AS DOUBLE)))
+             / (l.n * (t.nn - l.n)), 6) AS mean_neg_d2
+FROM lab l JOIN dots d ON d.label = l.label CROSS JOIN tot t
+"""
+
+
+@query("emb_triplet_margin", oracle=_TRIPLET_ORACLE)
+def q_emb_triplet_margin(spark, sf_dir):
+    """Triplet-margin audit without enumerating a single pair: for each
+    label, the mean squared distance between same-label pairs and
+    between cross-label pairs, from the algebraic identity
+    E‖x−y‖² = ‖x‖²+‖y‖²−2x·y — everything reduces to per-label counts,
+    squared-norm sums, and per-dimension component sums.  The gap
+    (neg − pos) is the separation a metric-learning run would train on;
+    labels where it collapses are the confusable classes.
+
+    Scale: O(n·d) total — one per-row norm fold + one posexplode into
+    per-(label, dim) DECIMAL sums (map-side combined to |labels|·d
+    rows), then label-count-sized arithmetic.  The closed form is what
+    makes this runnable at 10⁹ vectors where any sampled pairwise
+    audit would be noise."""
+    emb = fan_out(load_tables(spark, sf_dir)["embeddings"], spark)
+    from pulsar_ingestion_spark.functions.vectors import dot as vdot
+
+    pernorm = emb.select(
+        "label",
+        F.round(vdot(F.col("embedding"), F.col("embedding")), 6)
+        .cast("decimal(18,6)").alias("nsq"),
+    )
+    lab = pernorm.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("nsq").alias("q")
+    )
+    dims = emb.select(
+        "label", F.posexplode("embedding").alias("dim0", "vf")
+    ).select(
+        "label", (F.col("dim0") + 1).alias("dim"),
+        F.col("vf").cast("double").cast("decimal(18,8)").alias("v"),
+    ).groupBy("label", "dim").agg(F.sum("v").alias("sd"))
+    gdims = dims.groupBy("dim").agg(F.sum("sd").alias("gd"))
+    sdd = F.col("sd").cast("double")
+    dots = (
+        dims.join(gdims, "dim")
+        .select(
+            "label",
+            F.round(sdd * sdd, 6).cast("decimal(28,6)").alias("ss_t"),
+            F.round(sdd * F.col("gd").cast("double"), 6)
+            .cast("decimal(28,6)").alias("sg_t"),
+        )
+        .groupBy("label")
+        .agg(F.sum("ss_t").alias("ss"), F.sum("sg_t").alias("sg"))
+    )
+    tot = lab.agg(F.sum("n").alias("nn"), F.sum("q").alias("qq"))
+    j = lab.join(dots, "label").crossJoin(F.broadcast(tot))
+    n, q = F.col("n"), F.col("q").cast("double")
+    ss, sg = F.col("ss").cast("double"), F.col("sg").cast("double")
+    nn, qq = F.col("nn"), F.col("qq")
+    return j.select(
+        "label",
+        n.cast("bigint").alias("n"),
+        F.round((2 * n * q - 2 * ss) / (n * (n - 1)), 6).alias("mean_pos_d2"),
+        F.round(
+            ((nn - n) * q + n * (qq - F.col("q")).cast("double")
+             - 2 * (sg - ss)) / (n * (nn - n)), 6
+        ).alias("mean_neg_d2"),
+    )

@@ -1719,3 +1719,156 @@ def q_ts_holt_smooth(spark, sf_dir):
         F.round(st.getField("b"), 6).alias("trend"),
         F.round(st.getField("l") + 3 * st.getField("b"), 6).alias("forecast_3"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: deterministic Poisson-bootstrap confidence interval.
+
+_BOOT_B = 32
+
+_BOOT_ORACLE = f"""
+WITH weighted AS (
+  SELECT event_type, b.b AS b,
+         CASE
+           WHEN CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)),
+                                        b.b + 1, 1)) AS BIGINT) < 6 THEN 0
+           WHEN CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)),
+                                        b.b + 1, 1)) AS BIGINT) < 12 THEN 1
+           WHEN CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)),
+                                        b.b + 1, 1)) AS BIGINT) < 15 THEN 2
+           ELSE 3
+         END AS w,
+         CAST(value AS DECIMAL(18,4)) AS x
+  FROM events, (SELECT unnest(range(0, {_BOOT_B})) AS b) b
+), reps AS (
+  SELECT event_type, b,
+         CAST(SUM(w * x) AS DOUBLE) / SUM(w) AS mean_b
+  FROM weighted GROUP BY event_type, b
+), pt AS (
+  SELECT event_type, count(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS mean
+  FROM events GROUP BY event_type
+)
+SELECT p.event_type, CAST(p.n AS BIGINT) AS n, round(p.mean, 6) AS mean,
+       round(quantile_cont(r.mean_b, 0.025), 6) AS ci_lo,
+       round(quantile_cont(r.mean_b, 0.975), 6) AS ci_hi
+FROM reps r JOIN pt p ON p.event_type = r.event_type
+GROUP BY p.event_type, p.n, p.mean
+"""
+
+
+@query("agg_bootstrap_ci", oracle=_BOOT_ORACLE)
+def q_agg_bootstrap_ci(spark, sf_dir):
+    """Deterministic Poisson bootstrap: 32 resample replicates of the
+    per-type mean, with each row's replicate weight drawn from one hex
+    digit of a single md5(event_id) — digit b drives replicate b through
+    a 16-cell inverse-CDF table approximating Poisson(1)
+    (6/16→0, 6/16→1, 3/16→2, 1/16→3).  The 2.5/97.5 percentiles of the
+    32 replicate means are the CI.
+
+    This is the streaming-friendly bootstrap: ONE hash per row fans out
+    to all 32 replicates, weights are reproducible across engines and
+    retries (no RNG state), and each replicate is a weighted mean —
+    map-side combinable to |types|·32 cells.  Replicate means divide
+    exact DECIMAL sums; the percentile interpolation is the identical
+    lower+d·(upper−lower) on both engines."""
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    bs = ev.sparkSession.range(_BOOT_B).select(F.col("id").cast("int").alias("b"))
+    digit = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), F.col("b") + 1, 1),
+        16, 10,
+    ).cast("bigint")
+    w = (
+        F.when(digit < 6, 0)
+        .when(digit < 12, 1)
+        .when(digit < 15, 2)
+        .otherwise(3)
+    )
+    weighted = ev.crossJoin(F.broadcast(bs)).select(
+        "event_type", "b", w.alias("w"),
+        F.col("value").cast("decimal(18,4)").alias("x"),
+    )
+    reps = weighted.groupBy("event_type", "b").agg(
+        (F.sum(F.col("w") * F.col("x")).cast("double") / F.sum("w")).alias("mean_b")
+    )
+    pt = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+         / F.count(F.lit(1))).alias("mean"),
+    )
+    ci = reps.groupBy("event_type").agg(
+        F.round(F.expr("percentile(mean_b, 0.025)"), 6).alias("ci_lo"),
+        F.round(F.expr("percentile(mean_b, 0.975)"), 6).alias("ci_hi"),
+    )
+    return pt.join(ci, "event_type").select(
+        "event_type", F.col("n").cast("bigint").alias("n"),
+        F.round("mean", 6).alias("mean"), "ci_lo", "ci_hi",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: single-bin periodogram (weekly seasonality strength).
+
+_PG_PERIOD = 7
+_PG_TWO_PI = 6.283185307179586
+
+_PERIODOGRAM_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day, count(*) AS cnt
+  FROM events GROUP BY event_type, epoch_us(ts) // 86400000000
+), terms AS (
+  SELECT event_type, cnt,
+         CAST(round(cnt * cos({_PG_TWO_PI} * (day % {_PG_PERIOD})
+                              / {_PG_PERIOD}), 6) AS DECIMAL(18,6)) AS ct,
+         CAST(round(cnt * sin({_PG_TWO_PI} * (day % {_PG_PERIOD})
+                              / {_PG_PERIOD}), 6) AS DECIMAL(18,6)) AS st
+  FROM daily
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(SUM(cnt) AS BIGINT) AS total,
+       CAST(SUM(ct) AS DOUBLE) AS c,
+       CAST(SUM(st) AS DOUBLE) AS s,
+       round(sqrt(CAST(SUM(ct) AS DOUBLE) * CAST(SUM(ct) AS DOUBLE)
+                  + CAST(SUM(st) AS DOUBLE) * CAST(SUM(st) AS DOUBLE))
+             / SUM(cnt), 6) AS weekly_strength
+FROM terms GROUP BY event_type
+"""
+
+
+@query("ts_periodogram_bin", oracle=_PERIODOGRAM_ORACLE)
+def q_ts_periodogram_bin(spark, sf_dir):
+    """Weekly-seasonality strength per event type: the single 1/7-cycle
+    DFT bin of the daily-count series (Goertzel-style — no FFT needed
+    for one frequency).  |Σ cntₜ·e^{{-2πi·t/7}}| / Σ cnt ≈ 0 for flat
+    traffic, large when volume follows a day-of-week cycle — the cheap
+    seasonality screen before fitting ts_seasonal_profile.
+
+    Day indices are exact integers (epoch-microseconds div), cos/sin
+    see only 7 distinct arguments, and the weighted terms are
+    rounded-to-6 then DECIMAL-summed, so the bin is order-free and
+    engine-identical.  One grouped count + one model-sized aggregate."""
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    arg = F.lit(_PG_TWO_PI) * (F.col("day") % _PG_PERIOD) / _PG_PERIOD
+    terms = daily.select(
+        "event_type", "cnt",
+        F.round(F.col("cnt") * F.cos(arg), 6).cast("decimal(18,6)").alias("ct"),
+        F.round(F.col("cnt") * F.sin(arg), 6).cast("decimal(18,6)").alias("st"),
+    )
+    agg = terms.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("cnt").cast("bigint").alias("total"),
+        F.sum("ct").cast("double").alias("c"),
+        F.sum("st").cast("double").alias("s"),
+    )
+    return agg.select(
+        "event_type", "n_days", "total", "c", "s",
+        F.round(
+            F.sqrt(F.col("c") * F.col("c") + F.col("s") * F.col("s"))
+            / F.col("total"), 6
+        ).alias("weekly_strength"),
+    )

@@ -477,3 +477,122 @@ def test_ewma_band_matches_python_fold(spark):
         assert r["n_days"] == len(cnts)
         assert abs(r["ewma_level"] - l) < 1e-6
         assert r["n_breaches"] == breaches
+
+
+# ---------------------------------------------------------------------------
+# Batch 5: MMR re-rank, triplet margin, bootstrap CI, periodogram.
+
+
+def test_mmr_matches_python_greedy(spark):
+    import numpy as np
+
+    from pulsar_ingestion_spark.queries_ml import q_sim_search_mmr
+
+    rows = q_sim_search_mmr(spark, SF).collect()
+    emb = _pdf("embeddings")
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in emb.itertuples()}
+
+    def cos(a, b):
+        return round(float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))), 6)
+
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], {})[r["pos"]] = (r["vec_id"], r["score"])
+    assert set(by_q) == {v for v in vecs if v < 16}
+    for qid, sel in by_q.items():
+        assert set(sel) == {1, 2, 3}
+        qv = vecs[qid]
+        rel = {v: cos(qv, x) for v, x in vecs.items() if v != qid}
+        cands = sorted(rel, key=lambda v: (-rel[v], v))[:8]
+        chosen = [min(cands, key=lambda v: (-rel[v], v))]
+        for _ in range(2):
+            rest = [v for v in cands if v not in chosen]
+            mmr = {
+                v: round(0.7 * rel[v]
+                         - 0.3 * max(cos(vecs[v], vecs[s]) for s in chosen), 6)
+                for v in rest
+            }
+            chosen.append(min(rest, key=lambda v: (-mmr[v], v)))
+        assert [sel[p][0] for p in (1, 2, 3)] == chosen
+
+
+def test_triplet_margin_matches_pairwise_reference(spark):
+    import numpy as np
+
+    from pulsar_ingestion_spark.queries_ml import q_emb_triplet_margin
+
+    out = {r["label"]: r for r in q_emb_triplet_margin(spark, SF).collect()}
+    emb = _pdf("embeddings")
+    X = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    labels = emb.label.to_numpy()
+    d2 = ((X[:, None, :] - X[None, :, :]) ** 2).sum(axis=2)
+    for lab in np.unique(labels):
+        inl = labels == lab
+        pos = d2[np.ix_(inl, inl)]
+        n = inl.sum()
+        mean_pos = pos.sum() / (n * (n - 1))
+        mean_neg = d2[np.ix_(inl, ~inl)].mean()
+        r = out[int(lab)]
+        assert r["n"] == n
+        assert abs(r["mean_pos_d2"] - mean_pos) < 1e-3 * max(1, mean_pos)
+        assert abs(r["mean_neg_d2"] - mean_neg) < 1e-3 * max(1, mean_neg)
+    # the audit's purpose is finding confusable classes, so per-label
+    # margins may be negative; but the synthetic corpus should not be
+    # anti-clustered overall
+    margins = [out[k]["mean_neg_d2"] - out[k]["mean_pos_d2"] for k in out]
+    assert sum(margins) / len(margins) > -0.05
+
+
+def test_bootstrap_ci_matches_python_reference(spark):
+    import hashlib
+
+    import numpy as np
+
+    from pulsar_ingestion_spark.queries_stats import q_agg_bootstrap_ci
+
+    out = {r["event_type"]: r for r in q_agg_bootstrap_ci(spark, SF).collect()}
+    ev = _pdf("events")
+    tbl = {d: (0 if d < 6 else 1 if d < 12 else 2 if d < 15 else 3)
+           for d in range(16)}
+    for etype, grp in ev.groupby("event_type"):
+        digs = [
+            [int(c, 16) for c in
+             hashlib.md5(str(eid).encode()).hexdigest()[:32]]
+            for eid in grp.event_id
+        ]
+        means = []
+        for b in range(32):
+            w = np.array([tbl[row[b]] for row in digs], dtype=np.float64)
+            x = grp.value.to_numpy()
+            means.append(float((w * x).sum() / w.sum()))
+        lo, hi = np.quantile(means, [0.025, 0.975])
+        r = out[etype]
+        assert abs(r["mean"] - round(grp.value.mean(), 6)) < 1e-4
+        assert abs(r["ci_lo"] - lo) < 1e-4
+        assert abs(r["ci_hi"] - hi) < 1e-4
+        assert r["ci_lo"] <= r["mean"] <= r["ci_hi"]
+
+
+def test_periodogram_matches_python_reference(spark):
+    from pulsar_ingestion_spark.queries_stats import q_ts_periodogram_bin
+
+    out = {r["event_type"]: r for r in q_ts_periodogram_bin(spark, SF).collect()}
+    ev = _pdf("events")
+    micros = ev.ts.astype("datetime64[us]").astype("int64")
+    daily = (
+        ev.assign(day=micros // 86_400_000_000)
+        .groupby(["event_type", "day"]).size().reset_index(name="cnt")
+    )
+    for etype, grp in daily.groupby("event_type"):
+        c = sum(round(r.cnt * math.cos(6.283185307179586 * (r.day % 7) / 7), 6)
+                for r in grp.itertuples())
+        s = sum(round(r.cnt * math.sin(6.283185307179586 * (r.day % 7) / 7), 6)
+                for r in grp.itertuples())
+        r = out[etype]
+        assert r["n_days"] == len(grp)
+        assert r["total"] == grp.cnt.sum()
+        assert abs(r["c"] - c) < 1e-9
+        assert abs(r["s"] - s) < 1e-9
+        strength = math.sqrt(c * c + s * s) / grp.cnt.sum()
+        assert abs(r["weekly_strength"] - round(strength, 6)) < 1e-9
