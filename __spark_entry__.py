@@ -239,6 +239,10 @@ _ROUND8_PREFIX: list[str] = [
     "emb_triplet_margin",
     "agg_bootstrap_ci",
     "ts_periodogram_bin",
+    "geo_kde_grid",
+    "dq_freshness",
+    "exp_sprt_boundary",
+    "corpus_dedup_savings",
 ]
 
 

@@ -589,3 +589,55 @@ def q_corpus_importance_weights(spark, sf_dir):
         F.round(adj, 6).alias("adj_share"),
         F.round(adj / F.col("p"), 6).alias("sample_multiplier"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: exact-dedup savings report per source.
+
+_DEDUP_SAVINGS_ORACLE = """
+WITH fp AS (
+  SELECT source, doc_id, n_chars, md5(text) AS h,
+         min(doc_id) OVER (PARTITION BY md5(text)) AS rep
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT h) AS BIGINT) AS n_unique_texts,
+       CAST(SUM(CASE WHEN doc_id <> rep THEN 1 ELSE 0 END) AS BIGINT)
+         AS dup_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS bytes_total,
+       CAST(SUM(CASE WHEN doc_id <> rep THEN n_chars ELSE 0 END) AS BIGINT)
+         AS bytes_saved,
+       round(CAST(SUM(CASE WHEN doc_id <> rep THEN n_chars ELSE 0 END)
+                  AS DOUBLE) / SUM(n_chars), 6) AS savings_frac
+FROM fp GROUP BY source
+"""
+
+
+@query("corpus_dedup_savings", oracle=_DEDUP_SAVINGS_ORACLE)
+def q_corpus_dedup_savings(spark, sf_dir):
+    """Exact-dedup savings accounting per source: how many documents
+    and bytes drop if every duplicate text keeps only its min-doc_id
+    representative — the sizing report that justifies (and budgets) the
+    dedup cascade before it runs.  NOTE the rep window partitions by
+    the 16-byte text digest (unbounded key cardinality is fine: groups
+    are duplicate-cluster-sized), so the whole plan is one digest
+    shuffle + one source aggregate."""
+    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    from pyspark.sql import Window as W
+
+    fp = docs.select(
+        "source", "doc_id", "n_chars", F.md5("text").alias("h")
+    ).withColumn("rep", F.min("doc_id").over(W.partitionBy("h")))
+    dup = F.when(F.col("doc_id") != F.col("rep"), 1).otherwise(0)
+    dup_chars = F.when(F.col("doc_id") != F.col("rep"), F.col("n_chars")).otherwise(0)
+    return fp.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("h").cast("bigint").alias("n_unique_texts"),
+        F.sum(dup).cast("bigint").alias("dup_docs"),
+        F.sum("n_chars").cast("bigint").alias("bytes_total"),
+        F.sum(dup_chars).cast("bigint").alias("bytes_saved"),
+        F.round(
+            F.sum(dup_chars).cast("double") / F.sum("n_chars"), 6
+        ).alias("savings_frac"),
+    )

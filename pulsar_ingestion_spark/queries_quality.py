@@ -525,3 +525,172 @@ def q_stats_fdr_bh(spark, sf_dir):
         F.when(F.col("p_rank") <= F.col("k_rejected"), 1).otherwise(0)
         .alias("rejected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: freshness / staleness report per stream.
+
+_FRESH_STALE_H = 24
+
+_FRESHNESS_ORACLE = f"""
+WITH per AS (
+  SELECT event_type, count(*) AS n,
+         max(ts) AS last_ts, min(ts) AS first_ts
+  FROM events GROUP BY event_type
+), now_ AS (
+  SELECT max(last_ts) AS wm FROM per
+)
+SELECT p.event_type, CAST(p.n AS BIGINT) AS n,
+       strftime(p.last_ts, '%Y-%m-%dT%H:%M:%SZ') AS last_event,
+       CAST((epoch_us(n2.wm) - epoch_us(p.last_ts)) // 60000000 AS BIGINT)
+         AS lag_minutes,
+       CASE WHEN epoch_us(n2.wm) - epoch_us(p.last_ts)
+                 > {_FRESH_STALE_H} * 3600000000 THEN 1 ELSE 0 END AS stale
+FROM per p CROSS JOIN now_ n2
+"""
+
+
+@query("dq_freshness", oracle=_FRESHNESS_ORACLE)
+def q_dq_freshness(spark, sf_dir):
+    """Per-stream freshness report: each event type's last-seen
+    timestamp and its lag behind the global high-water mark, flagged
+    stale past 24 h — the first panel of any ingestion dashboard and
+    the batch contract for the streaming watermark monitor.
+
+    One grouped min/max (map-side combined to |types| rows) plus a
+    broadcast scalar; lag arithmetic is exact integer microseconds
+    (epoch_us convention), so the stale flag compares exact integers."""
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    per = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("ts").alias("last_ts"), F.min("ts").alias("first_ts"),
+    )
+    wm = per.agg(F.max("last_ts").alias("wm"))
+    lag_us = F.unix_micros(F.col("wm")) - F.unix_micros(F.col("last_ts"))
+    return per.crossJoin(F.broadcast(wm)).select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.date_format("last_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("last_event"),
+        F.expr(
+            "(unix_micros(wm) - unix_micros(last_ts)) div 60000000"
+        ).cast("bigint").alias("lag_minutes"),
+        F.when(lag_us > _FRESH_STALE_H * 3_600_000_000, 1).otherwise(0)
+        .alias("stale"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: sequential probability-ratio test (SPRT) per stream.
+
+_SPRT_P0 = 0.45
+_SPRT_P1 = 0.55
+_SPRT_ALPHA = 0.05  # ln((1-b)/a) / ln(b/(1-a)) boundaries with a=b=0.05
+
+# LLR increments and Wald boundaries are computed ONCE in Python and
+# inlined as literals into BOTH engines' expressions — ln() in each
+# engine's libm could round the 8th decimal differently.
+import math as _math
+
+_SPRT_LLR_W = round(_math.log(_SPRT_P1 / _SPRT_P0) * 1e8)   # 1e-8-scaled int
+_SPRT_LLR_L = round(_math.log((1 - _SPRT_P1) / (1 - _SPRT_P0)) * 1e8)
+_SPRT_UP = _math.log((1 - _SPRT_ALPHA) / _SPRT_ALPHA)
+_SPRT_LO = _math.log(_SPRT_ALPHA / (1 - _SPRT_ALPHA))
+
+
+@query(
+    "exp_sprt_boundary",
+    oracle=f"""
+WITH seq AS (
+  SELECT event_type, ts, event_id,
+         CASE WHEN event_id % 2 = 1
+              THEN CAST({_SPRT_LLR_W} AS BIGINT)
+              ELSE CAST({_SPRT_LLR_L} AS BIGINT) END AS llr
+  FROM events
+), cum AS (
+  SELECT event_type,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id)
+           AS pos,
+         SUM(llr)
+           OVER (PARTITION BY event_type ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cllr
+  FROM seq
+), bounds AS (
+  SELECT {_SPRT_UP!r} AS up,
+         {_SPRT_LO!r} AS lo
+), crossed AS (
+  SELECT c.event_type,
+         min(CASE WHEN CAST(c.cllr AS DOUBLE) / 1e8 >= b.up THEN c.pos END)
+           AS first_accept,
+         min(CASE WHEN CAST(c.cllr AS DOUBLE) / 1e8 <= b.lo THEN c.pos END)
+           AS first_reject,
+         max(c.pos) AS n,
+         max(CASE WHEN c.pos = (SELECT max(pos) FROM cum c2
+                                WHERE c2.event_type = c.event_type)
+                  THEN CAST(c.cllr AS DOUBLE) / 1e8 END) AS llr_final
+  FROM cum c CROSS JOIN bounds b
+  GROUP BY c.event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       round(llr_final, 6) AS llr_final,
+       CAST(coalesce(least(first_accept, first_reject), 0) AS BIGINT)
+         AS decision_at,
+       CASE
+         WHEN first_accept IS NOT NULL
+              AND (first_reject IS NULL OR first_accept <= first_reject)
+           THEN 'accept_h1'
+         WHEN first_reject IS NOT NULL THEN 'accept_h0'
+         ELSE 'continue'
+       END AS decision
+FROM crossed
+""",
+)
+def q_exp_sprt_boundary(spark, sf_dir):
+    """Wald's sequential probability-ratio test per stream: the
+    cumulative Bernoulli log-likelihood ratio (H₁: p=0.55 vs H₀:
+    p=0.45 on the event_id-parity outcome) walked in event-time order,
+    reporting where it first crosses the ln((1−β)/α) / ln(β/(1−α))
+    boundaries — the always-valid sequential monitor that lets an
+    experiment stop early (the streaming twin of exp_ab_lift's fixed-
+    horizon test).
+
+    Per-row LLR takes only two constant values, carried as exact
+    1e-8-scaled integers, so every cumulative value is exact.  The running
+    sum + position come from ``keyed_running_sums`` (range-partitioned;
+    the Window.partitionBy(type) oracle form would cap parallelism at
+    the type count — drift_ks discipline)."""
+    from pulsar_ingestion_spark.operators.ranking import keyed_running_sums
+
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    llr_w, llr_l = _SPRT_LLR_W, _SPRT_LLR_L
+    up, lo = _SPRT_UP, _SPRT_LO
+    seq = ev.select(
+        "event_type", "ts", "event_id",
+        F.when(F.col("event_id") % 2 == 1, F.lit(llr_w))
+        .otherwise(F.lit(llr_l)).cast("bigint").alias("llr"),
+        F.lit(1).alias("one"),
+    )
+    cum, _tot = keyed_running_sums(
+        seq, ["event_type"], [F.col("ts"), F.col("event_id")], ["llr", "one"]
+    )
+    c = cum.select(
+        "event_type",
+        F.col("cum_one").alias("pos"),
+        (F.col("cum_llr").cast("double") / 1e8).alias("cllr"),
+    )
+    crossed = c.groupBy("event_type").agg(
+        F.min(F.when(F.col("cllr") >= up, F.col("pos"))).alias("first_accept"),
+        F.min(F.when(F.col("cllr") <= lo, F.col("pos"))).alias("first_reject"),
+        F.max("pos").alias("n"),
+        F.max(F.struct(F.col("pos"), F.col("cllr"))).getField("cllr")
+        .alias("llr_final"),
+    )
+    fa, fr = F.col("first_accept"), F.col("first_reject")
+    return crossed.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round("llr_final", 6).alias("llr_final"),
+        F.coalesce(F.least(fa, fr), F.lit(0)).cast("bigint").alias("decision_at"),
+        F.when(fa.isNotNull() & (fr.isNull() | (fa <= fr)), "accept_h1")
+        .when(fr.isNotNull(), "accept_h0")
+        .otherwise("continue").alias("decision"),
+    )

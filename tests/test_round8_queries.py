@@ -596,3 +596,100 @@ def test_periodogram_matches_python_reference(spark):
         assert abs(r["s"] - s) < 1e-9
         strength = math.sqrt(c * c + s * s) / grp.cnt.sum()
         assert abs(r["weekly_strength"] - round(strength, 6)) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Batch 6: KDE grid, freshness, SPRT, dedup savings.
+
+
+def test_kde_grid_matches_python_reference(spark):
+    from collections import defaultdict
+
+    from pulsar_ingestion_spark.queries_geo import q_geo_kde_grid
+
+    rows = q_geo_kde_grid(spark, SF).collect()
+    ev = _pdf("events")
+    dens: dict = defaultdict(float)
+    for v in ev.value:
+        lat, lon = v / 10, -v / 7
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                cx = math.floor(lat) + dx + 0.5
+                cy = math.floor(lon) + dy + 0.5
+                w = round(math.exp(-((lat - cx) ** 2 + (lon - cy) ** 2) / 1.125), 6)
+                dens[(math.floor(lat) + dx, math.floor(lon) + dy)] += w
+    want = sorted(dens.items(), key=lambda kv: (-kv[1], kv[0]))[: len(rows)]
+    got = [((r["cell_lat"], r["cell_lon"]), r["density"]) for r in rows]
+    for (gc, gd), (wc, wd) in zip(got, want):
+        assert gc == wc
+        assert abs(gd - wd) < 1e-6
+
+
+def test_freshness_lag_and_stale_flag(spark):
+    from pulsar_ingestion_spark.queries_quality import q_dq_freshness
+
+    rows = {r["event_type"]: r for r in q_dq_freshness(spark, SF).collect()}
+    ev = _pdf("events")
+    last = ev.groupby("event_type").ts.max()
+    wm = last.max()
+    for etype, r in rows.items():
+        lag_min = int((wm - last[etype]).total_seconds() // 60)
+        assert r["lag_minutes"] == lag_min
+        assert r["stale"] == (1 if (wm - last[etype]).total_seconds()
+                              > 24 * 3600 else 0)
+        assert r["n"] == (ev.event_type == etype).sum()
+    # the freshest stream defines the watermark: lag 0, not stale
+    assert min(r["lag_minutes"] for r in rows.values()) == 0
+
+
+def test_sprt_matches_python_walk(spark):
+    from pulsar_ingestion_spark.queries_quality import (
+        _SPRT_LLR_L,
+        _SPRT_LLR_W,
+        _SPRT_LO,
+        _SPRT_UP,
+        q_exp_sprt_boundary,
+    )
+
+    out = {r["event_type"]: r for r in q_exp_sprt_boundary(spark, SF).collect()}
+    ev = _pdf("events").sort_values(["ts", "event_id"])
+    for etype, grp in ev.groupby("event_type"):
+        cum = 0
+        first_accept = first_reject = None
+        for pos, eid in enumerate(grp.event_id, start=1):
+            cum += _SPRT_LLR_W if eid % 2 == 1 else _SPRT_LLR_L
+            if cum / 1e8 >= _SPRT_UP and first_accept is None:
+                first_accept = pos
+            if cum / 1e8 <= _SPRT_LO and first_reject is None:
+                first_reject = pos
+        r = out[etype]
+        assert r["n"] == len(grp)
+        # engines round half-up at 6dp; python round() is half-even —
+        # compare pre-round values instead
+        assert abs(r["llr_final"] - cum / 1e8) < 1e-6
+        if first_accept and (not first_reject or first_accept <= first_reject):
+            assert r["decision"] == "accept_h1"
+            assert r["decision_at"] == min(
+                x for x in (first_accept, first_reject) if x
+            )
+        elif first_reject:
+            assert r["decision"] == "accept_h0"
+        else:
+            assert r["decision"] == "continue"
+            assert r["decision_at"] == 0
+
+
+def test_dedup_savings_consistency(spark):
+    from pulsar_ingestion_spark.queries_corpus import q_corpus_dedup_savings
+
+    rows = {r["source"]: r for r in q_corpus_dedup_savings(spark, SF).collect()}
+    docs = _pdf("documents")
+    reps = docs.groupby(docs.text.map(hash))["doc_id"].transform("min")
+    docs = docs.assign(is_dup=docs.doc_id != reps)
+    for src, grp in docs.groupby("source"):
+        r = rows[src]
+        assert r["n_docs"] == len(grp)
+        assert r["n_unique_texts"] == grp.text.nunique()
+        assert r["dup_docs"] == int(grp.is_dup.sum())
+        assert r["bytes_total"] == int(grp.n_chars.sum())
+        assert r["bytes_saved"] == int(grp.loc[grp.is_dup, "n_chars"].sum())
