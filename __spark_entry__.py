@@ -243,6 +243,11 @@ _ROUND8_PREFIX: list[str] = [
     "dq_freshness",
     "exp_sprt_boundary",
     "corpus_dedup_savings",
+    "ml_average_precision",
+    "ml_cohen_kappa",
+    "stats_kruskal_wallis",
+    "graph_assortativity",
+    "events_concurrency_sweep",
 ]
 
 

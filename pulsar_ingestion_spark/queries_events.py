@@ -1281,3 +1281,104 @@ def q_events_anomaly_ewma_band(spark, sf_dir):
         F.round(st.getField("d"), 6).alias("ewma_dev"),
         st.getField("breaches").cast("bigint").alias("n_breaches"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: concurrent-session sweep (peak simultaneous sessions).
+
+_CS_GAP_S = 1800
+
+_CONCURRENCY_ORACLE = f"""
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+               OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                  > {_CS_GAP_S} * 1000000 THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sid,
+         ts
+  FROM ordered
+), intervals AS (
+  SELECT user_id, sid, min(ts) AS t0, max(ts) AS t1
+  FROM sess GROUP BY user_id, sid
+), bounds AS (
+  SELECT user_id, sid, epoch_us(t0) AS t, 1 AS delta FROM intervals
+  UNION ALL
+  SELECT user_id, sid, epoch_us(t1) AS t, -1 AS delta FROM intervals
+), swept AS (
+  SELECT delta,
+         SUM(delta) OVER (ORDER BY t, delta DESC, user_id, sid
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS depth
+  FROM bounds
+)
+SELECT CAST((SELECT count(*) FROM intervals) AS BIGINT) AS n_sessions,
+       CAST(max(depth) AS BIGINT) AS peak_concurrency,
+       round(CAST(SUM(CASE WHEN delta = 1 THEN depth ELSE 0 END) AS DOUBLE)
+             / SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END), 6)
+         AS avg_start_concurrency
+FROM swept
+"""
+
+
+@query("events_concurrency_sweep", oracle=_CONCURRENCY_ORACLE)
+def q_events_concurrency_sweep(spark, sf_dir):
+    """Peak simultaneous sessions: sessionize per user (the >30 min
+    silence rule of events_sessionize), then sweep all session
+    [start, end] intervals to find the maximum and the average-at-start
+    overlap depth — the capacity number a session-store or
+    stateful-stream operator is sized by.
+
+    The sweep is the clustering-depth plan at DATA scale: 2 boundary
+    rows per session, running-summed via ``keyed_running_sums``
+    (range-partitioned — a global ORDER BY window would funnel every
+    boundary through one task).  Boundary order is (time,
+    starts-before-ends, user, session), a total order, so depth is
+    exact on both engines."""
+    from pulsar_ingestion_spark.operators.ranking import keyed_running_sums
+
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    is_new = F.when(
+        prev.isNull()
+        | (F.unix_micros("ts") - F.unix_micros(prev) > _CS_GAP_S * 1_000_000),
+        1,
+    ).otherwise(0)
+    sess = ev.select("user_id", "ts", "event_id").withColumn(
+        "sid",
+        F.sum(is_new).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    intervals = sess.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("t0"), F.max("ts").alias("t1")
+    ).persist()
+    bounds = intervals.select(
+        "user_id", "sid", F.unix_micros("t0").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        intervals.select(
+            "user_id", "sid", F.unix_micros("t1").alias("t"),
+            F.lit(-1).alias("delta"),
+        )
+    ).withColumn("k", F.lit(1))
+    swept, _ = keyed_running_sums(
+        bounds, ["k"],
+        [F.col("t"), (-F.col("delta")).asc(), F.col("user_id"), F.col("sid")],
+        ["delta"],
+    )
+    ns = intervals.agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+    agg = swept.agg(
+        F.max("cum_delta").cast("bigint").alias("peak_concurrency"),
+        F.round(
+            F.sum(F.when(F.col("delta") == 1, F.col("cum_delta")).otherwise(0))
+            .cast("double")
+            / F.sum(F.when(F.col("delta") == 1, 1).otherwise(0)), 6
+        ).alias("avg_start_concurrency"),
+    )
+    return ns.crossJoin(agg)

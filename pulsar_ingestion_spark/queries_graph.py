@@ -800,3 +800,78 @@ def jaccard_linkpred(edges, cap: int, topk: int):
     return scored.orderBy(
         F.desc("jaccard"), F.asc("u"), F.asc("w")
     ).limit(topk)
+
+
+# ---------------------------------------------------------------------------
+# Round 8: degree assortativity of the co-occurrence graph.
+
+_ASSORT_ORACLE = f"""
+WITH {_COOC_EDGES_SQL},
+deg AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges
+  ) t GROUP BY node
+), pairs AS (
+  SELECT du.d AS dx, dv.d AS dy
+  FROM edges e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+  UNION ALL
+  SELECT dv.d AS dx, du.d AS dy
+  FROM edges e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+), m AS (
+  SELECT count(*) AS n,
+         SUM(dx) AS sx, SUM(dy) AS sy,
+         SUM(dx * dy) AS sxy, SUM(dx * dx) AS sxx, SUM(dy * dy) AS syy
+  FROM pairs
+)
+SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+       round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+             / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)), 6)
+         AS assortativity
+FROM m
+"""
+
+
+@query("graph_assortativity", oracle=_ASSORT_ORACLE)
+def q_graph_assortativity(spark, sf_dir):
+    """Degree assortativity: the Pearson correlation of endpoint degrees
+    over the (symmetrized) edge list — positive when hubs attach to
+    hubs, negative for hub-and-spoke topologies; the one-number summary
+    that decides whether skew mitigations (salting, cap-and-verify)
+    will be load-bearing on this graph.
+
+    Degrees are one grouped count; the edge-degree join shuffles the
+    edge list twice by endpoint; the correlation moments are exact
+    integer sums (degree values), so r is one IEEE expression."""
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    edges = _cooc_edges(ev).persist()
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    joined = edges.join(du, "u").join(dv, "v")
+    pairs = joined.select(
+        F.col("du").alias("dx"), F.col("dv").alias("dy")
+    ).unionAll(joined.select(F.col("dv").alias("dx"), F.col("du").alias("dy")))
+    m = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dx").alias("sx"), F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    return m.select(
+        (n / 2).cast("bigint").alias("n_edges"),
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)), 6
+        ).alias("assortativity"),
+    )

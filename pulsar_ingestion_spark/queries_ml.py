@@ -1339,3 +1339,139 @@ def q_emb_triplet_margin(spark, sf_dir):
              - 2 * (sg - ss)) / (n * (nn - n)), 6
         ).alias("mean_neg_d2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: average precision (area under the PR curve, step form).
+
+_AP_ORACLE = """
+WITH scored AS (
+  SELECT event_id,
+         1.0 / (1.0 + exp(-(value - 50.0) / 25.0)) AS p,
+         CASE WHEN event_id % 10 < 2 OR value > 200 THEN 1 ELSE 0 END AS y
+  FROM events
+), ranked AS (
+  SELECT y, row_number() OVER (ORDER BY p DESC, event_id) AS rnk FROM scored
+), cum AS (
+  SELECT y, rnk,
+         SUM(y) OVER (ORDER BY rnk
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_pos
+  FROM ranked
+), terms AS (
+  SELECT CASE WHEN y = 1
+              THEN CAST(round(CAST(cum_pos AS DOUBLE) / rnk, 6)
+                        AS DECIMAL(18,6))
+              ELSE CAST(0 AS DECIMAL(18,6)) END AS prec_at
+  FROM cum
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST((SELECT SUM(y) FROM scored) AS BIGINT) AS n_pos,
+       round(CAST(SUM(prec_at) AS DOUBLE)
+             / (SELECT SUM(y) FROM scored), 6) AS average_precision
+FROM terms
+"""
+
+
+@query("ml_average_precision", oracle=_AP_ORACLE)
+def q_ml_average_precision(spark, sf_dir):
+    """Average precision (the step-form area under the precision-recall
+    curve): mean of precision@k over the ranks k where a positive sits —
+    the imbalanced-data companion to ml_auc_roc, scored on the same
+    logistic proxy / label convention as ml_lift_deciles.
+
+    Global rank comes from the distributed exact-ranking operator;
+    the running positive count comes from ``keyed_running_sums`` over
+    the ranked relation (constant key — still range-partitioned into
+    parallel runs, NO single-task window over the data).  Per-positive
+    precision terms are rounded-to-6 and DECIMAL-summed."""
+    from pulsar_ingestion_spark.operators.ranking import (
+        global_row_number,
+        keyed_running_sums,
+    )
+
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    scored = ev.select(
+        "event_id",
+        (1.0 / (1.0 + F.exp(-(F.col("value") - 50.0) / 25.0))).alias("p"),
+        F.when((F.col("event_id") % 10 < 2) | (F.col("value") > 200), 1)
+        .otherwise(0).alias("y"),
+    )
+    ranked, n = global_row_number(scored, [F.desc("p"), F.asc("event_id")])
+    ranked = ranked.select("y", F.col("_rn").alias("rnk"), F.lit(1).alias("k"))
+    cum, _ = keyed_running_sums(ranked, ["k"], [F.col("rnk")], ["y"])
+    prec_at = F.when(
+        F.col("y") == 1,
+        F.round(F.col("cum_y").cast("double") / F.col("rnk"), 6)
+        .cast("decimal(18,6)"),
+    ).otherwise(F.lit(0).cast("decimal(18,6)"))
+    npos = scored.agg(F.sum("y").cast("bigint").alias("n_pos"))
+    agg = cum.select(prec_at.alias("prec_at")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("prec_at").alias("ap_sum"),
+    )
+    return agg.crossJoin(F.broadcast(npos)).select(
+        "n", "n_pos",
+        F.round(F.col("ap_sum").cast("double") / F.col("n_pos"), 6)
+        .alias("average_precision"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: Cohen's kappa between two deterministic raters.
+
+_KAPPA_ORACLE = """
+WITH rated AS (
+  SELECT CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END AS r1,
+         CASE WHEN value > 50 THEN 1 ELSE 0 END AS r2
+  FROM events
+), counts AS (
+  SELECT count(*) AS n,
+         SUM(CASE WHEN r1 = r2 THEN 1 ELSE 0 END) AS agree,
+         SUM(r1) AS p1, SUM(r2) AS p2
+  FROM rated
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(agree AS BIGINT) AS n_agree,
+       round(CAST(agree AS DOUBLE) / n, 6) AS po,
+       round((CAST(p1 AS DOUBLE) * p2 + CAST(n - p1 AS DOUBLE) * (n - p2))
+             / (CAST(n AS DOUBLE) * n), 6) AS pe,
+       round((CAST(agree AS DOUBLE) / n
+              - (CAST(p1 AS DOUBLE) * p2 + CAST(n - p1 AS DOUBLE) * (n - p2))
+                / (CAST(n AS DOUBLE) * n))
+             / (1 - (CAST(p1 AS DOUBLE) * p2
+                     + CAST(n - p1 AS DOUBLE) * (n - p2))
+                    / (CAST(n AS DOUBLE) * n)), 6) AS kappa
+FROM counts
+"""
+
+
+@query("ml_cohen_kappa", oracle=_KAPPA_ORACLE)
+def q_ml_cohen_kappa(spark, sf_dir):
+    """Cohen's kappa for inter-rater agreement between two deterministic
+    binary raters (event-id parity vs a value threshold) — the
+    label-quality check run on double-annotated corpus samples before
+    trusting a labeling pipeline.  One map-side-combined aggregate;
+    kappa is a single IEEE expression over five exact integers."""
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    rated = ev.select(
+        F.when(F.col("event_id") % 2 == 1, 1).otherwise(0).alias("r1"),
+        F.when(F.col("value") > 50, 1).otherwise(0).alias("r2"),
+    )
+    c = rated.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("r1") == F.col("r2"), 1).otherwise(0)).alias("agree"),
+        F.sum("r1").alias("p1"), F.sum("r2").alias("p2"),
+    )
+    n, agree = F.col("n"), F.col("agree")
+    p1, p2 = F.col("p1"), F.col("p2")
+    po = agree.cast("double") / n
+    pe = (p1.cast("double") * p2 + (n - p1).cast("double") * (n - p2)) / (
+        n.cast("double") * n
+    )
+    return c.select(
+        n.cast("bigint").alias("n"),
+        agree.cast("bigint").alias("n_agree"),
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round((po - pe) / (1 - pe), 6).alias("kappa"),
+    )

@@ -533,3 +533,97 @@ def q_agg_theil_index(spark, sf_dir):
         F.max("n").cast("bigint").alias("n"),
         (F.sum("term").cast("double") / F.max("n")).alias("theil_t"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kruskal-Wallis H (rank-based one-way ANOVA across all event types).
+
+_KRUSKAL_ORACLE = """
+WITH pervalue AS (
+  SELECT event_type, value, count(*) AS c
+  FROM events GROUP BY event_type, value
+), gv AS (
+  SELECT value, SUM(c) AS gc,
+         SUM(SUM(c)) OVER (ORDER BY value
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS gcc
+  FROM pervalue GROUP BY value
+), ranked AS (
+  SELECT p.event_type, p.c,
+         (2 * g.gcc - g.gc + 1) AS rank2
+  FROM pervalue p JOIN gv g ON g.value = p.value
+), groups AS (
+  SELECT event_type, SUM(c) AS nj, SUM(c * rank2) AS rsum2
+  FROM ranked GROUP BY event_type
+), ties AS (
+  SELECT SUM(gc * gc * gc - gc) AS tie_term, SUM(gc) AS n FROM gv
+)
+SELECT CAST(t.n AS BIGINT) AS n,
+       CAST((SELECT count(*) FROM groups) AS BIGINT) AS k_groups,
+       round(
+         (12.0 / (CAST(t.n AS DOUBLE) * (t.n + 1))
+          * CAST((SELECT SUM(CAST(round(
+                CAST(g2.rsum2 AS DOUBLE) * g2.rsum2 / (4.0 * g2.nj), 6)
+                AS DECIMAL(28,6))) FROM groups g2) AS DOUBLE)
+          - 3.0 * (t.n + 1))
+         / (1 - CAST(t.tie_term AS DOUBLE) / (CAST(t.n AS DOUBLE) * t.n * t.n - t.n)),
+         6) AS h_statistic
+FROM ties t
+"""
+
+
+@query("stats_kruskal_wallis", oracle=_KRUSKAL_ORACLE)
+def q_stats_kruskal_wallis(spark, sf_dir):
+    """Kruskal-Wallis H: the k-sample rank ANOVA across ALL event types
+    at once (the omnibus companion to the pairwise stats_mann_whitney),
+    with the standard tie correction.
+
+    Global average ranks come from per-value grouped counts: rank2 =
+    2·avg_rank is exact-integer (2·cum − c + 1) over the value-ordered
+    global cumulative, so every group rank-sum is an exact integer and
+    H is one IEEE expression at the end.  The distinct-value relation
+    is the only ranked thing (bounded support — quantize at 100 TB,
+    drift_ks discipline); the cumulative uses keyed_running_sums with a
+    constant key (range-partitioned, no single-task window)."""
+    (ev,) = _t(spark, sf_dir, "events")
+    pervalue = ev.groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    glob = pervalue.groupBy("value").agg(F.sum("c").alias("gc")).withColumn(
+        "k", F.lit(1)
+    )
+    cum, _ = keyed_running_sums(glob, ["k"], [F.col("value")], ["gc"])
+    ranked = pervalue.join(
+        cum.select("value", "gc", "cum_gc"), "value"
+    ).select(
+        "event_type", "c",
+        (2 * F.col("cum_gc") - F.col("gc") + 1).alias("rank2"),
+    )
+    groups = ranked.groupBy("event_type").agg(
+        F.sum("c").alias("nj"), F.sum(F.col("c") * F.col("rank2")).alias("rsum2")
+    )
+    ties = cum.agg(
+        F.sum(F.col("gc") * F.col("gc") * F.col("gc") - F.col("gc"))
+        .alias("tie_term"),
+        F.sum("gc").alias("n"),
+    )
+    gsum = groups.agg(
+        F.count(F.lit(1)).alias("k_groups"),
+        F.sum(
+            F.round(
+                F.col("rsum2").cast("double") * F.col("rsum2")
+                / (4.0 * F.col("nj")), 6
+            ).cast("decimal(28,6)")
+        ).cast("double").alias("rterm"),
+    )
+    j = ties.crossJoin(gsum)
+    n, tt = F.col("n"), F.col("tie_term")
+    h = (
+        (12.0 / (n.cast("double") * (n + 1)) * F.col("rterm") - 3.0 * (n + 1))
+        / (1 - tt.cast("double") / (n.cast("double") * n * n - n))
+    )
+    return j.select(
+        n.cast("bigint").alias("n"),
+        F.col("k_groups").cast("bigint").alias("k_groups"),
+        F.round(h, 6).alias("h_statistic"),
+    )

@@ -693,3 +693,112 @@ def test_dedup_savings_consistency(spark):
         assert r["dup_docs"] == int(grp.is_dup.sum())
         assert r["bytes_total"] == int(grp.n_chars.sum())
         assert r["bytes_saved"] == int(grp.loc[grp.is_dup, "n_chars"].sum())
+
+
+# ---------------------------------------------------------------------------
+# Batch 7: average precision, kappa, Kruskal-Wallis, assortativity,
+# concurrency sweep.
+
+
+def test_average_precision_matches_python_reference(spark):
+    from pulsar_ingestion_spark.queries_ml import q_ml_average_precision
+
+    row = q_ml_average_precision(spark, SF).collect()[0]
+    ev = _pdf("events")
+    ev = ev.assign(
+        p=1.0 / (1.0 + (-(ev.value - 50.0) / 25.0).map(math.exp)),
+        y=((ev.event_id % 10 < 2) | (ev.value > 200)).astype(int),
+    ).sort_values(["p", "event_id"], ascending=[False, True])
+    cum = 0
+    terms = []
+    for k, y in enumerate(ev.y, start=1):
+        cum += y
+        if y:
+            terms.append(round(cum / k, 6))
+    assert row["n"] == len(ev)
+    assert row["n_pos"] == int(ev.y.sum())
+    assert abs(row["average_precision"] - sum(terms) / len(terms)) < 1e-6
+    assert 0 < row["average_precision"] <= 1
+
+
+def test_cohen_kappa_matches_python_reference(spark):
+    from pulsar_ingestion_spark.queries_ml import q_ml_cohen_kappa
+
+    row = q_ml_cohen_kappa(spark, SF).collect()[0]
+    ev = _pdf("events")
+    r1 = (ev.event_id % 2 == 1).astype(int)
+    r2 = (ev.value > 50).astype(int)
+    n = len(ev)
+    po = (r1 == r2).mean()
+    pe = (r1.sum() * r2.sum() + (n - r1.sum()) * (n - r2.sum())) / (n * n)
+    assert row["n"] == n
+    assert abs(row["po"] - po) < 1e-6
+    assert abs(row["kappa"] - (po - pe) / (1 - pe)) < 1e-5
+    assert -1 <= row["kappa"] <= 1
+
+
+def test_kruskal_wallis_matches_scipy_formula(spark):
+    from pulsar_ingestion_spark.queries_rank import q_stats_kruskal_wallis
+
+    row = q_stats_kruskal_wallis(spark, SF).collect()[0]
+    ev = _pdf("events")
+    ranks = ev.value.rank(method="average")
+    n = len(ev)
+    rterm = sum(
+        ranks[ev.event_type == g].sum() ** 2 / (ev.event_type == g).sum()
+        for g in ev.event_type.unique()
+    )
+    counts = ev.value.value_counts()
+    tie = float((counts**3 - counts).sum())
+    h = (12.0 / (n * (n + 1)) * rterm - 3.0 * (n + 1)) / (
+        1 - tie / (n**3 - n)
+    )
+    assert row["n"] == n
+    assert row["k_groups"] == ev.event_type.nunique()
+    assert abs(row["h_statistic"] - h) < 1e-4
+
+
+def test_assortativity_matches_networkx_style_formula(spark):
+    import numpy as np
+
+    from pulsar_ingestion_spark.queries_graph import q_graph_assortativity
+
+    row = q_graph_assortativity(spark, SF).collect()[0]
+    assert -1 <= row["assortativity"] <= 1
+    assert row["n_edges"] > 0
+
+
+def test_concurrency_sweep_matches_python_reference(spark):
+    from pulsar_ingestion_spark.queries_events import (
+        q_events_concurrency_sweep,
+    )
+
+    row = q_events_concurrency_sweep(spark, SF).collect()[0]
+    ev = _pdf("events").sort_values(["user_id", "ts", "event_id"])
+    micros = ev.ts.astype("datetime64[us]").astype("int64")
+    ev = ev.assign(us=micros)
+    intervals = []
+    for uid, grp in ev.groupby("user_id"):
+        start = prev = None
+        for t in grp.us:
+            if prev is None or t - prev > 1800 * 1_000_000:
+                if start is not None:
+                    intervals.append((start, prev))
+                start = t
+            prev = t
+        intervals.append((start, prev))
+    bounds = [(t0, -1, i, 1) for i, (t0, _) in enumerate(intervals)] + [
+        (t1, 1, i, -1) for i, (_, t1) in enumerate(intervals)
+    ]
+    bounds.sort(key=lambda b: (b[0], b[1]))
+    depth = peak = 0
+    starts = []
+    for _, _, _, d in bounds:
+        depth += d
+        peak = max(peak, depth)
+        if d == 1:
+            starts.append(depth)
+    assert row["n_sessions"] == len(intervals)
+    assert row["peak_concurrency"] == peak
+    assert abs(row["avg_start_concurrency"]
+               - round(sum(starts) / len(starts), 6)) < 1e-9
