@@ -248,6 +248,10 @@ _ROUND8_PREFIX: list[str] = [
     "stats_kruskal_wallis",
     "graph_assortativity",
     "events_concurrency_sweep",
+    "stats_anova_oneway",
+    "stats_tukey_outliers",
+    "ml_mutual_info",
+    "corpus_novelty_curve",
 ]
 
 

@@ -641,3 +641,100 @@ def q_corpus_dedup_savings(spark, sf_dir):
             F.sum(dup_chars).cast("double") / F.sum("n_chars"), 6
         ).alias("savings_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: corpus novelty curve (n-gram redundancy growth over ingest
+# order).
+
+_NOV_N = 8
+_NOV_BUCKETS = 10
+
+_NOVELTY_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(t) - {_NOV_N - 2}),
+                i -> list_aggregate(t[i:i+{_NOV_N - 1}], 'string_agg', ' ')))
+           AS gram
+  FROM toks WHERE len(t) >= {_NOV_N}
+), firsts AS (
+  SELECT gram, min(doc_id) AS first_doc FROM grams GROUP BY gram
+), perdoc AS (
+  SELECT g.doc_id, count(*) AS n_grams,
+         SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS novel
+  FROM grams g JOIN firsts f ON f.gram = g.gram
+  GROUP BY g.doc_id
+), bucketed AS (
+  SELECT CAST(ntile({_NOV_BUCKETS}) OVER (ORDER BY doc_id) AS INTEGER)
+           AS bucket,
+         n_grams, novel
+  FROM perdoc
+)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_grams) AS BIGINT) AS n_grams,
+       CAST(SUM(novel) AS BIGINT) AS novel_grams,
+       round(CAST(SUM(novel) AS DOUBLE) / SUM(n_grams), 6) AS novelty_frac
+FROM bucketed GROUP BY bucket
+"""
+
+
+@query("corpus_novelty_curve", oracle=_NOVELTY_ORACLE)
+def q_corpus_novelty_curve(spark, sf_dir):
+    """Corpus novelty curve: for each ingest-order decile of documents,
+    the fraction of their distinct 8-grams never seen in an earlier
+    document — the saturation diagnostic that tells a crawl pipeline
+    when additional data stops adding information (novelty → 0 means
+    you are re-crawling the same content; the dedup cascade's
+    macro-level twin).
+
+    Plan: distinct (doc, gram) pairs shuffle once by gram digest to
+    find each gram's first document, join back, and aggregate per doc;
+    the ingest-order decile uses the distributed exact-ranking operator
+    over the per-doc aggregate.  No quadratic anything — the gram
+    relation is corpus-token-sized, the rest is per-doc."""
+    from pulsar_ingestion_spark.operators.ranking import (
+        global_row_number,
+        ntile_from_row_number,
+    )
+
+    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("t")
+    ).filter(F.size("t") >= _NOV_N)
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {_NOV_N - 1}),"
+                f" i -> array_join(slice(t, i, {_NOV_N}), ' '))"
+            )
+        ).alias("gram"),
+    ).select("doc_id", F.xxhash64("gram").alias("gk")).distinct()
+    firsts = grams.groupBy("gk").agg(F.min("doc_id").alias("first_doc"))
+    perdoc = (
+        grams.join(firsts, "gk")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("novel"),
+        )
+        .persist()
+    )
+    ranked, n = global_row_number(perdoc, [F.asc("doc_id")])
+    bucketed = ranked.select(
+        "n_grams", "novel",
+        ntile_from_row_number(F.col("_rn"), n, _NOV_BUCKETS).alias("bucket"),
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_grams").cast("bigint").alias("n_grams"),
+        F.sum("novel").cast("bigint").alias("novel_grams"),
+        F.round(
+            F.sum("novel").cast("double") / F.sum("n_grams"), 6
+        ).alias("novelty_frac"),
+    )

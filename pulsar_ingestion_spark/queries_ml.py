@@ -1475,3 +1475,73 @@ def q_ml_cohen_kappa(spark, sf_dir):
         F.round(pe, 6).alias("pe"),
         F.round((po - pe) / (1 - pe), 6).alias("kappa"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: mutual information between a binned feature and the label.
+
+_MI_BINS = 10
+
+_MI_ORACLE = f"""
+WITH binned AS (
+  SELECT CAST(least(floor(value / 50.0), {_MI_BINS - 1}) AS INTEGER) AS bin,
+         CASE WHEN event_id % 10 < 2 OR value > 200 THEN 1 ELSE 0 END AS y
+  FROM events
+), cells AS (
+  SELECT bin, y, count(*) AS c FROM binned GROUP BY bin, y
+), margins AS (
+  SELECT c.bin, c.y, c.c,
+         SUM(c.c) OVER (PARTITION BY c.bin) AS cb,
+         SUM(c.c) OVER (PARTITION BY c.y) AS cy,
+         SUM(c.c) OVER () AS n
+  FROM cells c
+), terms AS (
+  SELECT CAST(round(
+           (CAST(c AS DOUBLE) / n)
+           * log2((CAST(c AS DOUBLE) * n) / (CAST(cb AS DOUBLE) * cy)), 8)
+           AS DECIMAL(18,8)) AS term,
+         n
+  FROM margins
+)
+SELECT CAST(max(n) AS BIGINT) AS n,
+       round(CAST(SUM(term) AS DOUBLE), 6) AS mutual_info_bits
+FROM terms
+"""
+
+
+@query("ml_mutual_info", oracle=_MI_ORACLE)
+def q_ml_mutual_info(spark, sf_dir):
+    """Mutual information (bits) between the decile-binned value
+    feature and the campaign label — the model-free feature-relevance
+    screen that complements drift_chi2's independence test (MI is the
+    G-test statistic / 2n·ln2).  The stream collapses to a
+    bins×2 contingency table (map-side combined); margins and the
+    plogp terms are model-sized, rounded-to-8 and DECIMAL-summed."""
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    binned = ev.select(
+        F.least(F.floor(F.col("value") / 50.0), F.lit(_MI_BINS - 1))
+        .cast("int").alias("bin"),
+        F.when((F.col("event_id") % 10 < 2) | (F.col("value") > 200), 1)
+        .otherwise(0).alias("y"),
+    )
+    cells = binned.groupBy("bin", "y").agg(F.count(F.lit(1)).alias("c"))
+    wb = Window.partitionBy("bin")
+    wy = Window.partitionBy("y")
+    wall = Window.partitionBy()
+    m = cells.select(
+        "c",
+        F.sum("c").over(wb).alias("cb"),
+        F.sum("c").over(wy).alias("cy"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    term = F.round(
+        (F.col("c").cast("double") / F.col("n"))
+        * F.log2(
+            (F.col("c").cast("double") * F.col("n"))
+            / (F.col("cb").cast("double") * F.col("cy"))
+        ), 8
+    ).cast("decimal(18,8)")
+    return m.select(term.alias("term"), "n").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.round(F.sum("term").cast("double"), 6).alias("mutual_info_bits"),
+    )

@@ -1872,3 +1872,125 @@ def q_ts_periodogram_bin(spark, sf_dir):
             / F.col("total"), 6
         ).alias("weekly_strength"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: classical one-way ANOVA F (parametric twin of Kruskal-Wallis).
+
+_ANOVA_ORACLE = """
+WITH g AS (
+  SELECT event_type, count(*) AS n,
+         SUM(CAST(value AS DECIMAL(18,4))) AS s,
+         SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS ss
+  FROM events GROUP BY event_type
+), tot AS (
+  SELECT SUM(n) AS nn, SUM(s) AS ts_, SUM(ss) AS tss, count(*) AS k FROM g
+), parts AS (
+  SELECT t.nn, t.k,
+         CAST((SELECT SUM(CAST(round(CAST(g2.s AS DOUBLE) * g2.s / g2.n, 6)
+                               AS DECIMAL(28,6))) FROM g g2) AS DOUBLE)
+           - CAST(t.ts_ AS DOUBLE) * CAST(t.ts_ AS DOUBLE) / t.nn AS ss_between,
+         CAST(t.tss AS DOUBLE)
+           - CAST((SELECT SUM(CAST(round(CAST(g2.s AS DOUBLE) * g2.s / g2.n, 6)
+                                   AS DECIMAL(28,6))) FROM g g2) AS DOUBLE)
+           AS ss_within
+  FROM tot t
+)
+SELECT CAST(nn AS BIGINT) AS n, CAST(k AS BIGINT) AS k_groups,
+       round(ss_between, 4) AS ss_between,
+       round(ss_within, 4) AS ss_within,
+       round((ss_between / (k - 1)) / (ss_within / (nn - k)), 6) AS f_statistic
+FROM parts
+"""
+
+
+@query("stats_anova_oneway", oracle=_ANOVA_ORACLE)
+def q_stats_anova_oneway(spark, sf_dir):
+    """Classical one-way ANOVA F across event types (the parametric
+    twin of stats_kruskal_wallis): between/within sums of squares from
+    the per-group moment relation — one map-side-combined aggregate,
+    then |groups|-sized arithmetic.  Group moments are exact DECIMAL;
+    the cross-group Σ(s²/n) is rounded-to-6 per group then
+    DECIMAL-summed so it is order-free."""
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    vd = F.col("value").cast("decimal(18,4)")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(vd).alias("s"),
+        F.sum(vd * vd).alias("ss"),
+    )
+    bterm = (
+        F.round(F.col("s").cast("double") * F.col("s") / F.col("n"), 6)
+        .cast("decimal(28,6)")
+    )
+    tot = g.agg(
+        F.sum("n").alias("nn"), F.sum("s").alias("ts_"),
+        F.sum("ss").alias("tss"), F.count(F.lit(1)).alias("k"),
+        F.sum(bterm).cast("double").alias("bsum"),
+    )
+    nn, k = F.col("nn"), F.col("k")
+    ts_, tss, bsum = F.col("ts_").cast("double"), F.col("tss").cast("double"), F.col("bsum")
+    ssb = bsum - ts_ * ts_ / nn
+    ssw = tss - bsum
+    return tot.select(
+        nn.cast("bigint").alias("n"),
+        k.cast("bigint").alias("k_groups"),
+        F.round(ssb, 4).alias("ss_between"),
+        F.round(ssw, 4).alias("ss_within"),
+        F.round((ssb / (k - 1)) / (ssw / (nn - k)), 6).alias("f_statistic"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: Tukey-fence outlier report per stream.
+
+_TUKEY_ORACLE = """
+WITH q AS (
+  SELECT event_type,
+         quantile_cont(value, 0.25) AS q1,
+         quantile_cont(value, 0.75) AS q3
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+       round(q.q1, 6) AS q1, round(q.q3, 6) AS q3,
+       CAST(SUM(CASE WHEN e.value < q.q1 - 1.5 * (q.q3 - q.q1)
+                       OR e.value > q.q3 + 1.5 * (q.q3 - q.q1)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       CAST(SUM(CASE WHEN e.value < q.q1 - 3.0 * (q.q3 - q.q1)
+                       OR e.value > q.q3 + 3.0 * (q.q3 - q.q1)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_far_outliers
+FROM events e JOIN q ON q.event_type = e.event_type
+GROUP BY e.event_type, q.q1, q.q3
+"""
+
+
+@query("stats_tukey_outliers", oracle=_TUKEY_ORACLE)
+def q_stats_tukey_outliers(spark, sf_dir):
+    """Tukey-fence outlier census per stream: counts outside
+    [Q1 − 1.5·IQR, Q3 + 1.5·IQR] and the 3·IQR far fences — the
+    box-plot screen complementing ts_outlier_mad's robust-z view.
+    Exact interpolated quartiles per group (identical arithmetic both
+    engines), broadcast back over one more pass; fence comparisons are
+    on identical doubles."""
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    q = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.25)").alias("q1"),
+        F.expr("percentile(value, 0.75)").alias("q3"),
+    )
+    j = ev.join(F.broadcast(q), "event_type")
+    iqr = F.col("q3") - F.col("q1")
+    out15 = (F.col("value") < F.col("q1") - 1.5 * iqr) | (
+        F.col("value") > F.col("q3") + 1.5 * iqr
+    )
+    out30 = (F.col("value") < F.col("q1") - 3.0 * iqr) | (
+        F.col("value") > F.col("q3") + 3.0 * iqr
+    )
+    return j.groupBy("event_type", "q1", "q3").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(out15, 1).otherwise(0)).cast("bigint").alias("n_outliers"),
+        F.sum(F.when(out30, 1).otherwise(0)).cast("bigint")
+        .alias("n_far_outliers"),
+    ).select(
+        "event_type", "n",
+        F.round("q1", 6).alias("q1"), F.round("q3", 6).alias("q3"),
+        "n_outliers", "n_far_outliers",
+    )

@@ -33,6 +33,7 @@ GLOBAL_WINDOW_OK = {
     "win_mom_growth",           # lag over the per-month rollup (~24 rows)
     "text_keyphrase_rake",      # row_number over the TakeOrdered K=20 relation
     "ml_lift_deciles",          # cumsum over the 10-row decile aggregate
+    "ml_mutual_info",           # margins over the bins×2 contingency table
 }
 
 

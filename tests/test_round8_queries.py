@@ -802,3 +802,93 @@ def test_concurrency_sweep_matches_python_reference(spark):
     assert row["peak_concurrency"] == peak
     assert abs(row["avg_start_concurrency"]
                - round(sum(starts) / len(starts), 6)) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Batch 8: ANOVA, Tukey fences, mutual information, novelty curve.
+
+
+def test_anova_matches_python_reference(spark):
+    from pulsar_ingestion_spark.queries_stats import q_stats_anova_oneway
+
+    row = q_stats_anova_oneway(spark, SF).collect()[0]
+    ev = _pdf("events")
+    n = len(ev)
+    k = ev.event_type.nunique()
+    grand = ev.value.sum()
+    bsum = sum(
+        round(grp.value.sum() ** 2 / len(grp), 6)
+        for _, grp in ev.groupby("event_type")
+    )
+    ssb = bsum - grand**2 / n
+    ssw = (ev.value**2).sum() - bsum
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert row["n"] == n and row["k_groups"] == k
+    assert abs(row["f_statistic"] - f) < 1e-3
+
+
+def test_tukey_outliers_matches_numpy_reference(spark):
+    import numpy as np
+
+    from pulsar_ingestion_spark.queries_stats import q_stats_tukey_outliers
+
+    out = {r["event_type"]: r for r in q_stats_tukey_outliers(spark, SF).collect()}
+    ev = _pdf("events")
+    for etype, grp in ev.groupby("event_type"):
+        q1, q3 = np.quantile(grp.value, [0.25, 0.75])
+        iqr = q3 - q1
+        n15 = ((grp.value < q1 - 1.5 * iqr) | (grp.value > q3 + 1.5 * iqr)).sum()
+        n30 = ((grp.value < q1 - 3.0 * iqr) | (grp.value > q3 + 3.0 * iqr)).sum()
+        r = out[etype]
+        assert r["n"] == len(grp)
+        assert abs(r["q1"] - q1) < 1e-5 and abs(r["q3"] - q3) < 1e-5
+        assert r["n_outliers"] == n15
+        assert r["n_far_outliers"] == n30
+
+
+def test_mutual_info_matches_python_reference(spark):
+    from collections import Counter
+
+    from pulsar_ingestion_spark.queries_ml import q_ml_mutual_info
+
+    row = q_ml_mutual_info(spark, SF).collect()[0]
+    ev = _pdf("events")
+    bins = ev.value.map(lambda v: min(int(v // 50), 9))
+    y = ((ev.event_id % 10 < 2) | (ev.value > 200)).astype(int)
+    n = len(ev)
+    cells = Counter(zip(bins, y))
+    cb = Counter(bins)
+    cy = Counter(y)
+    mi = sum(
+        round((c / n) * math.log2((c * n) / (cb[b] * cy[lab])), 8)
+        for (b, lab), c in cells.items()
+    )
+    assert row["n"] == n
+    assert abs(row["mutual_info_bits"] - mi) < 1e-5
+    assert row["mutual_info_bits"] >= 0
+
+
+def test_novelty_curve_monotone_and_consistent(spark):
+    from pulsar_ingestion_spark.queries_corpus import q_corpus_novelty_curve
+
+    rows = sorted(q_corpus_novelty_curve(spark, SF).collect(),
+                  key=lambda r: r["bucket"])
+    assert [r["bucket"] for r in rows] == list(range(1, 11))
+    for r in rows:
+        assert 0 <= r["novelty_frac"] <= 1
+        assert r["novel_grams"] <= r["n_grams"]
+    # global: every distinct gram is novel exactly once
+    docs = _pdf("documents")
+    grams = set()
+    per_novel = 0
+    for _, d in docs.sort_values("doc_id").iterrows():
+        toks = d.text.strip().lower().split()
+        dg = {" ".join(toks[i:i + 8]) for i in range(len(toks) - 7)}
+        per_novel += len(dg - grams)
+        grams |= dg
+    assert sum(r["novel_grams"] for r in rows) == per_novel
+    assert sum(r["n_grams"] for r in rows) == sum(
+        len({" ".join(t.strip().lower().split()[i:i + 8])
+             for i in range(len(t.strip().lower().split()) - 7)})
+        for t in docs.text if len(t.strip().lower().split()) >= 8
+    )
