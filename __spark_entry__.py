@@ -252,6 +252,11 @@ _ROUND8_PREFIX: list[str] = [
     "stats_tukey_outliers",
     "ml_mutual_info",
     "corpus_novelty_curve",
+    "ts_downsample_lttb",
+    "stats_permutation_pvalue",
+    "graph_modularity",
+    "ml_best_f1_threshold",
+    "text_readability_flesch",
 ]
 
 

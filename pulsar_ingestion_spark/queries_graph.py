@@ -875,3 +875,89 @@ def q_graph_assortativity(spark, sf_dir):
             / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)), 6
         ).alias("assortativity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: modularity of the label-propagation partition.
+
+_MODULARITY_ORACLE = f"""
+WITH {_COOC_EDGES_SQL},
+{_lpa_rounds_sql(_LPA_ROUNDS)},
+deg AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges
+  ) t GROUP BY node
+), m AS (
+  SELECT count(*) AS m FROM edges
+), within AS (
+  SELECT lu.label, count(*) AS e_c
+  FROM edges e
+  JOIN l{_LPA_ROUNDS} lu ON lu.node = e.u
+  JOIN l{_LPA_ROUNDS} lv ON lv.node = e.v
+  WHERE lu.label = lv.label
+  GROUP BY lu.label
+), comm AS (
+  SELECT l.label, SUM(d.d) AS d_c
+  FROM l{_LPA_ROUNDS} l JOIN deg d ON d.node = l.node
+  GROUP BY l.label
+), terms AS (
+  SELECT CAST(round(
+           CAST(coalesce(w.e_c, 0) AS DOUBLE) / m.m
+           - (CAST(c.d_c AS DOUBLE) / (2 * m.m))
+             * (CAST(c.d_c AS DOUBLE) / (2 * m.m)), 8) AS DECIMAL(18,8))
+           AS term
+  FROM comm c LEFT JOIN within w ON w.label = c.label CROSS JOIN m
+)
+SELECT CAST((SELECT count(*) FROM comm) AS BIGINT) AS n_communities,
+       CAST((SELECT m FROM m) AS BIGINT) AS m_edges,
+       round(CAST(SUM(term) AS DOUBLE), 6) AS modularity
+FROM terms
+"""
+
+
+@query("graph_modularity", oracle=_MODULARITY_ORACLE)
+def q_graph_modularity(spark, sf_dir):
+    """Newman modularity Q of the 3-round label-propagation partition:
+    Σ_c [e_c/m − (d_c/2m)²] — the one-number quality score for the
+    communities graph_label_propagation emits (Q ≈ 0: no better than
+    random; Q ≳ 0.3: real structure).  Per-community terms are
+    rounded-to-8 then DECIMAL-summed; everything upstream is the LPA
+    plan plus two count aggregates."""
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    edges = _cooc_edges(ev).persist()
+    labels = label_propagation(edges, _LPA_ROUNDS).persist()
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    m_cnt = edges.count()
+    lu = labels.select(F.col("node").alias("u"), F.col("label").alias("lu"))
+    lv = labels.select(F.col("node").alias("v"), F.col("label").alias("lv"))
+    within = (
+        edges.join(lu, "u").join(lv, "v")
+        .filter(F.col("lu") == F.col("lv"))
+        .groupBy(F.col("lu").alias("label"))
+        .agg(F.count(F.lit(1)).alias("e_c"))
+    )
+    comm = (
+        labels.join(deg, "node")
+        .groupBy("label")
+        .agg(F.sum("d").alias("d_c"))
+    )
+    terms = comm.join(within, "label", "left").select(
+        F.round(
+            F.coalesce(F.col("e_c"), F.lit(0)).cast("double") / m_cnt
+            - (F.col("d_c").cast("double") / (2 * m_cnt))
+            * (F.col("d_c").cast("double") / (2 * m_cnt)), 8
+        ).cast("decimal(18,8)").alias("term")
+    )
+    ncomm = comm.agg(F.count(F.lit(1)).cast("bigint").alias("n_communities"))
+    agg = terms.agg(
+        F.round(F.sum("term").cast("double"), 6).alias("modularity")
+    )
+    return ncomm.crossJoin(agg).select(
+        "n_communities", F.lit(m_cnt).cast("bigint").alias("m_edges"),
+        "modularity",
+    )

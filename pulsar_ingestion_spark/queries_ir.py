@@ -826,3 +826,59 @@ def q_text_hashed_features(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_features"),
         F.sum("freq").cast("bigint").alias("total_count"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: Flesch-style readability from regex-countable proxies.
+
+_READABILITY_ORACLE = r"""
+WITH counted AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '\s+')) AS words,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS sentences,
+         greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+           AS syllables
+  FROM documents
+)
+SELECT doc_id, CAST(words AS BIGINT) AS words,
+       CAST(sentences AS BIGINT) AS sentences,
+       CAST(syllables AS BIGINT) AS syllables,
+       round(206.835 - 1.015 * (CAST(words AS DOUBLE) / sentences)
+             - 84.6 * (CAST(syllables AS DOUBLE) / words), 4)
+         AS flesch_score
+FROM counted
+"""
+
+
+@query("text_readability_flesch", oracle=_READABILITY_ORACLE)
+def q_text_readability_flesch(spark, sf_dir):
+    """Flesch reading-ease per document with regex-countable proxies:
+    vowel-group runs for syllables, terminal-punctuation runs for
+    sentences (clamped ≥1) — the corpus-hygiene readability screen
+    (very low scores flag legalese/boilerplate; impossibly high ones
+    flag token soup).  Pure per-row narrow regex work in whole-stage
+    codegen — embarrassingly parallel at any scale; the score is one
+    IEEE expression over exact integer counts."""
+    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    words = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    sentences = F.greatest(
+        F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")), F.lit(1)
+    )
+    syllables = F.greatest(
+        F.size(F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")),
+        F.lit(1),
+    )
+    c = docs.select(
+        "doc_id", words.alias("words"), sentences.alias("sentences"),
+        syllables.alias("syllables"),
+    )
+    return c.select(
+        "doc_id",
+        F.col("words").cast("bigint").alias("words"),
+        F.col("sentences").cast("bigint").alias("sentences"),
+        F.col("syllables").cast("bigint").alias("syllables"),
+        F.round(
+            206.835 - 1.015 * (F.col("words").cast("double") / F.col("sentences"))
+            - 84.6 * (F.col("syllables").cast("double") / F.col("words")), 4
+        ).alias("flesch_score"),
+    )

@@ -1545,3 +1545,84 @@ def q_ml_mutual_info(spark, sf_dir):
         F.max("n").cast("bigint").alias("n"),
         F.round(F.sum("term").cast("double"), 6).alias("mutual_info_bits"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: best-F1 operating point over the full threshold sweep.
+
+_BEST_F1_ORACLE = """
+WITH scored AS (
+  SELECT event_id,
+         1.0 / (1.0 + exp(-(value - 50.0) / 25.0)) AS p,
+         CASE WHEN event_id % 10 < 2 OR value > 200 THEN 1 ELSE 0 END AS y
+  FROM events
+), ranked AS (
+  SELECT p, y, row_number() OVER (ORDER BY p DESC, event_id) AS k FROM scored
+), cum AS (
+  SELECT p, k,
+         SUM(y) OVER (ORDER BY k
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_pos,
+         (SELECT SUM(y) FROM scored) AS pos_total
+  FROM ranked
+), f1s AS (
+  SELECT k, p, cum_pos, pos_total,
+         round(2.0 * cum_pos / (k + pos_total), 6) AS f1
+  FROM cum
+)
+SELECT CAST(k AS BIGINT) AS best_k,
+       round(p, 6) AS threshold,
+       round(CAST(cum_pos AS DOUBLE) / k, 6) AS precision_at,
+       round(CAST(cum_pos AS DOUBLE) / pos_total, 6) AS recall_at,
+       f1 AS best_f1
+FROM f1s
+ORDER BY f1 DESC, k
+LIMIT 1
+"""
+
+
+@query("ml_best_f1_threshold", oracle=_BEST_F1_ORACLE)
+def q_ml_best_f1_threshold(spark, sf_dir):
+    """Best-F1 operating point: sweep EVERY score cut simultaneously —
+    at rank k, F1 = 2·cum_pos/(k + P) from the running positive count —
+    and return the argmax (the threshold-selection step after
+    ml_auc_roc says the model ranks well and before
+    ml_confusion_threshold audits the chosen cut).
+
+    Global rank via the distributed exact-ranking operator; running
+    positives via constant-key ``keyed_running_sums``; the argmax is a
+    TakeOrdered of one row over exact-integer-derived F1 values."""
+    from pulsar_ingestion_spark.operators.ranking import (
+        global_row_number,
+        keyed_running_sums,
+    )
+
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    scored = ev.select(
+        "event_id",
+        (1.0 / (1.0 + F.exp(-(F.col("value") - 50.0) / 25.0))).alias("p"),
+        F.when((F.col("event_id") % 10 < 2) | (F.col("value") > 200), 1)
+        .otherwise(0).alias("y"),
+    )
+    ranked, n = global_row_number(scored, [F.desc("p"), F.asc("event_id")])
+    ranked = ranked.select("p", "y", F.col("_rn").alias("k"), F.lit(1).alias("kk"))
+    cum, _ = keyed_running_sums(ranked, ["kk"], [F.col("k")], ["y"])
+    ptot = scored.agg(F.sum("y").alias("pos_total"))
+    f1s = cum.crossJoin(F.broadcast(ptot)).select(
+        "k", "p", F.col("cum_y").alias("cum_pos"), "pos_total",
+        F.round(
+            2.0 * F.col("cum_y") / (F.col("k") + F.col("pos_total")), 6
+        ).alias("f1"),
+    )
+    return (
+        f1s.orderBy(F.desc("f1"), F.asc("k")).limit(1)
+        .select(
+            F.col("k").cast("bigint").alias("best_k"),
+            F.round("p", 6).alias("threshold"),
+            F.round(F.col("cum_pos").cast("double") / F.col("k"), 6)
+            .alias("precision_at"),
+            F.round(F.col("cum_pos").cast("double") / F.col("pos_total"), 6)
+            .alias("recall_at"),
+            F.col("f1").alias("best_f1"),
+        )
+    )

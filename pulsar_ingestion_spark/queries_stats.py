@@ -1994,3 +1994,227 @@ def q_stats_tukey_outliers(spark, sf_dir):
         F.round("q1", 6).alias("q1"), F.round("q3", 6).alias("q3"),
         "n_outliers", "n_far_outliers",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: LTTB-style downsampling for time-series visualization.
+
+_LTTB_BUCKETS = 24
+
+_LTTB_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(count(*) AS DOUBLE) AS cnt
+  FROM events GROUP BY event_type, epoch_us(ts) // 86400000000
+), pos AS (
+  SELECT event_type, day, cnt,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM daily
+), bucketed AS (
+  SELECT event_type, day, cnt,
+         CAST(least(((rn - 1) * {_LTTB_BUCKETS}) // n,
+                    {_LTTB_BUCKETS - 1}) AS INTEGER) AS bucket
+  FROM pos
+), anchors AS (
+  SELECT event_type, bucket,
+         CAST(SUM(CAST(day AS DECIMAL(18,0))) AS DOUBLE) / count(*) AS ax,
+         CAST(SUM(CAST(cnt AS DECIMAL(18,0))) AS DOUBLE) / count(*) AS ay
+  FROM bucketed GROUP BY event_type, bucket
+), scoredpts AS (
+  SELECT b.event_type, b.bucket, b.day, b.cnt,
+         round(abs((b.day - prev.ax) * (next_.ay - prev.ay)
+                   - (b.cnt - prev.ay) * (next_.ax - prev.ax)), 6) AS area2
+  FROM bucketed b
+  JOIN anchors prev
+    ON prev.event_type = b.event_type AND prev.bucket = b.bucket - 1
+  JOIN anchors next_
+    ON next_.event_type = b.event_type AND next_.bucket = b.bucket + 1
+)
+SELECT event_type, bucket, day, cnt FROM (
+  SELECT *, row_number() OVER (PARTITION BY event_type, bucket
+                               ORDER BY area2 DESC, day) AS rk
+  FROM scoredpts
+) WHERE rk = 1
+"""
+
+
+@query("ts_downsample_lttb", oracle=_LTTB_ORACLE)
+def q_ts_downsample_lttb(spark, sf_dir):
+    """LTTB-style downsampling of the daily-count series per stream:
+    within each of 24 equal-count buckets keep the point subtending the
+    largest triangle against the NEIGHBOR BUCKET AVERAGES (the
+    anchor-average variant — the classic LTTB chains on the previously
+    selected point, a sequential dependency; anchoring on bucket means
+    keeps the selection embarrassingly parallel with near-identical
+    visual output, which is why dashboards use it for distributed
+    pre-aggregation).  First/last buckets have no both-side anchors and
+    are dropped (chart endpoints are kept verbatim by the renderer).
+
+    Plan: one grouped count, per-stream bucketing from exact integer
+    positions, bucket-mean anchors, then a per-(stream, bucket) argmax
+    window.  Triangle areas compare rounded identical doubles."""
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    daily = ev.groupBy(
+        "event_type", F.expr("unix_micros(ts) div 86400000000").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    pos = daily.select(
+        "event_type", "day", "cnt",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    bucket = F.least(
+        F.expr(f"((rn - 1) * {_LTTB_BUCKETS}) div n"),
+        F.lit(_LTTB_BUCKETS - 1),
+    ).cast("int")
+    bucketed = pos.select("event_type", "day", "cnt", bucket.alias("bucket"))
+    anchors = bucketed.groupBy("event_type", "bucket").agg(
+        (F.sum(F.col("day").cast("decimal(18,0)")).cast("double")
+         / F.count(F.lit(1))).alias("ax"),
+        (F.sum(F.col("cnt").cast("decimal(18,0)")).cast("double")
+         / F.count(F.lit(1))).alias("ay"),
+    )
+    prev = anchors.select(
+        F.col("event_type").alias("et1"), (F.col("bucket") + 1).alias("b1"),
+        F.col("ax").alias("pax"), F.col("ay").alias("pay"),
+    )
+    nxt = anchors.select(
+        F.col("event_type").alias("et2"), (F.col("bucket") - 1).alias("b2"),
+        F.col("ax").alias("nax"), F.col("ay").alias("nay"),
+    )
+    scored = (
+        bucketed.join(
+            prev, (F.col("event_type") == F.col("et1"))
+            & (F.col("bucket") == F.col("b1"))
+        )
+        .join(
+            nxt, (F.col("event_type") == F.col("et2"))
+            & (F.col("bucket") == F.col("b2"))
+        )
+        .select(
+            "event_type", "bucket", "day", "cnt",
+            F.round(
+                F.abs(
+                    (F.col("day") - F.col("pax")) * (F.col("nay") - F.col("pay"))
+                    - (F.col("cnt") - F.col("pay")) * (F.col("nax") - F.col("pax"))
+                ), 6
+            ).alias("area2"),
+        )
+    )
+    wk = Window.partitionBy("event_type", "bucket").orderBy(
+        F.desc("area2"), F.asc("day")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") == 1)
+        .select("event_type", "bucket", "day", "cnt")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: deterministic hash-permutation test for the two-sample mean
+# gap.
+
+_PERM_B = 32
+
+
+@query(
+    "stats_permutation_pvalue",
+    oracle=f"""
+WITH base AS (
+  SELECT event_id, value,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS grp
+  FROM events WHERE event_type IN ('purchase', 'view')
+), obs AS (
+  SELECT CAST(SUM(CASE WHEN grp = 1 THEN CAST(value AS DECIMAL(18,4))
+                       ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+           / SUM(grp)
+         - CAST(SUM(CASE WHEN grp = 0 THEN CAST(value AS DECIMAL(18,4))
+                         ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+           / SUM(1 - grp) AS d_obs
+  FROM base
+), perms AS (
+  SELECT b.b,
+         CAST(SUM(CASE WHEN CAST(('0x' || substring(
+                    md5(CAST(base.event_id AS VARCHAR)), b.b + 1, 1))
+                    AS BIGINT) % 2 = 1
+                       THEN CAST(base.value AS DECIMAL(18,4))
+                       ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+           / SUM(CASE WHEN CAST(('0x' || substring(
+                    md5(CAST(base.event_id AS VARCHAR)), b.b + 1, 1))
+                    AS BIGINT) % 2 = 1 THEN 1 ELSE 0 END)
+         - CAST(SUM(CASE WHEN CAST(('0x' || substring(
+                    md5(CAST(base.event_id AS VARCHAR)), b.b + 1, 1))
+                    AS BIGINT) % 2 = 0
+                         THEN CAST(base.value AS DECIMAL(18,4))
+                         ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+           / SUM(CASE WHEN CAST(('0x' || substring(
+                    md5(CAST(base.event_id AS VARCHAR)), b.b + 1, 1))
+                    AS BIGINT) % 2 = 0 THEN 1 ELSE 0 END) AS d_b
+  FROM base, (SELECT unnest(range(0, {_PERM_B})) AS b) b
+  GROUP BY b.b
+)
+SELECT CAST((SELECT count(*) FROM base) AS BIGINT) AS n,
+       round((SELECT d_obs FROM obs), 6) AS observed_gap,
+       CAST(SUM(CASE WHEN abs(d_b) >= abs((SELECT d_obs FROM obs))
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+       round(CAST(SUM(CASE WHEN abs(d_b) >= abs((SELECT d_obs FROM obs))
+                           THEN 1 ELSE 0 END) AS DOUBLE) / {_PERM_B}, 6)
+         AS p_value
+FROM perms
+""",
+)
+def q_stats_permutation_pvalue(spark, sf_dir):
+    """Randomization test for the purchase-vs-view mean gap with
+    DETERMINISTIC pseudo-permutations: replicate b reassigns each row
+    by the parity of hex digit b of one md5(event_id) (the
+    agg_bootstrap_ci trick — one hash per row drives all 32
+    replicates; reproducible across engines, retries, and backfills).
+    p = fraction of replicate gaps at least as extreme as observed.
+
+    Each replicate is two weighted means over exact DECIMAL sums —
+    32 grouped cells after a map-side combine; no data reshuffle per
+    replicate, no RNG state.  (32 labeled re-splits give a coarse but
+    honest p resolution of 1/32 — the operator's point is the
+    deterministic machinery; crank B for production precision.)"""
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    base = ev.filter(F.col("event_type").isin("purchase", "view")).select(
+        "event_id",
+        F.col("value").cast("decimal(18,4)").alias("x"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("grp"),
+    ).persist()
+    zero = F.lit(0).cast("decimal(18,4)")
+    obs_row = base.agg(
+        (
+            F.sum(F.when(F.col("grp") == 1, F.col("x")).otherwise(zero))
+            .cast("double") / F.sum("grp")
+            - F.sum(F.when(F.col("grp") == 0, F.col("x")).otherwise(zero))
+            .cast("double") / F.sum(1 - F.col("grp"))
+        ).alias("d_obs"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    bs = ev.sparkSession.range(_PERM_B).select(F.col("id").cast("int").alias("b"))
+    digit = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), F.col("b") + 1, 1),
+        16, 10,
+    ).cast("bigint")
+    fan = base.crossJoin(F.broadcast(bs)).select(
+        "b", "x", (digit % 2).alias("side")
+    )
+    perms = fan.groupBy("b").agg(
+        (
+            F.sum(F.when(F.col("side") == 1, F.col("x")).otherwise(zero))
+            .cast("double") / F.sum(F.col("side"))
+            - F.sum(F.when(F.col("side") == 0, F.col("x")).otherwise(zero))
+            .cast("double") / F.sum(1 - F.col("side"))
+        ).alias("d_b")
+    )
+    j = perms.crossJoin(F.broadcast(obs_row))
+    extreme = F.when(F.abs(F.col("d_b")) >= F.abs(F.col("d_obs")), 1).otherwise(0)
+    return j.agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.round(F.max("d_obs"), 6).alias("observed_gap"),
+        F.sum(extreme).cast("bigint").alias("n_extreme"),
+        F.round(F.sum(extreme).cast("double") / _PERM_B, 6).alias("p_value"),
+    )

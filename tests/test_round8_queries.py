@@ -892,3 +892,115 @@ def test_novelty_curve_monotone_and_consistent(spark):
              for i in range(len(t.strip().lower().split()) - 7)})
         for t in docs.text if len(t.strip().lower().split()) >= 8
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 9: LTTB, permutation test, modularity, best-F1, readability.
+
+
+def test_lttb_one_point_per_interior_bucket(spark):
+    from pulsar_ingestion_spark.queries_stats import q_ts_downsample_lttb
+
+    rows = q_ts_downsample_lttb(spark, SF).collect()
+    from collections import Counter
+
+    per = Counter((r["event_type"], r["bucket"]) for r in rows)
+    assert all(v == 1 for v in per.values())
+    # interior buckets only (1..22 of 0..23)
+    for r in rows:
+        assert 1 <= r["bucket"] <= 22
+    # picks are real data points
+    ev = _pdf("events")
+    micros = ev.ts.astype("datetime64[us]").astype("int64")
+    daily = (
+        ev.assign(day=micros // 86_400_000_000)
+        .groupby(["event_type", "day"]).size()
+    )
+    for r in rows:
+        assert daily[(r["event_type"], r["day"])] == r["cnt"]
+
+
+def test_permutation_pvalue_matches_python_reference(spark):
+    import hashlib
+
+    from pulsar_ingestion_spark.queries_stats import (
+        q_stats_permutation_pvalue,
+    )
+
+    row = q_stats_permutation_pvalue(spark, SF).collect()[0]
+    ev = _pdf("events")
+    base = ev[ev.event_type.isin(["purchase", "view"])]
+    obs = (base[base.event_type == "purchase"].value.mean()
+           - base[base.event_type == "view"].value.mean())
+    assert row["n"] == len(base)
+    assert abs(row["observed_gap"] - obs) < 1e-4
+    digs = {eid: hashlib.md5(str(eid).encode()).hexdigest()
+            for eid in base.event_id}
+    n_ext = 0
+    for b in range(32):
+        side = base.event_id.map(lambda e: int(digs[e][b], 16) % 2)
+        d = base.value[side == 1].mean() - base.value[side == 0].mean()
+        if abs(d) >= abs(obs) - 1e-12:
+            n_ext += 1
+    assert row["n_extreme"] == n_ext
+    assert abs(row["p_value"] - n_ext / 32) < 1e-9
+
+
+def test_modularity_bounds_and_partition_consistency(spark):
+    from pulsar_ingestion_spark.queries_graph import (
+        _cooc_edges,
+        label_propagation,
+        q_graph_modularity,
+    )
+    from pulsar_ingestion_spark.session import fan_out, load_tables
+    from pyspark.sql import functions as F
+
+    row = q_graph_modularity(spark, SF).collect()[0]
+    assert -0.5 <= row["modularity"] <= 1.0
+    ev = fan_out(load_tables(spark, SF)["events"], spark)
+    edges = _cooc_edges(ev)
+    assert row["m_edges"] == edges.count()
+    labels = label_propagation(edges, 3)
+    assert row["n_communities"] == labels.select("label").distinct().count()
+
+
+def test_best_f1_matches_python_sweep(spark):
+    from pulsar_ingestion_spark.queries_ml import q_ml_best_f1_threshold
+
+    row = q_ml_best_f1_threshold(spark, SF).collect()[0]
+    ev = _pdf("events")
+    ev = ev.assign(
+        p=1.0 / (1.0 + (-(ev.value - 50.0) / 25.0).map(math.exp)),
+        y=((ev.event_id % 10 < 2) | (ev.value > 200)).astype(int),
+    ).sort_values(["p", "event_id"], ascending=[False, True])
+    P = int(ev.y.sum())
+    cum = 0
+    best = (-1.0, 0)
+    for k, y in enumerate(ev.y, start=1):
+        cum += y
+        f1 = round(2.0 * cum / (k + P), 6)
+        if f1 > best[0]:
+            best = (f1, k)
+    assert row["best_k"] == best[1]
+    assert abs(row["best_f1"] - best[0]) < 1e-9
+    # F1 identity at the chosen point
+    pr, rc = row["precision_at"], row["recall_at"]
+    assert abs(row["best_f1"] - 2 * pr * rc / (pr + rc)) < 1e-4
+
+
+def test_readability_matches_python_reference(spark):
+    import re
+
+    from pulsar_ingestion_spark.queries_ir import q_text_readability_flesch
+
+    out = {r["doc_id"]: r for r in q_text_readability_flesch(spark, SF).collect()}
+    docs = _pdf("documents")
+    assert len(out) == len(docs)
+    for _, d in docs.head(40).iterrows():
+        words = len(d.text.strip().split())
+        sents = max(len(re.findall(r"[.!?]+", d.text)), 1)
+        syll = max(len(re.findall(r"[aeiouy]+", d.text.lower())), 1)
+        score = round(206.835 - 1.015 * (words / sents) - 84.6 * (syll / words), 4)
+        r = out[d.doc_id]
+        assert (r["words"], r["sentences"], r["syllables"]) == (words, sents, syll)
+        assert abs(r["flesch_score"] - score) < 1e-9
