@@ -257,6 +257,11 @@ _ROUND8_PREFIX: list[str] = [
     "graph_modularity",
     "ml_best_f1_threshold",
     "text_readability_flesch",
+    "graph_clustering_coeff",
+    "stats_qq_deciles",
+    "stats_ks_uniform",
+    "corpus_seq_len_profile",
+    "events_dau_wau",
 ]
 
 

@@ -738,3 +738,57 @@ def q_corpus_novelty_curve(spark, sf_dir):
             F.sum("novel").cast("double") / F.sum("n_grams"), 6
         ).alias("novelty_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: sequence-length profile per source (packing planner input).
+
+_SEQ_CTX = 2048
+
+_SEQ_LEN_ORACLE = rf"""
+WITH perdoc AS (
+  SELECT source, len(regexp_split_to_array(trim(text), '\s+')) AS toks
+  FROM documents
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(toks) AS BIGINT) AS total_tokens,
+       round(quantile_cont(CAST(toks AS DOUBLE), 0.5), 6) AS p50,
+       round(quantile_cont(CAST(toks AS DOUBLE), 0.9), 6) AS p90,
+       round(quantile_cont(CAST(toks AS DOUBLE), 0.99), 6) AS p99,
+       CAST(SUM(CASE WHEN toks > {_SEQ_CTX} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_overflow,
+       round(CAST(SUM(CASE WHEN toks > {_SEQ_CTX} THEN toks - {_SEQ_CTX}
+                           ELSE 0 END) AS DOUBLE)
+             / SUM(toks), 6) AS truncation_loss_frac
+FROM perdoc GROUP BY source
+"""
+
+
+@query("corpus_seq_len_profile", oracle=_SEQ_LEN_ORACLE)
+def q_corpus_seq_len_profile(spark, sf_dir):
+    """Sequence-length profile per source: token-count percentiles plus
+    how many documents overflow a 2048-token context and what fraction
+    of tokens a hard truncation would lose — the numbers that choose
+    between corpus_pack_sequences (concat-and-split) and
+    text_chunk_documents (overlap chunking) for each source.  One
+    narrow token count + one grouped aggregate with exact interpolated
+    percentiles."""
+    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    perdoc = docs.select(
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("toks"),
+    )
+    t = F.col("toks")
+    return perdoc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("toks").cast("bigint").alias("total_tokens"),
+        F.round(F.expr("percentile(CAST(toks AS DOUBLE), 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(CAST(toks AS DOUBLE), 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(CAST(toks AS DOUBLE), 0.99)"), 6).alias("p99"),
+        F.sum(F.when(t > _SEQ_CTX, 1).otherwise(0)).cast("bigint")
+        .alias("n_overflow"),
+        F.round(
+            F.sum(F.when(t > _SEQ_CTX, t - _SEQ_CTX).otherwise(0)).cast("double")
+            / F.sum("toks"), 6
+        ).alias("truncation_loss_frac"),
+    )

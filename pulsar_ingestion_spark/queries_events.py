@@ -1382,3 +1382,65 @@ def q_events_concurrency_sweep(spark, sf_dir):
         ).alias("avg_start_concurrency"),
     )
     return ns.crossJoin(agg)
+
+
+# ---------------------------------------------------------------------------
+# Round 8: DAU / WAU stickiness.
+
+_DAU_WAU_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day FROM events
+), active AS (
+  SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day, user_id FROM events
+), dau AS (
+  SELECT day, count(*) AS dau FROM active GROUP BY day
+), wau AS (
+  SELECT d.day, count(DISTINCT a.user_id) AS wau
+  FROM days d JOIN active a
+    ON a.day <= d.day
+   AND a.day >= strftime(CAST(d.day AS DATE) - INTERVAL 6 DAY, '%Y-%m-%d')
+  GROUP BY d.day
+)
+SELECT d.day, CAST(d.dau AS BIGINT) AS dau, CAST(w.wau AS BIGINT) AS wau,
+       round(CAST(d.dau AS DOUBLE) / w.wau, 6) AS stickiness
+FROM dau d JOIN wau w ON w.day = d.day
+"""
+
+
+@query("events_dau_wau", oracle=_DAU_WAU_ORACLE)
+def q_events_dau_wau(spark, sf_dir):
+    """DAU/WAU stickiness per day: daily actives over trailing-7-day
+    actives — the engagement ratio every product dashboard leads with.
+
+    The rolling DISTINCT cannot ride a sum window; instead each
+    (day, user) active pair fans out to the ≤7 future days whose
+    trailing window contains it (explode of a 7-element day array —
+    bounded), then one distinct-count per day.  All keys are compact
+    date strings; both aggregates map-side combine."""
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    active = ev.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"
+    ).distinct().persist()
+    dau = active.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    days = active.select("day").distinct()
+    fan = active.select(
+        "user_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 6),"
+                " i -> date_format(date_add(CAST(day AS DATE), i), 'yyyy-MM-dd'))"
+            )
+        ).alias("day"),
+    )
+    wau = (
+        fan.join(days, "day")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return dau.join(wau, "day").select(
+        "day",
+        F.col("dau").cast("bigint").alias("dau"),
+        F.col("wau").cast("bigint").alias("wau"),
+        F.round(F.col("dau").cast("double") / F.col("wau"), 6)
+        .alias("stickiness"),
+    )

@@ -961,3 +961,86 @@ def q_graph_modularity(spark, sf_dir):
         "n_communities", F.lit(m_cnt).cast("bigint").alias("m_edges"),
         "modularity",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: global clustering coefficient (transitivity).
+
+_CLUSTERING_ORACLE = f"""
+WITH {_COOC_EDGES_SQL},
+deg AS (
+  SELECT node, count(*) AS degree FROM (
+    SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges
+  ) t GROUP BY node
+), ori AS (
+  SELECT CASE WHEN (du.degree, e.u) < (dv.degree, e.v) THEN e.u ELSE e.v END AS lo,
+         CASE WHEN (du.degree, e.u) < (dv.degree, e.v) THEN e.v ELSE e.u END AS hi
+  FROM edges e
+  JOIN deg du ON du.node = e.u
+  JOIN deg dv ON dv.node = e.v
+), tri AS (
+  SELECT count(*) AS n_triangles
+  FROM ori ab JOIN ori bc ON bc.lo = ab.hi
+  JOIN ori ac ON ac.lo = ab.lo AND ac.hi = bc.hi
+), wed AS (
+  SELECT SUM(degree * (degree - 1) / 2) AS n_wedges FROM deg
+)
+SELECT CAST(t.n_triangles AS BIGINT) AS n_triangles,
+       CAST(w.n_wedges AS BIGINT) AS n_wedges,
+       round(3.0 * t.n_triangles / w.n_wedges, 6) AS transitivity
+FROM tri t CROSS JOIN wed w
+"""
+
+
+@query("graph_clustering_coeff", oracle=_CLUSTERING_ORACLE)
+def q_graph_clustering_coeff(spark, sf_dir):
+    """Global clustering coefficient (transitivity): 3·triangles /
+    wedges, with triangles from the degree-ordered orientation plan
+    (q_graph_triangle_count — each counted once, adjacency arrays
+    capped at O(√E)) and wedges as the exact Σ d(d−1)/2 — the
+    one-number 'how cliquish' summary that calibrates expectations for
+    the community (LPA/modularity) family."""
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    edges = _cooc_edges(ev).persist()
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .persist()
+    )
+    du, dv = deg.alias("du"), deg.alias("dv")
+    u_first = (F.col("du.degree") < F.col("dv.degree")) | (
+        (F.col("du.degree") == F.col("dv.degree")) & (F.col("u") < F.col("v"))
+    )
+    ori = (
+        edges.join(du, F.col("du.node") == F.col("u"))
+        .join(dv, F.col("dv.node") == F.col("v"))
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("lo"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
+        )
+        .persist()
+    )
+    adj = ori.groupBy("lo").agg(F.collect_list("hi").alias("nbrs"))
+    tri = (
+        ori.join(
+            adj.select(F.col("lo").alias("anode"), F.col("nbrs").alias("lo_nbrs")),
+            F.col("anode") == F.col("lo"),
+        )
+        .join(
+            adj.select(F.col("lo").alias("bnode"), F.col("nbrs").alias("hi_nbrs")),
+            F.col("bnode") == F.col("hi"),
+        )
+        .select(F.size(F.array_intersect("lo_nbrs", "hi_nbrs")).alias("c"))
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("n_triangles"))
+    )
+    wed = deg.agg(
+        F.sum(F.col("degree") * (F.col("degree") - 1) / 2).alias("n_wedges")
+    )
+    return tri.crossJoin(wed).select(
+        F.col("n_triangles").cast("bigint").alias("n_triangles"),
+        F.col("n_wedges").cast("bigint").alias("n_wedges"),
+        F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6)
+        .alias("transitivity"),
+    )

@@ -2218,3 +2218,124 @@ def q_stats_permutation_pvalue(spark, sf_dir):
         F.sum(extreme).cast("bigint").alias("n_extreme"),
         F.round(F.sum(extreme).cast("double") / _PERM_B, 6).alias("p_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: Q-Q decile comparison between two streams.
+
+_QQ_ORACLE = """
+WITH a AS (
+  SELECT quantile_cont(value, 0.1) AS qa0, quantile_cont(value, 0.2) AS qa1, quantile_cont(value, 0.3) AS qa2, quantile_cont(value, 0.4) AS qa3, quantile_cont(value, 0.5) AS qa4, quantile_cont(value, 0.6) AS qa5, quantile_cont(value, 0.7) AS qa6, quantile_cont(value, 0.8) AS qa7, quantile_cont(value, 0.9) AS qa8
+  FROM events WHERE event_type = 'purchase'
+), b AS (
+  SELECT quantile_cont(value, 0.1) AS qb0, quantile_cont(value, 0.2) AS qb1, quantile_cont(value, 0.3) AS qb2, quantile_cont(value, 0.4) AS qb3, quantile_cont(value, 0.5) AS qb4, quantile_cont(value, 0.6) AS qb5, quantile_cont(value, 0.7) AS qb6, quantile_cont(value, 0.8) AS qb7, quantile_cont(value, 0.9) AS qb8
+  FROM events WHERE event_type = 'view'
+)
+SELECT 0.1 AS p, round(a.qa0, 6) AS q_purchase, round(b.qb0, 6) AS q_view, round(a.qa0 - b.qb0, 6) AS gap FROM a, b
+UNION ALL
+SELECT 0.2 AS p, round(a.qa1, 6) AS q_purchase, round(b.qb1, 6) AS q_view, round(a.qa1 - b.qb1, 6) AS gap FROM a, b
+UNION ALL
+SELECT 0.3 AS p, round(a.qa2, 6) AS q_purchase, round(b.qb2, 6) AS q_view, round(a.qa2 - b.qb2, 6) AS gap FROM a, b
+UNION ALL
+SELECT 0.4 AS p, round(a.qa3, 6) AS q_purchase, round(b.qb3, 6) AS q_view, round(a.qa3 - b.qb3, 6) AS gap FROM a, b
+UNION ALL
+SELECT 0.5 AS p, round(a.qa4, 6) AS q_purchase, round(b.qb4, 6) AS q_view, round(a.qa4 - b.qb4, 6) AS gap FROM a, b
+UNION ALL
+SELECT 0.6 AS p, round(a.qa5, 6) AS q_purchase, round(b.qb5, 6) AS q_view, round(a.qa5 - b.qb5, 6) AS gap FROM a, b
+UNION ALL
+SELECT 0.7 AS p, round(a.qa6, 6) AS q_purchase, round(b.qb6, 6) AS q_view, round(a.qa6 - b.qb6, 6) AS gap FROM a, b
+UNION ALL
+SELECT 0.8 AS p, round(a.qa7, 6) AS q_purchase, round(b.qb7, 6) AS q_view, round(a.qa7 - b.qb7, 6) AS gap FROM a, b
+UNION ALL
+SELECT 0.9 AS p, round(a.qa8, 6) AS q_purchase, round(b.qb8, 6) AS q_view, round(a.qa8 - b.qb8, 6) AS gap FROM a, b
+"""
+
+
+@query("stats_qq_deciles", oracle=_QQ_ORACLE)
+def q_stats_qq_deciles(spark, sf_dir):
+    """Q-Q comparison of the purchase vs view value distributions at
+    the nine interior deciles — where exactly the two distributions
+    diverge (drift_ks's D says IF; the Q-Q table says WHERE and by HOW
+    MUCH in value units).  Exact interpolated percentiles per side
+    (identical lower+d·(upper−lower) arithmetic); nine output rows."""
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ps = [round(0.1 * i, 1) for i in range(1, 10)]
+    a = ev.filter(F.col("event_type") == "purchase").agg(
+        *[F.expr(f"percentile(value, {p})").alias(f"qa{i}")
+          for i, p in enumerate(ps)]
+    )
+    b = ev.filter(F.col("event_type") == "view").agg(
+        *[F.expr(f"percentile(value, {p})").alias(f"qb{i}")
+          for i, p in enumerate(ps)]
+    )
+    wide = a.crossJoin(b)
+    rows = F.array(*[
+        F.struct(
+            F.lit(p).alias("p"),
+            F.col(f"qa{i}").alias("qp"),
+            F.col(f"qb{i}").alias("qv"),
+        )
+        for i, p in enumerate(ps)
+    ])
+    ex = wide.select(F.explode(rows).alias("r"))
+    return ex.select(
+        F.round(F.col("r.p"), 1).alias("p"),
+        F.round(F.col("r.qp"), 6).alias("q_purchase"),
+        F.round(F.col("r.qv"), 6).alias("q_view"),
+        F.round(F.col("r.qp") - F.col("r.qv"), 6).alias("gap"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: one-sample KS goodness-of-fit against Uniform(0, 500).
+
+_KSU_SCALE = 500.0
+
+_KS_UNIFORM_ORACLE = f"""
+WITH pervalue AS (
+  SELECT value, count(*) AS c FROM events GROUP BY value
+), cum AS (
+  SELECT value, c,
+         SUM(c) OVER (ORDER BY value
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+         SUM(c) OVER () AS n
+  FROM pervalue
+)
+SELECT CAST(max(n) AS BIGINT) AS n,
+       round(max(greatest(
+         abs(CAST(cc AS DOUBLE) / n - value / {_KSU_SCALE}),
+         abs(CAST(cc - c AS DOUBLE) / n - value / {_KSU_SCALE})
+       )), 6) AS ks_d
+FROM cum
+"""
+
+
+@query("stats_ks_uniform", oracle=_KS_UNIFORM_ORACLE)
+def q_stats_ks_uniform(spark, sf_dir):
+    """One-sample Kolmogorov-Smirnov statistic of the value column
+    against Uniform(0, 500): D = max over jump points of the larger of
+    |F̂(x) − F₀(x)| just after and just before each step (both sides of
+    every jump — the textbook D⁺/D⁻ form) — the goodness-of-fit twin
+    of the two-sample drift_ks.
+
+    Same scale plan as drift_ks: collapse to distinct values, running
+    counts via ``keyed_running_sums`` (constant key, range-partitioned),
+    exact integer CDF numerators; F₀ is a single division of identical
+    doubles."""
+    from pulsar_ingestion_spark.operators.ranking import keyed_running_sums
+
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    pervalue = ev.groupBy("value").agg(F.count(F.lit(1)).alias("c")).withColumn(
+        "k", F.lit(1)
+    )
+    cum, tot = keyed_running_sums(pervalue, ["k"], [F.col("value")], ["c"])
+    n = F.col("total_c")
+    f0 = F.col("value") / _KSU_SCALE
+    gap = F.greatest(
+        F.abs(F.col("cum_c").cast("double") / n - f0),
+        F.abs((F.col("cum_c") - F.col("c")).cast("double") / n - f0),
+    )
+    return cum.crossJoin(F.broadcast(tot.select("total_c"))).agg(
+        F.max(n).cast("bigint").alias("n"),
+        F.round(F.max(gap), 6).alias("ks_d"),
+    )

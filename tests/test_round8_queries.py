@@ -1004,3 +1004,100 @@ def test_readability_matches_python_reference(spark):
         r = out[d.doc_id]
         assert (r["words"], r["sentences"], r["syllables"]) == (words, sents, syll)
         assert abs(r["flesch_score"] - score) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Batch 10: clustering coefficient, Q-Q deciles, KS uniform, seq-len
+# profile, DAU/WAU.
+
+
+def test_clustering_coeff_consistent_with_triangle_count(spark):
+    from pulsar_ingestion_spark.queries_graph import (
+        q_graph_clustering_coeff,
+        q_graph_triangle_count,
+    )
+
+    cc = q_graph_clustering_coeff(spark, SF).collect()[0]
+    tc = q_graph_triangle_count(spark, SF).collect()[0]
+    assert cc["n_triangles"] == tc["n_triangles"]
+    assert 0 <= cc["transitivity"] <= 1
+    assert abs(cc["transitivity"]
+               - round(3.0 * cc["n_triangles"] / cc["n_wedges"], 6)) < 1e-9
+
+
+def test_qq_deciles_match_numpy(spark):
+    import numpy as np
+
+    from pulsar_ingestion_spark.queries_stats import q_stats_qq_deciles
+
+    rows = sorted(q_stats_qq_deciles(spark, SF).collect(), key=lambda r: r["p"])
+    ev = _pdf("events")
+    a = ev[ev.event_type == "purchase"].value.to_numpy()
+    b = ev[ev.event_type == "view"].value.to_numpy()
+    ps = [round(0.1 * i, 1) for i in range(1, 10)]
+    assert [r["p"] for r in rows] == ps
+    for r, p in zip(rows, ps):
+        assert abs(r["q_purchase"] - np.quantile(a, p)) < 1e-5
+        assert abs(r["q_view"] - np.quantile(b, p)) < 1e-5
+        assert abs(r["gap"] - (r["q_purchase"] - r["q_view"])) < 2e-6
+    # quantiles are monotone in p
+    qs = [r["q_purchase"] for r in rows]
+    assert qs == sorted(qs)
+
+
+def test_ks_uniform_matches_python_reference(spark):
+    from pulsar_ingestion_spark.queries_stats import q_stats_ks_uniform
+
+    row = q_stats_ks_uniform(spark, SF).collect()[0]
+    ev = _pdf("events")
+    xs = sorted(ev.value)
+    n = len(xs)
+    d = 0.0
+    for i, x in enumerate(xs, start=1):
+        f0 = x / 500.0
+        d = max(d, abs(i / n - f0), abs((i - 1) / n - f0))
+    assert row["n"] == n
+    assert abs(row["ks_d"] - round(d, 6)) < 1e-9
+    assert 0 <= row["ks_d"] <= 1
+
+
+def test_seq_len_profile_matches_numpy(spark):
+    import numpy as np
+
+    from pulsar_ingestion_spark.queries_corpus import q_corpus_seq_len_profile
+
+    out = {r["source"]: r for r in q_corpus_seq_len_profile(spark, SF).collect()}
+    docs = _pdf("documents")
+    for src, grp in docs.groupby("source"):
+        toks = grp.text.map(lambda t: len(t.strip().split())).to_numpy()
+        r = out[src]
+        assert r["n_docs"] == len(grp)
+        assert r["total_tokens"] == int(toks.sum())
+        assert abs(r["p50"] - np.quantile(toks.astype(float), 0.5)) < 1e-5
+        assert abs(r["p99"] - np.quantile(toks.astype(float), 0.99)) < 1e-5
+        over = toks[toks > 2048]
+        assert r["n_overflow"] == len(over)
+        loss = (over - 2048).sum() / toks.sum() if toks.sum() else 0
+        assert abs(r["truncation_loss_frac"] - round(loss, 6)) < 1e-9
+
+
+def test_dau_wau_matches_python_reference(spark):
+    from pulsar_ingestion_spark.queries_events import q_events_dau_wau
+
+    rows = {r["day"]: r for r in q_events_dau_wau(spark, SF).collect()}
+    ev = _pdf("events")
+    ev = ev.assign(day=ev.ts.dt.strftime("%Y-%m-%d"))
+    active = ev[["day", "user_id"]].drop_duplicates()
+    days = sorted(active.day.unique())
+    assert set(rows) == set(days)
+    for d in days:
+        import datetime as dt
+
+        d0 = dt.date.fromisoformat(d) - dt.timedelta(days=6)
+        wau = active[(active.day <= d)
+                     & (active.day >= d0.isoformat())].user_id.nunique()
+        dau = active[active.day == d].user_id.nunique()
+        r = rows[d]
+        assert r["dau"] == dau and r["wau"] == wau
+        assert abs(r["stickiness"] - round(dau / wau, 6)) < 1e-9
+        assert r["dau"] <= r["wau"]
