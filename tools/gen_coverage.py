@@ -143,6 +143,36 @@ SECTIONS = [
     ("Graph analytics (round 5+)", [
         "graph_pagerank", "graph_degree_stats", "graph_triangle_count",
         "graph_kcore", "graph_bfs_hops",
+        "graph_label_propagation", "graph_jaccard_linkpred",
+        "graph_assortativity", "graph_modularity", "graph_clustering_coeff",
+    ]),
+    ("Rank statistics & nonparametric tests (round 8)", [
+        "stats_mann_whitney", "stats_spearman", "stats_kruskal_wallis",
+        "stats_anova_oneway", "stats_fdr_bh", "stats_permutation_pvalue",
+        "stats_tukey_outliers", "stats_qq_deciles", "stats_ks_uniform",
+        "agg_gini", "agg_theil_index", "agg_bootstrap_ci",
+    ]),
+    ("Ranking & classifier metrics II (round 8)", [
+        "ml_ndcg_at_k", "ml_mrr", "ml_log_loss", "ml_lift_deciles",
+        "ml_average_precision", "ml_best_f1_threshold", "ml_cohen_kappa",
+        "ml_mutual_info",
+    ]),
+    ("Corpus & text analysis III (round 8)", [
+        "text_pmi_collocations", "text_token_entropy", "text_hashed_features",
+        "text_readability_flesch", "corpus_importance_weights",
+        "corpus_dedup_savings", "corpus_novelty_curve", "corpus_seq_len_profile",
+    ]),
+    ("Similarity search & embedding audit II (round 8)", [
+        "sim_search_mmr", "emb_triplet_margin",
+    ]),
+    ("Time-series & monitoring II (round 8)", [
+        "ts_holt_smooth", "ts_periodogram_bin", "ts_downsample_lttb",
+        "events_burst_days", "events_anomaly_ewma_band",
+        "events_concurrency_sweep", "events_dau_wau", "dq_freshness",
+        "exp_sprt_boundary", "sketch_ams_f2", "geo_kde_grid",
+    ]),
+    ("Warehouse metadata ops (round 8)", [
+        "warehouse_zone_map_prune", "warehouse_clustering_depth",
     ]),
     ("Sketches & sampling III (round 5)", [
         "sketch_kmv_intersect", "sketch_quantile_logbins", "sample_weighted_kmv",
