@@ -229,7 +229,22 @@ def synthesize(out_dir: str, mult: int, seed: int = 7) -> tuple[int, int]:
         ))
     pq.write_table(pa.concat_tables(parts), os.path.join(out_dir, "part.parquet"))
 
-    for t in ["region", "nation", "customer", "supplier"]:
+    # --- customer: tile with DISJOINT c_custkey (nationkey unchanged —
+    # region membership is the group key the inequality/rank queries
+    # aggregate by, and a real customer base grows within regions).
+    base_cu = pq.read_table(os.path.join(BASE_SF, "customer.parquet"))
+    ckey_span = 1 + int(pa.compute.max(base_cu["c_custkey"]).as_py())
+    parts = []
+    for k in range(mult):
+        parts.append(base_cu.set_column(
+            base_cu.schema.get_field_index("c_custkey"),
+            "c_custkey",
+            pa.compute.add(base_cu["c_custkey"], k * ckey_span),
+        ))
+    pq.write_table(pa.concat_tables(parts),
+                   os.path.join(out_dir, "customer.parquet"))
+
+    for t in ["region", "nation", "supplier"]:
         os.symlink(os.path.join(BASE_SF, f"{t}.parquet"),
                    os.path.join(out_dir, f"{t}.parquet"))
     return n_docs, n_emb
