@@ -161,3 +161,60 @@ def read_alerts(alert_log: str) -> list[dict]:
         return []
     with open(alert_log) as fh:
         return [json.loads(line) for line in fh if line.strip()]
+
+
+def rate_monitor(
+    key_col: str,
+    alert_log: str,
+    ratio: float = 1.5,
+    window: int = 7,
+    min_trail: int = 3,
+):
+    """foreachBatch target: per-key volume burst/dropout alarm — the
+    streaming twin of the batch ``events_burst_days`` query.  Each
+    micro-batch's per-key row count is compared against that key's
+    trailing ``window``-batch average (≥ ``min_trail`` batches of
+    history required): counts above ``ratio``× the average flag
+    ``burst``; keys that were active but produce NOTHING this batch
+    flag ``silent`` (the dropout case a distribution-drift monitor
+    cannot see, because an empty batch has no distribution).
+
+    State is the per-key deque of the last ``window`` counts —
+    O(keys·window) integers on the driver, the same size class as the
+    drift monitor's reference histogram.  After a checkpoint restart
+    the trail re-warms in ``min_trail`` batches by design (rate alarms
+    are self-warming; persisting them would couple monitoring state to
+    the data checkpoint).  Per-batch work is one map-side-combined
+    count per key."""
+    from collections import deque
+
+    trails: dict = {}
+
+    def check(batch_df: DataFrame, batch_id: int) -> None:
+        counts = {
+            r["k"]: r["cnt"]
+            for r in batch_df.groupBy(F.col(key_col).alias("k"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        recs = []
+        for key in sorted(set(trails) | set(counts), key=str):
+            cnt = counts.get(key, 0)
+            trail = trails.setdefault(key, deque(maxlen=window))
+            rec: dict = {"batch_id": int(batch_id), "key": key, "n": cnt}
+            if len(trail) >= min_trail:
+                avg = sum(trail) / len(trail)
+                rec["trail_avg"] = round(avg, 6)
+                rec["burst"] = bool(avg > 0 and cnt > ratio * avg)
+                rec["silent"] = bool(avg > 0 and cnt == 0)
+                rec["alert"] = rec["burst"] or rec["silent"]
+            else:
+                rec["trail_avg"] = None
+                rec["burst"] = rec["silent"] = rec["alert"] = False
+            trail.append(cnt)
+            recs.append(rec)
+        with open(alert_log, "a") as fh:
+            for rec in recs:
+                fh.write(json.dumps(rec) + "\n")
+
+    return check

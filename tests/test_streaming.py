@@ -651,3 +651,70 @@ def test_drift_monitor_ks_requires_threshold():
     with _pytest.raises(ValueError, match="ks_threshold"):
         drift_monitor({0: 1}, "v", 40.0, "/tmp/x", metric="all",
                       w1_threshold=1.0)
+
+
+def test_streaming_rate_monitor_burst_and_silence(spark, tmp_path):
+    """Rate alarm (round 8, streaming twin of events_burst_days): flat
+    batches stay quiet, a 3x volume burst flags `burst`, a key that
+    goes dark flags `silent`, and nothing alerts before min_trail
+    batches of history."""
+    from pulsar_ingestion_spark.streaming.monitor import (
+        rate_monitor,
+        read_alerts,
+    )
+
+    log = str(tmp_path / "rate.jsonl")
+    check = rate_monitor("event_type", log, ratio=1.5, window=7, min_trail=3)
+
+    def batch(counts: dict):
+        rows = [(k,) for k, n in counts.items() for _ in range(n)]
+        return spark.createDataFrame(rows, "event_type string")
+
+    # warm-up: 3 flat batches per key — below min_trail, never alerts
+    for bid in range(3):
+        check(batch({"click": 10, "view": 20}), bid)
+    recs = read_alerts(log)
+    assert all(not r["alert"] for r in recs)
+    assert all(r["trail_avg"] is None for r in recs)
+
+    # 4th flat batch: trail warm, still quiet
+    check(batch({"click": 10, "view": 20}), 3)
+    warm = [r for r in read_alerts(log) if r["batch_id"] == 3]
+    assert {r["key"]: r["alert"] for r in warm} == {"click": False, "view": False}
+    assert all(r["trail_avg"] == 10 or r["trail_avg"] == 20 for r in warm)
+
+    # burst on click (3x), view silent
+    check(batch({"click": 30}), 4)
+    last = {r["key"]: r for r in read_alerts(log) if r["batch_id"] == 4}
+    assert last["click"]["burst"] and last["click"]["alert"]
+    assert last["view"]["silent"] and last["view"]["alert"]
+    assert not last["click"]["silent"] and not last["view"]["burst"]
+
+    # recovery: back to normal is quiet for click; view trail now
+    # includes the zero so its average dropped but 20 < 1.5*avg(...)
+    check(batch({"click": 10, "view": 20}), 5)
+    rec5 = {r["key"]: r for r in read_alerts(log) if r["batch_id"] == 5}
+    assert not rec5["click"]["alert"]
+
+
+def test_streaming_rate_monitor_trailing_window_bounded(spark, tmp_path):
+    """The trail is a bounded deque: after `window` batches the oldest
+    counts roll off, so a level shift becomes the new normal instead of
+    alerting forever."""
+    from pulsar_ingestion_spark.streaming.monitor import (
+        rate_monitor,
+        read_alerts,
+    )
+
+    log = str(tmp_path / "rate2.jsonl")
+    check = rate_monitor("k", log, ratio=1.5, window=3, min_trail=3)
+
+    def batch(n):
+        return spark.createDataFrame([("a",)] * n, "k string")
+
+    for bid, n in enumerate([10, 10, 10, 40, 40, 40, 40]):
+        check(batch(n), bid)
+    recs = {r["batch_id"]: r for r in read_alerts(log)}
+    assert recs[3]["burst"]            # the jump alerts
+    assert not recs[6]["burst"]        # trail is now all-40: new normal
+    assert recs[6]["trail_avg"] == 40
