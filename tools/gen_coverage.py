@@ -243,6 +243,7 @@ STREAMING_ONLY = [
     ("streaming dedup cascade (incremental exact→LSH, batch-cut invariant, exactly-once)", "tests/test_streaming_dedup_cascade.py"),
     ("streaming drift monitor KS metric (max CDF gap per batch)", "tests/test_streaming.py::test_streaming_drift_monitor_ks_metric"),
     ("metrics export (StreamingQueryListener → JSONL progress/state/observed records)", "tests/test_streaming_metrics.py"),
+    ("streaming rate monitor (per-key burst + silence alarm, bounded trail)", "tests/test_streaming.py::test_streaming_rate_monitor_burst_and_silence"),
 ]
 
 
