@@ -718,3 +718,42 @@ def test_streaming_rate_monitor_trailing_window_bounded(spark, tmp_path):
     assert recs[3]["burst"]            # the jump alerts
     assert not recs[6]["burst"]        # trail is now all-40: new normal
     assert recs[6]["trail_avg"] == 40
+
+
+def test_streaming_rate_monitor_via_real_stream(spark, tmp_path):
+    """The rate monitor driven through an actual readStream →
+    foreachBatch loop (file source, availableNow): per-key counts come
+    from real micro-batches and the trail carries across restarts of
+    the same monitor instance within a process."""
+    import json as _json
+
+    from pulsar_ingestion_spark.streaming.monitor import (
+        rate_monitor,
+        read_alerts,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    log = str(tmp_path / "rate.jsonl")
+    check = rate_monitor("k", log, ratio=1.5, window=7, min_trail=2)
+    stream = spark.readStream.schema("k string").json(str(src))
+
+    def run_batch(name: str, rows: list[str]):
+        (src / name).write_text(
+            "\n".join(_json.dumps({"k": k}) for k in rows) + "\n"
+        )
+        q = (
+            stream.writeStream.foreachBatch(check)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_batch("b0.jsonl", ["a"] * 10)
+    run_batch("b1.jsonl", ["a"] * 10)
+    run_batch("b2.jsonl", ["a"] * 30)   # 3x burst after 2-batch trail
+    recs = read_alerts(log)
+    assert [r["n"] for r in recs] == [10, 10, 30]
+    assert [r["alert"] for r in recs] == [False, False, True]
+    assert recs[2]["burst"] and recs[2]["trail_avg"] == 10
