@@ -129,7 +129,21 @@ def synthesize(out_dir: str, mult: int, seed: int = 7) -> tuple[int, int]:
         vocab, p = by_lang[lang]
         n_words = int(rng.choice(word_lens))
         idx = rng.choice(len(vocab), size=n_words, p=p)
-        texts.append(" ".join(vocab[k] for k in idx))
+        toks = [vocab[k] for k in idx]
+        # Heaps-law vocabulary growth (round 8): a stationary vocabulary
+        # makes min-hash values concentrate as the corpus grows, so
+        # band-bucket candidate pairs explode ~35x per 10x docs — an
+        # artifact of the SYNTHESIZER, not of the banded plan (SCALE.md
+        # 6g).  Real corpora keep minting types (V ∝ n^β); model that by
+        # variant-suffixing ~8% of tokens from a pool that grows with
+        # corpus position (earlier variants get reused, so df/bigram
+        # stats stay plausible).
+        novel = rng.random(n_words) < 0.08
+        if novel.any():
+            pool = 1 + i // 50
+            for t_i in np.flatnonzero(novel):
+                toks[t_i] = f"{toks[t_i]}~{int(rng.integers(0, pool))}"
+        texts.append(" ".join(toks))
         doc_lang.append(lang)
     docs = pa.table({
         "doc_id": pa.array(range(n_docs), pa.int64()),
