@@ -218,3 +218,53 @@ def rate_monitor(
                 fh.write(json.dumps(rec) + "\n")
 
     return check
+
+
+def freshness_monitor(
+    key_col: str,
+    ts_col: str,
+    alert_log: str,
+    stale_after_s: float,
+):
+    """foreachBatch target: per-key event-time freshness alarm — the
+    streaming twin of the batch ``dq_freshness`` query.  Tracks each
+    key's high-water event timestamp across batches; a key whose last
+    seen event time lags the GLOBAL high-water mark by more than
+    ``stale_after_s`` flags ``stale`` (the per-source outage a volume
+    monitor only catches if that key's traffic was steady).
+
+    Event-time against event-time (not wall clock): replaying history
+    through the monitor yields the same verdicts the live run gave —
+    the same watermark discipline as the engine's own late-data
+    handling.  State is one max-timestamp per key (O(keys)); per-batch
+    work is one map-side-combined max per key."""
+    high: dict = {}
+
+    def check(batch_df: DataFrame, batch_id: int) -> None:
+        rows = (
+            batch_df.filter(F.col(ts_col).isNotNull())
+            .groupBy(F.col(key_col).alias("k"))
+            .agg(F.max(F.unix_micros(F.col(ts_col))).alias("mx"))
+            .collect()
+        )
+        for r in rows:
+            prev = high.get(r["k"])
+            if prev is None or r["mx"] > prev:
+                high[r["k"]] = r["mx"]
+        if not high:
+            return
+        wm = max(high.values())
+        recs = []
+        for key in sorted(high, key=str):
+            lag_s = (wm - high[key]) / 1_000_000
+            recs.append({
+                "batch_id": int(batch_id),
+                "key": key,
+                "lag_seconds": round(lag_s, 3),
+                "stale": bool(lag_s > stale_after_s),
+            })
+        with open(alert_log, "a") as fh:
+            for rec in recs:
+                fh.write(json.dumps(rec) + "\n")
+
+    return check

@@ -757,3 +757,46 @@ def test_streaming_rate_monitor_via_real_stream(spark, tmp_path):
     assert [r["n"] for r in recs] == [10, 10, 30]
     assert [r["alert"] for r in recs] == [False, False, True]
     assert recs[2]["burst"] and recs[2]["trail_avg"] == 10
+
+
+def test_streaming_freshness_monitor_flags_lagging_key(spark, tmp_path):
+    """Freshness alarm (round 8, streaming twin of dq_freshness): a key
+    that stops advancing its event-time high-water mark goes stale once
+    the global watermark moves past the threshold; it recovers when
+    fresh events arrive."""
+    from pulsar_ingestion_spark.streaming.monitor import (
+        freshness_monitor,
+        read_alerts,
+    )
+
+    log = str(tmp_path / "fresh.jsonl")
+    check = freshness_monitor("k", "ts", log, stale_after_s=3600)
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "k string, ts timestamp")
+
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+    # both keys current
+    check(batch([("a", t0), ("b", t0)]), 0)
+    recs0 = {r["key"]: r for r in read_alerts(log) if r["batch_id"] == 0}
+    assert not recs0["a"]["stale"] and not recs0["b"]["stale"]
+
+    # only a advances 2h: b is now 2h behind the watermark -> stale
+    check(batch([("a", t0 + dt.timedelta(hours=2))]), 1)
+    recs1 = {r["key"]: r for r in read_alerts(log) if r["batch_id"] == 1}
+    assert not recs1["a"]["stale"]
+    assert recs1["b"]["stale"] and recs1["b"]["lag_seconds"] == 7200.0
+
+    # b catches up -> recovers
+    check(batch([("b", t0 + dt.timedelta(hours=2))]), 2)
+    recs2 = {r["key"]: r for r in read_alerts(log) if r["batch_id"] == 2}
+    assert not recs2["b"]["stale"] and recs2["b"]["lag_seconds"] == 0.0
+
+    # event-time discipline: an out-of-order OLD event must not regress
+    # b's high-water mark
+    check(batch([("b", t0)]), 3)
+    recs3 = {r["key"]: r for r in read_alerts(log) if r["batch_id"] == 3}
+    assert not recs3["b"]["stale"]

@@ -244,6 +244,7 @@ STREAMING_ONLY = [
     ("streaming drift monitor KS metric (max CDF gap per batch)", "tests/test_streaming.py::test_streaming_drift_monitor_ks_metric"),
     ("metrics export (StreamingQueryListener → JSONL progress/state/observed records)", "tests/test_streaming_metrics.py"),
     ("streaming rate monitor (per-key burst + silence alarm, bounded trail)", "tests/test_streaming.py::test_streaming_rate_monitor_burst_and_silence"),
+    ("streaming freshness monitor (per-key event-time lag vs global watermark)", "tests/test_streaming.py::test_streaming_freshness_monitor_flags_lagging_key"),
 ]
 
 
