@@ -876,9 +876,10 @@ def q_dedup_minhash_fast(spark, sf_dir):
     # The PRODUCTION form of dedup_minhash_banded (VERDICT r7 item 4):
     # identical plan shape (8 minhashes → 4 bands → band equi-join →
     # exact shingle-Jaccard ≥ 0.35 verify) but the signatures are
-    # engine-side xxhash64 longs instead of portable md5 hex — one
-    # codegen'd hash op per shingle instead of a MessageDigest + hex
-    # string, and 8-byte band shuffle keys instead of 64-char strings.
+    # engine-side xxhash64 longs instead of portable md5 hex — a
+    # codegen'd long op per (shingle, seed) instead of a MessageDigest
+    # + hex string, and 8-byte band shuffle keys instead of 64-char
+    # strings.
     # dedup_minhash_banded's 10× curve is CPU-bound on its ~800 portable
     # md5 calls/doc (SCALE.md §6f); this variant removes that term while
     # keeping the verify stage exact, so every emitted pair is still a
