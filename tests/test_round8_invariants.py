@@ -261,3 +261,44 @@ def test_bfs_hops_known_graph(spark):
     full = {r["node"]: r["dist"] for r in bfs_hops(bidir, seeds, 10).collect()}
     assert full == {1: 0, 8: 0, 2: 1, 9: 1, 3: 2, 4: 3, 5: 4}
     bidir.unpersist()
+
+
+def test_minhash_km_family_is_precise(spark):
+    """Kirsch-Mitzenmacher 2-hash family (round 8, measured-slower
+    alternative — kept as an option, see SCALE.md 6i): signatures are
+    min(h1 + i*h2) with both hashes masked to 31 bits (no ANSI long
+    overflow), and every emitted pair is still exact-Jaccard-verified
+    (precision 1 regardless of hash family)."""
+    from pulsar_ingestion_spark.operators.dedup import (
+        minhash_banded_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+
+    txt = "the quick brown fox jumps over the lazy dog today"
+    rows = [
+        (1, txt),
+        (2, txt),  # exact duplicate: every band MUST collide
+        (3, "completely different text with no overlap at all here now"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(docs, hash="km").collect()
+    for r in sigs:
+        for i in range(8):
+            assert 0 <= r[f"sig_{i}"] < (1 << 34)
+    s12 = {r["doc_id"]: [r[f"sig_{i}"] for i in range(8)] for r in sigs}
+    assert s12[1] == s12[2]        # identical text -> identical signature
+    assert s12[1] != s12[3]
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in minhash_banded_pairs(docs, hash="km",
+                                           threshold=0.35).collect()}
+    # only the duplicate pair survives, at exact jaccard 1.0 from the
+    # verify stage (precision is hash-family-independent); note the KM
+    # family's mins are CORRELATED across i (one changed shingle can
+    # flip every signature together), which is part of why it measured
+    # slightly lower recall than 8 independent hashes at sf0.1
+    assert set(pairs) == {(1, 2)}
+    assert pairs[(1, 2)] == 1.0
+    exact = {(r["id_a"], r["id_b"])
+             for r in ngram_jaccard_pairs(docs, threshold=0.35).collect()}
+    assert (1, 2) in exact
