@@ -845,6 +845,12 @@ def q_graph_assortativity(spark, sf_dir):
     integer sums (degree values), so r is one IEEE expression."""
     ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
     edges = _cooc_edges(ev).persist()
+    return degree_assortativity(edges)
+
+
+def degree_assortativity(edges):
+    """Pearson correlation of endpoint degrees over the symmetrized
+    (u, v) edge list — see q_graph_assortativity for the plan shape."""
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -926,6 +932,12 @@ def q_graph_modularity(spark, sf_dir):
     ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
     edges = _cooc_edges(ev).persist()
     labels = label_propagation(edges, _LPA_ROUNDS).persist()
+    return newman_modularity(edges, labels)
+
+
+def newman_modularity(edges, labels):
+    """Newman modularity Q of a (node, label) partition over undirected
+    (u, v) edges — see q_graph_modularity for the formula and plan."""
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))

@@ -761,11 +761,53 @@ def test_kruskal_wallis_matches_scipy_formula(spark):
 def test_assortativity_matches_networkx_style_formula(spark):
     import numpy as np
 
-    from pulsar_ingestion_spark.queries_graph import q_graph_assortativity
+    from pulsar_ingestion_spark.queries_graph import (
+        degree_assortativity,
+        q_graph_assortativity,
+    )
 
     row = q_graph_assortativity(spark, SF).collect()[0]
     assert -1 <= row["assortativity"] <= 1
     assert row["n_edges"] > 0
+
+    # known graph: path 1-2-3-4 (degrees 1,2,2,1) — compute the same
+    # symmetrized-edge Pearson independently in numpy
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "u long, v long")
+    got = degree_assortativity(edges).collect()[0]
+    deg = {1: 1, 2: 2, 3: 2, 4: 1}
+    xs, ys = [], []
+    for u, v in [(1, 2), (2, 3), (3, 4)]:
+        xs += [deg[u], deg[v]]
+        ys += [deg[v], deg[u]]
+    want = float(np.corrcoef(xs, ys)[0, 1])
+    assert got["n_edges"] == 3
+    assert abs(got["assortativity"] - want) < 1e-6
+
+
+def test_modularity_known_partition(spark):
+    """Two disjoint triangles with their natural partition: each
+    community has e_c = 3, d_c = 6, m = 6 → Q = 2·(3/6 − (6/12)²) =
+    0.5 — the textbook value."""
+    from pulsar_ingestion_spark.queries_graph import newman_modularity
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)],
+        "u long, v long",
+    )
+    labels = spark.createDataFrame(
+        [(n, 1) for n in (1, 2, 3)] + [(n, 10) for n in (10, 11, 12)],
+        "node long, label long",
+    )
+    row = newman_modularity(edges, labels).collect()[0]
+    assert row["n_communities"] == 2
+    assert row["m_edges"] == 6
+    assert abs(row["modularity"] - 0.5) < 1e-9
+    # degenerate partition (everything one community): Q = 0
+    one = spark.createDataFrame(
+        [(n, 1) for n in (1, 2, 3, 10, 11, 12)], "node long, label long"
+    )
+    row1 = newman_modularity(edges, one).collect()[0]
+    assert abs(row1["modularity"]) < 1e-9
 
 
 def test_concurrency_sweep_matches_python_reference(spark):
