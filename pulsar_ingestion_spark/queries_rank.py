@@ -5,11 +5,15 @@ and IR ranking metrics — the evaluation layer a training-data pipeline
 runs on top of the corpus/retrieval operators (SURVEY.md §2.5 extension
 families; same role as the model-eval family ``queries_ml.py`` round 5).
 
-Scale discipline: every rank here is computed from per-value grouped
-counts plus ``operators.ranking.keyed_running_sums`` (range-partitioned
-running sums + broadcast offsets — the drift_ks round-7 re-plan), NOT a
-``Window.partitionBy(few_keys)`` whose parallelism caps at the key
-count.  Ranks over ties use the exact average-rank convention encoded in
+Scale discipline: every few-key rank (the test statistics — Mann-
+Whitney, Spearman, Kruskal-Wallis, Gini) is computed from per-value
+grouped counts plus ``operators.ranking.keyed_running_sums``
+(range-partitioned running sums + broadcast offsets — the drift_ks
+round-7 re-plan), NOT a ``Window.partitionBy(few_keys)`` whose
+parallelism caps at the key count.  The per-user IR metrics (NDCG,
+MRR) keep ordinary windows: user_id gives millions of natural
+partitions, which is exactly when a partitioned window is the right
+plan.  Ranks over ties use the exact average-rank convention encoded in
 integers (2·avg_rank = 2·cum − c + 1), so every test statistic is a
 single IEEE expression over exact integers — bit-identical to the ANSI
 window oracle.
