@@ -76,6 +76,27 @@ def entry(spark: SparkSession) -> DataFrame:
 # coverage across rounds until every query has a driver CORRECTNESS row
 # (VERDICT r1 item 2, refreshed each round per VERDICT r2 item 2).
 _CHECKED_PRIOR = {
+    # round 8 (CORRECTNESS_r08.json — 49 hash-green + 1 rows-only by
+    # design (dedup_minhash_fast): the 50 round-8 additions; VERDICT r8
+    # item 1)
+    "dedup_minhash_fast", "graph_bfs_hops", "stats_mann_whitney",
+    "stats_spearman", "agg_gini", "ml_ndcg_at_k", "ml_mrr", "ml_log_loss",
+    "sketch_ams_f2", "text_pmi_collocations", "ts_holt_smooth",
+    "warehouse_zone_map_prune", "corpus_importance_weights",
+    "graph_label_propagation", "graph_jaccard_linkpred", "stats_fdr_bh",
+    "ml_lift_deciles", "agg_theil_index", "events_burst_days",
+    "text_token_entropy", "text_hashed_features",
+    "warehouse_clustering_depth", "events_anomaly_ewma_band",
+    "sim_search_mmr", "emb_triplet_margin", "agg_bootstrap_ci",
+    "ts_periodogram_bin", "geo_kde_grid", "dq_freshness",
+    "exp_sprt_boundary", "corpus_dedup_savings", "ml_average_precision",
+    "ml_cohen_kappa", "stats_kruskal_wallis", "graph_assortativity",
+    "events_concurrency_sweep", "stats_anova_oneway",
+    "stats_tukey_outliers", "ml_mutual_info", "corpus_novelty_curve",
+    "ts_downsample_lttb", "stats_permutation_pvalue", "graph_modularity",
+    "ml_best_f1_threshold", "text_readability_flesch",
+    "graph_clustering_coeff", "stats_qq_deciles", "stats_ks_uniform",
+    "corpus_seq_len_profile", "events_dau_wau",
     # round 7 (CORRECTNESS_r07.json — 49 hash-green + 1 rows-only by
     # design: graph_kcore's first row plus a fresh re-verification of the
     # round-1-era prefix; VERDICT r7 item 2)
@@ -207,66 +228,69 @@ _CHECKED_PRIOR = {
 }
 
 
-# Round-8 driver-check prefix (the driver checks a bounded prefix ≈50):
-# every id registered through round 7 has a driver CORRECTNESS row
-# (VERDICT r7), so this round's prefix is only the round-8 additions —
-# each selfchecked at 3 SFs before registration.
-_ROUND8_PREFIX: list[str] = [
-    "dedup_minhash_fast",
-    "graph_bfs_hops",
-    "stats_mann_whitney",
-    "stats_spearman",
-    "agg_gini",
-    "ml_ndcg_at_k",
-    "ml_mrr",
-    "ml_log_loss",
-    "sketch_ams_f2",
-    "text_pmi_collocations",
-    "ts_holt_smooth",
-    "warehouse_zone_map_prune",
-    "corpus_importance_weights",
-    "graph_label_propagation",
-    "graph_jaccard_linkpred",
-    "stats_fdr_bh",
-    "ml_lift_deciles",
-    "agg_theil_index",
-    "events_burst_days",
-    "text_token_entropy",
-    "text_hashed_features",
-    "warehouse_clustering_depth",
-    "events_anomaly_ewma_band",
-    "sim_search_mmr",
-    "emb_triplet_margin",
-    "agg_bootstrap_ci",
-    "ts_periodogram_bin",
-    "geo_kde_grid",
-    "dq_freshness",
-    "exp_sprt_boundary",
-    "corpus_dedup_savings",
-    "ml_average_precision",
-    "ml_cohen_kappa",
-    "stats_kruskal_wallis",
-    "graph_assortativity",
-    "events_concurrency_sweep",
-    "stats_anova_oneway",
-    "stats_tukey_outliers",
-    "ml_mutual_info",
-    "corpus_novelty_curve",
-    "ts_downsample_lttb",
-    "stats_permutation_pvalue",
-    "graph_modularity",
-    "ml_best_f1_threshold",
-    "text_readability_flesch",
-    "graph_clustering_coeff",
-    "stats_qq_deciles",
-    "stats_ks_uniform",
-    "corpus_seq_len_profile",
-    "events_dau_wau",
+# Round-9 driver-check prefix (the driver checks a bounded prefix ≈50):
+# every id registered through round 8 has a driver CORRECTNESS row
+# (VERDICT r8 item "Union across rounds 1-8: 342/342"), so this round's
+# prefix is re-verification of the STALEST rows — the 45 ids whose latest
+# driver CORRECTNESS row is round 1 or 2 (testdata is regenerated every
+# round, so old greens deserve periodic re-proof).  New round-9 queries,
+# if any, go at the FRONT of this list.  The two rows-only-by-design ids
+# from that era (dedup_minhash, multimodal_features) are excluded — a
+# re-check would record another no_oracle row, spending a slot on
+# nothing.
+_ROUND9_PREFIX: list[str] = [
+    # r1-latest rows (checked round 1, never since)
+    "event_translate_payment",
+    "event_translate_user",
+    "route_tenant",
+    # r2-latest rows, alphabetical
+    "agg_max_min_by",
+    "agg_pivot",
+    "agg_salted_skew",
+    "cmf_events_explode",
+    "cmf_tire_pressure_map",
+    "corpus_curate",
+    "datetime_funcs",
+    "dedup_cluster_components",
+    "dedup_cluster_lss",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_fingerprint",
+    "dedup_keep_best",
+    "dedup_ngram_jaccard",
+    "emb_centroid_by_label",
+    "event_translate_inventory",
+    "event_translate_order",
+    "event_translate_shipment",
+    "join_right",
+    "json_multi_extract",
+    "multimodal_audio_chunks",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "route_event_type_split",
+    "sample_deterministic",
+    "sim_search_knn",
+    "stateful_transitions",
+    "telemetry_trip_distance",
+    "text_chunk_documents",
+    "text_decontaminate",
+    "text_df_prune",
+    "text_gopher_quality",
+    "text_lang_id",
+    "text_minhash_signature",
+    "text_pii_scrub",
+    "text_quality_score",
+    "text_stats",
+    "text_token_count",
+    "warehouse_vehicle_gaps",
+    "win_distribution",
+    "win_first_last",
+    "win_nth_value",
 ]
 
 
 def _rotated(mapping: dict) -> dict:
-    prefix = {k: mapping[k] for k in _ROUND8_PREFIX if k in mapping}
+    prefix = {k: mapping[k] for k in _ROUND9_PREFIX if k in mapping}
     fresh = {
         k: v for k, v in mapping.items()
         if k not in _CHECKED_PRIOR and k not in prefix

@@ -242,6 +242,7 @@ STREAMING_ONLY = [
     ("pipeline versioned sink mode (manifest-committed CMF landing)", "tests/test_versioned.py::test_pipeline_versioned_sink_end_to_end"),
     ("streaming dedup cascade (incremental exact→LSH, batch-cut invariant, exactly-once)", "tests/test_streaming_dedup_cascade.py"),
     ("streaming drift monitor KS metric (max CDF gap per batch)", "tests/test_streaming.py::test_streaming_drift_monitor_ks_metric"),
+    ("streaming drift monitor W1 metric (earth-mover distance per batch)", "tests/test_streaming.py::test_streaming_drift_monitor_w1_metric"),
     ("metrics export (StreamingQueryListener → JSONL progress/state/observed records)", "tests/test_streaming_metrics.py"),
     ("streaming rate monitor (per-key burst + silence alarm, bounded trail)", "tests/test_streaming.py::test_streaming_rate_monitor_burst_and_silence"),
     ("streaming freshness monitor (per-key event-time lag vs global watermark)", "tests/test_streaming.py::test_streaming_freshness_monitor_flags_lagging_key"),
