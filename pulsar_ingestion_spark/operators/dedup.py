@@ -23,6 +23,32 @@ from pyspark.sql import functions as F
 from pulsar_ingestion_spark.functions.text import doc_fingerprint, shingles, words
 
 
+# Persisted intermediates created by the operators below (signature /
+# shingle relations materialized before banding — the round-8 re-plan).
+# They are deliberately NOT unpersisted inside the operator: the returned
+# DataFrame's plan still reads them, so the terminal action needs them
+# live.  CALLERS OWN CLEANUP (ADVICE r8): after the terminal action, call
+# :func:`release_cached_intermediates` (or ``spark.catalog.clearCache()``)
+# — bench.py does this between phases — so a long-lived session running
+# many queries doesn't accumulate dead cached relations.
+_PERSISTED: list[DataFrame] = []
+
+
+def _tracked_persist(df: DataFrame) -> DataFrame:
+    _PERSISTED.append(df.persist())
+    return df
+
+
+def release_cached_intermediates() -> int:
+    """Unpersist every intermediate this module has persisted; returns
+    how many were released.  Safe to call at any quiesce point — the
+    next use of an operator simply re-persists."""
+    n = len(_PERSISTED)
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+    return n
+
+
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact-content dedup groups: md5(text) → canonical (min-id) doc +
     duplicate count.  One shuffle on the digest."""
@@ -59,7 +85,8 @@ def ngram_jaccard_pairs(
     # minhash_signatures), and both join sides read this relation
     sh = df.select(
         F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
-    ).withColumn("sh_size", F.size("sh")).persist()
+    ).withColumn("sh_size", F.size("sh"))
+    sh = _tracked_persist(sh)
     # Join on a 64-bit hash of the shingle, not the string: ~8 bytes vs
     # ~(3 words) per shuffle key.  xxhash64 collisions (~1e-11 at millions
     # of distinct shingles) could at worst inflate one intersection count
@@ -135,10 +162,10 @@ def minhash_signatures(
     if hash not in ("md5", "xxhash64", "km"):
         raise ValueError(f"unknown minhash hash family {hash!r}")
     seeds = MINHASH_SEEDS if seeds is None else seeds
-    base = df.select(
+    base = _tracked_persist(df.select(
         F.col(id_col).alias("doc_id"),
         shingles(F.col(text_col), n).alias("w"),
-    ).persist()
+    ))
 
     exploded = base.select("doc_id", F.explode_outer("w").alias("g"))
     if hash == "km":
@@ -206,7 +233,7 @@ def minhash_banded_pairs(
     <1 s).  At cluster scale the same barrier is a bucketed staging
     table on doc_id.
     """
-    sigs = minhash_signatures(df, id_col, text_col, n=n, hash=hash).persist()
+    sigs = _tracked_persist(minhash_signatures(df, id_col, text_col, n=n, hash=hash))
     if hash == "md5":
         bvals = [
             F.concat(F.col(f"sig_{2 * b}"), F.col(f"sig_{2 * b + 1}"))
@@ -362,7 +389,7 @@ def simhash_near_dups(
     # persisted: the signature is a bits-wide fold of per-word hashes;
     # the band posexplode and both self-join sides would otherwise
     # recompute it (round-8 lesson — see minhash_signatures)
-    sigs = simhash(df, text_col, id_col, bits, portable=portable).persist()
+    sigs = _tracked_persist(simhash(df, text_col, id_col, bits, portable=portable))
     nbands = max_hamming + 1
     base, rem = divmod(bits, nbands)
     bands, off = [], 0

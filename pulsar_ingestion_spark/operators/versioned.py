@@ -287,7 +287,17 @@ class VersionedTable:
 
         lock = self._watermark_file + ".lock"
         token = uuid.uuid4().hex
-        deadline = time.time() + 10.0
+        # Steal discipline (ADVICE r8): a bare time-based unlink lets two
+        # waiters both past their deadline each unlink — the second one
+        # removes the FIRST waiter's freshly created lock, admitting two
+        # holders.  Steal only a lock whose TOKEN has been observed
+        # unchanged for the full wait period: a fresh holder writes a
+        # fresh token, which restarts the staleness clock for everyone.
+        # The re-read immediately before unlink narrows the remaining
+        # read→unlink window from "any time past deadline" to
+        # microseconds.
+        stale_token: str | None = None
+        stale_since = time.time()
         acquired = False
         while not acquired:
             try:
@@ -296,12 +306,21 @@ class VersionedTable:
                 os.close(fd)
                 acquired = True
             except FileExistsError:
-                if time.time() > deadline:
-                    try:  # stale lock from a crashed holder — steal it
-                        os.unlink(lock)
-                    except FileNotFoundError:
-                        pass
-                    deadline = time.time() + 10.0
+                holder = self._lock_token(lock)
+                if holder is None:
+                    continue  # lock vanished between open and read — retry
+                if holder != stale_token:
+                    # changed hands (or first sighting): restart the clock
+                    stale_token, stale_since = holder, time.time()
+                elif time.time() - stale_since > 10.0:
+                    # same token stale for the full deadline: crashed
+                    # holder.  Re-validate right before the unlink.
+                    if self._lock_token(lock) == stale_token:
+                        try:
+                            os.unlink(lock)
+                        except FileNotFoundError:
+                            pass
+                    stale_token, stale_since = None, time.time()
                     continue
                 time.sleep(0.01)
         try:
@@ -329,7 +348,9 @@ class VersionedTable:
                 except FileNotFoundError:
                     pass
 
-    def migrate_default_app(self, app_id: str) -> None:
+    def migrate_default_app(
+        self, app_id: str, committed_hint: int | None = None
+    ) -> None:
         """One-time upgrade alias (ADVICE r7): pre-r7 stream commits
         carry no app_id and land under ``__default__``; a pipeline
         upgraded to app-scoped watermarks starts with watermark(-1) for
@@ -340,14 +361,29 @@ class VersionedTable:
         the app's watermark to the legacy ``__default__`` one, so the
         replayed old batch ids no-op exactly as they did pre-upgrade.
 
-        Must NOT be called for a fresh checkpoint (new stream = fresh
-        small batch ids that the legacy watermark would wrongly swallow)
-        — the caller gates on checkpoint-directory existence
-        (plans/pipeline.py versioned sink)."""
+        Two guards keep the alias from swallowing FRESH batches
+        (ADVICE r8 — checkpoint-dir existence alone is not enough,
+        because every restart after the very first batch sees the dir):
+
+        * first-resume only — once ``app_id`` has ANY watermark of its
+          own, its batch-id sequence is live and aliasing a larger
+          legacy id onto it would drop in-flight batches;
+        * ``committed_hint`` (the max batch id found in the
+          checkpoint's own offsets/commits log, see
+          plans/pipeline.py) — the alias only applies when the
+          checkpoint demonstrably PRODUCED ids reaching the legacy
+          watermark.  A RESET checkpoint replaying small fresh ids
+          0..k against a table whose legacy watermark is W>k fails
+          this check and keeps its own sequence.
+        """
         if app_id == _DEFAULT_APP:
             return
         wms = self.batch_watermarks()
         legacy = wms.get(_DEFAULT_APP, -1)
+        if wms.get(app_id, -1) >= 0:
+            return  # app already live under its own watermark
+        if committed_hint is not None and committed_hint < legacy:
+            return  # checkpoint never reached the legacy ids: reset stream
         if legacy > wms.get(app_id, -1):
             self._raise_batch_watermark(legacy, app_id)
 

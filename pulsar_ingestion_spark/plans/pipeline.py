@@ -150,6 +150,25 @@ def build_cmf_stream(spark: SparkSession, spec: PipelineSpec, streaming: bool = 
     return wire
 
 
+def _checkpoint_max_batch(checkpoint: str) -> int:
+    """Max batch id this Structured Streaming checkpoint has produced,
+    from its ``offsets/`` (started) and ``commits/`` (finished) logs —
+    file names ARE the batch ids.  -1 for a dir with no batches yet.
+    Used to evidence-gate the legacy-watermark migration: a reset
+    checkpoint's small ids must not inherit a large legacy watermark."""
+    import os as _os
+
+    mx = -1
+    for sub in ("offsets", "commits"):
+        d = _os.path.join(checkpoint, sub)
+        if not _os.path.isdir(d):
+            continue
+        for name in _os.listdir(d):
+            if name.isdigit():
+                mx = max(mx, int(name))
+    return mx
+
+
 def run_pipeline(spark: SparkSession, spec: PipelineSpec, streaming: bool = True):
     """Execute the pipeline.  Streaming: returns a :class:`PipelineRun`
     holding the main sink's StreamingQuery and, when configured, the
@@ -216,12 +235,21 @@ def run_pipeline(spark: SparkSession, spec: PipelineSpec, streaming: bool = True
         # to it (a reset checkpoint = a new app_id = fresh batch ids).
         # Resuming a PRE-EXISTING checkpoint whose history committed
         # app-unscoped (pre-r7 __default__) batches: alias the legacy
-        # watermark onto this app_id so replayed old batches still no-op
-        # (ADVICE r7 — fresh checkpoints skip this, their batch ids are new)
+        # watermark onto this app_id so replayed old batches still no-op.
+        # The alias is evidence-gated (ADVICE r8): dir existence alone
+        # would also fire on every restart of a RESET checkpoint (fresh
+        # ids 0..k) against a table with a legacy watermark W>k and
+        # silently swallow batches k+1..W — so the checkpoint's own
+        # offsets/commits log must show it produced ids reaching the
+        # legacy watermark, and migrate_default_app additionally only
+        # acts before the app has any watermark of its own.
         import os as _os
 
         if _os.path.isdir(spec.checkpoint):
-            table.migrate_default_app(spec.checkpoint)
+            table.migrate_default_app(
+                spec.checkpoint,
+                committed_hint=_checkpoint_max_batch(spec.checkpoint),
+            )
         main = (
             _with_trigger(
                 out.writeStream.foreachBatch(

@@ -169,6 +169,7 @@ def rate_monitor(
     ratio: float = 1.5,
     window: int = 7,
     min_trail: int = 3,
+    evict_after: int | None = None,
 ):
     """foreachBatch target: per-key volume burst/dropout alarm — the
     streaming twin of the batch ``events_burst_days`` query.  Each
@@ -179,16 +180,29 @@ def rate_monitor(
     flag ``silent`` (the dropout case a distribution-drift monitor
     cannot see, because an empty batch has no distribution).
 
-    State is the per-key deque of the last ``window`` counts —
+    State is the per-key deque of the last ``window`` ACTIVE counts —
     O(keys·window) integers on the driver, the same size class as the
     drift monitor's reference histogram.  After a checkpoint restart
     the trail re-warms in ``min_trail`` batches by design (rate alarms
     are self-warming; persisting them would couple monitoring state to
     the data checkpoint).  Per-batch work is one map-side-combined
-    count per key."""
+    count per key.
+
+    Silent batches do NOT enter the trail (ADVICE r8): appending the
+    outage zeros decayed the trailing average to 0 within ``window``
+    batches, at which point the ``avg > 0`` guard self-extinguished the
+    alarm — a sustained dropout alerted for only ``window`` batches and
+    then went quiet.  Keeping the pre-outage rate as the baseline makes
+    ``silent`` hold for the entire outage.  Keys silent for
+    ``evict_after`` consecutive batches (default ``4 * window``) are
+    evicted with a final ``evicted`` record — dead keys no longer grow
+    driver state forever; a re-appearing key re-warms like a new one."""
     from collections import deque
 
+    if evict_after is None:
+        evict_after = 4 * window
     trails: dict = {}
+    silent_for: dict = {}
 
     def check(batch_df: DataFrame, batch_id: int) -> None:
         counts = {
@@ -211,7 +225,15 @@ def rate_monitor(
             else:
                 rec["trail_avg"] = None
                 rec["burst"] = rec["silent"] = rec["alert"] = False
-            trail.append(cnt)
+            if cnt > 0:
+                trail.append(cnt)
+                silent_for[key] = 0
+            else:
+                silent_for[key] = silent_for.get(key, 0) + 1
+                if silent_for[key] >= evict_after:
+                    rec["evicted"] = True
+                    del trails[key]
+                    del silent_for[key]
             recs.append(rec)
         with open(alert_log, "a") as fh:
             for rec in recs:

@@ -690,11 +690,56 @@ def test_streaming_rate_monitor_burst_and_silence(spark, tmp_path):
     assert last["view"]["silent"] and last["view"]["alert"]
     assert not last["click"]["silent"] and not last["view"]["burst"]
 
-    # recovery: back to normal is quiet for click; view trail now
-    # includes the zero so its average dropped but 20 < 1.5*avg(...)
+    # recovery: back to normal is quiet for click; view's trail kept its
+    # pre-outage baseline (silent batches don't enter the trail), so its
+    # normal 20 is also quiet
     check(batch({"click": 10, "view": 20}), 5)
     rec5 = {r["key"]: r for r in read_alerts(log) if r["batch_id"] == 5}
     assert not rec5["click"]["alert"]
+    assert not rec5["view"]["alert"]
+
+
+def test_streaming_rate_monitor_sustained_outage_keeps_alerting(spark, tmp_path):
+    """ADVICE r8: outage zeros used to decay the trailing average to 0
+    within `window` batches, self-extinguishing the silence alarm.  A
+    sustained dropout must now flag `silent` for the WHOLE outage, and
+    a key dark for `evict_after` batches is evicted (bounded driver
+    state) with a final marker record."""
+    from pulsar_ingestion_spark.streaming.monitor import (
+        rate_monitor,
+        read_alerts,
+    )
+
+    log = str(tmp_path / "rate3.jsonl")
+    check = rate_monitor("k", log, ratio=1.5, window=3, min_trail=3,
+                         evict_after=6)
+
+    def batch(n):
+        return (
+            spark.createDataFrame([("a",)] * n, "k string")
+            if n
+            else spark.createDataFrame([], "k string")
+        )
+
+    for bid in range(3):  # warm-up
+        check(batch(10), bid)
+    for bid in range(3, 9):  # 6 silent batches = evict_after
+        check(batch(0), bid)
+    recs = {r["batch_id"]: r for r in read_alerts(log)}
+    # pre-fix behavior: after `window`=3 zeros the avg hit 0 and batches
+    # 6.. went quiet.  Now every outage batch alerts silent.
+    for bid in range(3, 9):
+        assert recs[bid]["silent"] and recs[bid]["alert"], bid
+        assert recs[bid]["trail_avg"] == 10  # baseline frozen, not decayed
+    # eviction fired on the 6th consecutive silent batch, then no more
+    # records for the dead key
+    assert recs[8].get("evicted") is True
+    check(batch(0), 9)
+    assert 9 not in {r["batch_id"] for r in read_alerts(log)}
+    # a re-appearing key re-warms like a new one (no stale trail)
+    check(batch(10), 10)
+    rec10 = [r for r in read_alerts(log) if r["batch_id"] == 10][0]
+    assert rec10["trail_avg"] is None and not rec10["alert"]
 
 
 def test_streaming_rate_monitor_trailing_window_bounded(spark, tmp_path):
