@@ -142,7 +142,14 @@ class VersionedTable:
         file list against the winner's state — no lost updates."""
         for _ in range(max_retries):
             base = self.current_version()
-            base_files = self.describe(base).files if base is not None else []
+            try:
+                base_files = self.describe(base).files if base is not None else []
+            except FileNotFoundError:
+                # a concurrent vacuum expired `base` between the listing
+                # and the read (found by the round-9 three-writer stress:
+                # vacuum only drops NON-latest manifests, but `base` may
+                # no longer be latest by the time we read it) — re-read
+                continue
             try:
                 return self._commit(op, files_for_base(base_files), base, meta=meta)
             except CommitConflict:
@@ -205,7 +212,10 @@ class VersionedTable:
         unrelated batches."""
         out = set()
         for v in self.versions():
-            m = self._meta(v)
+            try:
+                m = self._meta(v)
+            except FileNotFoundError:
+                continue  # expired by a concurrent vacuum after listing
             b = m.get("batch_id")
             if b is not None and m.get("app_id", _DEFAULT_APP) == app_id:
                 out.add(int(b))
@@ -251,7 +261,18 @@ class VersionedTable:
         manifest expires, and until then the manifests out-vote the file)."""
         out = self._load_watermark_map(self._watermark_file)
         for v in self.versions():
-            m = self._meta(v)
+            try:
+                m = self._meta(v)
+            except FileNotFoundError:
+                # expired by a concurrent vacuum after the listing; safe
+                # to skip — vacuum raises the watermark file over every
+                # manifest BEFORE dropping it, and our map was read
+                # after... no: our map was read first.  Re-read the file
+                # so the vacuum's raise (which happened before the drop)
+                # is folded in, then skip the vanished manifest.
+                for k, b2 in self._load_watermark_map(self._watermark_file).items():
+                    out[k] = max(out.get(k, -1), b2)
+                continue
             b = m.get("batch_id")
             if b is not None:
                 app = m.get("app_id", _DEFAULT_APP)
@@ -426,7 +447,10 @@ class VersionedTable:
                 base = self.current_version()
                 if self._batch_already_committed(batch_id, app_id):
                     return  # a racing replay of this same batch landed it
-                base_files = self.describe(base).files if base is not None else []
+                try:
+                    base_files = self.describe(base).files if base is not None else []
+                except FileNotFoundError:
+                    continue  # concurrent vacuum expired `base` — re-read
                 try:
                     self._commit(
                         "stream-append", base_files + new_files, base,
@@ -470,7 +494,11 @@ class VersionedTable:
             return []
         per_app: dict[str, int] = {}
         for v in vs:
-            m = self._meta(v)
+            try:
+                m = self._meta(v)
+            except FileNotFoundError:
+                continue  # a concurrent vacuum already expired (and
+                # watermark-raised over) this manifest
             b = m.get("batch_id")
             if b is not None:
                 app = m.get("app_id", _DEFAULT_APP)
@@ -480,7 +508,15 @@ class VersionedTable:
         keep_vs = vs[-keep_last:]
         keep_files = set()
         for v in keep_vs:
-            keep_files.update(self.describe(v).files)
+            try:
+                keep_files.update(self.describe(v).files)
+            except FileNotFoundError:
+                continue  # expired under us by a concurrent vacuum whose
+                # keep window was newer; carried-forward files are still
+                # protected by the newest retained manifest + the
+                # grace-window skip below
+        # manifests may have been dropped under us as well — expire only
+        # the ones still present
         now = time.time()
         removed = []
         for sub in os.listdir(self.data_dir):
@@ -495,5 +531,8 @@ class VersionedTable:
             if not os.listdir(subdir):
                 shutil.rmtree(subdir, ignore_errors=True)
         for v in vs[:-keep_last]:
-            os.unlink(self._manifest_path(v))
+            try:
+                os.unlink(self._manifest_path(v))
+            except FileNotFoundError:
+                pass  # the concurrent vacuum got there first
         return removed
