@@ -186,6 +186,76 @@ def test_pipeline_end_to_end_streaming(spark, tmp_path):
     assert cmf["sourceType"] == "Geotab"
 
 
+def test_event_type_splitter_streaming_e2e(spark, tmp_path):
+    """Streaming twin of the reference §3.3 EventTypeSplitter topology
+    (VERDICT r8 item 6): jsonl sources → legacy CommonEvent translate →
+    union → dynamic per-event-type sink inside foreachBatch.  Asserts
+    per-type output dirs, the sanitize rule (lower, [^a-z0-9-]+ → '-',
+    filterer/README.md:31-35), verbatim payload pass-through, malformed
+    drop, and restart idempotence under the shared checkpoint."""
+    from pulsar_ingestion_spark.operators.legacy import (
+        route_by_event_type,
+        translate_legacy,
+    )
+    from pulsar_ingestion_spark.sources.registry import open_source
+
+    user_docs = [
+        {"uid": 7, "name": "ada", "created": 1698827400},
+        '{"broken json',  # dropped by the translator, not a crash
+    ]
+    order_docs = [
+        {"orderId": "o1", "items": ["i1", "i2"],
+         "placedAt": "2024-01-01T00:00:00Z"},
+    ]
+    _write_jsonl(tmp_path / "users", user_docs)
+    _write_jsonl(tmp_path / "orders", order_docs)
+    out = str(tmp_path / "split")
+    ckpt = str(tmp_path / "ckpt")
+    cols = ["eventId", "source", "eventType", "timestamp", "data"]
+
+    def run_once():
+        u = translate_legacy(
+            open_source(spark, "jsonl", streaming=True,
+                        path=str(tmp_path / "users")).select("value"),
+            "user_profile",
+        ).select(*cols)
+        o = translate_legacy(
+            open_source(spark, "jsonl", streaming=True,
+                        path=str(tmp_path / "orders")).select("value"),
+            "order_record",
+        ).select(*cols)
+        q = (
+            u.unionByName(o)
+            .writeStream.foreachBatch(
+                lambda batch, bid: route_by_event_type(batch, out)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_once()
+    import os
+
+    # per-type dirs: the `fn-split-<key>` topic analogs, sanitized
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("routing_key="))
+    assert dirs == [
+        "routing_key=order-event",
+        "routing_key=user-profile-event",
+    ]
+    back = spark.read.parquet(out)
+    rows = back.collect()
+    assert len(rows) == 2  # malformed user doc dropped
+    by_key = {r["routing_key"]: json.loads(r["data"]) for r in rows}
+    # payload pass-through verbatim (the integration-test invariant)
+    assert by_key["user-profile-event"]["uid"] == 7
+    assert by_key["order-event"]["items"] == ["i1", "i2"]
+    # restart on the same checkpoint: the drained source replays nothing
+    run_once()
+    assert spark.read.parquet(out).count() == 2
+
+
 def test_stream_asof_join(spark, tmp_path):
     """Streaming as-of (SURVEY.md §2.5 join_asof_stream): stream-stream
     range join + max_by aggregation — chained stateful operators.  Append

@@ -246,6 +246,7 @@ STREAMING_ONLY = [
     ("metrics export (StreamingQueryListener → JSONL progress/state/observed records)", "tests/test_streaming_metrics.py"),
     ("streaming rate monitor (per-key burst + silence alarm, bounded trail)", "tests/test_streaming.py::test_streaming_rate_monitor_burst_and_silence"),
     ("streaming freshness monitor (per-key event-time lag vs global watermark)", "tests/test_streaming.py::test_streaming_freshness_monitor_flags_lagging_key"),
+    ("EventTypeSplitter streaming topology (legacy translate → per-type dynamic sink)", "tests/test_streaming.py::test_event_type_splitter_streaming_e2e"),
 ]
 
 
