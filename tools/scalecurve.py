@@ -344,8 +344,12 @@ def main() -> None:
             "ratio_work": ratio_work,
         })
     print(json.dumps({"mult": a.mult, "rows": rows}))
+    # the canonical curve file is the 10x one; other mults (e.g. the
+    # round-9 mult=30 tail-linearity legs) get their own sidecar so a
+    # three-point curve never clobbers the canonical two-point rows
+    fname = "SCALE_CURVE.json" if a.mult == 10 else f"SCALE_CURVE_x{a.mult}.json"
     out_path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                            "SCALE_CURVE.json")
+                            fname)
     doc = {"mult": a.mult, "n_docs": n_docs, "n_emb": n_emb,
            "floor_base_sec": floor_base, f"floor_x{a.mult}_sec": floor_big,
            "rows": []}
