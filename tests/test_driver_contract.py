@@ -72,3 +72,32 @@ def test_rotation_covers_every_registered_id():
     assert not ghost, sorted(ghost)
     # the driver checks ~50: the prefix must fit the bound
     assert len(e._ROUND9_PREFIX) <= 50, len(e._ROUND9_PREFIX)
+
+
+def test_bench_stdout_line_fits_driver_tail_capture():
+    """BENCH_r03..r08 all recorded "parsed": null because the stdout
+    JSON line outgrew the driver's ~2000-char tail capture (round-9
+    find).  Pin the compact-line transform bench.py uses to stay under
+    the capture with margin, so adding headline queries can't silently
+    break the driver's parse again."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "BENCH_LOCAL.json")
+    with open(path) as fh:
+        d = json.loads(fh.read())
+    compact = json.dumps(
+        {
+            "metric": d["metric"],
+            "value": d["value"],
+            "unit": "sec",
+            "queries": {k: round(v, 3) for k, v in d["queries"].items()},
+            "sf": d["sf"],
+        },
+        separators=(",", ":"),
+    )
+    assert len(compact) < 1950, (
+        f"compact bench line is {len(compact)} chars — the driver tail "
+        "capture is ~2000; trim the headline set or the precision"
+    )
