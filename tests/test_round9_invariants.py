@@ -128,5 +128,8 @@ def test_dedup_release_cached_intermediates(spark):
     released = dedup.release_cached_intermediates()
     assert released > 0
     assert dedup.release_cached_intermediates() == 0  # idempotent
-    # back to the pre-test cache population
-    assert sc.getPersistentRDDs().size() == baseline
+    # release drops everything the module ever tracked — in a shared
+    # session that includes OTHER tests' leftover dedup persists, so the
+    # population can end up BELOW this test's baseline; it must never
+    # end above it
+    assert sc.getPersistentRDDs().size() <= baseline

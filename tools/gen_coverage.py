@@ -247,6 +247,8 @@ STREAMING_ONLY = [
     ("streaming rate monitor (per-key burst + silence alarm, bounded trail)", "tests/test_streaming.py::test_streaming_rate_monitor_burst_and_silence"),
     ("streaming freshness monitor (per-key event-time lag vs global watermark)", "tests/test_streaming.py::test_streaming_freshness_monitor_flags_lagging_key"),
     ("EventTypeSplitter streaming topology (legacy translate → per-type dynamic sink)", "tests/test_streaming.py::test_event_type_splitter_streaming_e2e"),
+    ("streaming HLL maintenance (per-batch register max-merge, replay-idempotent by algebra)", "tests/test_streaming_sketches.py::test_hll_stream_equals_batch_query_any_cut"),
+    ("streaming CMS maintenance (per-batch counter add-merge, batch-id replay guard)", "tests/test_streaming_sketches.py::test_cms_stream_equals_batch_query_and_guards_replay"),
 ]
 
 
