@@ -13,6 +13,8 @@ Both are deterministic (hyperplanes derived from a seeded hash, not RNG).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -97,13 +99,44 @@ def signlsh_buckets(
     seed: int = 42,
 ) -> DataFrame:
     """Random-hyperplane signature: bucket = bit-string of sign(v·h_i).
-    Cosine-similar vectors collide with high probability."""
-    sig = F.lit(0).cast("long")
-    for i in range(num_planes):
-        plane = F.array(*[F.lit(x) for x in _hyperplane(dim, i, seed)])
-        bit = (dot(F.col(vec_col), plane) > 0).cast("long")
-        sig = sig + F.shiftleft(bit, i)
-    return df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), sig.alias("bucket"))
+    Cosine-similar vectors collide with high probability.
+
+    Computed by a vectorized Arrow kernel: each plane's dot product is
+    accumulated column-by-column in float64 (``acc += V[:, j] * w[j]``) —
+    the SAME IEEE add sequence as the ordered ``F.aggregate`` fold and the
+    DuckDB oracle's ``list_reduce``, so buckets are bit-identical across
+    all three forms (pinned by ``test_signlsh_kernel_matches_hof_fold``).
+    The two expression forms were measured and rejected at the 100× scale
+    point (SCALE.md §6n): the HOF fold dispatches ~2·dim interpreted
+    lambdas per row (the signature pass dominated the whole LSH family),
+    and an unrolled codegen tree (dim·planes·4 nodes per side) moves the
+    cost into seconds of per-run analysis/codegen.  The kernel is ~3×
+    faster than HOF at base and ~3.5× at 100×, with one Arrow transfer of
+    the vector column per side."""
+    from pyspark.sql.functions import pandas_udf
+
+    planes = [
+        np.array(_hyperplane(dim, i, seed), dtype=np.float64) for i in range(num_planes)
+    ]
+
+    @pandas_udf("long")
+    def _bucket(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int64")
+        mat = np.vstack(v.to_numpy()).astype(np.float64)  # n × dim
+        out = np.zeros(len(mat), dtype=np.int64)
+        for p, w in enumerate(planes):
+            acc = np.zeros(len(mat), dtype=np.float64)
+            for j in range(dim):
+                acc += mat[:, j] * w[j]
+            out |= (acc > 0).astype(np.int64) << p
+        return pd.Series(out)
+
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        _bucket(F.col(vec_col)).alias("bucket"),
+    )
 
 
 def knn_ivf(

@@ -391,12 +391,34 @@ def q_sim_search_knn(spark, sf_dir):
     return knn_bruteforce(emb.filter(F.col("vec_id") < 20), emb, k=5)
 
 
-def _lsh_oracle(dim: int, num_planes: int, seed: int, k: int) -> str:
+def _lsh_oracle(
+    dim: int,
+    num_planes: int | None,
+    seed: int,
+    k: int,
+    target_block: int = 512,
+    lo: int = 6,
+    max_planes: int = 12,
+) -> str:
+    """``num_planes=None`` → AUTO mode (same contract as ``_blas_oracle``):
+    the active plane count is derived from COUNT(*) with the identical
+    ``auto_num_planes`` formula, so the bucket granularity scales with the
+    fixture on both engines in lockstep.  ``max_planes=12`` bounds the
+    literal pool at target_block·2^12 ≈ 2M vectors."""
     cos = f"""round({_KNN_DOT.format(a='q.embedding', b='c.embedding')}
       / (sqrt({_KNN_DOT.format(a='q.embedding', b='q.embedding')})
        * sqrt({_KNN_DOT.format(a='c.embedding', b='c.embedding')})), 6)"""
+    if num_planes is None:
+        planes_filter = (
+            f"SELECT CASE WHEN count(*) <= {target_block} THEN {lo} "
+            f"ELSE GREATEST({lo}, LEAST(20, CAST(ceil(log2(count(*) / {target_block}.0)) AS BIGINT))) END "
+            f"FROM embeddings"
+        )
+        cte = _signlsh_bucket_cte(dim, max_planes, [seed], planes_filter=planes_filter)
+    else:
+        cte = _signlsh_bucket_cte(dim, num_planes, [seed])
     return f"""
-    WITH {_signlsh_bucket_cte(dim, num_planes, [seed])},
+    WITH {cte},
     scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS cand_id, {cos} AS cos_sim
       FROM buckets q JOIN buckets c
@@ -411,13 +433,32 @@ def _lsh_oracle(dim: int, num_planes: int, seed: int, k: int) -> str:
     """
 
 
-@query("sim_search_lsh", oracle=_lsh_oracle(64, 6, 42, 5))
+@query("sim_search_lsh", oracle=_lsh_oracle(64, None, 42, 5))
 def q_sim_search_lsh(spark, sf_dir):
     # Recall<1 ANN by design — but the md5-derived hyperplanes are
     # engine-portable constants, so bucket membership AND the in-bucket
     # rerank are recomputable in DuckDB (VERDICT r2 item 2).
+    # The plane count AUTO-SCALES with the corpus (auto_num_planes,
+    # target_block=512, lo=6 — identical at every test SF to the old
+    # pinned 6, so the measured recall story is unchanged there), and the
+    # oracle derives the SAME count from COUNT(*) (the _blas_oracle
+    # pattern).  This closes the SCALE.md §6m note: with planes pinned at
+    # 6, per-query candidates grow ∝ n/2^6 by construction (0.29/100×
+    # measured); auto planes hold the expected bucket at ~target_block so
+    # candidate work stays ~linear in n — the production path at scale.
+    from pulsar_ingestion_spark.operators.similarity import auto_num_planes
+
     emb = load_tables(spark, sf_dir)["embeddings"]
-    return knn_lsh(emb.filter(F.col("vec_id") < 20), emb, dim=64, k=5, num_planes=6)
+    n = _EMB_COUNT_CACHE.get(sf_dir)
+    if n is None:
+        n = _EMB_COUNT_CACHE[sf_dir] = emb.count()
+    return knn_lsh(
+        emb.filter(F.col("vec_id") < 20),
+        emb,
+        dim=64,
+        k=5,
+        num_planes=auto_num_planes(n, target_block=512, lo=6),
+    )
 
 
 def _lsh_multiprobe_oracle(dim: int, num_planes: int, seed: int, k: int) -> str:

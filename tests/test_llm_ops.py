@@ -171,6 +171,27 @@ def test_knn_lsh_recovers_close_neighbor(spark):
     assert out and out[0]["cand_id"] == 0
 
 
+def test_signlsh_kernel_matches_hof_fold(spark, sf_dir):
+    """The Arrow signature kernel must be BIT-IDENTICAL to the ordered
+    F.aggregate fold it replaced (and to the DuckDB oracle's list_reduce):
+    same per-element IEEE add sequence 0 + v1·w1 + v2·w2 + ... per plane.
+    Runs on the real embeddings fixture so the check covers actual float
+    payloads, not toy integers."""
+    from pulsar_ingestion_spark.functions.vectors import dot
+    from pulsar_ingestion_spark.operators.similarity import _hyperplane, signlsh_buckets
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim, num_planes = 64, 7  # deliberately not a query-used plane count
+
+    sig = F.lit(0).cast("long")
+    for i in range(num_planes):
+        plane = F.array(*[F.lit(x) for x in _hyperplane(dim, i, 42)])
+        sig = sig + F.shiftleft((dot(F.col("embedding"), plane) > 0).cast("long"), i)
+    hof = {r["id"]: r["bucket"] for r in emb.select(F.col("vec_id").alias("id"), sig.alias("bucket")).collect()}
+    kernel = {r["id"]: r["bucket"] for r in signlsh_buckets(emb, dim, num_planes).select("id", "bucket").collect()}
+    assert kernel == hof
+
+
 def test_blas_bucketed_no_false_positives(spark, sf_dir):
     """Every pair the bucketed matmul path reports must be a real pair of
     the exact fold path (within-block verification is exact; only recall,
