@@ -27,9 +27,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
 @pytest.fixture(scope="module")
 def duck():
     con = duckdb.connect()
-    con.execute(
-        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{SF_DIR}/lineitem.parquet')"
-    )
+    parityfuzz.register_views(con, SF_DIR)
     yield con
     con.close()
 
@@ -53,10 +51,16 @@ def test_known_hazards_expressed_in_grammar():
     NULL-injecting expression, the HUGEINT sum cast, and the ||-not-concat
     compile.  Guards against someone 'simplifying' them away."""
     sql = parityfuzz.compile_sql(
-        ("agg", None, (), (("sum", ("nullif", ("icol", "l_linenumber"), 3)),))
+        ("agg", ("li",), None, (), (("sum", ("nullif", ("icol", "l_linenumber"), 3)),))
     )
     assert "CAST(sum(" in sql and "AS BIGINT)" in sql and "NULL" in sql
     ssql = parityfuzz.compile_sql(
-        ("proj", None, (("concat", ("scol", "l_returnflag"), ("slit", "x")),))
+        ("proj", ("li",), None, (("concat", ("scol", "l_returnflag"), ("slit", "x")),))
     )
     assert "||" in ssql and "concat(" not in ssql
+    wsql = parityfuzz.compile_sql(
+        ("win", ("lj",), None, ("scol", "o_orderstatus"), ("icol", "l_suppkey"), (("wsum", ("icol", "l_partkey")),))
+    )
+    # NULLS FIRST pinned (DuckDB ASC default is NULLS LAST, Spark's is FIRST)
+    # and the Spark default RANGE frame made explicit
+    assert "NULLS FIRST" in wsql and "RANGE BETWEEN UNBOUNDED PRECEDING" in wsql
