@@ -8,7 +8,16 @@ Parity rules (so the driver's order-insensitive value-hash matches):
   * every computed column is aliased identically on both sides;
   * double SUM/AVG go through DECIMAL(18,4) partial sums then cast back to
     double — exact decimal arithmetic on both engines, so no
-    summation-order ULP drift;
+    summation-order ULP drift.  CAVEAT (found by tools/parityfuzz.py):
+    DuckDB's DECIMAL->DOUBLE cast is off by up to 1 ulp once the UNSCALED
+    value exceeds 2^53 (int128*10^-s evaluated in floating point), while
+    Spark's is correctly rounded — so a scale-8 product sum (the Q1
+    shape) must either be rescaled to DECIMAL(38,4) in decimal before the
+    double cast, or keep a trailing round() whose digit is >=1 ulp of the
+    magnitude away (all shipped product-sum oracles carry such a round).
+    Second fuzzer finding: the Q1 product pattern needs one BOUNDED (rate)
+    operand — with two large-magnitude decimals DuckDB's multiply raises
+    an overflow where Spark widens to DECIMAL(38,8) and succeeds;
   * timestamps in output are formatted to strings (second precision);
   * LIMIT/top-k queries always order by a unique tie-break key;
   * float similarity scores are computed with the same left-fold order and

@@ -64,3 +64,70 @@ def test_known_hazards_expressed_in_grammar():
     # NULLS FIRST pinned (DuckDB ASC default is NULLS LAST, Spark's is FIRST)
     # and the Spark default RANGE frame made explicit
     assert "NULLS FIRST" in wsql and "RANGE BETWEEN UNBOUNDED PRECEDING" in wsql
+    dsql = parityfuzz.compile_sql(
+        ("agg", ("li",), None, (), (("sumd4", "l_quantity"), ("sumd4prod", "l_extendedprice", "l_discount")))
+    )
+    # the double-SUM convention: DECIMAL(18,4) partials cast back to double
+    assert dsql.count("DECIMAL(18,4)") >= 3 and "AS DOUBLE" in dsql
+    tsql = parityfuzz.compile_sql(("proj", ("li",), None, (("epochus", "l_shipdate"),)))
+    # integer time arithmetic via epoch_us, never fractional epoch()
+    assert "epoch_us(" in tsql and "epoch(" not in tsql.replace("epoch_us(", "")
+
+
+def test_duckdb_decimal_to_double_cast_hazard(spark, duck):
+    """Found by the fuzzer (first live catch): DuckDB's DECIMAL->DOUBLE
+    cast computes int128 * 10^-scale in floating point, so once the
+    UNSCALED value exceeds 2^53 the result can be off by 1 ulp from the
+    correctly-rounded double; Spark's BigDecimal cast is always correctly
+    rounded.  A scale-8 product sum (DECIMAL(18,4) * DECIMAL(19,4), the
+    TPC-H Q1 shape) crosses 2^53 at |value| ~9e7, so raw unrounded casts
+    of such sums hash-mismatch.  Safe pattern: rescale to DECIMAL(38,4)
+    IN DECIMAL first (exact when the data carries <=2dp, as the fixture
+    does), or keep a trailing round() with >=1-ulp headroom.
+
+    This test pins BOTH engines' behavior so a DuckDB upgrade that fixes
+    the cast (or a Spark change) is surfaced instead of silently shifting
+    which oracles are safe."""
+    from pyspark.sql import functions as F
+
+    lit = "CAST('-7710396296.05000000' AS DECIMAL(38,8))"
+    duck_direct = duck.execute(f"SELECT CAST({lit} AS DOUBLE)").fetchone()[0]
+    duck_rescaled = duck.execute(
+        f"SELECT CAST(CAST({lit} AS DECIMAL(38,4)) AS DOUBLE)"
+    ).fetchone()[0]
+    row = spark.range(1).select(
+        F.expr(f"CAST({lit} AS DOUBLE)").alias("direct"),
+        F.expr(f"CAST(CAST({lit} AS DECIMAL(38,4)) AS DOUBLE)").alias("rescaled"),
+    ).collect()[0]
+    assert row["direct"] == -7710396296.05  # Spark: correctly rounded
+    assert duck_direct != row["direct"]  # DuckDB direct: 1 ulp off (the hazard)
+    assert abs(duck_direct - row["direct"]) < 1e-5
+    assert duck_rescaled == row["rescaled"] == -7710396296.05  # the safe pattern
+
+
+def test_duckdb_decimal_multiply_overflow_asymmetry(spark, duck):
+    """Fuzzer finding #2: the Q1 decimal pattern SUM(a * (1 - b)) is only
+    engine-portable when b is a bounded rate.  With two large-magnitude
+    operands, DuckDB's decimal multiply raises an overflow while Spark
+    widens the result type to DECIMAL(38,8) and succeeds — so an oracle
+    written this way would ERROR on one engine, not mismatch.  Pinned so
+    a DuckDB upgrade that changes the behavior is surfaced."""
+    import duckdb as _duckdb
+    from pyspark.sql import functions as F
+
+    expr = (
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))"
+        " * (CAST(1 AS DECIMAL(18,4)) - CAST(l_extendedprice AS DECIMAL(18,4))))"
+        " AS DOUBLE)"
+    )
+    with pytest.raises(_duckdb.OutOfRangeException):
+        duck.execute(f"SELECT {expr} AS a0 FROM lineitem").fetchone()
+    d = "decimal(18,4)"
+    ep = F.col("l_extendedprice")
+    n = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .agg(F.sum(ep.cast(d) * (F.lit(1).cast(d) - ep.cast(d))).cast("double").alias("a0"))
+        .filter(F.col("a0").isNotNull())
+        .count()
+    )
+    assert n == 1  # Spark evaluates the same expression fine

@@ -57,11 +57,21 @@ ORD_INT = ["o_orderkey", "o_custkey"]
 ORD_DBL = ["o_totalprice"]
 ORD_STR = ["o_orderstatus", "o_orderpriority"]
 
-_LI_NS = {"ints": LI_INT, "strs": LI_STR, "dbls": LI_DBL}
+LI_TS = ["l_shipdate"]
+ORD_TS = ["o_orderdate"]
+# rate-like doubles (|v| <= ~0.4): the only valid second operand of the Q1
+# SUM(a * (1 - b)) decimal pattern — with a large-magnitude b, DuckDB's
+# decimal multiply raises an overflow where Spark widens to DECIMAL(38,8)
+# and succeeds (fuzzer finding #2; pinned in
+# test_duckdb_decimal_multiply_overflow_asymmetry)
+RATE_DBL = ["l_discount", "l_tax"]
+
+_LI_NS = {"ints": LI_INT, "strs": LI_STR, "dbls": LI_DBL, "tss": LI_TS}
 _BOTH_NS = {
     "ints": LI_INT + ORD_INT,
     "strs": LI_STR + ORD_STR,
     "dbls": LI_DBL + ORD_DBL,
+    "tss": LI_TS + ORD_TS,
 }
 _MUL_MOD = 100_003  # keeps any product well under 2^63
 
@@ -77,6 +87,10 @@ def int_exprs(depth: int = 3, ns=_LI_NS):
     leaf = st.one_of(
         st.sampled_from(ns["ints"]).map(lambda c: ("icol", c)),
         st.integers(min_value=-5, max_value=100).map(lambda v: ("ilit", v)),
+        # epoch-µs extraction (the integer-time-arithmetic convention);
+        # mod-reduced at the leaf so epoch magnitudes (~1.7e15 µs) can't
+        # push downstream SUM/mul chains past int64
+        st.sampled_from(ns["tss"]).map(lambda c: ("epochus", c)),
     )
     if depth <= 0:
         return leaf
@@ -95,6 +109,8 @@ def str_exprs(depth: int = 2, ns=_LI_NS):
     leaf = st.one_of(
         st.sampled_from(ns["strs"]).map(lambda c: ("scol", c)),
         st.text(alphabet="ANRFO x", min_size=0, max_size=4).map(lambda s: ("slit", s)),
+        # second-precision timestamp render (the output-format convention)
+        st.sampled_from(ns["tss"]).map(lambda c: ("tsfmt", c)),
     )
     if depth <= 0:
         return leaf
@@ -140,6 +156,12 @@ def agg_specs(ns=_LI_NS):
         st.just(("count_star",)),
         st.tuples(st.sampled_from(["count", "countd", "min", "max", "sum", "avg"]), int_exprs(2, ns)),
         st.tuples(st.sampled_from(["mind", "maxd"]), st.sampled_from(ns["dbls"])),
+        # the double-SUM/AVG convention: DECIMAL(18,4) partial sums, cast
+        # back to double — exact decimal arithmetic, no summation-order ULP
+        st.tuples(st.sampled_from(["sumd4", "avgd4"]), st.sampled_from(ns["dbls"])),
+        # the TPC-H Q1 shape: SUM(a * (1 - b)) in DECIMAL; b must be a
+        # bounded rate column (see RATE_DBL note)
+        st.tuples(st.just("sumd4prod"), st.sampled_from(ns["dbls"]), st.sampled_from(RATE_DBL)),
     )
 
 
@@ -210,6 +232,8 @@ def _sp_int(e):
         return F.when(a == F.lit(e[2]), F.lit(None).cast("long")).otherwise(a)
     if op == "len":
         return F.length(_sp_str(e[1])).cast("long")
+    if op == "epochus":
+        return F.unix_micros(F.col(e[1])) % F.lit(1_000_000_000).cast("long")
     raise ValueError(op)
 
 
@@ -229,6 +253,8 @@ def _sp_str(e):
         return F.substring(_sp_str(e[1]), e[2], e[3])
     if op == "concat":
         return F.concat(_sp_str(e[1]), _sp_str(e[2]))
+    if op == "tsfmt":
+        return F.date_format(F.col(e[1]), "yyyy-MM-dd HH:mm:ss")
     raise ValueError(op)
 
 
@@ -268,6 +294,27 @@ def _sp_agg(a):
         return F.count(F.lit(1))
     if op in ("mind", "maxd"):
         return (F.min if op == "mind" else F.max)(F.col(a[1]))
+    if op == "sumd4":
+        return F.sum(F.col(a[1]).cast("decimal(18,4)")).cast("double")
+    if op == "avgd4":
+        return (
+            F.sum(F.col(a[1]).cast("decimal(18,4)")).cast("double")
+            / F.count(F.col(a[1]))
+        )
+    if op == "sumd4prod":
+        # scale-reduce the scale-8 product sum to 4 IN DECIMAL before the
+        # double cast: DuckDB's DECIMAL->DOUBLE is int128*10^-s computed in
+        # floating point, off by up to 1 ulp once the unscaled value
+        # exceeds 2^53 — found BY this fuzzer (see test
+        # test_duckdb_decimal_to_double_cast_hazard); Spark's BigDecimal
+        # cast is correctly rounded.  Fixture doubles carry <=2dp so the
+        # 8->4 rescale is exact on both engines.
+        d = "decimal(18,4)"
+        return (
+            F.sum(F.col(a[1]).cast(d) * (F.lit(1).cast(d) - F.col(a[2]).cast(d)))
+            .cast("decimal(38,4)")
+            .cast("double")
+        )
     e = _sp_int(a[1])
     return {
         "count": F.count, "countd": F.count_distinct, "min": F.min,
@@ -349,6 +396,8 @@ def _dk_int(e) -> str:
         return f"(CASE WHEN {a} = {e[2]} THEN NULL ELSE {a} END)"
     if op == "len":
         return f"CAST(length({_dk_str(e[1])}) AS BIGINT)"
+    if op == "epochus":
+        return f"(epoch_us({e[1]}) % 1000000000)"
     raise ValueError(op)
 
 
@@ -367,6 +416,8 @@ def _dk_str(e) -> str:
     if op == "concat":
         # ||, not concat(): DuckDB concat() treats NULL as '', Spark propagates
         return f"({_dk_str(e[1])} || {_dk_str(e[2])})"
+    if op == "tsfmt":
+        return f"strftime({e[1]}, '%Y-%m-%d %H:%M:%S')"
     raise ValueError(op)
 
 
@@ -398,6 +449,20 @@ def _dk_agg(a) -> str:
         return "count(*)"
     if op in ("mind", "maxd"):
         return f"{'min' if op == 'mind' else 'max'}({a[1]})"
+    if op == "sumd4":
+        return f"CAST(SUM(CAST({a[1]} AS DECIMAL(18,4))) AS DOUBLE)"
+    if op == "avgd4":
+        return (
+            f"(CAST(SUM(CAST({a[1]} AS DECIMAL(18,4))) AS DOUBLE)"
+            f" / count({a[1]}))"
+        )
+    if op == "sumd4prod":
+        # CAST .. AS DECIMAL(38,4) first — see the Spark twin's comment
+        return (
+            f"CAST(CAST(SUM(CAST({a[1]} AS DECIMAL(18,4))"
+            f" * (CAST(1 AS DECIMAL(18,4)) - CAST({a[2]} AS DECIMAL(18,4))))"
+            f" AS DECIMAL(38,4)) AS DOUBLE)"
+        )
     e = _dk_int(a[1])
     if op == "sum":
         return f"CAST(sum({e}) AS BIGINT)"  # HUGEINT -> driver dtype hazard
@@ -455,7 +520,7 @@ def compile_sql(plan) -> str:
     return f"SELECT {', '.join(parts)} FROM {frm}{w}"
 
 
-_INT_OPS = {"icol", "ilit", "add", "sub", "mul", "abs", "case", "nullif", "len"}
+_INT_OPS = {"icol", "ilit", "add", "sub", "mul", "abs", "case", "nullif", "len", "epochus"}
 
 
 def _is_int_expr(e) -> bool:
