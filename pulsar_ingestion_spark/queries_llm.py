@@ -461,17 +461,39 @@ def q_sim_search_lsh(spark, sf_dir):
     )
 
 
-def _lsh_multiprobe_oracle(dim: int, num_planes: int, seed: int, k: int) -> str:
+def _lsh_multiprobe_oracle(
+    dim: int,
+    num_planes: int | None,
+    seed: int,
+    k: int,
+    target_block: int = 512,
+    lo: int = 6,
+    max_planes: int = 12,
+) -> str:
+    """``num_planes=None`` → AUTO mode (same contract as ``_lsh_oracle``):
+    the active plane count — which here also sets the PROBE count
+    (num_planes Hamming-1 flips + the home bucket) — derives from
+    COUNT(*) with the ``auto_num_planes`` formula on both engines."""
     cos = f"""round({_KNN_DOT.format(a='p.qv', b='c.embedding')}
       / (sqrt({_KNN_DOT.format(a='p.qv', b='p.qv')})
        * sqrt({_KNN_DOT.format(a='c.embedding', b='c.embedding')})), 6)"""
+    if num_planes is None:
+        np_sql = (
+            f"(SELECT CASE WHEN count(*) <= {target_block} THEN {lo} "
+            f"ELSE GREATEST({lo}, LEAST(20, CAST(ceil(log2(count(*) / {target_block}.0)) AS BIGINT))) END "
+            f"FROM embeddings)"
+        )
+        cte = _signlsh_bucket_cte(dim, max_planes, [seed], planes_filter=np_sql[1:-1])
+    else:
+        np_sql = str(num_planes)
+        cte = _signlsh_bucket_cte(dim, num_planes, [seed])
     return f"""
-    WITH {_signlsh_bucket_cte(dim, num_planes, [seed])},
+    WITH {cte},
     probes AS (
       SELECT q.vec_id AS qid, q.embedding AS qv,
-             CASE WHEN t.i = {num_planes} THEN q.bucket
+             CASE WHEN t.i = {np_sql} THEN q.bucket
                   ELSE xor(q.bucket, (CAST(1 AS BIGINT) << t.i)) END AS bucket
-      FROM buckets q, unnest(range({num_planes + 1})) AS t(i)
+      FROM buckets q, unnest(range({np_sql} + 1)) AS t(i)
       WHERE q.vec_id < 20
     ),
     scored AS (
@@ -487,16 +509,27 @@ def _lsh_multiprobe_oracle(dim: int, num_planes: int, seed: int, k: int) -> str:
     """
 
 
-@query("sim_search_lsh_multiprobe", oracle=_lsh_multiprobe_oracle(64, 6, 42, 5))
+@query("sim_search_lsh_multiprobe", oracle=_lsh_multiprobe_oracle(64, None, 42, 5))
 def q_sim_search_lsh_multiprobe(spark, sf_dir):
-    # Hamming-1 multiprobe over the same 6-plane signature: the standard
+    # Hamming-1 multiprobe over the sign-LSH signature: the standard
     # recall boost at probe-count (not table-count) cost; candidates stay
-    # bucketed once.  Fully oracle-recomputable like sim_search_lsh.
-    from pulsar_ingestion_spark.operators.similarity import knn_lsh_multiprobe
+    # bucketed once.  Fully oracle-recomputable like sim_search_lsh, and
+    # like it the plane count AUTO-SCALES (auto_num_planes, lo=6 — the
+    # old pinned 6 at every test SF) with the oracle deriving the same
+    # count; more planes at scale = tighter buckets AND proportionally
+    # more Hamming-1 probes, the standard multiprobe trade.
+    from pulsar_ingestion_spark.operators.similarity import auto_num_planes, knn_lsh_multiprobe
 
     emb = load_tables(spark, sf_dir)["embeddings"]
+    n = _EMB_COUNT_CACHE.get(sf_dir)
+    if n is None:
+        n = _EMB_COUNT_CACHE[sf_dir] = emb.count()
     return knn_lsh_multiprobe(
-        emb.filter(F.col("vec_id") < 20), emb, dim=64, k=5, num_planes=6
+        emb.filter(F.col("vec_id") < 20),
+        emb,
+        dim=64,
+        k=5,
+        num_planes=auto_num_planes(n, target_block=512, lo=6),
     )
 
 
