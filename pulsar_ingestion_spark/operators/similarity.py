@@ -139,6 +139,70 @@ def signlsh_buckets(
     )
 
 
+def pq_encode_kernel(
+    df: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    subspaces: int,
+    subdim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization encode as one vectorized Arrow pass: per
+    subspace, the nearest codebook entry by L2 — returns
+    ``(id, enc struct<codes: array<bigint>, dists: array<double>>)``.
+
+    ``cents`` is the codebook as driver-held rows (model-sized: K × dim
+    floats — same stance as :func:`knn_ivf`'s centroids).  Replaces the
+    relational encode (corpus ×K crossJoin + per-subspace HOF d2 +
+    ``min(struct(d2, cid))`` groupBy): that plan shuffles the full
+    corpus on vec_id, while this one is a narrow map — the right encode
+    shape at 100 TB — and drops the interpreted-lambda d2 evaluation
+    (SCALE.md §6n mechanism).
+
+    Parity contract (pinned by ``test_pq_encode_kernel_matches_relational``):
+    each subspace distance accumulates column-by-column in float64 —
+    ``acc += (V[:, t] - c[t])²`` in element order, the same IEEE sequence
+    as the ordered ``F.aggregate`` fold and the oracle's ``list_reduce``
+    — and the codebook is scanned in ascending cid with strict-less
+    updates, reproducing ``min(struct(d2, cid))``'s smallest-cid
+    tie-break exactly."""
+    from pyspark.sql.functions import pandas_udf
+
+    cents_sorted = sorted(
+        ((int(cid), np.asarray(cv, dtype=np.float64)) for cid, cv in cents),
+        key=lambda x: x[0],
+    )
+
+    @pandas_udf("codes array<bigint>, dists array<double>")
+    def _enc(v: pd.Series) -> pd.DataFrame:
+        if len(v) == 0:
+            return pd.DataFrame({"codes": [], "dists": []})
+        mat = np.vstack(v.to_numpy()).astype(np.float64)
+        n = len(mat)
+        codes = np.empty((n, subspaces), dtype=np.int64)
+        dists = np.empty((n, subspaces), dtype=np.float64)
+        for j in range(subspaces):
+            off = j * subdim
+            best_d = None
+            best_c = None
+            for cid, cv in cents_sorted:
+                acc = np.zeros(n, dtype=np.float64)
+                for t in range(subdim):
+                    d = mat[:, off + t] - cv[off + t]
+                    acc = acc + d * d
+                if best_d is None:
+                    best_d, best_c = acc, np.full(n, cid, dtype=np.int64)
+                else:
+                    upd = acc < best_d
+                    best_d = np.where(upd, acc, best_d)
+                    best_c = np.where(upd, cid, best_c)
+            codes[:, j] = best_c
+            dists[:, j] = best_d
+        return pd.DataFrame({"codes": list(codes), "dists": list(dists)})
+
+    return df.select(F.col(id_col).alias("id"), _enc(F.col(vec_col)).alias("enc"))
+
+
 def knn_ivf(
     queries: DataFrame,
     candidates: DataFrame,

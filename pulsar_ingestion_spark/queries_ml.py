@@ -103,6 +103,27 @@ def q_emb_kmeans_lloyd(spark, sf_dir):
 _SUBSPACES = 4
 _SUBDIM = 16  # 64 dims / 4 subspaces
 
+_PQ_CENTS_CACHE: dict[str, list] = {}
+
+
+def _pq_cents(spark, sf_dir, emb):
+    """The seeded PQ codebook (md5-ordered top-_K) as driver-held rows —
+    model-sized (K × dim floats), the knn_ivf centroid stance.  Memoized
+    per dataset dir: one small Spark job per dataset, not per query."""
+    rows = _PQ_CENTS_CACHE.get(sf_dir)
+    if rows is None:
+        rows = [
+            (r["cid"], r["cvec"])
+            for r in (
+                emb.orderBy(F.md5(F.col("vec_id").cast("string")))
+                .limit(_K)
+                .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+                .collect()
+            )
+        ]
+        _PQ_CENTS_CACHE[sf_dir] = rows
+    return rows
+
 
 def _pq_oracle() -> str:
     # per-subspace slice fold: d2 over dims [off+1 .. off+16]
@@ -144,37 +165,24 @@ def q_emb_pq_encode(spark, sf_dir):
     compressed representation an IVF-PQ ANN index stores (64 floats →
     4 small ints).  One broadcast of the codebook, one narrow pass, one
     map-side argmin agg per vector; no corpus shuffle."""
+    from pulsar_ingestion_spark.operators.similarity import pq_encode_kernel
+
     emb = fan_out(load_tables(spark, sf_dir)["embeddings"], spark)
-    cents = (
-        emb.orderBy(F.md5(F.col("vec_id").cast("string")))
-        .limit(_K)
-        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
-    )
-    scored = emb.crossJoin(F.broadcast(cents))
-    cols = ["vec_id"]
-    aggs = []
-    for j in range(_SUBSPACES):
-        off = j * _SUBDIM
-        d2 = _spark_d2(
-            F.slice("embedding", off + 1, _SUBDIM), F.slice("cvec", off + 1, _SUBDIM)
-        )
-        scored = scored.withColumn(f"d2_{j}", d2)
-        aggs.append(F.min(F.struct(F.col(f"d2_{j}"), F.col("cid"))).alias(f"b{j}"))
-    best = scored.select(*cols, "cid", *[f"d2_{j}" for j in range(_SUBSPACES)]).groupBy(
-        "vec_id"
-    ).agg(*aggs)
+    cents = _pq_cents(spark, sf_dir, emb)
+    enc = pq_encode_kernel(emb, cents, _SUBSPACES, _SUBDIM)
     code = F.concat_ws(
-        "-", *[F.col(f"b{j}.cid").cast("string") for j in range(_SUBSPACES)]
+        "-",
+        *[F.element_at("enc.codes", j + 1).cast("string") for j in range(_SUBSPACES)],
     )
     # Fold the subspace distortions in the SAME order the oracle does
     # (d2_0 + d2_1 + ... left-to-right): float addition is non-associative,
     # so a different fold order can differ by an ulp and flip round(…, 6)
     # at a half-way boundary (same parity class as ts_cusum_drift).
-    dist = F.col("b0.d2_0")
+    dist = F.element_at("enc.dists", 1)
     for j in range(1, _SUBSPACES):
-        dist = dist + F.col(f"b{j}.d2_{j}")
-    return best.select(
-        "vec_id",
+        dist = dist + F.element_at("enc.dists", j + 1)
+    return enc.select(
+        F.col("id").alias("vec_id"),
         code.alias("pq_code"),
         F.round(dist, 6).alias("distortion"),
     )
@@ -902,31 +910,22 @@ def q_sim_search_pq_adc(spark, sf_dir):
     bit-stable across engines."""
     from pyspark.sql import Window
 
+    from pulsar_ingestion_spark.operators.similarity import pq_encode_kernel
+
     emb = fan_out(load_tables(spark, sf_dir)["embeddings"], spark)
     cents = (
         emb.orderBy(F.md5(F.col("vec_id").cast("string")))
         .limit(_K)
         .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
     )
-    scored = emb.crossJoin(F.broadcast(cents))
-    aggs = []
-    for j in range(_SUBSPACES):
-        off = j * _SUBDIM
-        scored = scored.withColumn(
-            f"d2_{j}",
-            _spark_d2(
-                F.slice("embedding", off + 1, _SUBDIM),
-                F.slice("cvec", off + 1, _SUBDIM),
-            ),
-        )
-        aggs.append(F.min(F.struct(F.col(f"d2_{j}"), F.col("cid"))).alias(f"b{j}"))
-    codes = (
-        scored.groupBy("vec_id")
-        .agg(*aggs)
-        .select(
-            "vec_id",
-            *[F.col(f"b{j}.cid").alias(f"code{j}") for j in range(_SUBSPACES)],
-        )
+    # encode via the Arrow kernel (bit-identical to the relational
+    # crossJoin + min(struct) argmin — see pq_encode_kernel's parity
+    # contract): a narrow map instead of a full-corpus groupBy shuffle,
+    # and no interpreted HOF d2 per (vector, codeword) pair
+    enc = pq_encode_kernel(emb, _pq_cents(spark, sf_dir, emb), _SUBSPACES, _SUBDIM)
+    codes = enc.select(
+        F.col("id").alias("vec_id"),
+        *[F.element_at("enc.codes", j + 1).alias(f"code{j}") for j in range(_SUBSPACES)],
     )
     queries = emb.filter(F.col("vec_id") < _ADC_NQUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")

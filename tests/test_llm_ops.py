@@ -192,6 +192,42 @@ def test_signlsh_kernel_matches_hof_fold(spark, sf_dir):
     assert kernel == hof
 
 
+def test_pq_encode_kernel_matches_relational(spark, sf_dir):
+    """The Arrow PQ-encode kernel must be BIT-IDENTICAL to the relational
+    plan it replaced (corpus ×K crossJoin + HOF d2 + min(struct(d2, cid))):
+    same per-element IEEE accumulation order per subspace distance, same
+    smallest-cid tie-break.  Codes AND per-subspace distances compared on
+    the real fixture."""
+    from pulsar_ingestion_spark.operators.similarity import pq_encode_kernel
+    from pulsar_ingestion_spark.queries_ml import _K, _SUBDIM, _SUBSPACES, _spark_d2
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")))
+        .limit(_K)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    )
+    scored = emb.crossJoin(F.broadcast(cents))
+    aggs = []
+    for j in range(_SUBSPACES):
+        off = j * _SUBDIM
+        scored = scored.withColumn(
+            f"d2_{j}",
+            _spark_d2(F.slice("embedding", off + 1, _SUBDIM), F.slice("cvec", off + 1, _SUBDIM)),
+        )
+        aggs.append(F.min(F.struct(F.col(f"d2_{j}"), F.col("cid"))).alias(f"b{j}"))
+    rel = {
+        r["vec_id"]: tuple((r[f"b{j}"]["cid"], r[f"b{j}"][f"d2_{j}"]) for j in range(_SUBSPACES))
+        for r in scored.groupBy("vec_id").agg(*aggs).collect()
+    }
+    cent_rows = [(r["cid"], r["cvec"]) for r in cents.collect()]
+    ker = {
+        r["id"]: tuple(zip(r["enc"]["codes"], r["enc"]["dists"]))
+        for r in pq_encode_kernel(emb, cent_rows, _SUBSPACES, _SUBDIM).collect()
+    }
+    assert ker == rel
+
+
 def test_blas_bucketed_no_false_positives(spark, sf_dir):
     """Every pair the bucketed matmul path reports must be a real pair of
     the exact fold path (within-block verification is exact; only recall,
