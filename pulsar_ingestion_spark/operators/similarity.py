@@ -149,7 +149,10 @@ def pq_encode_kernel(
 ) -> DataFrame:
     """Product-quantization encode as one vectorized Arrow pass: per
     subspace, the nearest codebook entry by L2 — returns
-    ``(id, enc struct<codes: array<bigint>, dists: array<double>>)``.
+    ``(id, vec, enc struct<codes: array<bigint>, dists: array<double>>)``
+    (vec carried through for rerank-style consumers; Catalyst prunes it
+    where unused).  With ``subspaces=1, subdim=dim`` this is plain
+    nearest-centroid assignment (the IVF coarse quantizer).
 
     ``cents`` is the codebook as driver-held rows (model-sized: K × dim
     floats — same stance as :func:`knn_ivf`'s centroids).  Replaces the
@@ -200,7 +203,11 @@ def pq_encode_kernel(
             dists[:, j] = best_d
         return pd.DataFrame({"codes": list(codes), "dists": list(dists)})
 
-    return df.select(F.col(id_col).alias("id"), _enc(F.col(vec_col)).alias("enc"))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        _enc(F.col(vec_col)).alias("enc"),
+    )
 
 
 def knn_ivf(
@@ -366,11 +373,21 @@ def knn_ivf_seeded(
             for r in cents
         ])
 
-    assigned = candidates.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        F.array_min(cell_structs(F.col(vec_col)))["cell"].alias("cell"),
+    # assignment via the Arrow argmin kernel (1 subspace × full dim) —
+    # bit-identical to array_min over the (d2, cell) structs (same ordered
+    # fold per d2, same smallest-cell tie-break) but without ~2·dim·n_cells
+    # interpreted lambda dispatches per row, which dominated the 100×
+    # point (22.2 s; SCALE.md §6n cont.)
+    dim = len(cents[0]["cvec"])
+    enc = pq_encode_kernel(
+        candidates,
+        [(r["cell"], r["cvec"]) for r in cents],
+        1,
+        dim,
+        id_col=id_col,
+        vec_col=vec_col,
     )
+    assigned = enc.select("id", "vec", F.element_at("enc.codes", 1).alias("cell"))
     probes = (
         queries.select(
             F.col(id_col).alias("qid"),
