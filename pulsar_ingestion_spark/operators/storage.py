@@ -14,6 +14,7 @@ sides (Spark requires equal or multiple bucket counts to avoid shuffle).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def _drop_table_and_location(spark: SparkSession, table: str) -> None:
@@ -151,8 +152,23 @@ def write_cmf_warehouse(
     spark = cmf_flat.sparkSession
     _drop_table_and_location(spark, table)
     sort_cols = sort_cols or (key_col,)
+    # Align rows to their (date partition, bucket) BEFORE the write: a
+    # bucketed save emits one file per task per (partition, bucket) it
+    # holds rows for, so an unaligned upstream (e.g. shuffle_partitions
+    # tasks each touching every month) multiplies the file count by the
+    # task count — measured 52k ~20 KB files on a 10M-row / ~100-month
+    # synth, with the resulting listing+footer overhead making a bare
+    # scan of the table slower than the analytics on top of it
+    # (SCALE.md §6o).  After aligning, each (date, bucket) lands as
+    # exactly one file.  Spark can't hash-partition by bucket id
+    # directly, but pmod(hash(key), num_buckets) IS the bucket spec's
+    # assignment, so this repartition co-locates precisely the rows that
+    # share an output file.
+    aligned = cmf_flat.repartition(
+        F.col(date_col), F.pmod(F.hash(F.col(key_col)), F.lit(num_buckets))
+    )
     (
-        cmf_flat.write.partitionBy(date_col)
+        aligned.write.partitionBy(date_col)
         .bucketBy(num_buckets, key_col)
         .sortBy(*sort_cols)
         .mode("overwrite")
