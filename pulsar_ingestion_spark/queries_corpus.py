@@ -202,18 +202,38 @@ def q_corpus_assemble(spark, sf_dir):
 
     docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
     t = F.col("text")
-    gated = docs.filter(
-        word_count(t).between(10, 100000)
-        & (dup_word_frac(t) <= 0.6)
-        & (alpha_word_frac(t) >= 0.7)
-    ).select("doc_id", "lang", F.md5("text").alias("h"), token_count(t).alias("tokens"))
-    key = F.struct(F.col("tokens").alias("tk"), (-F.col("doc_id")).alias("id"))
-    kept = gated.groupBy(F.col("h").alias("kh")).agg(
-        (F.max(key).getField("id") * -1).alias("kept_id")
+    # project features FIRST, filter on the projected columns: conjuncts
+    # in filter position each re-evaluate their expression tree (codegen
+    # CSE does not dedupe across filter conjuncts — `between` alone
+    # evaluates the split twice; measured 10.2 s vs 4.1 s for one bound
+    # on the 100× synth, SCALE.md §6o), while a projection evaluates each
+    # feature once and the filter then references cheap attributes.
+    feat = docs.select(
+        "doc_id",
+        "lang",
+        F.md5("text").alias("h"),
+        token_count(t).alias("tokens"),
+        word_count(t).alias("wc"),
+        dup_word_frac(t).alias("dupf"),
+        alpha_word_frac(t).alias("alphaf"),
     )
-    canon = gated.join(
-        kept, (gated["h"] == kept["kh"]) & (gated["doc_id"] == kept["kept_id"])
-    ).select("doc_id", "lang", "tokens")
+    gated = feat.filter(
+        (F.col("wc") >= 10) & (F.col("wc") <= 100000)
+        & (F.col("dupf") <= 0.6)
+        & (F.col("alphaf") >= 0.7)
+    ).select("doc_id", "lang", "h", "tokens")
+    # keep-best as ONE window pass on the digest shuffle (the
+    # corpus_curate pattern): the previous groupBy(h) + join-back used
+    # `gated` on both sides of a self-join, so the whole scan + gate
+    # lineage ran TWICE and the digests shuffled twice — measured ~2× the
+    # single-pass wall at the 100× point (SCALE.md §6o).  row_number over
+    # (h | tokens desc, doc_id asc) selects the identical winner.
+    wk = Window.partitionBy("h").orderBy(F.col("tokens").desc(), F.col("doc_id").asc())
+    canon = (
+        gated.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "tokens")
+    )
     bucket = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("bigint")
         % 100

@@ -1173,14 +1173,21 @@ def q_corpus_curate(spark, sf_dir):
     # Plan: narrow feature map, one shuffle on the content hash for the
     # keep-best group, hash-join back — at 100 TB the only wide ops are
     # on the 32-byte digest.
+    from pulsar_ingestion_spark.functions.text import quality_score_from_words, words
+
     docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    # split ONCE and reuse the array (quality_score_from_words docstring):
+    # word_count + quality_score each re-ran the regex split, and the HOF
+    # lambdas block Catalyst CSE — one split is measurably cheaper on the
+    # 100× text scan
+    wcol = words(F.col("text"))
     feat = docs.select(
         "doc_id",
         "lang",
         "text",
         F.md5("text").alias("h"),
-        word_count(F.col("text")).alias("words"),
-        quality_score(F.col("text")).alias("quality"),
+        F.size(wcol).alias("words"),
+        quality_score_from_words(wcol).alias("quality"),
     )
     filtered = feat.filter(F.col("quality") >= 0.5)
     # keep-best as ONE window pass on the digest shuffle (r3 used

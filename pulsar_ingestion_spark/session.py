@@ -38,8 +38,17 @@ _LOCAL_DEFAULTS = {
     # Broadcast threshold: dims (region/nation/supplier) stay far under
     # 10MB even at sf100; AQE upgrades to broadcast at runtime anyway.
     "spark.sql.autoBroadcastJoinThreshold": "10m",
-    # Don't let tiny local parquet files fan out into thousands of tasks.
-    "spark.sql.files.maxPartitionBytes": "128m",
+    # 16m locally (cluster: keep the 128m default — a 100 TB scan already
+    # yields ~800k well-sized tasks).  The synthetic fixtures are ONE file
+    # per table, so 128m capped a 158 MB documents scan at 2 input splits
+    # — and Catalyst pushes filter predicates BELOW any fan_out exchange,
+    # so CPU-heavy text predicates (regex splits, token counts) ran
+    # 2-way no matter what fan_out did above them (measured: the corpus
+    # gate's split+count at 2 splits = 7.3 s, at 17 splits = 4.2 s on the
+    # 100× synth; SCALE.md §6o).  16m keeps sf0.1 fixtures at 1-2 tasks
+    # (no tiny-task fan-out) while letting the big synths parallelize the
+    # scan itself.
+    "spark.sql.files.maxPartitionBytes": "16m",
     # Driver testdata parquet carries TIMESTAMP(NANOS); read as long and
     # convert at the edge (see read_parquet) instead of failing the scan.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
