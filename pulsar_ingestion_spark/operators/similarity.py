@@ -18,7 +18,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from pulsar_ingestion_spark.functions.vectors import cosine_rounded, dot
+from pulsar_ingestion_spark.functions.vectors import cosine_rounded, cosine_rounded_kernel, dot
 
 
 def knn_bruteforce(
@@ -396,10 +396,14 @@ def knn_ivf_seeded(
         )
         .select("qid", "qv", F.explode(F.col("pc")["cell"]).alias("cell"))
     )
+    # cosine via the pair-dot Arrow kernel: the rerank volume here is
+    # queries × probed-cell occupancy (~750k pairs at the 100× point) and
+    # the three HOF dot folds per pair dominated the wall — bit-identical
+    # finish (divide/sqrt/round stay JVM-side), see cosine_rounded_kernel
     scored = (
         probes.join(assigned, "cell")
         .filter(F.col("qid") != F.col("id"))
-        .withColumn("cos_sim", cosine_rounded(F.col("qv"), F.col("vec"), 6))
+        .withColumn("cos_sim", cosine_rounded_kernel(F.col("qv"), F.col("vec"), 6))
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("id"))
     return (

@@ -192,6 +192,23 @@ def test_signlsh_kernel_matches_hof_fold(spark, sf_dir):
     assert kernel == hof
 
 
+def test_cosine_kernel_matches_hof(spark, sf_dir):
+    """cosine_rounded_kernel must be BIT-IDENTICAL to cosine_rounded: the
+    kernel only computes the three dot products (column-by-column float64
+    = the ordered-fold IEEE sequence); divide/sqrt/round stay JVM-side as
+    the same expressions.  Checked pairwise on the real fixture."""
+    from pulsar_ingestion_spark.functions.vectors import cosine_rounded, cosine_rounded_kernel
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.limit(7).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    pairs = emb.crossJoin(F.broadcast(q))
+    hof = {(r[0], r[1]): r[2] for r in pairs.select(
+        "vec_id", "qid", cosine_rounded(F.col("qv"), F.col("embedding")).alias("c")).collect()}
+    ker = {(r[0], r[1]): r[2] for r in pairs.select(
+        "vec_id", "qid", cosine_rounded_kernel(F.col("qv"), F.col("embedding")).alias("c")).collect()}
+    assert ker == hof and len(ker) > 1000
+
+
 def test_pq_encode_kernel_matches_relational(spark, sf_dir):
     """The Arrow PQ-encode kernel must be BIT-IDENTICAL to the relational
     plan it replaced (corpus ×K crossJoin + HOF d2 + min(struct(d2, cid))):
