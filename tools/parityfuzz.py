@@ -202,7 +202,14 @@ def plans(draw):
     projs = draw(
         st.lists(st.one_of(int_exprs(3, ns), str_exprs(2, ns)), min_size=1, max_size=4)
     )
-    return ("proj", src, where, tuple(projs))
+    if draw(st.booleans()):
+        return ("proj", src, where, tuple(projs))
+    # set operation: same projection over two differently-filtered scans
+    # of the same source — probes NULL-equality in DISTINCT/set semantics
+    # (set ops treat NULLs as equal on both engines, unlike `=`)
+    kind = draw(st.sampled_from(["union", "uniondist", "intersect", "except"]))
+    where_b = draw(st.none() | preds(2, ns))
+    return ("setop", kind, src, where, where_b, tuple(projs))
 
 
 # ---------------------------------------------------------------------------
@@ -335,6 +342,27 @@ def _sp_source(src, spark, sf_dir: str):
 def compile_spark(plan, spark, sf_dir: str):
     from pyspark.sql import Window
     from pyspark.sql import functions as F
+
+    if plan[0] == "setop":
+        _, op, src, wa, wb, projs = plan
+
+        def side(w):
+            df = _sp_source(src, spark, sf_dir)
+            if w is not None:
+                df = df.filter(_sp_pred(w))
+            return df.select(*[
+                (_sp_int(e) if _is_int_expr(e) else _sp_str(e)).alias(f"c{i}")
+                for i, e in enumerate(projs)
+            ])
+
+        a, b = side(wa), side(wb)
+        if op == "union":
+            return a.unionAll(b)
+        if op == "uniondist":
+            return a.union(b).distinct()
+        if op == "intersect":
+            return a.intersect(b)  # EXCEPT/INTERSECT: DISTINCT semantics
+        return a.subtract(b)
 
     kind, src, where = plan[0], plan[1], plan[2]
     df = _sp_source(src, spark, sf_dir)
@@ -484,7 +512,25 @@ def _dk_source(src) -> tuple[str, str | None]:
     return "lineitem", exists if kind == "semi" else f"NOT {exists}"
 
 
+_SETOP_SQL = {"union": "UNION ALL", "uniondist": "UNION", "intersect": "INTERSECT", "except": "EXCEPT"}
+
+
 def compile_sql(plan) -> str:
+    if plan[0] == "setop":
+        _, op, src, wa, wb, projs = plan
+        frm, extra = _dk_source(src)
+        sel = ", ".join(
+            f"{_dk_int(e) if _is_int_expr(e) else _dk_str(e)} AS c{i}"
+            for i, e in enumerate(projs)
+        )
+
+        def side(w):
+            conj = [c for c in (extra, _dk_pred(w) if w is not None else None) if c]
+            ww = f" WHERE {' AND '.join(conj)}" if conj else ""
+            return f"SELECT {sel} FROM {frm}{ww}"
+
+        return f"({side(wa)}) {_SETOP_SQL[op]} ({side(wb)})"
+
     kind, src, where = plan[0], plan[1], plan[2]
     frm, extra = _dk_source(src)
     conj = [c for c in (extra, _dk_pred(where) if where is not None else None) if c]
