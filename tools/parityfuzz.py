@@ -59,6 +59,10 @@ ORD_STR = ["o_orderstatus", "o_orderpriority"]
 
 LI_TS = ["l_shipdate"]
 ORD_TS = ["o_orderdate"]
+EV_INT = ["event_id", "user_id"]
+EV_DBL = ["value"]
+EV_STR = ["event_type"]
+EV_TS = ["ts"]
 # rate-like doubles (|v| <= ~0.4): the only valid second operand of the Q1
 # SUM(a * (1 - b)) decimal pattern — with a large-magnitude b, DuckDB's
 # decimal multiply raises an overflow where Spark widens to DECIMAL(38,8)
@@ -66,12 +70,24 @@ ORD_TS = ["o_orderdate"]
 # test_duckdb_decimal_multiply_overflow_asymmetry)
 RATE_DBL = ["l_discount", "l_tax"]
 
-_LI_NS = {"ints": LI_INT, "strs": LI_STR, "dbls": LI_DBL, "tss": LI_TS}
+_LI_NS = {"ints": LI_INT, "strs": LI_STR, "dbls": LI_DBL, "tss": LI_TS, "json": []}
 _BOTH_NS = {
     "ints": LI_INT + ORD_INT,
     "strs": LI_STR + ORD_STR,
     "dbls": LI_DBL + ORD_DBL,
     "tss": LI_TS + ORD_TS,
+    "json": [],
+}
+# events: timestamps, a continuous double, and a JSON props column —
+# ("jint", col, key) probes JSON-path extraction parity
+# (get_json_object <-> json_extract_string, both return the raw string;
+# missing key -> NULL on both engines)
+_EV_NS = {
+    "ints": EV_INT,
+    "strs": EV_STR,
+    "dbls": EV_DBL,
+    "tss": EV_TS,
+    "json": [("props", "k"), ("props", "missing")],
 }
 _MUL_MOD = 100_003  # keeps any product well under 2^63
 
@@ -91,6 +107,11 @@ def int_exprs(depth: int = 3, ns=_LI_NS):
         # mod-reduced at the leaf so epoch magnitudes (~1.7e15 µs) can't
         # push downstream SUM/mul chains past int64
         st.sampled_from(ns["tss"]).map(lambda c: ("epochus", c)),
+        *(
+            [st.sampled_from(ns["json"]).map(lambda ck: ("jint", ck[0], ck[1]))]
+            if ns["json"]
+            else []
+        ),
     )
     if depth <= 0:
         return leaf
@@ -152,25 +173,31 @@ def preds(depth: int = 2, ns=_LI_NS):
 
 
 def agg_specs(ns=_LI_NS):
-    return st.one_of(
+    opts = [
         st.just(("count_star",)),
         st.tuples(st.sampled_from(["count", "countd", "min", "max", "sum", "avg"]), int_exprs(2, ns)),
         st.tuples(st.sampled_from(["mind", "maxd"]), st.sampled_from(ns["dbls"])),
         # the double-SUM/AVG convention: DECIMAL(18,4) partial sums, cast
         # back to double — exact decimal arithmetic, no summation-order ULP
         st.tuples(st.sampled_from(["sumd4", "avgd4"]), st.sampled_from(ns["dbls"])),
+    ]
+    if set(RATE_DBL) <= set(ns["dbls"]):
         # the TPC-H Q1 shape: SUM(a * (1 - b)) in DECIMAL; b must be a
         # bounded rate column (see RATE_DBL note)
-        st.tuples(st.just("sumd4prod"), st.sampled_from(ns["dbls"]), st.sampled_from(RATE_DBL)),
-    )
+        opts.append(
+            st.tuples(st.just("sumd4prod"), st.sampled_from(ns["dbls"]), st.sampled_from(RATE_DBL))
+        )
+    return st.one_of(*opts)
 
 
 def group_keys(ns=_LI_NS):
-    return st.one_of(
+    opts = [
         st.sampled_from(ns["strs"]).map(lambda c: ("scol", c)),
-        st.just(("icol", "l_linenumber")),
         st.tuples(st.just("kmod"), st.sampled_from(ns["ints"]), st.integers(min_value=2, max_value=7)),
-    )
+    ]
+    if "l_linenumber" in ns["ints"]:
+        opts.append(st.just(("icol", "l_linenumber")))
+    return st.one_of(*opts)
 
 
 def win_funcs(ns=_LI_NS):
@@ -181,13 +208,13 @@ def win_funcs(ns=_LI_NS):
     )
 
 
-_SOURCES = [("li",), ("ij",), ("lj",), ("semi",), ("anti",)]
+_SOURCES = [("li",), ("ij",), ("lj",), ("semi",), ("anti",), ("ev",)]
 
 
 @st.composite
 def plans(draw):
     src = draw(st.sampled_from(_SOURCES))
-    ns = _BOTH_NS if src[0] in ("ij", "lj") else _LI_NS
+    ns = _BOTH_NS if src[0] in ("ij", "lj") else (_EV_NS if src[0] == "ev" else _LI_NS)
     where = draw(st.none() | preds(2, ns))
     shape = draw(st.sampled_from(["proj", "agg", "win"]))
     if shape == "agg":
@@ -241,6 +268,8 @@ def _sp_int(e):
         return F.length(_sp_str(e[1])).cast("long")
     if op == "epochus":
         return F.unix_micros(F.col(e[1])) % F.lit(1_000_000_000).cast("long")
+    if op == "jint":
+        return F.get_json_object(F.col(e[1]), f"$.{e[2]}").cast("long")
     raise ValueError(op)
 
 
@@ -330,6 +359,8 @@ def _sp_agg(a):
 
 
 def _sp_source(src, spark, sf_dir: str):
+    if src[0] == "ev":
+        return spark.read.parquet(f"{sf_dir}/events.parquet")
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     if src[0] == "li":
         return li
@@ -426,6 +457,8 @@ def _dk_int(e) -> str:
         return f"CAST(length({_dk_str(e[1])}) AS BIGINT)"
     if op == "epochus":
         return f"(epoch_us({e[1]}) % 1000000000)"
+    if op == "jint":
+        return f"CAST(json_extract_string({e[1]}, '$.{e[2]}') AS BIGINT)"
     raise ValueError(op)
 
 
@@ -502,6 +535,8 @@ def _dk_agg(a) -> str:
 def _dk_source(src) -> tuple[str, str | None]:
     """FROM clause + an extra WHERE conjunct (for EXISTS forms)."""
     kind = src[0]
+    if kind == "ev":
+        return "events", None
     if kind == "li":
         return "lineitem", None
     if kind == "ij":
@@ -566,7 +601,7 @@ def compile_sql(plan) -> str:
     return f"SELECT {', '.join(parts)} FROM {frm}{w}"
 
 
-_INT_OPS = {"icol", "ilit", "add", "sub", "mul", "abs", "case", "nullif", "len", "epochus"}
+_INT_OPS = {"icol", "ilit", "add", "sub", "mul", "abs", "case", "nullif", "len", "epochus", "jint"}
 
 
 def _is_int_expr(e) -> bool:
@@ -627,7 +662,7 @@ def _isnan(arr):
 
 
 def register_views(con, sf_dir: str) -> None:
-    for t in ("lineitem", "orders"):
+    for t in ("lineitem", "orders", "events"):
         con.execute(
             f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
