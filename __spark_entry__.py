@@ -228,69 +228,73 @@ _CHECKED_PRIOR = {
 }
 
 
-# Round-9 driver-check prefix (the driver checks a bounded prefix ≈50):
-# every id registered through round 8 has a driver CORRECTNESS row
-# (VERDICT r8 item "Union across rounds 1-8: 342/342"), so this round's
-# prefix is re-verification of the STALEST rows — the 45 ids whose latest
-# driver CORRECTNESS row is round 1 or 2 (testdata is regenerated every
-# round, so old greens deserve periodic re-proof).  New round-9 queries,
-# if any, go at the FRONT of this list.  The two rows-only-by-design ids
-# from that era (dedup_minhash, multimodal_features) are excluded — a
-# re-check would record another no_oracle row, spending a slot on
-# nothing.
-_ROUND9_PREFIX: list[str] = [
-    # r1-latest rows (checked round 1, never since)
-    "event_translate_payment",
-    "event_translate_user",
-    "route_tenant",
-    # r2-latest rows, alphabetical
-    "agg_max_min_by",
-    "agg_pivot",
-    "agg_salted_skew",
-    "cmf_events_explode",
-    "cmf_tire_pressure_map",
-    "corpus_curate",
-    "datetime_funcs",
-    "dedup_cluster_components",
-    "dedup_cluster_lss",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_fingerprint",
-    "dedup_keep_best",
-    "dedup_ngram_jaccard",
-    "emb_centroid_by_label",
-    "event_translate_inventory",
-    "event_translate_order",
-    "event_translate_shipment",
-    "join_right",
-    "json_multi_extract",
-    "multimodal_audio_chunks",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "route_event_type_split",
-    "sample_deterministic",
-    "sim_search_knn",
-    "stateful_transitions",
-    "telemetry_trip_distance",
-    "text_chunk_documents",
-    "text_decontaminate",
-    "text_df_prune",
-    "text_gopher_quality",
-    "text_lang_id",
-    "text_minhash_signature",
-    "text_pii_scrub",
-    "text_quality_score",
-    "text_stats",
-    "text_token_count",
-    "warehouse_vehicle_gaps",
-    "win_distribution",
-    "win_first_last",
-    "win_nth_value",
+# Round-10 driver-check prefix (the driver checks a bounded prefix ≈50):
+# the whole registry has driver CORRECTNESS rows (union r1-r9 = 342/342),
+# so this round's prefix is re-verification of the STALEST rows — the 48
+# hash-checkable ids whose latest driver row is round 3 (testdata is
+# regenerated every round, so old greens deserve periodic re-proof;
+# VERDICT r9 item 2).  `multimodal_features` leads: its byte-level
+# feature path gained a DuckDB oracle this round (VERDICT r9 item 5), so
+# its first hash-checked row lands here.  New round-10 queries, if any,
+# go at the FRONT of this list.
+_ROUND10_PREFIX: list[str] = [
+    "multimodal_features",
+    # r3-latest rows, alphabetical
+    "agg_bool",
+    "agg_first_per_day",
+    "agg_histogram",
+    "agg_mode",
+    "agg_regr_slope",
+    "agg_skew_kurtosis",
+    "agg_stats_corr",
+    "agg_variance_stddev",
+    "array_set_ops",
+    "bitwise_funcs",
+    "cmf_variant_residue",
+    "corpus_assemble",
+    "corpus_mix_domains",
+    "corpus_pack_sequences",
+    "corpus_split_train",
+    "dedup_minhash_banded",
+    "emb_dim_stats",
+    "emb_norm_stats",
+    "emb_quantize_int8",
+    "error_safe_funcs",
+    "events_anomaly_zscore",
+    "events_cohort_retention",
+    "events_funnel",
+    "events_rfm_segments",
+    "explode_variants",
+    "filter_null_safe_eq",
+    "fleet_dashboard",
+    "join_broadcast_left",
+    "join_cross",
+    "join_range_banded",
+    "json_variant",
+    "sample_stratified",
+    "sim_search_lsh_multiprobe",
+    "string_regexp_groups",
+    "string_split_part",
+    "table_profile",
+    "text_levenshtein_pairs",
+    "text_ngram_freq",
+    "text_passage_dedup",
+    "text_repetition_ratios",
+    "text_tokenize_filter",
+    "text_unigram_logprob",
+    "text_zipf_slope",
+    "ts_ewma",
+    "ts_gapfill_15m",
+    "ts_resample_15m",
+    "union_schema_evolution",
+    "unpivot_melt",
+    # r4-latest filler to round the prefix to 50
+    "agg_entropy",
 ]
 
 
 def _rotated(mapping: dict) -> dict:
-    prefix = {k: mapping[k] for k in _ROUND9_PREFIX if k in mapping}
+    prefix = {k: mapping[k] for k in _ROUND10_PREFIX if k in mapping}
     fresh = {
         k: v for k, v in mapping.items()
         if k not in _CHECKED_PRIOR and k not in prefix

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -106,23 +107,62 @@ FEATURE_SCHEMA = StructType([
     StructField("decoded_height", IntegerType()),
     StructField("byte_len", LongType()),
     StructField("content_sha", StringType()),
+    StructField("mime_detected", StringType()),
+    StructField("distinct_bytes", IntegerType()),
+    StructField("entropy_bits", DoubleType()),
 ])
+
+# magic-number → mime type detection (byte-level, no codec needed)
+_MAGIC_MIME = {
+    _MAGIC: "image/synthetic",
+    b"SYNV": "video/synthetic",
+    b"SYNA": "audio/synthetic",
+    b"\xff\xd8\xff": "image/jpeg",
+    b"\x89PNG": "image/png",
+    b"RIFF": "audio/wav",
+}
+
+
+def _detect_mime(b: bytes) -> str:
+    for magic, mime in _MAGIC_MIME.items():
+        if b[: len(magic)] == magic:
+            return mime
+    return "application/octet-stream"
+
+
+def entropy_term_e6(c: int, n: int) -> int:
+    """Fixed-point (micro-bit) Shannon-entropy term for a byte value with
+    count ``c`` out of ``n`` payload bytes.  Both the Arrow UDF and the
+    DuckDB oracle consume this SAME Python-computed value (the oracle
+    inlines the c=1..n table as literals), so no engine libm is ever
+    involved — exact cross-engine parity by construction."""
+    import math
+
+    return round((c / n) * math.log2(n / c) * 1_000_000)
 
 
 def extract_features(df: DataFrame, batch_size: int | None = None) -> DataFrame:
     """Decode + feature-extract via mapInPandas (Arrow batches).
 
-    Output: per-media decoded dims (stub codec), byte length, content hash.
+    Output: per-media decoded dims (stub codec path), plus deterministic
+    byte-level features that need NO codec — byte length, content hash
+    (sha256 of the uppercase hex encoding — a pure-string transform both
+    engines compute identically), magic-number mime detection, distinct
+    byte count, and Shannon byte entropy in bits (micro-bit fixed-point
+    sum / 1e6, so the double is one exact integer divide on every side).
     The UDF sees pandas batches — the real pipeline would emit embeddings
     here; the batch shape/partitioning is exactly what production uses.
     """
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from collections import Counter
+
         for pdf in batches:
             out = {
                 "media_id": pdf["media_id"],
                 "decoded_width": [], "decoded_height": [],
                 "byte_len": [], "content_sha": [],
+                "mime_detected": [], "distinct_bytes": [], "entropy_bits": [],
             }
             for payload in pdf["payload"]:
                 b = bytes(payload)
@@ -130,7 +170,14 @@ def extract_features(df: DataFrame, batch_size: int | None = None) -> DataFrame:
                 out["decoded_width"].append(w)
                 out["decoded_height"].append(h)
                 out["byte_len"].append(len(b))
-                out["content_sha"].append(hashlib.sha256(b).hexdigest())
+                out["content_sha"].append(
+                    hashlib.sha256(b.hex().upper().encode()).hexdigest()
+                )
+                out["mime_detected"].append(_detect_mime(b))
+                counts = Counter(b)
+                out["distinct_bytes"].append(len(counts))
+                e6 = sum(entropy_term_e6(c, len(b)) for c in counts.values())
+                out["entropy_bits"].append(e6 / 1e6)
             yield pd.DataFrame(out)
 
     return df.select("media_id", "payload").mapInPandas(_extract, schema=FEATURE_SCHEMA)

@@ -710,8 +710,53 @@ def q_text_token_count(spark, sf_dir):
     )
 
 
-@query("multimodal_features")  # stub codec via mapInPandas → rows-only
+def _multimodal_features_oracle() -> str:
+    # Synthetic payload = 'SYNM' + u16 w + u16 h + utf8(sha256 hex of the
+    # id) = 72 bytes; every byte-level feature is recomputable in SQL.
+    # Entropy terms come from the SAME Python function the Arrow UDF
+    # calls (inlined as a 72-entry literal table) — no engine libm.
+    from pulsar_ingestion_spark.operators.multimodal import entropy_term_e6
+
+    n = 72
+    terms = ",".join(str(entropy_term_e6(c, n)) for c in range(1, n + 1))
+    return f"""
+    WITH p AS (
+      SELECT doc_id,
+        ('SYNM'::BLOB
+         || unhex(lpad(hex(doc_id % 64 + 16), 4, '0'))
+         || unhex(lpad(hex(doc_id % 48 + 16), 4, '0'))
+         || encode(sha256(CAST(doc_id AS VARCHAR)))) AS payload
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, unnest(regexp_extract_all(hex(payload), '..')) AS byte
+      FROM p
+    ),
+    c AS (SELECT doc_id, byte, count(*) AS c FROM b GROUP BY doc_id, byte),
+    e AS (
+      SELECT doc_id,
+             CAST(count(*) AS INTEGER) AS distinct_bytes,
+             SUM(list_value({terms})[c]) AS e6
+      FROM c GROUP BY doc_id
+    )
+    SELECT p.doc_id AS media_id,
+           CAST(p.doc_id % 64 + 16 AS INTEGER) AS decoded_width,
+           CAST(p.doc_id % 48 + 16 AS INTEGER) AS decoded_height,
+           CAST(octet_length(p.payload) AS BIGINT) AS byte_len,
+           sha256(hex(p.payload)) AS content_sha,
+           'image/synthetic' AS mime_detected,
+           e.distinct_bytes,
+           e.e6 / 1e6 AS entropy_bits
+    FROM p JOIN e USING (doc_id)
+    """
+
+
+@query("multimodal_features", oracle=_multimodal_features_oracle())
 def q_multimodal_features(spark, sf_dir):
+    # Decoded dims go through the stub codec (env-gated: real decoders
+    # slot in at _decode_image); the byte-level features (hash, mime
+    # magic, distinct bytes, fixed-point entropy) are codec-free and
+    # oracle-checked — VERDICT r9 item 5.
     from pulsar_ingestion_spark.operators.multimodal import extract_features, synthesize_media
 
     docs = load_tables(spark, sf_dir)["documents"]

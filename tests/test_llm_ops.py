@@ -310,9 +310,23 @@ def test_multimodal_pipeline(spark):
     media = synthesize_media(base)
     feats = extract_features(media).collect()
     assert len(feats) == 20
+    import hashlib as _hl
     for r in feats:
         assert r["decoded_width"] == r["media_id"] % 64 + 16  # stub decode reads header
         assert r["byte_len"] > 8
+        # codec-free byte-level features (oracle-checked in the registry)
+        assert r["mime_detected"] == "image/synthetic"
+        assert 1 <= r["distinct_bytes"] <= r["byte_len"]
+        assert 0.0 <= r["entropy_bits"] <= 8.0
+        # content_sha = sha256 of the UPPERCASE hex encoding (a pure-string
+        # transform DuckDB reproduces with sha256(hex(payload)))
+        payload = (
+            b"SYNM"
+            + int(r["media_id"] % 64 + 16).to_bytes(2, "big")
+            + int(r["media_id"] % 48 + 16).to_bytes(2, "big")
+            + _hl.sha256(str(r["media_id"]).encode()).hexdigest().encode()
+        )
+        assert r["content_sha"] == _hl.sha256(payload.hex().upper().encode()).hexdigest()
     rs = resize_spec(media, max_dim=20).collect()
     for r in rs:
         assert max(r["target_width"], r["target_height"]) <= 20
