@@ -34,7 +34,10 @@ _TRANSLATOR_CLASSES = {
     "fordtranslator": "ford",
 }
 
-_KIND_ALIASES = {"azure-eventhub": "eventhub", "pulsar": "jsonl"}
+# pulsar is a real passthrough kind since round 10 (format("pulsar") via
+# sources/registry.py) — a `path` override below still degrades any kind
+# to the jsonl bridge for broker-less runs.
+_KIND_ALIASES = {"azure-eventhub": "eventhub"}
 
 
 def _infer_kind(name: str, image: str) -> str:

@@ -25,8 +25,48 @@ from pyspark.sql import functions as F
 
 SOURCE_KINDS = (
     "jsonl", "rate", "kafka", "eventhub", "kinesis", "rabbitmq", "http", "grpc",
-    "parquet", "orc", "csv", "json",
+    "parquet", "orc", "csv", "json", "pulsar",
 )
+
+
+def kafka_reader_options(options: dict[str, Any]) -> dict[str, str]:
+    """Map friendly snake_case option names onto the Kafka connector's
+    option keys (already-dotted keys pass through verbatim, so a caller
+    can always hand raw connector options).  Pure function → unit-testable
+    without a broker."""
+    friendly = {
+        "bootstrap_servers": "kafka.bootstrap.servers",
+        "topic": "subscribe",
+        "topics": "subscribe",
+        "topic_pattern": "subscribePattern",
+        "starting_offsets": "startingOffsets",
+        "ending_offsets": "endingOffsets",
+        "group_id_prefix": "groupIdPrefix",
+    }
+    return {friendly.get(k, k): str(v) for k, v in options.items()}
+
+
+def pulsar_reader_options(options: dict[str, Any]) -> dict[str, str]:
+    """Map friendly snake_case names onto the Pulsar connector's option
+    keys (StreamNative pulsar-spark: `service.url`, `admin.url`,
+    `topics` / `topicsPattern`, `startingOffsets`).  Already-dotted /
+    camelCase keys pass through verbatim.  Pure function → unit-testable
+    without a broker."""
+    friendly = {
+        "service_url": "service.url",
+        "admin_url": "admin.url",
+        "topic": "topics",
+        "topics": "topics",
+        "topic_pattern": "topicsPattern",
+        "topics_pattern": "topicsPattern",
+        "starting_offsets": "startingOffsets",
+        "ending_offsets": "endingOffsets",
+        "subscription_prefix": "predefinedSubscription",
+    }
+    mapped = {friendly.get(k, k): str(v) for k, v in options.items()}
+    if "service.url" not in mapped:
+        raise ValueError("pulsar source requires service_url= (or service.url=)")
+    return mapped
 
 
 def open_source(
@@ -114,9 +154,20 @@ def open_source(
     if kind in ("kafka", "eventhub"):
         reader = spark.readStream if streaming else spark.read
         r = reader.format("kafka")
-        for k, v in options.items():
+        for k, v in kafka_reader_options(options).items():
             r = r.option(k, v)
         # kafka value is binary → the string JSON contract
+        return r.load().withColumn("value", F.col("value").cast("string"))
+    if kind == "pulsar":
+        # Config passthrough to the pulsar-spark connector (the north-star
+        # source, reference deployment/pipeline.yaml:35-39 relay) — the
+        # connector jar resolves at deploy time; broker-less local runs
+        # use the jsonl bridge instead (plans/from_yaml.py path override).
+        reader = spark.readStream if streaming else spark.read
+        r = reader.format(options.pop("format", "pulsar"))
+        for k, v in pulsar_reader_options(options).items():
+            r = r.option(k, v)
+        # pulsar value is binary → the string JSON contract
         return r.load().withColumn("value", F.col("value").cast("string"))
     if kind == "kinesis":
         reader = spark.readStream if streaming else spark.read
@@ -125,3 +176,76 @@ def open_source(
             r = r.option(k, v)
         return r.load().withColumn("value", F.col("data").cast("string"))
     raise ValueError(f"unknown source kind: {kind} (known: {SOURCE_KINDS})")
+
+
+SINK_KINDS = ("pulsar", "kafka", "eventhub", "jsonl")
+
+
+def pulsar_writer_options(options: dict[str, Any]) -> dict[str, str]:
+    """Writer-side twin of :func:`pulsar_reader_options`: `service.url`
+    required; `topic` names a fixed target topic and is OMITTED when the
+    frame routes per-record via a `__topic` column (the connector's
+    dynamic-topic contract, mirroring the reference's per-tenant
+    publish — Filterer semantics)."""
+    friendly = {
+        "service_url": "service.url",
+        "admin_url": "admin.url",
+        "topic": "topic",
+    }
+    mapped = {friendly.get(k, k): str(v) for k, v in options.items()}
+    if "service.url" not in mapped:
+        raise ValueError("pulsar sink requires service_url= (or service.url=)")
+    return mapped
+
+
+def open_topic_sink(
+    df: DataFrame,
+    kind: str,
+    streaming: bool = True,
+    topic_column: str | None = None,
+    **options: Any,
+):
+    """Configure a topic-oriented writer for ``df`` (a frame with a string
+    ``value`` column) — the publish side of the relay topology.
+
+    kinds:
+      pulsar — passthrough to the pulsar-spark connector.  Fixed topic via
+               topic=...; dynamic per-record routing via topic_column=
+               (renamed to the connector's ``__topic`` attribute).
+      kafka / eventhub — passthrough to Spark's kafka sink.  Fixed topic
+               via topic=...; dynamic routing via topic_column= (renamed
+               to the sink's ``topic`` column).
+      jsonl  — broker-less fallback: value lines as text files under
+               path= (the bridge-drop pattern, reversible by the jsonl
+               source).
+
+    Returns the configured ``DataStreamWriter`` / ``DataFrameWriter`` —
+    the caller adds checkpoint/trigger/mode and starts it, so tests can
+    assert the configuration without a broker."""
+    kind = kind.lower()
+    if kind == "pulsar":
+        out = df
+        if topic_column is not None:
+            out = out.withColumn("__topic", F.col(topic_column))
+            options.pop("topic", None)
+        writer = (out.writeStream if streaming else out.write).format(
+            options.pop("format", "pulsar")
+        )
+        for k, v in pulsar_writer_options(options).items():
+            writer = writer.option(k, v)
+        return writer
+    if kind in ("kafka", "eventhub"):
+        out = df
+        if topic_column is not None:
+            out = out.withColumn("topic", F.col(topic_column))
+            options.pop("topic", None)
+        writer = (out.writeStream if streaming else out.write).format("kafka")
+        friendly = {"bootstrap_servers": "kafka.bootstrap.servers", "topic": "topic"}
+        for k, v in options.items():
+            writer = writer.option(friendly.get(k, k), str(v))
+        return writer
+    if kind == "jsonl":
+        path = options.pop("path")
+        writer = (df.select("value").writeStream if streaming else df.select("value").write).format("text")
+        return writer.option("path", path)
+    raise ValueError(f"unknown sink kind: {kind} (known: {SINK_KINDS})")

@@ -395,3 +395,158 @@ def test_native_sink_crash_recovery_exactly_once(spark, tmp_path):
     )
     assert len(per_key) == n_files * rows_per_file
     assert max(r["count"] for r in per_key) == 1
+
+
+# --- pulsar passthrough (VERDICT r9 item 1) -------------------------------
+
+
+def test_pulsar_reader_option_mapping():
+    """Reader-config contract (kafka-passthrough precedent): friendly
+    snake_case names map onto the pulsar-spark connector's option keys;
+    raw dotted/camelCase keys pass through verbatim."""
+    from pulsar_ingestion_spark.sources.registry import pulsar_reader_options
+
+    mapped = pulsar_reader_options({
+        "service_url": "pulsar://broker:6650",
+        "admin_url": "http://broker:8080",
+        "topic": "raw-pulsar-events",
+        "starting_offsets": "earliest",
+        "pulsar.client.authPluginClassName": "X",
+    })
+    assert mapped == {
+        "service.url": "pulsar://broker:6650",
+        "admin.url": "http://broker:8080",
+        "topics": "raw-pulsar-events",
+        "startingOffsets": "earliest",
+        "pulsar.client.authPluginClassName": "X",
+    }
+    import pytest
+
+    with pytest.raises(ValueError, match="service_url"):
+        pulsar_reader_options({"topic": "t"})
+
+
+def test_kafka_reader_option_mapping():
+    from pulsar_ingestion_spark.sources.registry import kafka_reader_options
+
+    mapped = kafka_reader_options({
+        "bootstrap_servers": "k:9092",
+        "topic": "raw-kafka-events",
+        "starting_offsets": "earliest",
+        "kafka.security.protocol": "SSL",
+    })
+    assert mapped == {
+        "kafka.bootstrap.servers": "k:9092",
+        "subscribe": "raw-kafka-events",
+        "startingOffsets": "earliest",
+        "kafka.security.protocol": "SSL",
+    }
+
+
+def test_pulsar_writer_option_mapping_and_dynamic_topic(spark):
+    """Sink config: fixed topic maps through; topic_column= switches to
+    the connector's __topic per-record routing attribute (the dynamic
+    per-tenant publish — Filterer semantics).  Writers are configured but
+    never started (no broker locally)."""
+    from pulsar_ingestion_spark.sources.registry import (
+        open_topic_sink,
+        pulsar_writer_options,
+    )
+
+    assert pulsar_writer_options({"service_url": "pulsar://b:6650", "topic": "t"}) == {
+        "service.url": "pulsar://b:6650", "topic": "t",
+    }
+    df = spark.createDataFrame(
+        [("acme", '{"k":1}')], "tenantId string, value string"
+    )
+    w = open_topic_sink(
+        df, "pulsar", streaming=False,
+        topic_column="tenantId", service_url="pulsar://b:6650",
+    )
+    # configured, unstarted DataFrameWriter
+    assert w is not None
+    import pytest
+
+    with pytest.raises(ValueError, match="service_url"):
+        open_topic_sink(df, "pulsar", streaming=False, topic="t")
+
+
+def test_jsonl_topic_sink_roundtrip(spark, tmp_path):
+    """Broker-less fallback sink: value lines land as text files the jsonl
+    source reads back byte-identically (bridge-drop pattern)."""
+    from pulsar_ingestion_spark.sources.registry import open_topic_sink
+
+    lines = ['{"a": 1}', '{"b": "x y"}']
+    df = spark.createDataFrame([(v,) for v in lines], "value string")
+    out = tmp_path / "topic-drop"
+    open_topic_sink(df, "jsonl", streaming=False, path=str(out)).save()
+    back = open_source(spark, "jsonl", streaming=False, path=str(out))
+    assert {r["value"] for r in back.collect()} == set(lines)
+
+
+def test_from_yaml_pulsar_passthrough_and_bridge(tmp_path):
+    """A pulsar connector keeps kind='pulsar' when overrides supply broker
+    options (config passthrough), and degrades to the jsonl bridge when
+    overrides supply a local path — no more unconditional aliasing."""
+    from pulsar_ingestion_spark.plans.from_yaml import load_pipeline_yaml
+
+    yml = tmp_path / "pipeline.yaml"
+    yml.write_text(
+        """
+tenant: acme
+connectors:
+  pulsar-source-input:
+    source: true
+    image: acme/pulsar-source-connector:0.1.0
+    output: raw-pulsar-events
+functions:
+  geotab-translator:
+    className: com.example.pulsar.functions.cmf.translators.GeotabTranslator
+    inputs: [raw-pulsar-events]
+    output: cmf
+"""
+    )
+    spec = load_pipeline_yaml(
+        str(yml), output_path=str(tmp_path / "out"),
+        overrides={"pulsar-source-input": {"service_url": "pulsar://b:6650",
+                                          "topic": "raw-pulsar-events"}},
+    )
+    assert [(s.kind, s.translator) for s in spec.sources] == [("pulsar", "geotab")]
+    assert spec.sources[0].options["service_url"] == "pulsar://b:6650"
+
+    bridged = load_pipeline_yaml(
+        str(yml), output_path=str(tmp_path / "out2"),
+        overrides={"pulsar-source-input": {"path": str(tmp_path / "drop")}},
+    )
+    assert [(s.kind, s.translator) for s in bridged.sources] == [("jsonl", "geotab")]
+
+
+def test_pulsar_source_smoke_if_broker():
+    """Integration smoke vs a real Pulsar broker: set PULSAR_SERVICE_URL
+    (and have the pulsar-spark connector jar on the classpath) to run a
+    read-and-count; skips cleanly in broker-less sandboxes."""
+    import os
+
+    import pytest
+
+    service_url = os.environ.get("PULSAR_SERVICE_URL")
+    if not service_url:
+        pytest.skip("no PULSAR_SERVICE_URL broker configured")
+    from pulsar_ingestion_spark.session import get_spark
+
+    spark = get_spark("pulsar-smoke")
+    try:
+        df = open_source(
+            spark, "pulsar", streaming=True,
+            service_url=service_url,
+            admin_url=os.environ.get("PULSAR_ADMIN_URL", ""),
+            topic="raw-pulsar-events", starting_offsets="earliest",
+        )
+    except Exception as exc:  # pragma: no cover - env-dependent
+        pytest.skip(f"pulsar datasource unavailable: {exc}")
+    q = (
+        df.writeStream.format("memory").queryName("pulsar_smoke")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(60)
+    assert spark.sql("SELECT count(*) c FROM pulsar_smoke").collect()[0]["c"] >= 0
