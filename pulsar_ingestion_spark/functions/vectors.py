@@ -55,18 +55,39 @@ def cosine_rounded_kernel(a: Column, b: Column, digits: int = 6) -> Column:
 
     @pandas_udf("ab double, aa double, bb double")
     def _dots(x: pd.Series, y: pd.Series) -> pd.DataFrame:
-        if len(x) == 0:
+        n = len(x)
+        if n == 0:
             return pd.DataFrame({"ab": [], "aa": [], "bb": []})
-        va = np.vstack(x.to_numpy()).astype(np.float64)
-        vb = np.vstack(y.to_numpy()).astype(np.float64)
-        n, dim = va.shape
-        ab = np.zeros(n)
-        aa = np.zeros(n)
-        bb = np.zeros(n)
-        for j in range(dim):
-            ab += va[:, j] * vb[:, j]
-            aa += va[:, j] * va[:, j]
-            bb += vb[:, j] * vb[:, j]
+        xs, ys = x.to_numpy(), y.to_numpy()
+        # NULL/ragged guard (ADVICE r9): the HOF twin's zip_with yields a
+        # NULL dot for a NULL operand or a length mismatch (the shorter
+        # side pads with nulls) — mirror that per row instead of letting
+        # np.vstack abort the whole batch.  NaN → Arrow null on return.
+        lens = np.fromiter(
+            (
+                len(a) if (a is not None and b is not None and len(a) == len(b)) else -1
+                for a, b in zip(xs, ys)
+            ),
+            dtype=np.int64,
+            count=n,
+        )
+        ab = np.full(n, np.nan)
+        aa = np.full(n, np.nan)
+        bb = np.full(n, np.nan)
+        # group rows by dim: vstack needs uniform lengths, and a uniform
+        # corpus hits exactly one group (no extra cost on the fast path)
+        for dim in np.unique(lens[lens >= 0]):
+            idx = np.nonzero(lens == dim)[0]
+            va = np.vstack(xs[idx]).astype(np.float64)
+            vb = np.vstack(ys[idx]).astype(np.float64)
+            gab = np.zeros(len(idx))
+            gaa = np.zeros(len(idx))
+            gbb = np.zeros(len(idx))
+            for j in range(dim):
+                gab += va[:, j] * vb[:, j]
+                gaa += va[:, j] * va[:, j]
+                gbb += vb[:, j] * vb[:, j]
+            ab[idx], aa[idx], bb[idx] = gab, gaa, gbb
         return pd.DataFrame({"ab": ab, "aa": aa, "bb": bb})
 
     d = _dots(a, b)

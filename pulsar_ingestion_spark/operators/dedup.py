@@ -17,6 +17,8 @@ row loops.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -32,10 +34,25 @@ from pulsar_ingestion_spark.functions.text import doc_fingerprint, shingles, wor
 # — bench.py does this between phases — so a long-lived session running
 # many queries doesn't accumulate dead cached relations.
 _PERSISTED: list[DataFrame] = []
+_PERSISTED_LOCK = threading.Lock()
+
+
+def _still_cached(df: DataFrame) -> bool:
+    try:
+        lvl = df.storageLevel
+        return lvl.useMemory or lvl.useDisk
+    except Exception:  # session torn down — nothing to release
+        return False
 
 
 def _tracked_persist(df: DataFrame) -> DataFrame:
-    _PERSISTED.append(df.persist())
+    df.persist()
+    with _PERSISTED_LOCK:
+        # opportunistic trim (ADVICE r9): entries freed out-of-band
+        # (spark.catalog.clearCache(), session restart) would otherwise
+        # pin dead DataFrame references forever in a long-lived session
+        _PERSISTED[:] = [d for d in _PERSISTED if _still_cached(d)]
+        _PERSISTED.append(df)
     return df
 
 
@@ -43,9 +60,11 @@ def release_cached_intermediates() -> int:
     """Unpersist every intermediate this module has persisted; returns
     how many were released.  Safe to call at any quiesce point — the
     next use of an operator simply re-persists."""
-    n = len(_PERSISTED)
-    while _PERSISTED:
-        _PERSISTED.pop().unpersist()
+    with _PERSISTED_LOCK:
+        drained, _PERSISTED[:] = list(_PERSISTED), []
+    n = len(drained)
+    for d in drained:
+        d.unpersist()
     return n
 
 

@@ -121,16 +121,27 @@ def signlsh_buckets(
 
     @pandas_udf("long")
     def _bucket(v: pd.Series) -> pd.Series:
-        if len(v) == 0:
-            return pd.Series([], dtype="int64")
-        mat = np.vstack(v.to_numpy()).astype(np.float64)  # n × dim
-        out = np.zeros(len(mat), dtype=np.int64)
-        for p, w in enumerate(planes):
-            acc = np.zeros(len(mat), dtype=np.float64)
-            for j in range(dim):
-                acc += mat[:, j] * w[j]
-            out |= (acc > 0).astype(np.int64) << p
-        return pd.Series(out)
+        n = len(v)
+        if n == 0:
+            return pd.Series([], dtype="Int64")
+        vs = v.to_numpy()
+        # NULL/wrong-dim guard (ADVICE r9): emit a NULL bucket per bad row
+        # (downstream bucket equi-joins drop it — a NULL embedding has no
+        # candidates) instead of np.vstack aborting the whole batch.
+        valid = np.fromiter(
+            (e is not None and len(e) == dim for e in vs), dtype=bool, count=n
+        )
+        res = pd.Series([pd.NA] * n, dtype="Int64")
+        if valid.any():
+            mat = np.vstack(vs[valid]).astype(np.float64)  # n_valid × dim
+            out = np.zeros(len(mat), dtype=np.int64)
+            for p, w in enumerate(planes):
+                acc = np.zeros(len(mat), dtype=np.float64)
+                for j in range(dim):
+                    acc += mat[:, j] * w[j]
+                out |= (acc > 0).astype(np.int64) << p
+            res[valid] = out
+        return res
 
     return df.select(
         F.col(id_col).alias("id"),
@@ -178,9 +189,21 @@ def pq_encode_kernel(
 
     @pandas_udf("codes array<bigint>, dists array<double>")
     def _enc(v: pd.Series) -> pd.DataFrame:
-        if len(v) == 0:
+        n_in = len(v)
+        if n_in == 0:
             return pd.DataFrame({"codes": [], "dists": []})
-        mat = np.vstack(v.to_numpy()).astype(np.float64)
+        vs = v.to_numpy()
+        need = subspaces * subdim
+        # NULL/short-vector guard (ADVICE r9): NULL enc struct per bad
+        # row instead of np.vstack aborting the whole batch.
+        valid = np.fromiter(
+            (e is not None and len(e) >= need for e in vs), dtype=bool, count=n_in
+        )
+        if not valid.any():
+            return pd.DataFrame(
+                {"codes": [None] * n_in, "dists": [None] * n_in}, dtype=object
+            )
+        mat = np.vstack(vs[valid]).astype(np.float64)
         n = len(mat)
         codes = np.empty((n, subspaces), dtype=np.int64)
         dists = np.empty((n, subspaces), dtype=np.float64)
@@ -201,7 +224,14 @@ def pq_encode_kernel(
                     best_c = np.where(upd, cid, best_c)
             codes[:, j] = best_c
             dists[:, j] = best_d
-        return pd.DataFrame({"codes": list(codes), "dists": list(dists)})
+        if valid.all():
+            return pd.DataFrame({"codes": list(codes), "dists": list(dists)})
+        out_codes: list = [None] * n_in
+        out_dists: list = [None] * n_in
+        for row, i in enumerate(np.nonzero(valid)[0]):
+            out_codes[i] = codes[row]
+            out_dists[i] = dists[row]
+        return pd.DataFrame({"codes": out_codes, "dists": out_dists})
 
     return df.select(
         F.col(id_col).alias("id"),

@@ -335,12 +335,38 @@ class VersionedTable:
                     stale_token, stale_since = holder, time.time()
                 elif time.time() - stale_since > 10.0:
                     # same token stale for the full deadline: crashed
-                    # holder.  Re-validate right before the unlink.
-                    if self._lock_token(lock) == stale_token:
+                    # holder.  Steal by ATOMIC RENAME into a
+                    # thief-private name (ADVICE r9): rename is the only
+                    # removal point, so exactly ONE of N waiters past
+                    # their deadline grabs the file — the losers'
+                    # renames raise FileNotFoundError and they rejoin
+                    # the wait loop against whatever lock appears next.
+                    # The token is verified AFTER the grab (no
+                    # read→remove window); a mistakenly grabbed FRESH
+                    # lock is restored via os.link, which fails EEXIST
+                    # rather than clobbering a newer lock (an
+                    # unrestorable displaced holder is still covered by
+                    # the ownership-checked publish above).
+                    grabbed = f"{lock}.steal-{token}"
+                    try:
+                        os.rename(lock, grabbed)
+                    except (FileNotFoundError, OSError):
+                        stale_token, stale_since = None, time.time()
+                        continue
+                    try:
+                        with open(grabbed) as fh:
+                            grabbed_token: str | None = fh.read()
+                    except OSError:
+                        grabbed_token = None
+                    if grabbed_token != stale_token:
                         try:
-                            os.unlink(lock)
-                        except FileNotFoundError:
+                            os.link(grabbed, lock)
+                        except OSError:
                             pass
+                    try:
+                        os.unlink(grabbed)
+                    except FileNotFoundError:
+                        pass
                     stale_token, stale_since = None, time.time()
                     continue
                 time.sleep(0.01)
@@ -363,11 +389,25 @@ class VersionedTable:
                 else:
                     os.unlink(tmp)
         finally:
+            # release with the same rename-grab discipline as the steal
+            # path: plain check-then-unlink could remove a thief's fresh
+            # lock if we stalled between the two calls (ADVICE r9)
             if self._lock_token(lock) == token:
+                released = f"{lock}.rel-{token}"
                 try:
-                    os.unlink(lock)
-                except FileNotFoundError:
-                    pass
+                    os.rename(lock, released)
+                except (FileNotFoundError, OSError):
+                    released = None
+                if released is not None:
+                    if self._lock_token(released) != token:
+                        try:
+                            os.link(released, lock)
+                        except OSError:
+                            pass
+                    try:
+                        os.unlink(released)
+                    except FileNotFoundError:
+                        pass
 
     def migrate_default_app(
         self, app_id: str, committed_hint: int | None = None

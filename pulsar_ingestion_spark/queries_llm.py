@@ -296,11 +296,13 @@ def _blas_oracle(
     """``num_planes=None`` → AUTO mode (ADVICE r7): the oracle derives
     its active plane count from COUNT(*) with the SAME formula as
     operators.similarity.auto_num_planes (identical IEEE double ops:
-    ceil(log2(n / target)) clamped to [lo, 20]), so a fixture-size bump
-    past the lo-clamp region changes both sides' LSH blocking in
-    lockstep instead of silently diverging.  ``max_planes`` bounds the
-    enumerated hyperplane-literal pool — 8 covers fixtures up to
-    target_block·2^8 ≈ 131k vectors (test SFs carry ≤ 2k)."""
+    ceil(log2(n / target)) clamped to [lo, max_planes]), so a
+    fixture-size bump past the lo-clamp region changes both sides' LSH
+    blocking in lockstep instead of silently diverging.  ``max_planes``
+    bounds BOTH the enumerated hyperplane-literal pool AND the clamp —
+    the Spark call site passes ``hi=max_planes`` too (ADVICE r9: a
+    one-sided 20-clamp would silently diverge past
+    target_block·2^max_planes ≈ 131k vectors; test SFs carry ≤ 2k)."""
     cos = f"""round({_KNN_DOT.format(a='x.embedding', b='y.embedding')}
       / (sqrt({_KNN_DOT.format(a='x.embedding', b='x.embedding')})
        * sqrt({_KNN_DOT.format(a='y.embedding', b='y.embedding')})), 6)"""
@@ -308,7 +310,7 @@ def _blas_oracle(
     if num_planes is None:
         planes_filter = (
             f"SELECT CASE WHEN count(*) <= {target_block} THEN {lo} "
-            f"ELSE GREATEST({lo}, LEAST(20, CAST(ceil(log2(count(*) / {target_block}.0)) AS BIGINT))) END "
+            f"ELSE GREATEST({lo}, LEAST({max_planes}, CAST(ceil(log2(count(*) / {target_block}.0)) AS BIGINT))) END "
             f"FROM embeddings"
         )
         cte = _signlsh_bucket_cte(dim, max_planes, seeds, planes_filter=planes_filter)
@@ -362,7 +364,8 @@ def q_dedup_embedding_blas(spark, sf_dir):
     return embedding_near_dups_blas(
         emb,
         threshold=0.4,
-        num_planes=auto_num_planes(n, target_block=512, lo=3),
+        # hi matches the oracle's max_planes literal pool (ADVICE r9)
+        num_planes=auto_num_planes(n, target_block=512, lo=3, hi=8),
         num_tables=8,
         exact_rescore=True,
     )
@@ -404,14 +407,16 @@ def _lsh_oracle(
     the active plane count is derived from COUNT(*) with the identical
     ``auto_num_planes`` formula, so the bucket granularity scales with the
     fixture on both engines in lockstep.  ``max_planes=12`` bounds the
-    literal pool at target_block·2^12 ≈ 2M vectors."""
+    literal pool at target_block·2^12 ≈ 2M vectors AND clamps the SQL
+    formula; the Spark call site passes ``hi=12`` so neither side can
+    outgrow the pool silently (ADVICE r9)."""
     cos = f"""round({_KNN_DOT.format(a='q.embedding', b='c.embedding')}
       / (sqrt({_KNN_DOT.format(a='q.embedding', b='q.embedding')})
        * sqrt({_KNN_DOT.format(a='c.embedding', b='c.embedding')})), 6)"""
     if num_planes is None:
         planes_filter = (
             f"SELECT CASE WHEN count(*) <= {target_block} THEN {lo} "
-            f"ELSE GREATEST({lo}, LEAST(20, CAST(ceil(log2(count(*) / {target_block}.0)) AS BIGINT))) END "
+            f"ELSE GREATEST({lo}, LEAST({max_planes}, CAST(ceil(log2(count(*) / {target_block}.0)) AS BIGINT))) END "
             f"FROM embeddings"
         )
         cte = _signlsh_bucket_cte(dim, max_planes, [seed], planes_filter=planes_filter)
@@ -457,7 +462,8 @@ def q_sim_search_lsh(spark, sf_dir):
         emb,
         dim=64,
         k=5,
-        num_planes=auto_num_planes(n, target_block=512, lo=6),
+        # hi matches the oracle's max_planes literal pool (ADVICE r9)
+        num_planes=auto_num_planes(n, target_block=512, lo=6, hi=12),
     )
 
 
@@ -480,7 +486,7 @@ def _lsh_multiprobe_oracle(
     if num_planes is None:
         np_sql = (
             f"(SELECT CASE WHEN count(*) <= {target_block} THEN {lo} "
-            f"ELSE GREATEST({lo}, LEAST(20, CAST(ceil(log2(count(*) / {target_block}.0)) AS BIGINT))) END "
+            f"ELSE GREATEST({lo}, LEAST({max_planes}, CAST(ceil(log2(count(*) / {target_block}.0)) AS BIGINT))) END "
             f"FROM embeddings)"
         )
         cte = _signlsh_bucket_cte(dim, max_planes, [seed], planes_filter=np_sql[1:-1])
@@ -529,7 +535,8 @@ def q_sim_search_lsh_multiprobe(spark, sf_dir):
         emb,
         dim=64,
         k=5,
-        num_planes=auto_num_planes(n, target_block=512, lo=6),
+        # hi matches the oracle's max_planes literal pool (ADVICE r9)
+        num_planes=auto_num_planes(n, target_block=512, lo=6, hi=12),
     )
 
 

@@ -130,21 +130,34 @@ def test_migrate_default_app_aliases_legacy_watermark(spark, tmp_path):
 
 def test_blas_auto_plane_formula_matches_duckdb():
     """The DuckDB-side plane-count expression in the auto blas oracle
-    computes exactly auto_num_planes(n, target_block=512, lo=3) for n
-    across the clamp boundary (ADVICE r7 queries_llm.py:319)."""
+    computes exactly auto_num_planes(n, target_block=512, lo=3, hi=8)
+    for n across BOTH clamp boundaries — including far past the
+    hyperplane-literal pool, where the pre-r10 one-sided 20-clamp
+    silently diverged from the oracle's 8-literal CTE (ADVICE r9
+    queries_llm.py:401)."""
     import duckdb
 
     from pulsar_ingestion_spark.operators.similarity import auto_num_planes
 
+    # exactly the SQL _blas_oracle emits with max_planes=8
     expr = (
         "SELECT CASE WHEN n <= 512 THEN 3 "
-        "ELSE GREATEST(3, LEAST(20, CAST(ceil(log2(n / 512.0)) AS BIGINT))) END "
+        "ELSE GREATEST(3, LEAST(8, CAST(ceil(log2(n / 512.0)) AS BIGINT))) END "
         "FROM (SELECT {n} AS n)"
     )
     for n in [1, 500, 512, 513, 2000, 4096, 4097, 8192, 8193, 20000,
-              100000, 131072, 131073]:
+              100000, 131072, 131073, 2_000_000, 10_000_000_000]:
         duck = duckdb.sql(expr.format(n=n)).fetchone()[0]
-        assert duck == auto_num_planes(n, target_block=512, lo=3), n
+        assert duck == auto_num_planes(n, target_block=512, lo=3, hi=8), n
+    # and the 12-plane LSH/multiprobe variant
+    expr12 = (
+        "SELECT CASE WHEN n <= 512 THEN 6 "
+        "ELSE GREATEST(6, LEAST(12, CAST(ceil(log2(n / 512.0)) AS BIGINT))) END "
+        "FROM (SELECT {n} AS n)"
+    )
+    for n in [1, 512, 513, 2_000, 2_097_152, 2_097_153, 10_000_000_000]:
+        duck = duckdb.sql(expr12.format(n=n)).fetchone()[0]
+        assert duck == auto_num_planes(n, target_block=512, lo=6, hi=12), n
 
 
 def test_blas_oracle_auto_matches_fixed_in_clamp_region(spark):
