@@ -28,12 +28,35 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+# Driver-side row budget for the model-sized offset aggregates below
+# (VERDICT r9): the few-key discipline was previously only documented —
+# nothing stopped a future caller from passing a high-cardinality key
+# and silently OOMing the driver.  Both helpers now fetch at most
+# budget+1 aggregate rows (executor-side limit, never a full collect)
+# and raise loudly past the budget.  100k rows × a few scalar columns
+# is single-digit MB on the driver; with 32 shuffle partitions that
+# admits ~3k distinct keys — far above every registered caller (≤ 25).
+DRIVER_ROW_BUDGET = 100_000
+
+
+def _bounded_driver_rows(df: DataFrame, budget: int, what: str) -> list:
+    rows = df.take(budget + 1)
+    if len(rows) > budget:
+        raise ValueError(
+            f"{what} would materialize more than {budget} aggregate rows "
+            "on the driver — this helper is for BOUNDED key cardinality "
+            "(the few-key discipline). Re-plan with a distributed join "
+            "or raise max_driver_rows explicitly if the driver can hold it."
+        )
+    return rows
+
 
 def global_row_number(
     df: DataFrame,
     order_cols: list[Column],
     rn_col: str = "_rn",
     num_partitions: int | None = None,
+    max_driver_rows: int = DRIVER_ROW_BUDGET,
 ) -> tuple[DataFrame, int]:
     """Exact 1-based global row number over ``order_cols`` without an
     unpartitioned window.  Returns ``(df_with_rn, total_rows)``.
@@ -56,8 +79,9 @@ def global_row_number(
         "_gpid", F.spark_partition_id()
     )
     ranged = ranged.persist()
-    counts = {r["_gpid"]: r["cnt"] for r in
-              ranged.groupBy("_gpid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    counts = {r["_gpid"]: r["cnt"] for r in _bounded_driver_rows(
+        ranged.groupBy("_gpid").agg(F.count(F.lit(1)).alias("cnt")),
+        max_driver_rows, "global_row_number partition counts")}
     offsets, acc = {}, 0
     for pid in sorted(counts):
         offsets[pid] = acc
@@ -96,6 +120,7 @@ def keyed_running_sums(
     order_cols: list[Column],
     sum_cols: list[str],
     num_partitions: int | None = None,
+    max_driver_rows: int = DRIVER_ROW_BUDGET,
 ) -> tuple[DataFrame, DataFrame]:
     """Exact per-key running sums over ``order_cols`` without per-key
     single-partition windows — the keyed generalization of
@@ -130,10 +155,11 @@ def keyed_running_sums(
     ranged = df.repartitionByRange(nparts, *keys, *order_cols).withColumn(
         "_gpid", F.spark_partition_id()
     ).persist()
-    part_totals = (
+    part_totals = _bounded_driver_rows(
         ranged.groupBy("_gpid", *key_cols)
-        .agg(*[F.sum(c).alias(c) for c in sum_cols])
-        .collect()
+        .agg(*[F.sum(c).alias(c) for c in sum_cols]),
+        max_driver_rows,
+        "keyed_running_sums per-(partition,key) totals",
     )
     by_key: dict[tuple, list] = defaultdict(list)
     for r in part_totals:

