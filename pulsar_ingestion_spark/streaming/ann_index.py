@@ -1,0 +1,157 @@
+"""Incremental (streaming) ANN index maintenance: sign-LSH buckets over
+an embedding stream, kept in a versioned table (VERDICT r9 item 7 — the
+``dedup_cascade.py`` state pattern applied to ``sim_search_lsh``).
+
+The batch query (queries_llm.q_sim_search_lsh / operators.similarity.
+knn_lsh) buckets the WHOLE corpus per run; in operation embeddings
+arrive continuously and each micro-batch should extend the index
+without rebucketing history.  The state is exactly the candidate side
+of the batch join, persisted: one row per indexed vector carrying
+``(vec_id, embedding, bucket)``, where ``bucket`` comes from the same
+deterministic md5-hyperplane kernel (``signlsh_buckets``) the batch
+path uses.  A micro-batch therefore does ONE narrow kernel pass and one
+exactly-once append; a search does the same bucket equi-join + exact
+cosine rerank as ``knn_lsh``, against the indexed-so-far state.
+
+Semantics / batch equivalence: after any sequence of micro-batches,
+``ann_search(queries)`` returns EXACTLY ``knn_lsh(queries, indexed)``
+where ``indexed`` is the union of the batches — regardless of how the
+stream was cut (tests/test_streaming_ann_index.py proves row equality
+against the batch operator for 1/2/5-batch cuts and a real
+maxFilesPerTrigger stream).  This holds by construction: buckets are a
+pure function of (embedding, planes, seed), and the search reuses the
+batch join/rerank expressions term for term.
+
+The plane count is PINNED per index (stored buckets bake it in) — the
+streaming trade against the batch path's ``auto_num_planes``: growing a
+live index past ``target_block << planes`` vectors means oversized
+buckets until a re-index job rebuckets under more planes (a one-pass
+kernel over the state table; the versioned table's commit makes the
+swap atomic).  ``plane_budget_exceeded`` surfaces when that is due.
+
+Exactly-once: the versioned table's app-id-scoped batch watermark makes
+the append idempotent under Structured Streaming's at-least-once replay
+(same mechanism as the cascade — a replayed batch no-ops before any
+state read).
+
+Scale notes (100 TB): the per-batch work is a narrow Arrow kernel pass
+(no shuffle) + an append; a search shuffles only the model-sized query
+side (the state side would be bucketed storage at cluster scale, making
+the equi-join exchange-free).  State grows with the corpus the pipeline
+is indexing anyway; vacuum() bounds manifest history.
+
+Reference basis: the reference pipeline maintains per-tenant consumer
+state at ingest (docs/architecture.md:113-118); this composes the
+SURVEY §2 similarity family into that streaming shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pulsar_ingestion_spark.operators.similarity import (
+    auto_num_planes,
+    signlsh_buckets,
+)
+from pulsar_ingestion_spark.operators.versioned import VersionedTable
+
+
+def stream_ann_index(
+    state_root: str,
+    app_id: str,
+    dim: int,
+    num_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """foreachBatch target: bucket the batch's embeddings with the
+    index's pinned hyperplanes and append them to the versioned state
+    exactly once.  Usage::
+
+        q = (emb_stream.writeStream
+               .foreachBatch(stream_ann_index(root, app_id=ckpt, dim=64))
+               .option("checkpointLocation", ckpt).start())
+
+    Query the index with :func:`ann_search`.
+    """
+    table = VersionedTable(state_root)
+    commit = table.stream_batch_committer(app_id)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if table._batch_already_committed(batch_id, app_id):
+            return  # replayed batch — index already advanced
+        b = signlsh_buckets(
+            batch_df.select(id_col, vec_col), dim, num_planes,
+            id_col, vec_col, seed,
+        )
+        commit(
+            b.select(
+                F.col("id").alias(id_col),
+                F.col("vec").alias(vec_col),
+                "bucket",
+            ),
+            batch_id,
+        )
+
+    return process
+
+
+def ann_search(
+    spark: SparkSession,
+    state_root: str,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    num_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k ANN against the indexed-so-far state — the exact
+    expressions of :func:`operators.similarity.knn_lsh` with the
+    candidate side read from the index instead of rebucketed, so the
+    result equals the batch operator over the same vectors at any
+    stream cut.  ``num_planes``/``seed`` must match the index's."""
+    state = VersionedTable(state_root).read(spark)
+    qb = signlsh_buckets(queries, dim, num_planes, id_col, vec_col, seed)
+    from pulsar_ingestion_spark.functions.vectors import cosine_rounded
+
+    scored = (
+        qb.alias("q")
+        .join(
+            state.alias("c"),
+            (F.col("q.bucket") == F.col("c.bucket"))
+            & (F.col("q.id") != F.col(f"c.{id_col}")),
+        )
+        .withColumn("cos_sim", cosine_rounded(F.col("q.vec"), F.col(f"c.{vec_col}"), 6))
+    )
+    w = Window.partitionBy(F.col("q.id")).orderBy(
+        F.desc("cos_sim"), F.asc(F.col(f"c.{id_col}"))
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("q.id").alias("query_id"),
+            F.col(f"c.{id_col}").alias("cand_id"),
+            "cos_sim",
+            "rank",
+        )
+    )
+
+
+def plane_budget_exceeded(
+    spark: SparkSession,
+    state_root: str,
+    num_planes: int,
+    target_block: int = 512,
+) -> bool:
+    """True when the index has outgrown its pinned plane count — i.e.
+    ``auto_num_planes`` would pick MORE planes for the current corpus
+    size than the index bakes into its stored buckets.  The operator
+    answer is a re-index job (one kernel pass over the state rows under
+    the larger plane count, committed as a new version)."""
+    n = VersionedTable(state_root).read(spark).count()
+    return auto_num_planes(n, target_block=target_block, lo=1, hi=64) > num_planes
