@@ -53,19 +53,27 @@ MEDIA_SCHEMA = StructType([
 _MAGIC = b"SYNM"  # synthetic media header: MAGIC + u16 width + u16 height
 
 
-def synthesize_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def synthesize_media(
+    df: DataFrame, id_col: str = "doc_id", content_col: str | None = None
+) -> DataFrame:
     """Deterministic fake media blobs from any id column — header carries
     (width, height) derived from the id, body is a seeded byte pattern.
-    Gives the pipeline real binary columns to push around."""
+    Gives the pipeline real binary columns to push around.
+
+    ``content_col`` (optional) seeds the PAYLOAD independently of the
+    media id — colliding content keys yield byte-identical payloads
+    under distinct ids, the dup structure byte-level dedup needs."""
     idc = F.col(id_col).cast("long")
-    w = (idc % 64 + 16).cast("int")
-    h = (idc % 48 + 16).cast("int")
+    ck_name = content_col or id_col
+    ckc = F.col(ck_name).cast("long")
+    w = (ckc % 64 + 16).cast("int")
+    h = (ckc % 48 + 16).cast("int")
     header = F.concat(
         F.lit(_MAGIC),
-        F.expr(f"unhex(lpad(hex(CAST({id_col} % 64 + 16 AS INT)), 4, '0'))"),
-        F.expr(f"unhex(lpad(hex(CAST({id_col} % 48 + 16 AS INT)), 4, '0'))"),
+        F.expr(f"unhex(lpad(hex(CAST({ck_name} % 64 + 16 AS INT)), 4, '0'))"),
+        F.expr(f"unhex(lpad(hex(CAST({ck_name} % 48 + 16 AS INT)), 4, '0'))"),
     )
-    body = F.sha2(idc.cast("string"), 256).cast("binary")
+    body = F.sha2(ckc.cast("string"), 256).cast("binary")
     return df.select(
         idc.alias("media_id"),
         F.concat(header, body).alias("payload"),

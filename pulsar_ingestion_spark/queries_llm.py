@@ -2414,3 +2414,58 @@ def q_dedup_lsh_recall_eval(spark, sf_dir):
             F.col("n_lsh").cast("double") / F.col("n_exact"), 6
         ).alias("recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 10: byte-level exact dedup of binary media payloads — the dedup
+# family crossed with the multimodal column plumbing (dedup before decode
+# is the cheapest dedup a 100 TB media pipeline has: one digest shuffle,
+# no codec anywhere).
+
+_MM_DEDUP_MOD = 97
+
+_MM_DEDUP_ORACLE = f"""
+WITH p AS (
+  SELECT doc_id,
+    ('SYNM'::BLOB
+     || unhex(lpad(hex((doc_id % {_MM_DEDUP_MOD}) % 64 + 16), 4, '0'))
+     || unhex(lpad(hex((doc_id % {_MM_DEDUP_MOD}) % 48 + 16), 4, '0'))
+     || encode(sha256(CAST(doc_id % {_MM_DEDUP_MOD} AS VARCHAR)))) AS payload
+  FROM documents
+)
+SELECT md5(hex(payload)) AS content_hash,
+       CAST(min(doc_id) AS BIGINT) AS canonical_media_id,
+       CAST(count(*) AS BIGINT) AS dup_cnt,
+       CAST(max(octet_length(payload)) AS BIGINT) AS byte_len
+FROM p GROUP BY 1
+"""
+
+
+@query("multimodal_dedup_bytes", oracle=_MM_DEDUP_ORACLE)
+def q_multimodal_dedup_bytes(spark, sf_dir):
+    """Exact-content dedup over the binary payload column: md5 of the
+    (uppercase-hex-encoded) bytes → canonical min media id + dup count —
+    the media twin of dedup_exact, run BEFORE any decode so duplicate
+    blobs never cost codec CPU or a second copy downstream.  One digest
+    shuffle over 16-byte keys; the payload itself never shuffles (the
+    digest is computed in the scan stage).  Dup structure comes from
+    synthesize_media's content_col seeding (doc_id % {mod} collides);
+    the hex-string hash (md5(hex(payload))) is the engine-portable blob
+    hash — DuckDB's md5 only takes VARCHAR, and both engines emit
+    UPPERCASE hex for binary."""
+    from pulsar_ingestion_spark.operators.multimodal import synthesize_media
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    media = synthesize_media(
+        docs.select(
+            "doc_id", (F.col("doc_id") % _MM_DEDUP_MOD).alias("content_key")
+        ),
+        content_col="content_key",
+    )
+    return media.groupBy(
+        F.md5(F.hex(F.col("payload"))).alias("content_hash")
+    ).agg(
+        F.min("media_id").cast("bigint").alias("canonical_media_id"),
+        F.count(F.lit(1)).alias("dup_cnt"),
+        F.max(F.length("payload")).cast("bigint").alias("byte_len"),
+    )

@@ -694,3 +694,91 @@ def q_exp_sprt_boundary(spark, sf_dir):
         .when(fr.isNotNull(), "accept_h0")
         .otherwise("continue").alias("decision"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 10: t-closeness — the third leg of the privacy-audit family
+# (k-anonymity bounds class size, l-diversity bounds sensitive-value
+# homogeneity, t-closeness bounds how much a class's sensitive
+# DISTRIBUTION deviates from the global one).
+
+_TCLOSE_T = 0.25
+
+_TCLOSE_ORACLE = f"""
+WITH cnt AS (
+  SELECT c_nationkey, CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+         c_mktsegment, count(*) AS c
+  FROM customer GROUP BY 1, 2, 3
+), cls AS (
+  SELECT c_nationkey, bal_bucket, CAST(SUM(c) AS BIGINT) AS group_size
+  FROM cnt GROUP BY 1, 2
+), seg AS (
+  SELECT c_mktsegment, CAST(SUM(c) AS BIGINT) AS g FROM cnt GROUP BY 1
+), tot AS (SELECT CAST(SUM(c) AS BIGINT) AS nn FROM cnt),
+dense AS (
+  SELECT cls.c_nationkey, cls.bal_bucket, cls.group_size,
+         COALESCE(cnt.c, 0) AS c, seg.g, tot.nn
+  FROM cls CROSS JOIN seg CROSS JOIN tot
+  LEFT JOIN cnt ON cnt.c_nationkey = cls.c_nationkey
+               AND cnt.bal_bucket = cls.bal_bucket
+               AND cnt.c_mktsegment = seg.c_mktsegment
+), scored AS (
+  SELECT c_nationkey, bal_bucket, group_size,
+         0.5 * CAST(SUM(CAST(round(
+             abs(CAST(c AS DOUBLE) / group_size - CAST(g AS DOUBLE) / nn), 6)
+           AS DECIMAL(18,6))) AS DOUBLE) AS tvd
+  FROM dense GROUP BY 1, 2, 3
+)
+SELECT c_nationkey, bal_bucket, group_size, tvd,
+       (tvd > {_TCLOSE_T}) AS violates_t
+FROM scored
+"""
+
+
+@query("privacy_t_closeness", oracle=_TCLOSE_ORACLE)
+def q_privacy_t_closeness(spark, sf_dir):
+    """t-closeness audit under the (nation, $1000 balance bucket)
+    quasi-identifier: per equivalence class, the total-variation
+    distance (the equal-ground-distance EMD for categorical attributes,
+    Li et al. 2007) between the class's market-segment distribution and
+    the global one; classes with tvd > t are skew-attack targets even
+    when k and l pass.  Plan: one (QI, segment) count shuffle; the class
+    and segment marginals are aggregates OF that relation; the dense
+    class×segment grid (absent segments contribute |0 - g/N|) comes
+    from a crossJoin with the broadcast 5-row segment marginal.  Per
+    term round-6 then DECIMAL-sum so the fold is order-free."""
+    cu = load_tables(spark, sf_dir)["customer"]
+    cnt = cu.groupBy(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_bucket"),
+        "c_mktsegment",
+    ).agg(F.count(F.lit(1)).alias("c"))
+    cls = cnt.groupBy("c_nationkey", "bal_bucket").agg(
+        F.sum("c").cast("bigint").alias("group_size")
+    )
+    seg = cnt.groupBy("c_mktsegment").agg(F.sum("c").cast("bigint").alias("g"))
+    tot = cnt.agg(F.sum("c").cast("bigint").alias("nn"))
+    dense = (
+        cls.crossJoin(F.broadcast(seg))
+        .crossJoin(F.broadcast(tot))
+        .join(cnt, ["c_nationkey", "bal_bucket", "c_mktsegment"], "left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
+    )
+    term = F.round(
+        F.abs(
+            F.col("c").cast("double") / F.col("group_size")
+            - F.col("g").cast("double") / F.col("nn")
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    # tvd = 0.5 × an exact small-decimal sum: the ×0.5 is IEEE-exact and
+    # the cast is sub-2^53, so NO trailing round — rounding 0.5·(odd
+    # 6-dp sum) is a true decimal half-way and the engines' double
+    # rounds split (found at sf0.1: 4 rows off by 1e-6)
+    scored = dense.groupBy("c_nationkey", "bal_bucket", "group_size").agg(
+        (F.sum(term).cast("double") * 0.5).alias("tvd")
+    )
+    return scored.select(
+        "c_nationkey", "bal_bucket", "group_size", "tvd",
+        (F.col("tvd") > _TCLOSE_T).alias("violates_t"),
+    )

@@ -2344,3 +2344,84 @@ def q_stats_ks_uniform(spark, sf_dir):
         F.max(n).cast("bigint").alias("n"),
         F.round(F.max(gap), 6).alias("ks_d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 10: two-sample Welch t — completing the two-sample family next to
+# the rank-based stats_mann_whitney and the omnibus stats_anova_oneway.
+
+_WELCH_ORACLE = """
+WITH g AS (
+  SELECT event_type, count(*) AS n,
+         SUM(CAST(value AS DECIMAL(18,4))) AS s,
+         SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS ss
+  FROM events WHERE event_type IN ('click', 'error') GROUP BY event_type
+), m AS (
+  SELECT
+    MAX(CASE WHEN event_type = 'click' THEN n END) AS na,
+    MAX(CASE WHEN event_type = 'click' THEN CAST(s AS DOUBLE) END) AS sa,
+    MAX(CASE WHEN event_type = 'click' THEN CAST(ss AS DOUBLE) END) AS ssa,
+    MAX(CASE WHEN event_type = 'error' THEN n END) AS nb,
+    MAX(CASE WHEN event_type = 'error' THEN CAST(s AS DOUBLE) END) AS sb,
+    MAX(CASE WHEN event_type = 'error' THEN CAST(ss AS DOUBLE) END) AS ssb
+  FROM g
+), v AS (
+  SELECT na, nb, sa / na AS ma, sb / nb AS mb,
+         (ssa - sa * sa / na) / (na - 1) / na AS van,
+         (ssb - sb * sb / nb) / (nb - 1) / nb AS vbn
+  FROM m
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+       round((ma - mb) / sqrt(van + vbn), 6) AS t_statistic,
+       round((van + vbn) * (van + vbn)
+             / (van * van / (na - 1) + vbn * vbn / (nb - 1)), 4) AS df_welch
+FROM v
+"""
+
+
+@query("stats_welch_ttest", oracle=_WELCH_ORACLE)
+def q_stats_welch_ttest(spark, sf_dir):
+    """Welch's unequal-variance two-sample t over the click-vs-error
+    value streams: per-group exact DECIMAL moments (one map-side-combined
+    aggregate), then scalar IEEE arithmetic — t statistic and the
+    Welch–Satterthwaite df.  The decimal→double ss cast carries the
+    documented 1-ulp DuckDB headroom (anova precedent: trailing rounds
+    at 6/4 dp dominate a ~1e-14 absolute drift)."""
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    vd = F.col("value").cast("decimal(18,4)")
+    g = (
+        ev.filter(F.col("event_type").isin("click", "error"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(vd).alias("s"),
+             F.sum(vd * vd).alias("ss"))
+    )
+
+    def pick(col, t):
+        return F.max(F.when(F.col("event_type") == t, F.col(col)))
+
+    m = g.agg(
+        pick("n", "click").alias("na"),
+        pick("s", "click").cast("double").alias("sa"),
+        pick("ss", "click").cast("double").alias("ssa"),
+        pick("n", "error").alias("nb"),
+        pick("s", "error").cast("double").alias("sb"),
+        pick("ss", "error").cast("double").alias("ssb"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    ma = F.col("sa") / na
+    mb = F.col("sb") / nb
+    van = (F.col("ssa") - F.col("sa") * F.col("sa") / na) / (na - 1) / na
+    vbn = (F.col("ssb") - F.col("sb") * F.col("sb") / nb) / (nb - 1) / nb
+    return m.select(
+        na.cast("bigint").alias("n_a"),
+        nb.cast("bigint").alias("n_b"),
+        F.round(ma, 6).alias("mean_a"),
+        F.round(mb, 6).alias("mean_b"),
+        F.round((ma - mb) / F.sqrt(van + vbn), 6).alias("t_statistic"),
+        F.round(
+            (van + vbn) * (van + vbn)
+            / (van * van / (na - 1) + vbn * vbn / (nb - 1)),
+            4,
+        ).alias("df_welch"),
+    )

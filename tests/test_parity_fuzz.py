@@ -131,3 +131,38 @@ def test_duckdb_decimal_multiply_overflow_asymmetry(spark, duck):
         .count()
     )
     assert n == 1  # Spark evaluates the same expression fine
+
+
+def test_spark_rollup_empty_input_divergence(spark, duck):
+    """Fuzzer finding #3 (grammar v6, first soak): GROUP BY ROLLUP/CUBE
+    over an EMPTY input emits ZERO rows in Spark (DataFrame rollup/cube
+    AND spark.sql) but the ANSI grand-total row (NULL key, count 0) in
+    DuckDB — the empty grouping set behaves like a global aggregate
+    there.  Portable-oracle rule: rollup/cube SQL twins append
+    ``HAVING count(*) > 0`` (real groups always carry count >= 1, so
+    it is a no-op on non-empty inputs and removes exactly the
+    empty-input grand-total row).  Pinned on BOTH engines so an
+    upgrade that changes either behavior is surfaced."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1,)], "k long").filter(F.col("k") > 99)
+    assert df.rollup(F.col("k")).agg(F.count(F.lit(1)).alias("c")).collect() == []
+    assert df.cube(F.col("k")).agg(F.count(F.lit(1)).alias("c")).collect() == []
+    # global aggregate over empty input DOES emit its row on both engines
+    assert df.agg(F.count(F.lit(1)).alias("c")).collect()[0]["c"] == 0
+    duck_rows = duck.execute(
+        "SELECT k, count(*) c FROM (SELECT CAST(1 AS BIGINT) k WHERE 1=0) t"
+        " GROUP BY ROLLUP(k)"
+    ).fetchall()
+    assert duck_rows == [(None, 0)]  # DuckDB: ANSI grand-total row
+    guarded = duck.execute(
+        "SELECT k, count(*) c FROM (SELECT CAST(1 AS BIGINT) k WHERE 1=0) t"
+        " GROUP BY ROLLUP(k) HAVING count(*) > 0"
+    ).fetchall()
+    assert guarded == []  # the portable twin matches Spark
+    # and the guard is a no-op on non-empty input
+    full = duck.execute(
+        "SELECT k, count(*) c FROM (SELECT CAST(1 AS BIGINT) k) t"
+        " GROUP BY ROLLUP(k) HAVING count(*) > 0 ORDER BY k NULLS FIRST"
+    ).fetchall()
+    assert full == [(None, 1), (1, 1)]

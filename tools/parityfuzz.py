@@ -38,6 +38,19 @@ claim is parity-exact, while probing the known hazard classes:
   row_number is deliberately NOT in the grammar: the fixture has
   duplicate rows, so it is not deterministic under value ties.
 
+Grammar v6 additions (VERDICT r9 item 6):
+
+* HAVING over integer-valued aggregates (the agg expression repeated in
+  the HAVING clause — no alias-reference dialect dependence);
+* GROUP BY ROLLUP / CUBE (DataFrame rollup()/cube() vs SQL grouping
+  sets; super-aggregate NULL rows compared as ordinary values);
+* correlated scalar subqueries (SELECT agg FROM orders WHERE
+  o_orderkey = l_orderkey): the SAME SQL text runs on both engines —
+  Spark side via spark.sql — probing Catalyst's decorrelation;
+* the documents table as a text-function namespace (pure-ASCII fixture)
+  with trim / replace / strpos(instr) / LIKE added to the expression
+  grammar for every namespace.
+
 Usage:
     python tools/parityfuzz.py [--examples 200] [--sf-dir /root/testdata/sf0.001]
 
@@ -91,6 +104,18 @@ _EV_NS = {
 }
 _MUL_MOD = 100_003  # keeps any product well under 2^63
 
+# documents: the text-function namespace (grammar v6).  The fixture text
+# is pure ASCII (measured), so case/substr/strpos semantics are
+# byte-identical across engines; no dbl/ts columns -> the strategies
+# guard on empty lists.
+_DOC_NS = {
+    "ints": ["doc_id", "n_chars"],
+    "strs": ["lang", "source", "text"],
+    "dbls": [],
+    "tss": [],
+    "json": [],
+}
+
 # back-compat aliases (v1 names)
 INT_COLS, DBL_COLS, STR_COLS = LI_INT, LI_DBL, LI_STR
 
@@ -99,6 +124,9 @@ INT_COLS, DBL_COLS, STR_COLS = LI_INT, LI_DBL, LI_STR
 # strategies (plans are plain nested tuples: hashable, shrinkable)
 # ---------------------------------------------------------------------------
 
+_NEEDLES = ["a", "e", "s", "th", "an", "sc", "q", " "]
+
+
 def int_exprs(depth: int = 3, ns=_LI_NS):
     leaf = st.one_of(
         st.sampled_from(ns["ints"]).map(lambda c: ("icol", c)),
@@ -106,7 +134,11 @@ def int_exprs(depth: int = 3, ns=_LI_NS):
         # epoch-µs extraction (the integer-time-arithmetic convention);
         # mod-reduced at the leaf so epoch magnitudes (~1.7e15 µs) can't
         # push downstream SUM/mul chains past int64
-        st.sampled_from(ns["tss"]).map(lambda c: ("epochus", c)),
+        *(
+            [st.sampled_from(ns["tss"]).map(lambda c: ("epochus", c))]
+            if ns["tss"]
+            else []
+        ),
         *(
             [st.sampled_from(ns["json"]).map(lambda ck: ("jint", ck[0], ck[1]))]
             if ns["json"]
@@ -123,6 +155,9 @@ def int_exprs(depth: int = 3, ns=_LI_NS):
         st.tuples(st.just("case"), preds(depth - 1, ns), sub, sub),
         st.tuples(st.just("nullif"), sub, st.integers(min_value=0, max_value=9)),
         st.tuples(st.just("len"), str_exprs(depth - 1, ns)),
+        # v6: 1-based first-occurrence position, 0 when absent (Spark
+        # instr <-> DuckDB strpos, identical incl. NULL propagation)
+        st.tuples(st.just("strpos"), str_exprs(depth - 1, ns), st.sampled_from(_NEEDLES)),
     )
 
 
@@ -131,14 +166,18 @@ def str_exprs(depth: int = 2, ns=_LI_NS):
         st.sampled_from(ns["strs"]).map(lambda c: ("scol", c)),
         st.text(alphabet="ANRFO x", min_size=0, max_size=4).map(lambda s: ("slit", s)),
         # second-precision timestamp render (the output-format convention)
-        st.sampled_from(ns["tss"]).map(lambda c: ("tsfmt", c)),
+        *(
+            [st.sampled_from(ns["tss"]).map(lambda c: ("tsfmt", c))]
+            if ns["tss"]
+            else []
+        ),
     )
     if depth <= 0:
         return leaf
     sub = str_exprs(depth - 1, ns)
     return st.one_of(
         leaf,
-        st.tuples(st.sampled_from(["upper", "lower"]), sub),
+        st.tuples(st.sampled_from(["upper", "lower", "trim"]), sub),
         st.tuples(
             st.just("substr"),
             sub,
@@ -146,6 +185,12 @@ def str_exprs(depth: int = 2, ns=_LI_NS):
             st.integers(min_value=0, max_value=4),
         ),
         st.tuples(st.just("concat"), sub, sub),
+        # v6: literal replace (NON-EMPTY needle — replace(s, '', x)
+        # diverges across engines by definition choices)
+        st.tuples(
+            st.just("replace"), sub, st.sampled_from(_NEEDLES),
+            st.text(alphabet="xy_", min_size=0, max_size=2),
+        ),
     )
 
 
@@ -160,6 +205,14 @@ def preds(depth: int = 2, ns=_LI_NS):
         st.tuples(
             st.just("isnull"),
             st.tuples(st.just("nullif"), int_exprs(0, ns), st.integers(min_value=0, max_value=9)),
+        ),
+        # v6: LIKE with %/_ wildcards (identical semantics + NULL
+        # propagation on both engines; patterns stay quote-free)
+        st.tuples(
+            st.just("like"),
+            str_exprs(0, ns),
+            st.sampled_from(_NEEDLES),
+            st.sampled_from(["%{}%", "{}%", "%{}", "%{}_%"]),
         ),
     )
     if depth <= 0:
@@ -176,11 +229,14 @@ def agg_specs(ns=_LI_NS):
     opts = [
         st.just(("count_star",)),
         st.tuples(st.sampled_from(["count", "countd", "min", "max", "sum", "avg"]), int_exprs(2, ns)),
-        st.tuples(st.sampled_from(["mind", "maxd"]), st.sampled_from(ns["dbls"])),
-        # the double-SUM/AVG convention: DECIMAL(18,4) partial sums, cast
-        # back to double — exact decimal arithmetic, no summation-order ULP
-        st.tuples(st.sampled_from(["sumd4", "avgd4"]), st.sampled_from(ns["dbls"])),
     ]
+    if ns["dbls"]:
+        opts += [
+            st.tuples(st.sampled_from(["mind", "maxd"]), st.sampled_from(ns["dbls"])),
+            # the double-SUM/AVG convention: DECIMAL(18,4) partial sums, cast
+            # back to double — exact decimal arithmetic, no summation-order ULP
+            st.tuples(st.sampled_from(["sumd4", "avgd4"]), st.sampled_from(ns["dbls"])),
+        ]
     if set(RATE_DBL) <= set(ns["dbls"]):
         # the TPC-H Q1 shape: SUM(a * (1 - b)) in DECIMAL; b must be a
         # bounded rate column (see RATE_DBL note)
@@ -208,19 +264,70 @@ def win_funcs(ns=_LI_NS):
     )
 
 
-_SOURCES = [("li",), ("ij",), ("lj",), ("semi",), ("anti",), ("ev",)]
+_SOURCES = [("li",), ("ij",), ("lj",), ("semi",), ("anti",), ("ev",), ("doc",)]
+
+# integer-valued aggregate ops: safe HAVING comparands (bigint both sides)
+_INT_AGGS = {"count_star", "count", "countd", "min", "max", "sum"}
+
+# correlated scalar subquery inner aggregates (grammar v6): orders
+# aggregated per outer l_orderkey.  count over an empty group is 0 on
+# both engines (scalar subquery with no rows -> NULL, BUT count(*)
+# still returns 0 for an aggregate over zero rows — identical rule in
+# Spark and DuckDB); min/max/sum over empty -> NULL on both.
+_CSUB_AGGS = [
+    ("cnt",),
+    ("maxi", "o_custkey"), ("mini", "o_custkey"), ("sumi", "o_custkey"),
+    ("maxd", "o_totalprice"), ("mind", "o_totalprice"),
+]
+
+# csub runs ONE SQL text on both engines, so its outer predicate must
+# stay inside the dialect-portable subset: no ts (epoch_us vs
+# unix_micros), no json (json_extract_string vs get_json_object), and
+# depth 1 so strpos/len nonterminals (instr vs strpos) can't appear.
+_CSUB_NS = {"ints": LI_INT, "strs": LI_STR, "dbls": [], "tss": [], "json": []}
 
 
 @st.composite
 def plans(draw):
     src = draw(st.sampled_from(_SOURCES))
-    ns = _BOTH_NS if src[0] in ("ij", "lj") else (_EV_NS if src[0] == "ev" else _LI_NS)
+    ns = (
+        _BOTH_NS if src[0] in ("ij", "lj")
+        else _EV_NS if src[0] == "ev"
+        else _DOC_NS if src[0] == "doc"
+        else _LI_NS
+    )
     where = draw(st.none() | preds(2, ns))
-    shape = draw(st.sampled_from(["proj", "agg", "win"]))
+    shape = draw(st.sampled_from(["proj", "agg", "win", "aggroll", "csub"]))
+    if shape == "csub":
+        # correlated scalar subquery (v6): fixed lineitem outer shape;
+        # both engines run the SAME SQL text (Spark side via spark.sql)
+        inner = draw(st.sampled_from(_CSUB_AGGS))
+        inner_mod = draw(
+            st.none()
+            | st.tuples(st.integers(min_value=2, max_value=5),
+                        st.integers(min_value=0, max_value=4))
+        )
+        return ("csub", inner, inner_mod, draw(st.none() | preds(1, _CSUB_NS)))
+    if shape == "aggroll":
+        # ROLLUP/CUBE grouping sets (v6)
+        mode = draw(st.sampled_from(["rollup", "cube"]))
+        keys = draw(st.lists(group_keys(ns), min_size=1, max_size=2, unique=True))
+        aggs = draw(st.lists(agg_specs(ns), min_size=1, max_size=3))
+        return ("aggroll", mode, src, where, tuple(keys), tuple(aggs))
     if shape == "agg":
         keys = draw(st.lists(group_keys(ns), min_size=0, max_size=2, unique=True))
         aggs = draw(st.lists(agg_specs(ns), min_size=1, max_size=3))
-        return ("agg", src, where, tuple(keys), tuple(aggs))
+        having = None
+        int_idx = [i for i, a in enumerate(aggs) if a[0] in _INT_AGGS]
+        if keys and int_idx and draw(st.booleans()):
+            # HAVING over an integer-valued aggregate (v6)
+            having = (
+                "h",
+                draw(st.sampled_from(["<", "<=", "=", "<>", ">", ">="])),
+                draw(st.sampled_from(int_idx)),
+                draw(st.integers(min_value=0, max_value=50)),
+            )
+        return ("agg", src, where, tuple(keys), tuple(aggs), having)
     if shape == "win":
         pkey = draw(group_keys(ns))
         oexpr = draw(int_exprs(2, ns))
@@ -270,6 +377,8 @@ def _sp_int(e):
         return F.unix_micros(F.col(e[1])) % F.lit(1_000_000_000).cast("long")
     if op == "jint":
         return F.get_json_object(F.col(e[1]), f"$.{e[2]}").cast("long")
+    if op == "strpos":
+        return F.instr(_sp_str(e[1]), e[2]).cast("long")
     raise ValueError(op)
 
 
@@ -291,6 +400,10 @@ def _sp_str(e):
         return F.concat(_sp_str(e[1]), _sp_str(e[2]))
     if op == "tsfmt":
         return F.date_format(F.col(e[1]), "yyyy-MM-dd HH:mm:ss")
+    if op == "trim":
+        return F.trim(_sp_str(e[1]))
+    if op == "replace":
+        return F.replace(_sp_str(e[1]), F.lit(e[2]), F.lit(e[3]))
     raise ValueError(op)
 
 
@@ -305,6 +418,8 @@ def _sp_pred(p):
         }[p[1]]
     if op == "isnull":
         return _sp_int(p[1]).isNull()
+    if op == "like":
+        return _sp_str(p[1]).like(p[3].format(p[2]))
     if op == "and":
         return _sp_pred(p[1]) & _sp_pred(p[2])
     if op == "or":
@@ -361,6 +476,8 @@ def _sp_agg(a):
 def _sp_source(src, spark, sf_dir: str):
     if src[0] == "ev":
         return spark.read.parquet(f"{sf_dir}/events.parquet")
+    if src[0] == "doc":
+        return spark.read.parquet(f"{sf_dir}/documents.parquet")
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     if src[0] == "li":
         return li
@@ -373,6 +490,24 @@ def _sp_source(src, spark, sf_dir: str):
 def compile_spark(plan, spark, sf_dir: str):
     from pyspark.sql import Window
     from pyspark.sql import functions as F
+
+    if plan[0] == "csub":
+        # correlated scalar subquery: Catalyst's decorrelation vs DuckDB,
+        # SAME SQL text on both engines (views registered per call —
+        # lazy, no scan cost until execution)
+        for t in ("lineitem", "orders"):
+            spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+        return spark.sql(compile_sql(plan))
+
+    if plan[0] == "aggroll":
+        _, mode, src, where, keys, aggs = plan
+        df = _sp_source(src, spark, sf_dir)
+        if where is not None:
+            df = df.filter(_sp_pred(where))
+        kcols = [_sp_key(k).alias(f"k{i}") for i, k in enumerate(keys)]
+        acols = [_sp_agg(a).alias(f"a{i}") for i, a in enumerate(aggs)]
+        grouped = df.rollup(*kcols) if mode == "rollup" else df.cube(*kcols)
+        return grouped.agg(*acols)
 
     if plan[0] == "setop":
         _, op, src, wa, wb, projs = plan
@@ -406,9 +541,19 @@ def compile_spark(plan, spark, sf_dir: str):
         ])
     if kind == "agg":
         keys, aggs = plan[3], plan[4]
+        having = plan[5] if len(plan) > 5 else None
         kcols = [_sp_key(k).alias(f"k{i}") for i, k in enumerate(keys)]
         acols = [_sp_agg(a).alias(f"a{i}") for i, a in enumerate(aggs)]
-        return df.groupBy(*kcols).agg(*acols) if kcols else df.agg(*acols)
+        out = df.groupBy(*kcols).agg(*acols) if kcols else df.agg(*acols)
+        if having is not None:
+            _, op, idx, lit = having
+            a = F.col(f"a{idx}")
+            b = F.lit(lit).cast("long")
+            out = out.filter({
+                "<": a < b, "<=": a <= b, "=": a == b,
+                "<>": a != b, ">": a > b, ">=": a >= b,
+            }[op])
+        return out
     # win
     pkey, oexpr, wfs = plan[3], plan[4], plan[5]
     okey = _sp_int(oexpr)
@@ -459,6 +604,8 @@ def _dk_int(e) -> str:
         return f"(epoch_us({e[1]}) % 1000000000)"
     if op == "jint":
         return f"CAST(json_extract_string({e[1]}, '$.{e[2]}') AS BIGINT)"
+    if op == "strpos":
+        return f"CAST(strpos({_dk_str(e[1])}, {_sql_slit(e[2])}) AS BIGINT)"
     raise ValueError(op)
 
 
@@ -479,6 +626,10 @@ def _dk_str(e) -> str:
         return f"({_dk_str(e[1])} || {_dk_str(e[2])})"
     if op == "tsfmt":
         return f"strftime({e[1]}, '%Y-%m-%d %H:%M:%S')"
+    if op == "trim":
+        return f"trim({_dk_str(e[1])})"
+    if op == "replace":
+        return f"replace({_dk_str(e[1])}, {_sql_slit(e[2])}, {_sql_slit(e[3])})"
     raise ValueError(op)
 
 
@@ -489,6 +640,8 @@ def _dk_pred(p) -> str:
         return f"({side(p[2])} {p[1]} {side(p[3])})"
     if op == "isnull":
         return f"({_dk_int(p[1])} IS NULL)"
+    if op == "like":
+        return f"({_dk_str(p[1])} LIKE {_sql_slit(p[3].format(p[2]))})"
     if op == "and":
         return f"({_dk_pred(p[1])} AND {_dk_pred(p[2])})"
     if op == "or":
@@ -537,6 +690,8 @@ def _dk_source(src) -> tuple[str, str | None]:
     kind = src[0]
     if kind == "ev":
         return "events", None
+    if kind == "doc":
+        return "documents", None
     if kind == "li":
         return "lineitem", None
     if kind == "ij":
@@ -550,7 +705,49 @@ def _dk_source(src) -> tuple[str, str | None]:
 _SETOP_SQL = {"union": "UNION ALL", "uniondist": "UNION", "intersect": "INTERSECT", "except": "EXCEPT"}
 
 
+_CSUB_INNER = {
+    "cnt": "CAST(count(*) AS BIGINT)",
+    "maxi": "max(CAST(o_custkey AS BIGINT))",
+    "mini": "min(CAST(o_custkey AS BIGINT))",
+    "sumi": "CAST(sum(o_custkey) AS BIGINT)",  # HUGEINT hazard: cast back
+    "maxd": "max(o_totalprice)",
+    "mind": "min(o_totalprice)",
+}
+
+
 def compile_sql(plan) -> str:
+    if plan[0] == "csub":
+        _, inner, inner_mod, where = plan
+        conj = "o_orderkey = l_orderkey"
+        if inner_mod is not None:
+            m, r = inner_mod
+            conj += f" AND (CAST(o_custkey AS BIGINT) % {m}) = {r}"
+        sub = f"(SELECT {_CSUB_INNER[inner[0]]} FROM orders WHERE {conj})"
+        w = f" WHERE {_dk_pred(where)}" if where is not None else ""
+        return (
+            "SELECT CAST(l_orderkey AS BIGINT) AS c0, "
+            "CAST(l_linenumber AS BIGINT) AS c1, "
+            f"{sub} AS s0 FROM lineitem{w}"
+        )
+
+    if plan[0] == "aggroll":
+        _, mode, src, where, keys, aggs = plan
+        frm, extra = _dk_source(src)
+        conj = [c for c in (extra, _dk_pred(where) if where is not None else None) if c]
+        w = f" WHERE {' AND '.join(conj)}" if conj else ""
+        kparts = [f"{_dk_key(k)} AS k{i}" for i, k in enumerate(keys)]
+        aparts = [f"{_dk_agg(a)} AS a{i}" for i, a in enumerate(aggs)]
+        sel = ", ".join(kparts + aparts)
+        fn = "ROLLUP" if mode == "rollup" else "CUBE"
+        grp = f" GROUP BY {fn}({', '.join(_dk_key(k) for k in keys)})"
+        # fuzzer finding #3 (v6 first soak): over an EMPTY input Spark's
+        # rollup/cube emits ZERO rows while DuckDB emits the ANSI
+        # grand-total row (count 0).  Real groups always carry count >= 1,
+        # so HAVING count(*) > 0 is the exact portable twin of Spark's
+        # semantics (no-op on non-empty inputs).  Pinned in
+        # tests/test_parity_fuzz.py::test_spark_rollup_empty_input_divergence.
+        return f"SELECT {sel} FROM {frm}{w}{grp} HAVING count(*) > 0"
+
     if plan[0] == "setop":
         _, op, src, wa, wb, projs = plan
         frm, extra = _dk_source(src)
@@ -578,11 +775,16 @@ def compile_sql(plan) -> str:
         return f"SELECT {sel} FROM {frm}{w}"
     if kind == "agg":
         keys, aggs = plan[3], plan[4]
+        having = plan[5] if len(plan) > 5 else None
         kparts = [f"{_dk_key(k)} AS k{i}" for i, k in enumerate(keys)]
         aparts = [f"{_dk_agg(a)} AS a{i}" for i, a in enumerate(aggs)]
         sel = ", ".join(kparts + aparts)
         grp = f" GROUP BY {', '.join(_dk_key(k) for k in keys)}" if keys else ""
-        return f"SELECT {sel} FROM {frm}{w}{grp}"
+        hv = ""
+        if having is not None:
+            _, op, idx, lit = having
+            hv = f" HAVING {_dk_agg(aggs[idx])} {op} CAST({lit} AS BIGINT)"
+        return f"SELECT {sel} FROM {frm}{w}{grp}{hv}"
     # win — Spark's default ordered-window frame is RANGE to CURRENT ROW;
     # emit it explicitly, and pin NULLS FIRST (DuckDB ASC default is LAST)
     pkey, oexpr, wfs = plan[3], plan[4], plan[5]
@@ -601,7 +803,7 @@ def compile_sql(plan) -> str:
     return f"SELECT {', '.join(parts)} FROM {frm}{w}"
 
 
-_INT_OPS = {"icol", "ilit", "add", "sub", "mul", "abs", "case", "nullif", "len", "epochus", "jint"}
+_INT_OPS = {"icol", "ilit", "add", "sub", "mul", "abs", "case", "nullif", "len", "epochus", "jint", "strpos"}
 
 
 def _is_int_expr(e) -> bool:
@@ -662,7 +864,7 @@ def _isnan(arr):
 
 
 def register_views(con, sf_dir: str) -> None:
-    for t in ("lineitem", "orders", "events"):
+    for t in ("lineitem", "orders", "events", "documents"):
         con.execute(
             f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
