@@ -238,6 +238,10 @@ _CHECKED_PRIOR = {
 # its first hash-checked row lands here.  New round-10 queries, if any,
 # go at the FRONT of this list.
 _ROUND10_PREFIX: list[str] = [
+    # round-10 additions — first driver rows this round
+    "stats_welch_ttest",
+    "privacy_t_closeness",
+    "multimodal_dedup_bytes",
     "multimodal_features",
     # r3-latest rows, alphabetical
     "agg_bool",
@@ -286,10 +290,9 @@ _ROUND10_PREFIX: list[str] = [
     "ts_ewma",
     "ts_gapfill_15m",
     "ts_resample_15m",
-    "union_schema_evolution",
-    "unpivot_melt",
-    # r4-latest filler to round the prefix to 50
-    "agg_entropy",
+    # (union_schema_evolution / unpivot_melt / the r4 filler dropped to
+    # make room for the three round-10 additions — both remain covered
+    # via _CHECKED_PRIOR and rotate back in a later round)
 ]
 
 

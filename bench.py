@@ -105,6 +105,11 @@ HEADLINE = [
     # prediction, ~5 s base) belongs where regressions get caught every
     # round (VERDICT r8 item 5)
     "graph_jaccard_linkpred",
+    # round 10: Welch two-sample t, t-closeness privacy audit,
+    # pre-decode media payload dedup
+    "stats_welch_ttest",
+    "privacy_t_closeness",
+    "multimodal_dedup_bytes",
 ]
 
 
@@ -191,15 +196,16 @@ def main() -> None:
     # process output: BENCH_r03..r08 all recorded "parsed": null because
     # this line (with full-precision timings + the var dict) outgrew the
     # capture and the tail began mid-line.  stdout therefore gets a
-    # COMPACT twin — same contract fields, 3-decimal per-query seconds,
-    # no whitespace, no var — that fits the capture with margin (~1.9k
-    # chars at 69 queries); the sidecar file keeps full precision + var.
+    # COMPACT twin — same contract fields, 2-decimal per-query seconds
+    # (3-decimal outgrew the capture at 72 queries), no whitespace, no
+    # var — fits the capture with margin; the sidecar file keeps full
+    # precision + var.
     stdout_line = json.dumps(
         {
             "metric": "headline_queries_total_wall",
             "value": total,
             "unit": "sec",
-            "queries": {k: round(v, 3) for k, v in timings.items()},
+            "queries": {k: round(v, 2) for k, v in timings.items()},
             "sf": sf,
         },
         separators=(",", ":"),

@@ -92,7 +92,7 @@ def test_bench_stdout_line_fits_driver_tail_capture():
             "metric": d["metric"],
             "value": d["value"],
             "unit": "sec",
-            "queries": {k: round(v, 3) for k, v in d["queries"].items()},
+            "queries": {k: round(v, 2) for k, v in d["queries"].items()},
             "sf": d["sf"],
         },
         separators=(",", ":"),
