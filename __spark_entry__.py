@@ -242,6 +242,8 @@ _ROUND10_PREFIX: list[str] = [
     "stats_welch_ttest",
     "privacy_t_closeness",
     "multimodal_dedup_bytes",
+    "stats_levene_brown_forsythe",
+    "exp_power_mde",
     "multimodal_features",
     # r3-latest rows, alphabetical
     "agg_bool",
@@ -288,11 +290,10 @@ _ROUND10_PREFIX: list[str] = [
     "text_unigram_logprob",
     "text_zipf_slope",
     "ts_ewma",
-    "ts_gapfill_15m",
-    "ts_resample_15m",
-    # (union_schema_evolution / unpivot_melt / the r4 filler dropped to
-    # make room for the three round-10 additions — both remain covered
-    # via _CHECKED_PRIOR and rotate back in a later round)
+    # (union_schema_evolution / unpivot_melt / ts_gapfill_15m /
+    # ts_resample_15m / the r4 filler dropped to make room for the five
+    # round-10 additions — all remain covered via _CHECKED_PRIOR and
+    # rotate back in a later round)
 ]
 
 

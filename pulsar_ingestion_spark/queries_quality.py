@@ -782,3 +782,88 @@ def q_privacy_t_closeness(spark, sf_dir):
         "c_nationkey", "bal_bucket", "group_size", "tvd",
         (F.col("tvd") > _TCLOSE_T).alias("violates_t"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 10: experiment power / minimum-detectable-effect planning — the
+# design-time companion to exp_ab_lift (analysis) and exp_sprt_boundary
+# (sequential monitoring).
+
+# z-constants inlined as Python literals (the SPRT precedent: never
+# derive cross-engine constants from engine libm).  two-sided alpha=.05,
+# power=.80.
+_PW_Z_ALPHA = 1.959963984540054   # Phi^-1(0.975)
+_PW_Z_BETA = 0.8416212335729143   # Phi^-1(0.80)
+
+_POWER_ORACLE = f"""
+WITH g AS (
+  SELECT event_type, count(*) AS n,
+         SUM(CAST(value AS DECIMAL(18,4))) AS s,
+         SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS ss
+  FROM events WHERE event_type IN ('click', 'error') GROUP BY event_type
+), m AS (
+  SELECT
+    MAX(CASE WHEN event_type = 'click' THEN n END) AS na,
+    MAX(CASE WHEN event_type = 'click' THEN CAST(s AS DOUBLE) END) AS sa,
+    MAX(CASE WHEN event_type = 'click' THEN CAST(ss AS DOUBLE) END) AS ssa,
+    MAX(CASE WHEN event_type = 'error' THEN n END) AS nb,
+    MAX(CASE WHEN event_type = 'error' THEN CAST(s AS DOUBLE) END) AS sb,
+    MAX(CASE WHEN event_type = 'error' THEN CAST(ss AS DOUBLE) END) AS ssb
+  FROM g
+), v AS (
+  SELECT na, nb, sa / na AS ma,
+         (ssa - sa * sa / na) / (na - 1) AS va,
+         (ssb - sb * sb / nb) / (nb - 1) AS vb
+  FROM m
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       round(sqrt(va / na + vb / nb), 6) AS se,
+       round(({_PW_Z_ALPHA} + {_PW_Z_BETA}) * sqrt(va / na + vb / nb), 6)
+         AS mde_abs,
+       round(({_PW_Z_ALPHA} + {_PW_Z_BETA}) * sqrt(va / na + vb / nb) / ma, 6)
+         AS mde_rel
+FROM v
+"""
+
+
+@query("exp_power_mde", oracle=_POWER_ORACLE)
+def q_exp_power_mde(spark, sf_dir):
+    """Minimum detectable effect for the click-vs-error comparison at
+    two-sided α=.05 / power=.80: mde = (z_{α/2}+z_β)·SE with the
+    unpooled (Welch) standard error from exact DECIMAL moments — the
+    design-time question ("how small a lift could this traffic see?")
+    every experimentation platform answers before an analysis ships.
+    z-constants are Python-literal inlined (SPRT precedent)."""
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    vd = F.col("value").cast("decimal(18,4)")
+    g = (
+        ev.filter(F.col("event_type").isin("click", "error"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(vd).alias("s"),
+             F.sum(vd * vd).alias("ss"))
+    )
+
+    def pick(col, t):
+        return F.max(F.when(F.col("event_type") == t, F.col(col)))
+
+    m = g.agg(
+        pick("n", "click").alias("na"),
+        pick("s", "click").cast("double").alias("sa"),
+        pick("ss", "click").cast("double").alias("ssa"),
+        pick("n", "error").alias("nb"),
+        pick("s", "error").cast("double").alias("sb"),
+        pick("ss", "error").cast("double").alias("ssb"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    ma = F.col("sa") / na
+    va = (F.col("ssa") - F.col("sa") * F.col("sa") / na) / (na - 1)
+    vb = (F.col("ssb") - F.col("sb") * F.col("sb") / nb) / (nb - 1)
+    se = F.sqrt(va / na + vb / nb)
+    zsum = _PW_Z_ALPHA + _PW_Z_BETA
+    return m.select(
+        na.cast("bigint").alias("n_a"),
+        nb.cast("bigint").alias("n_b"),
+        F.round(se, 6).alias("se"),
+        F.round(zsum * se, 6).alias("mde_abs"),
+        F.round(zsum * se / ma, 6).alias("mde_rel"),
+    )

@@ -2425,3 +2425,83 @@ def q_stats_welch_ttest(spark, sf_dir):
             4,
         ).alias("df_welch"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 10: Brown–Forsythe robust variance-homogeneity test — the
+# assumption check that pairs with stats_anova_oneway (ANOVA assumes
+# equal group variances; BF is the median-centered Levene, robust to
+# non-normality).
+
+_BF_ORACLE = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY 1
+), z AS (
+  SELECT e.event_type, round(abs(e.value - m.med), 6) AS zr
+  FROM events e JOIN med m USING (event_type)
+), g AS (
+  SELECT event_type, count(*) AS n,
+         SUM(CAST(zr AS DECIMAL(18,6))) AS s,
+         SUM(CAST(round(zr * zr, 6) AS DECIMAL(18,6))) AS ss
+  FROM z GROUP BY 1
+), tot AS (
+  SELECT SUM(n) AS nn, SUM(s) AS ts_, SUM(ss) AS tss, count(*) AS k,
+         CAST(SUM(CAST(round(CAST(s AS DOUBLE) * s / n, 6)
+                       AS DECIMAL(28,6))) AS DOUBLE) AS bsum
+  FROM g
+)
+SELECT CAST(nn AS BIGINT) AS n, CAST(k AS BIGINT) AS k_groups,
+       round(bsum - CAST(ts_ AS DOUBLE) * CAST(ts_ AS DOUBLE) / nn, 4)
+         AS ss_between,
+       round(CAST(tss AS DOUBLE) - bsum, 4) AS ss_within,
+       round(((bsum - CAST(ts_ AS DOUBLE) * CAST(ts_ AS DOUBLE) / nn) / (k - 1))
+             / ((CAST(tss AS DOUBLE) - bsum) / (nn - k)), 6) AS f_statistic
+FROM tot
+"""
+
+
+@query("stats_levene_brown_forsythe", oracle=_BF_ORACLE)
+def q_stats_levene_brown_forsythe(spark, sf_dir):
+    """Brown–Forsythe (median-centered Levene) variance-homogeneity F
+    across event types: z = |value − group median| (exact interpolated
+    median, the tukey precedent), then the one-way ANOVA machinery on z
+    — per-group exact DECIMAL moments of the 6-dp-rounded z, the anova
+    oracle's order-free Σ(s²/n) fold, trailing 4/6-dp rounds for the
+    documented decimal→double headroom.  Plan: one median aggregate
+    broadcast back, one moment shuffle, |groups|-sized arithmetic."""
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    zr = F.round(F.abs(F.col("value") - F.col("med")), 6)
+    z = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", zr.alias("zr")
+    )
+    g = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("zr").cast("decimal(18,6)")).alias("s"),
+        F.sum(F.round(F.col("zr") * F.col("zr"), 6).cast("decimal(18,6)"))
+        .alias("ss"),
+    )
+    bterm = (
+        F.round(F.col("s").cast("double") * F.col("s") / F.col("n"), 6)
+        .cast("decimal(28,6)")
+    )
+    tot = g.agg(
+        F.sum("n").alias("nn"), F.sum("s").alias("ts_"),
+        F.sum("ss").alias("tss"), F.count(F.lit(1)).alias("k"),
+        F.sum(bterm).cast("double").alias("bsum"),
+    )
+    nn, k = F.col("nn"), F.col("k")
+    ts_, tss, bsum = (
+        F.col("ts_").cast("double"), F.col("tss").cast("double"), F.col("bsum")
+    )
+    ssb = bsum - ts_ * ts_ / nn
+    ssw = tss - bsum
+    return tot.select(
+        nn.cast("bigint").alias("n"),
+        k.cast("bigint").alias("k_groups"),
+        F.round(ssb, 4).alias("ss_between"),
+        F.round(ssw, 4).alias("ss_within"),
+        F.round((ssb / (k - 1)) / (ssw / (nn - k)), 6).alias("f_statistic"),
+    )
