@@ -166,3 +166,31 @@ def test_spark_rollup_empty_input_divergence(spark, duck):
         " GROUP BY ROLLUP(k) HAVING count(*) > 0 ORDER BY k NULLS FIRST"
     ).fetchall()
     assert full == [(None, 1), (1, 1)]
+
+
+def test_v7_constructs_expressed_in_grammar():
+    """v7 compile pins: ROWS frame emitted on the SQL side aggregates the
+    ORDER expression; rollup/cube SQL carries GROUPING() flags AND the
+    empty-input guard; set-op ALL forms; csub threshold subquery."""
+    wsql = parityfuzz.compile_sql(
+        ("win", ("li",), None, ("scol", "l_returnflag"),
+         ("icol", "l_suppkey"), (("fsum",),), ("rows", 3))
+    )
+    assert "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW" in wsql
+    assert "sum(CAST(l_suppkey AS BIGINT))" in wsql  # the ORDER expr itself
+    rsql = parityfuzz.compile_sql(
+        ("aggroll", "cube", ("li",), None,
+         (("scol", "l_returnflag"),), (("count_star",),))
+    )
+    assert "GROUP BY CUBE" in rsql and "GROUPING(" in rsql
+    assert "HAVING count(*) > 0" in rsql  # finding #3 guard retained
+    ssql = parityfuzz.compile_sql(
+        ("setop", "exceptall", ("li",), None, None,
+         (("icol", "l_linenumber"),))
+    )
+    assert "EXCEPT ALL" in ssql
+    csql = parityfuzz.compile_sql(
+        ("csub", ("cnt",), None, None, (">", "maxi"))
+    )
+    assert "(SELECT max(CAST(o_custkey AS BIGINT)) FROM orders)" in csql
+    assert csql.count("SELECT") == 3  # outer + correlated + threshold

@@ -51,6 +51,20 @@ Grammar v6 additions (VERDICT r9 item 6):
   with trim / replace / strpos(instr) / LIKE added to the expression
   grammar for every namespace.
 
+Grammar v7 additions (round 10, second pass):
+
+* ROWS-k-PRECEDING window frames — aggregating the ORDER EXPRESSION
+  itself, so duplicate-row ties are permutation-invariant (a framed
+  aggregate of an arbitrary expression is NOT deterministic under the
+  fixtures' duplicate rows — deliberate restriction);
+* INTERSECT ALL / EXCEPT ALL (bag semantics, intersectAll/exceptAll);
+* uncorrelated integer scalar-subquery thresholds in the csub WHERE
+  (exact integers only — a double avg() threshold would flip boundary
+  rows on summation-order ULP);
+* GROUPING() discriminators on every rollup/cube key (the DataFrame
+  side pre-projects key expressions — F.grouping rejects
+  expression-form keys with GROUPING_COLUMN_MISMATCH).
+
 Usage:
     python tools/parityfuzz.py [--examples 200] [--sf-dir /root/testdata/sf0.001]
 
@@ -300,16 +314,30 @@ def plans(draw):
     shape = draw(st.sampled_from(["proj", "agg", "win", "aggroll", "csub"]))
     if shape == "csub":
         # correlated scalar subquery (v6): fixed lineitem outer shape;
-        # both engines run the SAME SQL text (Spark side via spark.sql)
+        # both engines run the SAME SQL text (Spark side via spark.sql).
+        # v7 adds an optional UNCORRELATED integer scalar-subquery
+        # threshold conjunct in the outer WHERE (exact integers only —
+        # a double avg() threshold would flip boundary rows on
+        # summation-order ULP).
         inner = draw(st.sampled_from(_CSUB_AGGS))
         inner_mod = draw(
             st.none()
             | st.tuples(st.integers(min_value=2, max_value=5),
                         st.integers(min_value=0, max_value=4))
         )
-        return ("csub", inner, inner_mod, draw(st.none() | preds(1, _CSUB_NS)))
+        thr = draw(
+            st.none()
+            | st.tuples(
+                st.sampled_from(["<", "<=", ">", ">=", "<>"]),
+                st.sampled_from(["maxi", "mini", "cnt"]),
+            )
+        )
+        return (
+            "csub", inner, inner_mod, draw(st.none() | preds(1, _CSUB_NS)), thr,
+        )
     if shape == "aggroll":
-        # ROLLUP/CUBE grouping sets (v6)
+        # ROLLUP/CUBE grouping sets (v6); v7 adds GROUPING() flags so
+        # super-aggregate rows are discriminated from real NULL keys
         mode = draw(st.sampled_from(["rollup", "cube"]))
         keys = draw(st.lists(group_keys(ns), min_size=1, max_size=2, unique=True))
         aggs = draw(st.lists(agg_specs(ns), min_size=1, max_size=3))
@@ -331,8 +359,19 @@ def plans(draw):
     if shape == "win":
         pkey = draw(group_keys(ns))
         oexpr = draw(int_exprs(2, ns))
+        # v7: optional ROWS-k-PRECEDING frame.  ROWS frames are order-
+        # sensitive within ties and the fixtures carry duplicate rows,
+        # so the framed variant aggregates the ORDER EXPRESSION ITSELF —
+        # tie members are interchangeable then, making the result
+        # permutation-invariant (rank/dense_rank ignore frames).
+        frame = draw(st.none() | st.integers(min_value=0, max_value=4))
+        if frame is not None:
+            wfs = draw(st.lists(
+                st.sampled_from([("fsum",), ("fmin",), ("fcount",)]),
+                min_size=1, max_size=2, unique=True))
+            return ("win", src, where, pkey, oexpr, tuple(wfs), ("rows", frame))
         wfs = draw(st.lists(win_funcs(ns), min_size=1, max_size=3))
-        return ("win", src, where, pkey, oexpr, tuple(wfs))
+        return ("win", src, where, pkey, oexpr, tuple(wfs), None)
     projs = draw(
         st.lists(st.one_of(int_exprs(3, ns), str_exprs(2, ns)), min_size=1, max_size=4)
     )
@@ -340,8 +379,12 @@ def plans(draw):
         return ("proj", src, where, tuple(projs))
     # set operation: same projection over two differently-filtered scans
     # of the same source — probes NULL-equality in DISTINCT/set semantics
-    # (set ops treat NULLs as equal on both engines, unlike `=`)
-    kind = draw(st.sampled_from(["union", "uniondist", "intersect", "except"]))
+    # (set ops treat NULLs as equal on both engines, unlike `=`).
+    # v7 adds the multiset (ALL) forms — bag semantics with per-row
+    # multiplicity arithmetic.
+    kind = draw(st.sampled_from(
+        ["union", "uniondist", "intersect", "except",
+         "intersectall", "exceptall"]))
     where_b = draw(st.none() | preds(2, ns))
     return ("setop", kind, src, where, where_b, tuple(projs))
 
@@ -504,8 +547,15 @@ def compile_spark(plan, spark, sf_dir: str):
         df = _sp_source(src, spark, sf_dir)
         if where is not None:
             df = df.filter(_sp_pred(where))
-        kcols = [_sp_key(k).alias(f"k{i}") for i, k in enumerate(keys)]
-        acols = [_sp_agg(a).alias(f"a{i}") for i, a in enumerate(aggs)]
+        # pre-project the key expressions into real columns: F.grouping()
+        # rejects expression-form grouping keys (GROUPING_COLUMN_MISMATCH)
+        # but accepts plain columns
+        df = df.select("*", *[_sp_key(k).alias(f"k{i}") for i, k in enumerate(keys)])
+        kcols = [F.col(f"k{i}") for i in range(len(keys))]
+        acols = [_sp_agg(a).alias(f"a{i}") for i, a in enumerate(aggs)] + [
+            F.grouping(F.col(f"k{i}")).cast("long").alias(f"g{i}")
+            for i in range(len(keys))
+        ]
         grouped = df.rollup(*kcols) if mode == "rollup" else df.cube(*kcols)
         return grouped.agg(*acols)
 
@@ -528,6 +578,10 @@ def compile_spark(plan, spark, sf_dir: str):
             return a.union(b).distinct()
         if op == "intersect":
             return a.intersect(b)  # EXCEPT/INTERSECT: DISTINCT semantics
+        if op == "intersectall":
+            return a.intersectAll(b)
+        if op == "exceptall":
+            return a.exceptAll(b)
         return a.subtract(b)
 
     kind, src, where = plan[0], plan[1], plan[2]
@@ -556,14 +610,21 @@ def compile_spark(plan, spark, sf_dir: str):
         return out
     # win
     pkey, oexpr, wfs = plan[3], plan[4], plan[5]
+    fspec = plan[6] if len(plan) > 6 else None
     okey = _sp_int(oexpr)
     w = Window.partitionBy(_sp_key(pkey)).orderBy(F.asc_nulls_first(okey))
+    wf_frame = w
+    if fspec is not None:
+        wf_frame = w.rowsBetween(-fspec[1], 0)
     out = [_sp_key(pkey).alias("k0"), okey.alias("o0")]
     for i, wf in enumerate(wfs):
         if wf[0] == "rank":
             c = F.rank().over(w).cast("long")
         elif wf[0] == "dense_rank":
             c = F.dense_rank().over(w).cast("long")
+        elif wf[0] in ("fsum", "fmin", "fcount"):
+            fn = {"fsum": F.sum, "fmin": F.min, "fcount": F.count}[wf[0]]
+            c = fn(okey).over(wf_frame)
         else:
             fn = {"wsum": F.sum, "wmin": F.min, "wcount": F.count}[wf[0]]
             c = fn(_sp_int(wf[1])).over(w)
@@ -702,7 +763,11 @@ def _dk_source(src) -> tuple[str, str | None]:
     return "lineitem", exists if kind == "semi" else f"NOT {exists}"
 
 
-_SETOP_SQL = {"union": "UNION ALL", "uniondist": "UNION", "intersect": "INTERSECT", "except": "EXCEPT"}
+_SETOP_SQL = {
+    "union": "UNION ALL", "uniondist": "UNION",
+    "intersect": "INTERSECT", "except": "EXCEPT",
+    "intersectall": "INTERSECT ALL", "exceptall": "EXCEPT ALL",
+}
 
 
 _CSUB_INNER = {
@@ -717,13 +782,24 @@ _CSUB_INNER = {
 
 def compile_sql(plan) -> str:
     if plan[0] == "csub":
-        _, inner, inner_mod, where = plan
+        _, inner, inner_mod, where = plan[:4]
+        thr = plan[4] if len(plan) > 4 else None
         conj = "o_orderkey = l_orderkey"
         if inner_mod is not None:
             m, r = inner_mod
             conj += f" AND (CAST(o_custkey AS BIGINT) % {m}) = {r}"
         sub = f"(SELECT {_CSUB_INNER[inner[0]]} FROM orders WHERE {conj})"
-        w = f" WHERE {_dk_pred(where)}" if where is not None else ""
+        wparts = []
+        if where is not None:
+            wparts.append(_dk_pred(where))
+        if thr is not None:
+            # v7: uncorrelated integer scalar-subquery threshold
+            op, agg = thr
+            wparts.append(
+                f"(CAST(l_orderkey AS BIGINT) {op} "
+                f"(SELECT {_CSUB_INNER[agg]} FROM orders))"
+            )
+        w = f" WHERE {' AND '.join(wparts)}" if wparts else ""
         return (
             "SELECT CAST(l_orderkey AS BIGINT) AS c0, "
             "CAST(l_linenumber AS BIGINT) AS c1, "
@@ -736,7 +812,11 @@ def compile_sql(plan) -> str:
         conj = [c for c in (extra, _dk_pred(where) if where is not None else None) if c]
         w = f" WHERE {' AND '.join(conj)}" if conj else ""
         kparts = [f"{_dk_key(k)} AS k{i}" for i, k in enumerate(keys)]
-        aparts = [f"{_dk_agg(a)} AS a{i}" for i, a in enumerate(aggs)]
+        aparts = [f"{_dk_agg(a)} AS a{i}" for i, a in enumerate(aggs)] + [
+            # v7: GROUPING() flags discriminate super-aggregate rows
+            f"CAST(GROUPING({_dk_key(k)}) AS BIGINT) AS g{i}"
+            for i, k in enumerate(keys)
+        ]
         sel = ", ".join(kparts + aparts)
         fn = "ROLLUP" if mode == "rollup" else "CUBE"
         grp = f" GROUP BY {fn}({', '.join(_dk_key(k) for k in keys)})"
@@ -788,12 +868,22 @@ def compile_sql(plan) -> str:
     # win — Spark's default ordered-window frame is RANGE to CURRENT ROW;
     # emit it explicitly, and pin NULLS FIRST (DuckDB ASC default is LAST)
     pkey, oexpr, wfs = plan[3], plan[4], plan[5]
+    fspec = plan[6] if len(plan) > 6 else None
     over = f"PARTITION BY {_dk_key(pkey)} ORDER BY {_dk_int(oexpr)} ASC NULLS FIRST"
     frame = "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    if fspec is not None:
+        frame = f"ROWS BETWEEN {fspec[1]} PRECEDING AND CURRENT ROW"
     parts = [f"{_dk_key(pkey)} AS k0", f"{_dk_int(oexpr)} AS o0"]
     for i, wf in enumerate(wfs):
         if wf[0] in ("rank", "dense_rank"):
             parts.append(f"CAST({wf[0]}() OVER ({over}) AS BIGINT) AS w{i}")
+        elif wf[0] in ("fsum", "fmin", "fcount"):
+            # v7 ROWS frame: aggregate the ORDER EXPRESSION (tie-safe)
+            fn = {"fsum": "sum", "fmin": "min", "fcount": "count"}[wf[0]]
+            expr = f"{fn}({_dk_int(oexpr)}) OVER ({over} {frame})"
+            if wf[0] == "fsum":
+                expr = f"CAST({expr} AS BIGINT)"
+            parts.append(f"{expr} AS w{i}")
         else:
             fn = {"wsum": "sum", "wmin": "min", "wcount": "count"}[wf[0]]
             expr = f"{fn}({_dk_int(wf[1])}) OVER ({over} {frame})"
