@@ -244,6 +244,7 @@ _ROUND10_PREFIX: list[str] = [
     "multimodal_dedup_bytes",
     "stats_levene_brown_forsythe",
     "exp_power_mde",
+    "emb_outlier_mahalanobis_diag",
     "multimodal_features",
     # r3-latest rows, alphabetical
     "agg_bool",
@@ -289,11 +290,10 @@ _ROUND10_PREFIX: list[str] = [
     "text_tokenize_filter",
     "text_unigram_logprob",
     "text_zipf_slope",
-    "ts_ewma",
     # (union_schema_evolution / unpivot_melt / ts_gapfill_15m /
-    # ts_resample_15m / the r4 filler dropped to make room for the five
-    # round-10 additions — all remain covered via _CHECKED_PRIOR and
-    # rotate back in a later round)
+    # ts_resample_15m / ts_ewma / the r4 filler dropped to make room
+    # for the six round-10 additions — all remain covered via
+    # _CHECKED_PRIOR and rotate back in a later round)
 ]
 
 

@@ -2505,3 +2505,79 @@ def q_stats_levene_brown_forsythe(spark, sf_dir):
         F.round(ssw, 4).alias("ss_within"),
         F.round((ssb / (k - 1)) / (ssw / (nn - k)), 6).alias("f_statistic"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 10: diagonal-Mahalanobis embedding outlier audit — the vector-
+# quality gate an embedding pipeline runs before ANN-index build or
+# SemDeDup (a corrupt encoder batch shows up as a cluster of extreme
+# scores; a dead dimension shows up via the variance guard).
+
+_MAHA_ORACLE = """
+WITH x AS (
+  SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+), m AS (
+  SELECT dim, count(*) AS n,
+         CAST(SUM(CAST(v AS DECIMAL(18,8))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(v * v AS DECIMAL(18,8))) AS DOUBLE) AS s2
+  FROM x GROUP BY dim
+), st AS (
+  SELECT dim, round(s1 / n, 6) AS mu,
+         round(s2 / n - (s1 / n) * (s1 / n), 6) AS var
+  FROM m
+), terms AS (
+  SELECT x.vec_id,
+         CASE WHEN st.var > 0
+              THEN CAST(round((x.v - st.mu) * (x.v - st.mu) / st.var, 6)
+                        AS DECIMAL(18,6))
+              ELSE CAST(0 AS DECIMAL(18,6)) END AS term
+  FROM x JOIN st USING (dim)
+)
+SELECT vec_id, CAST(SUM(term) AS DOUBLE) AS md2,
+       CAST(count(*) AS BIGINT) AS n_dims,
+       (CAST(SUM(term) AS DOUBLE) > 2.0 * count(*)) AS is_outlier
+FROM terms GROUP BY vec_id
+"""
+
+
+@query("emb_outlier_mahalanobis_diag", oracle=_MAHA_ORACLE)
+def q_emb_outlier_mahalanobis_diag(spark, sf_dir):
+    """Per-vector diagonal Mahalanobis distance² against the corpus'
+    per-dimension mean/variance (the emb_dim_stats model, 6-dp-rounded
+    so both engines hold bitwise-equal parameters), zero-variance dims
+    guarded to 0.  Terms are round-6 + DECIMAL-summed (order-free);
+    outlier flag at the E[md²]=n_dims heuristic doubled.  Plan: the
+    posexplode shuffle folds map-side to 64 combiner rows; the 64-row
+    stats broadcast back; the per-vector sum is one vec_id shuffle —
+    all linear, no pair enumeration."""
+    emb = fan_out(load_tables(spark, sf_dir)["embeddings"], spark)
+    x = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "vf")
+    ).select("vec_id", "dim", F.col("vf").cast("double").alias("v"))
+    m = x.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("v").cast("decimal(18,8)")).cast("double").alias("s1"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(18,8)")).cast("double")
+        .alias("s2"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    st = m.select(
+        "dim",
+        F.round(s1 / n, 6).alias("mu"),
+        F.round(s2 / n - (s1 / n) * (s1 / n), 6).alias("var"),
+    )
+    term = F.when(
+        F.col("var") > 0,
+        F.round(
+            (F.col("v") - F.col("mu")) * (F.col("v") - F.col("mu")) / F.col("var"),
+            6,
+        ).cast("decimal(18,6)"),
+    ).otherwise(F.lit(0).cast("decimal(18,6)"))
+    terms = x.join(F.broadcast(st), "dim").select("vec_id", term.alias("term"))
+    md2 = F.sum("term").cast("double")
+    return terms.groupBy("vec_id").agg(
+        md2.alias("md2"),
+        F.count(F.lit(1)).alias("n_dims"),
+        (md2 > 2.0 * F.count(F.lit(1))).alias("is_outlier"),
+    )
