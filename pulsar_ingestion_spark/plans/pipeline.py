@@ -102,6 +102,15 @@ class PipelineSpec:
     # cap rows per output file (parquet writer splits beyond this) — the
     # per-tenant file-sizing knob; None = Spark default (no cap)
     max_records_per_file: int | None = None
+    # Topic publish (relay) mode — the reference Filterer's per-tenant
+    # publish (Filterer.kt dynamic outputs; deployment/pipeline.yaml
+    # relay): when set, the routed stream publishes to a topic sink
+    # instead of landing parquet.  {"kind": "pulsar"|"kafka"|"eventhub"|
+    # "jsonl", "topic_prefix": "...", **connector options} — each record
+    # goes to topic `<topic_prefix><tenantId>` via open_topic_sink's
+    # dynamic-topic contract (jsonl = broker-less bridge, value lines
+    # partitioned by topic dir).
+    publish: dict | None = None
 
 
 
@@ -187,6 +196,42 @@ def run_pipeline(spark: SparkSession, spec: PipelineSpec, streaming: bool = True
         F.count(F.lit(1)).alias("routed"),
         F.approx_count_distinct("tenantId").alias("tenants"),
     )
+    if spec.publish is not None:
+        # relay topology: publish per-tenant instead of landing parquet
+        from pulsar_ingestion_spark.sources.registry import open_topic_sink
+
+        opts = dict(spec.publish)
+        kind = opts.pop("kind")
+        prefix = opts.pop("topic_prefix", "tenant-")
+        topic_frame = out.select(
+            F.concat(F.lit(prefix), F.col("tenantId")).alias("__route_topic"),
+            "value",
+        )
+        writer = open_topic_sink(
+            topic_frame, kind, streaming=streaming,
+            topic_column="__route_topic", **opts,
+        )
+        if not streaming:
+            writer.mode("append").save()
+            if dead is not None:
+                dead.write.mode("append").parquet(spec.dead_letter_path)
+            return None
+        assert spec.checkpoint, "streaming pipeline needs a checkpoint dir"
+        dead_query = None
+        if dead is not None:
+            dead_query = (
+                _with_trigger(
+                    dead.writeStream.format("parquet")
+                    .option("path", spec.dead_letter_path)
+                    .option("checkpointLocation", spec.checkpoint + "-dead"),
+                    spec,
+                ).start()
+            )
+        main = _with_trigger(
+            writer.option("checkpointLocation", spec.checkpoint), spec
+        ).start()
+        return PipelineRun(main=main, dead_letter=dead_query)
+
     if not streaming:
         out.write.mode("append").partitionBy("tenantId").parquet(spec.output_path)
         if dead is not None:

@@ -246,6 +246,12 @@ def open_topic_sink(
         return writer
     if kind == "jsonl":
         path = options.pop("path")
+        if topic_column is not None:
+            # dynamic routing in the bridge: one `topic=` dir per target
+            # (text sink keeps exactly one data column — `value`)
+            sel = df.select(F.col(topic_column).alias("topic"), "value")
+            writer = (sel.writeStream if streaming else sel.write).format("text")
+            return writer.partitionBy("topic").option("path", path)
         writer = (df.select("value").writeStream if streaming else df.select("value").write).format("text")
         return writer.option("path", path)
     raise ValueError(f"unknown sink kind: {kind} (known: {SINK_KINDS})")
