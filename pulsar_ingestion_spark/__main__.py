@@ -35,6 +35,15 @@ def main(argv: list[str] | None = None) -> int:
         metavar=("NAME", "K=V"),
         help="per-connector/function source options (repeatable)",
     )
+    run.add_argument(
+        "--publish",
+        nargs="+",
+        metavar="K=V",
+        help="relay mode: publish per-tenant to a topic sink instead of "
+        "landing parquet — kind=pulsar|kafka|eventhub|jsonl plus "
+        "connector options (e.g. kind=pulsar service_url=pulsar://b:6650 "
+        "topic_prefix=persistent://acme/fleet/tenant-)",
+    )
     args = ap.parse_args(argv)
 
     from pulsar_ingestion_spark.plans.from_yaml import load_pipeline_yaml
@@ -55,6 +64,15 @@ def main(argv: list[str] | None = None) -> int:
     )
     if args.trigger_interval:
         spec.trigger_interval = args.trigger_interval
+    if args.publish:
+        pub: dict = {}
+        for kv in args.publish:
+            k, _, v = kv.partition("=")
+            pub[k] = v
+        if "kind" not in pub:
+            print("--publish needs kind=pulsar|kafka|eventhub|jsonl", file=sys.stderr)
+            return 2
+        spec.publish = pub
     for s in getattr(spec, "skipped", []):
         print(f"skipped (no local source options): {s}", file=sys.stderr)
     if not spec.sources:
