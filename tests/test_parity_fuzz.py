@@ -194,3 +194,25 @@ def test_v7_constructs_expressed_in_grammar():
     )
     assert "(SELECT max(CAST(o_custkey AS BIGINT)) FROM orders)" in csql
     assert csql.count("SELECT") == 3  # outer + correlated + threshold
+
+
+def test_v8_constructs_expressed_in_grammar():
+    """v8 compile pins: QUALIFY-style rank filter wraps a subquery;
+    date_trunc keys render to second-precision strings; strjoin uses
+    ordered string_agg coalesced to '' (the all-NULL-group twin of
+    Spark's empty-array array_join)."""
+    qsql = parityfuzz.compile_sql(
+        ("winq", ("li",), None, ("scol", "l_returnflag"),
+         ("icol", "l_suppkey"), 3)
+    )
+    assert "WHERE w0 <= 3" in qsql and "rank() OVER" in qsql
+    ksql = parityfuzz.compile_sql(
+        ("winq", ("li",), None, ("ktrunc", "l_shipdate", "month"),
+         ("icol", "l_suppkey"), 1)
+    )
+    assert "strftime(date_trunc('month', l_shipdate)" in ksql
+    asql = parityfuzz.compile_sql(
+        ("agg", ("li",), None, (("scol", "l_returnflag"),),
+         (("strjoin", "l_linestatus"),), None)
+    )
+    assert "coalesce(string_agg(l_linestatus, '|' ORDER BY l_linestatus), '')" in asql

@@ -65,6 +65,17 @@ Grammar v7 additions (round 10, second pass):
   side pre-projects key expressions — F.grouping rejects
   expression-form keys with GROUPING_COLUMN_MISMATCH).
 
+Grammar v8 additions (round 10, third pass):
+
+* QUALIFY-equivalent top-k-per-group (rank filter over window output —
+  rank is tie-stable so the surviving row SET is deterministic where
+  row_number would not be);
+* date_trunc calendar-bucket group keys, rendered to second-precision
+  strings on both sides (the output-format convention);
+* ordered string concatenation: Spark array_join(sort_array(
+  collect_list)) vs DuckDB string_agg(.. ORDER BY ..), coalesced to ''
+  so the all-NULL group matches Spark's empty-array join.
+
 Usage:
     python tools/parityfuzz.py [--examples 200] [--sf-dir /root/testdata/sf0.001]
 
@@ -243,6 +254,10 @@ def agg_specs(ns=_LI_NS):
     opts = [
         st.just(("count_star",)),
         st.tuples(st.sampled_from(["count", "countd", "min", "max", "sum", "avg"]), int_exprs(2, ns)),
+        # v8: ordered string concatenation — collect_list order is
+        # nondeterministic so the Spark side sorts the array first;
+        # binary UTF-8 ordering both sides, NULLs skipped both sides
+        st.tuples(st.just("strjoin"), st.sampled_from(ns["strs"])),
     ]
     if ns["dbls"]:
         opts += [
@@ -267,6 +282,15 @@ def group_keys(ns=_LI_NS):
     ]
     if "l_linenumber" in ns["ints"]:
         opts.append(st.just(("icol", "l_linenumber")))
+    if ns["tss"]:
+        # v8: calendar-bucket group keys — date_trunc rendered to the
+        # second-precision STRING both sides (the output-format
+        # convention; raw timestamp outputs would ride the driver's
+        # dtype mapping instead of the pinned contract)
+        opts.append(st.tuples(
+            st.just("ktrunc"), st.sampled_from(ns["tss"]),
+            st.sampled_from(["day", "month", "year"]),
+        ))
     return st.one_of(*opts)
 
 
@@ -311,7 +335,15 @@ def plans(draw):
         else _LI_NS
     )
     where = draw(st.none() | preds(2, ns))
-    shape = draw(st.sampled_from(["proj", "agg", "win", "aggroll", "csub"]))
+    shape = draw(st.sampled_from(["proj", "agg", "win", "aggroll", "csub", "winq"]))
+    if shape == "winq":
+        # v8: QUALIFY-equivalent — top-k-per-group via a rank filter over
+        # the window output (rank is tie-stable, so the SURVIVING ROW SET
+        # is deterministic even though row_number would not be)
+        pkey = draw(group_keys(ns))
+        oexpr = draw(int_exprs(2, ns))
+        k = draw(st.integers(min_value=1, max_value=5))
+        return ("winq", src, where, pkey, oexpr, k)
     if shape == "csub":
         # correlated scalar subquery (v6): fixed lineitem outer shape;
         # both engines run the SAME SQL text (Spark side via spark.sql).
@@ -477,6 +509,10 @@ def _sp_key(k):
 
     if k[0] == "kmod":
         return F.col(k[1]).cast("long") % F.lit(int(k[2]))
+    if k[0] == "ktrunc":
+        return F.date_format(
+            F.date_trunc(k[2], F.col(k[1])), "yyyy-MM-dd HH:mm:ss"
+        )
     return _sp_int(k) if k[0] == "icol" else _sp_str(k)
 
 
@@ -486,6 +522,8 @@ def _sp_agg(a):
     op = a[0]
     if op == "count_star":
         return F.count(F.lit(1))
+    if op == "strjoin":
+        return F.array_join(F.sort_array(F.collect_list(F.col(a[1]))), "|")
     if op in ("mind", "maxd"):
         return (F.min if op == "mind" else F.max)(F.col(a[1]))
     if op == "sumd4":
@@ -541,6 +579,19 @@ def compile_spark(plan, spark, sf_dir: str):
         for t in ("lineitem", "orders"):
             spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
         return spark.sql(compile_sql(plan))
+
+    if plan[0] == "winq":
+        _, src, where, pkey, oexpr, k = plan
+        df = _sp_source(src, spark, sf_dir)
+        if where is not None:
+            df = df.filter(_sp_pred(where))
+        okey = _sp_int(oexpr)
+        w = Window.partitionBy(_sp_key(pkey)).orderBy(F.asc_nulls_first(okey))
+        out = df.select(
+            _sp_key(pkey).alias("k0"), okey.alias("o0"),
+            F.rank().over(w).cast("long").alias("w0"),
+        )
+        return out.filter(F.col("w0") <= k)
 
     if plan[0] == "aggroll":
         _, mode, src, where, keys, aggs = plan
@@ -715,6 +766,8 @@ def _dk_pred(p) -> str:
 def _dk_key(k) -> str:
     if k[0] == "kmod":
         return f"(CAST({k[1]} AS BIGINT) % {int(k[2])})"
+    if k[0] == "ktrunc":
+        return f"strftime(date_trunc('{k[2]}', {k[1]}), '%Y-%m-%d %H:%M:%S')"
     return _dk_int(k) if k[0] == "icol" else _dk_str(k)
 
 
@@ -722,6 +775,8 @@ def _dk_agg(a) -> str:
     op = a[0]
     if op == "count_star":
         return "count(*)"
+    if op == "strjoin":
+        return f"coalesce(string_agg({a[1]}, '|' ORDER BY {a[1]}), '')"
     if op in ("mind", "maxd"):
         return f"{'min' if op == 'mind' else 'max'}({a[1]})"
     if op == "sumd4":
@@ -805,6 +860,21 @@ def compile_sql(plan) -> str:
             "CAST(l_linenumber AS BIGINT) AS c1, "
             f"{sub} AS s0 FROM lineitem{w}"
         )
+
+    if plan[0] == "winq":
+        _, src, where, pkey, oexpr, k = plan
+        frm, extra = _dk_source(src)
+        conj = [c for c in (extra, _dk_pred(where) if where is not None else None) if c]
+        w = f" WHERE {' AND '.join(conj)}" if conj else ""
+        over = (
+            f"PARTITION BY {_dk_key(pkey)} "
+            f"ORDER BY {_dk_int(oexpr)} ASC NULLS FIRST"
+        )
+        inner = (
+            f"SELECT {_dk_key(pkey)} AS k0, {_dk_int(oexpr)} AS o0, "
+            f"CAST(rank() OVER ({over}) AS BIGINT) AS w0 FROM {frm}{w}"
+        )
+        return f"SELECT * FROM ({inner}) q WHERE w0 <= {k}"
 
     if plan[0] == "aggroll":
         _, mode, src, where, keys, aggs = plan
