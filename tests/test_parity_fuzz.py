@@ -215,4 +215,41 @@ def test_v8_constructs_expressed_in_grammar():
         ("agg", ("li",), None, (("scol", "l_returnflag"),),
          (("strjoin", "l_linestatus"),), None)
     )
-    assert "coalesce(string_agg(l_linestatus, '|' ORDER BY l_linestatus), '')" in asql
+    # sort AFTER aggregation (finding #4): never the ordered-aggregate form
+    assert "list_sort(" in asql and "string_agg" not in asql
+
+
+def test_duckdb_ordered_string_agg_rollup_divergence(duck):
+    """Fuzzer finding #4 (grammar v8, first soak): DuckDB's ordered
+    aggregate ``string_agg(x, sep ORDER BY x)`` does NOT honor the ORDER
+    in ROLLUP/CUBE super-aggregate rows — the coarser grouping sets are
+    built by merging the finer sets' sorted partial states without a
+    final re-sort, so the grand-total concatenation arrives in merge
+    order (reproduces deterministically at fixture scale, even with
+    SET threads=1; per-key rows and plain GROUP BY stay sorted; tiny
+    VALUES inputs stay sorted — single partial state).  Portable-oracle
+    rule: sort AFTER aggregation
+    (``array_to_string(list_sort(list(x) FILTER ...), sep)`` — exactly
+    Spark's ``array_join(sort_array(collect_list))``).  Pinned so a
+    DuckDB upgrade that fixes the merge is surfaced."""
+    rows = duck.execute(
+        "SELECT l_returnflag, string_agg(l_returnflag, '|' ORDER BY l_returnflag)"
+        " FROM lineitem GROUP BY ROLLUP(l_returnflag)"
+    ).fetchall()
+    per_key_sorted, total_sorted = [], None
+    for k, a in rows:
+        parts = a.split("|")
+        if k is None:
+            total_sorted = parts == sorted(parts)
+        else:
+            per_key_sorted.append(parts == sorted(parts))
+    assert all(per_key_sorted)          # finest grouping set: ordered
+    assert total_sorted is False        # super-aggregate: merge order (the bug)
+    fixed = duck.execute(
+        "SELECT coalesce(array_to_string(list_sort("
+        "list(l_returnflag) FILTER (WHERE l_returnflag IS NOT NULL)), '|'), '')"
+        " FROM lineitem GROUP BY ROLLUP(l_returnflag)"
+    ).fetchall()
+    for (a,) in fixed:
+        parts = a.split("|")
+        assert parts == sorted(parts)   # the portable twin: always sorted

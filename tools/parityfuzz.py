@@ -776,7 +776,18 @@ def _dk_agg(a) -> str:
     if op == "count_star":
         return "count(*)"
     if op == "strjoin":
-        return f"coalesce(string_agg({a[1]}, '|' ORDER BY {a[1]}), '')"
+        # fuzzer finding #4 (v8 first soak): DuckDB's ORDERED aggregate
+        # string_agg(x, sep ORDER BY x) loses the order in ROLLUP/CUBE
+        # super-aggregate rows — the coarser grouping sets merge the
+        # finer sets' sorted partial states WITHOUT a re-sort (repro:
+        # lineitem grand-total row unsorted at 6000 elements, even
+        # single-threaded; plain GROUP BY and small inputs stay sorted).
+        # Portable twin = sort AFTER aggregation, exactly Spark's
+        # array_join(sort_array(collect_list)):
+        return (
+            f"coalesce(array_to_string(list_sort("
+            f"list({a[1]}) FILTER (WHERE {a[1]} IS NOT NULL)), '|'), '')"
+        )
     if op in ("mind", "maxd"):
         return f"{'min' if op == 'mind' else 'max'}({a[1]})"
     if op == "sumd4":
