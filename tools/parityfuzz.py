@@ -239,6 +239,15 @@ def preds(depth: int = 2, ns=_LI_NS):
             st.sampled_from(_NEEDLES),
             st.sampled_from(["%{}%", "{}%", "%{}", "%{}_%"]),
         ),
+        # v8.1: IN-list — three-valued semantics (a NULL operand makes
+        # IN yield NULL, and NOT(IN) then filters the row out on both
+        # engines; reachable via not() + nullif/jint operands)
+        st.tuples(
+            st.just("inlist"),
+            int_exprs(0, ns),
+            st.lists(st.integers(min_value=-2, max_value=9),
+                     min_size=1, max_size=4, unique=True).map(tuple),
+        ),
     )
     if depth <= 0:
         return leaf
@@ -258,6 +267,14 @@ def agg_specs(ns=_LI_NS):
         # nondeterministic so the Spark side sorts the array first;
         # binary UTF-8 ordering both sides, NULLs skipped both sides
         st.tuples(st.just("strjoin"), st.sampled_from(ns["strs"])),
+        # v8.1: FILTER-clause aggregates — the DataFrame side compiles
+        # the CASE form (sum/min/max skip NULLs; count counts non-NULL),
+        # the SQL side the ANSI FILTER (WHERE ...) clause: a semantic-
+        # equivalence probe of the two spellings
+        st.tuples(
+            st.sampled_from(["fcnt", "fsumi", "fmaxi"]),
+            int_exprs(1, ns), preds(1, ns),
+        ),
     ]
     if ns["dbls"]:
         opts += [
@@ -304,8 +321,10 @@ def win_funcs(ns=_LI_NS):
 
 _SOURCES = [("li",), ("ij",), ("lj",), ("semi",), ("anti",), ("ev",), ("doc",)]
 
-# integer-valued aggregate ops: safe HAVING comparands (bigint both sides)
-_INT_AGGS = {"count_star", "count", "countd", "min", "max", "sum"}
+# integer-valued aggregate ops: safe HAVING comparands (bigint both
+# sides; a NULL comparand — empty FILTER group — drops the row on both)
+_INT_AGGS = {"count_star", "count", "countd", "min", "max", "sum",
+             "fcnt", "fsumi", "fmaxi"}
 
 # correlated scalar subquery inner aggregates (grammar v6): orders
 # aggregated per outer l_orderkey.  count over an empty group is 0 on
@@ -495,6 +514,10 @@ def _sp_pred(p):
         return _sp_int(p[1]).isNull()
     if op == "like":
         return _sp_str(p[1]).like(p[3].format(p[2]))
+    if op == "inlist":
+        from pyspark.sql import functions as F
+
+        return _sp_int(p[1]).isin(*[F.lit(v).cast("long") for v in p[2]])
     if op == "and":
         return _sp_pred(p[1]) & _sp_pred(p[2])
     if op == "or":
@@ -524,6 +547,11 @@ def _sp_agg(a):
         return F.count(F.lit(1))
     if op == "strjoin":
         return F.array_join(F.sort_array(F.collect_list(F.col(a[1]))), "|")
+    if op in ("fcnt", "fsumi", "fmaxi"):
+        guarded = F.when(_sp_pred(a[2]), _sp_int(a[1]))
+        if op == "fcnt":
+            return F.count(guarded)
+        return (F.sum if op == "fsumi" else F.max)(guarded)
     if op in ("mind", "maxd"):
         return (F.min if op == "mind" else F.max)(F.col(a[1]))
     if op == "sumd4":
@@ -754,6 +782,9 @@ def _dk_pred(p) -> str:
         return f"({_dk_int(p[1])} IS NULL)"
     if op == "like":
         return f"({_dk_str(p[1])} LIKE {_sql_slit(p[3].format(p[2]))})"
+    if op == "inlist":
+        vals = ", ".join(f"CAST({v} AS BIGINT)" for v in p[2])
+        return f"({_dk_int(p[1])} IN ({vals}))"
     if op == "and":
         return f"({_dk_pred(p[1])} AND {_dk_pred(p[2])})"
     if op == "or":
@@ -775,6 +806,12 @@ def _dk_agg(a) -> str:
     op = a[0]
     if op == "count_star":
         return "count(*)"
+    if op in ("fcnt", "fsumi", "fmaxi"):
+        fn = {"fcnt": "count", "fsumi": "sum", "fmaxi": "max"}[op]
+        expr = f"{fn}({_dk_int(a[1])}) FILTER (WHERE {_dk_pred(a[2])})"
+        if op == "fsumi":
+            expr = f"CAST({expr} AS BIGINT)"  # HUGEINT widen, as plain sum
+        return expr
     if op == "strjoin":
         # fuzzer finding #4 (v8 first soak): DuckDB's ORDERED aggregate
         # string_agg(x, sep ORDER BY x) loses the order in ROLLUP/CUBE
