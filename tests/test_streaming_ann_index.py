@@ -143,3 +143,23 @@ def test_plane_budget_probe(spark, tmp_path):
                                      target_block=max(1, n))
     # tiny target block: the same corpus needs more than 1 plane
     assert plane_budget_exceeded(spark, root, num_planes=1, target_block=1)
+
+
+def test_ann_index_survives_vacuum(spark, tmp_path):
+    """Index maintenance + state-table hygiene interplay: after vacuum()
+    expires old manifests (keep_last=1, grace 0), the search still sees
+    every indexed vector (the latest manifest references all data files
+    appended so far) and results stay batch-identical."""
+    root = str(tmp_path / "idx")
+    _index_cut(spark, root, 5)  # five commits -> five manifests
+    t = VersionedTable(root)
+    assert len(t.versions()) >= 5
+    t.vacuum(keep_last=1, grace_seconds=0.0)
+    assert len(t.versions()) == 1
+    got = {
+        tuple(r)
+        for r in ann_search(
+            spark, root, _queries(spark), dim=DIM, k=K, num_planes=PLANES
+        ).collect()
+    }
+    assert got == _batch_truth(spark)
