@@ -72,6 +72,22 @@ def main(argv: list[str] | None = None) -> int:
         if "kind" not in pub:
             print("--publish needs kind=pulsar|kafka|eventhub|jsonl", file=sys.stderr)
             return 2
+        # fail fast on missing per-kind connector options (before the
+        # Spark session spins up, not as a traceback mid-pipeline)
+        required = {
+            "jsonl": ("path",),
+            "pulsar": ("service_url", "service.url"),
+            "kafka": ("bootstrap_servers", "kafka.bootstrap.servers"),
+            "eventhub": ("bootstrap_servers", "kafka.bootstrap.servers"),
+        }.get(pub["kind"])
+        if required is None:
+            print(f"--publish kind={pub['kind']} unknown "
+                  "(pulsar|kafka|eventhub|jsonl)", file=sys.stderr)
+            return 2
+        if not any(k in pub for k in required):
+            print(f"--publish kind={pub['kind']} needs {required[0]}=...",
+                  file=sys.stderr)
+            return 2
         spec.publish = pub
     for s in getattr(spec, "skipped", []):
         print(f"skipped (no local source options): {s}", file=sys.stderr)

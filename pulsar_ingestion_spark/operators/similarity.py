@@ -203,7 +203,10 @@ def pq_encode_kernel(
             return pd.DataFrame(
                 {"codes": [None] * n_in, "dists": [None] * n_in}, dtype=object
             )
-        mat = np.vstack(vs[valid]).astype(np.float64)
+        # slice each valid vector to the encoded prefix: the kernel only
+        # reads dims [0, need), and valid rows may carry DIFFERENT
+        # lengths >= need — unsliced, np.vstack would abort the batch
+        mat = np.vstack([np.asarray(e)[:need] for e in vs[valid]]).astype(np.float64)
         n = len(mat)
         codes = np.empty((n, subspaces), dtype=np.int64)
         dists = np.empty((n, subspaces), dtype=np.float64)

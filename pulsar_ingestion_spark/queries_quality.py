@@ -795,22 +795,13 @@ def q_privacy_t_closeness(spark, sf_dir):
 _PW_Z_ALPHA = 1.959963984540054   # Phi^-1(0.975)
 _PW_Z_BETA = 0.8416212335729143   # Phi^-1(0.80)
 
-_POWER_ORACLE = f"""
-WITH g AS (
-  SELECT event_type, count(*) AS n,
-         SUM(CAST(value AS DECIMAL(18,4))) AS s,
-         SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS ss
-  FROM events WHERE event_type IN ('click', 'error') GROUP BY event_type
-), m AS (
-  SELECT
-    MAX(CASE WHEN event_type = 'click' THEN n END) AS na,
-    MAX(CASE WHEN event_type = 'click' THEN CAST(s AS DOUBLE) END) AS sa,
-    MAX(CASE WHEN event_type = 'click' THEN CAST(ss AS DOUBLE) END) AS ssa,
-    MAX(CASE WHEN event_type = 'error' THEN n END) AS nb,
-    MAX(CASE WHEN event_type = 'error' THEN CAST(s AS DOUBLE) END) AS sb,
-    MAX(CASE WHEN event_type = 'error' THEN CAST(ss AS DOUBLE) END) AS ssb
-  FROM g
-), v AS (
+def _power_oracle() -> str:
+    # shares the exact two-arm moment CTEs with stats_welch_ttest
+    # (queries_stats.TWO_SAMPLE_MOMENTS_CTE) — one definition, two oracles
+    from pulsar_ingestion_spark.queries_stats import TWO_SAMPLE_MOMENTS_CTE
+
+    return f"""
+WITH {TWO_SAMPLE_MOMENTS_CTE}, v AS (
   SELECT na, nb, sa / na AS ma,
          (ssa - sa * sa / na) / (na - 1) AS va,
          (ssb - sb * sb / nb) / (nb - 1) AS vb
@@ -826,7 +817,7 @@ FROM v
 """
 
 
-@query("exp_power_mde", oracle=_POWER_ORACLE)
+@query("exp_power_mde", oracle=_power_oracle())
 def q_exp_power_mde(spark, sf_dir):
     """Minimum detectable effect for the click-vs-error comparison at
     two-sided α=.05 / power=.80: mde = (z_{α/2}+z_β)·SE with the
@@ -834,26 +825,10 @@ def q_exp_power_mde(spark, sf_dir):
     design-time question ("how small a lift could this traffic see?")
     every experimentation platform answers before an analysis ships.
     z-constants are Python-literal inlined (SPRT precedent)."""
+    from pulsar_ingestion_spark.queries_stats import two_sample_moments
+
     ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
-    vd = F.col("value").cast("decimal(18,4)")
-    g = (
-        ev.filter(F.col("event_type").isin("click", "error"))
-        .groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum(vd).alias("s"),
-             F.sum(vd * vd).alias("ss"))
-    )
-
-    def pick(col, t):
-        return F.max(F.when(F.col("event_type") == t, F.col(col)))
-
-    m = g.agg(
-        pick("n", "click").alias("na"),
-        pick("s", "click").cast("double").alias("sa"),
-        pick("ss", "click").cast("double").alias("ssa"),
-        pick("n", "error").alias("nb"),
-        pick("s", "error").cast("double").alias("sb"),
-        pick("ss", "error").cast("double").alias("ssb"),
-    )
+    m = two_sample_moments(ev)
     na, nb = F.col("na"), F.col("nb")
     ma = F.col("sa") / na
     va = (F.col("ssa") - F.col("sa") * F.col("sa") / na) / (na - 1)

@@ -2350,8 +2350,10 @@ def q_stats_ks_uniform(spark, sf_dir):
 # Round 10: two-sample Welch t — completing the two-sample family next to
 # the rank-based stats_mann_whitney and the omnibus stats_anova_oneway.
 
-_WELCH_ORACLE = """
-WITH g AS (
+# shared click-vs-error exact-DECIMAL moment CTEs (g = per-group n/s/ss,
+# m = the 6-column two-arm pivot) — the front half of BOTH the Welch t
+# oracle below and exp_power_mde's (queries_quality.py)
+TWO_SAMPLE_MOMENTS_CTE = """g AS (
   SELECT event_type, count(*) AS n,
          SUM(CAST(value AS DECIMAL(18,4))) AS s,
          SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS ss
@@ -2365,7 +2367,37 @@ WITH g AS (
     MAX(CASE WHEN event_type = 'error' THEN CAST(s AS DOUBLE) END) AS sb,
     MAX(CASE WHEN event_type = 'error' THEN CAST(ss AS DOUBLE) END) AS ssb
   FROM g
-), v AS (
+)"""
+
+
+def two_sample_moments(ev):
+    """Spark twin of :data:`TWO_SAMPLE_MOMENTS_CTE`: one map-side-combined
+    moment aggregate over the click/error arms, pivoted to a single
+    6-column row (na, sa, ssa, nb, sb, ssb — counts long, sums double
+    from exact DECIMAL(18,4))."""
+    vd = F.col("value").cast("decimal(18,4)")
+    g = (
+        ev.filter(F.col("event_type").isin("click", "error"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(vd).alias("s"),
+             F.sum(vd * vd).alias("ss"))
+    )
+
+    def pick(col, t):
+        return F.max(F.when(F.col("event_type") == t, F.col(col)))
+
+    return g.agg(
+        pick("n", "click").alias("na"),
+        pick("s", "click").cast("double").alias("sa"),
+        pick("ss", "click").cast("double").alias("ssa"),
+        pick("n", "error").alias("nb"),
+        pick("s", "error").cast("double").alias("sb"),
+        pick("ss", "error").cast("double").alias("ssb"),
+    )
+
+
+_WELCH_ORACLE = f"""
+WITH {TWO_SAMPLE_MOMENTS_CTE}, v AS (
   SELECT na, nb, sa / na AS ma, sb / nb AS mb,
          (ssa - sa * sa / na) / (na - 1) / na AS van,
          (ssb - sb * sb / nb) / (nb - 1) / nb AS vbn
@@ -2389,25 +2421,7 @@ def q_stats_welch_ttest(spark, sf_dir):
     documented 1-ulp DuckDB headroom (anova precedent: trailing rounds
     at 6/4 dp dominate a ~1e-14 absolute drift)."""
     ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
-    vd = F.col("value").cast("decimal(18,4)")
-    g = (
-        ev.filter(F.col("event_type").isin("click", "error"))
-        .groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum(vd).alias("s"),
-             F.sum(vd * vd).alias("ss"))
-    )
-
-    def pick(col, t):
-        return F.max(F.when(F.col("event_type") == t, F.col(col)))
-
-    m = g.agg(
-        pick("n", "click").alias("na"),
-        pick("s", "click").cast("double").alias("sa"),
-        pick("ss", "click").cast("double").alias("ssa"),
-        pick("n", "error").alias("nb"),
-        pick("s", "error").cast("double").alias("sb"),
-        pick("ss", "error").cast("double").alias("ssb"),
-    )
+    m = two_sample_moments(ev)
     na, nb = F.col("na"), F.col("nb")
     ma = F.col("sa") / na
     mb = F.col("sb") / nb

@@ -227,6 +227,11 @@ def open_topic_sink(
         out = df
         if topic_column is not None:
             out = out.withColumn("__topic", F.col(topic_column))
+            if topic_column != "__topic":
+                # only the connector's reserved __topic column is
+                # metadata — a leftover routing column would ride into
+                # the published payload as a data field
+                out = out.drop(topic_column)
             options.pop("topic", None)
         writer = (out.writeStream if streaming else out.write).format(
             options.pop("format", "pulsar")
@@ -238,6 +243,8 @@ def open_topic_sink(
         out = df
         if topic_column is not None:
             out = out.withColumn("topic", F.col(topic_column))
+            if topic_column != "topic":
+                out = out.drop(topic_column)
             options.pop("topic", None)
         writer = (out.writeStream if streaming else out.write).format("kafka")
         friendly = {"bootstrap_servers": "kafka.bootstrap.servers", "topic": "topic"}

@@ -152,3 +152,23 @@ def test_keyed_running_sums_enforces_driver_row_budget(spark):
             df, [F.col("o")], num_partitions=16, max_driver_rows=4
         )
     spark.catalog.clearCache()
+
+
+def test_pq_encode_kernel_mixed_length_batch(spark):
+    """Code-review find (round 10): two VALID vectors of different
+    lengths (both >= subspaces*subdim) must encode — the kernel slices
+    to the encoded prefix instead of np.vstack aborting the batch."""
+    from pulsar_ingestion_spark.operators.similarity import pq_encode_kernel
+
+    subspaces, subdim = 2, 2
+    cents = [(0, [0.0, 0.0, 0.0, 0.0]), (1, [1.0, 1.0, 1.0, 1.0])]
+    mixed = _emb_df(
+        spark,
+        [(0, [0.1, 0.1, 0.9, 0.9]), (1, [0.9, 0.9, 0.1, 0.1, 0.5])],  # 4-dim + 5-dim
+    )
+    rows = {
+        r["id"]: r["enc"]
+        for r in pq_encode_kernel(mixed, cents, subspaces, subdim).collect()
+    }
+    assert list(rows[0]["codes"]) == [0, 1]
+    assert list(rows[1]["codes"]) == [1, 0]  # extra dim ignored, row encoded
