@@ -75,6 +75,17 @@ Grammar v8 additions (round 10, third pass):
 * ordered string concatenation: Spark array_join(sort_array(
   collect_list)) vs DuckDB string_agg(.. ORDER BY ..), coalesced to ''
   so the all-NULL group matches Spark's empty-array join.
+  FINDING #4 (first v8 soak): DuckDB's ordered string_agg loses the
+  order in ROLLUP/CUBE super-aggregate rows (sorted partial states are
+  merged without re-sort) — the grammar compiles the sort-AFTER-
+  aggregation form instead (list_sort over list(), exactly the Spark
+  spelling), pinned in test_parity_fuzz.py.
+
+Grammar v8.1/v9 additions: IN-list three-valued semantics (incl. the
+NOT-IN-with-NULL-operand class); FILTER-clause aggregates vs the CASE
+spelling; DESC window ordering (both engines' defaults are asymmetric
+in BOTH directions — ASC pins NULLS FIRST, DESC pins NULLS LAST);
+timestamp ± INTERVAL n DAY arithmetic under the string render.
 
 Usage:
     python tools/parityfuzz.py [--examples 200] [--sf-dir /root/testdata/sf0.001]
@@ -193,6 +204,14 @@ def str_exprs(depth: int = 2, ns=_LI_NS):
         # second-precision timestamp render (the output-format convention)
         *(
             [st.sampled_from(ns["tss"]).map(lambda c: ("tsfmt", c))]
+            if ns["tss"]
+            else []
+        ),
+        # v9: interval arithmetic — ts ± n days rendered to the string
+        # contract (UTC session, day-time interval: identical on both)
+        *(
+            [st.tuples(st.just("tsshift"), st.sampled_from(ns["tss"]),
+                       st.integers(min_value=-30, max_value=30))]
             if ns["tss"]
             else []
         ),
@@ -358,11 +377,15 @@ def plans(draw):
     if shape == "winq":
         # v8: QUALIFY-equivalent — top-k-per-group via a rank filter over
         # the window output (rank is tie-stable, so the SURVIVING ROW SET
-        # is deterministic even though row_number would not be)
+        # is deterministic even though row_number would not be).
+        # v9: optional DESC direction — Spark's desc default is NULLS
+        # LAST while DuckDB's DESC default is NULLS FIRST (the inverse
+        # of the ASC asymmetry), so the SQL side pins DESC NULLS LAST.
         pkey = draw(group_keys(ns))
         oexpr = draw(int_exprs(2, ns))
         k = draw(st.integers(min_value=1, max_value=5))
-        return ("winq", src, where, pkey, oexpr, k)
+        direction = draw(st.sampled_from(["asc", "desc"]))
+        return ("winq", src, where, pkey, oexpr, k, direction)
     if shape == "csub":
         # correlated scalar subquery (v6): fixed lineitem outer shape;
         # both engines run the SAME SQL text (Spark side via spark.sql).
@@ -494,6 +517,11 @@ def _sp_str(e):
         return F.concat(_sp_str(e[1]), _sp_str(e[2]))
     if op == "tsfmt":
         return F.date_format(F.col(e[1]), "yyyy-MM-dd HH:mm:ss")
+    if op == "tsshift":
+        return F.date_format(
+            F.col(e[1]) + F.expr(f"INTERVAL {e[2]} DAYS"),
+            "yyyy-MM-dd HH:mm:ss",
+        )
     if op == "trim":
         return F.trim(_sp_str(e[1]))
     if op == "replace":
@@ -609,12 +637,17 @@ def compile_spark(plan, spark, sf_dir: str):
         return spark.sql(compile_sql(plan))
 
     if plan[0] == "winq":
-        _, src, where, pkey, oexpr, k = plan
+        _, src, where, pkey, oexpr, k = plan[:6]
+        direction = plan[6] if len(plan) > 6 else "asc"
         df = _sp_source(src, spark, sf_dir)
         if where is not None:
             df = df.filter(_sp_pred(where))
         okey = _sp_int(oexpr)
-        w = Window.partitionBy(_sp_key(pkey)).orderBy(F.asc_nulls_first(okey))
+        order = (
+            F.asc_nulls_first(okey) if direction == "asc"
+            else F.desc_nulls_last(okey)
+        )
+        w = Window.partitionBy(_sp_key(pkey)).orderBy(order)
         out = df.select(
             _sp_key(pkey).alias("k0"), okey.alias("o0"),
             F.rank().over(w).cast("long").alias("w0"),
@@ -766,6 +799,14 @@ def _dk_str(e) -> str:
         return f"({_dk_str(e[1])} || {_dk_str(e[2])})"
     if op == "tsfmt":
         return f"strftime({e[1]}, '%Y-%m-%d %H:%M:%S')"
+    if op == "tsshift":
+        # ({n}) * INTERVAL 1 DAY: DuckDB's parser rejects a bare negative
+        # interval literal (INTERVAL -3 DAY), the multiplication form is
+        # sign-safe
+        return (
+            f"strftime({e[1]} + ({e[2]}) * INTERVAL 1 DAY,"
+            f" '%Y-%m-%d %H:%M:%S')"
+        )
     if op == "trim":
         return f"trim({_dk_str(e[1])})"
     if op == "replace":
@@ -910,13 +951,18 @@ def compile_sql(plan) -> str:
         )
 
     if plan[0] == "winq":
-        _, src, where, pkey, oexpr, k = plan
+        _, src, where, pkey, oexpr, k = plan[:6]
+        direction = plan[6] if len(plan) > 6 else "asc"
         frm, extra = _dk_source(src)
         conj = [c for c in (extra, _dk_pred(where) if where is not None else None) if c]
         w = f" WHERE {' AND '.join(conj)}" if conj else ""
+        # both defaults are asymmetric: ASC -> Spark NULLS FIRST vs
+        # DuckDB NULLS LAST; DESC -> Spark NULLS LAST vs DuckDB NULLS
+        # FIRST — pin explicitly in BOTH directions
+        odir = "ASC NULLS FIRST" if direction == "asc" else "DESC NULLS LAST"
         over = (
             f"PARTITION BY {_dk_key(pkey)} "
-            f"ORDER BY {_dk_int(oexpr)} ASC NULLS FIRST"
+            f"ORDER BY {_dk_int(oexpr)} {odir}"
         )
         inner = (
             f"SELECT {_dk_key(pkey)} AS k0, {_dk_int(oexpr)} AS o0, "
