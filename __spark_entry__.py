@@ -76,6 +76,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # coverage across rounds until every query has a driver CORRECTNESS row
 # (VERDICT r1 item 2, refreshed each round per VERDICT r2 item 2).
 _CHECKED_PRIOR = {
+    # round 10 (CORRECTNESS_r10.json — 50/50 hash-green: the six round-10
+    # additions' first rows + multimodal_features' first hash-checked row
+    # + re-verification of 43 r3-era rows; VERDICT r10)
+    "stats_welch_ttest", "privacy_t_closeness", "multimodal_dedup_bytes",
+    "stats_levene_brown_forsythe", "exp_power_mde",
+    "emb_outlier_mahalanobis_diag",
     # round 8 (CORRECTNESS_r08.json — 49 hash-green + 1 rows-only by
     # design (dedup_minhash_fast): the 50 round-8 additions; VERDICT r8
     # item 1)
@@ -228,77 +234,77 @@ _CHECKED_PRIOR = {
 }
 
 
-# Round-10 driver-check prefix (the driver checks a bounded prefix ≈50):
-# the whole registry has driver CORRECTNESS rows (union r1-r9 = 342/342),
-# so this round's prefix is re-verification of the STALEST rows — the 48
-# hash-checkable ids whose latest driver row is round 3 (testdata is
+# Round-11 driver-check prefix (the driver checks a bounded prefix ≈50).
+# The retired rows-only trio leads (VERDICT r10 item 1: dedup_minhash /
+# dedup_minhash_fast / agg_approx_count_distinct re-pointed at portable
+# md5-derived machinery this round — their FIRST hash-checked rows land
+# here), then the stalest re-verification rows: the five r3-era ids
+# dropped from the round-10 prefix plus the r4-era block (testdata is
 # regenerated every round, so old greens deserve periodic re-proof;
-# VERDICT r9 item 2).  `multimodal_features` leads: its byte-level
-# feature path gained a DuckDB oracle this round (VERDICT r9 item 5), so
-# its first hash-checked row lands here.  New round-10 queries, if any,
-# go at the FRONT of this list.
-_ROUND10_PREFIX: list[str] = [
-    # round-10 additions — first driver rows this round
-    "stats_welch_ttest",
-    "privacy_t_closeness",
-    "multimodal_dedup_bytes",
-    "stats_levene_brown_forsythe",
-    "exp_power_mde",
-    "emb_outlier_mahalanobis_diag",
-    "multimodal_features",
-    # r3-latest rows, alphabetical
-    "agg_bool",
-    "agg_first_per_day",
-    "agg_histogram",
-    "agg_mode",
-    "agg_regr_slope",
-    "agg_skew_kurtosis",
-    "agg_stats_corr",
-    "agg_variance_stddev",
-    "array_set_ops",
-    "bitwise_funcs",
-    "cmf_variant_residue",
-    "corpus_assemble",
-    "corpus_mix_domains",
-    "corpus_pack_sequences",
-    "corpus_split_train",
-    "dedup_minhash_banded",
-    "emb_dim_stats",
-    "emb_norm_stats",
-    "emb_quantize_int8",
-    "error_safe_funcs",
-    "events_anomaly_zscore",
-    "events_cohort_retention",
-    "events_funnel",
-    "events_rfm_segments",
-    "explode_variants",
-    "filter_null_safe_eq",
-    "fleet_dashboard",
-    "join_broadcast_left",
-    "join_cross",
-    "join_range_banded",
-    "json_variant",
-    "sample_stratified",
-    "sim_search_lsh_multiprobe",
-    "string_regexp_groups",
-    "string_split_part",
-    "table_profile",
-    "text_levenshtein_pairs",
-    "text_ngram_freq",
-    "text_passage_dedup",
-    "text_repetition_ratios",
-    "text_tokenize_filter",
-    "text_unigram_logprob",
-    "text_zipf_slope",
-    # (union_schema_evolution / unpivot_melt / ts_gapfill_15m /
-    # ts_resample_15m / ts_ewma / the r4 filler dropped to make room
-    # for the six round-10 additions — all remain covered via
-    # _CHECKED_PRIOR and rotate back in a later round)
+# VERDICT r10 item 2).  New round-11 queries go at the FRONT.
+_ROUND11_PREFIX: list[str] = [
+    # rows-only trio retired — first hash-checked rows this round
+    "dedup_minhash",
+    "dedup_minhash_fast",
+    "agg_approx_count_distinct",
+    # r3-era tail dropped from the round-10 prefix
+    "union_schema_evolution",
+    "unpivot_melt",
+    "ts_gapfill_15m",
+    "ts_resample_15m",
+    "ts_ewma",
+    # r4-era rows, alphabetical
+    "agg_entropy",
+    "agg_weighted_avg",
+    "corpus_dedup_report",
+    "corpus_shard_assign",
+    "corpus_token_budget",
+    "dedup_embedding_blas",
+    "dedup_simhash",
+    "emb_kmeans_lloyd",
+    "emb_pca_power",
+    "emb_pq_encode",
+    "emb_residual_quantize",
+    "events_attribution_last_touch",
+    "events_dwell_percentiles",
+    "events_ltv_percentiles",
+    "events_markov_transitions",
+    "events_pareto_share",
+    "events_path_topk",
+    "events_sessionize",
+    "geo_grid_density",
+    "geo_nearest_poi",
+    "join_bloom_pruned",
+    "join_salted_skew",
+    "layout_zorder_key",
+    "sim_search_ivf",
+    "sim_search_lsh",
+    "sketch_bloom_build",
+    "sketch_countmin",
+    "sketch_hll_portable",
+    "telemetry_trip_summary",
+    "text_bpe_corpus_prep",
+    "text_code_detect",
+    "text_inverted_index",
+    "text_js_divergence",
+    "text_line_dedup",
+    "text_tfidf_topk",
+    "text_vocab_coverage",
+    "text_winnowing",
+    "tpch_market_share",
+    "tpch_order_priority",
+    "tpch_pricing_summary",
+    "tpch_revenue_by_region",
+    "tpch_top_orders",
+    # (ts_cusum_drift / ts_lag_features / ts_outlier_mad /
+    # ts_rollup_multires / ts_seasonal_profile / win_running_distinct /
+    # win_streaks rotate in next round — all remain covered via
+    # _CHECKED_PRIOR)
 ]
 
 
 def _rotated(mapping: dict) -> dict:
-    prefix = {k: mapping[k] for k in _ROUND10_PREFIX if k in mapping}
+    prefix = {k: mapping[k] for k in _ROUND11_PREFIX if k in mapping}
     fresh = {
         k: v for k, v in mapping.items()
         if k not in _CHECKED_PRIOR and k not in prefix

@@ -403,13 +403,105 @@ def agg_count_distinct(spark, sf_dir):
     )
 
 
-@query("agg_approx_count_distinct")  # approximate — no SQL oracle (rows-only)
+def _approx_cd_oracle() -> str:
+    from pulsar_ingestion_spark.queries_sketch import (
+        _HLL_ALPHA, _HLL_M, _HLL_WBITS, _RHO_CASE,
+    )
+
+    full = f"(CAST(2 AS BIGINT) ** {_HLL_WBITS + 1})"
+    return f"""
+WITH h AS (
+  SELECT l_returnflag,
+         CAST(('0x' || substring(md5('hll:' || CAST(l_suppkey AS VARCHAR)), 1, 8))
+              AS BIGINT) AS hv
+  FROM lineitem
+), parts AS (
+  SELECT l_returnflag, hv % {_HLL_M} AS bucket, hv // {_HLL_M} AS w FROM h
+), regs AS (
+  SELECT l_returnflag, bucket, max({_RHO_CASE}) AS register
+  FROM parts GROUP BY l_returnflag, bucket
+), s AS (
+  SELECT l_returnflag, count(*) AS used,
+         CAST(SUM(CAST(2 AS BIGINT) ** ({_HLL_WBITS + 1} - register)) AS BIGINT)
+           AS sum_scaled
+  FROM regs GROUP BY l_returnflag
+), ex AS (
+  SELECT l_returnflag, count(DISTINCT l_suppkey) AS exact_distinct
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT t.l_returnflag,
+       CAST(t.used AS BIGINT) AS buckets_used,
+       CAST(t.sum_scaled + ({_HLL_M} - t.used) * {full} AS BIGINT) AS sum_scaled_full,
+       round(CASE WHEN t.raw_est <= 2.5 * {_HLL_M} AND t.used < {_HLL_M}
+                  THEN {_HLL_M} * ln(CAST({_HLL_M} AS DOUBLE) / ({_HLL_M} - t.used))
+                  ELSE t.raw_est END, 4) AS approx_supp_cnt,
+       ex.exact_distinct
+FROM (
+  SELECT l_returnflag, used, sum_scaled,
+         CAST({_HLL_ALPHA} AS DOUBLE) * {_HLL_M * _HLL_M} * {full}
+           / (sum_scaled + ({_HLL_M} - used) * {full}) AS raw_est
+  FROM s
+) t JOIN ex USING (l_returnflag)
+"""
+
+
+@query("agg_approx_count_distinct", oracle=_approx_cd_oracle())
 def agg_approx_count_distinct(spark, sf_dir):
-    # HLL++ distinct: at 100 TB this replaces exact distinct in dashboards —
-    # no per-key state explosion, mergeable sketches.
+    # Approximate distinct per group via the PORTABLE HyperLogLog (m=64,
+    # md5-derived registers — the grouped sibling of sketch_hll_portable,
+    # hash-green since r4).  Until round 11 this id used Spark's native
+    # approx_count_distinct, whose HLL++ state is engine-internal bytes —
+    # rows-only forever (VERDICT r10 item 1c); the portable sketch gives
+    # the same mergeable-register design (at 100 TB: per-partition
+    # register maxes merge map-side, per-task state = 64 registers per
+    # group) AND a DuckDB oracle that reconstructs the identical sketch
+    # and estimate.  Integer-exact register/harmonic-sum math (comparison
+    # ladder for rho, scaled-integer sum — see q_sketch_hll_portable);
+    # the only float step is the final alpha·m²/sum estimate, rounded to
+    # 4.  exact_distinct rides along as the error reference.
+    from pulsar_ingestion_spark.queries_sketch import (
+        _HLL_ALPHA, _HLL_M, _HLL_WBITS, _RHO_CASE,
+    )
+
     (li,) = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_suppkey", 0.02).alias("approx_supp_cnt")
+    h = li.select(
+        "l_returnflag",
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("hll:"), F.col("l_suppkey").cast("string"))), 1, 8),
+            16, 10,
+        ).cast("bigint").alias("hv"),
+    )
+    parts = h.select(
+        "l_returnflag",
+        (F.col("hv") % _HLL_M).alias("bucket"),
+        F.expr(f"hv div {_HLL_M}").alias("w"),
+    )
+    regs = parts.groupBy("l_returnflag", "bucket").agg(
+        F.expr(f"max({_RHO_CASE})").alias("register")
+    )
+    two = F.lit(2).cast("bigint")
+    s = regs.groupBy("l_returnflag").agg(
+        F.count("*").alias("used"),
+        F.sum(F.pow(two, F.lit(_HLL_WBITS + 1) - F.col("register")).cast("bigint"))
+        .cast("bigint").alias("sum_scaled"),
+    )
+    full_scale = int(2 ** (_HLL_WBITS + 1))
+    sum_full = (
+        F.col("sum_scaled") + (_HLL_M - F.col("used")) * F.lit(full_scale)
+    ).cast("bigint")
+    raw_est = F.lit(_HLL_ALPHA * _HLL_M * _HLL_M * float(full_scale)) / sum_full.cast("double")
+    zeros = F.lit(_HLL_M) - F.col("used")
+    linear = F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / zeros.cast("double"))
+    corrected = F.when((raw_est <= 2.5 * _HLL_M) & (zeros > 0), linear).otherwise(raw_est)
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("exact_distinct")
+    )
+    return s.join(F.broadcast(exact), "l_returnflag").select(
+        "l_returnflag",
+        F.col("used").cast("bigint").alias("buckets_used"),
+        sum_full.alias("sum_scaled_full"),
+        F.round(corrected, 4).alias("approx_supp_cnt"),
+        "exact_distinct",
     )
 
 

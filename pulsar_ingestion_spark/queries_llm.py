@@ -154,9 +154,115 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(docs3, threshold=0.35, n=3)
 
 
-@query("dedup_minhash")  # LSH banding uses engine-internal hashes → rows-only
+_MINHASH_SHINGLE_CTES = r"""
+WITH raw AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS rw
+  FROM documents
+), wd AS (
+  SELECT doc_id,
+         CASE WHEN len(rw) >= 3 THEN
+           list_distinct(list_transform(range(1, len(rw) - 2 + 1),
+             i -> concat(rw[i], ' ', rw[i+1], ' ', rw[i+2])))
+         ELSE [array_to_string(rw, ' ')] END AS w
+  FROM raw
+)"""
+
+_MINHASH_BANDED_TAIL = """, cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+), j AS (
+  SELECT c.id_a, c.id_b,
+         round(len(list_intersect(x.w, y.w))
+               / (len(x.w) + len(y.w) - len(list_intersect(x.w, y.w))), 6) AS jaccard
+  FROM cand c JOIN wd x ON x.doc_id = c.id_a JOIN wd y ON y.doc_id = c.id_b
+)
+SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= {threshold}
+"""
+
+
+def _minhash_banded_oracle(seeds: list[str], num_bands: int, threshold: float) -> str:
+    """DuckDB recomputation of the md5-family banded pipeline
+    (operators/dedup.py minhash_banded_pairs, hash="md5") — identical
+    3-gram shingles, per-seed md5 minhashes, hex-concat band values,
+    exact shingle-Jaccard verify."""
+    sigcols = ",\n         ".join(
+        f"list_aggregate(list_transform(w, x -> md5(concat('{s}:', x))), 'min') AS sig_{i}"
+        for i, s in enumerate(seeds)
+    )
+    bandrows = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, concat(sig_{2 * b}, sig_{2 * b + 1}) AS bval FROM sigs"
+        for b in range(num_bands)
+    )
+    return (
+        _MINHASH_SHINGLE_CTES
+        + f""", sigs AS (
+  SELECT doc_id, w,
+         {sigcols}
+  FROM wd
+), bands AS (
+  {bandrows}
+)"""
+        + _MINHASH_BANDED_TAIL.format(threshold=threshold)
+    )
+
+
+def _minhash_km_oracle(num_sigs: int, num_bands: int, threshold: float) -> str:
+    """DuckDB recomputation of the km_md5 (portable Kirsch-Mitzenmacher)
+    banded pipeline: two 27-bit md5 lanes per shingle, sig_i =
+    min(h1 + i*h2), band value = (sig<<31) + sig — bit-identical to
+    operators/dedup.py minhash_signatures(hash="km_md5")."""
+    mask = (1 << 27) - 1
+    sigcols = ",\n         ".join(
+        f"min(h1 + {i} * h2) AS sig_{i}" for i in range(num_sigs)
+    )
+    bandrows = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, (sig_{2 * b} << 31) + sig_{2 * b + 1} AS bval FROM sigs0"
+        for b in range(num_bands)
+    )
+    return (
+        _MINHASH_SHINGLE_CTES
+        + f""", ex AS (
+  SELECT doc_id, unnest(w) AS g FROM wd
+), hh AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5('km1:' || g), 1, 8)) AS BIGINT) & {mask} AS h1,
+         CAST(('0x' || substring(md5('km2:' || g), 1, 8)) AS BIGINT) & {mask} AS h2
+  FROM ex
+), sigs0 AS (
+  SELECT doc_id,
+         {sigcols}
+  FROM hh GROUP BY doc_id
+), bands AS (
+  {bandrows}
+)"""
+        + _MINHASH_BANDED_TAIL.format(threshold=threshold)
+    )
+
+
+# Independent 12-seed family for dedup_minhash (distinct from the 8-seed
+# MINHASH_SEEDS used by dedup_minhash_banded — a separate LSH layout, not
+# a re-labelled copy).
+_MINHASH12_SEEDS = [f"t{i}" for i in range(12)]
+
+
+@query("dedup_minhash", oracle=_minhash_banded_oracle(_MINHASH12_SEEDS, 6, 0.5))
 def q_dedup_minhash(spark, sf_dir):
-    return dedup_minhash_lsh(load_tables(spark, sf_dir)["documents"], threshold=0.5)
+    # Portable banded MinHash at threshold 0.5 — 12 md5 minhash seeds →
+    # 6 bands of 2 (≥1-band collision ≈ 0.82 recall at s=0.5; every
+    # emitted pair is exact-Jaccard verified so precision is 1).  This id
+    # was the MLlib MinHashLSH until round 11: engine-internal hash
+    # families made it rows-only forever (VERDICT r10 item 1a), so it now
+    # runs the portable permutation-hash pipeline whose DuckDB oracle
+    # recomputes the identical signatures; the MLlib operator
+    # (operators/dedup.py dedup_minhash_lsh) remains available and
+    # unit-tested (tests/test_llm_ops.py) for users who want MLlib's
+    # hash family.  Scale shape unchanged: band equi-join IS the
+    # candidate filter, never all-pairs.
+    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    return minhash_banded_pairs(
+        docs, n=3, num_bands=6, threshold=0.5, hash="md5", seeds=_MINHASH12_SEEDS
+    )
 
 
 def _simhash_oracle(bits: int = 32, max_hamming: int = 6) -> str:
@@ -937,44 +1043,7 @@ def q_text_minhash_signature(spark, sf_dir):
     return docs.select("doc_id", *cols)
 
 
-_MINHASH_BANDED_ORACLE = r"""
-WITH raw AS (
-  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS rw
-  FROM documents
-), wd AS (
-  SELECT doc_id,
-         CASE WHEN len(rw) >= 3 THEN
-           list_distinct(list_transform(range(1, len(rw) - 2 + 1),
-             i -> concat(rw[i], ' ', rw[i+1], ' ', rw[i+2])))
-         ELSE [array_to_string(rw, ' ')] END AS w
-  FROM raw
-), sigs AS (
-  SELECT doc_id, w,
-         {sigcols}
-  FROM wd
-), bands AS (
-  {bandrows}
-), cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
-), j AS (
-  SELECT c.id_a, c.id_b,
-         round(len(list_intersect(x.w, y.w))
-               / (len(x.w) + len(y.w) - len(list_intersect(x.w, y.w))), 6) AS jaccard
-  FROM cand c JOIN wd x ON x.doc_id = c.id_a JOIN wd y ON y.doc_id = c.id_b
-)
-SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.35
-""".format(
-    sigcols=",\n         ".join(
-        f"list_aggregate(list_transform(w, x -> md5(concat('{s}:', x))), 'min') AS sig_{i}"
-        for i, s in enumerate(_MINHASH_SEEDS)
-    ),
-    bandrows="\n  UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, concat(sig_{2 * b}, sig_{2 * b + 1}) AS bval FROM sigs"
-        for b in range(4)
-    ),
-)
+_MINHASH_BANDED_ORACLE = _minhash_banded_oracle(_MINHASH_SEEDS, 4, 0.35)
 
 
 @query("dedup_minhash_banded", oracle=_MINHASH_BANDED_ORACLE)
@@ -997,24 +1066,25 @@ def q_dedup_minhash_banded(spark, sf_dir):
     return minhash_banded_pairs(docs, n=3, num_bands=4, threshold=0.35, hash="md5")
 
 
-@query("dedup_minhash_fast")  # xxhash64 signatures → not DuckDB-recomputable → rows-only
+@query("dedup_minhash_fast", oracle=_minhash_km_oracle(8, 4, 0.35))
 def q_dedup_minhash_fast(spark, sf_dir):
-    # The PRODUCTION form of dedup_minhash_banded (VERDICT r7 item 4):
-    # identical plan shape (8 minhashes → 4 bands → band equi-join →
-    # exact shingle-Jaccard ≥ 0.35 verify) but the signatures are
-    # engine-side xxhash64 longs instead of portable md5 hex — a
-    # codegen'd long op per (shingle, seed) instead of a MessageDigest
-    # + hex string, and 8-byte band shuffle keys instead of 64-char
-    # strings.
-    # dedup_minhash_banded's 10× curve is CPU-bound on its ~800 portable
-    # md5 calls/doc (SCALE.md §6f); this variant removes that term while
-    # keeping the verify stage exact, so every emitted pair is still a
-    # true ≥-threshold pair (precision 1; only LSH recall is
-    # hash-family-dependent).  Keep the md5 id for oracle parity; use
-    # this one at scale.
+    # The FAST form of dedup_minhash_banded (VERDICT r7 item 4): identical
+    # plan shape (8 minhashes → 4 bands → band equi-join → exact
+    # shingle-Jaccard ≥ 0.35 verify) but the signature family is portable
+    # Kirsch-Mitzenmacher (hash="km_md5"): sig_i = min(h1 + i·h2) from TWO
+    # 27-bit md5 lanes per shingle instead of 8 full md5 digests — 4× less
+    # digest CPU (the banded pipeline's dominant term at scale, SCALE.md
+    # §6f), long-typed signatures, and 8-byte band shuffle keys
+    # ((sig<<31)+sig fold) instead of 128-char hex concats.  Until round
+    # 11 this id used engine-side xxhash64 (rows-only forever — DuckDB
+    # can't recompute it, VERDICT r10 item 1b); the km_md5 family keeps
+    # the fast-signature design AND a recomputing DuckDB oracle.  The
+    # xxhash64 family remains available in the operator for engine-only
+    # blocking.  Every emitted pair is exact-verified (precision 1; only
+    # LSH recall is hash-family-dependent).
     docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
     return minhash_banded_pairs(
-        docs, n=3, num_bands=4, threshold=0.35, hash="xxhash64"
+        docs, n=3, num_bands=4, threshold=0.35, hash="km_md5"
     )
 
 

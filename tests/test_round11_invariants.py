@@ -1,0 +1,147 @@
+"""Round-11 invariants: the rows-only trio retired onto portable
+machinery (VERDICT r10 item 1) — km_md5 minhash family, the 12-seed
+dedup_minhash layout, and the grouped portable HLL behind
+agg_approx_count_distinct."""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_minhash_km_md5_family_is_precise_and_bounded(spark):
+    """Portable Kirsch-Mitzenmacher (round 11): signatures derive from two
+    27-bit md5 lanes, so every sig_i = min(h1 + i*h2) < 2^27 + 7*2^27 = 2^31
+    — the (sig<<31)+sig band fold can never overflow a signed 64-bit in
+    either engine — and every emitted pair is exact-Jaccard verified
+    (precision 1, independent of the hash family)."""
+    from pulsar_ingestion_spark.operators.dedup import (
+        minhash_banded_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sigs = minhash_signatures(docs, hash="km_md5").collect()
+    assert sigs
+    for r in sigs:
+        for i in range(8):
+            assert 0 <= r[f"sig_{i}"] < (1 << 31), (r["doc_id"], i)
+
+    fast = {tuple(r) for r in minhash_banded_pairs(docs, hash="km_md5").collect()}
+    exact = {tuple(r) for r in
+             ngram_jaccard_pairs(docs, threshold=0.35, n=3).collect()}
+    assert fast and fast <= exact
+
+
+def test_minhash_km_md5_identical_text_identical_signature(spark):
+    from pulsar_ingestion_spark.operators.dedup import (
+        minhash_banded_pairs,
+        minhash_signatures,
+    )
+
+    txt = "the quick brown fox jumps over the lazy dog today"
+    docs = spark.createDataFrame(
+        [(1, txt), (2, txt),
+         (3, "completely different text with no overlap at all here now")],
+        "doc_id long, text string",
+    )
+    s = {r["doc_id"]: [r[f"sig_{i}"] for i in range(8)]
+         for r in minhash_signatures(docs, hash="km_md5").collect()}
+    assert s[1] == s[2]
+    assert s[1] != s[3]
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in minhash_banded_pairs(docs, hash="km_md5").collect()}
+    assert set(pairs) == {(1, 2)}
+    assert pairs[(1, 2)] == 1.0
+
+
+def test_minhash_banded_pairs_rejects_short_seed_list(spark):
+    from pulsar_ingestion_spark.operators.dedup import minhash_banded_pairs
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="seeds"):
+        minhash_banded_pairs(df, num_bands=6, seeds=["a", "b", "c"])
+
+
+def test_dedup_minhash_twelve_seed_layout_precision(spark):
+    """The re-pointed dedup_minhash id (12 md5 seeds -> 6 bands, threshold
+    0.5): every emitted pair is a true exact-Jaccard >= 0.5 pair, and the
+    layout is NOT a re-labelled dedup_minhash_banded (different seeds,
+    bands, threshold -> different pair set on the fixture corpus)."""
+    from pulsar_ingestion_spark.operators.dedup import ngram_jaccard_pairs
+    from pulsar_ingestion_spark.queries_llm import (
+        q_dedup_minhash,
+        q_dedup_minhash_banded,
+    )
+
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in q_dedup_minhash(spark, SF).collect()}
+    assert got
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    exact = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(docs, threshold=0.5, n=3).collect()}
+    assert set(got) <= set(exact)
+    for k, v in got.items():
+        assert v == exact[k] and v >= 0.5
+    # distinct layout, not a re-labelled dedup_minhash_banded: a pair in
+    # the 0.35 <= j < 0.5 gap passes the banded id's threshold but never
+    # this id's (on the driver fixture the two pair sets coincide — its
+    # 31-token vocabulary yields only near-exact duplicates)
+    # shared 9-word prefix + 5 distinct tail words each: 12 shingles per
+    # doc, 7 shared -> exact jaccard 7/17 ~ 0.412, inside [0.35, 0.5).
+    # LSH band collision at j=0.41 is probabilistic by design (~52% for
+    # 4 bands of 2), so scan a few deterministic tail-word salts for a
+    # corpus where the banded layout DOES emit the pair; the strict
+    # layout must never emit it (its exact-verify stage filters at 0.5
+    # regardless of banding luck).
+    from pulsar_ingestion_spark.operators.dedup import minhash_banded_pairs
+    from pulsar_ingestion_spark.queries_llm import _MINHASH12_SEEDS
+
+    core = " ".join(f"core{i}" for i in range(9))
+    found = False
+    for salt in range(10):
+        a = core + " " + " ".join(f"lefty{salt}x{i}" for i in range(5))
+        b = core + " " + " ".join(f"righty{salt}x{i}" for i in range(5))
+        gap = spark.createDataFrame(
+            [(1, a), (2, b)]
+            + [(i, f"filler{i} padpad{i} endend{i}") for i in range(3, 9)],
+            "doc_id long, text string",
+        )
+        in_strict = {
+            (r["id_a"], r["id_b"])
+            for r in minhash_banded_pairs(
+                gap, num_bands=6, threshold=0.5, seeds=_MINHASH12_SEEDS
+            ).collect()
+        }
+        assert (1, 2) not in in_strict, salt
+        in_banded = {(r["id_a"], r["id_b"])
+                     for r in minhash_banded_pairs(gap).collect()}
+        if (1, 2) in in_banded:
+            found = True
+            break
+    assert found, "no salt produced a banded-layout collision at j~0.41"
+
+
+def test_agg_approx_count_distinct_portable_hll_envelope(spark):
+    """Grouped portable HLL (m=64): per-group estimate within the 3-sigma
+    HLL envelope of the exact distinct count (sigma ~ 1.04/sqrt(64) = 13%;
+    the linear-counting regime used at fixture scale is tighter), register
+    invariants hold, and the full scaled harmonic sum is consistent with
+    buckets_used."""
+    from pulsar_ingestion_spark.queries_core import agg_approx_count_distinct
+    from pulsar_ingestion_spark.queries_sketch import _HLL_M, _HLL_WBITS
+
+    rows = agg_approx_count_distinct(spark, SF).collect()
+    assert rows and len(rows) == 3
+    full = 1 << (_HLL_WBITS + 1)
+    for r in rows:
+        assert 1 <= r["buckets_used"] <= _HLL_M
+        # each used register contributes 2^(27-rho) in [1, 2^26]; empty
+        # registers contribute the full 2^27
+        lo = r["buckets_used"] + (_HLL_M - r["buckets_used"]) * full
+        hi = _HLL_M * full
+        assert lo <= r["sum_scaled_full"] <= hi
+        err = abs(r["approx_supp_cnt"] - r["exact_distinct"]) / r["exact_distinct"]
+        assert err <= 3 * 1.04 / (_HLL_M ** 0.5), (r["l_returnflag"], err)

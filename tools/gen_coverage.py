@@ -174,6 +174,11 @@ SECTIONS = [
     ("Warehouse metadata ops (round 8)", [
         "warehouse_zone_map_prune", "warehouse_clustering_depth",
     ]),
+    ("Variance tests, power analysis & outlier audit (round 10)", [
+        "stats_welch_ttest", "stats_levene_brown_forsythe", "exp_power_mde",
+        "privacy_t_closeness", "emb_outlier_mahalanobis_diag",
+        "multimodal_dedup_bytes",
+    ]),
     ("Sketches & sampling III (round 5)", [
         "sketch_kmv_intersect", "sketch_quantile_logbins", "sample_weighted_kmv",
     ]),
