@@ -42,7 +42,8 @@ def main(argv: list[str] | None = None) -> int:
         help="relay mode: publish per-tenant to a topic sink instead of "
         "landing parquet — kind=pulsar|kafka|eventhub|jsonl plus "
         "connector options (e.g. kind=pulsar service_url=pulsar://b:6650 "
-        "topic_prefix=persistent://acme/fleet/tenant-)",
+        "topic_prefix=persistent://acme/fleet/tenant- or "
+        "topic_template=persistent://{tenant}/integration/telemetry)",
     )
     args = ap.parse_args(argv)
 

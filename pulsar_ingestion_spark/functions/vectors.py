@@ -91,4 +91,16 @@ def cosine_rounded_kernel(a: Column, b: Column, digits: int = 6) -> Column:
         return pd.DataFrame({"ab": ab, "aa": aa, "bb": bb})
 
     d = _dots(a, b)
-    return F.round(d["ab"] / (F.sqrt(d["aa"]) * F.sqrt(d["bb"])), digits)
+    # Abnormal-row fallback (ADVICE r10): the kernel returns a NULL dot
+    # for EVERY abnormal class — null/ragged operands (guard above), NaN
+    # components (NaN accumulates, NaN→Arrow null), and null elements
+    # (Arrow delivers them AS NaN, indistinguishable in the kernel) —
+    # but the HOF twin distinguishes them (NaN input → NaN, null element
+    # → NULL).  So route any null-dot row through the HOF expression
+    # itself: CaseWhen evaluates branches lazily per row, so the
+    # interpreted fold runs ONLY on abnormal rows and the result is
+    # bit-identical to cosine_rounded for every input class by
+    # construction (normal rows: same IEEE sequence; abnormal rows: the
+    # reference expression verbatim).
+    fast = F.round(d["ab"] / (F.sqrt(d["aa"]) * F.sqrt(d["bb"])), digits)
+    return F.when(d["ab"].isNotNull(), fast).otherwise(cosine_rounded(a, b, digits))

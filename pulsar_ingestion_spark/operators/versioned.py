@@ -359,10 +359,37 @@ class VersionedTable:
                     except OSError:
                         grabbed_token = None
                     if grabbed_token != stale_token:
+                        # mistakenly grabbed a FRESH lock — restore it.
+                        # os.link fails EEXIST rather than clobbering a
+                        # newer lock; on filesystems WITHOUT hard links
+                        # (some NFS/object-store mounts — EPERM/ENOTSUP)
+                        # fall back to rename guarded by a lock-absence
+                        # check (ADVICE r10; the residual check→rename
+                        # window is covered by the ownership-checked
+                        # publish below), and log when the holder stays
+                        # displaced instead of silently deleting it.
+                        restored = False
                         try:
                             os.link(grabbed, lock)
+                            restored = True
+                        except FileExistsError:
+                            restored = True  # newer lock already in place
                         except OSError:
-                            pass
+                            try:
+                                if not os.path.exists(lock):
+                                    os.rename(grabbed, lock)
+                                    restored = True
+                            except OSError:
+                                pass
+                        if not restored:
+                            import logging
+
+                            logging.getLogger(__name__).warning(
+                                "watermark lock steal raced a fresh holder on %s "
+                                "and could not restore it; the displaced holder "
+                                "is covered by the ownership-checked publish",
+                                lock,
+                            )
                     try:
                         os.unlink(grabbed)
                     except FileNotFoundError:

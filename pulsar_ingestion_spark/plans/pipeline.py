@@ -106,8 +106,12 @@ class PipelineSpec:
     # publish (Filterer.kt dynamic outputs; deployment/pipeline.yaml
     # relay): when set, the routed stream publishes to a topic sink
     # instead of landing parquet.  {"kind": "pulsar"|"kafka"|"eventhub"|
-    # "jsonl", "topic_prefix": "...", **connector options} — each record
-    # goes to topic `<topic_prefix><tenantId>` via open_topic_sink's
+    # "jsonl", "topic_prefix": "..."| "topic_template": "...{tenant}...",
+    # **connector options} — each record goes to topic
+    # `<topic_prefix><tenantId>`, or to the template with every `{tenant}`
+    # occurrence substituted (the reference Filterer's layout is
+    # persistent://${tenantId}/integration/telemetry — tenant mid-URL, so
+    # a prefix alone can't express it), via open_topic_sink's
     # dynamic-topic contract (jsonl = broker-less bridge, value lines
     # partitioned by topic dir).
     publish: dict | None = None
@@ -202,11 +206,31 @@ def run_pipeline(spark: SparkSession, spec: PipelineSpec, streaming: bool = True
 
         opts = dict(spec.publish)
         kind = opts.pop("kind")
+        # topic_template puts the tenant ANYWHERE in the topic URI — the
+        # reference Filterer routes to
+        # persistent://${tenantId}/integration/telemetry (tenant mid-URL,
+        # Filterer.kt dynamic outputs), which a prefix alone can't express
+        # (ADVICE r10).  `{tenant}` is the substitution point; every
+        # occurrence is replaced.  topic_prefix remains the simple form.
+        template = opts.pop("topic_template", None)
         prefix = opts.pop("topic_prefix", "tenant-")
-        topic_frame = out.select(
-            F.concat(F.lit(prefix), F.col("tenantId")).alias("__route_topic"),
-            "value",
-        )
+        if template is not None:
+            parts = template.split("{tenant}")
+            if len(parts) < 2:
+                raise ValueError(
+                    "publish.topic_template must contain '{tenant}' "
+                    f"(got {template!r})"
+                )
+            cols = []
+            for i, p in enumerate(parts):
+                if p:
+                    cols.append(F.lit(p))
+                if i < len(parts) - 1:
+                    cols.append(F.col("tenantId"))
+            topic_expr = F.concat(*cols)
+        else:
+            topic_expr = F.concat(F.lit(prefix), F.col("tenantId"))
+        topic_frame = out.select(topic_expr.alias("__route_topic"), "value")
         writer = open_topic_sink(
             topic_frame, kind, streaming=streaming,
             topic_column="__route_topic", **opts,

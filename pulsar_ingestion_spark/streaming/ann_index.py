@@ -113,8 +113,25 @@ def ann_search(
     expressions of :func:`operators.similarity.knn_lsh` with the
     candidate side read from the index instead of rebucketed, so the
     result equals the batch operator over the same vectors at any
-    stream cut.  ``num_planes``/``seed`` must match the index's."""
-    state = VersionedTable(state_root).read(spark)
+    stream cut.  ``num_planes``/``seed`` must match the index's.
+
+    A search racing the FIRST micro-batch (no committed version yet)
+    returns zero rows with the normal result schema rather than raising
+    (ADVICE r10) — an empty index simply has no candidates."""
+    try:
+        state = VersionedTable(state_root).read(spark)
+    except FileNotFoundError:
+        from pyspark.sql.types import (
+            DoubleType, IntegerType, StructField, StructType,
+        )
+
+        idt = queries.schema[id_col].dataType
+        return spark.createDataFrame([], StructType([
+            StructField("query_id", idt),
+            StructField("cand_id", idt),
+            StructField("cos_sim", DoubleType()),
+            StructField("rank", IntegerType()),
+        ]))
     qb = signlsh_buckets(queries, dim, num_planes, id_col, vec_col, seed)
     from pulsar_ingestion_spark.functions.vectors import cosine_rounded
 
@@ -152,6 +169,10 @@ def plane_budget_exceeded(
     ``auto_num_planes`` would pick MORE planes for the current corpus
     size than the index bakes into its stored buckets.  The operator
     answer is a re-index job (one kernel pass over the state rows under
-    the larger plane count, committed as a new version)."""
-    n = VersionedTable(state_root).read(spark).count()
+    the larger plane count, committed as a new version).  An index with
+    no committed version yet has outgrown nothing → False (ADVICE r10)."""
+    try:
+        n = VersionedTable(state_root).read(spark).count()
+    except FileNotFoundError:
+        return False
     return auto_num_planes(n, target_block=target_block, lo=1, hi=64) > num_planes
