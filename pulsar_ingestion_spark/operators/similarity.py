@@ -396,32 +396,55 @@ def knn_ivf_seeded(
         .limit(n_cells)
         .collect()
     )
+    return knn_ivf_pinned(
+        queries, candidates,
+        [(r["cell"], [float(x) for x in r["cvec"]]) for r in cents],
+        k=k, nprobe=nprobe, id_col=id_col, vec_col=vec_col,
+    )
+
+
+def ivf_assign_cells(
+    df: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector its nearest PINNED cell: ``(id, vec, cell)``.
+
+    Assignment via the Arrow argmin kernel (1 subspace × full dim) —
+    bit-identical to array_min over the (d2, cell) structs (same ordered
+    fold per d2, same smallest-cell tie-break) but without
+    ~2·dim·n_cells interpreted lambda dispatches per row, which
+    dominated the 100× point (22.2 s; SCALE.md §6n cont.).  Shared by
+    the batch IVF (:func:`knn_ivf_pinned`) and the streaming index
+    maintainer (streaming/ann_index.stream_ivf_index) so both bucket
+    identically by construction."""
+    dim = len(cents[0][1])
+    enc = pq_encode_kernel(df, list(cents), 1, dim, id_col=id_col, vec_col=vec_col)
+    return enc.select("id", "vec", F.element_at("enc.codes", 1).alias("cell"))
+
+
+def ivf_probe_cells(
+    queries: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    nprobe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-query nprobe nearest pinned cells: ``(qid, qv, cell)`` — a
+    NARROW column expression over the literal centroid table (no
+    shuffle, no window)."""
 
     def cell_structs(vec):
         return F.array(*[
             F.struct(
-                _dist2(vec, F.array(*[F.lit(float(x)) for x in r["cvec"]])).alias("d2"),
-                F.lit(r["cell"]).cast("long").alias("cell"),
+                _dist2(vec, F.array(*[F.lit(float(x)) for x in cvec])).alias("d2"),
+                F.lit(cell).cast("long").alias("cell"),
             )
-            for r in cents
+            for cell, cvec in cents
         ])
 
-    # assignment via the Arrow argmin kernel (1 subspace × full dim) —
-    # bit-identical to array_min over the (d2, cell) structs (same ordered
-    # fold per d2, same smallest-cell tie-break) but without ~2·dim·n_cells
-    # interpreted lambda dispatches per row, which dominated the 100×
-    # point (22.2 s; SCALE.md §6n cont.)
-    dim = len(cents[0]["cvec"])
-    enc = pq_encode_kernel(
-        candidates,
-        [(r["cell"], r["cvec"]) for r in cents],
-        1,
-        dim,
-        id_col=id_col,
-        vec_col=vec_col,
-    )
-    assigned = enc.select("id", "vec", F.element_at("enc.codes", 1).alias("cell"))
-    probes = (
+    return (
         queries.select(
             F.col(id_col).alias("qid"),
             F.col(vec_col).alias("qv"),
@@ -429,10 +452,15 @@ def knn_ivf_seeded(
         )
         .select("qid", "qv", F.explode(F.col("pc")["cell"]).alias("cell"))
     )
-    # cosine via the pair-dot Arrow kernel: the rerank volume here is
-    # queries × probed-cell occupancy (~750k pairs at the 100× point) and
-    # the three HOF dot folds per pair dominated the wall — bit-identical
-    # finish (divide/sqrt/round stay JVM-side), see cosine_rounded_kernel
+
+
+def ivf_rerank(probes: DataFrame, assigned: DataFrame, k: int) -> DataFrame:
+    """Exact-cosine rerank of probed cells — the shared tail of the batch
+    and streaming IVF searches.  Cosine via the pair-dot Arrow kernel:
+    the rerank volume is queries × probed-cell occupancy (~750k pairs at
+    the 100× point) and the three HOF dot folds per pair dominated the
+    wall — bit-identical finish (divide/sqrt/round stay JVM-side), see
+    cosine_rounded_kernel."""
     scored = (
         probes.join(assigned, "cell")
         .filter(F.col("qid") != F.col("id"))
@@ -444,6 +472,24 @@ def knn_ivf_seeded(
         .filter(F.col("rank") <= k)
         .select(F.col("qid").alias("query_id"), F.col("id").alias("cand_id"), "cos_sim", "rank")
     )
+
+
+def knn_ivf_pinned(
+    queries: DataFrame,
+    candidates: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN under an EXPLICIT pinned centroid list — the core
+    :func:`knn_ivf_seeded` delegates to after deriving its seeded
+    centroids, and the batch-equivalence reference for the streaming
+    index (streaming/ann_index.ivf_search)."""
+    assigned = ivf_assign_cells(candidates, cents, id_col, vec_col)
+    probes = ivf_probe_cells(queries, cents, nprobe, id_col, vec_col)
+    return ivf_rerank(probes, assigned, k)
 
 
 def knn_lsh(

@@ -176,3 +176,154 @@ def plane_budget_exceeded(
     except FileNotFoundError:
         return False
     return auto_num_planes(n, target_block=target_block, lo=1, hi=64) > num_planes
+
+
+# ---------------------------------------------------------------------------
+# IVF family (VERDICT r10 item 7): the same incremental-maintenance story
+# for the second ANN family.  Where sign-LSH pins (num_planes, seed), an
+# IVF index pins its CENTROID LIST — cell assignment must be a pure
+# function of (embedding, centroids), so the centroids are fixed at index
+# creation (derived offline: the seeded-md5 rule of knn_ivf_seeded, or a
+# k-means run over a bootstrap corpus) and persisted as a sidecar next to
+# the versioned state, making every later micro-batch and search
+# self-describing.  State rows: (vec_id, embedding, cell) — exactly the
+# candidate side of knn_ivf_pinned's rerank join.
+
+def _ivf_centroid_file(state_root: str) -> str:
+    import os
+
+    return os.path.join(state_root, "ivf_centroids.json")
+
+
+def _write_ivf_centroids(state_root: str, cents) -> None:
+    """Persist the pinned centroid list atomically (write-temp + replace);
+    idempotent — an existing identical sidecar is left alone, a DIFFERENT
+    one raises (changing centroids silently would orphan every stored
+    cell assignment)."""
+    import json
+    import os
+    import uuid as _uuid
+
+    os.makedirs(state_root, exist_ok=True)
+    payload = [[int(c), [float(x) for x in v]] for c, v in cents]
+    path = _ivf_centroid_file(state_root)
+    if os.path.exists(path):
+        existing = _read_ivf_centroids(state_root)
+        if existing != [(int(c), [float(x) for x in v]) for c, v in cents]:
+            raise ValueError(
+                f"IVF index at {state_root} is pinned to a different centroid "
+                "list; re-index into a fresh root instead of mutating centroids"
+            )
+        return
+    tmp = os.path.join(state_root, f".ivfc-{_uuid.uuid4().hex}.json")
+    with open(tmp, "w") as fh:
+        json.dump(payload, fh)
+    os.replace(tmp, path)
+
+
+def _read_ivf_centroids(state_root: str) -> list[tuple[int, list[float]]]:
+    import json
+
+    with open(_ivf_centroid_file(state_root)) as fh:
+        return [(int(c), [float(x) for x in v]) for c, v in json.load(fh)]
+
+
+def stream_ivf_index(
+    state_root: str,
+    app_id: str,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """foreachBatch target: assign the batch's embeddings to their pinned
+    IVF cells (Arrow argmin kernel — identical assignment to the batch
+    operator by construction) and append exactly once.  Usage::
+
+        q = (emb_stream.writeStream
+               .foreachBatch(stream_ivf_index(root, app_id=ckpt, centroids=cents))
+               .option("checkpointLocation", ckpt).start())
+
+    Query with :func:`ivf_search`."""
+    from pulsar_ingestion_spark.operators.similarity import ivf_assign_cells
+
+    _write_ivf_centroids(state_root, centroids)
+    table = VersionedTable(state_root)
+    commit = table.stream_batch_committer(app_id)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if table._batch_already_committed(batch_id, app_id):
+            return  # replayed batch — index already advanced
+        assigned = ivf_assign_cells(
+            batch_df.select(id_col, vec_col), centroids, id_col, vec_col
+        )
+        commit(
+            assigned.select(
+                F.col("id").alias(id_col),
+                F.col("vec").alias(vec_col),
+                "cell",
+            ),
+            batch_id,
+        )
+
+    return process
+
+
+def ivf_search(
+    spark: SparkSession,
+    state_root: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k IVF ANN against the indexed-so-far state: probe the nprobe
+    nearest PINNED cells (read from the index's sidecar) and rerank
+    exactly — term-for-term the expressions of
+    :func:`operators.similarity.knn_ivf_pinned`, so the result equals
+    the batch operator over the union of the indexed batches at any
+    stream cut.  No committed version yet → zero rows, normal schema
+    (same contract as :func:`ann_search`)."""
+    from pulsar_ingestion_spark.operators.similarity import (
+        ivf_probe_cells,
+        ivf_rerank,
+    )
+
+    try:
+        state = VersionedTable(state_root).read(spark)
+        cents = _read_ivf_centroids(state_root)
+    except FileNotFoundError:
+        from pyspark.sql.types import (
+            DoubleType, IntegerType, StructField, StructType,
+        )
+
+        idt = queries.schema[id_col].dataType
+        return spark.createDataFrame([], StructType([
+            StructField("query_id", idt),
+            StructField("cand_id", idt),
+            StructField("cos_sim", DoubleType()),
+            StructField("rank", IntegerType()),
+        ]))
+    assigned = state.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), "cell"
+    )
+    probes = ivf_probe_cells(queries, cents, nprobe, id_col, vec_col)
+    return ivf_rerank(probes, assigned, k)
+
+
+def cell_budget_exceeded(
+    spark: SparkSession,
+    state_root: str,
+    target_block: int = 512,
+) -> bool:
+    """True when the live index has outgrown its pinned cell count —
+    average cell occupancy beyond ``target_block`` means oversized
+    rerank blocks; the operator answer is a re-index job under more
+    centroids (one assignment pass over the state rows, committed as a
+    new version into a fresh root).  No committed version yet → False."""
+    try:
+        n = VersionedTable(state_root).read(spark).count()
+        n_cells = len(_read_ivf_centroids(state_root))
+    except FileNotFoundError:
+        return False
+    return n > target_block * max(n_cells, 1)

@@ -550,3 +550,104 @@ def test_pulsar_source_smoke_if_broker():
     )
     q.awaitTermination(60)
     assert spark.sql("SELECT count(*) c FROM pulsar_smoke").collect()[0]["c"] >= 0
+
+
+def test_pulsar_full_option_surface_contract(spark):
+    """VERDICT r10 item 6: pin the COMPLETE friendly->connector key
+    surface for the pulsar passthrough against the StreamNative
+    pulsar-spark connector's documented option names, so a key rename on
+    either side can't silently break the passthrough.  Every friendly
+    reader key in one call, full-dict equality; writer twin likewise;
+    and the dynamic-topic frame carries exactly the connector's reserved
+    `__topic` metadata column plus the payload."""
+    from pulsar_ingestion_spark.sources.registry import (
+        open_topic_sink,
+        pulsar_reader_options,
+        pulsar_writer_options,
+    )
+
+    # READER: every friendly key at once (topic/topics and the two
+    # pattern spellings are alternatives — asserted separately below)
+    assert pulsar_reader_options({
+        "service_url": "pulsar://b:6650",
+        "admin_url": "http://b:8080",
+        "topic": "t-in",
+        "starting_offsets": "earliest",
+        "ending_offsets": "latest",
+        "subscription_prefix": "sub-a",
+        "pulsar.client.tlsAllowInsecureConnection": "false",
+    }) == {
+        "service.url": "pulsar://b:6650",
+        "admin.url": "http://b:8080",
+        "topics": "t-in",
+        "startingOffsets": "earliest",
+        "endingOffsets": "latest",
+        "predefinedSubscription": "sub-a",
+        "pulsar.client.tlsAllowInsecureConnection": "false",
+    }
+    for alias in ("topics", "topic"):
+        assert pulsar_reader_options(
+            {"service_url": "u", alias: "x"})["topics"] == "x"
+    for alias in ("topic_pattern", "topics_pattern"):
+        assert pulsar_reader_options(
+            {"service_url": "u", alias: "p-*"})["topicsPattern"] == "p-*"
+
+    # WRITER: full surface (topic omitted under dynamic routing)
+    assert pulsar_writer_options({
+        "service_url": "pulsar://b:6650",
+        "admin_url": "http://b:8080",
+        "topic": "t-out",
+    }) == {
+        "service.url": "pulsar://b:6650",
+        "admin.url": "http://b:8080",
+        "topic": "t-out",
+    }
+    df = spark.createDataFrame([("acme", "{}")], "tenantId string, value string")
+    w = open_topic_sink(
+        df, "pulsar", streaming=False,
+        topic_column="tenantId", service_url="pulsar://b:6650",
+        topic="ignored-under-dynamic-routing",
+    )
+    # the routed frame must expose ONLY the reserved __topic metadata
+    # column + payload — a leftover routing column would ride into the
+    # published message as a data field
+    assert sorted(w._df.columns) == ["__topic", "value"]
+
+
+def test_kafka_full_option_surface_contract(spark):
+    """Kafka twin of the pulsar option-surface pin: full friendly->
+    connector key map for reader and writer, and the dynamic-routing
+    frame carries exactly the sink's `topic` column plus payload."""
+    from pulsar_ingestion_spark.sources.registry import (
+        kafka_reader_options,
+        open_topic_sink,
+    )
+
+    assert kafka_reader_options({
+        "bootstrap_servers": "k:9092",
+        "topic": "t-in",
+        "starting_offsets": "earliest",
+        "ending_offsets": "latest",
+        "group_id_prefix": "grp-",
+        "kafka.security.protocol": "SSL",
+    }) == {
+        "kafka.bootstrap.servers": "k:9092",
+        "subscribe": "t-in",
+        "startingOffsets": "earliest",
+        "endingOffsets": "latest",
+        "groupIdPrefix": "grp-",
+        "kafka.security.protocol": "SSL",
+    }
+    assert kafka_reader_options({"topic_pattern": "raw-*"}) == {
+        "subscribePattern": "raw-*"
+    }
+    for alias in ("topics", "topic"):
+        assert kafka_reader_options({alias: "x"})["subscribe"] == "x"
+
+    df = spark.createDataFrame([("acme", "{}")], "tenantId string, value string")
+    w = open_topic_sink(
+        df, "kafka", streaming=False,
+        topic_column="tenantId", bootstrap_servers="k:9092",
+        topic="ignored-under-dynamic-routing",
+    )
+    assert sorted(w._df.columns) == ["topic", "value"]
