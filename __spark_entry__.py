@@ -243,6 +243,12 @@ _CHECKED_PRIOR = {
 # regenerated every round, so old greens deserve periodic re-proof;
 # VERDICT r10 item 2).  New round-11 queries go at the FRONT.
 _ROUND11_PREFIX: list[str] = [
+    # round-11 additions — first driver rows this round
+    "dedup_containment",
+    "stats_jarque_bera",
+    "stats_benford_digits",
+    "ml_matthews_corr",
+    "events_bounce_rate",
     # rows-only trio retired — first hash-checked rows this round
     "dedup_minhash",
     "dedup_minhash_fast",
@@ -291,15 +297,11 @@ _ROUND11_PREFIX: list[str] = [
     "text_tfidf_topk",
     "text_vocab_coverage",
     "text_winnowing",
-    "tpch_market_share",
-    "tpch_order_priority",
-    "tpch_pricing_summary",
-    "tpch_revenue_by_region",
-    "tpch_top_orders",
-    # (ts_cusum_drift / ts_lag_features / ts_outlier_mad /
-    # ts_rollup_multires / ts_seasonal_profile / win_running_distinct /
-    # win_streaks rotate in next round — all remain covered via
-    # _CHECKED_PRIOR)
+    # (tpch_market_share / tpch_order_priority / tpch_pricing_summary /
+    # tpch_revenue_by_region / tpch_top_orders / ts_cusum_drift /
+    # ts_lag_features / ts_outlier_mad / ts_rollup_multires /
+    # ts_seasonal_profile / win_running_distinct / win_streaks rotate in
+    # next round — all remain covered via _CHECKED_PRIOR)
 ]
 
 

@@ -135,6 +135,48 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.6,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT for candidate pairs sharing ≥1 shingle:
+    C(A,B) = |A∩B| / min(|A|,|B|) — the one-sided near-dup detector
+    (a small document embedded in a big one scores ~1 where Jaccard
+    dilutes toward |A|/|B|; the classic quote/boilerplate-inclusion case
+    in training-data dedup).  Same plan shape as
+    :func:`ngram_jaccard_pairs`: the shingle equi-join IS the candidate
+    filter, never all-pairs; at 100 TB a MinHash band stage feeds this
+    as the verifier."""
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
+    ).withColumn("sh_size", F.size("sh"))
+    sh = _tracked_persist(sh)
+    exploded = sh.select(
+        "id", "sh_size", F.explode(F.transform("sh", lambda g: F.xxhash64(g))).alias("gram_h")
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    inter = (
+        a.join(b, (F.col("a.gram_h") == F.col("b.gram_h")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh_size").alias("size_a"),
+            F.col("b.sh_size").alias("size_b"),
+        )
+        .agg(F.count("*").alias("inter_cnt"))
+    )
+    cont = F.round(F.col("inter_cnt") / F.least("size_a", "size_b"), 6)
+    return (
+        inter.withColumn("containment", cont)
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+
+
 # Canonical portable minhash seed set (also used by the queries_llm
 # oracles, which re-derive the same md5 signatures in DuckDB).
 MINHASH_SEEDS = ["s0", "s1", "s2", "s3", "s4", "s5", "s6", "s7"]

@@ -1444,3 +1444,47 @@ def q_events_dau_wau(spark, sf_dir):
         F.round(F.col("dau").cast("double") / F.col("wau"), 6)
         .alias("stickiness"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11: daily bounce rate
+
+_BOUNCE_ORACLE = """
+WITH ue AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day, count(*) AS n_ev
+  FROM events GROUP BY user_id, day
+)
+SELECT day,
+       count(*) AS active_users,
+       CAST(SUM(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT) AS bounced,
+       CAST(SUM(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+         AS bounce_rate
+FROM ue GROUP BY day
+"""
+
+
+@query("events_bounce_rate", oracle=_BOUNCE_ORACLE)
+def q_events_bounce_rate(spark, sf_dir):
+    """Daily bounce rate: share of active users with EXACTLY one event
+    that day — the engagement-floor companion to events_dau_wau.  Day
+    keys are integer epoch-microsecond day indexes (epoch_us div 86400e6
+    — the portable integer-time convention), so no calendar/format
+    drift.  Two map-side-combinable groupBys ((user, day) then day);
+    the rate is a raw quotient of exact integers (bitwise identical —
+    never round a raw quotient).  At 100 TB both shuffles are
+    partial-aggregated and the second input is |users|·|days| rows."""
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ue = (
+        ev.select(
+            "user_id",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        )
+        .groupBy("user_id", "day")
+        .agg(F.count(F.lit(1)).alias("n_ev"))
+    )
+    bounced = F.sum(F.when(F.col("n_ev") == 1, 1).otherwise(0))
+    return ue.groupBy("day").agg(
+        F.count(F.lit(1)).alias("active_users"),
+        bounced.cast("bigint").alias("bounced"),
+        (bounced.cast("double") / F.count(F.lit(1))).alias("bounce_rate"),
+    )

@@ -154,6 +154,45 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(docs3, threshold=0.35, n=3)
 
 
+@query(
+    "dedup_containment",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id AS id,
+             list_distinct(list_transform(
+               range(1, greatest(len(w) - 2, 1) + 1),
+               i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS grams
+      FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+            FROM documents)
+      WHERE len(w) >= 3
+    ), ex AS (
+      SELECT id, len(grams) AS sz, unnest(grams) AS gram FROM sh
+    ), inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, a.sz AS size_a, b.sz AS size_b,
+             count(*) AS inter_cnt
+      FROM ex a JOIN ex b ON a.gram = b.gram AND a.id < b.id
+      GROUP BY a.id, b.id, a.sz, b.sz
+    )
+    SELECT id_a, id_b,
+           round(inter_cnt / least(size_a, size_b), 6) AS containment
+    FROM inter
+    WHERE round(inter_cnt / least(size_a, size_b), 6) >= 0.6
+    """,
+)
+def q_dedup_containment(spark, sf_dir):
+    # Round 11: exact 3-gram CONTAINMENT (|A∩B| / min|A|,|B| — the
+    # one-sided near-dup detector: a small doc quoted inside a big one
+    # scores ~1 where Jaccard dilutes toward the size ratio; the classic
+    # boilerplate/quote-inclusion case in training-data dedup).  Same
+    # candidate plan as dedup_ngram_jaccard: shingle-sharing equi-join,
+    # never all-pairs; threshold 0.6.
+    from pulsar_ingestion_spark.operators.dedup import ngram_containment_pairs
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    docs3 = fan_out(docs.filter(F.size(F.split(F.trim(F.lower("text")), r"\s+")) >= 3), spark)
+    return ngram_containment_pairs(docs3, threshold=0.6, n=3)
+
+
 _MINHASH_SHINGLE_CTES = r"""
 WITH raw AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS rw

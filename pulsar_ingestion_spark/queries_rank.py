@@ -631,3 +631,73 @@ def q_stats_kruskal_wallis(spark, sf_dir):
         F.col("k_groups").cast("bigint").alias("k_groups"),
         F.round(h, 6).alias("h_statistic"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11: Matthews correlation + balanced accuracy at threshold 0.5
+
+_MCC_ORACLE = """
+WITH lab AS (
+  SELECT event_type,
+         CASE WHEN value >= 50.0 THEN 1 ELSE 0 END AS pred,
+         CAST(event_id % 2 AS INTEGER) AS y
+  FROM events
+), c AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN pred = 1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN pred = 1 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(SUM(CASE WHEN pred = 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+         CAST(SUM(CASE WHEN pred = 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+  FROM lab GROUP BY event_type
+)
+SELECT event_type, tp, fp, tn, fn,
+       (CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)
+        - CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE))
+       / nullif(sqrt((CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE))
+                     * (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE))
+                     * (CAST(tn AS DOUBLE) + CAST(fp AS DOUBLE))
+                     * (CAST(tn AS DOUBLE) + CAST(fn AS DOUBLE))), 0.0) AS mcc,
+       (CAST(tp AS DOUBLE) / nullif(tp + fn, 0)
+        + CAST(tn AS DOUBLE) / nullif(tn + fp, 0)) / 2.0 AS balanced_acc
+FROM c
+"""
+
+
+@query("ml_matthews_corr", oracle=_MCC_ORACLE)
+def q_ml_matthews_corr(spark, sf_dir):
+    """Matthews correlation coefficient + balanced accuracy per event
+    type at the 0.5 threshold of the fleet's deterministic logistic
+    proxy (p = σ((value−50)/25) ≥ 0.5 ⇔ value ≥ 50; labels
+    y = event_id % 2 — the ml_log_loss conventions).  MCC is the
+    single-number confusion summary robust to class imbalance.
+    Confusion counts are exact BIGINTs from one map-side-combined
+    groupBy; the MCC product is evaluated in DOUBLE (the 4-marginal
+    product overflows int64 at ~10⁵ rows/group) with an identical
+    left-associated expression tree on both engines — bitwise parity
+    without rounding; degenerate marginals → NULL via nullif."""
+    (ev,) = _t(spark, sf_dir, "events")
+    pred = F.when(F.col("value") >= 50.0, 1).otherwise(0)
+    y = (F.col("event_id") % 2).cast("int")
+    lab = ev.select("event_type", pred.alias("pred"), y.alias("y"))
+    c = lab.groupBy("event_type").agg(
+        F.sum(F.when((F.col("pred") == 1) & (F.col("y") == 1), 1).otherwise(0))
+        .cast("bigint").alias("tp"),
+        F.sum(F.when((F.col("pred") == 1) & (F.col("y") == 0), 1).otherwise(0))
+        .cast("bigint").alias("fp"),
+        F.sum(F.when((F.col("pred") == 0) & (F.col("y") == 0), 1).otherwise(0))
+        .cast("bigint").alias("tn"),
+        F.sum(F.when((F.col("pred") == 0) & (F.col("y") == 1), 1).otherwise(0))
+        .cast("bigint").alias("fn"),
+    )
+    tpd = F.col("tp").cast("double")
+    fpd = F.col("fp").cast("double")
+    tnd = F.col("tn").cast("double")
+    fnd = F.col("fn").cast("double")
+    denom = F.sqrt((tpd + fpd) * (tpd + fnd) * (tnd + fpd) * (tnd + fnd))
+    mcc = (tpd * tnd - fpd * fnd) / F.nullif(denom, F.lit(0.0))
+    bacc = (
+        tpd / F.nullif((F.col("tp") + F.col("fn")).cast("double"), F.lit(0.0))
+        + tnd / F.nullif((F.col("tn") + F.col("fp")).cast("double"), F.lit(0.0))
+    ) / 2.0
+    return c.select("event_type", "tp", "fp", "tn", "fn",
+                    mcc.alias("mcc"), bacc.alias("balanced_acc"))

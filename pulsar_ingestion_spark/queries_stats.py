@@ -2595,3 +2595,141 @@ def q_emb_outlier_mahalanobis_diag(spark, sf_dir):
         F.count(F.lit(1)).alias("n_dims"),
         (md2 > 2.0 * F.count(F.lit(1))).alias("is_outlier"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11: Benford first-digit audit + Jarque-Bera normality test
+
+# Expected Benford shares log10(1 + 1/d), computed ONCE in Python and
+# inlined as literals on both sides (engine ln/log10 may round the last
+# digit differently — the SPRT-constant rule).
+_BENFORD_EXPECTED = {
+    1: 0.3010299957, 2: 0.1760912591, 3: 0.1249387366, 4: 0.096910013,
+    5: 0.079181246, 6: 0.0669467896, 7: 0.057991947, 8: 0.0511525224,
+    9: 0.0457574906,
+}
+
+_BENFORD_ORACLE = """
+WITH d AS (
+  SELECT substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+           AS digit
+  FROM orders WHERE o_totalprice >= 1
+), obs AS (
+  SELECT digit, count(*) AS observed FROM d GROUP BY digit
+), tot AS (
+  SELECT CAST(SUM(observed) AS BIGINT) AS n FROM obs
+), exp AS (
+  {expected_rows}
+)
+SELECT e.digit, coalesce(o.observed, 0) AS observed,
+       CAST(coalesce(o.observed, 0) AS DOUBLE) / t.n AS observed_share,
+       e.expected_share,
+       CAST(coalesce(o.observed, 0) AS DOUBLE) / t.n - e.expected_share
+         AS deviation
+FROM exp e LEFT JOIN obs o ON o.digit = e.digit CROSS JOIN tot t
+""".format(expected_rows=" UNION ALL ".join(
+    f"SELECT '{d}' AS digit, CAST({e!r} AS DOUBLE) AS expected_share"
+    for d, e in _BENFORD_EXPECTED.items()
+))
+
+
+@query("stats_benford_digits", oracle=_BENFORD_ORACLE)
+def q_stats_benford_digits(spark, sf_dir):
+    """Benford's-law first-digit audit over order totals — the classic
+    fraud/synthetic-data screen: observed first-significant-digit shares
+    vs log10(1+1/d).  The digit comes from the STRING render of
+    floor(value) cast to BIGINT (floor first: a raw double→bigint cast
+    truncates in Spark but rounds half-even in DuckDB), so both engines
+    bucket identically; expected shares are Python-computed literals.
+    Shares are raw single-division quotients of exact integers (bitwise
+    identical — never round a raw quotient).  One narrow groupBy over 9
+    digits; map-side combined; the 9-row expected table broadcasts."""
+    (o,) = _t(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+    )
+    obs = (
+        o.filter(F.col("o_totalprice") >= 1)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("observed"))
+    )
+    tot = obs.agg(F.sum("observed").cast("bigint").alias("n"))
+    exp = spark.createDataFrame(
+        [(str(d), e) for d, e in _BENFORD_EXPECTED.items()],
+        "digit string, expected_share double",
+    )
+    share = F.coalesce(F.col("observed"), F.lit(0)).cast("double") / F.col("n")
+    return (
+        exp.join(obs, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce(F.col("observed"), F.lit(0)).alias("observed"),
+            share.alias("observed_share"),
+            "expected_share",
+            (share - F.col("expected_share")).alias("deviation"),
+        )
+    )
+
+
+_JB_ORACLE = """
+WITH m AS (
+  SELECT event_type,
+         count(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS s2,
+         CAST(SUM(CAST((value * value) * value AS DECIMAL(38,6))) AS DOUBLE) AS s3,
+         CAST(SUM(CAST(((value * value) * value) * value AS DECIMAL(38,6))) AS DOUBLE) AS s4
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n,
+       round((n / 6.0) * (
+         ((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+          * (s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n)))
+         / ((s2 / n - (s1 / n) * (s1 / n)) * (s2 / n - (s1 / n) * (s1 / n))
+            * (s2 / n - (s1 / n) * (s1 / n)))
+         + ((s4 / n - 4 * (s1 / n) * (s3 / n) + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+             - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+            / ((s2 / n - (s1 / n) * (s1 / n)) * (s2 / n - (s1 / n) * (s1 / n))) - 3)
+           * ((s4 / n - 4 * (s1 / n) * (s3 / n) + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+               - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+              / ((s2 / n - (s1 / n) * (s1 / n)) * (s2 / n - (s1 / n) * (s1 / n))) - 3)
+           / 4.0
+       ), 6) AS jb_stat
+FROM m
+"""
+
+
+@query("stats_jarque_bera", oracle=_JB_ORACLE)
+def q_stats_jarque_bera(spark, sf_dir):
+    """Jarque-Bera normality statistic per event type —
+    JB = n/6·(S² + K²/4) from the same one-pass exact decimal moments
+    as agg_skew_kurtosis (S = skewness, K = EXCESS kurtosis).  S² is
+    written as m3²/m2³ so no libm pow appears anywhere (pure */ chains
+    are identically rounded across engines given identical moment
+    doubles).  Single shuffle, map-side-combinable decimal sums; at
+    100 TB this is the cheapest distribution-shift tripwire to attach
+    to any numeric column."""
+    (ev,) = _t(spark, sf_dir, "events")
+    v = F.col("value")
+    m = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(v.cast("decimal(38,6)")).cast("double").alias("s1"),
+        F.sum((v * v).cast("decimal(38,6)")).cast("double").alias("s2"),
+        F.sum(((v * v) * v).cast("decimal(38,6)")).cast("double").alias("s3"),
+        F.sum((((v * v) * v) * v).cast("decimal(38,6)")).cast("double").alias("s4"),
+    )
+    n = F.col("n")
+    mu = F.col("s1") / n
+    m2 = F.col("s2") / n - mu * mu
+    m3 = F.col("s3") / n - 3 * mu * (F.col("s2") / n) + 2 * mu * mu * mu
+    m4 = (
+        F.col("s4") / n
+        - 4 * mu * (F.col("s3") / n)
+        + 6 * mu * mu * (F.col("s2") / n)
+        - 3 * mu * mu * mu * mu
+    )
+    kexc = m4 / (m2 * m2) - 3
+    jb = (n / 6.0) * ((m3 * m3) / (m2 * m2 * m2) + kexc * kexc / 4.0)
+    return m.select("event_type", "n", F.round(jb, 6).alias("jb_stat"))

@@ -179,6 +179,10 @@ SECTIONS = [
         "privacy_t_closeness", "emb_outlier_mahalanobis_diag",
         "multimodal_dedup_bytes",
     ]),
+    ("Distribution audits, confusion metrics & containment dedup (round 11)", [
+        "stats_benford_digits", "stats_jarque_bera", "ml_matthews_corr",
+        "events_bounce_rate", "dedup_containment",
+    ]),
     ("Sketches & sampling III (round 5)", [
         "sketch_kmv_intersect", "sketch_quantile_logbins", "sample_weighted_kmv",
     ]),

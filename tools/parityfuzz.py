@@ -87,6 +87,28 @@ spelling; DESC window ordering (both engines' defaults are asymmetric
 in BOTH directions — ASC pins NULLS FIRST, DESC pins NULLS LAST);
 timestamp ± INTERVAL n DAY arithmetic under the string render.
 
+Grammar v10 additions (round 11):
+
+* PIVOT: DataFrame groupBy().pivot(col, values).agg() vs the portable
+  CASE-form spelling (agg(CASE WHEN pcol = v THEN expr END)) — pivot
+  columns renamed p0..pN on both sides so the compare never rides on
+  engine-specific pivot column naming; explicit values lists over the
+  fixed-domain TPC-H flag columns; integer aggregates only.
+* UNPIVOT: DataFrame unpivot/melt vs the UNION-ALL-per-column spelling.
+  NOTE: Spark's DataFrame unpivot KEEPS null measure values while SQL
+  UNPIVOT defaults to EXCLUDE NULLS — the UNION ALL spelling matches
+  the DataFrame (null-keeping) semantics exactly, which is why it is
+  the oracle form.
+* LATERAL: `FROM lineitem, LATERAL (SELECT aggs FROM orders WHERE
+  o_orderkey = l_orderkey) t` — the SAME SQL text on both engines
+  (aggregate laterals return exactly one row, so join multiplicity is
+  deterministic); probes Catalyst's lateral-subquery decorrelation.
+* Nested scalar subqueries: a correlated scalar subquery whose WHERE
+  carries an UNCORRELATED scalar-subquery threshold (min/max + delta)
+  — two decorrelation layers in one expression, same SQL both engines;
+  integer aggregates only (double thresholds flip boundary rows on
+  summation-order ULP).
+
 Usage:
     python tools/parityfuzz.py [--examples 200] [--sf-dir /root/testdata/sf0.001]
 
@@ -362,6 +384,26 @@ _CSUB_AGGS = [
 # depth 1 so strpos/len nonterminals (instr vs strpos) can't appear.
 _CSUB_NS = {"ints": LI_INT, "strs": LI_STR, "dbls": [], "tss": [], "json": []}
 
+# v10 PIVOT columns: fixed-domain TPC-H flag columns with explicit value
+# lists (pivot needs deterministic output columns; values outside the
+# list fall into no bucket on both engines, NULL pivot keys likewise)
+_PIVOT_COLS = {
+    "li": [("l_returnflag", ("A", "N", "R")), ("l_linestatus", ("F", "O"))],
+    "semi": [("l_returnflag", ("A", "N", "R")), ("l_linestatus", ("F", "O"))],
+    "anti": [("l_returnflag", ("A", "N", "R")), ("l_linestatus", ("F", "O"))],
+    "ij": [
+        ("l_returnflag", ("A", "N", "R")), ("l_linestatus", ("F", "O")),
+        ("o_orderstatus", ("F", "O", "P")),
+    ],
+    "lj": [
+        ("l_returnflag", ("A", "N", "R")), ("l_linestatus", ("F", "O")),
+        ("o_orderstatus", ("F", "O", "P")),
+    ],
+}
+
+# v10 nested-scalar-subquery / lateral inner integer aggregates
+_CSUB2_INNER = ["cnt", "maxi", "mini"]
+
 
 @st.composite
 def plans(draw):
@@ -373,7 +415,44 @@ def plans(draw):
         else _LI_NS
     )
     where = draw(st.none() | preds(2, ns))
-    shape = draw(st.sampled_from(["proj", "agg", "win", "aggroll", "csub", "winq"]))
+    shapes = ["proj", "agg", "win", "aggroll", "csub", "winq",
+              "lat", "csub2", "unpivot"]
+    if src[0] in _PIVOT_COLS:
+        shapes.append("pivot")
+    shape = draw(st.sampled_from(shapes))
+    if shape == "pivot":
+        # v10: explicit-values PIVOT vs the CASE-form spelling; pivot
+        # output columns renamed p0..pN on both sides
+        pcol, pvals = draw(st.sampled_from(_PIVOT_COLS[src[0]]))
+        key = draw(group_keys(ns))
+        agg = draw(st.tuples(
+            st.sampled_from(["count", "min", "max", "sum"]), int_exprs(1, ns)
+        ))
+        return ("pivot", src, where, key, (pcol, pvals), agg)
+    if shape == "unpivot":
+        # v10: DataFrame unpivot (null-KEEPING melt) vs UNION-ALL-per-
+        # column — the null-keeping oracle spelling
+        key = draw(group_keys(ns))
+        cols = draw(st.lists(st.sampled_from(ns["ints"]),
+                             min_size=2, max_size=3, unique=True))
+        return ("unpivot", src, where, key, tuple(cols))
+    if shape == "lat":
+        # v10: aggregate LATERAL subquery — same SQL text both engines
+        inner_mod = draw(
+            st.none()
+            | st.tuples(st.integers(min_value=2, max_value=5),
+                        st.integers(min_value=0, max_value=4))
+        )
+        return ("lat", inner_mod, draw(st.none() | preds(1, _CSUB_NS)))
+    if shape == "csub2":
+        # v10: nested scalar subqueries — correlated outer layer with an
+        # uncorrelated integer threshold layer inside
+        inner = draw(st.sampled_from(_CSUB2_INNER))
+        op = draw(st.sampled_from(["<", "<=", ">", ">=", "<>"]))
+        iagg = draw(st.sampled_from(["min", "max"]))
+        delta = draw(st.integers(min_value=-5, max_value=5))
+        return ("csub2", inner, op, iagg, delta,
+                draw(st.none() | preds(1, _CSUB_NS)))
     if shape == "winq":
         # v8: QUALIFY-equivalent — top-k-per-group via a rank filter over
         # the window output (rank is tie-stable, so the SURVIVING ROW SET
@@ -628,13 +707,42 @@ def compile_spark(plan, spark, sf_dir: str):
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    if plan[0] == "csub":
-        # correlated scalar subquery: Catalyst's decorrelation vs DuckDB,
-        # SAME SQL text on both engines (views registered per call —
-        # lazy, no scan cost until execution)
+    if plan[0] in ("csub", "csub2", "lat"):
+        # correlated / nested scalar subqueries + LATERAL: Catalyst's
+        # decorrelation vs DuckDB, SAME SQL text on both engines (views
+        # registered per call — lazy, no scan cost until execution)
         for t in ("lineitem", "orders"):
             spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
         return spark.sql(compile_sql(plan))
+
+    if plan[0] == "pivot":
+        _, src, where, key, (pcol, pvals), agg = plan
+        df = _sp_source(src, spark, sf_dir)
+        if where is not None:
+            df = df.filter(_sp_pred(where))
+        fn = {"count": F.count, "min": F.min, "max": F.max, "sum": F.sum}[agg[0]]
+        out = (
+            df.select(_sp_key(key).alias("k0"), F.col(pcol), _sp_int(agg[1]).alias("__m"))
+            .groupBy("k0")
+            .pivot(pcol, list(pvals))
+            .agg(fn(F.col("__m")))
+        )
+        # rename pivot-value columns p0..pN (engine naming never compared)
+        return out.select(
+            F.col("k0"),
+            *[F.col(f"`{v}`").cast("long").alias(f"p{i}") for i, v in enumerate(pvals)],
+        )
+
+    if plan[0] == "unpivot":
+        _, src, where, key, cols = plan
+        df = _sp_source(src, spark, sf_dir)
+        if where is not None:
+            df = df.filter(_sp_pred(where))
+        base = df.select(
+            _sp_key(key).alias("k0"),
+            *[F.col(c).cast("long").alias(c) for c in cols],
+        )
+        return base.unpivot(["k0"], list(cols), "var", "val")
 
     if plan[0] == "winq":
         _, src, where, pkey, oexpr, k = plan[:6]
@@ -949,6 +1057,73 @@ def compile_sql(plan) -> str:
             "CAST(l_linenumber AS BIGINT) AS c1, "
             f"{sub} AS s0 FROM lineitem{w}"
         )
+
+    if plan[0] == "lat":
+        _, inner_mod, where = plan
+        conj = "o.o_orderkey = l.l_orderkey"
+        if inner_mod is not None:
+            m, r = inner_mod
+            conj += f" AND (CAST(o.o_custkey AS BIGINT) % {m}) = {r}"
+        w = f" WHERE {_dk_pred(where)}" if where is not None else ""
+        return (
+            "SELECT CAST(l.l_orderkey AS BIGINT) AS c0, "
+            "CAST(l.l_linenumber AS BIGINT) AS c1, t.c2, t.c3 "
+            "FROM lineitem l, LATERAL ("
+            "SELECT CAST(count(*) AS BIGINT) AS c2, "
+            "min(CAST(o.o_custkey AS BIGINT)) AS c3 "
+            f"FROM orders o WHERE {conj}) t{w}"
+        )
+
+    if plan[0] == "csub2":
+        _, inner, op, iagg, delta, where = plan
+        thr = (
+            f"(SELECT {iagg}(CAST(o2.o_custkey AS BIGINT)) + {delta} "
+            "FROM orders o2)"
+        )
+        sub = (
+            f"(SELECT {_CSUB_INNER[inner]} FROM orders "
+            f"WHERE o_orderkey = l_orderkey "
+            f"AND CAST(o_custkey AS BIGINT) {op} {thr})"
+        )
+        w = f" WHERE {_dk_pred(where)}" if where is not None else ""
+        return (
+            "SELECT CAST(l_orderkey AS BIGINT) AS c0, "
+            "CAST(l_linenumber AS BIGINT) AS c1, "
+            f"{sub} AS s0 FROM lineitem{w}"
+        )
+
+    if plan[0] == "pivot":
+        _, src, where, key, (pcol, pvals), agg = plan
+        frm, extra = _dk_source(src)
+        conj = [c for c in (extra, _dk_pred(where) if where is not None else None) if c]
+        w = f" WHERE {' AND '.join(conj)}" if conj else ""
+        fn = agg[0]
+        m = _dk_int(agg[1])
+        cells = []
+        for i, v in enumerate(pvals):
+            cell = f"{fn}(CASE WHEN {pcol} = {_sql_slit(v)} THEN {m} END)"
+            # count/sum widen (HUGEINT hazard) — cast back on both sides
+            cells.append(f"CAST({cell} AS BIGINT) AS p{i}")
+        return (
+            f"SELECT {_dk_key(key)} AS k0, {', '.join(cells)} "
+            f"FROM {frm}{w} GROUP BY {_dk_key(key)}"
+        )
+
+    if plan[0] == "unpivot":
+        _, src, where, key, cols = plan
+        frm, extra = _dk_source(src)
+        conj = [c for c in (extra, _dk_pred(where) if where is not None else None) if c]
+        w = f" WHERE {' AND '.join(conj)}" if conj else ""
+        base = (
+            f"SELECT {_dk_key(key)} AS k0, "
+            + ", ".join(f"CAST({c} AS BIGINT) AS {c}" for c in cols)
+            + f" FROM {frm}{w}"
+        )
+        arms = [
+            f"SELECT k0, {_sql_slit(c)} AS var, {c} AS val FROM b"
+            for c in cols
+        ]
+        return f"WITH b AS ({base}) " + " UNION ALL ".join(arms)
 
     if plan[0] == "winq":
         _, src, where, pkey, oexpr, k = plan[:6]
