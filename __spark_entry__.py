@@ -245,9 +245,12 @@ _CHECKED_PRIOR = {
 _ROUND11_PREFIX: list[str] = [
     # round-11 additions — first driver rows this round
     "dedup_containment",
+    "dedup_boundary_overlap",
     "stats_jarque_bera",
     "stats_benford_digits",
+    "stats_cramers_v",
     "ml_matthews_corr",
+    "ml_expected_calibration_error",
     "events_bounce_rate",
     # rows-only trio retired — first hash-checked rows this round
     "dedup_minhash",
@@ -294,10 +297,8 @@ _ROUND11_PREFIX: list[str] = [
     "text_inverted_index",
     "text_js_divergence",
     "text_line_dedup",
-    "text_tfidf_topk",
-    "text_vocab_coverage",
-    "text_winnowing",
-    # (tpch_market_share / tpch_order_priority / tpch_pricing_summary /
+    # (text_tfidf_topk / text_vocab_coverage / text_winnowing /
+    # tpch_market_share / tpch_order_priority / tpch_pricing_summary /
     # tpch_revenue_by_region / tpch_top_orders / ts_cusum_drift /
     # ts_lag_features / ts_outlier_mad / ts_rollup_multires /
     # ts_seasonal_profile / win_running_distinct / win_streaks rotate in

@@ -2578,3 +2578,54 @@ def q_multimodal_dedup_bytes(spark, sf_dir):
         F.count(F.lit(1)).alias("dup_cnt"),
         F.max(F.length("payload")).cast("bigint").alias("byte_len"),
     )
+
+
+_BOUNDARY_ORACLE = r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS rw
+  FROM documents
+), hd AS (
+  SELECT doc_id,
+         array_to_string(list_slice(rw, 1, 3), ' ') AS head3,
+         array_to_string(list_slice(rw, len(rw) - 2, len(rw)), ' ') AS tail3
+  FROM w WHERE len(rw) >= 6
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.tail3 AS boundary
+FROM hd a JOIN hd b
+  ON a.tail3 = b.head3 AND a.doc_id <> b.doc_id
+"""
+
+
+@query("dedup_boundary_overlap", oracle=_BOUNDARY_ORACLE)
+def q_dedup_boundary_overlap(spark, sf_dir):
+    """Chunk-boundary overlap detector: document pairs where A's LAST
+    3 words equal B's FIRST 3 words — the signature of a document split
+    into overlapping chunks (or of sliding-window extraction), which
+    near-dup Jaccard misses entirely (3 shared words out of hundreds).
+    In a training-data pipeline these pairs drive chunk REASSEMBLY or
+    overlap trimming rather than drop-one dedup.  Plan: one narrow pass
+    computes (head3, tail3) per doc, then a tail→head hash equi-join —
+    boundary keys are ~3-word strings, so the join is |docs| rows a
+    side with tiny keys; never all-pairs.  Docs under 6 words are
+    excluded (head and tail would overlap each other)."""
+    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    rw = F.split(F.trim(F.lower("text")), r"\s+")
+    hd = (
+        docs.select("doc_id", rw.alias("rw"))
+        .filter(F.size("rw") >= 6)
+        .select(
+            "doc_id",
+            F.array_join(F.slice("rw", 1, 3), " ").alias("head3"),
+            F.array_join(F.slice(F.col("rw"), F.size("rw") - 2, 3), " ").alias("tail3"),
+        )
+    )
+    a, b = hd.alias("a"), hd.alias("b")
+    return a.join(
+        b,
+        (F.col("a.tail3") == F.col("b.head3"))
+        & (F.col("a.doc_id") != F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        F.col("a.tail3").alias("boundary"),
+    )

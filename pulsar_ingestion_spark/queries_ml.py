@@ -1640,3 +1640,59 @@ def q_ml_best_f1_threshold(spark, sf_dir):
         ).alias("recall_at"),
         b.getField("f1").alias("best_f1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11: expected calibration error (ECE + MCE) over the reliability bins
+
+_ECE_ORACLE = """
+WITH scored AS (
+  SELECT least(CAST(floor(value / 34) AS BIGINT), 9) AS bin,
+         value / 340 AS pred,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+  FROM events
+), b AS (
+  SELECT bin, count(*) AS n,
+         CAST(SUM(CAST(pred AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS conf,
+         CAST(SUM(label) AS DOUBLE) / count(*) AS acc
+  FROM scored GROUP BY bin
+), g AS (
+  SELECT n, CAST(round(abs(acc - conf), 6) AS DECIMAL(18,6)) AS gap6 FROM b
+)
+SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+       CAST(count(*) AS BIGINT) AS n_bins,
+       CAST(SUM(gap6 * n) AS DOUBLE) / SUM(n) AS ece,
+       CAST(max(gap6) AS DOUBLE) AS mce
+FROM g
+"""
+
+
+@query("ml_expected_calibration_error", oracle=_ECE_ORACLE)
+def q_ml_expected_calibration_error(spark, sf_dir):
+    """Expected + maximum calibration error over the SAME decile bins as
+    ml_calibration_bins (identical score proxy and label — the one-number
+    rollup of that reliability diagram): ECE = Σ n_b/N·|acc_b−conf_b|,
+    MCE = max_b.  Per-bin confidences divide DECIMAL(18,9)-exact sums;
+    per-bin gaps are rounded-to-6 then DECIMAL-weighted by the exact bin
+    counts, so the ≤10-term final sum has no float order at all.  One
+    aggregate pass + a 10-row rollup."""
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    scored = ev.select(
+        F.least(F.floor(F.col("value") / 34), F.lit(9)).cast("bigint").alias("bin"),
+        (F.col("value") / 340).alias("pred"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("label"),
+    )
+    b = scored.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.col("pred").cast("decimal(18,9)")).cast("double") / F.count(F.lit(1)))
+        .alias("conf"),
+        (F.sum("label").cast("double") / F.count(F.lit(1))).alias("acc"),
+    )
+    gap6 = F.round(F.abs(F.col("acc") - F.col("conf")), 6).cast("decimal(18,6)")
+    g = b.select("n", gap6.alias("gap6"))
+    return g.agg(
+        F.sum("n").cast("bigint").alias("n_total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        (F.sum(F.col("gap6") * F.col("n")).cast("double") / F.sum("n")).alias("ece"),
+        F.max("gap6").cast("double").alias("mce"),
+    )

@@ -2733,3 +2733,82 @@ def q_stats_jarque_bera(spark, sf_dir):
     kexc = m4 / (m2 * m2) - 3
     jb = (n / 6.0) * ((m3 * m3) / (m2 * m2 * m2) + kexc * kexc / 4.0)
     return m.select("event_type", "n", F.round(jb, 6).alias("jb_stat"))
+
+
+_CRAMERS_ORACLE = """
+WITH cells AS (
+  SELECT event_type, (epoch_us(ts) // 86400000000) % 7 AS day7,
+         count(*) AS o
+  FROM events GROUP BY event_type, day7
+), rm AS (
+  SELECT event_type, CAST(SUM(o) AS BIGINT) AS rt FROM cells GROUP BY event_type
+), cm AS (
+  SELECT day7, CAST(SUM(o) AS BIGINT) AS ct FROM cells GROUP BY day7
+), tot AS (
+  SELECT CAST(SUM(o) AS BIGINT) AS n,
+         CAST(count(DISTINCT event_type) AS BIGINT) AS r,
+         CAST(count(DISTINCT day7) AS BIGINT) AS c
+  FROM cells
+), terms AS (
+  SELECT CAST(round(
+           (o - CAST(rm.rt AS DOUBLE) * cm.ct / t.n)
+           * (o - CAST(rm.rt AS DOUBLE) * cm.ct / t.n)
+           / (CAST(rm.rt AS DOUBLE) * cm.ct / t.n), 6) AS DECIMAL(18,6)) AS term
+  FROM cells x JOIN rm ON rm.event_type = x.event_type
+  JOIN cm ON cm.day7 = x.day7 CROSS JOIN tot t
+)
+SELECT t.n, t.r, t.c,
+       CAST(SUM(term) AS DOUBLE) AS chi2,
+       sqrt(CAST(SUM(term) AS DOUBLE)
+            / (t.n * CASE WHEN t.r - 1 < t.c - 1 THEN t.r - 1 ELSE t.c - 1 END))
+         AS cramers_v
+FROM terms CROSS JOIN tot t
+GROUP BY t.n, t.r, t.c
+"""
+
+
+@query("stats_cramers_v", oracle=_CRAMERS_ORACLE)
+def q_stats_cramers_v(spark, sf_dir):
+    """Cramér's V association between event type and day-of-week — the
+    normalized-chi² effect size for two categoricals (drift_chi2's
+    companion: chi² says "dependent", V says "how much" on [0,1]).
+    Day keys are integer epoch-day mod 7 (engine dayofweek NUMBERING
+    DIFFERS: Spark 1=Sunday, DuckDB 0=Sunday — integer day arithmetic
+    sidesteps the calendar entirely).  Contingency cells, margins, and
+    N are exact integers from map-side-combined groupBys; per-cell chi²
+    terms are rounded-to-6 and DECIMAL-summed (order-free); V's final
+    divide/sqrt is a single identical expression.  At 100 TB: one
+    |types|×7-cell table — everything after the first groupBy is
+    metadata-sized."""
+    (ev,) = _t(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            "event_type",
+            (F.expr("unix_micros(ts) div 86400000000") % 7).alias("day7"),
+        )
+        .groupBy("event_type", "day7")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    rm = cells.groupBy("event_type").agg(F.sum("o").cast("bigint").alias("rt"))
+    cm = cells.groupBy("day7").agg(F.sum("o").cast("bigint").alias("ct"))
+    tot = cells.agg(
+        F.sum("o").cast("bigint").alias("n"),
+        F.countDistinct("event_type").cast("bigint").alias("r"),
+        F.countDistinct("day7").cast("bigint").alias("c"),
+    )
+    e = F.col("rt").cast("double") * F.col("ct") / F.col("n")
+    term = F.round((F.col("o") - e) * (F.col("o") - e) / e, 6).cast("decimal(18,6)")
+    terms = (
+        cells.join(rm, "event_type")
+        .join(F.broadcast(cm), "day7")
+        .crossJoin(F.broadcast(tot))
+        .select("n", "r", "c", term.alias("term"))
+    )
+    chi2 = F.sum("term").cast("double")
+    mindf = F.when(F.col("r") - 1 < F.col("c") - 1, F.col("r") - 1).otherwise(
+        F.col("c") - 1
+    )
+    return terms.groupBy("n", "r", "c").agg(
+        chi2.alias("chi2"),
+        F.sqrt(chi2 / (F.col("n") * mindf)).alias("cramers_v"),
+    )

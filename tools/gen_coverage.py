@@ -181,7 +181,8 @@ SECTIONS = [
     ]),
     ("Distribution audits, confusion metrics & containment dedup (round 11)", [
         "stats_benford_digits", "stats_jarque_bera", "ml_matthews_corr",
-        "events_bounce_rate", "dedup_containment",
+        "events_bounce_rate", "dedup_containment", "stats_cramers_v",
+        "ml_expected_calibration_error", "dedup_boundary_overlap",
     ]),
     ("Sketches & sampling III (round 5)", [
         "sketch_kmv_intersect", "sketch_quantile_logbins", "sample_weighted_kmv",
