@@ -245,6 +245,7 @@ _CHECKED_PRIOR = {
 _ROUND11_PREFIX: list[str] = [
     # round-11 additions — first driver rows this round
     "dedup_containment",
+    "dedup_containment_banded",
     "dedup_boundary_overlap",
     "stats_jarque_bera",
     "stats_benford_digits",
@@ -296,8 +297,7 @@ _ROUND11_PREFIX: list[str] = [
     "text_code_detect",
     "text_inverted_index",
     "text_js_divergence",
-    "text_line_dedup",
-    # (text_tfidf_topk / text_vocab_coverage / text_winnowing /
+    # (text_line_dedup / text_tfidf_topk / text_vocab_coverage / text_winnowing /
     # tpch_market_share / tpch_order_priority / tpch_pricing_summary /
     # tpch_revenue_by_region / tpch_top_orders / ts_cusum_drift /
     # ts_lag_features / ts_outlier_mad / ts_rollup_multires /

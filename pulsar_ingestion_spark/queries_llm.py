@@ -279,6 +279,66 @@ def _minhash_km_oracle(num_sigs: int, num_bands: int, threshold: float) -> str:
     )
 
 
+def _minhash_banded_containment_oracle(
+    seeds: list[str], num_bands: int, threshold: float
+) -> str:
+    """Containment-verify twin of :func:`_minhash_banded_oracle` —
+    identical signature/band CTEs, verify formula swapped to
+    |A∩B| / min(|A|,|B|)."""
+    sigcols = ",\n         ".join(
+        f"list_aggregate(list_transform(w, x -> md5(concat('{s}:', x))), 'min') AS sig_{i}"
+        for i, s in enumerate(seeds)
+    )
+    bandrows = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, concat(sig_{2 * b}, sig_{2 * b + 1}) AS bval FROM sigs"
+        for b in range(num_bands)
+    )
+    return (
+        _MINHASH_SHINGLE_CTES
+        + f""", sigs AS (
+  SELECT doc_id, w,
+         {sigcols}
+  FROM wd
+), bands AS (
+  {bandrows}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+), j AS (
+  SELECT c.id_a, c.id_b,
+         round(len(list_intersect(x.w, y.w))
+               / least(len(x.w), len(y.w)), 6) AS containment
+  FROM cand c JOIN wd x ON x.doc_id = c.id_a JOIN wd y ON y.doc_id = c.id_b
+)
+SELECT id_a, id_b, containment FROM j WHERE containment >= {threshold}
+"""
+    )
+
+
+@query(
+    "dedup_containment_banded",
+    oracle=_minhash_banded_containment_oracle(MINHASH_SEEDS, 4, 0.6),
+)
+def q_dedup_containment_banded(spark, sf_dir):
+    # The SCALE path for dedup_containment (round 11): the exact
+    # co-shingle candidate join is quadratic on template corpora (Σ df²
+    # join volume — 55× at the 10× synth), so this variant takes its
+    # candidates from the 8-seed/4-band MinHash bucket join (num_bands
+    # shuffle keys per doc, df-skew-immune) and verifies containment
+    # exactly on the surviving pairs.  Precision 1; recall = the band
+    # stage's, which is Jaccard-biased (a tiny doc inside a huge one has
+    # high containment but low Jaccard — LSH-Ensemble size classes are
+    # the known refinement, documented in the operator).  The oracle
+    # recomputes the identical banded pipeline.
+    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    from pulsar_ingestion_spark.operators.dedup import minhash_banded_containment
+
+    return minhash_banded_containment(
+        docs, n=3, num_bands=4, threshold=0.6, hash="md5"
+    )
+
+
 # Independent 12-seed family for dedup_minhash (distinct from the 8-seed
 # MINHASH_SEEDS used by dedup_minhash_banded — a separate LSH layout, not
 # a re-labelled copy).

@@ -145,3 +145,51 @@ def test_agg_approx_count_distinct_portable_hll_envelope(spark):
         assert lo <= r["sum_scaled_full"] <= hi
         err = abs(r["approx_supp_cnt"] - r["exact_distinct"]) / r["exact_distinct"]
         assert err <= 3 * 1.04 / (_HLL_M ** 0.5), (r["l_returnflag"], err)
+
+
+def test_containment_banded_is_precise_subset_of_exact(spark):
+    """The banded scale path (round 11): every emitted pair is a true
+    C >= 0.6 pair at the exact verifier's value (precision 1); the pair
+    set is a subset of the exhaustive co-shingle form (recall = the band
+    stage's)."""
+    from pyspark.sql import functions as F
+
+    from pulsar_ingestion_spark.operators.dedup import (
+        minhash_banded_containment,
+        ngram_containment_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    docs3 = docs.filter(F.size(F.split(F.trim(F.lower("text")), r"\s+")) >= 3)
+    exact = {(r["id_a"], r["id_b"]): r["containment"]
+             for r in ngram_containment_pairs(docs3, threshold=0.6, n=3).collect()}
+    banded = {(r["id_a"], r["id_b"]): r["containment"]
+              for r in minhash_banded_containment(docs, threshold=0.6).collect()}
+    assert banded and set(banded) <= set(exact)
+    for k, v in banded.items():
+        assert v == exact[k] and v >= 0.6
+
+
+def test_containment_scores_small_in_big_where_jaccard_dilutes(spark):
+    """The semantic reason dedup_containment exists: doc A fully quoted
+    inside a 4x-bigger doc B has containment 1.0 but Jaccard well under
+    a 0.6 threshold."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from pulsar_ingestion_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    small = " ".join(f"quoted{i}" for i in range(10))
+    big = small + " " + " ".join(f"extra{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, small), (2, big), (3, "unrelated filler words here completely")],
+        "doc_id long, text string",
+    )
+    cont = {(r["id_a"], r["id_b"]): r["containment"]
+            for r in ngram_containment_pairs(docs, threshold=0.6, n=3).collect()}
+    jac = {(r["id_a"], r["id_b"])
+           for r in ngram_jaccard_pairs(docs, threshold=0.6, n=3).collect()}
+    assert cont[(1, 2)] == 1.0      # every small-doc shingle is in big
+    assert (1, 2) not in jac        # jaccard ~ 8/48 — diluted away
