@@ -244,6 +244,9 @@ _CHECKED_PRIOR = {
 # VERDICT r10 item 2).  New round-11 queries go at the FRONT.
 _ROUND11_PREFIX: list[str] = [
     # round-11 additions — first driver rows this round
+    "agg_hhi_concentration",
+    "stats_grubbs_outlier",
+    "corpus_quality_filter_funnel",
     "dedup_containment",
     "dedup_containment_banded",
     "dedup_boundary_overlap",
@@ -294,10 +297,8 @@ _ROUND11_PREFIX: list[str] = [
     "sketch_hll_portable",
     "telemetry_trip_summary",
     "text_bpe_corpus_prep",
-    "text_code_detect",
-    "text_inverted_index",
-    "text_js_divergence",
-    # (text_line_dedup / text_tfidf_topk / text_vocab_coverage / text_winnowing /
+    # (text_inverted_index / text_js_divergence /
+    # text_line_dedup / text_tfidf_topk / text_vocab_coverage / text_winnowing /
     # tpch_market_share / tpch_order_priority / tpch_pricing_summary /
     # tpch_revenue_by_region / tpch_top_orders / ts_cusum_drift /
     # ts_lag_features / ts_outlier_mad / ts_rollup_multires /

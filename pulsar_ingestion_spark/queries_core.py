@@ -1274,3 +1274,62 @@ def join_asof_nearest(spark, sf_dir):
         .otherwise(F.lit("forward"))
         .alias("direction"),
     )
+
+
+_HHI_ORACLE = """
+WITH rev AS (
+  SELECT r.r_name AS region, s.s_suppkey,
+         round(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                  * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4))))
+              AS DOUBLE), 4) AS rev
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY r.r_name, s.s_suppkey
+), tot AS (
+  SELECT region, CAST(SUM(CAST(rev AS DECIMAL(18,4))) AS DOUBLE) AS tot,
+         count(*) AS n_suppliers
+  FROM rev GROUP BY region
+)
+SELECT t.region, t.n_suppliers,
+       CAST(SUM(CAST(round((x.rev / t.tot) * (x.rev / t.tot) * 10000, 6)
+                     AS DECIMAL(18,6))) AS DOUBLE) AS hhi
+FROM rev x JOIN tot t ON t.region = x.region
+GROUP BY t.region, t.n_suppliers
+"""
+
+
+@query("agg_hhi_concentration", oracle=_HHI_ORACLE)
+def agg_hhi_concentration(spark, sf_dir):
+    """Herfindahl-Hirschman market-concentration index per region over
+    supplier revenue shares — the antitrust-style companion to
+    agg_gini/agg_theil_index (those measure inequality of a
+    distribution; HHI = Σ (100·share)² measures market dominance, 10000
+    = monopoly).  Supplier revenues are Q1-shape decimal product sums
+    rounded per the 2^53-ulp rule; per-supplier share² terms are
+    rounded-to-6 and DECIMAL-summed so the |suppliers|-term total has no
+    float order.  Plan: fact→supplier key shuffle with nation/region
+    broadcast, then a per-region combine over supplier-count-bounded
+    rows."""
+    li, su, na, re = _t(spark, sf_dir, "lineitem", "supplier", "nation", "region")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    disc = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))
+    rev = (
+        li.join(su, li["l_suppkey"] == su["s_suppkey"])
+        .join(F.broadcast(na), su["s_nationkey"] == na["n_nationkey"])
+        .join(F.broadcast(re), na["n_regionkey"] == re["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"), "s_suppkey")
+        .agg(F.round(F.sum(disc).cast("double"), 4).alias("rev"))
+    )
+    tot = rev.groupBy("region").agg(
+        F.sum(F.col("rev").cast("decimal(18,4)")).cast("double").alias("tot"),
+        F.count(F.lit(1)).alias("n_suppliers"),
+    )
+    share2 = F.round((F.col("rev") / F.col("tot")) * (F.col("rev") / F.col("tot")) * 10000, 6)
+    return (
+        rev.join(F.broadcast(tot), "region")
+        .select("region", "n_suppliers", share2.cast("decimal(18,6)").alias("t2"))
+        .groupBy("region", "n_suppliers")
+        .agg(F.sum("t2").cast("double").alias("hhi"))
+    )

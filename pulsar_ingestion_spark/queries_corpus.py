@@ -812,3 +812,74 @@ def q_corpus_seq_len_profile(spark, sf_dir):
             / F.sum("toks"), 6
         ).alias("truncation_loss_frac"),
     )
+
+
+_FUNNEL_ORACLE = r"""
+WITH f AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(text), '\s+') AS w,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+), flags AS (
+  SELECT (len(w) BETWEEN 10 AND 100000) AS f_len,
+         (1.0 - len(list_distinct(w)) * 1.0 / len(w) <= 0.6) AS f_dupw,
+         (len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / len(w) >= 0.7) AS f_alpha,
+         (len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]'))) * 1.0 / len(lines) <= 0.9) AS f_bullet,
+         (1.0 - len(list_distinct(lines)) * 1.0 / len(lines) <= 0.3) AS f_dupl
+  FROM f
+)
+SELECT count(*) AS n_total,
+       CAST(SUM(CASE WHEN f_len THEN 1 ELSE 0 END) AS BIGINT) AS after_len,
+       CAST(SUM(CASE WHEN f_len AND f_dupw THEN 1 ELSE 0 END) AS BIGINT) AS after_dup_word,
+       CAST(SUM(CASE WHEN f_len AND f_dupw AND f_alpha THEN 1 ELSE 0 END) AS BIGINT) AS after_alpha,
+       CAST(SUM(CASE WHEN f_len AND f_dupw AND f_alpha AND f_bullet THEN 1 ELSE 0 END) AS BIGINT) AS after_bullets,
+       CAST(SUM(CASE WHEN f_len AND f_dupw AND f_alpha AND f_bullet AND f_dupl THEN 1 ELSE 0 END) AS BIGINT) AS after_dup_line
+FROM flags
+"""
+
+
+@query("corpus_quality_filter_funnel", oracle=_FUNNEL_ORACLE)
+def q_corpus_quality_filter_funnel(spark, sf_dir):
+    """Quality-filter FUNNEL over the Gopher rule chain (the report every
+    corpus pipeline publishes next to its filters): survivors after each
+    cumulative stage — length gate → dup-word ≤ 0.6 → alpha-word ≥ 0.7 →
+    bullet-lines ≤ 0.9 → dup-line ≤ 0.3 (exactly text_gopher_quality's
+    keep conjuncts, in pipeline order).  One narrow scan computes the 5
+    boolean flags, one aggregate emits all funnel stages as conditional
+    counts — no shuffle beyond the final 1-row combine; at 100 TB this
+    rides the same map stage as the filter itself."""
+    from pulsar_ingestion_spark.functions.text import (
+        alpha_word_frac,
+        bullet_line_frac,
+        dup_line_frac,
+        dup_word_frac,
+        word_count,
+    )
+
+    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    t = F.col("text")
+    f_len = word_count(t).between(10, 100000)
+    f_dupw = dup_word_frac(t) <= 0.6
+    f_alpha = alpha_word_frac(t) >= 0.7
+    f_bullet = bullet_line_frac(t) <= 0.9
+    f_dupl = dup_line_frac(t) <= 0.3
+    flags = docs.select(
+        f_len.alias("f_len"), f_dupw.alias("f_dupw"), f_alpha.alias("f_alpha"),
+        f_bullet.alias("f_bullet"), f_dupl.alias("f_dupl"),
+    )
+
+    def stage(*cs):
+        cond = cs[0]
+        for c in cs[1:]:
+            cond = cond & c
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+
+    fl, fd, fa, fb, fdl = (F.col(c) for c in ("f_len", "f_dupw", "f_alpha", "f_bullet", "f_dupl"))
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        stage(fl).alias("after_len"),
+        stage(fl, fd).alias("after_dup_word"),
+        stage(fl, fd, fa).alias("after_alpha"),
+        stage(fl, fd, fa, fb).alias("after_bullets"),
+        stage(fl, fd, fa, fb, fdl).alias("after_dup_line"),
+    )

@@ -2812,3 +2812,55 @@ def q_stats_cramers_v(spark, sf_dir):
         chi2.alias("chi2"),
         F.sqrt(chi2 / (F.col("n") * mindf)).alias("cramers_v"),
     )
+
+
+_GRUBBS_ORACLE = """
+WITH m AS (
+  SELECT event_type,
+         count(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS s2,
+         max(value) AS mx,
+         min(value) AS mn
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n,
+       round(CASE WHEN mx - s1 / n > s1 / n - mn THEN mx - s1 / n
+                  ELSE s1 / n - mn END
+             / sqrt((s2 - s1 * (s1 / n)) / (n - 1)), 6) AS g_stat,
+       (CASE WHEN mx - s1 / n > s1 / n - mn THEN mx - s1 / n
+             ELSE s1 / n - mn END
+        / sqrt((s2 - s1 * (s1 / n)) / (n - 1)) > 4.0) AS extreme
+FROM m
+"""
+
+
+@query("stats_grubbs_outlier", oracle=_GRUBBS_ORACLE)
+def q_stats_grubbs_outlier(spark, sf_dir):
+    """Grubbs' statistic per event type — G = max|x−x̄|/s, the classic
+    single-outlier screen (Tukey fences and MAD flag MANY outliers;
+    Grubbs asks whether the single most extreme point is surprising).
+    One pass: max|x−x̄| = greatest(max−x̄, x̄−min), so the moments, max
+    and min come from a single map-side-combined aggregate — no second
+    scan, no sort.  s is the SAMPLE sd from the exact decimal moments
+    (s² = (s2 − s1·x̄)/(n−1)).  The exact critical value needs a
+    t-quantile (not portable); `extreme` flags G > 4.0, a conservative
+    fixed threshold (α≈0.05 crosses 4.0 only beyond n≈30k)."""
+    (ev,) = _t(spark, sf_dir, "events")
+    v = F.col("value")
+    m = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(v.cast("decimal(38,6)")).cast("double").alias("s1"),
+        F.sum((v * v).cast("decimal(38,6)")).cast("double").alias("s2"),
+        F.max(v).alias("mx"),
+        F.min(v).alias("mn"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    mu = s1 / n
+    dev = F.when(F.col("mx") - mu > mu - F.col("mn"), F.col("mx") - mu).otherwise(
+        mu - F.col("mn")
+    )
+    g = dev / F.sqrt((s2 - s1 * mu) / (n - 1))
+    return m.select(
+        "event_type", "n", F.round(g, 6).alias("g_stat"), (g > 4.0).alias("extreme")
+    )

@@ -183,7 +183,8 @@ SECTIONS = [
         "stats_benford_digits", "stats_jarque_bera", "ml_matthews_corr",
         "events_bounce_rate", "dedup_containment", "stats_cramers_v",
         "ml_expected_calibration_error", "dedup_boundary_overlap",
-        "dedup_containment_banded",
+        "dedup_containment_banded", "agg_hhi_concentration",
+        "stats_grubbs_outlier", "corpus_quality_filter_funnel",
     ]),
     ("Sketches & sampling III (round 5)", [
         "sketch_kmv_intersect", "sketch_quantile_logbins", "sample_weighted_kmv",
