@@ -142,7 +142,8 @@ def ngram_containment_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Exact n-gram CONTAINMENT pairs, min-side prefix-filtered:
+    """Exact n-gram CONTAINMENT pairs from exhaustive co-shingle
+    candidates:
     C(A,B) = |A∩B| / min(|A|,|B|) ≥ threshold — the one-sided near-dup
     detector (a small document embedded in a big one scores ~1 where
     Jaccard dilutes toward the size ratio; the classic quote/
@@ -186,28 +187,23 @@ def ngram_containment_pairs(
     )
 
 
-def minhash_banded_containment(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n: int = 3,
-    num_bands: int = 4,
-    threshold: float = 0.6,
-    hash: str = "md5",
-    seeds: list[str] | None = None,
-) -> DataFrame:
-    """Banded-MinHash candidates + exact CONTAINMENT verify — the scale
-    path for :func:`ngram_containment_pairs` (the naive co-shingle
-    candidate join is quadratic on template corpora; banding bounds
-    candidates at ``num_bands`` shuffle keys per doc regardless of df
-    skew).  Every emitted pair is a true C ≥ threshold pair (precision
-    1); recall is the band stage's, which is JACCARD-biased — a tiny
-    doc inside a huge one has high containment but low Jaccard, so its
-    band-collision odds are low (the LSH-Ensemble size-class refinement
-    is the known fix; this operator takes the single-class form).
-    Plan shape identical to :func:`minhash_banded_pairs` with the
-    verify formula swapped to |A∩B| / min(|A|,|B|)."""
-    if seeds is not None and len(seeds) < 2 * num_bands:
+def _banded_candidates(
+    df: "DataFrame",
+    id_col: str,
+    text_col: str,
+    n: int,
+    num_bands: int,
+    hash: str,
+    seeds: list | None,
+):
+    """Shared banded-candidate stage of minhash_banded_pairs /
+    minhash_banded_containment (round-11 review finding #5 — one band
+    fold definition so a hash-family fix can't desynchronize the two
+    verifiers): persisted signatures -> per-family band folds ->
+    (band, bval) equi-join -> distinct (id_a, id_b) candidates.
+    Returns (sigs, cand)."""
+    seeds = MINHASH_SEEDS if seeds is None else seeds
+    if len(seeds) < 2 * num_bands:
         raise ValueError(f"need >= {2 * num_bands} seeds for {num_bands} bands of 2")
     sigs = _tracked_persist(
         minhash_signatures(df, id_col, text_col, n=n, hash=hash, seeds=seeds)
@@ -218,6 +214,9 @@ def minhash_banded_containment(
             for b in range(num_bands)
         ]
     elif hash == "km_md5":
+        # both member signatures are < 2^31 (27-bit lanes + 7x multiplier
+        # headroom), so one long holds the pair exactly — 8-byte shuffle
+        # keys, engine-portable as (sig<<31) + sig in DuckDB too
         bvals = [
             F.shiftleft(F.col(f"sig_{2 * b}"), 31) + F.col(f"sig_{2 * b + 1}")
             for b in range(num_bands)
@@ -241,6 +240,32 @@ def minhash_banded_containment(
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
+    return sigs, cand
+
+
+def minhash_banded_containment(
+
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_bands: int = 4,
+    threshold: float = 0.6,
+    hash: str = "md5",
+    seeds: list[str] | None = None,
+) -> DataFrame:
+    """Banded-MinHash candidates + exact CONTAINMENT verify — the scale
+    path for :func:`ngram_containment_pairs` (the naive co-shingle
+    candidate join is quadratic on template corpora; banding bounds
+    candidates at ``num_bands`` shuffle keys per doc regardless of df
+    skew).  Every emitted pair is a true C ≥ threshold pair (precision
+    1); recall is the band stage's, which is JACCARD-biased — a tiny
+    doc inside a huge one has high containment but low Jaccard, so its
+    band-collision odds are low (the LSH-Ensemble size-class refinement
+    is the known fix; this operator takes the single-class form).
+    Plan shape identical to :func:`minhash_banded_pairs` with the
+    verify formula swapped to |A∩B| / min(|A|,|B|)."""
+    sigs, cand = _banded_candidates(df, id_col, text_col, n, num_bands, hash, seeds)
     wx = sigs.select(F.col("doc_id").alias("id_a"), F.col("w").alias("wa"))
     wy = sigs.select(F.col("doc_id").alias("id_b"), F.col("w").alias("wb"))
     inter = F.size(F.array_intersect(F.col("wa"), F.col("wb")))
@@ -401,43 +426,7 @@ def minhash_banded_pairs(
     <1 s).  At cluster scale the same barrier is a bucketed staging
     table on doc_id.
     """
-    if seeds is not None and len(seeds) < 2 * num_bands:
-        raise ValueError(f"need >= {2 * num_bands} seeds for {num_bands} bands of 2")
-    sigs = _tracked_persist(
-        minhash_signatures(df, id_col, text_col, n=n, hash=hash, seeds=seeds)
-    )
-    if hash == "md5":
-        bvals = [
-            F.concat(F.col(f"sig_{2 * b}"), F.col(f"sig_{2 * b + 1}"))
-            for b in range(num_bands)
-        ]
-    elif hash == "km_md5":
-        # both member signatures are < 2^31 (27-bit lanes + 7× multiplier
-        # headroom), so one long holds the pair exactly — 8-byte shuffle
-        # keys, engine-portable as (sig<<31) + sig in DuckDB too
-        bvals = [
-            F.shiftleft(F.col(f"sig_{2 * b}"), 31) + F.col(f"sig_{2 * b + 1}")
-            for b in range(num_bands)
-        ]
-    else:
-        bvals = [
-            F.xxhash64(F.col(f"sig_{2 * b}"), F.col(f"sig_{2 * b + 1}"))
-            for b in range(num_bands)
-        ]
-    bands = sigs.select(
-        "doc_id", F.posexplode(F.array(*bvals)).alias("band", "bval")
-    )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bval") == F.col("b.bval"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .distinct()
-    )
+    sigs, cand = _banded_candidates(df, id_col, text_col, n, num_bands, hash, seeds)
     wx = sigs.select(F.col("doc_id").alias("id_a"), F.col("w").alias("wa"))
     wy = sigs.select(F.col("doc_id").alias("id_b"), F.col("w").alias("wb"))
     inter = F.size(F.array_intersect(F.col("wa"), F.col("wb")))

@@ -373,7 +373,14 @@ class VersionedTable:
                             os.link(grabbed, lock)
                             restored = True
                         except FileExistsError:
-                            restored = True  # newer lock already in place
+                            # an EVEN NEWER holder already locked: the
+                            # grabbed (displaced) holder cannot be put
+                            # back — fall through with restored=False so
+                            # the displacement is LOGGED, not silent
+                            # (round-11 review finding #4); the
+                            # ownership-checked publish below still
+                            # protects the watermark itself
+                            pass
                         except OSError:
                             try:
                                 if not os.path.exists(lock):

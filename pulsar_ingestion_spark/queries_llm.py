@@ -16,7 +16,6 @@ from pulsar_ingestion_spark.operators.dedup import (
     MINHASH_SEEDS,
     dedup_exact,
     dedup_fingerprint,
-    dedup_minhash_lsh,
     embedding_near_dups,
     minhash_banded_pairs,
     ngram_jaccard_pairs,
@@ -206,25 +205,33 @@ WITH raw AS (
   FROM raw
 )"""
 
-_MINHASH_BANDED_TAIL = """, cand AS (
+_JACCARD_MEASURE = (
+    "len(list_intersect(x.w, y.w))"
+    " / (len(x.w) + len(y.w) - len(list_intersect(x.w, y.w)))"
+)
+_CONTAINMENT_MEASURE = "len(list_intersect(x.w, y.w)) / least(len(x.w), len(y.w))"
+
+
+def _banded_verify_tail(measure: str, alias: str, threshold: float) -> str:
+    """Shared cand-join + exact-verify tail of every banded oracle
+    (round-11 review finding #5: ONE definition of the candidate CTE and
+    verify shape so the jaccard/containment twins can't drift)."""
+    return f""", cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
 ), j AS (
   SELECT c.id_a, c.id_b,
-         round(len(list_intersect(x.w, y.w))
-               / (len(x.w) + len(y.w) - len(list_intersect(x.w, y.w))), 6) AS jaccard
+         round({measure}, 6) AS {alias}
   FROM cand c JOIN wd x ON x.doc_id = c.id_a JOIN wd y ON y.doc_id = c.id_b
 )
-SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= {threshold}
+SELECT id_a, id_b, {alias} FROM j WHERE {alias} >= {threshold}
 """
 
 
-def _minhash_banded_oracle(seeds: list[str], num_bands: int, threshold: float) -> str:
-    """DuckDB recomputation of the md5-family banded pipeline
-    (operators/dedup.py minhash_banded_pairs, hash="md5") — identical
-    3-gram shingles, per-seed md5 minhashes, hex-concat band values,
-    exact shingle-Jaccard verify."""
+def _md5_sig_band_ctes(seeds: list[str], num_bands: int) -> str:
+    """Shared md5-family signature + band CTEs (sigs over per-seed md5
+    minhashes, hex-concat band values)."""
     sigcols = ",\n         ".join(
         f"list_aggregate(list_transform(w, x -> md5(concat('{s}:', x))), 'min') AS sig_{i}"
         for i, s in enumerate(seeds)
@@ -233,16 +240,37 @@ def _minhash_banded_oracle(seeds: list[str], num_bands: int, threshold: float) -
         f"SELECT doc_id, {b} AS band, concat(sig_{2 * b}, sig_{2 * b + 1}) AS bval FROM sigs"
         for b in range(num_bands)
     )
-    return (
-        _MINHASH_SHINGLE_CTES
-        + f""", sigs AS (
+    return f""", sigs AS (
   SELECT doc_id, w,
          {sigcols}
   FROM wd
 ), bands AS (
   {bandrows}
 )"""
-        + _MINHASH_BANDED_TAIL.format(threshold=threshold)
+
+
+def _minhash_banded_oracle(seeds: list[str], num_bands: int, threshold: float) -> str:
+    """DuckDB recomputation of the md5-family banded pipeline
+    (operators/dedup.py minhash_banded_pairs, hash="md5") — identical
+    3-gram shingles, per-seed md5 minhashes, hex-concat band values,
+    exact shingle-Jaccard verify."""
+    return (
+        _MINHASH_SHINGLE_CTES
+        + _md5_sig_band_ctes(seeds, num_bands)
+        + _banded_verify_tail(_JACCARD_MEASURE, "jaccard", threshold)
+    )
+
+
+def _minhash_banded_containment_oracle(
+    seeds: list[str], num_bands: int, threshold: float
+) -> str:
+    """Containment-verify twin of :func:`_minhash_banded_oracle` —
+    identical signature/band CTEs, verify formula swapped to
+    |A∩B| / min(|A|,|B|)."""
+    return (
+        _MINHASH_SHINGLE_CTES
+        + _md5_sig_band_ctes(seeds, num_bands)
+        + _banded_verify_tail(_CONTAINMENT_MEASURE, "containment", threshold)
     )
 
 
@@ -275,44 +303,7 @@ def _minhash_km_oracle(num_sigs: int, num_bands: int, threshold: float) -> str:
 ), bands AS (
   {bandrows}
 )"""
-        + _MINHASH_BANDED_TAIL.format(threshold=threshold)
-    )
-
-
-def _minhash_banded_containment_oracle(
-    seeds: list[str], num_bands: int, threshold: float
-) -> str:
-    """Containment-verify twin of :func:`_minhash_banded_oracle` —
-    identical signature/band CTEs, verify formula swapped to
-    |A∩B| / min(|A|,|B|)."""
-    sigcols = ",\n         ".join(
-        f"list_aggregate(list_transform(w, x -> md5(concat('{s}:', x))), 'min') AS sig_{i}"
-        for i, s in enumerate(seeds)
-    )
-    bandrows = "\n  UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, concat(sig_{2 * b}, sig_{2 * b + 1}) AS bval FROM sigs"
-        for b in range(num_bands)
-    )
-    return (
-        _MINHASH_SHINGLE_CTES
-        + f""", sigs AS (
-  SELECT doc_id, w,
-         {sigcols}
-  FROM wd
-), bands AS (
-  {bandrows}
-), cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
-), j AS (
-  SELECT c.id_a, c.id_b,
-         round(len(list_intersect(x.w, y.w))
-               / least(len(x.w), len(y.w)), 6) AS containment
-  FROM cand c JOIN wd x ON x.doc_id = c.id_a JOIN wd y ON y.doc_id = c.id_b
-)
-SELECT id_a, id_b, containment FROM j WHERE containment >= {threshold}
-"""
+        + _banded_verify_tail(_JACCARD_MEASURE, "jaccard", threshold)
     )
 
 

@@ -57,6 +57,22 @@ from pulsar_ingestion_spark.operators.similarity import (
 from pulsar_ingestion_spark.operators.versioned import VersionedTable
 
 
+def _empty_search_result(spark: SparkSession, queries: DataFrame, id_col: str) -> DataFrame:
+    """The shared empty-index search result: the (query_id, cand_id,
+    cos_sim, rank) contract of ann_search/ivf_search (the rerank tail's
+    output schema) with zero rows — one definition so the empty and
+    non-empty schemas can't drift apart."""
+    from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+
+    idt = queries.schema[id_col].dataType
+    return spark.createDataFrame([], StructType([
+        StructField("query_id", idt),
+        StructField("cand_id", idt),
+        StructField("cos_sim", DoubleType()),
+        StructField("rank", IntegerType()),
+    ]))
+
+
 def stream_ann_index(
     state_root: str,
     app_id: str,
@@ -121,17 +137,7 @@ def ann_search(
     try:
         state = VersionedTable(state_root).read(spark)
     except FileNotFoundError:
-        from pyspark.sql.types import (
-            DoubleType, IntegerType, StructField, StructType,
-        )
-
-        idt = queries.schema[id_col].dataType
-        return spark.createDataFrame([], StructType([
-            StructField("query_id", idt),
-            StructField("cand_id", idt),
-            StructField("cos_sim", DoubleType()),
-            StructField("rank", IntegerType()),
-        ]))
+        return _empty_search_result(spark, queries, id_col)
     qb = signlsh_buckets(queries, dim, num_planes, id_col, vec_col, seed)
     from pulsar_ingestion_spark.functions.vectors import cosine_rounded
 
@@ -196,10 +202,18 @@ def _ivf_centroid_file(state_root: str) -> str:
 
 
 def _write_ivf_centroids(state_root: str, cents) -> None:
-    """Persist the pinned centroid list atomically (write-temp + replace);
-    idempotent — an existing identical sidecar is left alone, a DIFFERENT
-    one raises (changing centroids silently would orphan every stored
-    cell assignment)."""
+    """Persist the pinned centroid list; idempotent — an existing
+    IDENTICAL sidecar is left alone, a DIFFERENT one raises (changing
+    centroids silently would orphan every stored cell assignment).
+
+    The create is ATOMIC (write-temp + hard-link-into-place, which fails
+    EEXIST instead of clobbering; O_EXCL direct-write fallback for
+    filesystems without hard links) so two concurrent FIRST-TIME index
+    creations with different centroid lists cannot both pass an
+    exists-check and silently last-write-win — exactly one creator
+    succeeds and the loser falls into the compare-or-raise path
+    (round-11 review finding #2)."""
+    import errno as _errno
     import json
     import os
     import uuid as _uuid
@@ -207,18 +221,43 @@ def _write_ivf_centroids(state_root: str, cents) -> None:
     os.makedirs(state_root, exist_ok=True)
     payload = [[int(c), [float(x) for x in v]] for c, v in cents]
     path = _ivf_centroid_file(state_root)
-    if os.path.exists(path):
+
+    def _check_existing() -> None:
         existing = _read_ivf_centroids(state_root)
         if existing != [(int(c), [float(x) for x in v]) for c, v in cents]:
             raise ValueError(
                 f"IVF index at {state_root} is pinned to a different centroid "
                 "list; re-index into a fresh root instead of mutating centroids"
             )
+
+    if os.path.exists(path):
+        _check_existing()
         return
     tmp = os.path.join(state_root, f".ivfc-{_uuid.uuid4().hex}.json")
     with open(tmp, "w") as fh:
         json.dump(payload, fh)
-    os.replace(tmp, path)
+    try:
+        os.link(tmp, path)
+    except FileExistsError:
+        _check_existing()
+    except OSError as exc:
+        if exc.errno == _errno.EEXIST:  # raised as plain OSError on some fs
+            _check_existing()
+        else:
+            # no hard links here (NFS/object-store mount): O_EXCL
+            # direct-write keeps the create atomic-or-fail
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                _check_existing()
+            else:
+                with os.fdopen(fd, "w") as fh:
+                    json.dump(payload, fh)
+    finally:
+        try:
+            os.unlink(tmp)
+        except FileNotFoundError:
+            pass
 
 
 def _read_ivf_centroids(state_root: str) -> list[tuple[int, list[float]]]:
@@ -291,19 +330,19 @@ def ivf_search(
 
     try:
         state = VersionedTable(state_root).read(spark)
-        cents = _read_ivf_centroids(state_root)
     except FileNotFoundError:
-        from pyspark.sql.types import (
-            DoubleType, IntegerType, StructField, StructType,
-        )
-
-        idt = queries.schema[id_col].dataType
-        return spark.createDataFrame([], StructType([
-            StructField("query_id", idt),
-            StructField("cand_id", idt),
-            StructField("cos_sim", DoubleType()),
-            StructField("rank", IntegerType()),
-        ]))
+        return _empty_search_result(spark, queries, id_col)
+    # committed state WITHOUT its centroid sidecar is corruption, not an
+    # empty index — let the read raise (round-11 review finding #1: the
+    # shared catch masked a lost sidecar as "0 matches")
+    try:
+        cents = _read_ivf_centroids(state_root)
+    except FileNotFoundError as exc:
+        raise FileNotFoundError(
+            f"IVF index at {state_root} has committed state but no "
+            "ivf_centroids.json sidecar — the index is corrupt (sidecar "
+            "pruned or state copied without it); re-index into a fresh root"
+        ) from exc
     assigned = state.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), "cell"
     )
@@ -323,7 +362,15 @@ def cell_budget_exceeded(
     new version into a fresh root).  No committed version yet → False."""
     try:
         n = VersionedTable(state_root).read(spark).count()
-        n_cells = len(_read_ivf_centroids(state_root))
     except FileNotFoundError:
         return False
+    # committed state without the sidecar is corruption — raise, don't
+    # report "within budget" (round-11 review finding #1)
+    try:
+        n_cells = len(_read_ivf_centroids(state_root))
+    except FileNotFoundError as exc:
+        raise FileNotFoundError(
+            f"IVF index at {state_root} has committed state but no "
+            "ivf_centroids.json sidecar — the index is corrupt"
+        ) from exc
     return n > target_block * max(n_cells, 1)

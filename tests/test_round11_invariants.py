@@ -193,3 +193,79 @@ def test_containment_scores_small_in_big_where_jaccard_dilutes(spark):
            for r in ngram_jaccard_pairs(docs, threshold=0.6, n=3).collect()}
     assert cont[(1, 2)] == 1.0      # every small-doc shingle is in big
     assert (1, 2) not in jac        # jaccard ~ 8/48 — diluted away
+
+
+def test_banded_default_seed_guard_fires_for_wide_band_counts(spark):
+    """Round-11 review finding #3: the seed-count guard must fire for the
+    DEFAULT 8-seed list too, not only when seeds= is passed explicitly."""
+    from pulsar_ingestion_spark.operators.dedup import (
+        minhash_banded_containment,
+        minhash_banded_pairs,
+    )
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="seeds"):
+        minhash_banded_pairs(df, num_bands=6)
+    with pytest.raises(ValueError, match="seeds"):
+        minhash_banded_containment(df, num_bands=6)
+
+
+def test_ivf_missing_sidecar_with_committed_state_raises(spark, tmp_path):
+    """Round-11 review finding #1: committed IVF state WITHOUT its
+    centroid sidecar is corruption — search and the budget probe must
+    raise, not masquerade as an empty index."""
+    import os
+
+    from pulsar_ingestion_spark.streaming.ann_index import (
+        cell_budget_exceeded,
+        ivf_search,
+        stream_ivf_index,
+        _ivf_centroid_file,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 0.0, 1.0, 0.5]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = [(0, [0.0, 0.0, 1.0, 0.5]), (9, [9.0, 0.0, 1.0, 0.5])]
+    root = str(tmp_path / "idx")
+    stream_ivf_index(root, app_id="a", centroids=cents)(emb, 0)
+    os.unlink(_ivf_centroid_file(root))
+    q = emb.filter("vec_id < 3")
+    with pytest.raises(FileNotFoundError, match="corrupt"):
+        ivf_search(spark, root, q).count()
+    with pytest.raises(FileNotFoundError, match="corrupt"):
+        cell_budget_exceeded(spark, root)
+
+
+def test_ivf_sidecar_create_is_atomic_or_compares(spark, tmp_path, monkeypatch):
+    """Round-11 review finding #2: when the sidecar appears BETWEEN the
+    exists-check and the create (two concurrent first-time creators),
+    the loser must compare-and-raise on different centroids instead of
+    silently last-write-winning."""
+    import json
+    import os
+
+    import pulsar_ingestion_spark.streaming.ann_index as A
+
+    root = str(tmp_path / "idx")
+    os.makedirs(root, exist_ok=True)
+    path = A._ivf_centroid_file(root)
+    winner = [[0, [0.0, 1.0]], [5, [5.0, 1.0]]]
+    real_link = os.link
+
+    def racing_link(src, dst):
+        # the winner lands its sidecar at the atomic point
+        if dst == path and not os.path.exists(path):
+            with open(path, "w") as fh:
+                json.dump(winner, fh)
+        real_link(src, dst)
+
+    # os is imported function-locally in _write_ivf_centroids — patch the
+    # global os module attribute
+    monkeypatch.setattr("os.link", racing_link)
+    with pytest.raises(ValueError, match="pinned"):
+        A._write_ivf_centroids(root, [(0, [9.0, 9.0]), (5, [5.0, 1.0])])
+    # identical list from the loser: idempotent success
+    A._write_ivf_centroids(root, [(0, [0.0, 1.0]), (5, [5.0, 1.0])])
+    assert A._read_ivf_centroids(root) == [(0, [0.0, 1.0]), (5, [5.0, 1.0])]
