@@ -109,6 +109,18 @@ Grammar v10 additions (round 11):
   integer aggregates only (double thresholds flip boundary rows on
   summation-order ULP).
 
+Grammar v10.1 additions (round 11, second pass):
+
+* boolean aggregates bool_and/bool_or over grammar predicates (Spark
+  F.bool_and/F.bool_or; empty-after-FILTER and all-NULL groups yield
+  NULL on both engines);
+* date-part extraction as integer expressions: year/month/day/hour of
+  a timestamp column (identical part semantics; NOTE dayofweek is
+  deliberately EXCLUDED — Spark numbers Sunday=1, DuckDB Sunday=0);
+* exact-median aggregate over integer expressions: both engines
+  interpolate the even-count midpoint, and integer .5 halves are
+  exactly representable, so the double results are bit-identical.
+
 Usage:
     python tools/parityfuzz.py [--examples 200] [--sf-dir /root/testdata/sf0.001]
 
@@ -194,6 +206,15 @@ def int_exprs(depth: int = 3, ns=_LI_NS):
         # push downstream SUM/mul chains past int64
         *(
             [st.sampled_from(ns["tss"]).map(lambda c: ("epochus", c))]
+            if ns["tss"]
+            else []
+        ),
+        *(
+            # v10.1: calendar part extraction (dayofweek deliberately
+            # excluded — Spark Sunday=1 vs DuckDB Sunday=0)
+            [st.tuples(st.just("datepart"),
+                       st.sampled_from(["year", "month", "day", "hour"]),
+                       st.sampled_from(ns["tss"]))]
             if ns["tss"]
             else []
         ),
@@ -316,6 +337,11 @@ def agg_specs(ns=_LI_NS):
             st.sampled_from(["fcnt", "fsumi", "fmaxi"]),
             int_exprs(1, ns), preds(1, ns),
         ),
+        # v10.1: boolean aggregates over grammar predicates
+        st.tuples(st.sampled_from(["ball", "bany"]), preds(1, ns)),
+        # v10.1: exact median of an integer expression (interpolated
+        # even-count midpoints are integer halves — exactly representable)
+        st.tuples(st.just("medi"), int_exprs(1, ns)),
     ]
     if ns["dbls"]:
         opts += [
@@ -571,6 +597,10 @@ def _sp_int(e):
         return F.length(_sp_str(e[1])).cast("long")
     if op == "epochus":
         return F.unix_micros(F.col(e[1])) % F.lit(1_000_000_000).cast("long")
+    if op == "datepart":
+        fn = {"year": F.year, "month": F.month, "day": F.dayofmonth,
+              "hour": F.hour}[e[1]]
+        return fn(F.col(e[2])).cast("long")
     if op == "jint":
         return F.get_json_object(F.col(e[1]), f"$.{e[2]}").cast("long")
     if op == "strpos":
@@ -659,6 +689,10 @@ def _sp_agg(a):
         if op == "fcnt":
             return F.count(guarded)
         return (F.sum if op == "fsumi" else F.max)(guarded)
+    if op in ("ball", "bany"):
+        return (F.bool_and if op == "ball" else F.bool_or)(_sp_pred(a[1]))
+    if op == "medi":
+        return F.median(_sp_int(a[1]))
     if op in ("mind", "maxd"):
         return (F.min if op == "mind" else F.max)(F.col(a[1]))
     if op == "sumd4":
@@ -883,6 +917,8 @@ def _dk_int(e) -> str:
         return f"CAST(length({_dk_str(e[1])}) AS BIGINT)"
     if op == "epochus":
         return f"(epoch_us({e[1]}) % 1000000000)"
+    if op == "datepart":
+        return f"CAST({e[1]}({e[2]}) AS BIGINT)"
     if op == "jint":
         return f"CAST(json_extract_string({e[1]}, '$.{e[2]}') AS BIGINT)"
     if op == "strpos":
@@ -974,6 +1010,11 @@ def _dk_agg(a) -> str:
             f"coalesce(array_to_string(list_sort("
             f"list({a[1]}) FILTER (WHERE {a[1]} IS NOT NULL)), '|'), '')"
         )
+    if op in ("ball", "bany"):
+        fn = "bool_and" if op == "ball" else "bool_or"
+        return f"{fn}({_dk_pred(a[1])})"
+    if op == "medi":
+        return f"CAST(median({_dk_int(a[1])}) AS DOUBLE)"
     if op in ("mind", "maxd"):
         return f"{'min' if op == 'mind' else 'max'}({a[1]})"
     if op == "sumd4":
@@ -1232,7 +1273,7 @@ def compile_sql(plan) -> str:
     return f"SELECT {', '.join(parts)} FROM {frm}{w}"
 
 
-_INT_OPS = {"icol", "ilit", "add", "sub", "mul", "abs", "case", "nullif", "len", "epochus", "jint", "strpos"}
+_INT_OPS = {"icol", "ilit", "add", "sub", "mul", "abs", "case", "nullif", "len", "epochus", "jint", "strpos", "datepart"}
 
 
 def _is_int_expr(e) -> bool:
