@@ -244,6 +244,9 @@ _CHECKED_PRIOR = {
 # VERDICT r10 item 2).  New round-11 queries go at the FRONT.
 _ROUND11_PREFIX: list[str] = [
     # round-11 additions — first driver rows this round
+    "ml_ks_separation",
+    "ts_mk_trend",
+    "stats_runs_test",
     "agg_hhi_concentration",
     "stats_grubbs_outlier",
     "corpus_quality_filter_funnel",
@@ -294,10 +297,8 @@ _ROUND11_PREFIX: list[str] = [
     "sim_search_lsh",
     "sketch_bloom_build",
     "sketch_countmin",
-    "sketch_hll_portable",
-    "telemetry_trip_summary",
-    "text_bpe_corpus_prep",
-    # (text_inverted_index / text_js_divergence /
+    # (telemetry_trip_summary / text_bpe_corpus_prep /
+    # text_inverted_index / text_js_divergence /
     # text_line_dedup / text_tfidf_topk / text_vocab_coverage / text_winnowing /
     # tpch_market_share / tpch_order_priority / tpch_pricing_summary /
     # tpch_revenue_by_region / tpch_top_orders / ts_cusum_drift /

@@ -1696,3 +1696,68 @@ def q_ml_expected_calibration_error(spark, sf_dir):
         (F.sum(F.col("gap6") * F.col("n")).cast("double") / F.sum("n")).alias("ece"),
         F.max("gap6").cast("double").alias("mce"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11: class-conditional KS separation (model-discrimination audit)
+
+_KSSEP_ORACLE = """
+WITH tagged AS (
+  SELECT event_type, value,
+         CAST(event_id % 2 AS INTEGER) AS y
+  FROM events
+), pervalue AS (
+  SELECT event_type, value,
+         SUM(y) AS cp, SUM(1 - y) AS cn
+  FROM tagged GROUP BY event_type, value
+), cum AS (
+  SELECT event_type, value,
+         SUM(cp) OVER w AS cum_p, SUM(cn) OVER w AS cum_n,
+         SUM(cp) OVER wt AS np, SUM(cn) OVER wt AS nn
+  FROM pervalue
+  WINDOW w AS (PARTITION BY event_type ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wt AS (PARTITION BY event_type)
+)
+SELECT event_type, CAST(max(np) AS BIGINT) AS n_pos, CAST(max(nn) AS BIGINT) AS n_neg,
+       round(max(abs(CAST(cum_p AS DOUBLE) / np - CAST(cum_n AS DOUBLE) / nn)), 6)
+         AS ks_sep
+FROM cum GROUP BY event_type
+"""
+
+
+@query("ml_ks_separation", oracle=_KSSEP_ORACLE)
+def q_ml_ks_separation(spark, sf_dir):
+    """Class-conditional Kolmogorov-Smirnov separation per event type:
+    D = max |F̂_pos − F̂_neg| between the score (value) distributions of
+    the two label classes (y = event_id % 2 — the ml_log_loss
+    conventions).  The credit-scoring "KS statistic": the
+    threshold-free discrimination summary that complements ml_auc_roc
+    (AUC averages the separation; KS reports its PEAK and the score
+    where it occurs matters operationally).  Same plan as drift_ks with
+    the window tag swapped for the class label: per-(type, value)
+    conditional counts, range-partitioned running sums
+    (ranking.keyed_running_sums — parallelism is NOT capped at the
+    type count), single-division CDF gaps of exact integers."""
+    from pulsar_ingestion_spark.operators.ranking import keyed_running_sums
+
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    tagged = ev.select(
+        "event_type", "value", (F.col("event_id") % 2).cast("int").alias("y")
+    )
+    pervalue = tagged.groupBy("event_type", "value").agg(
+        F.sum("y").alias("cp"), F.sum(1 - F.col("y")).alias("cn")
+    )
+    cum, totals = keyed_running_sums(
+        pervalue, ["event_type"], [F.col("value")], ["cp", "cn"]
+    )
+    cum = cum.join(F.broadcast(totals), "event_type")
+    gap = F.abs(
+        F.col("cum_cp").cast("double") / F.col("total_cp")
+        - F.col("cum_cn").cast("double") / F.col("total_cn")
+    )
+    return cum.groupBy("event_type").agg(
+        F.max("total_cp").cast("bigint").alias("n_pos"),
+        F.max("total_cn").cast("bigint").alias("n_neg"),
+        F.round(F.max(gap), 6).alias("ks_sep"),
+    )

@@ -2864,3 +2864,154 @@ def q_stats_grubbs_outlier(spark, sf_dir):
     return m.select(
         "event_type", "n", F.round(g, 6).alias("g_stat"), (g > 4.0).alias("extreme")
     )
+
+
+_MK_ORACLE = """
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS m
+  FROM events GROUP BY event_type, day
+), s AS (
+  SELECT a.event_type,
+         CAST(SUM(CAST(sign(b.m - a.m) AS BIGINT)) AS BIGINT) AS s_stat
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.day < b.day
+  GROUP BY a.event_type
+), n AS (
+  SELECT event_type, count(*) AS n_days FROM daily GROUP BY event_type
+)
+SELECT n.event_type, n.n_days, s.s_stat,
+       round(CASE WHEN s.s_stat > 0
+                  THEN (s.s_stat - 1) / sqrt(n.n_days * (n.n_days - 1)
+                       * (2 * n.n_days + 5) / 18.0)
+                  WHEN s.s_stat < 0
+                  THEN (s.s_stat + 1) / sqrt(n.n_days * (n.n_days - 1)
+                       * (2 * n.n_days + 5) / 18.0)
+                  ELSE 0.0 END, 6) AS z_stat
+FROM n JOIN s ON s.event_type = n.event_type
+"""
+
+
+@query("ts_mk_trend", oracle=_MK_ORACLE)
+def q_ts_mk_trend(spark, sf_dir):
+    """Mann-Kendall trend test per event type over DAILY mean values —
+    the standard nonparametric monotone-trend detector (no distribution
+    or linearity assumption; ts_theil_sen estimates the slope, MK tests
+    its existence).  S = Σ_{i<j} sign(m_j − m_i) over day pairs: the
+    pair join is day-count-bounded (≈30²/2 pairs per type — a METADATA
+    cross, never row-scale), daily means divide exact decimal sums (so
+    sign() compares identical doubles), and the normal approximation
+    z = (S∓1)/σ uses the integer-exact variance n(n−1)(2n+5)/18 (tie
+    correction omitted identically on both sides — double means make
+    exact ties measure-zero)."""
+    (ev,) = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        )
+        .agg(
+            (F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+             / F.count("*")).alias("m")
+        )
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    s = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.day") < F.col("b.day")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(F.sum(F.signum(F.col("b.m") - F.col("a.m")).cast("bigint"))
+             .cast("bigint").alias("s_stat"))
+    )
+    n = daily.groupBy("event_type").agg(F.count("*").alias("n_days"))
+    nd, ss = F.col("n_days"), F.col("s_stat")
+    sigma = F.sqrt(nd * (nd - 1) * (2 * nd + 5) / 18.0)
+    z = (
+        F.when(ss > 0, (ss - 1) / sigma)
+        .when(ss < 0, (ss + 1) / sigma)
+        .otherwise(F.lit(0.0))
+    )
+    return n.join(s, "event_type").select(
+        "event_type", "n_days", "s_stat", F.round(z, 6).alias("z_stat")
+    )
+
+
+_RUNS_ORACLE = """
+WITH m AS (
+  SELECT event_type,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS mu
+  FROM events GROUP BY event_type
+), tagged AS (
+  SELECT e.event_type,
+         CASE WHEN e.value >= m.mu THEN 1 ELSE 0 END AS s,
+         e.ts, e.event_id
+  FROM events e JOIN m ON m.event_type = e.event_type
+), flips AS (
+  SELECT event_type, s,
+         CASE WHEN lag(s) OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) IS DISTINCT FROM s
+              THEN 1 ELSE 0 END AS flip
+  FROM tagged
+), agg AS (
+  SELECT event_type,
+         CAST(SUM(flip) AS BIGINT) AS runs,
+         CAST(SUM(s) AS BIGINT) AS n1,
+         CAST(SUM(1 - s) AS BIGINT) AS n2
+  FROM flips GROUP BY event_type
+)
+SELECT event_type, n1, n2, runs,
+       round((runs - (2.0 * n1 * n2 / (n1 + n2) + 1))
+             / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                    / ((n1 + n2) * (n1 + n2) * 1.0 * (n1 + n2 - 1))), 6)
+         AS z_stat
+FROM agg
+"""
+
+
+@query("stats_runs_test", oracle=_RUNS_ORACLE)
+def q_stats_runs_test(spark, sf_dir):
+    """Wald-Wolfowitz runs test per event type — is the above/below-mean
+    sign sequence RANDOM in time order, or does it cluster (trend /
+    regime persistence) or alternate (over-dispersion)?  The first flip
+    counts as run #1 (lag NULL IS DISTINCT FROM s on the first row), so
+    runs = the exact run count.  Means divide exact decimal sums; the
+    z-score's mean/variance are pure integer-derived expressions —
+    identical doubles both engines.  Order is pinned by (ts, event_id)
+    — the full-tie-break rule for this fixture's duplicate timestamps.
+    One partitioned window over the event stream; at 100 TB the sign
+    sequence rides the natural time-sorted layout."""
+    (ev,) = _t(spark, sf_dir, "events")
+    m = ev.groupBy("event_type").agg(
+        (F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+         / F.count("*")).alias("mu")
+    )
+    tagged = ev.join(F.broadcast(m), "event_type").select(
+        "event_type",
+        F.when(F.col("value") >= F.col("mu"), 1).otherwise(0).alias("s"),
+        "ts", "event_id",
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    flips = tagged.select(
+        "event_type", "s",
+        F.when(
+            ~F.lag("s").over(w).eqNullSafe(F.col("s")), 1
+        ).otherwise(0).alias("flip"),
+    )
+    agg = flips.groupBy("event_type").agg(
+        F.sum("flip").cast("bigint").alias("runs"),
+        F.sum("s").cast("bigint").alias("n1"),
+        F.sum(1 - F.col("s")).cast("bigint").alias("n2"),
+    )
+    n1, n2, runs = F.col("n1"), F.col("n2"), F.col("runs")
+    mu_r = 2.0 * n1 * n2 / (n1 + n2) + 1
+    var_r = (
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) * (n1 + n2) * 1.0 * (n1 + n2 - 1))
+    )
+    return agg.select(
+        "event_type", "n1", "n2", "runs",
+        F.round((runs - mu_r) / F.sqrt(var_r), 6).alias("z_stat"),
+    )

@@ -185,6 +185,7 @@ SECTIONS = [
         "ml_expected_calibration_error", "dedup_boundary_overlap",
         "dedup_containment_banded", "agg_hhi_concentration",
         "stats_grubbs_outlier", "corpus_quality_filter_funnel",
+        "ml_ks_separation", "ts_mk_trend", "stats_runs_test",
     ]),
     ("Sketches & sampling III (round 5)", [
         "sketch_kmv_intersect", "sketch_quantile_logbins", "sample_weighted_kmv",
