@@ -283,6 +283,110 @@ def minhash_banded_containment(
 # oracles, which re-derive the same md5 signatures in DuckDB).
 MINHASH_SEEDS = ["s0", "s1", "s2", "s3", "s4", "s5", "s6", "s7"]
 
+# LSH-Ensemble size-class ladder (ratio-4 geometric classes on the
+# DISTINCT-shingle count).  Integer comparisons only — bit-identical in
+# both engines (a log2/floor ladder would ride libm rounding near the
+# class boundaries; see the registry's no-engine-transcendentals rule).
+SIZE_CLASS_BOUNDS = (4, 16, 64, 256, 1024)
+
+
+def _size_class(sz_col):
+    """Ratio-4 size class of a shingle-set size column (0..len(bounds))."""
+    expr = F.lit(len(SIZE_CLASS_BOUNDS))
+    for cls in range(len(SIZE_CLASS_BOUNDS) - 1, -1, -1):
+        expr = F.when(sz_col < SIZE_CLASS_BOUNDS[cls], cls).otherwise(expr)
+    return expr
+
+
+def minhash_ensemble_containment(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_bands: int = 4,
+    threshold: float = 0.6,
+    seeds: list[str] | None = None,
+) -> DataFrame:
+    """LSH-Ensemble-style banded containment: the size-class refinement
+    of :func:`minhash_banded_containment` (Zhu et al., VLDB 2016 —
+    "LSH Ensemble: Internet-Scale Domain Search", adapted from the
+    partitioned-index form to a self-join dedup).
+
+    The single-class band stage is JACCARD-tuned: a pair with containment
+    C = |A∩B|/min and size ratio s = max/min has Jaccard
+    J = C/(1/ min share) ≈ C/(s + 1 − C), so a small doc quoted inside a
+    much larger one (the exact case containment exists for) almost never
+    collides in an r=2 band (P = 1−(1−J²)^b).  Fix: docs are assigned a
+    RATIO-4 SIZE CLASS on their distinct-shingle count, and candidates
+    come from TWO band families over the same signature pass:
+
+    * same-class pairs — the r=2 folded bands (exactly the single-class
+      pipeline): within a class the size ratio is ≤4, so the induced
+      Jaccard at C ≥ 0.6 is ≥ 0.13 and the folded bands carry recall;
+    * cross-class pairs — r=1 bands (each signature is its own band),
+      joined ONLY where the classes differ: P(collide) = 1−(1−J)^k beats
+      1−(1−J²)^b by an order of magnitude at the small J a size-skewed
+      containment pair induces (J = 0.15: 73% vs 9% at k=8, b=4).  The
+      class-difference predicate is what keeps r=1 affordable — within a
+      class the cheap r=2 family already covers, so the high-collision
+      family never fires on the (dominant) same-class bucket volume.
+
+    Both families feed ONE exact containment verify (precision 1);
+    signatures are computed once (md5 family — the whole pipeline stays
+    DuckDB-recomputable).  Candidates are a strict superset of the
+    single-class operator's at the same (seeds, num_bands), so recall
+    can only improve; the measured catch is the cross-class
+    quote-inclusion pair the single-class stage drops (see
+    tests/test_round11_invariants.py)."""
+    seeds = MINHASH_SEEDS if seeds is None else seeds
+    if len(seeds) < 2 * num_bands:
+        raise ValueError(f"need >= {2 * num_bands} seeds for {num_bands} bands of 2")
+    sigs = _tracked_persist(
+        minhash_signatures(df, id_col, text_col, n=n, hash="md5", seeds=seeds)
+    )
+    # family 1: r=2 folded bands (same-class pairs ride these; the join
+    # itself is unrestricted — identical to the single-class operator)
+    bvals2 = [
+        F.concat(F.col(f"sig_{2 * b}"), F.col(f"sig_{2 * b + 1}"))
+        for b in range(num_bands)
+    ]
+    bands2 = sigs.select("doc_id", F.posexplode(F.array(*bvals2)).alias("band", "bval"))
+    a2, b2 = bands2.alias("a"), bands2.alias("b")
+    cand2 = a2.join(
+        b2,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bval") == F.col("b.bval"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    # family 2: r=1 single-signature bands, CROSS-CLASS pairs only
+    bands1 = sigs.select(
+        "doc_id",
+        _size_class(F.size("w")).alias("cls"),
+        F.posexplode(F.array(*[F.col(f"sig_{i}") for i in range(len(seeds))])).alias(
+            "band", "bval"
+        ),
+    )
+    a1, b1 = bands1.alias("a"), bands1.alias("b")
+    cand1 = a1.join(
+        b1,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bval") == F.col("b.bval"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (F.col("a.cls") != F.col("b.cls")),
+    ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    cand = cand2.union(cand1).distinct()
+    wx = sigs.select(F.col("doc_id").alias("id_a"), F.col("w").alias("wa"))
+    wy = sigs.select(F.col("doc_id").alias("id_b"), F.col("w").alias("wb"))
+    inter = F.size(F.array_intersect(F.col("wa"), F.col("wb")))
+    cont = F.round(inter / F.least(F.size("wa"), F.size("wb")), 6)
+    return (
+        cand.join(wx, "id_a")
+        .join(wy, "id_b")
+        .withColumn("containment", cont)
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+
 
 def minhash_signatures(
     df: DataFrame,

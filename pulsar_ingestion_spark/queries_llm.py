@@ -274,6 +274,60 @@ def _minhash_banded_containment_oracle(
     )
 
 
+def _minhash_ensemble_containment_oracle(
+    seeds: list[str], num_bands: int, threshold: float
+) -> str:
+    """DuckDB recomputation of the LSH-Ensemble containment pipeline
+    (operators/dedup.py minhash_ensemble_containment): identical md5
+    signatures, the r=2 folded band family PLUS the r=1 single-signature
+    band family restricted to cross-size-class pairs, one exact
+    containment verify over the unioned candidates."""
+    from pulsar_ingestion_spark.operators.dedup import SIZE_CLASS_BOUNDS
+
+    cls_case = "CASE " + " ".join(
+        f"WHEN len(w) < {b} THEN {i}" for i, b in enumerate(SIZE_CLASS_BOUNDS)
+    ) + f" ELSE {len(SIZE_CLASS_BOUNDS)} END"
+    sigcols = ",\n         ".join(
+        f"list_aggregate(list_transform(w, x -> md5(concat('{s}:', x))), 'min') AS sig_{i}"
+        for i, s in enumerate(seeds)
+    )
+    b2rows = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, concat(sig_{2 * b}, sig_{2 * b + 1}) AS bval FROM sigs"
+        for b in range(num_bands)
+    )
+    b1rows = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band, sig_{i} AS bval, cls FROM sigs"
+        for i in range(len(seeds))
+    )
+    return (
+        _MINHASH_SHINGLE_CTES
+        + f""", sigs AS (
+  SELECT doc_id, w, ({cls_case}) AS cls,
+         {sigcols}
+  FROM wd
+), bands2 AS (
+  {b2rows}
+), bands1 AS (
+  {b1rows}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands2 a JOIN bands2 b
+    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+  UNION
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands1 a JOIN bands1 b
+    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+   AND a.cls <> b.cls
+), j AS (
+  SELECT c.id_a, c.id_b,
+         round({_CONTAINMENT_MEASURE}, 6) AS containment
+  FROM cand c JOIN wd x ON x.doc_id = c.id_a JOIN wd y ON y.doc_id = c.id_b
+)
+SELECT id_a, id_b, containment FROM j WHERE containment >= {threshold}
+"""
+    )
+
+
 def _minhash_km_oracle(num_sigs: int, num_bands: int, threshold: float) -> str:
     """DuckDB recomputation of the km_md5 (portable Kirsch-Mitzenmacher)
     banded pipeline: two 27-bit md5 lanes per shingle, sig_i =
@@ -305,6 +359,29 @@ def _minhash_km_oracle(num_sigs: int, num_bands: int, threshold: float) -> str:
 )"""
         + _banded_verify_tail(_JACCARD_MEASURE, "jaccard", threshold)
     )
+
+
+@query(
+    "dedup_containment_lshensemble",
+    oracle=_minhash_ensemble_containment_oracle(MINHASH_SEEDS, 4, 0.6),
+)
+def q_dedup_containment_lshensemble(spark, sf_dir):
+    # Round 11 (session 3): the LSH-Ensemble size-class refinement of
+    # dedup_containment_banded (Zhu et al. VLDB 2016, adapted to a
+    # self-join dedup).  The single-class band stage is Jaccard-tuned —
+    # a small doc quoted inside a much larger one induces a TINY Jaccard
+    # at high containment, so its r=2 band-collision odds collapse.
+    # This variant adds an r=1 single-signature band family restricted
+    # to CROSS-size-class pairs (ratio-4 integer ladder, engine-exact):
+    # 1-(1-J)^8 vs 1-(1-J²)^4 collision odds exactly where the
+    # containment detector's target pairs live, while the class
+    # predicate keeps the high-collision family off the dominant
+    # same-class volume.  Candidates = strict superset of the
+    # single-class operator's; precision stays 1 (exact verify).
+    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    from pulsar_ingestion_spark.operators.dedup import minhash_ensemble_containment
+
+    return minhash_ensemble_containment(docs, n=3, num_bands=4, threshold=0.6)
 
 
 @query(

@@ -269,3 +269,78 @@ def test_ivf_sidecar_create_is_atomic_or_compares(spark, tmp_path, monkeypatch):
     # identical list from the loser: idempotent success
     A._write_ivf_centroids(root, [(0, [0.0, 1.0]), (5, [5.0, 1.0])])
     assert A._read_ivf_centroids(root) == [(0, [0.0, 1.0]), (5, [5.0, 1.0])]
+
+
+def test_ensemble_containment_superset_and_precise(spark):
+    """LSH-Ensemble containment (round 11, session 3): candidates are a
+    strict superset of the single-class banded operator's at the same
+    (seeds, num_bands), so its output contains the single-class output;
+    and every emitted pair is exact-verified (subset of the exhaustive
+    co-shingle detector at the same threshold)."""
+    from pulsar_ingestion_spark.operators.dedup import (
+        minhash_banded_containment,
+        minhash_ensemble_containment,
+        ngram_containment_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    ens = {tuple(r) for r in
+           minhash_ensemble_containment(docs, n=3, num_bands=4, threshold=0.6).collect()}
+    single = {tuple(r) for r in
+              minhash_banded_containment(docs, n=3, num_bands=4, threshold=0.6,
+                                         hash="md5").collect()}
+    exact = {tuple(r) for r in
+             ngram_containment_pairs(docs, threshold=0.6, n=3).collect()}
+    assert single <= ens <= exact
+    assert ens  # non-degenerate on the fixture
+
+
+def test_ensemble_catches_cross_class_quote_inclusion(spark):
+    """The measured recall win: a 40-shingle doc quoted verbatim inside
+    a 340-shingle doc (containment 1.0, Jaccard ~0.12, size classes 2
+    vs 4).  The Jaccard-tuned r=2 band family misses the pair (per-band
+    collision odds ~J^2); the cross-class r=1 family catches it.  Both
+    pipelines are deterministic md5, so this fixture is a fixed
+    regression vector, not a flaky probability draw (fixture chosen by
+    the round-11 salt search: ~60% of salts collide, matching the
+    1-(1-J)^8 ~ 63% theory; 0/10 salts collided for the r=2 family)."""
+    from pulsar_ingestion_spark.operators.dedup import (
+        minhash_banded_containment,
+        minhash_ensemble_containment,
+    )
+
+    a_words = [f"za{i}" for i in range(42)]
+    b_words = a_words + [f"zb{i}" for i in range(300)]
+    df = spark.createDataFrame(
+        [(1, " ".join(a_words)), (2, " ".join(b_words))], ["doc_id", "text"]
+    )
+    missed = minhash_banded_containment(
+        df, n=3, num_bands=4, threshold=0.6, hash="md5"
+    ).collect()
+    assert missed == []  # the single-class stage drops the pair
+    caught = minhash_ensemble_containment(df, n=3, num_bands=4, threshold=0.6).collect()
+    assert [(r["id_a"], r["id_b"], r["containment"]) for r in caught] == [(1, 2, 1.0)]
+
+
+def test_ensemble_size_class_ladder_is_integer_exact(spark):
+    """The ratio-4 ladder must bucket by integer comparison (engine-exact),
+    never by a libm log2 — pin the boundary values."""
+    from pyspark.sql import functions as F
+
+    from pulsar_ingestion_spark.operators.dedup import (
+        SIZE_CLASS_BOUNDS,
+        _size_class,
+    )
+
+    vals = [1, 3, 4, 15, 16, 63, 64, 255, 256, 1023, 1024, 5000]
+    df = spark.createDataFrame([(v,) for v in vals], "sz long")
+    got = {r["sz"]: r["cls"] for r in
+           df.select("sz", _size_class(F.col("sz")).alias("cls")).collect()}
+
+    def expect(v):
+        for i, b in enumerate(SIZE_CLASS_BOUNDS):
+            if v < b:
+                return i
+        return len(SIZE_CLASS_BOUNDS)
+
+    assert got == {v: expect(v) for v in vals}
