@@ -1333,3 +1333,32 @@ def agg_hhi_concentration(spark, sf_dir):
         .groupBy("region", "n_suppliers")
         .agg(F.sum("t2").cast("double").alias("hhi"))
     )
+
+
+@query(
+    "win_ntile_percent_cume",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def win_ntile_percent_cume(spark, sf_dir):
+    # Round 11 (session 3): the distribution-rank window trio — ntile /
+    # percent_rank / cume_dist.  ntile is row_number-based (NOT
+    # tie-stable), so the ordering is made TOTAL with the unique
+    # o_orderkey tie-break; partitioning is per-customer (millions of
+    # natural partitions at scale — exactly when a partitioned window is
+    # the right plan, per the queries_rank module doctrine).
+    (o,) = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )

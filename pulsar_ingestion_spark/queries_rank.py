@@ -701,3 +701,81 @@ def q_ml_matthews_corr(spark, sf_dir):
     ) / 2.0
     return c.select("event_type", "tp", "fp", "tn", "fn",
                     mcc.alias("mcc"), bacc.alias("balanced_acc"))
+
+
+# ---------------------------------------------------------------------------
+# Wilcoxon signed-rank (round 11, session 3) — the PAIRED twin of
+# stats_mann_whitney: naturally paired rates on each lineitem row
+# (l_discount vs l_tax), signed ranks of |d| with average-rank ties and
+# the tie-corrected normal approximation.
+
+_WILCOXON_ORACLE = """
+WITH d AS (
+  SELECT l_discount - l_tax AS dv FROM lineitem
+  WHERE l_discount - l_tax <> 0
+), pervalue AS (
+  SELECT abs(dv) AS ad,
+         SUM(CASE WHEN dv > 0 THEN 1 ELSE 0 END) AS cpos,
+         count(*) AS c
+  FROM d GROUP BY abs(dv)
+), cum AS (
+  SELECT cpos, c,
+         SUM(c) OVER (ORDER BY ad
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+  FROM pervalue
+), agg AS (
+  SELECT SUM(c) AS n,
+         SUM(cpos * (2 * cc - c + 1)) AS w_twice,
+         SUM(c * c * c - c) AS tie_term
+  FROM cum
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(w_twice AS DOUBLE) / 2 AS w_plus,
+       round(
+         (CAST(w_twice AS DOUBLE) - CAST(n AS DOUBLE) * (n + 1) / 2)
+         / sqrt(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 6
+                - CAST(tie_term AS DOUBLE) / 12), 6) AS z
+FROM agg
+"""
+
+
+@query("stats_wilcoxon_signed_rank", oracle=_WILCOXON_ORACLE)
+def q_stats_wilcoxon_signed_rank(spark, sf_dir):
+    """Wilcoxon signed-rank test over the naturally paired per-row rates
+    (discount vs tax): zero differences dropped (standard practice),
+    |d| ranked ascending with exact average ranks carried as the integer
+    2·avg = 2·cum − c + 1, W⁺ accumulated as the exact integer 2·W⁺, and
+    the tie-corrected normal z as a single IEEE expression over exact
+    integers — the same few-key-rank discipline as stats_mann_whitney
+    (per-value counts + keyed_running_sums, never a one-key window).
+    The difference is a single IEEE subtraction of identical doubles, so
+    grouping on |d| is bit-identical across engines."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    d = li.select((F.col("l_discount") - F.col("l_tax")).alias("dv")).filter(
+        F.col("dv") != 0
+    )
+    pervalue = (
+        d.groupBy(F.abs(F.col("dv")).alias("ad"))
+        .agg(
+            F.sum(F.when(F.col("dv") > 0, 1).otherwise(0)).alias("cpos"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        .withColumn("k", F.lit(1))
+    )
+    cum, _tot = keyed_running_sums(pervalue, ["k"], [F.col("ad")], ["c"])
+    c, cc = F.col("c"), F.col("cum_c")
+    agg = cum.agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("cpos") * (2 * cc - c + 1)).alias("w_twice"),
+        F.sum(c * c * c - c).alias("tie_term"),
+    )
+    n = F.col("n")
+    nd = n.cast("double")
+    z = (F.col("w_twice").cast("double") - nd * (n + 1) / 2) / F.sqrt(
+        nd * (n + 1) * (2 * n + 1) / 6 - F.col("tie_term").cast("double") / 12
+    )
+    return agg.select(
+        n.cast("bigint").alias("n"),
+        (F.col("w_twice").cast("double") / 2).alias("w_plus"),
+        F.round(z, 6).alias("z"),
+    )

@@ -790,3 +790,100 @@ def q_sketch_ams_f2(spark, sf_dir):
             F.abs(F.col("est_f2_mean") - F.col("exact_f2")) / F.col("exact_f2"), 6
         ).alias("rel_err_mean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11 (session 3): Misra-Gries heavy hitters — the deterministic
+# frequent-items sketch the family was missing next to CMS (point
+# estimates) and HLL (cardinality).  Two-phase exact form: per-partition
+# weighted MG summaries bound the candidate set, then an exact recount
+# over candidates makes the OUTPUT exact (and oracle-checkable) — the
+# standard 2-pass exact heavy hitters at 100 TB: the only full-data
+# shuffles are a bounded semi-join and one grouped count.
+
+_HH_K = 32          # report tokens with count > n/K (the fixture vocab is
+                    # near-uniform at ~3.4% per type — K=32 puts the 3.125%
+                    # threshold INSIDE the distribution so the output is a
+                    # non-degenerate split at every SF)
+_HH_MG_COUNTERS = 64  # per-partition MG counters (any value >= K-1 keeps
+                      # the union guarantee; 2x margin shrinks candidates'
+                      # undercount so fewer false candidates reach phase 2)
+
+_HH_ORACLE = rf"""
+WITH tok AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+  FROM documents
+), tot AS (
+  SELECT count(*) AS n FROM tok
+), cnt AS (
+  SELECT token, count(*) AS cnt FROM tok GROUP BY token
+)
+SELECT c.token, CAST(c.cnt AS BIGINT) AS cnt,
+       CAST(c.cnt AS DOUBLE) / t.n AS share
+FROM cnt c, tot t
+WHERE c.cnt * {_HH_K} > t.n
+"""
+
+
+def _mg_partition_summaries(it):
+    """Weighted Misra-Gries over Arrow batches: per batch, value_counts
+    (vectorized) merges into the counter dict; when the dict exceeds the
+    budget, subtract the (budget+1)-th largest count from every counter
+    and drop the non-positive ones.  Each reduction removes its mass
+    from >= budget+1 counters, so any item's total undercount is
+    <= n_p/(budget+1) — every token with partition count > n_p/(budget+1)
+    survives (the MG guarantee, weighted-update form; Berinde et al.
+    2010).  Emitted rows are the partition's candidate tokens only —
+    counts are re-derived exactly in phase 2."""
+    import pandas as pd
+
+    counters: dict = {}
+    budget = _HH_MG_COUNTERS
+    for pdf in it:
+        vc = pdf["token"].value_counts()
+        for tokv, c in vc.items():
+            counters[tokv] = counters.get(tokv, 0) + int(c)
+        if len(counters) > budget:
+            vals = sorted(counters.values(), reverse=True)
+            m = vals[budget]  # the (budget+1)-th largest
+            counters = {t: c - m for t, c in counters.items() if c - m > 0}
+    yield pd.DataFrame({"token": pd.Series(list(counters.keys()), dtype="object")})
+
+
+@query("sketch_heavy_hitters", oracle=_HH_ORACLE)
+def q_sketch_heavy_hitters(spark, sf_dir):
+    """Exact heavy hitters (tokens with count > n/K over the corpus
+    token stream) via the 2-pass Misra-Gries scheme: (1) per-partition
+    weighted MG summaries over Arrow batches — any GLOBAL heavy hitter
+    exceeds n_p/K in some partition (pigeonhole), so the candidate union
+    is a guaranteed superset; (2) exact counts for candidates only
+    (broadcast semi-join + one grouped count), integer threshold
+    cnt·K > n.  Output is EXACT, so the oracle is plain SQL; MG is the
+    scale mechanism (candidate state is O(counters·partitions), never
+    O(vocabulary))."""
+    from pulsar_ingestion_spark.session import fan_out
+
+    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token")
+    ).persist()
+    cand = (
+        toks.mapInPandas(_mg_partition_summaries, "token string")
+        .distinct()
+    )
+    exact = (
+        toks.join(F.broadcast(cand), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = toks.agg(F.count(F.lit(1)).alias("n"))
+    out = (
+        exact.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * _HH_K > F.col("n"))
+        .select(
+            "token",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            (F.col("cnt").cast("double") / F.col("n")).alias("share"),
+        )
+    )
+    return out

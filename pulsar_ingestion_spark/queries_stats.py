@@ -3015,3 +3015,53 @@ def q_stats_runs_test(spark, sf_dir):
         "event_type", "n1", "n2", "runs",
         F.round((runs - mu_r) / F.sqrt(var_r), 6).alias("z_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11 (session 3): standardized effect size — Cohen's d with the
+# Hedges' g small-sample correction, completing the two-sample family
+# next to stats_welch_ttest (significance) with MAGNITUDE (how big the
+# difference is in pooled-sd units — the report metric a/b analyses
+# pair with the t-test's p).
+
+_COHENS_D_ORACLE = f"""
+WITH {TWO_SAMPLE_MOMENTS_CTE}, v AS (
+  SELECT na, nb, sa / na AS ma, sb / nb AS mb,
+         (ssa - sa * sa / na + ssb - sb * sb / nb) / (na + nb - 2) AS sp2
+  FROM m
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       round(ma - mb, 6) AS mean_diff,
+       round((ma - mb) / sqrt(sp2), 6) AS cohens_d,
+       round((ma - mb) / sqrt(sp2)
+             * (1 - 3 / (4.0 * (na + nb) - 9)), 6) AS hedges_g
+FROM v
+"""
+
+
+@query("stats_cohens_d", oracle=_COHENS_D_ORACLE)
+def q_stats_cohens_d(spark, sf_dir):
+    """Cohen's d (pooled-sd standardized mean difference) and Hedges' g
+    (the exact small-sample correction factor 1 − 3/(4N − 9)) over the
+    click-vs-error arms: shares the exact DECIMAL two-arm moment pivot
+    with stats_welch_ttest, then scalar IEEE arithmetic — the pooled
+    variance folds as (ssa − sa²/na + ssb − sb²/nb)/(na+nb−2) in one
+    mirrored op order, sqrt is IEEE-correctly-rounded on both engines."""
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    m = two_sample_moments(ev)
+    na, nb = F.col("na"), F.col("nb")
+    ma = F.col("sa") / na
+    mb = F.col("sb") / nb
+    sp2 = (
+        F.col("ssa") - F.col("sa") * F.col("sa") / na
+        + F.col("ssb") - F.col("sb") * F.col("sb") / nb
+    ) / (na + nb - 2)
+    d = (ma - mb) / F.sqrt(sp2)
+    g = d * (1 - 3 / (4.0 * (na + nb) - 9))
+    return m.select(
+        na.cast("bigint").alias("n_a"),
+        nb.cast("bigint").alias("n_b"),
+        F.round(ma - mb, 6).alias("mean_diff"),
+        F.round(d, 6).alias("cohens_d"),
+        F.round(g, 6).alias("hedges_g"),
+    )

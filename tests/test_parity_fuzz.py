@@ -253,3 +253,87 @@ def test_duckdb_ordered_string_agg_rollup_divergence(duck):
     for (a,) in fixed:
         parts = a.split("|")
         assert parts == sorted(parts)   # the portable twin: always sorted
+
+
+def test_v11_constructs_expressed_in_grammar():
+    """v11 compile pins: explicit GROUPING SETS renders drawn subsets
+    (incl. the empty set) AND keeps the finding-#3 empty-input guard;
+    named-WINDOW SQL declares w1 (unframed) + w2 (ROWS framed) and its
+    framed aggregates take the order expression; quantile aggregates
+    compile to quantile_cont CAST to DOUBLE; pad/translate/calendar-
+    shift string ops render in the sign-safe / non-empty-pad forms."""
+    gsql = parityfuzz.compile_sql(
+        ("aggroll", ("gsets", ((0,), (), (0, 1))), ("li",), None,
+         (("scol", "l_returnflag"), ("scol", "l_linestatus")),
+         (("count_star",),))
+    )
+    assert "GROUP BY GROUPING SETS ((l_returnflag), (), (l_returnflag, l_linestatus))" in gsql
+    assert "HAVING count(*) > 0" in gsql and "GROUPING(" in gsql
+    wsql = parityfuzz.compile_sql(
+        ("winnamed", ("scol", "l_returnflag"), "l_orderkey", -3, 2,
+         (("rank",), ("nwsum",)), None)
+    )
+    assert "WINDOW w1 AS (" in wsql and "w2 AS (" in wsql
+    assert "OVER w1" in wsql and "OVER w2" in wsql
+    assert "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW" in wsql
+    assert "sum((CAST(l_orderkey AS BIGINT) + -3)) OVER w2" in wsql
+    qsql = parityfuzz.compile_sql(
+        ("agg", ("li",), None, (),
+         (("quanti", ("icol", "l_suppkey"), 0.75),), None)
+    )
+    assert "CAST(quantile_cont(CAST(l_suppkey AS BIGINT), 0.75) AS DOUBLE)" in qsql
+    psql = parityfuzz.compile_sql(
+        ("proj", ("li",), None,
+         (("lpad", ("scol", "l_returnflag"), 5, "xy"),
+          ("xlate", ("scol", "l_linestatus"), "aes", "x"),
+          ("srepeat", ("scol", "l_returnflag"), 2),))
+    )
+    assert "lpad(l_returnflag, 5, 'xy')" in psql
+    assert "translate(l_linestatus, 'aes', 'x')" in psql
+    assert "repeat(l_returnflag, 2)" in psql
+
+
+def test_lpad_empty_pad_asymmetry(spark, duck):
+    """v11 exclusion class: ``lpad(s, n, '')`` with n > length(s) is an
+    error-vs-value asymmetry — Spark returns the input string UNCHANGED
+    (pads zero characters), DuckDB raises InvalidInputException
+    ("Insufficient padding in LPAD").  The grammar therefore only draws
+    NON-EMPTY pad strings.  If either behavior changes, this pin fails
+    and the exclusion should be revisited."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("A",)], "s string")
+    got = df.select(F.lpad("s", 5, "").alias("c0")).collect()[0]["c0"]
+    assert got == "A"  # unchanged, NOT padded and NOT an error
+
+    with pytest.raises(duckdb.InvalidInputException):
+        duck.execute("SELECT lpad('A', 5, '')").fetchall()
+
+
+def test_grouping_sets_all_empty_asymmetry(spark, duck):
+    """v11 exclusion class (first v11 soak): ``GROUP BY GROUPING SETS
+    (())`` — only the grand-total set — plus a GROUPING() flag is an
+    error-vs-value asymmetry: Spark accepts it (one row, flag = 1),
+    DuckDB's binder rejects GROUPING "without groups".  The grammar
+    therefore requires at least one NON-empty subset.  Without the
+    GROUPING() flag both engines agree (plain global aggregate), so the
+    exclusion is scoped to the flagged form the grammar emits."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "*", F.col("l_linenumber").alias("k0")
+    )
+    rows = (
+        li.groupingSets([[]], F.col("k0"))
+        .agg(F.count(F.lit(1)).alias("a0"),
+             F.grouping(F.col("k0")).cast("long").alias("g0"))
+        .collect()
+    )
+    assert len(rows) == 1 and rows[0]["g0"] == 1 and rows[0]["k0"] is None
+
+    with pytest.raises(duckdb.BinderException):
+        duck.execute(
+            "SELECT l_linenumber AS k0, count(*) AS a0, "
+            "GROUPING(l_linenumber) AS g0 "
+            "FROM lineitem GROUP BY GROUPING SETS (())"
+        ).fetchall()

@@ -121,6 +121,34 @@ Grammar v10.1 additions (round 11, second pass):
   interpolate the even-count midpoint, and integer .5 halves are
   exactly representable, so the double results are bit-identical.
 
+Grammar v11 additions (round 11, third pass):
+
+* string pad/repeat/translate: lpad/rpad with NON-EMPTY pad strings —
+  ``lpad(s, n, '')`` is an error-vs-value asymmetry (Spark returns the
+  input unchanged, DuckDB raises "Insufficient padding in LPAD"; pinned
+  in test_parity_fuzz.py::test_lpad_empty_pad_asymmetry); repeat with
+  n >= 0; translate with DISTINCT from-chars and a to-string that may
+  be shorter (delete semantics agree, probed incl. delete-all).
+* calendar interval arithmetic: ts ± n MONTH / YEAR under the string
+  render — end-of-month clamping agrees on both engines (Jan 31 + 1
+  month = Feb 29/28 both; probed at ±25 months, ±2 years); the DuckDB
+  side keeps the sign-safe ``(n) * INTERVAL 1 MONTH`` spelling.
+* quantile aggregates beyond median: percentile(e, p) vs
+  quantile_cont(e, p) for p ∈ {0.1, 0.25, 0.5, 0.75, 0.9} over INTEGER
+  expressions — both engines interpolate at rank (n-1)·p and the
+  interpolation fractions are exact binary values, so integer inputs
+  produce bit-identical doubles (probed incl. rollup super-aggregate
+  rows, where the holistic state merge could have diverged).
+* GROUP BY GROUPING SETS explicit form: the Spark 4 DataFrame
+  ``groupingSets()`` API vs the SQL clause, with drawn subset lists
+  (incl. the empty set).  Spark emits ZERO rows over an empty input
+  exactly like rollup/cube — the same finding-#3 ``HAVING count(*) >
+  0`` guard applies.
+* named WINDOW clauses: one SQL text on both engines — two named
+  windows (unframed for rank/dense_rank, ROWS-k-PRECEDING framed for
+  the order-expression aggregates), probing the window-clause resolver
+  rather than inline OVER specs.
+
 Usage:
     python tools/parityfuzz.py [--examples 200] [--sf-dir /root/testdata/sf0.001]
 
@@ -278,6 +306,32 @@ def str_exprs(depth: int = 2, ns=_LI_NS):
             st.just("replace"), sub, st.sampled_from(_NEEDLES),
             st.text(alphabet="xy_", min_size=0, max_size=2),
         ),
+        # v11: pad with a NON-EMPTY pad string — lpad(s, n, '') is an
+        # error-vs-value asymmetry (Spark: input unchanged; DuckDB:
+        # raises), pinned in test_lpad_empty_pad_asymmetry
+        st.tuples(
+            st.sampled_from(["lpad", "rpad"]), sub,
+            st.integers(min_value=0, max_value=6),
+            st.sampled_from(["x", "xy", "_"]),
+        ),
+        # v11: repeat n >= 0 (n = 0 -> '' on both engines)
+        st.tuples(st.just("srepeat"), sub, st.integers(min_value=0, max_value=3)),
+        # v11: translate with DISTINCT from-chars; to-string may be
+        # shorter (unmapped chars DELETE identically on both engines)
+        st.tuples(
+            st.just("xlate"), sub,
+            st.sampled_from(["aes", "an ", "sc", "thx"]),
+            st.sampled_from(["", "x", "xy", "x_z"]),
+        ),
+        # v11: calendar interval arithmetic under the string render —
+        # month/year shifts clamp end-of-month identically
+        *(
+            [st.tuples(st.just("tsshiftcal"), st.sampled_from(ns["tss"]),
+                       st.integers(min_value=-25, max_value=25),
+                       st.sampled_from(["month", "year"]))]
+            if ns["tss"]
+            else []
+        ),
     )
 
 
@@ -342,6 +396,14 @@ def agg_specs(ns=_LI_NS):
         # v10.1: exact median of an integer expression (interpolated
         # even-count midpoints are integer halves — exactly representable)
         st.tuples(st.just("medi"), int_exprs(1, ns)),
+        # v11: interpolated quantiles beyond the median — percentile vs
+        # quantile_cont over INTEGER exprs at rank (n-1)·p with linear
+        # interpolation.  Quarters are exact-binary; 0.1/0.9 ride the
+        # SAME double literal through the same rank formula on both
+        # engines (probed green incl. rollup super-aggregate merges —
+        # the deliberate interpolation parity hunt)
+        st.tuples(st.just("quanti"), int_exprs(1, ns),
+                  st.sampled_from([0.1, 0.25, 0.5, 0.75, 0.9])),
     ]
     if ns["dbls"]:
         opts += [
@@ -442,7 +504,7 @@ def plans(draw):
     )
     where = draw(st.none() | preds(2, ns))
     shapes = ["proj", "agg", "win", "aggroll", "csub", "winq",
-              "lat", "csub2", "unpivot"]
+              "lat", "csub2", "unpivot", "winnamed"]
     if src[0] in _PIVOT_COLS:
         shapes.append("pivot")
     shape = draw(st.sampled_from(shapes))
@@ -478,6 +540,24 @@ def plans(draw):
         iagg = draw(st.sampled_from(["min", "max"]))
         delta = draw(st.integers(min_value=-5, max_value=5))
         return ("csub2", inner, op, iagg, delta,
+                draw(st.none() | preds(1, _CSUB_NS)))
+    if shape == "winnamed":
+        # v11: named WINDOW clauses — one SQL text on both engines, so
+        # every piece must stay dialect-portable (fixed lineitem source;
+        # keys/preds from the _CSUB_NS portable subset, like csub)
+        pkey = draw(st.one_of(
+            st.sampled_from(LI_STR).map(lambda c: ("scol", c)),
+            st.tuples(st.just("kmod"), st.sampled_from(LI_INT),
+                      st.integers(min_value=2, max_value=7)),
+        ))
+        ocol = draw(st.sampled_from(LI_INT))
+        delta = draw(st.integers(min_value=-5, max_value=5))
+        k = draw(st.integers(min_value=0, max_value=4))
+        wfs = draw(st.lists(
+            st.sampled_from([("rank",), ("dense_rank",),
+                             ("nwsum",), ("nwmin",), ("nwcount",)]),
+            min_size=1, max_size=3, unique=True))
+        return ("winnamed", pkey, ocol, delta, k, tuple(wfs),
                 draw(st.none() | preds(1, _CSUB_NS)))
     if shape == "winq":
         # v8: QUALIFY-equivalent — top-k-per-group via a rank filter over
@@ -516,10 +596,37 @@ def plans(draw):
         )
     if shape == "aggroll":
         # ROLLUP/CUBE grouping sets (v6); v7 adds GROUPING() flags so
-        # super-aggregate rows are discriminated from real NULL keys
-        mode = draw(st.sampled_from(["rollup", "cube"]))
+        # super-aggregate rows are discriminated from real NULL keys;
+        # v11 adds the EXPLICIT GROUPING SETS form (DataFrame
+        # groupingSets() vs the SQL clause) with drawn subset lists
+        mode = draw(st.sampled_from(["rollup", "cube", "gsets"]))
         keys = draw(st.lists(group_keys(ns), min_size=1, max_size=2, unique=True))
         aggs = draw(st.lists(agg_specs(ns), min_size=1, max_size=3))
+        if mode == "gsets":
+            powerset = [
+                tuple(i for i in range(len(keys)) if m >> i & 1)
+                for m in range(1 << len(keys))
+            ]
+            # two validity constraints, both error-vs-value asymmetries
+            # caught by the first v11 soaks (Spark's groupingSets API
+            # accepts both; DuckDB's binder rejects both):
+            # (a) at least one NON-empty subset — GROUPING SETS (())
+            #     plus a GROUPING() flag is "GROUPING without groups"
+            #     in DuckDB while Spark emits the grand-total row with
+            #     flag 1 (pinned in
+            #     test_grouping_sets_all_empty_asymmetry);
+            # (b) every key must appear in >= 1 subset — Spark treats
+            #     every listed column as a grouping column (flag 1 on
+            #     all rows when never grouped), DuckDB rejects
+            #     GROUPING(expr) for an expression absent from every
+            #     grouping set ("must be a grouping column").
+            subsets = draw(
+                st.lists(st.sampled_from(powerset),
+                         min_size=1, max_size=3, unique=True)
+                .filter(lambda ls: any(ls))
+                .filter(lambda ls: set().union(*ls) == set(range(len(keys))))
+            )
+            mode = ("gsets", tuple(subsets))
         return ("aggroll", mode, src, where, tuple(keys), tuple(aggs))
     if shape == "agg":
         keys = draw(st.lists(group_keys(ns), min_size=0, max_size=2, unique=True))
@@ -635,6 +742,18 @@ def _sp_str(e):
         return F.trim(_sp_str(e[1]))
     if op == "replace":
         return F.replace(_sp_str(e[1]), F.lit(e[2]), F.lit(e[3]))
+    if op in ("lpad", "rpad"):
+        return (F.lpad if op == "lpad" else F.rpad)(_sp_str(e[1]), e[2], e[3])
+    if op == "srepeat":
+        return F.repeat(_sp_str(e[1]), e[2])
+    if op == "xlate":
+        return F.translate(_sp_str(e[1]), e[2], e[3])
+    if op == "tsshiftcal":
+        unit = {"month": "MONTHS", "year": "YEARS"}[e[3]]
+        return F.date_format(
+            F.col(e[1]) + F.expr(f"INTERVAL {e[2]} {unit}"),
+            "yyyy-MM-dd HH:mm:ss",
+        )
     raise ValueError(op)
 
 
@@ -693,6 +812,8 @@ def _sp_agg(a):
         return (F.bool_and if op == "ball" else F.bool_or)(_sp_pred(a[1]))
     if op == "medi":
         return F.median(_sp_int(a[1]))
+    if op == "quanti":
+        return F.percentile(_sp_int(a[1]), F.lit(a[2]))
     if op in ("mind", "maxd"):
         return (F.min if op == "mind" else F.max)(F.col(a[1]))
     if op == "sumd4":
@@ -741,9 +862,9 @@ def compile_spark(plan, spark, sf_dir: str):
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    if plan[0] in ("csub", "csub2", "lat"):
-        # correlated / nested scalar subqueries + LATERAL: Catalyst's
-        # decorrelation vs DuckDB, SAME SQL text on both engines (views
+    if plan[0] in ("csub", "csub2", "lat", "winnamed"):
+        # correlated / nested scalar subqueries + LATERAL + named
+        # WINDOW clauses: SAME SQL text on both engines (views
         # registered per call — lazy, no scan cost until execution)
         for t in ("lineitem", "orders"):
             spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
@@ -810,7 +931,13 @@ def compile_spark(plan, spark, sf_dir: str):
             F.grouping(F.col(f"k{i}")).cast("long").alias(f"g{i}")
             for i in range(len(keys))
         ]
-        grouped = df.rollup(*kcols) if mode == "rollup" else df.cube(*kcols)
+        if isinstance(mode, tuple):  # v11 explicit GROUPING SETS
+            _, subsets = mode
+            grouped = df.groupingSets(
+                [[kcols[i] for i in ss] for ss in subsets], *kcols
+            )
+        else:
+            grouped = df.rollup(*kcols) if mode == "rollup" else df.cube(*kcols)
         return grouped.agg(*acols)
 
     if plan[0] == "setop":
@@ -955,6 +1082,19 @@ def _dk_str(e) -> str:
         return f"trim({_dk_str(e[1])})"
     if op == "replace":
         return f"replace({_dk_str(e[1])}, {_sql_slit(e[2])}, {_sql_slit(e[3])})"
+    if op in ("lpad", "rpad"):
+        # NON-EMPTY pad only: lpad(s, n, '') raises in DuckDB where
+        # Spark returns the input unchanged (v11 exclusion class)
+        return f"{op}({_dk_str(e[1])}, {e[2]}, {_sql_slit(e[3])})"
+    if op == "srepeat":
+        return f"repeat({_dk_str(e[1])}, {e[2]})"
+    if op == "xlate":
+        return f"translate({_dk_str(e[1])}, {_sql_slit(e[2])}, {_sql_slit(e[3])})"
+    if op == "tsshiftcal":
+        return (
+            f"strftime({e[1]} + ({e[2]}) * INTERVAL 1 {e[3].upper()},"
+            f" '%Y-%m-%d %H:%M:%S')"
+        )
     raise ValueError(op)
 
 
@@ -1015,6 +1155,8 @@ def _dk_agg(a) -> str:
         return f"{fn}({_dk_pred(a[1])})"
     if op == "medi":
         return f"CAST(median({_dk_int(a[1])}) AS DOUBLE)"
+    if op == "quanti":
+        return f"CAST(quantile_cont({_dk_int(a[1])}, {a[2]!r}) AS DOUBLE)"
     if op in ("mind", "maxd"):
         return f"{'min' if op == 'mind' else 'max'}({a[1]})"
     if op == "sumd4":
@@ -1133,6 +1275,33 @@ def compile_sql(plan) -> str:
             f"{sub} AS s0 FROM lineitem{w}"
         )
 
+    if plan[0] == "winnamed":
+        # v11: named WINDOW clauses, one dialect-portable SQL text.  w1
+        # is unframed (rank/dense_rank ignore frames; the default RANGE
+        # frame never applies to them), w2 carries the explicit ROWS
+        # frame; framed aggregates take the ORDER EXPRESSION itself
+        # (the v7 tie-safety rule — fixtures carry duplicate rows).
+        _, pkey, ocol, delta, k, wfs, where = plan
+        pk = _dk_key(pkey)
+        oe = f"(CAST({ocol} AS BIGINT) + {delta})"
+        parts = [f"{pk} AS k0", f"{oe} AS o0"]
+        for i, wf in enumerate(wfs):
+            if wf[0] in ("rank", "dense_rank"):
+                parts.append(f"CAST({wf[0]}() OVER w1 AS BIGINT) AS w{i}")
+            else:
+                fn = {"nwsum": "sum", "nwmin": "min", "nwcount": "count"}[wf[0]]
+                expr = f"{fn}({oe}) OVER w2"
+                if wf[0] in ("nwsum", "nwcount"):
+                    expr = f"CAST({expr} AS BIGINT)"
+                parts.append(f"{expr} AS w{i}")
+        w = f" WHERE {_dk_pred(where)}" if where is not None else ""
+        return (
+            f"SELECT {', '.join(parts)} FROM lineitem{w} "
+            f"WINDOW w1 AS (PARTITION BY {pk} ORDER BY {oe} ASC NULLS FIRST), "
+            f"w2 AS (PARTITION BY {pk} ORDER BY {oe} ASC NULLS FIRST "
+            f"ROWS BETWEEN {k} PRECEDING AND CURRENT ROW)"
+        )
+
     if plan[0] == "pivot":
         _, src, where, key, (pcol, pvals), agg = plan
         frm, extra = _dk_source(src)
@@ -1198,8 +1367,16 @@ def compile_sql(plan) -> str:
             for i, k in enumerate(keys)
         ]
         sel = ", ".join(kparts + aparts)
-        fn = "ROLLUP" if mode == "rollup" else "CUBE"
-        grp = f" GROUP BY {fn}({', '.join(_dk_key(k) for k in keys)})"
+        if isinstance(mode, tuple):  # v11 explicit GROUPING SETS
+            _, subsets = mode
+            sets_sql = ", ".join(
+                "(" + ", ".join(_dk_key(keys[i]) for i in ss) + ")"
+                for ss in subsets
+            )
+            grp = f" GROUP BY GROUPING SETS ({sets_sql})"
+        else:
+            fn = "ROLLUP" if mode == "rollup" else "CUBE"
+            grp = f" GROUP BY {fn}({', '.join(_dk_key(k) for k in keys)})"
         # fuzzer finding #3 (v6 first soak): over an EMPTY input Spark's
         # rollup/cube emits ZERO rows while DuckDB emits the ANSI
         # grand-total row (count 0).  Real groups always carry count >= 1,
