@@ -825,29 +825,43 @@ WHERE c.cnt * {_HH_K} > t.n
 """
 
 
+def mg_merge_reduce(counters: dict, add: dict, budget: int) -> dict:
+    """Weighted Misra-Gries merge + reduction (one shared definition for
+    the batch summarizer below and the streaming maintainer): add the
+    ``add`` counts into ``counters``; if the dict exceeds ``budget``,
+    subtract the (budget+1)-th largest count from every counter and drop
+    the non-positive ones.  Each reduction removes its subtracted mass
+    from >= budget+1 counters, so any item's total undercount after any
+    merge sequence is <= W/(budget+1) for W = total merged weight — the
+    MG mergeability guarantee (Berinde et al. 2010; Agarwal et al. 2013
+    mergeable-summaries form)."""
+    for tokv, c in add.items():
+        counters[tokv] = counters.get(tokv, 0) + int(c)
+    if len(counters) > budget:
+        vals = sorted(counters.values(), reverse=True)
+        m = vals[budget]  # the (budget+1)-th largest
+        counters = {t: c - m for t, c in counters.items() if c - m > 0}
+    return counters
+
+
 def _mg_partition_summaries(it):
     """Weighted Misra-Gries over Arrow batches: per batch, value_counts
-    (vectorized) merges into the counter dict; when the dict exceeds the
-    budget, subtract the (budget+1)-th largest count from every counter
-    and drop the non-positive ones.  Each reduction removes its mass
-    from >= budget+1 counters, so any item's total undercount is
-    <= n_p/(budget+1) — every token with partition count > n_p/(budget+1)
-    survives (the MG guarantee, weighted-update form; Berinde et al.
-    2010).  Emitted rows are the partition's candidate tokens only —
-    counts are re-derived exactly in phase 2."""
+    (vectorized) merges into the counter dict via :func:`mg_merge_reduce`.
+    Every token with partition count > n_p/(budget+1) survives (the MG
+    guarantee, weighted-update form).  Emitted rows carry the residual
+    MG estimates; the batch query uses the tokens only — counts are
+    re-derived exactly in phase 2 — while the streaming maintainer
+    merges the (token, est) summaries themselves."""
     import pandas as pd
 
     counters: dict = {}
-    budget = _HH_MG_COUNTERS
     for pdf in it:
         vc = pdf["token"].value_counts()
-        for tokv, c in vc.items():
-            counters[tokv] = counters.get(tokv, 0) + int(c)
-        if len(counters) > budget:
-            vals = sorted(counters.values(), reverse=True)
-            m = vals[budget]  # the (budget+1)-th largest
-            counters = {t: c - m for t, c in counters.items() if c - m > 0}
-    yield pd.DataFrame({"token": pd.Series(list(counters.keys()), dtype="object")})
+        counters = mg_merge_reduce(counters, vc.to_dict(), _HH_MG_COUNTERS)
+    yield pd.DataFrame({
+        "token": pd.Series(list(counters.keys()), dtype="object"),
+        "est": pd.Series(list(counters.values()), dtype="int64"),
+    })
 
 
 @query("sketch_heavy_hitters", oracle=_HH_ORACLE)
@@ -868,7 +882,8 @@ def q_sketch_heavy_hitters(spark, sf_dir):
         F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token")
     ).persist()
     cand = (
-        toks.mapInPandas(_mg_partition_summaries, "token string")
+        toks.mapInPandas(_mg_partition_summaries, "token string, est long")
+        .select("token")
         .distinct()
     )
     exact = (

@@ -21,6 +21,12 @@ design point of this module (tests pin both):
   would double-count, so the maintainer keeps a batch-id high-watermark
   (same discipline as the exactly-once sinks): foreachBatch ids are
   monotone per checkpoint, so ``batch_id <= seen`` is skipped.
+* **MG (Misra-Gries) merges by counter ADD + reduction — NOT
+  idempotent** (batch-id guarded like CMS), and unlike the other two its
+  estimates are LOWER bounds with a provable undercount cap
+  (n/(budget+1), by mass conservation across both reduction layers) —
+  the candidate-generation half of the exact 2-pass heavy hitters in
+  ``sketch_heavy_hitters``.
 
 Hash derivations are kept bit-identical to the batch queries
 (md5-prefix → bigint — `sketch_hll_portable`, `sketch_countmin`), so a
@@ -44,6 +50,8 @@ from pulsar_ingestion_spark.queries_sketch import (
     _HLL_M,
     _HLL_WBITS,
     _RHO_CASE,
+    _mg_partition_summaries,
+    mg_merge_reduce,
 )
 
 
@@ -161,3 +169,82 @@ class CmsStreamMaintainer:
             c = self.counters.get((d, bucket), 0)
             est = c if est is None else min(est, c)
         return int(est or 0)
+
+
+class MgStreamMaintainer:
+    """foreachBatch target maintaining a weighted Misra-Gries frequent-
+    items summary over ``col`` — the streaming twin of
+    ``sketch_heavy_hitters``'s phase-1 (round 11, session 3; completes
+    the streaming sketch family: HLL = cardinality, CMS = point counts,
+    MG = heavy hitters).
+
+    Per batch: the same per-partition Arrow MG summarizer the batch
+    query runs (``_mg_partition_summaries``) collapses the batch to
+    <= budget rows per partition; the collected summaries merge into the
+    driver-held counters via the shared :func:`mg_merge_reduce` (MG
+    summaries are MERGEABLE — Agarwal et al. 2013 — so the merged
+    summary carries the same undercount bound as a single-pass MG over
+    the concatenated stream).  Merging ADDS mass, so it is not
+    replay-idempotent: a batch-id high-watermark skips replays (the CMS
+    maintainer's discipline).
+
+    Guarantees after ANY micro-batch cut sequence (tests pin all three):
+
+    * undercount bound: exact_count − n/(budget+1) <= est <= exact_count
+      for every tracked token (n = total non-null rows seen);
+    * superset: every token with exact_count > n/K is tracked, for any
+      K <= budget + 1 — the candidate set for an exact phase-2 recount;
+    * replay no-op: re-delivering a seen batch_id changes nothing.
+    """
+
+    def __init__(self, col: str, budget: int = 64):
+        self.col = col
+        self.budget = budget
+        self.counters: dict = {}
+        self.total = 0
+        self.last_batch = -1
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        if int(batch_id) <= self.last_batch:
+            return  # at-least-once replay — already merged
+        toks = batch_df.filter(F.col(self.col).isNotNull()).select(
+            F.col(self.col).cast("string").alias("token")
+        )
+        n = toks.count()
+        summaries = toks.mapInPandas(
+            _mg_partition_summaries, "token string, est long"
+        ).collect()  # <= budget rows per partition — sketch-sized traffic
+        add = {}
+        for r in summaries:
+            add[r["token"]] = add.get(r["token"], 0) + int(r["est"])
+        self.counters = mg_merge_reduce(dict(self.counters), add, self.budget)
+        self.total += int(n)
+        self.last_batch = int(batch_id)
+
+    def error_bound(self) -> int:
+        """Max undercount of any estimate: floor(n / (min_budget+1)).
+
+        The stream pipeline stacks two MG layers (per-partition summaries
+        at the fixed batch-query budget, then the driver merge at
+        ``self.budget``), but the bound does not stack — by mass
+        conservation: mass enters the partition layer exactly once (n
+        total) and the driver layer only with what survived, so total
+        reduced mass across BOTH layers is <= n, and every reduction
+        removing subtractor m removes >= (min_budget+1)·m of it.  Any
+        one token's undercount is at most the sum of the subtractors of
+        reductions that touched it <= n/(min_budget+1)."""
+        from pulsar_ingestion_spark.queries_sketch import _HH_MG_COUNTERS
+
+        return self.total // (min(self.budget, _HH_MG_COUNTERS) + 1)
+
+    def estimate(self, token) -> int:
+        """Residual MG estimate (exact_count - error_bound() <= est <=
+        exact_count; 0 for untracked tokens)."""
+        return int(self.counters.get(token, 0))
+
+    def candidates(self) -> set:
+        """Tracked tokens — a guaranteed superset of every token with
+        exact frequency > total/K for any K <= budget+1 (feed these to
+        an exact recount for exact heavy hitters, as the batch query's
+        phase 2 does)."""
+        return set(self.counters)

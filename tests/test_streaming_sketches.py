@@ -96,3 +96,95 @@ def test_cms_point_estimates_upper_bound_exact(spark):
         for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert exact and all(m.estimate(k) >= n for k, n in exact.items())
+
+
+def _stream_tokens(spark, tmp_path, maintainer, n_files, tag=""):
+    """Drive `maintainer` through a readStream over the sf0.001 documents
+    TOKEN stream (pre-exploded to one `token` column)."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / f"tok{n_files}{tag}")
+    toks = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select(F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token"))
+    )
+    toks.repartition(n_files).write.parquet(src)
+    q = (
+        spark.readStream.schema(toks.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(maintainer)
+        .option("checkpointLocation", str(tmp_path / f"tckpt{n_files}{tag}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+
+def test_mg_stream_exact_when_vocab_fits_budget_any_cut(spark, tmp_path):
+    """Budget >= vocabulary means no MG reduction ever fires, so the
+    stream-maintained estimates must EXACTLY equal the batch counts at
+    any micro-batch cut — a strong equality check of the whole plumbing
+    (Arrow summarizer, driver merge, totals)."""
+    from pyspark.sql import functions as F
+
+    from pulsar_ingestion_spark.streaming.sketches import MgStreamMaintainer
+
+    toks = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select(F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token"))
+    )
+    exact = {r["token"]: r["cnt"] for r in
+             toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    n = sum(exact.values())
+    for n_files in (1, 4):
+        m = MgStreamMaintainer("token", budget=64)
+        _stream_tokens(spark, tmp_path, m, n_files)
+        assert m.total == n, n_files
+        assert m.candidates() == set(exact), n_files
+        for t, c in exact.items():
+            assert m.estimate(t) == c, (n_files, t)
+
+
+def test_mg_stream_bounds_hold_under_reductions(spark, tmp_path):
+    """Budget 8 < the 31-type vocabulary forces real MG reductions at
+    both layers; every surviving estimate must stay inside
+    [exact - n/(budget_min+1), exact], and the batch query's exact
+    heavy hitters (count > n/K, K <= budget+1 scaled) must be tracked."""
+    from pyspark.sql import functions as F
+
+    from pulsar_ingestion_spark.streaming.sketches import MgStreamMaintainer
+
+    toks = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select(F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token"))
+    )
+    exact = {r["token"]: r["cnt"] for r in
+             toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    m = MgStreamMaintainer("token", budget=8)
+    _stream_tokens(spark, tmp_path, m, 4, tag="b8")
+    bound = m.error_bound()
+    assert m.total == sum(exact.values())
+    for t in m.candidates():
+        assert exact[t] - bound <= m.estimate(t) <= exact[t], t
+
+
+def test_mg_superset_guarantee_on_skewed_stream(spark):
+    """The guarantee the candidate set exists for: a genuinely heavy
+    token (30% of the stream) MUST be tracked after reductions at a
+    small budget (count > n/K for K=3 <= budget+1=9), with its estimate
+    inside the undercount bound."""
+    from pulsar_ingestion_spark.streaming.sketches import MgStreamMaintainer
+
+    rows = [("hot",)] * 300 + [(f"f{i}",) for i in range(700)]
+    df = spark.createDataFrame(rows, "token string")
+    m = MgStreamMaintainer("token", budget=8)
+    m(df, 0)
+    assert "hot" in m.candidates()
+    assert 300 - m.error_bound() <= m.estimate("hot") <= 300
+    # batch-id replay guard (add-merge is not idempotent)
+    before = (dict(m.counters), m.total)
+    m(df, 0)
+    assert (m.counters, m.total) == before
+    m(df, 1)  # a genuinely new batch DOES merge
+    assert m.total == 2000
