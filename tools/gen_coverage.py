@@ -187,6 +187,11 @@ SECTIONS = [
         "stats_grubbs_outlier", "corpus_quality_filter_funnel",
         "ml_ks_separation", "ts_mk_trend", "stats_runs_test",
     ]),
+    ("Heavy hitters, effect sizes & ensemble containment (round 11, session 3)", [
+        "dedup_containment_lshensemble", "sketch_heavy_hitters",
+        "stats_cohens_d", "stats_wilcoxon_signed_rank",
+        "win_ntile_percent_cume",
+    ]),
     ("Sketches & sampling III (round 5)", [
         "sketch_kmv_intersect", "sketch_quantile_logbins", "sample_weighted_kmv",
     ]),
@@ -262,6 +267,9 @@ STREAMING_ONLY = [
     ("EventTypeSplitter streaming topology (legacy translate → per-type dynamic sink)", "tests/test_streaming.py::test_event_type_splitter_streaming_e2e"),
     ("streaming HLL maintenance (per-batch register max-merge, replay-idempotent by algebra)", "tests/test_streaming_sketches.py::test_hll_stream_equals_batch_query_any_cut"),
     ("streaming CMS maintenance (per-batch counter add-merge, batch-id replay guard)", "tests/test_streaming_sketches.py::test_cms_stream_equals_batch_query_and_guards_replay"),
+    ("streaming MG heavy-hitters maintenance (mergeable summaries, provable undercount bound, batch-id replay guard)", "tests/test_streaming_sketches.py::test_mg_stream_exact_when_vocab_fits_budget_any_cut"),
+    ("streaming IVF index maintenance (pinned-centroid cell upkeep, batch-cut equivalent search)", "tests/test_streaming_ivf_index.py"),
+    ("streaming sign-LSH ANN index maintenance (incremental bucket upkeep, batch-cut equivalent search)", "tests/test_streaming_ann_index.py"),
 ]
 
 
