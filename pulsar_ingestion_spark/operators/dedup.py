@@ -289,6 +289,28 @@ MINHASH_SEEDS = ["s0", "s1", "s2", "s3", "s4", "s5", "s6", "s7"]
 # class boundaries; see the registry's no-engine-transcendentals rule).
 SIZE_CLASS_BOUNDS = (4, 16, 64, 256, 1024)
 
+# deterministic hot-bucket cap for the ensemble's r=1 band family (the
+# _cooc_edges hub-cap precedent; measured no-op at sf0.001/0.01/0.1
+# where the largest cell is 14).  Sized from the 30x decomposition:
+# cap 64 still let hot min-hash buckets emit 16.9M cross-class
+# candidates (cap^2 per class pair), whose exact verify dominated the
+# whole query at 28.7 s for 238 true pairs; cap 24 bounds the same
+# buckets at ~14% of that volume.  Members survive in PORTABLE-HASH
+# order (md5 of doc_id), not id order — pseudorandom deterministic, no
+# systematic bias toward low ids.
+ENSEMBLE_BUCKET_CAP = 24
+
+
+def _ecap_order(id_col):
+    """Deterministic pseudorandom cap order: the portable md5 bigint lane
+    of the doc id (mirrored verbatim in the DuckDB oracle)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("ecap:"), id_col.cast("string"))), 1, 8),
+            16, 10,
+        ).cast("bigint")
+    )
+
 
 def _size_class(sz_col):
     """Ratio-4 size class of a shingle-set size column (0..len(bounds))."""
@@ -358,13 +380,33 @@ def minhash_ensemble_containment(
         & (F.col("a.bval") == F.col("b.bval"))
         & (F.col("a.doc_id") < F.col("b.doc_id")),
     ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-    # family 2: r=1 single-signature bands, CROSS-CLASS pairs only
+    # family 2: r=1 single-signature bands, CROSS-CLASS pairs only.
+    # Hot-bucket cap (measured, 30x leg): an r=1 bucket is "every doc
+    # whose seed-i min-hash is this value" — popular shingles make its
+    # size grow ~linearly with the corpus, so the uncapped self-join
+    # grows quadratically (0.91/x at 10x -> 2.61/x at 30x).  Cap each
+    # (band, bval, CLASS) cell at the ENSEMBLE_BUCKET_CAP smallest
+    # doc_ids (deterministic, mirrored in the oracle — the _cooc_edges
+    # hub-cap precedent): per-class capping preserves cross-class
+    # pairing inside hot buckets while bounding their pair volume at
+    # cap^2 per class pair; a no-op at the oracle test SFs' bucket
+    # sizes.
     bands1 = sigs.select(
         "doc_id",
         _size_class(F.size("w")).alias("cls"),
         F.posexplode(F.array(*[F.col(f"sig_{i}") for i in range(len(seeds))])).alias(
             "band", "bval"
         ),
+    )
+    capw = Window.partitionBy("band", "bval", "cls").orderBy(
+        _ecap_order(F.col("doc_id")), "doc_id"
+    )
+    # persisted: BOTH sides of the self-join read the capped relation —
+    # without it the cap window (shuffle + per-cell sort) runs twice
+    bands1 = _tracked_persist(
+        bands1.withColumn("rn", F.row_number().over(capw))
+        .filter(F.col("rn") <= ENSEMBLE_BUCKET_CAP)
+        .drop("rn")
     )
     a1, b1 = bands1.alias("a"), bands1.alias("b")
     cand1 = a1.join(

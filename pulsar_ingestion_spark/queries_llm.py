@@ -282,7 +282,10 @@ def _minhash_ensemble_containment_oracle(
     signatures, the r=2 folded band family PLUS the r=1 single-signature
     band family restricted to cross-size-class pairs, one exact
     containment verify over the unioned candidates."""
-    from pulsar_ingestion_spark.operators.dedup import SIZE_CLASS_BOUNDS
+    from pulsar_ingestion_spark.operators.dedup import (
+        ENSEMBLE_BUCKET_CAP,
+        SIZE_CLASS_BOUNDS,
+    )
 
     cls_case = "CASE " + " ".join(
         f"WHEN len(w) < {b} THEN {i}" for i, b in enumerate(SIZE_CLASS_BOUNDS)
@@ -307,8 +310,18 @@ def _minhash_ensemble_containment_oracle(
   FROM wd
 ), bands2 AS (
   {b2rows}
-), bands1 AS (
+), bands1u AS (
   {b1rows}
+), bands1 AS (
+  SELECT doc_id, band, bval, cls FROM (
+    SELECT doc_id, band, bval, cls,
+           row_number() OVER (
+             PARTITION BY band, bval, cls
+             ORDER BY CAST(('0x' || substring(md5(concat('ecap:',
+                        CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT),
+                      doc_id) AS rn
+    FROM bands1u
+  ) WHERE rn <= {ENSEMBLE_BUCKET_CAP}
 ), cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands2 a JOIN bands2 b
