@@ -259,6 +259,12 @@ _ROUND11_PREFIX: list[str] = [
     "ml_matthews_corr",
     "ml_expected_calibration_error",
     "events_bounce_rate",
+    # round-11 session-3 additions — first driver rows this round
+    "dedup_containment_lshensemble",
+    "sketch_heavy_hitters",
+    "stats_cohens_d",
+    "stats_wilcoxon_signed_rank",
+    "win_ntile_percent_cume",
     # rows-only trio retired — first hash-checked rows this round
     "dedup_minhash",
     "dedup_minhash_fast",
@@ -292,12 +298,10 @@ _ROUND11_PREFIX: list[str] = [
     "geo_nearest_poi",
     "join_bloom_pruned",
     "join_salted_skew",
-    "layout_zorder_key",
-    "sim_search_ivf",
-    "sim_search_lsh",
-    "sketch_bloom_build",
-    "sketch_countmin",
-    # (telemetry_trip_summary / text_bpe_corpus_prep /
+    # (layout_zorder_key / sim_search_ivf / sim_search_lsh /
+    # sketch_bloom_build / sketch_countmin — displaced by the five
+    # session-3 additions under the 50-id cap — plus
+    # telemetry_trip_summary / text_bpe_corpus_prep /
     # text_inverted_index / text_js_divergence /
     # text_line_dedup / text_tfidf_topk / text_vocab_coverage / text_winnowing /
     # tpch_market_share / tpch_order_priority / tpch_pricing_summary /

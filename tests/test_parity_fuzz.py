@@ -337,3 +337,53 @@ def test_grouping_sets_all_empty_asymmetry(spark, duck):
             "GROUPING(l_linenumber) AS g0 "
             "FROM lineitem GROUP BY GROUPING SETS (())"
         ).fetchall()
+
+
+def test_spark_pivot_empty_cell_count_divergence(spark, duck):
+    """Fuzzer finding #5 (first surfaced by the v11-reseeded in-suite
+    run; latent since grammar v10): Spark's DataFrame ``pivot``
+    pre-aggregates by (key, pivot-col) and emits NULL for a (key, value)
+    cell containing NO ROWS, while the flat CASE-form spelling
+    ``count(CASE WHEN pcol = v THEN e END)`` over the key group returns
+    0 — count is the only aggregate that distinguishes the two (sum/min/
+    max of an empty cell are NULL on both paths).  Keying the pivot BY
+    the pivot column itself makes every off-diagonal cell empty, a
+    deterministic repro.  The oracle twin NULLs the count exactly when
+    the cell has no rows: CASE WHEN count(CASE WHEN pcol=v THEN 1 END)=0
+    THEN NULL ELSE count(...) END."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    out = {
+        r["k0"]: (r["A"], r["N"], r["R"])
+        for r in li.select(F.col("l_returnflag").alias("k0"), "l_returnflag",
+                           F.col("l_orderkey").alias("m"))
+        .groupBy("k0").pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.count("m")).collect()
+    }
+    # off-diagonal cells: Spark pivot -> NULL (cell absent), never 0
+    assert out["A"][1] is None and out["A"][2] is None
+    assert out["N"][0] is None and out["R"][0] is None
+    assert all(v[i] > 0 for i, v in enumerate((out["A"], out["N"], out["R"])))
+
+    # the naive CASE-form count says 0 for the same cells...
+    naive = duck.execute(
+        "SELECT l_returnflag AS k0, "
+        "count(CASE WHEN l_returnflag = 'N' THEN l_orderkey END) AS n_cell "
+        "FROM lineitem GROUP BY l_returnflag ORDER BY k0"
+    ).fetchall()
+    assert [r[1] for r in naive if r[0] != "N"] == [0, 0]
+
+    # ...and the encoded twin matches Spark's NULL
+    twin = duck.execute(
+        "SELECT l_returnflag AS k0, "
+        "CASE WHEN count(CASE WHEN l_returnflag = 'N' THEN 1 END) = 0 "
+        "THEN NULL ELSE count(CASE WHEN l_returnflag = 'N' THEN l_orderkey END) "
+        "END AS n_cell FROM lineitem GROUP BY l_returnflag ORDER BY k0"
+    ).fetchall()
+    assert [r[1] for r in twin if r[0] != "N"] == [None, None]
+
+    # the falsifying plan itself, end-to-end through both compilers
+    plan = ("pivot", ("li",), None, ("scol", "l_returnflag"),
+            ("l_returnflag", ("A", "N", "R")), ("count", ("icol", "l_orderkey")))
+    assert parityfuzz.check_plan(plan, spark, duck, SF_DIR) is None

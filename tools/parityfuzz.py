@@ -149,6 +149,16 @@ Grammar v11 additions (round 11, third pass):
   the order-expression aggregates), probing the window-clause resolver
   rather than inline OVER specs.
 
+FINDING #5 (surfaced by the v11-reseeded in-suite run; latent in the
+grammar since v10): Spark's DataFrame pivot pre-aggregates by
+(key, pivot-col) and emits NULL for a (key, value) cell with NO ROWS,
+while the flat CASE-form ``count(CASE WHEN pcol = v THEN e END)``
+returns 0 — count is the only aggregate that distinguishes the absent
+cell from a cell whose rows all carry NULL measures (0 on both engines
+for the latter).  The oracle compiles the portable twin — NULL exactly
+when ``count(CASE WHEN pcol = v THEN 1 END) = 0`` — pinned in
+test_parity_fuzz.py::test_spark_pivot_empty_cell_count_divergence.
+
 Usage:
     python tools/parityfuzz.py [--examples 200] [--sf-dir /root/testdata/sf0.001]
 
@@ -1312,6 +1322,19 @@ def compile_sql(plan) -> str:
         cells = []
         for i, v in enumerate(pvals):
             cell = f"{fn}(CASE WHEN {pcol} = {_sql_slit(v)} THEN {m} END)"
+            if fn == "count":
+                # fuzzer finding #5 (v11-era reseed of the in-suite run):
+                # Spark's DataFrame pivot pre-aggregates by (key, pcol)
+                # and emits NULL for a (key, value) cell with NO ROWS,
+                # while the flat CASE-form count over the key group
+                # returns 0.  sum/min/max agree (empty -> NULL on both
+                # paths); only count distinguishes "absent cell" from
+                # "cell whose rows all have a NULL measure" (count 0 on
+                # BOTH engines for the latter).  Portable twin: NULL out
+                # the count exactly when the cell has no rows at all.
+                # Pinned in test_spark_pivot_empty_cell_count_divergence.
+                exists = f"count(CASE WHEN {pcol} = {_sql_slit(v)} THEN 1 END)"
+                cell = f"(CASE WHEN {exists} = 0 THEN NULL ELSE {cell} END)"
             # count/sum widen (HUGEINT hazard) — cast back on both sides
             cells.append(f"CAST({cell} AS BIGINT) AS p{i}")
         return (
