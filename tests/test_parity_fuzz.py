@@ -387,3 +387,42 @@ def test_spark_pivot_empty_cell_count_divergence(spark, duck):
     plan = ("pivot", ("li",), None, ("scol", "l_returnflag"),
             ("l_returnflag", ("A", "N", "R")), ("count", ("icol", "l_orderkey")))
     assert parityfuzz.check_plan(plan, spark, duck, SF_DIR) is None
+
+
+def test_v12_constructs_expressed_in_grammar():
+    """v12 compile pins: EXISTS-in-CASE renders one portable SQL text;
+    split element access compiles to the NULL-tolerant 1-based form
+    (never a raising index); lead/lag take the order expression with a
+    BIGINT-cast default; greatest/least and split_part render
+    literally."""
+    csql = parityfuzz.compile_sql(("casex", True, (3, 1), None))
+    assert "CASE WHEN NOT EXISTS (SELECT 1 FROM orders" in csql
+    assert "% 3) = 1" in csql
+    psql = parityfuzz.compile_sql(
+        ("proj", ("doc",), None,
+         (("spart", ("scol", "text"), " ", 3),
+          ("selem", ("scol", "lang"), "-", 4),
+          ("great", ("icol", "doc_id"), ("icol", "n_chars")))))
+    assert "split_part(text, ' ', 3)" in psql
+    assert "regexp_split_to_array(lang, '-')[5]" in psql  # 0-based -> [i+1]
+    assert "greatest(CAST(doc_id AS BIGINT), CAST(n_chars AS BIGINT))" in psql
+    wsql = parityfuzz.compile_sql(
+        ("win", ("li",), None, ("scol", "l_returnflag"), ("icol", "l_suppkey"),
+         (("wlag", 2, -5),), None))
+    assert "lag(CAST(l_suppkey AS BIGINT), 2, CAST(-5 AS BIGINT))" in wsql
+
+
+def test_spark_getitem_oob_raises_where_duckdb_nulls(spark, duck):
+    """v12 exclusion class: Spark ``split(...)[i]`` / ``getItem(i)``
+    RAISES ArrayIndexOutOfBoundsException under ANSI mode for an
+    out-of-range index, while DuckDB ``arr[i+1]`` returns NULL.  The
+    grammar therefore compiles the NULL-tolerant ``F.get()`` form (the
+    probe-verified twin of DuckDB's behavior, incl. out-of-range)."""
+    from pyspark.sql import functions as F
+    from pyspark.errors import PySparkException
+
+    df = spark.createDataFrame([("a-b",)], "s string")
+    with pytest.raises(PySparkException):
+        df.select(F.split("s", "-").getItem(7).alias("c0")).collect()
+    assert df.select(F.get(F.split("s", "-"), 7).alias("c0")).collect()[0]["c0"] is None
+    assert duck.execute("SELECT (regexp_split_to_array('a-b', '-'))[8]").fetchone()[0] is None

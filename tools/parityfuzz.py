@@ -149,6 +149,29 @@ Grammar v11 additions (round 11, third pass):
   the order-expression aggregates), probing the window-clause resolver
   rather than inline OVER specs.
 
+Grammar v12 additions (round 11, third pass cont.):
+
+* split_part (NON-empty literal delimiters; beyond-last-part yields ''
+  on both engines) and array-element access of split():
+  ``F.get(arr, i)`` (0-based, NULL out-of-range) ↔ DuckDB ``arr[i+1]``
+  (1-based, NULL out-of-range).  NOTE ``getItem``/``[]`` on the Spark
+  side RAISES ArrayIndexOutOfBoundsException under ANSI mode where
+  DuckDB returns NULL — an error-vs-value asymmetry; the grammar
+  compiles the NULL-tolerant ``get()`` form (probe-verified identical
+  incl. out-of-range).
+* greatest/least binary forms — BOTH engines skip NULL operands
+  (NULL only when all operands are NULL); probed through nullif
+  operands.
+* fixed-duration HOUR/MINUTE interval shifts joining the v11
+  MONTH/YEAR calendar shifts under the string render.
+* lead/lag with literal defaults over the ORDER EXPRESSION itself
+  (peer runs carry equal values, so the emitted multiset is
+  permutation-invariant under duplicate rows — the v7 tie rule
+  extended to offset functions).
+* EXISTS / NOT EXISTS inside a CASE select-list expression — one SQL
+  text on both engines, probing Catalyst's decorrelation of
+  select-list existence subqueries.
+
 FINDING #5 (surfaced by the v11-reseeded in-suite run; latent in the
 grammar since v10): Spark's DataFrame pivot pre-aggregates by
 (key, pivot-col) and emits NULL for a (key, value) cell with NO ROWS,
@@ -275,6 +298,9 @@ def int_exprs(depth: int = 3, ns=_LI_NS):
         # v6: 1-based first-occurrence position, 0 when absent (Spark
         # instr <-> DuckDB strpos, identical incl. NULL propagation)
         st.tuples(st.just("strpos"), str_exprs(depth - 1, ns), st.sampled_from(_NEEDLES)),
+        # v12: greatest/least skip NULL operands on BOTH engines (NULL
+        # only when every operand is NULL) — probed through nullif
+        st.tuples(st.sampled_from(["great", "least"]), sub, sub),
     )
 
 
@@ -334,14 +360,23 @@ def str_exprs(depth: int = 2, ns=_LI_NS):
             st.sampled_from(["", "x", "xy", "x_z"]),
         ),
         # v11: calendar interval arithmetic under the string render —
-        # month/year shifts clamp end-of-month identically
+        # month/year shifts clamp end-of-month identically; v12 adds the
+        # fixed-duration hour/minute units
         *(
             [st.tuples(st.just("tsshiftcal"), st.sampled_from(ns["tss"]),
                        st.integers(min_value=-25, max_value=25),
-                       st.sampled_from(["month", "year"]))]
+                       st.sampled_from(["month", "year", "hour", "minute"]))]
             if ns["tss"]
             else []
         ),
+        # v12: split_part (non-empty literal delimiter; beyond-last ->
+        # '' on both engines)
+        st.tuples(st.just("spart"), sub, st.sampled_from([" ", "a", "e"]),
+                  st.integers(min_value=1, max_value=5)),
+        # v12: array element of split() — F.get (0-based, NULL OOR) vs
+        # [i+1] (1-based, NULL OOR); getItem would RAISE under ANSI
+        st.tuples(st.just("selem"), sub, st.sampled_from([" ", "a", "e"]),
+                  st.integers(min_value=0, max_value=4)),
     )
 
 
@@ -455,6 +490,13 @@ def win_funcs(ns=_LI_NS):
         st.just(("rank",)),
         st.just(("dense_rank",)),
         st.tuples(st.sampled_from(["wsum", "wmin", "wcount"]), int_exprs(1, ns)),
+        # v12: lead/lag with literal defaults, applied to the ORDER
+        # EXPRESSION itself (peer runs carry equal values -> the emitted
+        # multiset is permutation-invariant under the fixtures'
+        # duplicate rows; an arbitrary expression would not be)
+        st.tuples(st.sampled_from(["wlag", "wlead"]),
+                  st.integers(min_value=1, max_value=3),
+                  st.integers(min_value=-9, max_value=9)),
     )
 
 
@@ -514,7 +556,7 @@ def plans(draw):
     )
     where = draw(st.none() | preds(2, ns))
     shapes = ["proj", "agg", "win", "aggroll", "csub", "winq",
-              "lat", "csub2", "unpivot", "winnamed"]
+              "lat", "csub2", "unpivot", "winnamed", "casex"]
     if src[0] in _PIVOT_COLS:
         shapes.append("pivot")
     shape = draw(st.sampled_from(shapes))
@@ -550,6 +592,16 @@ def plans(draw):
         iagg = draw(st.sampled_from(["min", "max"]))
         delta = draw(st.integers(min_value=-5, max_value=5))
         return ("csub2", inner, op, iagg, delta,
+                draw(st.none() | preds(1, _CSUB_NS)))
+    if shape == "casex":
+        # v12: EXISTS / NOT EXISTS inside a CASE select-list expression —
+        # one SQL text both engines (Catalyst select-list decorrelation)
+        inner_mod = draw(
+            st.none()
+            | st.tuples(st.integers(min_value=2, max_value=5),
+                        st.integers(min_value=0, max_value=4))
+        )
+        return ("casex", draw(st.booleans()), inner_mod,
                 draw(st.none() | preds(1, _CSUB_NS)))
     if shape == "winnamed":
         # v11: named WINDOW clauses — one SQL text on both engines, so
@@ -722,6 +774,9 @@ def _sp_int(e):
         return F.get_json_object(F.col(e[1]), f"$.{e[2]}").cast("long")
     if op == "strpos":
         return F.instr(_sp_str(e[1]), e[2]).cast("long")
+    if op in ("great", "least"):
+        fn = F.greatest if op == "great" else F.least
+        return fn(_sp_int(e[1]), _sp_int(e[2]))
     raise ValueError(op)
 
 
@@ -759,11 +814,18 @@ def _sp_str(e):
     if op == "xlate":
         return F.translate(_sp_str(e[1]), e[2], e[3])
     if op == "tsshiftcal":
-        unit = {"month": "MONTHS", "year": "YEARS"}[e[3]]
+        unit = {"month": "MONTHS", "year": "YEARS",
+                "hour": "HOURS", "minute": "MINUTES"}[e[3]]
         return F.date_format(
             F.col(e[1]) + F.expr(f"INTERVAL {e[2]} {unit}"),
             "yyyy-MM-dd HH:mm:ss",
         )
+    if op == "spart":
+        return F.split_part(_sp_str(e[1]), F.lit(e[2]), F.lit(e[3]))
+    if op == "selem":
+        # F.get: NULL out-of-range (getItem RAISES under ANSI — the v12
+        # error-vs-value exclusion)
+        return F.get(F.split(_sp_str(e[1]), e[2]), e[3])
     raise ValueError(op)
 
 
@@ -872,10 +934,11 @@ def compile_spark(plan, spark, sf_dir: str):
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    if plan[0] in ("csub", "csub2", "lat", "winnamed"):
+    if plan[0] in ("csub", "csub2", "lat", "winnamed", "casex"):
         # correlated / nested scalar subqueries + LATERAL + named
-        # WINDOW clauses: SAME SQL text on both engines (views
-        # registered per call — lazy, no scan cost until execution)
+        # WINDOW clauses + EXISTS-in-CASE: SAME SQL text on both
+        # engines (views registered per call — lazy, no scan cost
+        # until execution)
         for t in ("lineitem", "orders"):
             spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
         return spark.sql(compile_sql(plan))
@@ -1016,6 +1079,10 @@ def compile_spark(plan, spark, sf_dir: str):
         elif wf[0] in ("fsum", "fmin", "fcount"):
             fn = {"fsum": F.sum, "fmin": F.min, "fcount": F.count}[wf[0]]
             c = fn(okey).over(wf_frame)
+        elif wf[0] in ("wlag", "wlead"):
+            # v12: offset functions take the ORDER EXPRESSION (tie-safe)
+            fn = F.lag if wf[0] == "wlag" else F.lead
+            c = fn(okey, wf[1], wf[2]).over(w).cast("long")
         else:
             fn = {"wsum": F.sum, "wmin": F.min, "wcount": F.count}[wf[0]]
             c = fn(_sp_int(wf[1])).over(w)
@@ -1060,6 +1127,9 @@ def _dk_int(e) -> str:
         return f"CAST(json_extract_string({e[1]}, '$.{e[2]}') AS BIGINT)"
     if op == "strpos":
         return f"CAST(strpos({_dk_str(e[1])}, {_sql_slit(e[2])}) AS BIGINT)"
+    if op in ("great", "least"):
+        fn = "greatest" if op == "great" else "least"
+        return f"{fn}({_dk_int(e[1])}, {_dk_int(e[2])})"
     raise ValueError(op)
 
 
@@ -1105,6 +1175,11 @@ def _dk_str(e) -> str:
             f"strftime({e[1]} + ({e[2]}) * INTERVAL 1 {e[3].upper()},"
             f" '%Y-%m-%d %H:%M:%S')"
         )
+    if op == "spart":
+        return f"split_part({_dk_str(e[1])}, {_sql_slit(e[2])}, {e[3]})"
+    if op == "selem":
+        # 1-based element access, NULL out-of-range (the twin of F.get)
+        return f"(regexp_split_to_array({_dk_str(e[1])}, {_sql_slit(e[2])})[{e[3] + 1}])"
     raise ValueError(op)
 
 
@@ -1249,6 +1324,22 @@ def compile_sql(plan) -> str:
             "SELECT CAST(l_orderkey AS BIGINT) AS c0, "
             "CAST(l_linenumber AS BIGINT) AS c1, "
             f"{sub} AS s0 FROM lineitem{w}"
+        )
+
+    if plan[0] == "casex":
+        _, neg, inner_mod, where = plan
+        conj = "o_orderkey = l_orderkey"
+        if inner_mod is not None:
+            m, r = inner_mod
+            conj += f" AND (CAST(o_custkey AS BIGINT) % {m}) = {r}"
+        ex = f"EXISTS (SELECT 1 FROM orders WHERE {conj})"
+        if neg:
+            ex = f"NOT {ex}"
+        w = f" WHERE {_dk_pred(where)}" if where is not None else ""
+        return (
+            "SELECT CAST(l_orderkey AS BIGINT) AS c0, "
+            "CAST(l_linenumber AS BIGINT) AS c1, "
+            f"(CASE WHEN {ex} THEN 1 ELSE 0 END) AS c2 FROM lineitem{w}"
         )
 
     if plan[0] == "lat":
@@ -1464,6 +1555,14 @@ def compile_sql(plan) -> str:
             if wf[0] == "fsum":
                 expr = f"CAST({expr} AS BIGINT)"
             parts.append(f"{expr} AS w{i}")
+        elif wf[0] in ("wlag", "wlead"):
+            # v12: offset functions over the ORDER EXPRESSION (tie-safe)
+            fn = "lag" if wf[0] == "wlag" else "lead"
+            expr = (
+                f"CAST({fn}({_dk_int(oexpr)}, {wf[1]}, "
+                f"CAST({wf[2]} AS BIGINT)) OVER ({over}) AS BIGINT)"
+            )
+            parts.append(f"{expr} AS w{i}")
         else:
             fn = {"wsum": "sum", "wmin": "min", "wcount": "count"}[wf[0]]
             expr = f"{fn}({_dk_int(wf[1])}) OVER ({over} {frame})"
@@ -1473,7 +1572,7 @@ def compile_sql(plan) -> str:
     return f"SELECT {', '.join(parts)} FROM {frm}{w}"
 
 
-_INT_OPS = {"icol", "ilit", "add", "sub", "mul", "abs", "case", "nullif", "len", "epochus", "jint", "strpos", "datepart"}
+_INT_OPS = {"icol", "ilit", "add", "sub", "mul", "abs", "case", "nullif", "len", "epochus", "jint", "strpos", "datepart", "great", "least"}
 
 
 def _is_int_expr(e) -> bool:
