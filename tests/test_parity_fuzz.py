@@ -426,3 +426,23 @@ def test_spark_getitem_oob_raises_where_duckdb_nulls(spark, duck):
         df.select(F.split("s", "-").getItem(7).alias("c0")).collect()
     assert df.select(F.get(F.split("s", "-"), 7).alias("c0")).collect()[0]["c0"] is None
     assert duck.execute("SELECT (regexp_split_to_array('a-b', '-'))[8]").fetchone()[0] is None
+
+
+def test_try_cast_decimal_string_divergence(spark, duck):
+    """v13 exclusion class (probe-discovered VALUE divergence, not an
+    error asymmetry): DuckDB ``TRY_CAST('12.5' AS BIGINT)`` parses the
+    decimal and ROUNDS (-> 13, half-even like its double->int cast)
+    while Spark's ``try_cast`` accepts integral formats only (-> NULL).
+    The fuzzer grammar's string space cannot produce decimal-format
+    numerals (no '.' in any alphabet; timestamp renders carry '-'/':'
+    which both parsers reject), so the reachable TRY_CAST strings are
+    parity-exact — this pin documents the boundary."""
+    assert duck.execute("SELECT TRY_CAST('12.5' AS BIGINT)").fetchone()[0] == 13
+    assert duck.execute("SELECT TRY_CAST('11.5' AS BIGINT)").fetchone()[0] == 12  # half-even
+    got = spark.sql("SELECT try_cast('12.5' AS BIGINT) AS v").collect()[0]["v"]
+    assert got is None
+    # the shared integral/whitespace/sign classes ARE parity-exact
+    for s, want in ((" 42 ", 42), ("-06", -6), ("abc", None),
+                    ("99999999999999999999", None)):
+        assert duck.execute(f"SELECT TRY_CAST('{s}' AS BIGINT)").fetchone()[0] == want
+        assert spark.sql(f"SELECT try_cast('{s}' AS BIGINT) AS v").collect()[0]["v"] == want

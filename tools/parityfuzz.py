@@ -172,6 +172,23 @@ Grammar v12 additions (round 11, third pass cont.):
   text on both engines, probing Catalyst's decorrelation of
   select-list existence subqueries.
 
+Grammar v13 additions (round 11, third pass cont.):
+
+* percent_rank / cume_dist window functions — rank-based, hence
+  tie-stable under the fixtures' duplicate rows; their double results
+  are single divisions of exact integers (bit-identical);
+* TRY_CAST of grammar strings to BIGINT.  VALUE-divergence exclusion
+  discovered by probe: DuckDB TRY_CAST('12.5' AS BIGINT) ROUNDS to 13
+  where Spark's try_cast yields NULL (integral-format-only parser) —
+  pinned in test_try_cast_decimal_string_divergence.  The grammar's
+  string space cannot produce decimal-format numerals (no '.' in any
+  alphabet; timestamp renders carry '-'/':' which both parsers
+  reject), so the reachable strings are parity-exact;
+* regexp_extract over a fixed safe pattern set (char-class + group —
+  Java regex and RE2 agree on this subset; no-match yields '' on BOTH
+  engines, NULL propagates);
+* datediff in days between a date literal and a cast timestamp column.
+
 FINDING #5 (surfaced by the v11-reseeded in-suite run; latent in the
 grammar since v10): Spark's DataFrame pivot pre-aggregates by
 (key, pivot-col) and emits NULL for a (key, value) cell with NO ROWS,
@@ -301,6 +318,17 @@ def int_exprs(depth: int = 3, ns=_LI_NS):
         # v12: greatest/least skip NULL operands on BOTH engines (NULL
         # only when every operand is NULL) — probed through nullif
         st.tuples(st.sampled_from(["great", "least"]), sub, sub),
+        # v13: TRY_CAST of a grammar string (integral-or-reject parity —
+        # the decimal-format '12.5' class where DuckDB ROUNDS and Spark
+        # NULLs is unreachable from the grammar's alphabets; pinned)
+        st.tuples(st.just("trycast"), str_exprs(depth - 1, ns)),
+        # v13: day difference between a date literal and the ts column
+        *(
+            [st.tuples(st.just("ddiff"), st.sampled_from(ns["tss"]),
+                       st.sampled_from(["2025-01-01", "2025-06-15", "2026-03-01"]))]
+            if ns["tss"]
+            else []
+        ),
     )
 
 
@@ -358,6 +386,12 @@ def str_exprs(depth: int = 2, ns=_LI_NS):
             st.just("xlate"), sub,
             st.sampled_from(["aes", "an ", "sc", "thx"]),
             st.sampled_from(["", "x", "xy", "x_z"]),
+        ),
+        # v13: regexp_extract over a fixed Java/RE2-agreeing pattern
+        # subset; no-match -> '' on both engines, NULL propagates
+        st.tuples(
+            st.just("rext"), sub,
+            st.sampled_from(["([a-z]+)", "([0-9]+)", "([aeiou])", "(a[a-z])"]),
         ),
         # v11: calendar interval arithmetic under the string render —
         # month/year shifts clamp end-of-month identically; v12 adds the
@@ -497,6 +531,10 @@ def win_funcs(ns=_LI_NS):
         st.tuples(st.sampled_from(["wlag", "wlead"]),
                   st.integers(min_value=1, max_value=3),
                   st.integers(min_value=-9, max_value=9)),
+        # v13: rank-based distribution functions — tie-stable; single
+        # integer divisions, bit-identical doubles
+        st.just(("wpct",)),
+        st.just(("wcume",)),
     )
 
 
@@ -777,6 +815,12 @@ def _sp_int(e):
     if op in ("great", "least"):
         fn = F.greatest if op == "great" else F.least
         return fn(_sp_int(e[1]), _sp_int(e[2]))
+    if op == "trycast":
+        return _sp_str(e[1]).try_cast("bigint")
+    if op == "ddiff":
+        return F.datediff(
+            F.lit(e[2]).cast("date"), F.col(e[1]).cast("date")
+        ).cast("long")
     raise ValueError(op)
 
 
@@ -813,6 +857,8 @@ def _sp_str(e):
         return F.repeat(_sp_str(e[1]), e[2])
     if op == "xlate":
         return F.translate(_sp_str(e[1]), e[2], e[3])
+    if op == "rext":
+        return F.regexp_extract(_sp_str(e[1]), e[2], 1)
     if op == "tsshiftcal":
         unit = {"month": "MONTHS", "year": "YEARS",
                 "hour": "HOURS", "minute": "MINUTES"}[e[3]]
@@ -1083,6 +1129,9 @@ def compile_spark(plan, spark, sf_dir: str):
             # v12: offset functions take the ORDER EXPRESSION (tie-safe)
             fn = F.lag if wf[0] == "wlag" else F.lead
             c = fn(okey, wf[1], wf[2]).over(w).cast("long")
+        elif wf[0] in ("wpct", "wcume"):
+            fn = F.percent_rank if wf[0] == "wpct" else F.cume_dist
+            c = fn().over(w)
         else:
             fn = {"wsum": F.sum, "wmin": F.min, "wcount": F.count}[wf[0]]
             c = fn(_sp_int(wf[1])).over(w)
@@ -1130,6 +1179,12 @@ def _dk_int(e) -> str:
     if op in ("great", "least"):
         fn = "greatest" if op == "great" else "least"
         return f"{fn}({_dk_int(e[1])}, {_dk_int(e[2])})"
+    if op == "trycast":
+        return f"TRY_CAST({_dk_str(e[1])} AS BIGINT)"
+    if op == "ddiff":
+        return (
+            f"CAST(datediff('day', CAST({e[1]} AS DATE), DATE '{e[2]}') AS BIGINT)"
+        )
     raise ValueError(op)
 
 
@@ -1170,6 +1225,8 @@ def _dk_str(e) -> str:
         return f"repeat({_dk_str(e[1])}, {e[2]})"
     if op == "xlate":
         return f"translate({_dk_str(e[1])}, {_sql_slit(e[2])}, {_sql_slit(e[3])})"
+    if op == "rext":
+        return f"regexp_extract({_dk_str(e[1])}, {_sql_slit(e[2])}, 1)"
     if op == "tsshiftcal":
         return (
             f"strftime({e[1]} + ({e[2]}) * INTERVAL 1 {e[3].upper()},"
@@ -1563,6 +1620,10 @@ def compile_sql(plan) -> str:
                 f"CAST({wf[2]} AS BIGINT)) OVER ({over}) AS BIGINT)"
             )
             parts.append(f"{expr} AS w{i}")
+        elif wf[0] in ("wpct", "wcume"):
+            # v13: rank-based distribution functions (tie-stable doubles)
+            fn = "percent_rank" if wf[0] == "wpct" else "cume_dist"
+            parts.append(f"{fn}() OVER ({over}) AS w{i}")
         else:
             fn = {"wsum": "sum", "wmin": "min", "wcount": "count"}[wf[0]]
             expr = f"{fn}({_dk_int(wf[1])}) OVER ({over} {frame})"
@@ -1572,7 +1633,7 @@ def compile_sql(plan) -> str:
     return f"SELECT {', '.join(parts)} FROM {frm}{w}"
 
 
-_INT_OPS = {"icol", "ilit", "add", "sub", "mul", "abs", "case", "nullif", "len", "epochus", "jint", "strpos", "datepart", "great", "least"}
+_INT_OPS = {"icol", "ilit", "add", "sub", "mul", "abs", "case", "nullif", "len", "epochus", "jint", "strpos", "datepart", "great", "least", "trycast", "ddiff"}
 
 
 def _is_int_expr(e) -> bool:
