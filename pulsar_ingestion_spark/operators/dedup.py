@@ -125,9 +125,12 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count("*").alias("inter_cnt"))
     )
-    jac = F.round(
-        F.col("inter_cnt") / (F.col("size_a") + F.col("size_b") - F.col("inter_cnt")), 6
-    )
+    # RAW quotient, never round(): a single IEEE division of identical
+    # exact ints is bitwise-identical across engines, while round-to-6dp
+    # splits on true representable halfway values (e.g. 81/128 =
+    # 0.6328125 — Spark HALF_UP vs DuckDB round; the registry parity
+    # rule, applied family-wide by the session-3 review finding #5)
+    jac = F.col("inter_cnt") / (F.col("size_a") + F.col("size_b") - F.col("inter_cnt"))
     return (
         inter.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
@@ -179,7 +182,8 @@ def ngram_containment_pairs(
         )
         .agg(F.count("*").alias("inter_cnt"))
     )
-    cont = F.round(F.col("inter_cnt") / F.least("size_a", "size_b"), 6)
+    # raw quotient — see ngram_jaccard_pairs (halfway-round rule)
+    cont = F.col("inter_cnt") / F.least("size_a", "size_b")
     return (
         inter.withColumn("containment", cont)
         .filter(F.col("containment") >= threshold)
@@ -243,6 +247,28 @@ def _banded_candidates(
     return sigs, cand
 
 
+def _containment_verify(
+    sigs: DataFrame, cand: DataFrame, threshold: float
+) -> DataFrame:
+    """Shared exact-containment verify over (id_a, id_b) candidates
+    (session-3 review finding #3 — ONE verify definition for the
+    single-class and ensemble operators, the same anti-drift stance as
+    :func:`_banded_candidates`): join the shingle sets back, compute
+    |A∩B| / min(|A|,|B|) and keep pairs at or above ``threshold``."""
+    wx = sigs.select(F.col("doc_id").alias("id_a"), F.col("w").alias("wa"))
+    wy = sigs.select(F.col("doc_id").alias("id_b"), F.col("w").alias("wb"))
+    inter = F.size(F.array_intersect(F.col("wa"), F.col("wb")))
+    # raw quotient — see ngram_jaccard_pairs (halfway-round rule)
+    cont = inter / F.least(F.size("wa"), F.size("wb"))
+    return (
+        cand.join(wx, "id_a")
+        .join(wy, "id_b")
+        .withColumn("containment", cont)
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+
+
 def minhash_banded_containment(
 
     df: DataFrame,
@@ -266,17 +292,7 @@ def minhash_banded_containment(
     Plan shape identical to :func:`minhash_banded_pairs` with the
     verify formula swapped to |A∩B| / min(|A|,|B|)."""
     sigs, cand = _banded_candidates(df, id_col, text_col, n, num_bands, hash, seeds)
-    wx = sigs.select(F.col("doc_id").alias("id_a"), F.col("w").alias("wa"))
-    wy = sigs.select(F.col("doc_id").alias("id_b"), F.col("w").alias("wb"))
-    inter = F.size(F.array_intersect(F.col("wa"), F.col("wb")))
-    cont = F.round(inter / F.least(F.size("wa"), F.size("wb")), 6)
-    return (
-        cand.join(wx, "id_a")
-        .join(wy, "id_b")
-        .withColumn("containment", cont)
-        .filter(F.col("containment") >= threshold)
-        .select("id_a", "id_b", "containment")
-    )
+    return _containment_verify(sigs, cand, threshold)
 
 
 # Canonical portable minhash seed set (also used by the queries_llm
@@ -361,25 +377,12 @@ def minhash_ensemble_containment(
     quote-inclusion pair the single-class stage drops (see
     tests/test_round11_invariants.py)."""
     seeds = MINHASH_SEEDS if seeds is None else seeds
-    if len(seeds) < 2 * num_bands:
-        raise ValueError(f"need >= {2 * num_bands} seeds for {num_bands} bands of 2")
-    sigs = _tracked_persist(
-        minhash_signatures(df, id_col, text_col, n=n, hash="md5", seeds=seeds)
-    )
     # family 1: r=2 folded bands (same-class pairs ride these; the join
-    # itself is unrestricted — identical to the single-class operator)
-    bvals2 = [
-        F.concat(F.col(f"sig_{2 * b}"), F.col(f"sig_{2 * b + 1}"))
-        for b in range(num_bands)
-    ]
-    bands2 = sigs.select("doc_id", F.posexplode(F.array(*bvals2)).alias("band", "bval"))
-    a2, b2 = bands2.alias("a"), bands2.alias("b")
-    cand2 = a2.join(
-        b2,
-        (F.col("a.band") == F.col("b.band"))
-        & (F.col("a.bval") == F.col("b.bval"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    # itself is unrestricted — _banded_candidates IS the single-class
+    # operator's candidate stage, shared so a band-fold fix can't
+    # desynchronize the two containment verifiers; session-3 review
+    # finding #3)
+    sigs, cand2 = _banded_candidates(df, id_col, text_col, n, num_bands, "md5", seeds)
     # family 2: r=1 single-signature bands, CROSS-CLASS pairs only.
     # Hot-bucket cap (measured, 30x leg): an r=1 bucket is "every doc
     # whose seed-i min-hash is this value" — popular shingles make its
@@ -417,17 +420,7 @@ def minhash_ensemble_containment(
         & (F.col("a.cls") != F.col("b.cls")),
     ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
     cand = cand2.union(cand1).distinct()
-    wx = sigs.select(F.col("doc_id").alias("id_a"), F.col("w").alias("wa"))
-    wy = sigs.select(F.col("doc_id").alias("id_b"), F.col("w").alias("wb"))
-    inter = F.size(F.array_intersect(F.col("wa"), F.col("wb")))
-    cont = F.round(inter / F.least(F.size("wa"), F.size("wb")), 6)
-    return (
-        cand.join(wx, "id_a")
-        .join(wy, "id_b")
-        .withColumn("containment", cont)
-        .filter(F.col("containment") >= threshold)
-        .select("id_a", "id_b", "containment")
-    )
+    return _containment_verify(sigs, cand, threshold)
 
 
 def minhash_signatures(
@@ -576,7 +569,8 @@ def minhash_banded_pairs(
     wx = sigs.select(F.col("doc_id").alias("id_a"), F.col("w").alias("wa"))
     wy = sigs.select(F.col("doc_id").alias("id_b"), F.col("w").alias("wb"))
     inter = F.size(F.array_intersect(F.col("wa"), F.col("wb")))
-    jac = F.round(inter / (F.size("wa") + F.size("wb") - inter), 6)
+    # raw quotient — see ngram_jaccard_pairs (halfway-round rule)
+    jac = inter / (F.size("wa") + F.size("wb") - inter)
     return (
         cand.join(wx, "id_a")
         .join(wy, "id_b")

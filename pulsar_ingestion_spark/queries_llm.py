@@ -141,9 +141,9 @@ def q_text_pii_scrub(spark, sf_dir):
       GROUP BY a.id, b.id, a.sz, b.sz
     )
     SELECT id_a, id_b,
-           round(inter_cnt / (size_a + size_b - inter_cnt), 6) AS jaccard
+           inter_cnt / (size_a + size_b - inter_cnt) AS jaccard
     FROM inter
-    WHERE round(inter_cnt / (size_a + size_b - inter_cnt), 6) >= 0.35
+    WHERE inter_cnt / (size_a + size_b - inter_cnt) >= 0.35
     """,
 )
 def q_dedup_ngram_jaccard(spark, sf_dir):
@@ -173,9 +173,9 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
       GROUP BY a.id, b.id, a.sz, b.sz
     )
     SELECT id_a, id_b,
-           round(inter_cnt / least(size_a, size_b), 6) AS containment
+           inter_cnt / least(size_a, size_b) AS containment
     FROM inter
-    WHERE round(inter_cnt / least(size_a, size_b), 6) >= 0.6
+    WHERE inter_cnt / least(size_a, size_b) >= 0.6
     """,
 )
 def q_dedup_containment(spark, sf_dir):
@@ -222,7 +222,7 @@ def _banded_verify_tail(measure: str, alias: str, threshold: float) -> str:
     ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
 ), j AS (
   SELECT c.id_a, c.id_b,
-         round({measure}, 6) AS {alias}
+         {measure} AS {alias}
   FROM cand c JOIN wd x ON x.doc_id = c.id_a JOIN wd y ON y.doc_id = c.id_b
 )
 SELECT id_a, id_b, {alias} FROM j WHERE {alias} >= {threshold}
@@ -1404,7 +1404,7 @@ WITH RECURSIVE sh AS (
   GROUP BY a.id, b.id, a.sz, b.sz
 ), pairs AS (
   SELECT id_a, id_b FROM inter
-  WHERE round(inter_cnt / (size_a + size_b - inter_cnt), 6) >= 0.35
+  WHERE inter_cnt / (size_a + size_b - inter_cnt) >= 0.35
 ), edges AS (
   SELECT id_a AS src, id_b AS dst FROM pairs
   UNION ALL
@@ -2344,8 +2344,8 @@ WITH ex AS (
 ), removed AS (
   SELECT DISTINCT c.id_b AS doc_id
   FROM cand c JOIN wd x ON x.doc_id = c.id_a JOIN wd y ON y.doc_id = c.id_b
-  WHERE round(len(list_intersect(x.w, y.w))
-        / (len(x.w) + len(y.w) - len(list_intersect(x.w, y.w))), 6) >= 0.35
+  WHERE len(list_intersect(x.w, y.w))
+        / (len(x.w) + len(y.w) - len(list_intersect(x.w, y.w))) >= 0.35
 ), a1 AS (
   SELECT source, count(*) AS c FROM documents GROUP BY source
 ), a2 AS (
@@ -2604,8 +2604,8 @@ WITH raw AS (
 ), lshpairs AS (
   SELECT c.id_a, c.id_b
   FROM cand c JOIN wd x ON x.doc_id = c.id_a JOIN wd y ON y.doc_id = c.id_b
-  WHERE round(len(list_intersect(x.w, y.w))
-        / (len(x.w) + len(y.w) - len(list_intersect(x.w, y.w))), 6) >= 0.35
+  WHERE len(list_intersect(x.w, y.w))
+        / (len(x.w) + len(y.w) - len(list_intersect(x.w, y.w))) >= 0.35
 ), expl AS (
   SELECT doc_id, len(w) AS sz, t.g FROM wd, unnest(w) AS t(g)
 ), pairinter AS (
@@ -2615,7 +2615,7 @@ WITH raw AS (
   GROUP BY a.doc_id, b.doc_id
 ), exact AS (
   SELECT id_a, id_b FROM pairinter
-  WHERE round(inter_cnt / (size_a + size_b - inter_cnt), 6) >= 0.35
+  WHERE inter_cnt / (size_a + size_b - inter_cnt) >= 0.35
 )
 SELECT CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
        CAST((SELECT count(*) FROM lshpairs) AS BIGINT) AS n_lsh,

@@ -726,7 +726,7 @@ WITH d AS (
 ), agg AS (
   SELECT SUM(c) AS n,
          SUM(cpos * (2 * cc - c + 1)) AS w_twice,
-         SUM(c * c * c - c) AS tie_term
+         SUM(CAST(c AS DOUBLE) * c * c - c) AS tie_term
   FROM cum
 )
 SELECT CAST(n AS BIGINT) AS n,
@@ -767,12 +767,20 @@ def q_stats_wilcoxon_signed_rank(spark, sf_dir):
     agg = cum.agg(
         F.sum("c").alias("n"),
         F.sum(F.col("cpos") * (2 * cc - c + 1)).alias("w_twice"),
-        F.sum(c * c * c - c).alias("tie_term"),
+        # c cubed in DOUBLE (both engines): integer c^3 overflows int64
+        # once one |d| group exceeds ~2.1M rows (SF >= ~7 lineitem with
+        # only ~19 distinct rate gaps), an ANSI abort / silent-wrap
+        # split.  Each c^3 rounds identically on both engines (same
+        # IEEE ops); the sum spans only #distinct-|d| terms and z is
+        # rounded at 6 dp, so order-ULP noise is far below the output
+        # contract (and bit-exact at fixture group sizes, where c^3 is
+        # an exact double).  Session-3 review finding #2.
+        F.sum(c.cast("double") * c * c - c).alias("tie_term"),
     )
     n = F.col("n")
     nd = n.cast("double")
     z = (F.col("w_twice").cast("double") - nd * (n + 1) / 2) / F.sqrt(
-        nd * (n + 1) * (2 * n + 1) / 6 - F.col("tie_term").cast("double") / 12
+        nd * (n + 1) * (2 * n + 1) / 6 - F.col("tie_term") / 12
     )
     return agg.select(
         n.cast("bigint").alias("n"),

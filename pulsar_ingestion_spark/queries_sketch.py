@@ -849,18 +849,24 @@ def _mg_partition_summaries(it):
     (vectorized) merges into the counter dict via :func:`mg_merge_reduce`.
     Every token with partition count > n_p/(budget+1) survives (the MG
     guarantee, weighted-update form).  Emitted rows carry the residual
-    MG estimates; the batch query uses the tokens only — counts are
-    re-derived exactly in phase 2 — while the streaming maintainer
-    merges the (token, est) summaries themselves."""
+    MG estimates plus ONE sentinel row (token NULL, est = the
+    partition's exact row count) so a single pass yields both the
+    summaries and the exact total — the batch query filters the
+    sentinel out; the streaming maintainer reads it instead of running
+    a second count() action over the batch (session-3 review finding
+    #4).  Real tokens are never NULL (callers filter/tokenize upstream),
+    so the sentinel cannot collide."""
     import pandas as pd
 
     counters: dict = {}
+    rows_seen = 0
     for pdf in it:
+        rows_seen += len(pdf)
         vc = pdf["token"].value_counts()
         counters = mg_merge_reduce(counters, vc.to_dict(), _HH_MG_COUNTERS)
     yield pd.DataFrame({
-        "token": pd.Series(list(counters.keys()), dtype="object"),
-        "est": pd.Series(list(counters.values()), dtype="int64"),
+        "token": pd.Series(list(counters.keys()) + [None], dtype="object"),
+        "est": pd.Series(list(counters.values()) + [rows_seen], dtype="int64"),
     })
 
 
@@ -883,6 +889,7 @@ def q_sketch_heavy_hitters(spark, sf_dir):
     ).persist()
     cand = (
         toks.mapInPandas(_mg_partition_summaries, "token string, est long")
+        .filter(F.col("token").isNotNull())  # drop the per-partition sentinel
         .select("token")
         .distinct()
     )

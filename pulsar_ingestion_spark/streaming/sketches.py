@@ -188,12 +188,18 @@ class MgStreamMaintainer:
     replay-idempotent: a batch-id high-watermark skips replays (the CMS
     maintainer's discipline).
 
-    Guarantees after ANY micro-batch cut sequence (tests pin all three):
+    Guarantees after ANY micro-batch cut sequence, in terms of
+    min_budget = min(budget, the summarizer's fixed per-partition
+    budget) — the per-partition layer is pinned at the batch query's
+    ``_HH_MG_COUNTERS``, so a driver budget above it does NOT widen the
+    guarantee (session-3 review finding #1; ``error_bound()`` already
+    reports the min-based bound).  Tests pin all three:
 
-    * undercount bound: exact_count − n/(budget+1) <= est <= exact_count
-      for every tracked token (n = total non-null rows seen);
+    * undercount bound: exact_count − n/(min_budget+1) <= est <=
+      exact_count for every tracked token (n = total non-null rows);
     * superset: every token with exact_count > n/K is tracked, for any
-      K <= budget + 1 — the candidate set for an exact phase-2 recount;
+      K <= min_budget + 1 — the candidate set for an exact phase-2
+      recount;
     * replay no-op: re-delivering a seen batch_id changes nothing.
     """
 
@@ -210,15 +216,21 @@ class MgStreamMaintainer:
         toks = batch_df.filter(F.col(self.col).isNotNull()).select(
             F.col(self.col).cast("string").alias("token")
         )
-        n = toks.count()
+        # ONE action per batch: the summarizer's NULL-token sentinel rows
+        # carry each partition's exact row count, so the total rides the
+        # same collect as the summaries (<= budget+1 rows per partition)
         summaries = toks.mapInPandas(
             _mg_partition_summaries, "token string, est long"
-        ).collect()  # <= budget rows per partition — sketch-sized traffic
-        add = {}
+        ).collect()
+        add: dict = {}
+        n = 0
         for r in summaries:
-            add[r["token"]] = add.get(r["token"], 0) + int(r["est"])
+            if r["token"] is None:
+                n += int(r["est"])
+            else:
+                add[r["token"]] = add.get(r["token"], 0) + int(r["est"])
         self.counters = mg_merge_reduce(dict(self.counters), add, self.budget)
-        self.total += int(n)
+        self.total += n
         self.last_batch = int(batch_id)
 
     def error_bound(self) -> int:
@@ -244,7 +256,8 @@ class MgStreamMaintainer:
 
     def candidates(self) -> set:
         """Tracked tokens — a guaranteed superset of every token with
-        exact frequency > total/K for any K <= budget+1 (feed these to
-        an exact recount for exact heavy hitters, as the batch query's
-        phase 2 does)."""
+        exact frequency > total/K for any K <= min(budget, the
+        per-partition summarizer budget) + 1 (feed these to an exact
+        recount for exact heavy hitters, as the batch query's phase 2
+        does)."""
         return set(self.counters)
