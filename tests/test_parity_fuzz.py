@@ -446,3 +446,25 @@ def test_try_cast_decimal_string_divergence(spark, duck):
                     ("99999999999999999999", None)):
         assert duck.execute(f"SELECT TRY_CAST('{s}' AS BIGINT)").fetchone()[0] == want
         assert spark.sql(f"SELECT try_cast('{s}' AS BIGINT) AS v").collect()[0]["v"] == want
+
+
+def test_duckdb_fmod_function_vs_operator_divergence(spark, duck):
+    """Fuzzer finding #6 (first v14 soak): DuckDB's ``fmod()`` FUNCTION
+    is the rounded ``a - trunc(a/b)*b`` (every intermediate rounded to
+    double), while its ``%`` OPERATOR — like Spark's ``%``, Java's and
+    C's fmod — is the EXACT IEEE remainder.  fmod(20.0, 0.03) =
+    0.019999999999999574 but 20.0 % 0.03 = 0.02000000000000074.  The
+    grammar therefore compiles double modulo to the % operator on both
+    engines; this pin fails if either engine's semantics move."""
+    import math
+
+    exact = math.fmod(20.0, 0.03)              # 0.02000000000000074
+    rounded = 20.0 - (20.0 // 0.03) * 0.03     # 0.019999999999999574
+    assert exact != rounded
+    assert duck.execute(
+        "SELECT CAST(20.0 AS DOUBLE) % CAST(0.03 AS DOUBLE)").fetchone()[0] == exact
+    assert duck.execute(
+        "SELECT fmod(CAST(20.0 AS DOUBLE), CAST(0.03 AS DOUBLE))").fetchone()[0] == rounded
+    got = spark.sql(
+        "SELECT CAST(20.0 AS DOUBLE) % CAST(0.03 AS DOUBLE) AS m").collect()[0]["m"]
+    assert got == exact

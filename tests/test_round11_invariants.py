@@ -344,3 +344,31 @@ def test_ensemble_size_class_ladder_is_integer_exact(spark):
         return len(SIZE_CLASS_BOUNDS)
 
     assert got == {v: expect(v) for v in vals}
+
+
+def test_heavy_hitters_exact_at_minimum_mg_budget(spark, monkeypatch):
+    """The 2-pass heavy hitters stays EXACT at the theoretical minimum
+    per-partition budget (K-1): the union guarantee needs every token
+    with global count > n/K to exceed n_p/(budget+1) <= n_p/K in some
+    partition (pigeonhole).  Forcing budget = K-1 (31) makes every
+    partition run real reductions on the 31-type fixture vocabulary,
+    and the output must still equal the plain-SQL truth (as it does at
+    the shipped 64)."""
+    import pulsar_ingestion_spark.queries_sketch as qs
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token"))
+    n = toks.count()
+    truth = {
+        r["token"]: r["cnt"]
+        for r in toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        if r["cnt"] * qs._HH_K > n
+    }
+    assert truth  # non-degenerate fixture
+
+    monkeypatch.setattr(qs, "_HH_MG_COUNTERS", qs._HH_K - 1)
+    got = {r["token"]: r["cnt"]
+           for r in qs.q_sketch_heavy_hitters(spark, SF).collect()}
+    assert got == truth

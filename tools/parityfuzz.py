@@ -189,6 +189,30 @@ Grammar v13 additions (round 11, third pass cont.):
   engines, NULL propagates);
 * datediff in days between a date literal and a cast timestamp column.
 
+Grammar v14 additions (round 11, third pass cont.):
+
+* bitwise AND/OR/XOR (two's-complement-identical incl. negative
+  operands) and left/right shifts with small non-negative literal
+  counts (negative / >=64 counts are engine-defined — excluded);
+* integer cubes through libm pow() on mod-97-reduced bases — every
+  reachable value is an exact small integer, so the double result and
+  its BIGINT cast are bit-identical (a NON-integer exponent or large
+  base would ride libm rounding — excluded by construction);
+* sorted-list-slice aggregation: sort_array + slice + array_join vs
+  list_sort + [1:k] + array_to_string with the NULL-skip FILTER twin
+  (Spark collect_list SKIPS NULLs, DuckDB list() KEEPS them — the
+  strjoin precedent applied to integer lists);
+* double modulo: Spark's % on doubles is the exact IEEE remainder
+  (C fmod), compiled to DuckDB's % OPERATOR inside min().
+  FINDING #6 (first v14 soak): DuckDB's fmod() FUNCTION is NOT its %
+  operator — fmod computes a - trunc(a/b)*b with each step rounded
+  (fmod(20.0, 0.03) = 0.0199999999999995…74 vs 20.0 % 0.03 =
+  0.02000000000000074 = C fmod = Spark %).  Pinned in
+  test_duckdb_fmod_function_vs_operator_divergence.
+* NOT encodable (probed): months_between — Spark returns a fractional
+  31-day-month quotient, DuckDB datediff('month') counts calendar
+  boundaries; no portable twin exists, so the class stays out.
+
 FINDING #5 (surfaced by the v11-reseeded in-suite run; latent in the
 grammar since v10): Spark's DataFrame pivot pre-aggregates by
 (key, pivot-col) and emits NULL for a (key, value) cell with NO ROWS,
@@ -322,6 +346,14 @@ def int_exprs(depth: int = 3, ns=_LI_NS):
         # the decimal-format '12.5' class where DuckDB ROUNDS and Spark
         # NULLs is unreachable from the grammar's alphabets; pinned)
         st.tuples(st.just("trycast"), str_exprs(depth - 1, ns)),
+        # v14: bitwise ops (two's-complement-identical, negatives
+        # included) + shifts with small non-negative literal counts
+        st.tuples(st.sampled_from(["band", "bor", "bxor"]), sub, sub),
+        st.tuples(st.sampled_from(["shl", "shr"]), sub,
+                  st.integers(min_value=0, max_value=6)),
+        # v14: integer cube via libm pow on a mod-97 base — exact small
+        # integers only, so double + BIGINT cast are bit-identical
+        st.tuples(st.just("cube3"), sub),
         # v13: day difference between a date literal and the ts column
         *(
             [st.tuples(st.just("ddiff"), st.sampled_from(ns["tss"]),
@@ -483,10 +515,19 @@ def agg_specs(ns=_LI_NS):
         # the deliberate interpolation parity hunt)
         st.tuples(st.just("quanti"), int_exprs(1, ns),
                   st.sampled_from([0.1, 0.25, 0.5, 0.75, 0.9])),
+        # v14: sorted-list-slice concat of an integer expr — NULL-skip
+        # FILTER twin (Spark collect_list skips NULLs, DuckDB list()
+        # keeps them), sort AFTER aggregation per finding #4
+        st.tuples(st.just("ljoin"), int_exprs(1, ns),
+                  st.integers(min_value=1, max_value=6)),
     ]
     if ns["dbls"]:
         opts += [
             st.tuples(st.sampled_from(["mind", "maxd"]), st.sampled_from(ns["dbls"])),
+            # v14: double modulo (Spark % on doubles = IEEE fmod = DuckDB
+            # fmod; identical inputs -> identical remainders) under min()
+            st.tuples(st.just("mindmod"), st.sampled_from(ns["dbls"]),
+                      st.sampled_from([0.03, 0.07, 1.5])),
             # the double-SUM/AVG convention: DECIMAL(18,4) partial sums, cast
             # back to double — exact decimal arithmetic, no summation-order ULP
             st.tuples(st.sampled_from(["sumd4", "avgd4"]), st.sampled_from(ns["dbls"])),
@@ -815,6 +856,17 @@ def _sp_int(e):
     if op in ("great", "least"):
         fn = F.greatest if op == "great" else F.least
         return fn(_sp_int(e[1]), _sp_int(e[2]))
+    if op in ("band", "bor", "bxor"):
+        a, b = _sp_int(e[1]), _sp_int(e[2])
+        return {"band": a.bitwiseAND(b), "bor": a.bitwiseOR(b),
+                "bxor": a.bitwiseXOR(b)}[op]
+    if op in ("shl", "shr"):
+        # operand mod-reduced like mul: unbounded shifts would push
+        # downstream SUMs past int64 (HUGEINT-vs-wrap divergence)
+        a = _sp_int(e[1]) % _MUL_MOD
+        return (F.shiftleft if op == "shl" else F.shiftright)(a, e[2]).cast("long")
+    if op == "cube3":
+        return F.pow(_sp_int(e[1]) % 97, F.lit(3)).cast("long")
     if op == "trycast":
         return _sp_str(e[1]).try_cast("bigint")
     if op == "ddiff":
@@ -932,6 +984,12 @@ def _sp_agg(a):
         return F.median(_sp_int(a[1]))
     if op == "quanti":
         return F.percentile(_sp_int(a[1]), F.lit(a[2]))
+    if op == "ljoin":
+        return F.array_join(
+            F.slice(F.sort_array(F.collect_list(_sp_int(a[1]))), 1, a[2]), ","
+        )
+    if op == "mindmod":
+        return F.min(F.col(a[1]) % F.lit(a[2]))
     if op in ("mind", "maxd"):
         return (F.min if op == "mind" else F.max)(F.col(a[1]))
     if op == "sumd4":
@@ -1179,6 +1237,16 @@ def _dk_int(e) -> str:
     if op in ("great", "least"):
         fn = "greatest" if op == "great" else "least"
         return f"{fn}({_dk_int(e[1])}, {_dk_int(e[2])})"
+    if op in ("band", "bor", "bxor"):
+        if op == "bxor":
+            return f"xor({_dk_int(e[1])}, {_dk_int(e[2])})"
+        sym = "&" if op == "band" else "|"
+        return f"({_dk_int(e[1])} {sym} {_dk_int(e[2])})"
+    if op in ("shl", "shr"):
+        sym = "<<" if op == "shl" else ">>"
+        return f"CAST((({_dk_int(e[1])} % {_MUL_MOD}) {sym} {e[2]}) AS BIGINT)"
+    if op == "cube3":
+        return f"CAST(pow({_dk_int(e[1])} % 97, 3) AS BIGINT)"
     if op == "trycast":
         return f"TRY_CAST({_dk_str(e[1])} AS BIGINT)"
     if op == "ddiff":
@@ -1299,6 +1367,23 @@ def _dk_agg(a) -> str:
         return f"CAST(median({_dk_int(a[1])}) AS DOUBLE)"
     if op == "quanti":
         return f"CAST(quantile_cont({_dk_int(a[1])}, {a[2]!r}) AS DOUBLE)"
+    if op == "ljoin":
+        # NULL-skip FILTER (Spark collect_list skips NULLs), sort AFTER
+        # aggregation (finding #4), coalesce for the empty/all-NULL
+        # group (Spark: empty array -> '')
+        e = _dk_int(a[1])
+        return (
+            f"coalesce(array_to_string(list_sort("
+            f"list({e}) FILTER (WHERE ({e}) IS NOT NULL))[1:{a[2]}], ','), '')"
+        )
+    if op == "mindmod":
+        # FINDING #6 (first v14 soak): DuckDB's fmod() FUNCTION is the
+        # rounded a - trunc(a/b)*b (each op rounded), while its %
+        # OPERATOR — like Spark's % and C fmod — is the exact IEEE
+        # remainder: fmod(20.0, 0.03) = 0.019999999999999574 but
+        # 20.0 % 0.03 = 0.02000000000000074.  Compile the % operator.
+        # Pinned in test_duckdb_fmod_function_vs_operator_divergence.
+        return f"min(({a[1]} % CAST({a[2]!r} AS DOUBLE)))"
     if op in ("mind", "maxd"):
         return f"{'min' if op == 'mind' else 'max'}({a[1]})"
     if op == "sumd4":
@@ -1633,7 +1718,7 @@ def compile_sql(plan) -> str:
     return f"SELECT {', '.join(parts)} FROM {frm}{w}"
 
 
-_INT_OPS = {"icol", "ilit", "add", "sub", "mul", "abs", "case", "nullif", "len", "epochus", "jint", "strpos", "datepart", "great", "least", "trycast", "ddiff"}
+_INT_OPS = {"icol", "ilit", "add", "sub", "mul", "abs", "case", "nullif", "len", "epochus", "jint", "strpos", "datepart", "great", "least", "trycast", "ddiff", "band", "bor", "bxor", "shl", "shr", "cube3"}
 
 
 def _is_int_expr(e) -> bool:
