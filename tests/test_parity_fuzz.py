@@ -468,3 +468,19 @@ def test_duckdb_fmod_function_vs_operator_divergence(spark, duck):
     got = spark.sql(
         "SELECT CAST(20.0 AS DOUBLE) % CAST(0.03 AS DOUBLE) AS m").collect()[0]["m"]
     assert got == exact
+
+
+def test_duckdb_negative_left_shift_asymmetry(spark, duck):
+    """v15 exclusion class (first v15 soak): DuckDB ``<<`` raises
+    OutOfRange on a NEGATIVE left operand while Spark's shiftleft wraps
+    Java semantics (-1 << 0 = -1); ``>>`` accepts negatives identically
+    on both engines.  The grammar therefore abs()es left-shift
+    operands."""
+    got = spark.sql("SELECT shiftleft(CAST(-1 AS BIGINT), 0) AS v").collect()[0]["v"]
+    assert got == -1
+    with pytest.raises(duckdb.OutOfRangeException):
+        duck.execute("SELECT CAST(-1 AS BIGINT) << 0").fetchall()
+    # >> negatives agree (arithmetic shift both)
+    s = spark.sql("SELECT shiftright(CAST(-16 AS BIGINT), 2) AS v").collect()[0]["v"]
+    d = duck.execute("SELECT CAST(-16 AS BIGINT) >> 2").fetchone()[0]
+    assert s == d == -4

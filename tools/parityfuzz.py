@@ -189,11 +189,26 @@ Grammar v13 additions (round 11, third pass cont.):
   engines, NULL propagates);
 * datediff in days between a date literal and a cast timestamp column.
 
+Grammar v15 additions (round 11, third pass cont.):
+
+* levenshtein distance between grammar strings (identical DP semantics,
+  probed on the ASCII fixtures), ascii() of the first char, string
+  reverse;
+* array_contains/list_contains membership over split() token arrays as
+  a predicate;
+* calendar additions: quarter as a date part, WEEK as a date_trunc
+  bucket (both engines truncate to Monday), last_day month-end render.
+  initcap is NOT encodable — DuckDB has no initcap function.
+
 Grammar v14 additions (round 11, third pass cont.):
 
 * bitwise AND/OR/XOR (two's-complement-identical incl. negative
   operands) and left/right shifts with small non-negative literal
-  counts (negative / >=64 counts are engine-defined — excluded);
+  counts (negative / >=64 counts are engine-defined — excluded).
+  Left-shift operands take abs(): DuckDB << RAISES on a negative LHS
+  ("Cannot left-shift negative number") where Spark shiftleft wraps
+  Java semantics — an error-vs-value asymmetry caught by the first
+  v15 soak; >> accepts negatives identically (probed);
 * integer cubes through libm pow() on mod-97-reduced bases — every
   reachable value is an exact small integer, so the double result and
   its BIGINT cast are bit-identical (a NON-integer exponent or large
@@ -315,7 +330,8 @@ def int_exprs(depth: int = 3, ns=_LI_NS):
             # v10.1: calendar part extraction (dayofweek deliberately
             # excluded — Spark Sunday=1 vs DuckDB Sunday=0)
             [st.tuples(st.just("datepart"),
-                       st.sampled_from(["year", "month", "day", "hour"]),
+                       st.sampled_from(["year", "month", "day", "hour",
+                                        "quarter"]),
                        st.sampled_from(ns["tss"]))]
             if ns["tss"]
             else []
@@ -342,6 +358,9 @@ def int_exprs(depth: int = 3, ns=_LI_NS):
         # v12: greatest/least skip NULL operands on BOTH engines (NULL
         # only when every operand is NULL) — probed through nullif
         st.tuples(st.sampled_from(["great", "least"]), sub, sub),
+        # v15: Levenshtein distance + ascii-of-first-char (ASCII fixtures)
+        st.tuples(st.just("lev"), str_exprs(depth - 1, ns), str_exprs(depth - 1, ns)),
+        st.tuples(st.just("ascii"), str_exprs(depth - 1, ns)),
         # v13: TRY_CAST of a grammar string (integral-or-reject parity —
         # the decimal-format '12.5' class where DuckDB ROUNDS and Spark
         # NULLs is unreachable from the grammar's alphabets; pinned)
@@ -425,6 +444,13 @@ def str_exprs(depth: int = 2, ns=_LI_NS):
             st.just("rext"), sub,
             st.sampled_from(["([a-z]+)", "([0-9]+)", "([aeiou])", "(a[a-z])"]),
         ),
+        # v15: string reverse; month-end date render
+        st.tuples(st.just("srev"), sub),
+        *(
+            [st.sampled_from(ns["tss"]).map(lambda c: ("lastday", c))]
+            if ns["tss"]
+            else []
+        ),
         # v11: calendar interval arithmetic under the string render —
         # month/year shifts clamp end-of-month identically; v12 adds the
         # fixed-duration hour/minute units
@@ -465,6 +491,17 @@ def preds(depth: int = 2, ns=_LI_NS):
             str_exprs(0, ns),
             st.sampled_from(_NEEDLES),
             st.sampled_from(["%{}%", "{}%", "%{}", "%{}_%"]),
+        ),
+        # v15: token membership over split() arrays (array_contains vs
+        # list_contains — identical boolean + NULL propagation).  NOT
+        # drawn for same-SQL-text namespaces (csub/casex/winnamed): the
+        # two spellings are dialect-specific, so one shared text can't
+        # carry them (first v15 soak caught the leak).
+        *(
+            [st.tuples(st.just("acontains"), str_exprs(0, ns),
+                       st.sampled_from(_NEEDLES))]
+            if not ns.get("same_text")
+            else []
         ),
         # v8.1: IN-list — three-valued semantics (a NULL operand makes
         # IN yield NULL, and NOT(IN) then filters the row out on both
@@ -555,7 +592,7 @@ def group_keys(ns=_LI_NS):
         # dtype mapping instead of the pinned contract)
         opts.append(st.tuples(
             st.just("ktrunc"), st.sampled_from(ns["tss"]),
-            st.sampled_from(["day", "month", "year"]),
+            st.sampled_from(["day", "week", "month", "year"]),
         ))
     return st.one_of(*opts)
 
@@ -601,7 +638,8 @@ _CSUB_AGGS = [
 # stay inside the dialect-portable subset: no ts (epoch_us vs
 # unix_micros), no json (json_extract_string vs get_json_object), and
 # depth 1 so strpos/len nonterminals (instr vs strpos) can't appear.
-_CSUB_NS = {"ints": LI_INT, "strs": LI_STR, "dbls": [], "tss": [], "json": []}
+_CSUB_NS = {"ints": LI_INT, "strs": LI_STR, "dbls": [], "tss": [], "json": [],
+            "same_text": True}
 
 # v10 PIVOT columns: fixed-domain TPC-H flag columns with explicit value
 # lists (pivot needs deterministic output columns; values outside the
@@ -847,7 +885,7 @@ def _sp_int(e):
         return F.unix_micros(F.col(e[1])) % F.lit(1_000_000_000).cast("long")
     if op == "datepart":
         fn = {"year": F.year, "month": F.month, "day": F.dayofmonth,
-              "hour": F.hour}[e[1]]
+              "hour": F.hour, "quarter": F.quarter}[e[1]]
         return fn(F.col(e[2])).cast("long")
     if op == "jint":
         return F.get_json_object(F.col(e[1]), f"$.{e[2]}").cast("long")
@@ -862,11 +900,22 @@ def _sp_int(e):
                 "bxor": a.bitwiseXOR(b)}[op]
     if op in ("shl", "shr"):
         # operand mod-reduced like mul: unbounded shifts would push
-        # downstream SUMs past int64 (HUGEINT-vs-wrap divergence)
+        # downstream SUMs past int64 (HUGEINT-vs-wrap divergence).
+        # shl additionally takes abs(): DuckDB << RAISES on a negative
+        # LHS where Spark shiftleft wraps Java semantics (caught by the
+        # first v15 soak, pinned in
+        # test_duckdb_negative_left_shift_asymmetry); >> accepts
+        # negatives identically on both engines.
         a = _sp_int(e[1]) % _MUL_MOD
-        return (F.shiftleft if op == "shl" else F.shiftright)(a, e[2]).cast("long")
+        if op == "shl":
+            return F.shiftleft(F.abs(a), e[2]).cast("long")
+        return F.shiftright(a, e[2]).cast("long")
     if op == "cube3":
         return F.pow(_sp_int(e[1]) % 97, F.lit(3)).cast("long")
+    if op == "lev":
+        return F.levenshtein(_sp_str(e[1]), _sp_str(e[2])).cast("long")
+    if op == "ascii":
+        return F.ascii(_sp_str(e[1])).cast("long")
     if op == "trycast":
         return _sp_str(e[1]).try_cast("bigint")
     if op == "ddiff":
@@ -911,6 +960,10 @@ def _sp_str(e):
         return F.translate(_sp_str(e[1]), e[2], e[3])
     if op == "rext":
         return F.regexp_extract(_sp_str(e[1]), e[2], 1)
+    if op == "srev":
+        return F.reverse(_sp_str(e[1]))
+    if op == "lastday":
+        return F.date_format(F.last_day(F.col(e[1])), "yyyy-MM-dd")
     if op == "tsshiftcal":
         unit = {"month": "MONTHS", "year": "YEARS",
                 "hour": "HOURS", "minute": "MINUTES"}[e[3]]
@@ -938,6 +991,10 @@ def _sp_pred(p):
         }[p[1]]
     if op == "isnull":
         return _sp_int(p[1]).isNull()
+    if op == "acontains":
+        from pyspark.sql import functions as F
+
+        return F.array_contains(F.split(_sp_str(p[1]), " "), p[2])
     if op == "like":
         return _sp_str(p[1]).like(p[3].format(p[2]))
     if op == "inlist":
@@ -1243,10 +1300,15 @@ def _dk_int(e) -> str:
         sym = "&" if op == "band" else "|"
         return f"({_dk_int(e[1])} {sym} {_dk_int(e[2])})"
     if op in ("shl", "shr"):
-        sym = "<<" if op == "shl" else ">>"
-        return f"CAST((({_dk_int(e[1])} % {_MUL_MOD}) {sym} {e[2]}) AS BIGINT)"
+        if op == "shl":  # abs(): DuckDB << raises on negative LHS
+            return f"CAST((abs({_dk_int(e[1])} % {_MUL_MOD}) << {e[2]}) AS BIGINT)"
+        return f"CAST((({_dk_int(e[1])} % {_MUL_MOD}) >> {e[2]}) AS BIGINT)"
     if op == "cube3":
         return f"CAST(pow({_dk_int(e[1])} % 97, 3) AS BIGINT)"
+    if op == "lev":
+        return f"CAST(levenshtein({_dk_str(e[1])}, {_dk_str(e[2])}) AS BIGINT)"
+    if op == "ascii":
+        return f"CAST(ascii({_dk_str(e[1])}) AS BIGINT)"
     if op == "trycast":
         return f"TRY_CAST({_dk_str(e[1])} AS BIGINT)"
     if op == "ddiff":
@@ -1295,6 +1357,10 @@ def _dk_str(e) -> str:
         return f"translate({_dk_str(e[1])}, {_sql_slit(e[2])}, {_sql_slit(e[3])})"
     if op == "rext":
         return f"regexp_extract({_dk_str(e[1])}, {_sql_slit(e[2])}, 1)"
+    if op == "srev":
+        return f"reverse({_dk_str(e[1])})"
+    if op == "lastday":
+        return f"strftime(last_day({e[1]}), '%Y-%m-%d')"
     if op == "tsshiftcal":
         return (
             f"strftime({e[1]} + ({e[2]}) * INTERVAL 1 {e[3].upper()},"
@@ -1315,6 +1381,11 @@ def _dk_pred(p) -> str:
         return f"({side(p[2])} {p[1]} {side(p[3])})"
     if op == "isnull":
         return f"({_dk_int(p[1])} IS NULL)"
+    if op == "acontains":
+        return (
+            f"list_contains(regexp_split_to_array({_dk_str(p[1])}, ' '), "
+            f"{_sql_slit(p[2])})"
+        )
     if op == "like":
         return f"({_dk_str(p[1])} LIKE {_sql_slit(p[3].format(p[2]))})"
     if op == "inlist":
@@ -1718,7 +1789,7 @@ def compile_sql(plan) -> str:
     return f"SELECT {', '.join(parts)} FROM {frm}{w}"
 
 
-_INT_OPS = {"icol", "ilit", "add", "sub", "mul", "abs", "case", "nullif", "len", "epochus", "jint", "strpos", "datepart", "great", "least", "trycast", "ddiff", "band", "bor", "bxor", "shl", "shr", "cube3"}
+_INT_OPS = {"icol", "ilit", "add", "sub", "mul", "abs", "case", "nullif", "len", "epochus", "jint", "strpos", "datepart", "great", "least", "trycast", "ddiff", "band", "bor", "bxor", "shl", "shr", "cube3", "lev", "ascii"}
 
 
 def _is_int_expr(e) -> bool:
