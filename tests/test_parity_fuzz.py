@@ -484,3 +484,19 @@ def test_duckdb_negative_left_shift_asymmetry(spark, duck):
     s = spark.sql("SELECT shiftright(CAST(-16 AS BIGINT), 2) AS v").collect()[0]["v"]
     d = duck.execute("SELECT CAST(-16 AS BIGINT) >> 2").fetchone()[0]
     assert s == d == -4
+
+
+def test_left_negative_length_divergence(spark, duck):
+    """v16 exclusion class: left/right with a NEGATIVE length is a VALUE
+    divergence — Spark returns '' while DuckDB applies the Postgres
+    all-but-last-N semantics ('hel' for left('hello', -2)).  The grammar
+    draws non-negative lengths only."""
+    got = spark.sql("SELECT left('hello', -2) AS v").collect()[0]["v"]
+    assert got == ""
+    assert duck.execute("SELECT left('hello', -2)").fetchone()[0] == "hel"
+    assert duck.execute("SELECT right('hello', -2)").fetchone()[0] == "llo"
+    # non-negative lengths agree (clamped at string length)
+    for n in (0, 3, 99):
+        s = spark.sql(f"SELECT left('hello', {n}) AS v").collect()[0]["v"]
+        d = duck.execute(f"SELECT left('hello', {n})").fetchone()[0]
+        assert s == d

@@ -189,6 +189,19 @@ Grammar v13 additions (round 11, third pass cont.):
   engines, NULL propagates);
 * datediff in days between a date literal and a cast timestamp column.
 
+Grammar v16 additions (round 11, third pass cont.):
+
+* sqrt under min/max (IEEE-correctly-rounded on both engines — unlike
+  ln/exp/log, sqrt is a required-exact IEEE-754 operation);
+* bit_count and sign() of integer expressions;
+* floor/ceil of double-column arithmetic (identical IEEE inputs ->
+  identical integers);
+* left()/right() with NON-NEGATIVE lengths and concat_ws (NULL-skip on
+  both engines).  VALUE-divergence exclusion: left('hello', -2) is ''
+  in Spark but 'hel' (all-but-last-2, the Postgres negative-length
+  semantics) in DuckDB — pinned in
+  test_left_negative_length_divergence.
+
 Grammar v15 additions (round 11, third pass cont.):
 
 * levenshtein distance between grammar strings (identical DP semantics,
@@ -361,6 +374,18 @@ def int_exprs(depth: int = 3, ns=_LI_NS):
         # v15: Levenshtein distance + ascii-of-first-char (ASCII fixtures)
         st.tuples(st.just("lev"), str_exprs(depth - 1, ns), str_exprs(depth - 1, ns)),
         st.tuples(st.just("ascii"), str_exprs(depth - 1, ns)),
+        # v16: bit_count + sign of integer expressions
+        st.tuples(st.just("bcount"), sub),
+        st.tuples(st.just("isign"), sub),
+        # v16: floor/ceil of double-column arithmetic (identical IEEE
+        # inputs -> identical integers on both engines)
+        *(
+            [st.tuples(st.sampled_from(["dfloor", "dceil"]),
+                       st.sampled_from(ns["dbls"]),
+                       st.integers(min_value=2, max_value=9))]
+            if ns["dbls"]
+            else []
+        ),
         # v13: TRY_CAST of a grammar string (integral-or-reject parity —
         # the decimal-format '12.5' class where DuckDB ROUNDS and Spark
         # NULLs is unreachable from the grammar's alphabets; pinned)
@@ -446,6 +471,13 @@ def str_exprs(depth: int = 2, ns=_LI_NS):
         ),
         # v15: string reverse; month-end date render
         st.tuples(st.just("srev"), sub),
+        # v16: left/right with NON-NEGATIVE lengths (negative lengths
+        # are a VALUE divergence: Spark '' vs DuckDB all-but-last-N —
+        # pinned in test_left_negative_length_divergence); concat_ws
+        # skips NULL operands on both engines
+        st.tuples(st.sampled_from(["sleft", "sright"]), sub,
+                  st.integers(min_value=0, max_value=8)),
+        st.tuples(st.just("cws"), sub, sub),
         *(
             [st.sampled_from(ns["tss"]).map(lambda c: ("lastday", c))]
             if ns["tss"]
@@ -565,6 +597,10 @@ def agg_specs(ns=_LI_NS):
             # fmod; identical inputs -> identical remainders) under min()
             st.tuples(st.just("mindmod"), st.sampled_from(ns["dbls"]),
                       st.sampled_from([0.03, 0.07, 1.5])),
+            # v16: sqrt is IEEE-correctly-rounded (unlike ln/exp) —
+            # min/max of identical doubles are bit-identical
+            st.tuples(st.sampled_from(["minsqrt", "maxsqrt"]),
+                      st.sampled_from(ns["dbls"])),
             # the double-SUM/AVG convention: DECIMAL(18,4) partial sums, cast
             # back to double — exact decimal arithmetic, no summation-order ULP
             st.tuples(st.sampled_from(["sumd4", "avgd4"]), st.sampled_from(ns["dbls"])),
@@ -914,6 +950,14 @@ def _sp_int(e):
         return F.pow(_sp_int(e[1]) % 97, F.lit(3)).cast("long")
     if op == "lev":
         return F.levenshtein(_sp_str(e[1]), _sp_str(e[2])).cast("long")
+    if op == "bcount":
+        return F.bit_count(_sp_int(e[1])).cast("long")
+    if op == "isign":
+        return F.signum(_sp_int(e[1])).cast("long")
+    if op == "dfloor":
+        return F.floor(F.col(e[1]) / F.lit(e[2])).cast("long")
+    if op == "dceil":
+        return F.ceil(F.col(e[1]) * F.lit(e[2])).cast("long")
     if op == "ascii":
         return F.ascii(_sp_str(e[1])).cast("long")
     if op == "trycast":
@@ -962,6 +1006,11 @@ def _sp_str(e):
         return F.regexp_extract(_sp_str(e[1]), e[2], 1)
     if op == "srev":
         return F.reverse(_sp_str(e[1]))
+    if op in ("sleft", "sright"):
+        fn = "left" if op == "sleft" else "right"
+        return getattr(F, fn)(_sp_str(e[1]), F.lit(e[2]))
+    if op == "cws":
+        return F.concat_ws("|", _sp_str(e[1]), _sp_str(e[2]))
     if op == "lastday":
         return F.date_format(F.last_day(F.col(e[1])), "yyyy-MM-dd")
     if op == "tsshiftcal":
@@ -1045,6 +1094,9 @@ def _sp_agg(a):
         return F.array_join(
             F.slice(F.sort_array(F.collect_list(_sp_int(a[1]))), 1, a[2]), ","
         )
+    if op in ("minsqrt", "maxsqrt"):
+        fn = F.min if op == "minsqrt" else F.max
+        return fn(F.sqrt(F.col(a[1])))
     if op == "mindmod":
         return F.min(F.col(a[1]) % F.lit(a[2]))
     if op in ("mind", "maxd"):
@@ -1307,6 +1359,14 @@ def _dk_int(e) -> str:
         return f"CAST(pow({_dk_int(e[1])} % 97, 3) AS BIGINT)"
     if op == "lev":
         return f"CAST(levenshtein({_dk_str(e[1])}, {_dk_str(e[2])}) AS BIGINT)"
+    if op == "bcount":
+        return f"CAST(bit_count({_dk_int(e[1])}) AS BIGINT)"
+    if op == "isign":
+        return f"CAST(sign({_dk_int(e[1])}) AS BIGINT)"
+    if op == "dfloor":
+        return f"CAST(floor({e[1]} / {e[2]}) AS BIGINT)"
+    if op == "dceil":
+        return f"CAST(ceil({e[1]} * {e[2]}) AS BIGINT)"
     if op == "ascii":
         return f"CAST(ascii({_dk_str(e[1])}) AS BIGINT)"
     if op == "trycast":
@@ -1359,6 +1419,11 @@ def _dk_str(e) -> str:
         return f"regexp_extract({_dk_str(e[1])}, {_sql_slit(e[2])}, 1)"
     if op == "srev":
         return f"reverse({_dk_str(e[1])})"
+    if op in ("sleft", "sright"):
+        fn = "left" if op == "sleft" else "right"
+        return f"{fn}({_dk_str(e[1])}, {e[2]})"
+    if op == "cws":
+        return f"concat_ws('|', {_dk_str(e[1])}, {_dk_str(e[2])})"
     if op == "lastday":
         return f"strftime(last_day({e[1]}), '%Y-%m-%d')"
     if op == "tsshiftcal":
@@ -1447,6 +1512,8 @@ def _dk_agg(a) -> str:
             f"coalesce(array_to_string(list_sort("
             f"list({e}) FILTER (WHERE ({e}) IS NOT NULL))[1:{a[2]}], ','), '')"
         )
+    if op in ("minsqrt", "maxsqrt"):
+        return f"{'min' if op == 'minsqrt' else 'max'}(sqrt({a[1]}))"
     if op == "mindmod":
         # FINDING #6 (first v14 soak): DuckDB's fmod() FUNCTION is the
         # rounded a - trunc(a/b)*b (each op rounded), while its %
@@ -1789,7 +1856,7 @@ def compile_sql(plan) -> str:
     return f"SELECT {', '.join(parts)} FROM {frm}{w}"
 
 
-_INT_OPS = {"icol", "ilit", "add", "sub", "mul", "abs", "case", "nullif", "len", "epochus", "jint", "strpos", "datepart", "great", "least", "trycast", "ddiff", "band", "bor", "bxor", "shl", "shr", "cube3", "lev", "ascii"}
+_INT_OPS = {"icol", "ilit", "add", "sub", "mul", "abs", "case", "nullif", "len", "epochus", "jint", "strpos", "datepart", "great", "least", "trycast", "ddiff", "band", "bor", "bxor", "shl", "shr", "cube3", "lev", "ascii", "bcount", "isign", "dfloor", "dceil"}
 
 
 def _is_int_expr(e) -> bool:
