@@ -243,6 +243,14 @@ _CHECKED_PRIOR = {
 # regenerated every round, so old greens deserve periodic re-proof;
 # VERDICT r10 item 2).  New round-11 queries go at the FRONT.
 _ROUND11_PREFIX: list[str] = [
+    # round-11 session-4 additions — first driver rows this round
+    "stats_kendall_tau",
+    "stats_logrank_test",
+    "stats_friedman",
+    "ml_regression_metrics",
+    "rank_skyline_2d",
+    "dq_null_profile",
+    "agg_weighted_median",
     # round-11 additions — first driver rows this round
     "ml_ks_separation",
     "ts_mk_trend",
@@ -291,14 +299,10 @@ _ROUND11_PREFIX: list[str] = [
     "events_dwell_percentiles",
     "events_ltv_percentiles",
     "events_markov_transitions",
-    "events_pareto_share",
-    "events_path_topk",
-    "events_sessionize",
-    "geo_grid_density",
-    "geo_nearest_poi",
-    "join_bloom_pruned",
-    "join_salted_skew",
-    # (layout_zorder_key / sim_search_ivf / sim_search_lsh /
+    # (events_pareto_share / events_path_topk / events_sessionize /
+    # geo_grid_density / geo_nearest_poi / join_bloom_pruned /
+    # join_salted_skew — displaced by the seven session-4 additions —
+    # layout_zorder_key / sim_search_ivf / sim_search_lsh /
     # sketch_bloom_build / sketch_countmin — displaced by the five
     # session-3 additions under the 50-id cap — plus
     # telemetry_trip_summary / text_bpe_corpus_prep /

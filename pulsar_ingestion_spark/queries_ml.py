@@ -1761,3 +1761,91 @@ def q_ml_ks_separation(spark, sf_dir):
         F.max("total_cn").cast("bigint").alias("n_neg"),
         F.round(F.max(gap), 6).alias("ks_sep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11 session 4: regression-model evaluation metrics — the ml_*
+# family was classification/ranking-only; this adds the regression
+# scorecard (RMSE / MAE / R^2 / MAPE / mean bias) every model-quality
+# dashboard pairs with the classification metrics.
+
+_REGEVAL_ORACLE = """
+WITH scored AS (
+  SELECT l_linestatus,
+         -- width 19: DuckDB multiplies int64-backed DECIMAL(18) in int64
+         -- and overflows on y*y; 19 forces hugeint (see _CORR_ORACLE)
+         CAST(l_extendedprice AS DECIMAL(19,4)) AS y,
+         CAST(950 AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))
+           + CAST(500 AS DECIMAL(19,4)) AS yhat
+  FROM lineitem
+), r AS (
+  SELECT l_linestatus, y, CAST(y - yhat AS DECIMAL(19,4)) AS res,
+         CAST(round(abs(CAST(y - yhat AS DOUBLE)) / CAST(y AS DOUBLE), 10)
+              AS DECIMAL(18,10)) AS ape
+  FROM scored
+), m AS (
+  SELECT l_linestatus, count(*) AS n,
+         CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(CAST(SUM(y * y) AS DECIMAL(38,4)) AS DOUBLE) AS syy,
+         CAST(SUM(res) AS DOUBLE) AS sr,
+         CAST(CAST(SUM(res * res) AS DECIMAL(38,4)) AS DOUBLE) AS srr,
+         CAST(SUM(abs(res)) AS DOUBLE) AS sar,
+         CAST(SUM(ape) AS DOUBLE) AS sape
+  FROM r GROUP BY l_linestatus
+)
+SELECT l_linestatus, n,
+       round(sqrt(srr / n), 4) AS rmse,
+       round(sar / n, 4) AS mae,
+       round(1 - srr / (syy - sy * sy / n), 6) AS r2,
+       round(sape / n, 6) AS mape,
+       round(sr / n, 4) AS mean_bias
+FROM m
+"""
+
+
+@query("ml_regression_metrics", oracle=_REGEVAL_ORACLE)
+def q_ml_regression_metrics(spark, sf_dir):
+    """Regression scorecard for a fixed linear model (price ~ 950*qty +
+    500; coefficients pinned so both engines score the identical model)
+    against actual extended price, per linestatus.  Residuals and their
+    squares are exact DECIMAL; the per-row percentage error is one IEEE
+    division rounded to 10 dp and decimal-summed (order-independent) —
+    the whole scorecard is ONE map-side-combined aggregate pass, the
+    canonical shape for scoring a 100-TB prediction table: no shuffle of
+    rows, only of per-group moment tuples."""
+    li = fan_out(load_tables(spark, sf_dir)["lineitem"], spark)
+    y = F.col("l_extendedprice").cast("decimal(18,4)")
+    yhat = (
+        F.lit(950).cast("decimal(18,4)") * F.col("l_quantity").cast("decimal(18,4)")
+        + F.lit(500).cast("decimal(18,4)")
+    )
+    scored = li.select("l_linestatus", y.alias("y"), yhat.alias("yhat"))
+    res = F.col("y") - F.col("yhat")
+    r = scored.select(
+        "l_linestatus",
+        F.col("y"),
+        res.alias("res"),
+        F.round(F.abs(res.cast("double")) / F.col("y").cast("double"), 10)
+        .cast("decimal(18,10)")
+        .alias("ape"),
+    )
+    yc, rc = F.col("y"), F.col("res")
+    m = r.groupBy("l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.sum(yc).cast("double").alias("sy"),
+        F.sum(yc * yc).cast("decimal(38,4)").cast("double").alias("syy"),
+        F.sum(rc).cast("double").alias("sr"),
+        F.sum(rc * rc).cast("decimal(38,4)").cast("double").alias("srr"),
+        F.sum(F.abs(rc)).cast("double").alias("sar"),
+        F.sum("ape").cast("double").alias("sape"),
+    )
+    n = F.col("n")
+    return m.select(
+        "l_linestatus",
+        "n",
+        F.round(F.sqrt(F.col("srr") / n), 4).alias("rmse"),
+        F.round(F.col("sar") / n, 4).alias("mae"),
+        F.round(1 - F.col("srr") / (F.col("syy") - F.col("sy") * F.col("sy") / n), 6).alias("r2"),
+        F.round(F.col("sape") / n, 6).alias("mape"),
+        F.round(F.col("sr") / n, 4).alias("mean_bias"),
+    )

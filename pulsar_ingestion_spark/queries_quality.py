@@ -842,3 +842,67 @@ def q_exp_power_mde(spark, sf_dir):
         F.round(zsum * se, 6).alias("mde_abs"),
         F.round(zsum * se / ma, 6).alias("mde_rel"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11 session 4: per-column null/cardinality profile — the
+# first-look data-quality scan (null rate, exact distinct count, modal
+# frequency) a pipeline runs on every new corpus drop before any
+# training-data transform consumes it.
+
+_NULLPROF_ORACLE = """
+WITH unp AS (
+  SELECT 'lang' AS col, lang AS val FROM documents
+  UNION ALL SELECT 'source', source FROM documents
+  UNION ALL SELECT 'text', text FROM documents
+  UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM documents
+), per_val AS (
+  SELECT col, val, count(*) AS cnt FROM unp GROUP BY col, val
+)
+SELECT col,
+       CAST(SUM(cnt) AS BIGINT) AS n_rows,
+       CAST(COALESCE(SUM(CASE WHEN val IS NULL THEN cnt END), 0) AS BIGINT) AS n_null,
+       CAST(COALESCE(SUM(CASE WHEN val IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_distinct,
+       CAST(COALESCE(MAX(CASE WHEN val IS NOT NULL THEN cnt END), 0) AS BIGINT) AS top_freq
+FROM per_val GROUP BY col
+"""
+
+
+@query("dq_null_profile", oracle=_NULLPROF_ORACLE)
+def q_dq_null_profile(spark, sf_dir):
+    """Column profile of the documents corpus: row count, null count,
+    EXACT distinct cardinality, and modal-value frequency per column,
+    in one unpivot + two-level aggregate.  The unpivot is a narrow 4x
+    row expansion (no shuffle); the (col, val) aggregate map-side
+    combines to at most |distinct values| rows per column — the same
+    shape profiling 100 TB needs, with the text column's full-value
+    grouping the only heavy key (swap in a hash for width at scale;
+    exact here by design so the oracle can recompute it)."""
+    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    pairs = [
+        ("lang", F.col("lang")),
+        ("source", F.col("source")),
+        ("text", F.col("text")),
+        ("n_chars", F.col("n_chars").cast("string")),
+    ]
+    unp = docs.select(
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(name).alias("col"), expr.alias("val"))
+                for name, expr in pairs
+            ])
+        ).alias("e")
+    ).select("e.col", "e.val")
+    per_val = unp.groupBy("col", "val").agg(F.count("*").alias("cnt"))
+    return per_val.groupBy("col").agg(
+        F.sum("cnt").alias("n_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("val").isNull(), F.col("cnt"))), F.lit(0)
+        ).alias("n_null"),
+        F.coalesce(
+            F.sum(F.when(F.col("val").isNotNull(), 1)), F.lit(0)
+        ).alias("n_distinct"),
+        F.coalesce(
+            F.max(F.when(F.col("val").isNotNull(), F.col("cnt"))), F.lit(0)
+        ).alias("top_freq"),
+    )

@@ -787,3 +787,112 @@ def q_stats_wilcoxon_signed_rank(spark, sf_dir):
         (F.col("w_twice").cast("double") / 2).alias("w_plus"),
         F.round(z, 6).alias("z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11 session 4: 2-D skyline (Pareto frontier) — the classic
+# preference query (Borzsony/Kossmann/Stocker, ICDE 2001): parts no
+# other part dominates, minimizing retail price while maximizing size.
+
+_SKYLINE_ORACLE = """
+SELECT p.p_partkey, p.p_retailprice, p.p_size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE (q.p_retailprice < p.p_retailprice AND q.p_size >= p.p_size)
+     OR (q.p_retailprice <= p.p_retailprice AND q.p_size > p.p_size)
+)
+"""
+
+
+@query("rank_skyline_2d", oracle=_SKYLINE_ORACLE)
+def q_rank_skyline_2d(spark, sf_dir):
+    """2-D skyline via sort-scan, distributed: collapse to one row per
+    DISTINCT price (best size at that price — one partial-agg shuffle),
+    bucket prices into integer dollars, run the running strictly-cheaper
+    max-size inside each bucket (window PARTITIONED by bucket over the
+    distinct-price relation), and resolve cross-bucket domination with a
+    triangular self-join over the ~|buckets| aggregate (every lower
+    bucket's price is strictly cheaper by construction).  A part
+    survives iff nothing at its own price beats its size, nothing
+    strictly cheaper in its bucket ties-or-beats it, and no lower bucket
+    ties-or-beats it.  O(n) + O(P log P) where P = distinct prices —
+    the oracle is the quadratic NOT-EXISTS definition, the Spark plan is
+    the one you'd run on 100 TB."""
+    part = fan_out(load_tables(spark, sf_dir)["part"], spark)
+    pts = part.groupBy(F.col("p_retailprice").alias("price")).agg(
+        F.max("p_size").alias("ms")
+    ).withColumn("bucket", F.floor("price").cast("bigint"))
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pts = pts.withColumn("cheaper_max", F.max("ms").over(w))
+    buckets = pts.groupBy("bucket").agg(F.max("ms").alias("bmax"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    lowmax = (
+        a.join(F.broadcast(b), F.col("b.bucket") < F.col("a.bucket"))
+        .groupBy(F.col("a.bucket").alias("bucket"))
+        .agg(F.max(F.col("b.bmax")).alias("lowmax"))
+    )
+    pstats = pts.join(F.broadcast(lowmax), "bucket", "left")
+    joined = part.join(
+        F.broadcast(pstats), part["p_retailprice"] == pstats["price"]
+    )
+    keep = (
+        (F.col("p_size") == F.col("ms"))
+        & (F.coalesce(F.col("cheaper_max"), F.lit(-1)) < F.col("p_size"))
+        & (F.coalesce(F.col("lowmax"), F.lit(-1)) < F.col("p_size"))
+    )
+    return joined.filter(keep).select("p_partkey", "p_retailprice", "p_size")
+
+
+# ---------------------------------------------------------------------------
+# Weighted median (lower) of price weighted by quantity, per returnflag.
+
+_WMEDIAN_ORACLE = """
+WITH pv AS (
+  SELECT l_returnflag, l_extendedprice AS p,
+         SUM(CAST(l_quantity AS BIGINT)) AS w
+  FROM lineitem GROUP BY 1, 2
+), c AS (
+  SELECT l_returnflag, p, w,
+         SUM(w) OVER (PARTITION BY l_returnflag ORDER BY p) AS cw,
+         SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+  FROM pv
+)
+SELECT l_returnflag,
+       CAST(tw AS BIGINT) AS total_weight,
+       MIN(CASE WHEN 2 * cw >= tw THEN p END) AS weighted_median_price
+FROM c GROUP BY l_returnflag, tw
+"""
+
+
+@query("agg_weighted_median", oracle=_WMEDIAN_ORACLE)
+def q_agg_weighted_median(spark, sf_dir):
+    """Lower weighted median: smallest price whose cumulative quantity
+    weight reaches half the group total.  Collapses to one exact-decimal
+    row per (flag, price), then runs the running weight through
+    ``keyed_running_sums`` (range-partitioned cumsum + broadcast offsets)
+    instead of a per-flag window — 4 return flags would otherwise cap
+    the scan at 4 tasks.  The half-total test is 2*cw >= tw in exact
+    DECIMAL, so both engines pick the identical row."""
+    li = fan_out(load_tables(spark, sf_dir)["lineitem"], spark)
+    pv = li.groupBy("l_returnflag", F.col("l_extendedprice").alias("p")).agg(
+        # quantity is integral (TPC-H 1..50): a BIGINT weight keeps the
+        # running sum exact and matches the helper's Long offset schema.
+        F.sum(F.col("l_quantity").cast("bigint")).alias("w")
+    )
+    cum, totals = keyed_running_sums(pv, ["l_returnflag"], [F.col("p")], ["w"])
+    j = cum.join(F.broadcast(totals), "l_returnflag")
+    return j.groupBy("l_returnflag", "total_w").agg(
+        F.min(
+            F.when(2 * F.col("cum_w") >= F.col("total_w"), F.col("p"))
+        ).alias("weighted_median_price"),
+    ).select(
+        "l_returnflag",
+        F.col("total_w").cast("bigint").alias("total_weight"),
+        "weighted_median_price",
+    )

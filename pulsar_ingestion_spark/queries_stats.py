@@ -3065,3 +3065,273 @@ def q_stats_cohens_d(spark, sf_dir):
         F.round(d, 6).alias("cohens_d"),
         F.round(g, 6).alias("hedges_g"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11 session 4: Kendall's tau-b, the two-group log-rank test, and
+# the Friedman repeated-measures rank test — the remaining classical
+# nonparametric trio (Spearman/Mann-Whitney/Kruskal/Wilcoxon precedents
+# live in queries_rank.py / this file).
+
+_KENDALL_ORACLE = """
+WITH nat AS (
+  SELECT c_nationkey AS k, count(*) AS x,
+         SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS y
+  FROM customer GROUP BY c_nationkey
+), pairs AS (
+  SELECT a.x AS xa, a.y AS ya, b.x AS xb, b.y AS yb
+  FROM nat a JOIN nat b ON a.k < b.k
+), cnt AS (
+  SELECT count(*) AS n0,
+         SUM(CASE WHEN (xa < xb AND ya < yb) OR (xa > xb AND ya > yb)
+                  THEN 1 ELSE 0 END) AS c,
+         SUM(CASE WHEN (xa < xb AND ya > yb) OR (xa > xb AND ya < yb)
+                  THEN 1 ELSE 0 END) AS d,
+         SUM(CASE WHEN xa = xb THEN 1 ELSE 0 END) AS tx,
+         SUM(CASE WHEN ya = yb THEN 1 ELSE 0 END) AS ty
+  FROM pairs
+)
+SELECT (SELECT count(*) FROM nat) AS n_groups,
+       CAST(n0 AS BIGINT) AS n_pairs,
+       CAST(c AS BIGINT) AS concordant, CAST(d AS BIGINT) AS discordant,
+       round((c - d) / sqrt(CAST((n0 - tx) AS DOUBLE) * (n0 - ty)), 6)
+         AS tau_b
+FROM cnt
+"""
+
+
+@query("stats_kendall_tau", oracle=_KENDALL_ORACLE)
+def q_stats_kendall_tau(spark, sf_dir):
+    """Kendall's tau-b rank correlation between per-nation customer count
+    and total account balance.  The raw table collapses to one exact row
+    per nation (one partial-agg shuffle); the pair enumeration is then
+    quadratic only in GROUP count (25 nations -> 300 pairs), a broadcast
+    self-join over a KB-sized relation — the same collapse-then-pair
+    discipline as stats_wilcoxon_signed_rank.  Counts and decimal sums
+    compare exactly, so C/D/tie tallies are integers and tau-b is one
+    IEEE expression."""
+    cust = fan_out(load_tables(spark, sf_dir)["customer"], spark)
+    nat = cust.groupBy(F.col("c_nationkey").alias("k")).agg(
+        F.count("*").alias("x"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("y"),
+    )
+    a = nat.alias("a")
+    b = nat.alias("b")
+    xa, ya = F.col("a.x"), F.col("a.y")
+    xb, yb = F.col("b.x"), F.col("b.y")
+    pairs = a.join(F.broadcast(b), F.col("a.k") < F.col("b.k"))
+    conc = ((xa < xb) & (ya < yb)) | ((xa > xb) & (ya > yb))
+    disc = ((xa < xb) & (ya > yb)) | ((xa > xb) & (ya < yb))
+    cnt = pairs.agg(
+        F.count("*").alias("n0"),
+        F.sum(F.when(conc, 1).otherwise(0)).alias("c"),
+        F.sum(F.when(disc, 1).otherwise(0)).alias("d"),
+        F.sum(F.when(xa == xb, 1).otherwise(0)).alias("tx"),
+        F.sum(F.when(ya == yb, 1).otherwise(0)).alias("ty"),
+    )
+    ng = nat.agg(F.count("*").alias("n_groups"))
+    n0, c, d = F.col("n0"), F.col("c"), F.col("d")
+    return cnt.crossJoin(F.broadcast(ng)).select(
+        "n_groups",
+        n0.cast("bigint").alias("n_pairs"),
+        c.cast("bigint").alias("concordant"),
+        d.cast("bigint").alias("discordant"),
+        F.round(
+            (c - d)
+            / F.sqrt((n0 - F.col("tx")).cast("double") * (n0 - F.col("ty"))),
+            6,
+        ).alias("tau_b"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-group log-rank test over user lifetimes in the event stream.
+
+_LOGRANK_ORACLE = """
+WITH u AS (
+  SELECT user_id, user_id % 2 AS grp,
+         max(epoch_us(ts) // 86400000000)
+           - min(epoch_us(ts) // 86400000000) AS t,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS ev
+  FROM events GROUP BY user_id
+), a AS (
+  SELECT grp, t, count(*) AS tot, SUM(ev) AS d
+  FROM u GROUP BY grp, t
+), dt AS (
+  SELECT t FROM a GROUP BY t HAVING SUM(d) > 0
+), risk AS (
+  SELECT dt.t, a.grp,
+         SUM(a.tot) AS n_g,
+         SUM(CASE WHEN a.t = dt.t THEN a.d ELSE 0 END) AS d_g
+  FROM dt JOIN a ON a.t >= dt.t
+  GROUP BY dt.t, a.grp
+), p AS (
+  SELECT t,
+         COALESCE(SUM(CASE WHEN grp = 1 THEN n_g END), 0) AS n1,
+         COALESCE(SUM(CASE WHEN grp = 1 THEN d_g END), 0) AS d1,
+         SUM(n_g) AS n, SUM(d_g) AS d
+  FROM risk GROUP BY t
+), terms AS (
+  SELECT d1,
+         CAST(round(d * (CAST(n1 AS DOUBLE) / n), 8) AS DECIMAL(18,8)) AS e1,
+         CAST(round(CASE WHEN n > 1 THEN
+                 d * (CAST(n1 AS DOUBLE) / n) * (1 - CAST(n1 AS DOUBLE) / n)
+                   * (n - d) / (n - 1)
+               ELSE 0 END, 8) AS DECIMAL(18,8)) AS v
+  FROM p
+)
+SELECT count(*) AS n_death_times,
+       CAST(SUM(d1) AS BIGINT) AS observed_1,
+       round(CAST(SUM(e1) AS DOUBLE), 6) AS expected_1,
+       round(CAST(SUM(v) AS DOUBLE), 6) AS variance,
+       round(pow(SUM(d1) - CAST(SUM(e1) AS DOUBLE), 2)
+             / CAST(SUM(v) AS DOUBLE), 4) AS chi2
+FROM terms
+"""
+
+
+@query("stats_logrank_test", oracle=_LOGRANK_ORACLE)
+def q_stats_logrank_test(spark, sf_dir):
+    """Two-group log-rank (Mantel-Cox) test: user lifetime = span in days
+    between first and last event, death = the user converted ('purchase'),
+    otherwise right-censored at last activity; arms split by user_id
+    parity.  The stream collapses to one row per user (one shuffle), then
+    to one row per (arm, lifetime) — the at-risk table n_g(t) comes from
+    a non-equi join of the death-time list against that AGGREGATE-sized
+    relation, never against users.  Hypergeometric terms are per-row IEEE
+    doubles rounded to 8 dp and decimal-summed (order-independent), the
+    chi-square is one final expression."""
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    day = F.expr("unix_micros(ts) div 86400000000")
+    u = ev.groupBy("user_id").agg(
+        (F.max(day) - F.min(day)).alias("t"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("ev"),
+    ).select((F.col("user_id") % 2).alias("grp"), "t", "ev")
+    a = u.groupBy("grp", "t").agg(F.count("*").alias("tot"), F.sum("ev").alias("d"))
+    dt = a.groupBy("t").agg(F.sum("d").alias("dd")).filter(F.col("dd") > 0).select(
+        F.col("t").alias("death_t")
+    )
+    risk = (
+        F.broadcast(dt)
+        .join(a, a["t"] >= F.col("death_t"))
+        .groupBy("death_t", "grp")
+        .agg(
+            F.sum("tot").alias("n_g"),
+            F.sum(F.when(F.col("t") == F.col("death_t"), F.col("d")).otherwise(0)).alias("d_g"),
+        )
+    )
+    p = risk.groupBy("death_t").agg(
+        F.coalesce(F.sum(F.when(F.col("grp") == 1, F.col("n_g"))), F.lit(0)).alias("n1"),
+        F.coalesce(F.sum(F.when(F.col("grp") == 1, F.col("d_g"))), F.lit(0)).alias("d1"),
+        F.sum("n_g").alias("n"),
+        F.sum("d_g").alias("d"),
+    )
+    n, d, n1 = F.col("n"), F.col("d"), F.col("n1")
+    frac = n1.cast("double") / n
+    terms = p.select(
+        "d1",
+        F.round(d * frac, 8).cast("decimal(18,8)").alias("e1"),
+        F.round(
+            F.when(n > 1, d * frac * (1 - frac) * (n - d) / (n - 1)).otherwise(0.0), 8
+        ).cast("decimal(18,8)").alias("v"),
+    )
+    return terms.agg(
+        F.count("*").alias("n_death_times"),
+        F.sum("d1").cast("bigint").alias("observed_1"),
+        F.round(F.sum("e1").cast("double"), 6).alias("expected_1"),
+        F.round(F.sum("v").cast("double"), 6).alias("variance"),
+        F.round(
+            F.pow(F.sum("d1") - F.sum("e1").cast("double"), 2)
+            / F.sum("v").cast("double"),
+            4,
+        ).alias("chi2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Friedman repeated-measures rank test over monthly order volumes.
+
+_FRIEDMAN_ORACLE = """
+WITH cell AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS blk, o_orderpriority AS trt,
+         count(*) AS val
+  FROM orders GROUP BY 1, 2
+), k AS (
+  SELECT count(DISTINCT trt) AS k FROM cell
+), full_blk AS (
+  SELECT blk FROM cell GROUP BY blk
+  HAVING count(*) = (SELECT k FROM k)
+), ranked AS (
+  SELECT c.blk, c.trt,
+         2 * rank() OVER (PARTITION BY c.blk ORDER BY c.val)
+           + count(*) OVER (PARTITION BY c.blk, c.val) - 1 AS r2
+  FROM cell c JOIN full_blk USING (blk)
+), treat AS (
+  SELECT trt, SUM(r2) AS b2 FROM ranked GROUP BY trt
+), tot AS (
+  SELECT (SELECT count(*) FROM full_blk) AS n, (SELECT k FROM k) AS k,
+         (SELECT SUM(r2 * r2) FROM ranked) AS a4,
+         SUM((b2 - (SELECT count(*) FROM full_blk)
+                   * ((SELECT k FROM k) + 1))
+             * (b2 - (SELECT count(*) FROM full_blk)
+                     * ((SELECT k FROM k) + 1))) AS num4
+  FROM treat
+)
+SELECT CAST(n AS BIGINT) AS n_blocks, CAST(k AS BIGINT) AS k_treatments,
+       round((k - 1) * CAST(num4 AS DOUBLE)
+             / (a4 - CAST(n AS BIGINT) * k * (k + 1) * (k + 1)), 6)
+         AS q_statistic
+FROM tot
+"""
+
+
+@query("stats_friedman", oracle=_FRIEDMAN_ORACLE)
+def q_stats_friedman(spark, sf_dir):
+    """Friedman rank test (tie-corrected): blocks = order months,
+    treatments = the five order priorities, response = monthly order
+    count.  Incomplete blocks are dropped.  Doubled average ranks
+    2r = 2*rank + ties - 1 keep every rank INTEGER (the queries_rank.py
+    convention), so numerator and denominator fold as exact integer sums
+    — Q = (k-1)*SUM_j(B_j - n(k+1))^2 / (A - n*k*(k+1)^2) with
+    B_j = SUM 2r and A = SUM (2r)^2 — and the only IEEE op is the final
+    division.  One shuffle to the (month, priority) grid; ranks run in
+    windows PARTITIONED by month over the aggregate-sized grid."""
+    orders = fan_out(load_tables(spark, sf_dir)["orders"], spark)
+    cell = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("blk"),
+        F.col("o_orderpriority").alias("trt"),
+    ).agg(F.count("*").alias("val"))
+    k_df = cell.agg(F.countDistinct("trt").alias("k"))
+    blk_sizes = cell.groupBy("blk").agg(F.count("*").alias("nt"))
+    full_blk = blk_sizes.join(F.broadcast(k_df), blk_sizes["nt"] == k_df["k"]).select("blk")
+    kept = cell.join(F.broadcast(full_blk), "blk")
+    w_rank = Window.partitionBy("blk").orderBy("val")
+    w_tie = Window.partitionBy("blk", "val")
+    ranked = kept.select(
+        "blk", "trt",
+        (2 * F.rank().over(w_rank) + F.count("*").over(w_tie) - 1).alias("r2"),
+    )
+    n_df = full_blk.agg(F.count("*").alias("n"))
+    a_df = ranked.agg(F.sum(F.col("r2") * F.col("r2")).alias("a4"))
+    treat = ranked.groupBy("trt").agg(F.sum("r2").alias("b2"))
+    num = (
+        treat.crossJoin(F.broadcast(n_df))
+        .crossJoin(F.broadcast(k_df))
+        .select(
+            "n", "k",
+            ((F.col("b2") - F.col("n") * (F.col("k") + 1))
+             * (F.col("b2") - F.col("n") * (F.col("k") + 1))).alias("sq"),
+        )
+        .groupBy("n", "k")
+        .agg(F.sum("sq").alias("num4"))
+    )
+    n, k = F.col("n"), F.col("k")
+    return num.crossJoin(F.broadcast(a_df)).select(
+        n.cast("bigint").alias("n_blocks"),
+        k.cast("bigint").alias("k_treatments"),
+        F.round(
+            (k - 1) * F.col("num4").cast("double")
+            / (F.col("a4") - n.cast("bigint") * k * (k + 1) * (k + 1)),
+            6,
+        ).alias("q_statistic"),
+    )

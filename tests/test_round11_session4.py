@@ -1,0 +1,190 @@
+"""Round-11 session-4 invariants: brute-force twins for the seven new
+queries (Kendall tau-b, log-rank, Friedman, regression scorecard,
+2-D skyline, null profile, weighted median).
+
+Each test recomputes the statistic with an INDEPENDENT in-memory
+algorithm (itertools / pandas), not a third SQL engine — catching
+shared-formula mistakes the DuckDB oracle can't (the oracle mirrors the
+expression tree by design; these do not).
+"""
+
+from __future__ import annotations
+
+import itertools
+import math
+
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run(spark, qid, sf=SF):
+    import __spark_entry__ as e
+
+    return e.queries()[qid](spark, sf).toPandas()
+
+
+def test_kendall_tau_brute_force(spark):
+    out = _run(spark, "stats_kendall_tau").iloc[0]
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    g = cust.groupby("c_nationkey").agg(
+        x=("c_custkey", "size"), y=("c_acctbal", lambda s: round(s.sum(), 2))
+    )
+    pts = list(zip(g["x"], g["y"]))
+    c = d = tx = ty = 0
+    for (xa, ya), (xb, yb) in itertools.combinations(pts, 2):
+        if xa == xb:
+            tx += 1
+        if ya == yb:
+            ty += 1
+        if (xa < xb and ya < yb) or (xa > xb and ya > yb):
+            c += 1
+        elif (xa < xb and ya > yb) or (xa > xb and ya < yb):
+            d += 1
+    n0 = len(pts) * (len(pts) - 1) // 2
+    assert out["n_groups"] == len(pts)
+    assert out["n_pairs"] == n0
+    assert out["concordant"] == c
+    assert out["discordant"] == d
+    tau = (c - d) / math.sqrt((n0 - tx) * (n0 - ty))
+    assert abs(out["tau_b"] - round(tau, 6)) <= 1e-6
+    assert -1.0 <= out["tau_b"] <= 1.0
+
+
+def test_logrank_brute_force(spark):
+    out = _run(spark, "stats_logrank_test").iloc[0]
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    day = (ev["ts"].astype("datetime64[us]").astype("int64") // 10**6) // 86400
+    u = pd.DataFrame(
+        {
+            "user": ev["user_id"],
+            "day": day,
+            "death": (ev["event_type"] == "purchase").astype(int),
+        }
+    ).groupby("user").agg(t_lo=("day", "min"), t_hi=("day", "max"), ev=("death", "max"))
+    u["t"] = u["t_hi"] - u["t_lo"]
+    u["g"] = (u.index % 2).astype(int)
+    o1 = e1 = v = 0.0
+    for t in sorted(u.loc[u["ev"] == 1, "t"].unique()):
+        at = u[u["t"] >= t]
+        n, n1 = len(at), int((at["g"] == 1).sum())
+        dead = u[(u["t"] == t) & (u["ev"] == 1)]
+        dd, d1 = len(dead), int((dead["g"] == 1).sum())
+        o1 += d1
+        e1 += round(dd * n1 / n, 8)
+        if n > 1:
+            v += round(dd * (n1 / n) * (1 - n1 / n) * (n - dd) / (n - 1), 8)
+    assert out["observed_1"] == o1
+    assert abs(out["expected_1"] - round(e1, 6)) <= 1e-6
+    assert abs(out["variance"] - round(v, 6)) <= 1e-6
+    assert abs(out["chi2"] - round((o1 - e1) ** 2 / v, 4)) <= 2e-4
+
+
+def test_friedman_brute_force(spark):
+    out = _run(spark, "stats_friedman").iloc[0]
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    cell = (
+        orders.assign(blk=orders["o_orderdate"].dt.strftime("%Y-%m"))
+        .groupby(["blk", "o_orderpriority"])
+        .size()
+        .rename("val")
+        .reset_index()
+    )
+    k = cell["o_orderpriority"].nunique()
+    sizes = cell.groupby("blk").size()
+    full = sizes[sizes == k].index
+    cell = cell[cell["blk"].isin(full)]
+    n = len(full)
+    # doubled average ranks per block (exact integers)
+    r2sum: dict[str, int] = {}
+    a4 = 0
+    for _, grp in cell.groupby("blk"):
+        vals = sorted(grp["val"])
+        for _, row in grp.iterrows():
+            rank = 1 + sum(1 for v in vals if v < row["val"])
+            ties = sum(1 for v in vals if v == row["val"])
+            dr = 2 * rank + ties - 1
+            r2sum[row["o_orderpriority"]] = r2sum.get(row["o_orderpriority"], 0) + dr
+            a4 += dr * dr
+    num4 = sum((b - n * (k + 1)) ** 2 for b in r2sum.values())
+    den = a4 - n * k * (k + 1) ** 2
+    assert out["n_blocks"] == n
+    assert out["k_treatments"] == k
+    assert abs(out["q_statistic"] - round((k - 1) * num4 / den, 6)) <= 1e-6
+
+
+def test_regression_metrics_brute_force(spark):
+    out = _run(spark, "ml_regression_metrics").set_index("l_linestatus")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    for ls, grp in li.groupby("l_linestatus"):
+        y = grp["l_extendedprice"].round(4)
+        res = y - (950 * grp["l_quantity"].round(4) + 500)
+        row = out.loc[ls]
+        assert row["n"] == len(grp)
+        assert abs(row["rmse"] - round(math.sqrt((res**2).mean()), 4)) <= 2e-4
+        assert abs(row["mae"] - round(res.abs().mean(), 4)) <= 2e-4
+        sst = (y**2).sum() - y.sum() ** 2 / len(y)
+        assert abs(row["r2"] - round(1 - (res**2).sum() / sst, 6)) <= 2e-5
+        mape = (res.abs() / y).round(10).mean()
+        assert abs(row["mape"] - round(mape, 6)) <= 2e-6
+        assert abs(row["mean_bias"] - round(res.mean(), 4)) <= 2e-4
+        # QM >= AM on |residuals|
+        assert row["rmse"] >= row["mae"]
+
+
+def _dominates(q, p):
+    return (q[0] < p[0] and q[1] >= p[1]) or (q[0] <= p[0] and q[1] > p[1])
+
+
+def test_skyline_brute_force(spark):
+    out = _run(spark, "rank_skyline_2d")
+    part = pd.read_parquet(f"{SF}/part.parquet")
+    pts = {
+        pk: (pr, sz)
+        for pk, pr, sz in zip(part["p_partkey"], part["p_retailprice"], part["p_size"])
+    }
+    expect = {
+        pk
+        for pk, p in pts.items()
+        if not any(_dominates(q, p) for q in pts.values())
+    }
+    got = set(out["p_partkey"])
+    assert got == expect
+    # mutual non-domination among survivors
+    sky = [pts[pk] for pk in got]
+    for a, b in itertools.permutations(sky, 2):
+        assert not _dominates(a, b)
+    # every non-survivor is dominated by some skyline point
+    for pk, p in pts.items():
+        if pk not in got:
+            assert any(_dominates(s, p) for s in sky)
+
+
+def test_null_profile_brute_force(spark):
+    out = _run(spark, "dq_null_profile").set_index("col")
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    docs["n_chars"] = docs["n_chars"].astype("Int64").astype(str)
+    for col in ("lang", "source", "text", "n_chars"):
+        s = docs[col]
+        row = out.loc[col]
+        assert row["n_rows"] == len(s)
+        assert row["n_null"] == int(s.isna().sum())
+        assert row["n_distinct"] == s.dropna().nunique()
+        vc = s.dropna().value_counts()
+        assert row["top_freq"] == (int(vc.iloc[0]) if len(vc) else 0)
+
+
+def test_weighted_median_brute_force(spark):
+    out = _run(spark, "agg_weighted_median").set_index("l_returnflag")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    li["w"] = li["l_quantity"].astype("int64")
+    for flag, grp in li.groupby("l_returnflag"):
+        g = grp.groupby("l_extendedprice")["w"].sum().sort_index()
+        tw = int(g.sum())
+        cw = g.cumsum()
+        med = cw.index[(2 * cw >= tw).argmax()]
+        row = out.loc[flag]
+        assert row["total_weight"] == tw
+        assert row["weighted_median_price"] == med
+        # the median is an observed price of the group
+        assert med in set(grp["l_extendedprice"])

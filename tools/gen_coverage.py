@@ -192,6 +192,11 @@ SECTIONS = [
         "stats_cohens_d", "stats_wilcoxon_signed_rank",
         "win_ntile_percent_cume",
     ]),
+    ("Nonparametric trio, regression scorecard, skyline & profiling (round 11, session 4)", [
+        "stats_kendall_tau", "stats_logrank_test", "stats_friedman",
+        "ml_regression_metrics", "rank_skyline_2d", "dq_null_profile",
+        "agg_weighted_median",
+    ]),
     ("Sketches & sampling III (round 5)", [
         "sketch_kmv_intersect", "sketch_quantile_logbins", "sample_weighted_kmv",
     ]),
