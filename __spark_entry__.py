@@ -251,6 +251,10 @@ _ROUND11_PREFIX: list[str] = [
     "rank_skyline_2d",
     "dq_null_profile",
     "agg_weighted_median",
+    "stats_anderson_darling_uniform",
+    "events_circular_hour_stats",
+    "stats_theil_u",
+    "graph_closeness_centrality",
     # round-11 additions — first driver rows this round
     "ml_ks_separation",
     "ts_mk_trend",
@@ -295,11 +299,9 @@ _ROUND11_PREFIX: list[str] = [
     "emb_pca_power",
     "emb_pq_encode",
     "emb_residual_quantize",
-    "events_attribution_last_touch",
-    "events_dwell_percentiles",
-    "events_ltv_percentiles",
-    "events_markov_transitions",
-    # (events_pareto_share / events_path_topk / events_sessionize /
+    # (events_attribution_last_touch / events_dwell_percentiles /
+    # events_ltv_percentiles / events_markov_transitions — displaced by
+    # the four batch-7 additions — events_pareto_share / events_path_topk / events_sessionize /
     # geo_grid_density / geo_nearest_poi / join_bloom_pruned /
     # join_salted_skew — displaced by the seven session-4 additions —
     # layout_zorder_key / sim_search_ivf / sim_search_lsh /

@@ -1111,3 +1111,93 @@ def q_graph_clustering_coeff(spark, sf_dir):
         F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6)
         .alias("transitivity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11 session 4: per-seed closeness + harmonic centrality — the
+# traversal metric family next to graph_bfs_hops (which aggregates one
+# multi-source reach; this keeps distances PER SOURCE).
+
+_CLOSE_SEEDS = 4
+
+_CLOSENESS_ORACLE = f"""
+WITH RECURSIVE {_COOC_EDGES_SQL},
+bidir AS (
+  SELECT u AS node, v AS nbr FROM edges
+  UNION ALL
+  SELECT v AS node, u AS nbr FROM edges
+), seeds AS (
+  SELECT node FROM (SELECT DISTINCT node FROM bidir) t
+  ORDER BY node LIMIT {_CLOSE_SEEDS}
+), reach(src, node, dist) AS (
+  SELECT node, node, 0 FROM seeds
+  UNION
+  SELECT r.src, b.nbr, r.dist + 1
+  FROM reach r JOIN bidir b ON b.node = r.node
+  WHERE r.dist < {_BFS_MAX_HOPS}
+), best AS (
+  SELECT src, node, min(dist) AS dist FROM reach GROUP BY src, node
+), byd AS (
+  SELECT src, dist, count(*) AS cnt FROM best WHERE dist > 0
+  GROUP BY src, dist
+)
+SELECT src,
+       CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n_reached,
+       CAST(COALESCE(SUM(dist * cnt), 0) AS BIGINT) AS sum_dist,
+       round(CAST(SUM(cnt) AS DOUBLE) / SUM(dist * cnt), 6) AS closeness,
+       round(CAST(SUM(CAST(round(CAST(cnt AS DOUBLE) / dist, 8)
+                           AS DECIMAL(18,8))) AS DOUBLE), 6) AS harmonic
+FROM byd GROUP BY src
+"""
+
+
+@query("graph_closeness_centrality", oracle=_CLOSENESS_ORACLE)
+def q_graph_closeness_centrality(spark, sf_dir):
+    """Closeness ((n-1)/SUM d, the bounded-horizon variant) and harmonic
+    centrality (SUM 1/d — defined even with unreachable nodes) for the
+    {seeds} smallest user ids over the hub-capped co-occurrence graph,
+    horizon {hops} hops.  One frontier-loop BFS per seed reusing
+    ``bfs_hops`` (hop joins are node-keyed equi-joins; seeds are a
+    model-sized driver list, never a row collect).  Distances collapse
+    to the (seed, dist) histogram — at most {hops} rows per seed — so
+    the 1/d fold is a decimal sum over an aggregate-sized relation.
+    Reference basis: reach/influence ranking over the splitter's event
+    stream (docs/architecture.md:113-118), extending graph_bfs_hops.
+    """.format(seeds=_CLOSE_SEEDS, hops=_BFS_MAX_HOPS)
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    edges = _cooc_edges(ev)
+    bidir = (
+        edges.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+        .unionAll(edges.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+        .persist()
+    )
+    seed_rows = (
+        bidir.select("node").distinct().orderBy("node").limit(_CLOSE_SEEDS).collect()
+    )
+    spark_ = bidir.sparkSession
+    per_seed = []
+    for r in seed_rows:
+        seed_df = spark_.createDataFrame([(r["node"],)], "node long")
+        visited = bfs_hops(bidir, seed_df, _BFS_MAX_HOPS)
+        per_seed.append(
+            visited.filter(F.col("dist") > 0)
+            .groupBy("dist")
+            .agg(F.count("*").alias("cnt"))
+            .select(F.lit(r["node"]).cast("long").alias("src"), "dist", "cnt")
+        )
+    byd = per_seed[0]
+    for df in per_seed[1:]:
+        byd = byd.unionAll(df)
+    bidir.unpersist()
+    cnt, dist = F.col("cnt"), F.col("dist")
+    return byd.groupBy("src").agg(
+        F.coalesce(F.sum(cnt), F.lit(0)).cast("bigint").alias("n_reached"),
+        F.coalesce(F.sum(dist * cnt), F.lit(0)).cast("bigint").alias("sum_dist"),
+        F.round(F.sum(cnt).cast("double") / F.sum(dist * cnt), 6).alias("closeness"),
+        F.round(
+            F.sum(
+                F.round(cnt.cast("double") / dist, 8).cast("decimal(18,8)")
+            ).cast("double"),
+            6,
+        ).alias("harmonic"),
+    )

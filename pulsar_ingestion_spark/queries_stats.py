@@ -3335,3 +3335,249 @@ def q_stats_friedman(spark, sf_dir):
             6,
         ).alias("q_statistic"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11 session 4 (cont.): Anderson-Darling goodness-of-fit — the
+# tail-weighted companion of stats_ks_uniform (AD puts weight 1/[F(1-F)]
+# on the tails, where KS is least sensitive).
+
+_AD_SCALE = 500.0
+
+_AD_ORACLE = f"""
+WITH pervalue AS (
+  SELECT value, count(*) AS c FROM events
+  WHERE value > 0 AND value < {_AD_SCALE} GROUP BY value
+), cum AS (
+  SELECT value, c,
+         SUM(c) OVER (ORDER BY value
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+         SUM(c) OVER () AS n
+  FROM pervalue
+), terms AS (
+  SELECT n,
+         -- SUM(2i-1) over a tie run = cc^2 - (cc-c)^2; the mirrored
+         -- SUM(2n+1-2j) = c(2n+1) - (cc^2 + cc - (cc-c)^2 - (cc-c))
+         (cc * cc - (cc - c) * (cc - c)) AS w1,
+         (c * (2 * n + 1) - (cc * cc + cc - (cc - c) * (cc - c) - (cc - c))) AS w2,
+         CAST(round(ln(value / {_AD_SCALE}), 8) AS DECIMAL(18,8)) AS lnf,
+         CAST(round(ln(1 - value / {_AD_SCALE}), 8) AS DECIMAL(18,8)) AS lnr
+  FROM cum
+)
+SELECT CAST(max(n) AS BIGINT) AS n,
+       round(-CAST(max(n) AS DOUBLE)
+             - CAST(SUM(w1 * lnf + w2 * lnr) AS DOUBLE) / max(n), 4)
+         AS a_squared
+FROM terms
+"""
+
+
+@query("stats_anderson_darling_uniform", oracle=_AD_ORACLE)
+def q_stats_anderson_darling_uniform(spark, sf_dir):
+    """Anderson-Darling A^2 against Uniform(0, 500) from per-distinct-
+    value grouped counts: the order-statistic sum folds per tie run
+    (SUM of 2i-1 over a run telescopes to cc^2 - (cc-c)^2, its mirror to
+    c(2n+1) - (cc^2+cc-(cc-c)^2-(cc-c))), so the plan is the SAME
+    collapse + range-partitioned running count as stats_ks_uniform —
+    never a per-row rank.  ln terms are rounded to 8 dp (the
+    ml_mutual_info libm discipline) and multiplied by exact integer
+    weights in DECIMAL, so the sum is order-independent."""
+    from pulsar_ingestion_spark.operators.ranking import keyed_running_sums
+
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    pervalue = (
+        ev.filter((F.col("value") > 0) & (F.col("value") < _AD_SCALE))
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("k", F.lit(1))
+    )
+    cum, tot = keyed_running_sums(pervalue, ["k"], [F.col("value")], ["c"])
+    j = cum.crossJoin(F.broadcast(tot.select(F.col("total_c").alias("n"))))
+    cc, c, n = F.col("cum_c"), F.col("c"), F.col("n")
+    prev = cc - c
+    w1 = cc * cc - prev * prev
+    w2 = c * (2 * n + 1) - (cc * cc + cc - prev * prev - prev)
+    lnf = F.round(F.log(F.col("value") / _AD_SCALE), 8).cast("decimal(18,8)")
+    lnr = F.round(F.log(1 - F.col("value") / _AD_SCALE), 8).cast("decimal(18,8)")
+    terms = j.select(n.alias("n"), (w1 * lnf + w2 * lnr).alias("t"))
+    return terms.agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.round(
+            -F.max("n").cast("double") - F.sum("t").cast("double") / F.max("n"), 4
+        ).alias("a_squared"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Circular statistics of event hour-of-day — mean direction + resultant
+# length (the correct average for wrap-around quantities; a 23:00/01:00
+# mix must average to midnight, not noon).
+
+_CIRC_ORACLE = """
+WITH byhour AS (
+  SELECT event_type, hour(ts) AS h, count(*) AS c FROM events GROUP BY 1, 2
+), t AS (
+  SELECT event_type, c,
+         CAST(round(sin(2 * pi() * h / 24), 8) AS DECIMAL(18,8)) AS s,
+         CAST(round(cos(2 * pi() * h / 24), 8) AS DECIMAL(18,8)) AS co
+  FROM byhour
+), m AS (
+  SELECT event_type, SUM(c) AS n,
+         CAST(SUM(c * s) AS DOUBLE) AS ss, CAST(SUM(c * co) AS DOUBLE) AS sc
+  FROM t GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       round(sqrt(ss * ss + sc * sc) / n, 6) AS resultant_r,
+       round(((atan2(ss, sc) + 2 * pi()) % (2 * pi())) / (2 * pi()) * 24, 4)
+         AS mean_hour
+FROM m
+"""
+
+
+@query("events_circular_hour_stats", oracle=_CIRC_ORACLE)
+def q_events_circular_hour_stats(spark, sf_dir):
+    """Circular mean hour and resultant length R per event type: hours
+    collapse to 24 buckets per type (one partial-agg shuffle), the 24
+    unit vectors are rounded to 8 dp (libm sin/cos discipline) and
+    weighted by exact integer counts in DECIMAL, so the vector sum is
+    order-independent; atan2/sqrt run once per GROUP on identical
+    doubles.  R near 1 = concentrated traffic, near 0 = uniform."""
+    import math
+
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    byhour = ev.groupBy("event_type", F.hour("ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    ang = 2 * math.pi * F.col("h") / 24
+    t = byhour.select(
+        "event_type",
+        "c",
+        F.round(F.sin(ang), 8).cast("decimal(18,8)").alias("s"),
+        F.round(F.cos(ang), 8).cast("decimal(18,8)").alias("co"),
+    )
+    m = t.groupBy("event_type").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.col("s")).cast("double").alias("ss"),
+        F.sum(F.col("c") * F.col("co")).cast("double").alias("sc"),
+    )
+    n, ss, sc = F.col("n"), F.col("ss"), F.col("sc")
+    two_pi = 2 * math.pi
+    return m.select(
+        "event_type",
+        n.cast("bigint").alias("n"),
+        F.round(F.sqrt(ss * ss + sc * sc) / n, 6).alias("resultant_r"),
+        F.round(
+            ((F.atan2(ss, sc) + two_pi) % two_pi) / two_pi * 24, 4
+        ).alias("mean_hour"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theil's uncertainty coefficient — the asymmetric, normalized
+# association measure (how much knowing Y reduces uncertainty about X),
+# completing the categorical-association family next to stats_cramers_v
+# (symmetric, chi-square-based) and ml_mutual_info (unnormalized).
+
+_THEIL_U_ORACLE = """
+WITH binned AS (
+  SELECT event_type AS x, least(CAST(floor(value / 50) AS BIGINT), 9) AS y
+  FROM events
+), joint AS (
+  SELECT x, y, count(*) AS nxy FROM binned GROUP BY x, y
+), tot AS (
+  SELECT SUM(nxy) AS n FROM joint
+), margx AS (
+  SELECT x, SUM(nxy) AS nx FROM joint GROUP BY x
+), margy AS (
+  SELECT y, SUM(nxy) AS ny FROM joint GROUP BY y
+), hx AS (
+  SELECT -CAST(SUM(CAST(round(CAST(nx AS DOUBLE) / n * ln(CAST(nx AS DOUBLE) / n), 8)
+                        AS DECIMAL(18,8))) AS DOUBLE) AS h
+  FROM margx, tot
+), hy AS (
+  SELECT -CAST(SUM(CAST(round(CAST(ny AS DOUBLE) / n * ln(CAST(ny AS DOUBLE) / n), 8)
+                        AS DECIMAL(18,8))) AS DOUBLE) AS h
+  FROM margy, tot
+), hxgy AS (
+  SELECT -CAST(SUM(CAST(round(CAST(nxy AS DOUBLE) / n
+                              * ln(CAST(nxy AS DOUBLE) / ny), 8)
+                        AS DECIMAL(18,8))) AS DOUBLE) AS h
+  FROM joint JOIN margy USING (y), tot
+), hygx AS (
+  SELECT -CAST(SUM(CAST(round(CAST(nxy AS DOUBLE) / n
+                              * ln(CAST(nxy AS DOUBLE) / nx), 8)
+                        AS DECIMAL(18,8))) AS DOUBLE) AS h
+  FROM joint JOIN margx USING (x), tot
+)
+SELECT round(hx.h, 6) AS h_x, round(hy.h, 6) AS h_y,
+       round((hx.h - hxgy.h) / hx.h, 6) AS u_x_given_y,
+       round((hy.h - hygx.h) / hy.h, 6) AS u_y_given_x
+FROM hx, hy, hxgy, hygx
+"""
+
+
+@query("stats_theil_u", oracle=_THEIL_U_ORACLE)
+def q_stats_theil_u(spark, sf_dir):
+    """Theil's U in both directions over (event type, value decile):
+    U(X|Y) = (H(X) - H(X|Y)) / H(X).  The stream collapses once to the
+    |types| x 10 contingency relation; marginals re-aggregate from it
+    (never from rows); every entropy term is one IEEE expression over
+    exact integer counts rounded to 8 dp and decimal-summed (the
+    ml_mutual_info libm discipline).  Asymmetry is the point: a
+    many-to-one mapping gives U(Y|X) near 1 with U(X|Y) small."""
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    binned = ev.select(
+        F.col("event_type").alias("x"),
+        F.least(F.floor(F.col("value") / 50).cast("bigint"), F.lit(9)).alias("y"),
+    )
+    joint = binned.groupBy("x", "y").agg(F.count(F.lit(1)).alias("nxy"))
+    joint = joint.persist()
+    margx = joint.groupBy("x").agg(F.sum("nxy").alias("nx"))
+    margy = joint.groupBy("y").agg(F.sum("nxy").alias("ny"))
+    tot = joint.agg(F.sum("nxy").alias("n"))
+
+    def _ent(df, cnt):
+        p = F.col(cnt).cast("double") / F.col("n")
+        return df.crossJoin(F.broadcast(tot)).select(
+            F.round(p * F.log(p), 8).cast("decimal(18,8)").alias("t")
+        ).agg((-F.sum("t").cast("double")).alias("h"))
+
+    hx = _ent(margx, "nx")
+    hy = _ent(margy, "ny")
+    hxgy = (
+        joint.join(F.broadcast(margy), "y")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                (F.col("nxy").cast("double") / F.col("n"))
+                * F.log(F.col("nxy").cast("double") / F.col("ny")),
+                8,
+            ).cast("decimal(18,8)").alias("t")
+        )
+        .agg((-F.sum("t").cast("double")).alias("h"))
+    )
+    hygx = (
+        joint.join(F.broadcast(margx), "x")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                (F.col("nxy").cast("double") / F.col("n"))
+                * F.log(F.col("nxy").cast("double") / F.col("nx")),
+                8,
+            ).cast("decimal(18,8)").alias("t")
+        )
+        .agg((-F.sum("t").cast("double")).alias("h"))
+    )
+    out = (
+        hx.select(F.col("h").alias("hx"))
+        .crossJoin(hy.select(F.col("h").alias("hy")))
+        .crossJoin(hxgy.select(F.col("h").alias("hxgy")))
+        .crossJoin(hygx.select(F.col("h").alias("hygx")))
+        .select(
+            F.round(F.col("hx"), 6).alias("h_x"),
+            F.round(F.col("hy"), 6).alias("h_y"),
+            F.round((F.col("hx") - F.col("hxgy")) / F.col("hx"), 6).alias("u_x_given_y"),
+            F.round((F.col("hy") - F.col("hygx")) / F.col("hy"), 6).alias("u_y_given_x"),
+        )
+    )
+    return out

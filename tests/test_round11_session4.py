@@ -1,6 +1,7 @@
-"""Round-11 session-4 invariants: brute-force twins for the seven new
+"""Round-11 session-4 invariants: brute-force twins for the eleven new
 queries (Kendall tau-b, log-rank, Friedman, regression scorecard,
-2-D skyline, null profile, weighted median).
+2-D skyline, null profile, weighted median, Anderson-Darling,
+circular hour stats, Theil's U, closeness centrality).
 
 Each test recomputes the statistic with an INDEPENDENT in-memory
 algorithm (itertools / pandas), not a third SQL engine — catching
@@ -188,3 +189,105 @@ def test_weighted_median_brute_force(spark):
         assert row["weighted_median_price"] == med
         # the median is an observed price of the group
         assert med in set(grp["l_extendedprice"])
+
+
+def test_anderson_darling_brute_force(spark):
+    out = _run(spark, "stats_anderson_darling_uniform").iloc[0]
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    xs = sorted(v for v in ev["value"] if 0 < v < 500)
+    n = len(xs)
+    s = 0.0
+    for i, x in enumerate(xs, start=1):
+        f = x / 500.0
+        fr = xs[n - i] / 500.0
+        s += (2 * i - 1) * (round(math.log(f), 8) + round(math.log(1 - fr), 8))
+    a2 = -n - s / n
+    assert out["n"] == n
+    assert abs(out["a_squared"] - round(a2, 4)) <= 2e-4
+
+
+def test_circular_hour_stats_brute_force(spark):
+    out = _run(spark, "events_circular_hour_stats").set_index("event_type")
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    hours = ev["ts"].dt.hour
+    for et, grp in ev.assign(h=hours).groupby("event_type"):
+        ss = sum(round(math.sin(2 * math.pi * h / 24), 8) for h in grp["h"])
+        sc = sum(round(math.cos(2 * math.pi * h / 24), 8) for h in grp["h"])
+        n = len(grp)
+        row = out.loc[et]
+        assert row["n"] == n
+        assert abs(row["resultant_r"] - math.hypot(ss, sc) / n) <= 1e-4
+        mh = ((math.atan2(ss, sc) + 2 * math.pi) % (2 * math.pi)) / (2 * math.pi) * 24
+        assert abs(row["mean_hour"] - mh) <= 1e-3
+        assert 0.0 <= row["resultant_r"] <= 1.0
+        assert 0.0 <= row["mean_hour"] < 24.0
+
+
+def test_theil_u_brute_force(spark):
+    from collections import Counter
+
+    out = _run(spark, "stats_theil_u").iloc[0]
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    xs = ev["event_type"]
+    ys = [min(int(v // 50), 9) for v in ev["value"]]
+    n = len(xs)
+    cx, cy, cxy = Counter(xs), Counter(ys), Counter(zip(xs, ys))
+
+    def ent(counter):
+        return -sum((c / n) * math.log(c / n) for c in counter.values())
+
+    hx, hy = ent(cx), ent(cy)
+    hxgy = -sum((c / n) * math.log(c / cy[y]) for (x, y), c in cxy.items())
+    hygx = -sum((c / n) * math.log(c / cx[x]) for (x, y), c in cxy.items())
+    assert abs(out["h_x"] - hx) <= 1e-5
+    assert abs(out["h_y"] - hy) <= 1e-5
+    assert abs(out["u_x_given_y"] - (hx - hxgy) / hx) <= 1e-5
+    assert abs(out["u_y_given_x"] - (hy - hygx) / hy) <= 1e-5
+    # uncertainty coefficients live in [0, 1]
+    assert -1e-9 <= out["u_x_given_y"] <= 1.0
+    assert -1e-9 <= out["u_y_given_x"] <= 1.0
+
+
+def test_closeness_centrality_brute_force(spark):
+    from collections import defaultdict, deque
+    import hashlib
+
+    out = _run(spark, "graph_closeness_centrality").set_index("src")
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev = ev.assign(
+        hr=(ev["ts"].astype("datetime64[us]").astype("int64") // (300 * 10**6))
+    )
+    adj = defaultdict(set)
+    for (_, _), grp in ev.groupby(["event_type", "hr"]):
+        users = sorted(
+            set(grp["user_id"]),
+            key=lambda u: (int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16), u),
+        )[:64]
+        for a, b in itertools.combinations(sorted(users), 2):
+            adj[a].add(b)
+            adj[b].add(a)
+    seeds = sorted(adj)[:4]
+    for s in seeds:
+        dist = {s: 0}
+        dq = deque([s])
+        while dq:
+            u = dq.popleft()
+            if dist[u] >= 4:
+                continue
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    dq.append(v)
+        byd: dict[int, int] = {}
+        for v, d in dist.items():
+            if d > 0:
+                byd[d] = byd.get(d, 0) + 1
+        row = out.loc[s]
+        assert row["n_reached"] == sum(byd.values())
+        assert row["sum_dist"] == sum(d * c for d, c in byd.items())
+        harm = sum(round(c / d, 8) for d, c in byd.items())
+        assert abs(row["harmonic"] - round(harm, 6)) <= 1e-6
+        assert abs(
+            row["closeness"]
+            - round(sum(byd.values()) / sum(d * c for d, c in byd.items()), 6)
+        ) <= 1e-6

@@ -189,6 +189,27 @@ Grammar v13 additions (round 11, third pass cont.):
   engines, NULL propagates);
 * datediff in days between a date literal and a cast timestamp column.
 
+Grammar v17 additions (round 11, fourth pass):
+
+* integer division (Spark ``div`` = DuckDB ``//`` — BOTH truncate
+  toward zero, probed on negative dividends/divisors) and integer
+  modulo with NONZERO literal divisors (both engines keep the sign of
+  the dividend — Java and C semantics agree; a zero divisor RAISES
+  under ANSI Spark and in DuckDB, excluded by construction);
+* md5 / sha256 digests of grammar strings (lowercase hex on both
+  engines — the portable-hash discipline the dedup family rides,
+  probed bit-identical) and hex() of integer expressions (UPPERCASE,
+  no zero-pad, two's-complement 16-digit form for negatives on BOTH
+  engines incl. hex(-1) and hex(0) — probed);
+* dayofyear / weekofyear date parts (ISO week on both engines,
+  probed across the week-53 boundary: weekofyear('2027-01-01') = 53
+  both);
+* bit_and / bit_or / bit_xor AGGREGATES over integer expressions
+  (exact two's-complement folds, order-independent);
+* nth_value(order-expr, n) over the full frame — tie-stable because
+  ties carry equal values, so position n's value is invariant under
+  peer permutation (the v12 offset-function rule applied to frames).
+
 Grammar v16 additions (round 11, third pass cont.):
 
 * sqrt under min/max (IEEE-correctly-rounded on both engines — unlike
@@ -344,7 +365,10 @@ def int_exprs(depth: int = 3, ns=_LI_NS):
             # excluded — Spark Sunday=1 vs DuckDB Sunday=0)
             [st.tuples(st.just("datepart"),
                        st.sampled_from(["year", "month", "day", "hour",
-                                        "quarter"]),
+                                        "quarter",
+                                        # v17: ISO parts (probed incl.
+                                        # the week-53 boundary)
+                                        "dayofyear", "weekofyear"]),
                        st.sampled_from(ns["tss"]))]
             if ns["tss"]
             else []
@@ -405,6 +429,12 @@ def int_exprs(depth: int = 3, ns=_LI_NS):
             if ns["tss"]
             else []
         ),
+        # v17: integer division / modulo with NONZERO literal divisors —
+        # Spark div = DuckDB // (trunc toward zero) and % keeps the
+        # dividend's sign on both (probed); a zero divisor raises on
+        # both engines, excluded by construction
+        st.tuples(st.sampled_from(["idiv", "imod"]), sub,
+                  st.sampled_from([-7, -3, -2, 2, 3, 5, 7])),
     )
 
 
@@ -501,6 +531,12 @@ def str_exprs(depth: int = 2, ns=_LI_NS):
         # [i+1] (1-based, NULL OOR); getItem would RAISE under ANSI
         st.tuples(st.just("selem"), sub, st.sampled_from([" ", "a", "e"]),
                   st.integers(min_value=0, max_value=4)),
+        # v17: portable digests (lowercase hex both engines) + hex() of
+        # an integer expression (uppercase, no zero-pad, 16-digit
+        # two's-complement for negatives — probed identical)
+        st.tuples(st.just("md5h"), sub),
+        st.tuples(st.just("sha256h"), sub),
+        st.tuples(st.just("ihex"), int_exprs(depth - 1, ns)),
     )
 
 
@@ -589,6 +625,10 @@ def agg_specs(ns=_LI_NS):
         # keeps them), sort AFTER aggregation per finding #4
         st.tuples(st.just("ljoin"), int_exprs(1, ns),
                   st.integers(min_value=1, max_value=6)),
+        # v17: bitwise aggregates — exact two's-complement folds,
+        # order-independent, identical names on both engines
+        st.tuples(st.sampled_from(["abit_and", "abit_or", "abit_xor"]),
+                  int_exprs(1, ns)),
     ]
     if ns["dbls"]:
         opts += [
@@ -649,6 +689,9 @@ def win_funcs(ns=_LI_NS):
         # integer divisions, bit-identical doubles
         st.just(("wpct",)),
         st.just(("wcume",)),
+        # v17: nth_value of the ORDER EXPRESSION over the full frame —
+        # ties carry equal values, so position n is permutation-stable
+        st.tuples(st.just("wnth"), st.integers(min_value=1, max_value=4)),
     )
 
 
@@ -657,7 +700,8 @@ _SOURCES = [("li",), ("ij",), ("lj",), ("semi",), ("anti",), ("ev",), ("doc",)]
 # integer-valued aggregate ops: safe HAVING comparands (bigint both
 # sides; a NULL comparand — empty FILTER group — drops the row on both)
 _INT_AGGS = {"count_star", "count", "countd", "min", "max", "sum",
-             "fcnt", "fsumi", "fmaxi"}
+             "fcnt", "fsumi", "fmaxi",
+             "abit_and", "abit_or", "abit_xor"}
 
 # correlated scalar subquery inner aggregates (grammar v6): orders
 # aggregated per outer l_orderkey.  count over an empty group is 0 on
@@ -921,7 +965,8 @@ def _sp_int(e):
         return F.unix_micros(F.col(e[1])) % F.lit(1_000_000_000).cast("long")
     if op == "datepart":
         fn = {"year": F.year, "month": F.month, "day": F.dayofmonth,
-              "hour": F.hour, "quarter": F.quarter}[e[1]]
+              "hour": F.hour, "quarter": F.quarter,
+              "dayofyear": F.dayofyear, "weekofyear": F.weekofyear}[e[1]]
         return fn(F.col(e[2])).cast("long")
     if op == "jint":
         return F.get_json_object(F.col(e[1]), f"$.{e[2]}").cast("long")
@@ -966,6 +1011,11 @@ def _sp_int(e):
         return F.datediff(
             F.lit(e[2]).cast("date"), F.col(e[1]).cast("date")
         ).cast("long")
+    if op == "idiv":
+        # SQL `div` (IntegralDivide): trunc-toward-zero = DuckDB //
+        return F.call_function("div", _sp_int(e[1]), F.lit(e[2]).cast("long"))
+    if op == "imod":
+        return _sp_int(e[1]) % F.lit(e[2]).cast("long")
     raise ValueError(op)
 
 
@@ -1026,6 +1076,14 @@ def _sp_str(e):
         # F.get: NULL out-of-range (getItem RAISES under ANSI — the v12
         # error-vs-value exclusion)
         return F.get(F.split(_sp_str(e[1]), e[2]), e[3])
+    if op == "md5h":
+        # encode() rather than a string->binary cast: explicit UTF-8
+        # bytes on both engines (DuckDB md5 hashes the UTF-8 encoding)
+        return F.md5(F.encode(_sp_str(e[1]), "UTF-8"))
+    if op == "sha256h":
+        return F.sha2(_sp_str(e[1]), 256)
+    if op == "ihex":
+        return F.hex(_sp_int(e[1]))
     raise ValueError(op)
 
 
@@ -1094,6 +1152,10 @@ def _sp_agg(a):
         return F.array_join(
             F.slice(F.sort_array(F.collect_list(_sp_int(a[1]))), 1, a[2]), ","
         )
+    if op in ("abit_and", "abit_or", "abit_xor"):
+        fn = {"abit_and": F.bit_and, "abit_or": F.bit_or,
+              "abit_xor": F.bit_xor}[op]
+        return fn(_sp_int(a[1]))
     if op in ("minsqrt", "maxsqrt"):
         fn = F.min if op == "minsqrt" else F.max
         return fn(F.sqrt(F.col(a[1])))
@@ -1299,6 +1361,11 @@ def compile_spark(plan, spark, sf_dir: str):
         elif wf[0] in ("wpct", "wcume"):
             fn = F.percent_rank if wf[0] == "wpct" else F.cume_dist
             c = fn().over(w)
+        elif wf[0] == "wnth":
+            # v17: nth_value of the ORDER EXPRESSION, full frame
+            c = F.nth_value(okey, wf[1]).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+            ).cast("long")
         else:
             fn = {"wsum": F.sum, "wmin": F.min, "wcount": F.count}[wf[0]]
             c = fn(_sp_int(wf[1])).over(w)
@@ -1375,6 +1442,11 @@ def _dk_int(e) -> str:
         return (
             f"CAST(datediff('day', CAST({e[1]} AS DATE), DATE '{e[2]}') AS BIGINT)"
         )
+    if op == "idiv":
+        # // truncates toward zero in DuckDB = Spark's `div` (probed)
+        return f"({_dk_int(e[1])} // CAST({e[2]} AS BIGINT))"
+    if op == "imod":
+        return f"({_dk_int(e[1])} % CAST({e[2]} AS BIGINT))"
     raise ValueError(op)
 
 
@@ -1436,6 +1508,14 @@ def _dk_str(e) -> str:
     if op == "selem":
         # 1-based element access, NULL out-of-range (the twin of F.get)
         return f"(regexp_split_to_array({_dk_str(e[1])}, {_sql_slit(e[2])})[{e[3] + 1}])"
+    if op == "md5h":
+        # DuckDB md5 takes VARCHAR and hashes its UTF-8 bytes — the
+        # twin of Spark's md5(encode(s, 'UTF-8'))
+        return f"md5({_dk_str(e[1])})"
+    if op == "sha256h":
+        return f"sha256({_dk_str(e[1])})"
+    if op == "ihex":
+        return f"to_hex({_dk_int(e[1])})"
     raise ValueError(op)
 
 
@@ -1499,6 +1579,9 @@ def _dk_agg(a) -> str:
     if op in ("ball", "bany"):
         fn = "bool_and" if op == "ball" else "bool_or"
         return f"{fn}({_dk_pred(a[1])})"
+    if op in ("abit_and", "abit_or", "abit_xor"):
+        fn = op[1:]  # identical names on both engines
+        return f"CAST({fn}({_dk_int(a[1])}) AS BIGINT)"
     if op == "medi":
         return f"CAST(median({_dk_int(a[1])}) AS DOUBLE)"
     if op == "quanti":
@@ -1847,6 +1930,14 @@ def compile_sql(plan) -> str:
             # v13: rank-based distribution functions (tie-stable doubles)
             fn = "percent_rank" if wf[0] == "wpct" else "cume_dist"
             parts.append(f"{fn}() OVER ({over}) AS w{i}")
+        elif wf[0] == "wnth":
+            # v17: nth_value of the ORDER EXPRESSION, full frame
+            expr = (
+                f"CAST(nth_value({_dk_int(oexpr)}, {wf[1]}) OVER ({over} "
+                f"ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+                f" AS BIGINT)"
+            )
+            parts.append(f"{expr} AS w{i}")
         else:
             fn = {"wsum": "sum", "wmin": "min", "wcount": "count"}[wf[0]]
             expr = f"{fn}({_dk_int(wf[1])}) OVER ({over} {frame})"
@@ -1856,7 +1947,7 @@ def compile_sql(plan) -> str:
     return f"SELECT {', '.join(parts)} FROM {frm}{w}"
 
 
-_INT_OPS = {"icol", "ilit", "add", "sub", "mul", "abs", "case", "nullif", "len", "epochus", "jint", "strpos", "datepart", "great", "least", "trycast", "ddiff", "band", "bor", "bxor", "shl", "shr", "cube3", "lev", "ascii", "bcount", "isign", "dfloor", "dceil"}
+_INT_OPS = {"icol", "ilit", "add", "sub", "mul", "abs", "case", "nullif", "len", "epochus", "jint", "strpos", "datepart", "great", "least", "trycast", "ddiff", "band", "bor", "bxor", "shl", "shr", "cube3", "lev", "ascii", "bcount", "isign", "dfloor", "dceil", "idiv", "imod"}
 
 
 def _is_int_expr(e) -> bool:
