@@ -1,0 +1,90 @@
+"""Streaming column profiling — the incremental twin of the batch
+``dq_null_profile`` query, with the merge algebra of each statistic
+chosen explicitly (the design lesson of streaming/sketches.py):
+
+* **row / null counts merge by ADD — not idempotent**, so the
+  maintainer keeps a batch-id high-watermark (the CMS discipline) and
+  the counts are EXACT for any micro-batch cut: they equal the batch
+  profile of the union of the delivered batches.
+* **distinct cardinality is NOT add-mergeable with bounded state**
+  (a value seen in two batches must not count twice), so the profiler
+  delegates to the portable-HLL register max-merge
+  (:class:`~pulsar_ingestion_spark.streaming.sketches.HllStreamMaintainer`)
+  — idempotent, replay-proof, and equal to the batch HLL estimate of
+  the same rows at any cut.
+* **the modal value is not mergeable at all** (two batch modes say
+  nothing about the union's mode), so the profiler maintains a
+  Misra-Gries candidate set per column
+  (:class:`~pulsar_ingestion_spark.streaming.sketches.MgStreamMaintainer`):
+  a guaranteed superset of every value with frequency > n/(budget+1),
+  feeding the exact phase-2 recount exactly as ``sketch_heavy_hitters``
+  does in batch.
+
+Per batch this composition runs 1 + 2·|cols| Spark actions (one fused
+counts aggregate, then one HLL collapse and one MG summarizer pass per
+column).  At 100 TB the three passes fuse into ONE unpivoted
+``(col, value)`` scan — per-(col, bucket) max-rho for HLL and
+per-partition MG summaries keyed by column ride the same shuffle as
+the counts; the per-column delegation here keeps the tested sketch
+machinery shared with the batch queries, which is what the equivalence
+tests pin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pulsar_ingestion_spark.streaming.sketches import (
+    HllStreamMaintainer,
+    MgStreamMaintainer,
+)
+
+
+class ProfileStreamMaintainer:
+    """foreachBatch target maintaining a per-column profile (row count,
+    null count, HLL distinct estimate, MG modal-candidate set) over
+    ``cols``."""
+
+    def __init__(self, cols: list[str], mg_budget: int = 64):
+        self.cols = list(cols)
+        self.n_rows = 0
+        self.n_null: dict[str, int] = {c: 0 for c in self.cols}
+        self._hll = {c: HllStreamMaintainer(c) for c in self.cols}
+        self._mg = {c: MgStreamMaintainer(c, budget=mg_budget) for c in self.cols}
+        self.last_batch = -1
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        if int(batch_id) <= self.last_batch:
+            return  # at-least-once replay: counts/MG add-merge, skip whole batch
+        strs = batch_df.select(
+            *[F.col(c).cast("string").alias(c) for c in self.cols]
+        )
+        counts = strs.agg(
+            F.count(F.lit(1)).alias("_n"),
+            *[F.count(F.col(c)).alias(c) for c in self.cols],
+        ).first()
+        self.n_rows += int(counts["_n"])
+        for c in self.cols:
+            self.n_null[c] += int(counts["_n"]) - int(counts[c])
+            # sub-maintainers guard on their own last_batch; pass ours
+            # through so their watermark stays in lockstep
+            self._hll[c](strs, batch_id)
+            self._mg[c](strs, batch_id)
+        self.last_batch = int(batch_id)
+
+    def profile(self) -> dict[str, dict]:
+        """Per-column snapshot: exact counts, HLL distinct estimate,
+        and the MG modal-candidate set (superset of every value with
+        frequency > non-null/(min_budget+1) — recount for the exact
+        mode, as the batch query's top_freq does exactly)."""
+        return {
+            c: {
+                "n_rows": self.n_rows,
+                "n_null": self.n_null[c],
+                "distinct_est": self._hll[c].estimate(),
+                "modal_candidates": self._mg[c].candidates(),
+                "mg_error_bound": self._mg[c].error_bound(),
+            }
+            for c in self.cols
+        }

@@ -277,6 +277,7 @@ STREAMING_ONLY = [
     ("streaming MG heavy-hitters maintenance (mergeable summaries, provable undercount bound, batch-id replay guard)", "tests/test_streaming_sketches.py::test_mg_stream_exact_when_vocab_fits_budget_any_cut"),
     ("streaming IVF index maintenance (pinned-centroid cell upkeep, batch-cut equivalent search)", "tests/test_streaming_ivf_index.py"),
     ("streaming sign-LSH ANN index maintenance (incremental bucket upkeep, batch-cut equivalent search)", "tests/test_streaming_ann_index.py"),
+    ("streaming column profiler (exact add-merged counts, HLL distinct, MG modal candidates — per-statistic merge algebra)", "tests/test_streaming_profile.py"),
 ]
 
 
