@@ -110,6 +110,17 @@ HEADLINE = [
     "stats_welch_ttest",
     "privacy_t_closeness",
     "multimodal_dedup_bytes",
+    # round 11 session 4: skyline (sort-scan vs quadratic oracle),
+    # weighted median (range-partitioned running sums), regression
+    # scorecard (one-pass decimal moments), Anderson-Darling
+    # (collapse + running counts), Theil's U (contingency entropies),
+    # column profile (unpivot + two-level agg)
+    "rank_skyline_2d",
+    "agg_weighted_median",
+    "ml_regression_metrics",
+    "stats_anderson_darling_uniform",
+    "stats_theil_u",
+    "dq_null_profile",
 ]
 
 
