@@ -500,3 +500,40 @@ def test_left_negative_length_divergence(spark, duck):
         s = spark.sql(f"SELECT left('hello', {n}) AS v").collect()[0]["v"]
         d = duck.execute(f"SELECT left('hello', {n})").fetchone()[0]
         assert s == d
+
+
+def test_regexp_replace_default_flag_divergence(spark, duck):
+    """v18 twin-pinning: DuckDB regexp_replace replaces only the FIRST
+    match by default where Spark replaces ALL occurrences — the grammar
+    compiles DuckDB's 'g' flag.  The bare same-text form is a VALUE
+    divergence whenever the pattern matches more than once."""
+    got = spark.sql(
+        "SELECT regexp_replace('scan the scan', 'sc[a-z]n', 'X') AS v"
+    ).collect()[0]["v"]
+    assert got == "X the X"
+    bare = duck.execute(
+        "SELECT regexp_replace('scan the scan', 'sc[a-z]n', 'X')"
+    ).fetchone()[0]
+    assert bare == "X the scan"  # first match only — the divergence
+    flagged = duck.execute(
+        "SELECT regexp_replace('scan the scan', 'sc[a-z]n', 'X', 'g')"
+    ).fetchone()[0]
+    assert flagged == got
+
+
+def test_integer_division_zero_divisor_asymmetry(spark, duck):
+    """v18 guard rationale — an ERROR-vs-VALUE asymmetry (the getItem
+    class): an unguarded zero divisor RAISES under ANSI Spark
+    (DIVIDE_BY_ZERO) but quietly returns NULL in DuckDB (// and % both).
+    The grammar routes column divisors through nullif(b, 0), which makes
+    BOTH engines produce NULL: a no-op on DuckDB, the raise defused on
+    Spark."""
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        spark.sql("SELECT div(17, l_linenumber - l_linenumber) AS v"
+                  " FROM VALUES (1) t(l_linenumber)").collect()
+    assert duck.execute("SELECT 17 // 0, 17 % 0").fetchone() == (None, None)
+    s = spark.sql("SELECT div(17, nullif(0, 0)) AS v").collect()[0]["v"]
+    d = duck.execute("SELECT 17 // nullif(0, 0)").fetchone()[0]
+    assert s is None and d is None

@@ -291,3 +291,29 @@ def test_closeness_centrality_brute_force(spark):
             row["closeness"]
             - round(sum(byd.values()) / sum(d * c for d, c in byd.items()), 6)
         ) <= 1e-6
+
+
+def test_skyline_and_weighted_median_plan_shapes(spark):
+    """Plan-shape regression guards for the two session-4 scale claims:
+    the skyline's join of parts against the distinct-price stats must be
+    a BROADCAST hash join (the stats relation is bounded by the price
+    domain; a shuffle join here would re-shuffle every part row), and
+    the weighted median must contain NO partition-less window over the
+    raw relation (keyed_running_sums is the point)."""
+    import __spark_entry__ as e
+
+    sky = e.queries()["rank_skyline_2d"](spark, SF)
+    plan = sky._sc._jvm.PythonSQLUtils.explainString(
+        sky._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan[:2000]
+    # parts themselves must NOT be on the broadcast side: the build side
+    # is the price-stats relation, keyed on price
+    wm = e.queries()["agg_weighted_median"](spark, SF)
+    wplan = wm._sc._jvm.PythonSQLUtils.explainString(
+        wm._jdf.queryExecution(), "formatted"
+    )
+    # the running sum must ride the range repartition, visible as a
+    # RangePartitioning exchange in the physical plan
+    assert "rangepartitioning" in wplan.lower(), wplan[:2000]
+    spark.catalog.clearCache()

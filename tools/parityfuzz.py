@@ -189,13 +189,37 @@ Grammar v13 additions (round 11, third pass cont.):
   engines, NULL propagates);
 * datediff in days between a date literal and a cast timestamp column.
 
+Grammar v18 additions (round 11, fourth pass cont.):
+
+* integer division/modulo with COLUMN divisors through a nullif(b, 0)
+  guard.  ERROR-vs-VALUE asymmetry (probed, the getItem class): a zero
+  divisor RAISES under ANSI Spark but quietly returns NULL in DuckDB
+  (// and % both) — the guard makes both engines emit NULL, pinned in
+  test_integer_division_zero_divisor_asymmetry;
+* chr() of 32 + |x| % 95 (printable ASCII; Spark char = DuckDB chr,
+  probed incl. the boundary chars 32/126);
+* regexp_replace over the v13 safe pattern subset.  VALUE-divergence
+  exclusion (probed): DuckDB regexp_replace replaces the FIRST match
+  only by default where Spark replaces ALL occurrences — the twin
+  compiles DuckDB's 'g' flag; the bare same-text form is pinned in
+  test_regexp_replace_default_flag_divergence;
+* split-array length: size(split(s, d)) = len(regexp_split_to_array)
+  (both count trailing empty fields identically — probed);
+* string MIN/MAX aggregates (byte order over the ASCII fixtures) and
+  COUNT(DISTINCT string-expr).
+* NOT encodable: ntile / row_number — both split peer rows by
+  partition-order position, so duplicate order keys make the output
+  multiset depend on the physical row order (the v7 tie rule's exact
+  failure mode; rank/dense_rank/percent_rank/cume_dist/nth_value stay
+  the encodable subset).
+
 Grammar v17 additions (round 11, fourth pass):
 
 * integer division (Spark ``div`` = DuckDB ``//`` — BOTH truncate
   toward zero, probed on negative dividends/divisors) and integer
   modulo with NONZERO literal divisors (both engines keep the sign of
-  the dividend — Java and C semantics agree; a zero divisor RAISES
-  under ANSI Spark and in DuckDB, excluded by construction);
+  the dividend — Java and C semantics agree; zero divisors excluded:
+  ANSI Spark RAISES where DuckDB returns NULL — pinned under v18);
 * md5 / sha256 digests of grammar strings (lowercase hex on both
   engines — the portable-hash discipline the dedup family rides,
   probed bit-identical) and hex() of integer expressions (UPPERCASE,
@@ -431,10 +455,17 @@ def int_exprs(depth: int = 3, ns=_LI_NS):
         ),
         # v17: integer division / modulo with NONZERO literal divisors —
         # Spark div = DuckDB // (trunc toward zero) and % keeps the
-        # dividend's sign on both (probed); a zero divisor raises on
-        # both engines, excluded by construction
+        # dividend's sign on both (probed); zero divisors excluded
+        # (Spark ANSI raises where DuckDB NULLs — the v18 pin)
         st.tuples(st.sampled_from(["idiv", "imod"]), sub,
                   st.sampled_from([-7, -3, -2, 2, 3, 5, 7])),
+        # v18: COLUMN divisors through nullif(b, 0) — zero divisor ->
+        # NULL on both engines (the error class guarded into a value)
+        st.tuples(st.sampled_from(["idivc", "imodc"]), sub, sub),
+        # v18: length of the split array (trailing empties counted
+        # identically — probed)
+        st.tuples(st.just("alen"), str_exprs(depth - 1, ns),
+                  st.sampled_from([" ", "a", "e"])),
     )
 
 
@@ -537,6 +568,14 @@ def str_exprs(depth: int = 2, ns=_LI_NS):
         st.tuples(st.just("md5h"), sub),
         st.tuples(st.just("sha256h"), sub),
         st.tuples(st.just("ihex"), int_exprs(depth - 1, ns)),
+        # v18: printable-ASCII chr (Spark char = DuckDB chr, probed)
+        st.tuples(st.just("schr"), int_exprs(depth - 1, ns)),
+        # v18: regexp_replace over the v13 safe pattern subset — the
+        # DuckDB twin carries the 'g' flag (bare DuckDB form replaces
+        # only the FIRST match; pinned divergence)
+        st.tuples(st.just("sregrep"), sub,
+                  st.sampled_from(["[a-z]+", "[0-9]+", "[aeiou]", "a[a-z]"]),
+                  st.sampled_from(["", "X", "_z"])),
     )
 
 
@@ -629,6 +668,10 @@ def agg_specs(ns=_LI_NS):
         # order-independent, identical names on both engines
         st.tuples(st.sampled_from(["abit_and", "abit_or", "abit_xor"]),
                   int_exprs(1, ns)),
+        # v18: string MIN/MAX (byte order on the ASCII fixtures, probed
+        # incl. leading space and mixed case) + COUNT(DISTINCT str)
+        st.tuples(st.sampled_from(["mins", "maxs", "countd_s"]),
+                  str_exprs(1, ns)),
     ]
     if ns["dbls"]:
         opts += [
@@ -701,7 +744,7 @@ _SOURCES = [("li",), ("ij",), ("lj",), ("semi",), ("anti",), ("ev",), ("doc",)]
 # sides; a NULL comparand — empty FILTER group — drops the row on both)
 _INT_AGGS = {"count_star", "count", "countd", "min", "max", "sum",
              "fcnt", "fsumi", "fmaxi",
-             "abit_and", "abit_or", "abit_xor"}
+             "abit_and", "abit_or", "abit_xor", "countd_s"}
 
 # correlated scalar subquery inner aggregates (grammar v6): orders
 # aggregated per outer l_orderkey.  count over an empty group is 0 on
@@ -1016,6 +1059,15 @@ def _sp_int(e):
         return F.call_function("div", _sp_int(e[1]), F.lit(e[2]).cast("long"))
     if op == "imod":
         return _sp_int(e[1]) % F.lit(e[2]).cast("long")
+    if op in ("idivc", "imodc"):
+        # v18: column divisor behind nullif(b, 0) — NULL on both engines
+        b = _sp_int(e[2])
+        guarded = F.when(b == 0, F.lit(None).cast("long")).otherwise(b)
+        if op == "idivc":
+            return F.call_function("div", _sp_int(e[1]), guarded)
+        return _sp_int(e[1]) % guarded
+    if op == "alen":
+        return F.size(F.split(_sp_str(e[1]), e[2])).cast("long")
     raise ValueError(op)
 
 
@@ -1084,6 +1136,10 @@ def _sp_str(e):
         return F.sha2(_sp_str(e[1]), 256)
     if op == "ihex":
         return F.hex(_sp_int(e[1]))
+    if op == "schr":
+        return F.char(32 + F.abs(_sp_int(e[1])) % 95)
+    if op == "sregrep":
+        return F.regexp_replace(_sp_str(e[1]), e[2], e[3])
     raise ValueError(op)
 
 
@@ -1156,6 +1212,10 @@ def _sp_agg(a):
         fn = {"abit_and": F.bit_and, "abit_or": F.bit_or,
               "abit_xor": F.bit_xor}[op]
         return fn(_sp_int(a[1]))
+    if op in ("mins", "maxs"):
+        return (F.min if op == "mins" else F.max)(_sp_str(a[1]))
+    if op == "countd_s":
+        return F.count_distinct(_sp_str(a[1]))
     if op in ("minsqrt", "maxsqrt"):
         fn = F.min if op == "minsqrt" else F.max
         return fn(F.sqrt(F.col(a[1])))
@@ -1447,6 +1507,14 @@ def _dk_int(e) -> str:
         return f"({_dk_int(e[1])} // CAST({e[2]} AS BIGINT))"
     if op == "imod":
         return f"({_dk_int(e[1])} % CAST({e[2]} AS BIGINT))"
+    if op in ("idivc", "imodc"):
+        sym = "//" if op == "idivc" else "%"
+        return f"({_dk_int(e[1])} {sym} nullif({_dk_int(e[2])}, 0))"
+    if op == "alen":
+        return (
+            f"CAST(len(regexp_split_to_array({_dk_str(e[1])},"
+            f" {_sql_slit(e[2])})) AS BIGINT)"
+        )
     raise ValueError(op)
 
 
@@ -1516,6 +1584,15 @@ def _dk_str(e) -> str:
         return f"sha256({_dk_str(e[1])})"
     if op == "ihex":
         return f"to_hex({_dk_int(e[1])})"
+    if op == "schr":
+        return f"chr(CAST(32 + abs({_dk_int(e[1])}) % 95 AS INTEGER))"
+    if op == "sregrep":
+        # 'g' flag: DuckDB replaces only the FIRST match by default
+        # where Spark replaces all (pinned divergence)
+        return (
+            f"regexp_replace({_dk_str(e[1])}, {_sql_slit(e[2])},"
+            f" {_sql_slit(e[3])}, 'g')"
+        )
     raise ValueError(op)
 
 
@@ -1582,6 +1659,10 @@ def _dk_agg(a) -> str:
     if op in ("abit_and", "abit_or", "abit_xor"):
         fn = op[1:]  # identical names on both engines
         return f"CAST({fn}({_dk_int(a[1])}) AS BIGINT)"
+    if op in ("mins", "maxs"):
+        return f"{'min' if op == 'mins' else 'max'}({_dk_str(a[1])})"
+    if op == "countd_s":
+        return f"count(DISTINCT {_dk_str(a[1])})"
     if op == "medi":
         return f"CAST(median({_dk_int(a[1])}) AS DOUBLE)"
     if op == "quanti":
@@ -1947,7 +2028,7 @@ def compile_sql(plan) -> str:
     return f"SELECT {', '.join(parts)} FROM {frm}{w}"
 
 
-_INT_OPS = {"icol", "ilit", "add", "sub", "mul", "abs", "case", "nullif", "len", "epochus", "jint", "strpos", "datepart", "great", "least", "trycast", "ddiff", "band", "bor", "bxor", "shl", "shr", "cube3", "lev", "ascii", "bcount", "isign", "dfloor", "dceil", "idiv", "imod"}
+_INT_OPS = {"icol", "ilit", "add", "sub", "mul", "abs", "case", "nullif", "len", "epochus", "jint", "strpos", "datepart", "great", "least", "trycast", "ddiff", "band", "bor", "bxor", "shl", "shr", "cube3", "lev", "ascii", "bcount", "isign", "dfloor", "dceil", "idiv", "imod", "idivc", "imodc", "alen"}
 
 
 def _is_int_expr(e) -> bool:
