@@ -255,6 +255,7 @@ _ROUND11_PREFIX: list[str] = [
     "events_circular_hour_stats",
     "stats_theil_u",
     "graph_closeness_centrality",
+    "ts_hurst_rs",
     # round-11 additions — first driver rows this round
     "ml_ks_separation",
     "ts_mk_trend",
@@ -298,8 +299,8 @@ _ROUND11_PREFIX: list[str] = [
     "emb_kmeans_lloyd",
     "emb_pca_power",
     "emb_pq_encode",
-    "emb_residual_quantize",
-    # (events_attribution_last_touch / events_dwell_percentiles /
+    # (emb_residual_quantize — displaced by ts_hurst_rs —
+    # events_attribution_last_touch / events_dwell_percentiles /
     # events_ltv_percentiles / events_markov_transitions — displaced by
     # the four batch-7 additions — events_pareto_share / events_path_topk / events_sessionize /
     # geo_grid_density / geo_nearest_poi / join_bloom_pruned /

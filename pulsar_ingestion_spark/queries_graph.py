@@ -1175,6 +1175,13 @@ def q_graph_closeness_centrality(spark, sf_dir):
         bidir.select("node").distinct().orderBy("node").limit(_CLOSE_SEEDS).collect()
     )
     spark_ = bidir.sparkSession
+    if not seed_rows:  # edgeless graph: zero rows, stable schema
+        bidir.unpersist()
+        return spark_.createDataFrame(
+            [],
+            "src long, n_reached long, sum_dist long, "
+            "closeness double, harmonic double",
+        )
     per_seed = []
     for r in seed_rows:
         seed_df = spark_.createDataFrame([(r["node"],)], "node long")

@@ -3356,10 +3356,12 @@ WITH pervalue AS (
   FROM pervalue
 ), terms AS (
   SELECT n,
-         -- SUM(2i-1) over a tie run = cc^2 - (cc-c)^2; the mirrored
-         -- SUM(2n+1-2j) = c(2n+1) - (cc^2 + cc - (cc-c)^2 - (cc-c))
-         (cc * cc - (cc - c) * (cc - c)) AS w1,
-         (c * (2 * n + 1) - (cc * cc + cc - (cc - c) * (cc - c) - (cc - c))) AS w2,
+         -- SUM(2i-1) over a tie run telescopes to cc^2 - (cc-c)^2
+         -- = c(2cc - c); its mirror to c(2n - 2cc + c).  The factored
+         -- forms never square a cumulative count (int64-safe to
+         -- n ~ 2^31 rows; beyond that lift to DECIMAL(38,0))
+         c * (2 * cc - c) AS w1,
+         c * (2 * n - 2 * cc + c) AS w2,
          CAST(round(ln(value / {_AD_SCALE}), 8) AS DECIMAL(18,8)) AS lnf,
          CAST(round(ln(1 - value / {_AD_SCALE}), 8) AS DECIMAL(18,8)) AS lnr
   FROM cum
@@ -3394,9 +3396,9 @@ def q_stats_anderson_darling_uniform(spark, sf_dir):
     cum, tot = keyed_running_sums(pervalue, ["k"], [F.col("value")], ["c"])
     j = cum.crossJoin(F.broadcast(tot.select(F.col("total_c").alias("n"))))
     cc, c, n = F.col("cum_c"), F.col("c"), F.col("n")
-    prev = cc - c
-    w1 = cc * cc - prev * prev
-    w2 = c * (2 * n + 1) - (cc * cc + cc - prev * prev - prev)
+    # factored tie-run weights (no squared cumulative counts — see oracle)
+    w1 = c * (2 * cc - c)
+    w2 = c * (2 * n - 2 * cc + c)
     lnf = F.round(F.log(F.col("value") / _AD_SCALE), 8).cast("decimal(18,8)")
     lnr = F.round(F.log(1 - F.col("value") / _AD_SCALE), 8).cast("decimal(18,8)")
     terms = j.select(n.alias("n"), (w1 * lnf + w2 * lnr).alias("t"))
@@ -3581,3 +3583,150 @@ def q_stats_theil_u(spark, sf_dir):
         )
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Rescaled-range (R/S) Hurst exponent of the event value series —
+# long-range-dependence detection (H ~ 0.5 = memoryless, > 0.5 =
+# persistent trends, < 0.5 = mean-reverting), the classical companion
+# of ts_autocorr / ts_mk_trend.
+
+_HURST_WINDOWS = (16, 64, 256)
+# 16/64/256 = 4^2..4^4: equally spaced in log space, so the 3-point OLS
+# slope collapses to (y3 - y1) / (2*ln 4).  The spacing constant is a
+# PYTHON literal injected into both engines (no libm ln() at query time
+# for the x-axis).
+_HURST_2LN4 = 2.772588722239781  # 2*ln(4), shortest round-trip repr
+
+
+def _hurst_oracle() -> str:
+    legs = []
+    for w in _HURST_WINDOWS:
+        legs.append(f"""
+leg{w} AS (
+  SELECT count(*) AS n_chunks,
+         CAST(SUM(CAST(round(r / s, 8) AS DECIMAL(18,8))) AS DOUBLE)
+           / count(*) AS avg_rs
+  FROM (
+    SELECT chunk, max(z) - min(z) AS r,
+           sqrt(CAST(max(ssq) AS DOUBLE) / {w}
+                - (CAST(max(sx) AS DOUBLE) / {w})
+                  * (CAST(max(sx) AS DOUBLE) / {w})) AS s
+    FROM (
+      SELECT chunk, rn - chunk * {w} AS t, sx, ssq,
+             CAST(cumx AS DOUBLE)
+               - (rn - chunk * {w}) * (CAST(sx AS DOUBLE) / {w}) AS z
+      FROM (
+        SELECT (rn - 1) // {w} AS chunk, rn,
+               SUM(vd) OVER (PARTITION BY (rn - 1) // {w} ORDER BY rn
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cumx,
+               SUM(vd) OVER (PARTITION BY (rn - 1) // {w}) AS sx,
+               SUM(vd * vd) OVER (PARTITION BY (rn - 1) // {w}) AS ssq
+        FROM base WHERE rn <= (total // {w}) * {w}
+      ) c
+    ) zt GROUP BY chunk
+    HAVING sqrt(CAST(max(ssq) AS DOUBLE) / {w}
+                - (CAST(max(sx) AS DOUBLE) / {w})
+                  * (CAST(max(sx) AS DOUBLE) / {w})) > 0
+  ) per_chunk
+)""")
+    w1, w2, w3 = _HURST_WINDOWS
+    return (
+        "WITH base AS (\n"
+        "  SELECT CAST(value AS DECIMAL(18,4)) AS vd,\n"
+        "         row_number() OVER (ORDER BY ts, event_id) AS rn,\n"
+        "         count(*) OVER () AS total\n"
+        "  FROM events\n"
+        ")," + ",".join(legs) + f"""
+SELECT (SELECT count(*) FROM base) AS n_series,
+       (SELECT n_chunks FROM leg{w1}) AS chunks_{w1},
+       (SELECT n_chunks FROM leg{w2}) AS chunks_{w2},
+       (SELECT n_chunks FROM leg{w3}) AS chunks_{w3},
+       round((SELECT avg_rs FROM leg{w1}), 6) AS rs_{w1},
+       round((SELECT avg_rs FROM leg{w2}), 6) AS rs_{w2},
+       round((SELECT avg_rs FROM leg{w3}), 6) AS rs_{w3},
+       round((ln((SELECT avg_rs FROM leg{w3}))
+              - ln((SELECT avg_rs FROM leg{w1}))) / {_HURST_2LN4}, 4)
+         AS hurst
+"""
+    )
+
+
+@query("ts_hurst_rs", oracle=_hurst_oracle())
+def q_ts_hurst_rs(spark, sf_dir):
+    """Hurst exponent by rescaled-range analysis: the value series
+    (total order = (ts, event_id)) is cut into full chunks of 16/64/256
+    samples; per chunk R = range of the cumulative mean-deviation walk
+    and S = population std, both from EXACT decimal moments — the
+    within-chunk cumulative sum runs in DECIMAL (order-independent), so
+    z/r/s are single IEEE expressions over identical inputs.  H is the
+    log-log slope of avg(R/S) vs window size; 16/64/256 are equally
+    log-spaced so the OLS slope collapses to (y3-y1)/(2 ln 4) with the
+    spacing constant a Python literal on both engines.
+
+    Scale: global sequence numbers via ``global_row_number`` (range
+    partition + offsets — never an unpartitioned window); each leg is
+    one windowed pass partitioned by chunk (|rows|/w partitions) plus a
+    chunk-sized aggregate.  ln(avg) runs once per leg."""
+    from pulsar_ingestion_spark.operators.ranking import global_row_number
+
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    series = ev.select(
+        F.col("value").cast("decimal(18,4)").alias("vd"), "ts", "event_id"
+    )
+    ranked, total = global_row_number(series, [F.col("ts"), F.col("event_id")])
+    ranked = ranked.withColumnRenamed("_rn", "rn")
+    legs = {}
+    for w in _HURST_WINDOWS:
+        full = ranked.filter(F.col("rn") <= (total // w) * w).withColumn(
+            "chunk", ((F.col("rn") - 1) - (F.col("rn") - 1) % w) / w
+        ).withColumn("chunk", F.col("chunk").cast("bigint"))
+        wc = Window.partitionBy("chunk")
+        worder = wc.orderBy("rn").rowsBetween(Window.unboundedPreceding, 0)
+        zt = full.select(
+            "chunk",
+            (F.col("rn") - F.col("chunk") * w).alias("t"),
+            F.sum("vd").over(worder).alias("cumx"),
+            F.sum("vd").over(wc).alias("sx"),
+            F.sum(F.col("vd") * F.col("vd")).over(wc).alias("ssq"),
+        )
+        mean = F.col("sx").cast("double") / w
+        z = F.col("cumx").cast("double") - F.col("t") * mean
+        per_chunk = zt.select("chunk", z.alias("z"), "sx", "ssq").groupBy(
+            "chunk"
+        ).agg(
+            (F.max("z") - F.min("z")).alias("r"),
+            F.sqrt(
+                F.max("ssq").cast("double") / w
+                - (F.max("sx").cast("double") / w) * (F.max("sx").cast("double") / w)
+            ).alias("s"),
+        ).filter(F.col("s") > 0)
+        legs[w] = per_chunk.agg(
+            F.count("*").alias(f"chunks_{w}"),
+            (
+                F.sum(F.round(F.col("r") / F.col("s"), 8).cast("decimal(18,8)"))
+                .cast("double") / F.count("*")
+            ).alias(f"avg_rs_{w}"),
+        )
+    w1, w2, w3 = _HURST_WINDOWS
+    n_df = ranked.agg(F.count("*").alias("n_series"))
+    out = (
+        n_df.crossJoin(F.broadcast(legs[w1]))
+        .crossJoin(F.broadcast(legs[w2]))
+        .crossJoin(F.broadcast(legs[w3]))
+    )
+    return out.select(
+        "n_series",
+        F.col(f"chunks_{w1}"),
+        F.col(f"chunks_{w2}"),
+        F.col(f"chunks_{w3}"),
+        F.round(F.col(f"avg_rs_{w1}"), 6).alias(f"rs_{w1}"),
+        F.round(F.col(f"avg_rs_{w2}"), 6).alias(f"rs_{w2}"),
+        F.round(F.col(f"avg_rs_{w3}"), 6).alias(f"rs_{w3}"),
+        F.round(
+            (F.log(F.col(f"avg_rs_{w3}")) - F.log(F.col(f"avg_rs_{w1}")))
+            / _HURST_2LN4,
+            4,
+        ).alias("hurst"),
+    )

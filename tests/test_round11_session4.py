@@ -1,7 +1,8 @@
-"""Round-11 session-4 invariants: brute-force twins for the eleven new
+"""Round-11 session-4 invariants: brute-force twins for the twelve new
 queries (Kendall tau-b, log-rank, Friedman, regression scorecard,
 2-D skyline, null profile, weighted median, Anderson-Darling,
-circular hour stats, Theil's U, closeness centrality).
+circular hour stats, Theil's U, closeness centrality, Hurst R/S),
+plus plan-shape and degenerate-input regression guards.
 
 Each test recomputes the statistic with an INDEPENDENT in-memory
 algorithm (itertools / pandas), not a third SQL engine — catching
@@ -317,3 +318,66 @@ def test_skyline_and_weighted_median_plan_shapes(spark):
     # RangePartitioning exchange in the physical plan
     assert "rangepartitioning" in wplan.lower(), wplan[:2000]
     spark.catalog.clearCache()
+
+
+def test_closeness_centrality_edgeless_graph_returns_empty(spark, tmp_path):
+    """Session-4 review finding: an events table with no co-occurrence
+    pairs (every (type, bucket) cell has one user) produces an EMPTY
+    edge list — the query must return zero rows with the stable schema,
+    not crash on an empty seed list."""
+    import os
+
+    import __spark_entry__ as e
+
+    src = str(tmp_path / "sf_edgeless")
+    os.makedirs(src)
+    for name in ("region", "nation", "customer", "supplier", "part",
+                 "orders", "lineitem", "documents", "embeddings"):
+        os.symlink(f"{SF}/{name}.parquet", f"{src}/{name}.parquet")
+    spark.createDataFrame(
+        [(i, f"2025-01-01 0{i}:00:00", i, "click", 1.0, "{}") for i in range(5)],
+        "event_id long, ts_s string, user_id long, event_type string,"
+        " value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(ts_s AS TIMESTAMP) AS ts", "user_id",
+        "event_type", "value", "props"
+    ).write.parquet(f"{src}/events.parquet")
+    out = e.queries()["graph_closeness_centrality"](spark, src)
+    assert out.count() == 0
+    assert [f.name for f in out.schema] == [
+        "src", "n_reached", "sum_dist", "closeness", "harmonic"
+    ]
+
+
+def test_hurst_rs_brute_force(spark):
+    out = _run(spark, "ts_hurst_rs").iloc[0]
+    ev = pd.read_parquet(f"{SF}/events.parquet").sort_values(
+        ["ts", "event_id"], kind="mergesort"
+    )
+    xs = [round(v, 4) for v in ev["value"]]
+    n = len(xs)
+    assert out["n_series"] == n
+    rs_avgs = {}
+    for w in (16, 64, 256):
+        chunks = n // w
+        assert out[f"chunks_{w}"] <= chunks  # S=0 chunks are dropped
+        terms = []
+        for ci in range(chunks):
+            seg = xs[ci * w : (ci + 1) * w]
+            mean = sum(seg) / w
+            cum, zs = 0.0, []
+            for i, x in enumerate(seg, start=1):
+                cum = round(cum + x, 4)  # decimal cumsum is exact at 4dp
+                zs.append(cum - i * mean)
+            r = max(zs) - min(zs)
+            s2 = sum(v * v for v in seg) / w - mean * mean
+            s = math.sqrt(s2) if s2 > 0 else 0.0
+            if s > 0:
+                terms.append(round(r / s, 8))
+        rs_avgs[w] = sum(terms) / len(terms)
+        assert abs(out[f"rs_{w}"] - round(rs_avgs[w], 6)) <= 1e-5, w
+        # R/S of a w-sample chunk is bounded by sqrt(w) up to a constant
+        assert 0 < rs_avgs[w] < 2 * math.sqrt(w)
+    hurst = (math.log(rs_avgs[256]) - math.log(rs_avgs[16])) / (2 * math.log(4))
+    assert abs(out["hurst"] - round(hurst, 4)) <= 2e-4
+    assert 0.0 < out["hurst"] < 1.0

@@ -197,7 +197,7 @@ SECTIONS = [
         "ml_regression_metrics", "rank_skyline_2d", "dq_null_profile",
         "agg_weighted_median",
         "stats_anderson_darling_uniform", "events_circular_hour_stats",
-        "stats_theil_u", "graph_closeness_centrality",
+        "stats_theil_u", "graph_closeness_centrality", "ts_hurst_rs",
     ]),
     ("Sketches & sampling III (round 5)", [
         "sketch_kmv_intersect", "sketch_quantile_logbins", "sample_weighted_kmv",
