@@ -3730,3 +3730,93 @@ def q_ts_hurst_rs(spark, sf_dir):
             4,
         ).alias("hurst"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier product-limit survival curve — the estimator the
+# two-group log-rank test (stats_logrank_test) tests; pooled arms.
+
+_KM_ORACLE = """
+WITH u AS (
+  SELECT user_id,
+         max(epoch_us(ts) // 86400000000)
+           - min(epoch_us(ts) // 86400000000) AS t,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS ev
+  FROM events GROUP BY user_id
+), a AS (
+  SELECT t, count(*) AS tot, SUM(ev) AS d FROM u GROUP BY t
+), dt AS (
+  SELECT t, d FROM a WHERE d > 0
+), risk AS (
+  SELECT dt.t, dt.d, SUM(a.tot) AS n
+  FROM dt JOIN a ON a.t >= dt.t GROUP BY dt.t, dt.d
+), lf AS (
+  -- 8-dp log factors carried as SCALED BIGINTs (x 1e8): the running
+  -- sum is exact integer arithmetic on both engines
+  SELECT t, d, n,
+         CAST(round(ln(1 - CAST(d AS DOUBLE) / n) * 100000000, 0)
+              AS BIGINT) AS lnf8
+  FROM risk WHERE d < n
+), cum AS (
+  SELECT t, d, n,
+         SUM(lnf8) OVER (ORDER BY t
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cl8
+  FROM lf
+)
+SELECT t AS death_time, CAST(n AS BIGINT) AS n_at_risk,
+       CAST(d AS BIGINT) AS n_deaths,
+       round(1 - CAST(d AS DOUBLE) / n, 6) AS factor,
+       round(exp(CAST(cl8 AS DOUBLE) / 100000000), 6) AS survival
+FROM cum
+"""
+
+
+@query("stats_kaplan_meier", oracle=_KM_ORACLE)
+def q_stats_kaplan_meier(spark, sf_dir):
+    """Kaplan-Meier product-limit curve over pooled user lifetimes
+    (death = conversion, censoring = last activity — the
+    stats_logrank_test collapse): S(t) = PRODUCT over death times <= t
+    of (1 - d/n), computed as exp of a cumulative sum of 8-dp-rounded
+    ln factors in DECIMAL — the product becomes an order-independent
+    sum, and exp runs once per output row.  The at-risk table is the
+    same aggregate-sized non-equi join as the log-rank test; the
+    cumulative sum rides ``keyed_running_sums`` (constant key), never a
+    partition-less window.  Death times where d = n (everyone at risk
+    dies) are excluded from the log fold (ln 0): S drops to 0 at the
+    curve's end and the row would be its last point — the fixtures
+    never reach it, and both engines exclude identically."""
+    from pulsar_ingestion_spark.operators.ranking import keyed_running_sums
+
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    day = F.expr("unix_micros(ts) div 86400000000")
+    u = ev.groupBy("user_id").agg(
+        (F.max(day) - F.min(day)).alias("t"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("ev"),
+    )
+    a = u.groupBy("t").agg(F.count("*").alias("tot"), F.sum("ev").alias("d"))
+    dt = a.filter(F.col("d") > 0).select(F.col("t").alias("death_t"), "d")
+    risk = (
+        F.broadcast(dt)
+        .join(a.select(F.col("t").alias("at"), "tot"), F.col("at") >= F.col("death_t"))
+        .groupBy("death_t", "d")
+        .agg(F.sum("tot").alias("n"))
+    )
+    lf = risk.filter(F.col("d") < F.col("n")).select(
+        "death_t", "d", "n",
+        # scaled-bigint 8-dp log factor (the helper sums Long/Double):
+        # round(x*1e8) as BIGINT == the decimal(18,8) encoding, exact
+        F.round(F.log(1 - F.col("d").cast("double") / F.col("n")) * 100000000, 0)
+        .cast("bigint")
+        .alias("lnf8"),
+    ).withColumn("k", F.lit(1))
+    cum, _tot = keyed_running_sums(lf, ["k"], [F.col("death_t")], ["lnf8"])
+    return cum.select(
+        F.col("death_t").alias("death_time"),
+        F.col("n").cast("bigint").alias("n_at_risk"),
+        F.col("d").cast("bigint").alias("n_deaths"),
+        F.round(1 - F.col("d").cast("double") / F.col("n"), 6).alias("factor"),
+        F.round(
+            F.exp(F.col("cum_lnf8").cast("double") / 100000000), 6
+        ).alias("survival"),
+    )

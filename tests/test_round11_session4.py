@@ -381,3 +381,29 @@ def test_hurst_rs_brute_force(spark):
     hurst = (math.log(rs_avgs[256]) - math.log(rs_avgs[16])) / (2 * math.log(4))
     assert abs(out["hurst"] - round(hurst, 4)) <= 2e-4
     assert 0.0 < out["hurst"] < 1.0
+
+
+def test_kaplan_meier_brute_force(spark):
+    out = _run(spark, "stats_kaplan_meier").set_index("death_time")
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    day = (ev["ts"].astype("datetime64[us]").astype("int64") // 10**6) // 86400
+    u = pd.DataFrame(
+        {"user": ev["user_id"], "day": day,
+         "death": (ev["event_type"] == "purchase").astype(int)}
+    ).groupby("user").agg(lo=("day", "min"), hi=("day", "max"), ev=("death", "max"))
+    u["t"] = u["hi"] - u["lo"]
+    surv = 1.0
+    cl8 = 0
+    for t in sorted(u.loc[u["ev"] == 1, "t"].unique()):
+        n = int((u["t"] >= t).sum())
+        d = int(((u["t"] == t) & (u["ev"] == 1)).sum())
+        if d >= n:
+            continue  # ln(0) exclusion — the curve's terminal drop
+        cl8 += round(math.log(1 - d / n) * 1e8)
+        row = out.loc[t]
+        assert row["n_at_risk"] == n and row["n_deaths"] == d
+        assert abs(row["factor"] - round(1 - d / n, 6)) <= 1e-6
+        assert abs(row["survival"] - round(math.exp(cl8 / 1e8), 6)) <= 1e-6
+        # the product-limit curve is non-increasing and in (0, 1]
+        assert row["survival"] <= surv + 1e-9
+        surv = row["survival"]

@@ -198,6 +198,7 @@ SECTIONS = [
         "agg_weighted_median",
         "stats_anderson_darling_uniform", "events_circular_hour_stats",
         "stats_theil_u", "graph_closeness_centrality", "ts_hurst_rs",
+        "stats_kaplan_meier",
     ]),
     ("Sketches & sampling III (round 5)", [
         "sketch_kmv_intersect", "sketch_quantile_logbins", "sample_weighted_kmv",
@@ -278,6 +279,7 @@ STREAMING_ONLY = [
     ("streaming IVF index maintenance (pinned-centroid cell upkeep, batch-cut equivalent search)", "tests/test_streaming_ivf_index.py"),
     ("streaming sign-LSH ANN index maintenance (incremental bucket upkeep, batch-cut equivalent search)", "tests/test_streaming_ann_index.py"),
     ("streaming column profiler (exact add-merged counts, HLL distinct, MG modal candidates — per-statistic merge algebra)", "tests/test_streaming_profile.py"),
+    ("streaming 2-D skyline maintenance (union-monotone closure merge, replay-idempotent by algebra, batch-cut equivalent to rank_skyline_2d)", "tests/test_streaming_skyline.py"),
 ]
 
 
