@@ -537,3 +537,34 @@ def test_integer_division_zero_divisor_asymmetry(spark, duck):
     s = spark.sql("SELECT div(17, nullif(0, 0)) AS v").collect()[0]["v"]
     d = duck.execute("SELECT 17 // nullif(0, 0)").fetchone()[0]
     assert s is None and d is None
+
+
+def test_substring_start_zero_divergence(spark, duck):
+    """v19 exclusion class: substring with START=0 is a VALUE
+    divergence — Spark treats 0 like 1 ('he'), DuckDB consumes a
+    position before the string ('h').  Negative starts count from the
+    end IDENTICALLY (incl. beyond-length clamping), so the grammar
+    draws from [-3..3] minus {0}."""
+    s0 = spark.sql("SELECT substring('hello', 0, 2) AS v").collect()[0]["v"]
+    d0 = duck.execute("SELECT substring('hello', 0, 2)").fetchone()[0]
+    assert s0 == "he" and d0 == "h"  # the divergence
+    for start in (-7, -5, -3, -1, 1, 3, 99):
+        s = spark.sql(f"SELECT substring('hello', {start}, 3) AS v").collect()[0]["v"]
+        d = duck.execute(f"SELECT substring('hello', {start}, 3)").fetchone()[0]
+        assert s == d, start
+
+
+def test_two_param_ltrim_argument_order_divergence(spark, duck):
+    """v19 twin-pinning: Spark's legacy two-parameter ltrim/rtrim take
+    (trimStr, str) while DuckDB's take (str, chars) — the SAME text
+    silently trims the wrong operand (ltrim('xxhello','x') = '' on
+    Spark vs 'hello' on DuckDB).  btrim(str, trim) shares DuckDB's
+    order, so only l/r need per-engine flips in the compiler."""
+    assert spark.sql("SELECT ltrim('xxhello', 'x') AS v").collect()[0]["v"] == ""
+    assert duck.execute("SELECT ltrim('xxhello', 'x')").fetchone()[0] == "hello"
+    # the compiler's flipped forms agree
+    s = spark.sql("SELECT ltrim('x', 'xxhello') AS v").collect()[0]["v"]
+    assert s == "hello"
+    sb = spark.sql("SELECT btrim('xyhelloyx', 'xy') AS v").collect()[0]["v"]
+    db = duck.execute("SELECT trim('xyhelloyx', 'xy')").fetchone()[0]
+    assert sb == db == "hello"

@@ -189,6 +189,31 @@ Grammar v13 additions (round 11, third pass cont.):
   engines, NULL propagates);
 * datediff in days between a date literal and a cast timestamp column.
 
+Grammar v19 additions (round 11, fourth pass cont.):
+
+* string-space control flow: CASE over grammar predicates returning
+  strings, COALESCE with a literal default, and string IN-lists as
+  predicates (NULL semantics identical — probed through the new
+  nullable-string leaf);
+* JSON STRING extraction as a string leaf (get_json_object ↔
+  json_extract_string; missing key -> NULL on both) — the grammar's
+  first NULLABLE string source, which is what makes scoal/IN-list
+  NULL propagation reachable;
+* custom-char trims.  btrim(str, chars) has the SAME argument order on
+  both engines; the two-parameter ltrim/rtrim orders are FLIPPED —
+  Spark's legacy form is (trimStr, str) while DuckDB's is (str, chars)
+  — same-text would silently trim the wrong operand, so the compilers
+  emit each engine's order (pinned in
+  test_two_param_ltrim_argument_order_divergence);
+* substring with NEGATIVE start positions (count from the end;
+  beyond-length clamps identically — probed at -7/'hello').  START=0
+  is a VALUE divergence: Spark treats 0 like 1 where DuckDB consumes a
+  position ('he' vs 'h') — excluded, pinned in
+  test_substring_start_zero_divergence;
+* GROUP BY an arbitrary grammar STRING expression (the group-key
+  space previously held only raw columns / int mods / calendar
+  truncs).
+
 Grammar v18 additions (round 11, fourth pass cont.):
 
 * integer division/modulo with COLUMN divisors through a nullif(b, 0)
@@ -473,6 +498,13 @@ def str_exprs(depth: int = 2, ns=_LI_NS):
     leaf = st.one_of(
         st.sampled_from(ns["strs"]).map(lambda c: ("scol", c)),
         st.text(alphabet="ANRFO x", min_size=0, max_size=4).map(lambda s: ("slit", s)),
+        # v19: JSON string extraction — the grammar's first NULLABLE
+        # string source (missing key -> NULL on both engines)
+        *(
+            [st.sampled_from(ns["json"]).map(lambda ck: ("jstr", ck[0], ck[1]))]
+            if ns["json"]
+            else []
+        ),
         # second-precision timestamp render (the output-format convention)
         *(
             [st.sampled_from(ns["tss"]).map(lambda c: ("tsfmt", c))]
@@ -497,7 +529,11 @@ def str_exprs(depth: int = 2, ns=_LI_NS):
         st.tuples(
             st.just("substr"),
             sub,
-            st.integers(min_value=1, max_value=3),
+            # v19: negative starts count from the end on BOTH engines
+            # (beyond-length clamps identically, probed).  START=0 is a
+            # pinned VALUE divergence (Spark 0==1, DuckDB consumes a
+            # position) — excluded.
+            st.sampled_from([-3, -2, -1, 1, 2, 3]),
             st.integers(min_value=0, max_value=4),
         ),
         st.tuples(st.just("concat"), sub, sub),
@@ -570,6 +606,12 @@ def str_exprs(depth: int = 2, ns=_LI_NS):
         st.tuples(st.just("ihex"), int_exprs(depth - 1, ns)),
         # v18: printable-ASCII chr (Spark char = DuckDB chr, probed)
         st.tuples(st.just("schr"), int_exprs(depth - 1, ns)),
+        # v19: string CASE / COALESCE-with-default / custom-char trims
+        # (btrim arg order shared; l/rtrim orders flipped per engine)
+        st.tuples(st.just("scase"), preds(depth - 1, ns), sub, sub),
+        st.tuples(st.just("scoal"), sub, st.sampled_from(["", "dflt", "x"])),
+        st.tuples(st.sampled_from(["btr", "ltr", "rtr"]), sub,
+                  st.sampled_from(["x", "xy", " ", "Ax"])),
         # v18: regexp_replace over the v13 safe pattern subset — the
         # DuckDB twin carries the 'g' flag (bare DuckDB form replaces
         # only the FIRST match; pinned divergence)
@@ -618,6 +660,14 @@ def preds(depth: int = 2, ns=_LI_NS):
             int_exprs(0, ns),
             st.lists(st.integers(min_value=-2, max_value=9),
                      min_size=1, max_size=4, unique=True).map(tuple),
+        ),
+        # v19: string IN-list (same three-valued semantics; reachable
+        # NULL operands via the jstr leaf)
+        st.tuples(
+            st.just("sinlist"),
+            str_exprs(0, ns),
+            st.lists(st.sampled_from(["A", "N", "R", "F", "O", "x", ""]),
+                     min_size=1, max_size=3, unique=True).map(tuple),
         ),
     )
     if depth <= 0:
@@ -701,6 +751,13 @@ def group_keys(ns=_LI_NS):
     opts = [
         st.sampled_from(ns["strs"]).map(lambda c: ("scol", c)),
         st.tuples(st.just("kmod"), st.sampled_from(ns["ints"]), st.integers(min_value=2, max_value=7)),
+        # v19: GROUP BY an arbitrary string expression (dialect-specific
+        # spellings inside — not for same-SQL-text namespaces)
+        *(
+            [st.tuples(st.just("kstr"), str_exprs(1, ns))]
+            if not ns.get("same_text")
+            else []
+        ),
     ]
     if "l_linenumber" in ns["ints"]:
         opts.append(st.just(("icol", "l_linenumber")))
@@ -1140,6 +1197,21 @@ def _sp_str(e):
         return F.char(32 + F.abs(_sp_int(e[1])) % 95)
     if op == "sregrep":
         return F.regexp_replace(_sp_str(e[1]), e[2], e[3])
+    if op == "jstr":
+        return F.get_json_object(F.col(e[1]), f"$.{e[2]}")
+    if op == "scase":
+        return F.when(_sp_pred(e[1]), _sp_str(e[2])).otherwise(_sp_str(e[3]))
+    if op == "scoal":
+        return F.coalesce(_sp_str(e[1]), F.lit(e[2]))
+    if op == "btr":
+        # btrim(str, trim): SAME argument order as DuckDB trim(str, chars)
+        return F.call_function("btrim", _sp_str(e[1]), F.lit(e[2]))
+    if op in ("ltr", "rtr"):
+        # Spark's legacy two-param form is (trimStr, str) — FLIPPED vs
+        # DuckDB's (str, chars); pinned in
+        # test_two_param_ltrim_argument_order_divergence
+        fn = "ltrim" if op == "ltr" else "rtrim"
+        return F.call_function(fn, F.lit(e[2]), _sp_str(e[1]))
     raise ValueError(op)
 
 
@@ -1164,6 +1236,10 @@ def _sp_pred(p):
         from pyspark.sql import functions as F
 
         return _sp_int(p[1]).isin(*[F.lit(v).cast("long") for v in p[2]])
+    if op == "sinlist":
+        from pyspark.sql import functions as F
+
+        return _sp_str(p[1]).isin(*[F.lit(v) for v in p[2]])
     if op == "and":
         return _sp_pred(p[1]) & _sp_pred(p[2])
     if op == "or":
@@ -1182,6 +1258,8 @@ def _sp_key(k):
         return F.date_format(
             F.date_trunc(k[2], F.col(k[1])), "yyyy-MM-dd HH:mm:ss"
         )
+    if k[0] == "kstr":
+        return _sp_str(k[1])
     return _sp_int(k) if k[0] == "icol" else _sp_str(k)
 
 
@@ -1586,6 +1664,20 @@ def _dk_str(e) -> str:
         return f"to_hex({_dk_int(e[1])})"
     if op == "schr":
         return f"chr(CAST(32 + abs({_dk_int(e[1])}) % 95 AS INTEGER))"
+    if op == "jstr":
+        return f"json_extract_string({e[1]}, '$.{e[2]}')"
+    if op == "scase":
+        return (
+            f"(CASE WHEN {_dk_pred(e[1])} THEN {_dk_str(e[2])}"
+            f" ELSE {_dk_str(e[3])} END)"
+        )
+    if op == "scoal":
+        return f"coalesce({_dk_str(e[1])}, {_sql_slit(e[2])})"
+    if op == "btr":
+        return f"trim({_dk_str(e[1])}, {_sql_slit(e[2])})"
+    if op in ("ltr", "rtr"):
+        fn = "ltrim" if op == "ltr" else "rtrim"
+        return f"{fn}({_dk_str(e[1])}, {_sql_slit(e[2])})"
     if op == "sregrep":
         # 'g' flag: DuckDB replaces only the FIRST match by default
         # where Spark replaces all (pinned divergence)
@@ -1613,6 +1705,9 @@ def _dk_pred(p) -> str:
     if op == "inlist":
         vals = ", ".join(f"CAST({v} AS BIGINT)" for v in p[2])
         return f"({_dk_int(p[1])} IN ({vals}))"
+    if op == "sinlist":
+        svals = ", ".join(_sql_slit(v) for v in p[2])
+        return f"({_dk_str(p[1])} IN ({svals}))"
     if op == "and":
         return f"({_dk_pred(p[1])} AND {_dk_pred(p[2])})"
     if op == "or":
@@ -1627,6 +1722,8 @@ def _dk_key(k) -> str:
         return f"(CAST({k[1]} AS BIGINT) % {int(k[2])})"
     if k[0] == "ktrunc":
         return f"strftime(date_trunc('{k[2]}', {k[1]}), '%Y-%m-%d %H:%M:%S')"
+    if k[0] == "kstr":
+        return _dk_str(k[1])
     return _dk_int(k) if k[0] == "icol" else _dk_str(k)
 
 
