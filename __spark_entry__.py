@@ -257,6 +257,7 @@ _ROUND11_PREFIX: list[str] = [
     "graph_closeness_centrality",
     "ts_hurst_rs",
     "stats_kaplan_meier",
+    "stats_nelson_aalen",
     # round-11 additions — first driver rows this round
     "ml_ks_separation",
     "ts_mk_trend",
@@ -298,8 +299,8 @@ _ROUND11_PREFIX: list[str] = [
     "dedup_embedding_blas",
     "dedup_simhash",
     "emb_kmeans_lloyd",
-    "emb_pca_power",
-    # (emb_pq_encode — displaced by stats_kaplan_meier —
+    # (emb_pca_power — displaced by stats_nelson_aalen —
+    # emb_pq_encode — displaced by stats_kaplan_meier —
     # emb_residual_quantize — displaced by ts_hurst_rs —
     # events_attribution_last_touch / events_dwell_percentiles /
     # events_ltv_percentiles / events_markov_transitions — displaced by

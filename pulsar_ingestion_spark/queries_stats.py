@@ -3820,3 +3820,83 @@ def q_stats_kaplan_meier(spark, sf_dir):
             F.exp(F.col("cum_lnf8").cast("double") / 100000000), 6
         ).alias("survival"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Nelson-Aalen cumulative hazard — the counting-process companion of
+# stats_kaplan_meier (H(t) = SUM d/n over death times <= t; the
+# Fleming-Harrington survival exp(-H) rides the same sum).
+
+_NA_ORACLE = """
+WITH u AS (
+  SELECT user_id,
+         max(epoch_us(ts) // 86400000000)
+           - min(epoch_us(ts) // 86400000000) AS t,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS ev
+  FROM events GROUP BY user_id
+), a AS (
+  SELECT t, count(*) AS tot, SUM(ev) AS d FROM u GROUP BY t
+), dt AS (
+  SELECT t, d FROM a WHERE d > 0
+), risk AS (
+  SELECT dt.t, dt.d, SUM(a.tot) AS n
+  FROM dt JOIN a ON a.t >= dt.t GROUP BY dt.t, dt.d
+), hz AS (
+  SELECT t, d, n,
+         CAST(round(CAST(d AS DOUBLE) / n * 100000000, 0) AS BIGINT) AS h8
+  FROM risk
+), cum AS (
+  SELECT t, d, n,
+         SUM(h8) OVER (ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS ch8
+  FROM hz
+)
+SELECT t AS death_time, CAST(n AS BIGINT) AS n_at_risk,
+       CAST(d AS BIGINT) AS n_deaths,
+       round(CAST(ch8 AS DOUBLE) / 100000000, 6) AS cum_hazard,
+       round(exp(-CAST(ch8 AS DOUBLE) / 100000000), 6) AS fh_survival
+FROM cum
+"""
+
+
+@query("stats_nelson_aalen", oracle=_NA_ORACLE)
+def q_stats_nelson_aalen(spark, sf_dir):
+    """Nelson-Aalen cumulative hazard over the pooled-lifetime collapse
+    shared with stats_kaplan_meier: H(t) = SUM over death times <= t of
+    d/n, the hazard increments carried as scaled BIGINTs (x 1e8)
+    through ``keyed_running_sums`` — exact integer running sum — plus
+    the Fleming-Harrington survival exp(-H) (>= the KM product-limit
+    pointwise, a property the invariant test pins).  Unlike KM, d = n
+    rows stay: the hazard increment is 1, not ln(0)."""
+    from pulsar_ingestion_spark.operators.ranking import keyed_running_sums
+
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    day = F.expr("unix_micros(ts) div 86400000000")
+    u = ev.groupBy("user_id").agg(
+        (F.max(day) - F.min(day)).alias("t"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("ev"),
+    )
+    a = u.groupBy("t").agg(F.count("*").alias("tot"), F.sum("ev").alias("d"))
+    dt = a.filter(F.col("d") > 0).select(F.col("t").alias("death_t"), "d")
+    risk = (
+        F.broadcast(dt)
+        .join(a.select(F.col("t").alias("at"), "tot"), F.col("at") >= F.col("death_t"))
+        .groupBy("death_t", "d")
+        .agg(F.sum("tot").alias("n"))
+    )
+    hz = risk.select(
+        "death_t", "d", "n",
+        F.round(F.col("d").cast("double") / F.col("n") * 100000000, 0)
+        .cast("bigint")
+        .alias("h8"),
+    ).withColumn("k", F.lit(1))
+    cum, _tot = keyed_running_sums(hz, ["k"], [F.col("death_t")], ["h8"])
+    ch = F.col("cum_h8").cast("double") / 100000000
+    return cum.select(
+        F.col("death_t").alias("death_time"),
+        F.col("n").cast("bigint").alias("n_at_risk"),
+        F.col("d").cast("bigint").alias("n_deaths"),
+        F.round(ch, 6).alias("cum_hazard"),
+        F.round(F.exp(-ch), 6).alias("fh_survival"),
+    )

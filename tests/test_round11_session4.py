@@ -407,3 +407,32 @@ def test_kaplan_meier_brute_force(spark):
         # the product-limit curve is non-increasing and in (0, 1]
         assert row["survival"] <= surv + 1e-9
         surv = row["survival"]
+
+
+def test_nelson_aalen_brute_force_and_km_bound(spark):
+    out = _run(spark, "stats_nelson_aalen").set_index("death_time")
+    km = _run(spark, "stats_kaplan_meier").set_index("death_time")
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    day = (ev["ts"].astype("datetime64[us]").astype("int64") // 10**6) // 86400
+    u = pd.DataFrame(
+        {"user": ev["user_id"], "day": day,
+         "death": (ev["event_type"] == "purchase").astype(int)}
+    ).groupby("user").agg(lo=("day", "min"), hi=("day", "max"), ev=("death", "max"))
+    u["t"] = u["hi"] - u["lo"]
+    ch8 = 0
+    prev_h = -1.0
+    for t in sorted(u.loc[u["ev"] == 1, "t"].unique()):
+        n = int((u["t"] >= t).sum())
+        d = int(((u["t"] == t) & (u["ev"] == 1)).sum())
+        ch8 += round(d / n * 1e8)
+        row = out.loc[t]
+        assert row["n_at_risk"] == n and row["n_deaths"] == d
+        assert abs(row["cum_hazard"] - round(ch8 / 1e8, 6)) <= 1e-6
+        assert abs(row["fh_survival"] - round(math.exp(-ch8 / 1e8), 6)) <= 1e-6
+        # hazard is non-decreasing
+        assert row["cum_hazard"] >= prev_h
+        prev_h = row["cum_hazard"]
+        # Fleming-Harrington dominates the product-limit estimate
+        # pointwise (exp(-x) >= 1-x applied factor-wise)
+        if t in km.index:
+            assert row["fh_survival"] >= km.loc[t]["survival"] - 1e-6

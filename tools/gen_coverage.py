@@ -198,7 +198,7 @@ SECTIONS = [
         "agg_weighted_median",
         "stats_anderson_darling_uniform", "events_circular_hour_stats",
         "stats_theil_u", "graph_closeness_centrality", "ts_hurst_rs",
-        "stats_kaplan_meier",
+        "stats_kaplan_meier", "stats_nelson_aalen",
     ]),
     ("Sketches & sampling III (round 5)", [
         "sketch_kmv_intersect", "sketch_quantile_logbins", "sample_weighted_kmv",
