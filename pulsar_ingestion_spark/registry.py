@@ -20,6 +20,15 @@ Parity rules (so the driver's order-insensitive value-hash matches):
     an overflow where Spark widens to DECIMAL(38,8) and succeeds;
   * timestamps in output are formatted to strings (second precision);
   * LIMIT/top-k queries always order by a unique tie-break key;
+  * interpolated quantiles (parityfuzz FINDING #9): Spark percentile
+    computes lower + f*(upper-lower), DuckDB quantile_cont computes
+    (1-f)*lower + f*upper — algebraically equal, IEEE-different (up to
+    1 ulp apart; DuckDB can even land OUTSIDE the data range on equal
+    neighbors).  Quarter fracs (0.25/0.5/0.75 over integer-ish
+    operands) are exact under both; any other p MUST carry a trailing
+    round() whose threshold exceeds the operand magnitude's ulp by
+    several orders (all shipped non-quarter quantile oracles round to
+    4-6 dp on magnitudes <= ~1e6 — audited round 11 session 4);
   * float similarity scores are computed with the same left-fold order and
     rounded before use in ordering.
 """

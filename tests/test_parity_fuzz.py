@@ -267,7 +267,10 @@ def test_v11_constructs_expressed_in_grammar():
          (("scol", "l_returnflag"), ("scol", "l_linestatus")),
          (("count_star",),))
     )
-    assert "GROUP BY GROUPING SETS ((l_returnflag), (), (l_returnflag, l_linestatus))" in gsql
+    # v20: keys are PRE-PROJECTED (finding #7 artifact fix), so the
+    # sets reference the aliased k{i} columns
+    assert "GROUP BY GROUPING SETS ((k0), (), (k0, k1))" in gsql
+    assert "l_returnflag AS k0" in gsql and "l_linestatus AS k1" in gsql
     assert "HAVING count(*) > 0" in gsql and "GROUPING(" in gsql
     wsql = parityfuzz.compile_sql(
         ("winnamed", ("scol", "l_returnflag"), "l_orderkey", -3, 2,
@@ -568,3 +571,109 @@ def test_two_param_ltrim_argument_order_divergence(spark, duck):
     sb = spark.sql("SELECT btrim('xyhelloyx', 'xy') AS v").collect()[0]["v"]
     db = duck.execute("SELECT trim('xyhelloyx', 'xy')").fetchone()[0]
     assert sb == db == "hello"
+
+
+def test_duplicate_rollup_key_grouping_artifact(spark, duck):
+    """FINDING #7 (first v20 soak): a twin-compile ARTIFACT, not an
+    engine divergence.  ROLLUP over raw duplicated expression TEXT
+    binds the duplicate BY EXPRESSION in DuckDB (middle grouping set:
+    output column non-NULL, GROUPING() = 0), while pre-projected
+    distinct columns — what Spark's DataFrame compile does — keep their
+    POSITIONS (k1 NULL, flag 1).  The compiler now pre-projects on both
+    sides; this pin documents why, asserting both DuckDB forms."""
+    raw = duck.execute(
+        "SELECT l_returnflag k0, l_returnflag k1, count(*) a0,"
+        " GROUPING(l_returnflag) g1"
+        " FROM lineitem GROUP BY ROLLUP(l_returnflag, l_returnflag)"
+        " HAVING count(*) > 0"
+    ).fetchall()
+    # raw text: the duplicate never goes NULL, flags never read 1 on
+    # keyed rows — the artifact
+    assert all(k1 is not None for k0, k1, a, g in raw if k0 is not None)
+    pre = duck.execute(
+        "SELECT k0, k1, count(*) a0, GROUPING(k1) g1"
+        " FROM (SELECT l_returnflag k0, l_returnflag k1 FROM lineitem) t"
+        " GROUP BY ROLLUP(k0, k1) HAVING count(*) > 0"
+    ).fetchall()
+    # pre-projected: the middle set has k1 NULL with flag 1 — matching
+    # Spark's DataFrame rollup over pre-projected columns
+    assert any(k0 is not None and k1 is None and g == 1 for k0, k1, a, g in pre)
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "*", F.col("l_returnflag").alias("k0"), F.col("l_returnflag").alias("k1")
+    )
+    srows = [
+        (r["k0"], r["k1"], r["a0"], int(r["g1"]))
+        for r in df.rollup("k0", "k1").agg(
+            F.count(F.lit(1)).alias("a0"),
+            F.grouping(F.col("k1")).cast("long").alias("g1"),
+        ).collect()
+    ]
+    key = lambda t: tuple((v is None, v if v is not None else 0) for v in t)
+    assert sorted(srows, key=key) == sorted(pre, key=key)
+
+
+def test_try_cast_nonintegral_lexical_forms_divergence(spark, duck):
+    """FINDING #8 (first v20 soak): DuckDB TRY_CAST(... AS BIGINT)
+    parses exponent ('1E5' -> 100000), decimal ('12.0' -> 12, '.5'
+    ROUNDS to 1) and 0x-hex ('0x1A' -> 26) forms that Spark's
+    integral-only try_cast rejects (NULL).  Reachable since v18's hex
+    producers (and in principle via digit substrings of timestamp
+    renders concatenated with an 'e' drawn from column text).  The
+    compiled twin guards DuckDB with a full-match on trimmed
+    [+-]?digits — asserted equal to Spark on every class here."""
+    cases = ["12", "+12", "-12", " 12 ", "1E2", "1e2", "12.0", "",
+             "   ", ".5", "0x1A", "- 5", "00012"]
+    import parityfuzz as pf
+
+    for c in cases:
+        lit = c.replace("'", "''")
+        s_val = spark.sql(f"select try_cast('{lit}' as bigint) v").collect()[0]["v"]
+        guarded = pf._dk_int(("trycast", ("slit", c)))
+        d_val = duck.execute(f"select {guarded}").fetchone()[0]
+        assert s_val == d_val, (c, s_val, d_val)
+    # the UNGUARDED forms diverge — the finding itself
+    assert duck.execute("select TRY_CAST('1E5' AS BIGINT)").fetchone()[0] == 100000
+    assert duck.execute("select TRY_CAST('.5' AS BIGINT)").fetchone()[0] == 1
+    assert spark.sql("select try_cast('1E5' as bigint) v").collect()[0]["v"] is None
+
+
+def test_quantile_interpolation_formula_divergence(spark, duck):
+    """FINDING #9: Spark percentile interpolates lower + f*(upper-lower)
+    while DuckDB quantile_cont computes (1-f)*lower + f*upper —
+    algebraically equal, IEEE-different.  Starkest case: two EQUAL
+    values {148, 148} at p=0.1 — Spark's form is exact (f*(u-l) = 0)
+    while DuckDB's 0.9*148 + 0.1*148 lands OUTSIDE the data range at
+    148.00000000000003.  The forms also coincide on many operands
+    ({21, 50} at 0.1 gives 23.900000000000002 on BOTH), which is why
+    v11's soaks stayed green until the v20 key-space reshuffle co-drew
+    a diverging group.  Quarter fracs are exact under BOTH formulas
+    (every product/sum on the k/4 grid below 2^53 for integer
+    operands), so the grammar draws only {0.25, 0.5, 0.75}."""
+    s = spark.sql(
+        "select percentile(x, 0.1) v from values (148), (148) t(x)"
+    ).collect()[0]["v"]
+    d = duck.execute(
+        "select quantile_cont(x, 0.1) from (values (148), (148)) t(x)"
+    ).fetchone()[0]
+    assert s == 148.0
+    assert d == 148.00000000000003  # exceeds both inputs — the drift
+    assert s != d
+    # and a coinciding pair, documenting why the class hid so long
+    s2 = spark.sql(
+        "select percentile(x, 0.1) v from values (21), (50) t(x)"
+    ).collect()[0]["v"]
+    d2 = duck.execute(
+        "select quantile_cont(x, 0.1) from (values (21), (50)) t(x)"
+    ).fetchone()[0]
+    assert s2 == d2 == 23.900000000000002
+    # quarters agree exactly — the encodable subset
+    for p in (0.25, 0.5, 0.75):
+        sv = spark.sql(
+            f"select percentile(x, {p}) v from values (21), (50) t(x)"
+        ).collect()[0]["v"]
+        dv = duck.execute(
+            f"select quantile_cont(x, {p}) from (values (21), (50)) t(x)"
+        ).fetchone()[0]
+        assert sv == dv, p
