@@ -243,6 +243,11 @@ _CHECKED_PRIOR = {
 # regenerated every round, so old greens deserve periodic re-proof;
 # VERDICT r10 item 2).  New round-11 queries go at the FRONT.
 _ROUND11_PREFIX: list[str] = [
+    # round-11 session-5 additions — first driver rows this round
+    "events_seasonal_dow_hour",
+    "ml_brier_decomposition",
+    "stats_mcnemar",
+    "sim_search_ivf_recall_sweep",
     # round-11 session-4 additions — first driver rows this round
     "stats_kendall_tau",
     "stats_logrank_test",
@@ -295,11 +300,9 @@ _ROUND11_PREFIX: list[str] = [
     "agg_weighted_avg",
     "corpus_dedup_report",
     "corpus_shard_assign",
-    "corpus_token_budget",
-    "dedup_embedding_blas",
-    "dedup_simhash",
-    "emb_kmeans_lloyd",
-    # (emb_pca_power — displaced by stats_nelson_aalen —
+    # (corpus_token_budget / dedup_embedding_blas / dedup_simhash /
+    # emb_kmeans_lloyd — displaced by the four session-5 additions —
+    # emb_pca_power — displaced by stats_nelson_aalen —
     # emb_pq_encode — displaced by stats_kaplan_meier —
     # emb_residual_quantize — displaced by ts_hurst_rs —
     # events_attribution_last_touch / events_dwell_percentiles /

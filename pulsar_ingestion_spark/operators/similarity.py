@@ -524,3 +524,39 @@ def knn_lsh(
         .filter(F.col("rank") <= k)
         .select(F.col("q.id").alias("query_id"), F.col("c.id").alias("cand_id"), "cos_sim", "rank")
     )
+
+def ivf_probe_cells_ranked(
+    queries: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    max_nprobe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-query probed cells WITH their probe rank: ``(qid, qv, cell,
+    probe_rank)`` (1 = nearest centroid).  The rank-keeping twin of
+    :func:`ivf_probe_cells` — lets one probing pass serve every nprobe
+    <= max_nprobe (the recall-vs-nprobe sweep scores candidates once
+    and derives each probe budget's candidate set by ``probe_rank <=
+    nprobe``), same narrow no-shuffle shape."""
+
+    def cell_structs(vec):
+        return F.array(*[
+            F.struct(
+                _dist2(vec, F.array(*[F.lit(float(x)) for x in cvec])).alias("d2"),
+                F.lit(cell).cast("long").alias("cell"),
+            )
+            for cell, cvec in cents
+        ])
+
+    return (
+        queries.select(
+            F.col(id_col).alias("qid"),
+            F.col(vec_col).alias("qv"),
+            F.slice(F.array_sort(cell_structs(F.col(vec_col))), 1, max_nprobe).alias("pc"),
+        )
+        .select(
+            "qid", "qv",
+            F.posexplode(F.col("pc")["cell"]).alias("pos", "cell"),
+        )
+        .select("qid", "qv", "cell", (F.col("pos") + 1).alias("probe_rank"))
+    )

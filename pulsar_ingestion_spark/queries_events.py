@@ -1488,3 +1488,59 @@ def q_events_bounce_rate(spark, sf_dir):
         bounced.cast("bigint").alias("bounced"),
         (bounced.cast("double") / F.count(F.lit(1))).alias("bounce_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11 session 5: dow x hour seasonal grid — the weekly-seasonality
+# profile behind capacity planning and anomaly baselines (the "is Tuesday
+# 9am always this busy" table).
+
+_SEASONAL_ORACLE = """
+WITH g AS (
+  SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+         (epoch_us(ts) // 3600000000) % 24 AS hr,
+         user_id, value
+  FROM events
+), cell AS (
+  SELECT dow, hr, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_value
+  FROM g GROUP BY dow, hr
+), tot AS (SELECT CAST(SUM(n_events) AS BIGINT) AS tot FROM cell)
+SELECT dow, hr, n_events, n_users, avg_value,
+       CAST(n_events AS DOUBLE) / tot AS share,
+       CAST(n_events * 168 AS DOUBLE) / tot AS intensity
+FROM cell, tot
+"""
+
+
+@query("events_seasonal_dow_hour", oracle=_SEASONAL_ORACLE)
+def q_events_seasonal_dow_hour(spark, sf_dir):
+    """Day-of-week x hour-of-day seasonal grid: per-cell event count,
+    distinct users, decimal-exact mean value, share of total traffic and
+    the uniform-baseline intensity ratio (n_cell * 168 / n_total — 1.0
+    means the cell carries exactly its uniform share).  Calendar parts
+    from pure epoch-microsecond integer arithmetic ((day+4) % 7 with
+    Sunday=0 — 1970-01-01 was a Thursday — and hour = (us div 3600e6) %
+    24), so no engine calendar/timezone functions are involved.  One
+    map-side-combinable groupBy collapses to <= 168 cells; the
+    normalizer is a 1-row aggregate broadcast.  Shares/intensities are
+    raw quotients of exact integers (never round a raw quotient)."""
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    dow = ((F.expr("unix_micros(ts) div 86400000000") + 4) % 7).alias("dow")
+    hr = (F.expr("unix_micros(ts) div 3600000000") % 24).alias("hr")
+    cell = (
+        ev.select(dow, hr, "user_id", "value")
+        .groupBy("dow", "hr")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            (F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+             / F.count(F.lit(1))).alias("avg_value"),
+        )
+    )
+    tot = cell.agg(F.sum("n_events").cast("bigint").alias("tot"))
+    return cell.crossJoin(F.broadcast(tot)).select(
+        "dow", "hr", "n_events", "n_users", "avg_value",
+        (F.col("n_events").cast("double") / F.col("tot")).alias("share"),
+        ((F.col("n_events") * 168).cast("double") / F.col("tot")).alias("intensity"),
+    )

@@ -2770,3 +2770,130 @@ def q_dedup_boundary_overlap(spark, sf_dir):
         F.col("b.doc_id").alias("id_b"),
         F.col("a.tail3").alias("boundary"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11 session 5: IVF recall-vs-nprobe sweep — the tuning table an ANN
+# deployment reads before picking its probe budget (ROADMAP r11 adjacency).
+
+def _ivf_recall_sweep_oracle(n_cells: int, max_np: int, k: int) -> str:
+    d2 = """list_reduce(list_prepend(0.0, list_transform(range(1, len({a})+1),
+      i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))
+         * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)))), (x,y) -> x+y)"""
+    cos = f"""round({_KNN_DOT.format(a='p.qv', b='a.vec')}
+      / (sqrt({_KNN_DOT.format(a='p.qv', b='p.qv')})
+       * sqrt({_KNN_DOT.format(a='a.vec', b='a.vec')})), 6)"""
+    ecos = f"""round({_KNN_DOT.format(a='q.embedding', b='c.embedding')}
+      / (sqrt({_KNN_DOT.format(a='q.embedding', b='q.embedding')})
+       * sqrt({_KNN_DOT.format(a='c.embedding', b='c.embedding')})), 6)"""
+    return f"""
+    WITH cents AS (
+      SELECT vec_id AS cell, embedding AS cvec FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {n_cells}
+    ), assigned AS (
+      SELECT vec_id, vec, cell FROM (
+        SELECT e.vec_id, e.embedding AS vec, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {d2.format(a='e.embedding', b='c.cvec')}, c.cell) AS rn
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id AS qid, qv, cell, rn FROM (
+        SELECT e.vec_id, e.embedding AS qv, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {d2.format(a='e.embedding', b='c.cvec')}, c.cell) AS rn
+        FROM embeddings e CROSS JOIN cents c
+        WHERE e.vec_id < 20
+      ) WHERE rn <= {max_np}
+    ), scored AS (
+      SELECT p.qid, a.vec_id AS cand_id, p.rn, {cos} AS cos_sim
+      FROM probes p JOIN assigned a ON p.cell = a.cell AND p.qid <> a.vec_id
+    ), nps AS (
+      SELECT CAST(np AS BIGINT) AS nprobe FROM (VALUES (1), (2), (4)) t(np)
+    ), ivf AS (
+      SELECT nprobe, qid AS query_id, cand_id FROM (
+        SELECT n.nprobe, s.qid, s.cand_id,
+               row_number() OVER (PARTITION BY n.nprobe, s.qid
+                                  ORDER BY s.cos_sim DESC, s.cand_id) AS rank
+        FROM scored s JOIN nps n ON s.rn <= n.nprobe
+      ) WHERE rank <= {k}
+    ), exact AS (
+      SELECT query_id, cand_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {ecos} DESC, c.vec_id) AS rank
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < 20
+      ) WHERE rank <= {k}
+    ), et AS (
+      SELECT CAST(count(*) AS BIGINT) AS tot FROM exact
+    )
+    SELECT i.nprobe,
+           CAST(count(*) AS BIGINT) AS retrieved,
+           CAST(count(e.query_id) AS BIGINT) AS hits,
+           CAST(count(e.query_id) AS DOUBLE) / min(et.tot) AS recall
+    FROM ivf i CROSS JOIN et
+    LEFT JOIN exact e ON i.query_id = e.query_id AND i.cand_id = e.cand_id
+    GROUP BY i.nprobe
+    """
+
+
+@query("sim_search_ivf_recall_sweep", oracle=_ivf_recall_sweep_oracle(16, 4, 5))
+def q_sim_search_ivf_recall_sweep(spark, sf_dir):
+    """Recall@k of the seeded-IVF search at nprobe in {1, 2, 4} against
+    the exact brute-force top-k — the probe-budget tuning table.  One
+    centroid subsample (model-sized collect), ONE cell-assignment pass
+    (the shared Arrow argmin kernel), ONE probing pass at max nprobe
+    keeping the probe rank, ONE cosine-scoring pass; each budget's
+    candidate set is then just ``probe_rank <= nprobe`` (a 3-row
+    broadcast theta join), so the sweep costs one search plus cheap
+    re-windows, not three searches.  Recall is a raw quotient of exact
+    match counts over the exact-top-k total (never round a raw
+    quotient); top-k sets tie-break on candidate id in both engines, so
+    membership — all the aggregate sees — is hash-stable."""
+    from pulsar_ingestion_spark.functions.vectors import cosine_rounded_kernel
+    from pulsar_ingestion_spark.operators.similarity import (
+        ivf_assign_cells,
+        ivf_probe_cells_ranked,
+        knn_bruteforce,
+    )
+
+    emb = fan_out(load_tables(spark, sf_dir)["embeddings"], spark)
+    q = emb.filter(F.col("vec_id") < 20)
+    cents = (
+        emb.select(F.col("vec_id").alias("cell"), F.col("embedding").alias("cvec"))
+        .orderBy(F.md5(F.col("cell").cast("string")))
+        .limit(16)
+        .collect()
+    )
+    cents = [(r["cell"], [float(x) for x in r["cvec"]]) for r in cents]
+    assigned = ivf_assign_cells(emb, cents)
+    probes = ivf_probe_cells_ranked(q, cents, max_nprobe=4)
+    scored = (
+        probes.join(assigned, "cell")
+        .filter(F.col("qid") != F.col("id"))
+        .withColumn("cos_sim", cosine_rounded_kernel(F.col("qv"), F.col("vec"), 6))
+        .select("qid", F.col("id").alias("cand_id"), "probe_rank", "cos_sim")
+    )
+    nps = spark.createDataFrame([(1,), (2,), (4,)], "nprobe: bigint")
+    swept = scored.join(F.broadcast(nps), F.col("probe_rank") <= F.col("nprobe"))
+    w = Window.partitionBy("nprobe", "qid").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    ivf = (
+        swept.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("nprobe", F.col("qid").alias("query_id"), "cand_id")
+    )
+    exact = knn_bruteforce(q, emb, k=5).select(
+        "query_id", "cand_id", F.lit(1).alias("hit")
+    )
+    et = exact.agg(F.count(F.lit(1)).cast("bigint").alias("tot"))
+    return (
+        ivf.join(exact, ["query_id", "cand_id"], "left")
+        .crossJoin(F.broadcast(et))
+        .groupBy("nprobe")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("retrieved"),
+            F.count("hit").cast("bigint").alias("hits"),
+            (F.count("hit").cast("double") / F.min("tot")).alias("recall"),
+        )
+    )

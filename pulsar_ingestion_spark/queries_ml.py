@@ -1849,3 +1849,99 @@ def q_ml_regression_metrics(spark, sf_dir):
         F.round(F.col("sape") / n, 6).alias("mape"),
         F.round(F.col("sr") / n, 4).alias("mean_bias"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11 session 5: Murphy decomposition of the Brier score — the
+# component view (reliability / resolution / uncertainty) of the
+# calibration audit ml_calibration_bins + ml_expected_calibration_error
+# summarize (Murphy 1973).
+
+_BRIER_ORACLE = """
+WITH scored AS (
+  SELECT least(CAST(floor(value / 34) AS BIGINT), 9) AS bin,
+         value / 340 AS pred,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+  FROM events
+), b AS (
+  SELECT bin, count(*) AS n,
+         CAST(SUM(label) AS BIGINT) AS s,
+         SUM(CAST(pred AS DECIMAL(18,9))) AS p,
+         CAST(SUM(CAST(round((pred - label) * (pred - label), 9)
+                       AS DECIMAL(18,9))) AS DOUBLE) AS sq
+  FROM scored GROUP BY bin
+), tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_total, CAST(SUM(s) AS BIGINT) AS s_total,
+         CAST(SUM(CAST(sq AS DECIMAL(28,9))) AS DOUBLE) AS sq_total
+  FROM b
+), parts AS (
+  SELECT t.n_total, t.s_total, t.sq_total,
+         CAST(SUM(CAST(round(CAST(b.p - b.s AS DOUBLE) * CAST(b.p - b.s AS DOUBLE) / b.n, 9)
+                       AS DECIMAL(18,9))) AS DOUBLE) AS rel_num,
+         CAST(SUM(CAST(round((CAST(b.s AS DOUBLE) / b.n - CAST(t.s_total AS DOUBLE) / t.n_total)
+                             * (CAST(b.s AS DOUBLE) / b.n - CAST(t.s_total AS DOUBLE) / t.n_total)
+                             * b.n, 9)
+                       AS DECIMAL(18,9))) AS DOUBLE) AS res_num
+  FROM b, tot t
+  GROUP BY t.n_total, t.s_total, t.sq_total
+)
+SELECT n_total, sq_total / n_total AS brier,
+       rel_num / n_total AS reliability,
+       res_num / n_total AS resolution,
+       (CAST(s_total AS DOUBLE) / n_total)
+         * (1 - CAST(s_total AS DOUBLE) / n_total) AS uncertainty
+FROM parts
+"""
+
+
+@query("ml_brier_decomposition", oracle=_BRIER_ORACLE)
+def q_ml_brier_decomposition(spark, sf_dir):
+    """Murphy decomposition of the Brier score over the SAME decile bins
+    / score proxy / label as ml_calibration_bins: reliability =
+    sum n_b (conf_b - acc_b)^2 / N (calibration gap), resolution =
+    sum n_b (acc_b - base)^2 / N (discrimination), uncertainty =
+    base(1-base); brier itself is the mean squared error of the raw
+    (unbinned) score, so brier = rel - res + unc holds only up to the
+    within-bin score variance — the report shows all four so the gap is
+    visible.  Parity: every per-bin term is derived from EXACT sums
+    (integer n/s, decimal p), combined in identical IEEE double
+    expressions — n_b(conf-acc)^2 algebraically = (p_b - s_b)^2/n_b, so
+    the subtraction happens while still decimal-exact — rounded to 9 dp
+    and decimal-summed over the <= 10 bins (order-free).  One aggregate
+    pass + a bin-sized rollup; the totals join is a 1-row broadcast."""
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    scored = ev.select(
+        F.least(F.floor(F.col("value") / 34), F.lit(9)).cast("bigint").alias("bin"),
+        (F.col("value") / 340).alias("pred"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("label"),
+    )
+    sq9 = F.round((F.col("pred") - F.col("label")) * (F.col("pred") - F.col("label")), 9)
+    b = scored.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("label").cast("bigint").alias("s"),
+        F.sum(F.col("pred").cast("decimal(18,9)")).alias("p"),
+        F.sum(sq9.cast("decimal(18,9)")).cast("double").alias("sq"),
+    )
+    tot = b.agg(
+        F.sum("n").cast("bigint").alias("n_total"),
+        F.sum("s").cast("bigint").alias("s_total"),
+        F.sum(F.col("sq").cast("decimal(28,9)")).cast("double").alias("sq_total"),
+    )
+    j = b.crossJoin(F.broadcast(tot))
+    ps = (F.col("p") - F.col("s")).cast("double")
+    acc = F.col("s").cast("double") / F.col("n")
+    base = F.col("s_total").cast("double") / F.col("n_total")
+    parts = j.groupBy("n_total", "s_total", "sq_total").agg(
+        F.sum(F.round(ps * ps / F.col("n"), 9).cast("decimal(18,9)"))
+        .cast("double").alias("rel_num"),
+        F.sum(F.round((acc - base) * (acc - base) * F.col("n"), 9).cast("decimal(18,9)"))
+        .cast("double").alias("res_num"),
+    )
+    ubase = F.col("s_total").cast("double") / F.col("n_total")
+    return parts.select(
+        "n_total",
+        (F.col("sq_total") / F.col("n_total")).alias("brier"),
+        (F.col("rel_num") / F.col("n_total")).alias("reliability"),
+        (F.col("res_num") / F.col("n_total")).alias("resolution"),
+        (ubase * (1 - ubase)).alias("uncertainty"),
+    )

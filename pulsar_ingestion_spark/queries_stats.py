@@ -3900,3 +3900,75 @@ def q_stats_nelson_aalen(spark, sf_dir):
         F.round(ch, 6).alias("cum_hazard"),
         F.round(F.exp(-ch), 6).alias("fh_survival"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11 session 5: McNemar paired test — marginal homogeneity of two
+# binary observations on the same subjects.  Here: was each user active
+# in the first vs the second half of the observation window (the paired
+# churn/activation question the independent two-sample tests can't ask).
+
+_MCNEMAR_ORACLE = """
+WITH f AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' AND value > 300
+                  THEN 1 ELSE 0 END) AS a,
+         max(CASE WHEN event_type = 'click' AND value > 300
+                  THEN 1 ELSE 0 END) AS b
+  FROM events GROUP BY user_id
+), cm AS (
+  SELECT CAST(SUM(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+         CAST(SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS only_first,
+         CAST(SUM(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS only_second
+  FROM f
+)
+SELECT n_both, only_first, only_second,
+       CAST((only_first - only_second) * (only_first - only_second) AS DOUBLE)
+         / NULLIF(only_first + only_second, 0) AS chi2,
+       CAST(greatest(abs(only_first - only_second) - 1, 0)
+            * greatest(abs(only_first - only_second) - 1, 0) AS DOUBLE)
+         / NULLIF(only_first + only_second, 0) AS chi2_cc
+FROM cm
+"""
+
+
+@query("stats_mcnemar", oracle=_MCNEMAR_ORACLE)
+def q_stats_mcnemar(spark, sf_dir):
+    """McNemar test on the paired per-user flags (ever made a
+    high-value purchase, ever made a high-value click — value > 300, a
+    tail event so the flags don't saturate): chi2 = (b-c)^2/(b+c) over
+    the discordant cells, plus the Edwards continuity-corrected variant
+    (max(|b-c|-1, 0)^2/(b+c)) — the paired marginal-homogeneity
+    question ("are high-value purchases as prevalent as high-value
+    clicks among the same users") the independent two-sample tests
+    can't ask.  One map-side-combinable per-user groupBy then a 1-row
+    contingency aggregate.  Statistics are quotients of exact integers
+    (identical IEEE division both engines); zero-discordant degenerates
+    to NULL via nullif."""
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    f = ev.groupBy("user_id").agg(
+        F.max(
+            F.when((F.col("event_type") == "purchase") & (F.col("value") > 300), 1)
+            .otherwise(0)
+        ).alias("a"),
+        F.max(
+            F.when((F.col("event_type") == "click") & (F.col("value") > 300), 1)
+            .otherwise(0)
+        ).alias("b"),
+    )
+    cm = f.agg(
+        F.sum(F.when((F.col("a") == 1) & (F.col("b") == 1), 1).otherwise(0))
+        .cast("bigint").alias("n_both"),
+        F.sum(F.when((F.col("a") == 1) & (F.col("b") == 0), 1).otherwise(0))
+        .cast("bigint").alias("only_first"),
+        F.sum(F.when((F.col("a") == 0) & (F.col("b") == 1), 1).otherwise(0))
+        .cast("bigint").alias("only_second"),
+    )
+    diff = F.col("only_first") - F.col("only_second")
+    disc = F.nullif(F.col("only_first") + F.col("only_second"), F.lit(0))
+    cc = F.greatest(F.abs(diff) - 1, F.lit(0))
+    return cm.select(
+        "n_both", "only_first", "only_second",
+        ((diff * diff).cast("double") / disc).alias("chi2"),
+        ((cc * cc).cast("double") / disc).alias("chi2_cc"),
+    )

@@ -200,6 +200,10 @@ SECTIONS = [
         "stats_theil_u", "graph_closeness_centrality", "ts_hurst_rs",
         "stats_kaplan_meier", "stats_nelson_aalen",
     ]),
+    ("Seasonal grid, Brier decomposition, McNemar & IVF sweep (round 11, session 5)", [
+        "events_seasonal_dow_hour", "ml_brier_decomposition",
+        "stats_mcnemar", "sim_search_ivf_recall_sweep",
+    ]),
     ("Sketches & sampling III (round 5)", [
         "sketch_kmv_intersect", "sketch_quantile_logbins", "sample_weighted_kmv",
     ]),
