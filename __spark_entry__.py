@@ -243,6 +243,11 @@ _CHECKED_PRIOR = {
 # regenerated every round, so old greens deserve periodic re-proof;
 # VERDICT r10 item 2).  New round-11 queries go at the FRONT.
 _ROUND11_PREFIX: list[str] = [
+    # round-11 session-5 batch-9 additions — first driver rows this round
+    "stats_cochran_q",
+    "stats_durbin_watson",
+    "ts_seasonal_naive_mase",
+    "ts_stl_classical",
     # round-11 session-5 additions — first driver rows this round
     "events_seasonal_dow_hour",
     "ml_brier_decomposition",
@@ -296,11 +301,9 @@ _ROUND11_PREFIX: list[str] = [
     "ts_resample_15m",
     "ts_ewma",
     # r4-era rows, alphabetical
-    "agg_entropy",
-    "agg_weighted_avg",
-    "corpus_dedup_report",
-    "corpus_shard_assign",
-    # (corpus_token_budget / dedup_embedding_blas / dedup_simhash /
+    # (agg_entropy / agg_weighted_avg / corpus_dedup_report /
+    # corpus_shard_assign — displaced by the four batch-9 additions —
+    # corpus_token_budget / dedup_embedding_blas / dedup_simhash /
     # emb_kmeans_lloyd — displaced by the four session-5 additions —
     # emb_pca_power — displaced by stats_nelson_aalen —
     # emb_pq_encode — displaced by stats_kaplan_meier —

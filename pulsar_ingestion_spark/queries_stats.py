@@ -3972,3 +3972,498 @@ def q_stats_mcnemar(spark, sf_dir):
         ((diff * diff).cast("double") / disc).alias("chi2"),
         ((cc * cc).cast("double") / disc).alias("chi2_cc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11 session 5, batch 9: Cochran's Q — the k-treatment extension of
+# McNemar (marginal homogeneity of k paired binary observations on the
+# same subjects; here: did each user ever produce a high-value event of
+# each of the 5 types).
+
+_COCHRAN_Q_ORACLE = """
+WITH f AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'click'    AND value > 300 THEN 1 ELSE 0 END) AS s1,
+         max(CASE WHEN event_type = 'error'    AND value > 300 THEN 1 ELSE 0 END) AS s2,
+         max(CASE WHEN event_type = 'purchase' AND value > 300 THEN 1 ELSE 0 END) AS s3,
+         max(CASE WHEN event_type = 'signup'   AND value > 300 THEN 1 ELSE 0 END) AS s4,
+         max(CASE WHEN event_type = 'view'     AND value > 300 THEN 1 ELSE 0 END) AS s5
+  FROM events GROUP BY user_id
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+         CAST(SUM(s1) AS BIGINT) AS c1, CAST(SUM(s2) AS BIGINT) AS c2,
+         CAST(SUM(s3) AS BIGINT) AS c3, CAST(SUM(s4) AS BIGINT) AS c4,
+         CAST(SUM(s5) AS BIGINT) AS c5,
+         CAST(SUM(s1 + s2 + s3 + s4 + s5) AS BIGINT) AS t,
+         CAST(SUM((s1 + s2 + s3 + s4 + s5) * (s1 + s2 + s3 + s4 + s5))
+              AS BIGINT) AS sum_r_sq
+  FROM f
+)
+SELECT n_blocks, c1, c2, c3, c4, c5, t, sum_r_sq,
+       CAST(4 * (5 * (c1*c1 + c2*c2 + c3*c3 + c4*c4 + c5*c5) - t * t)
+            AS DOUBLE) / NULLIF(5 * t - sum_r_sq, 0) AS q_stat,
+       CAST(4 AS BIGINT) AS df
+FROM m
+"""
+
+
+@query("stats_cochran_q", oracle=_COCHRAN_Q_ORACLE)
+def q_stats_cochran_q(spark, sf_dir):
+    """Cochran's Q over k=5 paired binary treatments (per-user "ever
+    produced a high-value event" flag per event type, value > 300 — the
+    same tail flags as stats_mcnemar, of which this is the k-way
+    extension): Q = (k-1)(k*SUM(C_j^2) - T^2) / (k*T - SUM(R_i^2)), an
+    algebraic rearrangement of the textbook form in which EVERY term is
+    an exact integer, so the statistic is a single quotient of exact
+    BIGINTs (identical IEEE division both engines; all-concordant
+    degenerates to NULL via nullif).  Plan: one map-side-combinable
+    per-user groupBy (5 conditional maxes), then a 1-row contingency
+    aggregate — two shuffles total, the second over |users| rows."""
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    flags = [
+        F.max(
+            F.when((F.col("event_type") == kind) & (F.col("value") > 300), 1)
+            .otherwise(0)
+        ).alias(f"s{i + 1}")
+        for i, kind in enumerate(kinds)
+    ]
+    f = ev.groupBy("user_id").agg(*flags)
+    r = sum(F.col(f"s{i + 1}") for i in range(5))
+    m = f.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+        *[F.sum(f"s{i + 1}").cast("bigint").alias(f"c{i + 1}") for i in range(5)],
+        F.sum(r).cast("bigint").alias("t"),
+        F.sum(r * r).cast("bigint").alias("sum_r_sq"),
+    )
+    csq = sum(F.col(f"c{i + 1}") * F.col(f"c{i + 1}") for i in range(5))
+    q = (4 * (5 * csq - F.col("t") * F.col("t"))).cast("double") / F.nullif(
+        5 * F.col("t") - F.col("sum_r_sq"), F.lit(0)
+    )
+    return m.select(
+        "n_blocks", "c1", "c2", "c3", "c4", "c5", "t", "sum_r_sq",
+        q.alias("q_stat"),
+        F.lit(4).cast("bigint").alias("df"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Durbin-Watson — serial correlation of regression residuals (is the
+# value ~ time trend fit leaving autocorrelated structure behind).  The
+# lag runs per (event_type, user) series, so the window partitions are
+# session-sized — never a per-type total-order funnel.
+
+_DW_ORACLE = """
+WITH b AS (
+  SELECT event_type, user_id, ts, event_id,
+         epoch_us(ts) // 3600000000 AS hr,
+         CAST(value AS DECIMAL(18,4)) AS yd
+  FROM events
+), mins AS (
+  SELECT event_type, min(hr) AS hr0 FROM b GROUP BY event_type
+), j AS (
+  SELECT b.event_type, user_id, ts, event_id, yd, hr - hr0 AS x
+  FROM b JOIN mins ON b.event_type = mins.event_type
+), mom AS (
+  SELECT event_type,
+         CAST(count(*) AS DOUBLE) AS nd,
+         CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+         CAST(SUM(yd) AS DOUBLE) AS sy,
+         CAST(SUM(x * yd) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx
+  FROM j GROUP BY event_type
+), ab AS (
+  SELECT event_type, nd,
+         (nd * sxy - sx * sy) / (nd * sxx - sx * sx) AS slope,
+         (sy - (nd * sxy - sx * sy) / (nd * sxx - sx * sx) * sx) / nd
+           AS intercept
+  FROM mom
+), r AS (
+  SELECT j.event_type, j.user_id, j.ts, j.event_id,
+         CAST(yd AS DOUBLE) - intercept - slope * CAST(x AS DOUBLE) AS e
+  FROM j JOIN ab ON j.event_type = ab.event_type
+), lagged AS (
+  SELECT event_type, e,
+         lag(e) OVER (PARTITION BY event_type, user_id
+                      ORDER BY ts, event_id) AS ep
+  FROM r
+), terms AS (
+  SELECT event_type,
+         CAST(round(e * e, 6) AS DECIMAL(38,6)) AS s6,
+         CAST(round((e - ep) * (e - ep), 6) AS DECIMAL(38,6)) AS d6,
+         CAST(round(e * ep, 6) AS DECIMAL(38,6)) AS c6,
+         ep
+  FROM lagged
+), agg AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(count(ep) AS BIGINT) AS n_pairs,
+         CAST(SUM(s6) AS DOUBLE) AS ss,
+         CAST(SUM(d6) AS DOUBLE) AS sd,
+         CAST(SUM(c6) AS DOUBLE) AS sc
+  FROM terms GROUP BY event_type
+)
+SELECT a.event_type, n, n_pairs, round(slope, 6) AS slope,
+       sd / NULLIF(ss, 0) AS dw,
+       sc / NULLIF(ss, 0) AS rho1
+FROM agg a JOIN ab ON a.event_type = ab.event_type
+"""
+
+
+@query("stats_durbin_watson", oracle=_DW_ORACLE)
+def q_stats_durbin_watson(spark, sf_dir):
+    """Durbin-Watson serial-correlation test on the residuals of a
+    per-type OLS fit of value on epoch-hour (x anchored at the per-type
+    minimum hour — slope/DW are shift-invariant, and anchoring keeps
+    n*sxx - sx^2 free of catastrophic cancellation no matter where the
+    data sits on the epoch axis).  Moments are exact DECIMAL sums
+    (x*x summed as DECIMAL(38,0) — int64-safe at any scale); slope and
+    intercept are computed ONCE per type from identical doubles;
+    residuals are per-row double arithmetic (same expression tree both
+    engines); the DW / rho1 numerator-denominator terms are rounded to
+    6 dp and summed in DECIMAL (order-independent).  The lag-1 window
+    runs per (event_type, user) — session-sized partitions, never a
+    per-type total-order funnel.  DW ~ 2 means no serial correlation,
+    DW = 2 - 2*rho1 up to end effects (the invariant test pins it)."""
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    b = ev.select(
+        "event_type", "user_id", "ts", "event_id",
+        F.expr("unix_micros(ts) div 3600000000").alias("hr"),
+        F.col("value").cast("decimal(18,4)").alias("yd"),
+    )
+    mins = b.groupBy("event_type").agg(F.min("hr").alias("hr0"))
+    j = b.join(F.broadcast(mins), "event_type").select(
+        "event_type", "user_id", "ts", "event_id", "yd",
+        (F.col("hr") - F.col("hr0")).alias("x"),
+    )
+    mom = j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("nd"),
+        F.sum(F.col("x").cast("decimal(38,0)")).cast("double").alias("sx"),
+        F.sum("yd").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("yd")).cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)"))
+        .cast("double").alias("sxx"),
+    )
+    nd, sx, sy, sxy, sxx = (F.col(c) for c in ("nd", "sx", "sy", "sxy", "sxx"))
+    slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    ab = mom.select(
+        "event_type", "nd",
+        slope.alias("slope"),
+        ((sy - slope * sx) / nd).alias("intercept"),
+    )
+    r = j.join(F.broadcast(ab), "event_type").select(
+        "event_type", "user_id", "ts", "event_id",
+        (
+            F.col("yd").cast("double")
+            - F.col("intercept")
+            - F.col("slope") * F.col("x").cast("double")
+        ).alias("e"),
+    )
+    w = Window.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
+    lagged = r.select("event_type", "e", F.lag("e").over(w).alias("ep"))
+    e, ep = F.col("e"), F.col("ep")
+    terms = lagged.select(
+        "event_type",
+        F.round(e * e, 6).cast("decimal(38,6)").alias("s6"),
+        F.round((e - ep) * (e - ep), 6).cast("decimal(38,6)").alias("d6"),
+        F.round(e * ep, 6).cast("decimal(38,6)").alias("c6"),
+        "ep",
+    )
+    agg = terms.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count("ep").cast("bigint").alias("n_pairs"),
+        F.sum("s6").cast("double").alias("ss"),
+        F.sum("d6").cast("double").alias("sd"),
+        F.sum("c6").cast("double").alias("sc"),
+    )
+    return agg.join(F.broadcast(ab.select("event_type", "slope")), "event_type").select(
+        "event_type", "n", "n_pairs",
+        F.round("slope", 6).alias("slope"),
+        (F.col("sd") / F.nullif(F.col("ss"), F.lit(0))).alias("dw"),
+        (F.col("sc") / F.nullif(F.col("ss"), F.lit(0))).alias("rho1"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast backtest — the missing forecast-EVALUATION
+# family: score the lag-168h (same-hour-last-week) forecast of the dense
+# hourly event-count series against the lag-1h naive scaling, per type.
+
+_MASE_ORACLE = """
+WITH b AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hr FROM events
+), counts AS (
+  SELECT event_type, hr, count(*) AS cnt FROM b GROUP BY event_type, hr
+), spans AS (
+  SELECT event_type, min(hr) AS lo, max(hr) AS hi FROM b GROUP BY event_type
+), grid AS (
+  SELECT event_type, unnest(range(lo, hi + 1)) AS hr FROM spans
+), g AS (
+  SELECT gr.event_type, gr.hr, coalesce(c.cnt, 0) AS cnt
+  FROM grid gr LEFT JOIN counts c
+    ON gr.event_type = c.event_type AND gr.hr = c.hr
+), lagged AS (
+  SELECT event_type, cnt,
+         lag(cnt, 168) OVER (PARTITION BY event_type ORDER BY hr) AS f,
+         lag(cnt, 1)   OVER (PARTITION BY event_type ORDER BY hr) AS p
+  FROM g
+), terms AS (
+  SELECT event_type, cnt, f, p,
+         CASE WHEN f IS NULL THEN NULL
+              WHEN cnt + f = 0 THEN CAST(0 AS DECIMAL(18,8))
+              ELSE CAST(round(2.0 * abs(cnt - f) / (cnt + f), 8)
+                        AS DECIMAL(18,8)) END AS sm
+  FROM lagged
+), agg AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_hours,
+         CAST(count(f) AS BIGINT) AS n_eval,
+         CAST(count(p) AS BIGINT) AS n_naive,
+         CAST(SUM(abs(cnt - f)) AS BIGINT) AS sae,
+         CAST(SUM(cnt - f) AS BIGINT) AS se,
+         CAST(SUM(abs(cnt - p)) AS BIGINT) AS san,
+         CAST(SUM(sm) AS DOUBLE) AS ssm
+  FROM terms GROUP BY event_type
+)
+SELECT event_type, n_hours, n_eval,
+       CAST(sae AS DOUBLE) / n_eval AS mae_seasonal,
+       CAST(san AS DOUBLE) / n_naive AS mae_naive,
+       (CAST(sae AS DOUBLE) / n_eval)
+         / NULLIF(CAST(san AS DOUBLE) / n_naive, 0) AS mase,
+       ssm / n_eval AS smape,
+       CAST(se AS DOUBLE) / n_eval AS bias
+FROM agg
+"""
+
+
+@query("ts_seasonal_naive_mase", oracle=_MASE_ORACLE)
+def q_ts_seasonal_naive_mase(spark, sf_dir):
+    """Forecast backtest of the seasonal-naive model (forecast for hour
+    t = the count at t-168, same hour last week) on the dense zero-filled
+    hourly series per event type, scaled by the lag-1 naive baseline:
+    MASE = MAE(lag-168 errors) / MAE(lag-1 errors) — < 1 means weekly
+    seasonality beats pure persistence.  Plus sMAPE (per-row terms are
+    quotients of exact integers, rounded to 8 dp and summed in DECIMAL;
+    a 0/0 hour scores 0 by the standard convention) and signed bias.
+    Errors are integers on the zero-filled grid, so every MAE is a raw
+    quotient of exact BIGINTs.  The lag windows run over the
+    wall-clock-bounded grid (span/1h rows per type — independent of data
+    volume), partitioned by type; grid synthesis is the ts_gapfill
+    explode(sequence) pattern."""
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    b = ev.select(
+        "event_type", F.expr("unix_micros(ts) div 3600000000").alias("hr")
+    )
+    counts = b.groupBy("event_type", "hr").agg(F.count(F.lit(1)).alias("cnt"))
+    spans = b.groupBy("event_type").agg(
+        F.min("hr").alias("lo"), F.max("hr").alias("hi")
+    )
+    grid = spans.select(
+        "event_type",
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("hr"),
+    )
+    g = grid.join(counts, ["event_type", "hr"], "left").select(
+        "event_type", "hr", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
+    )
+    w = Window.partitionBy("event_type").orderBy("hr")
+    lagged = g.select(
+        "event_type", "cnt",
+        F.lag("cnt", 168).over(w).alias("f"),
+        F.lag("cnt", 1).over(w).alias("p"),
+    )
+    cnt, f, p = F.col("cnt"), F.col("f"), F.col("p")
+    sm = (
+        F.when(f.isNull(), F.lit(None).cast("decimal(18,8)"))
+        .when(cnt + f == 0, F.lit(0).cast("decimal(18,8)"))
+        .otherwise(
+            F.round(2.0 * F.abs(cnt - f) / (cnt + f), 8).cast("decimal(18,8)")
+        )
+    )
+    agg = lagged.select("event_type", "cnt", "f", "p", sm.alias("sm")).groupBy(
+        "event_type"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        F.count("f").cast("bigint").alias("n_eval"),
+        F.count("p").cast("bigint").alias("n_naive"),
+        F.sum(F.abs(cnt - f)).cast("bigint").alias("sae"),
+        F.sum(cnt - f).cast("bigint").alias("se"),
+        F.sum(F.abs(cnt - p)).cast("bigint").alias("san"),
+        F.sum("sm").cast("double").alias("ssm"),
+    )
+    mae_s = F.col("sae").cast("double") / F.col("n_eval")
+    mae_n = F.col("san").cast("double") / F.col("n_naive")
+    return agg.select(
+        "event_type", "n_hours", "n_eval",
+        mae_s.alias("mae_seasonal"),
+        mae_n.alias("mae_naive"),
+        (mae_s / F.nullif(mae_n, F.lit(0))).alias("mase"),
+        (F.col("ssm") / F.col("n_eval")).alias("smape"),
+        (F.col("se").cast("double") / F.col("n_eval")).alias("bias"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Classical additive seasonal decomposition (the moving-average STL
+# ancestor): trend = centered 2x24 MA on the dense hourly grid, seasonal
+# = centered per-hour-of-day means of the detrended series, plus
+# Hyndman's seasonal-strength F_s = max(0, 1 - Var(resid)/Var(detrended)).
+
+_STL_ORACLE = """
+WITH b AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hr FROM events
+), counts AS (
+  SELECT event_type, hr, count(*) AS cnt FROM b GROUP BY event_type, hr
+), spans AS (
+  SELECT event_type, min(hr) AS lo, max(hr) AS hi FROM b GROUP BY event_type
+), grid AS (
+  SELECT event_type, unnest(range(lo, hi + 1)) AS hr FROM spans
+), g AS (
+  SELECT gr.event_type, gr.hr, coalesce(c.cnt, 0) AS cnt
+  FROM grid gr LEFT JOIN counts c
+    ON gr.event_type = c.event_type AND gr.hr = c.hr
+), w AS (
+  SELECT event_type, hr, cnt,
+         2 * SUM(cnt) OVER (PARTITION BY event_type ORDER BY hr
+                            ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+           - lag(cnt, 12)  OVER (PARTITION BY event_type ORDER BY hr)
+           - lead(cnt, 12) OVER (PARTITION BY event_type ORDER BY hr) AS t48
+  FROM g
+), d AS (
+  SELECT event_type, hr % 24 AS hod, 48 * cnt - t48 AS d48
+  FROM w WHERE t48 IS NOT NULL
+), sh AS (
+  SELECT event_type, hod, CAST(count(*) AS BIGINT) AS n_obs,
+         SUM(d48) AS sd FROM d GROUP BY event_type, hod
+), s6 AS (
+  SELECT event_type, hod, n_obs,
+         round(CAST(sd AS DOUBLE) / (48 * n_obs), 6) AS s_raw
+  FROM sh
+), gm AS (
+  SELECT event_type,
+         CAST(SUM(CAST(s_raw AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS grand
+  FROM s6 GROUP BY event_type
+), sc AS (
+  SELECT s6.event_type, hod, n_obs, round(s_raw - grand, 6) AS seasonal
+  FROM s6 JOIN gm ON s6.event_type = gm.event_type
+), r AS (
+  SELECT d.event_type,
+         CAST(round(CAST(d48 AS DOUBLE) / 48, 6) AS DECIMAL(18,6)) AS dd,
+         CAST(round((CAST(d48 AS DOUBLE) / 48) * (CAST(d48 AS DOUBLE) / 48), 6)
+              AS DECIMAL(38,6)) AS dd2,
+         CAST(round(CAST(d48 AS DOUBLE) / 48 - seasonal, 6)
+              AS DECIMAL(18,6)) AS rr,
+         CAST(round((CAST(d48 AS DOUBLE) / 48 - seasonal)
+                    * (CAST(d48 AS DOUBLE) / 48 - seasonal), 6)
+              AS DECIMAL(38,6)) AS rr2
+  FROM d JOIN sc ON d.event_type = sc.event_type AND d.hod = sc.hod
+), st AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(dd) AS DOUBLE) AS sdd, CAST(SUM(dd2) AS DOUBLE) AS sdd2,
+         CAST(SUM(rr) AS DOUBLE) AS srr, CAST(SUM(rr2) AS DOUBLE) AS srr2
+  FROM r GROUP BY event_type
+), fs AS (
+  SELECT event_type,
+         greatest(CAST(0 AS DOUBLE),
+                  1 - (srr2 / n - (srr / n) * (srr / n))
+                    / NULLIF(sdd2 / n - (sdd / n) * (sdd / n), 0)) AS strength
+  FROM st
+)
+SELECT sc.event_type, hod, n_obs, seasonal, round(strength, 6) AS strength
+FROM sc JOIN fs ON sc.event_type = fs.event_type
+"""
+
+
+@query("ts_stl_classical", oracle=_STL_ORACLE)
+def q_ts_stl_classical(spark, sf_dir):
+    """Classical additive decomposition of the dense hourly count series
+    per event type, period 24: trend is the standard even-period
+    centered MA (0.5*y[-12] + y[-11..+11] + 0.5*y[+12]) / 24, carried
+    x48 as the EXACT integer 2*SUM(frame) - y[-12] - y[+12] (NULL at
+    the 12-row edges via lag/lead nullness); seasonal is the per
+    hour-of-day mean of the detrended series, centered to sum zero
+    (per-hod means are single divisions of exact integers, rounded to
+    6 dp and centered against their DECIMAL-summed grand mean); plus
+    Hyndman's seasonal strength F_s = max(0, 1 - Var(resid) /
+    Var(detrended)) from 6 dp-rounded DECIMAL moment sums.  All windows
+    run over the wall-clock-bounded grid (span/1h rows per type),
+    partitioned by type; every data-scale pass is one partial-agg
+    groupBy.  Output: the 5 x 24 seasonal profile with per-type
+    strength."""
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    b = ev.select(
+        "event_type", F.expr("unix_micros(ts) div 3600000000").alias("hr")
+    )
+    counts = b.groupBy("event_type", "hr").agg(F.count(F.lit(1)).alias("cnt"))
+    spans = b.groupBy("event_type").agg(
+        F.min("hr").alias("lo"), F.max("hr").alias("hi")
+    )
+    grid = spans.select(
+        "event_type",
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("hr"),
+    )
+    g = grid.join(counts, ["event_type", "hr"], "left").select(
+        "event_type", "hr", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
+    )
+    w = Window.partitionBy("event_type").orderBy("hr")
+    t48 = (
+        2 * F.sum("cnt").over(w.rowsBetween(-12, 12))
+        - F.lag("cnt", 12).over(w)
+        - F.lead("cnt", 12).over(w)
+    )
+    d = (
+        g.select("event_type", "hr", "cnt", t48.alias("t48"))
+        .filter(F.col("t48").isNotNull())
+        .select(
+            "event_type",
+            (F.col("hr") % 24).alias("hod"),
+            (48 * F.col("cnt") - F.col("t48")).alias("d48"),
+        )
+    )
+    sh = d.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        F.sum("d48").alias("sd"),
+    )
+    s6 = sh.select(
+        "event_type", "hod", "n_obs",
+        F.round(F.col("sd").cast("double") / (48 * F.col("n_obs")), 6)
+        .alias("s_raw"),
+    )
+    gm = s6.groupBy("event_type").agg(
+        (
+            F.sum(F.col("s_raw").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("grand")
+    )
+    sc = s6.join(F.broadcast(gm), "event_type").select(
+        "event_type", "hod", "n_obs",
+        F.round(F.col("s_raw") - F.col("grand"), 6).alias("seasonal"),
+    )
+    dd = F.col("d48").cast("double") / 48
+    rr = dd - F.col("seasonal")
+    r = d.join(F.broadcast(sc), ["event_type", "hod"]).select(
+        "event_type",
+        F.round(dd, 6).cast("decimal(18,6)").alias("dd"),
+        F.round(dd * dd, 6).cast("decimal(38,6)").alias("dd2"),
+        F.round(rr, 6).cast("decimal(18,6)").alias("rr"),
+        F.round(rr * rr, 6).cast("decimal(38,6)").alias("rr2"),
+    )
+    st = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("dd").cast("double").alias("sdd"),
+        F.sum("dd2").cast("double").alias("sdd2"),
+        F.sum("rr").cast("double").alias("srr"),
+        F.sum("rr2").cast("double").alias("srr2"),
+    )
+    n, sdd, sdd2, srr, srr2 = (
+        F.col(c) for c in ("n", "sdd", "sdd2", "srr", "srr2")
+    )
+    var_r = srr2 / n - (srr / n) * (srr / n)
+    var_d = sdd2 / n - (sdd / n) * (sdd / n)
+    fs = st.select(
+        "event_type",
+        F.greatest(F.lit(0).cast("double"), 1 - var_r / F.nullif(var_d, F.lit(0)))
+        .alias("strength"),
+    )
+    return sc.join(F.broadcast(fs), "event_type").select(
+        "event_type", "hod", "n_obs", "seasonal",
+        F.round("strength", 6).alias("strength"),
+    )

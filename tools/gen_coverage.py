@@ -204,6 +204,10 @@ SECTIONS = [
         "events_seasonal_dow_hour", "ml_brier_decomposition",
         "stats_mcnemar", "sim_search_ivf_recall_sweep",
     ]),
+    ("Cochran's Q, Durbin-Watson, forecast backtest & classical STL (round 11, session 5b)", [
+        "stats_cochran_q", "stats_durbin_watson",
+        "ts_seasonal_naive_mase", "ts_stl_classical",
+    ]),
     ("Sketches & sampling III (round 5)", [
         "sketch_kmv_intersect", "sketch_quantile_logbins", "sample_weighted_kmv",
     ]),
