@@ -4248,13 +4248,17 @@ def q_ts_seasonal_naive_mase(spark, sf_dir):
     quotient of exact BIGINTs.  The lag windows run over the
     wall-clock-bounded grid (span/1h rows per type — independent of data
     volume), partitioned by type; grid synthesis is the ts_gapfill
-    explode(sequence) pattern."""
+    explode(sequence) pattern.  Spans derive from the COUNTS relation
+    (min/max hr are preserved by the cell collapse), so both join inputs
+    hang off one shuffle exchange and the data-scale scan runs ONCE —
+    scanning the raw frame twice costs a second full fan_out shuffle
+    (measured 4.9 -> 3.0 s at the 10x point)."""
     ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
     b = ev.select(
         "event_type", F.expr("unix_micros(ts) div 3600000000").alias("hr")
     )
     counts = b.groupBy("event_type", "hr").agg(F.count(F.lit(1)).alias("cnt"))
-    spans = b.groupBy("event_type").agg(
+    spans = counts.groupBy("event_type").agg(
         F.min("hr").alias("lo"), F.max("hr").alias("hi")
     )
     grid = spans.select(
@@ -4385,15 +4389,18 @@ def q_ts_stl_classical(spark, sf_dir):
     Hyndman's seasonal strength F_s = max(0, 1 - Var(resid) /
     Var(detrended)) from 6 dp-rounded DECIMAL moment sums.  All windows
     run over the wall-clock-bounded grid (span/1h rows per type),
-    partitioned by type; every data-scale pass is one partial-agg
-    groupBy.  Output: the 5 x 24 seasonal profile with per-type
-    strength."""
+    partitioned by type; the data-scale scan runs ONCE — spans derive
+    from the counts relation (min/max hr preserved by the cell
+    collapse), so both grid inputs hang off one shuffle exchange
+    (ts_seasonal_naive_mase measured the second raw-frame scan at +1.9 s
+    on the 10x point).  Output: the 5 x 24 seasonal profile with
+    per-type strength."""
     ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
     b = ev.select(
         "event_type", F.expr("unix_micros(ts) div 3600000000").alias("hr")
     )
     counts = b.groupBy("event_type", "hr").agg(F.count(F.lit(1)).alias("cnt"))
-    spans = b.groupBy("event_type").agg(
+    spans = counts.groupBy("event_type").agg(
         F.min("hr").alias("lo"), F.max("hr").alias("hi")
     )
     grid = spans.select(
