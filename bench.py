@@ -118,6 +118,13 @@ HEADLINE = [
     # capture caps the headline set (see
     # test_bench_stdout_line_fits_driver_tail_capture).
     "rank_skyline_2d",
+    # round 11 session 5: the one NEW plan shape — classical STL over
+    # the dense hourly grid (spans-from-counts exchange reuse, even-
+    # period centered-MA windows, two-level seasonal normalization).
+    # The other session-5 ids reuse benched shapes (McNemar/Cochran ride
+    # the contingency collapse, MASE/Ljung-Box the same grid) and live
+    # in SCALE_CURVE.json under the same stdout-tail cap.
+    "ts_stl_classical",
 ]
 
 

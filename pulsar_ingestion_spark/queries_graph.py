@@ -1208,3 +1208,135 @@ def q_graph_closeness_centrality(spark, sf_dir):
             6,
         ).alias("harmonic"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities on the DIRECTED event-type transition graph
+# (the pagerank edge relation): which event types are strong pointers
+# (hubs) vs strong targets (authorities).  Two mutual-reinforcement
+# rounds with scaled-BIGINT share normalization between rounds, so every
+# fold is an exact integer/decimal sum — no double-summation order
+# anywhere (the pagerank DECIMAL(28,15) discipline, taken further).
+
+_HITS_ORACLE = """
+WITH seq AS (
+  SELECT event_type AS cur,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), edges AS (
+  SELECT prev, cur, count(*) AS cnt FROM seq WHERE prev IS NOT NULL GROUP BY prev, cur
+), nodes AS (
+  SELECT DISTINCT event_type AS node FROM events
+), a1 AS (
+  SELECT nodes.node, CAST(coalesce(s.w, 0) AS BIGINT) AS a1
+  FROM nodes LEFT JOIN (
+    SELECT cur, SUM(cnt) AS w FROM edges GROUP BY cur
+  ) s ON s.cur = nodes.node
+), a1tot AS (SELECT CAST(SUM(a1) AS DOUBLE) AS ta FROM a1
+), a1s AS (
+  SELECT node, CAST(round(CAST(a1 AS DOUBLE) * 100000000 / NULLIF(ta, 0), 0)
+               AS BIGINT) AS a1s
+  FROM a1, a1tot
+), h1 AS (
+  SELECT nodes.node, CAST(coalesce(s.h, 0) AS DECIMAL(38,0)) AS h1
+  FROM nodes LEFT JOIN (
+    SELECT prev, SUM(CAST(cnt AS DECIMAL(38,0)) * a1s.a1s) AS h
+    FROM edges JOIN a1s ON a1s.node = edges.cur GROUP BY prev
+  ) s ON s.prev = nodes.node
+), h1tot AS (SELECT CAST(SUM(h1) AS DOUBLE) AS th FROM h1
+), h1s AS (
+  SELECT node, h1,
+         CAST(round(CAST(h1 AS DOUBLE) * 100000000 / NULLIF(th, 0), 0)
+              AS BIGINT) AS h1s
+  FROM h1, h1tot
+), a2 AS (
+  SELECT nodes.node, CAST(coalesce(s.a, 0) AS DECIMAL(38,0)) AS a2
+  FROM nodes LEFT JOIN (
+    SELECT cur, SUM(CAST(cnt AS DECIMAL(38,0)) * h1s.h1s) AS a
+    FROM edges JOIN h1s ON h1s.node = edges.prev GROUP BY cur
+  ) s ON s.cur = nodes.node
+), a2tot AS (SELECT CAST(SUM(a2) AS DOUBLE) AS ta2 FROM a2)
+SELECT a2.node,
+       round(CAST(a2 AS DOUBLE) / NULLIF(ta2, 0), 6) AS authority,
+       round(CAST(h1 AS DOUBLE) / NULLIF(th, 0), 6) AS hub
+FROM a2 JOIN h1s ON h1s.node = a2.node, a2tot, h1tot
+ORDER BY a2.node
+"""
+
+
+@query("graph_hits", oracle=_HITS_ORACLE)
+def q_graph_hits(spark, sf_dir):
+    """HITS (Kleinberg 1999) hubs & authorities, weighted, two mutual-
+    reinforcement rounds on the event-type transition graph: a1 =
+    weighted in-degree; h1(i) = SUM_j w(i,j)*a1share(j); a2(j) =
+    SUM_i w(i,j)*h1share(i).  Between rounds scores normalize to x1e8
+    scaled-BIGINT shares (one IEEE division + round each — the
+    h8/keyed_running_sums discipline), so every fold is an exact
+    integer/DECIMAL sum in BOTH engines and the iteration never sums
+    raw doubles.  The stream is touched once (lag window + the <=
+    |types|^2 edge aggregate); all iteration relations are model-sized
+    broadcasts, so iteration cost is independent of data scale —
+    exactly the pagerank plan shape (graph_pagerank docstring).  Output:
+    final authority/hub shares (sum to 1 each)."""
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"), F.lag("event_type").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    edges = seq.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("cnt")).persist()
+    nodes = ev.select(F.col("event_type").alias("node")).distinct()
+
+    def shares(scores, col, scaled):
+        """x1e8 scaled-BIGINT shares of an exact integer/decimal score."""
+        tot = scores.agg(F.sum(col).cast("double").alias("t"))
+        return scores.crossJoin(F.broadcast(tot)).select(
+            "node",
+            F.col(col),
+            F.round(
+                F.col(col).cast("double") * 100000000
+                / F.nullif(F.col("t"), F.lit(0)),
+                0,
+            ).cast("bigint").alias(scaled),
+            F.col("t").alias(f"{col}_tot"),
+        )
+
+    a1 = nodes.join(
+        F.broadcast(edges.groupBy("cur").agg(F.sum("cnt").alias("w"))),
+        nodes["node"] == F.col("cur"), "left",
+    ).select("node", F.coalesce(F.col("w"), F.lit(0)).cast("bigint").alias("a1"))
+    a1s = shares(a1, "a1", "a1s")
+    h1 = nodes.join(
+        F.broadcast(
+            edges.join(F.broadcast(a1s), edges["cur"] == a1s["node"])
+            .groupBy("prev")
+            .agg(F.sum(F.col("cnt").cast("decimal(38,0)") * F.col("a1s")).alias("h"))
+        ),
+        nodes["node"] == F.col("prev"), "left",
+    ).select(
+        "node", F.coalesce(F.col("h"), F.lit(0)).cast("decimal(38,0)").alias("h1")
+    )
+    h1s = shares(h1, "h1", "h1s")
+    a2 = nodes.join(
+        F.broadcast(
+            edges.join(F.broadcast(h1s), edges["prev"] == h1s["node"])
+            .groupBy("cur")
+            .agg(F.sum(F.col("cnt").cast("decimal(38,0)") * F.col("h1s")).alias("a"))
+        ),
+        nodes["node"] == F.col("cur"), "left",
+    ).select(
+        "node", F.coalesce(F.col("a"), F.lit(0)).cast("decimal(38,0)").alias("a2")
+    )
+    a2t = a2.agg(F.sum("a2").cast("double").alias("ta2"))
+    return (
+        a2.crossJoin(F.broadcast(a2t))
+        .join(F.broadcast(h1s.select("node", "h1", "h1_tot")), "node")
+        .select(
+            "node",
+            F.round(
+                F.col("a2").cast("double") / F.nullif(F.col("ta2"), F.lit(0)), 6
+            ).alias("authority"),
+            F.round(
+                F.col("h1").cast("double") / F.nullif(F.col("h1_tot"), F.lit(0)), 6
+            ).alias("hub"),
+        )
+    )

@@ -4474,3 +4474,149 @@ def q_ts_stl_classical(spark, sf_dir):
         "event_type", "hod", "n_obs", "seasonal",
         F.round("strength", 6).alias("strength"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ljung-Box portmanteau test — "is there ANY autocorrelation in the
+# first h lags" (the multi-lag companion of stats_durbin_watson's lag-1
+# residual test), over the dense hourly count series per type.
+
+_LB_LAGS = 6
+
+_LJUNG_BOX_ORACLE = f"""
+WITH b AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hr FROM events
+), counts AS (
+  SELECT event_type, hr, count(*) AS cnt FROM b GROUP BY event_type, hr
+), spans AS (
+  SELECT event_type, min(hr) AS lo, max(hr) AS hi FROM counts GROUP BY event_type
+), grid AS (
+  SELECT event_type, unnest(range(lo, hi + 1)) AS hr FROM spans
+), g AS (
+  SELECT gr.event_type, gr.hr, coalesce(c.cnt, 0) AS cnt
+  FROM grid gr LEFT JOIN counts c
+    ON gr.event_type = c.event_type AND gr.hr = c.hr
+), m AS (
+  SELECT event_type, CAST(SUM(cnt) AS DOUBLE) / count(*) AS ybar,
+         CAST(count(*) AS BIGINT) AS n
+  FROM g GROUP BY event_type
+), lagged AS (
+  SELECT g.event_type, n, cnt - ybar AS dev,
+         {", ".join(f"lag(cnt, {k}) OVER (PARTITION BY g.event_type ORDER BY hr) - ybar AS dev{k}" for k in range(1, _LB_LAGS + 1))}
+  FROM g JOIN m ON g.event_type = m.event_type
+), terms AS (
+  SELECT event_type, n,
+         CAST(round(dev * dev, 6) AS DECIMAL(38,6)) AS s0,
+         {", ".join(f"CAST(round(dev * dev{k}, 6) AS DECIMAL(38,6)) AS t{k}" for k in range(1, _LB_LAGS + 1))}
+  FROM lagged
+), agg AS (
+  SELECT event_type, max(n) AS n, CAST(SUM(s0) AS DOUBLE) AS s0,
+         {", ".join(f"CAST(SUM(t{k}) AS DOUBLE) AS sd{k}" for k in range(1, _LB_LAGS + 1))}
+  FROM terms GROUP BY event_type
+), rho AS (
+  SELECT event_type, n,
+         {", ".join(f"sd{k} / NULLIF(s0, 0) AS r{k}" for k in range(1, _LB_LAGS + 1))}
+  FROM agg
+), q AS (
+  SELECT event_type, n,
+         {", ".join(f"r{k}" for k in range(1, _LB_LAGS + 1))},
+         CAST(n * (n + 2) AS DOUBLE)
+           * ({" + ".join(f"CAST(round(r{k} * r{k} / (n - {k}), 12) AS DECIMAL(18,12))" for k in range(1, _LB_LAGS + 1))})
+           AS qs
+  FROM rho
+)
+SELECT event_type, l.lg AS lag, CAST(n AS BIGINT) AS n_hours,
+       round(CASE {" ".join(f"WHEN l.lg = {k} THEN r{k}" for k in range(1, _LB_LAGS + 1))} END, 6) AS rho,
+       round(qs, 4) AS q_stat
+FROM q CROSS JOIN (VALUES {", ".join(f"({k})" for k in range(1, _LB_LAGS + 1))}) l(lg)
+"""
+
+
+@query("ts_ljung_box", oracle=_LJUNG_BOX_ORACLE)
+def q_ts_ljung_box(spark, sf_dir):
+    """Ljung-Box portmanteau statistic Q = n(n+2) * SUM_k rho_k^2/(n-k)
+    over the first 6 lag autocorrelations of the dense zero-filled
+    hourly count series per event type — the any-lag companion of
+    stats_durbin_watson's lag-1 residual test.  rho_k numerators /
+    denominator are 6 dp-rounded deviation products summed in DECIMAL
+    (order-independent); each rho is one IEEE division; the 6 Q
+    contributions are 12 dp-rounded DECIMALs added in FIXED expression
+    order (plain columns, not an aggregation — no summation-order
+    hazard).  All lag windows share one bounded-grid shuffle
+    (spans-from-counts, the SCALE.md 6x rule); the data-scale scan runs
+    once.  Output: (type, lag) rho profile with the per-type Q."""
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    b = ev.select(
+        "event_type", F.expr("unix_micros(ts) div 3600000000").alias("hr")
+    )
+    counts = b.groupBy("event_type", "hr").agg(F.count(F.lit(1)).alias("cnt"))
+    spans = counts.groupBy("event_type").agg(
+        F.min("hr").alias("lo"), F.max("hr").alias("hi")
+    )
+    grid = spans.select(
+        "event_type",
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("hr"),
+    )
+    g = grid.join(counts, ["event_type", "hr"], "left").select(
+        "event_type", "hr", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
+    )
+    m = g.groupBy("event_type").agg(
+        (F.sum("cnt").cast("double") / F.count(F.lit(1))).alias("ybar"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    w = Window.partitionBy("event_type").orderBy("hr")
+    j = g.join(F.broadcast(m), "event_type")
+    dev = F.col("cnt") - F.col("ybar")
+    lagged = j.select(
+        "event_type", "n", dev.alias("dev"),
+        *[
+            (F.lag("cnt", k).over(w) - F.col("ybar")).alias(f"dev{k}")
+            for k in range(1, _LB_LAGS + 1)
+        ],
+    )
+    terms = lagged.select(
+        "event_type", "n",
+        F.round(F.col("dev") * F.col("dev"), 6).cast("decimal(38,6)").alias("s0"),
+        *[
+            F.round(F.col("dev") * F.col(f"dev{k}"), 6)
+            .cast("decimal(38,6)")
+            .alias(f"t{k}")
+            for k in range(1, _LB_LAGS + 1)
+        ],
+    )
+    agg = terms.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.sum("s0").cast("double").alias("s0"),
+        *[F.sum(f"t{k}").cast("double").alias(f"sd{k}") for k in range(1, _LB_LAGS + 1)],
+    )
+    s0 = F.nullif(F.col("s0"), F.lit(0))
+    rho = agg.select(
+        "event_type", "n",
+        *[(F.col(f"sd{k}") / s0).alias(f"r{k}") for k in range(1, _LB_LAGS + 1)],
+    )
+    n = F.col("n")
+    contribs = [
+        F.round(F.col(f"r{k}") * F.col(f"r{k}") / (n - k), 12).cast("decimal(18,12)")
+        for k in range(1, _LB_LAGS + 1)
+    ]
+    qsum = contribs[0]
+    for c in contribs[1:]:
+        qsum = qsum + c
+    q = rho.select(
+        "event_type", "n",
+        *[F.col(f"r{k}") for k in range(1, _LB_LAGS + 1)],
+        ((n * (n + 2)).cast("double") * qsum).alias("qs"),
+    )
+    pairs = F.explode(
+        F.array(*[
+            F.struct(F.lit(k).alias("lag"), F.col(f"r{k}").alias("rho"))
+            for k in range(1, _LB_LAGS + 1)
+        ])
+    )
+    return q.select("event_type", "n", "qs", pairs.alias("p")).select(
+        "event_type",
+        F.col("p.lag").cast("int").alias("lag"),
+        F.col("n").cast("bigint").alias("n_hours"),
+        F.round("p.rho", 6).alias("rho"),
+        F.round("qs", 4).alias("q_stat"),
+    )

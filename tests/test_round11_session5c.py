@@ -1,0 +1,86 @@
+"""Round-11 session-5 batch-10 invariants: brute-force twins for HITS
+hubs/authorities and the Ljung-Box portmanteau test — independent
+pandas/numpy recomputations, not a third SQL engine.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run(spark, qid, sf=SF):
+    import __spark_entry__ as e
+
+    return e.queries()[qid](spark, sf).toPandas()
+
+
+def _events():
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    us = ev["ts"].astype("datetime64[us]").astype("int64")
+    return ev.assign(us=us, hr=us // 3_600_000_000)
+
+
+def test_graph_hits_brute_force(spark):
+    out = _run(spark, "graph_hits").set_index("node")
+    ev = _events().sort_values(["user_id", "ts", "event_id"])
+    # weighted directed transition edges
+    edges: dict[tuple[str, str], int] = {}
+    for _, grp in ev.groupby("user_id"):
+        types = grp["event_type"].tolist()
+        for a, b in zip(types, types[1:]):
+            edges[(a, b)] = edges.get((a, b), 0) + 1
+    nodes = sorted(ev["event_type"].unique())
+    # float twin of the two scaled-share rounds (engine uses x1e8
+    # BIGINT shares between rounds -> agree to ~1e-7)
+    a1 = {n: 0.0 for n in nodes}
+    for (_, j), w in edges.items():
+        a1[j] += w
+    ta = sum(a1.values())
+    a1s = {n: a1[n] / ta for n in nodes}
+    h1 = {n: 0.0 for n in nodes}
+    for (i, j), w in edges.items():
+        h1[i] += w * a1s[j]
+    th = sum(h1.values())
+    h1s = {n: h1[n] / th for n in nodes}
+    a2 = {n: 0.0 for n in nodes}
+    for (i, j), w in edges.items():
+        a2[j] += w * h1s[i]
+    ta2 = sum(a2.values())
+    assert set(out.index) == set(nodes)
+    for n in nodes:
+        assert abs(out.loc[n, "authority"] - a2[n] / ta2) < 1e-5
+        assert abs(out.loc[n, "hub"] - h1[n] / th) < 1e-5
+        assert out.loc[n, "authority"] >= 0 and out.loc[n, "hub"] >= 0
+    # shares partition the mass (each column sums to 1 up to rounding)
+    assert abs(out["authority"].sum() - 1.0) < 1e-4
+    assert abs(out["hub"].sum() - 1.0) < 1e-4
+
+
+def test_ts_ljung_box_brute_force(spark):
+    out = _run(spark, "ts_ljung_box")
+    ev = _events()
+    for kind, sub in ev.groupby("event_type"):
+        lo, hi = int(sub["hr"].min()), int(sub["hr"].max())
+        idx = np.arange(lo, hi + 1)
+        y = sub.groupby("hr").size().reindex(idx, fill_value=0).to_numpy(float)
+        n = len(y)
+        ybar = y.mean()
+        dev = y - ybar
+        s0 = (dev * dev).sum()
+        rows = out[out["event_type"] == kind].set_index("lag").sort_index()
+        assert list(rows.index) == [1, 2, 3, 4, 5, 6]
+        assert (rows["n_hours"] == n).all()
+        qsum = 0.0
+        for k in range(1, 7):
+            rho = (dev[k:] * dev[:-k]).sum() / s0
+            assert abs(rows.loc[k, "rho"] - rho) < 1e-4
+            assert abs(rows.loc[k, "rho"]) <= 1 + 1e-9
+            qsum += rho * rho / (n - k)
+        q = n * (n + 2) * qsum
+        got = rows["q_stat"].iloc[0]
+        assert (rows["q_stat"] == got).all()  # one Q per type
+        assert abs(got - q) < 1e-3
+        assert got >= 0

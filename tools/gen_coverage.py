@@ -208,6 +208,9 @@ SECTIONS = [
         "stats_cochran_q", "stats_durbin_watson",
         "ts_seasonal_naive_mase", "ts_stl_classical",
     ]),
+    ("HITS hubs/authorities & Ljung-Box portmanteau (round 11, session 5c)", [
+        "graph_hits", "ts_ljung_box",
+    ]),
     ("Sketches & sampling III (round 5)", [
         "sketch_kmv_intersect", "sketch_quantile_logbins", "sample_weighted_kmv",
     ]),
@@ -288,6 +291,7 @@ STREAMING_ONLY = [
     ("streaming sign-LSH ANN index maintenance (incremental bucket upkeep, batch-cut equivalent search)", "tests/test_streaming_ann_index.py"),
     ("streaming column profiler (exact add-merged counts, HLL distinct, MG modal candidates — per-statistic merge algebra)", "tests/test_streaming_profile.py"),
     ("streaming 2-D skyline maintenance (union-monotone closure merge, replay-idempotent by algebra, batch-cut equivalent to rank_skyline_2d)", "tests/test_streaming_skyline.py"),
+    ("streaming dow x hour seasonal grid (ADD-merged exact counts/DECIMAL sums behind a batch-id guard + per-cell HLL user registers, cut-exact vs events_seasonal_dow_hour)", "tests/test_streaming_seasonal.py"),
 ]
 
 
