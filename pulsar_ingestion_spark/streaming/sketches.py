@@ -55,6 +55,22 @@ from pulsar_ingestion_spark.queries_sketch import (
 )
 
 
+def hll_estimate(registers: dict) -> float:
+    """Portable-HLL estimate from a bucket -> max-rho register dict —
+    the exact math of `sketch_hll_portable`, shared by every maintainer
+    that holds per-key register sets (profile columns, seasonal cells)."""
+    used = len(registers)
+    full_scale = 1 << (_HLL_WBITS + 1)
+    sum_full = sum(
+        full_scale >> reg for reg in registers.values()
+    ) + (_HLL_M - used) * full_scale
+    raw = _HLL_ALPHA * _HLL_M * _HLL_M * float(full_scale) / float(sum_full)
+    zeros = _HLL_M - used
+    if raw <= 2.5 * _HLL_M and zeros > 0:
+        raw = float(_HLL_M) * math.log(float(_HLL_M) / float(zeros))
+    return round(raw, 4)
+
+
 class HllStreamMaintainer:
     """foreachBatch target maintaining a portable HLL over ``col``.
 
@@ -99,16 +115,7 @@ class HllStreamMaintainer:
     def estimate(self) -> float:
         """Same math as the batch query, driver-side: scaled-integer
         harmonic sum, then the linear-counting small-range branch."""
-        used = len(self.registers)
-        full_scale = 1 << (_HLL_WBITS + 1)
-        sum_full = sum(
-            full_scale >> reg for reg in self.registers.values()
-        ) + (_HLL_M - used) * full_scale
-        raw = _HLL_ALPHA * _HLL_M * _HLL_M * float(full_scale) / float(sum_full)
-        zeros = _HLL_M - used
-        if raw <= 2.5 * _HLL_M and zeros > 0:
-            raw = float(_HLL_M) * math.log(float(_HLL_M) / float(zeros))
-        return round(raw, 4)
+        return hll_estimate(self.registers)
 
 
 class CmsStreamMaintainer:
