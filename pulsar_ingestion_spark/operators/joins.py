@@ -1,0 +1,80 @@
+"""Generic as-of join — the union-sort single-shuffle plan.
+
+Spark has no native as-of join (SURVEY.md §2.5; the reference's
+analytics surface implies one), and the naive spelling — equi-join on
+the key plus a <= predicate and a per-left-row max — fans out to
+|left| x |right-per-key| intermediate rows, quadratic-ish for active
+keys at 100 TB.  The union-sort plan never expands: tag both sides,
+sort each key's timeline ONCE (one shuffle + sort of |left| + |right|
+rows), and carry the last-seen right timestamp forward with an
+IGNORE-NULLS last_value window.
+
+Semantics (pinned by tests/test_asof_fuzz.py against DuckDB's NATIVE
+``ASOF JOIN`` — an independent implementation of the same contract):
+
+* backward match: each left row pairs with the GREATEST right ts
+  <= left ts (inclusive) or < left ts (exclusive);
+* left rows with no prior right row are DROPPED (inner as-of, DuckDB's
+  default);
+* the carried payload is the matched right TIMESTAMP itself.  When
+  several right rows share the matched (key, ts) the timestamp is the
+  only attribute every candidate agrees on — carrying an arbitrary
+  right column would be nondeterministic under intra-tie row order.
+  Callers needing right attributes join back on (key, matched_ts) with
+  an explicit tie policy (the registry queries' group-max form).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_backward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    inclusive: bool = True,
+) -> DataFrame:
+    """Backward as-of join: every ``left`` row annotated with
+    ``matched_ts`` = the latest ``right`` timestamp at-or-before
+    (``inclusive``) / strictly-before its own; unmatched left rows drop.
+
+    Output: all ``left`` columns + ``matched_ts`` (right_ts's type).
+    One shuffle + sort of |left| + |right| rows on ``on`` — never a
+    per-key fan-out (see module docstring; parity with DuckDB's native
+    ASOF JOIN is fuzz-tested)."""
+    # tag order decides what an equal-timestamp left row sees: right
+    # rows sort BEFORE left at ties when inclusive, AFTER when exclusive
+    right_tag = 0 if inclusive else 2
+    lcols = left.columns
+    tagged_left = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__tag"),
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("__rts"),
+        *[F.col(c).alias(f"__l_{c}") for c in lcols],
+    )
+    tagged_right = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).alias("__t"),
+        F.lit(right_tag).alias("__tag"),
+        F.col(right_ts).alias("__rts"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}") for c in lcols],
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__t", "__tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    timeline = tagged_left.unionByName(tagged_right).withColumn(
+        "__matched", F.last("__rts", ignorenulls=True).over(w)
+    )
+    return timeline.filter(
+        (F.col("__tag") == 1) & F.col("__matched").isNotNull()
+    ).select(
+        *[F.col(f"__l_{c}").alias(c) for c in lcols],
+        F.col("__matched").alias("matched_ts"),
+    )

@@ -309,43 +309,33 @@ def join_theta_range(spark, sf_dir):
     """,
 )
 def join_asof(spark, sf_dir):
-    # As-of join (latest dimension state at event time) as the union-sort
-    # plan: tag both sides, sort each user's timeline once, and carry the
-    # last-seen order date forward with an IGNORE-NULLS last_value.  One
-    # shuffle + sort of |events|+|orders| rows — the equi-join + max form
-    # fans out to |events|×|orders-per-user| intermediate rows, which is
-    # quadratic-ish for active users at 100 TB; this never expands.
-    # Orders sort BEFORE events at equal timestamps (inclusive <=).
-    # Spark has no native as-of (SURVEY.md §2.5).
-    from pyspark.sql import Window
+    # As-of join (latest dimension state at event time) via the shared
+    # union-sort operator (operators/joins.py): one shuffle + sort of
+    # |events|+|orders| rows — the equi-join + max form fans out to
+    # |events|×|orders-per-user| intermediate rows, quadratic-ish for
+    # active users at 100 TB; this never expands.  Orders sort BEFORE
+    # events at equal timestamps (inclusive <=).  Spark has no native
+    # as-of (SURVEY.md §2.5); the operator's semantics are fuzz-tested
+    # against DuckDB's NATIVE ASOF JOIN in tests/test_asof_fuzz.py.
+    from pulsar_ingestion_spark.operators.joins import asof_backward
 
     ev, orders = _t(spark, sf_dir, "events", "orders")
-    tagged_ev = ev.select(
-        F.col("user_id").alias("k"), F.col("ts").alias("t"),
-        F.lit(1).alias("is_event"), "event_id",
-        F.lit(None).cast("timestamp").alias("od"),
+    out = asof_backward(
+        ev.select("event_id", "user_id", "ts"),
+        orders.select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").cast("timestamp").alias("odate"),
+        ),
+        on="user_id",
+        left_ts="ts",
+        right_ts="odate",
+        inclusive=True,
     )
-    tagged_ord = orders.select(
-        F.col("o_custkey").alias("k"), F.col("o_orderdate").cast("timestamp").alias("t"),
-        F.lit(0).alias("is_event"), F.lit(None).cast("bigint").alias("event_id"),
-        F.col("o_orderdate").alias("od"),
-    )
-    w = (
-        Window.partitionBy("k")
-        .orderBy("t", "is_event")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    timeline = tagged_ev.unionByName(tagged_ord).withColumn(
-        "last_od", F.last("od", ignorenulls=True).over(w)
-    )
-    return (
-        timeline.filter((F.col("is_event") == 1) & F.col("last_od").isNotNull())
-        .select(
-            "event_id",
-            F.col("k").alias("user_id"),
-            # string output — raw timestamps hash differently across engines
-            F.date_format("last_od", "yyyy-MM-dd").alias("last_order_date"),
-        )
+    return out.select(
+        "event_id",
+        "user_id",
+        # string output — raw timestamps hash differently across engines
+        F.date_format("matched_ts", "yyyy-MM-dd").alias("last_order_date"),
     )
 
 

@@ -1,0 +1,113 @@
+"""As-of join parity fuzz: the union-sort plan (operators/joins.py,
+the machinery behind join_asof) vs DuckDB's NATIVE ``ASOF JOIN`` — an
+independent implementation of the same contract (the registry oracle
+uses the equi-join + max spelling, so this is a THIRD algorithm
+agreeing).  Hypothesis draws left/right filters, key-density mods and
+the inclusive/exclusive bound; every draw must produce the identical
+(left row, matched right timestamp) multiset.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, Phase, given, settings
+from hypothesis import strategies as st
+
+SF_DIR = "/root/testdata/sf0.001"
+TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF_DIR}/events.parquet')"
+    )
+    return con
+
+
+def _spark_asof(spark, ltype, lmod, rtype, rval, inclusive):
+    from pyspark.sql import functions as F
+
+    from pulsar_ingestion_spark.operators.joins import asof_backward
+    from pulsar_ingestion_spark.session import load_tables
+
+    ev = load_tables(spark, SF_DIR)["events"]
+    left = ev.filter(
+        (F.col("event_type") == ltype) & (F.col("user_id") % lmod == 0)
+    ).select("event_id", "user_id", "ts")
+    right = ev.filter(
+        (F.col("event_type") == rtype) & (F.col("value") >= rval)
+    ).select("user_id", F.col("ts").alias("rts"))
+    out = asof_backward(
+        left, right, on="user_id", left_ts="ts", right_ts="rts",
+        inclusive=inclusive,
+    )
+    return sorted(
+        (int(r["event_id"]), str(r["matched_ts"]))
+        for r in out.select("event_id", "matched_ts").collect()
+    )
+
+
+def _duck_asof(duck, ltype, lmod, rtype, rval, inclusive):
+    op = ">=" if inclusive else ">"
+    rows = duck.execute(f"""
+        SELECT l.event_id, r.ts AS matched_ts
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = '{ltype}' AND user_id % {lmod} = 0) l
+        ASOF JOIN (SELECT user_id, ts FROM events
+                   WHERE event_type = '{rtype}' AND value >= {rval}) r
+          ON l.user_id = r.user_id AND l.ts {op} r.ts
+    """).fetchall()
+    return sorted((int(e), str(t)) for e, t in rows)
+
+
+@settings(
+    max_examples=25, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+    phases=[Phase.generate, Phase.shrink],
+)
+@given(
+    ltype=st.sampled_from(TYPES),
+    lmod=st.integers(min_value=1, max_value=5),
+    rtype=st.sampled_from(TYPES),
+    rval=st.sampled_from([0, 100, 300, 450]),
+    inclusive=st.booleans(),
+)
+def test_asof_backward_matches_native_asof_join(
+    spark, duck, ltype, lmod, rtype, rval, inclusive
+):
+    s = _spark_asof(spark, ltype, lmod, rtype, rval, inclusive)
+    d = _duck_asof(duck, ltype, lmod, rtype, rval, inclusive)
+    assert s == d, (ltype, lmod, rtype, rval, inclusive, len(s), len(d))
+
+
+def test_asof_self_match_inclusive_exclusive(spark, duck):
+    """ltype == rtype: inclusive lets every surviving left row match
+    ITSELF (matched_ts == own ts for rows passing both filters);
+    exclusive must match strictly earlier."""
+    s_inc = _spark_asof(spark, "purchase", 1, "purchase", 0, True)
+    d_inc = _duck_asof(duck, "purchase", 1, "purchase", 0, True)
+    assert s_inc == d_inc
+    s_exc = _spark_asof(spark, "purchase", 1, "purchase", 0, False)
+    d_exc = _duck_asof(duck, "purchase", 1, "purchase", 0, False)
+    assert s_exc == d_exc
+    # exclusive is a strict subset of inclusive match-keys
+    assert {e for e, _ in s_exc} <= {e for e, _ in s_inc}
+    assert len(s_exc) < len(s_inc)
+
+
+def test_asof_empty_right_yields_empty(spark):
+    from pyspark.sql import functions as F
+
+    from pulsar_ingestion_spark.operators.joins import asof_backward
+    from pulsar_ingestion_spark.session import load_tables
+
+    ev = load_tables(spark, SF_DIR)["events"]
+    left = ev.select("event_id", "user_id", "ts")
+    right = ev.filter(F.col("value") < -1).select(
+        "user_id", F.col("ts").alias("rts")
+    )
+    out = asof_backward(left, right, on="user_id", left_ts="ts", right_ts="rts")
+    assert out.count() == 0
