@@ -1544,3 +1544,66 @@ def q_events_seasonal_dow_hour(spark, sf_dir):
         (F.col("n_events").cast("double") / F.col("tot")).alias("share"),
         ((F.col("n_events") * 168).cast("double") / F.col("tot")).alias("intensity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Standardized residuals of the dow x hour grid against the
+# independence model — the anomaly companion of events_seasonal_dow_hour
+# ("Tuesday 9am is busy because Tuesdays are busy AND 9am is busy — or
+# is the CELL itself anomalous?").
+
+_SEASONAL_RESID_ORACLE = """
+WITH g AS (
+  SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+         (epoch_us(ts) // 3600000000) % 24 AS hr
+  FROM events
+), cell AS (
+  SELECT dow, hr, CAST(count(*) AS BIGINT) AS o FROM g GROUP BY dow, hr
+), rm AS (
+  SELECT dow, CAST(SUM(o) AS BIGINT) AS rd FROM cell GROUP BY dow
+), cm AS (
+  SELECT hr, CAST(SUM(o) AS BIGINT) AS ch FROM cell GROUP BY hr
+), tot AS (
+  SELECT CAST(SUM(o) AS BIGINT) AS n FROM cell
+)
+SELECT cell.dow, cell.hr, o AS observed,
+       CAST(rd AS DOUBLE) * ch / n AS expected,
+       (o - CAST(rd AS DOUBLE) * ch / n)
+         / sqrt(CAST(rd AS DOUBLE) * ch / n) AS std_residual
+FROM cell JOIN rm ON cell.dow = rm.dow
+          JOIN cm ON cell.hr = cm.hr, tot
+"""
+
+
+@query("events_seasonal_residuals", oracle=_SEASONAL_RESID_ORACLE)
+def q_events_seasonal_residuals(spark, sf_dir):
+    """Pearson standardized residuals of the dow x hour cell counts
+    against the independence model (expected = row_margin x col_margin
+    / total): |z| >> 2 flags cells busier/quieter than their day and
+    hour margins jointly explain.  One map-side-combinable collapse to
+    <= 168 cells; margins and the total are aggregates OF the cell
+    relation (one data-scale scan — the SCALE.md 6x spans-from-counts
+    rule), broadcast back.  expected is a fixed chain (rd_double * ch /
+    n — two exact-integer operands per step); sqrt is IEEE-correctly-
+    rounded (the v16 fuzzer rule), so residuals are bit-identical."""
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    g = ev.select(
+        ((F.expr("unix_micros(ts) div 86400000000") + 4) % 7).alias("dow"),
+        (F.expr("unix_micros(ts) div 3600000000") % 24).alias("hr"),
+    )
+    cell = g.groupBy("dow", "hr").agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    rm = cell.groupBy("dow").agg(F.sum("o").cast("bigint").alias("rd"))
+    cm = cell.groupBy("hr").agg(F.sum("o").cast("bigint").alias("ch"))
+    tot = cell.agg(F.sum("o").cast("bigint").alias("n"))
+    e = F.col("rd").cast("double") * F.col("ch") / F.col("n")
+    return (
+        cell.join(F.broadcast(rm), "dow")
+        .join(F.broadcast(cm), "hr")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "dow", "hr",
+            F.col("o").alias("observed"),
+            e.alias("expected"),
+            ((F.col("o") - e) / F.sqrt(e)).alias("std_residual"),
+        )
+    )

@@ -4620,3 +4620,75 @@ def q_ts_ljung_box(spark, sf_dir):
         F.round("p.rho", 6).alias("rho"),
         F.round("qs", 4).alias("q_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cochran-Armitage trend test — does the purchase share TREND with
+# hour-of-day (ordered groups), the directional complement of the
+# unordered chi-square/Cramers-V association tests.
+
+_CA_TREND_ORACLE = """
+WITH g AS (
+  SELECT (epoch_us(ts) // 3600000000) % 24 AS hod,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS s
+  FROM events
+), cell AS (
+  SELECT hod, CAST(count(*) AS BIGINT) AS n, CAST(SUM(s) AS BIGINT) AS r
+  FROM g GROUP BY hod
+), m AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(r) AS BIGINT) AS rr,
+         CAST(SUM(hod * r) AS BIGINT) AS str_,
+         CAST(SUM(hod * n) AS BIGINT) AS stn,
+         CAST(SUM(hod * hod * n) AS BIGINT) AS st2n
+  FROM cell
+)
+SELECT nn AS n_total, rr AS n_success, str_ AS sum_t_r, stn AS sum_t_n,
+       CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) * str_ - CAST(rr AS DOUBLE) * stn)
+         * (CAST(nn AS DOUBLE) * str_ - CAST(rr AS DOUBLE) * stn)
+         / NULLIF(CAST(rr AS DOUBLE) * (nn - rr)
+                  * (CAST(nn AS DOUBLE) * st2n - CAST(stn AS DOUBLE) * stn), 0)
+         AS z_squared
+FROM m
+"""
+
+
+@query("stats_cochran_armitage", oracle=_CA_TREND_ORACLE)
+def q_stats_cochran_armitage(spark, sf_dir):
+    """Cochran-Armitage trend test: is the purchase share monotonically
+    associated with hour-of-day (integer scores t = 0..23)?  Z^2 =
+    N*(N*SUM(t*r) - R*SUM(t*n))^2 / (R*(N-R)*(N*SUM(t^2*n) -
+    SUM(t*n)^2)) — every moment is an exact BIGINT from one 24-cell
+    contingency collapse, the statistic a fixed chain of double
+    products and one division (identical both engines; degenerate
+    all-success/no-success or single-group inputs -> NULL via nullif).
+    Completes the ordered-alternative side of the categorical family
+    (stats_cramers_v / stats_theil_u are unordered).  Hour scores use
+    the pure epoch-microsecond arithmetic of events_seasonal_dow_hour."""
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    g = ev.select(
+        (F.expr("unix_micros(ts) div 3600000000") % 24).alias("hod"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("s"),
+    )
+    cell = g.groupBy("hod").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("s").cast("bigint").alias("r"),
+    )
+    m = cell.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("r").cast("bigint").alias("rr"),
+        F.sum(F.col("hod") * F.col("r")).cast("bigint").alias("str_"),
+        F.sum(F.col("hod") * F.col("n")).cast("bigint").alias("stn"),
+        F.sum(F.col("hod") * F.col("hod") * F.col("n")).cast("bigint").alias("st2n"),
+    )
+    nn, rr = F.col("nn").cast("double"), F.col("rr").cast("double")
+    num = nn * F.col("str_") - rr * F.col("stn")
+    den = rr * (F.col("nn") - F.col("rr")) * (
+        nn * F.col("st2n") - F.col("stn").cast("double") * F.col("stn")
+    )
+    return m.select(
+        F.col("nn").alias("n_total"),
+        F.col("rr").alias("n_success"),
+        F.col("str_").alias("sum_t_r"),
+        F.col("stn").alias("sum_t_n"),
+        (nn * num * num / F.nullif(den, F.lit(0))).alias("z_squared"),
+    )

@@ -84,3 +84,50 @@ def test_ts_ljung_box_brute_force(spark):
         assert (rows["q_stat"] == got).all()  # one Q per type
         assert abs(got - q) < 1e-3
         assert got >= 0
+
+
+def test_cochran_armitage_brute_force(spark):
+    out = _run(spark, "stats_cochran_armitage").iloc[0]
+    ev = _events()
+    hod = (ev["hr"] % 24).astype(int)
+    s = (ev["event_type"] == "purchase").astype(int)
+    df = pd.DataFrame({"t": hod, "s": s})
+    cell = df.groupby("t").agg(n=("s", "size"), r=("s", "sum"))
+    t = cell.index.to_numpy(float)
+    n_i, r_i = cell["n"].to_numpy(float), cell["r"].to_numpy(float)
+    N, R = n_i.sum(), r_i.sum()
+    assert out["n_total"] == N and out["n_success"] == R
+    assert out["sum_t_r"] == (t * r_i).sum()
+    assert out["sum_t_n"] == (t * n_i).sum()
+    num = N * (t * r_i).sum() - R * (t * n_i).sum()
+    den = R * (N - R) * (N * (t * t * n_i).sum() - (t * n_i).sum() ** 2)
+    assert abs(out["z_squared"] - N * num * num / den) < 1e-9
+    assert out["z_squared"] >= 0
+    # agreement with the textbook p-difference form: z^2 equals the
+    # squared standardized score-covariance statistic
+    pbar = R / N
+    cov = (t * (r_i - n_i * pbar)).sum()
+    var = pbar * (1 - pbar) * ((t * t * n_i).sum() - (t * n_i).sum() ** 2 / N)
+    assert abs(out["z_squared"] - cov * cov / var) < 1e-6
+
+
+def test_seasonal_residuals_brute_force(spark):
+    out = _run(spark, "events_seasonal_residuals").set_index(["dow", "hr"])
+    ev = _events()
+    dow = ((ev["us"] // 86_400_000_000 + 4) % 7).astype(int)
+    hr = (ev["hr"] % 24).astype(int)
+    cell = pd.DataFrame({"dow": dow, "hr": hr}).groupby(["dow", "hr"]).size()
+    n = cell.sum()
+    rd = cell.groupby(level=0).sum()
+    ch = cell.groupby(level=1).sum()
+    assert len(out) == len(cell)
+    chi2 = 0.0
+    for (d, h), o in cell.items():
+        e = rd[d] * ch[h] / n
+        row = out.loc[(d, h)]
+        assert row["observed"] == o
+        assert abs(row["expected"] - e) < 1e-9
+        assert abs(row["std_residual"] - (o - e) / e**0.5) < 1e-9
+        chi2 += (o - e) ** 2 / e
+    # residuals partition the chi-square statistic
+    assert abs((out["std_residual"] ** 2).sum() - chi2) < 1e-6

@@ -211,6 +211,9 @@ SECTIONS = [
     ("HITS hubs/authorities & Ljung-Box portmanteau (round 11, session 5c)", [
         "graph_hits", "ts_ljung_box",
     ]),
+    ("Cochran-Armitage trend & seasonal independence residuals (round 11, session 5c)", [
+        "stats_cochran_armitage", "events_seasonal_residuals",
+    ]),
     ("Sketches & sampling III (round 5)", [
         "sketch_kmv_intersect", "sketch_quantile_logbins", "sample_weighted_kmv",
     ]),
