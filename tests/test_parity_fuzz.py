@@ -677,3 +677,67 @@ def test_quantile_interpolation_formula_divergence(spark, duck):
             f"select quantile_cont(x, {p}) from (values (21), (50)) t(x)"
         ).fetchone()[0]
         assert sv == dv, p
+
+
+def test_multi_arg_count_distinct_null_divergence(spark, duck):
+    """v21 twin-pinning: multi-arg COUNT(DISTINCT a, b) drops rows where
+    ANY argument is NULL on Spark (ANSI semantics) but DuckDB wraps the
+    pair in a never-NULL struct and counts it — 2 vs 4 on a NULL-bearing
+    fixture.  The grammar compiles the STRUCT/row form on both engines,
+    which agrees for every NULL shape incl. (NULL, NULL)."""
+    rows = "(1,2),(1,2),(1,3),(NULL,2),(NULL,2),(NULL,NULL)"
+    s_bare = spark.sql(
+        f"SELECT count(DISTINCT a, b) AS v FROM (VALUES {rows}) t(a, b)"
+    ).collect()[0]["v"]
+    d_bare = duck.execute(
+        f"SELECT count(DISTINCT (a, b)) FROM (VALUES {rows}) t(a, b)"
+    ).fetchone()[0]
+    assert s_bare == 2      # NULL-bearing rows dropped
+    assert d_bare == 4      # struct-wrapped, counted — the divergence
+    s_struct = spark.sql(
+        f"SELECT count(DISTINCT struct(a, b)) AS v FROM (VALUES {rows}) t(a, b)"
+    ).collect()[0]["v"]
+    assert s_struct == d_bare == 4  # the portable twin
+
+
+def test_duckdb_list_null_guard_asymmetries(spark, duck):
+    """v21 aset guard rationale — two probed DuckDB list behaviors the
+    CASE guard defuses: list_concat treats a NULL operand as EMPTY
+    (Spark array_union propagates NULL), and list_filter over a NULL
+    probe list drops every element (Spark array_except propagates
+    NULL).  Plus the strjoin/ljoin empty-list rule: array_to_string([])
+    is NULL where Spark array_join([]) is ''."""
+    assert duck.execute(
+        "SELECT array_to_string(list_concat(NULL, ['a','b']), ',')"
+    ).fetchone()[0] == "a,b"
+    assert spark.sql(
+        "SELECT array_union(CAST(NULL AS ARRAY<STRING>), array('a','b')) AS v"
+    ).collect()[0]["v"] is None
+    assert duck.execute(
+        "SELECT list_filter(['a'], x -> NOT list_contains(NULL, x))"
+    ).fetchone()[0] == []
+    assert spark.sql(
+        "SELECT array_except(array('a'), CAST(NULL AS ARRAY<STRING>)) AS v"
+    ).collect()[0]["v"] is None
+    assert duck.execute("SELECT array_to_string([], ',')").fetchone()[0] is None
+    assert spark.sql(
+        "SELECT array_join(array_intersect(array('a'), array('b')), ',') AS v"
+    ).collect()[0]["v"] == ""
+
+
+def test_range_frame_null_island_parity(spark, duck):
+    """v21 RANGE-frame rationale: NULL order keys form a single peer
+    island whose frame is exactly the island on BOTH engines under ASC
+    NULLS FIRST — so nullable order expressions stay encodable."""
+    rows = "(NULL,100),(NULL,7),(1,10),(2,20),(2,5),(5,1)"
+    q = (
+        "SELECT k, CAST(SUM(v) OVER (ORDER BY k ASC NULLS FIRST "
+        "RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS s "
+        f"FROM (VALUES {rows}) t(k, v)"
+    )
+    key = lambda t: (t[0] is None, t[0] or 0, t[1])
+    s = sorted(((r["k"], r["s"]) for r in spark.sql(q).collect()), key=key)
+    d = sorted((tuple(r) for r in duck.execute(q).fetchall()), key=key)
+    # both: null island sums 107; the 2-peers see 10+20+5 = 35
+    assert s == d
+    assert {v for k, v in s if k is None} == {107}

@@ -190,6 +190,39 @@ Grammar v13 additions (round 11, third pass cont.):
   engines, NULL propagates);
 * datediff in days between a date literal and a cast timestamp column.
 
+Grammar v21 additions (round 11, fifth pass):
+
+* RANGE-k-PRECEDING window frames over the integer order expression.
+  Value-based bounds include ALL peers of every in-range order value,
+  so — unlike ROWS frames — aggregating an ARBITRARY grammar
+  expression is permutation-safe under duplicate rows; the framed
+  aggregate set is sum/min/count of int_exprs.  NULL order keys form a
+  single peer island whose frame is exactly the island on BOTH engines
+  (probed: identical sums for the null rows under ASC NULLS FIRST).
+* multi-column COUNT DISTINCT via an explicit struct/row.  The BARE
+  multi-arg form is a pinned VALUE divergence: Spark count(DISTINCT
+  a, b) drops rows where ANY argument is NULL (ANSI), DuckDB wraps the
+  pair in a never-NULL struct and counts it (probed 2 vs 4 on a
+  NULL-bearing fixture) — so the grammar compiles countDistinct(
+  struct(a, b)) <-> COUNT(DISTINCT (a, b)), which agree for every NULL
+  shape incl. (NULL, NULL).  Pinned in
+  test_multi_arg_count_distinct_null_divergence.
+* array set-ops over split() token arrays (union/intersect/except),
+  deduped + sorted + re-joined to a string.  Spark's
+  array_union/array_intersect/array_except all emit DISTINCT elements
+  and propagate a NULL operand; the DuckDB twins
+  (list_concat/list_intersect/list_filter-not-contains under
+  list_distinct + list_sort) need an EXPLICIT NULL guard — probed:
+  DuckDB list_concat treats a NULL operand as empty ('a,b' where Spark
+  yields NULL) and list_filter over a NULL probe list drops every
+  element ([] where Spark yields NULL); the CASE guard makes both
+  engines emit NULL.  (list_distinct also drops NULL ELEMENTS where
+  array_distinct keeps them — unreachable here: split() arrays never
+  contain NULL elements.)
+* UNION ALL BY NAME: side B projects the SAME aliases in REVERSED
+  order; Spark's DataFrame unionByName resolves by name, DuckDB via
+  the BY NAME modifier (probed identical).
+
 Grammar v20 additions (round 11, fourth pass cont.):
 
 * HAVING over STRING-valued aggregates (min/max of string exprs
@@ -648,6 +681,13 @@ def str_exprs(depth: int = 2, ns=_LI_NS):
         st.tuples(st.just("sregrep"), sub,
                   st.sampled_from(["[a-z]+", "[0-9]+", "[aeiou]", "a[a-z]"]),
                   st.sampled_from(["", "X", "_z"])),
+        # v21: array set-ops over split() token arrays — deduped,
+        # sorted, re-joined.  Spark array_union/intersect/except emit
+        # DISTINCT elements and NULL-propagate; the DuckDB twins carry
+        # an explicit NULL guard (list_concat treats NULL as empty,
+        # list_filter over a NULL probe drops all — probed).
+        st.tuples(st.just("aset"),
+                  st.sampled_from(["union", "inter", "exc"]), sub, sub),
     )
 
 
@@ -759,6 +799,13 @@ def agg_specs(ns=_LI_NS):
         # incl. leading space and mixed case) + COUNT(DISTINCT str)
         st.tuples(st.sampled_from(["mins", "maxs", "countd_s"]),
                   str_exprs(1, ns)),
+        # v21: multi-column COUNT DISTINCT via an explicit struct/row —
+        # the bare multi-arg form is a pinned VALUE divergence (Spark
+        # drops rows where ANY argument is NULL per ANSI; DuckDB wraps
+        # the pair in a never-NULL struct and counts it), so both
+        # engines compile the struct form, which agrees for every NULL
+        # shape incl. (NULL, NULL).
+        st.tuples(st.just("countd2"), int_exprs(1, ns), int_exprs(1, ns)),
     ]
     if ns["dbls"]:
         opts += [
@@ -838,7 +885,7 @@ _SOURCES = [("li",), ("ij",), ("lj",), ("semi",), ("anti",), ("ev",), ("doc",)]
 # sides; a NULL comparand — empty FILTER group — drops the row on both)
 _INT_AGGS = {"count_star", "count", "countd", "min", "max", "sum",
              "fcnt", "fsumi", "fmaxi",
-             "abit_and", "abit_or", "abit_xor", "countd_s"}
+             "abit_and", "abit_or", "abit_xor", "countd_s", "countd2"}
 
 # correlated scalar subquery inner aggregates (grammar v6): orders
 # aggregated per outer l_orderkey.  count over an empty group is 0 on
@@ -1057,12 +1104,26 @@ def plans(draw):
         # so the framed variant aggregates the ORDER EXPRESSION ITSELF —
         # tie members are interchangeable then, making the result
         # permutation-invariant (rank/dense_rank ignore frames).
-        frame = draw(st.none() | st.integers(min_value=0, max_value=4))
-        if frame is not None:
+        frame = draw(
+            st.none()
+            | st.tuples(st.just("rows"), st.integers(min_value=0, max_value=4))
+            | st.tuples(st.just("range"), st.integers(min_value=0, max_value=6))
+        )
+        if frame is not None and frame[0] == "rows":
             wfs = draw(st.lists(
                 st.sampled_from([("fsum",), ("fmin",), ("fcount",)]),
                 min_size=1, max_size=2, unique=True))
-            return ("win", src, where, pkey, oexpr, tuple(wfs), ("rows", frame))
+            return ("win", src, where, pkey, oexpr, tuple(wfs), frame)
+        if frame is not None:
+            # v21 RANGE frame: value-based bounds include ALL peers of
+            # every in-range order value, so aggregating an ARBITRARY
+            # expression is permutation-safe (ROWS frames are not);
+            # NULL order keys form one peer island on both engines
+            wfs = draw(st.lists(
+                st.tuples(st.sampled_from(["rsum", "rmin", "rcount"]),
+                          int_exprs(1, ns)),
+                min_size=1, max_size=2))
+            return ("win", src, where, pkey, oexpr, tuple(wfs), frame)
         wfs = draw(st.lists(win_funcs(ns), min_size=1, max_size=3))
         return ("win", src, where, pkey, oexpr, tuple(wfs), None)
     projs = draw(
@@ -1075,9 +1136,11 @@ def plans(draw):
     # (set ops treat NULLs as equal on both engines, unlike `=`).
     # v7 adds the multiset (ALL) forms — bag semantics with per-row
     # multiplicity arithmetic.
+    # v21 "ubyname": side B emits the same aliases in REVERSED order;
+    # Spark unionByName resolves by name, DuckDB via UNION ALL BY NAME
     kind = draw(st.sampled_from(
         ["union", "uniondist", "intersect", "except",
-         "intersectall", "exceptall"]))
+         "intersectall", "exceptall", "ubyname"]))
     where_b = draw(st.none() | preds(2, ns))
     return ("setop", kind, src, where, where_b, tuple(projs))
 
@@ -1268,6 +1331,17 @@ def _sp_str(e):
         # test_two_param_ltrim_argument_order_divergence
         fn = "ltrim" if op == "ltr" else "rtrim"
         return F.call_function(fn, F.lit(e[2]), _sp_str(e[1]))
+    if op == "aset":
+        # v21: all three ops emit DISTINCT elements and NULL-propagate.
+        # Operands capped at 120 chars (the lev cap discipline): the
+        # DuckDB except twin is list_filter+list_contains — O(n*m) PER
+        # ROW, quadratic on full sf0.1 document token arrays.
+        fn = {"union": F.array_union, "inter": F.array_intersect,
+              "exc": F.array_except}[e[1]]
+        return F.array_join(
+            F.sort_array(fn(F.split(F.left(_sp_str(e[2]), F.lit(120)), " "),
+                            F.split(F.left(_sp_str(e[3]), F.lit(120)), " "))),
+            ",")
     raise ValueError(op)
 
 
@@ -1350,6 +1424,10 @@ def _sp_agg(a):
         return (F.min if op == "mins" else F.max)(_sp_str(a[1]))
     if op == "countd_s":
         return F.count_distinct(_sp_str(a[1]))
+    if op == "countd2":
+        # v21: struct form — NULL fields count as distinct values (the
+        # bare multi-arg form would drop them; pinned divergence)
+        return F.count_distinct(F.struct(_sp_int(a[1]), _sp_int(a[2])))
     if op in ("minsqrt", "maxsqrt"):
         fn = F.min if op == "minsqrt" else F.max
         return fn(F.sqrt(F.col(a[1])))
@@ -1485,15 +1563,19 @@ def compile_spark(plan, spark, sf_dir: str):
     if plan[0] == "setop":
         _, op, src, wa, wb, projs = plan
 
-        def side(w):
+        def side(w, reverse=False):
             df = _sp_source(src, spark, sf_dir)
             if w is not None:
                 df = df.filter(_sp_pred(w))
-            return df.select(*[
+            cols = [
                 (_sp_int(e) if _is_int_expr(e) else _sp_str(e)).alias(f"c{i}")
                 for i, e in enumerate(projs)
-            ])
+            ]
+            return df.select(*(cols[::-1] if reverse else cols))
 
+        if op == "ubyname":
+            # v21: positional shuffle resolved BY NAME
+            return side(wa).unionByName(side(wb, reverse=True))
         a, b = side(wa), side(wb)
         if op == "union":
             return a.unionAll(b)
@@ -1538,7 +1620,10 @@ def compile_spark(plan, spark, sf_dir: str):
     w = Window.partitionBy(_sp_key(pkey)).orderBy(F.asc_nulls_first(okey))
     wf_frame = w
     if fspec is not None:
-        wf_frame = w.rowsBetween(-fspec[1], 0)
+        wf_frame = (
+            w.rowsBetween(-fspec[1], 0) if fspec[0] == "rows"
+            else w.rangeBetween(-fspec[1], 0)
+        )
     out = [_sp_key(pkey).alias("k0"), okey.alias("o0")]
     for i, wf in enumerate(wfs):
         if wf[0] == "rank":
@@ -1548,6 +1633,11 @@ def compile_spark(plan, spark, sf_dir: str):
         elif wf[0] in ("fsum", "fmin", "fcount"):
             fn = {"fsum": F.sum, "fmin": F.min, "fcount": F.count}[wf[0]]
             c = fn(okey).over(wf_frame)
+        elif wf[0] in ("rsum", "rmin", "rcount"):
+            # v21: RANGE frames aggregate an ARBITRARY expression
+            # (value-based bounds include all peers — permutation-safe)
+            fn = {"rsum": F.sum, "rmin": F.min, "rcount": F.count}[wf[0]]
+            c = fn(_sp_int(wf[1])).over(wf_frame)
         elif wf[0] in ("wlag", "wlead"):
             # v12: offset functions take the ORDER EXPRESSION (tie-safe)
             fn = F.lag if wf[0] == "wlag" else F.lead
@@ -1760,6 +1850,28 @@ def _dk_str(e) -> str:
             f"regexp_replace({_dk_str(e[1])}, {_sql_slit(e[2])},"
             f" {_sql_slit(e[3])}, 'g')"
         )
+    if op == "aset":
+        # v21: list twins under list_distinct + list_sort; the CASE
+        # guard mirrors Spark's NULL propagation — DuckDB list_concat
+        # treats a NULL operand as EMPTY and list_filter over a NULL
+        # probe list drops every element (both probed)
+        s1 = f"left({_dk_str(e[2])}, 120)"
+        s2 = f"left({_dk_str(e[3])}, 120)"
+        a1 = f"regexp_split_to_array({s1}, ' ')"
+        a2 = f"regexp_split_to_array({s2}, ' ')"
+        inner = {
+            "union": f"list_concat({a1}, {a2})",
+            "inter": f"list_intersect({a1}, {a2})",
+            "exc": f"list_filter({a1}, x -> NOT list_contains({a2}, x))",
+        }[e[1]]
+        # coalesce: DuckDB array_to_string([]) is NULL where Spark
+        # array_join([]) is '' (the strjoin/ljoin empty-group rule)
+        return (
+            f"(CASE WHEN ({s1}) IS NULL OR ({s2}) IS NULL THEN NULL"
+            f" ELSE coalesce("
+            f"array_to_string(list_sort(list_distinct({inner})), ','), '')"
+            f" END)"
+        )
     raise ValueError(op)
 
 
@@ -1835,6 +1947,9 @@ def _dk_agg(a) -> str:
         return f"{'min' if op == 'mins' else 'max'}({_dk_str(a[1])})"
     if op == "countd_s":
         return f"count(DISTINCT {_dk_str(a[1])})"
+    if op == "countd2":
+        # v21: row form — the struct twin of Spark countDistinct(struct)
+        return f"count(DISTINCT ({_dk_int(a[1])}, {_dk_int(a[2])}))"
     if op == "medi":
         return f"CAST(median({_dk_int(a[1])}) AS DOUBLE)"
     if op == "quanti":
@@ -2130,16 +2245,20 @@ def compile_sql(plan) -> str:
     if plan[0] == "setop":
         _, op, src, wa, wb, projs = plan
         frm, extra = _dk_source(src)
-        sel = ", ".join(
+        parts = [
             f"{_dk_int(e) if _is_int_expr(e) else _dk_str(e)} AS c{i}"
             for i, e in enumerate(projs)
-        )
+        ]
 
-        def side(w):
+        def side(w, reverse=False):
             conj = [c for c in (extra, _dk_pred(w) if w is not None else None) if c]
             ww = f" WHERE {' AND '.join(conj)}" if conj else ""
+            sel = ", ".join(parts[::-1] if reverse else parts)
             return f"SELECT {sel} FROM {frm}{ww}"
 
+        if op == "ubyname":
+            # v21: side B reversed, resolved by the BY NAME modifier
+            return f"({side(wa)}) UNION ALL BY NAME ({side(wb, reverse=True)})"
         return f"({side(wa)}) {_SETOP_SQL[op]} ({side(wb)})"
 
     kind, src, where = plan[0], plan[1], plan[2]
@@ -2172,7 +2291,8 @@ def compile_sql(plan) -> str:
     over = f"PARTITION BY {_dk_key(pkey)} ORDER BY {_dk_int(oexpr)} ASC NULLS FIRST"
     frame = "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
     if fspec is not None:
-        frame = f"ROWS BETWEEN {fspec[1]} PRECEDING AND CURRENT ROW"
+        kw = "ROWS" if fspec[0] == "rows" else "RANGE"
+        frame = f"{kw} BETWEEN {fspec[1]} PRECEDING AND CURRENT ROW"
     parts = [f"{_dk_key(pkey)} AS k0", f"{_dk_int(oexpr)} AS o0"]
     for i, wf in enumerate(wfs):
         if wf[0] in ("rank", "dense_rank"):
@@ -2182,6 +2302,13 @@ def compile_sql(plan) -> str:
             fn = {"fsum": "sum", "fmin": "min", "fcount": "count"}[wf[0]]
             expr = f"{fn}({_dk_int(oexpr)}) OVER ({over} {frame})"
             if wf[0] == "fsum":
+                expr = f"CAST({expr} AS BIGINT)"
+            parts.append(f"{expr} AS w{i}")
+        elif wf[0] in ("rsum", "rmin", "rcount"):
+            # v21 RANGE frame: arbitrary expression (peers included)
+            fn = {"rsum": "sum", "rmin": "min", "rcount": "count"}[wf[0]]
+            expr = f"{fn}({_dk_int(wf[1])}) OVER ({over} {frame})"
+            if wf[0] == "rsum":
                 expr = f"CAST({expr} AS BIGINT)"
             parts.append(f"{expr} AS w{i}")
         elif wf[0] in ("wlag", "wlead"):
