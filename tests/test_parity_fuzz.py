@@ -741,3 +741,34 @@ def test_range_frame_null_island_parity(spark, duck):
     # both: null island sums 107; the 2-peers see 10+20+5 = 35
     assert s == d
     assert {v for k, v in s if k is None} == {107}
+
+
+def test_arg_max_null_value_divergence(spark, duck):
+    """v22 twin-pinning: DuckDB arg_max/arg_min SKIP rows whose VALUE is
+    NULL, while Spark max_by/min_by pick the extreme-key row and surface
+    its NULL value.  The grammar's twin NULLs the ordering key when the
+    value is NULL (max_by ignores NULL keys), aligning both engines on
+    DuckDB's skip semantics."""
+    rows = "(1, 10),(2, 20),(3, 5)"
+    s_bare = spark.sql(
+        f"SELECT max_by(nullif(a, 2), u) AS v FROM (VALUES {rows}) t(a, u)"
+    ).collect()[0]["v"]
+    d = duck.execute(
+        f"SELECT arg_max(nullif(a, 2), u) FROM (VALUES {rows}) t(a, u)"
+    ).fetchone()[0]
+    assert s_bare is None        # max-u row (u=20) carries NULL — surfaced
+    assert d == 1                # DuckDB skips it; next-best u=10 wins
+    s_twin = spark.sql(
+        f"SELECT max_by(nullif(a, 2), "
+        f"CASE WHEN nullif(a, 2) IS NOT NULL THEN u END) AS v "
+        f"FROM (VALUES {rows}) t(a, u)"
+    ).collect()[0]["v"]
+    assert s_twin == d == 1      # the guarded twin
+    # arg_min agrees without the guard when no NULL sits at the extreme
+    s_min = spark.sql(
+        f"SELECT min_by(a + 1, u) AS v FROM (VALUES {rows}) t(a, u)"
+    ).collect()[0]["v"]
+    d_min = duck.execute(
+        f"SELECT arg_min(a + 1, u) FROM (VALUES {rows}) t(a, u)"
+    ).fetchone()[0]
+    assert s_min == d_min == 4

@@ -223,6 +223,29 @@ Grammar v21 additions (round 11, fifth pass):
   order; Spark's DataFrame unionByName resolves by name, DuckDB via
   the BY NAME modifier (probed identical).
 
+Grammar v22 additions (round 11, fifth pass cont.):
+
+* TWO-SIDED window frames: ROWS j PRECEDING .. m FOLLOWING over the
+  ORDER EXPRESSION (tie rows interchangeable -> multiset permutation-
+  invariant, the v7 rule), and RANGE j PRECEDING .. m FOLLOWING over
+  ARBITRARY expressions (value bounds include all peers, the v21
+  rule).
+* DISTINCT ordered string concatenation: Spark
+  array_join(sort_array(collect_set(s)), '|') <-> DuckDB
+  coalesce(array_to_string(list_sort(list(DISTINCT s)), '|'), '').
+  collect_set SKIPS NULLs at aggregation while DuckDB's list(DISTINCT)
+  keeps one NULL element — parity holds because array_to_string skips
+  NULL elements; the all-NULL group renders NULL in DuckDB vs '' in
+  Spark, closed by the strjoin coalesce rule (probed).
+* arg-max/arg-min of an integer expression BY the source's unique key
+  (lineitem: l_orderkey*8 + l_linenumber; events: event_id; documents:
+  doc_id — uniqueness is what makes the picked row deterministic).
+  NULL-VALUE asymmetry probed and pinned: DuckDB arg_max SKIPS rows
+  whose VALUE is NULL while Spark max_by returns the max-key row's
+  NULL; the twin NULLs the ordering key when the value is NULL
+  (max_by ignores NULL keys), which makes both engines skip —
+  test_arg_max_null_value_divergence.
+
 Grammar v20 additions (round 11, fourth pass cont.):
 
 * HAVING over STRING-valued aggregates (min/max of string exprs
@@ -416,13 +439,20 @@ EV_TS = ["ts"]
 # test_duckdb_decimal_multiply_overflow_asymmetry)
 RATE_DBL = ["l_discount", "l_tax"]
 
-_LI_NS = {"ints": LI_INT, "strs": LI_STR, "dbls": LI_DBL, "tss": LI_TS, "json": []}
+# "uk": a UNIQUE integer key expression (same text both engines) — what
+# makes v22 arg-max/arg-min deterministic.  lineitem: l_linenumber is
+# 1..7 so l_orderkey*8 + l_linenumber is injective; joins keep lineitem
+# rows unique (o_orderkey is unique).
+_LI_UK = "(l_orderkey * 8 + l_linenumber)"
+_LI_NS = {"ints": LI_INT, "strs": LI_STR, "dbls": LI_DBL, "tss": LI_TS, "json": [],
+          "uk": _LI_UK}
 _BOTH_NS = {
     "ints": LI_INT + ORD_INT,
     "strs": LI_STR + ORD_STR,
     "dbls": LI_DBL + ORD_DBL,
     "tss": LI_TS + ORD_TS,
     "json": [],
+    "uk": _LI_UK,
 }
 # events: timestamps, a continuous double, and a JSON props column —
 # ("jint", col, key) probes JSON-path extraction parity
@@ -434,6 +464,7 @@ _EV_NS = {
     "dbls": EV_DBL,
     "tss": EV_TS,
     "json": [("props", "k"), ("props", "missing")],
+    "uk": "event_id",
 }
 _MUL_MOD = 100_003  # keeps any product well under 2^63
 
@@ -447,6 +478,7 @@ _DOC_NS = {
     "dbls": [],
     "tss": [],
     "json": [],
+    "uk": "doc_id",
 }
 
 # back-compat aliases (v1 names)
@@ -806,7 +838,20 @@ def agg_specs(ns=_LI_NS):
         # engines compile the struct form, which agrees for every NULL
         # shape incl. (NULL, NULL).
         st.tuples(st.just("countd2"), int_exprs(1, ns), int_exprs(1, ns)),
+        # v22: DISTINCT ordered string concat — collect_set skips NULLs,
+        # list(DISTINCT) keeps one NULL element that array_to_string
+        # skips; all-NULL group closed by the strjoin coalesce rule
+        st.tuples(st.just("sjoind"), str_exprs(1, ns)),
     ]
+    if ns.get("uk"):
+        # v22: arg-max/arg-min BY the source's unique key — determinism
+        # comes from key uniqueness; the twin NULLs the key when the
+        # VALUE is NULL (DuckDB arg_max skips null values, Spark max_by
+        # would surface them — pinned divergence)
+        opts.append(
+            st.tuples(st.sampled_from(["amax", "amin"]), int_exprs(1, ns),
+                      st.just(ns["uk"]))
+        )
     if ns["dbls"]:
         opts += [
             st.tuples(st.sampled_from(["mind", "maxd"]), st.sampled_from(ns["dbls"])),
@@ -885,7 +930,8 @@ _SOURCES = [("li",), ("ij",), ("lj",), ("semi",), ("anti",), ("ev",), ("doc",)]
 # sides; a NULL comparand — empty FILTER group — drops the row on both)
 _INT_AGGS = {"count_star", "count", "countd", "min", "max", "sum",
              "fcnt", "fsumi", "fmaxi",
-             "abit_and", "abit_or", "abit_xor", "countd_s", "countd2"}
+             "abit_and", "abit_or", "abit_xor", "countd_s", "countd2",
+             "amax", "amin"}
 
 # correlated scalar subquery inner aggregates (grammar v6): orders
 # aggregated per outer l_orderkey.  count over an empty group is 0 on
@@ -1108,8 +1154,13 @@ def plans(draw):
             st.none()
             | st.tuples(st.just("rows"), st.integers(min_value=0, max_value=4))
             | st.tuples(st.just("range"), st.integers(min_value=0, max_value=6))
+            # v22: two-sided frames — (kind, j PRECEDING, m FOLLOWING)
+            | st.tuples(st.just("rows2"), st.integers(min_value=0, max_value=3),
+                        st.integers(min_value=0, max_value=3))
+            | st.tuples(st.just("range2"), st.integers(min_value=0, max_value=4),
+                        st.integers(min_value=0, max_value=4))
         )
-        if frame is not None and frame[0] == "rows":
+        if frame is not None and frame[0] in ("rows", "rows2"):
             wfs = draw(st.lists(
                 st.sampled_from([("fsum",), ("fmin",), ("fcount",)]),
                 min_size=1, max_size=2, unique=True))
@@ -1428,6 +1479,17 @@ def _sp_agg(a):
         # v21: struct form — NULL fields count as distinct values (the
         # bare multi-arg form would drop them; pinned divergence)
         return F.count_distinct(F.struct(_sp_int(a[1]), _sp_int(a[2])))
+    if op == "sjoind":
+        # v22: collect_set skips NULLs; array_join would skip a NULL
+        # element anyway — parity with list(DISTINCT) probed
+        return F.array_join(F.sort_array(F.collect_set(_sp_str(a[1]))), "|")
+    if op in ("amax", "amin"):
+        # v22: NULL the key when the VALUE is NULL so max_by skips the
+        # row exactly like DuckDB arg_max (pinned divergence otherwise)
+        e = _sp_int(a[1])
+        key = F.when(e.isNotNull(), F.expr(a[2]))
+        fn = F.max_by if op == "amax" else F.min_by
+        return fn(e, key).cast("long")
     if op in ("minsqrt", "maxsqrt"):
         fn = F.min if op == "minsqrt" else F.max
         return fn(F.sqrt(F.col(a[1])))
@@ -1620,9 +1682,10 @@ def compile_spark(plan, spark, sf_dir: str):
     w = Window.partitionBy(_sp_key(pkey)).orderBy(F.asc_nulls_first(okey))
     wf_frame = w
     if fspec is not None:
+        hi = fspec[2] if len(fspec) > 2 else 0
         wf_frame = (
-            w.rowsBetween(-fspec[1], 0) if fspec[0] == "rows"
-            else w.rangeBetween(-fspec[1], 0)
+            w.rowsBetween(-fspec[1], hi) if fspec[0].startswith("rows")
+            else w.rangeBetween(-fspec[1], hi)
         )
     out = [_sp_key(pkey).alias("k0"), okey.alias("o0")]
     for i, wf in enumerate(wfs):
@@ -1950,6 +2013,18 @@ def _dk_agg(a) -> str:
     if op == "countd2":
         # v21: row form — the struct twin of Spark countDistinct(struct)
         return f"count(DISTINCT ({_dk_int(a[1])}, {_dk_int(a[2])}))"
+    if op == "sjoind":
+        # v22: list(DISTINCT) keeps a NULL element; array_to_string
+        # skips it; coalesce closes the all-NULL/empty group to ''
+        return (
+            f"coalesce(array_to_string(list_sort("
+            f"list(DISTINCT {_dk_str(a[1])})), '|'), '')"
+        )
+    if op in ("amax", "amin"):
+        # v22: arg_max/arg_min skip NULL values natively; the NULLed-key
+        # guard on the Spark side makes the semantics line up
+        fn = "arg_max" if op == "amax" else "arg_min"
+        return f"CAST({fn}({_dk_int(a[1])}, {a[2]}) AS BIGINT)"
     if op == "medi":
         return f"CAST(median({_dk_int(a[1])}) AS DOUBLE)"
     if op == "quanti":
@@ -2291,8 +2366,9 @@ def compile_sql(plan) -> str:
     over = f"PARTITION BY {_dk_key(pkey)} ORDER BY {_dk_int(oexpr)} ASC NULLS FIRST"
     frame = "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
     if fspec is not None:
-        kw = "ROWS" if fspec[0] == "rows" else "RANGE"
-        frame = f"{kw} BETWEEN {fspec[1]} PRECEDING AND CURRENT ROW"
+        kw = "ROWS" if fspec[0].startswith("rows") else "RANGE"
+        hi = (f"{fspec[2]} FOLLOWING" if len(fspec) > 2 else "CURRENT ROW")
+        frame = f"{kw} BETWEEN {fspec[1]} PRECEDING AND {hi}"
     parts = [f"{_dk_key(pkey)} AS k0", f"{_dk_int(oexpr)} AS o0"]
     for i, wf in enumerate(wfs):
         if wf[0] in ("rank", "dense_rank"):
