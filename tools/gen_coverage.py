@@ -295,6 +295,7 @@ STREAMING_ONLY = [
     ("streaming column profiler (exact add-merged counts, HLL distinct, MG modal candidates — per-statistic merge algebra)", "tests/test_streaming_profile.py"),
     ("streaming 2-D skyline maintenance (union-monotone closure merge, replay-idempotent by algebra, batch-cut equivalent to rank_skyline_2d)", "tests/test_streaming_skyline.py"),
     ("streaming dow x hour seasonal grid (ADD-merged exact counts/DECIMAL sums behind a batch-id guard + per-cell HLL user registers, cut-exact vs events_seasonal_dow_hour)", "tests/test_streaming_seasonal.py"),
+    ("streaming Cochran-Armitage trend monitor (five ADD-merged integer moments, O(1) state — the stream Z^2 equals stats_cochran_armitage BIT-FOR-BIT at any cut)", "tests/test_streaming_trend.py"),
 ]
 
 
