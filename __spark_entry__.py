@@ -243,9 +243,10 @@ _CHECKED_PRIOR = {
 # regenerated every round, so old greens deserve periodic re-proof;
 # VERDICT r10 item 2).  New round-11 queries go at the FRONT.
 _ROUND11_PREFIX: list[str] = [
-    # round-11 session-5 batch-11 additions — first driver rows this round
+    # round-11 session-5 batch-11/12 additions — first driver rows this round
     "stats_cochran_armitage",
     "events_seasonal_residuals",
+    "events_entropy_rate",
     # round-11 session-5 batch-10 additions — first driver rows this round
     "graph_hits",
     "ts_ljung_box",
@@ -301,8 +302,8 @@ _ROUND11_PREFIX: list[str] = [
     "dedup_minhash_fast",
     "agg_approx_count_distinct",
     # r3-era tail dropped from the round-10 prefix
-    "union_schema_evolution",
-    # (unpivot_melt / ts_gapfill_15m — displaced by the two batch-11
+    # (union_schema_evolution — displaced by events_entropy_rate —
+    # unpivot_melt / ts_gapfill_15m — displaced by the two batch-11
     # additions — ts_resample_15m / ts_ewma — displaced by the two
     # batch-10 additions —
     # r4-era rows, alphabetical:

@@ -1607,3 +1607,104 @@ def q_events_seasonal_residuals(spark, sf_dir):
             ((F.col("o") - e) / F.sqrt(e)).alias("std_residual"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Entropy rate of the event-type sequence — how predictable is the NEXT
+# event given the current one (the information-theoretic summary of the
+# Markov transition structure behind events_markov_transitions /
+# graph_pagerank).
+
+_ENTROPY_RATE_ORACLE = """
+WITH seq AS (
+  SELECT event_type AS cur,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), cells AS (
+  SELECT prev, cur, CAST(count(*) AS BIGINT) AS c
+  FROM seq WHERE prev IS NOT NULL GROUP BY prev, cur
+), rowm AS (
+  SELECT prev, CAST(SUM(c) AS BIGINT) AS ci FROM cells GROUP BY prev
+), colm AS (
+  SELECT cur, CAST(SUM(c) AS BIGINT) AS cj FROM cells GROUP BY cur
+), tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells
+), cond_terms AS (
+  SELECT CAST(round(
+           (CAST(c AS DOUBLE) / n) * log2(CAST(c AS DOUBLE) / ci), 8)
+           AS DECIMAL(18,8)) AS term
+  FROM cells JOIN rowm ON cells.prev = rowm.prev, tot
+), marg_terms AS (
+  SELECT CAST(round(
+           (CAST(cj AS DOUBLE) / n) * log2(CAST(cj AS DOUBLE) / n), 8)
+           AS DECIMAL(18,8)) AS term
+  FROM colm, tot
+), h AS (
+  SELECT (SELECT round(-CAST(SUM(term) AS DOUBLE), 6) FROM cond_terms) AS h_cond,
+         (SELECT round(-CAST(SUM(term) AS DOUBLE), 6) FROM marg_terms) AS h_next,
+         (SELECT n FROM tot) AS n_transitions
+)
+SELECT n_transitions, h_cond, h_next,
+       round(h_next - h_cond, 6) AS info_rate
+FROM h
+"""
+
+
+@query("events_entropy_rate", oracle=_ENTROPY_RATE_ORACLE)
+def q_events_entropy_rate(spark, sf_dir):
+    """Entropy rate of the per-user event-type sequence: conditional
+    entropy H(next|cur) = -SUM (c_ij/N) log2(c_ij/c_i.), the marginal
+    next-event entropy H(next), and their difference (the mutual
+    information of consecutive events — bits of predictability the
+    current event type buys).  One lag-window scan collapses the stream
+    to <= |types|^2 transition cells (the graph_pagerank/graph_hits
+    edge relation); margins are aggregates OF the cell relation joined
+    back broadcast (no unpartitioned windows, no second scan).  log2
+    terms follow the ml_mutual_info libm discipline: rounded to 8 dp
+    and summed in DECIMAL (order-independent)."""
+    from pyspark.sql import Window as W
+
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lag("event_type").over(w).alias("prev"),
+    ).filter(F.col("prev").isNotNull())
+    cells = seq.groupBy("prev", "cur").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    rowm = cells.groupBy("prev").agg(F.sum("c").cast("bigint").alias("ci"))
+    colm = cells.groupBy("cur").agg(F.sum("c").cast("bigint").alias("cj"))
+    tot = cells.agg(F.sum("c").cast("bigint").alias("n"))
+    cond = (
+        cells.join(F.broadcast(rowm), "prev")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                (F.col("c").cast("double") / F.col("n"))
+                * F.log2(F.col("c").cast("double") / F.col("ci")),
+                8,
+            ).cast("decimal(18,8)").alias("term")
+        )
+        .agg(F.round(-F.sum("term").cast("double"), 6).alias("h_cond"))
+    )
+    marg = (
+        colm.crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                (F.col("cj").cast("double") / F.col("n"))
+                * F.log2(F.col("cj").cast("double") / F.col("n")),
+                8,
+            ).cast("decimal(18,8)").alias("term")
+        )
+        .agg(F.round(-F.sum("term").cast("double"), 6).alias("h_next"))
+    )
+    return (
+        tot.select(F.col("n").alias("n_transitions"))
+        .crossJoin(F.broadcast(cond))
+        .crossJoin(F.broadcast(marg))
+        .select(
+            "n_transitions", "h_cond", "h_next",
+            F.round(F.col("h_next") - F.col("h_cond"), 6).alias("info_rate"),
+        )
+    )

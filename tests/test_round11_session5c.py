@@ -131,3 +131,29 @@ def test_seasonal_residuals_brute_force(spark):
         chi2 += (o - e) ** 2 / e
     # residuals partition the chi-square statistic
     assert abs((out["std_residual"] ** 2).sum() - chi2) < 1e-6
+
+
+def test_entropy_rate_brute_force(spark):
+    out = _run(spark, "events_entropy_rate").iloc[0]
+    ev = _events().sort_values(["user_id", "ts", "event_id"])
+    pairs: dict[tuple[str, str], int] = {}
+    for _, grp in ev.groupby("user_id"):
+        types = grp["event_type"].tolist()
+        for a, b in zip(types, types[1:]):
+            pairs[(a, b)] = pairs.get((a, b), 0) + 1
+    n = sum(pairs.values())
+    assert out["n_transitions"] == n
+    ci: dict[str, int] = {}
+    cj: dict[str, int] = {}
+    for (a, b), c in pairs.items():
+        ci[a] = ci.get(a, 0) + c
+        cj[b] = cj.get(b, 0) + c
+    h_cond = -sum(c / n * np.log2(c / ci[a]) for (a, _), c in pairs.items())
+    h_next = -sum(c / n * np.log2(c / n) for c in cj.values())
+    assert abs(out["h_cond"] - h_cond) < 1e-5
+    assert abs(out["h_next"] - h_next) < 1e-5
+    assert abs(out["info_rate"] - (h_next - h_cond)) < 1e-5
+    # information inequalities: 0 <= H(next|cur) <= H(next) <= log2(k)
+    assert 0 <= out["h_cond"] <= out["h_next"] + 1e-9
+    assert out["h_next"] <= np.log2(len(cj)) + 1e-9
+    assert out["info_rate"] >= -1e-9
