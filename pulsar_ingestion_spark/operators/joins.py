@@ -50,6 +50,12 @@ def asof_backward(
     # rows sort BEFORE left at ties when inclusive, AFTER when exclusive
     right_tag = 0 if inclusive else 2
     lcols = left.columns
+    reserved = {"matched_ts"} | {c for c in lcols if c.startswith("__")}
+    if "matched_ts" in lcols or any(c.startswith("__") for c in lcols):
+        raise ValueError(
+            f"asof_backward: left columns collide with reserved names "
+            f"{sorted(reserved)} — rename before joining"
+        )
     tagged_left = left.select(
         F.col(on).alias("__k"),
         F.col(left_ts).alias("__t"),

@@ -111,3 +111,17 @@ def test_asof_empty_right_yields_empty(spark):
     )
     out = asof_backward(left, right, on="user_id", left_ts="ts", right_ts="rts")
     assert out.count() == 0
+
+
+def test_asof_reserved_column_names_rejected(spark):
+    from pyspark.sql import functions as F
+
+    from pulsar_ingestion_spark.operators.joins import asof_backward
+    from pulsar_ingestion_spark.session import load_tables
+
+    ev = load_tables(spark, SF_DIR)["events"]
+    left = ev.select("event_id", "user_id", "ts",
+                     F.lit(0).alias("matched_ts"))
+    right = ev.select("user_id", F.col("ts").alias("rts"))
+    with pytest.raises(ValueError, match="reserved"):
+        asof_backward(left, right, on="user_id", left_ts="ts", right_ts="rts")
