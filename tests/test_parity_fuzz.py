@@ -772,3 +772,25 @@ def test_arg_max_null_value_divergence(spark, duck):
         f"SELECT arg_min(a + 1, u) FROM (VALUES {rows}) t(a, u)"
     ).fetchone()[0]
     assert s_min == d_min == 4
+
+
+def test_v23_constructs_expressed_in_grammar():
+    """v23 compile pins: topk renders the unique-key tiebreak with the
+    pinned direction defaults; aggall renders one GROUP BY ALL text
+    with BIGINT-cast sums; anyf renders the affine key map inside
+    any_value on both sides."""
+    tsql = parityfuzz.compile_sql(
+        ("topk", ("li",), None, ("icol", "l_suppkey"), 25, "desc",
+         "(l_orderkey * 8 + l_linenumber)"))
+    assert "ORDER BY c0 DESC NULLS LAST, c1 ASC LIMIT 25" in tsql
+    assert "(l_orderkey * 8 + l_linenumber) AS c1" in tsql
+    asql = parityfuzz.compile_sql(
+        ("aggall", (("scol", "l_returnflag"), ("kmod", "l_orderkey", 3)),
+         ("cnt", "sum:l_suppkey"), None))
+    assert asql.endswith("GROUP BY ALL")
+    assert "CAST(count(*) AS BIGINT) AS a0" in asql
+    assert "CAST(sum(l_suppkey) AS BIGINT) AS a1" in asql
+    gsql = parityfuzz.compile_sql(
+        ("agg", ("li",), None, (("kmod", "l_orderkey", 4),),
+         (("anyf", ("kmod", "l_orderkey", 4), 3, 7),), None))
+    assert "any_value(((CAST(l_orderkey AS BIGINT) % 4) * 3) + 7)" in gsql

@@ -223,6 +223,25 @@ Grammar v21 additions (round 11, fifth pass):
   order; Spark's DataFrame unionByName resolves by name, DuckDB via
   the BY NAME modifier (probed identical).
 
+Grammar v23 additions (round 11, fifth pass cont.):
+
+* "topk" plan shape — ORDER BY (expr, unique-key) LIMIT n: the sort /
+  limit physical paths (TakeOrderedAndProject vs DuckDB top-n) were
+  previously unfuzzed.  The unique-key tiebreak makes the selected ROW
+  SET deterministic (the compare is orderless, so only set identity is
+  asserted); ASC pins NULLS FIRST, DESC pins NULLS LAST (the v9
+  direction-default asymmetry).
+* "aggall" plan shape — GROUP BY ALL as ONE SQL text on both engines
+  (the csub/winnamed discipline, so the key/agg pieces stay inside the
+  dialect-portable subset): probes both binders' resolution of
+  all-non-aggregate-select-items, incl. constant select items (probed:
+  both group by the constant).
+* any_value over a FUNCTIONALLY-DEPENDENT expression (an affine map of
+  the first kmod group key): every row in a group carries the same
+  value, so the nondeterministic pick is deterministic by
+  construction — both engines' any_value paths get coverage without a
+  tie policy.
+
 Grammar v22 additions (round 11, fifth pass cont.):
 
 * TWO-SIDED window frames: ROWS j PRECEDING .. m FOLLOWING over the
@@ -983,10 +1002,31 @@ def plans(draw):
     )
     where = draw(st.none() | preds(2, ns))
     shapes = ["proj", "agg", "win", "aggroll", "csub", "winq",
-              "lat", "csub2", "unpivot", "winnamed", "casex"]
+              "lat", "csub2", "unpivot", "winnamed", "casex", "topk"]
+    if src[0] == "li":
+        shapes.append("aggall")
     if src[0] in _PIVOT_COLS:
         shapes.append("pivot")
     shape = draw(st.sampled_from(shapes))
+    if shape == "topk":
+        # v23: ORDER BY (expr, unique key) LIMIT n — deterministic row
+        # set via the uk tiebreak; direction defaults pinned per v9
+        return ("topk", src, where, draw(int_exprs(2, ns)),
+                draw(st.integers(min_value=1, max_value=40)),
+                draw(st.sampled_from(["asc", "desc"])), ns["uk"])
+    if shape == "aggall":
+        # v23: GROUP BY ALL — one SQL text both engines, portable subset
+        keys = draw(st.lists(st.one_of(
+            st.sampled_from(LI_STR).map(lambda c: ("scol", c)),
+            st.tuples(st.just("kmod"), st.sampled_from(LI_INT),
+                      st.integers(min_value=2, max_value=7)),
+        ), min_size=1, max_size=2, unique=True))
+        iaggs = draw(st.lists(
+            st.sampled_from(["cnt"] + [f"sum:{c}" for c in LI_INT]
+                            + [f"max:{c}" for c in LI_INT]),
+            min_size=1, max_size=2, unique=True))
+        return ("aggall", tuple(keys), tuple(iaggs),
+                draw(st.none() | preds(1, _CSUB_NS)))
     if shape == "pivot":
         # v10: explicit-values PIVOT vs the CASE-form spelling; pivot
         # output columns renamed p0..pN on both sides
@@ -1120,6 +1160,14 @@ def plans(draw):
     if shape == "agg":
         keys = draw(st.lists(group_keys(ns), min_size=0, max_size=2, unique=True))
         aggs = draw(st.lists(agg_specs(ns), min_size=1, max_size=3))
+        if keys and keys[0][0] == "kmod" and draw(st.booleans()):
+            # v23: any_value over an affine map of the FIRST kmod key —
+            # functionally dependent, so the pick is deterministic
+            aggs = aggs + [(
+                "anyf", keys[0],
+                draw(st.integers(min_value=1, max_value=5)),
+                draw(st.integers(min_value=0, max_value=9)),
+            )]
         having = None
         int_idx = [i for i, a in enumerate(aggs) if a[0] in _INT_AGGS]
         str_idx = [i for i, a in enumerate(aggs) if a[0] in ("mins", "maxs")]
@@ -1490,6 +1538,11 @@ def _sp_agg(a):
         key = F.when(e.isNotNull(), F.expr(a[2]))
         fn = F.max_by if op == "amax" else F.min_by
         return fn(e, key).cast("long")
+    if op == "anyf":
+        # v23: any_value over an affine map of a group key — every row
+        # in the group carries the same value, so the pick is
+        # deterministic despite any_value's general nondeterminism
+        return F.any_value(_sp_key(a[1]) * a[2] + a[3]).cast("long")
     if op in ("minsqrt", "maxsqrt"):
         fn = F.min if op == "minsqrt" else F.max
         return fn(F.sqrt(F.col(a[1])))
@@ -1543,14 +1596,26 @@ def compile_spark(plan, spark, sf_dir: str):
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    if plan[0] in ("csub", "csub2", "lat", "winnamed", "casex"):
+    if plan[0] in ("csub", "csub2", "lat", "winnamed", "casex", "aggall"):
         # correlated / nested scalar subqueries + LATERAL + named
-        # WINDOW clauses + EXISTS-in-CASE: SAME SQL text on both
-        # engines (views registered per call — lazy, no scan cost
-        # until execution)
+        # WINDOW clauses + EXISTS-in-CASE + GROUP BY ALL: SAME SQL text
+        # on both engines (views registered per call — lazy, no scan
+        # cost until execution)
         for t in ("lineitem", "orders"):
             spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
         return spark.sql(compile_sql(plan))
+
+    if plan[0] == "topk":
+        _, src, where, expr, n, direction, uk = plan
+        df = _sp_source(src, spark, sf_dir)
+        if where is not None:
+            df = df.filter(_sp_pred(where))
+        out = df.select(_sp_int(expr).alias("c0"), F.expr(uk).alias("c1"))
+        order = (
+            F.asc_nulls_first(F.col("c0")) if direction == "asc"
+            else F.desc_nulls_last(F.col("c0"))
+        )
+        return out.orderBy(order, F.asc(F.col("c1"))).limit(n)
 
     if plan[0] == "pivot":
         _, src, where, key, (pcol, pvals), agg = plan
@@ -2025,6 +2090,11 @@ def _dk_agg(a) -> str:
         # guard on the Spark side makes the semantics line up
         fn = "arg_max" if op == "amax" else "arg_min"
         return f"CAST({fn}({_dk_int(a[1])}, {a[2]}) AS BIGINT)"
+    if op == "anyf":
+        # v23: functionally-dependent any_value (see the Spark twin)
+        return (
+            f"CAST(any_value(({_dk_key(a[1])} * {a[2]}) + {a[3]}) AS BIGINT)"
+        )
     if op == "medi":
         return f"CAST(median({_dk_int(a[1])}) AS DOUBLE)"
     if op == "quanti":
@@ -2107,6 +2177,40 @@ _CSUB_INNER = {
 
 
 def compile_sql(plan) -> str:
+    if plan[0] == "topk":
+        # v23: deterministic top-n via the unique-key tiebreak;
+        # direction defaults pinned per v9 (ASC NULLS FIRST / DESC
+        # NULLS LAST)
+        _, src, where, expr, n, direction, uk = plan
+        frm, extra = _dk_source(src)
+        conj = [c for c in (extra, _dk_pred(where) if where is not None else None) if c]
+        w = f" WHERE {' AND '.join(conj)}" if conj else ""
+        d = "ASC NULLS FIRST" if direction == "asc" else "DESC NULLS LAST"
+        return (
+            f"SELECT {_dk_int(expr)} AS c0, {uk} AS c1 FROM {frm}{w}"
+            f" ORDER BY c0 {d}, c1 ASC LIMIT {n}"
+        )
+
+    if plan[0] == "aggall":
+        # v23: GROUP BY ALL — one text, both engines (portable subset)
+        _, keys, iaggs, where = plan
+        kparts = [f"{_dk_key(k)} AS k{i}" for i, k in enumerate(keys)]
+        aparts = []
+        for j, a in enumerate(iaggs):
+            if a == "cnt":
+                aparts.append(f"CAST(count(*) AS BIGINT) AS a{j}")
+            else:
+                fn, col = a.split(":")
+                expr = f"{fn}({col})"
+                if fn == "sum":
+                    expr = f"CAST({expr} AS BIGINT)"
+                aparts.append(f"{expr} AS a{j}")
+        w = f" WHERE {_dk_pred(where)}" if where is not None else ""
+        return (
+            f"SELECT {', '.join(kparts + aparts)} FROM lineitem{w}"
+            f" GROUP BY ALL"
+        )
+
     if plan[0] == "csub":
         _, inner, inner_mod, where = plan[:4]
         thr = plan[4] if len(plan) > 4 else None
