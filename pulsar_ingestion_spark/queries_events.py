@@ -1582,8 +1582,8 @@ def q_events_seasonal_residuals(spark, sf_dir):
     / total): |z| >> 2 flags cells busier/quieter than their day and
     hour margins jointly explain.  One map-side-combinable collapse to
     <= 168 cells; margins and the total are aggregates OF the cell
-    relation (one data-scale scan — the SCALE.md 6x spans-from-counts
-    rule), broadcast back.  expected is a fixed chain (rd_double * ch /
+    relation (aggregate the collapse, not the source — SCALE.md 6x),
+    broadcast back.  expected is a fixed chain (rd_double * ch /
     n — two exact-integer operands per step); sqrt is IEEE-correctly-
     rounded (the v16 fuzzer rule), so residuals are bit-identical."""
     ev = fan_out(load_tables(spark, sf_dir)["events"], spark)

@@ -4249,10 +4249,14 @@ def q_ts_seasonal_naive_mase(spark, sf_dir):
     wall-clock-bounded grid (span/1h rows per type — independent of data
     volume), partitioned by type; grid synthesis is the ts_gapfill
     explode(sequence) pattern.  Spans derive from the COUNTS relation
-    (min/max hr are preserved by the cell collapse), so both join inputs
-    hang off one shuffle exchange and the data-scale scan runs ONCE —
-    scanning the raw frame twice costs a second full fan_out shuffle
-    (measured 4.9 -> 3.0 s at the 10x point)."""
+    (min/max hr are preserved by the cell collapse — aggregate the
+    collapse, not the source).  Measured honestly (SCALE.md 6x): Spark
+    does NOT auto-reuse the counts exchange, so this form still scans
+    the source twice and runs level with the spans-from-raw form at
+    fixture scale (~2.4 s at 10x, both sublinear); the true single-scan
+    form (persist the bounded counts cells) measures SLOWER here
+    (cache materialization > the cheap re-scan) and becomes the right
+    trade only where a second full scan dominates — volume decides."""
     ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
     b = ev.select(
         "event_type", F.expr("unix_micros(ts) div 3600000000").alias("hr")
@@ -4389,12 +4393,11 @@ def q_ts_stl_classical(spark, sf_dir):
     Hyndman's seasonal strength F_s = max(0, 1 - Var(resid) /
     Var(detrended)) from 6 dp-rounded DECIMAL moment sums.  All windows
     run over the wall-clock-bounded grid (span/1h rows per type),
-    partitioned by type; the data-scale scan runs ONCE — spans derive
-    from the counts relation (min/max hr preserved by the cell
-    collapse), so both grid inputs hang off one shuffle exchange
-    (ts_seasonal_naive_mase measured the second raw-frame scan at +1.9 s
-    on the 10x point).  Output: the 5 x 24 seasonal profile with
-    per-type strength."""
+    partitioned by type; spans derive from the counts relation (min/max
+    hr preserved by the cell collapse — aggregate the collapse, not the
+    source; see ts_seasonal_naive_mase's docstring and SCALE.md 6x for
+    the honest two-scan measurement).  Output: the 5 x 24 seasonal
+    profile with per-type strength."""
     ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
     b = ev.select(
         "event_type", F.expr("unix_micros(ts) div 3600000000").alias("hr")
@@ -4543,8 +4546,9 @@ def q_ts_ljung_box(spark, sf_dir):
     contributions are 12 dp-rounded DECIMALs added in FIXED expression
     order (plain columns, not an aggregation — no summation-order
     hazard).  All lag windows share one bounded-grid shuffle
-    (spans-from-counts, the SCALE.md 6x rule); the data-scale scan runs
-    once.  Output: (type, lag) rho profile with the per-type Q."""
+    (spans-from-counts — see SCALE.md 6x for the honest scan-count
+    measurement).  Output: (type, lag) rho profile with the per-type
+    Q."""
     ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
     b = ev.select(
         "event_type", F.expr("unix_micros(ts) div 3600000000").alias("hr")

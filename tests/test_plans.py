@@ -560,3 +560,4 @@ def test_dynamic_partition_pruning_fires(spark, tmp_path):
         assert "dynamicpruning" in plan.lower(), plan
     finally:
         spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", prev)
+
