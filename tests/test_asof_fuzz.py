@@ -125,3 +125,51 @@ def test_asof_reserved_column_names_rejected(spark):
     right = ev.select("user_id", F.col("ts").alias("rts"))
     with pytest.raises(ValueError, match="reserved"):
         asof_backward(left, right, on="user_id", left_ts="ts", right_ts="rts")
+
+
+def test_asof_tolerance_equals_filtered_native(spark, duck):
+    """Tolerance as-of (match only within max_gap) == plain backward
+    as-of followed by a gap filter, because any OLDER candidate is
+    strictly farther — checked against DuckDB's native ASOF JOIN with
+    the same post-filter, at three gap widths."""
+    from pyspark.sql import functions as F
+
+    from pulsar_ingestion_spark.operators.joins import asof_backward
+    from pulsar_ingestion_spark.session import load_tables
+
+    ev = load_tables(spark, SF_DIR)["events"]
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("rts")
+    )
+    base = asof_backward(left, right, on="user_id", left_ts="ts",
+                         right_ts="rts")
+    for gap_s in (3600, 86400, 7 * 86400):
+        s = sorted(
+            (int(r["event_id"]), str(r["matched_ts"]))
+            for r in base.filter(
+                F.unix_micros("ts") - F.unix_micros("matched_ts")
+                <= gap_s * 1_000_000
+            ).collect()
+        )
+        d = sorted(
+            (int(e), str(t))
+            for e, t in duck.execute(f"""
+                SELECT l.event_id, r.ts FROM
+                  (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'purchase') l
+                ASOF JOIN
+                  (SELECT user_id, ts FROM events
+                   WHERE event_type = 'click') r
+                  ON l.user_id = r.user_id AND l.ts >= r.ts
+                WHERE epoch_us(l.ts) - epoch_us(r.ts) <= CAST({gap_s} AS BIGINT) * 1000000
+            """).fetchall()
+        )
+        assert s == d, gap_s
+    # sanity: wider gaps never lose matches
+    n = [base.filter(
+            F.unix_micros("ts") - F.unix_micros("matched_ts")
+            <= g * 1_000_000).count() for g in (3600, 86400, 7 * 86400)]
+    assert n[0] <= n[1] <= n[2]
