@@ -4696,3 +4696,83 @@ def q_stats_cochran_armitage(spark, sf_dir):
         F.col("stn").alias("sum_t_n"),
         (nn * num * num / F.nullif(den, F.lit(0))).alias("z_squared"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Page's trend test — ordered alternative for repeated measures (does
+# per-user mean activity TREND across the week), the monotone companion
+# of stats_friedman exactly as stats_cochran_armitage is the monotone
+# companion of the chi-square association tests.
+
+_PAGE_ORACLE = """
+WITH m AS (
+  SELECT user_id,
+         (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS mv
+  FROM events GROUP BY user_id, (epoch_us(ts) // 86400000000 + 4) % 7
+), complete AS (
+  SELECT user_id FROM m GROUP BY user_id HAVING count(*) = 7
+), r AS (
+  SELECT m.user_id, dow,
+         2 * rank() OVER (PARTITION BY m.user_id ORDER BY mv)
+           + count(*) OVER (PARTITION BY m.user_id, mv) - 1 AS r2
+  FROM m JOIN complete ON m.user_id = complete.user_id
+), agg AS (
+  SELECT CAST(count(*) / 7 AS BIGINT) AS b,
+         CAST(SUM((dow + 1) * r2) AS BIGINT) AS l2
+  FROM r
+)
+SELECT b AS n_blocks,
+       CAST(l2 AS DOUBLE) / 2 AS l_stat,
+       CAST(b * 7 * 64 AS DOUBLE) / 4 AS e_l,
+       (CAST(l2 AS DOUBLE) / 2 - CAST(b * 7 * 64 AS DOUBLE) / 4)
+         / NULLIF(sqrt(CAST(b AS DOUBLE) * 49 * 8 * 48 / 144), 0)
+         AS z_untied
+FROM agg
+"""
+
+
+@query("stats_page_trend", oracle=_PAGE_ORACLE)
+def q_stats_page_trend(spark, sf_dir):
+    """Page's L test for an ordered alternative across k = 7 day-of-week
+    treatments within complete user blocks: L = SUM_j j * R_j over
+    within-block average ranks of the per-(user, dow) mean value.  Ranks
+    use the Friedman doubled-integer trick (2*rank + tie_count - 1 is an
+    exact integer average rank x2), so L is an exact integer halved
+    once; E[L] = b*k*(k+1)^2/4 and the UNTIED-variance normal
+    approximation z = (L - E)/sqrt(b*k^2*(k+1)*(k^2-1)/144) — ties make
+    z slightly conservative (documented; L and E stay exact, and the
+    fixture's continuous means make exact mean-ties measure-zero).
+    Plan: one (user, dow) collapse, a complete-block semi filter, 7-row
+    per-user rank windows, one integer aggregate.  Day-of-week scores
+    use the epoch-integer calendar arithmetic ((day+4) % 7)."""
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    dow = ((F.expr("unix_micros(ts) div 86400000000") + 4) % 7).alias("dow")
+    m = ev.select("user_id", dow, "value").groupBy("user_id", "dow").agg(
+        (F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+         / F.count(F.lit(1))).alias("mv")
+    )
+    complete = m.groupBy("user_id").agg(F.count(F.lit(1)).alias("k")).filter(
+        F.col("k") == 7
+    ).select("user_id")
+    j = m.join(complete, "user_id")
+    wr = Window.partitionBy("user_id").orderBy("mv")
+    wt = Window.partitionBy("user_id", "mv")
+    r = j.select(
+        "dow",
+        (2 * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - 1).alias("r2"),
+    )
+    agg = r.agg(
+        (F.count(F.lit(1)) / 7).cast("bigint").alias("b"),
+        F.sum((F.col("dow") + 1) * F.col("r2")).cast("bigint").alias("l2"),
+    )
+    b, l2 = F.col("b"), F.col("l2")
+    e_l = (b * 7 * 64).cast("double") / 4
+    var = b.cast("double") * 49 * 8 * 48 / 144
+    return agg.select(
+        b.alias("n_blocks"),
+        (l2.cast("double") / 2).alias("l_stat"),
+        e_l.alias("e_l"),
+        ((l2.cast("double") / 2 - e_l) / F.nullif(F.sqrt(var), F.lit(0)))
+        .alias("z_untied"),
+    )

@@ -157,3 +157,28 @@ def test_entropy_rate_brute_force(spark):
     assert 0 <= out["h_cond"] <= out["h_next"] + 1e-9
     assert out["h_next"] <= np.log2(len(cj)) + 1e-9
     assert out["info_rate"] >= -1e-9
+
+
+def test_page_trend_brute_force(spark):
+    out = _run(spark, "stats_page_trend").iloc[0]
+    ev = _events()
+    ev["dow"] = ((ev["us"] // 86_400_000_000 + 4) % 7).astype(int)
+    mv = ev.groupby(["user_id", "dow"])["value"].mean().unstack()
+    complete = mv.dropna()
+    b = len(complete)
+    assert out["n_blocks"] == b
+    # average ranks within each block (scipy-free)
+    l_stat = 0.0
+    for _, row in complete.iterrows():
+        ranks = row.rank(method="average")
+        l_stat += sum((int(d) + 1) * ranks[d] for d in ranks.index)
+    assert abs(out["l_stat"] - l_stat) < 1e-6
+    k = 7
+    e_l = b * k * (k + 1) ** 2 / 4
+    assert out["e_l"] == e_l
+    var = b * k * k * (k + 1) * (k * k - 1) / 144
+    assert abs(out["z_untied"] - (l_stat - e_l) / var**0.5) < 1e-9
+    # rank-sum mass conservation: L is bounded by the extreme orderings
+    lo = b * sum((j + 1) * (k - j) for j in range(k))
+    hi = b * sum((j + 1) * (j + 1) for j in range(k))
+    assert lo <= out["l_stat"] <= hi
