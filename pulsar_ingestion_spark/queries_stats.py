@@ -4776,3 +4776,136 @@ def q_stats_page_trend(spark, sf_dir):
         ((l2.cast("double") / 2 - e_l) / F.nullif(F.sqrt(var), F.lit(0)))
         .alias("z_untied"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-way factorial ANOVA (cell-means decomposition) — value ~ dow x
+# hour-block, completing the ANOVA family (stats_anova_oneway is the
+# single-factor form).
+
+_ANOVA2_ORACLE = """
+WITH g AS (
+  SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS a,
+         (epoch_us(ts) // 3600000000) % 24 // 6 AS b,
+         CAST(value AS DECIMAL(18,4)) AS y
+  FROM events
+), cell AS (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS n,
+         SUM(y) AS sd, SUM(y * y) AS sd2
+  FROM g GROUP BY a, b
+), tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nn,
+         CAST(SUM(sd) AS DOUBLE) AS ss, CAST(SUM(sd2) AS DOUBLE) AS ss2,
+         CAST(SUM(sd) AS DOUBLE) / SUM(n) AS gm
+  FROM cell
+), am AS (
+  SELECT a, SUM(n) AS na, CAST(SUM(sd) AS DOUBLE) / SUM(n) AS ma
+  FROM cell GROUP BY a
+), bm AS (
+  SELECT b, SUM(n) AS nb, CAST(SUM(sd) AS DOUBLE) / SUM(n) AS mb
+  FROM cell GROUP BY b
+), parts AS (
+  SELECT
+    (SELECT CAST(SUM(CAST(round(n * (CAST(sd AS DOUBLE) / n - gm)
+                          * (CAST(sd AS DOUBLE) / n - gm), 6)
+                          AS DECIMAL(38,6))) AS DOUBLE)
+     FROM cell, tot) AS ss_cells,
+    (SELECT CAST(SUM(CAST(round(na * (ma - gm) * (ma - gm), 6)
+                          AS DECIMAL(38,6))) AS DOUBLE)
+     FROM am, tot) AS ss_a,
+    (SELECT CAST(SUM(CAST(round(nb * (mb - gm) * (mb - gm), 6)
+                          AS DECIMAL(38,6))) AS DOUBLE)
+     FROM bm, tot) AS ss_b,
+    (SELECT ss2 - ss * ss / nn FROM tot) AS ss_total,
+    (SELECT nn FROM tot) AS nn,
+    (SELECT count(*) FROM cell) AS n_cells
+)
+SELECT CAST(nn AS BIGINT) AS n,
+       round(ss_total, 4) AS ss_total,
+       round(ss_cells, 4) AS ss_cells,
+       round(ss_a, 4) AS ss_dow,
+       round(ss_b, 4) AS ss_hour_block,
+       round(ss_cells - ss_a - ss_b, 4) AS ss_interaction,
+       (ss_cells / (n_cells - 1))
+         / NULLIF((ss_total - ss_cells) / (nn - n_cells), 0) AS f_cells
+FROM parts
+"""
+
+
+@query("stats_two_way_anova", oracle=_ANOVA2_ORACLE)
+def q_stats_two_way_anova(spark, sf_dir):
+    """Two-way factorial decomposition of value over dow x 6-hour-block
+    cells: SS_total (from exact decimal moments), SS_cells, the factor
+    sums SS_dow / SS_hour_block, their difference as the interaction
+    term (the standard unbalanced-design caveat applies and is the
+    documented convention: with unequal cell sizes the factor sums are
+    the WEIGHTED marginal decomposition, not Type-III), and the
+    cells-model F statistic.  Cell/margin means are single divisions of
+    exact DECIMAL sums; the <= 28 per-cell SS terms are 6 dp-rounded
+    DECIMAL sums (order-independent); sqrt-free.  One data-scale
+    collapse; everything downstream is cell-relation-sized."""
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    g = ev.select(
+        ((F.expr("unix_micros(ts) div 86400000000") + 4) % 7).alias("a"),
+        ((F.expr("unix_micros(ts) div 3600000000") % 24) / 6)
+        .cast("bigint").alias("b"),
+        F.col("value").cast("decimal(18,4)").alias("y"),
+    )
+    cell = g.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").alias("sd"),
+        F.sum(F.col("y") * F.col("y")).alias("sd2"),
+    )
+    tot = cell.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("sd").cast("double").alias("ss"),
+        F.sum("sd2").cast("double").alias("ss2"),
+        (F.sum("sd").cast("double") / F.sum("n")).alias("gm"),
+        F.count(F.lit(1)).alias("n_cells"),
+    )
+    am = cell.groupBy("a").agg(
+        F.sum("n").alias("na"),
+        (F.sum("sd").cast("double") / F.sum("n")).alias("ma"),
+    )
+    bm = cell.groupBy("b").agg(
+        F.sum("n").alias("nb"),
+        (F.sum("sd").cast("double") / F.sum("n")).alias("mb"),
+    )
+
+    def ss_of(rel, ncol, mcol):
+        dev = F.col(mcol) - F.col("gm")
+        return (
+            rel.crossJoin(F.broadcast(tot.select("gm")))
+            .select(
+                F.round(F.col(ncol) * dev * dev, 6)
+                .cast("decimal(38,6)").alias("t")
+            )
+            .agg(F.sum("t").cast("double").alias("v"))
+        )
+
+    cells_dev = cell.select(
+        "n", (F.col("sd").cast("double") / F.col("n")).alias("cm")
+    )
+    ss_cells = ss_of(cells_dev, "n", "cm")
+    ss_a = ss_of(am, "na", "ma")
+    ss_b = ss_of(bm, "nb", "mb")
+    base = tot.crossJoin(F.broadcast(ss_cells.select(F.col("v").alias("sc")))) \
+        .crossJoin(F.broadcast(ss_a.select(F.col("v").alias("sa")))) \
+        .crossJoin(F.broadcast(ss_b.select(F.col("v").alias("sb"))))
+    ss_total = F.col("ss2") - F.col("ss") * F.col("ss") / F.col("nn")
+    return base.select(
+        F.col("nn").alias("n"),
+        F.round(ss_total, 4).alias("ss_total"),
+        F.round(F.col("sc"), 4).alias("ss_cells"),
+        F.round(F.col("sa"), 4).alias("ss_dow"),
+        F.round(F.col("sb"), 4).alias("ss_hour_block"),
+        F.round(F.col("sc") - F.col("sa") - F.col("sb"), 4)
+        .alias("ss_interaction"),
+        (
+            (F.col("sc") / (F.col("n_cells") - 1))
+            / F.nullif(
+                (ss_total - F.col("sc")) / (F.col("nn") - F.col("n_cells")),
+                F.lit(0),
+            )
+        ).alias("f_cells"),
+    )

@@ -182,3 +182,33 @@ def test_page_trend_brute_force(spark):
     lo = b * sum((j + 1) * (k - j) for j in range(k))
     hi = b * sum((j + 1) * (j + 1) for j in range(k))
     assert lo <= out["l_stat"] <= hi
+
+
+def test_two_way_anova_brute_force(spark):
+    out = _run(spark, "stats_two_way_anova").iloc[0]
+    ev = _events()
+    a = ((ev["us"] // 86_400_000_000 + 4) % 7).astype(int)
+    b = ((ev["hr"] % 24) // 6).astype(int)
+    y = ev["value"].round(4)
+    df = pd.DataFrame({"a": a, "b": b, "y": y})
+    n = len(df)
+    gm = y.mean()
+    assert out["n"] == n
+    ss_total = ((y - gm) ** 2).sum()
+    assert abs(out["ss_total"] - ss_total) < 1e-2
+    cells = df.groupby(["a", "b"])["y"].agg(["size", "mean"])
+    ss_cells = (cells["size"] * (cells["mean"] - gm) ** 2).sum()
+    assert abs(out["ss_cells"] - ss_cells) < 1e-2
+    ma = df.groupby("a")["y"].agg(["size", "mean"])
+    ss_a = (ma["size"] * (ma["mean"] - gm) ** 2).sum()
+    mb = df.groupby("b")["y"].agg(["size", "mean"])
+    ss_b = (mb["size"] * (mb["mean"] - gm) ** 2).sum()
+    assert abs(out["ss_dow"] - ss_a) < 1e-2
+    assert abs(out["ss_hour_block"] - ss_b) < 1e-2
+    assert abs(out["ss_interaction"] - (ss_cells - ss_a - ss_b)) < 5e-2
+    # variance partition: between-cells never exceeds total
+    assert 0 <= out["ss_cells"] <= out["ss_total"] + 1e-6
+    k = len(cells)
+    f = (ss_cells / (k - 1)) / ((ss_total - ss_cells) / (n - k))
+    assert abs(out["f_cells"] - f) < 1e-4
+    assert out["f_cells"] >= 0

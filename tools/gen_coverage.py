@@ -213,7 +213,7 @@ SECTIONS = [
     ]),
     ("Cochran-Armitage trend & seasonal independence residuals (round 11, session 5c)", [
         "stats_cochran_armitage", "events_seasonal_residuals",
-        "events_entropy_rate", "stats_page_trend",
+        "events_entropy_rate", "stats_page_trend", "stats_two_way_anova",
     ]),
     ("Sketches & sampling III (round 5)", [
         "sketch_kmv_intersect", "sketch_quantile_logbins", "sample_weighted_kmv",
