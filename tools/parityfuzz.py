@@ -223,6 +223,15 @@ Grammar v21 additions (round 11, fifth pass):
   order; Spark's DataFrame unionByName resolves by name, DuckDB via
   the BY NAME modifier (probed identical).
 
+Grammar v24 additions (round 11, fifth pass cont.):
+
+* [NOT] IN (SELECT ...) subqueries as ONE SQL text — the null-aware
+  (anti) join physical paths, with NULL injection into the subquery
+  output via nullif on a constant the key space actually hits: the
+  ANSI three-valued rule (a NOT IN over a NULL-bearing set emits ZERO
+  rows) probed identical on both engines before wiring, and the fuzz
+  keeps both binders honest across drawn inner/outer predicates.
+
 Grammar v23 additions (round 11, fifth pass cont.):
 
 * "topk" plan shape — ORDER BY (expr, unique-key) LIMIT n: the sort /
@@ -1002,7 +1011,8 @@ def plans(draw):
     )
     where = draw(st.none() | preds(2, ns))
     shapes = ["proj", "agg", "win", "aggroll", "csub", "winq",
-              "lat", "csub2", "unpivot", "winnamed", "casex", "topk"]
+              "lat", "csub2", "unpivot", "winnamed", "casex", "topk",
+              "insub"]
     if src[0] == "li":
         shapes.append("aggall")
     if src[0] in _PIVOT_COLS:
@@ -1026,6 +1036,16 @@ def plans(draw):
                             + [f"max:{c}" for c in LI_INT]),
             min_size=1, max_size=2, unique=True))
         return ("aggall", tuple(keys), tuple(iaggs),
+                draw(st.none() | preds(1, _CSUB_NS)))
+    if shape == "insub":
+        # v24: [NOT] IN subquery, one SQL text; nullc injects NULLs
+        # into the subquery output (small orderkeys are mostly present)
+        return ("insub", draw(st.booleans()),
+                draw(st.none()
+                     | st.tuples(st.integers(min_value=2, max_value=5),
+                                 st.integers(min_value=0, max_value=4))),
+                draw(st.none() | st.integers(min_value=1, max_value=40)
+                     | st.just(999999)),
                 draw(st.none() | preds(1, _CSUB_NS)))
     if shape == "pivot":
         # v10: explicit-values PIVOT vs the CASE-form spelling; pivot
@@ -1596,7 +1616,8 @@ def compile_spark(plan, spark, sf_dir: str):
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    if plan[0] in ("csub", "csub2", "lat", "winnamed", "casex", "aggall"):
+    if plan[0] in ("csub", "csub2", "lat", "winnamed", "casex", "aggall",
+                   "insub"):
         # correlated / nested scalar subqueries + LATERAL + named
         # WINDOW clauses + EXISTS-in-CASE + GROUP BY ALL: SAME SQL text
         # on both engines (views registered per call — lazy, no scan
@@ -2177,6 +2198,25 @@ _CSUB_INNER = {
 
 
 def compile_sql(plan) -> str:
+    if plan[0] == "insub":
+        # v24: [NOT] IN (SELECT ...) — same text both engines
+        _, neg, inner_mod, nullc, where = plan
+        iw = ""
+        if inner_mod is not None:
+            m, r = inner_mod
+            iw = f" WHERE (CAST(o_custkey AS BIGINT) % {m}) = {r}"
+        inner_e = ("o_orderkey" if nullc is None
+                   else f"nullif(o_orderkey, {nullc})")
+        kw = "NOT IN" if neg else "IN"
+        wparts = [f"l_orderkey {kw} (SELECT {inner_e} FROM orders{iw})"]
+        if where is not None:
+            wparts.append(_dk_pred(where))
+        return (
+            "SELECT CAST(l_orderkey AS BIGINT) AS c0, "
+            "CAST(l_linenumber AS BIGINT) AS c1 "
+            f"FROM lineitem WHERE {' AND '.join(wparts)}"
+        )
+
     if plan[0] == "topk":
         # v23: deterministic top-n via the unique-key tiebreak;
         # direction defaults pinned per v9 (ASC NULLS FIRST / DESC
