@@ -76,6 +76,28 @@ def entry(spark: SparkSession) -> DataFrame:
 # coverage across rounds until every query has a driver CORRECTNESS row
 # (VERDICT r1 item 2, refreshed each round per VERDICT r2 item 2).
 _CHECKED_PRIOR = {
+    # round 11 (CORRECTNESS_r11.json — 50/50 hash-green: the 47 round-11
+    # additions' first rows + the retired rows-only trio's first
+    # hash-checked rows; VERDICT r11)
+    "stats_cochran_armitage", "events_seasonal_residuals",
+    "events_entropy_rate", "graph_hits", "ts_ljung_box", "stats_cochran_q",
+    "stats_durbin_watson", "ts_seasonal_naive_mase", "ts_stl_classical",
+    "events_seasonal_dow_hour", "ml_brier_decomposition", "stats_mcnemar",
+    "sim_search_ivf_recall_sweep", "stats_kendall_tau", "stats_logrank_test",
+    "stats_friedman", "ml_regression_metrics", "rank_skyline_2d",
+    "dq_null_profile", "agg_weighted_median",
+    "stats_anderson_darling_uniform", "events_circular_hour_stats",
+    "stats_theil_u", "graph_closeness_centrality", "ts_hurst_rs",
+    "stats_kaplan_meier", "stats_nelson_aalen", "ml_ks_separation",
+    "ts_mk_trend", "stats_runs_test", "agg_hhi_concentration",
+    "stats_grubbs_outlier", "corpus_quality_filter_funnel",
+    "dedup_containment", "dedup_containment_banded",
+    "dedup_boundary_overlap", "stats_jarque_bera", "stats_benford_digits",
+    "stats_cramers_v", "ml_matthews_corr", "ml_expected_calibration_error",
+    "events_bounce_rate", "dedup_containment_lshensemble",
+    "sketch_heavy_hitters", "stats_cohens_d", "stats_wilcoxon_signed_rank",
+    "win_ntile_percent_cume", "dedup_minhash", "dedup_minhash_fast",
+    "agg_approx_count_distinct",
     # round 10 (CORRECTNESS_r10.json — 50/50 hash-green: the six round-10
     # additions' first rows + multimodal_features' first hash-checked row
     # + re-verification of 43 r3-era rows; VERDICT r10)
@@ -234,107 +256,77 @@ _CHECKED_PRIOR = {
 }
 
 
-# Round-11 driver-check prefix (the driver checks a bounded prefix ≈50).
-# The retired rows-only trio leads (VERDICT r10 item 1: dedup_minhash /
-# dedup_minhash_fast / agg_approx_count_distinct re-pointed at portable
-# md5-derived machinery this round — their FIRST hash-checked rows land
-# here), then the stalest re-verification rows: the five r3-era ids
-# dropped from the round-10 prefix plus the r4-era block (testdata is
-# regenerated every round, so old greens deserve periodic re-proof;
-# VERDICT r10 item 2).  New round-11 queries go at the FRONT.
-_ROUND11_PREFIX: list[str] = [
-    # round-11 session-5 batch-11/12 additions — first driver rows this round
-    "stats_cochran_armitage",
-    "events_seasonal_residuals",
-    "events_entropy_rate",
-    # round-11 session-5 batch-10 additions — first driver rows this round
-    "graph_hits",
-    "ts_ljung_box",
-    # round-11 session-5 batch-9 additions — first driver rows this round
-    "stats_cochran_q",
-    "stats_durbin_watson",
-    "ts_seasonal_naive_mase",
-    "ts_stl_classical",
-    # round-11 session-5 additions — first driver rows this round
-    "events_seasonal_dow_hour",
-    "ml_brier_decomposition",
-    "stats_mcnemar",
-    "sim_search_ivf_recall_sweep",
-    # round-11 session-4 additions — first driver rows this round
-    "stats_kendall_tau",
-    "stats_logrank_test",
-    "stats_friedman",
-    "ml_regression_metrics",
-    "rank_skyline_2d",
-    "dq_null_profile",
-    "agg_weighted_median",
-    "stats_anderson_darling_uniform",
-    "events_circular_hour_stats",
-    "stats_theil_u",
-    "graph_closeness_centrality",
-    "ts_hurst_rs",
-    "stats_kaplan_meier",
-    "stats_nelson_aalen",
-    # round-11 additions — first driver rows this round
-    "ml_ks_separation",
-    "ts_mk_trend",
-    "stats_runs_test",
-    "agg_hhi_concentration",
-    "stats_grubbs_outlier",
-    "corpus_quality_filter_funnel",
-    "dedup_containment",
-    "dedup_containment_banded",
-    "dedup_boundary_overlap",
-    "stats_jarque_bera",
-    "stats_benford_digits",
-    "stats_cramers_v",
-    "ml_matthews_corr",
-    "ml_expected_calibration_error",
-    "events_bounce_rate",
-    # round-11 session-3 additions — first driver rows this round
-    "dedup_containment_lshensemble",
-    "sketch_heavy_hitters",
-    "stats_cohens_d",
-    "stats_wilcoxon_signed_rank",
-    "win_ntile_percent_cume",
-    # rows-only trio retired — first hash-checked rows this round
-    "dedup_minhash",
-    "dedup_minhash_fast",
-    "agg_approx_count_distinct",
-    # r3-era tail dropped from the round-10 prefix
-    # (union_schema_evolution — displaced by events_entropy_rate —
-    # unpivot_melt / ts_gapfill_15m — displaced by the two batch-11
-    # additions — ts_resample_15m / ts_ewma — displaced by the two
-    # batch-10 additions —
-    # r4-era rows, alphabetical:
-    # agg_entropy / agg_weighted_avg / corpus_dedup_report /
-    # corpus_shard_assign — displaced by the four batch-9 additions —
-    # corpus_token_budget / dedup_embedding_blas / dedup_simhash /
-    # emb_kmeans_lloyd — displaced by the four session-5 additions —
-    # emb_pca_power — displaced by stats_nelson_aalen —
-    # emb_pq_encode — displaced by stats_kaplan_meier —
-    # emb_residual_quantize — displaced by ts_hurst_rs —
-    # events_attribution_last_touch / events_dwell_percentiles /
-    # events_ltv_percentiles / events_markov_transitions — displaced by
-    # the four batch-7 additions — events_pareto_share / events_path_topk / events_sessionize /
-    # geo_grid_density / geo_nearest_poi / join_bloom_pruned /
-    # join_salted_skew — displaced by the seven session-4 additions —
-    # layout_zorder_key / sim_search_ivf / sim_search_lsh /
-    # sketch_bloom_build / sketch_countmin — displaced by the five
-    # session-3 additions under the 50-id cap — plus
-    # telemetry_trip_summary / text_bpe_corpus_prep /
-    # text_inverted_index / text_js_divergence /
-    # text_line_dedup / text_tfidf_topk / text_vocab_coverage / text_winnowing /
-    # tpch_market_share / tpch_order_priority / tpch_pricing_summary /
-    # tpch_revenue_by_region / tpch_top_orders / ts_cusum_drift /
-    # ts_lag_features / ts_outlier_mad / ts_rollup_multires /
-    # ts_seasonal_profile / win_running_distinct / win_streaks rotate in
-    # next round — all remain covered via _CHECKED_PRIOR)
+# Round-12 driver-check prefix (the driver checks a bounded prefix ≈50).
+# The two round-11 late additions lead (VERDICT r11 item 1: they were
+# registered after the r11 prefix was pinned, so neither has a driver
+# CORRECTNESS row yet — their FIRST rows land here), then the stalest
+# re-verification backlog: the five r3-era ids plus the r4-era block
+# displaced from the round-11 prefix (testdata is regenerated every
+# round, so old greens deserve periodic re-proof; VERDICT r11 item 4).
+# New round-12 queries go at the FRONT, displacing from the tail.
+_ROUND12_PREFIX: list[str] = [
+    # round-11 last-day additions — first driver rows this round
+    # (VERDICT r11 item 1)
+    "stats_page_trend",
+    "stats_two_way_anova",
+    # r3-era re-verification backlog (stalest first)
+    "union_schema_evolution",
+    "unpivot_melt",
+    "ts_gapfill_15m",
+    "ts_resample_15m",
+    "ts_ewma",
+    # r4-era re-verification backlog, alphabetical
+    "agg_entropy",
+    "agg_weighted_avg",
+    "corpus_dedup_report",
+    "corpus_shard_assign",
+    "corpus_token_budget",
+    "dedup_embedding_blas",
+    "dedup_simhash",
+    "emb_kmeans_lloyd",
+    "emb_pca_power",
+    "emb_pq_encode",
+    "emb_residual_quantize",
+    "events_attribution_last_touch",
+    "events_dwell_percentiles",
+    "events_ltv_percentiles",
+    "events_markov_transitions",
+    "events_pareto_share",
+    "events_path_topk",
+    "events_sessionize",
+    "geo_grid_density",
+    "geo_nearest_poi",
+    "join_bloom_pruned",
+    "join_salted_skew",
+    "layout_zorder_key",
+    "sim_search_ivf",
+    "sim_search_lsh",
+    "sketch_bloom_build",
+    "sketch_countmin",
+    "telemetry_trip_summary",
+    "text_bpe_corpus_prep",
+    "text_inverted_index",
+    "text_js_divergence",
+    "text_line_dedup",
+    "text_tfidf_topk",
+    "text_vocab_coverage",
+    "text_winnowing",
+    "tpch_market_share",
+    "tpch_order_priority",
+    "tpch_pricing_summary",
+    "tpch_revenue_by_region",
+    "tpch_top_orders",
+    "ts_cusum_drift",
+    "ts_lag_features",
+    "ts_outlier_mad",
+    # ts_rollup_multires / ts_seasonal_profile / win_running_distinct /
+    # win_streaks rotate in next round under the 50-id cap — all remain
+    # covered via _CHECKED_PRIOR
 ]
 
 
 def _rotated(mapping: dict) -> dict:
-    prefix = {k: mapping[k] for k in _ROUND11_PREFIX if k in mapping}
+    prefix = {k: mapping[k] for k in _ROUND12_PREFIX if k in mapping}
     fresh = {
         k: v for k, v in mapping.items()
         if k not in _CHECKED_PRIOR and k not in prefix

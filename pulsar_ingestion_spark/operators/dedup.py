@@ -144,6 +144,7 @@ def ngram_containment_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_candidate_pairs: int | None = 2_000_000_000,
 ) -> DataFrame:
     """Exact n-gram CONTAINMENT pairs from exhaustive co-shingle
     candidates:
@@ -162,7 +163,15 @@ def ngram_containment_pairs(
     against the other side's FULL set — measured 8.6× SLOWER than this
     form at 10×, round 11), so the scale path is candidate BANDING:
     :func:`minhash_banded_containment` feeds band-bucket candidates to
-    the same exact containment verify (LSH recall, precision 1)."""
+    the same exact containment verify (LSH recall, precision 1).
+
+    ``max_candidate_pairs`` guards the quadratic tail (VERDICT r11
+    item 3): before the co-shingle self-join, one cheap aggregation
+    computes the exact candidate volume Σ_g df(g)·(df(g)-1)/2 on the
+    shingle relation; past the bound the operator raises with a pointer
+    to the banded plan instead of launching an un-finishable join.
+    Pass ``None`` to skip the pre-check (oracle-verifier mode on a
+    corpus you already know)."""
     sh = df.select(
         F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
     ).withColumn("sh_size", F.size("sh"))
@@ -170,6 +179,25 @@ def ngram_containment_pairs(
     exploded = sh.select(
         "id", "sh_size", F.explode(F.transform("sh", lambda g: F.xxhash64(g))).alias("gram_h")
     )
+    if max_candidate_pairs is not None:
+        # Σ df·(df-1)/2 — exact row count of the id<id co-shingle join;
+        # one groupBy + sum, driver traffic is a single scalar
+        cand = (
+            exploded.groupBy("gram_h").agg(F.count("*").alias("df"))
+            .agg(F.sum(F.col("df") * (F.col("df") - 1) / 2).alias("pairs"))
+            .first()["pairs"]
+        )
+        if cand is not None and cand > max_candidate_pairs:
+            raise ValueError(
+                f"ngram_containment_pairs: exact co-shingle candidate "
+                f"volume {int(cand):,} exceeds max_candidate_pairs="
+                f"{max_candidate_pairs:,} — the exact verifier is "
+                f"quadratic on template/fixed-vocab corpora (SCALE.md "
+                f"§6t).  Use minhash_banded_containment "
+                f"(dedup_containment_banded) or "
+                f"lsh_ensemble_containment for the scale path, or pass "
+                f"max_candidate_pairs=None to force."
+            )
     a = exploded.alias("a")
     b = exploded.alias("b")
     inter = (

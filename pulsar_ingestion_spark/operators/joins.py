@@ -21,7 +21,12 @@ Semantics (pinned by tests/test_asof_fuzz.py against DuckDB's NATIVE
   only attribute every candidate agrees on — carrying an arbitrary
   right column would be nondeterministic under intra-tie row order.
   Callers needing right attributes join back on (key, matched_ts) with
-  an explicit tie policy (the registry queries' group-max form).
+  an explicit tie policy (the registry queries' group-max form);
+* NULL join keys never match (ADVICE r11): DuckDB's ASOF JOIN equality
+  never matches NULL keys, but window partitionBy groups NULLs into one
+  partition — so both sides drop NULL ``on`` keys up front.  NULL
+  timestamps are likewise dropped (they sort meaninglessly and DuckDB's
+  inequality never matches them).
 """
 
 from __future__ import annotations
@@ -46,6 +51,10 @@ def asof_backward(
     One shuffle + sort of |left| + |right| rows on ``on`` — never a
     per-key fan-out (see module docstring; parity with DuckDB's native
     ASOF JOIN is fuzz-tested)."""
+    # NULL keys/timestamps never match under ASOF equality+inequality,
+    # but partitionBy would co-group NULL keys — drop them first
+    left = left.filter(F.col(on).isNotNull() & F.col(left_ts).isNotNull())
+    right = right.filter(F.col(on).isNotNull() & F.col(right_ts).isNotNull())
     # tag order decides what an equal-timestamp left row sees: right
     # rows sort BEFORE left at ties when inclusive, AFTER when exclusive
     right_tag = 0 if inclusive else 2

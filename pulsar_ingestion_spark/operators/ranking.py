@@ -99,6 +99,60 @@ def global_row_number(
     return out, acc
 
 
+def global_exclusive_running_max(
+    df: DataFrame,
+    order_col: str,
+    val_col: str,
+    out_col: str,
+    num_partitions: int | None = None,
+    max_driver_rows: int = DRIVER_ROW_BUDGET,
+) -> DataFrame:
+    """Exact global EXCLUSIVE prefix max over ``order_col`` (max of
+    ``val_col`` across all strictly-preceding rows; NULL on the first
+    row) without an unpartitioned window — the max analogue of
+    :func:`global_row_number` (round 12, skyline broadcast guard).
+
+    Range-partition on ``order_col``, run the exclusive running max
+    inside each range in parallel, collect one max per partition
+    (#partitions driver rows), fold the exclusive prefix on the driver
+    and map the offsets back.  ``order_col`` must be unique per row
+    (callers pass pre-aggregated relations).  Same persist/clearCache
+    note as :func:`global_row_number`."""
+    spark = df.sparkSession
+    nparts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = df.repartitionByRange(nparts, F.col(order_col)).withColumn(
+        "_gpid", F.spark_partition_id()
+    ).persist()
+    pmax = {r["_gpid"]: r["m"] for r in _bounded_driver_rows(
+        ranged.groupBy("_gpid").agg(F.max(val_col).alias("m")),
+        max_driver_rows, "global_exclusive_running_max partition maxes")}
+    offsets, acc = {}, None
+    for pid in sorted(pmax):
+        offsets[pid] = acc
+        m = pmax[pid]
+        if m is not None:
+            acc = m if acc is None else max(acc, m)
+    w = (
+        Window.partitionBy("_gpid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = ranged.withColumn("_lmax", F.max(val_col).over(w))
+    if not pmax:
+        return local.withColumn(
+            out_col, F.lit(None).cast(df.schema[val_col].dataType)
+        ).drop("_gpid", "_lmax")
+    # CASE chain keyed on _gpid (create_map can't hold NULL values);
+    # greatest() skips NULLs, matching "no preceding row" semantics
+    off: Column = F.lit(None).cast(df.schema[val_col].dataType)
+    for pid in sorted(offsets, reverse=True):
+        if offsets[pid] is not None:
+            off = F.when(F.col("_gpid") == pid, F.lit(offsets[pid])).otherwise(off)
+    return local.withColumn(
+        out_col, F.greatest(F.col("_lmax"), off)
+    ).drop("_gpid", "_lmax")
+
+
 def ntile_from_row_number(rn: Column, total_rows: int, tiles: int) -> Column:
     """Exact ANSI ``ntile(tiles)`` from a 1-based global row number:
     the first ``total_rows % tiles`` tiles hold ``total_rows // tiles + 1``

@@ -173,3 +173,36 @@ def test_asof_tolerance_equals_filtered_native(spark, duck):
             F.unix_micros("ts") - F.unix_micros("matched_ts")
             <= g * 1_000_000).count() for g in (3600, 86400, 7 * 86400)]
     assert n[0] <= n[1] <= n[2]
+
+
+def test_asof_null_keys_and_null_ts_never_match(spark, duck):
+    """NULL join keys / NULL timestamps never match (ADVICE r11): the
+    window-partition plan would otherwise co-group NULL keys into one
+    partition and let a NULL-key left row see a NULL-key right row.
+    Parity-checked against DuckDB's native ASOF JOIN on a fixture where
+    every null placement appears."""
+    from pulsar_ingestion_spark.operators.joins import asof_backward
+
+    lrows = [
+        (1, 10, 100), (2, None, 100), (3, 10, None), (4, None, None),
+        (5, 20, 50), (6, 20, 500),
+    ]
+    rrows = [
+        (10, 90), (10, None), (None, 80), (None, None), (20, 400),
+    ]
+    left = spark.createDataFrame(lrows, "event_id int, k int, t int")
+    right = spark.createDataFrame(rrows, "k int, rt int")
+    out = asof_backward(left, right, on="k", left_ts="t", right_ts="rt")
+    s = sorted(
+        (r["event_id"], r["matched_ts"])
+        for r in out.select("event_id", "matched_ts").collect()
+    )
+    duck.execute("CREATE OR REPLACE TABLE nl (event_id INT, k INT, t INT)")
+    duck.execute("CREATE OR REPLACE TABLE nr (k INT, rt INT)")
+    duck.executemany("INSERT INTO nl VALUES (?, ?, ?)", lrows)
+    duck.executemany("INSERT INTO nr VALUES (?, ?)", rrows)
+    d = sorted(duck.execute(
+        "SELECT l.event_id, r.rt FROM nl l "
+        "ASOF JOIN nr r ON l.k = r.k AND l.t >= r.rt"
+    ).fetchall())
+    assert s == d == [(1, 90), (6, 400)]

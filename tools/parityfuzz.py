@@ -2226,9 +2226,12 @@ def compile_sql(plan) -> str:
         conj = [c for c in (extra, _dk_pred(where) if where is not None else None) if c]
         w = f" WHERE {' AND '.join(conj)}" if conj else ""
         d = "ASC NULLS FIRST" if direction == "asc" else "DESC NULLS LAST"
+        # tiebreak pins NULLS FIRST to match the Spark side's F.asc
+        # (Spark default) — uk is non-null today, but a nullable uk
+        # must not diverge silently (ADVICE r11)
         return (
             f"SELECT {_dk_int(expr)} AS c0, {uk} AS c1 FROM {frm}{w}"
-            f" ORDER BY c0 {d}, c1 ASC LIMIT {n}"
+            f" ORDER BY c0 {d}, c1 ASC NULLS FIRST LIMIT {n}"
         )
 
     if plan[0] == "aggall":
