@@ -93,3 +93,72 @@ def asof_backward(
         *[F.col(f"__l_{c}").alias(c) for c in lcols],
         F.col("__matched").alias("matched_ts"),
     )
+
+
+def banded_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_val: str,
+    right_val: str,
+    max_gap: int,
+    keys: list[str] | None = None,
+    symmetric: bool = True,
+) -> DataFrame:
+    """Big×big range-proximity join without a cartesian/BNLJ: pairs
+    where ``right_val - left_val`` lies in ``[-max_gap, max_gap]``
+    (``symmetric``) or ``[0, max_gap]`` (one-sided), optionally also
+    equal on ``keys`` — the generic operator behind the registry's
+    ``join_range_banded`` (big-fact temporal proximity; the reference's
+    analytics surface implies range joins, SURVEY.md §2.5).
+
+    Plan: discretize ``left_val`` into ``max_gap``-wide bands, explode
+    each left row into its own band plus the neighbor(s) a qualifying
+    right row could land in ({b-1, b, b+1} symmetric; {b, b+1}
+    one-sided), equi-join on (keys..., band) with the right side keyed
+    by its OWN band, then apply the exact gap residual.  Each true pair
+    meets exactly once (in the right row's band), so no dedup pass.
+    Shuffle volume is O(3·|left| + |right|) on a hash key — both sides
+    stay distributed at 100 TB, vs the n×m of the theta spelling
+    (parity with DuckDB's native IEJoin range plan is fuzz-tested,
+    tests/test_range_fuzz.py).
+
+    ``left_val`` / ``right_val`` must be integer-typed (callers convert
+    timestamps via ``unix_micros``); NULL values and NULL keys never
+    match (dropped up front, matching SQL range/equality semantics).
+    Output: all left columns + all right columns (names must not
+    collide) + ``gap`` = right_val - left_val.
+    """
+    keys = keys or []
+    if max_gap <= 0:
+        raise ValueError(f"banded_range_join: max_gap must be > 0, got {max_gap}")
+    collide = (set(left.columns) & set(right.columns)) - set(keys)
+    if collide:
+        raise ValueError(
+            f"banded_range_join: column collision {sorted(collide)} — "
+            f"alias before joining"
+        )
+    if "__band" in left.columns or "__band" in right.columns:
+        raise ValueError("banded_range_join: __band is reserved")
+    lnn = left.filter(F.col(left_val).isNotNull())
+    for k in keys:
+        lnn = lnn.filter(F.col(k).isNotNull())
+        right = right.filter(F.col(k).isNotNull())
+    right = right.filter(F.col(right_val).isNotNull())
+    band0 = F.floor(F.col(left_val) / max_gap)
+    neighbors = (
+        F.array(band0 - 1, band0, band0 + 1) if symmetric
+        else F.array(band0, band0 + 1)
+    )
+    a = lnn.withColumn("__band", F.explode(neighbors))
+    b = right.withColumn("__band", F.floor(F.col(right_val) / max_gap))
+    gap = F.col(right_val) - F.col(left_val)
+    residual = (
+        (F.abs(gap) <= max_gap) if symmetric
+        else ((gap >= 0) & (gap <= max_gap))
+    )
+    return (
+        a.join(b, keys + ["__band"])
+        .filter(residual)
+        .drop("__band")
+        .withColumn("gap", gap)
+    )

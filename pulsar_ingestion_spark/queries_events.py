@@ -188,35 +188,24 @@ def q_events_sessionize(spark, sf_dir):
 )
 def q_join_range_banded(spark, sf_dir):
     # Big x big temporal-proximity join (errors x purchases within 30 s)
-    # WITHOUT a cartesian/BNLJ: discretize time into 30 s bands, explode
-    # the left side into its band and both neighbors, equi-join on the
-    # band id, then apply the exact |gap| <= 30 s residual.  Each true
-    # pair meets in exactly one band (the right row's own), so no
-    # dedup pass is needed.  The plan is a plain hash shuffle on the
-    # band key — at 100 TB both sides stay distributed and the shuffle
-    # volume is O(3n), vs the unbounded n x m of the theta formulation
-    # (join_theta_range keeps the broadcast-BNLJ shape for the
+    # WITHOUT a cartesian/BNLJ — the generic band-explode plan in
+    # operators.joins.banded_range_join (round 12: extracted so the
+    # range fuzzer tests ONE implementation against DuckDB's native
+    # IEJoin; join_theta_range keeps the broadcast-BNLJ shape for the
     # tiny-bounds case; this is the sibling for two fact tables).
-    band_us = 30_000_000
+    from pulsar_ingestion_spark.operators.joins import banded_range_join
+
     ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
     us = F.unix_micros(F.col("ts"))
     a = ev.filter(F.col("event_type") == "error").select(
         F.col("event_id").alias("error_id"), us.alias("a_us"),
-        F.floor(us / band_us).alias("band0"),
-    )
-    a = a.select(
-        "error_id", "a_us",
-        F.explode(F.array(F.col("band0") - 1, F.col("band0"), F.col("band0") + 1)).alias("band"),
     )
     b = ev.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"), us.alias("b_us"),
-        F.floor(us / band_us).alias("band"),
     )
-    return (
-        a.join(b, "band")
-        .filter(F.abs(F.col("b_us") - F.col("a_us")) <= band_us)
-        .select("error_id", "purchase_id", (F.col("b_us") - F.col("a_us")).alias("gap_us"))
-    )
+    return banded_range_join(
+        a, b, "a_us", "b_us", 30_000_000, symmetric=True
+    ).select("error_id", "purchase_id", F.col("gap").alias("gap_us"))
 
 
 @query(
