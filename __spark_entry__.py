@@ -265,6 +265,11 @@ _CHECKED_PRIOR = {
 # round, so old greens deserve periodic re-proof; VERDICT r11 item 4).
 # New round-12 queries go at the FRONT, displacing from the tail.
 _ROUND12_PREFIX: list[str] = [
+    # round-12 additions — first driver rows this round
+    "stats_fisher_exact_2x2",
+    "stats_g_test",
+    "stats_bartlett",
+    "stats_cmh",
     # round-11 last-day additions — first driver rows this round
     # (VERDICT r11 item 1)
     "stats_page_trend",
@@ -315,10 +320,8 @@ _ROUND12_PREFIX: list[str] = [
     "tpch_order_priority",
     "tpch_pricing_summary",
     "tpch_revenue_by_region",
-    "tpch_top_orders",
-    "ts_cusum_drift",
-    "ts_lag_features",
-    "ts_outlier_mad",
+    # tpch_top_orders / ts_cusum_drift / ts_lag_features /
+    # ts_outlier_mad — displaced by the four round-12 additions —
     # ts_rollup_multires / ts_seasonal_profile / win_running_distinct /
     # win_streaks rotate in next round under the 50-id cap — all remain
     # covered via _CHECKED_PRIOR

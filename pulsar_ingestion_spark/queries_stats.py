@@ -4909,3 +4909,369 @@ def q_stats_two_way_anova(spark, sf_dir):
             )
         ).alias("f_cells"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 12: exact and stratified contingency inference — Fisher's exact
+# test (small-sample 2x2), the G-test (likelihood-ratio chi-square),
+# Bartlett's variance-homogeneity test (parametric twin of the
+# Brown-Forsythe id), and the Cochran-Mantel-Haenszel stratified 2x2
+# test.  All four follow the family conventions: exact integer counts /
+# DECIMAL moments in the data-scale pass, scalar IEEE arithmetic on the
+# aggregate row, trailing 6 dp rounds.
+
+_DOW_SQL = "((epoch_us(ts) // 86400000000 + 4) % 7)"
+_WK_SQL = f"CASE WHEN {_DOW_SQL} IN (6, 0) THEN 1 ELSE 0 END"
+
+# ln(x!) both engines: exact ln(n!) literals for x <= 12 (ln applied to
+# the same exact-integer double on both engines), Stirling with three
+# correction terms beyond (remainder < 1e-11 for x >= 13; the p-value's
+# 6 dp round has ~1e-9 headroom).  Spark has no lgamma builtin, so the
+# SAME expression tree runs on both engines rather than lgamma-vs-
+# Stirling.
+_FACTS = [1, 1, 2, 6, 24, 120, 720, 5040, 40320, 362880,
+          3628800, 39916800, 479001600]
+_HALF_LN_2PI = 0.9189385332046727
+
+
+def _lf_col(x):
+    """ln(x!) as a Spark Column over a nonnegative integer Column."""
+    xd = x.cast("double")
+    stir = (
+        (xd + 0.5) * F.log(xd) - xd + F.lit(_HALF_LN_2PI)
+        + 1.0 / (12.0 * xd)
+        - 1.0 / (360.0 * xd * xd * xd)
+        + 1.0 / (1260.0 * xd * xd * xd * xd * xd)
+    )
+    expr = stir
+    for v in range(len(_FACTS) - 1, -1, -1):
+        expr = F.when(x == v, F.log(F.lit(float(_FACTS[v])))).otherwise(expr)
+    return expr
+
+
+def _lf_sql(x: str) -> str:
+    """The identical ln(x!) expression as DuckDB SQL text."""
+    stir = (
+        f"((({x}) + 0.5) * ln(CAST(({x}) AS DOUBLE)) - ({x}) "
+        f"+ {_HALF_LN_2PI} + 1.0/(12.0*({x})) "
+        f"- 1.0/(360.0*({x})*({x})*({x})) "
+        f"+ 1.0/(1260.0*({x})*({x})*({x})*({x})*({x})))"
+    )
+    cases = " ".join(
+        f"WHEN ({x}) = {v} THEN ln(CAST({_FACTS[v]} AS DOUBLE))"
+        for v in range(len(_FACTS))
+    )
+    return f"(CASE {cases} ELSE {stir} END)"
+
+
+def _fisher_lnp_sql() -> str:
+    lf = _lf_sql
+    return (
+        f"{lf('r1')} + {lf('r2')} + {lf('c1')} + {lf('c2')} - {lf('n')} "
+        f"- {lf('k')} - {lf('r1 - k')} - {lf('c1 - k')} "
+        f"- {lf('r2 - c1 + k')}"
+    )
+
+
+_FISHER_ORACLE = f"""
+WITH d AS (
+  SELECT {_WK_SQL} AS wk,
+         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS er
+  FROM events
+), c AS (
+  SELECT CAST(SUM(wk * er) AS BIGINT) AS n11,
+         CAST(SUM(wk * (1 - er)) AS BIGINT) AS n12,
+         CAST(SUM((1 - wk) * er) AS BIGINT) AS n21,
+         CAST(SUM((1 - wk) * (1 - er)) AS BIGINT) AS n22
+  FROM d
+), m AS (
+  SELECT n11, n12, n21, n22,
+         n11 + n12 AS r1, n21 + n22 AS r2,
+         n11 + n21 AS c1, n12 + n22 AS c2,
+         n11 + n12 + n21 + n22 AS n
+  FROM c
+)
+SELECT n11, n12, n21, n22,
+       round(CAST(n11 AS DOUBLE) * n22 / (CAST(n12 AS DOUBLE) * n21), 6)
+         AS odds_ratio,
+       round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         list_transform(generate_series(n11, least(r1, c1)),
+                        k -> exp({_fisher_lnp_sql()}))),
+         (acc, x) -> acc + x), 6) AS p_right
+FROM m
+"""
+
+
+@query("stats_fisher_exact_2x2", oracle=_FISHER_ORACLE)
+def q_stats_fisher_exact_2x2(spark, sf_dir):
+    """Fisher's EXACT test (right tail) for the weekend x error 2x2
+    table: p = SUM_{{k >= n11}} C(r1,k)C(r2,c1-k)/C(n,c1) — the exact
+    small-sample twin of drift_chi2.  The hypergeometric terms are
+    exp() of ln-factorial sums (exact ln(n!) literals to 12, Stirling
+    beyond — same expression tree on both engines, Spark has no
+    lgamma), folded IN SEQUENCE ORDER over sequence(n11, min(r1, c1))
+    so the float sum is order-identical across engines.  One data-scale
+    aggregate produces the four counts; everything downstream is one
+    scalar row whose fold array has min(r1, c1) - n11 + 1 elements —
+    bounded by the ERROR-EVENT count, so the operator raises past 1e6
+    terms (Fisher's exact test is a small-table procedure; past that
+    bound the chi-square/G-test ids are the right tool).  100-TB story:
+    the guard, plus the count aggregate being the only data pass."""
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    dow = (F.expr("unix_micros(ts) div 86400000000") + 4) % 7
+    wk = F.when(dow.isin(6, 0), 1).otherwise(0)
+    er = F.when(F.col("event_type") == "error", 1).otherwise(0)
+    c = ev.agg(
+        F.sum(wk * er).cast("bigint").alias("n11"),
+        F.sum(wk * (1 - er)).cast("bigint").alias("n12"),
+        F.sum((1 - wk) * er).cast("bigint").alias("n21"),
+        F.sum((1 - wk) * (1 - er)).cast("bigint").alias("n22"),
+    )
+    m = c.select(
+        "n11", "n12", "n21", "n22",
+        (F.col("n11") + F.col("n12")).alias("r1"),
+        (F.col("n21") + F.col("n22")).alias("r2"),
+        (F.col("n11") + F.col("n21")).alias("c1"),
+        (F.col("n12") + F.col("n22")).alias("c2"),
+        (F.col("n11") + F.col("n12") + F.col("n21") + F.col("n22")).alias("n"),
+    )
+    row = m.first()
+    terms = min(row["r1"], row["c1"]) - row["n11"] + 1
+    if terms > 1_000_000:
+        raise ValueError(
+            f"stats_fisher_exact_2x2: {terms:,} hypergeometric terms — "
+            "Fisher's exact test is a small-table procedure; use "
+            "drift_chi2 / stats_g_test at this scale"
+        )
+
+    def lnp(k):
+        kk = k.cast("bigint")
+        return (
+            _lf_col(F.col("r1")) + _lf_col(F.col("r2"))
+            + _lf_col(F.col("c1")) + _lf_col(F.col("c2"))
+            - _lf_col(F.col("n")) - _lf_col(kk)
+            - _lf_col(F.col("r1") - kk) - _lf_col(F.col("c1") - kk)
+            - _lf_col(F.col("r2") - F.col("c1") + kk)
+        )
+
+    p = F.aggregate(
+        F.sequence(F.col("n11"), F.least(F.col("r1"), F.col("c1"))),
+        F.lit(0.0),
+        lambda acc, k: acc + F.exp(lnp(k)),
+    )
+    return m.select(
+        "n11", "n12", "n21", "n22",
+        F.round(
+            F.col("n11").cast("double") * F.col("n22")
+            / (F.col("n12").cast("double") * F.col("n21")), 6
+        ).alias("odds_ratio"),
+        F.round(p, 6).alias("p_right"),
+    )
+
+
+_GTEST_ORACLE = f"""
+WITH d AS (
+  SELECT event_type, {_WK_SQL} AS wk FROM events
+), c AS (
+  SELECT event_type, wk, count(*) AS o FROM d GROUP BY 1, 2
+), r AS (
+  SELECT event_type, SUM(o) AS rt FROM c GROUP BY 1
+), k AS (
+  SELECT wk, SUM(o) AS ct FROM c GROUP BY 1
+), t AS (
+  SELECT SUM(o) AS n FROM c
+)
+SELECT CAST(t.n AS BIGINT) AS n,
+       CAST((count(DISTINCT c.event_type) - 1)
+            * (count(DISTINCT c.wk) - 1) AS BIGINT) AS df,
+       round(2 * SUM(o * ln(CAST(o AS DOUBLE) * t.n / (r.rt * k.ct))), 6)
+         AS g_statistic
+FROM c JOIN r USING (event_type) JOIN k USING (wk) CROSS JOIN t
+GROUP BY t.n
+"""
+
+
+@query("stats_g_test", oracle=_GTEST_ORACLE)
+def q_stats_g_test(spark, sf_dir):
+    """G-test (likelihood-ratio chi-square) of independence for the
+    event_type x weekend table: G = 2 SUM O ln(O/E), E = R*C/N — the
+    LR twin of drift_chi2 (additive across partitions/strata, which
+    Pearson's X2 is not; empty cells contribute zero by construction
+    because the cell relation only carries observed combos on both
+    engines).  Exact integer cell counts from one data-scale aggregate;
+    the G fold spans r*c <= 10 cell terms, rounded at 6 dp."""
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    dow = (F.expr("unix_micros(ts) div 86400000000") + 4) % 7
+    wk = F.when(dow.isin(6, 0), 1).otherwise(0)
+    c = ev.select("event_type", wk.alias("wk")).groupBy(
+        "event_type", "wk"
+    ).agg(F.count(F.lit(1)).alias("o"))
+    r = c.groupBy("event_type").agg(F.sum("o").alias("rt"))
+    k = c.groupBy("wk").agg(F.sum("o").alias("ct"))
+    t = c.agg(F.sum("o").alias("n"))
+    j = (
+        c.join(F.broadcast(r), "event_type")
+        .join(F.broadcast(k), "wk")
+        .crossJoin(F.broadcast(t))
+    )
+    return j.groupBy("n").agg(
+        ((F.count_distinct(F.col("event_type")) - 1)
+         * (F.count_distinct(F.col("wk")) - 1)).cast("bigint").alias("df"),
+        F.round(
+            2 * F.sum(
+                F.col("o") * F.log(
+                    F.col("o").cast("double") * F.col("n")
+                    / (F.col("rt") * F.col("ct"))
+                )
+            ), 6
+        ).alias("g_statistic"),
+    ).select(F.col("n").cast("bigint").alias("n"), "df", "g_statistic")
+
+
+_BARTLETT_ORACLE = """
+WITH g AS (
+  SELECT event_type, count(*) AS n,
+         SUM(CAST(value AS DECIMAL(18,4))) AS s,
+         SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS ss
+  FROM events GROUP BY 1
+), v AS (
+  SELECT n,
+         (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1) AS var
+  FROM g
+), agg AS (
+  SELECT SUM(n) AS nn, count(*) AS k,
+         CAST(SUM(CAST(round((n - 1) * var, 6) AS DECIMAL(38,6))) AS DOUBLE)
+           AS pooled_num,
+         CAST(SUM(CAST(round((n - 1) * ln(var), 6) AS DECIMAL(38,6)))
+              AS DOUBLE) AS wln,
+         CAST(SUM(CAST(round(1.0 / (n - 1), 12) AS DECIMAL(38,12)))
+              AS DOUBLE) AS inv
+  FROM v
+)
+SELECT CAST(nn AS BIGINT) AS n, CAST(k AS BIGINT) AS k_groups,
+       round(pooled_num / (nn - k), 6) AS pooled_var,
+       round(((nn - k) * ln(pooled_num / (nn - k)) - wln)
+             / (1 + (inv - 1.0 / (nn - k)) / (3 * (k - 1))), 6)
+         AS bartlett_t
+FROM agg
+"""
+
+
+@query("stats_bartlett", oracle=_BARTLETT_ORACLE)
+def q_stats_bartlett(spark, sf_dir):
+    """Bartlett's variance-homogeneity test across event_type groups —
+    the parametric (normal-theory) twin of stats_levene_brown_forsythe:
+    T = [(N-k) ln Sp2 - SUM (n_i-1) ln S_i2] / C with the standard
+    correction C.  Group variances come from exact DECIMAL moments; the
+    k = 5 per-group terms are 6 dp-rounded DECIMAL sums (order-free
+    across engines); 1/(n_i-1) keeps 12 dp so the correction term
+    retains precision at large n_i.  One data-scale aggregate, then a
+    5-row fold."""
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    y = F.col("value").cast("decimal(18,4)")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(y).alias("s"),
+        F.sum(y * y).alias("ss"),
+    )
+    n = F.col("n")
+    var = (
+        (F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s") / n)
+        / (n - 1)
+    )
+    v = g.select("n", var.alias("var"))
+    agg = v.agg(
+        F.sum("n").alias("nn"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.round((n - 1) * F.col("var"), 6).cast("decimal(38,6)"))
+        .cast("double").alias("pooled_num"),
+        F.sum(F.round((n - 1) * F.log("var"), 6).cast("decimal(38,6)"))
+        .cast("double").alias("wln"),
+        F.sum(F.round(1.0 / (n - 1), 12).cast("decimal(38,12)"))
+        .cast("double").alias("inv"),
+    )
+    nn, k = F.col("nn"), F.col("k")
+    sp2 = F.col("pooled_num") / (nn - k)
+    return agg.select(
+        nn.cast("bigint").alias("n"),
+        k.cast("bigint").alias("k_groups"),
+        F.round(sp2, 6).alias("pooled_var"),
+        F.round(
+            ((nn - k) * F.log(sp2) - F.col("wln"))
+            / (1 + (F.col("inv") - 1.0 / (nn - k)) / (3 * (k - 1))),
+            6,
+        ).alias("bartlett_t"),
+    )
+
+
+_CMH_ORACLE = f"""
+WITH d AS (
+  SELECT event_type AS stratum, {_WK_SQL} AS wk,
+         CASE WHEN value >= 250 THEN 1 ELSE 0 END AS hi
+  FROM events
+), s AS (
+  SELECT stratum,
+         count(*) AS n,
+         SUM(wk) AS r1, SUM(hi) AS c1, SUM(wk * hi) AS a
+  FROM d GROUP BY 1
+), t AS (
+  SELECT stratum, n, r1, c1, a,
+         CAST(r1 AS DOUBLE) * c1 / n AS e,
+         CAST(r1 AS DOUBLE) * (n - r1) * c1 * (n - c1)
+           / (CAST(n AS DOUBLE) * n * (n - 1)) AS v
+  FROM s
+)
+SELECT CAST(count(*) AS BIGINT) AS k_strata,
+       CAST(SUM(a) AS BIGINT) AS sum_a,
+       round(CAST(SUM(CAST(round(a - e, 6) AS DECIMAL(38,6))) AS DOUBLE), 6)
+         AS sum_dev,
+       round(POWER(CAST(SUM(CAST(round(a - e, 6) AS DECIMAL(38,6)))
+                        AS DOUBLE), 2)
+             / CAST(SUM(CAST(round(v, 6) AS DECIMAL(38,6))) AS DOUBLE), 6)
+         AS cmh_statistic
+FROM t
+"""
+
+
+@query("stats_cmh", oracle=_CMH_ORACLE)
+def q_stats_cmh(spark, sf_dir):
+    """Cochran-Mantel-Haenszel test for weekend x high-value association
+    stratified by event_type (2x2xK, uncorrected): CMH =
+    (SUM_i (a_i - E_i))^2 / SUM_i V_i — the stratified-confounding
+    analysis drift_chi2 can't do.  Per-stratum counts are exact ints;
+    E and V are per-stratum doubles (the V product runs in DOUBLE —
+    the int64 form overflows past ~1e5-row strata); the K = 5 stratum
+    terms are 6 dp-rounded DECIMAL sums (order-free)."""
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    dow = (F.expr("unix_micros(ts) div 86400000000") + 4) % 7
+    wk = F.when(dow.isin(6, 0), 1).otherwise(0)
+    hi = F.when(F.col("value") >= 250, 1).otherwise(0)
+    s = ev.select(
+        F.col("event_type").alias("stratum"), wk.alias("wk"), hi.alias("hi")
+    ).groupBy("stratum").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("wk").alias("r1"),
+        F.sum("hi").alias("c1"),
+        F.sum(F.col("wk") * F.col("hi")).alias("a"),
+    )
+    n = F.col("n")
+    e = F.col("r1").cast("double") * F.col("c1") / n
+    v = (
+        F.col("r1").cast("double") * (n - F.col("r1")) * F.col("c1")
+        * (n - F.col("c1")) / (n.cast("double") * n * (n - 1))
+    )
+    t = s.select("a", e.alias("e"), v.alias("v"))
+    agg = t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_strata"),
+        F.sum("a").cast("bigint").alias("sum_a"),
+        F.sum(F.round(F.col("a") - F.col("e"), 6).cast("decimal(38,6)"))
+        .cast("double").alias("dev"),
+        F.sum(F.round(F.col("v"), 6).cast("decimal(38,6)"))
+        .cast("double").alias("vv"),
+    )
+    return agg.select(
+        "k_strata", "sum_a",
+        F.round(F.col("dev"), 6).alias("sum_dev"),
+        F.round(F.pow(F.col("dev"), 2) / F.col("vv"), 6)
+        .alias("cmh_statistic"),
+    )

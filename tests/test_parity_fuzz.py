@@ -782,7 +782,9 @@ def test_v23_constructs_expressed_in_grammar():
     tsql = parityfuzz.compile_sql(
         ("topk", ("li",), None, ("icol", "l_suppkey"), 25, "desc",
          "(l_orderkey * 8 + l_linenumber)"))
-    assert "ORDER BY c0 DESC NULLS LAST, c1 ASC LIMIT 25" in tsql
+    # ADVICE r11: the tiebreak pins NULLS FIRST (Spark's F.asc default)
+    # so a future nullable uk can't diverge silently
+    assert "ORDER BY c0 DESC NULLS LAST, c1 ASC NULLS FIRST LIMIT 25" in tsql
     assert "(l_orderkey * 8 + l_linenumber) AS c1" in tsql
     asql = parityfuzz.compile_sql(
         ("aggall", (("scol", "l_returnflag"), ("kmod", "l_orderkey", 3)),
@@ -794,3 +796,48 @@ def test_v23_constructs_expressed_in_grammar():
         ("agg", ("li",), None, (("kmod", "l_orderkey", 4),),
          (("anyf", ("kmod", "l_orderkey", 4), 3, 7),), None))
     assert "any_value(((CAST(l_orderkey AS BIGINT) % 4) * 3) + 7)" in gsql
+
+
+def test_finding10_lineitem_uk_not_unique_argmax_affine_guard(spark, duck):
+    """FINDING #10 (first v25 soak): the lineitem "unique key"
+    (l_orderkey*8 + l_linenumber) is NOT unique — the synthetic fixture
+    duplicates ~1.1k (orderkey, linenumber) pairs with DIFFERING other
+    columns, so v22's arg_max of an arbitrary expression BY that key was
+    nondeterministic (shrunk repro diverged 98 vs 114 under ROLLUP
+    state merge — a grammar determinism bug, not an engine bug).  Pin
+    the root cause and the v25.1 cure: affine-of-key values agree at
+    key ties, so the amaxf plan is parity-exact including the rollup
+    super-aggregate row."""
+    dupes = duck.execute("""
+        SELECT count(*) FROM (
+          SELECT l_orderkey, l_linenumber FROM lineitem
+          GROUP BY 1, 2 HAVING count(DISTINCT l_partkey) > 1) t
+    """).fetchone()[0]
+    assert dupes > 0  # the fixture property that broke the v22 assumption
+    plan = ("aggroll", "rollup", ("li",), None,
+            (("scol", "l_returnflag"),),
+            (("amaxf", -3, 7, "(l_orderkey * 8 + l_linenumber)"),))
+    diff = parityfuzz.check_plan(plan, spark, duck, SF_DIR)
+    assert diff is None, diff
+
+
+def test_v25_constructs_expressed_in_grammar():
+    """v25 compile pins: gsub lists the correlated subquery in GROUP BY
+    ordinals (the bare grouped-select-list form errors on BOTH
+    engines); exneq renders the correlated BETWEEN; aggwin pins the
+    window-over-aggregate null orders and casts the DuckDB running sum
+    back to BIGINT."""
+    gsql = parityfuzz.compile_sql(("gsub", 5, "maxi", (3, 1), None))
+    assert "GROUP BY 1, 3" in gsql
+    assert "(CAST(o_orderkey AS BIGINT) % 5) = (CAST(l_orderkey AS BIGINT) % 5)" in gsql
+    esql = parityfuzz.compile_sql(("exneq", True, 2, 4, None, None))
+    assert "NOT EXISTS" in esql and "BETWEEN CAST(l_orderkey AS BIGINT) - 2" in esql
+    asql = parityfuzz.compile_sql(
+        ("aggwin", ("li",), None, ("scol", "l_returnflag"),
+         ("sumi", "l_suppkey"), "rnsum", "desc"))
+    assert "ORDER BY v DESC NULLS LAST, g ASC NULLS FIRST" in asql
+    assert "CAST(sum(v) OVER" in asql and "AS BIGINT)" in asql
+    rsql = parityfuzz.compile_sql(
+        ("aggwin", ("li",), None, ("scol", "l_returnflag"),
+         ("cnt",), "row_number", "asc"))
+    assert "row_number() OVER (ORDER BY v ASC NULLS FIRST, g ASC NULLS FIRST)" in rsql

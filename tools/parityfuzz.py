@@ -232,6 +232,27 @@ Grammar v24 additions (round 11, fifth pass cont.):
   rows) probed identical on both engines before wiring, and the fuzz
   keeps both binders honest across drawn inner/outer predicates.
 
+Grammar v25 additions (round 12):
+
+* "gsub" — a correlated scalar subquery used AS A GROUPING EXPRESSION
+  (GROUP BY ordinals list the subquery itself).  The bare grouped-
+  select-list form is an ERROR on BOTH engines (probed: Spark
+  SCALAR_SUBQUERY_IS_IN_GROUP_BY_OR_AGGREGATE_FUNCTION, DuckDB Binder
+  Error "must appear in the GROUP BY clause") — the portable form
+  probes both decorrelators under GROUP BY, where the subquery is
+  functionally dependent on the kmod key.
+* "exneq" — [NOT] EXISTS with a correlated RANGE predicate (BETWEEN
+  over the outer key ± drawn deltas): the non-equi existence-join
+  physical paths (Spark plans a broadcast-nested-loop semi/anti where
+  the equi forms hash), one SQL text on both engines.
+* "aggwin" — window functions over the AGGREGATE relation (window-
+  after-agg pipeline order).  The group key is unique per output row,
+  so ORDER BY (v, g) is total and row_number — banned everywhere else
+  in the grammar because the fixtures carry duplicate rows — is
+  deterministic here; rank/dense_rank/running-sum ride the same order;
+  v's direction pins ASC NULLS FIRST / DESC NULLS LAST per v9 and the
+  DuckDB running sum casts its HUGEINT back to BIGINT.
+
 Grammar v23 additions (round 11, fifth pass cont.):
 
 * "topk" plan shape — ORDER BY (expr, unique-key) LIMIT n: the sort /
@@ -473,14 +494,14 @@ RATE_DBL = ["l_discount", "l_tax"]
 # rows unique (o_orderkey is unique).
 _LI_UK = "(l_orderkey * 8 + l_linenumber)"
 _LI_NS = {"ints": LI_INT, "strs": LI_STR, "dbls": LI_DBL, "tss": LI_TS, "json": [],
-          "uk": _LI_UK}
+          "uk": _LI_UK, "uk_unique": False}
 _BOTH_NS = {
     "ints": LI_INT + ORD_INT,
     "strs": LI_STR + ORD_STR,
     "dbls": LI_DBL + ORD_DBL,
     "tss": LI_TS + ORD_TS,
     "json": [],
-    "uk": _LI_UK,
+    "uk": _LI_UK, "uk_unique": False,
 }
 # events: timestamps, a continuous double, and a JSON props column —
 # ("jint", col, key) probes JSON-path extraction parity
@@ -492,7 +513,7 @@ _EV_NS = {
     "dbls": EV_DBL,
     "tss": EV_TS,
     "json": [("props", "k"), ("props", "missing")],
-    "uk": "event_id",
+    "uk": "event_id", "uk_unique": True,
 }
 _MUL_MOD = 100_003  # keeps any product well under 2^63
 
@@ -506,7 +527,7 @@ _DOC_NS = {
     "dbls": [],
     "tss": [],
     "json": [],
-    "uk": "doc_id",
+    "uk": "doc_id", "uk_unique": True,
 }
 
 # back-compat aliases (v1 names)
@@ -871,13 +892,31 @@ def agg_specs(ns=_LI_NS):
         # skips; all-NULL group closed by the strjoin coalesce rule
         st.tuples(st.just("sjoind"), str_exprs(1, ns)),
     ]
-    if ns.get("uk"):
+    if ns.get("uk") and ns.get("uk_unique"):
         # v22: arg-max/arg-min BY the source's unique key — determinism
         # comes from key uniqueness; the twin NULLs the key when the
         # VALUE is NULL (DuckDB arg_max skips null values, Spark max_by
         # would surface them — pinned divergence)
         opts.append(
             st.tuples(st.sampled_from(["amax", "amin"]), int_exprs(1, ns),
+                      st.just(ns["uk"]))
+        )
+    elif ns.get("uk"):
+        # v25.1 / FINDING #10 (first v25 soak): the lineitem "uk"
+        # (l_orderkey*8 + l_linenumber) is NOT unique — the synthetic
+        # fixture carries ~1.1k duplicated (orderkey, linenumber) pairs
+        # with DIFFERING other columns, so arg_max of an arbitrary
+        # expression genuinely diverged under ROLLUP state merge
+        # (spark=98 duck=114; a GRAMMAR determinism bug, not an engine
+        # bug — pinned in test_parity_fuzz.py).  For these namespaces
+        # the arg value is an AFFINE MAP OF THE KEY (the v23 anyf
+        # trick): key ties agree on the value, so the arg_max/max_by
+        # physical paths — incl. rollup/cube partial-state merges —
+        # stay covered with a deterministic pick.
+        opts.append(
+            st.tuples(st.sampled_from(["amaxf", "aminf"]),
+                      st.integers(min_value=-5, max_value=5).filter(bool),
+                      st.integers(min_value=-9, max_value=9),
                       st.just(ns["uk"]))
         )
     if ns["dbls"]:
@@ -959,7 +998,7 @@ _SOURCES = [("li",), ("ij",), ("lj",), ("semi",), ("anti",), ("ev",), ("doc",)]
 _INT_AGGS = {"count_star", "count", "countd", "min", "max", "sum",
              "fcnt", "fsumi", "fmaxi",
              "abit_and", "abit_or", "abit_xor", "countd_s", "countd2",
-             "amax", "amin"}
+             "amax", "amin", "amaxf", "aminf"}
 
 # correlated scalar subquery inner aggregates (grammar v6): orders
 # aggregated per outer l_orderkey.  count over an empty group is 0 on
@@ -1012,7 +1051,7 @@ def plans(draw):
     where = draw(st.none() | preds(2, ns))
     shapes = ["proj", "agg", "win", "aggroll", "csub", "winq",
               "lat", "csub2", "unpivot", "winnamed", "casex", "topk",
-              "insub"]
+              "insub", "gsub", "exneq", "aggwin"]
     if src[0] == "li":
         shapes.append("aggall")
     if src[0] in _PIVOT_COLS:
@@ -1047,6 +1086,44 @@ def plans(draw):
                 draw(st.none() | st.integers(min_value=1, max_value=40)
                      | st.just(999999)),
                 draw(st.none() | preds(1, _CSUB_NS)))
+    if shape == "gsub":
+        # v25: correlated scalar subquery AS A GROUPING EXPRESSION —
+        # the bare grouped-select-list form errors on BOTH engines
+        # (probed: Spark SCALAR_SUBQUERY_IS_IN_GROUP_BY_OR_AGGREGATE_
+        # FUNCTION, DuckDB Binder Error), so the portable form lists
+        # the subquery in GROUP BY (ordinals 1, 3) — the subquery is
+        # functionally dependent on the kmod key, so the grouping is
+        # unchanged and both decorrelators must agree under GROUP BY
+        return ("gsub", draw(st.integers(min_value=2, max_value=7)),
+                draw(st.sampled_from(["cnt", "maxi", "mini", "sumi"])),
+                draw(st.none()
+                     | st.tuples(st.integers(min_value=2, max_value=5),
+                                 st.integers(min_value=0, max_value=4))),
+                draw(st.none() | preds(1, _CSUB_NS)))
+    if shape == "exneq":
+        # v25: [NOT] EXISTS with a correlated RANGE predicate (BETWEEN
+        # over the outer key) — the non-equi existence-join physical
+        # paths, one SQL text on both engines
+        return ("exneq", draw(st.booleans()),
+                draw(st.integers(min_value=0, max_value=8)),
+                draw(st.integers(min_value=0, max_value=8)),
+                draw(st.none()
+                     | st.tuples(st.integers(min_value=2, max_value=5),
+                                 st.integers(min_value=0, max_value=4))),
+                draw(st.none() | preds(1, _CSUB_NS)))
+    if shape == "aggwin":
+        # v25: window AFTER aggregation — the group key is unique per
+        # output row, so (v, g) is a total order and row_number (banned
+        # everywhere else: duplicate fixture rows) is deterministic here
+        return ("aggwin", src, where, draw(group_keys(ns)),
+                draw(st.one_of(
+                    st.just(("cnt",)),
+                    st.tuples(st.sampled_from(["sumi", "maxi", "mini"]),
+                              st.sampled_from(ns["ints"])),
+                )),
+                draw(st.sampled_from(
+                    ["row_number", "rank", "dense_rank", "rnsum"])),
+                draw(st.sampled_from(["asc", "desc"])))
     if shape == "pivot":
         # v10: explicit-values PIVOT vs the CASE-form spelling; pivot
         # output columns renamed p0..pN on both sides
@@ -1558,6 +1635,12 @@ def _sp_agg(a):
         key = F.when(e.isNotNull(), F.expr(a[2]))
         fn = F.max_by if op == "amax" else F.min_by
         return fn(e, key).cast("long")
+    if op in ("amaxf", "aminf"):
+        # v25.1: non-unique-uk namespaces — value is an affine map of
+        # the key, so key ties agree on the value (FINDING #10)
+        e = (F.expr(a[3]) * a[1] + a[2]).cast("long")
+        fn = F.max_by if op == "amaxf" else F.min_by
+        return fn(e, F.expr(a[3])).cast("long")
     if op == "anyf":
         # v23: any_value over an affine map of a group key — every row
         # in the group carries the same value, so the pick is
@@ -1617,7 +1700,7 @@ def compile_spark(plan, spark, sf_dir: str):
     from pyspark.sql import functions as F
 
     if plan[0] in ("csub", "csub2", "lat", "winnamed", "casex", "aggall",
-                   "insub"):
+                   "insub", "gsub", "exneq"):
         # correlated / nested scalar subqueries + LATERAL + named
         # WINDOW clauses + EXISTS-in-CASE + GROUP BY ALL: SAME SQL text
         # on both engines (views registered per call — lazy, no scan
@@ -1625,6 +1708,36 @@ def compile_spark(plan, spark, sf_dir: str):
         for t in ("lineitem", "orders"):
             spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
         return spark.sql(compile_sql(plan))
+
+    if plan[0] == "aggwin":
+        # v25: window over the AGGREGATE relation; (v, g) is a total
+        # order because g (the group key) is unique per row
+        _, src, where, key, agg, wfn, direction = plan
+        df = _sp_source(src, spark, sf_dir)
+        if where is not None:
+            df = df.filter(_sp_pred(where))
+        op = agg[0]
+        if op == "cnt":
+            a = F.count(F.lit(1)).cast("long")
+        elif op == "sumi":
+            a = F.sum(F.col(agg[1]).cast("long")).cast("long")
+        elif op == "maxi":
+            a = F.max(F.col(agg[1]).cast("long"))
+        else:
+            a = F.min(F.col(agg[1]).cast("long"))
+        g = df.groupBy(_sp_key(key).alias("g")).agg(a.alias("v"))
+        vord = (
+            F.asc_nulls_first(F.col("v")) if direction == "asc"
+            else F.desc_nulls_last(F.col("v"))
+        )
+        w = Window.orderBy(vord, F.asc_nulls_first(F.col("g")))
+        if wfn == "rnsum":
+            c = F.sum("v").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ).cast("long")
+        else:
+            c = getattr(F, wfn)().over(w).cast("long")
+        return g.select("g", "v", c.alias("r"))
 
     if plan[0] == "topk":
         _, src, where, expr, n, direction, uk = plan
@@ -2111,6 +2224,13 @@ def _dk_agg(a) -> str:
         # guard on the Spark side makes the semantics line up
         fn = "arg_max" if op == "amax" else "arg_min"
         return f"CAST({fn}({_dk_int(a[1])}, {a[2]}) AS BIGINT)"
+    if op in ("amaxf", "aminf"):
+        # v25.1: affine-of-key value (FINDING #10 — non-unique uk)
+        fn = "arg_max" if op == "amaxf" else "arg_min"
+        return (
+            f"CAST({fn}(CAST({a[3]} AS BIGINT) * {a[1]} + {a[2]}, "
+            f"{a[3]}) AS BIGINT)"
+        )
     if op == "anyf":
         # v23: functionally-dependent any_value (see the Spark twin)
         return (
@@ -2215,6 +2335,81 @@ def compile_sql(plan) -> str:
             "SELECT CAST(l_orderkey AS BIGINT) AS c0, "
             "CAST(l_linenumber AS BIGINT) AS c1 "
             f"FROM lineitem WHERE {' AND '.join(wparts)}"
+        )
+
+    if plan[0] == "gsub":
+        # v25: correlated scalar subquery as a grouping expression —
+        # GROUP BY ordinals (1, 3) list the subquery itself (the bare
+        # grouped-select-list form errors on BOTH engines; probed)
+        _, m, inner, inner_mod, where = plan
+        conj = (
+            f"(CAST(o_orderkey AS BIGINT) % {m}) = "
+            f"(CAST(l_orderkey AS BIGINT) % {m})"
+        )
+        if inner_mod is not None:
+            m2, r = inner_mod
+            conj += f" AND (CAST(o_custkey AS BIGINT) % {m2}) = {r}"
+        sub = f"(SELECT {_CSUB_INNER[inner]} FROM orders WHERE {conj})"
+        w = f" WHERE {_dk_pred(where)}" if where is not None else ""
+        return (
+            f"SELECT (CAST(l_orderkey AS BIGINT) % {m}) AS g, "
+            "CAST(count(*) AS BIGINT) AS c0, "
+            f"{sub} AS s0 FROM lineitem{w} GROUP BY 1, 3"
+        )
+
+    if plan[0] == "exneq":
+        # v25: [NOT] EXISTS with a correlated BETWEEN — non-equi
+        # existence join, one SQL text on both engines
+        _, neg, d1, d2, inner_mod, where = plan
+        conj = (
+            f"CAST(o_orderkey AS BIGINT) BETWEEN "
+            f"CAST(l_orderkey AS BIGINT) - {d1} AND "
+            f"CAST(l_orderkey AS BIGINT) + {d2}"
+        )
+        if inner_mod is not None:
+            m, r = inner_mod
+            conj += f" AND (CAST(o_custkey AS BIGINT) % {m}) = {r}"
+        ex = f"EXISTS (SELECT 1 FROM orders WHERE {conj})"
+        if neg:
+            ex = f"NOT {ex}"
+        wparts = [ex]
+        if where is not None:
+            wparts.append(_dk_pred(where))
+        return (
+            "SELECT CAST(l_orderkey AS BIGINT) AS c0, "
+            "CAST(l_linenumber AS BIGINT) AS c1 "
+            f"FROM lineitem WHERE {' AND '.join(wparts)}"
+        )
+
+    if plan[0] == "aggwin":
+        # v25: window over the aggregate relation (see the Spark twin);
+        # direction + tiebreak null orders pinned per v9
+        _, src, where, key, agg, wfn, direction = plan
+        frm, extra = _dk_source(src)
+        conj = [c for c in (extra, _dk_pred(where) if where is not None else None) if c]
+        w = f" WHERE {' AND '.join(conj)}" if conj else ""
+        op = agg[0]
+        if op == "cnt":
+            aggsql = "CAST(count(*) AS BIGINT)"
+        elif op == "sumi":
+            aggsql = f"CAST(sum(CAST({agg[1]} AS BIGINT)) AS BIGINT)"
+        elif op == "maxi":
+            aggsql = f"max(CAST({agg[1]} AS BIGINT))"
+        else:
+            aggsql = f"min(CAST({agg[1]} AS BIGINT))"
+        d = "ASC NULLS FIRST" if direction == "asc" else "DESC NULLS LAST"
+        over = f"ORDER BY v {d}, g ASC NULLS FIRST"
+        if wfn == "rnsum":
+            wcol = (
+                f"CAST(sum(v) OVER ({over} ROWS BETWEEN UNBOUNDED "
+                f"PRECEDING AND CURRENT ROW) AS BIGINT)"
+            )
+        else:
+            wcol = f"CAST({wfn}() OVER ({over}) AS BIGINT)"
+        return (
+            f"SELECT g, v, {wcol} AS r FROM "
+            f"(SELECT {_dk_key(key)} AS g, {aggsql} AS v "
+            f"FROM {frm}{w} GROUP BY {_dk_key(key)}) t"
         )
 
     if plan[0] == "topk":
