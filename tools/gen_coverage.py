@@ -215,6 +215,10 @@ SECTIONS = [
         "stats_cochran_armitage", "events_seasonal_residuals",
         "events_entropy_rate", "stats_page_trend", "stats_two_way_anova",
     ]),
+    ("Exact & stratified contingency inference (round 12)", [
+        "stats_fisher_exact_2x2", "stats_g_test", "stats_bartlett",
+        "stats_cmh",
+    ]),
     ("Sketches & sampling III (round 5)", [
         "sketch_kmv_intersect", "sketch_quantile_logbins", "sample_weighted_kmv",
     ]),
