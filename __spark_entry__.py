@@ -270,6 +270,8 @@ _ROUND12_PREFIX: list[str] = [
     "stats_g_test",
     "stats_bartlett",
     "stats_cmh",
+    "text_trigram_stupid_backoff",
+    "stats_breusch_pagan",
     # round-11 last-day additions — first driver rows this round
     # (VERDICT r11 item 1)
     "stats_page_trend",
@@ -318,8 +320,8 @@ _ROUND12_PREFIX: list[str] = [
     "text_winnowing",
     "tpch_market_share",
     "tpch_order_priority",
-    "tpch_pricing_summary",
-    "tpch_revenue_by_region",
+    # tpch_pricing_summary / tpch_revenue_by_region — displaced by the
+    # two later round-12 additions —
     # tpch_top_orders / ts_cusum_drift / ts_lag_features /
     # ts_outlier_mad — displaced by the four round-12 additions —
     # ts_rollup_multires / ts_seasonal_profile / win_running_distinct /

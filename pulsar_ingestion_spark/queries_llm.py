@@ -2897,3 +2897,164 @@ def q_sim_search_ivf_recall_sweep(spark, sf_dir):
             (F.count("hit").cast("double") / F.min("tot")).alias("recall"),
         )
     )
+
+
+_STUPID_BACKOFF_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents
+), tr_uni AS (
+  SELECT unnest(t) AS w FROM toks WHERE doc_id % 7 <> 0
+), uni AS (
+  SELECT w, count(*) AS cnt FROM tr_uni GROUP BY w
+), nn AS (
+  SELECT SUM(cnt) AS n FROM uni
+), bi AS (
+  SELECT a, b, count(*) AS cnt FROM (
+    SELECT unnest(list_transform(range(1, len(t)), i -> t[i])) AS a,
+           unnest(list_transform(range(1, len(t)), i -> t[i + 1])) AS b
+    FROM toks WHERE doc_id % 7 <> 0 AND len(t) >= 2
+  ) GROUP BY a, b
+), tri AS (
+  SELECT w1, w2, w3, count(*) AS cnt FROM (
+    SELECT unnest(list_transform(range(1, len(t) - 1), i -> t[i])) AS w1,
+           unnest(list_transform(range(1, len(t) - 1), i -> t[i + 1])) AS w2,
+           unnest(list_transform(range(1, len(t) - 1), i -> t[i + 2])) AS w3
+    FROM toks WHERE doc_id % 7 <> 0 AND len(t) >= 3
+  ) GROUP BY w1, w2, w3
+), test AS (
+  SELECT doc_id, w1, w2, w3, count(*) AS tf FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t) - 1), i -> t[i])) AS w1,
+           unnest(list_transform(range(1, len(t) - 1), i -> t[i + 1])) AS w2,
+           unnest(list_transform(range(1, len(t) - 1), i -> t[i + 2])) AS w3
+    FROM toks WHERE doc_id % 7 = 0 AND len(t) >= 3
+  ) GROUP BY doc_id, w1, w2, w3
+), scored AS (
+  SELECT te.doc_id, te.tf,
+         CASE
+           WHEN t3.cnt IS NOT NULL
+             THEN CAST(t3.cnt AS DOUBLE) / bctx.cnt
+           WHEN b23.cnt IS NOT NULL
+             THEN CAST(0.4 AS DOUBLE) * b23.cnt / u2.cnt
+           WHEN u3.cnt IS NOT NULL
+             THEN CAST(0.16 AS DOUBLE) * u3.cnt / nn.n
+         END AS s
+  FROM test te
+  LEFT JOIN tri t3 ON t3.w1 = te.w1 AND t3.w2 = te.w2 AND t3.w3 = te.w3
+  LEFT JOIN bi bctx ON bctx.a = te.w1 AND bctx.b = te.w2
+  LEFT JOIN bi b23 ON b23.a = te.w2 AND b23.b = te.w3
+  LEFT JOIN uni u2 ON u2.w = te.w2
+  LEFT JOIN uni u3 ON u3.w = te.w3
+  CROSS JOIN nn
+)
+SELECT doc_id,
+       CAST(SUM(tf) AS BIGINT) AS n_trigrams,
+       CAST(SUM(CASE WHEN s IS NULL THEN tf ELSE 0 END) AS BIGINT)
+         AS n_unscored,
+       CAST(SUM(CASE WHEN s IS NULL THEN NULL
+                ELSE tf * CAST(round(-log2(s), 6) AS DECIMAL(18,6)) END)
+            AS DOUBLE) AS total_neg_log2s
+FROM scored GROUP BY doc_id
+"""
+
+
+@query("text_trigram_stupid_backoff", oracle=_STUPID_BACKOFF_ORACLE)
+def q_text_trigram_stupid_backoff(spark, sf_dir):
+    """Trigram stupid-backoff scoring (Brants et al. 2007 — the
+    large-LM scoring scheme that skips discounting) of a held-out doc
+    slice (doc_id % 7 == 0) against counts from the rest: S(w3|w1 w2) =
+    c(w1w2w3)/c(w1w2), backing off to 0.4·c(w2w3)/c(w2), then to
+    0.16·c(w3)/N; trigrams whose unigram is unseen stay unscored (their
+    tf is reported).  One LM order above text_bigram_logprob and the
+    held-out form a quality-scoring pipeline actually runs (self-scored
+    corpora never back off).  Plan: train-side count tables collapse to
+    vocabulary-sized relations keyed by xxhash64 (broadcast candidates;
+    the oracle joins strings); the test side collapses once to
+    (doc, trigram, tf); five hash left-joins; per-term round6+decimal
+    sums keep the fold order-free (registry parity rules)."""
+    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("t")
+    )
+    tri_struct = (
+        "transform(sequence(1, size(t) - 2), i -> struct("
+        "element_at(t, i) AS w1, element_at(t, i + 1) AS w2, "
+        "element_at(t, i + 2) AS w3))"
+    )
+    empty_tri = "array<struct<w1:string,w2:string,w3:string>>"
+
+    def trigrams(rel):
+        return rel.select(
+            "doc_id",
+            F.explode(
+                F.when(F.size("t") >= 3, F.expr(tri_struct))
+                .otherwise(F.array().cast(empty_tri))
+            ).alias("g"),
+        ).select("doc_id", "g.w1", "g.w2", "g.w3")
+
+    train = toks.filter(F.col("doc_id") % 7 != 0)
+    test = toks.filter(F.col("doc_id") % 7 == 0)
+
+    uni = (
+        train.select(F.explode("t").alias("w"))
+        .groupBy(F.xxhash64("w").alias("uk"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    nn = uni.agg(F.sum("cnt").alias("n"))
+    bi = (
+        train.filter(F.size("t") >= 2)
+        .select(F.explode(F.expr(
+            "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),"
+            " (a, b) -> struct(a, b))"
+        )).alias("p"))
+        .groupBy(F.xxhash64("p.a", "p.b").alias("bk"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tri = (
+        trigrams(train)
+        .groupBy(F.xxhash64("w1", "w2", "w3").alias("tk"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    te = trigrams(test).groupBy("doc_id", "w1", "w2", "w3").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).select(
+        "doc_id", "tf",
+        F.xxhash64("w1", "w2", "w3").alias("tk"),
+        F.xxhash64("w1", "w2").alias("ck"),
+        F.xxhash64("w2", "w3").alias("bk23"),
+        F.xxhash64("w2").alias("uk2"),
+        F.xxhash64("w3").alias("uk3"),
+    )
+    j = (
+        te.join(tri, "tk", "left")
+        .join(bi.select(F.col("bk").alias("ck"), F.col("cnt").alias("cnt_ctx")),
+              "ck", "left")
+        .join(bi.select(F.col("bk").alias("bk23"), F.col("cnt").alias("cnt_23")),
+              "bk23", "left")
+        .join(uni.select(F.col("uk").alias("uk2"), F.col("cnt").alias("cnt_w2")),
+              "uk2", "left")
+        .join(uni.select(F.col("uk").alias("uk3"), F.col("cnt").alias("cnt_w3")),
+              "uk3", "left")
+        .crossJoin(F.broadcast(nn))
+    )
+    s = (
+        F.when(F.col("cnt").isNotNull(),
+               F.col("cnt").cast("double") / F.col("cnt_ctx"))
+        .when(F.col("cnt_23").isNotNull(),
+              F.lit(0.4) * F.col("cnt_23") / F.col("cnt_w2"))
+        .when(F.col("cnt_w3").isNotNull(),
+              F.lit(0.16) * F.col("cnt_w3") / F.col("n"))
+    )
+    scored = j.select("doc_id", "tf", s.alias("s"))
+    return scored.groupBy("doc_id").agg(
+        F.sum("tf").cast("bigint").alias("n_trigrams"),
+        F.sum(F.when(F.col("s").isNull(), F.col("tf")).otherwise(0))
+        .cast("bigint").alias("n_unscored"),
+        F.sum(
+            F.when(
+                F.col("s").isNotNull(),
+                F.col("tf") * F.round(-F.log2("s"), 6).cast("decimal(18,6)"),
+            )
+        ).cast("double").alias("total_neg_log2s"),
+    )

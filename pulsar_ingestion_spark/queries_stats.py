@@ -5275,3 +5275,93 @@ def q_stats_cmh(spark, sf_dir):
         F.round(F.pow(F.col("dev"), 2) / F.col("vv"), 6)
         .alias("cmh_statistic"),
     )
+
+
+_BP_ORACLE = """
+WITH base AS (
+  SELECT CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS x, value AS y
+  FROM events
+), m1 AS (
+  SELECT count(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx,
+         CAST(SUM(CAST(y AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+         CAST(SUM(x * CAST(y AS DECIMAL(18,4))) AS DOUBLE) AS sxy
+  FROM base
+), fit AS (
+  SELECT n, sx, sxx,
+         (n * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS b,
+         (sy - (n * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * sx) / n AS a
+  FROM m1
+), m2 AS (
+  SELECT f.n, f.sx, f.sxx, f.b,
+         CAST(SUM(CAST(round((y - f.a - f.b * x) * (y - f.a - f.b * x), 6)
+                       AS DECIMAL(38,6))) AS DOUBLE) AS se2,
+         CAST(SUM(CAST(round(x * (y - f.a - f.b * x) * (y - f.a - f.b * x), 6)
+                       AS DECIMAL(38,6))) AS DOUBLE) AS sxe2,
+         CAST(SUM(CAST(round(POWER((y - f.a - f.b * x) * (y - f.a - f.b * x), 2), 6)
+                       AS DECIMAL(38,6))) AS DOUBLE) AS se2e2
+  FROM base CROSS JOIN fit f
+  GROUP BY f.n, f.sx, f.sxx, f.b
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round(b, 6) AS slope,
+       round(n * POWER(sxe2 - CAST(sx AS DOUBLE) * se2 / n, 2)
+             / ((sxx - CAST(sx AS DOUBLE) * sx / n)
+                * (se2e2 - se2 * se2 / n)), 6) AS lm_statistic,
+       CAST(1 AS BIGINT) AS df
+FROM m2
+"""
+
+
+@query("stats_breusch_pagan", oracle=_BP_ORACLE)
+def q_stats_breusch_pagan(spark, sf_dir):
+    """Breusch-Pagan heteroscedasticity test for value ~ hour-of-day:
+    fit the OLS line from exact first-pass moments (integer x sums,
+    DECIMAL y sums — a and b are identical doubles on both engines),
+    then LM = n·R² of the squared-residual-on-x auxiliary regression,
+    with the second-pass sums per-row-rounded at 6 dp into DECIMAL so
+    the fold is order-free.  Two data passes, zero joins (the fit row
+    broadcast-crosses the second pass); every moment is scan-local."""
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    base = ev.select(
+        (F.expr("unix_micros(ts) div 3600000000") % 24).alias("x"),
+        F.col("value").alias("y"),
+    )
+    yd = F.col("y").cast("decimal(18,4)")
+    m1 = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(yd).cast("double").alias("sy"),
+        F.sum(F.col("x") * yd).cast("double").alias("sxy"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    b = (n * F.col("sxy") - sx * F.col("sy")) / (
+        n.cast("double") * sxx - sx.cast("double") * sx
+    )
+    fit = m1.select(
+        "n", "sx", "sxx", b.alias("b"),
+        ((F.col("sy") - b * sx) / n).alias("a"),
+    )
+    e = F.col("y") - F.col("a") - F.col("b") * F.col("x")
+    e2 = e * e
+    m2 = base.crossJoin(F.broadcast(fit)).groupBy("n", "sx", "sxx", "b").agg(
+        F.sum(F.round(e2, 6).cast("decimal(38,6)")).cast("double").alias("se2"),
+        F.sum(F.round(F.col("x") * e2, 6).cast("decimal(38,6)"))
+        .cast("double").alias("sxe2"),
+        F.sum(F.round(F.pow(e2, 2), 6).cast("decimal(38,6)"))
+        .cast("double").alias("se2e2"),
+    )
+    sxd = F.col("sx").cast("double")
+    lm = (
+        F.col("n") * F.pow(F.col("sxe2") - sxd * F.col("se2") / F.col("n"), 2)
+        / (
+            (F.col("sxx") - sxd * F.col("sx") / F.col("n"))
+            * (F.col("se2e2") - F.col("se2") * F.col("se2") / F.col("n"))
+        )
+    )
+    return m2.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("b"), 6).alias("slope"),
+        F.round(lm, 6).alias("lm_statistic"),
+        F.lit(1).cast("bigint").alias("df"),
+    )

@@ -134,3 +134,93 @@ def test_fisher_term_guard_message():
 
     src = inspect.getsource(qs.q_stats_fisher_exact_2x2)
     assert "1_000_000" in src and "stats_g_test" in src
+
+
+def test_trigram_stupid_backoff_matches_python_ground_truth(spark, duck):
+    """Recompute the held-out stupid-backoff scores in pure Python
+    (dict counts over the raw parquet text) and compare every doc's
+    term counts exactly and its score to 1e-4."""
+    import re
+    from collections import Counter
+
+    import __spark_entry__ as e
+
+    rows = duck.execute(
+        "SELECT doc_id, text FROM read_parquet("
+        f"'{SF_DIR}/documents.parquet')"
+    ).fetchall()
+    uni: Counter = Counter()
+    bi: Counter = Counter()
+    tri: Counter = Counter()
+    test_docs = {}
+    for doc_id, text in rows:
+        t = re.split(r"\s+", text.strip().lower())
+        if doc_id % 7 != 0:
+            uni.update(t)
+            bi.update(zip(t, t[1:]))
+            tri.update(zip(t, t[1:], t[2:]))
+        else:
+            test_docs[doc_id] = list(zip(t, t[1:], t[2:]))
+    n = sum(uni.values())
+    want = {}
+    for doc_id, grams in test_docs.items():
+        if not grams:
+            continue
+        total, unscored = 0.0, 0
+        for g in grams:
+            w1, w2, w3 = g
+            if tri[g]:
+                s = tri[g] / bi[(w1, w2)]
+            elif bi[(w2, w3)]:
+                s = 0.4 * bi[(w2, w3)] / uni[w2]
+            elif uni[w3]:
+                s = 0.16 * uni[w3] / n
+            else:
+                unscored += 1
+                continue
+            total += round(-math.log2(s), 6)
+        want[doc_id] = (len(grams), unscored, total)
+    got = {
+        r["doc_id"]: (r["n_trigrams"], r["n_unscored"], r["total_neg_log2s"])
+        for r in e.queries()["text_trigram_stupid_backoff"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for doc_id in want:
+        assert got[doc_id][0] == want[doc_id][0], doc_id
+        assert got[doc_id][1] == want[doc_id][1], doc_id
+        if want[doc_id][0] > want[doc_id][1]:
+            assert abs(got[doc_id][2] - want[doc_id][2]) <= 1e-4, doc_id
+    # the held-out split must actually exercise the backoff ladder
+    assert any(v[1] > 0 for v in want.values()) or any(
+        v[2] and v[0] for v in want.values()
+    )
+
+
+def test_breusch_pagan_matches_python_ground_truth(spark, duck):
+    import __spark_entry__ as e
+
+    out = e.queries()["stats_breusch_pagan"](spark, SF_DIR).first()
+    rows = duck.execute("""
+        SELECT CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT),
+               CAST(CAST(value AS DECIMAL(18,4)) AS DOUBLE), value
+        FROM events
+    """).fetchall()
+    n = len(rows)
+    sx = sum(x for x, _, _ in rows)
+    sxx = sum(x * x for x, _, _ in rows)
+    sy = sum(y4 for _, y4, _ in rows)
+    sxy = sum(x * y4 for x, y4, _ in rows)
+    b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    a = (sy - b * sx) / n
+    e2 = [(x, (y - a - b * x) ** 2) for x, _, y in rows]
+    se2 = sum(v for _, v in e2)
+    sxe2 = sum(x * v for x, v in e2)
+    se2e2 = sum(v * v for _, v in e2)
+    r2_num = (sxe2 - sx * se2 / n) ** 2
+    r2_den = (sxx - sx * sx / n) * (se2e2 - se2 * se2 / n)
+    lm = n * r2_num / r2_den
+    assert out["n"] == n and out["df"] == 1
+    assert abs(out["slope"] - b) <= 1e-5
+    assert abs(out["lm_statistic"] - lm) <= max(1e-3, abs(lm) * 1e-4)

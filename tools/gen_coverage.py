@@ -219,6 +219,9 @@ SECTIONS = [
         "stats_fisher_exact_2x2", "stats_g_test", "stats_bartlett",
         "stats_cmh",
     ]),
+    ("Held-out LM scoring & heteroscedasticity (round 12)", [
+        "text_trigram_stupid_backoff", "stats_breusch_pagan",
+    ]),
     ("Sketches & sampling III (round 5)", [
         "sketch_kmv_intersect", "sketch_quantile_logbins", "sample_weighted_kmv",
     ]),
