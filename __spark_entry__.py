@@ -272,6 +272,7 @@ _ROUND12_PREFIX: list[str] = [
     "stats_cmh",
     "text_trigram_stupid_backoff",
     "stats_breusch_pagan",
+    "join_asof_forward",
     # round-11 last-day additions — first driver rows this round
     # (VERDICT r11 item 1)
     "stats_page_trend",
@@ -319,7 +320,7 @@ _ROUND12_PREFIX: list[str] = [
     "text_vocab_coverage",
     "text_winnowing",
     "tpch_market_share",
-    "tpch_order_priority",
+    # tpch_order_priority — displaced by join_asof_forward —
     # tpch_pricing_summary / tpch_revenue_by_region — displaced by the
     # two later round-12 additions —
     # tpch_top_orders / ts_cusum_drift / ts_lag_features /

@@ -162,3 +162,63 @@ def banded_range_join(
         .drop("__band")
         .withColumn("gap", gap)
     )
+
+
+def asof_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    inclusive: bool = True,
+) -> DataFrame:
+    """Forward as-of join: every ``left`` row annotated with
+    ``matched_ts`` = the EARLIEST ``right`` timestamp at-or-after
+    (``inclusive``) / strictly-after its own; unmatched left rows drop —
+    the mirror of :func:`asof_backward` (pandas merge_asof
+    direction='forward'; DuckDB ``ASOF JOIN ... ON l.ts <= r.ts``).
+
+    Same union-sort single-shuffle plan: the timeline window looks
+    FORWARD (first non-null right timestamp in the current-row-to-end
+    frame), and the tag order flips — right rows at an equal timestamp
+    sort AFTER left when inclusive (in frame), BEFORE when exclusive
+    (out of frame).  NULL keys/timestamps never match (ADVICE r11
+    rule)."""
+    left = left.filter(F.col(on).isNotNull() & F.col(left_ts).isNotNull())
+    right = right.filter(F.col(on).isNotNull() & F.col(right_ts).isNotNull())
+    right_tag = 2 if inclusive else 0
+    lcols = left.columns
+    reserved = {"matched_ts"} | {c for c in lcols if c.startswith("__")}
+    if "matched_ts" in lcols or any(c.startswith("__") for c in lcols):
+        raise ValueError(
+            f"asof_forward: left columns collide with reserved names "
+            f"{sorted(reserved)} — rename before joining"
+        )
+    tagged_left = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__tag"),
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("__rts"),
+        *[F.col(c).alias(f"__l_{c}") for c in lcols],
+    )
+    tagged_right = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).alias("__t"),
+        F.lit(right_tag).alias("__tag"),
+        F.col(right_ts).alias("__rts"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}") for c in lcols],
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__t", "__tag")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    timeline = tagged_left.unionByName(tagged_right).withColumn(
+        "__matched", F.first("__rts", ignorenulls=True).over(w)
+    )
+    return timeline.filter(
+        (F.col("__tag") == 1) & F.col("__matched").isNotNull()
+    ).select(
+        *[F.col(f"__l_{c}").alias(c) for c in lcols],
+        F.col("__matched").alias("matched_ts"),
+    )

@@ -1352,3 +1352,46 @@ def win_ntile_percent_cume(spark, sf_dir):
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+@query(
+    "join_asof_forward",
+    oracle="""
+    SELECT p.event_id, p.user_id,
+           CAST(min(epoch_ms(e.ts)) - epoch_ms(p.ts) AS BIGINT)
+             AS next_error_gap_ms
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase') p
+    JOIN (SELECT user_id, ts FROM events WHERE event_type = 'error') e
+      ON e.user_id = p.user_id AND e.ts >= p.ts
+    GROUP BY p.event_id, p.user_id, epoch_ms(p.ts)
+    """,
+)
+def q_join_asof_forward(spark, sf_dir):
+    # FORWARD as-of join (pandas merge_asof direction='forward'; DuckDB
+    # ASOF JOIN with l.ts <= r.ts): each purchase annotated with the
+    # time to the user's NEXT error at-or-after it — the
+    # time-to-next-incident attribution query.  The shared union-sort
+    # operator runs the mirror window (first following carry) over ONE
+    # key shuffle; the oracle states the equi-join + min form whose
+    # fan-out the operator avoids.  Parity with DuckDB's native forward
+    # ASOF JOIN is fuzz-tested (tests/test_asof_fuzz.py).
+    from pulsar_ingestion_spark.operators.joins import asof_forward
+
+    (ev,) = _t(spark, sf_dir, "events")
+    out = asof_forward(
+        ev.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts"
+        ),
+        ev.filter(F.col("event_type") == "error").select(
+            F.col("user_id").alias("user_id"), F.col("ts").alias("rts")
+        ),
+        on="user_id",
+        left_ts="ts",
+        right_ts="rts",
+    )
+    return out.select(
+        "event_id", "user_id",
+        (F.unix_millis("matched_ts") - F.unix_millis("ts"))
+        .cast("bigint").alias("next_error_gap_ms"),
+    )

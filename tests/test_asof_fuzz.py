@@ -206,3 +206,87 @@ def test_asof_null_keys_and_null_ts_never_match(spark, duck):
         "ASOF JOIN nr r ON l.k = r.k AND l.t >= r.rt"
     ).fetchall())
     assert s == d == [(1, 90), (6, 400)]
+
+
+def _spark_asof_fwd(spark, ltype, lmod, rtype, rval, inclusive):
+    from pyspark.sql import functions as F
+
+    from pulsar_ingestion_spark.operators.joins import asof_forward
+    from pulsar_ingestion_spark.session import load_tables
+
+    ev = load_tables(spark, SF_DIR)["events"]
+    left = ev.filter(
+        (F.col("event_type") == ltype) & (F.col("user_id") % lmod == 0)
+    ).select("event_id", "user_id", "ts")
+    right = ev.filter(
+        (F.col("event_type") == rtype) & (F.col("value") >= rval)
+    ).select("user_id", F.col("ts").alias("rts"))
+    out = asof_forward(
+        left, right, on="user_id", left_ts="ts", right_ts="rts",
+        inclusive=inclusive,
+    )
+    return sorted(
+        (int(r["event_id"]), str(r["matched_ts"]))
+        for r in out.select("event_id", "matched_ts").collect()
+    )
+
+
+def _duck_asof_fwd(duck, ltype, lmod, rtype, rval, inclusive):
+    op = "<=" if inclusive else "<"
+    rows = duck.execute(f"""
+        SELECT l.event_id, r.ts AS matched_ts
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = '{ltype}' AND user_id % {lmod} = 0) l
+        ASOF JOIN (SELECT user_id, ts FROM events
+                   WHERE event_type = '{rtype}' AND value >= {rval}) r
+          ON l.user_id = r.user_id AND l.ts {op} r.ts
+    """).fetchall()
+    return sorted((int(e), str(t)) for e, t in rows)
+
+
+@settings(
+    max_examples=25, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+    phases=[Phase.generate, Phase.shrink],
+)
+@given(
+    ltype=st.sampled_from(TYPES),
+    lmod=st.integers(min_value=1, max_value=5),
+    rtype=st.sampled_from(TYPES),
+    rval=st.sampled_from([0, 100, 300, 450]),
+    inclusive=st.booleans(),
+)
+def test_asof_forward_matches_native_asof_join(
+    spark, duck, ltype, lmod, rtype, rval, inclusive
+):
+    s = _spark_asof_fwd(spark, ltype, lmod, rtype, rval, inclusive)
+    d = _duck_asof_fwd(duck, ltype, lmod, rtype, rval, inclusive)
+    assert s == d, (ltype, lmod, rtype, rval, inclusive, len(s), len(d))
+
+
+def test_asof_forward_backward_mirror(spark):
+    """On a symmetric fixture, forward(t) == backward(-t) with negated
+    timestamps — the directions must be exact mirrors."""
+    from pulsar_ingestion_spark.operators.joins import (
+        asof_backward,
+        asof_forward,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 1, 10), (2, 1, 20), (3, 1, 30), (4, 2, 5)],
+        "event_id int, k int, t long",
+    )
+    right = spark.createDataFrame(
+        [(1, 12), (1, 25), (2, 4)], "k int, rt long"
+    )
+    fwd = {
+        (r["event_id"], r["matched_ts"])
+        for r in asof_forward(left, right, "k", "t", "rt").collect()
+    }
+    nleft = left.selectExpr("event_id", "k", "-t AS t")
+    nright = right.selectExpr("k", "-rt AS rt")
+    bwd = {
+        (r["event_id"], -r["matched_ts"])
+        for r in asof_backward(nleft, nright, "k", "t", "rt").collect()
+    }
+    assert fwd == bwd == {(1, 12), (2, 25)}

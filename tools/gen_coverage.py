@@ -222,6 +222,9 @@ SECTIONS = [
     ("Held-out LM scoring & heteroscedasticity (round 12)", [
         "text_trigram_stupid_backoff", "stats_breusch_pagan",
     ]),
+    ("Forward as-of join (round 12)", [
+        "join_asof_forward",
+    ]),
     ("Sketches & sampling III (round 5)", [
         "sketch_kmv_intersect", "sketch_quantile_logbins", "sample_weighted_kmv",
     ]),
