@@ -273,6 +273,8 @@ _ROUND12_PREFIX: list[str] = [
     "text_trigram_stupid_backoff",
     "stats_breusch_pagan",
     "join_asof_forward",
+    "stats_mood_median",
+    "ts_spectral_entropy",
     # round-11 last-day additions — first driver rows this round
     # (VERDICT r11 item 1)
     "stats_page_trend",
@@ -318,8 +320,8 @@ _ROUND12_PREFIX: list[str] = [
     "text_line_dedup",
     "text_tfidf_topk",
     "text_vocab_coverage",
-    "text_winnowing",
-    "tpch_market_share",
+    # text_winnowing — displaced by ts_spectral_entropy —
+    # tpch_market_share — displaced by stats_mood_median —
     # tpch_order_priority — displaced by join_asof_forward —
     # tpch_pricing_summary / tpch_revenue_by_region — displaced by the
     # two later round-12 additions —

@@ -5365,3 +5365,152 @@ def q_stats_breusch_pagan(spark, sf_dir):
         F.round(lm, 6).alias("lm_statistic"),
         F.lit(1).cast("bigint").alias("df"),
     )
+
+
+_MOOD_ORACLE = """
+WITH med AS (
+  SELECT quantile_cont(value, 0.5) AS m FROM events
+), c AS (
+  SELECT event_type,
+         count(*) AS n,
+         SUM(CASE WHEN value > (SELECT m FROM med) THEN 1 ELSE 0 END) AS above
+  FROM events GROUP BY 1
+), tot AS (
+  SELECT SUM(n) AS nn, SUM(above) AS ta, count(*) AS k FROM c
+)
+SELECT CAST(t.k AS BIGINT) AS k_groups,
+       round((SELECT m FROM med), 6) AS grand_median,
+       CAST(t.k - 1 AS BIGINT) AS df,
+       round(SUM(
+         POWER(above - n * (CAST(t.ta AS DOUBLE) / t.nn), 2)
+           / (n * (CAST(t.ta AS DOUBLE) / t.nn))
+         + POWER((n - above) - n * (1 - CAST(t.ta AS DOUBLE) / t.nn), 2)
+           / (n * (1 - CAST(t.ta AS DOUBLE) / t.nn))
+       ), 6) AS chi2_statistic
+FROM c CROSS JOIN tot t
+GROUP BY t.k, t.nn, t.ta
+"""
+
+
+@query("stats_mood_median", oracle=_MOOD_ORACLE)
+def q_stats_mood_median(spark, sf_dir):
+    """Mood's median test across event_type groups: classify every row
+    against the GRAND exact interpolated median, then Pearson chi2 on
+    the k x 2 above/not-above table — the nonparametric location test
+    that tolerates heavy tails where ANOVA assumes normality (pairs
+    with stats_kruskal_wallis the way Bartlett pairs with BF).  Exact
+    integer cell counts from one pass (the grand median broadcast
+    back); the k = 5 chi2 terms are a scalar fold rounded at 6 dp."""
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    med = ev.agg(F.expr("percentile(value, 0.5)").alias("m"))
+    c = ev.crossJoin(F.broadcast(med)).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("value") > F.col("m"), 1).otherwise(0))
+        .alias("above"),
+        F.first("m").alias("m"),
+    )
+    tot = c.agg(
+        F.sum("n").alias("nn"), F.sum("above").alias("ta"),
+        F.count(F.lit(1)).alias("k"), F.first("m").alias("m"),
+    )
+    j = c.select("event_type", "n", "above").crossJoin(F.broadcast(tot))
+    p = F.col("ta").cast("double") / F.col("nn")
+    ea = F.col("n") * p
+    eb = F.col("n") * (1 - p)
+    term = (
+        F.pow(F.col("above") - ea, 2) / ea
+        + F.pow((F.col("n") - F.col("above")) - eb, 2) / eb
+    )
+    return j.groupBy("k", "nn", "ta", "m").agg(
+        F.round(F.sum(term), 6).alias("chi2")
+    ).select(
+        F.col("k").cast("bigint").alias("k_groups"),
+        F.round(F.col("m"), 6).alias("grand_median"),
+        (F.col("k") - 1).cast("bigint").alias("df"),
+        F.col("chi2").alias("chi2_statistic"),
+    )
+
+
+_SPECTRAL_TWO_PI = 6.283185307179586
+_SPECTRAL_K = 8
+
+
+def _spectral_harmonics_sql() -> str:
+    return ", ".join(str(k) for k in range(1, _SPECTRAL_K + 1))
+
+
+_SPECTRAL_ORACLE = f"""
+WITH hourly AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS t, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+), terms AS (
+  SELECT event_type, k, cnt,
+         CAST(round(cnt * cos({_SPECTRAL_TWO_PI} * k * (t % 24) / 24.0), 6)
+              AS DECIMAL(18,6)) AS ct,
+         CAST(round(cnt * sin({_SPECTRAL_TWO_PI} * k * (t % 24) / 24.0), 6)
+              AS DECIMAL(18,6)) AS st
+  FROM hourly CROSS JOIN (SELECT unnest([{_spectral_harmonics_sql()}]) AS k)
+), bins AS (
+  SELECT event_type, k,
+         POWER(CAST(SUM(ct) AS DOUBLE), 2)
+           + POWER(CAST(SUM(st) AS DOUBLE), 2) AS power
+  FROM terms GROUP BY 1, 2
+), tot AS (
+  SELECT event_type, SUM(power) AS tp FROM bins GROUP BY 1
+)
+SELECT b.event_type,
+       CAST({_SPECTRAL_K} AS BIGINT) AS n_bins,
+       round(SUM(CASE WHEN b.power > 0
+                 THEN -(b.power / t.tp) * ln(b.power / t.tp) END)
+             / ln(CAST({_SPECTRAL_K} AS DOUBLE)), 6) AS spectral_entropy,
+       round(MAX(b.power / t.tp), 6) AS top_bin_share
+FROM bins b JOIN tot t USING (event_type)
+GROUP BY b.event_type
+"""
+
+
+@query("ts_spectral_entropy", oracle=_SPECTRAL_ORACLE)
+def q_ts_spectral_entropy(spark, sf_dir):
+    """Spectral entropy of each event type's hourly-count series over
+    the first 8 daily harmonics (Goertzel bins at k/24 cycles per hour
+    — no FFT): H = -SUM p_k ln p_k / ln K over normalized bin powers,
+    plus the top bin's share.  Near 1 for broadband (flat) traffic,
+    near 0 when one periodicity dominates — the multi-frequency
+    generalization of ts_periodogram_bin's single weekly bin.  The trig
+    arguments see only (k, t mod 24) — 8 x 24 distinct values — and the
+    weighted terms are rounded-to-6 DECIMAL sums, so every bin is
+    order-free and engine-identical; the k <= 8 entropy fold is
+    scalar."""
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    hourly = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 3600000000").alias("t"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    ks = F.explode(
+        F.sequence(F.lit(1), F.lit(_SPECTRAL_K))
+    ).alias("k")
+    arg = (
+        F.lit(_SPECTRAL_TWO_PI) * F.col("k") * (F.col("t") % 24) / 24.0
+    )
+    terms = hourly.select("event_type", "cnt", "t", ks).select(
+        "event_type", "k",
+        F.round(F.col("cnt") * F.cos(arg), 6).cast("decimal(18,6)").alias("ct"),
+        F.round(F.col("cnt") * F.sin(arg), 6).cast("decimal(18,6)").alias("st"),
+    )
+    bins = terms.groupBy("event_type", "k").agg(
+        (
+            F.pow(F.sum("ct").cast("double"), 2)
+            + F.pow(F.sum("st").cast("double"), 2)
+        ).alias("power")
+    )
+    tot = bins.groupBy("event_type").agg(F.sum("power").alias("tp"))
+    j = bins.join(tot, "event_type")
+    share = F.col("power") / F.col("tp")
+    return j.groupBy("event_type").agg(
+        F.lit(_SPECTRAL_K).cast("bigint").alias("n_bins"),
+        F.round(
+            F.sum(F.when(F.col("power") > 0, -share * F.log(share)))
+            / F.log(F.lit(float(_SPECTRAL_K))), 6
+        ).alias("spectral_entropy"),
+        F.round(F.max(share), 6).alias("top_bin_share"),
+    )

@@ -224,3 +224,67 @@ def test_breusch_pagan_matches_python_ground_truth(spark, duck):
     assert out["n"] == n and out["df"] == 1
     assert abs(out["slope"] - b) <= 1e-5
     assert abs(out["lm_statistic"] - lm) <= max(1e-3, abs(lm) * 1e-4)
+
+
+def test_mood_median_matches_python_ground_truth(spark, duck):
+    import __spark_entry__ as e
+
+    out = e.queries()["stats_mood_median"](spark, SF_DIR).first()
+    vals = [v for (v,) in duck.execute("SELECT value FROM events").fetchall()]
+    vals.sort()
+    n = len(vals)
+    # quantile_cont interpolated median
+    if n % 2:
+        m = vals[n // 2]
+    else:
+        m = (vals[n // 2 - 1] + vals[n // 2]) / 2
+    groups = duck.execute(f"""
+        SELECT event_type, count(*),
+               SUM(CASE WHEN value > {m!r} THEN 1 ELSE 0 END)
+        FROM events GROUP BY 1
+    """).fetchall()
+    nn = sum(g[1] for g in groups)
+    ta = sum(g[2] for g in groups)
+    p = ta / nn
+    chi2 = sum(
+        (a - gn * p) ** 2 / (gn * p)
+        + ((gn - a) - gn * (1 - p)) ** 2 / (gn * (1 - p))
+        for _, gn, a in groups
+    )
+    assert out["k_groups"] == len(groups)
+    assert abs(out["grand_median"] - m) <= 1e-6
+    assert out["df"] == len(groups) - 1
+    assert abs(out["chi2_statistic"] - chi2) <= 1e-4
+
+
+def test_spectral_entropy_matches_python_ground_truth(spark, duck):
+    import __spark_entry__ as e
+
+    rows = {
+        r["event_type"]: (r["spectral_entropy"], r["top_bin_share"])
+        for r in e.queries()["ts_spectral_entropy"](spark, SF_DIR).collect()
+    }
+    hourly = duck.execute("""
+        SELECT event_type, epoch_us(ts) // 3600000000, count(*)
+        FROM events GROUP BY 1, 2
+    """).fetchall()
+    from collections import defaultdict
+
+    series = defaultdict(list)
+    for et, t, cnt in hourly:
+        series[et].append((t, cnt))
+    two_pi = 6.283185307179586
+    for et, pts in series.items():
+        powers = []
+        for k in range(1, 9):
+            c = sum(round(cnt * math.cos(two_pi * k * (t % 24) / 24.0), 6)
+                    for t, cnt in pts)
+            s = sum(round(cnt * math.sin(two_pi * k * (t % 24) / 24.0), 6)
+                    for t, cnt in pts)
+            powers.append(c * c + s * s)
+        tp = sum(powers)
+        h = sum(-(p / tp) * math.log(p / tp) for p in powers if p > 0) / math.log(8)
+        assert abs(rows[et][0] - h) <= 1e-4, et
+        assert abs(rows[et][1] - max(powers) / tp) <= 1e-4, et
+    # both entropy bounds hold
+    assert all(0 <= v[0] <= 1 + 1e-9 for v in rows.values())

@@ -225,6 +225,9 @@ SECTIONS = [
     ("Forward as-of join (round 12)", [
         "join_asof_forward",
     ]),
+    ("Median test & spectral entropy (round 12)", [
+        "stats_mood_median", "ts_spectral_entropy",
+    ]),
     ("Sketches & sampling III (round 5)", [
         "sketch_kmv_intersect", "sketch_quantile_logbins", "sample_weighted_kmv",
     ]),
