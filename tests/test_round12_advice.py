@@ -130,3 +130,60 @@ def test_global_exclusive_running_max_empty_input(spark):
     out = global_exclusive_running_max(df, "k", "v", "m")
     assert out.count() == 0
     assert out.schema["m"].dataType.typeName() == "integer"
+
+
+def test_global_exclusive_running_max_fuzz_vs_window(spark):
+    """Property: for random value sequences (with NULLs and duplicates
+    in the order column disallowed — the documented unique-order
+    precondition) and random partition counts, the range-partitioned
+    exclusive prefix max equals the single-partition window spelling."""
+    import random
+
+    from pyspark.sql import Window
+    from pulsar_ingestion_spark.operators.ranking import (
+        global_exclusive_running_max,
+    )
+
+    for seed in (3, 17, 42):
+        rng = random.Random(seed)
+        n = rng.randint(1, 60)
+        keys = rng.sample(range(1000), n)
+        rows = [
+            (k, rng.choice([None, rng.randint(-50, 50)])) for k in keys
+        ]
+        df = spark.createDataFrame(rows, "k int, v int")
+        for nparts in (1, 3, 8):
+            got = {
+                r["k"]: r["m"]
+                for r in global_exclusive_running_max(
+                    df, "k", "v", "m", num_partitions=nparts
+                ).collect()
+            }
+            w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+            want = {
+                r["k"]: r["m"]
+                for r in df.withColumn("m", F.max("v").over(w)).collect()
+            }
+            assert got == want, (seed, nparts)
+
+
+def test_skyline_shuffle_path_fuzz_vs_brute(spark):
+    """The shuffle fallback must equal brute force on random wide-domain
+    fixtures across seeds, including duplicate prices/sizes."""
+    import random
+
+    from pulsar_ingestion_spark.queries_rank import skyline_2d
+
+    for seed in (5, 23):
+        rng = random.Random(seed)
+        rows = [
+            (i, round(rng.uniform(1.0, 300.0), 1), rng.randint(1, 12))
+            for i in range(150)
+        ]
+        part = spark.createDataFrame(
+            rows, "p_partkey bigint, p_retailprice double, p_size int"
+        )
+        shuffled = sorted(
+            tuple(r) for r in skyline_2d(part, max_broadcast_rows=0).collect()
+        )
+        assert shuffled == _brute_skyline(rows), seed
