@@ -841,3 +841,32 @@ def test_v25_constructs_expressed_in_grammar():
         ("aggwin", ("li",), None, ("scol", "l_returnflag"),
          ("cnt",), "row_number", "asc"))
     assert "row_number() OVER (ORDER BY v ASC NULLS FIRST, g ASC NULLS FIRST)" in rsql
+
+
+def test_having_exists_on_grouping_expression_error_asymmetry(spark, duck):
+    """v26 probe (NOT wired into the grammar): HAVING EXISTS correlated
+    on a grouping expression errors on BOTH engines, but with different
+    error CLASSES — DuckDB raises a clean binder error ("must appear in
+    the GROUP BY clause") while Spark 4 fails with an INTERNAL analyzer
+    error (MISSING_ATTRIBUTES, SQLSTATE XX000: the outer reference is
+    rewritten to the group-key alias yet the EXISTS filter retains the
+    pre-aggregation attribute).  Pinned so an engine upgrade that
+    starts ACCEPTING the form (making it value-comparable) or changes
+    the error class is surfaced."""
+    import duckdb as _duckdb
+    from pyspark.errors import AnalysisException
+
+    q = """
+    SELECT (CAST(l_orderkey AS BIGINT) % 5) AS g,
+           CAST(count(*) AS BIGINT) AS c0
+    FROM lineitem GROUP BY 1
+    HAVING EXISTS (SELECT 1 FROM orders
+                   WHERE (CAST(o_orderkey AS BIGINT) % 5)
+                       = (CAST(l_orderkey AS BIGINT) % 5))
+    """
+    with pytest.raises(_duckdb.BinderException, match="GROUP BY"):
+        duck.execute(q).fetchall()
+    for t in ("lineitem", "orders"):
+        spark.read.parquet(f"{SF_DIR}/{t}.parquet").createOrReplaceTempView(t)
+    with pytest.raises(AnalysisException, match="MISSING_ATTRIBUTES"):
+        spark.sql(q).collect()

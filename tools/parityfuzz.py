@@ -253,6 +253,22 @@ Grammar v25 additions (round 12):
   v's direction pins ASC NULLS FIRST / DESC NULLS LAST per v9 and the
   DuckDB running sum casts its HUGEINT back to BIGINT.
 
+Grammar v26 additions (round 12, second pass):
+
+* three-way join sources "ijc"/"ljc" (lineitem ⋈ orders ⋈ customer on
+  the o_custkey hop): join REORDERING gets real freedom, and the left
+  form makes customer columns nullable through TWO hops.
+* "latlim" — correlated LATERAL subquery with ORDER BY + LIMIT k: the
+  lateral top-k physical path (DuckDB unnests to a window; Spark plans
+  a decorrelated rank filter).  Deterministic because the projected
+  value IS the order column (ASC NULLS FIRST pinned).
+* PROBED, NOT WIRED: HAVING EXISTS correlated on a grouping expression
+  errors on BOTH engines — DuckDB with a clean binder error, Spark 4
+  with an INTERNAL analyzer error (MISSING_ATTRIBUTES, SQLSTATE XX000
+  — the outer reference is rewritten to the group key alias but the
+  EXISTS filter keeps the pre-aggregation attribute).  Pinned in
+  test_parity_fuzz.py as an error-class asymmetry.
+
 Grammar v23 additions (round 11, fifth pass cont.):
 
 * "topk" plan shape — ORDER BY (expr, unique-key) LIMIT n: the sort /
@@ -477,6 +493,9 @@ ORD_STR = ["o_orderstatus", "o_orderpriority"]
 
 LI_TS = ["l_shipdate"]
 ORD_TS = ["o_orderdate"]
+CU_INT = ["c_custkey", "c_nationkey"]
+CU_DBL = ["c_acctbal"]
+CU_STR = ["c_name", "c_mktsegment"]
 EV_INT = ["event_id", "user_id"]
 EV_DBL = ["value"]
 EV_STR = ["event_type"]
@@ -503,6 +522,19 @@ _BOTH_NS = {
     "json": [],
     "uk": _LI_UK, "uk_unique": False,
 }
+# v26 three-way join namespace (lineitem ⋈ orders ⋈ customer): the
+# customer attributes ride two join hops, so join REORDERING and (in
+# the left form) two layers of nullability are probed; uk stays the
+# non-unique lineitem key (affine arg values per FINDING #10).
+_TRI_NS = {
+    "ints": LI_INT + ORD_INT + CU_INT,
+    "strs": LI_STR + ORD_STR + CU_STR,
+    "dbls": LI_DBL + ORD_DBL + CU_DBL,
+    "tss": LI_TS + ORD_TS,
+    "json": [],
+    "uk": _LI_UK, "uk_unique": False,
+}
+
 # events: timestamps, a continuous double, and a JSON props column —
 # ("jint", col, key) probes JSON-path extraction parity
 # (get_json_object <-> json_extract_string, both return the raw string;
@@ -991,7 +1023,8 @@ def win_funcs(ns=_LI_NS):
     )
 
 
-_SOURCES = [("li",), ("ij",), ("lj",), ("semi",), ("anti",), ("ev",), ("doc",)]
+_SOURCES = [("li",), ("ij",), ("lj",), ("semi",), ("anti",), ("ev",), ("doc",),
+            ("ijc",), ("ljc",)]
 
 # integer-valued aggregate ops: safe HAVING comparands (bigint both
 # sides; a NULL comparand — empty FILTER group — drops the row on both)
@@ -1044,6 +1077,7 @@ def plans(draw):
     src = draw(st.sampled_from(_SOURCES))
     ns = (
         _BOTH_NS if src[0] in ("ij", "lj")
+        else _TRI_NS if src[0] in ("ijc", "ljc")
         else _EV_NS if src[0] == "ev"
         else _DOC_NS if src[0] == "doc"
         else _LI_NS
@@ -1051,7 +1085,7 @@ def plans(draw):
     where = draw(st.none() | preds(2, ns))
     shapes = ["proj", "agg", "win", "aggroll", "csub", "winq",
               "lat", "csub2", "unpivot", "winnamed", "casex", "topk",
-              "insub", "gsub", "exneq", "aggwin"]
+              "insub", "gsub", "exneq", "aggwin", "latlim"]
     if src[0] == "li":
         shapes.append("aggall")
     if src[0] in _PIVOT_COLS:
@@ -1107,6 +1141,14 @@ def plans(draw):
         return ("exneq", draw(st.booleans()),
                 draw(st.integers(min_value=0, max_value=8)),
                 draw(st.integers(min_value=0, max_value=8)),
+                draw(st.none()
+                     | st.tuples(st.integers(min_value=2, max_value=5),
+                                 st.integers(min_value=0, max_value=4))),
+                draw(st.none() | preds(1, _CSUB_NS)))
+    if shape == "latlim":
+        # v26: LATERAL with ORDER BY + LIMIT — deterministic because the
+        # projected value IS the order column (ties carry equal values)
+        return ("latlim", draw(st.integers(min_value=1, max_value=3)),
                 draw(st.none()
                      | st.tuples(st.integers(min_value=2, max_value=5),
                                  st.integers(min_value=0, max_value=4))),
@@ -1691,6 +1733,14 @@ def _sp_source(src, spark, sf_dir: str):
         return li
     ords = spark.read.parquet(f"{sf_dir}/orders.parquet")
     cond = li["l_orderkey"] == ords["o_orderkey"]
+    if src[0] in ("ijc", "ljc"):
+        # v26: three-way — customer hangs off orders; in the left form
+        # BOTH the orders and customer columns are nullable downstream
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        how = "inner" if src[0] == "ijc" else "left"
+        return li.join(ords, cond, how).join(
+            cust, ords["o_custkey"] == cust["c_custkey"], how
+        )
     how = {"ij": "inner", "lj": "left", "semi": "left_semi", "anti": "left_anti"}[src[0]]
     return li.join(ords, cond, how)
 
@@ -1700,7 +1750,7 @@ def compile_spark(plan, spark, sf_dir: str):
     from pyspark.sql import functions as F
 
     if plan[0] in ("csub", "csub2", "lat", "winnamed", "casex", "aggall",
-                   "insub", "gsub", "exneq"):
+                   "insub", "gsub", "exneq", "latlim"):
         # correlated / nested scalar subqueries + LATERAL + named
         # WINDOW clauses + EXISTS-in-CASE + GROUP BY ALL: SAME SQL text
         # on both engines (views registered per call — lazy, no scan
@@ -2296,6 +2346,12 @@ def _dk_source(src) -> tuple[str, str | None]:
         return "lineitem JOIN orders ON l_orderkey = o_orderkey", None
     if kind == "lj":
         return "lineitem LEFT JOIN orders ON l_orderkey = o_orderkey", None
+    if kind == "ijc":
+        return ("lineitem JOIN orders ON l_orderkey = o_orderkey "
+                "JOIN customer ON o_custkey = c_custkey"), None
+    if kind == "ljc":
+        return ("lineitem LEFT JOIN orders ON l_orderkey = o_orderkey "
+                "LEFT JOIN customer ON o_custkey = c_custkey"), None
     exists = "EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)"
     return "lineitem", exists if kind == "semi" else f"NOT {exists}"
 
@@ -2355,6 +2411,24 @@ def compile_sql(plan) -> str:
             f"SELECT (CAST(l_orderkey AS BIGINT) % {m}) AS g, "
             "CAST(count(*) AS BIGINT) AS c0, "
             f"{sub} AS s0 FROM lineitem{w} GROUP BY 1, 3"
+        )
+
+    if plan[0] == "latlim":
+        # v26: correlated LATERAL + ORDER BY/LIMIT — the projected c2
+        # is the order column, so the emitted multiset is deterministic
+        _, k, inner_mod, where = plan
+        conj = "o.o_orderkey = l.l_orderkey"
+        if inner_mod is not None:
+            m, r = inner_mod
+            conj += f" AND (CAST(o.o_custkey AS BIGINT) % {m}) = {r}"
+        w = f" WHERE {_dk_pred(where)}" if where is not None else ""
+        return (
+            "SELECT CAST(l.l_orderkey AS BIGINT) AS c0, "
+            "CAST(l.l_linenumber AS BIGINT) AS c1, t.c2 "
+            "FROM lineitem l, LATERAL ("
+            "SELECT CAST(o.o_custkey AS BIGINT) AS c2 FROM orders o "
+            f"WHERE {conj} "
+            f"ORDER BY o.o_custkey ASC NULLS FIRST LIMIT {k}) t{w}"
         )
 
     if plan[0] == "exneq":
@@ -2819,7 +2893,7 @@ def _isnan(arr):
 
 
 def register_views(con, sf_dir: str) -> None:
-    for t in ("lineitem", "orders", "events", "documents"):
+    for t in ("lineitem", "orders", "customer", "events", "documents"):
         con.execute(
             f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
