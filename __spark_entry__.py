@@ -275,6 +275,7 @@ _ROUND12_PREFIX: list[str] = [
     "join_asof_forward",
     "stats_mood_median",
     "ts_spectral_entropy",
+    "ts_pacf_durbin",
     # round-11 last-day additions — first driver rows this round
     # (VERDICT r11 item 1)
     "stats_page_trend",
@@ -319,7 +320,7 @@ _ROUND12_PREFIX: list[str] = [
     "text_js_divergence",
     "text_line_dedup",
     "text_tfidf_topk",
-    "text_vocab_coverage",
+    # text_vocab_coverage — displaced by ts_pacf_durbin —
     # text_winnowing — displaced by ts_spectral_entropy —
     # tpch_market_share — displaced by stats_mood_median —
     # tpch_order_priority — displaced by join_asof_forward —

@@ -5514,3 +5514,138 @@ def q_ts_spectral_entropy(spark, sf_dir):
         ).alias("spectral_entropy"),
         F.round(F.max(share), 6).alias("top_bin_share"),
     )
+
+
+_PACF_LAGS = 3
+
+_PACF_ORACLE = f"""
+WITH b AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hr FROM events
+), counts AS (
+  SELECT event_type, hr, count(*) AS cnt FROM b GROUP BY event_type, hr
+), spans AS (
+  SELECT event_type, min(hr) AS lo, max(hr) AS hi FROM counts GROUP BY event_type
+), grid AS (
+  SELECT event_type, unnest(range(lo, hi + 1)) AS hr FROM spans
+), g AS (
+  SELECT gr.event_type, gr.hr, coalesce(c.cnt, 0) AS cnt
+  FROM grid gr LEFT JOIN counts c
+    ON gr.event_type = c.event_type AND gr.hr = c.hr
+), m AS (
+  SELECT event_type, CAST(SUM(cnt) AS DOUBLE) / count(*) AS ybar,
+         CAST(count(*) AS BIGINT) AS n
+  FROM g GROUP BY event_type
+), lagged AS (
+  SELECT g.event_type, n, cnt - ybar AS dev,
+         {", ".join(f"lag(cnt, {k}) OVER (PARTITION BY g.event_type ORDER BY hr) - ybar AS dev{k}" for k in range(1, _PACF_LAGS + 1))}
+  FROM g JOIN m ON g.event_type = m.event_type
+), terms AS (
+  SELECT event_type, n,
+         CAST(round(dev * dev, 6) AS DECIMAL(38,6)) AS s0,
+         {", ".join(f"CAST(round(dev * dev{k}, 6) AS DECIMAL(38,6)) AS t{k}" for k in range(1, _PACF_LAGS + 1))}
+  FROM lagged
+), agg AS (
+  SELECT event_type, max(n) AS n, CAST(SUM(s0) AS DOUBLE) AS s0,
+         {", ".join(f"CAST(SUM(t{k}) AS DOUBLE) AS sd{k}" for k in range(1, _PACF_LAGS + 1))}
+  FROM terms GROUP BY event_type
+), rho AS (
+  SELECT event_type, n,
+         {", ".join(f"sd{k} / NULLIF(s0, 0) AS r{k}" for k in range(1, _PACF_LAGS + 1))}
+  FROM agg
+), dl AS (
+  SELECT event_type, n, r1, r2, r3,
+         (r2 - r1 * r1) / (1 - r1 * r1) AS p22
+  FROM rho
+), dl2 AS (
+  SELECT event_type, n, r1, r2, r3, p22,
+         r1 * (1 - p22) AS p21
+  FROM dl
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_hours,
+       round(r1, 6) AS pacf1,
+       round(p22, 6) AS pacf2,
+       round((r3 - p21 * r2 - p22 * r1)
+             / (1 - p21 * r1 - p22 * r2), 6) AS pacf3
+FROM dl2
+"""
+
+
+@query("ts_pacf_durbin", oracle=_PACF_ORACLE)
+def q_ts_pacf_durbin(spark, sf_dir):
+    """Partial autocorrelations at lags 1-3 via the Durbin-Levinson
+    closed forms (phi11 = r1; phi22 = (r2 - r1^2)/(1 - r1^2); phi33
+    from the level-2 coefficients) over the dense zero-filled hourly
+    count series per event type — the AR-order identification companion
+    of ts_ljung_box (which tests whether ANY rho is nonzero; PACF says
+    WHICH AR lag).  Reuses the exact ACF machinery: 6 dp-rounded
+    deviation-product DECIMAL sums (order-free), one IEEE division per
+    rho, then pure scalar recursion on the aggregate row — identical
+    doubles on both engines, 6 dp output rounds."""
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    b = ev.select(
+        "event_type", F.expr("unix_micros(ts) div 3600000000").alias("hr")
+    )
+    counts = b.groupBy("event_type", "hr").agg(F.count(F.lit(1)).alias("cnt"))
+    spans = counts.groupBy("event_type").agg(
+        F.min("hr").alias("lo"), F.max("hr").alias("hi")
+    )
+    grid = spans.select(
+        "event_type",
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("hr"),
+    )
+    g = grid.join(counts, ["event_type", "hr"], "left").select(
+        "event_type", "hr", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
+    )
+    m = g.groupBy("event_type").agg(
+        (F.sum("cnt").cast("double") / F.count(F.lit(1))).alias("ybar"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    w = Window.partitionBy("event_type").orderBy("hr")
+    j = g.join(F.broadcast(m), "event_type")
+    dev = F.col("cnt") - F.col("ybar")
+    lagged = j.select(
+        "event_type", "n", dev.alias("dev"),
+        *[
+            (F.lag("cnt", k).over(w) - F.col("ybar")).alias(f"dev{k}")
+            for k in range(1, _PACF_LAGS + 1)
+        ],
+    )
+    terms = lagged.select(
+        "event_type", "n",
+        F.round(F.col("dev") * F.col("dev"), 6).cast("decimal(38,6)").alias("s0"),
+        *[
+            F.round(F.col("dev") * F.col(f"dev{k}"), 6)
+            .cast("decimal(38,6)")
+            .alias(f"t{k}")
+            for k in range(1, _PACF_LAGS + 1)
+        ],
+    )
+    agg = terms.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.sum("s0").cast("double").alias("s0"),
+        *[F.sum(f"t{k}").cast("double").alias(f"sd{k}")
+          for k in range(1, _PACF_LAGS + 1)],
+    )
+    s0 = F.nullif(F.col("s0"), F.lit(0))
+    rho = agg.select(
+        "event_type", "n",
+        *[(F.col(f"sd{k}") / s0).alias(f"r{k}")
+          for k in range(1, _PACF_LAGS + 1)],
+    )
+    r1, r2, r3 = F.col("r1"), F.col("r2"), F.col("r3")
+    p22 = (r2 - r1 * r1) / (1 - r1 * r1)
+    dl = rho.select("event_type", "n", "r1", "r2", "r3", p22.alias("p22"))
+    p21 = r1 * (1 - F.col("p22"))
+    dl2 = dl.select(
+        "event_type", "n", "r1", "r2", "r3", "p22", p21.alias("p21")
+    )
+    return dl2.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_hours"),
+        F.round(r1, 6).alias("pacf1"),
+        F.round(F.col("p22"), 6).alias("pacf2"),
+        F.round(
+            (r3 - F.col("p21") * r2 - F.col("p22") * r1)
+            / (1 - F.col("p21") * r1 - F.col("p22") * r2), 6
+        ).alias("pacf3"),
+    )

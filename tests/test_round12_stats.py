@@ -288,3 +288,48 @@ def test_spectral_entropy_matches_python_ground_truth(spark, duck):
         assert abs(rows[et][1] - max(powers) / tp) <= 1e-4, et
     # both entropy bounds hold
     assert all(0 <= v[0] <= 1 + 1e-9 for v in rows.values())
+
+
+def test_pacf_durbin_matches_python_ground_truth(spark, duck):
+    """Recompute lag-1..3 PACF via a full Durbin-Levinson recursion in
+    pure Python over the dense hourly series and compare (the query
+    uses the closed forms; the recursion is the independent spelling)."""
+    import __spark_entry__ as e
+    from collections import defaultdict
+
+    rows = {
+        r["event_type"]: (r["pacf1"], r["pacf2"], r["pacf3"])
+        for r in e.queries()["ts_pacf_durbin"](spark, SF_DIR).collect()
+    }
+    hourly = duck.execute("""
+        SELECT event_type, epoch_us(ts) // 3600000000, count(*)
+        FROM events GROUP BY 1, 2
+    """).fetchall()
+    series = defaultdict(dict)
+    for et, hr, cnt in hourly:
+        series[et][hr] = cnt
+    for et, pts in series.items():
+        lo, hi = min(pts), max(pts)
+        y = [pts.get(h, 0) for h in range(lo, hi + 1)]
+        n = len(y)
+        ybar = sum(y) / n
+        dev = [v - ybar for v in y]
+        s0 = sum(round(d * d, 6) for d in dev)
+        r = [1.0]
+        for k in (1, 2, 3):
+            num = sum(round(dev[i] * dev[i - k], 6) for i in range(k, n))
+            r.append(num / s0)
+        # Durbin-Levinson recursion
+        phi = {1: {1: r[1]}}
+        v = 1 - r[1] * r[1]
+        for k in (2, 3):
+            num = r[k] - sum(phi[k - 1][j] * r[k - j] for j in range(1, k))
+            pkk = num / (1 - sum(phi[k - 1][j] * r[j] for j in range(1, k)))
+            phi[k] = {k: pkk}
+            for j in range(1, k):
+                phi[k][j] = phi[k - 1][j] - pkk * phi[k - 1][k - j]
+        want = (r[1], phi[2][2], phi[3][3])
+        for got, exp in zip(rows[et], want):
+            assert abs(got - exp) <= 1e-4, (et, got, exp)
+    # lag-1 PACF must equal lag-1 ACF by definition
+    assert all(abs(v[0]) <= 1 + 1e-9 for v in rows.values())

@@ -228,6 +228,9 @@ SECTIONS = [
     ("Median test & spectral entropy (round 12)", [
         "stats_mood_median", "ts_spectral_entropy",
     ]),
+    ("Partial autocorrelations (round 12)", [
+        "ts_pacf_durbin",
+    ]),
     ("Sketches & sampling III (round 5)", [
         "sketch_kmv_intersect", "sketch_quantile_logbins", "sample_weighted_kmv",
     ]),
