@@ -276,6 +276,7 @@ _ROUND12_PREFIX: list[str] = [
     "stats_mood_median",
     "ts_spectral_entropy",
     "ts_pacf_durbin",
+    "corpus_temperature_mix",
     # round-11 last-day additions — first driver rows this round
     # (VERDICT r11 item 1)
     "stats_page_trend",
@@ -319,7 +320,7 @@ _ROUND12_PREFIX: list[str] = [
     "text_inverted_index",
     "text_js_divergence",
     "text_line_dedup",
-    "text_tfidf_topk",
+    # text_tfidf_topk — displaced by corpus_temperature_mix —
     # text_vocab_coverage — displaced by ts_pacf_durbin —
     # text_winnowing — displaced by ts_spectral_entropy —
     # tpch_market_share — displaced by stats_mood_median —

@@ -883,3 +883,58 @@ def q_corpus_quality_filter_funnel(spark, sf_dir):
         stage(fl, fd, fa, fb).alias("after_bullets"),
         stage(fl, fd, fa, fb, fdl).alias("after_dup_line"),
     )
+
+
+_TEMP_MIX_ORACLE = r"""
+WITH t AS (
+  SELECT source,
+         SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS tokens
+  FROM documents GROUP BY source
+), s AS (
+  SELECT SUM(tokens) AS total,
+         CAST(SUM(CAST(round(sqrt(CAST(tokens AS DOUBLE)), 6)
+                       AS DECIMAL(38,6))) AS DOUBLE) AS sroot
+  FROM t
+)
+SELECT t.source,
+       CAST(t.tokens AS BIGINT) AS tokens,
+       round(CAST(t.tokens AS DOUBLE) / s.total, 6) AS natural_share,
+       round(round(sqrt(CAST(t.tokens AS DOUBLE)), 6) / s.sroot, 6)
+         AS temp_share,
+       round(round(sqrt(CAST(t.tokens AS DOUBLE)), 6) / s.sroot
+             * 2.0 * s.total / t.tokens, 6) AS effective_epochs
+FROM t CROSS JOIN s
+"""
+
+
+@query("corpus_temperature_mix", oracle=_TEMP_MIX_ORACLE)
+def q_corpus_temperature_mix(spark, sf_dir):
+    """Temperature-scaled mixture plan (alpha = 0.5, the multilingual
+    upsampling rule p_i ~ n_i^alpha): per source, the whitespace token
+    mass, its natural share, its temperature share sqrt(n)/SUM sqrt(n),
+    and the effective epochs each source runs under a 2x-total-token
+    budget (epochs > 1 = upsampled low-resource source, < 1 =
+    downsampled head) — the mixture-weights planning step
+    corpus_mix_domains executes.  One data-scale token-count aggregate;
+    sqrt is IEEE-correctly-rounded (engine-identical), and the
+    20-source root sum is a 6 dp-rounded DECIMAL fold (order-free)."""
+    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    t = docs.groupBy("source").agg(
+        F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+"))).alias("tokens")
+    )
+    root = F.round(F.sqrt(F.col("tokens").cast("double")), 6)
+    s = t.agg(
+        F.sum("tokens").alias("total"),
+        F.sum(root.cast("decimal(38,6)")).cast("double").alias("sroot"),
+    )
+    j = t.crossJoin(F.broadcast(s))
+    return j.select(
+        "source",
+        F.col("tokens").cast("bigint").alias("tokens"),
+        F.round(F.col("tokens").cast("double") / F.col("total"), 6)
+        .alias("natural_share"),
+        F.round(root / F.col("sroot"), 6).alias("temp_share"),
+        F.round(
+            root / F.col("sroot") * 2.0 * F.col("total") / F.col("tokens"), 6
+        ).alias("effective_epochs"),
+    )

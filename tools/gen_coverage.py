@@ -231,6 +231,9 @@ SECTIONS = [
     ("Partial autocorrelations (round 12)", [
         "ts_pacf_durbin",
     ]),
+    ("Temperature-scaled mixture planning (round 12)", [
+        "corpus_temperature_mix",
+    ]),
     ("Sketches & sampling III (round 5)", [
         "sketch_kmv_intersect", "sketch_quantile_logbins", "sample_weighted_kmv",
     ]),
