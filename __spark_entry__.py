@@ -277,6 +277,7 @@ _ROUND12_PREFIX: list[str] = [
     "ts_spectral_entropy",
     "ts_pacf_durbin",
     "corpus_temperature_mix",
+    "graph_ktruss",
     # round-11 last-day additions — first driver rows this round
     # (VERDICT r11 item 1)
     "stats_page_trend",
@@ -318,7 +319,7 @@ _ROUND12_PREFIX: list[str] = [
     "telemetry_trip_summary",
     "text_bpe_corpus_prep",
     "text_inverted_index",
-    "text_js_divergence",
+    # text_js_divergence — displaced by graph_ktruss —
     "text_line_dedup",
     # text_tfidf_topk — displaced by corpus_temperature_mix —
     # text_vocab_coverage — displaced by ts_pacf_durbin —

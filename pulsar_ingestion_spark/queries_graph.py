@@ -1340,3 +1340,168 @@ def q_graph_hits(spark, sf_dir):
             ).alias("hub"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 12: k-truss decomposition — the triangle-cohesion ladder
+# (Cohen 2008).  An edge survives the k-truss iff it participates in at
+# least k-2 triangles among surviving edges; the fixpoint is unique
+# regardless of peel order (same property that makes k-core
+# oracle-checkable).  The 4-truss peel starts from the 3-truss
+# (k-trusses nest), mirroring the k-core incremental-peel identity.
+
+
+def _ktruss_peel_cte(name: str, src: str, k: int) -> str:
+    """One recursive truss-peel CTE (the _kcore_peel_cte pattern: the
+    recursive self-reference is aliased ONCE into ``cur``, then per-edge
+    SUPPORT is recomputed by the ordered wedge-close triangle join and
+    edges below k-2 drop; recursion continues only while the edge set
+    strictly shrank, heartbeat row for the empty-truss case)."""
+    return f"""{name} AS (
+    SELECT 0 AS iter, u, v FROM {src}
+  UNION ALL
+    (
+    WITH cur AS (SELECT * FROM {name}),
+    e AS (SELECT u, v FROM cur WHERE u IS NOT NULL),
+    tri AS (
+      SELECT e1.u AS x, e1.v AS y, e2.v AS z
+      FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+      JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+    ),
+    sup AS (
+      SELECT u, v, count(*) AS s FROM (
+        SELECT x AS u, y AS v FROM tri
+        UNION ALL SELECT x AS u, z AS v FROM tri
+        UNION ALL SELECT y AS u, z AS v FROM tri
+      ) r GROUP BY u, v
+    ),
+    kept AS (
+      SELECT e.u, e.v FROM e
+      LEFT JOIN sup ON sup.u = e.u AND sup.v = e.v
+      WHERE coalesce(sup.s, 0) >= {k - 2}
+    ),
+    sizes AS (SELECT (SELECT count(*) FROM e) AS ne,
+                     (SELECT count(*) FROM kept) AS nk)
+    SELECT (SELECT max(iter) FROM cur) + 1 AS iter, kk.u, kk.v
+    FROM (SELECT u, v FROM kept
+          UNION ALL SELECT CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)) kk
+    CROSS JOIN sizes WHERE sizes.nk < sizes.ne
+    )
+),
+truss{k} AS (
+  SELECT u, v FROM {name}
+  WHERE iter = (SELECT max(iter) FROM {name}) AND u IS NOT NULL
+)"""
+
+
+def _ktruss_summary_sql(k: int) -> str:
+    return f"""
+  SELECT {k} AS k,
+         (SELECT count(DISTINCT node) FROM (
+            SELECT u AS node FROM truss{k} UNION ALL SELECT v FROM truss{k}
+          ) t) AS n_nodes,
+         (SELECT count(*) FROM truss{k}) AS n_edges"""
+
+
+_KTRUSS_ORACLE = f"""
+WITH RECURSIVE {_COOC_EDGES_SQL},
+{_ktruss_peel_cte("tpeel3", "edges", 3)},
+{_ktruss_peel_cte("tpeel4", "truss3", 4)}
+SELECT k, n_nodes, n_edges FROM (
+{_ktruss_summary_sql(3)}
+  UNION ALL
+{_ktruss_summary_sql(4)}
+) ORDER BY k
+"""
+
+
+def _edge_support(e):
+    """Per-edge triangle support over an (u < v) edge set: ordered
+    wedge-close enumeration (each triangle x<y<z found exactly once),
+    then the three edge roles counted — all equi-joins keyed on
+    node/edge keys, never all-pairs."""
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(
+            e2,
+            (F.col("e1.u") == F.col("e2.u")) & (F.col("e1.v") < F.col("e2.v")),
+        )
+        .select(
+            F.col("e1.u").alias("x"),
+            F.col("e1.v").alias("y"),
+            F.col("e2.v").alias("z"),
+        )
+        .join(
+            e3,
+            (F.col("y") == F.col("e3.u")) & (F.col("z") == F.col("e3.v")),
+            "left_semi",
+        )
+    )
+    roles = (
+        tri.select(F.col("x").alias("u"), F.col("y").alias("v"))
+        .unionAll(tri.select(F.col("x").alias("u"), F.col("z").alias("v")))
+        .unionAll(tri.select(F.col("y").alias("u"), F.col("z").alias("v")))
+    )
+    return roles.groupBy("u", "v").agg(F.count(F.lit(1)).alias("s"))
+
+
+def _peel_to_ktruss(edges, k: int):
+    """Distributed k-truss peel: drop edges with support < k-2 until the
+    edge count stops changing.  Each round is one ordered triangle
+    enumeration (edge-keyed hash joins) + one left join; the input
+    strictly shrinks, lineage is cut per round (the k-core
+    discipline), and only a metadata-sized count crosses to the
+    driver."""
+    cur = edges.select("u", "v").localCheckpoint(eager=True)
+    n_cur = cur.count()
+    while n_cur > 0:
+        sup = _edge_support(cur)
+        nxt = (
+            cur.join(sup, ["u", "v"], "left")
+            .filter(F.coalesce(F.col("s"), F.lit(0)) >= k - 2)
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        n_nxt = nxt.count()
+        if n_nxt == n_cur:
+            break
+        cur, n_cur = nxt, n_nxt
+    return cur
+
+
+@query("graph_ktruss", oracle=_KTRUSS_ORACLE)
+def q_graph_ktruss(spark, sf_dir):
+    """k-truss decomposition of the user co-occurrence graph: sizes of
+    the 3- and 4-trusses (every surviving edge sits in >= k-2 surviving
+    triangles — a strictly stronger cohesion requirement than the
+    k-core's degree bound, and the standard community-core detector).
+    The 4-truss peels from the 3-truss (trusses nest).  Per round the
+    distributed side is the ordered wedge-close triangle join (hub-
+    capped co-occurrence edges, so no cell goes quadratic) and the
+    fixpoint is peel-order-free — the oracle replays the same peel as a
+    WITH RECURSIVE ladder."""
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    edges = _cooc_edges(ev).persist()
+    t3 = _peel_to_ktruss(edges, 3)
+    t4 = _peel_to_ktruss(t3, 4)
+    rows = []
+    for k, t in ((3, t3), (4, t4)):
+        nodes = t.select(F.col("u").alias("node")).unionAll(
+            t.select(F.col("v").alias("node"))
+        )
+        rows.append(
+            t.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+            .crossJoin(
+                nodes.agg(
+                    F.count_distinct(F.col("node")).cast("bigint")
+                    .alias("n_nodes")
+                )
+            )
+            .select(
+                F.lit(k).cast("bigint").alias("k"), "n_nodes", "n_edges"
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

@@ -234,6 +234,9 @@ SECTIONS = [
     ("Temperature-scaled mixture planning (round 12)", [
         "corpus_temperature_mix",
     ]),
+    ("k-truss decomposition (round 12)", [
+        "graph_ktruss",
+    ]),
     ("Sketches & sampling III (round 5)", [
         "sketch_kmv_intersect", "sketch_quantile_logbins", "sample_weighted_kmv",
     ]),
