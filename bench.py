@@ -148,30 +148,33 @@ def main() -> None:
     # engine, not first-touch costs.
     queries["scan_project"](spark, sf_dir).count()
 
-    # Build each plan once (plan construction is one-time in a deployed
-    # streaming/batch job).  Execute FOUR times: the first run is a
-    # discarded warm-up (it pays JIT/codegen compile — seconds for the
-    # large fold expressions); the next three are measured, reporting the
-    # min plus the sample variance of the measured runs so a round-over-
-    # round regression can be told from host jitter (VERDICT r2 item 6).
+    # Each measured run times BUILD + EXECUTE of a fresh plan (round-12
+    # methodology fix): the old build-once/re-count policy let queries
+    # with EAGER build-time work — the iterative peels (k-core, k-truss,
+    # BFS, DBSCAN, link prediction) materialize their loops via
+    # localCheckpoint during plan CONSTRUCTION — report only the cheap
+    # post-materialization count (measured: graph_kcore 13.8 s honest vs
+    # 0.9 s count-only at sf0.1).  A fresh build per run also matches
+    # the DuckDB oracle methodology (min-of-3 FULL runs), so the
+    # Spark/DuckDB ratio compares like with like.  The first run is a
+    # discarded warm-up (JIT/codegen compile); the next N are measured,
+    # reporting min + sample variance (VERDICT r2 item 6).
     # SPARK_GRAFT_BENCH_REPEATS raises the measured-run count for a
     # canonical variance refresh (VERDICT r11 item 2: >=5 repeats when
     # re-baselining); the default 3 keeps the per-round driver run fast.
     measured = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
-    dfs = {name: queries[name](spark, sf_dir) for name in HEADLINE}
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for it in range(measured + 1):
         for name in HEADLINE:
             t0 = time.perf_counter()
-            dfs[name].count()
+            queries[name](spark, sf_dir).count()
             dt = round(time.perf_counter() - t0, 4)
             if it > 0:  # run 0 = warm-up, excluded
                 samples[name].append(dt)
+            # per-query persists (ranking/dedup machinery, checkpointed
+            # peel loops) must not carry between runs or queries
+            spark.catalog.clearCache()
     timings = {name: min(s) for name, s in samples.items()}
-    # Release any persist()ed intermediates (ranking-based queries) before
-    # the pipeline-e2e phase — 47 plans' cached blocks otherwise linger for
-    # the rest of the session (ADVICE r4).
-    spark.catalog.clearCache()
     import statistics
 
     variances = {

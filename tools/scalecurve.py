@@ -281,16 +281,21 @@ def measure_floor(spark, sf_dir: str, runs: int = 3) -> float:
 
 
 def time_queries(spark, registry, sf_dir: str, runs: int, names=None) -> dict[str, float]:
+    # Round-12 methodology fix (mirrors bench.py): each run times
+    # BUILD + EXECUTE of a fresh plan, because iterative queries do
+    # their loop work EAGERLY at plan construction (localCheckpoint) —
+    # the old build-once form timed only the post-materialization count
+    # and made peel-loop scale curves meaningless.
     timings = {}
     for name in names or QUERIES:
-        df = registry[name](spark, sf_dir)
-        df.count()  # warm-up (codegen compile, footer reads)
+        registry[name](spark, sf_dir).count()  # warm-up (codegen, footers)
+        spark.catalog.clearCache()
         samples = []
         for _ in range(runs):
             t0 = time.perf_counter()
-            df.count()
+            registry[name](spark, sf_dir).count()
             samples.append(time.perf_counter() - t0)
-        spark.catalog.clearCache()
+            spark.catalog.clearCache()
         timings[name] = round(min(samples), 4)
     return timings
 
