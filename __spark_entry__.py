@@ -278,6 +278,7 @@ _ROUND12_PREFIX: list[str] = [
     "ts_pacf_durbin",
     "corpus_temperature_mix",
     "graph_ktruss",
+    "stats_tost_equivalence",
     # round-11 last-day additions — first driver rows this round
     # (VERDICT r11 item 1)
     "stats_page_trend",
@@ -318,7 +319,7 @@ _ROUND12_PREFIX: list[str] = [
     "sketch_countmin",
     "telemetry_trip_summary",
     "text_bpe_corpus_prep",
-    "text_inverted_index",
+    # text_inverted_index — displaced by stats_tost_equivalence —
     # text_js_divergence — displaced by graph_ktruss —
     "text_line_dedup",
     # text_tfidf_topk — displaced by corpus_temperature_mix —

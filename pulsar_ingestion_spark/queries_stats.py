@@ -5649,3 +5649,62 @@ def q_ts_pacf_durbin(spark, sf_dir):
             / (1 - F.col("p21") * r1 - F.col("p22") * r2), 6
         ).alias("pacf3"),
     )
+
+
+_TOST_MARGIN = 5.0
+
+_TOST_ORACLE = f"""
+WITH {TWO_SAMPLE_MOMENTS_CTE}, v AS (
+  SELECT na, nb, sa / na AS ma, sb / nb AS mb,
+         (ssa - sa * sa / na) / (na - 1) / na AS van,
+         (ssb - sb * sb / nb) / (nb - 1) / nb AS vbn
+  FROM m
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       round(ma - mb, 6) AS mean_diff,
+       round((ma - mb + {_TOST_MARGIN}) / sqrt(van + vbn), 6) AS t_lower,
+       round((ma - mb - {_TOST_MARGIN}) / sqrt(van + vbn), 6) AS t_upper,
+       round((van + vbn) * (van + vbn)
+             / (van * van / (na - 1) + vbn * vbn / (nb - 1)), 4) AS df_welch,
+       CASE WHEN (ma - mb + {_TOST_MARGIN}) / sqrt(van + vbn) > 1.6449
+             AND (ma - mb - {_TOST_MARGIN}) / sqrt(van + vbn) < -1.6449
+            THEN 1 ELSE 0 END AS equivalent_at_90
+FROM v
+"""
+
+
+@query("stats_tost_equivalence", oracle=_TOST_ORACLE)
+def q_stats_tost_equivalence(spark, sf_dir):
+    """TOST equivalence test (Schuirmann's two one-sided tests) for the
+    click-vs-error mean value difference against a +/-5.0 margin: BOTH
+    t_lower = (d + margin)/se > z_0.95 AND t_upper = (d - margin)/se
+    < -z_0.95 must hold to declare equivalence at 90% — the inferential
+    INVERSE of stats_welch_ttest (failing to reject difference is not
+    evidence of sameness; TOST is).  Same exact-DECIMAL moment machinery
+    and Welch-Satterthwaite df; the z threshold is the large-sample
+    normal cut (df > 1000 on every fixture)."""
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    m = two_sample_moments(ev)
+    na, nb = F.col("na"), F.col("nb")
+    ma = F.col("sa") / na
+    mb = F.col("sb") / nb
+    van = (F.col("ssa") - F.col("sa") * F.col("sa") / na) / (na - 1) / na
+    vbn = (F.col("ssb") - F.col("sb") * F.col("sb") / nb) / (nb - 1) / nb
+    se = F.sqrt(van + vbn)
+    d = ma - mb
+    tl = (d + _TOST_MARGIN) / se
+    tu = (d - _TOST_MARGIN) / se
+    return m.select(
+        na.cast("bigint").alias("n_a"),
+        nb.cast("bigint").alias("n_b"),
+        F.round(d, 6).alias("mean_diff"),
+        F.round(tl, 6).alias("t_lower"),
+        F.round(tu, 6).alias("t_upper"),
+        F.round(
+            (van + vbn) * (van + vbn)
+            / (van * van / (na - 1) + vbn * vbn / (nb - 1)),
+            4,
+        ).alias("df_welch"),
+        F.when((tl > 1.6449) & (tu < -1.6449), 1).otherwise(0)
+        .alias("equivalent_at_90"),
+    )

@@ -333,3 +333,30 @@ def test_pacf_durbin_matches_python_ground_truth(spark, duck):
             assert abs(got - exp) <= 1e-4, (et, got, exp)
     # lag-1 PACF must equal lag-1 ACF by definition
     assert all(abs(v[0]) <= 1 + 1e-9 for v in rows.values())
+
+
+def test_tost_matches_python_ground_truth(spark, duck):
+    import __spark_entry__ as e
+
+    out = e.queries()["stats_tost_equivalence"](spark, SF_DIR).first()
+    arms = {}
+    for et, n, s, ss in duck.execute("""
+        SELECT event_type, count(*),
+               SUM(CAST(value AS DECIMAL(18,4))),
+               SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4)))
+        FROM events WHERE event_type IN ('click', 'error') GROUP BY 1
+    """).fetchall():
+        arms[et] = (n, float(s), float(ss))
+    na, sa, ssa = arms["click"]
+    nb, sb, ssb = arms["error"]
+    ma, mb = sa / na, sb / nb
+    van = (ssa - sa * sa / na) / (na - 1) / na
+    vbn = (ssb - sb * sb / nb) / (nb - 1) / nb
+    se = math.sqrt(van + vbn)
+    d = ma - mb
+    assert out["n_a"] == na and out["n_b"] == nb
+    assert abs(out["mean_diff"] - d) <= 1e-5
+    assert abs(out["t_lower"] - (d + 5.0) / se) <= 1e-4
+    assert abs(out["t_upper"] - (d - 5.0) / se) <= 1e-4
+    want_eq = 1 if ((d + 5.0) / se > 1.6449 and (d - 5.0) / se < -1.6449) else 0
+    assert out["equivalent_at_90"] == want_eq

@@ -237,6 +237,9 @@ SECTIONS = [
     ("k-truss decomposition (round 12)", [
         "graph_ktruss",
     ]),
+    ("TOST equivalence (round 12)", [
+        "stats_tost_equivalence",
+    ]),
     ("Sketches & sampling III (round 5)", [
         "sketch_kmv_intersect", "sketch_quantile_logbins", "sample_weighted_kmv",
     ]),
