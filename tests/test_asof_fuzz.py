@@ -290,3 +290,62 @@ def test_asof_forward_backward_mirror(spark):
         for r in asof_backward(nleft, nright, "k", "t", "rt").collect()
     }
     assert fwd == bwd == {(1, 12), (2, 25)}
+
+
+def _pandas_asof(duck, ltype, lmod, rtype, rval, inclusive, direction):
+    """Third independent engine: pandas merge_asof on the same frames
+    (allow_exact_matches maps inclusive; direction backward/forward)."""
+    import pandas as pd
+
+    left = duck.execute(f"""
+        SELECT event_id, user_id, ts FROM events
+        WHERE event_type = '{ltype}' AND user_id % {lmod} = 0
+        ORDER BY ts, event_id
+    """).df()
+    right = duck.execute(f"""
+        SELECT user_id, ts AS rts FROM events
+        WHERE event_type = '{rtype}' AND value >= {rval}
+        ORDER BY ts
+    """).df()
+    if right.empty or left.empty:
+        return []
+    m = pd.merge_asof(
+        left, right, left_on="ts", right_on="rts", by="user_id",
+        direction=direction, allow_exact_matches=inclusive,
+    )
+    m = m.dropna(subset=["rts"])
+    return sorted(
+        (int(e), str(t)) for e, t in zip(m["event_id"], m["rts"])
+    )
+
+
+@settings(
+    max_examples=15, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+    phases=[Phase.generate, Phase.shrink],
+)
+@given(
+    ltype=st.sampled_from(TYPES),
+    lmod=st.integers(min_value=1, max_value=5),
+    rtype=st.sampled_from(TYPES),
+    rval=st.sampled_from([0, 100, 300]),
+    inclusive=st.booleans(),
+    forward=st.booleans(),
+)
+def test_asof_three_engines_agree(
+    spark, duck, ltype, lmod, rtype, rval, inclusive, forward
+):
+    """Spark union-sort plan, DuckDB native ASOF JOIN, and pandas
+    merge_asof — three independent implementations of the same as-of
+    contract must emit the identical (left row, matched ts) multiset
+    in BOTH directions and bound modes."""
+    if forward:
+        s = _spark_asof_fwd(spark, ltype, lmod, rtype, rval, inclusive)
+        d = _duck_asof_fwd(duck, ltype, lmod, rtype, rval, inclusive)
+        p = _pandas_asof(duck, ltype, lmod, rtype, rval, inclusive, "forward")
+    else:
+        s = _spark_asof(spark, ltype, lmod, rtype, rval, inclusive)
+        d = _duck_asof(duck, ltype, lmod, rtype, rval, inclusive)
+        p = _pandas_asof(duck, ltype, lmod, rtype, rval, inclusive, "backward")
+    assert s == d == p, (ltype, lmod, rtype, rval, inclusive, forward,
+                         len(s), len(d), len(p))
