@@ -194,3 +194,63 @@ def test_window_dedup_matches_qualify(spark, duck, part, order, fn, k):
     s = _spark_qualify(spark, part, order, fn, k)
     d = _duck_qualify(duck, part, order, fn, k)
     assert s == d, (part, order, fn, k, len(s), len(d))
+
+
+# ---------------------------------------------------------------------------
+# DataFrame pivot vs DuckDB NATIVE PIVOT (independent implementation of
+# the same reshaping contract — the registry pivot oracles use the
+# portable CASE-form spelling, so this is a second algorithm agreeing)
+
+_PIVOT_CASES = {
+    "flag_status": ("l_returnflag", ("A", "N", "R"), "l_linestatus"),
+    "status_flag": ("l_linestatus", ("F", "O"), "l_returnflag"),
+}
+_PIVOT_AGGS = ["sum", "min", "max", "count"]
+
+
+@pytest.fixture(scope="module")
+def duck_li():
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{SF_DIR}/lineitem.parquet')"
+    )
+    return con
+
+
+@settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+    phases=[Phase.generate, Phase.shrink],
+)
+@given(
+    case=st.sampled_from(sorted(_PIVOT_CASES)),
+    agg=st.sampled_from(_PIVOT_AGGS),
+    mod=st.sampled_from([None, 2, 3]),
+)
+def test_dataframe_pivot_matches_native_duckdb_pivot(spark, duck_li, case, agg, mod):
+    from pyspark.sql import functions as F
+
+    pcol, pvals, key = _PIVOT_CASES[case]
+    where_sql = f"WHERE l_orderkey % {mod} = 0" if mod else ""
+    ddf = duck_li.execute(f"""
+        PIVOT (SELECT {pcol}, {key}, l_suppkey FROM lineitem {where_sql})
+        ON {pcol} IN {pvals!r}
+        USING {agg}(l_suppkey)
+        GROUP BY {key}
+    """).df()
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    if mod:
+        df = df.filter(F.col("l_orderkey") % mod == 0)
+    fn = {"sum": F.sum, "min": F.min, "max": F.max, "count": F.count}[agg]
+    sdf = (
+        df.groupBy(key).pivot(pcol, list(pvals))
+        .agg(fn(F.col("l_suppkey")))
+        .toPandas()
+    )
+    a = sdf.sort_values(key).reset_index(drop=True)
+    b = ddf.sort_values(key).reset_index(drop=True)
+    assert list(a[key]) == list(b[key])
+    for v in pvals:
+        av = a[v].astype("float64")
+        bv = b[v].astype("float64")
+        assert ((av == bv) | (av.isna() & bv.isna())).all(), (case, agg, mod, v)
