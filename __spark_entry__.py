@@ -279,6 +279,7 @@ _ROUND12_PREFIX: list[str] = [
     "corpus_temperature_mix",
     "graph_ktruss",
     "stats_tost_equivalence",
+    "stats_poisson_dispersion",
     # round-11 last-day additions — first driver rows this round
     # (VERDICT r11 item 1)
     "stats_page_trend",
@@ -318,7 +319,7 @@ _ROUND12_PREFIX: list[str] = [
     "sketch_bloom_build",
     "sketch_countmin",
     "telemetry_trip_summary",
-    "text_bpe_corpus_prep",
+    # text_bpe_corpus_prep — displaced by stats_poisson_dispersion —
     # text_inverted_index — displaced by stats_tost_equivalence —
     # text_js_divergence — displaced by graph_ktruss —
     "text_line_dedup",

@@ -5708,3 +5708,72 @@ def q_stats_tost_equivalence(spark, sf_dir):
         F.when((tl > 1.6449) & (tu < -1.6449), 1).otherwise(0)
         .alias("equivalent_at_90"),
     )
+
+
+_DISPERSION_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hr, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+), spans AS (
+  SELECT event_type, min(hr) AS lo, max(hr) AS hi FROM hourly GROUP BY 1
+), grid AS (
+  SELECT event_type, unnest(range(lo, hi + 1)) AS hr FROM spans
+), g AS (
+  SELECT gr.event_type, coalesce(h.cnt, 0) AS cnt
+  FROM grid gr LEFT JOIN hourly h
+    ON gr.event_type = h.event_type AND gr.hr = h.hr
+), m AS (
+  SELECT event_type, count(*) AS n,
+         SUM(cnt) AS s, SUM(cnt * cnt) AS ss
+  FROM g GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_hours,
+       round(CAST(s AS DOUBLE) / n, 6) AS mean_per_hour,
+       round((ss - CAST(s AS DOUBLE) * s / n) / (n - 1)
+             / (CAST(s AS DOUBLE) / n), 6) AS dispersion_index,
+       round((ss - CAST(s AS DOUBLE) * s / n) / (CAST(s AS DOUBLE) / n), 4)
+         AS chi2_statistic,
+       CAST(n - 1 AS BIGINT) AS df
+FROM m
+"""
+
+
+@query("stats_poisson_dispersion", oracle=_DISPERSION_ORACLE)
+def q_stats_poisson_dispersion(spark, sf_dir):
+    """Poisson dispersion (index-of-dispersion) test per event type
+    over the dense zero-filled hourly count series: D = s^2 / mean
+    (~1 under Poisson arrivals, > 1 = overdispersed/bursty, < 1 =
+    regular), with the chi-square form (n-1)·D on n-1 df — the
+    arrival-process diagnostic that pairs with events_burst_days and
+    the seasonal/spectral family.  Counts and their squares are exact
+    integers (one grouped count + the bounded zero-fill grid), so the
+    only floats are two trailing divisions; 6/4 dp output rounds."""
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    hourly = ev.groupBy(
+        "event_type", F.expr("unix_micros(ts) div 3600000000").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    spans = hourly.groupBy("event_type").agg(
+        F.min("hr").alias("lo"), F.max("hr").alias("hi")
+    )
+    grid = spans.select(
+        "event_type", F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("hr")
+    )
+    g = grid.join(hourly, ["event_type", "hr"], "left").select(
+        "event_type", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
+    )
+    m = g.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cnt").alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("ss"),
+    )
+    n, s, ss = F.col("n"), F.col("s"), F.col("ss")
+    mean = s.cast("double") / n
+    ssdev = ss - s.cast("double") * s / n
+    return m.select(
+        "event_type",
+        n.cast("bigint").alias("n_hours"),
+        F.round(mean, 6).alias("mean_per_hour"),
+        F.round(ssdev / (n - 1) / mean, 6).alias("dispersion_index"),
+        F.round(ssdev / mean, 4).alias("chi2_statistic"),
+        (n - 1).cast("bigint").alias("df"),
+    )

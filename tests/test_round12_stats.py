@@ -360,3 +360,33 @@ def test_tost_matches_python_ground_truth(spark, duck):
     assert abs(out["t_upper"] - (d - 5.0) / se) <= 1e-4
     want_eq = 1 if ((d + 5.0) / se > 1.6449 and (d - 5.0) / se < -1.6449) else 0
     assert out["equivalent_at_90"] == want_eq
+
+
+def test_poisson_dispersion_matches_python_ground_truth(spark, duck):
+    import __spark_entry__ as e
+    from collections import defaultdict
+
+    rows = {
+        r["event_type"]: r
+        for r in e.queries()["stats_poisson_dispersion"](
+            spark, SF_DIR
+        ).collect()
+    }
+    hourly = duck.execute("""
+        SELECT event_type, epoch_us(ts) // 3600000000, count(*)
+        FROM events GROUP BY 1, 2
+    """).fetchall()
+    series = defaultdict(dict)
+    for et, hr, cnt in hourly:
+        series[et][hr] = cnt
+    for et, pts in series.items():
+        lo, hi = min(pts), max(pts)
+        y = [pts.get(h, 0) for h in range(lo, hi + 1)]
+        n = len(y)
+        mean = sum(y) / n
+        var = sum((v - mean) ** 2 for v in y) / (n - 1)
+        r = rows[et]
+        assert r["n_hours"] == n and r["df"] == n - 1
+        assert abs(r["mean_per_hour"] - mean) <= 1e-5
+        assert abs(r["dispersion_index"] - var / mean) <= 1e-4
+        assert abs(r["chi2_statistic"] - (n - 1) * var / mean) <= 1e-2

@@ -240,6 +240,9 @@ SECTIONS = [
     ("TOST equivalence (round 12)", [
         "stats_tost_equivalence",
     ]),
+    ("Poisson dispersion (round 12)", [
+        "stats_poisson_dispersion",
+    ]),
     ("Sketches & sampling III (round 5)", [
         "sketch_kmv_intersect", "sketch_quantile_logbins", "sample_weighted_kmv",
     ]),
