@@ -280,6 +280,7 @@ _ROUND12_PREFIX: list[str] = [
     "graph_ktruss",
     "stats_tost_equivalence",
     "stats_poisson_dispersion",
+    "events_interarrival_expon_ks",
     # round-11 last-day additions — first driver rows this round
     # (VERDICT r11 item 1)
     "stats_page_trend",
@@ -318,7 +319,7 @@ _ROUND12_PREFIX: list[str] = [
     "sim_search_lsh",
     "sketch_bloom_build",
     "sketch_countmin",
-    "telemetry_trip_summary",
+    # telemetry_trip_summary — displaced by events_interarrival_expon_ks —
     # text_bpe_corpus_prep — displaced by stats_poisson_dispersion —
     # text_inverted_index — displaced by stats_tost_equivalence —
     # text_js_divergence — displaced by graph_ktruss —

@@ -5777,3 +5777,81 @@ def q_stats_poisson_dispersion(spark, sf_dir):
         F.round(ssdev / mean, 4).alias("chi2_statistic"),
         (n - 1).cast("bigint").alias("df"),
     )
+
+
+_IA_KS_ORACLE = """
+WITH seq AS (
+  SELECT event_type, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (PARTITION BY event_type
+                                 ORDER BY ts, event_id) AS prev
+  FROM events
+), gaps AS (
+  SELECT event_type, us - prev AS g FROM seq WHERE prev IS NOT NULL
+), m AS (
+  SELECT event_type, count(*) AS n,
+         CAST(SUM(g) AS DOUBLE) / count(*) AS mean_us
+  FROM gaps GROUP BY 1
+), pv AS (
+  SELECT event_type, g, count(*) AS c FROM gaps GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, g, c,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY g
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+  FROM pv
+)
+SELECT cum.event_type,
+       CAST(m.n AS BIGINT) AS n_gaps,
+       round(m.mean_us / 1000000.0, 6) AS mean_gap_s,
+       round(max(greatest(
+         abs(CAST(cc AS DOUBLE) / m.n - (1 - exp(-(g / m.mean_us)))),
+         abs(CAST(cc - c AS DOUBLE) / m.n - (1 - exp(-(g / m.mean_us))))
+       )), 6) AS ks_d
+FROM cum JOIN m ON cum.event_type = m.event_type
+GROUP BY cum.event_type, m.n, m.mean_us
+"""
+
+
+@query("events_interarrival_expon_ks", oracle=_IA_KS_ORACLE)
+def q_events_interarrival_expon_ks(spark, sf_dir):
+    """Exponentiality check for inter-arrival gaps per event type: the
+    one-sample KS statistic of the gap distribution against the FITTED
+    exponential (rate = 1/mean gap) — ~small D means arrivals are
+    memoryless (Poisson process), large D means bursts/regularity; the
+    continuous-time companion of stats_poisson_dispersion's binned
+    index.  Gaps and their mean are exact integer microseconds; F0 is
+    exp() of identical doubles; the CDF steps use the stats_ks_uniform
+    per-distinct-value running-count plan (here a per-type PARTITIONED
+    window — millions of natural partitions at scale)."""
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.unix_micros("ts").alias("us"),
+        F.lag(F.unix_micros("ts")).over(w).alias("prev"),
+    )
+    gaps = seq.filter(F.col("prev").isNotNull()).select(
+        "event_type", (F.col("us") - F.col("prev")).alias("g")
+    )
+    m = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("g").cast("double") / F.count(F.lit(1))).alias("mean_us"),
+    )
+    pv = gaps.groupBy("event_type", "g").agg(F.count(F.lit(1)).alias("c"))
+    wc = (
+        Window.partitionBy("event_type").orderBy("g")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = pv.withColumn("cc", F.sum("c").over(wc))
+    j = cum.join(F.broadcast(m), "event_type")
+    f0 = 1 - F.exp(-(F.col("g") / F.col("mean_us")))
+    gap = F.greatest(
+        F.abs(F.col("cc").cast("double") / F.col("n") - f0),
+        F.abs((F.col("cc") - F.col("c")).cast("double") / F.col("n") - f0),
+    )
+    return j.groupBy("event_type", "n", "mean_us").agg(
+        F.round(F.max(gap), 6).alias("ks_d")
+    ).select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_gaps"),
+        F.round(F.col("mean_us") / 1_000_000.0, 6).alias("mean_gap_s"),
+        "ks_d",
+    )

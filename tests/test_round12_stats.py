@@ -390,3 +390,40 @@ def test_poisson_dispersion_matches_python_ground_truth(spark, duck):
         assert abs(r["mean_per_hour"] - mean) <= 1e-5
         assert abs(r["dispersion_index"] - var / mean) <= 1e-4
         assert abs(r["chi2_statistic"] - (n - 1) * var / mean) <= 1e-2
+
+
+def test_interarrival_ks_matches_python_ground_truth(spark, duck):
+    import __spark_entry__ as e
+    from collections import defaultdict
+
+    rows = {
+        r["event_type"]: r
+        for r in e.queries()["events_interarrival_expon_ks"](
+            spark, SF_DIR
+        ).collect()
+    }
+    evs = duck.execute("""
+        SELECT event_type, epoch_us(ts), event_id FROM events
+        ORDER BY event_type, ts, event_id
+    """).fetchall()
+    series = defaultdict(list)
+    for et, us, _ in evs:
+        series[et].append(us)
+    for et, uss in series.items():
+        gaps = sorted(b - a for a, b in zip(uss, uss[1:]))
+        n = len(gaps)
+        mean = sum(gaps) / n
+        d = 0.0
+        from collections import Counter
+
+        cnt = Counter(gaps)
+        cc = 0
+        for g in sorted(cnt):
+            c = cnt[g]
+            f0 = 1 - math.exp(-(g / mean))
+            d = max(d, abs((cc + c) / n - f0), abs(cc / n - f0))
+            cc += c
+        r = rows[et]
+        assert r["n_gaps"] == n, et
+        assert abs(r["mean_gap_s"] - mean / 1e6) <= 1e-5, et
+        assert abs(r["ks_d"] - d) <= 1e-5, et

@@ -241,7 +241,7 @@ SECTIONS = [
         "stats_tost_equivalence",
     ]),
     ("Poisson dispersion (round 12)", [
-        "stats_poisson_dispersion",
+        "stats_poisson_dispersion", "events_interarrival_expon_ks",
     ]),
     ("Sketches & sampling III (round 5)", [
         "sketch_kmv_intersect", "sketch_quantile_logbins", "sample_weighted_kmv",
