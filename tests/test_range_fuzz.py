@@ -254,3 +254,69 @@ def test_dataframe_pivot_matches_native_duckdb_pivot(spark, duck_li, case, agg, 
         av = a[v].astype("float64")
         bv = b[v].astype("float64")
         assert ((av == bv) | (av.isna() & bv.isna())).all(), (case, agg, mod, v)
+
+
+# ---------------------------------------------------------------------------
+# DataFrame unpivot vs DuckDB NATIVE UNPIVOT — the registry oracle uses
+# the UNION-ALL-per-column spelling; the native statement is a second
+# implementation.  Semantic pin: native UNPIVOT EXCLUDES NULL measures
+# while DataFrame unpivot KEEPS them (the documented v10 rule), so the
+# comparison filters NULLs on the Spark side and a dedicated case
+# asserts the bare forms diverge on a NULL-bearing fixture.
+
+_UNPIVOT_COLS = [
+    ("l_partkey", "l_suppkey"),
+    ("l_partkey", "l_suppkey", "l_linenumber"),
+]
+
+
+@settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+    phases=[Phase.generate, Phase.shrink],
+)
+@given(
+    cols=st.sampled_from(_UNPIVOT_COLS),
+    mod=st.sampled_from([2, 3, 5]),
+)
+def test_dataframe_unpivot_matches_native_duckdb_unpivot(spark, duck_li, cols, mod):
+    from pyspark.sql import functions as F
+
+    ddf = duck_li.execute(f"""
+        UNPIVOT (SELECT l_orderkey, l_linenumber AS ln, {", ".join(cols)}
+                 FROM lineitem WHERE l_orderkey % {mod} = 0)
+        ON {", ".join(cols)}
+        INTO NAME col VALUE val
+    """).df()
+    d = sorted(map(tuple, ddf[["l_orderkey", "ln", "col", "val"]].values.tolist()))
+    df = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .filter(F.col("l_orderkey") % mod == 0)
+        .select("l_orderkey", F.col("l_linenumber").alias("ln"), *cols)
+        .unpivot(["l_orderkey", "ln"], list(cols), "col", "val")
+        .filter(F.col("val").isNotNull())
+    )
+    s = sorted(
+        (r["l_orderkey"], r["ln"], r["col"], r["val"]) for r in df.collect()
+    )
+    assert s == d, (cols, mod, len(s), len(d))
+
+
+def test_unpivot_null_keeping_divergence_pinned(spark, duck_li):
+    """Spark DataFrame unpivot KEEPS NULL measure values; DuckDB native
+    UNPIVOT drops them — pinned so an engine upgrade that aligns the
+    defaults is surfaced (the registry's UNION-ALL oracle spelling
+    matches the null-KEEPING DataFrame semantics)."""
+    duck_li.execute(
+        "CREATE OR REPLACE TABLE unp (id INT, a INT, b INT)"
+    )
+    duck_li.execute("INSERT INTO unp VALUES (1, 10, NULL), (2, NULL, 20)")
+    d = duck_li.execute(
+        "UNPIVOT unp ON a, b INTO NAME col VALUE val"
+    ).fetchall()
+    assert len(d) == 2  # NULLs dropped
+    sdf = spark.createDataFrame(
+        [(1, 10, None), (2, None, 20)], "id int, a int, b int"
+    ).unpivot(["id"], ["a", "b"], "col", "val")
+    assert sdf.count() == 4  # NULLs kept
+    assert sdf.filter("val IS NULL").count() == 2
