@@ -1945,3 +1945,114 @@ def q_ml_brier_decomposition(spark, sf_dir):
         (F.col("res_num") / F.col("n_total")).alias("resolution"),
         (ubase * (1 - ubase)).alias("uncertainty"),
     )
+
+
+_CONFORMAL_ALPHA = 0.1
+
+_CONFORMAL_ORACLE = f"""
+WITH base AS (
+  SELECT event_id, CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS x,
+         value AS y
+  FROM events
+), cal AS (SELECT * FROM base WHERE event_id % 2 = 0),
+test AS (SELECT * FROM base WHERE event_id % 2 = 1),
+m AS (
+  SELECT count(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx,
+         CAST(SUM(CAST(y AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+         CAST(SUM(x * CAST(y AS DECIMAL(18,4))) AS DOUBLE) AS sxy
+  FROM cal
+), fit AS (
+  SELECT n,
+         (n * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS b,
+         (sy - (n * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * sx) / n AS a
+  FROM m
+), resid AS (
+  SELECT round(abs(y - f.a - f.b * x), 6) AS r
+  FROM cal CROSS JOIN fit f
+), pv AS (
+  SELECT r, count(*) AS c FROM resid GROUP BY r
+), cum AS (
+  SELECT r, SUM(c) OVER (ORDER BY r
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+  FROM pv
+), q AS (
+  SELECT min(r) AS qhat FROM cum
+  WHERE cc >= CEIL((1 - {_CONFORMAL_ALPHA}) * ((SELECT n FROM fit) + 1))
+), cov AS (
+  SELECT count(*) AS n_test,
+         SUM(CASE WHEN round(abs(y - f.a - f.b * x), 6) <= q.qhat
+                  THEN 1 ELSE 0 END) AS covered
+  FROM test CROSS JOIN fit f CROSS JOIN q
+)
+SELECT CAST((SELECT n FROM fit) AS BIGINT) AS n_cal,
+       CAST(n_test AS BIGINT) AS n_test,
+       round((SELECT qhat FROM q), 6) AS interval_halfwidth,
+       round(CAST(covered AS DOUBLE) / n_test, 6) AS test_coverage
+FROM cov
+"""
+
+
+@query("ml_conformal_interval", oracle=_CONFORMAL_ORACLE)
+def q_ml_conformal_interval(spark, sf_dir):
+    """Split-conformal prediction interval (Vovk; Lei et al. 2018) for
+    value ~ hour-of-day: fit OLS on the calibration half (event_id
+    parity split), take the ceil((1-alpha)(n+1))-th smallest absolute
+    calibration residual as the interval half-width (the
+    finite-sample-valid conformal quantile), and report empirical
+    coverage on the held-out half — distribution-free ~90% coverage by
+    construction.  Exact-DECIMAL OLS moments (a, b identical doubles),
+    6 dp-rounded residuals collapsed to distinct values + running
+    counts for the EXACT order statistic, coverage as an integer count.
+    Two scan passes + one distinct-residual window."""
+    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    base = ev.select(
+        "event_id",
+        (F.expr("unix_micros(ts) div 3600000000") % 24).alias("x"),
+        F.col("value").alias("y"),
+    )
+    cal = base.filter(F.col("event_id") % 2 == 0)
+    test = base.filter(F.col("event_id") % 2 == 1)
+    yd = F.col("y").cast("decimal(18,4)")
+    m = cal.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(yd).cast("double").alias("sy"),
+        F.sum(F.col("x") * yd).cast("double").alias("sxy"),
+    )
+    n, sx = F.col("n"), F.col("sx")
+    b = (n * F.col("sxy") - sx * F.col("sy")) / (
+        n.cast("double") * F.col("sxx") - sx.cast("double") * sx
+    )
+    fit = m.select("n", b.alias("b"), ((F.col("sy") - b * sx) / n).alias("a"))
+    r = F.round(F.abs(F.col("y") - F.col("a") - F.col("b") * F.col("x")), 6)
+    resid = cal.crossJoin(F.broadcast(fit)).select(r.alias("r"))
+    pv = resid.groupBy("r").agg(F.count(F.lit(1)).alias("c"))
+    wc = Window.orderBy("r").rowsBetween(Window.unboundedPreceding, 0)
+    cum = pv.withColumn("cc", F.sum("c").over(wc))
+    target = F.ceil((1 - _CONFORMAL_ALPHA) * (F.col("n") + 1))
+    q = (
+        cum.crossJoin(F.broadcast(fit.select("n")))
+        .filter(F.col("cc") >= target)
+        .agg(F.min("r").alias("qhat"))
+    )
+    cov = (
+        test.crossJoin(F.broadcast(fit))
+        .crossJoin(F.broadcast(q))
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(F.when(r <= F.col("qhat"), 1).otherwise(0)).alias("covered"),
+        )
+    )
+    return (
+        cov.crossJoin(F.broadcast(fit.select("n")))
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("n").cast("bigint").alias("n_cal"),
+            F.col("n_test").cast("bigint").alias("n_test"),
+            F.round(F.col("qhat"), 6).alias("interval_halfwidth"),
+            F.round(
+                F.col("covered").cast("double") / F.col("n_test"), 6
+            ).alias("test_coverage"),
+        )
+    )
