@@ -76,6 +76,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # coverage across rounds until every query has a driver CORRECTNESS row
 # (VERDICT r1 item 2, refreshed each round per VERDICT r2 item 2).
 _CHECKED_PRIOR = {
+    # round 12 (CORRECTNESS_r12.json — 50/50 hash-green: the 15 round-12
+    # additions' first rows + the two stranded late-r11 ids (VERDICT r11
+    # item 1 closed) + re-verification of the stalest r3/r4-era backlog)
+    "stats_fisher_exact_2x2", "stats_g_test", "stats_bartlett", "stats_cmh",
+    "text_trigram_stupid_backoff", "stats_breusch_pagan", "join_asof_forward",
+    "stats_mood_median", "ts_spectral_entropy", "ts_pacf_durbin",
+    "corpus_temperature_mix", "graph_ktruss", "stats_tost_equivalence",
+    "stats_poisson_dispersion", "events_interarrival_expon_ks",
+    "stats_page_trend", "stats_two_way_anova",
     # round 11 (CORRECTNESS_r11.json — 50/50 hash-green: the 47 round-11
     # additions' first rows + the retired rows-only trio's first
     # hash-checked rows; VERDICT r11)
@@ -256,91 +265,79 @@ _CHECKED_PRIOR = {
 }
 
 
-# Round-12 driver-check prefix (the driver checks a bounded prefix ≈50).
-# The two round-11 late additions lead (VERDICT r11 item 1: they were
-# registered after the r11 prefix was pinned, so neither has a driver
-# CORRECTNESS row yet — their FIRST rows land here), then the stalest
-# re-verification backlog: the five r3-era ids plus the r4-era block
-# displaced from the round-11 prefix (testdata is regenerated every
-# round, so old greens deserve periodic re-proof; VERDICT r11 item 4).
-# New round-12 queries go at the FRONT, displacing from the tail.
-_ROUND12_PREFIX: list[str] = [
-    # round-12 additions — first driver rows this round
-    "stats_fisher_exact_2x2",
-    "stats_g_test",
-    "stats_bartlett",
-    "stats_cmh",
-    "text_trigram_stupid_backoff",
-    "stats_breusch_pagan",
-    "join_asof_forward",
-    "stats_mood_median",
-    "ts_spectral_entropy",
-    "ts_pacf_durbin",
-    "corpus_temperature_mix",
-    "graph_ktruss",
-    "stats_tost_equivalence",
-    "stats_poisson_dispersion",
-    "events_interarrival_expon_ks",
-    # round-11 last-day additions — first driver rows this round
-    # (VERDICT r11 item 1)
-    "stats_page_trend",
-    "stats_two_way_anova",
-    # r3-era re-verification backlog (stalest first)
-    "union_schema_evolution",
-    "unpivot_melt",
-    "ts_gapfill_15m",
-    "ts_resample_15m",
-    "ts_ewma",
-    # r4-era re-verification backlog, alphabetical
-    "agg_entropy",
-    "agg_weighted_avg",
-    "corpus_dedup_report",
-    "corpus_shard_assign",
-    "corpus_token_budget",
-    "dedup_embedding_blas",
-    "dedup_simhash",
-    "emb_kmeans_lloyd",
-    "emb_pca_power",
-    "emb_pq_encode",
-    "emb_residual_quantize",
-    "events_attribution_last_touch",
-    "events_dwell_percentiles",
-    "events_ltv_percentiles",
-    "events_markov_transitions",
-    "events_pareto_share",
-    "events_path_topk",
-    "events_sessionize",
-    "geo_grid_density",
-    "geo_nearest_poi",
-    "join_bloom_pruned",
-    "join_salted_skew",
-    "layout_zorder_key",
-    "sim_search_ivf",
-    "sim_search_lsh",
-    "sketch_bloom_build",
-    "sketch_countmin",
-    # telemetry_trip_summary — displaced by events_interarrival_expon_ks —
-    # text_bpe_corpus_prep — displaced by stats_poisson_dispersion —
-    # text_inverted_index — displaced by stats_tost_equivalence —
-    # text_js_divergence — displaced by graph_ktruss —
-    "text_line_dedup",
-    # text_tfidf_topk — displaced by corpus_temperature_mix —
-    # text_vocab_coverage — displaced by ts_pacf_durbin —
-    # text_winnowing — displaced by ts_spectral_entropy —
-    # tpch_market_share — displaced by stats_mood_median —
-    # tpch_order_priority — displaced by join_asof_forward —
-    # tpch_pricing_summary / tpch_revenue_by_region — displaced by the
-    # two later round-12 additions —
-    # tpch_top_orders / ts_cusum_drift / ts_lag_features /
-    # ts_outlier_mad — displaced by the four round-12 additions —
-    # ts_rollup_multires / ts_seasonal_profile / win_running_distinct /
-    # win_streaks rotate in next round under the 50-id cap — all remain
-    # covered via _CHECKED_PRIOR
+# Round-13 driver-check prefix (the driver checks a bounded prefix ≈50).
+# New round-13 queries go at the FRONT (first driver rows), then the
+# stalest re-verification backlog: the r4-era ids displaced from the
+# round-12 prefix under the 50-id cap, then the r5-era block (testdata
+# is regenerated every round, so old greens deserve periodic re-proof;
+# VERDICT r11 item 4).  Later additions displace from the TAIL.
+_ROUND13_PREFIX: list[str] = [
+    # late round-12 addition stranded after the r12 prefix was pinned —
+    # FIRST driver row this round (the rotation-coverage test caught it,
+    # same pattern as VERDICT r11 item 1)
+    "ml_conformal_interval",
+    # round-13 additions — first driver rows this round
+    # (appended here as they land)
+    # r4-era re-verification backlog displaced from the r12 prefix
+    "telemetry_trip_summary",
+    "text_bpe_corpus_prep",
+    "text_inverted_index",
+    "text_js_divergence",
+    "text_tfidf_topk",
+    "text_vocab_coverage",
+    "text_winnowing",
+    "tpch_market_share",
+    "tpch_order_priority",
+    "tpch_pricing_summary",
+    "tpch_revenue_by_region",
+    "tpch_top_orders",
+    "ts_cusum_drift",
+    "ts_lag_features",
+    "ts_outlier_mad",
+    "ts_rollup_multires",
+    "ts_seasonal_profile",
+    "win_running_distinct",
+    "win_streaks",
+    # r5-era re-verification backlog (stale since CORRECTNESS_r05), in
+    # registry order
+    "join_asof_tolerance",
+    "sim_search_recall_eval",
+    "emb_label_affinity",
+    "text_dedup_survivorship",
+    "corpus_lang_balance",
+    "dedup_url_canonical",
+    "text_langid_confusion",
+    "dedup_cross_source",
+    "corpus_domain_caps",
+    "text_ppl_buckets",
+    "events_attribution_position",
+    "events_time_to_convert",
+    "events_user_overlap_jaccard",
+    "win_range_interval_1h",
+    "ts_autocorr",
+    "text_bm25_topk",
+    "text_keyness_loglik",
+    "sketch_hll_merge",
+    "sample_reservoir_hash",
+    "tpch_min_cost_supplier",
+    "tpch_small_qty_revenue",
+    "tpch_parts_promo",
+    "tpch_global_sales_opportunity",
+    "tpch_customer_distribution",
+    "win_topk_ties_qualify",
+    "tpch_returned_items",
+    "tpch_promo_revenue",
+    "tpch_top_supplier",
+    "tpch_large_orders",
+    "tpch_disjunctive_pred",
+    # tpch_waiting_suppliers — displaced by ml_conformal_interval —
+    # remaining r5-era rows (tpch_nation_volume …) rotate in next round
+    # under the 50-id cap — all remain covered via _CHECKED_PRIOR
 ]
 
 
 def _rotated(mapping: dict) -> dict:
-    prefix = {k: mapping[k] for k in _ROUND12_PREFIX if k in mapping}
+    prefix = {k: mapping[k] for k in _ROUND13_PREFIX if k in mapping}
     fresh = {
         k: v for k, v in mapping.items()
         if k not in _CHECKED_PRIOR and k not in prefix

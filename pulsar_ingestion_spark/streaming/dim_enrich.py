@@ -34,12 +34,39 @@ class DimEnrichMaintainer:
     dimension version (NULL = no dimension row yet)."""
 
     def __init__(self, key_col: str, version_col: str,
-                 payload_cols: list[str], max_keys: int = 100_000):
+                 payload_cols: list[str], max_keys: int = 100_000,
+                 dim_schema=None):
         self.key_col = key_col
         self.version_col = version_col
         self.payload_cols = list(payload_cols)
         self.max_keys = max_keys
         self._state: dict = {}  # key -> (version, payload tuple)
+        # explicit snapshot schema (StructType over key+version+payload),
+        # either caller-provided or captured from the first dimension
+        # batch — used for BOTH the populated and the empty snapshot so
+        # consecutive micro-batch outputs always union cleanly (no
+        # name-only type inference, no hardcoded string/long casts)
+        self._schema = self._project_schema(dim_schema)
+
+    def _project_schema(self, schema):
+        if schema is None:
+            return None
+        from pyspark.sql.types import StructType
+
+        by_name = {f.name: f for f in schema.fields}
+        cols = [self.key_col, self.version_col, *self.payload_cols]
+        missing = [c for c in cols if c not in by_name]
+        if missing:
+            raise ValueError(
+                f"DimEnrichMaintainer: dim schema missing columns {missing}"
+            )
+        return StructType([by_name[c] for c in cols])
+
+    @staticmethod
+    def _payload_rank(payload: tuple) -> tuple:
+        # mirrors the in-batch F.desc(payload) tiebreak: larger payload
+        # wins; NULL sorts below any value (Spark's DESC NULLS LAST)
+        return tuple((v is not None, v) for v in payload)
 
     def apply_dim_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         # latest-wins per key WITHIN the batch first (distributed), then
@@ -47,6 +74,8 @@ class DimEnrichMaintainer:
         # batch-id guard needed (see module doc)
         from pyspark.sql import Window
 
+        if self._schema is None:
+            self._schema = self._project_schema(batch_df.schema)
         w = Window.partitionBy(self.key_col).orderBy(
             F.desc(self.version_col), *[F.desc(c) for c in self.payload_cols]
         )
@@ -63,11 +92,21 @@ class DimEnrichMaintainer:
         for r in rows:
             key = r[self.key_col]
             ver = r[self.version_col]
+            payload = tuple(r[c] for c in self.payload_cols)
             cur = self._state.get(key)
-            if cur is None or ver > cur[0]:
-                self._state[key] = (
-                    ver, tuple(r[c] for c in self.payload_cols)
+            # same rule as the in-batch window: higher version wins; on an
+            # EQUAL version the larger payload tuple wins — so the final
+            # state is invariant to where the micro-batch cut falls
+            if (
+                cur is None
+                or ver > cur[0]
+                or (
+                    ver == cur[0]
+                    and self._payload_rank(payload)
+                    > self._payload_rank(cur[1])
                 )
+            ):
+                self._state[key] = (ver, payload)
         if len(self._state) > self.max_keys:
             raise ValueError(
                 f"DimEnrichMaintainer: {len(self._state)} dimension keys "
@@ -77,27 +116,32 @@ class DimEnrichMaintainer:
             )
 
     def snapshot_df(self, spark) -> DataFrame:
-        from pyspark.sql.types import StructField, StructType
-
+        """Typed snapshot (possibly empty) under the captured schema;
+        ``None`` only when no schema is known yet (no dim batch seen and
+        none provided at construction)."""
+        if self._schema is None:
+            return None
         rows = [
             (k, v[0], *v[1]) for k, v in sorted(self._state.items())
         ]
-        if not rows:
-            # typed empty snapshot: enrich must still resolve columns
-            return None
-        return spark.createDataFrame(
-            rows, [self.key_col, self.version_col, *self.payload_cols]
-        )
+        return spark.createDataFrame(rows, self._schema)
 
     def enrich(self, facts: DataFrame) -> DataFrame:
         """Broadcast-join the snapshot onto ``facts``; adds the payload
-        columns and ``dim_version`` (NULL where no dimension row)."""
+        columns and ``dim_version`` (NULL where no dimension row).  The
+        output schema is identical whether the snapshot is empty or
+        populated (same typed join plan), so consecutive micro-batch
+        outputs union cleanly.  Before any dimension schema is known the
+        payload types are unknowable — that pre-first-batch state raises
+        unless the caller passed ``dim_schema`` at construction."""
         spark = facts.sparkSession
         snap = self.snapshot_df(spark)
         if snap is None:
-            out = facts
-            for c in self.payload_cols:
-                out = out.withColumn(c, F.lit(None).cast("string"))
-            return out.withColumn("dim_version", F.lit(None).cast("long"))
+            raise ValueError(
+                "DimEnrichMaintainer.enrich: dimension schema unknown — "
+                "no dimension batch applied yet and no dim_schema was "
+                "provided at construction; pass dim_schema= to enrich "
+                "facts before the first dimension micro-batch"
+            )
         snap = snap.withColumnRenamed(self.version_col, "dim_version")
         return facts.join(F.broadcast(snap), self.key_col, "left")

@@ -56,7 +56,7 @@ def test_iso_output_utc_under_foreign_tz(vanilla_spark):
 def test_rotation_covers_every_registered_id():
     """Rotation consistency: every registered query id is either already
     driver-checked (_CHECKED_PRIOR) or pinned in the current round's
-    prefix (_ROUND12_PREFIX) — a new query registered without joining the
+    prefix (_ROUND13_PREFIX) — a new query registered without joining the
     prefix would silently strand without a driver CORRECTNESS row.
     (Round 9: the prefix is re-verification of the stalest r1/r2-era
     rows, so prefix ids may ALSO be in _CHECKED_PRIOR — that overlap is
@@ -64,14 +64,14 @@ def test_rotation_covers_every_registered_id():
     import __spark_entry__ as e
 
     registered = set(e.queries())
-    covered = set(e._CHECKED_PRIOR) | set(e._ROUND12_PREFIX)
+    covered = set(e._CHECKED_PRIOR) | set(e._ROUND13_PREFIX)
     stranded = registered - covered
     assert not stranded, sorted(stranded)
     # every prefix id must actually exist in the registry
-    ghost = set(e._ROUND12_PREFIX) - registered
+    ghost = set(e._ROUND13_PREFIX) - registered
     assert not ghost, sorted(ghost)
     # the driver checks ~50: the prefix must fit the bound
-    assert len(e._ROUND12_PREFIX) <= 50, len(e._ROUND12_PREFIX)
+    assert len(e._ROUND13_PREFIX) <= 50, len(e._ROUND13_PREFIX)
 
 
 def test_bench_stdout_line_fits_driver_tail_capture():
