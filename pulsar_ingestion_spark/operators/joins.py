@@ -137,8 +137,15 @@ def banded_range_join(
             f"banded_range_join: column collision {sorted(collide)} — "
             f"alias before joining"
         )
-    if "__band" in left.columns or "__band" in right.columns:
-        raise ValueError("banded_range_join: __band is reserved")
+    # '__band' is internal; 'gap' is the output column — an input that
+    # already carries either would be silently overwritten by withColumn
+    # (ADVICE r12), so both are reserved
+    for reserved in ("__band", "gap"):
+        if reserved in left.columns or reserved in right.columns:
+            raise ValueError(
+                f"banded_range_join: column name '{reserved}' is reserved "
+                f"(output/internal) — rename before joining"
+            )
     lnn = left.filter(F.col(left_val).isNotNull())
     for k in keys:
         lnn = lnn.filter(F.col(k).isNotNull())

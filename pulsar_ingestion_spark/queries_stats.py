@@ -5027,15 +5027,23 @@ def q_stats_fisher_exact_2x2(spark, sf_dir):
         F.sum((1 - wk) * er).cast("bigint").alias("n21"),
         F.sum((1 - wk) * (1 - er)).cast("bigint").alias("n22"),
     )
-    m = c.select(
+    # the guard below needs the four counts at plan-construction time;
+    # collect them ONCE and re-inject as literals so the data-scale scan
+    # is not re-executed when the returned plan runs (ADVICE r12)
+    row = c.select(
         "n11", "n12", "n21", "n22",
         (F.col("n11") + F.col("n12")).alias("r1"),
         (F.col("n21") + F.col("n22")).alias("r2"),
         (F.col("n11") + F.col("n21")).alias("c1"),
         (F.col("n12") + F.col("n22")).alias("c2"),
         (F.col("n11") + F.col("n12") + F.col("n21") + F.col("n22")).alias("n"),
+    ).first()
+    m = spark.createDataFrame(
+        [tuple(row[k] for k in
+               ("n11", "n12", "n21", "n22", "r1", "r2", "c1", "c2", "n"))],
+        "n11 bigint, n12 bigint, n21 bigint, n22 bigint, "
+        "r1 bigint, r2 bigint, c1 bigint, c2 bigint, n bigint",
     )
-    row = m.first()
     terms = min(row["r1"], row["c1"]) - row["n11"] + 1
     if terms > 1_000_000:
         raise ValueError(
@@ -5084,7 +5092,9 @@ WITH d AS (
 SELECT CAST(t.n AS BIGINT) AS n,
        CAST((count(DISTINCT c.event_type) - 1)
             * (count(DISTINCT c.wk) - 1) AS BIGINT) AS df,
-       round(2 * SUM(o * ln(CAST(o AS DOUBLE) * t.n / (r.rt * k.ct))), 6)
+       round(2 * CAST(SUM(CAST(round(
+               o * ln(CAST(o AS DOUBLE) * t.n / (r.rt * k.ct)), 6)
+             AS DECIMAL(38,6))) AS DOUBLE), 6)
          AS g_statistic
 FROM c JOIN r USING (event_type) JOIN k USING (wk) CROSS JOIN t
 GROUP BY t.n
@@ -5114,16 +5124,18 @@ def q_stats_g_test(spark, sf_dir):
         .join(F.broadcast(k), "wk")
         .crossJoin(F.broadcast(t))
     )
+    # family convention (Bartlett/CMH/BP): per-cell terms rounded to 6 dp
+    # and summed as DECIMAL(38,6) so the fold is order-free across
+    # engines' different partial-aggregation orders (ADVICE r12)
+    cell = F.col("o") * F.log(
+        F.col("o").cast("double") * F.col("n") / (F.col("rt") * F.col("ct"))
+    )
     return j.groupBy("n").agg(
         ((F.count_distinct(F.col("event_type")) - 1)
          * (F.count_distinct(F.col("wk")) - 1)).cast("bigint").alias("df"),
         F.round(
-            2 * F.sum(
-                F.col("o") * F.log(
-                    F.col("o").cast("double") * F.col("n")
-                    / (F.col("rt") * F.col("ct"))
-                )
-            ), 6
+            2 * F.sum(F.round(cell, 6).cast("decimal(38,6)")).cast("double"),
+            6,
         ).alias("g_statistic"),
     ).select(F.col("n").cast("bigint").alias("n"), "df", "g_statistic")
 
@@ -5381,12 +5393,12 @@ WITH med AS (
 SELECT CAST(t.k AS BIGINT) AS k_groups,
        round((SELECT m FROM med), 6) AS grand_median,
        CAST(t.k - 1 AS BIGINT) AS df,
-       round(SUM(
+       round(CAST(SUM(CAST(round(
          POWER(above - n * (CAST(t.ta AS DOUBLE) / t.nn), 2)
            / (n * (CAST(t.ta AS DOUBLE) / t.nn))
          + POWER((n - above) - n * (1 - CAST(t.ta AS DOUBLE) / t.nn), 2)
-           / (n * (1 - CAST(t.ta AS DOUBLE) / t.nn))
-       ), 6) AS chi2_statistic
+           / (n * (1 - CAST(t.ta AS DOUBLE) / t.nn)), 6)
+       AS DECIMAL(38,6))) AS DOUBLE), 6) AS chi2_statistic
 FROM c CROSS JOIN tot t
 GROUP BY t.k, t.nn, t.ta
 """
@@ -5421,8 +5433,12 @@ def q_stats_mood_median(spark, sf_dir):
         F.pow(F.col("above") - ea, 2) / ea
         + F.pow((F.col("n") - F.col("above")) - eb, 2) / eb
     )
+    # per-group terms rounded into DECIMAL before the sum — order-free
+    # fold across engines (family convention, ADVICE r12)
     return j.groupBy("k", "nn", "ta", "m").agg(
-        F.round(F.sum(term), 6).alias("chi2")
+        F.round(
+            F.sum(F.round(term, 6).cast("decimal(38,6)")).cast("double"), 6
+        ).alias("chi2")
     ).select(
         F.col("k").cast("bigint").alias("k_groups"),
         F.round(F.col("m"), 6).alias("grand_median"),

@@ -133,6 +133,15 @@ def test_banded_range_join_rejects_collisions_and_bad_gap(spark):
     right = spark.createDataFrame([(1, 2)], "b int, w bigint")
     with pytest.raises(ValueError, match="max_gap"):
         banded_range_join(df, right, "v", "w", 0)
+    # ADVICE r12: 'gap' is the OUTPUT column — an input already carrying
+    # one (not shared, so it passes the collision check) must be rejected
+    # instead of silently overwritten
+    left_gap = spark.createDataFrame([(1, 2, 9)], "a int, v bigint, gap int")
+    with pytest.raises(ValueError, match="'gap' is reserved"):
+        banded_range_join(left_gap, right, "v", "w", 10)
+    right_gap = spark.createDataFrame([(1, 2, 9)], "b int, w bigint, gap int")
+    with pytest.raises(ValueError, match="'gap' is reserved"):
+        banded_range_join(df, right_gap, "v", "w", 10)
 
 
 # ---------------------------------------------------------------------------
