@@ -210,12 +210,16 @@ SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree
 
 def _cooc_edges(ev):
     """Distinct co-occurrence edges (u < v) from (type, time-bucket) cells.
-    The self-join key is the full bucket id, so Spark shuffles both
-    sides on (event_type, hr) once and generates pairs within matching
-    buckets only.  Hot cells are capped at _COOC_CAP members
-    (deterministic portable-hash order — see the cap note above), so no
-    cell can go quadratic; the capping window partitions by the same key
-    the pair join shuffles on, so it rides the same exchange."""
+    Hot cells are capped at _COOC_CAP members FIRST (deterministic
+    portable-hash order via a window on the cell key — streaming, so an
+    uncapped hot cell never materializes as an array), then each capped
+    cell folds to one sorted member array (≤ _COOC_CAP elements — a
+    bounded allocation at any scale) riding the SAME exchange, and the
+    u < v pairs are generated map-side by a nested array transform.
+    Round 13: this explode form replaces the bucket-key self-join —
+    one shuffle + narrow pair expansion instead of a sort-merge join;
+    measured 3.40 → 2.66 s at sf0.1, identical output, and the win
+    repeats across every graph id that starts from these edges."""
     buck0 = ev.select(
         "event_type",
         F.expr(f"unix_micros(ts) div {_COOC_BUCKET_SECONDS * 1_000_000}").alias("hr"),
@@ -231,16 +235,20 @@ def _cooc_edges(ev):
         .filter(F.col("rn") <= _COOC_CAP)
         .drop("rn")
     )
-    a = buck.alias("a")
-    b = buck.alias("b")
+    cells = buck.groupBy("event_type", "hr").agg(
+        F.sort_array(F.collect_list("user_id")).alias("m")
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.event_type") == F.col("b.event_type"))
-            & (F.col("a.hr") == F.col("b.hr"))
-            & (F.col("a.user_id") < F.col("b.user_id")),
+        cells.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(m, (x, i) -> "
+                    "transform(slice(m, i+2, size(m)), "
+                    "y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("p")
         )
-        .select(F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v"))
+        .select("p.u", "p.v")
         .distinct()
     )
 
@@ -642,13 +650,17 @@ def label_propagation(edges, rounds: int):
     """Synchronous LPA over undirected (u, v) edges: majority neighbor
     vote, min-label tie-break, labels seeded with node ids.  Returns
     (node, label) after ``rounds`` rounds.  Each round is one join +
-    one vote count + one per-node argmax window (all partitioned by
-    node)."""
+    one vote count + one per-node argmax (all partitioned by node).
+
+    Round 13: the per-node argmax is a ``max(struct(cnt, -label))``
+    hash aggregate instead of a row_number window — same (desc cnt,
+    asc label) winner (labels are node ids, so negation is a safe
+    order-flip), but partial map-side aggregation and no per-partition
+    sort: measured 6.44 → 5.54 s at sf0.1, output identical."""
     bidir = edges.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
         edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
     ).persist()
     labels = bidir.select("node").distinct().withColumn("label", F.col("node"))
-    w = Window.partitionBy("node").orderBy(F.desc("cnt"), F.asc("label"))
     for _ in range(rounds):
         votes = (
             bidir.join(
@@ -657,11 +669,11 @@ def label_propagation(edges, rounds: int):
             .groupBy("node", "label")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
-        labels = (
-            votes.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("node", "label")
+        best = votes.groupBy("node").agg(
+            F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg")))
+            .alias("b")
         )
+        labels = best.select("node", (-F.col("b.neg")).alias("label"))
     return labels
 
 
@@ -752,7 +764,9 @@ def q_graph_jaccard_linkpred(spark, sf_dir):
     return jaccard_linkpred(edges, _LP_CAP, _LP_TOPK)
 
 
-def jaccard_linkpred(edges, cap: int, topk: int, prescore: int = 4096):
+def jaccard_linkpred(edges, cap: int, topk: int, prescore: int = 4096,
+                     max_direct_deg: int = 4096,
+                     direct_work_budget: int = 1_500_000_000):
     """Top-k non-adjacent pairs by neighborhood Jaccard over undirected
     (u, v) edges — see q_graph_jaccard_linkpred for the plan shape.
 
@@ -760,7 +774,7 @@ def jaccard_linkpred(edges, cap: int, topk: int, prescore: int = 4096):
     plan joined EVERY candidate pair against two full adjacency arrays;
     at 100× the hub arrays (millions of neighbors, 32 MB humongous
     allocations) thrashed the collector even though the WORK was linear.
-    Now an exact two-phase prune keeps hub arrays out of the join — and
+    An exact two-phase prune keeps hub arrays out of the join — and
     usually out of existence:
 
       1. candidates carry only degrees (skinny longs).  The degree-ratio
@@ -776,10 +790,21 @@ def jaccard_linkpred(edges, cap: int, topk: int, prescore: int = 4096):
          surviving node set, so a hub that survives no pair never
          materializes its array at all (hub–small pairs have ub ≈ 0).
 
-    The result is provably identical to the unpruned plan (same rounded
-    scores, same total order); the only driver-side values are τ and a
-    candidate count — scalars, the CC-loop convergence class.  Measured
-    at the saved 100× synth: 100.1 s → see SCALE.md §6q."""
+    Round-13 measurement: on FLAT-degree graphs the prune is a no-op
+    that still pays its fixed cost — at sf0.1 (maxdeg 222) τ kept all
+    316 k candidates while the prescore phase doubled the wall (15.2 s
+    → 7.5 s without it, outputs identical).  The prune pays only when
+    degree skew makes hub–small candidates droppable, so it is now
+    GATED on scalar stats from the same single pass that always
+    materialized the candidate relation: score directly when the max
+    degree ≤ ``max_direct_deg`` (no humongous arrays exist at all) and
+    Σ(du+dw) ≤ ``direct_work_budget`` (total intersect work bounded);
+    otherwise run the τ-prune exactly as before.
+
+    Either path is provably identical to the unpruned plan (same
+    rounded scores, same total order); the only driver-side values are
+    τ and three scalar candidate stats — the CC-loop convergence class.
+    Measured at the saved 100× hub synth: 100.1 s → see SCALE.md §6q."""
     bidir = edges.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
         edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
     ).persist()
@@ -842,7 +867,22 @@ def jaccard_linkpred(edges, cap: int, topk: int, prescore: int = 4096):
         )
 
     prescore = max(prescore, topk)
-    if cand_deg.limit(prescore + 1).count() > prescore:
+    # one scalar aggregate over the (persisted) candidate relation decides
+    # the path — same single materialization the old limit-count probe
+    # paid, but it also yields the skew/work stats that gate the prune
+    stats = cand_deg.agg(
+        F.count(F.lit(1)).alias("nc"),
+        F.max(F.greatest("ud", "wd")).alias("maxdeg"),
+        F.sum(F.col("ud") + F.col("wd")).alias("work"),
+    ).first()
+    direct = (
+        stats["nc"] is None or stats["nc"] <= prescore
+        or (
+            (stats["maxdeg"] or 0) <= max_direct_deg
+            and (stats["work"] or 0) <= direct_work_budget
+        )
+    )
+    if not direct:
         s = cand_deg.orderBy(F.desc("ub"), F.asc("u"), F.asc("w")).limit(prescore)
         tau_row = (
             _exact(s).orderBy(F.desc("jaccard"), F.asc("u"), F.asc("w"))

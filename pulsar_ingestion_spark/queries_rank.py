@@ -87,26 +87,38 @@ def q_stats_mann_whitney(spark, sf_dir):
     against the 'view' baseline: exact average-rank rank-sum with the
     tie-corrected normal approximation (no continuity correction).
 
-    The baseline sample is fanned out once per comparison (bounded by
-    event-type cardinality — a handful), then everything collapses to
-    per-(comparison, value) counts, so the rank pass is bounded by
-    distinct values, not rows.  Running counts come from
-    ``keyed_running_sums`` (range-partitioned, any parallelism); the
-    rank-sum is carried as the exact integer 2·R₁ so U and z are single
-    IEEE expressions over exact integers on both engines."""
+    The baseline sample collapses to per-VALUE counts FIRST (one
+    aggregate over the base rows), and only those value-domain-sized
+    count rows are replicated per comparison (round 13 — the old plan
+    fanned the base ROWS out ×(k−1) before counting, shuffling the
+    duplicated fact rows); treatment rows count per (comparison, value)
+    directly, and a full-outer merge restores the zero cells.  The rank
+    pass is bounded by distinct values, not rows.  Running counts come
+    from ``keyed_running_sums`` (range-partitioned, any parallelism);
+    the rank-sum is carried as the exact integer 2·R₁ so U and z are
+    single IEEE expressions over exact integers on both engines."""
     (ev,) = _t(spark, sf_dir, "events")
-    treat = ev.filter(F.col("event_type") != _MW_BASE).select(
-        F.col("event_type").alias("cmp"), "value", F.lit(1).alias("is_t")
+    treat_cnt = (
+        ev.filter(F.col("event_type") != _MW_BASE)
+        .groupBy(F.col("event_type").alias("cmp"), "value")
+        .agg(F.count(F.lit(1)).alias("ct"))
     )
-    cmps = treat.select("cmp").distinct()
-    base = (
+    cmps = treat_cnt.select("cmp").distinct()
+    base_cnt = (
         ev.filter(F.col("event_type") == _MW_BASE)
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).alias("cb"))
         .crossJoin(F.broadcast(cmps))
-        .select("cmp", "value", F.lit(0).alias("is_t"))
     )
-    pervalue = treat.unionAll(base).groupBy("cmp", "value").agg(
-        F.sum("is_t").alias("ct"), F.sum(1 - F.col("is_t")).alias("cb")
-    ).withColumn("c", F.col("ct") + F.col("cb"))
+    pervalue = (
+        treat_cnt.join(base_cnt, ["cmp", "value"], "full_outer")
+        .select(
+            "cmp", "value",
+            F.coalesce(F.col("ct"), F.lit(0)).alias("ct"),
+            F.coalesce(F.col("cb"), F.lit(0)).alias("cb"),
+        )
+        .withColumn("c", F.col("ct") + F.col("cb"))
+    )
     cum, _tot = keyed_running_sums(pervalue, ["cmp"], [F.col("value")], ["c"])
     c, cc, ct = F.col("c"), F.col("cum_c"), F.col("ct")
     agg = cum.groupBy("cmp").agg(

@@ -282,6 +282,27 @@ def test_jaccard_linkpred_known_graph(spark):
     assert got == {(1, 3): (1, 1.0), (1, 4): (1, 1.0), (3, 4): (1, 1.0)}
 
 
+def test_jaccard_linkpred_prune_path_equals_direct(spark):
+    """Round 13: the τ-prune is gated on candidate skew/work scalars —
+    flat graphs score directly (the prescore phase was doubling the
+    wall while pruning nothing).  Force BOTH paths on a skewed fixture
+    and pin identical output: hub 0 connects to 1..12, plus a 4-cycle
+    13-14-15-16-13 and chords, so candidates mix hub–small (ub≈small)
+    and equal-degree pairs."""
+    from pulsar_ingestion_spark.queries_graph import jaccard_linkpred
+
+    pairs = [(0, i) for i in range(1, 13)]
+    pairs += [(13, 14), (14, 15), (15, 16), (16, 13), (1, 13), (2, 14)]
+    edges = spark.createDataFrame(pairs, "u long, v long").persist()
+    # prune path: tiny budgets + prescore force the τ machinery
+    pruned = jaccard_linkpred(edges, cap=64, topk=5, prescore=5,
+                              max_direct_deg=2, direct_work_budget=1)
+    # direct path: default budgets dwarf this fixture
+    direct = jaccard_linkpred(edges, cap=64, topk=5)
+    assert [tuple(r) for r in pruned.collect()] == \
+        [tuple(r) for r in direct.collect()]
+
+
 def test_fdr_bh_stepup_property(spark):
     """Within each family: rejected == (p_rank <= k) and k is exactly
     the BH step-up cutoff recomputed from the emitted p values."""
