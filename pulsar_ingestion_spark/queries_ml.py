@@ -2003,7 +2003,9 @@ def q_ml_conformal_interval(spark, sf_dir):
     construction.  Exact-DECIMAL OLS moments (a, b identical doubles),
     6 dp-rounded residuals collapsed to distinct values + running
     counts for the EXACT order statistic, coverage as an integer count.
-    Two scan passes + one distinct-residual window."""
+    Two scan passes + one distinct-residual running count."""
+    from pulsar_ingestion_spark.operators.ranking import keyed_running_sums
+
     ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
     base = ev.select(
         "event_id",
@@ -2028,12 +2030,15 @@ def q_ml_conformal_interval(spark, sf_dir):
     r = F.round(F.abs(F.col("y") - F.col("a") - F.col("b") * F.col("x")), 6)
     resid = cal.crossJoin(F.broadcast(fit)).select(r.alias("r"))
     pv = resid.groupBy("r").agg(F.count(F.lit(1)).alias("c"))
-    wc = Window.orderBy("r").rowsBetween(Window.unboundedPreceding, 0)
-    cum = pv.withColumn("cc", F.sum("c").over(wc))
+    # Global running count via keyed_running_sums (empty key): the
+    # distinct-residual relation is data-scale (6-dp rounding does not
+    # bound it), so an unpartitioned Window.orderBy would funnel it
+    # through one task (plan-hygiene gate).
+    cum, _ = keyed_running_sums(pv, [], [F.col("r")], ["c"])
     target = F.ceil((1 - _CONFORMAL_ALPHA) * (F.col("n") + 1))
     q = (
         cum.crossJoin(F.broadcast(fit.select("n")))
-        .filter(F.col("cc") >= target)
+        .filter(F.col("cum_c") >= target)
         .agg(F.min("r").alias("qhat"))
     )
     cov = (
