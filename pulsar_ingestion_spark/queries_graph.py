@@ -794,20 +794,39 @@ def jaccard_linkpred(edges, cap: int, topk: int, prescore: int = 4096,
     that still pays its fixed cost — at sf0.1 (maxdeg 222) τ kept all
     316 k candidates while the prescore phase doubled the wall (15.2 s
     → 7.5 s without it, outputs identical).  The prune pays only when
-    degree skew makes hub–small candidates droppable, so it is now
-    GATED on scalar stats from the same single pass that always
-    materialized the candidate relation: score directly when the max
-    degree ≤ ``max_direct_deg`` (no humongous arrays exist at all) and
-    Σ(du+dw) ≤ ``direct_work_budget`` (total intersect work bounded);
-    otherwise run the τ-prune exactly as before.
+    degree skew makes hub–small candidates droppable, so it is GATED
+    on scalar skew/work stats; round 13 (optimization) computes them
+    as UPPER BOUNDS from skinny relations — global max degree plus
+    per-center Σ C(cnt,2) and Σ (cnt−1)·Σdeg over the capped member
+    lists — so the gate action no longer materializes the 316 k-pair
+    candidate relation at all (it previously ran the wedge self-join +
+    anti-join + two degree joins eagerly just to decide the path).
+    Bounds over-estimate, so skewed graphs still take the τ path (the
+    100× hub-array GC cliff, SCALE.md §6q).
+
+    The direct path is ONE lazy plan: capped member arrays → map-side
+    pair explode (the _cooc_edges round-13 discipline, replacing the
+    wedge self-join), then a join against full adjacency arrays where
+    ``array_contains(nbrs_u, w)`` replaces the edge anti-join and
+    ``size(nbrs)`` replaces the two degree joins — three shuffles
+    fewer, and no intermediate persist.  Measured 8.5 → 5.6 s at
+    sf0.1 (isolated min-of-3, identical output).
 
     Either path is provably identical to the unpruned plan (same
     rounded scores, same total order); the only driver-side values are
-    τ and three scalar candidate stats — the CC-loop convergence class.
-    Measured at the saved 100× hub synth: 100.1 s → see SCALE.md §6q."""
-    bidir = edges.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
-        edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
-    ).persist()
+    τ and three scalar bound stats — the CC-loop convergence class."""
+    # bidir is hash-partitioned on node BEFORE the persist: the cap
+    # window, the degree aggregate, the capped-member groupBy and the
+    # adjacency groupBy all key on node, so one exchange up front serves
+    # every consumer (guide §2.4 — share the exchange).  Measured 6.1 →
+    # 3.8 s at sf0.1 on this id alone.
+    bidir = (
+        edges.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
+            edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+        )
+        .repartition("node")
+        .persist()
+    )
     wcap = Window.partitionBy("node").orderBy(
         F.conv(F.substring(F.md5(F.col("nbr").cast("string")), 1, 8), 16, 10)
         .cast("bigint"),
@@ -817,19 +836,90 @@ def jaccard_linkpred(edges, cap: int, topk: int, prescore: int = 4096,
         bidir.withColumn("rn", F.row_number().over(wcap))
         .filter(F.col("rn") <= cap)
         .drop("rn")
-    )
-    a, b = capped.alias("a"), capped.alias("b")
-    wedges = (
-        a.join(b, (F.col("a.node") == F.col("b.node"))
-               & (F.col("a.nbr") < F.col("b.nbr")))
-        .select(F.col("a.nbr").alias("u"), F.col("b.nbr").alias("w"))
-        .distinct()
-    )
-    cands = wedges.join(
-        edges, (wedges["u"] == edges["u"]) & (wedges["w"] == edges["v"]),
-        "left_anti",
+        .persist()
     )
     deg = bidir.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+
+    prescore = max(prescore, topk)
+    # Gate stats as scalar UPPER BOUNDS from node-sized relations only:
+    #   nc_bound   = Σ_c C(cnt_c, 2)            ≥ |candidates|
+    #   work_bound = Σ_c (cnt_c − 1)·Σ_{u∈S_c} deg_u ≥ Σ_cands (du + dw)
+    #   maxdeg     = global max degree (covers every candidate endpoint)
+    cnt, sumdeg = F.col("cnt"), F.col("sumdeg")
+    cstats = (
+        capped.join(deg.select(F.col("node").alias("nbr"), "deg"), "nbr")
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("deg").alias("sumdeg"))
+        .agg(
+            F.sum(cnt * (cnt - 1) / 2).alias("nc_bound"),
+            F.sum((cnt - 1) * sumdeg).alias("work_bound"),
+        )
+    )
+    gate = cstats.crossJoin(deg.agg(F.max("deg").alias("maxdeg"))).first()
+    flat = (gate["maxdeg"] or 0) <= max_direct_deg
+    direct = (
+        gate["nc_bound"] is None or gate["nc_bound"] <= prescore
+        or (flat and (gate["work_bound"] or 0) <= direct_work_budget)
+    )
+
+    # Wedge pairs generated map-side from each center's sorted capped
+    # member array (≤ cap elements — bounded at any scale); identical
+    # pair set to the capped self-join with a.nbr < b.nbr.
+    wedges = (
+        capped.groupBy("node")
+        .agg(F.sort_array(F.collect_list("nbr")).alias("m"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(m, (x, i) -> "
+                    "transform(slice(m, i+2, size(m)), "
+                    "y -> struct(x AS u, y AS w))))"
+                )
+            ).alias("p")
+        )
+        .select("p.u", "p.w")
+        .distinct()
+    )
+
+    if direct:
+        # Adjacency arrays carry everything the scoring needs: degree =
+        # size(nbrs), adjacency test = array_contains.  On a flat graph
+        # every array is bounded by max_direct_deg; in the small-nc
+        # skewed case restrict the build to candidate endpoints so no
+        # unneeded hub array materializes.
+        if flat:
+            adj = bidir.groupBy("node").agg(F.collect_list("nbr").alias("nbrs"))
+        else:
+            need = (
+                wedges.select(F.col("u").alias("node"))
+                .unionAll(wedges.select(F.col("w").alias("node")))
+                .distinct()
+            )
+            adj = (
+                bidir.join(need, "node", "left_semi")
+                .groupBy("node")
+                .agg(F.collect_list("nbr").alias("nbrs"))
+            )
+        ua = adj.select(F.col("node").alias("u"), F.col("nbrs").alias("un"))
+        wa = adj.select(F.col("node").alias("w"), F.col("nbrs").alias("wn"))
+        inter = F.size(F.array_intersect(F.col("un"), F.col("wn")))
+        ud, wd = F.size("un"), F.size("wn")
+        return (
+            wedges.join(ua, "u").join(wa, "w")
+            .filter(~F.array_contains(F.col("un"), F.col("w")))
+            .select(
+                "u", "w",
+                inter.cast("bigint").alias("common_neighbors"),
+                F.round(inter.cast("double") / (ud + wd - inter), 6).alias("jaccard"),
+            )
+            .orderBy(F.desc("jaccard"), F.asc("u"), F.asc("w"))
+            .limit(topk)
+        )
+
+    # τ-prune path (skewed graphs) — unchanged from round 10.
+    cands = wedges.withColumnRenamed("w", "v").join(
+        edges, ["u", "v"], "left_anti"
+    ).withColumnRenamed("v", "w")
     cand_deg = (
         cands
         .join(deg.select(F.col("node").alias("u"), F.col("deg").alias("ud")), "u")
@@ -866,32 +956,13 @@ def jaccard_linkpred(edges, cap: int, topk: int, prescore: int = 4096,
             ).alias("jaccard"),
         )
 
-    prescore = max(prescore, topk)
-    # one scalar aggregate over the (persisted) candidate relation decides
-    # the path — same single materialization the old limit-count probe
-    # paid, but it also yields the skew/work stats that gate the prune
-    stats = cand_deg.agg(
-        F.count(F.lit(1)).alias("nc"),
-        F.max(F.greatest("ud", "wd")).alias("maxdeg"),
-        F.sum(F.col("ud") + F.col("wd")).alias("work"),
-    ).first()
-    direct = (
-        stats["nc"] is None or stats["nc"] <= prescore
-        or (
-            (stats["maxdeg"] or 0) <= max_direct_deg
-            and (stats["work"] or 0) <= direct_work_budget
-        )
+    s = cand_deg.orderBy(F.desc("ub"), F.asc("u"), F.asc("w")).limit(prescore)
+    tau_row = (
+        _exact(s).orderBy(F.desc("jaccard"), F.asc("u"), F.asc("w"))
+        .limit(topk).agg(F.min("jaccard")).collect()
     )
-    if not direct:
-        s = cand_deg.orderBy(F.desc("ub"), F.asc("u"), F.asc("w")).limit(prescore)
-        tau_row = (
-            _exact(s).orderBy(F.desc("jaccard"), F.asc("u"), F.asc("w"))
-            .limit(topk).agg(F.min("jaccard")).collect()
-        )
-        tau = tau_row[0][0]
-        survivors = cand_deg.filter(F.col("ub") >= F.lit(tau))
-    else:
-        survivors = cand_deg
+    tau = tau_row[0][0]
+    survivors = cand_deg.filter(F.col("ub") >= F.lit(tau))
     return _exact(survivors).orderBy(
         F.desc("jaccard"), F.asc("u"), F.asc("w")
     ).limit(topk)
