@@ -219,24 +219,35 @@ def _cooc_edges(ev):
     Round 13: this explode form replaces the bucket-key self-join —
     one shuffle + narrow pair expansion instead of a sort-merge join;
     measured 3.40 → 2.66 s at sf0.1, identical output, and the win
-    repeats across every graph id that starts from these edges."""
+    repeats across every graph id that starts from these edges.
+
+    Round 13 (optimization): the up-front (event_type, hr, user_id)
+    DISTINCT — a full shuffle hash-partitioned on all three columns,
+    immediately followed by the cap window's second exchange on
+    (event_type, hr) — is gone.  The cap window now runs DENSE_RANK
+    over the raw rows (duplicates of one user share a rank, so the
+    same ≤ cap member set survives), and the per-cell dedup happens in
+    ``collect_set`` on the groupBy that already rides the window's
+    (event_type, hr) partitioning.  One data-scale exchange instead of
+    two; set sizes stay bounded by the cap, preserving the streaming
+    no-hot-cell-array property."""
     buck0 = ev.select(
         "event_type",
         F.expr(f"unix_micros(ts) div {_COOC_BUCKET_SECONDS * 1_000_000}").alias("hr"),
         "user_id",
-    ).distinct()
+    )
     wcap = Window.partitionBy("event_type", "hr").orderBy(
         F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
         .cast("bigint"),
         "user_id",
     )
     buck = (
-        buck0.withColumn("rn", F.row_number().over(wcap))
+        buck0.withColumn("rn", F.dense_rank().over(wcap))
         .filter(F.col("rn") <= _COOC_CAP)
         .drop("rn")
     )
     cells = buck.groupBy("event_type", "hr").agg(
-        F.sort_array(F.collect_list("user_id")).alias("m")
+        F.sort_array(F.collect_set("user_id")).alias("m")
     )
     return (
         cells.select(
@@ -333,7 +344,6 @@ def q_graph_triangle_count(spark, sf_dir):
             F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("lo"),
             F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
         )
-        .persist()
     )
     # Edge-iterator count: per oriented edge (lo, hi), triangles closing
     # at it are |adj(lo) ∩ adj(hi)| — computed map-side on joined
@@ -341,13 +351,17 @@ def q_graph_triangle_count(spark, sf_dir):
     # the edge count) is never materialized or shuffled, unlike the
     # ab⋈bc⋈ac three-way join it replaces (VERDICT r5: super-linear
     # curve).  Orientation caps every adjacency array at O(sqrt E).
-    adj = ori.groupBy("lo").agg(F.collect_list("hi").alias("nbrs"))
+    # Round 13: the (lo, hi, lo_nbrs) triples are produced by EXPLODING
+    # the adjacency arrays — each array already holds exactly lo's
+    # oriented out-edges, so the old ori⋈adj-on-lo equi-join (one full
+    # shuffle of ori plus the join) is a map-side explode of adj
+    # instead; only the join on hi remains.
+    adj = ori.groupBy("lo").agg(F.collect_list("hi").alias("nbrs")).persist()
+    pairs = adj.select(
+        "lo", F.col("nbrs").alias("lo_nbrs"), F.explode("nbrs").alias("hi")
+    )
     tri = (
-        ori.join(
-            adj.select(F.col("lo").alias("anode"), F.col("nbrs").alias("lo_nbrs")),
-            F.col("anode") == F.col("lo"),
-        )
-        .join(
+        pairs.join(
             adj.select(F.col("lo").alias("bnode"), F.col("nbrs").alias("hi_nbrs")),
             F.col("bnode") == F.col("hi"),
         )
@@ -356,7 +370,7 @@ def q_graph_triangle_count(spark, sf_dir):
     )
     n_nodes = deg.agg(F.count("*").alias("n_nodes"))
     n_edges = edges.agg(F.count("*").alias("n_edges"))
-    # edges/ori stay persisted across their consumer branches; harnesses
+    # edges/adj stay persisted across their consumer branches; harnesses
     # running many queries clear the cache between them (registry policy).
     return (
         n_nodes.crossJoin(n_edges).crossJoin(tri)
@@ -447,9 +461,7 @@ def _peel_to_kcore(edges, k: int):
     check).  Termination is guaranteed in <= |E| rounds because the
     count strictly decreases; the k-core fixpoint is unique regardless
     of peel order, which is what makes the result oracle-checkable."""
-    cur = edges.select("u", "v").localCheckpoint(eager=True)
-    n_cur = cur.count()
-    while n_cur > 0:
+    def _peel_once(cur):
         deg = (
             cur.select(F.col("u").alias("node"))
             .unionAll(cur.select(F.col("v").alias("node")))
@@ -457,13 +469,26 @@ def _peel_to_kcore(edges, k: int):
             .agg(F.count("*").alias("d"))
         )
         ok = deg.filter(F.col("d") >= k).select("node")
-        nxt = (
+        return (
             cur.join(ok.withColumnRenamed("node", "uu"),
                      F.col("u") == F.col("uu"), "left_semi")
             .join(ok.withColumnRenamed("node", "vv"),
                   F.col("v") == F.col("vv"), "left_semi")
-            .localCheckpoint(eager=True)
         )
+
+    # Round 13: TWO peel applications per lineage cut.  The peel is a
+    # monotone shrink with a unique fixpoint, and re-applying it at the
+    # fixpoint is a no-op, so checkpointing every other application
+    # reaches the identical result while halving the eager actions
+    # (checkpoint materialization + convergence count) — the dominant
+    # cost of the loop at any scale where rounds are cheap relative to
+    # job overhead.  Convergence check is unchanged: a double-round
+    # that removes nothing means the single round already removed
+    # nothing.  Measured 5.43 → see OPTIMIZATION_r13.md.
+    cur = edges.select("u", "v").localCheckpoint(eager=True)
+    n_cur = cur.count()
+    while n_cur > 0:
+        nxt = _peel_once(_peel_once(cur)).localCheckpoint(eager=True)
         n_nxt = nxt.count()
         if n_nxt == n_cur:
             break
@@ -656,12 +681,22 @@ def label_propagation(edges, rounds: int):
     hash aggregate instead of a row_number window — same (desc cnt,
     asc label) winner (labels are node ids, so negation is a safe
     order-flip), but partial map-side aggregation and no per-partition
-    sort: measured 6.44 → 5.54 s at sf0.1, output identical."""
+    sort: measured 6.44 → 5.54 s at sf0.1, output identical.
+
+    Round 13 (optimization): round 1 is evaluated ALGEBRAICALLY.  With
+    id-seeded labels every neighbor votes its own id, and bidir rows
+    are distinct pairs, so every round-1 vote count is exactly 1 and
+    the (desc cnt, asc label) argmax degenerates to MIN(neighbor id) —
+    one map-side-combining aggregate replaces round 1's label join,
+    (node, label) vote shuffle, argmax shuffle AND the seed distinct.
+    Rounds 2+ run the general loop unchanged."""
     bidir = edges.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
         edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
     ).persist()
-    labels = bidir.select("node").distinct().withColumn("label", F.col("node"))
-    for _ in range(rounds):
+    if rounds <= 0:
+        return bidir.select("node").distinct().withColumn("label", F.col("node"))
+    labels = bidir.groupBy("node").agg(F.min("nbr").alias("label"))
+    for _ in range(rounds - 1):
         votes = (
             bidir.join(
                 labels.select(F.col("node").alias("nbr"), "label"), "nbr"

@@ -693,10 +693,14 @@ def q_text_pmi_collocations(spark, sf_dir):
             ).otherwise(F.array().cast("array<string>"))
         ).alias("bigram")
     )
+    # bc feeds FOUR consumers (m1, m2, tot, the scored main branch);
+    # persist so the reduce-side bigram aggregation materializes once
+    # instead of once per branch (round 13 — the exchange was shared
+    # via ReuseExchange but the post-shuffle hash agg re-ran 4×).
     bc = big.groupBy("bigram").agg(F.count(F.lit(1)).alias("cnt"))
     bc = bc.withColumn("w1", F.substring_index("bigram", " ", 1)).withColumn(
         "w2", F.substring_index("bigram", " ", -1)
-    )
+    ).persist()
     m1 = bc.groupBy("w1").agg(F.sum("cnt").alias("c1"))
     m2 = bc.groupBy("w2").agg(F.sum("cnt").alias("c2"))
     tot = bc.agg(F.sum("cnt").alias("n"))

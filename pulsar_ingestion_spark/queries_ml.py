@@ -930,28 +930,35 @@ def q_sim_search_pq_adc(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < _ADC_NQUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    r = codes.crossJoin(F.broadcast(queries.select("qid")))
-    luts = []
-    for j in range(_SUBSPACES):
-        off = j * _SUBDIM
-        luts.append(
-            queries.crossJoin(F.broadcast(cents)).select(
-                F.col("qid").alias(f"l{j}_qid"),
-                F.col("cid").alias(f"l{j}_cid"),
-                _spark_d2(
-                    F.slice("qvec", off + 1, _SUBDIM),
-                    F.slice("cvec", off + 1, _SUBDIM),
-                ).alias(f"ld{j}"),
-            )
-        )
-        r = r.join(
-            F.broadcast(luts[j]),
-            (F.col("qid") == F.col(f"l{j}_qid"))
-            & (F.col(f"code{j}") == F.col(f"l{j}_cid")),
-        )
-    adc = F.col("ld0")
+    # Round 13: the four per-subspace LUT relations were four separate
+    # broadcast-hash joins (plus one more broadcast for the qid list) —
+    # five broadcast builds and five join operators on the corpus-scale
+    # side.  The LUTs are (queries × codebook)-sized, so they fold into
+    # ONE broadcast row per query carrying a cid→distance MAP per
+    # subspace; the scan side then does four map lookups in a single
+    # projection after a single broadcast cross join.  Lookup values and
+    # the left-to-right add order are unchanged, so adc is bit-identical.
+    lut_cells = queries.crossJoin(F.broadcast(cents)).select(
+        "qid", "cid",
+        *[
+            _spark_d2(
+                F.slice("qvec", j * _SUBDIM + 1, _SUBDIM),
+                F.slice("cvec", j * _SUBDIM + 1, _SUBDIM),
+            ).alias(f"ld{j}")
+            for j in range(_SUBSPACES)
+        ],
+    )
+    qlut = lut_cells.groupBy("qid").agg(
+        *[
+            F.map_from_entries(F.collect_list(F.struct("cid", f"ld{j}")))
+            .alias(f"m{j}")
+            for j in range(_SUBSPACES)
+        ]
+    )
+    r = codes.crossJoin(F.broadcast(qlut))
+    adc = F.col("m0")[F.col("code0")]
     for j in range(1, _SUBSPACES):
-        adc = adc + F.col(f"ld{j}")
+        adc = adc + F.col(f"m{j}")[F.col(f"code{j}")]
     w = Window.partitionBy("qid").orderBy("adc", "vec_id")
     return (
         r.filter(F.col("vec_id") != F.col("qid"))
