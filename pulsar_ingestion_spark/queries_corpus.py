@@ -500,9 +500,6 @@ def q_text_ppl_buckets(spark, sf_dir):
         docs.select("doc_id", F.explode(words(F.lower(F.col("text")))).alias("word"))
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("tf"))
-        # two consumers (wc and the join back) — persist so the
-        # tokenize→explode→count pipeline materializes once (round 13)
-        .persist()
     )
     wc = tfd.groupBy("word").agg(F.sum("tf").alias("cnt"))
     tot = wc.agg(F.sum("cnt").alias("n"))

@@ -476,19 +476,10 @@ def _peel_to_kcore(edges, k: int):
                   F.col("v") == F.col("vv"), "left_semi")
         )
 
-    # Round 13: TWO peel applications per lineage cut.  The peel is a
-    # monotone shrink with a unique fixpoint, and re-applying it at the
-    # fixpoint is a no-op, so checkpointing every other application
-    # reaches the identical result while halving the eager actions
-    # (checkpoint materialization + convergence count) — the dominant
-    # cost of the loop at any scale where rounds are cheap relative to
-    # job overhead.  Convergence check is unchanged: a double-round
-    # that removes nothing means the single round already removed
-    # nothing.  Measured 5.43 → see OPTIMIZATION_r13.md.
     cur = edges.select("u", "v").localCheckpoint(eager=True)
     n_cur = cur.count()
     while n_cur > 0:
-        nxt = _peel_once(_peel_once(cur)).localCheckpoint(eager=True)
+        nxt = _peel_once(cur).localCheckpoint(eager=True)
         n_nxt = nxt.count()
         if n_nxt == n_cur:
             break

@@ -1311,9 +1311,6 @@ def q_text_unigram_logprob(spark, sf_dir):
         docs.select("doc_id", F.explode(words(F.lower(F.col("text")))).alias("word"))
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("tf"))
-        # two consumers (wc and the join back) — persist so the
-        # tokenize→explode→count pipeline materializes once (round 13)
-        .persist()
     )
     wc = tfd.groupBy("word").agg(F.sum("tf").alias("cnt"))
     tot = wc.agg(F.sum("cnt").alias("n"))
@@ -2148,12 +2145,7 @@ def q_text_bigram_logprob(spark, sf_dir):
         F.xxhash64("bigram").alias("bk"),
         F.xxhash64(F.substring_index("bigram", " ", 1)).alias("pk"),
     )
-    # tfd feeds THREE consumers (bc, pc, scored) — persist so the
-    # tokenize→explode→hash→count pipeline materializes once instead of
-    # re-running its reduce side per branch (round 13).
-    tfd = keyed.groupBy("doc_id", "bk", "pk").agg(
-        F.count(F.lit(1)).alias("tf")
-    ).persist()
+    tfd = keyed.groupBy("doc_id", "bk", "pk").agg(F.count(F.lit(1)).alias("tf"))
     bc = tfd.groupBy("bk").agg(F.sum("tf").alias("cntb"))
     pc = tfd.groupBy("pk").agg(F.sum("tf").alias("cntp"))
     scored = (
