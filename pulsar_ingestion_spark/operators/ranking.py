@@ -51,51 +51,114 @@ def _bounded_driver_rows(df: DataFrame, budget: int, what: str) -> list:
     return rows
 
 
+def _with_order_bucket(
+    df: DataFrame,
+    order_cols: list[Column],
+    nparts: int,
+    bucket_col: Column | None = None,
+    bucket_desc: bool = False,
+) -> DataFrame:
+    """Add a ``_pid`` bucket column consistent with the total order over
+    ``order_cols`` (round 13): in-plan approximate quantiles of the
+    bucket column (the first order column unless given explicitly),
+    broadcast back; bucket = number of boundaries the value has passed.
+    Equal bucket values always share a bucket, so the bucket sequence
+    respects the total order EXACTLY — only the balance is approximate,
+    and correctness never depends on balance.  NULL bucket values land
+    in the first (asc) / last (desc) bucket, matching Spark's default
+    NULL ordering.  Replaces the old eager ``repartitionByRange`` whose
+    range-sampling job re-executed the whole upstream plan."""
+    from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
+
+    null_last = bucket_desc  # defaults: asc → NULLS FIRST, desc → NULLS LAST
+    if bucket_col is not None:
+        b0 = bucket_col
+    else:
+        b0 = order_cols[0]
+        try:  # auto-unwrap a SortOrder (F.desc/F.asc...) first order column
+            node = b0._jc.node()
+            if node.getClass().getSimpleName() == "SortOrder":
+                from pyspark.sql.classic.column import Column as _CCol
+
+                bucket_desc = "Descending" in node.sortDirection().toString()
+                null_last = "NullsLast" in node.nullOrdering().toString()
+                b0 = _CCol(
+                    df.sparkSession._jvm.org.apache.spark.sql.Column(node.child())
+                )
+        except Exception:
+            pass  # connect mode / unknown wrapper: treat as a plain column
+    bdt = df.select(b0.alias("_b")).schema[0].dataType
+    if isinstance(bdt, (TimestampType, TimestampNTZType)):
+        bnum = F.unix_micros(b0).cast("double")
+    elif isinstance(bdt, DateType):
+        bnum = F.unix_date(b0).cast("double")
+    else:
+        bnum = b0.cast("double")
+    if nparts < 2:
+        return df.withColumn("_pid", F.lit(0))
+    fracs = F.array(*[F.lit(i / nparts) for i in range(1, nparts)])
+    qdf = df.agg(F.percentile_approx(bnum, fracs, F.lit(10_000)).alias("_qs"))
+    null_pid = F.lit(nparts if null_last else 0)
+    if bucket_desc:
+        nonnull = F.coalesce(
+            F.size(F.filter(F.col("_qs"), lambda q: q >= bnum)), F.lit(0)
+        )
+    else:
+        nonnull = F.coalesce(
+            F.size(F.filter(F.col("_qs"), lambda q: q <= bnum)), F.lit(0)
+        )
+    pid = F.when(bnum.isNull(), null_pid).otherwise(nonnull)
+    return df.crossJoin(F.broadcast(qdf)).withColumn("_pid", pid).drop("_qs")
+
+
 def global_row_number(
     df: DataFrame,
     order_cols: list[Column],
     rn_col: str = "_rn",
     num_partitions: int | None = None,
     max_driver_rows: int = DRIVER_ROW_BUDGET,
+    bucket_col: Column | None = None,
+    bucket_desc: bool = False,
 ) -> tuple[DataFrame, int]:
     """Exact 1-based global row number over ``order_cols`` without an
     unpartitioned window.  Returns ``(df_with_rn, total_rows)``.
 
     The order must be total (include a unique tie-break column) so the
-    result is deterministic regardless of range-sampling boundaries.
-    The input should usually be persisted by the caller: the partition
-    count job and the downstream consumer both read the repartitioned
-    relation.
+    result is deterministic regardless of bucket boundaries.  Round 13:
+    rows are bucketed by :func:`_with_order_bucket` (in-plan quantiles —
+    no eager range-sampling pass, and the window's hash exchange is the
+    only data-scale shuffle); per-bucket counts (≤ #buckets driver rows)
+    fold into literal offsets exactly as before.  ``bucket_col`` /
+    ``bucket_desc`` name the first order column and its direction when
+    ``order_cols[0]`` is a SortOrder expression (``F.desc(...)``).
 
-    NOTE: the repartitioned relation is ``persist()``ed here (it is read
-    by both the count job and the returned plan).  Harnesses running many
-    queries in one session should ``spark.catalog.clearCache()`` between
-    queries (selfcheck/bench do) — the cached blocks are otherwise only
+    NOTE: the input is ``persist()``ed here (it is read by the bucket
+    count job and the returned plan).  Harnesses running many queries in
+    one session should ``spark.catalog.clearCache()`` between queries
+    (selfcheck/bench do) — the cached blocks are otherwise only
     reclaimed by LRU eviction.
     """
     spark = df.sparkSession
     nparts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    ranged = df.repartitionByRange(nparts, *order_cols).withColumn(
-        "_gpid", F.spark_partition_id()
-    )
-    ranged = ranged.persist()
-    counts = {r["_gpid"]: r["cnt"] for r in _bounded_driver_rows(
-        ranged.groupBy("_gpid").agg(F.count(F.lit(1)).alias("cnt")),
-        max_driver_rows, "global_row_number partition counts")}
+    df = df.persist()
+    t = _with_order_bucket(df, order_cols, nparts, bucket_col, bucket_desc)
+    counts = {r["_pid"]: r["cnt"] for r in _bounded_driver_rows(
+        t.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")),
+        max_driver_rows, "global_row_number bucket counts")}
     offsets, acc = {}, 0
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
     if not counts:
-        return ranged.withColumn(rn_col, F.lit(0).cast("long")).drop("_gpid"), 0
+        return t.withColumn(rn_col, F.lit(0).cast("long")).drop("_pid"), 0
     offset_map = F.create_map(
         *[x for pid in offsets for x in (F.lit(pid), F.lit(offsets[pid]))]
     )
-    w = Window.partitionBy("_gpid").orderBy(*order_cols)
-    out = ranged.withColumn(
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    out = t.withColumn(
         rn_col,
-        (F.row_number().over(w).cast("long") + offset_map[F.col("_gpid")]),
-    ).drop("_gpid")
+        (F.row_number().over(w).cast("long") + offset_map[F.col("_pid")]),
+    ).drop("_pid")
     return out, acc
 
 
@@ -182,112 +245,116 @@ def keyed_running_sums(
 
     A ``Window.partitionBy(key)`` running sum caps parallelism at the
     number of keys (25 event types ⇒ 25 tasks no matter how many
-    executors).  Here instead:
+    executors).  Here instead (round 13 — fully LAZY re-plan; the old
+    form ran an eager ``repartitionByRange`` whose range-sampling job
+    re-executed the whole upstream, then a driver ``take`` for offsets:
+    3 build-time jobs and 2 data-scale exchanges per call):
 
-      1. ``repartitionByRange`` on (key, order) — contiguous sorted
-         ranges, any partition count;
-      2. a PARTITIONED window computes running sums inside each range in
-         parallel;
-      3. per-(partition, key) totals — a (#partitions × #keys)-row
-         aggregate, model-sized for bounded key cardinality — become
-         per-key offsets added back via a broadcast join.
+      1. rows are BUCKETED on the first order column by in-plan
+         approximate quantiles (``percentile_approx`` over the input,
+         broadcast back, bucket = #quantiles ≤ value).  Bucket
+         boundaries are half-open on the first order column, so equal
+         first-column values share a bucket and the bucket sequence
+         respects the total (key, order) ordering exactly; boundary
+         *balance* is approximate, correctness never depends on it.
+      2. a PARTITIONED window over (bucket, key) computes running sums
+         inside each bucket in parallel — this window's single hash
+         exchange is the only data-scale shuffle the helper adds;
+      3. per-(bucket, key) totals — a (#buckets × #keys)-row aggregate —
+         become per-key bucket offsets via an in-plan broadcast
+         theta-join (strictly-earlier buckets, null-safe on keys), added
+         back with one more broadcast join.  The only driver traffic is
+         the budget-guard take() on the totals relation (few-key
+         discipline, enforced as before).
 
-    Rows must be unique on (key, order) so the order is total (callers
-    pass pre-aggregated relations).  NULL key values form an ordinary
-    group (the offset join is null-safe), matching Window.partitionBy.  Returns ``(df_out, totals)`` where
-    ``df_out`` carries ``cum_<c>`` for each sum column and ``totals`` is
-    the per-key grand-total relation (``total_<c>``) — broadcast-sized,
-    callers join it rather than re-aggregating.  The repartitioned
-    relation is persisted (read by the totals job and the output plan);
-    harnesses clear the cache between queries (registry policy).
+    Rows must be unique on (key, order) so the order is total, and the
+    FIRST order column must be ascending and numeric/timestamp (callers
+    pass pre-aggregated relations ordered by a value column).  Sum
+    columns must be exact (integers / scaled bigints — registry parity
+    discipline): bucket totals fold in unordered aggregation.  NULL key
+    values form an ordinary group (all joins null-safe), matching
+    Window.partitionBy; NULL first-order values land in the first
+    bucket, matching NULLS FIRST ascending order.  Returns
+    ``(df_out, totals)`` where ``df_out`` carries ``cum_<c>`` for each
+    sum column and ``totals`` is the per-key grand-total relation
+    (``total_<c>``) — broadcast-sized, callers join it rather than
+    re-aggregating.  The input is persisted (read by the quantile,
+    totals and output subplans); harnesses clear the cache between
+    queries (registry policy).
     """
-    from collections import defaultdict
+    from pyspark.sql.types import DoubleType, FloatType
 
     spark = df.sparkSession
     nparts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    keys = [F.col(k) for k in key_cols]
-    ranged = df.repartitionByRange(nparts, *keys, *order_cols).withColumn(
-        "_gpid", F.spark_partition_id()
-    ).persist()
-    part_totals = _bounded_driver_rows(
-        ranged.groupBy("_gpid", *key_cols)
-        .agg(*[F.sum(c).alias(c) for c in sum_cols]),
-        max_driver_rows,
-        "keyed_running_sums per-(partition,key) totals",
-    )
-    by_key: dict[tuple, list] = defaultdict(list)
-    for r in part_totals:
-        by_key[tuple(r[k] for k in key_cols)].append(
-            (r["_gpid"], [r[c] for c in sum_cols])
-        )
-    off_rows, tot_rows = [], []
-    for key, lst in by_key.items():
-        acc = [0] * len(sum_cols)
-        for pid, vals in sorted(lst):
-            off_rows.append((pid, *key, *acc))
-            acc = [a + (v or 0) for a, v in zip(acc, vals)]
-        tot_rows.append((*key, *acc))
-    # Explicit schemas (ADVICE r7): the empty path must emit the SAME
-    # long/double-typed totals as the inferred non-empty path, and an
-    # all-NULL key column must not break type inference.
-    from pyspark.sql.types import (
-        DoubleType,
-        FloatType,
-        IntegerType,
-        LongType,
-        StructField,
-        StructType,
-    )
+    df = df.persist()
 
-    def _sum_type(c: str):
+    def _sum_type(c: str) -> str:
         dt = df.schema[c].dataType
-        return DoubleType() if isinstance(dt, (DoubleType, FloatType)) else LongType()
+        return "double" if isinstance(dt, (DoubleType, FloatType)) else "long"
 
-    key_fields = [StructField(k, df.schema[k].dataType) for k in key_cols]
-    off_schema = StructType(
-        [StructField("_gpid", IntegerType()), *key_fields]
-        + [StructField(f"_off_{c}", _sum_type(c)) for c in sum_cols]
+    t = _with_order_bucket(df, order_cols, nparts)
+
+    # Per-(bucket, key) totals — model-sized for bounded buckets/keys.
+    bt = t.groupBy("_pid", *key_cols).agg(
+        *[F.sum(c).cast(_sum_type(c)).alias(f"_s_{c}") for c in sum_cols]
+    ).persist()
+    # Few-key discipline stays ENFORCED (VERDICT r9): the offsets
+    # relation is broadcast and theta-joined, so bucket×key cardinality
+    # must stay bounded — one take() against the persisted totals raises
+    # loudly past the budget (and warms the caches the plan reads anyway).
+    _bounded_driver_rows(
+        bt.select("_pid", *key_cols), max_driver_rows,
+        "keyed_running_sums per-(bucket,key) totals",
     )
-    tot_schema = StructType(
-        key_fields + [StructField(f"total_{c}", _sum_type(c)) for c in sum_cols]
+    totals = bt.groupBy(*key_cols).agg(
+        *[F.sum(f"_s_{c}").cast(_sum_type(c)).alias(f"total_{c}") for c in sum_cols]
     )
-    if not off_rows:  # empty input: zero cums, empty totals
-        out = ranged
-        for c in sum_cols:
-            out = out.withColumn(f"cum_{c}", F.lit(0).cast("long"))
-        return out.drop("_gpid"), spark.createDataFrame([], tot_schema)
 
-    def _cast(rows, schema):
-        return [
-            tuple(
-                float(v) if v is not None and isinstance(f.dataType, DoubleType)
-                else v
-                for v, f in zip(r, schema.fields)
-            )
-            for r in rows
-        ]
+    # Offsets = per key, the sum over strictly-earlier buckets: an
+    # in-plan broadcast theta-join of the tiny totals relation with
+    # itself (left join keeps empty-prefix buckets at offset 0).
+    prev = bt.select(
+        F.col("_pid").alias("_p_pid"),
+        *[F.col(k).alias(f"_p_{k}") for k in key_cols],
+        *[F.col(f"_s_{c}").alias(f"_p_{c}") for c in sum_cols],
+    )
+    cond = F.col("_p_pid") < F.col("_pid")
+    for k in key_cols:
+        cond = cond & F.col(k).eqNullSafe(F.col(f"_p_{k}"))
+    offs = (
+        bt.join(F.broadcast(prev), cond, "left")
+        .groupBy("_pid", *key_cols)
+        .agg(
+            *[
+                F.coalesce(F.sum(f"_p_{c}"), F.lit(0))
+                .cast(_sum_type(c))
+                .alias(f"_off_{c}")
+                for c in sum_cols
+            ]
+        )
+    )
 
-    offsets = spark.createDataFrame(_cast(off_rows, off_schema), off_schema)
-    totals = spark.createDataFrame(_cast(tot_rows, tot_schema), tot_schema)
+    # Attach offsets (broadcast — bucket×key rows) and add the in-bucket
+    # running sum from the partitioned window.
+    off = offs.withColumnRenamed("_pid", "_o_pid")
+    for k in key_cols:
+        off = off.withColumnRenamed(k, f"_o_{k}")
+    jcond = F.col("_pid") == F.col("_o_pid")
+    for k in key_cols:
+        jcond = jcond & F.col(k).eqNullSafe(F.col(f"_o_{k}"))
     w = (
-        Window.partitionBy("_gpid", *key_cols)
+        Window.partitionBy("_pid", *key_cols)
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    # null-safe key equality (ADVICE r7): Window.partitionBy treats NULL
-    # as an ordinary group, so the offset join must too — a plain equi-
-    # join would silently drop NULL-keyed rows
-    off = offsets.withColumnRenamed("_gpid", "_o_gpid")
-    for k in key_cols:
-        off = off.withColumnRenamed(k, f"_o_{k}")
-    cond = F.col("_gpid") == F.col("_o_gpid")
-    for k in key_cols:
-        cond = cond & F.col(k).eqNullSafe(F.col(f"_o_{k}"))
-    out = ranged.join(F.broadcast(off), cond)
+    out = t.join(F.broadcast(off), jcond)
     for c in sum_cols:
-        out = out.withColumn(f"cum_{c}", F.sum(c).over(w) + F.col(f"_off_{c}"))
+        out = out.withColumn(
+            f"cum_{c}",
+            (F.sum(c).over(w) + F.col(f"_off_{c}")).cast(_sum_type(c)),
+        )
     out = out.drop(
-        "_gpid", "_o_gpid",
+        "_pid", "_o_pid",
         *[f"_o_{k}" for k in key_cols],
         *[f"_off_{c}" for c in sum_cols],
     )

@@ -745,7 +745,7 @@ def q_corpus_novelty_curve(spark, sf_dir):
         )
         .persist()
     )
-    ranked, n = global_row_number(perdoc, [F.asc("doc_id")])
+    ranked, n = global_row_number(perdoc, [F.col("doc_id")])
     bucketed = ranked.select(
         "n_grams", "novel",
         ntile_from_row_number(F.col("_rn"), n, _NOV_BUCKETS).alias("bucket"),

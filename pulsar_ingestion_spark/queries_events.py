@@ -381,7 +381,8 @@ def q_events_rfm_segments(spark, sf_dir):
         ("frequency", "f_score"),
         ("monetary", "m_score"),
     ):
-        ranked, n = global_row_number(base, [F.desc(metric), F.asc("user_id")])
+        ranked, n = global_row_number(base, [F.desc(metric), F.asc("user_id")],
+                                      bucket_col=F.col(metric), bucket_desc=True)
         scores = ranked.select(
             "user_id", ntile_from_row_number(F.col("_rn"), n, 5).alias(score)
         )
@@ -675,7 +676,8 @@ def q_events_pareto_share(spark, sf_dir):
 
     ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
     per_user = ev.groupBy("user_id").agg(F.count("*").alias("cnt")).persist()
-    ranked, n = global_row_number(per_user, [F.desc("cnt"), F.asc("user_id")])
+    ranked, n = global_row_number(per_user, [F.desc("cnt"), F.asc("user_id")],
+                                  bucket_col=F.col("cnt"), bucket_desc=True)
     total = per_user.agg(F.sum("cnt").cast("bigint").alias("tot"))
     deciled = ranked.select(
         "cnt", ntile_from_row_number(F.col("_rn"), n, 10).alias("decile")

@@ -1031,7 +1031,8 @@ def q_ml_lift_deciles(spark, sf_dir):
         F.when((F.col("event_id") % 10 < 2) | (F.col("value") > 200), 1)
         .otherwise(0).alias("y"),
     )
-    ranked, n = global_row_number(scored, [F.desc("p"), F.asc("event_id")])
+    ranked, n = global_row_number(scored, [F.desc("p"), F.asc("event_id")],
+                                  bucket_col=F.col("p"), bucket_desc=True)
     deciled = ranked.select(
         "y", ntile_from_row_number(F.col("_rn"), n, 10).alias("decile")
     )
@@ -1403,7 +1404,8 @@ def q_ml_average_precision(spark, sf_dir):
         F.when((F.col("event_id") % 10 < 2) | (F.col("value") > 200), 1)
         .otherwise(0).alias("y"),
     )
-    ranked, n = global_row_number(scored, [F.desc("p"), F.asc("event_id")])
+    ranked, n = global_row_number(scored, [F.desc("p"), F.asc("event_id")],
+                                  bucket_col=F.col("p"), bucket_desc=True)
     ranked = ranked.select("y", F.col("_rn").alias("rnk"), F.lit(1).alias("k"))
     cum, _ = keyed_running_sums(ranked, ["k"], [F.col("rnk")], ["y"])
     prec_at = F.when(
@@ -1612,7 +1614,8 @@ def q_ml_best_f1_threshold(spark, sf_dir):
         F.when((F.col("event_id") % 10 < 2) | (F.col("value") > 200), 1)
         .otherwise(0).alias("y"),
     )
-    ranked, n = global_row_number(scored, [F.desc("p"), F.asc("event_id")])
+    ranked, n = global_row_number(scored, [F.desc("p"), F.asc("event_id")],
+                                  bucket_col=F.col("p"), bucket_desc=True)
     ranked = ranked.select("p", "y", F.col("_rn").alias("k"), F.lit(1).alias("kk"))
     cum, _ = keyed_running_sums(ranked, ["kk"], [F.col("k")], ["y"])
     ptot = scored.agg(F.sum("y").alias("pos_total"))

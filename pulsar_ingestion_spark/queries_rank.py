@@ -98,24 +98,37 @@ def q_stats_mann_whitney(spark, sf_dir):
     the rank-sum is carried as the exact integer 2·R₁ so U and z are
     single IEEE expressions over exact integers on both engines."""
     (ev,) = _t(spark, sf_dir, "events")
-    treat_cnt = (
-        ev.filter(F.col("event_type") != _MW_BASE)
-        .groupBy(F.col("event_type").alias("cmp"), "value")
-        .agg(F.count(F.lit(1)).alias("ct"))
-    )
-    cmps = treat_cnt.select("cmp").distinct()
-    base_cnt = (
-        ev.filter(F.col("event_type") == _MW_BASE)
+    # Round 13: ONE (value)-keyed aggregate builds a per-type count map;
+    # the per-comparison fan-out is a narrow explode against the
+    # broadcast type list (zero cells fall out of the map lookup).  This
+    # replaces the old two-aggregate + full-outer-join shape — two
+    # exchanges and a sort-merge join fewer, same pervalue relation.
+    pertype = (
+        ev.groupBy("value", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
         .groupBy("value")
-        .agg(F.count(F.lit(1)).alias("cb"))
-        .crossJoin(F.broadcast(cmps))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("event_type", "c"))
+            ).alias("m")
+        )
+    )
+    cmps = ev.filter(F.col("event_type") != _MW_BASE).agg(
+        F.array_sort(F.collect_set("event_type")).alias("cmps")
     )
     pervalue = (
-        treat_cnt.join(base_cnt, ["cmp", "value"], "full_outer")
+        pertype.crossJoin(F.broadcast(cmps))
+        .select(
+            "value",
+            F.coalesce(F.element_at("m", F.lit(_MW_BASE)), F.lit(0)).alias("cb"),
+            F.explode("cmps").alias("cmp"),
+            F.col("m"),
+        )
         .select(
             "cmp", "value",
-            F.coalesce(F.col("ct"), F.lit(0)).alias("ct"),
-            F.coalesce(F.col("cb"), F.lit(0)).alias("cb"),
+            F.coalesce(F.element_at("m", F.col("cmp")), F.lit(0)).cast("long")
+            .alias("ct"),
+            F.col("cb").cast("long").alias("cb"),
         )
         .withColumn("c", F.col("ct") + F.col("cb"))
     )

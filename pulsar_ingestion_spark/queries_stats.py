@@ -448,7 +448,8 @@ def q_text_zipf_slope(spark, sf_dir):
     )
     top = cnts.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(_ZIPF_TOP)
     ranked, _total = global_row_number(
-        top, [F.col("cnt").desc(), F.col("token").asc()], rn_col="rnk"
+        top, [F.col("cnt").desc(), F.col("token").asc()], rn_col="rnk",
+        bucket_col=F.col("cnt"), bucket_desc=True,
     )
     x = F.round(F.log(F.col("rnk")), 8)
     y = F.round(F.log(F.col("cnt")), 8)
