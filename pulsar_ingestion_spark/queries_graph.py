@@ -272,7 +272,8 @@ def q_graph_degree_stats(spark, sf_dir):
     blocked pair generation: the edge distinct and the per-node degree
     count (both map-side combining).  The distribution output is
     model-sized."""
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out: the cap
+    # window's (event_type, hr) exchange follows immediately (r13)
     edges = _cooc_edges(ev)
     deg = (
         edges.select(F.col("u").alias("node"))
@@ -318,7 +319,8 @@ def q_graph_triangle_count(spark, sf_dir):
     A(a,b)⋈A(b,c) cannot explode on skewed graphs the way the naive
     three-way edge join does.  Two equi-join shuffles on node keys after
     the blocked edge build."""
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out: the cap
+    # window's (event_type, hr) exchange follows immediately (r13)
     edges = _cooc_edges(ev).persist()
     deg = (
         edges.select(F.col("u").alias("node"))
@@ -468,12 +470,19 @@ def _peel_to_kcore(edges, k: int):
             .groupBy("node")
             .agg(F.count("*").alias("d"))
         )
-        ok = deg.filter(F.col("d") >= k).select("node")
+        # Round 13: anti-join against the BELOW-threshold set instead of
+        # semi-join against the (large) survivor set — every endpoint has
+        # a degree row, so "neither endpoint in bad" == "both degrees
+        # >= k".  bad shrinks to a handful of nodes after the first
+        # round, so AQE broadcasts it and the edge relation stops being
+        # shuffled twice per round (no broadcast hint: on adversarial
+        # graphs bad can be node-scale and must stay shuffleable).
+        bad = deg.filter(F.col("d") < k).select("node")
         return (
-            cur.join(ok.withColumnRenamed("node", "uu"),
-                     F.col("u") == F.col("uu"), "left_semi")
-            .join(ok.withColumnRenamed("node", "vv"),
-                  F.col("v") == F.col("vv"), "left_semi")
+            cur.join(bad.withColumnRenamed("node", "uu"),
+                     F.col("u") == F.col("uu"), "left_anti")
+            .join(bad.withColumnRenamed("node", "vv"),
+                  F.col("v") == F.col("vv"), "left_anti")
         )
 
     cur = edges.select("u", "v").localCheckpoint(eager=True)
@@ -503,7 +512,8 @@ def q_graph_kcore(spark, sf_dir):
     Reference basis: consumer-graph cohesion over the splitter's event
     stream (docs/architecture.md:113-118), extending graph_degree_stats
     from degree distribution to degeneracy structure."""
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out: the cap
+    # window's (event_type, hr) exchange follows immediately (r13)
     cur = _cooc_edges(ev)
     reports = []
     for k in (2, 3, 4):
@@ -577,7 +587,8 @@ def q_graph_bfs_hops(spark, sf_dir):
     stream (docs/architecture.md:113-118), extending graph_degree_stats
     to traversal distance.
     """.format(hops=_BFS_MAX_HOPS, seeds=_BFS_SEEDS)
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out: the cap
+    # window's (event_type, hr) exchange follows immediately (r13)
     edges = _cooc_edges(ev)
     bidir = (
         edges.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
@@ -681,12 +692,21 @@ def label_propagation(edges, rounds: int):
     one map-side-combining aggregate replaces round 1's label join,
     (node, label) vote shuffle, argmax shuffle AND the seed distinct.
     Rounds 2+ run the general loop unchanged."""
+    # bidir is hash-partitioned on nbr BEFORE the persist (round 13):
+    # every round's label join keys on nbr, so the cached partitioning
+    # serves all of them — the edge relation is exchanged once, not once
+    # per round (guide §2.4 — share the exchange).
     bidir = edges.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
         edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
-    ).persist()
+    ).repartition("nbr").persist()
     if rounds <= 0:
         return bidir.select("node").distinct().withColumn("label", F.col("node"))
-    labels = bidir.groupBy("node").agg(F.min("nbr").alias("label"))
+    # Round 1 (algebraic min of neighbor ids) groups by NBR, riding the
+    # shared exchange: bidir is symmetric, so {y : (x,y)} == {y : (y,x)}
+    # and min(node) grouped by nbr == min(nbr) grouped by node.
+    labels = bidir.groupBy("nbr").agg(F.min("node").alias("label")).select(
+        F.col("nbr").alias("node"), "label"
+    )
     for _ in range(rounds - 1):
         votes = (
             bidir.join(
@@ -720,7 +740,8 @@ def q_graph_label_propagation(spark, sf_dir):
     makes the fixed round count exactly reproducible in ANSI SQL (the
     async variant is faster to converge but order-dependent — wrong for
     an oracle-checked operator)."""
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out: the cap
+    # window's (event_type, hr) exchange follows immediately (r13)
     edges = _cooc_edges(ev).persist()
     labels = label_propagation(edges, _LPA_ROUNDS)
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("community_size"))
@@ -785,7 +806,8 @@ def q_graph_jaccard_linkpred(spark, sf_dir):
     the triangle-count lesson (per-edge array ops beat a three-way
     join's O(E·d) blowup).  Anti-join removes existing edges; the
     top-k is TakeOrdered (no global sort)."""
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out: the cap
+    # window's (event_type, hr) exchange follows immediately (r13)
     edges = _cooc_edges(ev).persist()
     return jaccard_linkpred(edges, _LP_CAP, _LP_TOPK)
 
@@ -862,30 +884,30 @@ def jaccard_linkpred(edges, cap: int, topk: int, prescore: int = 4096,
         bidir.withColumn("rn", F.row_number().over(wcap))
         .filter(F.col("rn") <= cap)
         .drop("rn")
-        .persist()
     )
     deg = bidir.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
 
     prescore = max(prescore, topk)
-    # Gate stats as scalar UPPER BOUNDS from node-sized relations only:
-    #   nc_bound   = Σ_c C(cnt_c, 2)            ≥ |candidates|
-    #   work_bound = Σ_c (cnt_c − 1)·Σ_{u∈S_c} deg_u ≥ Σ_cands (du + dw)
+    # Gate stats as scalar UPPER BOUNDS from the DEGREE relation alone
+    # (round 13: the old gate joined the capped member list against
+    # degrees — a window sort + join executed eagerly just to pick the
+    # path; capped is now only built lazily inside the chosen plan):
+    #   cnt_c      = |capped members of c| = least(deg_c, cap)  (exact)
+    #   nc_bound   = Σ_c C(cnt_c, 2)                 ≥ |candidates|
+    #   work_bound = Σ_c (cnt_c − 1)·cnt_c·maxdeg
+    #                ≥ Σ_c (cnt_c − 1)·Σ_{u∈S_c} deg_u ≥ Σ_cands (du + dw)
     #   maxdeg     = global max degree (covers every candidate endpoint)
-    cnt, sumdeg = F.col("cnt"), F.col("sumdeg")
-    cstats = (
-        capped.join(deg.select(F.col("node").alias("nbr"), "deg"), "nbr")
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("deg").alias("sumdeg"))
-        .agg(
-            F.sum(cnt * (cnt - 1) / 2).alias("nc_bound"),
-            F.sum((cnt - 1) * sumdeg).alias("work_bound"),
-        )
-    )
-    gate = cstats.crossJoin(deg.agg(F.max("deg").alias("maxdeg"))).first()
+    cnt = F.least(F.col("deg"), F.lit(cap))
+    gate = deg.agg(
+        F.sum(cnt * (cnt - 1) / 2).alias("nc_bound"),
+        F.sum((cnt - 1) * cnt).alias("work_sum"),
+        F.max("deg").alias("maxdeg"),
+    ).first()
     flat = (gate["maxdeg"] or 0) <= max_direct_deg
+    work_bound = (gate["work_sum"] or 0) * (gate["maxdeg"] or 0)
     direct = (
         gate["nc_bound"] is None or gate["nc_bound"] <= prescore
-        or (flat and (gate["work_bound"] or 0) <= direct_work_budget)
+        or (flat and work_bound <= direct_work_budget)
     )
 
     # Wedge pairs generated map-side from each center's sorted capped
@@ -1035,7 +1057,8 @@ def q_graph_assortativity(spark, sf_dir):
     Degrees are one grouped count; the edge-degree join shuffles the
     edge list twice by endpoint; the correlation moments are exact
     integer sums (degree values), so r is one IEEE expression."""
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out: the cap
+    # window's (event_type, hr) exchange follows immediately (r13)
     edges = _cooc_edges(ev).persist()
     return degree_assortativity(edges)
 
@@ -1121,7 +1144,8 @@ def q_graph_modularity(spark, sf_dir):
     random; Q ≳ 0.3: real structure).  Per-community terms are
     rounded-to-8 then DECIMAL-summed; everything upstream is the LPA
     plan plus two count aggregates."""
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out: the cap
+    # window's (event_type, hr) exchange follows immediately (r13)
     edges = _cooc_edges(ev).persist()
     labels = label_propagation(edges, _LPA_ROUNDS).persist()
     return newman_modularity(edges, labels)
@@ -1204,7 +1228,8 @@ def q_graph_clustering_coeff(spark, sf_dir):
     capped at O(√E)) and wedges as the exact Σ d(d−1)/2 — the
     one-number 'how cliquish' summary that calibrates expectations for
     the community (LPA/modularity) family."""
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out: the cap
+    # window's (event_type, hr) exchange follows immediately (r13)
     edges = _cooc_edges(ev).persist()
     deg = (
         edges.select(F.col("u").alias("node"))
@@ -1301,7 +1326,8 @@ def q_graph_closeness_centrality(spark, sf_dir):
     Reference basis: reach/influence ranking over the splitter's event
     stream (docs/architecture.md:113-118), extending graph_bfs_hops.
     """.format(seeds=_CLOSE_SEEDS, hops=_BFS_MAX_HOPS)
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out: the cap
+    # window's (event_type, hr) exchange follows immediately (r13)
     edges = _cooc_edges(ev)
     bidir = (
         edges.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
@@ -1617,7 +1643,8 @@ def q_graph_ktruss(spark, sf_dir):
     capped co-occurrence edges, so no cell goes quadratic) and the
     fixpoint is peel-order-free — the oracle replays the same peel as a
     WITH RECURSIVE ladder."""
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out: the cap
+    # window's (event_type, hr) exchange follows immediately (r13)
     edges = _cooc_edges(ev).persist()
     t3 = _peel_to_ktruss(edges, 3)
     t4 = _peel_to_ktruss(t3, 4)
