@@ -797,8 +797,6 @@ def embedding_near_dups_blas(
     import numpy as np
     import pandas as pd
 
-    from pulsar_ingestion_spark.operators.similarity import signlsh_buckets
-
     block_threshold = threshold - 1e-6 if exact_rescore else threshold
     rows = emb.select(F.col(id_col).alias("rid"), F.col(vec_col).alias("rvec"))
     if num_planes is None:
@@ -807,12 +805,19 @@ def embedding_near_dups_blas(
         # one count() against the scan: sizes 2^planes so the expected
         # block fits an executor's Arrow group (similarity.auto_num_planes)
         num_planes = auto_num_planes(rows.count())
-    tables = None
-    for t in range(num_tables):
-        bt = signlsh_buckets(
-            rows, dim, num_planes, id_col="rid", vec_col="rvec", seed=seed + 7919 * t
-        ).select(F.lit(t).alias("tbl"), "bucket", "id", "vec")
-        tables = bt if tables is None else tables.unionByName(bt)
+    # Round 13: one Arrow pass computes every table's bucket (the old
+    # per-table union scanned the source and crossed the Python boundary
+    # num_tables times); posexplode recovers the (tbl, bucket) layout —
+    # bucket values are bit-identical table by table.
+    from pulsar_ingestion_spark.operators.similarity import signlsh_buckets_multi
+
+    seeds = [seed + 7919 * t for t in range(num_tables)]
+    bt = signlsh_buckets_multi(
+        rows, dim, num_planes, seeds, id_col="rid", vec_col="rvec"
+    )
+    tables = bt.select(
+        F.posexplode("buckets").alias("tbl", "bucket"), "id", "vec"
+    )
 
     def _block(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(

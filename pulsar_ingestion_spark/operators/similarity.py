@@ -150,6 +150,65 @@ def signlsh_buckets(
     )
 
 
+def signlsh_buckets_multi(
+    df: DataFrame,
+    dim: int,
+    num_planes: int,
+    seeds: list[int],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-tables sign-LSH signatures in ONE Arrow pass (round 13): the
+    per-table kernel of :func:`signlsh_buckets` ran once per hash table —
+    T scans of the source and T JVM↔Python crossings of the vector
+    column, unioned.  This kernel computes every table's bucket in one
+    crossing and returns ``(id, vec, buckets array<long>)``; callers
+    ``posexplode`` to ``(tbl, bucket)``.  Per-plane accumulation order is
+    IDENTICAL to the single-table kernel (column-by-column float64
+    adds), so bucket values are bit-equal table by table; invalid rows
+    (NULL / wrong dim) yield a NULL per table, matching the per-table
+    NULL-bucket guard."""
+    from pyspark.sql.functions import pandas_udf
+
+    all_planes = [
+        [
+            np.array(_hyperplane(dim, i, s), dtype=np.float64)
+            for i in range(num_planes)
+        ]
+        for s in seeds
+    ]
+    ntab = len(seeds)
+
+    @pandas_udf("array<long>")
+    def _buckets(v: pd.Series) -> pd.Series:
+        n = len(v)
+        if n == 0:
+            return pd.Series([], dtype="object")
+        vs = v.to_numpy()
+        valid = np.fromiter(
+            (e is not None and len(e) == dim for e in vs), dtype=bool, count=n
+        )
+        out = [[None] * ntab] * n
+        if valid.any():
+            mat = np.vstack(vs[valid]).astype(np.float64)
+            codes = np.zeros((len(mat), ntab), dtype=np.int64)
+            for t, planes in enumerate(all_planes):
+                for p, w in enumerate(planes):
+                    acc = np.zeros(len(mat), dtype=np.float64)
+                    for j in range(dim):
+                        acc += mat[:, j] * w[j]
+                    codes[:, t] |= (acc > 0).astype(np.int64) << p
+            it = iter(codes.tolist())
+            out = [next(it) if ok else [None] * ntab for ok in valid]
+        return pd.Series(out, dtype="object")
+
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        _buckets(F.col(vec_col)).alias("buckets"),
+    )
+
+
 def pq_encode_kernel(
     df: DataFrame,
     cents: list[tuple[int, list[float]]],
