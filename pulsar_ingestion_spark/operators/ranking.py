@@ -175,45 +175,44 @@ def global_exclusive_running_max(
     row) without an unpartitioned window — the max analogue of
     :func:`global_row_number` (round 12, skyline broadcast guard).
 
-    Range-partition on ``order_col``, run the exclusive running max
-    inside each range in parallel, collect one max per partition
-    (#partitions driver rows), fold the exclusive prefix on the driver
-    and map the offsets back.  ``order_col`` must be unique per row
+    Round 13 (lazy bucket form, matching :func:`keyed_running_sums`):
+    bucket on in-plan quantiles of ``order_col``, run the exclusive
+    running max inside each bucket in parallel, and fold the
+    strictly-earlier-bucket max via an in-plan broadcast theta-join over
+    the bucket-max relation — no range-sampling pass, no driver rows
+    beyond the budget-guard take.  ``order_col`` must be unique per row
     (callers pass pre-aggregated relations).  Same persist/clearCache
     note as :func:`global_row_number`."""
     spark = df.sparkSession
     nparts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    ranged = df.repartitionByRange(nparts, F.col(order_col)).withColumn(
-        "_gpid", F.spark_partition_id()
-    ).persist()
-    pmax = {r["_gpid"]: r["m"] for r in _bounded_driver_rows(
-        ranged.groupBy("_gpid").agg(F.max(val_col).alias("m")),
-        max_driver_rows, "global_exclusive_running_max partition maxes")}
-    offsets, acc = {}, None
-    for pid in sorted(pmax):
-        offsets[pid] = acc
-        m = pmax[pid]
-        if m is not None:
-            acc = m if acc is None else max(acc, m)
+    df = df.persist()
+    t = _with_order_bucket(df, [F.col(order_col)], nparts)
+    bt = t.groupBy("_pid").agg(F.max(val_col).alias("_bmax")).persist()
+    _bounded_driver_rows(
+        bt.select("_pid"), max_driver_rows,
+        "global_exclusive_running_max bucket maxes",
+    )
+    prev = bt.select(
+        F.col("_pid").alias("_p_pid"), F.col("_bmax").alias("_p_bmax")
+    )
+    offs = (
+        bt.join(F.broadcast(prev), F.col("_p_pid") < F.col("_pid"), "left")
+        .groupBy("_pid")
+        .agg(F.max("_p_bmax").alias("_off"))
+    )
     w = (
-        Window.partitionBy("_gpid")
+        Window.partitionBy("_pid")
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    local = ranged.withColumn("_lmax", F.max(val_col).over(w))
-    if not pmax:
-        return local.withColumn(
-            out_col, F.lit(None).cast(df.schema[val_col].dataType)
-        ).drop("_gpid", "_lmax")
-    # CASE chain keyed on _gpid (create_map can't hold NULL values);
+    local = t.join(
+        F.broadcast(offs.withColumnRenamed("_pid", "_o_pid")),
+        F.col("_pid") == F.col("_o_pid"),
+    ).withColumn("_lmax", F.max(val_col).over(w))
     # greatest() skips NULLs, matching "no preceding row" semantics
-    off: Column = F.lit(None).cast(df.schema[val_col].dataType)
-    for pid in sorted(offsets, reverse=True):
-        if offsets[pid] is not None:
-            off = F.when(F.col("_gpid") == pid, F.lit(offsets[pid])).otherwise(off)
     return local.withColumn(
-        out_col, F.greatest(F.col("_lmax"), off)
-    ).drop("_gpid", "_lmax")
+        out_col, F.greatest(F.col("_lmax"), F.col("_off"))
+    ).drop("_pid", "_o_pid", "_lmax", "_off")
 
 
 def ntile_from_row_number(rn: Column, total_rows: int, tiles: int) -> Column:

@@ -46,7 +46,7 @@ def q_corpus_split_train(spark, sf_dir):
     # corpus versions), and any engine can recompute membership.
     # Plan: narrow projection, no shuffle — at 100 TB this is a pure
     # map over the scan.
-    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    docs = load_tables(spark, sf_dir)["documents"]  # no fan_out (r13)
     bucket = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("bigint")
         % 100
@@ -86,7 +86,7 @@ def q_corpus_pack_sequences(spark, sf_dir):
     # clusters and checkable by the oracle.  At 1000 executors, raise the
     # shard count to O(cores); packs never span shards so shards are
     # embarrassingly parallel.
-    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    docs = load_tables(spark, sf_dir)["documents"]  # no fan_out (r13)
     budget = 2048
     toks = docs.select(
         "doc_id", "lang", token_count(F.col("text")).alias("tokens"),
@@ -125,7 +125,7 @@ def q_corpus_mix_domains(spark, sf_dir):
     # explode multiplies rows at the scan, so the sink (not a shuffle)
     # absorbs the fan-out; skewed domains never concentrate on one task
     # because the join is map-side.
-    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    docs = load_tables(spark, sf_dir)["documents"]  # no fan_out (r13)
     counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
     # the global max is a 1-row scalar aggregate broadcast-crossed back —
     # no unpartitioned window anywhere in the plan (judge r2 polish item)
@@ -200,7 +200,7 @@ def q_corpus_assemble(spark, sf_dir):
         word_count,
     )
 
-    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    docs = load_tables(spark, sf_dir)["documents"]  # no fan_out (r13)
     t = F.col("text")
     # project features FIRST, filter on the projected columns: conjuncts
     # in filter position each re-evaluate their expression tree (codegen
@@ -282,7 +282,7 @@ def q_corpus_token_budget(spark, sf_dir):
     code') becomes a concrete document set.  One window pass per source
     key; cumulative state is a single counter, so the shape is
     partition-parallel across domains at any scale."""
-    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    docs = load_tables(spark, sf_dir)["documents"]  # no fan_out (r13)
     w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -326,7 +326,7 @@ def q_corpus_dedup_report(spark, sf_dir):
     digests, never on document bytes."""
     from pulsar_ingestion_spark.functions.text import doc_fingerprint
 
-    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    docs = load_tables(spark, sf_dir)["documents"]  # no fan_out (r13)
     fp = docs.select(
         "source",
         F.md5("text").alias("exact_h"),
@@ -366,7 +366,7 @@ def q_corpus_shard_assign(spark, sf_dir):
     with per-shard doc and token totals to verify the hash balances.
     The same expression is the DataFrameWriter's partitionBy column in
     the write path; here it feeds one partial-agg shuffle."""
-    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    docs = load_tables(spark, sf_dir)["documents"]  # no fan_out (r13)
     shard = (
         F.conv(F.substring(F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))), 1, 8), 16, 10)
         .cast("bigint") % _N_SHARDS
@@ -424,7 +424,7 @@ def q_corpus_domain_caps(spark, sf_dir):
     window (the same per-domain exchange the share report needs anyway)
     against a broadcast scalar budget; the audit reports docs/chars
     before vs after per source.""".format(pct=int(_CAP_SHARE * 100))
-    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    docs = load_tables(spark, sf_dir)["documents"]  # no fan_out (r13)
     tot = docs.agg(F.sum("n_chars").cast("bigint").alias("total_chars"))
     w = (
         Window.partitionBy("source")
@@ -495,7 +495,7 @@ def q_text_ppl_buckets(spark, sf_dir):
 
     # Same (doc, word, tf)-first shape as text_unigram_logprob (r5 perf
     # pass): one token-stream collapse, every later stage pair-bounded.
-    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    docs = load_tables(spark, sf_dir)["documents"]  # no fan_out (r13)
     tfd = (
         docs.select("doc_id", F.explode(words(F.lower(F.col("text")))).alias("word"))
         .groupBy("doc_id", "word")
@@ -587,7 +587,7 @@ def q_corpus_importance_weights(spark, sf_dir):
     the α-power weights are rounded-to-6 then DECIMAL-summed so the
     normalizing constant is order-free; every output ratio divides
     bitwise-identical doubles."""
-    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    docs = load_tables(spark, sf_dir)["documents"]  # no fan_out (r13)
     perdoc = docs.select(
         "source", F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("words")
     )
@@ -643,7 +643,7 @@ def q_corpus_dedup_savings(spark, sf_dir):
     the 16-byte text digest (unbounded key cardinality is fine: groups
     are duplicate-cluster-sized), so the whole plan is one digest
     shuffle + one source aggregate."""
-    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    docs = load_tables(spark, sf_dir)["documents"]  # no fan_out (r13)
     from pyspark.sql import Window as W
 
     fp = docs.select(
@@ -720,7 +720,7 @@ def q_corpus_novelty_curve(spark, sf_dir):
         ntile_from_row_number,
     )
 
-    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    docs = load_tables(spark, sf_dir)["documents"]  # no fan_out (r13)
     toks = docs.select(
         "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("t")
     ).filter(F.size("t") >= _NOV_N)
@@ -793,7 +793,7 @@ def q_corpus_seq_len_profile(spark, sf_dir):
     text_chunk_documents (overlap chunking) for each source.  One
     narrow token count + one grouped aggregate with exact interpolated
     percentiles."""
-    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    docs = load_tables(spark, sf_dir)["documents"]  # no fan_out (r13)
     perdoc = docs.select(
         "source",
         F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("toks"),
@@ -856,7 +856,7 @@ def q_corpus_quality_filter_funnel(spark, sf_dir):
         word_count,
     )
 
-    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    docs = load_tables(spark, sf_dir)["documents"]  # no fan_out (r13)
     t = F.col("text")
     f_len = word_count(t).between(10, 100000)
     f_dupw = dup_word_frac(t) <= 0.6
@@ -918,7 +918,7 @@ def q_corpus_temperature_mix(spark, sf_dir):
     corpus_mix_domains executes.  One data-scale token-count aggregate;
     sqrt is IEEE-correctly-rounded (engine-identical), and the
     20-source root sum is a 6 dp-rounded DECIMAL fold (order-free)."""
-    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    docs = load_tables(spark, sf_dir)["documents"]  # no fan_out (r13)
     t = docs.groupBy("source").agg(
         F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+"))).alias("tokens")
     )

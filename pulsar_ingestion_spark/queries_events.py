@@ -48,7 +48,7 @@ def q_events_funnel(spark, sf_dir):
     # and every stage's frame shrinks monotonically, so at 100 TB the
     # wide side is scanned once per stage with the stage predicate pushed
     # down; no self-join of the full event log against itself.
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out (r13)
     s1 = ev.filter(F.col("event_type") == "click").groupBy("user_id").agg(F.min("ts").alias("t1"))
     s2 = (
         ev.filter(F.col("event_type") == "view")
@@ -101,7 +101,7 @@ def q_events_cohort_retention(spark, sf_dir):
     # user_id-keyed so it co-partitions with the first agg — at 100 TB the
     # event log is read once and everything downstream is
     # cardinality-of-users sized.
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out (r13)
     first_seen = ev.groupBy("user_id").agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
     activity = (
         ev.join(first_seen, "user_id")
@@ -157,7 +157,7 @@ def q_events_sessionize(spark, sf_dir):
     # shuffle, all partitioned by user_id, so session state never
     # crosses executors.  Tie-break on event_id keeps the running sum
     # deterministic under equal timestamps.
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out (r13)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts").over(w)
     is_new = F.when(
@@ -195,7 +195,7 @@ def q_join_range_banded(spark, sf_dir):
     # tiny-bounds case; this is the sibling for two fact tables).
     from pulsar_ingestion_spark.operators.joins import banded_range_join
 
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out (r13)
     us = F.unix_micros(F.col("ts"))
     a = ev.filter(F.col("event_type") == "error").select(
         F.col("event_id").alias("error_id"), us.alias("a_us"),
@@ -235,7 +235,7 @@ def q_ts_ewma(spark, sf_dir):
     # applyInPandasWithState over time-ordered micro-batches (the
     # streaming sibling, streaming/stateful.py) — this is the batch
     # contract for it.
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out (r13)
     seq = ev.groupBy("user_id").agg(
         F.sort_array(F.collect_list(F.struct("ts", "event_id", "value"))).alias("seq")
     )
@@ -281,7 +281,7 @@ def q_table_profile(spark, sf_dir):
     # scan, no shuffle of raw rows — partial aggs combine map-side), then
     # unpivot to the long (col_name, metrics) form.  At 100 TB this reads
     # each column chunk once; column pruning keeps it to the profiled set.
-    li = fan_out(load_tables(spark, sf_dir)["lineitem"], spark)
+    li = load_tables(spark, sf_dir)["lineitem"]  # no fan_out (r13)
     cols = ["l_quantity", "l_returnflag", "l_linestatus"]
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in cols:
@@ -369,7 +369,7 @@ def q_events_rfm_segments(spark, sf_dir):
         ntile_from_row_number,
     )
 
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out (r13)
     base = ev.groupBy("user_id").agg(
         F.unix_micros(F.max("ts")).alias("recency_us"),
         F.count(F.lit(1)).alias("frequency"),
@@ -419,7 +419,7 @@ def q_events_anomaly_zscore(spark, sf_dir):
     # dependent); z rounded to 6 BEFORE thresholding so membership is
     # cross-engine stable.  Scale shape: one partial-agg shuffle for the
     # per-user stats + one hash equi-join back to the stream.
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out (r13)
     vdec = F.col("value").cast("decimal(18,6)")
     s = ev.groupBy("user_id").agg(
         F.count("value").alias("n"),
@@ -465,7 +465,7 @@ def q_events_markov_transitions(spark, sf_dir):
     25-cell pair key (partial aggs collapse map-side); the normalizer
     join is over the ≤|types| row-total table — broadcast.  The output
     is model-sized regardless of input scale."""
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out (r13)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
         F.col("event_type").alias("cur"), F.lag("event_type").over(w).alias("prev")
@@ -503,7 +503,7 @@ def q_events_attribution_last_touch(spark, sf_dir):
     pass with an IGNORE-NULLS last_value over the preceding frame — no
     self-join, no per-row scan-back; state per user is one value, so the
     shape holds on unbounded journey lengths."""
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out (r13)
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -550,7 +550,7 @@ def q_events_dwell_percentiles(spark, sf_dir):
     user-key window lag; percentiles are exact interpolated (matching
     quantile_cont, rounded to dodge interpolation ULPs — the scale path
     swaps in approx_percentile, same plan shape)."""
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out (r13)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gaps = ev.select(
         "event_type",
@@ -587,7 +587,7 @@ def q_events_ltv_percentiles(spark, sf_dir):
     exact interpolated percentiles over the user-sized LTV table.  At
     100 TB the percentile input is |users| rows, not |events| — and the
     scale path swaps percentile → approx_percentile on the same plan."""
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out (r13)
     ltv = (
         ev.filter(F.col("event_type") == "purchase")
         .groupBy("user_id")
@@ -631,7 +631,7 @@ def q_win_streaks(spark, sf_dir):
     metric ("longest run of active days").  Everything after the
     distinct-days reduce is user-partitioned: one window pass + two
     user-key aggs, state bounded by active days per user."""
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out (r13)
     days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
     w = Window.partitionBy("user_id").orderBy("day")
     anchored = days.withColumn(
@@ -674,7 +674,7 @@ def q_events_pareto_share(spark, sf_dir):
         ntile_from_row_number,
     )
 
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out (r13)
     per_user = ev.groupBy("user_id").agg(F.count("*").alias("cnt")).persist()
     ranked, n = global_row_number(per_user, [F.desc("cnt"), F.asc("user_id")],
                                   bucket_col=F.col("cnt"), bucket_desc=True)
@@ -735,7 +735,7 @@ def q_events_attribution_position(spark, sf_dir):
     against itself, so state per user stays O(1) at any journey length.
     Credit sums are simple dyadic rationals plus 0.2/(n-2) computed with
     the identical division on both engines, rounded at 6."""
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out (r13)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select("user_id", "event_type", F.row_number().over(w).alias("rn"))
     fp = (
@@ -795,7 +795,7 @@ def q_events_time_to_convert(spark, sf_dir):
     percentile input is |converted users| rows — the funnel-latency
     report at corpus scale.  The scalar signup count joins back as a
     broadcast literal relation (decorrelated, like the TPC-H Q22 shape)."""
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out (r13)
     su = (
         ev.filter(F.col("event_type") == "signup")
         .groupBy("user_id")
@@ -854,7 +854,7 @@ def q_events_user_overlap_jaccard(spark, sf_dir):
     back broadcast.  The exact counterpart of MinHash set similarity:
     at 100 TB you run this on the presence relation, or swap in the
     registry's minhash operators when even that is too wide."""
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out (r13)
     # ONE user-keyed shuffle: per-user sorted type set (collect_set partials
     # combine map-side), then pairs and per-type sizes are narrow explodes
     # of that |users|-row relation — no second shuffle of the presence
@@ -915,7 +915,7 @@ def q_win_range_interval_1h(spark, sf_dir):
     frame bound (3600000) and tie-peers agree exactly; the sum stays
     DECIMAL inside the frame (exact, order-free).  One user-partitioned window pass — the same exchange the
     sessionize family pays, state bounded by the hour's event count."""
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out (r13)
     w = (
         Window.partitionBy("user_id")
         .orderBy(F.unix_millis("ts"))
@@ -961,7 +961,7 @@ def q_join_interval_overlap(spark, sf_dir):
     here are day-bounded by construction; unbounded intervals use the
     multi-band explode of join_range_banded (each interval replicated to
     the bands it covers, pairs deduped)."""
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out (r13)
     day = F.expr("unix_micros(ts) div 86400000000").alias("day")
     us = F.expr("unix_micros(ts)")
 
@@ -1019,7 +1019,7 @@ def q_events_conversion_rate_daily(spark, sf_dir):
     purchase per user (the time bound applied as a join residual so
     non-qualifying purchases never aggregate), then a day rollup.  All
     timestamps compare as integer microseconds."""
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out (r13)
     us = F.expr("unix_micros(ts)")
     first_signup = (
         ev.filter(F.col("event_type") == "signup")
@@ -1090,7 +1090,7 @@ def q_events_survival_curve(spark, sf_dir):
     per (user, max offset) before the tiny horizon join: survival at k
     is COUNT(users whose MAX activity offset ≥ k), so the range join
     touches |users| × 8 rows, never events × 8."""
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out (r13)
     day = F.expr("unix_micros(ts) div 86400000000")
     signup = (
         ev.filter(F.col("event_type") == "signup")
@@ -1158,7 +1158,7 @@ def q_events_burst_days(spark, sf_dir):
     relation — partitioned by type, ~365 rows/key/year.  Ratios divide
     exact integers, so the burst threshold compares bitwise-identical
     doubles."""
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out (r13)
     daily = ev.groupBy(
         "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
     ).agg(F.count(F.lit(1)).alias("cnt"))
@@ -1234,7 +1234,7 @@ def q_events_anomaly_ewma_band(spark, sf_dir):
     identical IEEE order — the ts_holt_smooth contract; DuckDB
     list_reduce is unusable for struct folds, see that docstring).
     Series are years-of-days sized; the fold is per-key narrow work."""
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out (r13)
     daily = ev.groupBy(
         "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
     ).agg(F.count(F.lit(1)).cast("double").alias("cnt"))
@@ -1333,7 +1333,7 @@ def q_events_concurrency_sweep(spark, sf_dir):
     exact on both engines."""
     from pulsar_ingestion_spark.operators.ranking import keyed_running_sums
 
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out (r13)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts").over(w)
     is_new = F.when(
@@ -1408,7 +1408,7 @@ def q_events_dau_wau(spark, sf_dir):
     trailing window contains it (explode of a 7-element day array —
     bounded), then one distinct-count per day.  All keys are compact
     date strings; both aggregates map-side combine."""
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out (r13)
     active = ev.select(
         F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"
     ).distinct().persist()
@@ -1464,7 +1464,7 @@ def q_events_bounce_rate(spark, sf_dir):
     the rate is a raw quotient of exact integers (bitwise identical —
     never round a raw quotient).  At 100 TB both shuffles are
     partial-aggregated and the second input is |users|·|days| rows."""
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out (r13)
     ue = (
         ev.select(
             "user_id",
@@ -1516,7 +1516,7 @@ def q_events_seasonal_dow_hour(spark, sf_dir):
     map-side-combinable groupBy collapses to <= 168 cells; the
     normalizer is a 1-row aggregate broadcast.  Shares/intensities are
     raw quotients of exact integers (never round a raw quotient)."""
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out (r13)
     dow = ((F.expr("unix_micros(ts) div 86400000000") + 4) % 7).alias("dow")
     hr = (F.expr("unix_micros(ts) div 3600000000") % 24).alias("hr")
     cell = (
@@ -1577,7 +1577,7 @@ def q_events_seasonal_residuals(spark, sf_dir):
     broadcast back.  expected is a fixed chain (rd_double * ch /
     n — two exact-integer operands per step); sqrt is IEEE-correctly-
     rounded (the v16 fuzzer rule), so residuals are bit-identical."""
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out (r13)
     g = ev.select(
         ((F.expr("unix_micros(ts) div 86400000000") + 4) % 7).alias("dow"),
         (F.expr("unix_micros(ts) div 3600000000") % 24).alias("hr"),
@@ -1655,7 +1655,7 @@ def q_events_entropy_rate(spark, sf_dir):
     and summed in DECIMAL (order-independent)."""
     from pyspark.sql import Window as W
 
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out (r13)
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
         F.col("event_type").alias("cur"),

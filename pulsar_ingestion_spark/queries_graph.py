@@ -321,63 +321,67 @@ def q_graph_triangle_count(spark, sf_dir):
     the blocked edge build."""
     ev = load_tables(spark, sf_dir)["events"]  # no fan_out: the cap
     # window's (event_type, hr) exchange follows immediately (r13)
-    edges = _cooc_edges(ev).persist()
-    deg = (
-        edges.select(F.col("u").alias("node"))
-        .unionAll(edges.select(F.col("v").alias("node")))
+    edges = _cooc_edges(ev)
+    # Round 13: oriented adjacency is built off ONE shared exchange.
+    # bidir is hash-partitioned on nbr; the degree aggregate (grouping by
+    # nbr — bidir is symmetric, so deg(x) = |{rows with nbr = x}|) and
+    # the degree-attach join both ride it, and the (node)-keyed adjacency
+    # groupBy is the only further data-scale exchange.  Orientation
+    # (total order on (degree, id) — no global rank needed) happens
+    # MAP-SIDE by filtering each node's (nbr, deg) struct list, so the
+    # old edges⋈deg⋈deg orientation joins and the oriented-edge
+    # materialization disappear entirely.
+    bidir = (
+        edges.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+        .unionAll(edges.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+        .repartition("nbr")
+        .persist()
+    )
+    degn = bidir.groupBy("nbr").agg(F.count(F.lit(1)).alias("dn"))
+    adjd = (
+        bidir.join(degn, "nbr")
         .groupBy("node")
-        .agg(F.count("*").alias("degree"))
-    )
-    # Orientation needs only a TOTAL ORDER on nodes, not a global rank:
-    # (degree, id) lexicographic comparison gives one without the
-    # single-partition row_number a rank would cost at billion-node scale.
-    # No broadcast hints on the degree table — it is NODE-sized, so at
-    # billions of nodes a forced broadcast would be fatal; AQE picks
-    # broadcast when it actually fits (VERDICT r5).
-    du = deg.alias("du")
-    dv = deg.alias("dv")
-    u_first = (F.col("du.degree") < F.col("dv.degree")) | (
-        (F.col("du.degree") == F.col("dv.degree")) & (F.col("u") < F.col("v"))
-    )
-    ori = (
-        edges.join(du, F.col("du.node") == F.col("u"))
-        .join(dv, F.col("dv.node") == F.col("v"))
-        .select(
-            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("lo"),
-            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
+        .agg(
+            F.count(F.lit(1)).alias("dnode"),
+            F.collect_list(F.struct("nbr", "dn")).alias("nd"),
         )
     )
+    # oriented out-neighbors: strictly higher (degree, id) rank
+    adj = adjd.select(
+        "node",
+        F.expr(
+            "transform(filter(nd, s -> s.dn > dnode OR"
+            " (s.dn = dnode AND s.nbr > node)), s -> s.nbr)"
+        ).alias("nbrs"),
+    ).persist()
     # Edge-iterator count: per oriented edge (lo, hi), triangles closing
     # at it are |adj(lo) ∩ adj(hi)| — computed map-side on joined
     # adjacency ARRAYS, so the wedge relation (5.5M rows at sf0.1, ~10×
-    # the edge count) is never materialized or shuffled, unlike the
-    # ab⋈bc⋈ac three-way join it replaces (VERDICT r5: super-linear
-    # curve).  Orientation caps every adjacency array at O(sqrt E).
-    # Round 13: the (lo, hi, lo_nbrs) triples are produced by EXPLODING
-    # the adjacency arrays — each array already holds exactly lo's
-    # oriented out-edges, so the old ori⋈adj-on-lo equi-join (one full
-    # shuffle of ori plus the join) is a map-side explode of adj
-    # instead; only the join on hi remains.
-    adj = ori.groupBy("lo").agg(F.collect_list("hi").alias("nbrs")).persist()
+    # the edge count) is never materialized or shuffled (VERDICT r5:
+    # super-linear curve of the three-way join).  Orientation caps every
+    # adjacency array at O(sqrt E).  The (lo, hi, lo_nbrs) triples come
+    # from exploding the adjacency arrays; only the join on hi shuffles
+    # (the adj side reuses its groupBy partitioning from cache).
     pairs = adj.select(
-        "lo", F.col("nbrs").alias("lo_nbrs"), F.explode("nbrs").alias("hi")
+        F.col("nbrs").alias("lo_nbrs"), F.explode("nbrs").alias("hi")
     )
     tri = (
         pairs.join(
-            adj.select(F.col("lo").alias("bnode"), F.col("nbrs").alias("hi_nbrs")),
+            adj.select(F.col("node").alias("bnode"), F.col("nbrs").alias("hi_nbrs")),
             F.col("bnode") == F.col("hi"),
         )
         .select(F.size(F.array_intersect("lo_nbrs", "hi_nbrs")).alias("c"))
         .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("n_triangles"))
     )
-    n_nodes = deg.agg(F.count("*").alias("n_nodes"))
-    n_edges = edges.agg(F.count("*").alias("n_edges"))
-    # edges/adj stay persisted across their consumer branches; harnesses
-    # running many queries clear the cache between them (registry policy).
-    return (
-        n_nodes.crossJoin(n_edges).crossJoin(tri)
-        .select("n_nodes", "n_edges", "n_triangles")
+    # node and edge counts ride the cached adjacency: every node has an
+    # adjd row, and each edge is oriented exactly once.
+    stats = adj.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.coalesce(F.sum(F.size("nbrs")), F.lit(0)).cast("bigint").alias("n_edges"),
     )
+    # bidir/adj stay persisted across their consumer branches; harnesses
+    # running many queries clear the cache between them (registry policy).
+    return stats.crossJoin(tri).select("n_nodes", "n_edges", "n_triangles")
 
 
 # ---------------------------------------------------------------------------

@@ -51,7 +51,7 @@ def q_text_inverted_index(spark, sf_dir):
     with a PARTITIONED window BEFORE collect_list, so the aggregation
     state per token is bounded by the cap — safe even for stopwords at
     100 TB (df still counts every document)."""
-    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    docs = load_tables(spark, sf_dir)["documents"]  # no fan_out (r13)
     pres = (
         docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
         .distinct()
@@ -100,7 +100,7 @@ def q_text_tfidf_topk(spark, sf_dir):
     vocabulary-sized → broadcast to the tf side (no corpus shuffle for
     the join); the corpus total is a scalar agg cross-join; the final
     top-k window is partitioned by doc_id."""
-    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    docs = load_tables(spark, sf_dir)["documents"]  # no fan_out (r13)
     tok = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
@@ -190,7 +190,7 @@ def q_text_line_dedup(spark, sf_dir):
     shuffle, map-side combine), hash-join the digest table back — the
     join key is the digest, never the line text, so shuffle volume is
     bounded by line COUNT not line bytes."""
-    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    docs = load_tables(spark, sf_dir)["documents"]  # no fan_out (r13)
     # xxhash64, not md5: the digest never leaves the plan (outputs are
     # counts), so any collision-free hash yields identical df counts and
     # the native hash saves a full md5+hex pass over every line
@@ -311,7 +311,7 @@ def q_text_bpe_corpus_prep(spark, sf_dir):
     word table (vocabulary-sized, Zipf ⇒ millions of rows at 100 TB, not
     trillions) with each word's corpus frequency as the weight — the
     explode runs on vocab rows, never on raw tokens."""
-    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    docs = load_tables(spark, sf_dir)["documents"]  # no fan_out (r13)
     wf = (
         docs.select(F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("word"))
         .filter(F.col("word") != "")
@@ -367,7 +367,7 @@ def q_text_vocab_coverage(spark, sf_dir):
     the word-frequency agg (deterministic tie-break) and joins BROADCAST
     against the exploded token stream; one shuffle for the word counts,
     one for the per-doc rollup."""
-    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    docs = load_tables(spark, sf_dir)["documents"]  # no fan_out (r13)
     toks = (
         docs.select("doc_id", F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("word"))
         .filter(F.col("word") != "")
@@ -419,7 +419,7 @@ def q_text_code_detect(spark, sf_dir):
     ROUNDED features so the verdict is engine-stable.  Pure narrow
     column expressions; at 100 TB this is a free rider on the documents
     scan."""
-    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    docs = load_tables(spark, sf_dir)["documents"]  # no fan_out (r13)
     d = docs.filter(F.length("text") > 0)
     sym_ratio = F.round(
         F.regexp_count("text", F.lit(r"[{}();=<>]")) * 1.0 / F.length("text"), 6
@@ -507,7 +507,7 @@ def q_text_bm25_topk(spark, sf_dir):
     the token-stream explode the oracle uses would shuffle every word.""".format(
         terms="/".join(_BM25_TERMS), k=_BM25_TOPK, k1=_BM25_K1, b=_BM25_B
     )
-    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    docs = load_tables(spark, sf_dir)["documents"]  # no fan_out (r13)
 
     def tf_of(term):
         # native array_remove instead of a higher-order filter: whole-stage
@@ -595,7 +595,7 @@ def q_text_keyness_loglik(spark, sf_dir):
     Tokens absent from either slice are excluded (their one-sided G2
     term is degenerate) — the report targets CONTRASTS, not exclusives,
     which corpus-mixture tuning reads separately."""
-    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    docs = load_tables(spark, sf_dir)["documents"]  # no fan_out (r13)
     tok = docs.select(
         F.when(F.col("lang") == "en", "A").otherwise("B").alias("corpus"),
         F.explode(F.split(F.col("text"), " ")).alias("token"),
@@ -680,7 +680,7 @@ def q_text_pmi_collocations(spark, sf_dir):
     PMI divides/multiplies exact integer counts as doubles, so ordering
     compares bitwise-identical values on both engines (tie-break:
     bigram text)."""
-    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    docs = load_tables(spark, sf_dir)["documents"]  # no fan_out (r13)
     toks = docs.select(F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("t"))
     big = toks.select(
         F.explode(
@@ -759,7 +759,7 @@ def q_text_token_entropy(spark, sf_dir):
     tokens shuffle as xxhash64 digests, not strings (counts-by-digest ==
     counts-by-string, text_line_dedup precedent), and entropy terms are
     rounded-to-6 then DECIMAL-summed so the Σ is order-free."""
-    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    docs = load_tables(spark, sf_dir)["documents"]  # no fan_out (r13)
     toks = docs.select(
         "doc_id",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
@@ -817,7 +817,7 @@ def q_text_hashed_features(spark, sf_dir):
     Vocabulary collapses first (one token-grouped count — the only
     data-scale shuffle); bucketing is then a vocabulary-sized projection
     through the portable md5 hash with a 64-row aggregate on top."""
-    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    docs = load_tables(spark, sf_dir)["documents"]  # no fan_out (r13)
     toks = docs.select(
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok")
     )
@@ -863,7 +863,7 @@ def q_text_readability_flesch(spark, sf_dir):
     flag token soup).  Pure per-row narrow regex work in whole-stage
     codegen — embarrassingly parallel at any scale; the score is one
     IEEE expression over exact integer counts."""
-    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    docs = load_tables(spark, sf_dir)["documents"]  # no fan_out (r13)
     words = F.size(F.split(F.trim(F.col("text")), r"\s+"))
     sentences = F.greatest(
         F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")), F.lit(1)

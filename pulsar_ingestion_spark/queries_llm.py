@@ -854,7 +854,7 @@ def q_text_repetition_ratios(spark, sf_dir):
     # Scale shape: explode → (doc_id, word) partial-agg shuffle →
     # per-doc agg — never an O(len²) in-array count; both groupBys are
     # map-side combinable.
-    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    docs = load_tables(spark, sf_dir)["documents"]  # no fan_out (r13)
     w = F.split(F.trim(F.lower("text")), r"\s+")
     ex = docs.select("doc_id", F.size(w).alias("n_words"), F.explode(w).alias("word"))
     wc = ex.groupBy("doc_id", "n_words", "word").agg(F.count(F.lit(1)).alias("cnt"))
@@ -1306,7 +1306,7 @@ def q_text_unigram_logprob(spark, sf_dir):
     # per-doc total becomes Σ tf·round6(term) (each occurrence of a word
     # contributes the identical rounded value, so the decimal sum equals
     # the oracle's per-token sum exactly).
-    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    docs = load_tables(spark, sf_dir)["documents"]  # no fan_out (r13)
     tfd = (
         docs.select("doc_id", F.explode(words(F.lower(F.col("text")))).alias("word"))
         .groupBy("doc_id", "word")
@@ -1346,7 +1346,7 @@ def q_emb_centroid_by_label(spark, sf_dir):
     # partial-agg shuffle on (label, pos) — the classwise mean every
     # clustering/IVF/probing step needs.  Decimal-accumulated sums keep
     # the mean identical across engines (registry parity rules).
-    emb = fan_out(load_tables(spark, sf_dir)["embeddings"], spark)
+    emb = load_tables(spark, sf_dir)["embeddings"]  # no fan_out (r13)
     ex = emb.select("label", F.posexplode("embedding").alias("pos", "e"))
     return ex.groupBy("label", "pos").agg(
         F.round(
@@ -1375,7 +1375,7 @@ def q_emb_quantize_int8(spark, sf_dir):
     # half-way rounding divergence.  Pure array expressions, narrow map.
     # q8 serialized to a CSV string: the driver hash cannot digest
     # array-typed columns (registry parity rule / VERDICT r2 item 1).
-    emb = fan_out(load_tables(spark, sf_dir)["embeddings"], spark)
+    emb = load_tables(spark, sf_dir)["embeddings"]  # no fan_out (r13)
     xd = F.transform("embedding", lambda x: F.abs(x.cast("double")))
     scale = F.round(F.lit(127.0) / F.array_max(xd), 6)
     q8 = F.transform("embedding", lambda x: F.floor(x.cast("double") * scale).cast("int"))
@@ -1477,7 +1477,7 @@ def q_corpus_curate(spark, sf_dir):
     # on the 32-byte digest.
     from pulsar_ingestion_spark.functions.text import quality_score_from_words, words
 
-    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    docs = load_tables(spark, sf_dir)["documents"]  # no fan_out (r13)
     # split ONCE and reuse the array (quality_score_from_words docstring):
     # word_count + quality_score each re-ran the regex split, and the HOF
     # lambdas block Catalyst CSE — one split is measurably cheaper on the
@@ -1561,7 +1561,7 @@ def q_text_gopher_quality(spark, sf_dir):
         word_count,
     )
 
-    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    docs = load_tables(spark, sf_dir)["documents"]  # no fan_out (r13)
     t = F.col("text")
     wc = word_count(t)
     dw, aw = dup_word_frac(t), alpha_word_frac(t)
@@ -1678,7 +1678,7 @@ def q_text_df_prune(spark, sf_dir):
     # array, then a narrow higher-order filter over each doc's word
     # array.  At 100 TB the wide side never shuffles — the only wide op
     # is on (word, doc_id) pairs, and that agg combines map-side.
-    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    docs = load_tables(spark, sf_dir)["documents"]  # no fan_out (r13)
     w = docs.select("doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("words"))
     total = docs.count()
     dfreq = (
@@ -1808,7 +1808,7 @@ def q_emb_label_affinity(spark, sf_dir):
     one partial-agg shuffle; the pairwise stage is a self-join of that
     tiny relation on dim position (decimal dot products, engine-exact).
     Corpus never sees a cross join."""
-    emb = fan_out(load_tables(spark, sf_dir)["embeddings"], spark)
+    emb = load_tables(spark, sf_dir)["embeddings"]  # no fan_out (r13)
     cent = (
         emb.select("label", F.posexplode("embedding").alias("pos", "e"))
         .groupBy("label", "pos")
@@ -1866,7 +1866,7 @@ def q_text_dedup_survivorship(spark, sf_dir):
     rule)."""
     from pyspark.sql import Window as W
 
-    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    docs = load_tables(spark, sf_dir)["documents"]  # no fan_out (r13)
     w = W.partitionBy(F.md5("text")).orderBy(F.desc("n_chars"), F.asc("doc_id"))
     ranked = docs.select("source", F.row_number().over(w).alias("rn"))
     kept = F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
@@ -1903,7 +1903,7 @@ def q_corpus_lang_balance(spark, sf_dir):
     target/actual)) — the step between corpus stats and corpus_assemble.
     One token-count shuffle on the 5-value lang key; the target mix and
     the 1-row total both broadcast."""
-    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    docs = load_tables(spark, sf_dir)["documents"]  # no fan_out (r13)
     t = docs.groupBy("lang").agg(
         F.sum(F.size(F.split(F.trim(F.lower("text")), r"\s+"))).cast("bigint").alias("tokens")
     )
@@ -1961,7 +1961,7 @@ def q_dedup_url_canonical(spark, sf_dir):
     (split on '#', split on '?', lower, rtrim '/') — zero shuffle until
     the per-source distinct counts, which at 100 TB are the standard
     two-level distinct aggregation."""
-    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    docs = load_tables(spark, sf_dir)["documents"]  # no fan_out (r13)
     half = F.expr("doc_id div 4").cast("string")
     url = F.concat(
         F.when(F.col("doc_id") % 2 == 0, "HTTP://").otherwise("http://"),
@@ -2015,7 +2015,7 @@ def q_text_langid_confusion(spark, sf_dir):
     corpus size."""
     from pulsar_ingestion_spark.functions.text import stopword_ratio
 
-    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    docs = load_tables(spark, sf_dir)["documents"]  # no fan_out (r13)
     pred = docs.select(
         F.col("lang").alias("labeled_lang"),
         F.when(stopword_ratio(F.col("text")) > 0.08, "en").otherwise("other").alias("guessed_lang"),
@@ -2057,7 +2057,7 @@ def q_dedup_cross_source(spark, sf_dir):
     combine map-side, set size bounded by |sources|), pair generation is
     the same narrow array expansion as events_user_overlap_jaccard, and
     the output is |sources|² rows at any corpus scale."""
-    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    docs = load_tables(spark, sf_dir)["documents"]  # no fan_out (r13)
     prefix = F.array_join(F.slice(F.split(F.trim(F.lower("text")), r"\s+"), 1, 5), " ")
     per_digest = (
         docs.select(F.md5(prefix).alias("h"), "source")
@@ -2119,7 +2119,7 @@ def q_text_bigram_logprob(spark, sf_dir):
     vocabulary-sized (broadcast candidates), and the per-term
     round6+decimal-sum discipline keeps Σ order-free (registry parity
     rules)."""
-    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    docs = load_tables(spark, sf_dir)["documents"]  # no fan_out (r13)
     toks = docs.select(
         "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("t")
     )
@@ -2517,7 +2517,7 @@ def q_text_keyphrase_rake(spark, sf_dir):
     maps + two word-keyed shuffles; the phrase relation is
     corpus-sized, the word-stats relation vocabulary-sized, and the
     driver only ever sees K rows."""
-    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    docs = load_tables(spark, sf_dir)["documents"]  # no fan_out (r13)
     marked = docs.select(
         "doc_id",
         F.regexp_replace(
@@ -2973,7 +2973,7 @@ def q_text_trigram_stupid_backoff(spark, sf_dir):
     the oracle joins strings); the test side collapses once to
     (doc, trigram, tf); five hash left-joins; per-term round6+decimal
     sums keep the fold order-free (registry parity rules)."""
-    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    docs = load_tables(spark, sf_dir)["documents"]  # no fan_out (r13)
     toks = docs.select(
         "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("t")
     )

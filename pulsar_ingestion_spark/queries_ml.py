@@ -71,7 +71,7 @@ def q_emb_kmeans_lloyd(spark, sf_dir):
     doubles), then recompute the per-(cluster, dim) means as decimal
     partial sums.  Iterating this plan IS distributed k-means; the
     exchanged state per step is k×d rows."""
-    emb = fan_out(load_tables(spark, sf_dir)["embeddings"], spark)
+    emb = load_tables(spark, sf_dir)["embeddings"]  # no fan_out (r13)
     cents = (
         emb.orderBy(F.md5(F.col("vec_id").cast("string")))
         .limit(_K)
@@ -167,7 +167,7 @@ def q_emb_pq_encode(spark, sf_dir):
     map-side argmin agg per vector; no corpus shuffle."""
     from pulsar_ingestion_spark.operators.similarity import pq_encode_kernel
 
-    emb = fan_out(load_tables(spark, sf_dir)["embeddings"], spark)
+    emb = load_tables(spark, sf_dir)["embeddings"]  # no fan_out (r13)
     cents = _pq_cents(spark, sf_dir, emb)
     enc = pq_encode_kernel(emb, cents, _SUBSPACES, _SUBDIM)
     code = F.concat_ws(
@@ -218,7 +218,7 @@ def q_emb_residual_quantize(spark, sf_dir):
     given embedding space before an index build commits to it.  Pure
     narrow array expressions (same left-fold order on both engines);
     zero shuffle."""
-    emb = fan_out(load_tables(spark, sf_dir)["embeddings"], spark)
+    emb = load_tables(spark, sf_dir)["embeddings"]  # no fan_out (r13)
     q = emb.select(
         "vec_id",
         F.round(
@@ -364,7 +364,7 @@ def q_emb_whiten_stats(spark, sf_dir):
     re-streams the values against the broadcast 64-row stats relation to
     count outliers.  Shuffle volume is dim-keyed both times — 64 keys
     regardless of corpus size."""
-    emb = fan_out(load_tables(spark, sf_dir)["embeddings"], spark)
+    emb = load_tables(spark, sf_dir)["embeddings"]  # no fan_out (r13)
     vals = emb.select(
         F.posexplode("embedding").alias("pos", "v_raw")
     ).select("pos", F.col("v_raw").cast("double").alias("v"))
@@ -432,7 +432,7 @@ def q_emb_prototypes_per_label(spark, sf_dir):
     pick is a label-partitioned top-k window.  Shuffles: one (label,
     dim) rollup, one (vec, label) distance agg keyed like the corpus,
     one |labels|-partition window — centroid side broadcasts."""
-    emb = fan_out(load_tables(spark, sf_dir)["embeddings"], spark)
+    emb = load_tables(spark, sf_dir)["embeddings"]  # no fan_out (r13)
     vals = emb.select(
         "vec_id", "label", F.posexplode("embedding").alias("pos", "v_raw")
     ).select("vec_id", "label", "pos", F.col("v_raw").cast("double").alias("v"))
@@ -503,7 +503,7 @@ def q_emb_cosine_histogram(spark, sf_dir):
     count).  Exactly n pairs (never n²), one equi-join on vec_id each
     side, ordered-fold dot products (array-order summation on both
     engines), histogram = sketch-sized agg."""
-    emb = fan_out(load_tables(spark, sf_dir)["embeddings"], spark)
+    emb = load_tables(spark, sf_dir)["embeddings"]  # no fan_out (r13)
     from pulsar_ingestion_spark.functions.vectors import cosine_rounded
 
     n = emb.agg(F.count("*").alias("nv"))
@@ -582,7 +582,7 @@ def q_ml_auc_roc(spark, sf_dir):
 
     from pulsar_ingestion_spark.operators.ranking import global_row_number
 
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out (r13)
     scored = ev.select(
         F.col("value").alias("score"),
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("label"),
@@ -635,7 +635,7 @@ def q_ml_calibration_bins(spark, sf_dir):
     observed positive rate — the standard calibration audit before a
     score feeds a decision threshold.  One aggregate pass; bins are
     integer arithmetic; the means divide decimal-exact sums."""
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out (r13)
     scored = ev.select(
         F.least(F.floor(F.col("value") / 34), F.lit(9)).cast("bigint").alias("bin"),
         (F.col("value") / 340).alias("pred"),
@@ -675,7 +675,7 @@ def q_ml_confusion_threshold(spark, sf_dir):
     — the operating-point summary downstream of the AUC/calibration
     audits.  One aggregate pass, four conditional counts, three
     single-division metrics."""
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out (r13)
     scored = ev.select(
         F.when(F.col("value") > 170, 1).otherwise(0).alias("pred"),
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("label"),
@@ -764,7 +764,7 @@ def q_dedup_semantic_cluster(spark, sf_dir):
     bounded and the join never degenerates to all-pairs; oversized
     clusters would switch to the per-block GEMM of dedup_embedding_blas.
     Output is the per-cluster dedup scorecard."""
-    emb = fan_out(load_tables(spark, sf_dir)["embeddings"], spark)
+    emb = load_tables(spark, sf_dir)["embeddings"]  # no fan_out (r13)
     cents = (
         emb.orderBy(F.md5(F.col("vec_id").cast("string")))
         .limit(_K)
@@ -912,7 +912,7 @@ def q_sim_search_pq_adc(spark, sf_dir):
 
     from pulsar_ingestion_spark.operators.similarity import pq_encode_kernel
 
-    emb = fan_out(load_tables(spark, sf_dir)["embeddings"], spark)
+    emb = load_tables(spark, sf_dir)["embeddings"]  # no fan_out (r13)
     cents = (
         emb.orderBy(F.md5(F.col("vec_id").cast("string")))
         .limit(_K)
@@ -1024,7 +1024,7 @@ def q_ml_lift_deciles(spark, sf_dir):
         ntile_from_row_number,
     )
 
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out (r13)
     scored = ev.select(
         "event_id",
         (1.0 / (1.0 + F.exp(-(F.col("value") - 50.0) / 25.0))).alias("p"),
@@ -1156,7 +1156,7 @@ def q_sim_search_mmr(spark, sf_dir):
     ordering (registry parity rules)."""
     from pulsar_ingestion_spark.functions.vectors import cosine_rounded
 
-    emb = fan_out(load_tables(spark, sf_dir)["embeddings"], spark)
+    emb = load_tables(spark, sf_dir)["embeddings"]  # no fan_out (r13)
     lam, mu = _MMR_LAMBDA, round(1 - _MMR_LAMBDA, 10)
     q = emb.filter(F.col("vec_id") < _MMR_NQ).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
@@ -1302,7 +1302,7 @@ def q_emb_triplet_margin(spark, sf_dir):
     rows), then label-count-sized arithmetic.  The closed form is what
     makes this runnable at 10⁹ vectors where any sampled pairwise
     audit would be noise."""
-    emb = fan_out(load_tables(spark, sf_dir)["embeddings"], spark)
+    emb = load_tables(spark, sf_dir)["embeddings"]  # no fan_out (r13)
     from pulsar_ingestion_spark.functions.vectors import dot as vdot
 
     pernorm = emb.select(
@@ -1397,7 +1397,7 @@ def q_ml_average_precision(spark, sf_dir):
         keyed_running_sums,
     )
 
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out (r13)
     scored = ev.select(
         "event_id",
         (1.0 / (1.0 + F.exp(-(F.col("value") - 50.0) / 25.0))).alias("p"),
@@ -1460,7 +1460,7 @@ def q_ml_cohen_kappa(spark, sf_dir):
     label-quality check run on double-annotated corpus samples before
     trusting a labeling pipeline.  One map-side-combined aggregate;
     kappa is a single IEEE expression over five exact integers."""
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out (r13)
     rated = ev.select(
         F.when(F.col("event_id") % 2 == 1, 1).otherwise(0).alias("r1"),
         F.when(F.col("value") > 50, 1).otherwise(0).alias("r2"),
@@ -1525,7 +1525,7 @@ def q_ml_mutual_info(spark, sf_dir):
     G-test statistic / 2n·ln2).  The stream collapses to a
     bins×2 contingency table (map-side combined); margins and the
     plogp terms are model-sized, rounded-to-8 and DECIMAL-summed."""
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out (r13)
     binned = ev.select(
         F.least(F.floor(F.col("value") / 50.0), F.lit(_MI_BINS - 1))
         .cast("int").alias("bin"),
@@ -1607,7 +1607,7 @@ def q_ml_best_f1_threshold(spark, sf_dir):
         keyed_running_sums,
     )
 
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out (r13)
     scored = ev.select(
         "event_id",
         (1.0 / (1.0 + F.exp(-(F.col("value") - 50.0) / 25.0))).alias("p"),
@@ -1686,7 +1686,7 @@ def q_ml_expected_calibration_error(spark, sf_dir):
     per-bin gaps are rounded-to-6 then DECIMAL-weighted by the exact bin
     counts, so the ≤10-term final sum has no float order at all.  One
     aggregate pass + a 10-row rollup."""
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out (r13)
     scored = ev.select(
         F.least(F.floor(F.col("value") / 34), F.lit(9)).cast("bigint").alias("bin"),
         (F.col("value") / 340).alias("pred"),
@@ -1751,7 +1751,7 @@ def q_ml_ks_separation(spark, sf_dir):
     type count), single-division CDF gaps of exact integers."""
     from pulsar_ingestion_spark.operators.ranking import keyed_running_sums
 
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out (r13)
     tagged = ev.select(
         "event_type", "value", (F.col("event_id") % 2).cast("int").alias("y")
     )
@@ -1823,7 +1823,7 @@ def q_ml_regression_metrics(spark, sf_dir):
     the whole scorecard is ONE map-side-combined aggregate pass, the
     canonical shape for scoring a 100-TB prediction table: no shuffle of
     rows, only of per-group moment tuples."""
-    li = fan_out(load_tables(spark, sf_dir)["lineitem"], spark)
+    li = load_tables(spark, sf_dir)["lineitem"]  # no fan_out (r13)
     y = F.col("l_extendedprice").cast("decimal(18,4)")
     yhat = (
         F.lit(950).cast("decimal(18,4)") * F.col("l_quantity").cast("decimal(18,4)")
@@ -1919,7 +1919,7 @@ def q_ml_brier_decomposition(spark, sf_dir):
     the subtraction happens while still decimal-exact — rounded to 9 dp
     and decimal-summed over the <= 10 bins (order-free).  One aggregate
     pass + a bin-sized rollup; the totals join is a 1-row broadcast."""
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out (r13)
     scored = ev.select(
         F.least(F.floor(F.col("value") / 34), F.lit(9)).cast("bigint").alias("bin"),
         (F.col("value") / 340).alias("pred"),
@@ -2016,7 +2016,7 @@ def q_ml_conformal_interval(spark, sf_dir):
     Two scan passes + one distinct-residual running count."""
     from pulsar_ingestion_spark.operators.ranking import keyed_running_sums
 
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out (r13)
     base = ev.select(
         "event_id",
         (F.expr("unix_micros(ts) div 3600000000") % 24).alias("x"),

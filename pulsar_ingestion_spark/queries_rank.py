@@ -30,8 +30,14 @@ from pulsar_ingestion_spark.session import fan_out, load_tables
 
 
 def _t(spark, sf_dir, *names):
+    # Round 13: no fan_out — every consumer in this family reaches an
+    # exchange (groupBy / window partition) within a narrow projection,
+    # so the round-robin pre-exchange was pure waste (measured: MW
+    # 2.50 → 1.61 s, gini 2.10 → 1.36 s at sf0.1).  rank_skyline_2d
+    # keeps its own fan_out: the part scan feeds both the distinct-price
+    # aggregate and the final join, and measured faster with it.
     tabs = load_tables(spark, sf_dir)
-    return [fan_out(tabs[n], spark) for n in names]
+    return [tabs[n] for n in names]
 
 
 # ---------------------------------------------------------------------------
@@ -936,7 +942,7 @@ def q_agg_weighted_median(spark, sf_dir):
     instead of a per-flag window — 4 return flags would otherwise cap
     the scan at 4 tasks.  The half-total test is 2*cw >= tw in exact
     DECIMAL, so both engines pick the identical row."""
-    li = fan_out(load_tables(spark, sf_dir)["lineitem"], spark)
+    li = load_tables(spark, sf_dir)["lineitem"]  # no fan_out: pv groupBy follows
     pv = li.groupBy("l_returnflag", F.col("l_extendedprice").alias("p")).agg(
         # quantity is integral (TPC-H 1..50): a BIGINT weight keeps the
         # running sum exact and matches the helper's Long offset schema.

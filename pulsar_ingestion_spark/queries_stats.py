@@ -288,7 +288,7 @@ def q_sample_stratified(spark, sf_dir):
     across runs/engines/cluster layouts, and the per-stratum rate is
     exact in expectation with no driver-side fraction map.  Pure narrow
     map — a filter fused into the scan at any scale."""
-    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    docs = load_tables(spark, sf_dir)["documents"]  # no fan_out (r13)
     bucket = (
         F.conv(
             F.substring(F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))), 1, 8),
@@ -331,7 +331,7 @@ def q_text_passage_dedup(spark, sf_dir):
     Plan: one narrow explode (bounded: len/15 passages per doc) + one
     groupBy on the 32-hex hash — hashes, not passages, shuffle, so the
     exchange carries ~32 bytes/passage at 100 TB."""
-    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    docs = load_tables(spark, sf_dir)["documents"]  # no fan_out (r13)
     # Single parse per row; docs shorter than one passage yield no chunks
     # (guard needed: sequence(0, -1) would count DOWN and emit bogus
     # negative slice indices — the oracle's range(1, 1) is just empty).
@@ -384,7 +384,7 @@ def q_emb_norm_stats(spark, sf_dir):
     oracle; one shuffle on label."""
     from pulsar_ingestion_spark.functions.vectors import norm
 
-    emb = fan_out(load_tables(spark, sf_dir)["embeddings"], spark)
+    emb = load_tables(spark, sf_dir)["embeddings"]  # no fan_out (r13)
     nrm = F.round(norm(F.col("embedding")), 6)
     return (
         emb.select("label", nrm.alias("nrm"))
@@ -440,7 +440,7 @@ def q_text_zipf_slope(spark, sf_dir):
     operates on ≤200 rows regardless of corpus size."""
     from pulsar_ingestion_spark.operators.ranking import global_row_number
 
-    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    docs = load_tables(spark, sf_dir)["documents"]  # no fan_out (r13)
     cnts = (
         docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
         .groupBy("token")
@@ -494,7 +494,7 @@ def q_emb_dim_stats(spark, sf_dir):
     collapsed-dimension / dead-unit check run before any ANN build.
     posexplode multiplies rows by dim (64), then the partial agg folds
     each map task to 64 combiner rows: one shuffle of O(dim) rows."""
-    emb = fan_out(load_tables(spark, sf_dir)["embeddings"], spark)
+    emb = load_tables(spark, sf_dir)["embeddings"]  # no fan_out (r13)
     x = emb.select(F.posexplode("embedding").alias("dim", "vf")).select(
         "dim", F.col("vf").cast("double").alias("v")
     )
@@ -796,7 +796,7 @@ def q_text_js_divergence(spark, sf_dir):
     full token-wise merge via groupBy token (vocabulary-sized), one-row
     decimal-summed result.  Deterministic: per-token terms are rounded
     before the order-independent sum."""
-    docs = fan_out(load_tables(spark, sf_dir)["documents"], spark)
+    docs = load_tables(spark, sf_dir)["documents"]  # no fan_out (r13)
     bucket = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("bigint")
         % 100
@@ -927,7 +927,7 @@ def q_emb_pca_power(spark, sf_dir):
     Total exchanged per step ≈ 64 × #tasks rows — independent of corpus
     size.  More steps = chain the same plan; for production PCA with
     centering, subtract the emb_dim_stats means in the same pass."""
-    emb = fan_out(load_tables(spark, sf_dir)["embeddings"], spark)
+    emb = load_tables(spark, sf_dir)["embeddings"]  # no fan_out (r13)
     dim = 64
     varr = spark.range(1).select(
         F.array([F.lit(0.125)] * dim).alias("v")
@@ -1179,7 +1179,7 @@ def q_ts_autocorr(spark, sf_dir):
     once in double on both engines — no float accumulation drift, no
     corr() implementation skew.  Series and output are model-sized at
     any corpus scale."""
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out (r13)
     hourly = (
         ev.groupBy(
             "event_type",
@@ -1694,7 +1694,7 @@ def q_ts_holt_smooth(spark, sf_dir):
     shuffle (groupBy user); sequences are user-session-sized.  The
     streaming twin is the same fold as applyInPandasWithState
     (streaming/stateful.py), exactly like ts_ewma's contract."""
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out (r13)
     seq = ev.groupBy("user_id").agg(
         F.sort_array(F.collect_list(F.struct("ts", "event_id", "value"))).alias("seq")
     )
@@ -1778,7 +1778,7 @@ def q_agg_bootstrap_ci(spark, sf_dir):
     map-side combinable to |types|·32 cells.  Replicate means divide
     exact DECIMAL sums; the percentile interpolation is the identical
     lower+d·(upper−lower) on both engines."""
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out (r13)
     bs = ev.sparkSession.range(_BOOT_B).select(F.col("id").cast("int").alias("b"))
     digit = F.conv(
         F.substring(F.md5(F.col("event_id").cast("string")), F.col("b") + 1, 1),
@@ -1854,7 +1854,7 @@ def q_ts_periodogram_bin(spark, sf_dir):
     see only 7 distinct arguments, and the weighted terms are
     rounded-to-6 then DECIMAL-summed, so the bin is order-free and
     engine-identical.  One grouped count + one model-sized aggregate."""
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out (r13)
     daily = ev.groupBy(
         "event_type",
         F.expr("unix_micros(ts) div 86400000000").alias("day"),
@@ -1918,7 +1918,7 @@ def q_stats_anova_oneway(spark, sf_dir):
     then |groups|-sized arithmetic.  Group moments are exact DECIMAL;
     the cross-group Σ(s²/n) is rounded-to-6 per group then
     DECIMAL-summed so it is order-free."""
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out (r13)
     vd = F.col("value").cast("decimal(18,4)")
     g = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"), F.sum(vd).alias("s"),
@@ -1977,7 +1977,7 @@ def q_stats_tukey_outliers(spark, sf_dir):
     Exact interpolated quartiles per group (identical arithmetic both
     engines), broadcast back over one more pass; fence comparisons are
     on identical doubles."""
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out (r13)
     q = ev.groupBy("event_type").agg(
         F.expr("percentile(value, 0.25)").alias("q1"),
         F.expr("percentile(value, 0.75)").alias("q3"),
@@ -2060,7 +2060,7 @@ def q_ts_downsample_lttb(spark, sf_dir):
     Plan: one grouped count, per-stream bucketing from exact integer
     positions, bucket-mean anchors, then a per-(stream, bucket) argmax
     window.  Triangle areas compare rounded identical doubles."""
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out (r13)
     daily = ev.groupBy(
         "event_type", F.expr("unix_micros(ts) div 86400000000").alias("day")
     ).agg(F.count(F.lit(1)).cast("double").alias("cnt"))
@@ -2264,7 +2264,7 @@ def q_stats_qq_deciles(spark, sf_dir):
     diverge (drift_ks's D says IF; the Q-Q table says WHERE and by HOW
     MUCH in value units).  Exact interpolated percentiles per side
     (identical lower+d·(upper−lower) arithmetic); nine output rows."""
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out (r13)
     ps = [round(0.1 * i, 1) for i in range(1, 10)]
     a = ev.filter(F.col("event_type") == "purchase").agg(
         *[F.expr(f"percentile(value, {p})").alias(f"qa{i}")
@@ -2330,7 +2330,7 @@ def q_stats_ks_uniform(spark, sf_dir):
     doubles."""
     from pulsar_ingestion_spark.operators.ranking import keyed_running_sums
 
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out (r13)
     pervalue = ev.groupBy("value").agg(F.count(F.lit(1)).alias("c")).withColumn(
         "k", F.lit(1)
     )
@@ -2421,7 +2421,7 @@ def q_stats_welch_ttest(spark, sf_dir):
     Welch–Satterthwaite df.  The decimal→double ss cast carries the
     documented 1-ulp DuckDB headroom (anova precedent: trailing rounds
     at 6/4 dp dominate a ~1e-14 absolute drift)."""
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out (r13)
     m = two_sample_moments(ev)
     na, nb = F.col("na"), F.col("nb")
     ma = F.col("sa") / na
@@ -2484,7 +2484,7 @@ def q_stats_levene_brown_forsythe(spark, sf_dir):
     oracle's order-free Σ(s²/n) fold, trailing 4/6-dp rounds for the
     documented decimal→double headroom.  Plan: one median aggregate
     broadcast back, one moment shuffle, |groups|-sized arithmetic."""
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out (r13)
     med = ev.groupBy("event_type").agg(
         F.expr("percentile(value, 0.5)").alias("med")
     )
@@ -2566,7 +2566,7 @@ def q_emb_outlier_mahalanobis_diag(spark, sf_dir):
     posexplode shuffle folds map-side to 64 combiner rows; the 64-row
     stats broadcast back; the per-vector sum is one vec_id shuffle —
     all linear, no pair enumeration."""
-    emb = fan_out(load_tables(spark, sf_dir)["embeddings"], spark)
+    emb = load_tables(spark, sf_dir)["embeddings"]  # no fan_out (r13)
     x = emb.select(
         "vec_id", F.posexplode("embedding").alias("dim", "vf")
     ).select("vec_id", "dim", F.col("vf").cast("double").alias("v"))
@@ -3048,7 +3048,7 @@ def q_stats_cohens_d(spark, sf_dir):
     with stats_welch_ttest, then scalar IEEE arithmetic — the pooled
     variance folds as (ssa − sa²/na + ssb − sb²/nb)/(na+nb−2) in one
     mirrored op order, sqrt is IEEE-correctly-rounded on both engines."""
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out (r13)
     m = two_sample_moments(ev)
     na, nb = F.col("na"), F.col("nb")
     ma = F.col("sa") / na
@@ -3111,7 +3111,7 @@ def q_stats_kendall_tau(spark, sf_dir):
     discipline as stats_wilcoxon_signed_rank.  Counts and decimal sums
     compare exactly, so C/D/tie tallies are integers and tau-b is one
     IEEE expression."""
-    cust = fan_out(load_tables(spark, sf_dir)["customer"], spark)
+    cust = load_tables(spark, sf_dir)["customer"]  # no fan_out (r13)
     nat = cust.groupBy(F.col("c_nationkey").alias("k")).agg(
         F.count("*").alias("x"),
         F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("y"),
@@ -3202,7 +3202,7 @@ def q_stats_logrank_test(spark, sf_dir):
     relation, never against users.  Hypergeometric terms are per-row IEEE
     doubles rounded to 8 dp and decimal-summed (order-independent), the
     chi-square is one final expression."""
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out (r13)
     day = F.expr("unix_micros(ts) div 86400000000")
     u = ev.groupBy("user_id").agg(
         (F.max(day) - F.min(day)).alias("t"),
@@ -3297,7 +3297,7 @@ def q_stats_friedman(spark, sf_dir):
     B_j = SUM 2r and A = SUM (2r)^2 — and the only IEEE op is the final
     division.  One shuffle to the (month, priority) grid; ranks run in
     windows PARTITIONED by month over the aggregate-sized grid."""
-    orders = fan_out(load_tables(spark, sf_dir)["orders"], spark)
+    orders = load_tables(spark, sf_dir)["orders"]  # no fan_out (r13)
     cell = orders.groupBy(
         F.date_format("o_orderdate", "yyyy-MM").alias("blk"),
         F.col("o_orderpriority").alias("trt"),
@@ -3387,7 +3387,7 @@ def q_stats_anderson_darling_uniform(spark, sf_dir):
     weights in DECIMAL, so the sum is order-independent."""
     from pulsar_ingestion_spark.operators.ranking import keyed_running_sums
 
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out (r13)
     pervalue = (
         ev.filter((F.col("value") > 0) & (F.col("value") < _AD_SCALE))
         .groupBy("value")
@@ -3447,7 +3447,7 @@ def q_events_circular_hour_stats(spark, sf_dir):
     doubles.  R near 1 = concentrated traffic, near 0 = uniform."""
     import math
 
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out (r13)
     byhour = ev.groupBy("event_type", F.hour("ts").alias("h")).agg(
         F.count(F.lit(1)).alias("c")
     )
@@ -3528,7 +3528,7 @@ def q_stats_theil_u(spark, sf_dir):
     exact integer counts rounded to 8 dp and decimal-summed (the
     ml_mutual_info libm discipline).  Asymmetry is the point: a
     many-to-one mapping gives U(Y|X) near 1 with U(X|Y) small."""
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out (r13)
     binned = ev.select(
         F.col("event_type").alias("x"),
         F.least(F.floor(F.col("value") / 50).cast("bigint"), F.lit(9)).alias("y"),
@@ -3672,7 +3672,7 @@ def q_ts_hurst_rs(spark, sf_dir):
     chunk-sized aggregate.  ln(avg) runs once per leg."""
     from pulsar_ingestion_spark.operators.ranking import global_row_number
 
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out (r13)
     series = ev.select(
         F.col("value").cast("decimal(18,4)").alias("vd"), "ts", "event_id"
     )
@@ -3789,7 +3789,7 @@ def q_stats_kaplan_meier(spark, sf_dir):
     never reach it, and both engines exclude identically."""
     from pulsar_ingestion_spark.operators.ranking import keyed_running_sums
 
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out (r13)
     day = F.expr("unix_micros(ts) div 86400000000")
     u = ev.groupBy("user_id").agg(
         (F.max(day) - F.min(day)).alias("t"),
@@ -3872,7 +3872,7 @@ def q_stats_nelson_aalen(spark, sf_dir):
     rows stay: the hazard increment is 1, not ln(0)."""
     from pulsar_ingestion_spark.operators.ranking import keyed_running_sums
 
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out (r13)
     day = F.expr("unix_micros(ts) div 86400000000")
     u = ev.groupBy("user_id").agg(
         (F.max(day) - F.min(day)).alias("t"),
@@ -3946,7 +3946,7 @@ def q_stats_mcnemar(spark, sf_dir):
     contingency aggregate.  Statistics are quotients of exact integers
     (identical IEEE division both engines); zero-discordant degenerates
     to NULL via nullif."""
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out (r13)
     f = ev.groupBy("user_id").agg(
         F.max(
             F.when((F.col("event_type") == "purchase") & (F.col("value") > 300), 1)
@@ -4020,7 +4020,7 @@ def q_stats_cochran_q(spark, sf_dir):
     degenerates to NULL via nullif).  Plan: one map-side-combinable
     per-user groupBy (5 conditional maxes), then a 1-row contingency
     aggregate — two shuffles total, the second over |users| rows."""
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out (r13)
     kinds = ["click", "error", "purchase", "signup", "view"]
     flags = [
         F.max(
@@ -4125,7 +4125,7 @@ def q_stats_durbin_watson(spark, sf_dir):
     runs per (event_type, user) — session-sized partitions, never a
     per-type total-order funnel.  DW ~ 2 means no serial correlation,
     DW = 2 - 2*rho1 up to end effects (the invariant test pins it)."""
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out (r13)
     b = ev.select(
         "event_type", "user_id", "ts", "event_id",
         F.expr("unix_micros(ts) div 3600000000").alias("hr"),
@@ -4258,7 +4258,7 @@ def q_ts_seasonal_naive_mase(spark, sf_dir):
     form (persist the bounded counts cells) measures SLOWER here
     (cache materialization > the cheap re-scan) and becomes the right
     trade only where a second full scan dominates — volume decides."""
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out (r13)
     b = ev.select(
         "event_type", F.expr("unix_micros(ts) div 3600000000").alias("hr")
     )
@@ -4399,7 +4399,7 @@ def q_ts_stl_classical(spark, sf_dir):
     source; see ts_seasonal_naive_mase's docstring and SCALE.md 6x for
     the honest two-scan measurement).  Output: the 5 x 24 seasonal
     profile with per-type strength."""
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out (r13)
     b = ev.select(
         "event_type", F.expr("unix_micros(ts) div 3600000000").alias("hr")
     )
@@ -4550,7 +4550,7 @@ def q_ts_ljung_box(spark, sf_dir):
     (spans-from-counts — see SCALE.md 6x for the honest scan-count
     measurement).  Output: (type, lag) rho profile with the per-type
     Q."""
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out (r13)
     b = ev.select(
         "event_type", F.expr("unix_micros(ts) div 3600000000").alias("hr")
     )
@@ -4669,7 +4669,7 @@ def q_stats_cochran_armitage(spark, sf_dir):
     Completes the ordered-alternative side of the categorical family
     (stats_cramers_v / stats_theil_u are unordered).  Hour scores use
     the pure epoch-microsecond arithmetic of events_seasonal_dow_hour."""
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out (r13)
     g = ev.select(
         (F.expr("unix_micros(ts) div 3600000000") % 24).alias("hod"),
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("s"),
@@ -4747,7 +4747,7 @@ def q_stats_page_trend(spark, sf_dir):
     Plan: one (user, dow) collapse, a complete-block semi filter, 7-row
     per-user rank windows, one integer aggregate.  Day-of-week scores
     use the epoch-integer calendar arithmetic ((day+4) % 7)."""
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out (r13)
     dow = ((F.expr("unix_micros(ts) div 86400000000") + 4) % 7).alias("dow")
     m = ev.select("user_id", dow, "value").groupBy("user_id", "dow").agg(
         (F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
@@ -4845,7 +4845,7 @@ def q_stats_two_way_anova(spark, sf_dir):
     exact DECIMAL sums; the <= 28 per-cell SS terms are 6 dp-rounded
     DECIMAL sums (order-independent); sqrt-free.  One data-scale
     collapse; everything downstream is cell-relation-sized."""
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out (r13)
     g = ev.select(
         ((F.expr("unix_micros(ts) div 86400000000") + 4) % 7).alias("a"),
         ((F.expr("unix_micros(ts) div 3600000000") % 24) / 6)
@@ -5018,7 +5018,7 @@ def q_stats_fisher_exact_2x2(spark, sf_dir):
     terms (Fisher's exact test is a small-table procedure; past that
     bound the chi-square/G-test ids are the right tool).  100-TB story:
     the guard, plus the count aggregate being the only data pass."""
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out (r13)
     dow = (F.expr("unix_micros(ts) div 86400000000") + 4) % 7
     wk = F.when(dow.isin(6, 0), 1).otherwise(0)
     er = F.when(F.col("event_type") == "error", 1).otherwise(0)
@@ -5111,7 +5111,7 @@ def q_stats_g_test(spark, sf_dir):
     because the cell relation only carries observed combos on both
     engines).  Exact integer cell counts from one data-scale aggregate;
     the G fold spans r*c <= 10 cell terms, rounded at 6 dp."""
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out (r13)
     dow = (F.expr("unix_micros(ts) div 86400000000") + 4) % 7
     wk = F.when(dow.isin(6, 0), 1).otherwise(0)
     c = ev.select("event_type", wk.alias("wk")).groupBy(
@@ -5180,7 +5180,7 @@ def q_stats_bartlett(spark, sf_dir):
     across engines); 1/(n_i-1) keeps 12 dp so the correction term
     retains precision at large n_i.  One data-scale aggregate, then a
     5-row fold."""
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out (r13)
     y = F.col("value").cast("decimal(18,4)")
     g = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
@@ -5255,7 +5255,7 @@ def q_stats_cmh(spark, sf_dir):
     E and V are per-stratum doubles (the V product runs in DOUBLE —
     the int64 form overflows past ~1e5-row strata); the K = 5 stratum
     terms are 6 dp-rounded DECIMAL sums (order-free)."""
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out (r13)
     dow = (F.expr("unix_micros(ts) div 86400000000") + 4) % 7
     wk = F.when(dow.isin(6, 0), 1).otherwise(0)
     hi = F.when(F.col("value") >= 250, 1).otherwise(0)
@@ -5334,7 +5334,7 @@ def q_stats_breusch_pagan(spark, sf_dir):
     with the second-pass sums per-row-rounded at 6 dp into DECIMAL so
     the fold is order-free.  Two data passes, zero joins (the fit row
     broadcast-crosses the second pass); every moment is scan-local."""
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out (r13)
     base = ev.select(
         (F.expr("unix_micros(ts) div 3600000000") % 24).alias("x"),
         F.col("value").alias("y"),
@@ -5414,7 +5414,7 @@ def q_stats_mood_median(spark, sf_dir):
     with stats_kruskal_wallis the way Bartlett pairs with BF).  Exact
     integer cell counts from one pass (the grand median broadcast
     back); the k = 5 chi2 terms are a scalar fold rounded at 6 dp."""
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out (r13)
     med = ev.agg(F.expr("percentile(value, 0.5)").alias("m"))
     c = ev.crossJoin(F.broadcast(med)).groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
@@ -5498,7 +5498,7 @@ def q_ts_spectral_entropy(spark, sf_dir):
     weighted terms are rounded-to-6 DECIMAL sums, so every bin is
     order-free and engine-identical; the k <= 8 entropy fold is
     scalar."""
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out (r13)
     hourly = ev.groupBy(
         "event_type",
         F.expr("unix_micros(ts) div 3600000000").alias("t"),
@@ -5598,7 +5598,7 @@ def q_ts_pacf_durbin(spark, sf_dir):
     deviation-product DECIMAL sums (order-free), one IEEE division per
     rho, then pure scalar recursion on the aggregate row — identical
     doubles on both engines, 6 dp output rounds."""
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out (r13)
     b = ev.select(
         "event_type", F.expr("unix_micros(ts) div 3600000000").alias("hr")
     )
@@ -5700,7 +5700,7 @@ def q_stats_tost_equivalence(spark, sf_dir):
     evidence of sameness; TOST is).  Same exact-DECIMAL moment machinery
     and Welch-Satterthwaite df; the z threshold is the large-sample
     normal cut (df > 1000 on every fixture)."""
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out (r13)
     m = two_sample_moments(ev)
     na, nb = F.col("na"), F.col("nb")
     ma = F.col("sa") / na
@@ -5765,7 +5765,7 @@ def q_stats_poisson_dispersion(spark, sf_dir):
     the seasonal/spectral family.  Counts and their squares are exact
     integers (one grouped count + the bounded zero-fill grid), so the
     only floats are two trailing divisions; 6/4 dp output rounds."""
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out (r13)
     hourly = ev.groupBy(
         "event_type", F.expr("unix_micros(ts) div 3600000000").alias("hr")
     ).agg(F.count(F.lit(1)).alias("cnt"))
@@ -5839,7 +5839,7 @@ def q_events_interarrival_expon_ks(spark, sf_dir):
     exp() of identical doubles; the CDF steps use the stats_ks_uniform
     per-distinct-value running-count plan (here a per-type PARTITIONED
     window — millions of natural partitions at scale)."""
-    ev = fan_out(load_tables(spark, sf_dir)["events"], spark)
+    ev = load_tables(spark, sf_dir)["events"]  # no fan_out (r13)
     w = Window.partitionBy("event_type").orderBy("ts", "event_id")
     seq = ev.select(
         "event_type", F.unix_micros("ts").alias("us"),
