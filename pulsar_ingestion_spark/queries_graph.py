@@ -607,6 +607,34 @@ def q_graph_bfs_hops(spark, sf_dir):
     )
 
 
+def bfs_hops_per_seed(bidir, seeds, max_hops: int):
+    """Per-seed BFS in ONE frontier loop (round 13): ``seeds`` is a
+    (src, node) relation; state is keyed on (src, node) so every seed's
+    traversal advances in the same hop join — closeness previously ran
+    ``bfs_hops`` once per seed, paying max_hops × #seeds checkpointed
+    rounds instead of max_hops.  Returns (src, node, dist) with the MIN
+    hop distance per (seed, node), dist <= max_hops."""
+    visited = seeds.select("src", "node").withColumn(
+        "dist", F.lit(0)
+    ).localCheckpoint(eager=True)
+    frontier = visited.select("src", "node")
+    for d in range(1, max_hops + 1):
+        nxt = (
+            bidir.join(frontier, "node")
+            .select("src", F.col("nbr").alias("node"))
+            .distinct()
+            .join(visited.select("src", "node"), ["src", "node"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionAll(
+            nxt.withColumn("dist", F.lit(d))
+        ).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited
+
+
 def bfs_hops(bidir, seeds, max_hops: int):
     """Frontier-loop BFS: ``bidir`` is a (node, nbr) bidirectional edge
     relation (persist it — every hop joins against it), ``seeds`` a
@@ -1338,30 +1366,30 @@ def q_graph_closeness_centrality(spark, sf_dir):
         .unionAll(edges.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
         .persist()
     )
-    seed_rows = (
-        bidir.select("node").distinct().orderBy("node").limit(_CLOSE_SEEDS).collect()
+    # Round 13: ALL seeds traverse in one (src, node)-keyed frontier loop
+    # (bfs_hops_per_seed) — max_hops checkpointed rounds total instead of
+    # max_hops × #seeds.  Seeds stay a model-sized relation; no driver
+    # row loop.
+    seeds = (
+        bidir.select("node").distinct().orderBy("node").limit(_CLOSE_SEEDS)
+        .select(F.col("node").alias("src"), "node")
+        .localCheckpoint(eager=True)
     )
     spark_ = bidir.sparkSession
-    if not seed_rows:  # edgeless graph: zero rows, stable schema
+    if seeds.isEmpty():  # edgeless graph: zero rows, stable schema
         bidir.unpersist()
         return spark_.createDataFrame(
             [],
             "src long, n_reached long, sum_dist long, "
             "closeness double, harmonic double",
         )
-    per_seed = []
-    for r in seed_rows:
-        seed_df = spark_.createDataFrame([(r["node"],)], "node long")
-        visited = bfs_hops(bidir, seed_df, _BFS_MAX_HOPS)
-        per_seed.append(
-            visited.filter(F.col("dist") > 0)
-            .groupBy("dist")
-            .agg(F.count("*").alias("cnt"))
-            .select(F.lit(r["node"]).cast("long").alias("src"), "dist", "cnt")
-        )
-    byd = per_seed[0]
-    for df in per_seed[1:]:
-        byd = byd.unionAll(df)
+    visited = bfs_hops_per_seed(bidir, seeds, _BFS_MAX_HOPS)
+    byd = (
+        visited.filter(F.col("dist") > 0)
+        .groupBy("src", "dist")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("src").cast("long").alias("src"), "dist", "cnt")
+    )
     bidir.unpersist()
     cnt, dist = F.col("cnt"), F.col("dist")
     return byd.groupBy("src").agg(
