@@ -314,9 +314,18 @@ def test_skyline_and_weighted_median_plan_shapes(spark):
     wplan = wm._sc._jvm.PythonSQLUtils.explainString(
         wm._jdf.queryExecution(), "formatted"
     )
-    # the running sum must ride the range repartition, visible as a
-    # RangePartitioning exchange in the physical plan
-    assert "rangepartitioning" in wplan.lower(), wplan[:2000]
+    # the running sum must ride a PARTITIONED window over the quantile
+    # bucket (round 13: keyed_running_sums bucketizes with in-plan
+    # quantiles — `_pid` — instead of an eager range repartition); the
+    # raw relation must never flow through an unpartitioned window
+    assert "_pid" in wplan, wplan[:2000]
+    import re as _re
+
+    for m in _re.finditer(r"windowspecdefinition\(([^)]*)", wplan):
+        first = m.group(1).split(",")[0].strip()
+        assert not first.startswith("specifiedwindowframe"), (
+            "unpartitioned window over the weighted-median relation"
+        )
     spark.catalog.clearCache()
 
 
