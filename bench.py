@@ -194,18 +194,41 @@ def main() -> None:
     tmp = tempfile.mkdtemp(prefix="bench-pipeline-")
     try:
         generate(os.path.join(tmp, "in"), "geotab", rows=50_000, files=32)
-        spec = PipelineSpec(
-            sources=[SourceSpec(kind="jsonl", translator="geotab",
-                                options={"path": os.path.join(tmp, "in")})],
-            output_path=os.path.join(tmp, "out"),
+        # Round 14 (VERDICT r13 item 6/8): min-of-N like every other row —
+        # run 0 is a discarded warm-up, runs 1..N are measured; it was the
+        # noisiest row in both the builder's and the driver's r13 runs
+        # (±2× single-shot swings).  Fresh output dir per run (the parquet
+        # sink appends), removed before the next run so every run does
+        # identical work.  Additions-only: same key, same methodology
+        # class as the query rows.
+        psamples: list[float] = []
+        for it in range(measured + 1):
+            out_dir = os.path.join(tmp, f"out{it}")
+            spec = PipelineSpec(
+                sources=[SourceSpec(kind="jsonl", translator="geotab",
+                                    options={"path": os.path.join(tmp, "in")})],
+                output_path=out_dir,
+            )
+            t0 = time.perf_counter()
+            run_pipeline(spark, spec, streaming=False)
+            dt = round(time.perf_counter() - t0, 4)
+            if it > 0:
+                psamples.append(dt)
+            spark.catalog.clearCache()
+            shutil.rmtree(out_dir, ignore_errors=True)
+        timings["pipeline_e2e_50k"] = min(psamples)
+        variances["pipeline_e2e_50k"] = (
+            round(statistics.variance(psamples), 6) if len(psamples) >= 2 else 0.0
         )
-        t0 = time.perf_counter()
-        run_pipeline(spark, spec, streaming=False)
-        timings["pipeline_e2e_50k"] = round(time.perf_counter() - t0, 4)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
     total = round(sum(timings.values()), 4)
+    # Effective parallelism of the session that ran the bench (VERDICT r13
+    # item 2): the scaling probe was undiagnosable from the JSON — nothing
+    # proved which core count actually ran.  sc.defaultParallelism is the
+    # ground truth for local[N].
+    parallelism = spark.sparkContext.defaultParallelism
     line = json.dumps(
         {
             "metric": "headline_queries_total_wall",
@@ -214,6 +237,9 @@ def main() -> None:
             "queries": timings,
             "var": variances,
             "sf": sf,
+            "parallelism": parallelism,
+            "shuffle_partitions": int(spark.conf.get("spark.sql.shuffle.partitions")),
+            "sf_dir": sf_dir,
         }
     )
     # The driver parses the JSON from a ~2000-char TAIL capture of the
@@ -231,6 +257,10 @@ def main() -> None:
             "unit": "sec",
             "queries": {k: round(v, 2) for k, v in timings.items()},
             "sf": sf,
+            # scaling-probe contract (VERDICT r13 item 2): +~17 chars, the
+            # 2000-char tail capture still holds the line with margin (the
+            # line-fit test pins it)
+            "parallelism": parallelism,
         },
         separators=(",", ":"),
     )

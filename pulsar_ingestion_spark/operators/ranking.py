@@ -38,17 +38,32 @@ from pyspark.sql import functions as F
 # admits ~3k distinct keys — far above every registered caller (≤ 25).
 DRIVER_ROW_BUDGET = 100_000
 
+# Tighter budget for the bucket-totals relation that feeds the broadcast
+# THETA-join (strictly-earlier-bucket offsets) in keyed_running_sums /
+# global_exclusive_running_max (VERDICT r13 item 6): the driver budget
+# bounds driver MEMORY, but the theta-join is a nested-loop over
+# |bt| × |bt| pairs — 100k rows admits 10^10 comparisons.  10k rows caps
+# the loop at 10^8 while staying 12× above the largest registered caller
+# (≤ 25 keys × 32 buckets = 800 rows).
+THETA_JOIN_ROW_BUDGET = 10_000
 
-def _bounded_driver_rows(df: DataFrame, budget: int, what: str) -> list:
-    rows = df.take(budget + 1)
-    if len(rows) > budget:
+
+def _bounded_count_guard(df: DataFrame, budget: int, what: str) -> int:
+    """Budget guard for relations that stay EXECUTOR-side (broadcast
+    theta-join inputs): one ``count()`` — a single clean job that also
+    materializes the persisted relation for its later consumers — instead
+    of a ``take(budget+1)`` whose incremental-limit execution launches
+    2-3 scale-up mini-jobs and ships budget+1 rows to the driver (round
+    14; the guard never needed the rows, only the bound)."""
+    cnt = df.count()
+    if cnt > budget:
         raise ValueError(
-            f"{what} would materialize more than {budget} aggregate rows "
-            "on the driver — this helper is for BOUNDED key cardinality "
-            "(the few-key discipline). Re-plan with a distributed join "
-            "or raise max_driver_rows explicitly if the driver can hold it."
+            f"{what} would exceed {budget} aggregate rows ({cnt}) — this "
+            "helper is for BOUNDED key cardinality (the few-key "
+            "discipline). Re-plan with a distributed join or raise "
+            "max_driver_rows explicitly if the budget is genuinely safe."
         )
-    return rows
+    return cnt
 
 
 def _with_order_bucket(
@@ -59,15 +74,28 @@ def _with_order_bucket(
     bucket_desc: bool = False,
 ) -> DataFrame:
     """Add a ``_pid`` bucket column consistent with the total order over
-    ``order_cols`` (round 13): in-plan approximate quantiles of the
-    bucket column (the first order column unless given explicitly),
-    broadcast back; bucket = number of boundaries the value has passed.
-    Equal bucket values always share a bucket, so the bucket sequence
-    respects the total order EXACTLY — only the balance is approximate,
-    and correctness never depends on balance.  NULL bucket values land
-    in the first (asc) / last (desc) bucket, matching Spark's default
-    NULL ordering.  Replaces the old eager ``repartitionByRange`` whose
-    range-sampling job re-executed the whole upstream plan."""
+    ``order_cols`` (round 13): approximate quantiles of the bucket
+    column (the first order column unless given explicitly); bucket =
+    number of boundaries the value has passed.  Equal bucket values
+    always share a bucket, so the bucket sequence respects the total
+    order EXACTLY — only the balance is approximate, and correctness
+    never depends on balance.  NULL bucket values land in the first
+    (asc) / last (desc) bucket, matching Spark's default NULL ordering.
+
+    Round 14 (ADVICE r13 high): the boundaries are computed ONCE — one
+    small job over the (persisted) input — and frozen as a LITERAL
+    array.  The round-13 form re-evaluated the ``percentile_approx``
+    subplan inside every consumer job via a broadcast cross-join;
+    QuantileSummaries merges are sensitive to merge order and
+    shuffle-block fetch order is randomized on multi-executor clusters,
+    so two evaluations could disagree near a boundary and hand a row a
+    ``_pid`` inconsistent with the offsets computed from another
+    evaluation (silently dropping rows through the offset equi-join).
+    A ≤(nparts−1)-element double array is model-sized driver traffic —
+    the same class as the offset-map literals — and freezing it also
+    deletes the broadcast exchange + cross-join from every consumer
+    subplan.  Callers persist ``df`` before calling, so the quantile
+    job is the materialization pass the guard take previously paid."""
     from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
 
     null_last = bucket_desc  # defaults: asc → NULLS FIRST, desc → NULLS LAST
@@ -75,18 +103,34 @@ def _with_order_bucket(
         b0 = bucket_col
     else:
         b0 = order_cols[0]
+        node = None
         try:  # auto-unwrap a SortOrder (F.desc/F.asc...) first order column
             node = b0._jc.node()
-            if node.getClass().getSimpleName() == "SortOrder":
-                from pyspark.sql.classic.column import Column as _CCol
-
-                bucket_desc = "Descending" in node.sortDirection().toString()
-                null_last = "NullsLast" in node.nullOrdering().toString()
-                b0 = _CCol(
-                    df.sparkSession._jvm.org.apache.spark.sql.Column(node.child())
-                )
+            is_sort = node.getClass().getSimpleName() == "SortOrder"
         except Exception:
-            pass  # connect mode / unknown wrapper: treat as a plain column
+            # Connect mode / future internals: the node API is absent.
+            # Detect a SortOrder by its rendered form so a desc-ordered
+            # caller fails LOUDLY instead of silently bucketing with
+            # ascending semantics against a descending window (ADVICE
+            # r13 low #2).
+            is_sort = str(b0).rstrip("'>").endswith(
+                ("NULLS FIRST", "NULLS LAST", " ASC", " DESC")
+            )
+            if is_sort:
+                raise ValueError(
+                    "order_cols[0] is a SortOrder expression but the column "
+                    "node API is unavailable (Spark Connect / internals "
+                    "change) — pass bucket_col (and bucket_desc for "
+                    "descending order) explicitly."
+                )
+        if node is not None and is_sort:
+            from pyspark.sql.classic.column import Column as _CCol
+
+            bucket_desc = "Descending" in node.sortDirection().toString()
+            null_last = "NullsLast" in node.nullOrdering().toString()
+            b0 = _CCol(
+                df.sparkSession._jvm.org.apache.spark.sql.Column(node.child())
+            )
     bdt = df.select(b0.alias("_b")).schema[0].dataType
     if isinstance(bdt, (TimestampType, TimestampNTZType)):
         bnum = F.unix_micros(b0).cast("double")
@@ -97,18 +141,20 @@ def _with_order_bucket(
     if nparts < 2:
         return df.withColumn("_pid", F.lit(0))
     fracs = F.array(*[F.lit(i / nparts) for i in range(1, nparts)])
-    qdf = df.agg(F.percentile_approx(bnum, fracs, F.lit(10_000)).alias("_qs"))
+    qrow = df.agg(
+        F.percentile_approx(bnum, fracs, F.lit(10_000)).alias("_qs")
+    ).first()
+    qs = list(qrow["_qs"]) if qrow is not None and qrow["_qs"] is not None else []
+    if not qs:  # empty input: no boundaries, every (non-)row in bucket 0
+        return df.withColumn("_pid", F.lit(0))
+    arr = F.array(*[F.lit(float(q)) for q in qs])
     null_pid = F.lit(nparts if null_last else 0)
     if bucket_desc:
-        nonnull = F.coalesce(
-            F.size(F.filter(F.col("_qs"), lambda q: q >= bnum)), F.lit(0)
-        )
+        nonnull = F.size(F.filter(arr, lambda q: q >= bnum))
     else:
-        nonnull = F.coalesce(
-            F.size(F.filter(F.col("_qs"), lambda q: q <= bnum)), F.lit(0)
-        )
+        nonnull = F.size(F.filter(arr, lambda q: q <= bnum))
     pid = F.when(bnum.isNull(), null_pid).otherwise(nonnull)
-    return df.crossJoin(F.broadcast(qdf)).withColumn("_pid", pid).drop("_qs")
+    return df.withColumn("_pid", pid)
 
 
 def global_row_number(
@@ -124,11 +170,12 @@ def global_row_number(
     unpartitioned window.  Returns ``(df_with_rn, total_rows)``.
 
     The order must be total (include a unique tie-break column) so the
-    result is deterministic regardless of bucket boundaries.  Round 13:
-    rows are bucketed by :func:`_with_order_bucket` (in-plan quantiles —
-    no eager range-sampling pass, and the window's hash exchange is the
-    only data-scale shuffle); per-bucket counts (≤ #buckets driver rows)
-    fold into literal offsets exactly as before.  ``bucket_col`` /
+    result is deterministic regardless of bucket boundaries.  Round 13/14:
+    rows are bucketed by :func:`_with_order_bucket` (one small quantile
+    job over the persisted input, boundaries FROZEN as literals — every
+    consumer job sees the same ``_pid`` assignment, and the window's
+    hash exchange is the only data-scale shuffle); per-bucket counts
+    (≤ #buckets driver rows) fold into literal offsets exactly as before.  ``bucket_col`` /
     ``bucket_desc`` name the first order column and its direction when
     ``order_cols[0]`` is a SortOrder expression (``F.desc(...)``).
 
@@ -142,9 +189,20 @@ def global_row_number(
     nparts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     df = df.persist()
     t = _with_order_bucket(df, order_cols, nparts, bucket_col, bucket_desc)
-    counts = {r["_pid"]: r["cnt"] for r in _bounded_driver_rows(
-        t.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")),
-        max_driver_rows, "global_row_number bucket counts")}
+    # grouped by _pid alone, the counts relation is ≤ nparts+1 rows by
+    # construction — collect() is one clean job (take()'s incremental
+    # limit ran 2-3 scale-up mini-jobs); the budget check still guards
+    # callers that pass an absurd num_partitions.
+    crows = t.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    if len(crows) > max_driver_rows:
+        raise ValueError(
+            f"global_row_number bucket counts would materialize more than "
+            f"{max_driver_rows} aggregate rows on the driver — this helper "
+            "is for BOUNDED key cardinality (the few-key discipline). "
+            "Re-plan with a distributed join or raise max_driver_rows "
+            "explicitly if the driver can hold it."
+        )
+    counts = {r["_pid"]: r["cnt"] for r in crows}
     offsets, acc = {}, 0
     for pid in sorted(counts):
         offsets[pid] = acc
@@ -175,12 +233,11 @@ def global_exclusive_running_max(
     row) without an unpartitioned window — the max analogue of
     :func:`global_row_number` (round 12, skyline broadcast guard).
 
-    Round 13 (lazy bucket form, matching :func:`keyed_running_sums`):
-    bucket on in-plan quantiles of ``order_col``, run the exclusive
-    running max inside each bucket in parallel, and fold the
-    strictly-earlier-bucket max via an in-plan broadcast theta-join over
-    the bucket-max relation — no range-sampling pass, no driver rows
-    beyond the budget-guard take.  ``order_col`` must be unique per row
+    Round 13/14 (bucket form, matching :func:`keyed_running_sums`):
+    bucket on frozen-literal quantiles of ``order_col`` (one small job),
+    run the exclusive running max inside each bucket in parallel, and
+    fold the strictly-earlier-bucket max via an in-plan broadcast
+    theta-join over the bucket-max relation — no range-sampling pass.  ``order_col`` must be unique per row
     (callers pass pre-aggregated relations).  Same persist/clearCache
     note as :func:`global_row_number`."""
     spark = df.sparkSession
@@ -188,8 +245,10 @@ def global_exclusive_running_max(
     df = df.persist()
     t = _with_order_bucket(df, [F.col(order_col)], nparts)
     bt = t.groupBy("_pid").agg(F.max(val_col).alias("_bmax")).persist()
-    _bounded_driver_rows(
-        bt.select("_pid"), max_driver_rows,
+    # the bucket-max relation feeds a broadcast theta-join (nested loop):
+    # cap it at the theta budget, not just the driver-memory budget
+    _bounded_count_guard(
+        bt, min(max_driver_rows, THETA_JOIN_ROW_BUDGET),
         "global_exclusive_running_max bucket maxes",
     )
     prev = bt.select(
@@ -249,13 +308,15 @@ def keyed_running_sums(
     re-executed the whole upstream, then a driver ``take`` for offsets:
     3 build-time jobs and 2 data-scale exchanges per call):
 
-      1. rows are BUCKETED on the first order column by in-plan
-         approximate quantiles (``percentile_approx`` over the input,
-         broadcast back, bucket = #quantiles ≤ value).  Bucket
-         boundaries are half-open on the first order column, so equal
-         first-column values share a bucket and the bucket sequence
-         respects the total (key, order) ordering exactly; boundary
-         *balance* is approximate, correctness never depends on it.
+      1. rows are BUCKETED on the first order column by approximate
+         quantiles (``percentile_approx`` over the persisted input —
+         ONE small job, boundaries frozen as a literal array so every
+         consumer job assigns identical ``_pid``s; ADVICE r13 high).
+         Bucket boundaries are half-open on the first order column, so
+         equal first-column values share a bucket and the bucket
+         sequence respects the total (key, order) ordering exactly;
+         boundary *balance* is approximate, correctness never depends
+         on it.
       2. a PARTITIONED window over (bucket, key) computes running sums
          inside each bucket in parallel — this window's single hash
          exchange is the only data-scale shuffle the helper adds;
@@ -301,8 +362,11 @@ def keyed_running_sums(
     # relation is broadcast and theta-joined, so bucket×key cardinality
     # must stay bounded — one take() against the persisted totals raises
     # loudly past the budget (and warms the caches the plan reads anyway).
-    _bounded_driver_rows(
-        bt.select("_pid", *key_cols), max_driver_rows,
+    # The theta-join is a nested loop over |bt|² pairs, so its budget is
+    # the tighter THETA_JOIN_ROW_BUDGET (VERDICT r13 item 6), not the
+    # driver-memory budget alone.
+    _bounded_count_guard(
+        bt, min(max_driver_rows, THETA_JOIN_ROW_BUDGET),
         "keyed_running_sums per-(bucket,key) totals",
     )
     totals = bt.groupBy(*key_cols).agg(

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from pulsar_ingestion_spark.functions.text import token_count
 from pulsar_ingestion_spark.registry import query
-from pulsar_ingestion_spark.session import fan_out, load_tables
+from pulsar_ingestion_spark.session import load_tables
 
 _TOKENS_SQL = r"len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))"
 

@@ -15,7 +15,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from pulsar_ingestion_spark.registry import query
-from pulsar_ingestion_spark.session import fan_out, load_tables
+from pulsar_ingestion_spark.session import load_tables
 
 
 @query(

@@ -616,9 +616,6 @@ def _blas_oracle(
     """
 
 
-_EMB_COUNT_CACHE: dict[str, int] = {}
-
-
 @query("dedup_embedding_blas", oracle=_blas_oracle(64, None, 8, 42, 0.4))
 def q_dedup_embedding_blas(spark, sf_dir):
     # The 100 TB near-dup plan: sign-LSH blocks × per-block numpy matmul
@@ -640,13 +637,12 @@ def q_dedup_embedding_blas(spark, sf_dir):
     from pulsar_ingestion_spark.operators.similarity import auto_num_planes
 
     emb = load_tables(spark, sf_dir)["embeddings"]
-    # memoize the row count per table dir (VERDICT r7 nit): the count is
-    # only consumed by the plane-count formula, so one metadata-cheap
-    # footer-stats job per dataset — not per invocation — is enough (at
-    # cluster scale this would come from table statistics instead)
-    n = _EMB_COUNT_CACHE.get(sf_dir)
-    if n is None:
-        n = _EMB_COUNT_CACHE[sf_dir] = emb.count()
+    # one metadata-cheap footer-stats count per invocation, consumed only
+    # by the plane-count formula (at cluster scale this would come from
+    # table statistics).  VERDICT r13 item 4: the former per-dir memo dict
+    # survived clearCache() and shaved this job off bench repeat-runs —
+    # the memoised-result pattern; every invocation now computes it.
+    n = emb.count()
     return embedding_near_dups_blas(
         emb,
         threshold=0.4,
@@ -740,9 +736,7 @@ def q_sim_search_lsh(spark, sf_dir):
     from pulsar_ingestion_spark.operators.similarity import auto_num_planes
 
     emb = load_tables(spark, sf_dir)["embeddings"]
-    n = _EMB_COUNT_CACHE.get(sf_dir)
-    if n is None:
-        n = _EMB_COUNT_CACHE[sf_dir] = emb.count()
+    n = emb.count()  # per-invocation footer-stats count (VERDICT r13 item 4)
     return knn_lsh(
         emb.filter(F.col("vec_id") < 20),
         emb,
@@ -813,9 +807,7 @@ def q_sim_search_lsh_multiprobe(spark, sf_dir):
     from pulsar_ingestion_spark.operators.similarity import auto_num_planes, knn_lsh_multiprobe
 
     emb = load_tables(spark, sf_dir)["embeddings"]
-    n = _EMB_COUNT_CACHE.get(sf_dir)
-    if n is None:
-        n = _EMB_COUNT_CACHE[sf_dir] = emb.count()
+    n = emb.count()  # per-invocation footer-stats count (VERDICT r13 item 4)
     return knn_lsh_multiprobe(
         emb.filter(F.col("vec_id") < 20),
         emb,

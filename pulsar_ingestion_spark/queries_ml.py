@@ -24,7 +24,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from pulsar_ingestion_spark.registry import query
-from pulsar_ingestion_spark.session import fan_out, load_tables
+from pulsar_ingestion_spark.session import load_tables
 
 _K = 8  # clusters / PQ codebook size
 
@@ -103,26 +103,22 @@ def q_emb_kmeans_lloyd(spark, sf_dir):
 _SUBSPACES = 4
 _SUBDIM = 16  # 64 dims / 4 subspaces
 
-_PQ_CENTS_CACHE: dict[str, list] = {}
-
-
 def _pq_cents(spark, sf_dir, emb):
     """The seeded PQ codebook (md5-ordered top-_K) as driver-held rows —
-    model-sized (K × dim floats), the knn_ivf centroid stance.  Memoized
-    per dataset dir: one small Spark job per dataset, not per query."""
-    rows = _PQ_CENTS_CACHE.get(sf_dir)
-    if rows is None:
-        rows = [
-            (r["cid"], r["cvec"])
-            for r in (
-                emb.orderBy(F.md5(F.col("vec_id").cast("string")))
-                .limit(_K)
-                .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
-                .collect()
-            )
-        ]
-        _PQ_CENTS_CACHE[sf_dir] = rows
-    return rows
+    model-sized (K × dim floats), the knn_ivf centroid stance.  One small
+    limit-_K Spark job per invocation: VERDICT r13 item 4 — a module-level
+    memo keyed on the dataset dir survived ``spark.catalog.clearCache()``
+    and shaved this job off bench repeat-runs (the memoised-result
+    pattern); every invocation now computes from the parquet input."""
+    return [
+        (r["cid"], r["cvec"])
+        for r in (
+            emb.orderBy(F.md5(F.col("vec_id").cast("string")))
+            .limit(_K)
+            .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+            .collect()
+        )
+    ]
 
 
 def _pq_oracle() -> str:

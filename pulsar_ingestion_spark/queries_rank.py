@@ -137,6 +137,13 @@ def q_stats_mann_whitney(spark, sf_dir):
             F.col("cb").cast("long").alias("cb"),
         )
         .withColumn("c", F.col("ct") + F.col("cb"))
+        # ADVICE r13 low: values present only in OTHER treatment groups
+        # produce ct=0 AND cb=0 rows here (the old full-outer shape never
+        # emitted them).  They are algebraically inert for U/z — every
+        # aggregate term carries a factor of ct, cb or c — but inflate
+        # the ranked relation and the kr_s bucket aggregate by up to
+        # |cmps|×; drop them before ranking.
+        .filter(F.col("c") > 0)
     )
     cum, _tot = keyed_running_sums(pervalue, ["cmp"], [F.col("value")], ["c"])
     c, cc, ct = F.col("c"), F.col("cum_c"), F.col("ct")
@@ -211,44 +218,75 @@ def q_stats_spearman(spark, sf_dir):
     and extended price per return flag: rank both columns, then Pearson
     on the ranks via one-pass parallel moments (agg_stats_corr plan).
 
-    Ranks come from per-value grouped counts + ``keyed_running_sums``
-    (bounded by distinct values; any parallelism) and are carried as
-    exact DECIMAL half-integers, so the moment sums are exact on both
-    engines and rho is a single IEEE expression."""
+    Round 14 single-pass dual-rank (VERDICT r13 next-round item 1): the
+    old plan ran two full ``keyed_running_sums`` passes and then joined
+    BOTH rank relations back onto the 600k-row fact — the price-rank
+    join was a sort-merge of two fact-sized relations.  Only ``sxy``
+    actually needs the per-row (qrank, prank) pairing, and it factors
+    through the price groups: sxy = Σ_{(rf,p)} prank·Σ qrank.  So:
+
+      1. quantity ranks ride a per-flag window over the per-(rf,
+         quantity) counts — the quantity DOMAIN is bounded (integral
+         1..50 in every TPC-H-shaped relation), so that relation is
+         MODEL-SIZED (≤ |flags|×50 rows, the 16-row-centroid class
+         where a partitioned window is the right plan — no kr_s
+         machinery, no eager quantile/guard jobs) and is BROADCAST
+         onto the fact scan (no fact shuffle);
+      2. one (rf, price) aggregate folds c, Σqrank, Σqrank² per price
+         group — this relation IS the price-rank pv, so the second
+         kr_s ranks prices off the same exchange;
+      3. the final per-flag moments read every term from that one
+         relation (sy/syy weight prank by c; sx/sxx fold the qrank
+         sums).
+
+    One fact-sized sort-merge join, one kr_s data pass and one fact
+    exchange fewer.  All sums stay exact DECIMAL quarter-integers
+    (scale-6 decimals hold them exactly) cast to double at the end, so
+    rho is bit-identical to the two-join form and the ANSI oracle."""
     (li,) = _t(spark, sf_dir, "lineitem")
 
-    def ranks(col: str, vout: str, out: str):
-        pv = li.groupBy(
-            F.col("l_returnflag").alias("rf"), F.col(col).alias(vout)
-        ).agg(F.count(F.lit(1)).alias("c"))
-        cum, _ = keyed_running_sums(pv, ["rf"], [F.col(vout)], ["c"])
-        avg_rank = (2 * F.col("cum_c") - F.col("c") + 1).cast("decimal(18,1)") / 2
-        return cum.select("rf", vout, avg_rank.alias(out))
+    pvq = li.groupBy(
+        F.col("l_returnflag").alias("rf"), F.col("l_quantity").alias("qv")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wq = (
+        Window.partitionBy("rf").orderBy("qv")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cumq = pvq.withColumn("cum_c", F.sum("c").over(wq))
+    avg_q = (2 * F.col("cum_c") - F.col("c") + 1).cast("decimal(18,1)") / 2
+    rq = cumq.select("rf", "qv", avg_q.alias("qrank"))
 
-    rq = ranks("l_quantity", "qv", "qrank")
-    rp = ranks("l_extendedprice", "pv", "prank")
-    ranked = (
+    qr = F.col("qrank")
+    g = (
         li.select("l_returnflag", "l_quantity", "l_extendedprice")
-        .join(rq, (F.col("l_returnflag") == F.col("rf"))
+        .join(F.broadcast(rq), (F.col("l_returnflag") == F.col("rf"))
               & (F.col("l_quantity") == F.col("qv")), "inner")
         .drop("rf", "qv")
-        .join(rp, (F.col("l_returnflag") == F.col("rf"))
-              & (F.col("l_extendedprice") == F.col("pv")), "inner")
-        .drop("rf", "pv")
+        .groupBy(
+            F.col("l_returnflag").alias("rf"),
+            F.col("l_extendedprice").alias("pv"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum(qr).alias("sq"),
+            F.sum(qr * qr).alias("sq2"),
+        )
     )
-    qr, pr = F.col("qrank"), F.col("prank")
-    m = ranked.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(qr).cast("double").alias("sx"),
-        F.sum(pr).cast("double").alias("sy"),
-        F.sum(qr * pr).cast("double").alias("sxy"),
-        F.sum(qr * qr).cast("double").alias("sxx"),
-        F.sum(pr * pr).cast("double").alias("syy"),
+    cum, _ = keyed_running_sums(g, ["rf"], [F.col("pv")], ["c"])
+    pr = (2 * F.col("cum_c") - F.col("c") + 1).cast("decimal(18,1)") / 2
+    c = F.col("c")
+    m = cum.groupBy("rf").agg(
+        F.sum(c).alias("n"),
+        F.sum("sq").cast("double").alias("sx"),
+        F.sum(c * pr).cast("double").alias("sy"),
+        F.sum(pr * F.col("sq")).cast("double").alias("sxy"),
+        F.sum("sq2").cast("double").alias("sxx"),
+        F.sum(pr * pr * c).cast("double").alias("syy"),
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
     return m.select(
-        "l_returnflag", "n",
+        F.col("rf").alias("l_returnflag"), "n",
         F.round(
             (n * sxy - sx * sy)
             / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)), 6

@@ -15,6 +15,27 @@ import os
 
 from pyspark.sql import SparkSession
 
+
+def _default_shuffle_partitions() -> str:
+    """Initial shuffle partition count: explicit $SPARK_GRAFT_SHUFFLE wins;
+    otherwise scale with $SPARK_GRAFT_CPUS when the harness overrides the
+    core count (VERDICT r13 item 2 — the low-core scaling probe used to run
+    the canonical 32-partition layout, making core-count ratios
+    uninterpretable); 32 for the canonical local[32] config.  On a real
+    cluster this is set ~2-3x total cores or left to AQE coalescing from a
+    high initial value."""
+    explicit = os.environ.get("SPARK_GRAFT_SHUFFLE")
+    if explicit is not None:
+        return explicit
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if cpus is not None:
+        try:
+            return str(max(1, int(cpus)))
+        except ValueError:
+            pass  # "*" or malformed: fall through to the canonical 32
+    return "32"
+
+
 # Tuned for the local[32] harness; on a real cluster shuffle.partitions
 # is set ~2-3x total cores (or left to AQE's coalesce with a high initial
 # value) and maxPartitionBytes stays at the 128m default so a 100 TB scan
@@ -28,7 +49,7 @@ _LOCAL_DEFAULTS = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Partial-agg pushdown + distinct-agg planning improvements.
     "spark.sql.adaptive.optimizeSkewsInRebalancePartitions.enabled": "true",
-    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+    "spark.sql.shuffle.partitions": _default_shuffle_partitions(),
     # Arrow for the (rare) pandas-UDF path — 10-100x over row pickling.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # The reference formats all timestamps as UTC ISO-8601 with trailing Z
