@@ -338,22 +338,27 @@ def q_graph_triangle_count(spark, sf_dir):
         .persist()
     )
     degn = bidir.groupBy("nbr").agg(F.count(F.lit(1)).alias("dn"))
-    adjd = (
+    # Round 14 (VERDICT r13 item 3): orientation moves BEFORE the
+    # adjacency groupBy.  The r13 form collected the FULL unoriented
+    # struct list per node and filtered it map-side — an O(maxdeg) array
+    # materialization per hub, the same humongous-allocation cliff the
+    # linkpred skew gate exists for, and triangle had no gate.  Both
+    # endpoint degrees now attach as ROW columns (dn rides the shared
+    # nbr exchange; dnode joins degn on node — broadcast at test scale,
+    # and at node-scale its exchange doubles as the groupBy's), rows
+    # below the (degree, id) rank filter drop BEFORE collect_list, so
+    # only the oriented O(sqrt E) out-lists ever exist as arrays — hub
+    # safety by construction instead of by gate.
+    dnode = degn.select(F.col("nbr").alias("node"), F.col("dn").alias("dnode"))
+    oriented = (
         bidir.join(degn, "nbr")
-        .groupBy("node")
-        .agg(
-            F.count(F.lit(1)).alias("dnode"),
-            F.collect_list(F.struct("nbr", "dn")).alias("nd"),
+        .join(dnode, "node")
+        .filter(
+            (F.col("dn") > F.col("dnode"))
+            | ((F.col("dn") == F.col("dnode")) & (F.col("nbr") > F.col("node")))
         )
     )
-    # oriented out-neighbors: strictly higher (degree, id) rank
-    adj = adjd.select(
-        "node",
-        F.expr(
-            "transform(filter(nd, s -> s.dn > dnode OR"
-            " (s.dn = dnode AND s.nbr > node)), s -> s.nbr)"
-        ).alias("nbrs"),
-    ).persist()
+    adj = oriented.groupBy("node").agg(F.collect_list("nbr").alias("nbrs")).persist()
     # Edge-iterator count: per oriented edge (lo, hi), triangles closing
     # at it are |adj(lo) ∩ adj(hi)| — computed map-side on joined
     # adjacency ARRAYS, so the wedge relation (5.5M rows at sf0.1, ~10×
@@ -373,11 +378,13 @@ def q_graph_triangle_count(spark, sf_dir):
         .select(F.size(F.array_intersect("lo_nbrs", "hi_nbrs")).alias("c"))
         .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("n_triangles"))
     )
-    # node and edge counts ride the cached adjacency: every node has an
-    # adjd row, and each edge is oriented exactly once.
-    stats = adj.agg(
-        F.count(F.lit(1)).alias("n_nodes"),
-        F.coalesce(F.sum(F.size("nbrs")), F.lit(0)).cast("bigint").alias("n_edges"),
+    # node and edge counts ride the cached bidir via the degree
+    # aggregate (adj no longer holds every node: locally-maximal-rank
+    # nodes have empty out-lists and drop at the orientation filter).
+    stats = degn.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.coalesce(F.expr("sum(dn) div 2"), F.lit(0))
+        .cast("bigint").alias("n_edges"),
     )
     # bidir/adj stay persisted across their consumer branches; harnesses
     # running many queries clear the cache between them (registry policy).
@@ -1614,7 +1621,17 @@ def _edge_support(e):
     """Per-edge triangle support over an (u < v) edge set: ordered
     wedge-close enumeration (each triangle x<y<z found exactly once),
     then the three edge roles counted — all equi-joins keyed on
-    node/edge keys, never all-pairs."""
+    node/edge keys, never all-pairs.
+
+    Round 14: an adjacency-array form (id-ordered out-lists, per-edge
+    array_intersect, one-Generate role weights — the triangle-count
+    discipline) was built and measured A/B/A at sf0.1 and REVERTED:
+    7.3-7.5 s (this wedge form) vs 10.8-11.1 s — the peel runs many
+    strictly-shrinking rounds, and per round the collect_set array
+    build plus TWO adjacency attach joins cost more than the wedge
+    self-join on the hub-capped co-occurrence graph, whose wedge volume
+    is only ~10x the edge count.  The array form wins when wedges blow
+    up (degree-skewed graphs); this peel's input is capped upstream."""
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     tri = (
         e1.join(
