@@ -57,28 +57,37 @@ _N_BANDS = 4
 
 def _features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-doc cascade features: digest, shingle set, 4 band values —
-    the exact expressions of the batch cascade (queries_llm) so the
-    streaming path's decisions are comparable term for term."""
+    the exact md5 values of the batch cascade (queries_llm) so the
+    streaming path's decisions are comparable term for term.
+
+    Round 14 (stream_bench finding): the signatures were the naive
+    ``array_min(transform(w, md5))`` form — every hash through Spark's
+    INTERPRETED higher-order-function evaluator, the exact shape the
+    batch path rejected in round 8 (operators.dedup.minhash_signatures
+    docstring; ~8×|shingles| lambda dispatches per doc, re-paid every
+    micro-batch).  Signatures now come from the same explode →
+    whole-stage-codegen min-aggregates shape as the batch operator —
+    one tiny per-batch doc_id shuffle instead; values are IDENTICAL
+    (same md5 of the same strings), so the batch-equivalence tests and
+    the versioned state format are unchanged."""
     from pulsar_ingestion_spark.functions.text import shingles
     from pulsar_ingestion_spark.queries_llm import _MINHASH_SEEDS
 
-    w = shingles(F.col(text_col), n=3)
-
-    def _hasher(seed: str):
-        return lambda x: F.md5(F.concat(F.lit(f"{seed}:"), x))
-
-    sigs = [
-        F.array_min(F.transform(w, _hasher(s))).alias(f"sig_{i}")
-        for i, s in enumerate(_MINHASH_SEEDS)
-    ]
-    out = df.select(
+    base = df.select(
         F.col(id_col).alias("doc_id"),
         *([F.col("source")] if "source" in df.columns else [F.lit("stream").alias("source")]),
         F.md5(F.col(text_col)).alias("digest"),
-        w.alias("w"),
-        *sigs,
+        shingles(F.col(text_col), n=3).alias("w"),
     )
-    return out.select(
+    sigs_flat = base.select("doc_id", F.explode_outer("w").alias("g")).groupBy(
+        "doc_id"
+    ).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("g")))).alias(f"sig_{i}")
+            for i, s in enumerate(_MINHASH_SEEDS)
+        ]
+    )
+    return base.join(sigs_flat, "doc_id").select(
         "doc_id", "source", "digest", "w",
         *[
             F.concat(F.col(f"sig_{2 * b}"), F.col(f"sig_{2 * b + 1}")).alias(f"b{b}")
@@ -138,7 +147,11 @@ def stream_dedup_cascade(
             .drop("_keep_id")
         )
         if state is not None:
-            s1 = s1.join(state.select("digest").distinct(), "digest", "left_anti")
+            # no distinct: state digests are unique by construction (one
+            # row per exact survivor, later batches anti-joined here),
+            # and left_anti semantics ignore right-side duplicates anyway
+            # — the distinct was a wasted per-batch state shuffle (r14)
+            s1 = s1.join(state.select("digest"), "digest", "left_anti")
         s1 = s1.persist()
 
         # near stage: candidate partners share >= 1 band and were seen
