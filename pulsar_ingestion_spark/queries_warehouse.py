@@ -547,15 +547,20 @@ def q_warehouse_changelog_compact(spark, sf_dir):
     # version ties exist in the synthetic log (duplicate (key, version)
     # rows); extend the ordering over every output column so the winner
     # is unique up to full-row equality — either copy hashes the same.
-    w = Window.partitionBy("key").orderBy(
-        F.desc("version"), F.desc("price"), F.desc("quantity")
-    )
+    # The all-descending total order makes the rn=1 winner the MAX of the
+    # (version, price, quantity) tuple, so one hash aggregate replaces the
+    # partition sort: map-side partials ship one candidate per key per
+    # task instead of every log row through a sort (r14).  op trails the
+    # struct: it is a function of (key, version), so it can only tie.
     return (
-        log.withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        log.groupBy("key")
+        .agg(F.max(F.struct("version", "price", "quantity", "op")).alias("top"))
+        .filter(F.col("top.op") != "D")
         .select(
-            "key", F.col("version").alias("last_version"),
-            F.col("op").alias("last_op"), "quantity", "price",
+            "key", F.col("top.version").alias("last_version"),
+            F.col("top.op").alias("last_op"),
+            F.col("top.quantity").alias("quantity"),
+            F.col("top.price").alias("price"),
         )
     )
 
@@ -802,23 +807,26 @@ def q_warehouse_merge_resolve_conflicts(spark, sf_dir):
     explicit no-ops, as MERGE semantics demand."""
     (od,) = _t(spark, sf_dir, "orders")
     li = load_tables(spark, sf_dir)["lineitem"]
-    w = Window.partitionBy("l_orderkey").orderBy(
-        F.col("l_shipdate").desc(), F.col("l_linenumber").desc(),
-        F.col("l_extendedprice").desc(), F.col("l_quantity").desc(),
-        F.col("l_discount").desc(),
-    )
-    wk = Window.partitionBy("l_orderkey")
+    # The resolution ORDER BY is all-descending over a total order, so
+    # the rn=1 winner is the MAX of the column tuple: one hash aggregate
+    # (map-side partials — one candidate + a count per key per task)
+    # replaces the row_number partition sort, and n_versions rides the
+    # same aggregate instead of a second window pass (r14).
     resolved = (
-        li.select(
-            "l_orderkey", "l_quantity", "l_extendedprice",
-            F.row_number().over(w).alias("rn"),
-            F.count("*").over(wk).alias("n_versions"),
+        li.groupBy(F.col("l_orderkey").alias("key"))
+        .agg(
+            F.max(
+                F.struct(
+                    "l_shipdate", "l_linenumber", "l_extendedprice",
+                    "l_quantity", "l_discount",
+                )
+            ).alias("top"),
+            F.count("*").alias("n_versions"),
         )
-        .filter(F.col("rn") == 1)
         .select(
-            F.col("l_orderkey").alias("key"),
-            F.when(F.col("l_quantity") > 45, "D").otherwise("U").alias("op"),
-            F.col("l_extendedprice").cast("decimal(18,4)").alias("new_price"),
+            "key",
+            F.when(F.col("top.l_quantity") > 45, "D").otherwise("U").alias("op"),
+            F.col("top.l_extendedprice").cast("decimal(18,4)").alias("new_price"),
             "n_versions",
         )
     )

@@ -58,6 +58,21 @@ def test_ranking_boundaries_are_frozen_literals(spark):
     )
 
 
+@pytest.mark.parametrize(
+    "name", ["warehouse_changelog_compact", "warehouse_merge_resolve_conflicts"]
+)
+def test_latest_wins_is_a_hash_aggregate(spark, name):
+    """Round 14: the latest-wins resolution (all-descending total order,
+    rn=1) runs as max(struct(...)) — a hash aggregate with map-side
+    partials — not as a row_number partition sort."""
+    import __spark_entry__ as e
+
+    plan = _formatted(e.queries()[name](spark, SF_DIR))
+    spark.catalog.clearCache()
+    assert "Window" not in plan, f"{name}: row_number partition sort is back"
+    assert "partial_max(struct" in plan or "partial_max" in plan
+
+
 def test_keyed_running_sums_theta_budget(spark):
     """Round 14 (VERDICT r13 item 6): the broadcast theta-join side is
     capped at THETA_JOIN_ROW_BUDGET even when the caller's driver-memory
