@@ -222,17 +222,30 @@ def q_corpus_assemble(spark, sf_dir):
         & (F.col("dupf") <= 0.6)
         & (F.col("alphaf") >= 0.7)
     ).select("doc_id", "lang", "h", "tokens")
-    # keep-best as ONE window pass on the digest shuffle (the
+    # keep-best as ONE hash aggregate on the digest shuffle (the
     # corpus_curate pattern): the previous groupBy(h) + join-back used
     # `gated` on both sides of a self-join, so the whole scan + gate
     # lineage ran TWICE and the digests shuffled twice — measured ~2× the
-    # single-pass wall at the 100× point (SCALE.md §6o).  row_number over
-    # (h | tokens desc, doc_id asc) selects the identical winner.
-    wk = Window.partitionBy("h").orderBy(F.col("tokens").desc(), F.col("doc_id").asc())
+    # single-pass wall at the 100× point (SCALE.md §6o); the r13
+    # row_number window still sorted every duplicate inside its digest
+    # group.  The (tokens desc, doc_id asc) winner is
+    # max(struct(tokens, -doc_id)) — map-side partials ship one candidate
+    # per digest per task (r14); trailing fields are payload only.
     canon = (
-        gated.withColumn("rn", F.row_number().over(wk))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "lang", "tokens")
+        gated.groupBy("h")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("tokens"), (-F.col("doc_id")).alias("negid"),
+                    F.col("doc_id"), F.col("lang"),
+                )
+            ).alias("top")
+        )
+        .select(
+            F.col("top.doc_id").alias("doc_id"),
+            F.col("top.lang").alias("lang"),
+            F.col("top.tokens").alias("tokens"),
+        )
     )
     bucket = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("bigint")

@@ -1484,13 +1484,27 @@ def q_corpus_curate(spark, sf_dir):
         quality_score_from_words(wcol).alias("quality"),
     )
     filtered = feat.filter(F.col("quality") >= 0.5)
-    # keep-best as ONE window pass on the digest shuffle (r3 used
-    # groupBy(h) + join-back = the same data shuffled twice; row_number
-    # over (h | wc desc, id asc) selects the identical winner in one)
-    w = Window.partitionBy("h").orderBy(F.col("words").desc(), F.col("doc_id").asc())
-    out = filtered.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    # keep-best as ONE hash aggregate on the digest shuffle (r3 used
+    # groupBy(h) + join-back = the same data shuffled twice; r13 used a
+    # row_number window = a per-digest sort of every duplicate): the
+    # (words desc, doc_id asc) winner is max(struct(words, -doc_id)), so
+    # map-side partials ship ONE candidate row per digest per task (r14).
+    # Trailing struct fields are payload only — (words, -doc_id) is
+    # already unique because doc_id is.
+    out = filtered.groupBy("h").agg(
+        F.max(
+            F.struct(
+                F.col("words"), (-F.col("doc_id")).alias("negid"),
+                F.col("doc_id"), F.col("lang"), F.col("text"), F.col("quality"),
+            )
+        ).alias("top")
+    )
     return out.select(
-        "doc_id", "lang", "words", token_count(F.col("text")).alias("tokens"), "quality"
+        F.col("top.doc_id").alias("doc_id"),
+        F.col("top.lang").alias("lang"),
+        F.col("top.words").alias("words"),
+        token_count(F.col("top.text")).alias("tokens"),
+        F.col("top.quality").alias("quality"),
     )
 
 

@@ -59,18 +59,27 @@ def test_ranking_boundaries_are_frozen_literals(spark):
 
 
 @pytest.mark.parametrize(
-    "name", ["warehouse_changelog_compact", "warehouse_merge_resolve_conflicts"]
+    "name, window_free",
+    [
+        ("warehouse_changelog_compact", True),
+        ("warehouse_merge_resolve_conflicts", True),
+        ("corpus_curate", True),
+        # corpus_assemble keeps its genuine pack-sequence cumsum window
+        ("corpus_assemble", False),
+    ],
 )
-def test_latest_wins_is_a_hash_aggregate(spark, name):
-    """Round 14: the latest-wins resolution (all-descending total order,
+def test_latest_wins_is_a_hash_aggregate(spark, name, window_free):
+    """Round 14: the latest-wins / keep-best resolution (total order,
     rn=1) runs as max(struct(...)) — a hash aggregate with map-side
     partials — not as a row_number partition sort."""
     import __spark_entry__ as e
 
     plan = _formatted(e.queries()[name](spark, SF_DIR))
     spark.catalog.clearCache()
-    assert "Window" not in plan, f"{name}: row_number partition sort is back"
-    assert "partial_max(struct" in plan or "partial_max" in plan
+    assert "row_number" not in plan, f"{name}: row_number partition sort is back"
+    if window_free:
+        assert "Window" not in plan, f"{name}: a window survived the rewrite"
+    assert "partial_max" in plan, f"{name}: map-side partial max missing"
 
 
 def test_keyed_running_sums_theta_budget(spark):
