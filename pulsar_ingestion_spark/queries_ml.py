@@ -1185,14 +1185,21 @@ def q_sim_search_mmr(spark, sf_dir):
     s1 = cands.filter(F.col("rnk") == 1).select(
         "query_id", F.col("cand_id").alias("sel"), F.col("rel").alias("score")
     )
-    wmmr = Window.partitionBy("query_id").orderBy(F.desc("mmr"), F.asc("cand_id"))
-
+    # per-step argmax = max(struct(mmr, -cand_id)): hash aggregate
+    # instead of a row_number sort (r14); mmr is a non-null rounded score
     def argmax(m):
         return (
-            m.withColumn("rn", F.row_number().over(wmmr))
-            .filter(F.col("rn") == 1)
-            .select("query_id", F.col("cand_id").alias("sel"),
-                    F.col("mmr").alias("score"))
+            m.groupBy("query_id")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("mmr"), (-F.col("cand_id")).alias("negid"),
+                        F.col("cand_id"),
+                    )
+                ).alias("top")
+            )
+            .select("query_id", F.col("top.cand_id").alias("sel"),
+                    F.col("top.mmr").alias("score"))
         )
 
     p1 = pair.select(F.col("query_id").alias("pq1"), F.col("i").alias("i1"),

@@ -649,14 +649,17 @@ def q_sketch_quantile_logbins(spark, sf_dir):
         .select("q", F.ceil(F.col("q") * F.col("n")).cast("bigint").alias("target"))
     )
     hits = targets.join(cum, F.col("cum_cnt") >= F.col("target"))
-    wq = Window.partitionBy("q").orderBy("ndig", "lead2")
+    # first qualifying bin per quantile = min(struct(ndig, lead2)) — a
+    # hash aggregate with map-side partials instead of a row_number
+    # partition sort (r14 keep-best discipline; both fields non-null)
     return (
-        hits.withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") == 1)
+        hits.groupBy("q", "target")
+        .agg(F.min(F.struct("ndig", "lead2")).alias("top"))
         .select(
             "q", "target",
             (
-                (F.col("lead2") * F.pow(F.lit(10.0), F.col("ndig") - 2)).cast("double")
+                (F.col("top.lead2")
+                 * F.pow(F.lit(10.0), F.col("top.ndig") - 2)).cast("double")
                 / 100
             ).alias("est_lo"),
         )

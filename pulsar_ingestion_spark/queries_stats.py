@@ -540,16 +540,22 @@ def q_agg_mode(spark, sf_dir):
 
     (li,) = _t(spark, sf_dir, "lineitem")
     c = li.groupBy("l_returnflag", "l_quantity").agg(F.count("*").alias("cnt"))
-    w = Window.partitionBy("l_returnflag").orderBy(
-        F.col("cnt").desc(), F.col("l_quantity").asc()
-    )
+    # (cnt desc, quantity asc) winner = max(struct(cnt, -quantity)) — a
+    # hash aggregate instead of a row_number partition sort (r14)
     return (
-        c.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        c.groupBy("l_returnflag")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("cnt"), (-F.col("l_quantity")).alias("negq"),
+                    F.col("l_quantity"),
+                )
+            ).alias("top")
+        )
         .select(
             "l_returnflag",
-            F.col("l_quantity").alias("mode_qty"),
-            F.col("cnt").alias("mode_cnt"),
+            F.col("top.l_quantity").alias("mode_qty"),
+            F.col("top.cnt").alias("mode_cnt"),
         )
     )
 
@@ -1531,12 +1537,18 @@ def q_ts_changepoint_mean_shift(spark, sf_dir):
             - (F.col("tot_y") - F.col("cum_y")) / (F.col("n") - F.col("i"))
         ).alias("shift"),
     )
-    wr = Window.partitionBy("event_type").orderBy(F.desc("shift"), F.asc("day"))
+    # (shift desc, day asc) winner = max(struct(shift, -day)): hash
+    # aggregate instead of a row_number sort; shift is a non-null
+    # quotient of decimal-exact sums (i ≥ 1, i < n), day is bigint (r14)
     return (
-        scored.withColumn("rnk", F.row_number().over(wr))
-        .filter(F.col("rnk") == 1)
-        .select("event_type", F.col("day").alias("split_day"),
-                F.col("shift").cast("double").alias("mean_shift"))
+        scored.groupBy("event_type")
+        .agg(
+            F.max(
+                F.struct(F.col("shift"), (-F.col("day")).alias("negd"), F.col("day"))
+            ).alias("top")
+        )
+        .select("event_type", F.col("top.day").alias("split_day"),
+                F.col("top.shift").cast("double").alias("mean_shift"))
     )
 
 
@@ -2108,13 +2120,21 @@ def q_ts_downsample_lttb(spark, sf_dir):
             ).alias("area2"),
         )
     )
-    wk = Window.partitionBy("event_type", "bucket").orderBy(
-        F.desc("area2"), F.asc("day")
-    )
+    # per-bucket argmax = max(struct(area2, -day)): hash aggregate
+    # instead of a row_number sort; area2 is a non-null rounded product,
+    # day a bigint (r14)
     return (
-        scored.withColumn("rk", F.row_number().over(wk))
-        .filter(F.col("rk") == 1)
-        .select("event_type", "bucket", "day", "cnt")
+        scored.groupBy("event_type", "bucket")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("area2"), (-F.col("day")).alias("negd"),
+                    F.col("day"), F.col("cnt"),
+                )
+            ).alias("top")
+        )
+        .select("event_type", "bucket",
+                F.col("top.day").alias("day"), F.col("top.cnt").alias("cnt"))
     )
 
 

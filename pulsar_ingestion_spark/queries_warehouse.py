@@ -975,10 +975,9 @@ def q_warehouse_scd2_from_changelog(spark, sf_dir):
     join consumes.  Keyed subset (orderkey % 50) keeps the checked
     output bounded; the plan is key-count independent."""
     li = load_tables(spark, sf_dir)["lineitem"]
-    wd = Window.partitionBy("l_orderkey", "eff_date").orderBy(
-        F.col("l_linenumber").desc(), F.col("price").desc(),
-        F.col("l_quantity").desc(), F.col("l_discount").desc(),
-    )
+    # all-descending total order ⇒ the latest-wins row per (entity,
+    # effective date) is max(struct(...)) — hash aggregate with map-side
+    # partials instead of a row_number partition sort (r14)
     changes = (
         li.filter(F.col("l_orderkey") % 50 == 0)
         .select(
@@ -987,9 +986,13 @@ def q_warehouse_scd2_from_changelog(spark, sf_dir):
             F.col("l_extendedprice").alias("price"),
             "l_linenumber", "l_quantity", "l_discount",
         )
-        .withColumn("rn", F.row_number().over(wd))
-        .filter(F.col("rn") == 1)
-        .select("l_orderkey", "eff_date", "price")
+        .groupBy("l_orderkey", "eff_date")
+        .agg(
+            F.max(
+                F.struct("l_linenumber", "price", "l_quantity", "l_discount")
+            ).alias("top")
+        )
+        .select("l_orderkey", "eff_date", F.col("top.price").alias("price"))
     )
     w = Window.partitionBy("l_orderkey").orderBy("eff_date")
     nxt = F.lead("eff_date").over(w)
